@@ -1,0 +1,210 @@
+"""``WheelEngine`` — the engine object tying tables, wheel indices, and the
+query router together.
+
+The reference couples these in ``UWheelOptimizer`` (provider + time column +
+wheel registry + rewrite rule, ``datafusion-uwheel/src/lib.rs:72-146``) built
+via a fluent ``Builder`` (``builder.rs:59-252``). Construction scans the
+table once and builds the COUNT wheel and any requested MIN/MAX wheels
+(``lib.rs:909-965``); ``build_index`` adds per-(column, aggregate, filter)
+wheels (``lib.rs:153-239``).
+
+Spark-first shape: the table is a DataFrame (parquet path or any DataFrame);
+index builds are single declarative aggregation jobs (see
+:mod:`..operators.rollups`); queries go through :meth:`sql`, which routes to
+driver-side wheel lookups when the plan shape matches and to stock
+``spark.sql`` otherwise — Catalyst keeps the full relational surface (joins,
+windows, set ops, …) with zero custom code (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from .operators.lookup import STAR_AGGREGATION_ALIAS, WheelIndex
+from .operators.rollups import build_wheel_indices
+from .plans.router import RouteDecision, Router
+from .plans.sqlparse import ParseError, parse_conjunction, parse_select
+from .plans.predicates import canonical_filter_key
+
+__all__ = ["WheelEngine"]
+
+
+class WheelEngine:
+    """One engine instance = one table + its wheel indices, mirroring the
+    reference's one-optimizer-per-table design (``name: String``,
+    ``lib.rs:76-77``).
+
+    Parameters
+    ----------
+    spark:
+        An active session. Pin ``spark.sql.session.timeZone=UTC`` (see
+        :func:`datafusion_uwheel_spark.session.get_spark`).
+    name:
+        Table name; registered as a temp view for the delegate path.
+    source:
+        Parquet path or a DataFrame (the reference accepts any
+        ``TableProvider`` — parquet listing table or MemTable).
+    time_column:
+        The designated time column all indices are built on
+        (``lib.rs:78-79``); must exist (asserted like ``lib.rs:928-933``).
+    min_max_columns:
+        Columns to build MIN/MAX pruning wheels for at construction
+        (``Builder::with_min_max_wheels``).
+    time_range:
+        Optional ``(start, end)`` restriction on the indexed span
+        (``Builder::with_time_range``, ``builder.rs:177-191``) — the 100 TB
+        lever for multi-year tables: the driver-side index stays bounded by
+        the span's distinct seconds.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        source: str | DataFrame,
+        time_column: str,
+        min_max_columns: tuple[str, ...] = (),
+        time_range: tuple | None = None,
+    ):
+        self.spark = spark
+        self.name = name
+        self.time_column = time_column
+        if isinstance(source, str):
+            from .sources import read_parquet
+
+            self.df = read_parquet(spark, source)
+        else:
+            self.df = source
+        if time_column not in self.df.columns:
+            raise ValueError(f"time column {time_column!r} not in table {name!r}")
+        self.df.createOrReplaceTempView(name)
+
+        indices = build_wheel_indices(
+            self.df, name, time_column, list(min_max_columns), time_range=time_range
+        )
+        #: filter_key → COUNT wheel (unfiltered under ``*_AGG``; keyed wheels
+        #: are added by :meth:`build_index`).
+        self.count_wheels: dict[str, WheelIndex] = {STAR_AGGREGATION_ALIAS: indices[None]}
+        #: column → MIN/MAX pruning wheel (reference ``BuiltInWheels.min_max``).
+        self.min_max_wheels: dict[str, WheelIndex] = {
+            c: indices[c] for c in min_max_columns
+        }
+        #: (column, filter_key) → aggregate wheel (sum/avg/min/max states).
+        self.agg_wheels: dict[tuple[str, str], WheelIndex] = {}
+        self.router = Router(self)
+        self.last_route: RouteDecision | None = None
+        self._time_range = time_range
+
+    # -------------------------------------------------------------- builds
+    def build_index(
+        self,
+        column: str,
+        filter: str | None = None,
+        time_range: tuple | None = None,
+    ) -> str:
+        """Build an aggregate wheel for ``column`` (all of SUM/AVG/MIN/MAX
+        states in one pass — the reference's ``UWheelAggregate::All`` build,
+        ``lib.rs:224-235``, which subsumes the per-aggregate variants).
+
+        ``filter`` is a SQL conjunction string (e.g.
+        ``"event_type = 'click'"``) making this a *keyed* index; queries whose
+        residual (non-temporal) predicate canonicalizes to the same string are
+        answered from it (``lib.rs:310-321``). Returns the index key.
+        """
+        if filter is not None:
+            conjuncts = parse_conjunction(filter)
+            fk = canonical_filter_key(conjuncts)
+            filter_expr: Column | str | None = filter
+        else:
+            fk = STAR_AGGREGATION_ALIAS
+            filter_expr = None
+        indices = build_wheel_indices(
+            self.df,
+            self.name,
+            self.time_column,
+            [column],
+            filter_expr=filter_expr,
+            filter_key=fk,
+            time_range=time_range or self._time_range,
+        )
+        # A keyed/filtered wheel is answerable over the whole *base table*
+        # span, not just the span of rows matching the filter: a sub-range
+        # with zero matching rows is a correct (empty) aggregate, not an
+        # unknown. The reference is narrower here (keyed wheels watermark at
+        # the filtered data's min, lib.rs:1046), which silently forfeits
+        # full-span keyed queries; we deliberately widen. When the build was
+        # time_range-restricted, keep the wheel's own (restricted) bounds.
+        if time_range is None and self._time_range is None:
+            base = self.count_wheels[STAR_AGGREGATION_ALIAS]
+            if not base.empty:
+                for w in indices.values():
+                    if not w.empty:
+                        w.min_ts_us = min(w.min_ts_us, base.min_ts_us)
+                        w.max_ts_us = max(w.max_ts_us, base.max_ts_us)
+        self.count_wheels.setdefault(fk, indices[None])
+        wheel = indices[column]
+        self.agg_wheels[(column, fk)] = wheel
+        return wheel.key
+
+    def build_min_max_index(self, column: str) -> str:
+        """Add a MIN/MAX pruning wheel after construction."""
+        indices = build_wheel_indices(self.df, self.name, self.time_column, [column])
+        self.min_max_wheels[column] = indices[column]
+        return indices[column].key
+
+    # ------------------------------------------------------------- queries
+    def sql(self, query: str) -> DataFrame:
+        """Route-or-delegate, the engine's main entry point (§3.1).
+
+        On a match the answer is a LocalRelation built from a driver-side
+        wheel lookup — no Spark job runs. Otherwise the untouched SQL goes to
+        ``spark.sql`` (full Catalyst surface). ``self.last_route`` records
+        the decision for tests and benchmarks.
+        """
+        try:
+            parsed = parse_select(query)
+        except ParseError as err:
+            self.last_route = RouteDecision("delegate", detail={"reason": str(err)})
+            return self.spark.sql(query)
+        decision, df = self.router.try_rewrite(parsed)
+        self.last_route = decision
+        if df is not None:
+            return df
+        return self.spark.sql(query)
+
+    def explain_route(self, query: str) -> RouteDecision:
+        """Routing decision without executing the delegate path."""
+        try:
+            parsed = parse_select(query)
+        except ParseError as err:
+            return RouteDecision("delegate", detail={"reason": str(err)})
+        decision, _ = self.router.try_rewrite(parsed)
+        return decision
+
+    def table(self) -> DataFrame:
+        """The wrapped DataFrame (reference ``optimizer.provider()``,
+        ``lib.rs:132-135``)."""
+        return self.df
+
+    # -------------------------------------------------------- introspection
+    def index_usage_bytes(self) -> int:
+        """Total driver-side index footprint (reference
+        ``index_usage_bytes``, ``lib.rs:143-146``; ``wheels.rs:53-75``)."""
+        seen: set[int] = set()
+        total = 0
+        for w in (
+            *self.count_wheels.values(),
+            *self.min_max_wheels.values(),
+            *self.agg_wheels.values(),
+        ):
+            if id(w) not in seen:
+                seen.add(id(w))
+                total += w.size_bytes()
+        return total
+
+    def index_keys(self) -> list[str]:
+        return sorted(
+            {w.key for w in self.count_wheels.values()}
+            | {w.key for w in self.min_max_wheels.values()}
+            | {w.key for w in self.agg_wheels.values()}
+        )

@@ -1,0 +1,255 @@
+"""Driver-side wheel index: the Spark-native analogue of a µWheel HAW.
+
+The reference builds a Hierarchical Aggregate Wheel per
+``(table, column, aggregate, filter)`` and answers arbitrary-range temporal
+aggregates at plan time (reference ``datafusion-uwheel/src/lib.rs:1019-1127``,
+``wheels.rs:19-76``). Our analogue: a **sparse second-granularity rollup**
+collected to the driver as numpy arrays (sorted distinct epoch-seconds plus
+per-bucket partial aggregate states), with range queries answered by binary
+search + vectorized reduction and ``date_trunc`` group-bys answered by
+segmented reduction. Coarser granularities (minute/hour/day/week) never need
+separate storage — they are derived views over the second dimension, which
+matches the reference's retention-``Keep`` configuration (all dimensions
+answerable, ``builder.rs:99-112``) at strictly lower memory cost because we
+only store *occupied* buckets.
+
+Scale note (100 TB): the index size is bounded by the number of **distinct
+seconds in the time span** (~31.5M/year) × a few ``int64``/``float64`` states,
+independent of row count. Only the rollup is ever collected to the driver —
+never raw rows (SURVEY.md §7.3.5). For multi-year spans, restrict with
+``time_range`` at build (the reference's ``with_time_range``,
+``builder.rs:177-191``).
+
+Correctness notes:
+
+* AVG state is a ``(sum, count)`` pair, divided only at answer time —
+  never an average of averages (reference ``lib.rs:700-703``).
+* COUNT is ``int64`` end to end (the reference keeps ``u32`` wheels and
+  emits ``i64``, an overflow hazard at >4.29B rows — SURVEY.md §4.3.3).
+* Range sums use vectorized slice reduction (numpy pairwise summation), not
+  prefix-difference, to avoid catastrophic cancellation against the DuckDB
+  oracle; COUNT uses an exact integer prefix array (O(1) lookups, the
+  analogue of the reference's prefix wheels, ``lib.rs:1085-1087``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from ..functions.timestamps import (
+    GRANULARITY_SECONDS,
+    MICROS_PER_SECOND,
+    bucket_starts,
+)
+
+__all__ = ["WheelIndex", "STAR_AGGREGATION_ALIAS"]
+
+#: Key suffix for unfiltered indices — mirrors ``STAR_AGGREGATION_ALIAS``
+#: (reference ``lib.rs:70``).
+STAR_AGGREGATION_ALIAS = "*_AGG"
+
+
+@dataclass
+class WheelIndex:
+    """One wheel: partial aggregates per occupied epoch-second bucket.
+
+    Parameters
+    ----------
+    table, column:
+        Identity; ``column is None`` for the COUNT(*) wheel.
+    filter_key:
+        Canonical filter string for keyed indices (reference key format
+        ``"{table}.{column}.{expr}"``, ``lib.rs:164-173``), else
+        :data:`STAR_AGGREGATION_ALIAS`.
+    secs:
+        Sorted distinct epoch-seconds with ≥1 row (``int64``).
+    cnt / sum_ / min_ / max_:
+        Per-bucket partial states aligned with ``secs``. ``sum_``/``min_``/
+        ``max_`` are ``None`` for the pure COUNT wheel.
+    min_ts_us / max_ts_us:
+        Exact data bounds (epoch µs) — the reference's
+        ``min_timestamp_ms``/``max_timestamp_ms`` (``lib.rs:84-87``), used to
+        refuse rewrites outside the indexed range.
+    """
+
+    table: str
+    column: str | None
+    filter_key: str
+    secs: np.ndarray
+    cnt: np.ndarray
+    sum_: np.ndarray | None = None
+    min_: np.ndarray | None = None
+    max_: np.ndarray | None = None
+    min_ts_us: int = 0
+    max_ts_us: int = -1
+    _pcnt: np.ndarray = field(init=False, repr=False, default=None)
+    _landmark: dict[str, Any] | None = field(init=False, repr=False, default=None)
+
+    def __post_init__(self) -> None:
+        self.secs = np.asarray(self.secs, dtype=np.int64)
+        self.cnt = np.asarray(self.cnt, dtype=np.int64)
+        # Exact O(1) COUNT ranges — prefix wheel analogue (lib.rs:1085-1087).
+        self._pcnt = np.concatenate([[0], np.cumsum(self.cnt)])
+
+    # ------------------------------------------------------------------ keys
+    @property
+    def key(self) -> str:
+        col = self.column if self.column is not None else "*"
+        return f"{self.table}.{col}.{self.filter_key}"
+
+    @property
+    def empty(self) -> bool:
+        return self.secs.size == 0
+
+    # ------------------------------------------------------- range validity
+    @property
+    def low_sec(self) -> int:
+        """Watermark start = floor(min timestamp) to seconds (lib.rs:976,1106)."""
+        return self.min_ts_us // MICROS_PER_SECOND
+
+    @property
+    def high_sec_exclusive(self) -> int:
+        """One second past the last data point — the reference advances the
+        wheel to ``max + 1s`` so the final second stays queryable
+        (``advance_to(end+1000)``, ``lib.rs:1080,1120``)."""
+        return self.max_ts_us // MICROS_PER_SECOND + 1
+
+    def covers(self, start_sec: int, end_sec: int) -> bool:
+        """Whether the wheel can answer ``[start_sec, end_sec)`` — outside
+        ranges must fall through, mirroring ``combine_range_and_lower``
+        returning ``None`` (``lib.rs:663-688``; test ``lib.rs:1498-1518``)."""
+        if self.empty:
+            return False
+        return start_sec <= end_sec and start_sec >= self.low_sec and end_sec <= self.high_sec_exclusive
+
+    # ------------------------------------------------------------- queries
+    def _slice(self, start_sec: int, end_sec: int) -> tuple[int, int]:
+        i = int(np.searchsorted(self.secs, start_sec, side="left"))
+        j = int(np.searchsorted(self.secs, end_sec, side="left"))
+        return i, j
+
+    def count_range(self, start_sec: int, end_sec: int) -> int | None:
+        """COUNT over ``[start, end)`` — O(log n) via the integer prefix array."""
+        if not self.covers(start_sec, end_sec):
+            return None
+        i, j = self._slice(start_sec, end_sec)
+        return int(self._pcnt[j] - self._pcnt[i])
+
+    def combine_range(self, start_sec: int, end_sec: int) -> dict[str, Any] | None:
+        """All available aggregate states over ``[start, end)``.
+
+        Returns ``{"count": int, "sum": float|None, "min": ..., "max": ...,
+        "avg": ...}`` (value states only when the wheel carries a column);
+        SQL semantics — empty input ⇒ NULL aggregates, COUNT ⇒ 0. Returns
+        ``None`` when the range is not covered (rewrite must fall through).
+        """
+        if not self.covers(start_sec, end_sec):
+            return None
+        i, j = self._slice(start_sec, end_sec)
+        n = int(self._pcnt[j] - self._pcnt[i])
+        out: dict[str, Any] = {"count": n}
+        if self.sum_ is not None:
+            if n == 0:
+                out.update({"sum": None, "min": None, "max": None, "avg": None})
+            else:
+                s = float(np.sum(self.sum_[i:j]))
+                out["sum"] = s
+                out["min"] = float(np.min(self.min_[i:j]))
+                out["max"] = float(np.max(self.max_[i:j]))
+                out["avg"] = s / n
+        return out
+
+    def landmark(self) -> dict[str, Any]:
+        """Aggregate over *all* indexed data — the reference's ``landmark()``
+        path (``lib.rs:690-714``)."""
+        if self._landmark is None:
+            n = int(self._pcnt[-1])
+            lm: dict[str, Any] = {"count": n}
+            if self.sum_ is not None:
+                if n == 0:
+                    lm.update({"sum": None, "min": None, "max": None, "avg": None})
+                else:
+                    s = float(np.sum(self.sum_))
+                    lm.update(
+                        {
+                            "sum": s,
+                            "min": float(np.min(self.min_)),
+                            "max": float(np.max(self.max_)),
+                            "avg": s / n,
+                        }
+                    )
+            self._landmark = lm
+        return self._landmark
+
+    def group_by(
+        self, start_sec: int, end_sec: int, granularity: str
+    ) -> list[tuple[int, dict[str, Any]]] | None:
+        """``GROUP BY date_trunc(granularity, ts)`` over ``[start, end)``.
+
+        Reference: per-granularity ``wheel.group_by(range, duration)``
+        (``lib.rs:396-482``). Returns ``[(bucket_start_sec, states), ...]``
+        for **occupied** buckets only (SQL group-by emits no empty groups),
+        in ascending bucket order. Segmented numpy reduction — no per-bucket
+        Python loop over seconds.
+        """
+        if granularity not in GRANULARITY_SECONDS:
+            return None
+        if not self.covers(start_sec, end_sec):
+            return None
+        i, j = self._slice(start_sec, end_sec)
+        if i == j:
+            return []
+        bucket_ids = bucket_starts(self.secs[i:j], granularity)
+        # Boundaries where the bucket id changes → segment starts.
+        seg = np.flatnonzero(np.r_[True, bucket_ids[1:] != bucket_ids[:-1]])
+        keys = bucket_ids[seg]
+        counts = np.add.reduceat(self.cnt[i:j], seg)
+        rows: list[tuple[int, dict[str, Any]]] = []
+        if self.sum_ is not None:
+            sums = np.add.reduceat(self.sum_[i:j], seg)
+            mins = np.minimum.reduceat(self.min_[i:j], seg)
+            maxs = np.maximum.reduceat(self.max_[i:j], seg)
+            for k in range(keys.size):
+                n = int(counts[k])
+                rows.append(
+                    (
+                        int(keys[k]),
+                        {
+                            "count": n,
+                            "sum": float(sums[k]),
+                            "min": float(mins[k]),
+                            "max": float(maxs[k]),
+                            "avg": float(sums[k]) / n,
+                        },
+                    )
+                )
+        else:
+            for k in range(keys.size):
+                rows.append((int(keys[k]), {"count": int(counts[k])}))
+        return rows
+
+    # ----------------------------------------------------------- min/max
+    def min_max_range(self, start_sec: int, end_sec: int) -> tuple[float, float] | None:
+        """(min, max) of the indexed column over the range, for scan pruning
+        (reference ``maybe_min_max_filter``, ``lib.rs:621-649``). ``None``
+        when uncovered or when the range holds no rows — note the reference's
+        ``is_empty_range`` treats a zero-row range as prunable via the COUNT
+        path, not this one."""
+        if self.min_ is None or not self.covers(start_sec, end_sec):
+            return None
+        i, j = self._slice(start_sec, end_sec)
+        if i == j:
+            return None
+        return float(np.min(self.min_[i:j])), float(np.max(self.max_[i:j]))
+
+    # ------------------------------------------------------- introspection
+    def size_bytes(self) -> int:
+        """Analogue of ``BuiltInWheels::size_bytes`` (``wheels.rs:53-75``)."""
+        total = self.secs.nbytes + self.cnt.nbytes + self._pcnt.nbytes
+        for a in (self.sum_, self.min_, self.max_):
+            if a is not None:
+                total += a.nbytes
+        return total

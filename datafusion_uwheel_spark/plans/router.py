@@ -1,0 +1,286 @@
+"""Query router: match → answer-from-index | delegate.
+
+This is the engine-level equivalent of the reference's single
+``OptimizerRule`` (``UWheelOptimizer::rewrite`` → ``try_rewrite``,
+``datafusion-uwheel/src/lib.rs:843-869,246-252``). Pure PySpark cannot inject
+a Catalyst rule (that needs JVM classes via
+``SparkSessionExtensions.injectOptimizerRule``), so the match happens *before*
+Spark parses the query (SURVEY.md §7.3.1) — semantically identical: on a
+match the entire plan is replaced by a LocalRelation holding the precomputed
+answer (the reference's constant ``MemTable`` scan, ``lib.rs:871-881``); on
+no-match the original SQL goes to ``spark.sql`` untouched (``lib.rs:863-867``).
+
+Rewrites implemented (SURVEY.md §2.1):
+
+* R1 COUNT(*) range        (``try_count_rewrite``,  ``lib.rs:599-604,717-724``)
+* R2 single aggregate      (``create_uwheel_plan``, ``lib.rs:652-661``)
+* R3 multiple aggregates   (``lib.rs:503-552,764-780``)
+* R4 GROUP BY date_trunc   (``lib.rs:333-482,737-762``)
+* R5 landmark aggregate    (``lib.rs:554-577,690-714``)
+* R6 COUNT-based pruning   (``maybe_count_filter``, ``lib.rs:608-618``)
+* R7 MIN/MAX-based pruning (``maybe_min_max_filter``, ``lib.rs:621-649``)
+
+A matched answer launches **no Spark job at all** — the wheel lookup runs on
+the driver in microseconds and the result is a LocalRelation; this mirrors
+the reference's plan-time lookup (§3.1) and is what the BASELINE latency
+numbers measure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions.timestamps import GRANULARITY_SECONDS, sec_to_datetime
+from ..operators.lookup import STAR_AGGREGATION_ALIAS, WheelIndex
+from .predicates import (
+    MinMaxPredicate,
+    canonical_filter_key,
+    extract_min_max_predicate,
+    split_temporal_filter,
+)
+from .sqlparse import AggSpec, ParsedQuery
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..engine import WheelEngine
+
+__all__ = ["Router", "RouteDecision"]
+
+
+@dataclass
+class RouteDecision:
+    """What the router did with a query — exposed for tests/benchmarks, the
+    analogue of asserting ``try_rewrite`` returned ``Some``/``None``."""
+
+    kind: str  # count_range | single_agg | multi_agg | group_by | landmark
+    #          | prune_count | prune_minmax | delegate
+    index_key: str | None = None
+    detail: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def rewritten(self) -> bool:
+        return self.kind != "delegate"
+
+
+_AGG_STATE = {"count": "count", "sum": "sum", "min": "min", "max": "max", "avg": "avg"}
+
+
+def _is_empty_range(pred: MinMaxPredicate, lo: float, hi: float) -> bool:
+    """Predicate provably matches nothing given range [lo, hi] of the column
+    (``is_empty_range``, ``lib.rs:807-814``)."""
+    if pred.op == ">":
+        return hi <= pred.value
+    if pred.op == ">=":
+        return hi < pred.value
+    if pred.op == "<":
+        return lo >= pred.value
+    if pred.op == "<=":
+        return lo > pred.value
+    return False
+
+
+class Router:
+    def __init__(self, engine: "WheelEngine"):
+        self.engine = engine
+
+    # ------------------------------------------------------------------ api
+    def try_rewrite(self, q: ParsedQuery) -> tuple[RouteDecision, DataFrame | None]:
+        """Pattern-match the parsed query against the plan-shape guards
+        (SURVEY.md §2.3) and produce a LocalRelation answer, or ``None`` to
+        delegate."""
+        e = self.engine
+        if q.table.lower() != e.name.lower():
+            return RouteDecision("delegate", detail={"reason": "unknown table"}), None
+
+        rng, residual = split_temporal_filter(q.conjuncts, e.time_column)
+
+        if q.select_star:
+            return self._try_pruning(q, rng, residual)
+
+        if not q.aggs:
+            return RouteDecision("delegate", detail={"reason": "no aggregates"}), None
+
+        if q.group_by is not None:
+            return self._try_group_by(q, rng, residual)
+
+        if not q.conjuncts:
+            return self._try_landmark(q)
+
+        if rng is None or not rng.routable:
+            return (
+                RouteDecision("delegate", detail={"reason": "no exact aligned range"}),
+                None,
+            )
+
+        fk = canonical_filter_key(residual) if residual else STAR_AGGREGATION_ALIAS
+
+        wheels: list[WheelIndex] = []
+        for agg in q.aggs:
+            w = self._resolve_wheel(agg, fk)
+            if w is None:
+                return (
+                    RouteDecision("delegate", detail={"reason": f"no index for {agg.func}", "fk": fk}),
+                    None,
+                )
+            wheels.append(w)
+
+        values: list[Any] = []
+        for agg, w in zip(q.aggs, wheels):
+            states = w.combine_range(rng.start_sec, rng.end_sec)
+            if states is None:  # outside indexed range → fall through (lib.rs:1498-1518)
+                return RouteDecision("delegate", detail={"reason": "range not covered"}), None
+            values.append(states[_AGG_STATE[agg.func]])
+
+        kind = (
+            "count_range"
+            if len(q.aggs) == 1 and q.aggs[0].func == "count"
+            else ("single_agg" if len(q.aggs) == 1 else "multi_agg")
+        )
+        df = self._scalar_result(q.aggs, values)
+        return RouteDecision(kind, index_key=wheels[0].key, detail={"fk": fk}), df
+
+    # ------------------------------------------------------------- helpers
+    def _resolve_wheel(self, agg: AggSpec, filter_key: str) -> WheelIndex | None:
+        """Map an aggregate expression to a registered wheel — the analogue of
+        the per-aggregate map lookups in ``get_aggregate_result``
+        (``lib.rs:663-688``). COUNT(col) is not COUNT(*) under NULLs, so only
+        the wildcard form uses the count wheel (``is_count_star_aggregate``,
+        ``lib.rs:883-907``)."""
+        e = self.engine
+        if agg.func == "count":
+            if agg.arg is not None:
+                return None
+            return e.count_wheels.get(filter_key)
+        if agg.arg is None:
+            return None
+        return e.agg_wheels.get((agg.arg, filter_key))
+
+    def _scalar_result(self, aggs: list[AggSpec], values: list[Any]) -> DataFrame:
+        fields = []
+        for agg in aggs:
+            dtype = T.LongType() if agg.func == "count" else T.DoubleType()
+            fields.append(T.StructField(agg.output_name, dtype, True))
+        schema = T.StructType(fields)
+        return self.engine.spark.createDataFrame([tuple(values)], schema)
+
+    # ------------------------------------------------------------ group by
+    def _try_group_by(self, q, rng, residual):
+        e = self.engine
+        gb = q.group_by
+        if gb.column != e.time_column or gb.granularity not in GRANULARITY_SECONDS:
+            return RouteDecision("delegate", detail={"reason": "unsupported group expr"}), None
+        # The reference's group-by path requires a temporal Filter input
+        # (plan shape Projection(Aggregate(Filter)), lib.rs:269-272,333-358).
+        if rng is None or not rng.routable:
+            return RouteDecision("delegate", detail={"reason": "no exact aligned range"}), None
+        fk = canonical_filter_key(residual) if residual else STAR_AGGREGATION_ALIAS
+
+        wheels: list[WheelIndex] = []
+        for agg in q.aggs:
+            w = self._resolve_wheel(agg, fk)
+            if w is None:
+                return RouteDecision("delegate", detail={"reason": f"no index for {agg.func}", "fk": fk}), None
+            wheels.append(w)
+
+        per_wheel = []
+        for agg, w in zip(q.aggs, wheels):
+            got = w.group_by(rng.start_sec, rng.end_sec, gb.granularity)
+            if got is None:
+                return RouteDecision("delegate", detail={"reason": "range not covered"}), None
+            per_wheel.append({b: st[_AGG_STATE[agg.func]] for b, st in got})
+
+        # All wheels sharing a filter key were built from the same filtered
+        # source, so their occupied buckets coincide; merge defensively anyway.
+        buckets = sorted(set().union(*per_wheel)) if per_wheel else []
+        rows = []
+        for b in buckets:
+            row: list[Any] = []
+            for item in q.select_order:
+                if isinstance(item, AggSpec):
+                    idx = q.aggs.index(item)
+                    row.append(per_wheel[idx].get(b))
+                else:
+                    row.append(sec_to_datetime(b))
+            rows.append(tuple(row))
+
+        fields = []
+        for item in q.select_order:
+            if isinstance(item, AggSpec):
+                dtype = T.LongType() if item.func == "count" else T.DoubleType()
+                fields.append(T.StructField(item.output_name, dtype, True))
+            else:
+                fields.append(T.StructField(item.output_name, T.TimestampType(), True))
+        df = self.engine.spark.createDataFrame(rows, T.StructType(fields))
+        return (
+            RouteDecision(
+                "group_by", index_key=wheels[0].key, detail={"granularity": gb.granularity, "fk": fk}
+            ),
+            df,
+        )
+
+    # ------------------------------------------------------------ landmark
+    def _try_landmark(self, q):
+        """R5: aggregate with no filter at all — answered from ``landmark()``.
+        The reference guard demands exactly one aggregate
+        (``single_aggregate_without_filter``, ``lib.rs:279-281``)."""
+        if len(q.aggs) != 1:
+            return RouteDecision("delegate", detail={"reason": "multi-agg landmark"}), None
+        agg = q.aggs[0]
+        w = self._resolve_wheel(agg, STAR_AGGREGATION_ALIAS)
+        if w is None or w.empty:
+            return RouteDecision("delegate", detail={"reason": "no index"}), None
+        value = w.landmark()[_AGG_STATE[agg.func]]
+        df = self._scalar_result([agg], [value])
+        return RouteDecision("landmark", index_key=w.key), df
+
+    # ------------------------------------------------------------- pruning
+    def _try_pruning(self, q, rng, residual):
+        """R6/R7: ``SELECT *`` whose result is provably empty → empty
+        LocalRelation, skipping the scan entirely. Anything not *provably*
+        empty must fall through to a real scan."""
+        e = self.engine
+        if rng is None or not rng.routable:
+            return RouteDecision("delegate", detail={"reason": "no exact aligned range"}), None
+        count_wheel = e.count_wheels.get(STAR_AGGREGATION_ALIAS)
+        if count_wheel is None:
+            return RouteDecision("delegate", detail={"reason": "no count wheel"}), None
+
+        if not residual:
+            n = count_wheel.count_range(rng.start_sec, rng.end_sec)
+            if n == 0:
+                return (
+                    RouteDecision("prune_count", index_key=count_wheel.key),
+                    self._empty_table(),
+                )
+            return RouteDecision("delegate", detail={"reason": "rows exist", "count": n}), None
+
+        pred = extract_min_max_predicate(residual)
+        if pred is None or len(residual) != 1:
+            return RouteDecision("delegate", detail={"reason": "residual not prunable"}), None
+        mm = e.min_max_wheels.get(pred.column)
+        if mm is None:
+            return RouteDecision("delegate", detail={"reason": "no minmax wheel"}), None
+        # Zero rows in range → empty regardless of the residual predicate.
+        n = count_wheel.count_range(rng.start_sec, rng.end_sec)
+        if n == 0:
+            return RouteDecision("prune_count", index_key=count_wheel.key), self._empty_table()
+        bounds = mm.min_max_range(rng.start_sec, rng.end_sec)
+        if bounds is not None and _is_empty_range(pred, *bounds):
+            return (
+                RouteDecision(
+                    "prune_minmax",
+                    index_key=mm.key,
+                    detail={"pred": f"{pred.column} {pred.op} {pred.value}", "bounds": bounds},
+                ),
+                self._empty_table(),
+            )
+        return RouteDecision("delegate", detail={"reason": "not provably empty"}), None
+
+    def _empty_table(self) -> DataFrame:
+        """Empty scan with the original table schema (``empty_table_scan``,
+        ``lib.rs:817-824``)."""
+        e = self.engine
+        return e.spark.createDataFrame([], e.df.schema)

@@ -1,0 +1,357 @@
+"""Minimal SQL SELECT parser for plan-shape matching.
+
+The reference pattern-matches already-parsed DataFusion logical plans
+(``datafusion-uwheel/src/lib.rs:246-281``). Pure PySpark exposes no hook into
+Catalyst's optimizer, so we match **before** Spark sees the query (SURVEY.md
+§7.3.1): this module parses exactly the query shapes the rewrites can ever
+fire on —
+
+    SELECT {* | aggs | date_trunc(g, ts), aggs} FROM t
+    [WHERE conjunct [AND conjunct]...]
+    [GROUP BY date_trunc(g, ts)]
+
+Anything outside this grammar (joins, OR, subqueries, window functions, …)
+raises :class:`ParseError`, and the router delegates the original SQL string
+to ``spark.sql`` untouched — the exact analogue of ``try_rewrite`` returning
+``None`` (``lib.rs:246-252,863-867``). The parser therefore never needs to be
+complete; it needs to be *sound* on what it accepts.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+__all__ = [
+    "ParseError",
+    "AggSpec",
+    "DateTruncSpec",
+    "Comparison",
+    "ParsedQuery",
+    "parse_select",
+]
+
+
+class ParseError(ValueError):
+    """Query is outside the routable grammar — caller must delegate."""
+
+
+AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+        (?P<string>'(?:[^']|'')*')
+      | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op><=|>=|<>|!=|=|<|>)
+      | (?P<punct>[(),.*])
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str
+    value: str
+
+
+def _tokenize(sql: str) -> list[Token]:
+    tokens: list[Token] = []
+    pos = 0
+    s = sql.strip().rstrip(";")
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ParseError(f"unrecognized token at: {s[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        value = m.group(kind)
+        if kind == "ident":
+            tokens.append(Token("ident", value))
+        elif kind == "string":
+            tokens.append(Token("string", value[1:-1].replace("''", "'")))
+        else:
+            tokens.append(Token(kind, value))
+    return tokens
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """``func(arg)`` — ``arg is None`` means ``COUNT(*)``
+    (detection mirrors ``is_count_star_aggregate``, ``lib.rs:883-907``)."""
+
+    func: str
+    arg: str | None
+    alias: str | None
+
+    @property
+    def output_name(self) -> str:
+        if self.alias:
+            return self.alias
+        return f"{self.func}({self.arg if self.arg is not None else '*'})"
+
+
+@dataclass(frozen=True)
+class DateTruncSpec:
+    granularity: str
+    column: str
+    alias: str | None
+
+    @property
+    def output_name(self) -> str:
+        return self.alias or f"date_trunc({self.granularity}, {self.column})"
+
+
+@dataclass(frozen=True)
+class Comparison:
+    """``column op literal`` conjunct. ``value`` is a float for numbers or a
+    string for string/timestamp literals (resolved later by the predicate
+    extractor, mirroring ``scalar_to_timestamp``, ``lib.rs:1178-1192``)."""
+
+    column: str
+    op: str  # one of > >= < <= = != between(lo) handled by two comparisons
+    value: object
+    value_kind: str  # "number" | "string" | "timestamp" | "date"
+
+    def render(self) -> str:
+        """Canonical rendering for keyed-index matching (reference matches on
+        the rendered filter expr string with the table qualifier stripped,
+        ``lib.rs:783-787,164-173``)."""
+        if self.value_kind == "number":
+            v = repr(float(self.value))
+        else:
+            v = "'" + str(self.value).replace("'", "''") + "'"
+        return f"{self.column} {self.op} {v}"
+
+
+@dataclass
+class ParsedQuery:
+    table: str
+    select_star: bool = False
+    aggs: list[AggSpec] = field(default_factory=list)
+    group_by: DateTruncSpec | None = None
+    conjuncts: list[Comparison] = field(default_factory=list)
+    select_order: list[object] = field(default_factory=list)  # AggSpec|DateTruncSpec
+
+
+class _Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    # -- token helpers -----------------------------------------------------
+    def peek(self) -> Token | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Token:
+        t = self.peek()
+        if t is None:
+            raise ParseError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> str | None:
+        t = self.peek()
+        if t and t.kind == "ident" and t.value.lower() in kws:
+            self.i += 1
+            return t.value.lower()
+        return None
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.accept_kw(kw):
+            raise ParseError(f"expected {kw.upper()}")
+
+    def accept_punct(self, p: str) -> bool:
+        t = self.peek()
+        if t and t.kind == "punct" and t.value == p:
+            self.i += 1
+            return True
+        return False
+
+    def expect_punct(self, p: str) -> None:
+        if not self.accept_punct(p):
+            raise ParseError(f"expected {p!r}")
+
+    def ident(self) -> str:
+        t = self.next()
+        if t.kind != "ident":
+            raise ParseError(f"expected identifier, got {t.value!r}")
+        if t.value.lower() in {"select", "from", "where", "group", "and", "or"}:
+            raise ParseError(f"keyword in identifier position: {t.value}")
+        # qualified name a.b → keep last segment (reference strips the table
+        # qualifier before matching, lib.rs:783-787)
+        name = t.value
+        while self.accept_punct("."):
+            name = self.ident_raw()
+        return name
+
+    def ident_raw(self) -> str:
+        t = self.next()
+        if t.kind != "ident":
+            raise ParseError("expected identifier")
+        return t.value
+
+    # -- grammar -----------------------------------------------------------
+    def parse(self) -> ParsedQuery:
+        self.expect_kw("select")
+        items, star = self.select_list()
+        self.expect_kw("from")
+        table = self.ident()
+        q = ParsedQuery(table=table, select_star=star)
+        q.select_order = items
+        q.aggs = [it for it in items if isinstance(it, AggSpec)]
+        truncs = [it for it in items if isinstance(it, DateTruncSpec)]
+        if self.accept_kw("where"):
+            q.conjuncts = self.conjunction()
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            g = self.date_trunc_expr()
+            if len(truncs) > 1:
+                raise ParseError("multiple date_trunc select items")
+            if truncs and (
+                truncs[0].granularity != g.granularity or truncs[0].column != g.column
+            ):
+                raise ParseError("SELECT date_trunc does not match GROUP BY")
+            q.group_by = truncs[0] if truncs else g
+        elif truncs:
+            raise ParseError("date_trunc in SELECT without GROUP BY")
+        if self.peek() is not None:
+            raise ParseError(f"trailing tokens: {self.peek().value!r}")
+        return q
+
+    def select_list(self):
+        if self.accept_punct("*"):
+            return [], True
+        items: list[object] = []
+        while True:
+            items.append(self.select_item())
+            if not self.accept_punct(","):
+                break
+        return items, False
+
+    def select_item(self):
+        t = self.peek()
+        if t is None or t.kind != "ident":
+            raise ParseError("expected select expression")
+        name = t.value.lower()
+        if name in AGG_FUNCS:
+            spec = self.agg_expr()
+        elif name == "date_trunc":
+            spec = self.date_trunc_expr()
+        else:
+            raise ParseError(f"unsupported select expression: {t.value}")
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.ident_raw()
+        else:
+            nxt = self.peek()
+            if nxt and nxt.kind == "ident" and nxt.value.lower() not in {"from", "where", "group"}:
+                alias = self.ident_raw()
+        if alias is not None:
+            spec = (
+                AggSpec(spec.func, spec.arg, alias)
+                if isinstance(spec, AggSpec)
+                else DateTruncSpec(spec.granularity, spec.column, alias)
+            )
+        return spec
+
+    def agg_expr(self) -> AggSpec:
+        func = self.next().value.lower()
+        self.expect_punct("(")
+        if func == "count" and self.accept_punct("*"):
+            self.expect_punct(")")
+            return AggSpec("count", None, None)
+        arg = self.ident()
+        self.expect_punct(")")
+        return AggSpec(func, arg, None)
+
+    def date_trunc_expr(self) -> DateTruncSpec:
+        t = self.next()
+        if t.kind != "ident" or t.value.lower() != "date_trunc":
+            raise ParseError("expected date_trunc")
+        self.expect_punct("(")
+        g = self.next()
+        if g.kind != "string":
+            raise ParseError("date_trunc granularity must be a string literal")
+        self.expect_punct(",")
+        col = self.ident()
+        self.expect_punct(")")
+        return DateTruncSpec(g.value.lower(), col, None)
+
+    def conjunction(self) -> list[Comparison]:
+        out = [*self.comparison()]
+        while self.accept_kw("and"):
+            out.extend(self.comparison())
+        t = self.peek()
+        if t and t.kind == "ident" and t.value.lower() == "or":
+            raise ParseError("OR is not routable")
+        return out
+
+    def comparison(self) -> list[Comparison]:
+        col = self.ident()
+        if self.accept_kw("between"):
+            lo_v, lo_k = self.literal()
+            self.expect_kw("and")
+            hi_v, hi_k = self.literal()
+            # BETWEEN is inclusive both ends (reference rewrites it to
+            # GtEq/LtEq, expr.rs:83-105).
+            return [
+                Comparison(col, ">=", lo_v, lo_k),
+                Comparison(col, "<=", hi_v, hi_k),
+            ]
+        t = self.next()
+        if t.kind != "op":
+            raise ParseError(f"expected comparison operator, got {t.value!r}")
+        op = "!=" if t.value == "<>" else t.value
+        v, k = self.literal()
+        return [Comparison(col, op, v, k)]
+
+    def literal(self) -> tuple[object, str]:
+        t = self.next()
+        if t.kind == "number":
+            return float(t.value), "number"
+        if t.kind == "string":
+            return t.value, "string"
+        if t.kind == "ident":
+            kw = t.value.lower()
+            if kw in {"timestamp", "date"}:
+                s = self.next()
+                if s.kind != "string":
+                    raise ParseError(f"{kw.upper()} literal must be a string")
+                return s.value, kw
+            if kw == "cast":
+                # CAST('lit' AS TIMESTAMP) — literal under cast, mirrored from
+                # the reference's cast-tolerant extraction (expr.rs:231-237).
+                self.expect_punct("(")
+                inner = self.next()
+                if inner.kind not in {"string", "number"}:
+                    raise ParseError("CAST of non-literal")
+                self.expect_kw("as")
+                ty = self.ident_raw().lower()
+                self.expect_punct(")")
+                if ty in {"timestamp", "date"}:
+                    return inner.value, "timestamp"
+                if inner.kind == "number":
+                    return float(inner.value), "number"
+                return inner.value, "string"
+        raise ParseError(f"unsupported literal: {t.value!r}")
+
+
+def parse_select(sql: str) -> ParsedQuery:
+    """Parse a routable SELECT; raise :class:`ParseError` otherwise."""
+    return _Parser(_tokenize(sql)).parse()
+
+
+def parse_conjunction(sql: str) -> list[Comparison]:
+    """Parse a bare predicate conjunction (used to canonicalize keyed-index
+    filter strings at ``build_index`` time)."""
+    p = _Parser(_tokenize(sql))
+    out = p.conjunction()
+    if p.peek() is not None:
+        raise ParseError(f"trailing tokens in filter: {p.peek().value!r}")
+    return out

@@ -1,0 +1,101 @@
+"""Table sources: parquet directories and in-memory tables.
+
+The reference reads tables through DataFusion ``TableProvider``s — a parquet
+``ListingTable`` (``examples/nyc_taxi/src/main.rs:22-40``) or a ``MemTable``
+(``examples/memtable/src/main.rs:86-114``). In Spark these are just
+``spark.read.parquet`` and ``spark.createDataFrame``; this module adds the
+driver-testdata conventions on top.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TPCH_TABLES", "read_parquet", "load_table", "register_tables", "memtable"]
+
+#: Tables the driver materializes per scale factor (TESTDATA.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet ``TIMESTAMP(NANOS)`` — Spark's vectorized
+    reader rejects that physical type outright (PARQUET_TYPE_ILLEGAL), while
+    DuckDB/pyarrow read it fine. Detected from the parquet footer of one
+    file: a driver-side metadata read, no data IO."""
+    f = path
+    if os.path.isdir(path):
+        files = glob.glob(os.path.join(path, "*.parquet")) or glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+        if not files:
+            return []
+        f = files[0]
+    try:
+        schema = pq.read_schema(f)
+    except Exception:
+        return []
+    return [
+        n
+        for n, t in zip(schema.names, schema.types)
+        if pa.types.is_timestamp(t) and t.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with nanosecond-timestamp normalization.
+
+    Nano columns are read as raw ``long`` (``spark.sql.legacy.parquet.
+    nanosAsLong``) and floored to microsecond timestamps with integer
+    division — ns epochs (~1.7e18) exceed float53 precision, so the division
+    must stay integral (``ts DIV 1000``). Matches DuckDB's ns→µs truncation,
+    keeping oracle comparisons exact. Everything stays JVM-side expressions;
+    filters/pruning still push down to the scan.
+    """
+    nanos = _nanos_timestamp_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Plain columnar parquet scan — Catalyst pushes
+    filters and prunes columns into this source."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Register every table as a temp view so ``spark.sql`` works over the
+    same names the DuckDB oracle uses."""
+    out = {}
+    for n in names:
+        df = load_table(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+def memtable(spark: SparkSession, rows, schema) -> DataFrame:
+    """In-memory table (LocalRelation) — the MemTable analogue."""
+    return spark.createDataFrame(rows, schema)

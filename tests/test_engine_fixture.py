@@ -1,0 +1,205 @@
+"""Layers 2+3: routing decisions and exact golden values on the reference's
+10-row fixture (FIXTURES.md F1; reference execution tests
+``lib.rs:1520-2169``)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from datafusion_uwheel_spark import WheelEngine
+
+RANGE = "timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10'"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, minimal_agg):
+    e = WheelEngine(
+        spark,
+        "fixture",
+        minimal_agg,
+        time_column="timestamp",
+        min_max_columns=("agg_col",),
+    )
+    e.build_index("agg_col")
+    return e
+
+
+def run1(engine, sql):
+    df = engine.sql(sql)
+    return df.collect()[0][0]
+
+
+# ---------------------------------------------------------------- execution
+def test_count_range(engine):
+    # lib.rs:1520-1562: count = 10
+    assert run1(engine, f"SELECT COUNT(*) AS cnt FROM fixture WHERE {RANGE}") == 10
+    assert engine.last_route.kind == "count_range"
+
+
+def test_sum_range(engine):
+    # lib.rs:1564-1610: sum = 55
+    assert run1(engine, f"SELECT SUM(agg_col) AS s FROM fixture WHERE {RANGE}") == 55.0
+    assert engine.last_route.kind == "single_agg"
+
+
+def test_min_max_avg_range(engine):
+    assert run1(engine, f"SELECT MIN(agg_col) AS m FROM fixture WHERE {RANGE}") == 1.0
+    assert run1(engine, f"SELECT MAX(agg_col) AS m FROM fixture WHERE {RANGE}") == 10.0
+    assert run1(engine, f"SELECT AVG(agg_col) AS a FROM fixture WHERE {RANGE}") == 5.5
+    assert engine.last_route.rewritten
+
+
+def test_partial_range(engine):
+    # seconds 0..4 → agg_col 1..5
+    sql = "SELECT SUM(agg_col) AS s FROM fixture WHERE timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:05'"
+    assert run1(engine, sql) == 15.0
+    assert engine.last_route.kind == "single_agg"
+
+
+def test_multi_agg(engine):
+    # lib.rs:1889-1957: (avg, sum) = (5.5, 55)
+    df = engine.sql(f"SELECT AVG(agg_col) AS a, SUM(agg_col) AS s FROM fixture WHERE {RANGE}")
+    row = df.collect()[0]
+    assert (row["a"], row["s"]) == (5.5, 55.0)
+    assert engine.last_route.kind == "multi_agg"
+
+
+def test_group_by_day(engine):
+    # lib.rs:1787-1845: single day bucket 2024-05-10 (epoch ms 1_715_299_200_000), count 10
+    df = engine.sql(
+        f"SELECT date_trunc('day', timestamp) AS bucket, COUNT(*) AS cnt FROM fixture WHERE {RANGE} GROUP BY date_trunc('day', timestamp)"
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["bucket"] == datetime(2024, 5, 10)
+    assert rows[0]["cnt"] == 10
+    assert engine.last_route.kind == "group_by"
+
+
+def test_group_by_second_multi_agg(engine):
+    # lib.rs:2031-2169: per-second buckets with (sum, avg, count)
+    df = engine.sql(
+        f"SELECT date_trunc('second', timestamp) AS bucket, SUM(agg_col) AS s, AVG(agg_col) AS a, COUNT(*) AS c FROM fixture WHERE {RANGE} GROUP BY date_trunc('second', timestamp)"
+    )
+    rows = sorted(df.collect(), key=lambda r: r["bucket"])
+    assert len(rows) == 10
+    assert [r["s"] for r in rows] == [float(i) for i in range(1, 11)]
+    assert all(r["c"] == 1 for r in rows)
+    assert engine.last_route.kind == "group_by"
+
+
+def test_landmark_sum(engine):
+    # lib.rs:1986-2029: landmark sum = 55 with no filter at all
+    assert run1(engine, "SELECT SUM(agg_col) AS s FROM fixture") == 55.0
+    assert engine.last_route.kind == "landmark"
+
+
+def test_landmark_count(engine):
+    assert run1(engine, "SELECT COUNT(*) AS c FROM fixture") == 10
+    assert engine.last_route.kind == "landmark"
+
+
+# ------------------------------------------------------------------ routing
+def test_out_of_range_delegates(engine):
+    # lib.rs:1497-1518: ranges outside indexed data must NOT be index-answered
+    sql = "SELECT COUNT(*) AS c FROM fixture WHERE timestamp >= '2024-05-11 00:00:00' AND timestamp < '2024-05-11 00:00:10'"
+    assert engine.explain_route(sql).kind == "delegate"
+    assert run1(engine, sql) == 0  # delegate path still correct
+
+
+def test_unaligned_boundary_delegates(engine):
+    # SURVEY §4.3.1: sub-second bounds delegate instead of mis-answering
+    sql = "SELECT COUNT(*) AS c FROM fixture WHERE timestamp >= '2024-05-10 00:00:00.500' AND timestamp < '2024-05-10 00:00:10'"
+    assert engine.explain_route(sql).kind == "delegate"
+    assert run1(engine, sql) == 9
+
+
+def test_le_upper_bound_delegates_but_is_correct(engine):
+    # the reference would mis-treat <= as < (expr.rs:219-222); we delegate
+    sql = "SELECT COUNT(*) AS c FROM fixture WHERE timestamp >= '2024-05-10 00:00:00' AND timestamp <= '2024-05-10 00:00:09'"
+    assert engine.explain_route(sql).kind == "delegate"
+    assert run1(engine, sql) == 10
+
+
+def test_unknown_table_delegates(engine, spark, minimal_agg):
+    minimal_agg.createOrReplaceTempView("other_table")
+    sql = "SELECT COUNT(*) AS c FROM other_table WHERE timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10'"
+    assert engine.explain_route(sql).kind == "delegate"
+    assert run1(engine, sql) == 10
+
+
+def test_no_index_for_column_delegates(engine):
+    sql = f"SELECT SUM(timestamp) AS s FROM fixture WHERE {RANGE}"
+    assert engine.explain_route(sql).kind == "delegate"
+
+
+def test_no_job_for_rewritten_query(engine, spark):
+    """A matched query must not launch a Spark job (the point of the design:
+    plan-time lookup, §3.1). LocalRelation creation is job-free; collect on
+    it runs locally."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = engine.sql(f"SELECT COUNT(*) AS cnt FROM fixture WHERE {RANGE}")
+    assert engine.last_route.rewritten
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+
+
+# ------------------------------------------------------------------ pruning
+def test_prune_minmax(engine):
+    # agg_col max is 10 → `agg_col > 100` provably empty
+    sql = f"SELECT * FROM fixture WHERE {RANGE} AND agg_col > 100"
+    df = engine.sql(sql)
+    assert engine.last_route.kind == "prune_minmax"
+    assert df.count() == 0
+    assert df.schema == engine.table().schema
+
+
+def test_prune_minmax_not_empty_delegates(engine):
+    sql = f"SELECT * FROM fixture WHERE {RANGE} AND agg_col > 5"
+    assert engine.explain_route(sql).kind == "delegate"
+    assert engine.sql(sql).count() == 5
+
+
+def test_prune_count_subrange(engine, spark, minimal_agg):
+    """Gap-range pruning: an engine over data with a hole answers empty
+    SELECT * from the COUNT wheel."""
+    import pyspark.sql.functions as F
+
+    gappy = minimal_agg.filter(~F.col("agg_col").between(3, 8))
+    e = WheelEngine(spark, "gappy", gappy, time_column="timestamp")
+    # seconds 2..7 hold agg_col 3..8 → removed → empty
+    sql = "SELECT * FROM gappy WHERE timestamp >= '2024-05-10 00:00:02' AND timestamp < '2024-05-10 00:00:08'"
+    df = e.sql(sql)
+    assert e.last_route.kind == "prune_count"
+    assert df.count() == 0
+
+
+# ------------------------------------------------------------- keyed index
+def test_keyed_index(spark, minimal_agg):
+    import pyspark.sql.functions as F
+
+    tagged = minimal_agg.withColumn(
+        "parity", F.when(F.col("agg_col") % 2 == 0, "even").otherwise("odd")
+    )
+    e = WheelEngine(spark, "tagged", tagged, time_column="timestamp")
+    e.build_index("agg_col", filter="parity = 'even'")
+    sql = f"SELECT SUM(agg_col) AS s FROM tagged WHERE {RANGE} AND parity = 'even'"
+    assert e.sql(sql).collect()[0][0] == 30.0  # 2+4+6+8+10
+    assert e.last_route.kind == "single_agg"
+    assert "parity = 'even'" in e.last_route.index_key
+    # a different key is NOT answered by this index
+    sql_odd = f"SELECT SUM(agg_col) AS s FROM tagged WHERE {RANGE} AND parity = 'odd'"
+    assert e.explain_route(sql_odd).kind == "delegate"
+    assert e.sql(sql_odd).collect()[0][0] == 25.0
+
+
+# ------------------------------------------------------------ introspection
+def test_index_usage_bytes(engine):
+    assert engine.index_usage_bytes() > 0
+    keys = engine.index_keys()
+    assert "fixture.*.*_AGG" in keys
+    assert "fixture.agg_col.*_AGG" in keys
