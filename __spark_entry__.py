@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship wheel-index query on sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2
+inventory + the BASELINE.json north-star LLM-data operators); ``oracle_sql()``
+gives the DuckDB-runnable ANSI-SQL equivalent for each (same column aliases —
+the driver hash-compares values after sorting columns by name).
+
+Float discipline: aggregate sums/averages are rounded (ROUND(x, d)) on BOTH
+sides because summation order differs between engines (Spark partial aggs vs
+DuckDB's scan order) — everything else (counts, mins/maxes, hashes, ratios,
+fold arithmetic) is bit-exact by construction, see
+``datafusion_uwheel_spark/oracles.py``.
 """
 
 from __future__ import annotations
@@ -12,27 +18,465 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_uwheel_spark import oracles
+from datafusion_uwheel_spark.engine import WheelEngine
+from datafusion_uwheel_spark.operators import dedup, similarity
+from datafusion_uwheel_spark.operators import text as text_ops
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+# Deterministic constants — the driver testdata spans 2024-01 (TESTDATA.md);
+# ranges are second-aligned so the router's rewrite-safety gate passes.
+A, B = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+DAY_A, DAY_B = "2024-01-08 00:00:00", "2024-01-09 00:00:00"
+WEEK_A, WEEK_B = "2024-01-01 00:00:00", "2024-01-29 00:00:00"
+# Verified empty at sf0.01 AND sf0.1 (deterministic seed-42 data).
+EMPTY_A, EMPTY_B = "2024-01-05 00:45:00", "2024-01-05 00:46:00"
+IMPOSSIBLE_VALUE = 100000.0  # events.value tops out ≈ 560
+
+JACCARD_T = 0.35
+LSH_MIN_EST = 0.35
+TOPK = 10
+EMB_DIM = 64
+QUERY_VEC_ID = 1
+
+_ENGINES: dict[str, WheelEngine] = {}
 
 
+def _engine(spark: SparkSession, sf_dir: str) -> WheelEngine:
+    eng = _ENGINES.get(sf_dir)
+    if eng is None or eng.spark is not spark:
+        eng = WheelEngine(
+            spark,
+            "events",
+            f"{sf_dir}/events.parquet",
+            time_column="ts",
+            min_max_columns=("value",),
+        )
+        eng.build_index("value")
+        eng.build_index("value", filter="event_type = 'click'")
+        _ENGINES[sf_dir] = eng
+    return eng
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> DataFrame:
+    df = None
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+    return df
+
+
+def _round(df: DataFrame, spec: dict[str, int]) -> DataFrame:
+    cols = [
+        F.round(F.col(c), d).alias(c) if c in spec else F.col(c)
+        for c, d in ((c, spec.get(c, 0)) for c in df.columns)
+    ]
+    return df.select(*cols)
+
+
+# ------------------------------------------------------------ flagship
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wheel-index GROUP BY date_trunc rewrite (R4) on sf0.001 —
+    answered from the driver-side rollup, zero Spark jobs at query time."""
+    eng = _engine(spark, SF_SMALL)
+    df = eng.sql(
+        "SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS n, "
+        f"SUM(value) AS sum_value FROM events WHERE ts >= '{A}' AND ts < '{B}' "
+        "GROUP BY date_trunc('day', ts)"
+    )
+    return _round(df, {"sum_value": 3})
 
 
+# ----------------------------------------------- wheel-index operators
+def uw_count_range(spark, sf_dir):
+    """R1: COUNT(*) over an aligned time range → COUNT-wheel lookup."""
+    return _engine(spark, sf_dir).sql(
+        f"SELECT COUNT(*) AS n FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
+
+
+def uw_sum_range(spark, sf_dir):
+    """R2: SUM over a range → SUM-state lookup."""
+    df = _engine(spark, sf_dir).sql(
+        f"SELECT SUM(value) AS sum_value FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
+    return _round(df, {"sum_value": 3})
+
+
+def uw_avg_range(spark, sf_dir):
+    """R2: AVG = sum-state / count-state (never an average of averages)."""
+    df = _engine(spark, sf_dir).sql(
+        f"SELECT AVG(value) AS avg_value FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
+    return _round(df, {"avg_value": 6})
+
+
+def uw_min_range(spark, sf_dir):
+    """R2: MIN over a range — exact (no rounding; stored data value)."""
+    return _engine(spark, sf_dir).sql(
+        f"SELECT MIN(value) AS min_value FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
+
+
+def uw_max_range(spark, sf_dir):
+    return _engine(spark, sf_dir).sql(
+        f"SELECT MAX(value) AS max_value FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
+
+
+def uw_multi_agg(spark, sf_dir):
+    """R3: several aggregates in one statement → one-row multi-column scan."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT COUNT(*) AS n, SUM(value) AS sum_value, AVG(value) AS avg_value, "
+        "MIN(value) AS min_value, MAX(value) AS max_value "
+        f"FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
+    return _round(df, {"sum_value": 3, "avg_value": 6})
+
+
+def uw_groupby_hour(spark, sf_dir):
+    """R4: GROUP BY date_trunc('hour') from the rollup's hour view."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
+        f"FROM events WHERE ts >= '{A}' AND ts < '{B}' GROUP BY date_trunc('hour', ts)"
+    )
+    return _round(df, {"sum_value": 3})
+
+
+def uw_groupby_minute(spark, sf_dir):
+    df = _engine(spark, sf_dir).sql(
+        "SELECT date_trunc('minute', ts) AS bucket, AVG(value) AS avg_value, "
+        "MIN(value) AS min_value, MAX(value) AS max_value "
+        f"FROM events WHERE ts >= '{DAY_A}' AND ts < '{DAY_B}' "
+        "GROUP BY date_trunc('minute', ts)"
+    )
+    return _round(df, {"avg_value": 6})
+
+
+def uw_groupby_week(spark, sf_dir):
+    return _engine(spark, sf_dir).sql(
+        "SELECT date_trunc('week', ts) AS bucket, COUNT(*) AS n "
+        f"FROM events WHERE ts >= '{WEEK_A}' AND ts < '{WEEK_B}' "
+        "GROUP BY date_trunc('week', ts)"
+    )
+
+
+def uw_landmark_sum(spark, sf_dir):
+    """R5: landmark (no filter) aggregate over all indexed data."""
+    df = _engine(spark, sf_dir).sql("SELECT SUM(value) AS sum_value FROM events")
+    return _round(df, {"sum_value": 3})
+
+
+def uw_keyed_sum(spark, sf_dir):
+    """R9/R13: keyed wheel — residual predicate matches the index filter."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT SUM(value) AS sum_value FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}' AND event_type = 'click'"
+    )
+    return _round(df, {"sum_value": 3})
+
+
+def uw_keyed_count(spark, sf_dir):
+    return _engine(spark, sf_dir).sql(
+        "SELECT COUNT(*) AS n FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}' AND event_type = 'click'"
+    )
+
+
+def uw_prune_count(spark, sf_dir):
+    """R6: SELECT * over a provably-empty range → empty relation, no scan."""
+    return _engine(spark, sf_dir).sql(
+        f"SELECT * FROM events WHERE ts >= '{EMPTY_A}' AND ts < '{EMPTY_B}'"
+    )
+
+
+def uw_prune_minmax(spark, sf_dir):
+    """R7: MIN/MAX wheel proves the numeric predicate matches nothing."""
+    return _engine(spark, sf_dir).sql(
+        f"SELECT * FROM events WHERE ts >= '{A}' AND ts < '{B}' "
+        f"AND value > {IMPOSSIBLE_VALUE}"
+    )
+
+
+def uw_unaligned_delegate(spark, sf_dir):
+    """Rewrite-safety: sub-second boundary → router must delegate to Spark
+    (the reference would sloppily mis-answer this — SURVEY.md §4.3.1)."""
+    return _engine(spark, sf_dir).sql(
+        "SELECT COUNT(*) AS n FROM events "
+        f"WHERE ts >= '2024-01-05 00:00:00.500' AND ts < '{B}'"
+    )
+
+
+# ------------------------------------------- delegated relational surface
+_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 3) AS sum_qty,
+       round(sum(l_extendedprice), 3) AS sum_base_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+# Revenue is summed in exact integer cents: per-row doubles are bit-identical
+# across engines, and integer addition is order-independent — a plain double
+# sum rounds differently per engine at ties (observed at sf0.01).
+_TPCH_Q3 = """
+SELECT o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate"""
+
+_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 3) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+
+
+def tpch_q1(spark, sf_dir):
+    """Delegate path: grouped multi-aggregate scan (Catalyst HashAggregate,
+    partial+final; broadcast-free)."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_TPCH_Q1)
+
+
+def tpch_q3(spark, sf_dir):
+    """Delegate path: 3-way join; small dims broadcast under AQE."""
+    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_TPCH_Q3)
+
+
+def tpch_q6(spark, sf_dir):
+    """Delegate path: selective filter + global agg — predicate pushdown."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_TPCH_Q6)
+
+
+# ------------------------------------------------------- dedup operators
+def dedup_exact_groups(spark, sf_dir):
+    df = _view(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(df)
+
+
+def dedup_exact_keep(spark, sf_dir):
+    df = _view(spark, sf_dir, "documents")
+    return dedup.dedup_exact(df).select("doc_id")
+
+
+def dedup_fingerprint(spark, sf_dir):
+    df = _view(spark, sf_dir, "documents")
+    return text_ops.with_fingerprint(df).select("doc_id", "fingerprint")
+
+
+def dedup_jaccard_pairs(spark, sf_dir):
+    df = _view(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(df, threshold=JACCARD_T)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    df = _view(spark, sf_dir, "documents")
+    sig = dedup.with_minhash_signature(df)
+    return dedup.lsh_candidate_pairs(sig, min_est_jaccard=LSH_MIN_EST)
+
+
+def dedup_simhash(spark, sf_dir):
+    df = _view(spark, sf_dir, "documents")
+    return dedup.with_simhash(df).select("doc_id", "simhash")
+
+
+# -------------------------------------------------------- text operators
+def text_token_stats(spark, sf_dir):
+    df = _view(spark, sf_dir, "documents")
+    return text_ops.with_token_stats(df).select(
+        "doc_id", "n_tokens", "n_chars_m", "est_bpe_tokens", "avg_token_len"
+    )
+
+
+def text_quality(spark, sf_dir):
+    df = _view(spark, sf_dir, "documents")
+    return text_ops.with_quality(df).select(
+        "doc_id", "alpha_ratio", "digit_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def text_lang_id(spark, sf_dir):
+    df = _view(spark, sf_dir, "documents")
+    return text_ops.with_lang_id(df).select(
+        "doc_id", "votes_en", "votes_de", "votes_fr", "votes_es", "lang_pred"
+    )
+
+
+# -------------------------------------------------- similarity operators
+def _query_vec(spark, sf_dir) -> list[float]:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = df.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-k — scan + codegen'd fold + TakeOrderedAndProject."""
+    df = _view(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return similarity.cosine_topk(
+        df.filter(F.col("vec_id") != QUERY_VEC_ID), q, k=TOPK
+    )
+
+
+def sim_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN — candidate filter then exact rerank."""
+    df = _view(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return similarity.ann_topk(
+        df.filter(F.col("vec_id") != QUERY_VEC_ID), q, k=TOPK, bits=4, tables=2
+    )
+
+
+# ----------------------------------------------------------- registries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "uw_count_range": uw_count_range,
+        "uw_sum_range": uw_sum_range,
+        "uw_avg_range": uw_avg_range,
+        "uw_min_range": uw_min_range,
+        "uw_max_range": uw_max_range,
+        "uw_multi_agg": uw_multi_agg,
+        "uw_groupby_hour": uw_groupby_hour,
+        "uw_groupby_minute": uw_groupby_minute,
+        "uw_groupby_week": uw_groupby_week,
+        "uw_landmark_sum": uw_landmark_sum,
+        "uw_keyed_sum": uw_keyed_sum,
+        "uw_keyed_count": uw_keyed_count,
+        "uw_prune_count": uw_prune_count,
+        "uw_prune_minmax": uw_prune_minmax,
+        "uw_unaligned_delegate": uw_unaligned_delegate,
+        "tpch_q1": tpch_q1,
+        "tpch_q3": tpch_q3,
+        "tpch_q6": tpch_q6,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_exact_keep": dedup_exact_keep,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "text_token_stats": text_token_stats,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "sim_topk_bruteforce": sim_topk_bruteforce,
+        "sim_ann_lsh": sim_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # The similarity oracles need the query vector inline; read it with
+    # DuckDB from the same parquet the driver registers (sf-independent:
+    # vec_id QUERY_VEC_ID exists at every sf and the driver pins sf0.01).
+    import duckdb
+
+    con = duckdb.connect()
+    qvec = [
+        float(x)
+        for x in con.sql(
+            "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+            f"WHERE vec_id = {QUERY_VEC_ID}"
+        ).fetchone()[0]
+    ]
+    con.close()
+
+    return {
+        "uw_count_range": (
+            f"SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_sum_range": (
+            f"SELECT round(sum(value), 3) AS sum_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_avg_range": (
+            f"SELECT round(avg(value), 6) AS avg_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_min_range": (
+            f"SELECT min(value) AS min_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_max_range": (
+            f"SELECT max(value) AS max_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_multi_agg": (
+            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value, "
+            "round(avg(value), 6) AS avg_value, min(value) AS min_value, "
+            f"max(value) AS max_value FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_groupby_hour": (
+            "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, "
+            "round(sum(value), 3) AS sum_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' GROUP BY 1"
+        ),
+        "uw_groupby_minute": (
+            "SELECT date_trunc('minute', ts) AS bucket, round(avg(value), 6) AS avg_value, "
+            "min(value) AS min_value, max(value) AS max_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{DAY_A}' AND ts < TIMESTAMP '{DAY_B}' GROUP BY 1"
+        ),
+        # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
+        # TIMESTAMP — cast so the driver's schema compare agrees.
+        "uw_groupby_week": (
+            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n FROM events "
+            f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
+        ),
+        "uw_landmark_sum": "SELECT round(sum(value), 3) AS sum_value FROM events",
+        "uw_keyed_sum": (
+            "SELECT round(sum(value), 3) AS sum_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND event_type = 'click'"
+        ),
+        "uw_keyed_count": (
+            "SELECT count(*) AS n FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND event_type = 'click'"
+        ),
+        "uw_prune_count": (
+            f"SELECT * FROM events WHERE ts >= TIMESTAMP '{EMPTY_A}' AND ts < TIMESTAMP '{EMPTY_B}'"
+        ),
+        "uw_prune_minmax": (
+            f"SELECT * FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' "
+            f"AND value > {IMPOSSIBLE_VALUE}"
+        ),
+        "uw_unaligned_delegate": (
+            "SELECT count(*) AS n FROM events "
+            f"WHERE ts >= TIMESTAMP '2024-01-05 00:00:00.500' AND ts < TIMESTAMP '{B}'"
+        ),
+        "tpch_q1": _TPCH_Q1,
+        "tpch_q3": _TPCH_Q3,
+        "tpch_q6": _TPCH_Q6,
+        "dedup_exact_groups": (
+            "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_exact_keep": (
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+        ),
+        "dedup_fingerprint": oracles.fingerprint_sql(),
+        "dedup_jaccard_pairs": oracles.jaccard_pairs_sql(JACCARD_T),
+        "dedup_minhash_lsh": oracles.minhash_lsh_sql(LSH_MIN_EST),
+        "dedup_simhash": oracles.simhash_sql(),
+        "text_token_stats": oracles.token_stats_sql(),
+        "text_quality": oracles.quality_sql(),
+        "text_lang_id": oracles.lang_id_sql(),
+        "sim_topk_bruteforce": oracles.cosine_topk_sql(
+            qvec, k=TOPK, dim=EMB_DIM, exclude_id=QUERY_VEC_ID
+        ),
+        "sim_ann_lsh": oracles.ann_topk_sql(
+            qvec, k=TOPK, dim=EMB_DIM, bits=4, tables=2, exclude_id=QUERY_VEC_ID
+        ),
+    }

@@ -85,6 +85,13 @@ class WheelIndex:
     max_: np.ndarray | None = None
     min_ts_us: int = 0
     max_ts_us: int = -1
+    #: True when built over the *whole* table (no ``time_range`` restriction):
+    #: the index then proves rows outside ``[min_ts, max_ts]`` don't exist, so
+    #: ANY exact aligned range is answerable (0/NULL beyond the span). The
+    #: reference always refuses such ranges (``lib.rs:1498-1518``) because a
+    #: HAW can't distinguish "no data" from "not indexed" — our rollup can.
+    #: ``time_range``-restricted builds keep the strict reference gate.
+    complete: bool = False
     _pcnt: np.ndarray = field(init=False, repr=False, default=None)
     _landmark: dict[str, Any] | None = field(init=False, repr=False, default=None)
 
@@ -121,9 +128,13 @@ class WheelIndex:
         """Whether the wheel can answer ``[start_sec, end_sec)`` — outside
         ranges must fall through, mirroring ``combine_range_and_lower``
         returning ``None`` (``lib.rs:663-688``; test ``lib.rs:1498-1518``)."""
+        if start_sec > end_sec:
+            return False
+        if self.complete:
+            return True
         if self.empty:
             return False
-        return start_sec <= end_sec and start_sec >= self.low_sec and end_sec <= self.high_sec_exclusive
+        return start_sec >= self.low_sec and end_sec <= self.high_sec_exclusive
 
     # ------------------------------------------------------------- queries
     def _slice(self, start_sec: int, end_sec: int) -> tuple[int, int]:

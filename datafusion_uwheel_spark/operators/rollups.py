@@ -79,7 +79,9 @@ def build_wheel_indices(
     # engine); the wheel's finest dimension, as in the reference.
     rolled = g.groupBy(F.col(time_column).cast("long").alias("__sec")).agg(*aggs)
     pdf = rolled.toPandas()
-    return _indices_from_rollup(pdf, table, columns, filter_key)
+    return _indices_from_rollup(
+        pdf, table, columns, filter_key, complete=time_range is None
+    )
 
 
 def _indices_from_rollup(
@@ -87,16 +89,17 @@ def _indices_from_rollup(
     table: str,
     columns: Sequence[str],
     filter_key: str,
+    complete: bool = False,
 ) -> dict[str | None, WheelIndex]:
     if len(pdf) == 0:
         empty = np.empty(0, dtype=np.int64)
         out: dict[str | None, WheelIndex] = {
-            None: WheelIndex(table, None, filter_key, empty, empty.copy())
+            None: WheelIndex(table, None, filter_key, empty, empty.copy(), complete=complete)
         }
         for c in columns:
             out[c] = WheelIndex(
                 table, c, filter_key, empty, empty.copy(),
-                np.empty(0), np.empty(0), np.empty(0),
+                np.empty(0), np.empty(0), np.empty(0), complete=complete,
             )
         return out
 
@@ -108,7 +111,8 @@ def _indices_from_rollup(
 
     out = {
         None: WheelIndex(
-            table, None, filter_key, secs, cnt, min_ts_us=min_ts_us, max_ts_us=max_ts_us
+            table, None, filter_key, secs, cnt,
+            min_ts_us=min_ts_us, max_ts_us=max_ts_us, complete=complete,
         )
     }
     for c in columns:
@@ -123,6 +127,7 @@ def _indices_from_rollup(
             max_=pdf[f"__max_{c}"].to_numpy(dtype=np.float64)[order],
             min_ts_us=min_ts_us,
             max_ts_us=max_ts_us,
+            complete=complete,
         )
     return out
 

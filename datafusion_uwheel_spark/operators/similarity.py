@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension beyond the reference's temporal surface (BASELINE.json;
+SURVEY.md §2.2 note). Two tiers:
+
+* :func:`cosine_topk` — exact brute-force cosine top-k against one query
+  vector. The correctness baseline; at 100 TB this is a single
+  column-pruned scan with a per-row codegen'd fold (no shuffle except the
+  final top-k, which Spark executes as per-partition ``TakeOrderedAndProject``
+  — only k rows per partition reach the driver).
+* :func:`ann_topk` / :func:`with_lsh_buckets` — random-hyperplane LSH: each
+  vector hashes to a ``bits``-wide sign bucket; candidates = rows sharing the
+  query's bucket in any of ``tables`` independent hash tables. Scan cost
+  drops to the matching buckets (a partition-prunable equality filter when
+  the table is written bucketed/partitioned by ``bucket``); recall is tuned
+  by ``bits``/``tables``.
+
+Arithmetic discipline: all folds are *sequential left folds over the array
+index order* (``F.aggregate`` / explicit ``+`` chains), so an ANSI-SQL oracle
+(DuckDB) spelling the same chain reproduces results bit-for-bit — no
+summation-order ambiguity. No Python UDFs; everything stays in whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot_col",
+    "norm_sq_col",
+    "cosine_col",
+    "cosine_topk",
+    "hyperplanes",
+    "with_lsh_buckets",
+    "ann_topk",
+]
+
+
+def _as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot_col(vec: str | Column, query: Sequence[float]) -> Column:
+    """Sequential-fold dot product ``Σ vec[i]·query[i]`` (left-assoc, exact
+    oracle-reproducible order)."""
+    v = _as_double_array(vec)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_sq_col(vec: str | Column) -> Column:
+    """Sequential-fold squared L2 norm."""
+    v = _as_double_array(vec)
+    return F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine_col(vec: str | Column, query: Sequence[float]) -> Column:
+    """Cosine similarity to a constant query vector; NULL when either norm
+    is zero."""
+    # The constant side folds sequentially in Python — same left-fold order
+    # an oracle's explicit `+` chain uses, so the scalar is bit-identical.
+    qnorm = 0.0
+    for x in [float(v) for v in query]:
+        qnorm = qnorm + x * x
+    dot = dot_col(vec, query)
+    denom = F.sqrt(norm_sq_col(vec)) * F.lit(qnorm**0.5)
+    return F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(dot / denom)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k rows by cosine similarity to ``query``.
+
+    Returns ``(id_col, sim)`` ordered by ``(sim DESC, id ASC)`` — the id
+    tiebreak makes the k-th boundary deterministic. ``round_digits`` rounds
+    the *reported* similarity (ordering uses the rounded value too, so an
+    oracle that rounds identically selects the identical row set).
+
+    Plan shape: parquet scan pruned to (id, vec) → codegen'd fold →
+    ``TakeOrderedAndProject`` (no full sort, no shuffle of the data)."""
+    sim = cosine_col(vec_col, query)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, bits: int = 16, tables: int = 4, seed: int = 42):
+    """Deterministic random hyperplane normals for sign-LSH:
+    ``tables`` independent tables × ``bits`` planes × ``dim`` coefficients,
+    uniform in [-1, 1) (seeded — stable across runs/engines)."""
+    rng = random.Random(seed)
+    return [
+        [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(tables)
+    ]
+
+
+def _bucket_col(vec: str | Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for one hash table: bit b set iff ``vec·plane_b > 0``."""
+    acc = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        acc = acc + F.when(dot_col(vec, plane) > 0.0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return acc
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    bits: int = 16,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Append ``bucket_0..bucket_{tables-1}`` sign-LSH bucket columns.
+
+    At scale, write the result partitioned/bucketed by ``bucket_0`` so an ANN
+    probe becomes a partition-pruned read instead of a full scan."""
+    hp = hyperplanes(dim, bits, tables, seed)
+    out = df
+    for t, planes in enumerate(hp):
+        out = out.withColumn(f"bucket_{t}", _bucket_col(vec_col, planes))
+    return out
+
+
+def ann_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact search to rows sharing the
+    query's sign-LSH bucket in ≥1 of ``tables`` hash tables.
+
+    With the LSH columns precomputed and the table bucketed on them, the
+    candidate filter is an equality predicate Spark prunes at the source —
+    the 100 TB path. Recall < 1 by design; ``bits`` down / ``tables`` up →
+    more candidates, higher recall."""
+    dim = len(query)
+    hp = hyperplanes(dim, bits, tables, seed)
+
+    def bucket_of(vec: Sequence[float], planes: list[list[float]]) -> int:
+        acc = 0
+        for b, plane in enumerate(planes):
+            dot = 0.0
+            for x, w in zip(vec, plane):
+                dot = dot + float(x) * w
+            if dot > 0.0:
+                acc |= 1 << b
+        return acc
+
+    qbuckets = [bucket_of(query, planes) for planes in hp]
+    cand = None
+    for t, planes in enumerate(hp):
+        c = _bucket_col(vec_col, planes) == F.lit(qbuckets[t])
+        cand = c if cand is None else (cand | c)
+    return cosine_topk(
+        df.filter(cand), query, k, vec_col, id_col, round_digits=round_digits
+    )

@@ -1,0 +1,308 @@
+"""DuckDB oracle-SQL generators mirroring the Spark operators bit-for-bit.
+
+Every non-trivial operator in this engine keeps its arithmetic inside
+plain integer math or *sequential left folds*, so an ANSI-SQL spelling of the
+same chain reproduces results exactly (verified: rolling hash, fold dot
+products, and ratio arithmetic are bit-identical between Spark and DuckDB).
+These generators produce that SQL from the same Python constants the Spark
+side uses (:data:`..operators.dedup.minhash_params`,
+:data:`..operators.text.STOPWORDS`, LSH hyperplanes), so the two sides cannot
+drift.
+
+DuckDB specifics relied on (DuckDB ≥ 1.0): ``list_reduce`` /
+``list_transform`` / ``list_filter`` lambdas, list comprehensions with
+``range()``, 1-based inclusive list slicing ``l[a:b]``, ``string_split``
+with an empty separator for per-character splits, and ``'g'``-flag
+``regexp_replace`` (Spark's is global by default).
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import MINHASH_BANDS, MINHASH_NUM_PERM, minhash_params
+from .operators.similarity import hyperplanes
+from .operators.text import ROLLING_HASH_MOD, STOPWORDS
+
+__all__ = [
+    "char_hash_sql",
+    "tokens_sql",
+    "shingles_sql",
+    "minhash_lsh_sql",
+    "simhash_sql",
+    "lang_id_sql",
+    "quality_sql",
+    "token_stats_sql",
+    "jaccard_pairs_sql",
+    "fingerprint_sql",
+    "cosine_topk_sql",
+    "ann_topk_sql",
+]
+
+_MOD = ROLLING_HASH_MOD
+
+
+def char_hash_sql(expr: str) -> str:
+    """Rolling polynomial hash ``h = (h*31 + codepoint) mod p`` of a string
+    expression — the oracle of :func:`..operators.text.fingerprint_col`."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {_MOD})"
+    )
+
+
+def tokens_sql(col: str = "text") -> str:
+    """Whitespace tokens; blank text → empty list (oracle of
+    :func:`..operators.text.tokens_col`)."""
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex(trim({col}), '\\s+') END"
+    )
+
+
+def shingles_sql(toks_expr: str, n: int = 3) -> str:
+    """Distinct hashed word-``n``-gram shingles (oracle of
+    :func:`..operators.dedup.shingle_hashes_col`)."""
+    gram = f"array_to_string(({toks_expr})[i:i+{n - 1}], ' ')"
+    return (
+        f"list_distinct([{char_hash_sql(gram)} "
+        f"for i in range(1, len({toks_expr}) - {n} + 2)])"
+    )
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, {char_hash_sql('text')} AS fingerprint FROM {table}"
+    )
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    toks = tokens_sql()
+    return f"""
+SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(length(text) AS DOUBLE) / 4.0 AS est_bpe_tokens,
+       CASE WHEN len({toks}) = 0 THEN NULL
+            ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / CAST(len({toks}) AS DOUBLE) END AS avg_token_len
+FROM {table}"""
+
+
+def quality_sql(table: str = "documents") -> str:
+    toks = tokens_sql()
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS length,
+         CAST(len({toks}) AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
+         CAST(len(list_filter({toks}, t -> list_contains([{en}], t))) AS DOUBLE) AS stop_hits
+  FROM {table}
+), r AS (
+  SELECT doc_id,
+         CASE WHEN length = 0 THEN 0.0 ELSE alpha / length END AS alpha_ratio,
+         CASE WHEN length = 0 THEN 0.0 ELSE digit / length END AS digit_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits / n_tokens END AS stopword_ratio
+  FROM q
+)
+SELECT doc_id, alpha_ratio, digit_ratio, stopword_ratio,
+       0.5 * alpha_ratio + 0.3 * stopword_ratio + 0.2 * (1.0 - digit_ratio)
+         AS quality_score
+FROM r"""
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    toks = tokens_sql()
+    votes = {
+        lang: f"CAST(len(list_filter({toks}, t -> list_contains("
+        f"[{', '.join(repr(w) for w in words)}], t))) AS BIGINT)"
+        for lang, words in STOPWORDS.items()
+    }
+    vote_cols = ",\n         ".join(f"{v} AS votes_{lang}" for lang, v in votes.items())
+    best = "greatest(votes_en, votes_de, votes_fr, votes_es)"
+    pred = f"CASE WHEN {best} <= 0 THEN 'und'"
+    for lang in ("en", "de", "fr", "es"):  # same fixed precedence as Spark
+        pred += f" WHEN votes_{lang} = {best} THEN '{lang}'"
+    pred += " END"
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM {table}
+)
+SELECT doc_id, votes_en, votes_de, votes_fr, votes_es, {pred} AS lang_pred
+FROM v"""
+
+
+def jaccard_pairs_sql(threshold: float, table: str = "documents", n: int = 3) -> str:
+    toks = tokens_sql()
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {shingles_sql(toks, n)} AS hs FROM {table}
+), nz AS (
+  SELECT id, hs, len(hs) AS nsh FROM sh WHERE len(hs) > 0
+), posting AS (
+  SELECT id, unnest(hs) AS h FROM nz
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+  FROM posting a JOIN posting b ON a.h = b.h AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(ni AS DOUBLE) / CAST(na.nsh + nb.nsh - ni AS DOUBLE) AS jaccard
+FROM inter
+JOIN nz na ON na.id = id_a
+JOIN nz nb ON nb.id = id_b
+WHERE CAST(ni AS DOUBLE) / CAST(na.nsh + nb.nsh - ni AS DOUBLE) >= {threshold!r}"""
+
+
+def minhash_lsh_sql(
+    min_est_jaccard: float,
+    table: str = "documents",
+    n: int = 3,
+    k: int = MINHASH_NUM_PERM,
+    bands: int = MINHASH_BANDS,
+    seed: int = 42,
+) -> str:
+    """Full MinHash+LSH candidate pairs in SQL, hash params baked from the
+    same seeded generator the Spark side uses."""
+    a_params, b_params = minhash_params(k, seed)
+    r = k // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MOD}))"
+        for a, b in zip(a_params, b_params)
+    )
+    toks = tokens_sql()
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {shingles_sql(toks, n)} AS hs FROM {table}
+), sig AS (
+  SELECT id, [{sig_terms}] AS s FROM sh WHERE len(hs) > 0
+), bands AS (
+  SELECT id, s, b, array_to_string(s[b*{r}+1 : b*{r}+{r}], '-') AS key
+  FROM sig, (SELECT unnest(range(0, {bands})) AS b)
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.s AS sa, b2.s AS sb
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(range(1, {k + 1}), i -> sa[i] = sb[i])) AS DOUBLE)
+         / CAST({k} AS DOUBLE) AS est_jaccard
+FROM pairs
+WHERE CAST(len(list_filter(range(1, {k + 1}), i -> sa[i] = sb[i])) AS DOUBLE)
+        / CAST({k} AS DOUBLE) >= {min_est_jaccard!r}"""
+
+
+def simhash_sql(table: str = "documents", bits: int = 32) -> str:
+    toks = tokens_sql()
+    tok_hash = char_hash_sql("t")
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(ths, h -> CASE WHEN "
+        f"CAST(floor(h / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH th AS (
+  SELECT doc_id,
+         list_distinct(list_transform({toks}, t -> {tok_hash})) AS ths
+  FROM {table}
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM th"""
+
+
+# ------------------------------------------------------------- similarity
+def _dot_chain(left: str, right_literals: list[float] | None, dim: int, right: str | None = None) -> str:
+    """Explicit left-assoc sum of products — the same fold order as Spark's
+    ``F.aggregate`` (which starts at 0.0, so term order is identical)."""
+    terms = []
+    for i in range(1, dim + 1):
+        lhs = f"CAST({left}[{i}] AS DOUBLE)"
+        if right_literals is not None:
+            rhs = f"CAST('{right_literals[i - 1]!r}' AS DOUBLE)"
+        else:
+            rhs = f"CAST({right}[{i}] AS DOUBLE)"
+        terms.append(f"{lhs} * {rhs}")
+    return " + ".join(terms)
+
+
+def _norm_sq_chain(col: str, dim: int) -> str:
+    return " + ".join(
+        f"CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def cosine_topk_sql(
+    query: list[float],
+    k: int = 10,
+    dim: int = 64,
+    table: str = "embeddings",
+    exclude_id: int | None = None,
+    round_digits: int = 6,
+    extra_where: str = "",
+) -> str:
+    qnorm = 0.0
+    for x in query:
+        qnorm = qnorm + float(x) * float(x)
+    qn_sqrt = qnorm**0.5
+    dot = _dot_chain("embedding", [float(x) for x in query], dim)
+    nsq = _norm_sq_chain("embedding", dim)
+    where = f"WHERE vec_id <> {exclude_id}" if exclude_id is not None else "WHERE 1=1"
+    return f"""
+SELECT vec_id,
+       round(({dot}) / (sqrt({nsq}) * CAST('{qn_sqrt!r}' AS DOUBLE)), {round_digits}) AS sim
+FROM {table}
+{where} {extra_where}
+ORDER BY sim DESC, vec_id ASC
+LIMIT {k}"""
+
+
+def ann_topk_sql(
+    query: list[float],
+    k: int = 10,
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 2,
+    seed: int = 42,
+    table: str = "embeddings",
+    exclude_id: int | None = None,
+    round_digits: int = 6,
+) -> str:
+    """Oracle of :func:`..operators.similarity.ann_topk` — the sign-LSH
+    candidate filter spelled with the same hyperplane constants and fold
+    order, so bucket membership matches exactly."""
+    hp = hyperplanes(dim, bits, tables, seed)
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        parts = []
+        for b, plane in enumerate(planes):
+            dot = _dot_chain("embedding", [float(w) for w in plane], dim)
+            parts.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << b} ELSE 0 END)")
+        return " + ".join(parts)
+
+    def bucket_of(vec: list[float], planes: list[list[float]]) -> int:
+        acc = 0
+        for b, plane in enumerate(planes):
+            d = 0.0
+            for x, w in zip(vec, plane):
+                d = d + float(x) * float(w)
+            if d > 0.0:
+                acc |= 1 << b
+        return acc
+
+    conds = " OR ".join(
+        f"({bucket_expr(planes)}) = {bucket_of([float(x) for x in query], planes)}"
+        for planes in hp
+    )
+    return cosine_topk_sql(
+        query,
+        k,
+        dim,
+        table,
+        exclude_id,
+        round_digits,
+        extra_where=f"AND ({conds})",
+    )

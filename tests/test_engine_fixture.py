@@ -102,11 +102,32 @@ def test_landmark_count(engine):
 
 
 # ------------------------------------------------------------------ routing
-def test_out_of_range_delegates(engine):
-    # lib.rs:1497-1518: ranges outside indexed data must NOT be index-answered
+def test_out_of_range_answered_when_complete(engine):
+    # Deliberate deviation from lib.rs:1497-1518: an unrestricted index covers
+    # the whole table, so it *proves* a range past the data span holds zero
+    # rows — answer 0/NULL from the index instead of delegating.
     sql = "SELECT COUNT(*) AS c FROM fixture WHERE timestamp >= '2024-05-11 00:00:00' AND timestamp < '2024-05-11 00:00:10'"
-    assert engine.explain_route(sql).kind == "delegate"
-    assert run1(engine, sql) == 0  # delegate path still correct
+    assert engine.explain_route(sql).kind == "count_range"
+    assert run1(engine, sql) == 0
+
+
+def test_out_of_range_delegates_when_time_restricted(spark, minimal_agg):
+    # The reference's strict gate (lib.rs:1497-1518) survives where it is
+    # load-bearing: a time_range-restricted build can't see outside rows.
+    from datetime import datetime, timezone
+
+    eng = WheelEngine(
+        spark,
+        "fixture_restricted",
+        minimal_agg,
+        time_column="timestamp",
+        time_range=(
+            datetime(2024, 5, 10, 0, 0, 0, tzinfo=timezone.utc),
+            datetime(2024, 5, 10, 0, 0, 5, tzinfo=timezone.utc),
+        ),
+    )
+    sql = "SELECT COUNT(*) AS c FROM fixture_restricted WHERE timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-11 00:00:00'"
+    assert eng.explain_route(sql).kind == "delegate"
 
 
 def test_unaligned_boundary_delegates(engine):
