@@ -1,0 +1,200 @@
+"""Tests for the LLM-data-pipeline operators (dedup / text / similarity).
+
+These are the BASELINE.json north-star extensions beyond the reference's
+temporal surface (SURVEY.md §2.2 note). Semantics are checked against small
+hand-built fixtures and numpy recomputation; engine-parity (Spark vs DuckDB)
+is exercised by scripts/oracle_check.py and the driver's t2 gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_uwheel_spark.operators import dedup, similarity
+from datafusion_uwheel_spark.operators import text as text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty
+        (6, "short text"),  # < 3 tokens → no shingles
+        (7, "das ist ein test und das ist gut"),  # German stopwords
+        (8, "1234 5678 90"),  # digits only
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r[0] for r in dedup.dedup_exact(docs).select("doc_id").collect())
+    assert kept == [1, 3, 4, 5, 6, 7, 8]  # doc 2 deduped against doc 1
+
+
+def test_exact_groups_counts(docs):
+    groups = {r["keeper_id"]: r["n_docs"] for r in dedup.exact_dup_groups(docs).collect()}
+    assert groups[1] == 2
+    assert groups[4] == 1
+
+
+def test_jaccard_pairs_symmetric_and_thresholded(docs):
+    pairs = dedup.jaccard_pairs(docs, threshold=0.0)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows[(1, 2)] == 1.0  # identical docs
+    assert 0.0 < rows[(1, 3)] < 1.0  # near dup shares some shingles
+    assert all(a < b for a, b in rows)  # canonical ordering
+
+
+def test_jaccard_matches_numpy(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in docs.select("doc_id", dedup.shingle_hashes_col().alias("s")).collect()
+        if r["s"]
+    }
+    for (a, b), j in got.items():
+        inter = len(sh[a] & sh[b])
+        want = inter / (len(sh[a]) + len(sh[b]) - inter)
+        assert math.isclose(j, want), (a, b)
+
+
+def test_minhash_estimates_jaccard(docs):
+    sig = dedup.with_minhash_signature(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    rows = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert rows[(1, 2)] == 1.0  # identical signature
+    if (1, 3) in rows:  # LSH may or may not bucket the near-dup
+        assert rows[(1, 3)] > 0.2
+
+
+def test_minhash_udf_matches_expression_path(docs):
+    a = {
+        r[0]: list(r[1])
+        for r in dedup.with_minhash_signature(docs, use_pandas_udf=True)
+        .select("doc_id", "signature")
+        .collect()
+    }
+    b = {
+        r[0]: list(r[1])
+        for r in dedup.with_minhash_signature(docs, use_pandas_udf=False)
+        .select("doc_id", "signature")
+        .collect()
+    }
+    assert a == b
+    assert set(a) == {1, 2, 3, 4, 7, 8}  # docs with ≥3 tokens
+
+
+def test_shingle_udf_matches_expression_path(docs):
+    a = {r[0]: sorted(r[1]) for r in docs.select("doc_id", dedup.shingle_hashes_udf().alias("s")).collect()}
+    b = {r[0]: sorted(r[1]) for r in docs.select("doc_id", dedup.shingle_hashes_col().alias("s")).collect()}
+    assert a == b
+
+
+def test_simhash_near_dup_low_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical text → identical fingerprint
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated text
+    assert sh[5] == 0  # empty text → all bit-votes negative
+
+
+# ------------------------------------------------------------------- text
+def test_token_stats(docs):
+    stats = {r["doc_id"]: r for r in text_ops.with_token_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 9
+    assert stats[5]["n_tokens"] == 0
+    assert stats[5]["avg_token_len"] is None
+    assert stats[6]["n_tokens"] == 2
+    assert math.isclose(stats[6]["avg_token_len"], len("shorttext") / 2)
+    assert math.isclose(stats[1]["est_bpe_tokens"], len(docs.collect()[0]["text"]) / 4.0)
+
+
+def test_quality_ranges_and_extremes(docs):
+    q = {r["doc_id"]: r for r in text_ops.with_quality(docs).collect()}
+    for r in q.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+    assert q[8]["digit_ratio"] > 0.8  # digits-only doc
+    assert q[8]["alpha_ratio"] == 0.0
+    assert q[1]["stopword_ratio"] > 0.2  # 'the' twice + 'over' → ≥2/9
+    assert q[5]["quality_score"] == pytest.approx(0.2)  # empty: only (1-digit) term
+
+
+def test_lang_id(docs):
+    lang = {r["doc_id"]: r["lang_pred"] for r in text_ops.with_lang_id(docs).collect()}
+    assert lang[1] == "en"
+    assert lang[7] == "de"
+    assert lang[8] == "und"  # no stopword hits anywhere
+
+
+def test_fingerprint_matches_python(docs):
+    got = {r["doc_id"]: r["fingerprint"] for r in text_ops.with_fingerprint(docs).collect()}
+    for row in docs.collect():
+        h = 0
+        for ch in row["text"]:
+            h = (h * 31 + ord(ch)) % text_ops.ROLLING_HASH_MOD
+        assert got[row["doc_id"]] == h
+
+
+# -------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(100)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def test_cosine_topk_matches_numpy(vecs):
+    df, rows = vecs
+    q = rows[0][1]
+    got = [(r["vec_id"], r["sim"]) for r in similarity.cosine_topk(df, q, k=5).collect()]
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    qv = np.array(q, dtype=np.float64)
+    sims = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = np.argsort(-sims)[:5]
+    assert [g[0] for g in got] == [int(rows[i][0]) for i in order]
+    for (_, s), i in zip(got, order):
+        assert math.isclose(s, sims[i], abs_tol=1e-6)
+
+
+def test_cosine_topk_self_is_first(vecs):
+    df, rows = vecs
+    got = similarity.cosine_topk(df, rows[3][1], k=1).collect()
+    assert got[0]["vec_id"] == 3
+    assert got[0]["sim"] == 1.0
+
+
+def test_ann_topk_subset_of_exact_and_finds_self(vecs):
+    df, rows = vecs
+    q = rows[5][1]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=20).collect()}
+    ann = [r["vec_id"] for r in similarity.ann_topk(df, q, k=5, bits=4, tables=3, seed=1).collect()]
+    assert ann[0] == 5  # the query's own row shares every bucket
+    assert len(ann) > 0
+    # candidates are reranked exactly, so any returned id in exact-top-20
+    # appears in the same relative order
+    common = [v for v in ann if v in exact]
+    exact_order = [
+        r["vec_id"] for r in similarity.cosine_topk(df, q, k=20).collect() if r["vec_id"] in common
+    ]
+    assert common == exact_order
+
+
+def test_lsh_buckets_deterministic(vecs):
+    df, _ = vecs
+    a = similarity.with_lsh_buckets(df, dim=16, bits=4, tables=2).select("vec_id", "bucket_0", "bucket_1")
+    b = similarity.with_lsh_buckets(df, dim=16, bits=4, tables=2).select("vec_id", "bucket_0", "bucket_1")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.filter((F.col("bucket_0") < 0) | (F.col("bucket_0") > 15)).count() == 0
