@@ -256,6 +256,66 @@ class WheelIndex:
             return None
         return float(np.min(self.min_[i:j])), float(np.max(self.max_[i:j]))
 
+    # -------------------------------------------------------- maintenance
+    def merge_delta(
+        self,
+        secs: np.ndarray,
+        cnt: np.ndarray,
+        sum_: np.ndarray | None = None,
+        min_: np.ndarray | None = None,
+        max_: np.ndarray | None = None,
+        min_ts_us: int | None = None,
+        max_ts_us: int | None = None,
+    ) -> None:
+        """Merge a per-second partial-aggregate delta into the wheel.
+
+        The streaming-maintenance primitive (the reference's µWheel is
+        streaming-native but the crate only ``advance_to``'s once at build —
+        SURVEY.md §M7 upgrades that with Structured Streaming). All states
+        are commutative monoids (count/sum add, min/max combine), so merges
+        are order-independent and late data needs no special casing.
+        """
+        secs = np.asarray(secs, dtype=np.int64)
+        if secs.size == 0:
+            return
+        order = np.argsort(secs)
+        secs = secs[order]
+        cnt = np.asarray(cnt, dtype=np.int64)[order]
+        merged_secs = np.union1d(self.secs, secs)
+        old_pos = np.searchsorted(merged_secs, self.secs)
+        new_pos = np.searchsorted(merged_secs, secs)
+
+        def scatter(old, new, fill, combine):
+            out = np.full(merged_secs.shape, fill, dtype=old.dtype if old is not None else new.dtype)
+            if old is not None and old.size:
+                out[old_pos] = old
+            if combine == "add":
+                np.add.at(out, new_pos, new)
+            elif combine == "min":
+                np.minimum.at(out, new_pos, new)
+            else:
+                np.maximum.at(out, new_pos, new)
+            return out
+
+        new_cnt = scatter(self.cnt, cnt, 0, "add")
+        if self.sum_ is not None:
+            s = np.asarray(sum_, dtype=np.float64)[order]
+            mn = np.asarray(min_, dtype=np.float64)[order]
+            mx = np.asarray(max_, dtype=np.float64)[order]
+            self.sum_ = scatter(self.sum_, s, 0.0, "add")
+            self.min_ = scatter(self.min_, mn, np.inf, "min")
+            self.max_ = scatter(self.max_, mx, -np.inf, "max")
+        was_empty = self.empty
+        self.secs = merged_secs
+        self.cnt = new_cnt
+        if min_ts_us is not None:
+            self.min_ts_us = min_ts_us if was_empty else min(self.min_ts_us, min_ts_us)
+        if max_ts_us is not None:
+            self.max_ts_us = max_ts_us if was_empty else max(self.max_ts_us, max_ts_us)
+        # Invalidate derived structures.
+        self._pcnt = np.concatenate([[0], np.cumsum(self.cnt)])
+        self._landmark = None
+
     # ------------------------------------------------------- introspection
     def size_bytes(self) -> int:
         """Analogue of ``BuiltInWheels::size_bytes`` (``wheels.rs:53-75``)."""

@@ -1,1 +1,5 @@
 """Streaming index maintenance (Structured Streaming rollups)."""
+
+from .maintenance import StreamingWheelMaintainer
+
+__all__ = ["StreamingWheelMaintainer"]

@@ -1,0 +1,107 @@
+"""Streaming maintenance tests: a file-source stream merged into the wheel
+index must be indistinguishable from a fresh batch build over the union."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from datafusion_uwheel_spark import WheelEngine
+from datafusion_uwheel_spark.operators.lookup import WheelIndex
+from datafusion_uwheel_spark.streaming import StreamingWheelMaintainer
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("v", T.DoubleType(), False),
+        T.StructField("kind", T.StringType(), False),
+    ]
+)
+
+
+def rows(sec_from, sec_to, kind="a"):
+    return [
+        (datetime(2024, 5, 10, 0, 0, 0) + __import__("datetime").timedelta(seconds=i), float(i + 1), kind)
+        for i in range(sec_from, sec_to)
+    ]
+
+
+@pytest.fixture()
+def stream_setup(spark, tmp_path):
+    initial = spark.createDataFrame(rows(0, 10), SCHEMA)
+    eng = WheelEngine(spark, "stream_tbl", initial, time_column="ts", min_max_columns=("v",))
+    eng.build_index("v")
+    eng.build_index("v", filter="kind = 'a'")
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    return eng, str(stream_dir), str(ckpt)
+
+
+def run_stream(spark, eng, stream_dir, ckpt, filters=None):
+    maintainer = StreamingWheelMaintainer(eng, filters=filters)
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    q = maintainer.attach(stream, checkpoint=ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    return maintainer
+
+
+def test_stream_merge_extends_index(spark, stream_setup):
+    eng, stream_dir, ckpt = stream_setup
+    spark.createDataFrame(rows(10, 20), SCHEMA).write.mode("append").parquet(stream_dir)
+    run_stream(spark, eng, stream_dir, ckpt)
+
+    rng = "ts >= '2024-05-10 00:00:00' AND ts < '2024-05-10 00:00:20'"
+    assert eng.sql(f"SELECT COUNT(*) AS c FROM stream_tbl WHERE {rng}").collect()[0][0] == 20
+    assert eng.last_route.kind == "count_range"
+    assert eng.sql(f"SELECT SUM(v) AS s FROM stream_tbl WHERE {rng}").collect()[0][0] == 210.0
+    assert eng.sql(f"SELECT MAX(v) AS m FROM stream_tbl WHERE {rng}").collect()[0][0] == 20.0
+    # landmark reflects merged data too (cache invalidated on merge)
+    assert eng.sql("SELECT SUM(v) AS s FROM stream_tbl").collect()[0][0] == 210.0
+
+
+def test_stream_merge_handles_late_overlapping_data(spark, stream_setup):
+    eng, stream_dir, ckpt = stream_setup
+    # late rows landing in ALREADY-OCCUPIED seconds 5..9 — monoid merge adds
+    spark.createDataFrame(rows(5, 10), SCHEMA).write.mode("append").parquet(stream_dir)
+    run_stream(spark, eng, stream_dir, ckpt)
+    rng = "ts >= '2024-05-10 00:00:00' AND ts < '2024-05-10 00:00:10'"
+    assert eng.sql(f"SELECT COUNT(*) AS c FROM stream_tbl WHERE {rng}").collect()[0][0] == 15
+    want = sum(range(1, 11)) + sum(range(6, 11))
+    assert eng.sql(f"SELECT SUM(v) AS s FROM stream_tbl WHERE {rng}").collect()[0][0] == float(want)
+
+
+def test_stream_merge_keyed_wheel(spark, stream_setup):
+    eng, stream_dir, ckpt = stream_setup
+    mixed = rows(10, 15, kind="a") + rows(15, 20, kind="b")
+    spark.createDataFrame(mixed, SCHEMA).write.mode("append").parquet(stream_dir)
+    run_stream(spark, eng, stream_dir, ckpt, filters={"kind = 'a'": "kind = 'a'"})
+    rng = "ts >= '2024-05-10 00:00:00' AND ts < '2024-05-10 00:00:20'"
+    df = eng.sql(f"SELECT SUM(v) AS s FROM stream_tbl WHERE {rng} AND kind = 'a'")
+    assert eng.last_route.kind == "single_agg"
+    want = float(sum(range(1, 11)) + sum(range(11, 16)))  # initial + streamed 'a' rows
+    assert df.collect()[0][0] == want
+
+
+def test_merge_delta_min_max_and_bounds():
+    w = WheelIndex(
+        "t", "v", "*_AGG",
+        secs=np.array([100, 101]), cnt=np.array([1, 1]),
+        sum_=np.array([5.0, 7.0]), min_=np.array([5.0, 7.0]), max_=np.array([5.0, 7.0]),
+        min_ts_us=100_000_000, max_ts_us=101_000_000, complete=True,
+    )
+    w.merge_delta(
+        np.array([101, 103]), np.array([2, 1]),
+        np.array([3.0, 9.0]), np.array([1.0, 9.0]), np.array([2.0, 9.0]),
+        min_ts_us=101_000_000, max_ts_us=103_500_000,
+    )
+    assert list(w.secs) == [100, 101, 103]
+    assert list(w.cnt) == [1, 3, 1]
+    assert w.combine_range(100, 104) == {
+        "count": 5, "sum": 24.0, "min": 1.0, "max": 9.0, "avg": 24.0 / 5
+    }
+    assert w.max_ts_us == 103_500_000
+    assert w.count_range(103, 104) == 1
