@@ -65,6 +65,7 @@ class WheelEngine:
         time_column: str,
         min_max_columns: tuple[str, ...] = (),
         time_range: tuple | None = None,
+        load_indexes: str | None = None,
     ):
         self.spark = spark
         self.name = name
@@ -79,18 +80,31 @@ class WheelEngine:
             raise ValueError(f"time column {time_column!r} not in table {name!r}")
         self.df.createOrReplaceTempView(name)
 
-        indices = build_wheel_indices(
-            self.df, name, time_column, list(min_max_columns), time_range=time_range
-        )
-        #: filter_key → COUNT wheel (unfiltered under ``*_AGG``; keyed wheels
-        #: are added by :meth:`build_index`).
-        self.count_wheels: dict[str, WheelIndex] = {STAR_AGGREGATION_ALIAS: indices[None]}
-        #: column → MIN/MAX pruning wheel (reference ``BuiltInWheels.min_max``).
-        self.min_max_wheels: dict[str, WheelIndex] = {
-            c: indices[c] for c in min_max_columns
-        }
-        #: (column, filter_key) → aggregate wheel (sum/avg/min/max states).
-        self.agg_wheels: dict[tuple[str, str], WheelIndex] = {}
+        if load_indexes is not None:
+            # Build-once path: restore persisted rollups (driver-side parquet
+            # read, no Spark job — the 100 TB restart story, see
+            # :mod:`.operators.persistence`).
+            from .operators.persistence import load_wheels
+
+            wheels = load_wheels(load_indexes)
+            self.count_wheels = dict(wheels["count"])
+            self.min_max_wheels = dict(wheels["min_max"])
+            self.agg_wheels = dict(wheels["agg"])
+        else:
+            indices = build_wheel_indices(
+                self.df, name, time_column, list(min_max_columns), time_range=time_range
+            )
+            #: filter_key → COUNT wheel (unfiltered under ``*_AGG``; keyed
+            #: wheels are added by :meth:`build_index`).
+            self.count_wheels: dict[str, WheelIndex] = {
+                STAR_AGGREGATION_ALIAS: indices[None]
+            }
+            #: column → MIN/MAX pruning wheel (``BuiltInWheels.min_max``).
+            self.min_max_wheels: dict[str, WheelIndex] = {
+                c: indices[c] for c in min_max_columns
+            }
+            #: (column, filter_key) → aggregate wheel (sum/avg/min/max states).
+            self.agg_wheels: dict[tuple[str, str], WheelIndex] = {}
         self.router = Router(self)
         self.last_route: RouteDecision | None = None
         self._time_range = time_range
@@ -185,6 +199,22 @@ class WheelEngine:
         """The wrapped DataFrame (reference ``optimizer.provider()``,
         ``lib.rs:132-135``)."""
         return self.df
+
+    # -------------------------------------------------------- persistence
+    def save_indexes(self, out_dir: str) -> str:
+        """Persist every wheel as parquet + manifest (see
+        :mod:`.operators.persistence`); reload with
+        ``WheelEngine(..., load_indexes=out_dir)``."""
+        from .operators.persistence import save_wheels
+
+        return save_wheels(
+            {
+                "count": self.count_wheels,
+                "min_max": self.min_max_wheels,
+                "agg": self.agg_wheels,
+            },
+            out_dir,
+        )
 
     # -------------------------------------------------------- introspection
     def index_usage_bytes(self) -> int:

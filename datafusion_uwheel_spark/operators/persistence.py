@@ -1,0 +1,100 @@
+"""Wheel-index persistence: save/load the driver-side rollups as parquet.
+
+The reference keeps indices purely in memory — every process start pays the
+full build scan (``Builder::build_with_provider``, ``builder.rs:59-252``).
+At 100 TB that scan is hours; persisting the *rollups* (bounded by distinct
+seconds × a few states, never raw rows) makes the index a build-once
+artifact: ``engine.save_indexes(dir)`` after the first build,
+``WheelEngine(..., load_indexes=dir)`` afterwards — load time is a driver-
+side parquet read of megabytes, no Spark job at all.
+
+Layout: one parquet file per wheel (columns ``sec, cnt[, sum, min, max]``,
+written with pyarrow on the driver) plus ``index.json`` carrying identity and
+bounds metadata. Parquet gives the same encoding/compression win the
+reference gets from bit-packed wheel blocks (``aggregator/mod.rs:36-63``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .lookup import WheelIndex
+
+__all__ = ["save_wheels", "load_wheels"]
+
+_MANIFEST = "index.json"
+
+
+def _wheel_file(i: int) -> str:
+    return f"wheel_{i:04d}.parquet"
+
+
+def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
+    """Persist ``{"count": {fk: w}, "min_max": {col: w}, "agg": {(col,fk): w}}``.
+
+    Returns the manifest path. Driver-side only — arrays are at most
+    distinct-seconds long."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest: list[dict] = []
+    i = 0
+    for kind, group in wheels.items():
+        for key, w in group.items():
+            fname = _wheel_file(i)
+            i += 1
+            cols: dict[str, pa.Array] = {
+                "sec": pa.array(np.asarray(w.secs, dtype=np.int64)),
+                "cnt": pa.array(np.asarray(w.cnt, dtype=np.int64)),
+            }
+            if w.sum_ is not None:
+                cols["sum"] = pa.array(np.asarray(w.sum_, dtype=np.float64))
+                cols["min"] = pa.array(np.asarray(w.min_, dtype=np.float64))
+                cols["max"] = pa.array(np.asarray(w.max_, dtype=np.float64))
+            pq.write_table(pa.table(cols), os.path.join(out_dir, fname))
+            manifest.append(
+                {
+                    "kind": kind,
+                    "key": list(key) if isinstance(key, tuple) else key,
+                    "file": fname,
+                    "table": w.table,
+                    "column": w.column,
+                    "filter_key": w.filter_key,
+                    "min_ts_us": w.min_ts_us,
+                    "max_ts_us": w.max_ts_us,
+                    "complete": w.complete,
+                }
+            )
+    path = os.path.join(out_dir, _MANIFEST)
+    with open(path, "w") as f:
+        json.dump({"version": 1, "wheels": manifest}, f)
+    return path
+
+
+def load_wheels(in_dir: str) -> dict[str, dict]:
+    """Inverse of :func:`save_wheels`."""
+    with open(os.path.join(in_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    out: dict[str, dict] = {"count": {}, "min_max": {}, "agg": {}}
+    for entry in manifest["wheels"]:
+        t = pq.read_table(os.path.join(in_dir, entry["file"]))
+        has_states = "sum" in t.column_names
+        w = WheelIndex(
+            entry["table"],
+            entry["column"],
+            entry["filter_key"],
+            t["sec"].to_numpy(),
+            t["cnt"].to_numpy(),
+            sum_=t["sum"].to_numpy() if has_states else None,
+            min_=t["min"].to_numpy() if has_states else None,
+            max_=t["max"].to_numpy() if has_states else None,
+            min_ts_us=entry["min_ts_us"],
+            max_ts_us=entry["max_ts_us"],
+            complete=entry["complete"],
+        )
+        key = entry["key"]
+        out[entry["kind"]][tuple(key) if isinstance(key, list) else key] = w
+    return out

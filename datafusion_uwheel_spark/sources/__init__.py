@@ -17,7 +17,15 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TPCH_TABLES", "read_parquet", "load_table", "register_tables", "memtable"]
+__all__ = [
+    "TPCH_TABLES",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "load_table",
+    "register_tables",
+    "memtable",
+]
 
 #: Tables the driver materializes per scale factor (TESTDATA.md).
 TPCH_TABLES = (
@@ -75,6 +83,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     for c in nanos:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
     return df
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema=None, header: bool = True
+) -> DataFrame:
+    """CSV listing source (the reference's host supports arbitrary listing
+    formats; Spark's reader pushes column pruning, and with an explicit
+    ``schema`` avoids the inference scan — always pass one at scale)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines listing source; pass ``schema`` to skip the inference scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
