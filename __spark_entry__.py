@@ -38,6 +38,7 @@ IMPOSSIBLE_VALUE = 100000.0  # events.value tops out ≈ 560
 
 JACCARD_T = 0.35
 LSH_MIN_EST = 0.35
+EMB_DUP_T = 0.4  # 59 exact pairs at sf0.01; LSH surfaces the bucket-sharing subset
 TOPK = 10
 EMB_DIM = 64
 QUERY_VEC_ID = 1
@@ -343,6 +344,12 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+def sim_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH candidates + exact rerank)."""
+    df = _view(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs(df, threshold=EMB_DUP_T, bits=8, tables=2)
+
+
 # ----------------------------------------------------------- registries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -375,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "sim_ann_lsh": sim_ann_lsh,
+        "sim_embedding_dup_pairs": sim_embedding_dup_pairs,
     }
 
 
@@ -478,5 +486,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_ann_lsh": oracles.ann_topk_sql(
             qvec, k=TOPK, dim=EMB_DIM, bits=4, tables=2, exclude_id=QUERY_VEC_ID
+        ),
+        "sim_embedding_dup_pairs": oracles.embedding_dup_pairs_sql(
+            EMB_DUP_T, dim=EMB_DIM, bits=8, tables=2
         ),
     }

@@ -34,10 +34,12 @@ __all__ = [
     "dot_col",
     "norm_sq_col",
     "cosine_col",
+    "cosine_pair_col",
     "cosine_topk",
     "hyperplanes",
     "with_lsh_buckets",
     "ann_topk",
+    "embedding_dup_pairs",
 ]
 
 
@@ -72,6 +74,17 @@ def cosine_col(vec: str | Column, query: Sequence[float]) -> Column:
         qnorm = qnorm + x * x
     dot = dot_col(vec, query)
     denom = F.sqrt(norm_sq_col(vec)) * F.lit(qnorm**0.5)
+    return F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(dot / denom)
+
+
+def cosine_pair_col(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity between two vector columns (sequential folds, same
+    left-assoc order as :func:`dot_col`); NULL when either norm is zero."""
+    va, vb = _as_double_array(a), _as_double_array(b)
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    denom = F.sqrt(norm_sq_col(va)) * F.sqrt(norm_sq_col(vb))
     return F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(dot / denom)
 
 
@@ -178,4 +191,54 @@ def ann_topk(
         cand = c if cand is None else (cand | c)
     return cosine_topk(
         df.filter(cand), query, k, vec_col, id_col, round_digits=round_digits
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    tables: int = 2,
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, sim)`` with
+    ``sim ≥ threshold`` and ``id_a < id_b``.
+
+    Pair generation is LSH-bucketed (vectors only pair inside a shared
+    sign-bucket in ≥1 hash table — the candidate set is linear-ish, not n²),
+    then candidates are **exactly** reranked with the fold cosine. At scale
+    the bucket columns should be precomputed and the table written bucketed
+    on them, turning the self-join into a co-located join with no shuffle of
+    the vectors. Approximate by construction: a true near-dup pair landing in
+    no shared bucket is missed; raise ``tables`` / lower ``bits`` for recall.
+    """
+    dim = len(df.select(vec_col).head()[0])
+    bucketed = with_lsh_buckets(df, dim, vec_col, bits, tables, seed).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        *[F.col(f"bucket_{t}") for t in range(tables)],
+    )
+    pairs = None
+    for t in range(tables):
+        a = bucketed.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+            F.col(f"bucket_{t}").alias("__b"),
+        )
+        b = bucketed.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+            F.col(f"bucket_{t}").alias("__b"),
+        )
+        p = a.join(b, on="__b").filter(F.col("id_a") < F.col("id_b")).drop("__b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    sim = cosine_pair_col("__va", "__vb")
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
     )

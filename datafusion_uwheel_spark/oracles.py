@@ -35,6 +35,7 @@ __all__ = [
     "fingerprint_sql",
     "cosine_topk_sql",
     "ann_topk_sql",
+    "embedding_dup_pairs_sql",
 ]
 
 _MOD = ROLLING_HASH_MOD
@@ -306,3 +307,45 @@ def ann_topk_sql(
         round_digits,
         extra_where=f"AND ({conds})",
     )
+
+
+def embedding_dup_pairs_sql(
+    threshold: float,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 2,
+    seed: int = 42,
+    table: str = "embeddings",
+    round_digits: int = 6,
+) -> str:
+    """Oracle of :func:`..operators.similarity.embedding_dup_pairs`: same
+    hyperplane constants, same sign-bucket membership, same fold cosine."""
+    hp = hyperplanes(dim, bits, tables, seed)
+    bucket_cols = []
+    for t, planes in enumerate(hp):
+        parts = []
+        for b, plane in enumerate(planes):
+            dot = _dot_chain("embedding", [float(w) for w in plane], dim)
+            parts.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << b} ELSE 0 END)")
+        bucket_cols.append(" + ".join(parts) + f" AS b{t}")
+    bucket_select = ",\n         ".join(bucket_cols)
+    branch = (
+        "SELECT a.id AS id_a, c.id AS id_b, a.v AS va, c.v AS vb "
+        "FROM b a JOIN b c ON a.b{t} = c.b{t} AND a.id < c.id"
+    )
+    union = "\n  UNION\n  ".join(branch.format(t=t) for t in range(tables))
+    pair_dot = _dot_chain("va", None, dim, right="vb")
+    na = _norm_sq_chain("va", dim)
+    nb = _norm_sq_chain("vb", dim)
+    sim = f"round(({pair_dot}) / (sqrt({na}) * sqrt({nb})), {round_digits})"
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS v,
+         {bucket_select}
+  FROM {table}
+), pairs AS (
+  {union}
+)
+SELECT id_a, id_b, {sim} AS sim
+FROM pairs
+WHERE {sim} >= {threshold!r}"""

@@ -192,6 +192,27 @@ def test_ann_topk_subset_of_exact_and_finds_self(vecs):
     assert common == exact_order
 
 
+def test_embedding_dup_pairs_subset_of_exact(vecs):
+    df, rows = vecs
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.embedding_dup_pairs(df, threshold=0.5, bits=4, tables=3).collect()
+    }
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    n = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = n @ n.T
+    exact = {
+        (i, j): S[i, j]
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if round(S[i, j], 6) >= 0.5
+    }
+    assert set(got) <= set(exact)  # LSH candidates never invent pairs
+    for pair, sim in got.items():
+        assert math.isclose(sim, exact[pair], abs_tol=1e-6)
+        assert pair[0] < pair[1]
+
+
 def test_lsh_buckets_deterministic(vecs):
     df, _ = vecs
     a = similarity.with_lsh_buckets(df, dim=16, bits=4, tables=2).select("vec_id", "bucket_0", "bucket_1")
