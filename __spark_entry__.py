@@ -41,7 +41,14 @@ LSH_MIN_EST = 0.35
 EMB_DUP_T = 0.4  # 59 exact pairs at sf0.01; LSH surfaces the bucket-sharing subset
 TOPK = 10
 EMB_DIM = 64
-QUERY_VEC_ID = 1
+
+# Fixed seeded query vector — NOT taken from the data (embeddings differ per
+# scale factor, so a data-derived vector would silently diverge between the
+# Spark query, which sees sf_dir, and the static oracle SQL).
+import random as _random
+
+_rng = _random.Random(123)
+QUERY_VEC = [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(EMB_DIM)]
 
 _ENGINES: dict[str, WheelEngine] = {}
 
@@ -320,28 +327,16 @@ def text_lang_id(spark, sf_dir):
 
 
 # -------------------------------------------------- similarity operators
-def _query_vec(spark, sf_dir) -> list[float]:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    row = df.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
-    return [float(x) for x in row[0]]
-
-
 def sim_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-k — scan + codegen'd fold + TakeOrderedAndProject."""
     df = _view(spark, sf_dir, "embeddings")
-    q = _query_vec(spark, sf_dir)
-    return similarity.cosine_topk(
-        df.filter(F.col("vec_id") != QUERY_VEC_ID), q, k=TOPK
-    )
+    return similarity.cosine_topk(df, QUERY_VEC, k=TOPK)
 
 
 def sim_ann_lsh(spark, sf_dir):
     """Sign-LSH bucketed ANN — candidate filter then exact rerank."""
     df = _view(spark, sf_dir, "embeddings")
-    q = _query_vec(spark, sf_dir)
-    return similarity.ann_topk(
-        df.filter(F.col("vec_id") != QUERY_VEC_ID), q, k=TOPK, bits=4, tables=2
-    )
+    return similarity.ann_topk(df, QUERY_VEC, k=TOPK, bits=4, tables=2)
 
 
 def sim_embedding_dup_pairs(spark, sf_dir):
@@ -387,21 +382,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # The similarity oracles need the query vector inline; read it with
-    # DuckDB from the same parquet the driver registers (sf-independent:
-    # vec_id QUERY_VEC_ID exists at every sf and the driver pins sf0.01).
-    import duckdb
-
-    con = duckdb.connect()
-    qvec = [
-        float(x)
-        for x in con.sql(
-            "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
-            f"WHERE vec_id = {QUERY_VEC_ID}"
-        ).fetchone()[0]
-    ]
-    con.close()
-
     return {
         "uw_count_range": (
             f"SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
@@ -481,11 +461,9 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.token_stats_sql(),
         "text_quality": oracles.quality_sql(),
         "text_lang_id": oracles.lang_id_sql(),
-        "sim_topk_bruteforce": oracles.cosine_topk_sql(
-            qvec, k=TOPK, dim=EMB_DIM, exclude_id=QUERY_VEC_ID
-        ),
+        "sim_topk_bruteforce": oracles.cosine_topk_sql(QUERY_VEC, k=TOPK, dim=EMB_DIM),
         "sim_ann_lsh": oracles.ann_topk_sql(
-            qvec, k=TOPK, dim=EMB_DIM, bits=4, tables=2, exclude_id=QUERY_VEC_ID
+            QUERY_VEC, k=TOPK, dim=EMB_DIM, bits=4, tables=2
         ),
         "sim_embedding_dup_pairs": oracles.embedding_dup_pairs_sql(
             EMB_DUP_T, dim=EMB_DIM, bits=8, tables=2
