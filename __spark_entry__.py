@@ -194,6 +194,15 @@ def uw_keyed_count(spark, sf_dir):
     )
 
 
+def uw_keyed_landmark(spark, sf_dir):
+    """Keyed landmark (beyond the reference): aggregate with only the keyed
+    predicate, answered from the complete keyed wheel's landmark."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT SUM(value) AS sum_value FROM events WHERE event_type = 'click'"
+    )
+    return _round(df, {"sum_value": 3})
+
+
 def uw_prune_count(spark, sf_dir):
     """R6: SELECT * over a provably-empty range → empty relation, no scan."""
     return _engine(spark, sf_dir).sql(
@@ -360,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_landmark_sum": uw_landmark_sum,
         "uw_keyed_sum": uw_keyed_sum,
         "uw_keyed_count": uw_keyed_count,
+        "uw_keyed_landmark": uw_keyed_landmark,
         "uw_prune_count": uw_prune_count,
         "uw_prune_minmax": uw_prune_minmax,
         "uw_unaligned_delegate": uw_unaligned_delegate,
@@ -431,6 +441,9 @@ def oracle_sql() -> dict[str, str]:
         "uw_keyed_count": (
             "SELECT count(*) AS n FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND event_type = 'click'"
+        ),
+        "uw_keyed_landmark": (
+            "SELECT round(sum(value), 3) AS sum_value FROM events WHERE event_type = 'click'"
         ),
         "uw_prune_count": (
             f"SELECT * FROM events WHERE ts >= TIMESTAMP '{EMPTY_A}' AND ts < TIMESTAMP '{EMPTY_B}'"

@@ -155,12 +155,25 @@ def main() -> None:
         "vanilla_sum_range",
         f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}'",
     )
+    run_vanilla(
+        "vanilla_keyed_sum",
+        f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}' "
+        "AND event_type = 'click'",
+    )
+    run_vanilla(
+        "vanilla_prune_minmax",
+        f"SELECT * FROM events WHERE ts >= '{a}' AND ts < '{b}' AND value > 100000.0",
+    )
     a, b = ranges_hour[0]
     run_vanilla(
         "vanilla_groupby_hour",
         "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, SUM(value) AS s "
         f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('hour', ts)",
     )
+    speedups = {}
+    for fam in ("count_range", "sum_range", "keyed_sum", "groupby_hour", "prune_minmax"):
+        speedups[fam] = round(queries[f"vanilla_{fam}"] / queries[f"uw_{fam}"], 2)
+        log(f"speedup_{fam}: {speedups[fam]}x")
 
     # ------------------------------------------------- LLM-data operators
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -205,6 +218,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 5) for k, v in queries.items()},
+                "speedup_vs_vanilla": speedups,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

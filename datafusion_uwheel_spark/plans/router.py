@@ -137,9 +137,15 @@ class Router:
             return self._try_group_by(q, rng, residual)
 
         if not q.conjuncts:
-            return self._try_landmark(q)
+            return self._try_landmark(q, STAR_AGGREGATION_ALIAS)
 
         if rng is None or not rng.routable:
+            # Keyed landmark (beyond the reference, which requires no filter
+            # at all, lib.rs:279-281): a purely-keyed predicate matching a
+            # *complete* keyed wheel is answerable over the whole span.
+            if rng is None and residual and len(residual) == len(q.conjuncts):
+                fk = canonical_filter_key(residual)
+                return self._try_landmark(q, fk, require_complete=True)
             return (
                 RouteDecision("delegate", detail={"reason": "no exact aligned range"}),
                 None,
@@ -283,19 +289,23 @@ class Router:
         )
 
     # ------------------------------------------------------------ landmark
-    def _try_landmark(self, q):
-        """R5: aggregate with no filter at all — answered from ``landmark()``.
-        The reference guard demands exactly one aggregate
-        (``single_aggregate_without_filter``, ``lib.rs:279-281``)."""
+    def _try_landmark(self, q, filter_key: str, require_complete: bool = False):
+        """R5: aggregate with no temporal filter — answered from
+        ``landmark()``. The reference guard demands exactly one aggregate and
+        no filter at all (``single_aggregate_without_filter``,
+        ``lib.rs:279-281``); we additionally answer purely-keyed landmarks
+        from complete keyed wheels."""
         if len(q.aggs) != 1:
             return RouteDecision("delegate", detail={"reason": "multi-agg landmark"}), None
         agg = q.aggs[0]
-        w = self._resolve_wheel(agg, STAR_AGGREGATION_ALIAS)
-        if w is None or w.empty:
-            return RouteDecision("delegate", detail={"reason": "no index"}), None
+        w = self._resolve_wheel(agg, filter_key)
+        if w is None or (require_complete and not w.complete):
+            return RouteDecision("delegate", detail={"reason": "no index", "fk": filter_key}), None
+        if w.empty and not w.complete:
+            return RouteDecision("delegate", detail={"reason": "empty index"}), None
         value = w.landmark()[_AGG_STATE[agg.func]]
         df = self._scalar_result([agg], [value])
-        return RouteDecision("landmark", index_key=w.key), df
+        return RouteDecision("landmark", index_key=w.key, detail={"fk": filter_key}), df
 
     # ------------------------------------------------------------- pruning
     def _try_pruning(self, q, rng, residual):

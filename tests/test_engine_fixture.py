@@ -130,6 +130,20 @@ def test_out_of_range_delegates_when_time_restricted(spark, minimal_agg):
     assert eng.explain_route(sql).kind == "delegate"
 
 
+def test_keyed_landmark_routes_when_complete(spark, minimal_agg):
+    # Beyond the reference: SUM with only a keyed filter (no time range) is
+    # answerable from a complete keyed wheel's landmark.
+    eng = WheelEngine(spark, "fixture_klm", minimal_agg, time_column="timestamp")
+    eng.build_index("agg_col", filter="agg_col >= 5.0")
+    sql = "SELECT SUM(agg_col) AS s FROM fixture_klm WHERE agg_col >= 5.0"
+    assert eng.explain_route(sql).kind == "landmark"
+    assert eng.sql(sql).collect()[0][0] == float(sum(range(5, 11)))
+    # unregistered keyed filter still delegates
+    assert eng.explain_route(
+        "SELECT SUM(agg_col) AS s FROM fixture_klm WHERE agg_col >= 7.0"
+    ).kind == "delegate"
+
+
 def test_unaligned_boundary_delegates(engine):
     # SURVEY §4.3.1: sub-second bounds delegate instead of mis-answering
     sql = "SELECT COUNT(*) AS c FROM fixture WHERE timestamp >= '2024-05-10 00:00:00.500' AND timestamp < '2024-05-10 00:00:10'"
