@@ -348,6 +348,12 @@ def sim_ann_lsh(spark, sf_dir):
     return similarity.ann_topk(df, QUERY_VEC, k=TOPK, bits=4, tables=2)
 
 
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN — probe the nprobe nearest coarse cells, exact rerank."""
+    df = _view(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(df, QUERY_VEC, k=TOPK, nprobe=2, n_centroids=8)
+
+
 def sim_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (LSH candidates + exact rerank)."""
     df = _view(spark, sf_dir, "embeddings")
@@ -387,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "sim_ann_lsh": sim_ann_lsh,
+        "sim_ivf_topk": sim_ivf_topk,
         "sim_embedding_dup_pairs": sim_embedding_dup_pairs,
     }
 
@@ -477,6 +484,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_bruteforce": oracles.cosine_topk_sql(QUERY_VEC, k=TOPK, dim=EMB_DIM),
         "sim_ann_lsh": oracles.ann_topk_sql(
             QUERY_VEC, k=TOPK, dim=EMB_DIM, bits=4, tables=2
+        ),
+        "sim_ivf_topk": oracles.ivf_topk_sql(
+            QUERY_VEC, k=TOPK, nprobe=2, n_centroids=8, dim=EMB_DIM
         ),
         "sim_embedding_dup_pairs": oracles.embedding_dup_pairs_sql(
             EMB_DUP_T, dim=EMB_DIM, bits=8, tables=2

@@ -40,6 +40,9 @@ __all__ = [
     "with_lsh_buckets",
     "ann_topk",
     "embedding_dup_pairs",
+    "ivf_centroids",
+    "with_ivf_cells",
+    "ivf_topk",
 ]
 
 
@@ -191,6 +194,72 @@ def ann_topk(
         cand = c if cand is None else (cand | c)
     return cosine_topk(
         df.filter(cand), query, k, vec_col, id_col, round_digits=round_digits
+    )
+
+
+# ---------------------------------------------------------------- IVF
+def ivf_centroids(dim: int, k: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids, uniform in [-1, 1).
+
+    Data-independent by design: trained (k-means) centroids would differ per
+    dataset/scale-factor and break static oracle SQL; random centroids still
+    partition the sphere into Voronoi cells (recall is tuned by ``nprobe``).
+    Swap in trained centroids for production recall — the operators only
+    need the list of vectors."""
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(k)]
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> Column | DataFrame:
+    """Append ``cell`` = 1-based index of the max-dot centroid (spherical
+    k-means assignment; first-max tiebreak — ``array_position`` returns the
+    first occurrence, matching DuckDB ``list_indexof``).
+
+    At scale: compute once, write the table partitioned by ``cell`` — probes
+    then become partition-pruned reads."""
+    darr = F.array(*[dot_col(vec_col, c) for c in centroids])
+    return df.withColumn("cell", F.array_position(darr, F.array_max(darr)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF approximate top-k: assign rows to coarse cells, search only the
+    ``nprobe`` cells nearest the query, rerank exactly with the fold cosine.
+
+    The complementary ANN strategy to :func:`ann_topk` (sign-LSH): IVF probes
+    a *tunable* number of Voronoi cells (recall ∝ nprobe) instead of fixed
+    hash tables."""
+    cents = ivf_centroids(len(query), n_centroids, seed)
+
+    def qdot(c: list[float]) -> float:
+        d = 0.0
+        for x, w in zip(query, c):
+            d = d + float(x) * float(w)
+        return d
+
+    order = sorted(range(n_centroids), key=lambda i: -qdot(cents[i]))
+    probes = [i + 1 for i in order[:nprobe]]  # 1-based cells
+    celled = with_ivf_cells(df, cents, vec_col)
+    return cosine_topk(
+        celled.filter(F.col("cell").isin(probes)),
+        query,
+        k,
+        vec_col,
+        id_col,
+        round_digits=round_digits,
     )
 
 

@@ -19,7 +19,7 @@ with an empty separator for per-character splits, and ``'g'``-flag
 from __future__ import annotations
 
 from .operators.dedup import MINHASH_BANDS, MINHASH_NUM_PERM, minhash_params
-from .operators.similarity import hyperplanes
+from .operators.similarity import hyperplanes, ivf_centroids
 from .operators.text import ROLLING_HASH_MOD, STOPWORDS
 
 __all__ = [
@@ -36,6 +36,7 @@ __all__ = [
     "cosine_topk_sql",
     "ann_topk_sql",
     "embedding_dup_pairs_sql",
+    "ivf_topk_sql",
 ]
 
 _MOD = ROLLING_HASH_MOD
@@ -307,6 +308,51 @@ def ann_topk_sql(
         round_digits,
         extra_where=f"AND ({conds})",
     )
+
+
+def ivf_topk_sql(
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    table: str = "embeddings",
+    round_digits: int = 6,
+) -> str:
+    """Oracle of :func:`..operators.similarity.ivf_topk`: same seeded
+    centroids, same fold dots, same first-max cell assignment (DuckDB
+    ``list_indexof`` ≡ Spark ``array_position``, both first-occurrence
+    1-based)."""
+    cents = ivf_centroids(dim, n_centroids, seed)
+    ds = ", ".join(_dot_chain("embedding", [float(w) for w in c], dim) for c in cents)
+
+    def qdot(c):
+        d = 0.0
+        for x, w in zip(query, c):
+            d = d + float(x) * float(w)
+        return d
+
+    order = sorted(range(n_centroids), key=lambda i: -qdot(cents[i]))
+    probes = ", ".join(str(i + 1) for i in order[:nprobe])
+
+    qnorm = 0.0
+    for x in query:
+        qnorm = qnorm + float(x) * float(x)
+    dot = _dot_chain("embedding", [float(x) for x in query], dim)
+    nsq = _norm_sq_chain("embedding", dim)
+    return f"""
+WITH cells AS (
+  SELECT vec_id, embedding,
+         list_indexof([{ds}], list_max([{ds}])) AS cell
+  FROM {table}
+)
+SELECT vec_id,
+       round(({dot}) / (sqrt({nsq}) * CAST('{qnorm**0.5!r}' AS DOUBLE)), {round_digits}) AS sim
+FROM cells
+WHERE cell IN ({probes})
+ORDER BY sim DESC, vec_id ASC
+LIMIT {k}"""
 
 
 def embedding_dup_pairs_sql(

@@ -213,6 +213,28 @@ def test_embedding_dup_pairs_subset_of_exact(vecs):
         assert pair[0] < pair[1]
 
 
+def test_ivf_topk_exact_within_probed_cells(vecs):
+    df, rows = vecs
+    q = rows[2][1]
+    cents = similarity.ivf_centroids(16, k=4, seed=9)
+    celled = similarity.with_ivf_cells(df, cents)
+    cells = {r["vec_id"]: r["cell"] for r in celled.collect()}
+    assert set(cells.values()) <= set(range(1, 5))
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.ivf_topk(df, q, k=5, nprobe=4, n_centroids=4, seed=9).collect()
+    ]
+    # nprobe == n_centroids probes every cell → identical to exact top-k
+    exact = [(r["vec_id"], r["sim"]) for r in similarity.cosine_topk(df, q, k=5).collect()]
+    assert got == exact
+    # fewer probes → results are a subset of the probed cells, exactly ranked
+    part = similarity.ivf_topk(df, q, k=5, nprobe=1, n_centroids=4, seed=9).collect()
+    probed_cell = cells[part[0]["vec_id"]]
+    assert all(cells[r["vec_id"]] == probed_cell for r in part)
+    sims = [r["sim"] for r in part]
+    assert sims == sorted(sims, reverse=True)
+
+
 def test_lsh_buckets_deterministic(vecs):
     df, _ = vecs
     a = similarity.with_lsh_buckets(df, dim=16, bits=4, tables=2).select("vec_id", "bucket_0", "bucket_1")
