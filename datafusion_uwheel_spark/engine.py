@@ -66,10 +66,20 @@ class WheelEngine:
         min_max_columns: tuple[str, ...] = (),
         time_range: tuple | None = None,
         load_indexes: str | None = None,
+        index_granularity: str = "second",
     ):
         self.spark = spark
         self.name = name
         self.time_column = time_column
+        from .functions.timestamps import GRANULARITY_SECONDS
+
+        if index_granularity not in GRANULARITY_SECONDS:
+            raise ValueError(f"unknown index granularity {index_granularity!r}")
+        #: Bucket width of every wheel on this engine. "second" matches the
+        #: reference's finest HAW dimension; "minute"/"hour" shrink the
+        #: driver-side index 60x/3600x for multi-year tables at the cost of
+        #: only routing coarser-aligned ranges (finer queries delegate).
+        self.bucket_seconds = GRANULARITY_SECONDS[index_granularity]
         if isinstance(source, str):
             from .sources import read_parquet
 
@@ -92,7 +102,8 @@ class WheelEngine:
             self.agg_wheels = dict(wheels["agg"])
         else:
             indices = build_wheel_indices(
-                self.df, name, time_column, list(min_max_columns), time_range=time_range
+                self.df, name, time_column, list(min_max_columns),
+                time_range=time_range, bucket_seconds=self.bucket_seconds,
             )
             #: filter_key → COUNT wheel (unfiltered under ``*_AGG``; keyed
             #: wheels are added by :meth:`build_index`).
@@ -140,6 +151,7 @@ class WheelEngine:
             filter_expr=filter_expr,
             filter_key=fk,
             time_range=time_range or self._time_range,
+            bucket_seconds=self.bucket_seconds,
         )
         # A keyed/filtered wheel is answerable over the whole *base table*
         # span, not just the span of rows matching the filter: a sub-range
@@ -162,7 +174,10 @@ class WheelEngine:
 
     def build_min_max_index(self, column: str) -> str:
         """Add a MIN/MAX pruning wheel after construction."""
-        indices = build_wheel_indices(self.df, self.name, self.time_column, [column])
+        indices = build_wheel_indices(
+            self.df, self.name, self.time_column, [column],
+            bucket_seconds=self.bucket_seconds,
+        )
         self.min_max_wheels[column] = indices[column]
         return indices[column].key
 

@@ -92,6 +92,11 @@ class WheelIndex:
     #: HAW can't distinguish "no data" from "not indexed" — our rollup can.
     #: ``time_range``-restricted builds keep the strict reference gate.
     complete: bool = False
+    #: Width of one bucket in seconds (1 = the reference's finest HAW
+    #: dimension). Coarser bases (60 = minute, 3600 = hour) shrink the
+    #: driver-side index by the same factor — the scale lever for multi-year
+    #: tables; the router only routes ranges aligned to this width.
+    bucket_seconds: int = 1
     _pcnt: np.ndarray = field(init=False, repr=False, default=None)
     _landmark: dict[str, Any] | None = field(init=False, repr=False, default=None)
 
@@ -114,21 +119,28 @@ class WheelIndex:
     # ------------------------------------------------------- range validity
     @property
     def low_sec(self) -> int:
-        """Watermark start = floor(min timestamp) to seconds (lib.rs:976,1106)."""
-        return self.min_ts_us // MICROS_PER_SECOND
+        """Watermark start = min timestamp floored to the bucket width
+        (lib.rs:976,1106; seconds in the reference)."""
+        s = self.min_ts_us // MICROS_PER_SECOND
+        return s - (s % self.bucket_seconds)
 
     @property
     def high_sec_exclusive(self) -> int:
-        """One second past the last data point — the reference advances the
+        """One bucket past the last data point — the reference advances the
         wheel to ``max + 1s`` so the final second stays queryable
         (``advance_to(end+1000)``, ``lib.rs:1080,1120``)."""
-        return self.max_ts_us // MICROS_PER_SECOND + 1
+        s = self.max_ts_us // MICROS_PER_SECOND
+        return s - (s % self.bucket_seconds) + self.bucket_seconds
 
     def covers(self, start_sec: int, end_sec: int) -> bool:
         """Whether the wheel can answer ``[start_sec, end_sec)`` — outside
         ranges must fall through, mirroring ``combine_range_and_lower``
-        returning ``None`` (``lib.rs:663-688``; test ``lib.rs:1498-1518``)."""
+        returning ``None`` (``lib.rs:663-688``; test ``lib.rs:1498-1518``).
+        Ranges not aligned to the bucket width are unanswerable (a minute
+        wheel cannot split a bucket at second precision)."""
         if start_sec > end_sec:
+            return False
+        if start_sec % self.bucket_seconds or end_sec % self.bucket_seconds:
             return False
         if self.complete:
             return True
@@ -208,6 +220,8 @@ class WheelIndex:
         """
         if granularity not in GRANULARITY_SECONDS:
             return None
+        if GRANULARITY_SECONDS[granularity] % self.bucket_seconds:
+            return None  # coarse wheel can't split its buckets finer
         if not self.covers(start_sec, end_sec):
             return None
         i, j = self._slice(start_sec, end_sec)

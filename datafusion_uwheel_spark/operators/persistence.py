@@ -66,6 +66,7 @@ def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
                     "min_ts_us": w.min_ts_us,
                     "max_ts_us": w.max_ts_us,
                     "complete": w.complete,
+                    "bucket_seconds": w.bucket_seconds,
                 }
             )
     path = os.path.join(out_dir, _MANIFEST)
@@ -94,6 +95,7 @@ def load_wheels(in_dir: str) -> dict[str, dict]:
             min_ts_us=entry["min_ts_us"],
             max_ts_us=entry["max_ts_us"],
             complete=entry["complete"],
+            bucket_seconds=entry.get("bucket_seconds", 1),
         )
         key = entry["key"]
         out[entry["kind"]][tuple(key) if isinstance(key, list) else key] = w

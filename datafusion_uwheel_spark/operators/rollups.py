@@ -43,6 +43,7 @@ def build_wheel_indices(
     filter_expr: Column | str | None = None,
     filter_key: str = STAR_AGGREGATION_ALIAS,
     time_range: tuple | None = None,
+    bucket_seconds: int = 1,
 ) -> dict[str | None, WheelIndex]:
     """Build the COUNT wheel plus one value wheel per column in ``columns``,
     all in a single distributed pass.
@@ -76,11 +77,16 @@ def build_wheel_indices(
         ]
 
     # timestamp → long = floor to epoch seconds (UTC session pinned by the
-    # engine); the wheel's finest dimension, as in the reference.
-    rolled = g.groupBy(F.col(time_column).cast("long").alias("__sec")).agg(*aggs)
+    # engine), then to the bucket width. One second is the reference's finest
+    # dimension; coarser bases shrink the collected rollup proportionally.
+    sec = F.col(time_column).cast("long")
+    if bucket_seconds != 1:
+        sec = sec - (sec % bucket_seconds)
+    rolled = g.groupBy(sec.alias("__sec")).agg(*aggs)
     pdf = rolled.toPandas()
     return _indices_from_rollup(
-        pdf, table, columns, filter_key, complete=time_range is None
+        pdf, table, columns, filter_key, complete=time_range is None,
+        bucket_seconds=bucket_seconds,
     )
 
 
@@ -90,16 +96,21 @@ def _indices_from_rollup(
     columns: Sequence[str],
     filter_key: str,
     complete: bool = False,
+    bucket_seconds: int = 1,
 ) -> dict[str | None, WheelIndex]:
     if len(pdf) == 0:
         empty = np.empty(0, dtype=np.int64)
         out: dict[str | None, WheelIndex] = {
-            None: WheelIndex(table, None, filter_key, empty, empty.copy(), complete=complete)
+            None: WheelIndex(
+                table, None, filter_key, empty, empty.copy(),
+                complete=complete, bucket_seconds=bucket_seconds,
+            )
         }
         for c in columns:
             out[c] = WheelIndex(
                 table, c, filter_key, empty, empty.copy(),
-                np.empty(0), np.empty(0), np.empty(0), complete=complete,
+                np.empty(0), np.empty(0), np.empty(0),
+                complete=complete, bucket_seconds=bucket_seconds,
             )
         return out
 
@@ -112,7 +123,8 @@ def _indices_from_rollup(
     out = {
         None: WheelIndex(
             table, None, filter_key, secs, cnt,
-            min_ts_us=min_ts_us, max_ts_us=max_ts_us, complete=complete,
+            min_ts_us=min_ts_us, max_ts_us=max_ts_us,
+            complete=complete, bucket_seconds=bucket_seconds,
         )
     }
     for c in columns:
@@ -128,6 +140,7 @@ def _indices_from_rollup(
             min_ts_us=min_ts_us,
             max_ts_us=max_ts_us,
             complete=complete,
+            bucket_seconds=bucket_seconds,
         )
     return out
 

@@ -79,9 +79,13 @@ class StreamingWheelMaintainer:
                 F.min(v).alias(f"__min_{c}"),
                 F.max(v).alias(f"__max_{c}"),
             ]
+        sec = F.col(tc).cast("long")
+        bs = getattr(e, "bucket_seconds", 1)
+        if bs != 1:
+            sec = sec - (sec % bs)
         pdf = (
             df.select(tc, *cols)
-            .groupBy(F.col(tc).cast("long").alias("__sec"))
+            .groupBy(sec.alias("__sec"))
             .agg(*aggs)
             .toPandas()
         )

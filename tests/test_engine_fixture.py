@@ -130,6 +130,51 @@ def test_out_of_range_delegates_when_time_restricted(spark, minimal_agg):
     assert eng.explain_route(sql).kind == "delegate"
 
 
+def test_minute_granularity_engine(spark, sf_small_dir):
+    # Coarse-base wheel (60s buckets): 60x smaller driver index; minute-
+    # aligned ranges route, second-precision ranges delegate (still correct).
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    events = read_parquet(spark, f"{sf_small_dir}/events.parquet")
+    eng = WheelEngine(
+        spark, "events_min", events, time_column="ts", index_granularity="minute"
+    )
+    eng.build_index("value")
+    fine = WheelEngine(spark, "events_fine", events, time_column="ts")
+    from datafusion_uwheel_spark.operators.lookup import STAR_AGGREGATION_ALIAS
+
+    coarse_w = eng.count_wheels[STAR_AGGREGATION_ALIAS]
+    fine_w = fine.count_wheels[STAR_AGGREGATION_ALIAS]
+    assert coarse_w.bucket_seconds == 60
+    assert coarse_w.secs.size < fine_w.secs.size  # fewer, coarser buckets
+    assert coarse_w.cnt.sum() == fine_w.cnt.sum()
+
+    rng = "ts >= '2024-01-05 00:00:00' AND ts < '2024-01-12 00:00:00'"
+    sql = f"SELECT COUNT(*) AS c FROM events_min WHERE {rng}"
+    assert eng.explain_route(sql).kind == "count_range"
+    want = events.filter(
+        "ts >= '2024-01-05 00:00:00' AND ts < '2024-01-12 00:00:00'"
+    ).count()
+    assert eng.sql(sql).collect()[0][0] == want
+
+    # hour group-by works from minute buckets; second-aligned-only delegates
+    gb = (
+        "SELECT date_trunc('hour', ts) AS b, SUM(value) AS s FROM events_min "
+        f"WHERE {rng} GROUP BY date_trunc('hour', ts)"
+    )
+    assert eng.explain_route(gb).kind == "group_by"
+    odd = (
+        "SELECT COUNT(*) AS c FROM events_min "
+        "WHERE ts >= '2024-01-05 00:00:30' AND ts < '2024-01-06 00:00:00'"
+    )
+    assert eng.explain_route(odd).kind == "delegate"
+    gb_sec = (
+        "SELECT date_trunc('second', ts) AS b, COUNT(*) AS c FROM events_min "
+        f"WHERE {rng} GROUP BY date_trunc('second', ts)"
+    )
+    assert eng.explain_route(gb_sec).kind == "delegate"
+
+
 def test_keyed_landmark_routes_when_complete(spark, minimal_agg):
     # Beyond the reference: SUM with only a keyed filter (no time range) is
     # answerable from a complete keyed wheel's landmark.
