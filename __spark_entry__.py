@@ -135,6 +135,17 @@ def uw_max_range(spark, sf_dir):
     )
 
 
+def uw_stddev_range(spark, sf_dir):
+    """Variance family (beyond the reference): derived from the wheel's
+    sum-of-squares state; rounded because DuckDB's streaming variance
+    differs in low-order bits from the two-pass state formula."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT STDDEV(value) AS std_value, VAR_POP(value) AS varp_value "
+        f"FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
+    return _round(df, {"std_value": 6, "varp_value": 4})
+
+
 def uw_multi_agg(spark, sf_dir):
     """R3: several aggregates in one statement → one-row multi-column scan."""
     df = _engine(spark, sf_dir).sql(
@@ -368,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_avg_range": uw_avg_range,
         "uw_min_range": uw_min_range,
         "uw_max_range": uw_max_range,
+        "uw_stddev_range": uw_stddev_range,
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
         "uw_groupby_minute": uw_groupby_minute,
@@ -417,6 +429,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "uw_max_range": (
             f"SELECT max(value) AS max_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_stddev_range": (
+            "SELECT round(stddev(value), 6) AS std_value, "
+            "round(var_pop(value), 4) AS varp_value FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
         ),
         "uw_multi_agg": (

@@ -52,6 +52,29 @@ __all__ = ["WheelIndex", "STAR_AGGREGATION_ALIAS"]
 STAR_AGGREGATION_ALIAS = "*_AGG"
 
 
+def _variance_states(s: float | None, sq: float | None, n: int) -> dict:
+    """Derived VAR/STDDEV from (sum, sumsq, count) monoid states.
+
+    Two-pass formula ``E[x²] − E[x]²`` (clamped at 0 against cancellation);
+    SQL semantics: sample variants NULL for n < 2, population variants 0 for
+    n = 1. Results are rounded by callers against the oracle (DuckDB's
+    streaming algorithm differs in low-order bits)."""
+    if n == 0 or s is None or sq is None:
+        return {k: None for k in ("var_pop", "var_samp", "stddev_pop", "stddev_samp")}
+    mean = s / n
+    m2 = max(sq - n * mean * mean, 0.0)  # Σ(x−mean)²
+    var_pop = m2 / n
+    out = {"var_pop": var_pop, "stddev_pop": var_pop**0.5}
+    if n >= 2:
+        var_samp = m2 / (n - 1)
+        out["var_samp"] = var_samp
+        out["stddev_samp"] = var_samp**0.5
+    else:
+        out["var_samp"] = None
+        out["stddev_samp"] = None
+    return out
+
+
 @dataclass
 class WheelIndex:
     """One wheel: partial aggregates per occupied epoch-second bucket.
@@ -83,6 +106,10 @@ class WheelIndex:
     sum_: np.ndarray | None = None
     min_: np.ndarray | None = None
     max_: np.ndarray | None = None
+    #: Sum-of-squares state (optional: absent on wheels persisted before it
+    #: existed) — derives VAR/STDDEV at lookup. The extension-point analogue
+    #: of the reference's custom ``Aggregator`` impls (aggregator/mod.rs).
+    sumsq_: np.ndarray | None = None
     min_ts_us: int = 0
     max_ts_us: int = -1
     #: True when built over the *whole* table (no ``time_range`` restriction):
@@ -177,12 +204,15 @@ class WheelIndex:
         if self.sum_ is not None:
             if n == 0:
                 out.update({"sum": None, "min": None, "max": None, "avg": None})
+                out.update(_variance_states(None, None, 0))
             else:
                 s = float(np.sum(self.sum_[i:j]))
                 out["sum"] = s
                 out["min"] = float(np.min(self.min_[i:j]))
                 out["max"] = float(np.max(self.max_[i:j]))
                 out["avg"] = s / n
+                sq = float(np.sum(self.sumsq_[i:j])) if self.sumsq_ is not None else None
+                out.update(_variance_states(s, sq, n))
         return out
 
     def landmark(self) -> dict[str, Any]:
@@ -194,6 +224,7 @@ class WheelIndex:
             if self.sum_ is not None:
                 if n == 0:
                     lm.update({"sum": None, "min": None, "max": None, "avg": None})
+                    lm.update(_variance_states(None, None, 0))
                 else:
                     s = float(np.sum(self.sum_))
                     lm.update(
@@ -204,6 +235,8 @@ class WheelIndex:
                             "avg": s / n,
                         }
                     )
+                    sq = float(np.sum(self.sumsq_)) if self.sumsq_ is not None else None
+                    lm.update(_variance_states(s, sq, n))
             self._landmark = lm
         return self._landmark
 
@@ -237,20 +270,26 @@ class WheelIndex:
             sums = np.add.reduceat(self.sum_[i:j], seg)
             mins = np.minimum.reduceat(self.min_[i:j], seg)
             maxs = np.maximum.reduceat(self.max_[i:j], seg)
+            sqs = (
+                np.add.reduceat(self.sumsq_[i:j], seg)
+                if self.sumsq_ is not None
+                else None
+            )
             for k in range(keys.size):
                 n = int(counts[k])
-                rows.append(
-                    (
-                        int(keys[k]),
-                        {
-                            "count": n,
-                            "sum": float(sums[k]),
-                            "min": float(mins[k]),
-                            "max": float(maxs[k]),
-                            "avg": float(sums[k]) / n,
-                        },
+                states = {
+                    "count": n,
+                    "sum": float(sums[k]),
+                    "min": float(mins[k]),
+                    "max": float(maxs[k]),
+                    "avg": float(sums[k]) / n,
+                }
+                states.update(
+                    _variance_states(
+                        float(sums[k]), float(sqs[k]) if sqs is not None else None, n
                     )
                 )
+                rows.append((int(keys[k]), states))
         else:
             for k in range(keys.size):
                 rows.append((int(keys[k]), {"count": int(counts[k])}))
@@ -278,6 +317,7 @@ class WheelIndex:
         sum_: np.ndarray | None = None,
         min_: np.ndarray | None = None,
         max_: np.ndarray | None = None,
+        sumsq_: np.ndarray | None = None,
         min_ts_us: int | None = None,
         max_ts_us: int | None = None,
     ) -> None:
@@ -319,6 +359,11 @@ class WheelIndex:
             self.sum_ = scatter(self.sum_, s, 0.0, "add")
             self.min_ = scatter(self.min_, mn, np.inf, "min")
             self.max_ = scatter(self.max_, mx, -np.inf, "max")
+            if self.sumsq_ is not None and sumsq_ is not None:
+                sq = np.asarray(sumsq_, dtype=np.float64)[order]
+                self.sumsq_ = scatter(self.sumsq_, sq, 0.0, "add")
+            else:
+                self.sumsq_ = None  # state lost — stop deriving variance
         was_empty = self.empty
         self.secs = merged_secs
         self.cnt = new_cnt
@@ -334,7 +379,7 @@ class WheelIndex:
     def size_bytes(self) -> int:
         """Analogue of ``BuiltInWheels::size_bytes`` (``wheels.rs:53-75``)."""
         total = self.secs.nbytes + self.cnt.nbytes + self._pcnt.nbytes
-        for a in (self.sum_, self.min_, self.max_):
+        for a in (self.sum_, self.min_, self.max_, self.sumsq_):
             if a is not None:
                 total += a.nbytes
         return total

@@ -54,6 +54,8 @@ def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
                 cols["sum"] = pa.array(np.asarray(w.sum_, dtype=np.float64))
                 cols["min"] = pa.array(np.asarray(w.min_, dtype=np.float64))
                 cols["max"] = pa.array(np.asarray(w.max_, dtype=np.float64))
+                if w.sumsq_ is not None:
+                    cols["sumsq"] = pa.array(np.asarray(w.sumsq_, dtype=np.float64))
             pq.write_table(pa.table(cols), os.path.join(out_dir, fname))
             manifest.append(
                 {
@@ -92,6 +94,7 @@ def load_wheels(in_dir: str) -> dict[str, dict]:
             sum_=t["sum"].to_numpy() if has_states else None,
             min_=t["min"].to_numpy() if has_states else None,
             max_=t["max"].to_numpy() if has_states else None,
+            sumsq_=t["sumsq"].to_numpy() if "sumsq" in t.column_names else None,
             min_ts_us=entry["min_ts_us"],
             max_ts_us=entry["max_ts_us"],
             complete=entry["complete"],

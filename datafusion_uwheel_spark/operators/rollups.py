@@ -74,6 +74,11 @@ def build_wheel_indices(
             F.sum(v).alias(f"__sum_{c}"),
             F.min(v).alias(f"__min_{c}"),
             F.max(v).alias(f"__max_{c}"),
+            # Sum of squares — the extra monoid state that derives
+            # VAR/STDDEV at lookup (the custom-aggregator extension point;
+            # the reference's analogue is a custom uwheel Aggregator impl,
+            # aggregator/mod.rs:5-64).
+            F.sum(v * v).alias(f"__sumsq_{c}"),
         ]
 
     # timestamp → long = floor to epoch seconds (UTC session pinned by the
@@ -109,7 +114,7 @@ def _indices_from_rollup(
         for c in columns:
             out[c] = WheelIndex(
                 table, c, filter_key, empty, empty.copy(),
-                np.empty(0), np.empty(0), np.empty(0),
+                np.empty(0), np.empty(0), np.empty(0), np.empty(0),
                 complete=complete, bucket_seconds=bucket_seconds,
             )
         return out
@@ -137,6 +142,7 @@ def _indices_from_rollup(
             sum_=pdf[f"__sum_{c}"].to_numpy(dtype=np.float64)[order],
             min_=pdf[f"__min_{c}"].to_numpy(dtype=np.float64)[order],
             max_=pdf[f"__max_{c}"].to_numpy(dtype=np.float64)[order],
+            sumsq_=pdf[f"__sumsq_{c}"].to_numpy(dtype=np.float64)[order],
             min_ts_us=min_ts_us,
             max_ts_us=max_ts_us,
             complete=complete,

@@ -65,7 +65,20 @@ class RouteDecision:
         return self.kind != "delegate"
 
 
-_AGG_STATE = {"count": "count", "sum": "sum", "min": "min", "max": "max", "avg": "avg"}
+_AGG_STATE = {
+    "count": "count",
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+    "avg": "avg",
+    # Spark and DuckDB both alias stddev→stddev_samp, variance→var_samp.
+    "stddev": "stddev_samp",
+    "stddev_samp": "stddev_samp",
+    "stddev_pop": "stddev_pop",
+    "variance": "var_samp",
+    "var_samp": "var_samp",
+    "var_pop": "var_pop",
+}
 
 #: Row-count threshold above which constant results fall back to
 #: ``createDataFrame`` (a VALUES SQL string with millions of tuples would

@@ -36,7 +36,21 @@ class ParseError(ValueError):
     """Query is outside the routable grammar — caller must delegate."""
 
 
-AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
+AGG_FUNCS = {
+    "count",
+    "sum",
+    "min",
+    "max",
+    "avg",
+    # Variance family — beyond the reference's Sum/Avg/Min/Max/Count
+    # (index/mod.rs:7-21), derived from the sum-of-squares wheel state.
+    "stddev",
+    "stddev_samp",
+    "stddev_pop",
+    "variance",
+    "var_samp",
+    "var_pop",
+}
 
 _TOKEN_RE = re.compile(
     r"""

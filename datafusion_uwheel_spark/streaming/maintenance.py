@@ -78,6 +78,7 @@ class StreamingWheelMaintainer:
                 F.sum(v).alias(f"__sum_{c}"),
                 F.min(v).alias(f"__min_{c}"),
                 F.max(v).alias(f"__max_{c}"),
+                F.sum(v * v).alias(f"__sumsq_{c}"),
             ]
         sec = F.col(tc).cast("long")
         bs = getattr(e, "bucket_seconds", 1)
@@ -117,6 +118,7 @@ class StreamingWheelMaintainer:
                     pdf[f"__sum_{col}"].to_numpy(),
                     pdf[f"__min_{col}"].to_numpy(),
                     pdf[f"__max_{col}"].to_numpy(),
+                    pdf[f"__sumsq_{col}"].to_numpy(),
                     min_ts_us=tmin,
                     max_ts_us=tmax,
                 )

@@ -130,6 +130,16 @@ def test_out_of_range_delegates_when_time_restricted(spark, minimal_agg):
     assert eng.explain_route(sql).kind == "delegate"
 
 
+def test_variance_family_routed(engine):
+    # 1..10: var_pop=8.25, var_samp=55/6, stddev=sqrt(var_samp)
+    sql = f"SELECT VAR_POP(agg_col) AS vp, VARIANCE(agg_col) AS vs, STDDEV(agg_col) AS sd FROM fixture WHERE {RANGE}"
+    row = engine.sql(sql).collect()[0]
+    assert engine.last_route.kind == "multi_agg"
+    assert row["vp"] == pytest.approx(8.25)
+    assert row["vs"] == pytest.approx(55 / 6)
+    assert row["sd"] == pytest.approx((55 / 6) ** 0.5)
+
+
 def test_minute_granularity_engine(spark, sf_small_dir):
     # Coarse-base wheel (60s buckets): 60x smaller driver index; minute-
     # aligned ranges route, second-precision ranges delegate (still correct).

@@ -100,8 +100,10 @@ def test_merge_delta_min_max_and_bounds():
     )
     assert list(w.secs) == [100, 101, 103]
     assert list(w.cnt) == [1, 3, 1]
-    assert w.combine_range(100, 104) == {
-        "count": 5, "sum": 24.0, "min": 1.0, "max": 9.0, "avg": 24.0 / 5
-    }
+    got = w.combine_range(100, 104)
+    want = {"count": 5, "sum": 24.0, "min": 1.0, "max": 9.0, "avg": 24.0 / 5}
+    assert {k: got[k] for k in want} == want
+    # no sumsq state on this wheel → variance family is NULL, not wrong
+    assert got["var_pop"] is None and got["stddev_samp"] is None
     assert w.max_ts_us == 103_500_000
     assert w.count_range(103, 104) == 1
