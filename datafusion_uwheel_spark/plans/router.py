@@ -303,22 +303,29 @@ class Router:
 
     # ------------------------------------------------------------ landmark
     def _try_landmark(self, q, filter_key: str, require_complete: bool = False):
-        """R5: aggregate with no temporal filter — answered from
+        """R5: aggregate(s) with no temporal filter — answered from
         ``landmark()``. The reference guard demands exactly one aggregate and
         no filter at all (``single_aggregate_without_filter``,
-        ``lib.rs:279-281``); we additionally answer purely-keyed landmarks
-        from complete keyed wheels."""
-        if len(q.aggs) != 1:
-            return RouteDecision("delegate", detail={"reason": "multi-agg landmark"}), None
-        agg = q.aggs[0]
-        w = self._resolve_wheel(agg, filter_key)
-        if w is None or (require_complete and not w.complete):
-            return RouteDecision("delegate", detail={"reason": "no index", "fk": filter_key}), None
-        if w.empty and not w.complete:
-            return RouteDecision("delegate", detail={"reason": "empty index"}), None
-        value = w.landmark()[_AGG_STATE[agg.func]]
-        df = self._scalar_result([agg], [value])
-        return RouteDecision("landmark", index_key=w.key, detail={"fk": filter_key}), df
+        ``lib.rs:279-281``); we additionally answer multi-aggregate and
+        purely-keyed landmarks (from complete keyed wheels) — both trivially
+        correct from the same states."""
+        values, wheels = [], []
+        for agg in q.aggs:
+            w = self._resolve_wheel(agg, filter_key)
+            if w is None or (require_complete and not w.complete):
+                return (
+                    RouteDecision("delegate", detail={"reason": "no index", "fk": filter_key}),
+                    None,
+                )
+            if w.empty and not w.complete:
+                return RouteDecision("delegate", detail={"reason": "empty index"}), None
+            values.append(w.landmark()[_AGG_STATE[agg.func]])
+            wheels.append(w)
+        df = self._scalar_result(q.aggs, values)
+        return (
+            RouteDecision("landmark", index_key=wheels[0].key, detail={"fk": filter_key}),
+            df,
+        )
 
     # ------------------------------------------------------------- pruning
     def _try_pruning(self, q, rng, residual):

@@ -101,6 +101,15 @@ def test_landmark_count(engine):
     assert engine.last_route.kind == "landmark"
 
 
+def test_landmark_multi_agg(engine):
+    # widened beyond the reference's single-aggregate landmark guard
+    row = engine.sql(
+        "SELECT COUNT(*) AS c, SUM(agg_col) AS s, AVG(agg_col) AS a FROM fixture"
+    ).collect()[0]
+    assert engine.last_route.kind == "landmark"
+    assert (row["c"], row["s"], row["a"]) == (10, 55.0, 5.5)
+
+
 # ------------------------------------------------------------------ routing
 def test_out_of_range_answered_when_complete(engine):
     # Deliberate deviation from lib.rs:1497-1518: an unrestricted index covers
