@@ -215,6 +215,14 @@ class WheelEngine:
         ``lib.rs:132-135``)."""
         return self.df
 
+    def table_plan(self):
+        """DataFrame-style accelerated entry point (SURVEY.md §3.2):
+        ``engine.table_plan().filter(...).group_by(...).agg(...)`` routes
+        through the same rewrite path as :meth:`sql`."""
+        from .plans.table import WheelTable
+
+        return WheelTable(self)
+
     # -------------------------------------------------------- persistence
     def save_indexes(self, out_dir: str) -> str:
         """Persist every wheel as parquet + manifest (see

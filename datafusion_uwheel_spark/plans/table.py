@@ -1,0 +1,85 @@
+"""DataFrame-style accelerated entry point (SURVEY.md §3.2).
+
+The reference accepts hand-built logical plans through the same optimizer
+pass as SQL (``LogicalPlanBuilder::scan().filter().aggregate().project()`` →
+``ctx.execute_logical_plan``, ``examples/memtable/src/main.rs:47-66``). The
+Spark-first analogue: :class:`WheelTable` records the same plan shape with
+fluent verbs, renders it to the engine's routable SQL dialect, and terminal
+verbs route-or-delegate through the identical :class:`..plans.router.Router`
+path — so DataFrame-style and SQL-style queries can never disagree.
+
+Fragments are SQL expression strings (predicates, aggregate lists) — the
+same grammar :mod:`.sqlparse` accepts; anything outside it simply delegates
+to Spark, exactly like the SQL front door.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..engine import WheelEngine
+
+__all__ = ["WheelTable"]
+
+
+class WheelTable:
+    """Immutable fluent builder over one engine table.
+
+    Example::
+
+        engine.table_plan().filter("ts >= '2024-01-05 00:00:00' AND ts < '2024-01-12 00:00:00'") \
+                           .agg("COUNT(*) AS n")
+    """
+
+    def __init__(
+        self,
+        engine: "WheelEngine",
+        _filters: tuple[str, ...] = (),
+        _group: str | None = None,
+    ):
+        self._engine = engine
+        self._filters = _filters
+        self._group = _group
+
+    # ------------------------------------------------------------- verbs
+    def filter(self, predicate: str) -> "WheelTable":
+        """AND another predicate conjunction (``Filter`` node)."""
+        return WheelTable(self._engine, (*self._filters, predicate), self._group)
+
+    where = filter
+
+    def group_by(self, expr: str) -> "WheelTable":
+        """Group by a ``date_trunc('<gran>', ts)`` expression (the only group
+        shape the index can answer; anything else delegates)."""
+        return WheelTable(self._engine, self._filters, expr)
+
+    groupBy = group_by
+
+    # ---------------------------------------------------------- terminals
+    def _sql(self, select_list: str) -> str:
+        sql = f"SELECT {select_list} FROM {self._engine.name}"
+        if self._filters:
+            sql += " WHERE " + " AND ".join(f"{f}" for f in self._filters)
+        if self._group is not None:
+            sql += f" GROUP BY {self._group}"
+        return sql
+
+    def agg(self, *aggregates: str) -> DataFrame:
+        """Terminal: aggregate expressions (``Aggregate`` + ``Projection``).
+        Group expression (if any) is prepended to the output columns."""
+        select = ", ".join(
+            ([f"{self._group} AS bucket"] if self._group is not None else [])
+            + list(aggregates)
+        )
+        return self._engine.sql(self._sql(select))
+
+    def select_star(self) -> DataFrame:
+        """Terminal: ``SELECT *`` — the pruning-eligible shape (R6/R7)."""
+        return self._engine.sql(self._sql("*"))
+
+    def sql(self, select_list: str) -> str:
+        """The SQL this plan renders to (for tests/explain)."""
+        return self._sql(select_list)
