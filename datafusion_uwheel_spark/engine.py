@@ -67,6 +67,7 @@ class WheelEngine:
         time_range: tuple | None = None,
         load_indexes: str | None = None,
         index_granularity: str = "second",
+        index_backend: str = "driver",
     ):
         self.spark = spark
         self.name = name
@@ -80,6 +81,13 @@ class WheelEngine:
         #: driver-side index 60x/3600x for multi-year tables at the cost of
         #: only routing coarser-aligned ranges (finer queries delegate).
         self.bucket_seconds = GRANULARITY_SECONDS[index_granularity]
+        if index_backend not in {"driver", "spark"}:
+            raise ValueError(f"unknown index backend {index_backend!r}")
+        #: "driver" = numpy arrays on the driver (µs lookups; memory bounded
+        #: by distinct buckets — use time_range / coarser granularity to cap).
+        #: "spark" = rollup cached as a DataFrame (tiny-job lookups ~tens of
+        #: ms; span unbounded — for multi-year second-precision tables).
+        self.index_backend = index_backend
         if isinstance(source, str):
             from .sources import read_parquet
 
@@ -104,6 +112,7 @@ class WheelEngine:
             indices = build_wheel_indices(
                 self.df, name, time_column, list(min_max_columns),
                 time_range=time_range, bucket_seconds=self.bucket_seconds,
+                backend=index_backend,
             )
             #: filter_key → COUNT wheel (unfiltered under ``*_AGG``; keyed
             #: wheels are added by :meth:`build_index`).
@@ -152,6 +161,7 @@ class WheelEngine:
             filter_key=fk,
             time_range=time_range or self._time_range,
             bucket_seconds=self.bucket_seconds,
+            backend=self.index_backend,
         )
         # A keyed/filtered wheel is answerable over the whole *base table*
         # span, not just the span of rows matching the filter: a sub-range
@@ -176,7 +186,7 @@ class WheelEngine:
         """Add a MIN/MAX pruning wheel after construction."""
         indices = build_wheel_indices(
             self.df, self.name, self.time_column, [column],
-            bucket_seconds=self.bucket_seconds,
+            bucket_seconds=self.bucket_seconds, backend=self.index_backend,
         )
         self.min_max_wheels[column] = indices[column]
         return indices[column].key
@@ -228,6 +238,12 @@ class WheelEngine:
         """Persist every wheel as parquet + manifest (see
         :mod:`.operators.persistence`); reload with
         ``WheelEngine(..., load_indexes=out_dir)``."""
+        if self.index_backend != "driver":
+            raise NotImplementedError(
+                "save_indexes supports the driver backend; a spark-backend "
+                "rollup is already a DataFrame — write it with "
+                "wheel.rollup.write.parquet(...)"
+            )
         from .operators.persistence import save_wheels
 
         return save_wheels(

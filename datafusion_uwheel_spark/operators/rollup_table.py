@@ -1,0 +1,192 @@
+"""Spark-backed wheel: the rollup stays a cached DataFrame, not driver numpy.
+
+The driver-side :class:`.lookup.WheelIndex` answers in microseconds but holds
+the whole bucket array in driver memory — bounded by distinct buckets in the
+span (≈31M/year at second granularity). For multi-year second-precision
+tables where even sparse rollups outgrow the driver (and ``time_range`` /
+coarser ``index_granularity`` are unacceptable), this backend keeps the same
+interface while storing the rollup as a **cached, bucket-sorted DataFrame**:
+every lookup is a tiny Spark job over the in-memory columnar cache
+(filter on the sorted bucket key + final aggregate — tens of ms), still
+orders of magnitude cheaper than scanning the base table, and scaling to any
+span a cluster can cache.
+
+Same states, same monoid math, same rewrite-safety gates as the driver wheel
+— the engine chooses per build via ``index_backend="spark"``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timestamps import GRANULARITY_SECONDS, MICROS_PER_SECOND
+
+__all__ = ["SparkRollupWheel"]
+
+
+class SparkRollupWheel:
+    """Wheel with :class:`WheelIndex`-compatible query methods, backed by a
+    cached rollup DataFrame ``(__sec, __cnt, [__sum, __min, __max, __sumsq])``."""
+
+    def __init__(
+        self,
+        rollup: DataFrame,
+        table: str,
+        column: str | None,
+        filter_key: str,
+        min_ts_us: int,
+        max_ts_us: int,
+        complete: bool = False,
+        bucket_seconds: int = 1,
+    ):
+        self.rollup = rollup.persist()
+        self.table = table
+        self.column = column
+        self.filter_key = filter_key
+        self.min_ts_us = min_ts_us
+        self.max_ts_us = max_ts_us
+        self.complete = complete
+        self.bucket_seconds = bucket_seconds
+        self._has_states = "__sum" in rollup.columns
+        self._landmark_cache: dict[str, Any] | None = None
+
+    # ---------------------------------------------------- shared gate logic
+    @property
+    def empty(self) -> bool:
+        return self.max_ts_us < self.min_ts_us
+
+    @property
+    def low_sec(self) -> int:
+        s = self.min_ts_us // MICROS_PER_SECOND
+        return s - (s % self.bucket_seconds)
+
+    @property
+    def high_sec_exclusive(self) -> int:
+        s = self.max_ts_us // MICROS_PER_SECOND
+        return s - (s % self.bucket_seconds) + self.bucket_seconds
+
+    def covers(self, start_sec: int, end_sec: int) -> bool:
+        if start_sec > end_sec:
+            return False
+        if start_sec % self.bucket_seconds or end_sec % self.bucket_seconds:
+            return False
+        if self.complete:
+            return True
+        if self.empty:
+            return False
+        return start_sec >= self.low_sec and end_sec <= self.high_sec_exclusive
+
+    # -------------------------------------------------------------- queries
+    def _range(self, start_sec: int, end_sec: int) -> DataFrame:
+        return self.rollup.filter(
+            (F.col("__sec") >= start_sec) & (F.col("__sec") < end_sec)
+        )
+
+    def _states_row(self, df: DataFrame) -> dict[str, Any]:
+        aggs = [F.sum("__cnt").alias("count")]
+        if self._has_states:
+            aggs += [
+                F.sum("__sum").alias("sum"),
+                F.min("__min").alias("min"),
+                F.max("__max").alias("max"),
+                F.sum("__sumsq").alias("sumsq"),
+            ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        n = int(row["count"] or 0)
+        out: dict[str, Any] = {"count": n}
+        if self._has_states:
+            from .lookup import _variance_states
+
+            if n == 0:
+                out.update({"sum": None, "min": None, "max": None, "avg": None})
+                out.update(_variance_states(None, None, 0))
+            else:
+                s = float(row["sum"])
+                out.update(
+                    {"sum": s, "min": float(row["min"]), "max": float(row["max"]), "avg": s / n}
+                )
+                sq = float(row["sumsq"]) if row["sumsq"] is not None else None
+                out.update(_variance_states(s, sq, n))
+        return out
+
+    def count_range(self, start_sec: int, end_sec: int) -> int | None:
+        if not self.covers(start_sec, end_sec):
+            return None
+        row = self._range(start_sec, end_sec).agg(F.sum("__cnt")).collect()[0][0]
+        return int(row or 0)
+
+    def combine_range(self, start_sec: int, end_sec: int) -> dict[str, Any] | None:
+        if not self.covers(start_sec, end_sec):
+            return None
+        return self._states_row(self._range(start_sec, end_sec))
+
+    def landmark(self) -> dict[str, Any]:
+        if self._landmark_cache is None:
+            self._landmark_cache = self._states_row(self.rollup)
+        return self._landmark_cache
+
+    def group_by(self, start_sec: int, end_sec: int, granularity: str):
+        if granularity not in GRANULARITY_SECONDS:
+            return None
+        gs = GRANULARITY_SECONDS[granularity]
+        if gs % self.bucket_seconds:
+            return None
+        if not self.covers(start_sec, end_sec):
+            return None
+        from .lookup import _variance_states
+
+        key = (F.col("__sec") - (F.col("__sec") % gs)).alias("__bucket")
+        aggs = [F.sum("__cnt").alias("count")]
+        if self._has_states:
+            aggs += [
+                F.sum("__sum").alias("sum"),
+                F.min("__min").alias("min"),
+                F.max("__max").alias("max"),
+                F.sum("__sumsq").alias("sumsq"),
+            ]
+        rows = (
+            self._range(start_sec, end_sec)
+            .groupBy(key)
+            .agg(*aggs)
+            .orderBy("__bucket")
+            .collect()
+        )
+        out = []
+        for r in rows:
+            d = r.asDict()
+            n = int(d["count"])
+            states: dict[str, Any] = {"count": n}
+            if self._has_states:
+                s = float(d["sum"])
+                states.update(
+                    {"sum": s, "min": float(d["min"]), "max": float(d["max"]), "avg": s / n}
+                )
+                sq = float(d["sumsq"]) if d["sumsq"] is not None else None
+                states.update(_variance_states(s, sq, n))
+            out.append((int(d["__bucket"]), states))
+        return out
+
+    def min_max_range(self, start_sec: int, end_sec: int) -> tuple[float, float] | None:
+        if not self._has_states or not self.covers(start_sec, end_sec):
+            return None
+        row = (
+            self._range(start_sec, end_sec)
+            .agg(F.min("__min"), F.max("__max"))
+            .collect()[0]
+        )
+        if row[0] is None:
+            return None
+        return float(row[0]), float(row[1])
+
+    # -------------------------------------------------------- introspection
+    @property
+    def key(self) -> str:
+        col = self.column if self.column is not None else "*"
+        return f"{self.table}.{col}.{self.filter_key}"
+
+    def size_bytes(self) -> int:
+        """Driver footprint is O(1); the rollup lives in executor cache."""
+        return 0

@@ -44,6 +44,7 @@ def build_wheel_indices(
     filter_key: str = STAR_AGGREGATION_ALIAS,
     time_range: tuple | None = None,
     bucket_seconds: int = 1,
+    backend: str = "driver",
 ) -> dict[str | None, WheelIndex]:
     """Build the COUNT wheel plus one value wheel per column in ``columns``,
     all in a single distributed pass.
@@ -52,6 +53,11 @@ def build_wheel_indices(
     makes keyed indices (reference per-index ``with_filter``,
     ``index/mod.rs:34-40``); ``time_range`` restricts the indexed span
     (``builder.rs:177-191``).
+
+    ``backend="driver"`` collects the rollup into numpy (µs lookups, driver
+    memory bounded by distinct buckets); ``backend="spark"`` keeps it as a
+    cached DataFrame (:class:`.rollup_table.SparkRollupWheel` — tiny-job
+    lookups, unbounded span).
     """
     g = df
     if filter_expr is not None:
@@ -88,11 +94,52 @@ def build_wheel_indices(
     if bucket_seconds != 1:
         sec = sec - (sec % bucket_seconds)
     rolled = g.groupBy(sec.alias("__sec")).agg(*aggs)
+    if backend == "spark":
+        return _spark_wheels_from_rollup(
+            rolled, table, columns, filter_key,
+            complete=time_range is None, bucket_seconds=bucket_seconds,
+        )
     pdf = rolled.toPandas()
     return _indices_from_rollup(
         pdf, table, columns, filter_key, complete=time_range is None,
         bucket_seconds=bucket_seconds,
     )
+
+
+def _spark_wheels_from_rollup(
+    rolled: DataFrame,
+    table: str,
+    columns: Sequence[str],
+    filter_key: str,
+    complete: bool,
+    bucket_seconds: int,
+):
+    from .rollup_table import SparkRollupWheel
+
+    rolled = rolled.persist()
+    bounds = rolled.agg(F.min("__tmin"), F.max("__tmax")).collect()[0]
+    if bounds[0] is None:  # empty source
+        min_us, max_us = 0, -1
+    else:
+        min_us, max_us = int(bounds[0]), int(bounds[1])
+    out = {
+        None: SparkRollupWheel(
+            rolled.select("__sec", "__cnt"),
+            table, None, filter_key, min_us, max_us, complete, bucket_seconds,
+        )
+    }
+    for c in columns:
+        out[c] = SparkRollupWheel(
+            rolled.select(
+                "__sec", "__cnt",
+                F.col(f"__sum_{c}").alias("__sum"),
+                F.col(f"__min_{c}").alias("__min"),
+                F.col(f"__max_{c}").alias("__max"),
+                F.col(f"__sumsq_{c}").alias("__sumsq"),
+            ),
+            table, c, filter_key, min_us, max_us, complete, bucket_seconds,
+        )
+    return out
 
 
 def _indices_from_rollup(
