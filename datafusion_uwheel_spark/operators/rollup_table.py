@@ -181,6 +181,37 @@ class SparkRollupWheel:
             return None
         return float(row[0]), float(row[1])
 
+    # -------------------------------------------------------- maintenance
+    def merge_delta_df(
+        self,
+        delta: DataFrame,
+        min_ts_us: int | None = None,
+        max_ts_us: int | None = None,
+    ) -> None:
+        """Merge a same-shaped rollup delta (streaming maintenance for the
+        Spark backend): union + re-aggregate by bucket — the DataFrame
+        spelling of the driver wheel's numpy union+scatter. The new rollup is
+        materialized before the old cache is released."""
+        aggs = [F.sum("__cnt").alias("__cnt")]
+        if self._has_states:
+            aggs += [
+                F.sum("__sum").alias("__sum"),
+                F.min("__min").alias("__min"),
+                F.max("__max").alias("__max"),
+                F.sum("__sumsq").alias("__sumsq"),
+            ]
+        old = self.rollup
+        merged = old.unionByName(delta).groupBy("__sec").agg(*aggs).persist()
+        merged.count()  # materialize before dropping the old cache
+        old.unpersist()
+        self.rollup = merged
+        was_empty = self.empty
+        if min_ts_us is not None:
+            self.min_ts_us = min_ts_us if was_empty else min(self.min_ts_us, min_ts_us)
+        if max_ts_us is not None:
+            self.max_ts_us = max_ts_us if was_empty else max(self.max_ts_us, max_ts_us)
+        self._landmark_cache = None
+
     # -------------------------------------------------------- introspection
     @property
     def key(self) -> str:

@@ -84,18 +84,7 @@ class StreamingWheelMaintainer:
         bs = getattr(e, "bucket_seconds", 1)
         if bs != 1:
             sec = sec - (sec % bs)
-        pdf = (
-            df.select(tc, *cols)
-            .groupBy(sec.alias("__sec"))
-            .agg(*aggs)
-            .toPandas()
-        )
-        if len(pdf) == 0:
-            return
-        secs = pdf["__sec"].to_numpy()
-        cnt = pdf["__cnt"].to_numpy()
-        tmin = int(pdf["__tmin"].min())
-        tmax = int(pdf["__tmax"].max())
+        rolled = df.select(tc, *cols).groupBy(sec.alias("__sec")).agg(*aggs)
 
         targets = []
         cw = e.count_wheels.get(filter_key)
@@ -108,7 +97,39 @@ class StreamingWheelMaintainer:
             mm = e.min_max_wheels.get(c) if filter_key == STAR_AGGREGATION_ALIAS else None
             if mm is not None and mm is not w:
                 targets.append((mm, c))
-        for wheel, col in targets:
+
+        spark_targets = [t for t in targets if hasattr(t[0], "merge_delta_df")]
+        driver_targets = [t for t in targets if not hasattr(t[0], "merge_delta_df")]
+
+        if spark_targets:
+            from ..operators.rollup_table import SparkRollupWheel  # noqa: F401
+
+            bounds = rolled.agg(F.min("__tmin"), F.max("__tmax")).collect()[0]
+            if bounds[0] is not None:
+                tmin_s, tmax_s = int(bounds[0]), int(bounds[1])
+                for wheel, col in spark_targets:
+                    if col is None or not wheel._has_states:
+                        delta = rolled.select("__sec", "__cnt")
+                    else:
+                        delta = rolled.select(
+                            "__sec", "__cnt",
+                            F.col(f"__sum_{col}").alias("__sum"),
+                            F.col(f"__min_{col}").alias("__min"),
+                            F.col(f"__max_{col}").alias("__max"),
+                            F.col(f"__sumsq_{col}").alias("__sumsq"),
+                        )
+                    wheel.merge_delta_df(delta, min_ts_us=tmin_s, max_ts_us=tmax_s)
+
+        if not driver_targets:
+            return
+        pdf = rolled.toPandas()
+        if len(pdf) == 0:
+            return
+        secs = pdf["__sec"].to_numpy()
+        cnt = pdf["__cnt"].to_numpy()
+        tmin = int(pdf["__tmin"].min())
+        tmax = int(pdf["__tmax"].max())
+        for wheel, col in driver_targets:
             if col is None or wheel.sum_ is None:
                 wheel.merge_delta(secs, cnt, min_ts_us=tmin, max_ts_us=tmax)
             else:

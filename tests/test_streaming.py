@@ -86,6 +86,26 @@ def test_stream_merge_keyed_wheel(spark, stream_setup):
     assert df.collect()[0][0] == want
 
 
+def test_stream_merge_spark_backend(spark, tmp_path):
+    # the Spark-backed rollup wheel merges micro-batches as DataFrame unions
+    initial = spark.createDataFrame(rows(0, 10), SCHEMA)
+    eng = WheelEngine(
+        spark, "stream_spk", initial, time_column="ts", index_backend="spark"
+    )
+    eng.build_index("v")
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    spark.createDataFrame(rows(5, 20), SCHEMA).write.mode("append").parquet(str(stream_dir))
+    run_stream(spark, eng, str(stream_dir), str(tmp_path / "ck"))
+
+    rng = "ts >= '2024-05-10 00:00:00' AND ts < '2024-05-10 00:00:20'"
+    assert eng.sql(f"SELECT COUNT(*) AS c FROM stream_spk WHERE {rng}").collect()[0][0] == 25
+    assert eng.last_route.kind == "count_range"
+    want = float(sum(range(1, 11)) + sum(range(6, 21)))
+    assert eng.sql(f"SELECT SUM(v) AS s FROM stream_spk WHERE {rng}").collect()[0][0] == want
+    assert eng.sql("SELECT MAX(v) AS m FROM stream_spk").collect()[0][0] == 20.0
+
+
 def test_merge_delta_min_max_and_bounds():
     w = WheelIndex(
         "t", "v", "*_AGG",
