@@ -183,6 +183,17 @@ def uw_groupby_week(spark, sf_dir):
     )
 
 
+def uw_groupby_month(spark, sf_dir):
+    """Calendar granularity (beyond the reference, which refuses month/year):
+    month boundaries are day-aligned, so second buckets nest exactly."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
+        f"FROM events WHERE ts >= '{WEEK_A}' AND ts < '{WEEK_B}' "
+        "GROUP BY date_trunc('month', ts)"
+    )
+    return _round(df, {"sum_value": 3})
+
+
 def uw_landmark_sum(spark, sf_dir):
     """R5: landmark (no filter) aggregate over all indexed data."""
     df = _engine(spark, sf_dir).sql("SELECT SUM(value) AS sum_value FROM events")
@@ -384,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_groupby_hour": uw_groupby_hour,
         "uw_groupby_minute": uw_groupby_minute,
         "uw_groupby_week": uw_groupby_week,
+        "uw_groupby_month": uw_groupby_month,
         "uw_landmark_sum": uw_landmark_sum,
         "uw_keyed_sum": uw_keyed_sum,
         "uw_keyed_count": uw_keyed_count,
@@ -455,6 +467,11 @@ def oracle_sql() -> dict[str, str]:
         # TIMESTAMP — cast so the driver's schema compare agrees.
         "uw_groupby_week": (
             "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n FROM events "
+            f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
+        ),
+        "uw_groupby_month": (
+            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+            "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
         "uw_landmark_sum": "SELECT round(sum(value), 3) AS sum_value FROM events",

@@ -24,6 +24,7 @@ from datetime import date, datetime, timezone
 __all__ = [
     "GRANULARITY_SECONDS",
     "GRANULARITIES",
+    "CALENDAR_GRANULARITIES",
     "MICROS_PER_SECOND",
     "WEEK_EPOCH_OFFSET_SECONDS",
     "bucket_start_sec",
@@ -50,6 +51,12 @@ GRANULARITY_SECONDS: dict[str, int] = {
 }
 GRANULARITIES = tuple(GRANULARITY_SECONDS)
 
+#: Calendar granularities with variable widths. The reference refuses these
+#: (``lib.rs:348-358`` maps only second..week); we extend: month/year
+#: boundaries are day-aligned, so any wheel whose buckets divide a day can
+#: aggregate into them exactly.
+CALENDAR_GRANULARITIES = ("month", "year")
+
 #: ``date_trunc('week', ts)`` truncates to Monday (both Spark and DuckDB).
 #: The epoch (1970-01-01) is a Thursday; the Monday on/before it is
 #: 1969-12-29 = epoch − 3 days. Week buckets are therefore aligned to
@@ -71,7 +78,20 @@ def bucket_start_sec(sec: int, granularity: str) -> int:
 
 
 def bucket_starts(secs, granularity: str):
-    """Vectorized :func:`bucket_start_sec` over a numpy int array."""
+    """Vectorized :func:`bucket_start_sec` over a numpy int array.
+
+    ``month``/``year`` use numpy's exact UTC calendar truncation
+    (datetime64 unit conversion) — matches Spark/DuckDB ``date_trunc``."""
+    if granularity in CALENDAR_GRANULARITIES:
+        import numpy as np
+
+        unit = "M" if granularity == "month" else "Y"
+        return (
+            secs.astype("datetime64[s]")
+            .astype(f"datetime64[{unit}]")
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
     step = GRANULARITY_SECONDS[granularity]
     if granularity == "week":
         off = WEEK_EPOCH_OFFSET_SECONDS

@@ -40,6 +40,7 @@ from typing import Any
 import numpy as np
 
 from ..functions.timestamps import (
+    CALENDAR_GRANULARITIES,
     GRANULARITY_SECONDS,
     MICROS_PER_SECOND,
     bucket_starts,
@@ -251,10 +252,17 @@ class WheelIndex:
         in ascending bucket order. Segmented numpy reduction — no per-bucket
         Python loop over seconds.
         """
-        if granularity not in GRANULARITY_SECONDS:
+        if granularity in CALENDAR_GRANULARITIES:
+            # month/year boundaries are day-aligned — any bucket width that
+            # divides a day nests exactly (beyond the reference, which
+            # refuses calendar granularities outright, lib.rs:348-358).
+            if 86_400 % self.bucket_seconds:
+                return None
+        elif granularity in GRANULARITY_SECONDS:
+            if GRANULARITY_SECONDS[granularity] % self.bucket_seconds:
+                return None  # coarse wheel can't split its buckets finer
+        else:
             return None
-        if GRANULARITY_SECONDS[granularity] % self.bucket_seconds:
-            return None  # coarse wheel can't split its buckets finer
         if not self.covers(start_sec, end_sec):
             return None
         i, j = self._slice(start_sec, end_sec)

@@ -129,16 +129,35 @@ class SparkRollupWheel:
         return self._landmark_cache
 
     def group_by(self, start_sec: int, end_sec: int, granularity: str):
-        if granularity not in GRANULARITY_SECONDS:
-            return None
-        gs = GRANULARITY_SECONDS[granularity]
-        if gs % self.bucket_seconds:
+        from ..functions.timestamps import (
+            CALENDAR_GRANULARITIES,
+            WEEK_EPOCH_OFFSET_SECONDS,
+        )
+
+        if granularity in CALENDAR_GRANULARITIES:
+            if 86_400 % self.bucket_seconds:
+                return None
+            key = (
+                F.unix_timestamp(
+                    F.date_trunc(granularity, F.timestamp_seconds(F.col("__sec")))
+                )
+            ).alias("__bucket")
+        elif granularity in GRANULARITY_SECONDS:
+            gs = GRANULARITY_SECONDS[granularity]
+            if gs % self.bucket_seconds:
+                return None
+            if granularity == "week":
+                off = WEEK_EPOCH_OFFSET_SECONDS
+                key = (
+                    (F.col("__sec") - off) - ((F.col("__sec") - off) % gs) + off
+                ).alias("__bucket")
+            else:
+                key = (F.col("__sec") - (F.col("__sec") % gs)).alias("__bucket")
+        else:
             return None
         if not self.covers(start_sec, end_sec):
             return None
         from .lookup import _variance_states
-
-        key = (F.col("__sec") - (F.col("__sec") % gs)).alias("__bucket")
         aggs = [F.sum("__cnt").alias("count")]
         if self._has_states:
             aggs += [

@@ -34,7 +34,11 @@ from typing import TYPE_CHECKING, Any
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..functions.timestamps import GRANULARITY_SECONDS, sec_to_datetime
+from ..functions.timestamps import (
+    CALENDAR_GRANULARITIES,
+    GRANULARITY_SECONDS,
+    sec_to_datetime,
+)
 from ..operators.lookup import STAR_AGGREGATION_ALIAS, WheelIndex
 from .predicates import (
     MinMaxPredicate,
@@ -250,7 +254,8 @@ class Router:
     def _try_group_by(self, q, rng, residual):
         e = self.engine
         gb = q.group_by
-        if gb.column != e.time_column or gb.granularity not in GRANULARITY_SECONDS:
+        supported = set(GRANULARITY_SECONDS) | set(CALENDAR_GRANULARITIES)
+        if gb.column != e.time_column or gb.granularity not in supported:
             return RouteDecision("delegate", detail={"reason": "unsupported group expr"}), None
         # The reference's group-by path requires a temporal Filter input
         # (plan shape Projection(Aggregate(Filter)), lib.rs:269-272,333-358).

@@ -38,6 +38,20 @@ QUERIES = [
         + " GROUP BY date_trunc('second', timestamp)",
         "group_by",
     ),
+    (
+        # week buckets are Monday-aligned (date_trunc semantics) — regression
+        # guard for the Spark backend's bucket-key arithmetic
+        "SELECT date_trunc('week', timestamp) AS b, COUNT(*) AS c FROM {t} WHERE "
+        + RANGE
+        + " GROUP BY date_trunc('week', timestamp)",
+        "group_by",
+    ),
+    (
+        "SELECT date_trunc('month', timestamp) AS b, SUM(agg_col) AS s FROM {t} WHERE "
+        + RANGE
+        + " GROUP BY date_trunc('month', timestamp)",
+        "group_by",
+    ),
     ("SELECT SUM(agg_col) AS s FROM {t}", "landmark"),
     ("SELECT * FROM {t} WHERE " + RANGE + " AND agg_col > 99.0", "prune_minmax"),
 ]
