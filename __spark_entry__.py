@@ -284,6 +284,48 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24"""
 
 
+# Relational surface the reference delegates to its host (SURVEY.md §2.2):
+# windows, set ops, subqueries — all stock Catalyst; identical SQL runs on
+# both engines.
+_SQL_WINDOW = """
+SELECT o_orderkey,
+       o_custkey,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 3) AS cust_total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"""
+
+_SQL_SETOP = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders"""
+
+_SQL_SUBQUERY = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')"""
+
+
+def rel_window(spark, sf_dir):
+    """Delegate surface: rank + windowed sum (Catalyst Window exec)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_SQL_WINDOW)
+
+
+def rel_setop(spark, sf_dir):
+    """Delegate surface: EXCEPT (left-anti under the hood)."""
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_SETOP)
+
+
+def rel_subquery(spark, sf_dir):
+    """Delegate surface: scalar + IN subqueries (decorrelated by Catalyst)."""
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_SUBQUERY)
+
+
 def tpch_q1(spark, sf_dir):
     """Delegate path: grouped multi-aggregate scan (Catalyst HashAggregate,
     partial+final; broadcast-free)."""
@@ -406,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": tpch_q1,
         "tpch_q3": tpch_q3,
         "tpch_q6": tpch_q6,
+        "rel_window": rel_window,
+        "rel_setop": rel_setop,
+        "rel_subquery": rel_subquery,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_exact_keep": dedup_exact_keep,
         "dedup_fingerprint": dedup_fingerprint,
@@ -500,6 +545,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _TPCH_Q1,
         "tpch_q3": _TPCH_Q3,
         "tpch_q6": _TPCH_Q6,
+        "rel_window": _SQL_WINDOW,
+        "rel_setop": _SQL_SETOP,
+        "rel_subquery": _SQL_SUBQUERY,
         "dedup_exact_groups": (
             "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id "
             "FROM documents GROUP BY md5(text)"
