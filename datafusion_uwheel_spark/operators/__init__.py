@@ -1,11 +1,18 @@
 """Operators: wheel-index build/lookup plus LLM-data-pipeline transforms."""
 
+from . import dedup, multimodal, similarity, text
 from .lookup import STAR_AGGREGATION_ALIAS, WheelIndex
+from .rollup_table import SparkRollupWheel
 from .rollups import build_wheel_index, build_wheel_indices
 
 __all__ = [
     "WheelIndex",
+    "SparkRollupWheel",
     "STAR_AGGREGATION_ALIAS",
     "build_wheel_index",
     "build_wheel_indices",
+    "dedup",
+    "multimodal",
+    "similarity",
+    "text",
 ]
