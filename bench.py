@@ -100,8 +100,18 @@ def main() -> None:
             df.collect()
             assert eng.last_route.rewritten, eng.last_route
 
-        queries[family] = time_calls(call, len(ranges))
-        log(f"{family}: {queries[family]*1e3:.2f} ms median")
+        times = []
+        for _ in range(len(ranges)):
+            t0 = time.perf_counter()
+            call()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        queries[family] = times[len(times) // 2]
+        queries[f"{family}_p99"] = times[min(len(times) - 1, int(len(times) * 0.99))]
+        log(
+            f"{family}: p50 {queries[family]*1e3:.2f} ms, "
+            f"p99 {queries[f'{family}_p99']*1e3:.2f} ms"
+        )
 
     run_indexed(
         "uw_count_range",

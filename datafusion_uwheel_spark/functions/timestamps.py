@@ -52,10 +52,10 @@ GRANULARITY_SECONDS: dict[str, int] = {
 GRANULARITIES = tuple(GRANULARITY_SECONDS)
 
 #: Calendar granularities with variable widths. The reference refuses these
-#: (``lib.rs:348-358`` maps only second..week); we extend: month/year
-#: boundaries are day-aligned, so any wheel whose buckets divide a day can
-#: aggregate into them exactly.
-CALENDAR_GRANULARITIES = ("month", "year")
+#: (``lib.rs:348-358`` maps only second..week); we extend: month/quarter/
+#: year boundaries are day-aligned, so any wheel whose buckets divide a day
+#: can aggregate into them exactly.
+CALENDAR_GRANULARITIES = ("month", "quarter", "year")
 
 #: ``date_trunc('week', ts)`` truncates to Monday (both Spark and DuckDB).
 #: The epoch (1970-01-01) is a Thursday; the Monday on/before it is
@@ -85,13 +85,13 @@ def bucket_starts(secs, granularity: str):
     if granularity in CALENDAR_GRANULARITIES:
         import numpy as np
 
-        unit = "M" if granularity == "month" else "Y"
-        return (
-            secs.astype("datetime64[s]")
-            .astype(f"datetime64[{unit}]")
-            .astype("datetime64[s]")
-            .astype(np.int64)
-        )
+        months = secs.astype("datetime64[s]").astype("datetime64[M]")
+        if granularity == "quarter":
+            mi = months.astype(np.int64)
+            months = (mi - mi % 3).astype("datetime64[M]")
+        elif granularity == "year":
+            months = months.astype("datetime64[Y]").astype("datetime64[M]")
+        return months.astype("datetime64[s]").astype(np.int64)
     step = GRANULARITY_SECONDS[granularity]
     if granularity == "week":
         off = WEEK_EPOCH_OFFSET_SECONDS
