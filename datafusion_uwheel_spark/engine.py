@@ -104,7 +104,7 @@ class WheelEngine:
             # :mod:`.operators.persistence`).
             from .operators.persistence import load_wheels
 
-            wheels = load_wheels(load_indexes)
+            wheels = load_wheels(load_indexes, spark=spark)
             self.count_wheels = dict(wheels["count"])
             self.min_max_wheels = dict(wheels["min_max"])
             self.agg_wheels = dict(wheels["agg"])
@@ -238,12 +238,6 @@ class WheelEngine:
         """Persist every wheel as parquet + manifest (see
         :mod:`.operators.persistence`); reload with
         ``WheelEngine(..., load_indexes=out_dir)``."""
-        if self.index_backend != "driver":
-            raise NotImplementedError(
-                "save_indexes supports the driver backend; a spark-backend "
-                "rollup is already a DataFrame — write it with "
-                "wheel.rollup.write.parquet(...)"
-            )
         from .operators.persistence import save_wheels
 
         return save_wheels(

@@ -37,31 +37,39 @@ def _wheel_file(i: int) -> str:
 def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
     """Persist ``{"count": {fk: w}, "min_max": {col: w}, "agg": {(col,fk): w}}``.
 
-    Returns the manifest path. Driver-side only — arrays are at most
-    distinct-seconds long."""
+    Returns the manifest path. Driver wheels write single parquet files from
+    their numpy arrays; Spark-backed wheels write their rollup DataFrame as a
+    parquet *directory* (a distributed write — the rollup may exceed driver
+    memory by design)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest: list[dict] = []
     i = 0
     for kind, group in wheels.items():
         for key, w in group.items():
-            fname = _wheel_file(i)
+            backend = "spark" if hasattr(w, "rollup") else "driver"
+            if backend == "spark":
+                fname = f"wheel_{i:04d}"
+                w.rollup.write.mode("overwrite").parquet(os.path.join(out_dir, fname))
+            else:
+                fname = _wheel_file(i)
+                cols: dict[str, pa.Array] = {
+                    "sec": pa.array(np.asarray(w.secs, dtype=np.int64)),
+                    "cnt": pa.array(np.asarray(w.cnt, dtype=np.int64)),
+                }
+                if w.sum_ is not None:
+                    cols["sum"] = pa.array(np.asarray(w.sum_, dtype=np.float64))
+                    cols["min"] = pa.array(np.asarray(w.min_, dtype=np.float64))
+                    cols["max"] = pa.array(np.asarray(w.max_, dtype=np.float64))
+                    if w.sumsq_ is not None:
+                        cols["sumsq"] = pa.array(np.asarray(w.sumsq_, dtype=np.float64))
+                pq.write_table(pa.table(cols), os.path.join(out_dir, fname))
             i += 1
-            cols: dict[str, pa.Array] = {
-                "sec": pa.array(np.asarray(w.secs, dtype=np.int64)),
-                "cnt": pa.array(np.asarray(w.cnt, dtype=np.int64)),
-            }
-            if w.sum_ is not None:
-                cols["sum"] = pa.array(np.asarray(w.sum_, dtype=np.float64))
-                cols["min"] = pa.array(np.asarray(w.min_, dtype=np.float64))
-                cols["max"] = pa.array(np.asarray(w.max_, dtype=np.float64))
-                if w.sumsq_ is not None:
-                    cols["sumsq"] = pa.array(np.asarray(w.sumsq_, dtype=np.float64))
-            pq.write_table(pa.table(cols), os.path.join(out_dir, fname))
             manifest.append(
                 {
                     "kind": kind,
                     "key": list(key) if isinstance(key, tuple) else key,
                     "file": fname,
+                    "backend": backend,
                     "table": w.table,
                     "column": w.column,
                     "filter_key": w.filter_key,
@@ -77,12 +85,31 @@ def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
     return path
 
 
-def load_wheels(in_dir: str) -> dict[str, dict]:
-    """Inverse of :func:`save_wheels`."""
+def load_wheels(in_dir: str, spark=None) -> dict[str, dict]:
+    """Inverse of :func:`save_wheels`. ``spark`` is required when the
+    manifest contains spark-backend wheels."""
     with open(os.path.join(in_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     out: dict[str, dict] = {"count": {}, "min_max": {}, "agg": {}}
     for entry in manifest["wheels"]:
+        key = entry["key"]
+        key = tuple(key) if isinstance(key, list) else key
+        if entry.get("backend") == "spark":
+            if spark is None:
+                raise ValueError("spark session required to load spark-backend wheels")
+            from .rollup_table import SparkRollupWheel
+
+            out[entry["kind"]][key] = SparkRollupWheel(
+                spark.read.parquet(os.path.join(in_dir, entry["file"])),
+                entry["table"],
+                entry["column"],
+                entry["filter_key"],
+                entry["min_ts_us"],
+                entry["max_ts_us"],
+                entry["complete"],
+                entry.get("bucket_seconds", 1),
+            )
+            continue
         t = pq.read_table(os.path.join(in_dir, entry["file"]))
         has_states = "sum" in t.column_names
         w = WheelIndex(
@@ -100,6 +127,5 @@ def load_wheels(in_dir: str) -> dict[str, dict]:
             complete=entry["complete"],
             bucket_seconds=entry.get("bucket_seconds", 1),
         )
-        key = entry["key"]
-        out[entry["kind"]][tuple(key) if isinstance(key, list) else key] = w
+        out[entry["kind"]][key] = w
     return out

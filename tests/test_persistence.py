@@ -43,3 +43,21 @@ def test_round_trip(spark, minimal_agg, tmp_path):
     df = eng2.sql(f"SELECT * FROM persist_tbl WHERE {RANGE} AND agg_col > 99.0")
     assert eng2.last_route.kind == "prune_minmax"
     assert df.collect() == []
+
+
+def test_round_trip_spark_backend(spark, minimal_agg, tmp_path):
+    eng = WheelEngine(
+        spark, "persist_spk", minimal_agg, time_column="timestamp",
+        index_backend="spark",
+    )
+    eng.build_index("agg_col")
+    eng.save_indexes(str(tmp_path / "sidx"))
+
+    eng2 = WheelEngine(
+        spark, "persist_spk", minimal_agg, time_column="timestamp",
+        load_indexes=str(tmp_path / "sidx"), index_backend="spark",
+    )
+    sql = f"SELECT SUM(agg_col) AS s, COUNT(*) AS c FROM persist_spk WHERE {RANGE}"
+    row = eng2.sql(sql).collect()[0]
+    assert eng2.last_route.kind == "multi_agg"
+    assert (row["s"], row["c"]) == (55.0, 10)
