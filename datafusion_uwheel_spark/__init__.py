@@ -13,6 +13,7 @@ adds LLM-data-pipeline operators (dedup, similarity, text analysis,
 multimodal plumbing) designed for 100 TB scale.
 """
 
+from .catalog import WheelCatalog
 from .engine import WheelEngine
 from .operators.lookup import STAR_AGGREGATION_ALIAS, WheelIndex
 from .plans.router import RouteDecision
@@ -20,6 +21,7 @@ from .session import get_spark
 
 __all__ = [
     "WheelEngine",
+    "WheelCatalog",
     "WheelIndex",
     "RouteDecision",
     "STAR_AGGREGATION_ALIAS",

@@ -1,0 +1,53 @@
+"""Multi-table catalog: per-table routing plus cross-table delegation."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from datafusion_uwheel_spark.catalog import WheelCatalog
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, minimal_agg):
+    cat = WheelCatalog(spark)
+    cat.register("cat_a", minimal_agg, time_column="timestamp").build_index("agg_col")
+    rows = [
+        (datetime(2024, 5, 10, 0, 0, 0) + timedelta(seconds=i), float(100 + i))
+        for i in range(20)
+    ]
+    other = spark.createDataFrame(rows, "ts timestamp, price double")
+    cat.register("cat_b", other, time_column="ts").build_index("price")
+    return cat
+
+
+RANGE_A = "timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10'"
+RANGE_B = "ts >= '2024-05-10 00:00:00' AND ts < '2024-05-10 00:00:20'"
+
+
+def test_routes_to_owning_engine(catalog):
+    assert catalog.sql(f"SELECT SUM(agg_col) AS s FROM cat_a WHERE {RANGE_A}").collect()[0][0] == 55.0
+    assert catalog.last_route.kind == "single_agg"
+    assert catalog.sql(f"SELECT COUNT(*) AS c FROM cat_b WHERE {RANGE_B}").collect()[0][0] == 20
+    assert catalog.last_route.kind == "count_range"
+    assert catalog.sql("SELECT MIN(price) AS m FROM cat_b").collect()[0][0] == 100.0
+    assert catalog.last_route.kind == "landmark"
+
+
+def test_unregistered_and_join_delegate(catalog):
+    n = catalog.sql(
+        "SELECT COUNT(*) AS c FROM cat_a JOIN cat_b ON cat_a.timestamp = cat_b.ts"
+    ).collect()[0][0]
+    assert catalog.last_route.kind == "delegate"
+    assert n == 10  # the ten shared seconds
+    catalog.spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("cat_other")
+    assert catalog.sql("SELECT COUNT(*) AS c FROM cat_other").collect()[0][0] == 1
+    assert catalog.last_route.kind == "delegate"
+
+
+def test_usage_accumulates(catalog):
+    assert catalog.index_usage_bytes() > 0
+    assert catalog.index_usage_bytes() == sum(
+        e.index_usage_bytes() for e in catalog.engines.values()
+    )
