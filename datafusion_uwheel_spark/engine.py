@@ -128,6 +128,10 @@ class WheelEngine:
         self.router = Router(self)
         self.last_route: RouteDecision | None = None
         self._time_range = time_range
+        #: Bumped whenever any wheel's contents change (build_index,
+        #: streaming merges) — invalidates the routed-answer cache.
+        self.index_epoch = 0
+        self._route_cache: dict[str, tuple[int, RouteDecision, DataFrame]] = {}
 
     # -------------------------------------------------------------- builds
     def build_index(
@@ -180,6 +184,7 @@ class WheelEngine:
         self.count_wheels.setdefault(fk, indices[None])
         wheel = indices[column]
         self.agg_wheels[(column, fk)] = wheel
+        self.index_epoch += 1
         return wheel.key
 
     def build_min_max_index(self, column: str) -> str:
@@ -199,7 +204,16 @@ class WheelEngine:
         wheel lookup — no Spark job runs. Otherwise the untouched SQL goes to
         ``spark.sql`` (full Catalyst surface). ``self.last_route`` records
         the decision for tests and benchmarks.
+
+        Routed answers are memoized per query string until any index mutates
+        (``index_epoch``): repeated dashboard-style queries skip even the
+        constant-plan construction. Delegated queries are never cached — the
+        underlying table may change outside the engine's view.
         """
+        cached = self._route_cache.get(query)
+        if cached is not None and cached[0] == self.index_epoch:
+            self.last_route = cached[1]
+            return cached[2]
         try:
             parsed = parse_select(query)
         except ParseError as err:
@@ -208,6 +222,9 @@ class WheelEngine:
         decision, df = self.router.try_rewrite(parsed)
         self.last_route = decision
         if df is not None:
+            if len(self._route_cache) > 512:
+                self._route_cache.clear()
+            self._route_cache[query] = (self.index_epoch, decision, df)
             return df
         return self.spark.sql(query)
 

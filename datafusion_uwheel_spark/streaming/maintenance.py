@@ -63,6 +63,8 @@ class StreamingWheelMaintainer:
         for fk, predicate in self.filters.items():
             cols = [c for (c, k) in self.engine.agg_wheels if k == fk]
             self._merge_into(batch_df.filter(predicate), fk, cols)
+        # invalidate memoized routed answers — indices just changed
+        self.engine.index_epoch += 1
 
     def _merge_into(self, df: DataFrame, filter_key: str, cols: list[str]) -> None:
         e = self.engine

@@ -139,6 +139,27 @@ def test_out_of_range_delegates_when_time_restricted(spark, minimal_agg):
     assert eng.explain_route(sql).kind == "delegate"
 
 
+def test_route_cache_hits_and_invalidates(spark, minimal_agg):
+    import numpy as np
+
+    eng = WheelEngine(spark, "fixture_rc", minimal_agg, time_column="timestamp")
+    eng.build_index("agg_col")
+    sql = "SELECT SUM(agg_col) AS s FROM fixture_rc WHERE timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10'"
+    df1 = eng.sql(sql)
+    df2 = eng.sql(sql)
+    assert df2 is df1  # memoized routed answer
+    # mutate the index (late row at an occupied second) → cache invalidated
+    w = eng.agg_wheels[("agg_col", "*_AGG")]
+    w.merge_delta(
+        np.array([w.secs[0]]), np.array([1]),
+        np.array([100.0]), np.array([100.0]), np.array([100.0]), np.array([10000.0]),
+    )
+    eng.index_epoch += 1
+    df3 = eng.sql(sql)
+    assert df3 is not df1
+    assert df3.collect()[0][0] == 155.0
+
+
 def test_variance_family_routed(engine):
     # 1..10: var_pop=8.25, var_samp=55/6, stddev=sqrt(var_samp)
     sql = f"SELECT VAR_POP(agg_col) AS vp, VARIANCE(agg_col) AS vs, STDDEV(agg_col) AS sd FROM fixture WHERE {RANGE}"
