@@ -209,6 +209,20 @@ def uw_keyed_sum(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
+def uw_keyed_numeric(spark, sf_dir):
+    """Keyed wheel with a *numeric* equality filter — exercises the
+    canonical number rendering in filter-key matching (the reference matches
+    `passenger_count = 3.0` style keys, lib.rs:164-173)."""
+    eng = _engine(spark, sf_dir)
+    if ("value", "user_id = 7.0") not in eng.agg_wheels:
+        eng.build_index("value", filter="user_id = 7")
+    df = eng.sql(
+        "SELECT SUM(value) AS sum_value, COUNT(*) AS n FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}' AND user_id = 7"
+    )
+    return _round(df, {"sum_value": 3})
+
+
 def uw_keyed_count(spark, sf_dir):
     return _engine(spark, sf_dir).sql(
         "SELECT COUNT(*) AS n FROM events "
@@ -441,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_landmark_sum": uw_landmark_sum,
         "uw_keyed_sum": uw_keyed_sum,
         "uw_keyed_count": uw_keyed_count,
+        "uw_keyed_numeric": uw_keyed_numeric,
         "uw_keyed_landmark": uw_keyed_landmark,
         "uw_prune_count": uw_prune_count,
         "uw_prune_minmax": uw_prune_minmax,
@@ -527,6 +542,10 @@ def oracle_sql() -> dict[str, str]:
         "uw_keyed_count": (
             "SELECT count(*) AS n FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND event_type = 'click'"
+        ),
+        "uw_keyed_numeric": (
+            "SELECT round(sum(value), 3) AS sum_value, count(*) AS n FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND user_id = 7"
         ),
         "uw_keyed_landmark": (
             "SELECT round(sum(value), 3) AS sum_value FROM events WHERE event_type = 'click'"

@@ -219,6 +219,14 @@ def main() -> None:
         "sim_ann_lsh",
         lambda: len(similarity.ann_topk(emb, qvec, k=10, bits=4, tables=2).collect()),
     )
+    once(
+        "sim_ivf_topk",
+        lambda: len(similarity.ivf_topk(emb, qvec, k=10, nprobe=2, n_centroids=8).collect()),
+    )
+    once(
+        "sim_embedding_dup_pairs",
+        lambda: similarity.embedding_dup_pairs(emb, threshold=0.4, bits=8, tables=2).count(),
+    )
 
     total = sum(queries.values())
     print(

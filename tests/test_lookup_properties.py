@@ -129,6 +129,35 @@ def test_merge_equals_fresh_build(first, second):
 
 
 @given(
+    secs=st.lists(
+        st.integers(min_value=0, max_value=2_500_000_000), min_size=1, max_size=50
+    ),
+    gran=st.sampled_from(["month", "quarter", "year"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_calendar_buckets_match_python_datetime(secs, gran):
+    from datetime import datetime, timezone
+
+    from datafusion_uwheel_spark.functions.timestamps import bucket_starts
+
+    got = bucket_starts(np.array(secs, dtype=np.int64), gran)
+    for s, b in zip(secs, got):
+        dt = datetime.fromtimestamp(s, tz=timezone.utc)
+        if gran == "month":
+            want = dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        elif gran == "quarter":
+            want = dt.replace(
+                month=(dt.month - 1) // 3 * 3 + 1,
+                day=1, hour=0, minute=0, second=0, microsecond=0,
+            )
+        else:
+            want = dt.replace(
+                month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+            )
+        assert int(b) == int(want.timestamp()), (s, gran)
+
+
+@given(
     events=events_strategy,
     bucket=st.sampled_from([1, 60, 3600]),
     a=st.integers(min_value=-2, max_value=122),
