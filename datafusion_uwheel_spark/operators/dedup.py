@@ -121,6 +121,7 @@ def jaccard_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ ``threshold``.
 
@@ -142,6 +143,24 @@ def jaccard_pairs(
     )
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     posting = sh.select("__id", F.explode("__sh").alias("__h"))
+    if max_doc_frac is not None:
+        # Skew valve for the self-join: a shingle occurring in a large
+        # fraction of documents creates a posting list whose self-join is
+        # quadratic AND lands on one shuffle partition. Dropping
+        # near-universal shingles (boilerplate/stopword n-grams) bounds the
+        # hot key. NOTE: similarity becomes Jaccard over the *filtered*
+        # shingle sets — sizes are recomputed accordingly, so the math stays
+        # internally consistent.
+        n_docs = sh.count()
+        cap = int(n_docs * max_doc_frac)
+        hot = (
+            posting.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > cap)
+            .select("__h")
+        )
+        posting = posting.join(F.broadcast(hot), on="__h", how="anti")
+        sizes = posting.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a = posting.select(F.col("__id").alias("id_a"), "__h")
     b = posting.select(F.col("__id").alias("id_b"), "__h")
     inter = (

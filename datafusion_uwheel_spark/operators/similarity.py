@@ -285,10 +285,18 @@ def embedding_dup_pairs(
     no shared bucket is missed; raise ``tables`` / lower ``bits`` for recall.
     """
     dim = len(df.select(vec_col).head()[0])
-    bucketed = with_lsh_buckets(df, dim, vec_col, bits, tables, seed).select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        *[F.col(f"bucket_{t}") for t in range(tables)],
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    # repartition AFTER computing the buckets: materializes the (tables ×
+    # bits × dim)-fold sign expressions at a shuffle boundary so the
+    # self-join branches reuse the exchange instead of recomputing them.
+    bucketed = (
+        with_lsh_buckets(df.repartition(parts), dim, vec_col, bits, tables, seed)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            *[F.col(f"bucket_{t}") for t in range(tables)],
+        )
+        .repartition(parts)
     )
     pairs = None
     for t in range(tables):

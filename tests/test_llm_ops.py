@@ -69,6 +69,21 @@ def test_jaccard_matches_numpy(docs):
         assert math.isclose(j, want), (a, b)
 
 
+def test_jaccard_hot_shingle_filter(docs):
+    # with a universal-shingle cap, identical docs still pair at 1.0 and no
+    # pair is invented
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    filtered = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.0, max_doc_frac=0.5).collect()
+    }
+    assert set(filtered) <= all_pairs
+    assert filtered.get((1, 2)) == 1.0  # identical docs survive filtering
+
+
 def test_minhash_estimates_jaccard(docs):
     sig = dedup.with_minhash_signature(docs)
     pairs = dedup.lsh_candidate_pairs(sig)
