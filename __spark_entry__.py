@@ -239,6 +239,16 @@ def uw_keyed_landmark(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
+def uw_keyed_groupby(spark, sf_dir):
+    """Keyed wheel + GROUP BY date_trunc — the composite of R4 and R9."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
+        f"FROM events WHERE ts >= '{A}' AND ts < '{B}' AND event_type = 'click' "
+        "GROUP BY date_trunc('day', ts)"
+    )
+    return _round(df, {"sum_value": 3})
+
+
 def uw_prune_count(spark, sf_dir):
     """R6: SELECT * over a provably-empty range → empty relation, no scan."""
     return _engine(spark, sf_dir).sql(
@@ -456,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_keyed_sum": uw_keyed_sum,
         "uw_keyed_count": uw_keyed_count,
         "uw_keyed_numeric": uw_keyed_numeric,
+        "uw_keyed_groupby": uw_keyed_groupby,
         "uw_keyed_landmark": uw_keyed_landmark,
         "uw_prune_count": uw_prune_count,
         "uw_prune_minmax": uw_prune_minmax,
@@ -546,6 +557,12 @@ def oracle_sql() -> dict[str, str]:
         "uw_keyed_numeric": (
             "SELECT round(sum(value), 3) AS sum_value, count(*) AS n FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND user_id = 7"
+        ),
+        "uw_keyed_groupby": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+            "round(sum(value), 3) AS sum_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' "
+            "AND event_type = 'click' GROUP BY 1"
         ),
         "uw_keyed_landmark": (
             "SELECT round(sum(value), 3) AS sum_value FROM events WHERE event_type = 'click'"
