@@ -139,6 +139,51 @@ def test_out_of_range_delegates_when_time_restricted(spark, minimal_agg):
     assert eng.explain_route(sql).kind == "delegate"
 
 
+def test_sensor_shape_multi_minmax_and_time_range(spark):
+    # FIXTURES.md F3: two min/max pruning columns, a time_range-restricted
+    # build, and a keyed filter on a second column — the Builder doctest shape
+    from datetime import datetime, timedelta
+
+    rows = [
+        (
+            datetime(2024, 5, 10, 0, 0, 0) + timedelta(seconds=i),
+            20.0 + i,          # temperature
+            50.0 - i,          # humidity
+            "NY" if i % 2 == 0 else "LA",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp timestamp, temperature double, humidity double, location string"
+    )
+    eng = WheelEngine(
+        spark, "sensor", df, time_column="timestamp",
+        min_max_columns=("temperature", "humidity"),
+    )
+    eng.build_index("temperature", filter="location = 'NY'")
+
+    rng = "timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:20'"
+    # both min/max wheels prune independently
+    assert eng.explain_route(f"SELECT * FROM sensor WHERE {rng} AND temperature > 100.0").kind == "prune_minmax"
+    assert eng.explain_route(f"SELECT * FROM sensor WHERE {rng} AND humidity > 100.0").kind == "prune_minmax"
+    assert eng.explain_route(f"SELECT * FROM sensor WHERE {rng} AND humidity > 40.0").kind == "delegate"
+    # keyed filter on a different column than the aggregate
+    df2 = eng.sql(f"SELECT MAX(temperature) AS m FROM sensor WHERE {rng} AND location = 'NY'")
+    assert eng.last_route.kind == "single_agg"
+    assert df2.collect()[0][0] == 38.0  # i=18 is the last even second
+
+    # time_range-restricted keyed build keeps the strict out-of-range gate
+    eng2 = WheelEngine(
+        spark, "sensor_tr", df, time_column="timestamp",
+        time_range=(datetime(2024, 5, 10, 0, 0, 0), datetime(2024, 5, 10, 0, 0, 10)),
+    )
+    eng2.build_index("temperature")
+    sql = "SELECT SUM(temperature) AS s FROM sensor_tr WHERE timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10'"
+    assert eng2.explain_route(sql).kind == "single_agg"
+    wide = "SELECT SUM(temperature) AS s FROM sensor_tr WHERE timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:01:00'"
+    assert eng2.explain_route(wide).kind == "delegate"
+
+
 def test_route_cache_hits_and_invalidates(spark, minimal_agg):
     import numpy as np
 
