@@ -146,6 +146,21 @@ def main() -> None:
         ),
         ranges_min,
     )
+    run_indexed(
+        "uw_stddev_range",
+        lambda a, b: (
+            f"SELECT STDDEV(value) AS sd FROM events WHERE ts >= '{a}' AND ts < '{b}'"
+        ),
+        ranges_min,
+    )
+    run_indexed(
+        "uw_groupby_month",
+        lambda a, b: (
+            "SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS n "
+            f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('month', ts)"
+        ),
+        ranges_hour,
+    )
 
     # ------------------------------------------- vanilla Spark comparisons
     def run_vanilla(family, sql):

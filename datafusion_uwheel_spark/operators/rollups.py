@@ -116,7 +116,9 @@ def _spark_wheels_from_rollup(
 ):
     from .rollup_table import SparkRollupWheel
 
-    rolled = rolled.persist()
+    # Each wheel persists its own column-pruned projection (count wheel:
+    # 2 columns; value wheels: 6) — persisting the parent here too would
+    # double-cache every rollup row in executor memory.
     bounds = rolled.agg(F.min("__tmin"), F.max("__tmax")).collect()[0]
     if bounds[0] is None:  # empty source
         min_us, max_us = 0, -1
