@@ -214,7 +214,7 @@ def with_ivf_cells(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
-) -> Column | DataFrame:
+) -> DataFrame:
     """Append ``cell`` = 1-based index of the max-dot centroid (spherical
     k-means assignment; first-max tiebreak — ``array_position`` returns the
     first occurrence, matching DuckDB ``list_indexof``).

@@ -209,7 +209,15 @@ class Router:
             return e.count_wheels.get(filter_key)
         if agg.arg is None:
             return None
-        return e.agg_wheels.get((agg.arg, filter_key))
+        w = e.agg_wheels.get((agg.arg, filter_key))
+        if w is None:
+            # Catalyst resolves columns case-insensitively; match it so
+            # SUM(VALUE) finds the index built on "value".
+            lowered = agg.arg.lower()
+            for (col, fk), cand in e.agg_wheels.items():
+                if fk == filter_key and col.lower() == lowered:
+                    return cand
+        return w
 
     def _constant_relation(
         self, names: list[str], sql_types: list[str], rows: list[tuple]

@@ -295,6 +295,12 @@ def test_unknown_table_delegates(engine, spark, minimal_agg):
     assert run1(engine, sql) == 10
 
 
+def test_case_insensitive_column_resolution(engine):
+    sql = f"SELECT SUM(AGG_COL) AS s FROM fixture WHERE {RANGE}"
+    assert engine.explain_route(sql).kind == "single_agg"
+    assert run1(engine, sql) == 55.0
+
+
 def test_no_index_for_column_delegates(engine):
     sql = f"SELECT SUM(timestamp) AS s FROM fixture WHERE {RANGE}"
     assert engine.explain_route(sql).kind == "delegate"
