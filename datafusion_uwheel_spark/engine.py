@@ -282,6 +282,47 @@ class WheelEngine:
                 total += w.size_bytes()
         return total
 
+    def list_indexes(self) -> list[dict]:
+        """Metadata for every wheel: identity, span, size — the analogue of
+        iterating ``BuiltInWheels`` (``wheels.rs:19-76``)."""
+        out = []
+        seen: set[int] = set()
+        for kind, group in (
+            ("count", self.count_wheels),
+            ("min_max", self.min_max_wheels),
+            ("agg", self.agg_wheels),
+        ):
+            for w in group.values():
+                if id(w) in seen:
+                    continue
+                seen.add(id(w))
+                out.append(
+                    {
+                        "kind": kind,
+                        "key": w.key,
+                        "column": w.column,
+                        "filter": w.filter_key,
+                        "bucket_seconds": w.bucket_seconds,
+                        "complete": w.complete,
+                        "min_ts_us": w.min_ts_us,
+                        "max_ts_us": w.max_ts_us,
+                        "size_bytes": w.size_bytes(),
+                    }
+                )
+        return sorted(out, key=lambda d: d["key"])
+
+    def drop_index(self, column: str, filter: str | None = None) -> bool:
+        """Remove an aggregate wheel (and bump the epoch so cached routed
+        answers can't serve from it). Returns whether anything was dropped."""
+        if filter is not None:
+            fk = canonical_filter_key(parse_conjunction(filter))
+        else:
+            fk = STAR_AGGREGATION_ALIAS
+        dropped = self.agg_wheels.pop((column, fk), None)
+        if dropped is not None:
+            self.index_epoch += 1
+        return dropped is not None
+
     def index_keys(self) -> list[str]:
         return sorted(
             {w.key for w in self.count_wheels.values()}

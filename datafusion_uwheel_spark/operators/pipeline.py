@@ -1,0 +1,79 @@
+"""Training-data curation pipeline: compose the LLM-data operators.
+
+The individual operators (:mod:`.dedup`, :mod:`.text`, :mod:`.similarity`)
+are DataFrame→DataFrame transforms; this module chains them into the shape a
+real curation run takes — annotate, filter, dedup — as one lazy Spark plan
+(no materialization between steps; Catalyst fuses the projections).
+
+Everything stays declarative: the returned DataFrame can be written
+partitioned, sampled, or joined downstream like any other.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup
+from . import text as text_ops
+
+__all__ = ["curate", "quality_filter", "lang_filter", "length_filter"]
+
+
+def quality_filter(min_score: float = 0.5) -> Callable[[DataFrame], DataFrame]:
+    """Keep rows whose composite quality score clears ``min_score``
+    (annotates via :func:`..operators.text.with_quality` if needed)."""
+
+    def step(df: DataFrame) -> DataFrame:
+        if "quality_score" not in df.columns:
+            df = text_ops.with_quality(df)
+        return df.filter(F.col("quality_score") >= min_score)
+
+    return step
+
+
+def lang_filter(langs: Sequence[str] = ("en",)) -> Callable[[DataFrame], DataFrame]:
+    """Keep rows whose predicted language is in ``langs``."""
+
+    def step(df: DataFrame) -> DataFrame:
+        if "lang_pred" not in df.columns:
+            df = text_ops.with_lang_id(df)
+        return df.filter(F.col("lang_pred").isin(list(langs)))
+
+    return step
+
+
+def length_filter(
+    min_tokens: int = 1, max_tokens: int | None = None
+) -> Callable[[DataFrame], DataFrame]:
+    def step(df: DataFrame) -> DataFrame:
+        if "n_tokens" not in df.columns:
+            df = text_ops.with_token_stats(df)
+        out = df.filter(F.col("n_tokens") >= min_tokens)
+        if max_tokens is not None:
+            out = out.filter(F.col("n_tokens") <= max_tokens)
+        return out
+
+    return step
+
+
+def curate(
+    df: DataFrame,
+    steps: Sequence[Callable[[DataFrame], DataFrame]] = (),
+    exact_dedup: bool = True,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run a curation pipeline: optional exact dedup first (cheapest volume
+    reduction), then each annotate/filter step in order.
+
+    ``steps`` entries are ``DataFrame -> DataFrame`` callables — use the
+    factories above or any custom transform (e.g. a MinHash near-dup pass
+    via :func:`..operators.dedup.lsh_candidate_pairs` keyed to drop
+    ``id_b``)."""
+    out = dedup.dedup_exact(df, text=text, id_col=id_col) if exact_dedup else df
+    for step in steps:
+        out = step(out)
+    return out
