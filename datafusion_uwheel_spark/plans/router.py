@@ -374,6 +374,19 @@ class Router:
                 )
             return RouteDecision("delegate", detail={"reason": "rows exist", "count": n}), None
 
+        # Keyed count pruning (beyond the reference): a registered keyed
+        # wheel proving zero matching rows in the range prunes the scan even
+        # when the residual isn't a numeric min/max predicate.
+        fk = canonical_filter_key(residual)
+        keyed_cw = e.count_wheels.get(fk)
+        if keyed_cw is not None:
+            n = keyed_cw.count_range(rng.start_sec, rng.end_sec)
+            if n == 0:
+                return (
+                    RouteDecision("prune_count", index_key=keyed_cw.key, detail={"fk": fk}),
+                    self._empty_table(),
+                )
+
         pred = extract_min_max_predicate(residual)
         if pred is None or len(residual) != 1:
             return RouteDecision("delegate", detail={"reason": "residual not prunable"}), None

@@ -295,6 +295,22 @@ def test_unknown_table_delegates(engine, spark, minimal_agg):
     assert run1(engine, sql) == 10
 
 
+def test_keyed_count_pruning(spark, minimal_agg):
+    # SELECT * with a registered keyed filter proving zero rows in range →
+    # pruned without a scan (beyond the reference's numeric-only pruning)
+    eng = WheelEngine(spark, "fixture_kcp", minimal_agg, time_column="timestamp")
+    eng.build_index("agg_col", filter="agg_col >= 5.0")
+    empty_rng = "timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:04'"
+    sql = f"SELECT * FROM fixture_kcp WHERE {empty_rng} AND agg_col >= 5.0"
+    assert eng.explain_route(sql).kind == "prune_count"
+    assert eng.sql(sql).collect() == []
+    # rows exist later in the range → not provably empty → delegate
+    full_rng = "timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10'"
+    sql2 = f"SELECT * FROM fixture_kcp WHERE {full_rng} AND agg_col >= 5.0"
+    assert eng.explain_route(sql2).kind == "delegate"
+    assert len(eng.sql(sql2).collect()) == 6
+
+
 def test_case_insensitive_column_resolution(engine):
     sql = f"SELECT SUM(AGG_COL) AS s FROM fixture WHERE {RANGE}"
     assert engine.explain_route(sql).kind == "single_agg"
