@@ -139,16 +139,23 @@ class WheelEngine:
         column: str,
         filter: str | None = None,
         time_range: tuple | None = None,
+        aggs: tuple[str, ...] | None = None,
     ) -> str:
-        """Build an aggregate wheel for ``column`` (all of SUM/AVG/MIN/MAX
-        states in one pass — the reference's ``UWheelAggregate::All`` build,
-        ``lib.rs:224-235``, which subsumes the per-aggregate variants).
+        """Build an aggregate wheel for ``column``. By default all states are
+        built in one pass (the reference's ``UWheelAggregate::All`` build,
+        ``lib.rs:224-235``); ``aggs=("sum", "count")`` restricts to the
+        states those aggregates need (the per-aggregate ``UWheelAggregate``
+        variants, ``index/mod.rs:7-21``) — ~3× smaller driver/cache footprint
+        when only SUM or COUNT is served. Queries needing an unbuilt state
+        delegate.
 
         ``filter`` is a SQL conjunction string (e.g.
         ``"event_type = 'click'"``) making this a *keyed* index; queries whose
         residual (non-temporal) predicate canonicalizes to the same string are
         answered from it (``lib.rs:310-321``). Returns the index key.
         """
+        from .operators.rollups import physical_states_for
+
         if filter is not None:
             conjuncts = parse_conjunction(filter)
             fk = canonical_filter_key(conjuncts)
@@ -166,6 +173,7 @@ class WheelEngine:
             time_range=time_range or self._time_range,
             bucket_seconds=self.bucket_seconds,
             backend=self.index_backend,
+            states=physical_states_for(aggs),
         )
         # A keyed/filtered wheel is answerable over the whole *base table*
         # span, not just the span of rows matching the filter: a sub-range
@@ -296,6 +304,19 @@ class WheelEngine:
                 if id(w) in seen:
                     continue
                 seen.add(id(w))
+                if hasattr(w, "_state_cols"):  # spark backend
+                    states = tuple(w._state_cols)
+                else:
+                    states = tuple(
+                        s
+                        for s, arr in (
+                            ("sum", w.sum_),
+                            ("min", w.min_),
+                            ("max", w.max_),
+                            ("sumsq", w.sumsq_),
+                        )
+                        if arr is not None
+                    )
                 out.append(
                     {
                         "kind": kind,
@@ -304,6 +325,8 @@ class WheelEngine:
                         "filter": w.filter_key,
                         "bucket_seconds": w.bucket_seconds,
                         "complete": w.complete,
+                        "states": states,
+                        "value_sql_type": getattr(w, "value_sql_type", "DOUBLE"),
                         "min_ts_us": w.min_ts_us,
                         "max_ts_us": w.max_ts_us,
                         "size_bytes": w.size_bytes(),

@@ -22,14 +22,28 @@ never raw rows (SURVEY.md §7.3.5). For multi-year spans, restrict with
 
 Correctness notes:
 
-* AVG state is a ``(sum, count)`` pair, divided only at answer time —
+* AVG state is a ``(sum, non-null count)`` pair, divided only at answer time —
   never an average of averages (reference ``lib.rs:700-703``).
+* **SQL NULL semantics**: every value wheel carries a per-bucket *non-null
+  count* (``vcnt_``) alongside COUNT(*). SUM/MIN/MAX skip NULLs (all-NULL
+  buckets store monoid identities, never NaN), AVG and the variance family
+  divide by the non-null count, and a range whose non-null count is zero
+  answers NULL — exactly what delegated ``spark.sql`` would return. The
+  reference indexes concrete array values so it never faces this divergence.
+* **Integral columns keep int64 states end to end** — SUM/MIN/MAX of a
+  BIGINT/INT column answer as exact integers with the delegate path's own
+  result type (no silent double rounding past 2^53). ``value_sql_type``
+  records the column's SQL type for result literals.
 * COUNT is ``int64`` end to end (the reference keeps ``u32`` wheels and
   emits ``i64``, an overflow hazard at >4.29B rows — SURVEY.md §4.3.3).
 * Range sums use vectorized slice reduction (numpy pairwise summation), not
   prefix-difference, to avoid catastrophic cancellation against the DuckDB
   oracle; COUNT uses an exact integer prefix array (O(1) lookups, the
   analogue of the reference's prefix wheels, ``lib.rs:1085-1087``).
+* State arrays are individually optional (the reference's per-aggregate
+  ``UWheelAggregate`` builds, ``index/mod.rs:7-21``): a SUM-only wheel omits
+  min/max/sumsq arrays and :meth:`combine_range` simply omits those keys —
+  the router delegates aggregates whose state is absent.
 """
 
 from __future__ import annotations
@@ -46,15 +60,23 @@ from ..functions.timestamps import (
     bucket_starts,
 )
 
-__all__ = ["WheelIndex", "STAR_AGGREGATION_ALIAS"]
+__all__ = ["WheelIndex", "STAR_AGGREGATION_ALIAS", "INTEGRAL_SQL_TYPES"]
 
 #: Key suffix for unfiltered indices — mirrors ``STAR_AGGREGATION_ALIAS``
 #: (reference ``lib.rs:70``).
 STAR_AGGREGATION_ALIAS = "*_AGG"
 
+#: SQL types whose wheels keep exact int64 states.
+INTEGRAL_SQL_TYPES = frozenset({"BIGINT", "INT", "SMALLINT", "TINYINT"})
+
+#: Monoid-identity sentinels stored in all-NULL buckets (never returned:
+#: a zero non-null count answers NULL before these are read).
+INT_MIN_IDENTITY = np.iinfo(np.int64).max
+INT_MAX_IDENTITY = np.iinfo(np.int64).min
+
 
 def _variance_states(s: float | None, sq: float | None, n: int) -> dict:
-    """Derived VAR/STDDEV from (sum, sumsq, count) monoid states.
+    """Derived VAR/STDDEV from (sum, sumsq, non-null count) monoid states.
 
     Two-pass formula ``E[x²] − E[x]²`` (clamped at 0 against cancellation);
     SQL semantics: sample variants NULL for n < 2, population variants 0 for
@@ -91,8 +113,17 @@ class WheelIndex:
     secs:
         Sorted distinct epoch-seconds with ≥1 row (``int64``).
     cnt / sum_ / min_ / max_:
-        Per-bucket partial states aligned with ``secs``. ``sum_``/``min_``/
-        ``max_`` are ``None`` for the pure COUNT wheel.
+        Per-bucket partial states aligned with ``secs``. Each value-state
+        array is individually optional (per-aggregate builds); all are
+        ``None`` for the pure COUNT wheel. Arrays are int64 for integral
+        columns, float64 otherwise, and **sanitized**: an all-NULL bucket
+        stores the monoid identity (sum 0, min/max ±sentinel), never NaN.
+    vcnt_:
+        Per-bucket COUNT(column) — non-null values. ``None`` on wheels
+        persisted before NULL tracking existed (those assume no NULLs).
+    value_sql_type:
+        SQL type of the indexed column ("DOUBLE", "BIGINT", ...), used to
+        emit result literals matching the delegate path's schema.
     min_ts_us / max_ts_us:
         Exact data bounds (epoch µs) — the reference's
         ``min_timestamp_ms``/``max_timestamp_ms`` (``lib.rs:84-87``), used to
@@ -108,9 +139,12 @@ class WheelIndex:
     min_: np.ndarray | None = None
     max_: np.ndarray | None = None
     #: Sum-of-squares state (optional: absent on wheels persisted before it
-    #: existed) — derives VAR/STDDEV at lookup. The extension-point analogue
-    #: of the reference's custom ``Aggregator`` impls (aggregator/mod.rs).
+    #: existed, or excluded by a per-aggregate build) — derives VAR/STDDEV at
+    #: lookup. The extension-point analogue of the reference's custom
+    #: ``Aggregator`` impls (aggregator/mod.rs).
     sumsq_: np.ndarray | None = None
+    vcnt_: np.ndarray | None = None
+    value_sql_type: str = "DOUBLE"
     min_ts_us: int = 0
     max_ts_us: int = -1
     #: True when built over the *whole* table (no ``time_range`` restriction):
@@ -126,6 +160,7 @@ class WheelIndex:
     #: tables; the router only routes ranges aligned to this width.
     bucket_seconds: int = 1
     _pcnt: np.ndarray = field(init=False, repr=False, default=None)
+    _pvcnt: np.ndarray | None = field(init=False, repr=False, default=None)
     _landmark: dict[str, Any] | None = field(init=False, repr=False, default=None)
 
     def __post_init__(self) -> None:
@@ -133,6 +168,14 @@ class WheelIndex:
         self.cnt = np.asarray(self.cnt, dtype=np.int64)
         # Exact O(1) COUNT ranges — prefix wheel analogue (lib.rs:1085-1087).
         self._pcnt = np.concatenate([[0], np.cumsum(self.cnt)])
+        self._refresh_pvcnt()
+
+    def _refresh_pvcnt(self) -> None:
+        if self.vcnt_ is not None:
+            self.vcnt_ = np.asarray(self.vcnt_, dtype=np.int64)
+            self._pvcnt = np.concatenate([[0], np.cumsum(self.vcnt_)])
+        else:
+            self._pvcnt = None
 
     # ------------------------------------------------------------------ keys
     @property
@@ -143,6 +186,13 @@ class WheelIndex:
     @property
     def empty(self) -> bool:
         return self.secs.size == 0
+
+    @property
+    def is_integral(self) -> bool:
+        return self.value_sql_type in INTEGRAL_SQL_TYPES
+
+    def _py(self, v) -> int | float:
+        return int(v) if self.is_integral else float(v)
 
     # ------------------------------------------------------- range validity
     @property
@@ -189,56 +239,65 @@ class WheelIndex:
         i, j = self._slice(start_sec, end_sec)
         return int(self._pcnt[j] - self._pcnt[i])
 
+    def _combine_slice(self, i: int, j: int) -> dict[str, Any]:
+        """Combine all *available* states over the bucket slice ``[i, j)``.
+
+        SQL semantics: COUNT(*) counts rows, COUNT(col) counts non-NULL
+        values, value aggregates skip NULLs and answer NULL when no non-NULL
+        value exists. Keys are emitted only for states this wheel carries —
+        the router delegates when a needed key is absent."""
+        n = int(self._pcnt[j] - self._pcnt[i])
+        out: dict[str, Any] = {"count": n}
+        if self._pvcnt is not None:
+            vn = int(self._pvcnt[j] - self._pvcnt[i])
+            out["count_col"] = vn
+        else:
+            vn = n  # legacy wheel: no NULL tracking — assume no NULLs
+        has_values = self.sum_ is not None or self.min_ is not None or self.max_ is not None
+        if not has_values:
+            return out
+        if vn == 0:
+            if self.sum_ is not None:
+                out["sum"] = None
+                out["avg"] = None
+            if self.min_ is not None:
+                out["min"] = None
+            if self.max_ is not None:
+                out["max"] = None
+            if self.sum_ is not None and self.sumsq_ is not None:
+                out.update(_variance_states(None, None, 0))
+            return out
+        s = None
+        if self.sum_ is not None:
+            s = self.sum_[i:j].sum()
+            out["sum"] = self._py(s)
+            out["avg"] = float(s) / vn
+        if self.min_ is not None:
+            out["min"] = self._py(np.min(self.min_[i:j]))
+        if self.max_ is not None:
+            out["max"] = self._py(np.max(self.max_[i:j]))
+        if self.sum_ is not None and self.sumsq_ is not None:
+            out.update(_variance_states(float(s), float(np.sum(self.sumsq_[i:j])), vn))
+        return out
+
     def combine_range(self, start_sec: int, end_sec: int) -> dict[str, Any] | None:
         """All available aggregate states over ``[start, end)``.
 
-        Returns ``{"count": int, "sum": float|None, "min": ..., "max": ...,
-        "avg": ...}`` (value states only when the wheel carries a column);
-        SQL semantics — empty input ⇒ NULL aggregates, COUNT ⇒ 0. Returns
-        ``None`` when the range is not covered (rewrite must fall through).
-        """
+        Returns ``{"count": int, "count_col": int, "sum": ..., "min": ...,
+        "max": ..., "avg": ..., variance family}`` — value keys present only
+        when the wheel carries that state; SQL semantics — no non-NULL input
+        ⇒ NULL aggregates, COUNT ⇒ 0. Returns ``None`` when the range is not
+        covered (rewrite must fall through)."""
         if not self.covers(start_sec, end_sec):
             return None
         i, j = self._slice(start_sec, end_sec)
-        n = int(self._pcnt[j] - self._pcnt[i])
-        out: dict[str, Any] = {"count": n}
-        if self.sum_ is not None:
-            if n == 0:
-                out.update({"sum": None, "min": None, "max": None, "avg": None})
-                out.update(_variance_states(None, None, 0))
-            else:
-                s = float(np.sum(self.sum_[i:j]))
-                out["sum"] = s
-                out["min"] = float(np.min(self.min_[i:j]))
-                out["max"] = float(np.max(self.max_[i:j]))
-                out["avg"] = s / n
-                sq = float(np.sum(self.sumsq_[i:j])) if self.sumsq_ is not None else None
-                out.update(_variance_states(s, sq, n))
-        return out
+        return self._combine_slice(i, j)
 
     def landmark(self) -> dict[str, Any]:
         """Aggregate over *all* indexed data — the reference's ``landmark()``
         path (``lib.rs:690-714``)."""
         if self._landmark is None:
-            n = int(self._pcnt[-1])
-            lm: dict[str, Any] = {"count": n}
-            if self.sum_ is not None:
-                if n == 0:
-                    lm.update({"sum": None, "min": None, "max": None, "avg": None})
-                    lm.update(_variance_states(None, None, 0))
-                else:
-                    s = float(np.sum(self.sum_))
-                    lm.update(
-                        {
-                            "sum": s,
-                            "min": float(np.min(self.min_)),
-                            "max": float(np.max(self.max_)),
-                            "avg": s / n,
-                        }
-                    )
-                    sq = float(np.sum(self.sumsq_)) if self.sumsq_ is not None else None
-                    lm.update(_variance_states(s, sq, n))
-            self._landmark = lm
+            self._landmark = self._combine_slice(0, int(self.secs.size))
         return self._landmark
 
     def group_by(
@@ -273,49 +332,66 @@ class WheelIndex:
         seg = np.flatnonzero(np.r_[True, bucket_ids[1:] != bucket_ids[:-1]])
         keys = bucket_ids[seg]
         counts = np.add.reduceat(self.cnt[i:j], seg)
+        vns = (
+            np.add.reduceat(self.vcnt_[i:j], seg)
+            if self.vcnt_ is not None
+            else counts
+        )
+        sums = np.add.reduceat(self.sum_[i:j], seg) if self.sum_ is not None else None
+        mins = np.minimum.reduceat(self.min_[i:j], seg) if self.min_ is not None else None
+        maxs = np.maximum.reduceat(self.max_[i:j], seg) if self.max_ is not None else None
+        sqs = (
+            np.add.reduceat(self.sumsq_[i:j], seg)
+            if self.sum_ is not None and self.sumsq_ is not None
+            else None
+        )
         rows: list[tuple[int, dict[str, Any]]] = []
-        if self.sum_ is not None:
-            sums = np.add.reduceat(self.sum_[i:j], seg)
-            mins = np.minimum.reduceat(self.min_[i:j], seg)
-            maxs = np.maximum.reduceat(self.max_[i:j], seg)
-            sqs = (
-                np.add.reduceat(self.sumsq_[i:j], seg)
-                if self.sumsq_ is not None
-                else None
-            )
-            for k in range(keys.size):
-                n = int(counts[k])
-                states = {
-                    "count": n,
-                    "sum": float(sums[k]),
-                    "min": float(mins[k]),
-                    "max": float(maxs[k]),
-                    "avg": float(sums[k]) / n,
-                }
+        for k in range(keys.size):
+            n = int(counts[k])
+            vn = int(vns[k])
+            states: dict[str, Any] = {"count": n}
+            if self.vcnt_ is not None:
+                states["count_col"] = vn
+            if sums is not None:
+                if vn == 0:
+                    states["sum"] = None
+                    states["avg"] = None
+                else:
+                    states["sum"] = self._py(sums[k])
+                    states["avg"] = float(sums[k]) / vn
+            if mins is not None:
+                states["min"] = self._py(mins[k]) if vn else None
+            if maxs is not None:
+                states["max"] = self._py(maxs[k]) if vn else None
+            if sqs is not None:
                 states.update(
                     _variance_states(
-                        float(sums[k]), float(sqs[k]) if sqs is not None else None, n
+                        float(sums[k]) if vn else None,
+                        float(sqs[k]) if vn else None,
+                        vn,
                     )
                 )
-                rows.append((int(keys[k]), states))
-        else:
-            for k in range(keys.size):
-                rows.append((int(keys[k]), {"count": int(counts[k])}))
+            rows.append((int(keys[k]), states))
         return rows
 
     # ----------------------------------------------------------- min/max
-    def min_max_range(self, start_sec: int, end_sec: int) -> tuple[float, float] | None:
+    def min_max_range(self, start_sec: int, end_sec: int):
         """(min, max) of the indexed column over the range, for scan pruning
         (reference ``maybe_min_max_filter``, ``lib.rs:621-649``). ``None``
-        when uncovered or when the range holds no rows — note the reference's
+        when uncovered, when the range holds no rows, or when every value in
+        the range is NULL (nothing to bound) — note the reference's
         ``is_empty_range`` treats a zero-row range as prunable via the COUNT
         path, not this one."""
-        if self.min_ is None or not self.covers(start_sec, end_sec):
+        if self.min_ is None or self.max_ is None:
+            return None
+        if not self.covers(start_sec, end_sec):
             return None
         i, j = self._slice(start_sec, end_sec)
         if i == j:
             return None
-        return float(np.min(self.min_[i:j])), float(np.max(self.max_[i:j]))
+        if self._pvcnt is not None and int(self._pvcnt[j] - self._pvcnt[i]) == 0:
+            return None
+        return self._py(np.min(self.min_[i:j])), self._py(np.max(self.max_[i:j]))
 
     # -------------------------------------------------------- maintenance
     def merge_delta(
@@ -326,6 +402,7 @@ class WheelIndex:
         min_: np.ndarray | None = None,
         max_: np.ndarray | None = None,
         sumsq_: np.ndarray | None = None,
+        vcnt_: np.ndarray | None = None,
         min_ts_us: int | None = None,
         max_ts_us: int | None = None,
     ) -> None:
@@ -336,6 +413,10 @@ class WheelIndex:
         SURVEY.md §M7 upgrades that with Structured Streaming). All states
         are commutative monoids (count/sum add, min/max combine), so merges
         are order-independent and late data needs no special casing.
+
+        Incoming value arrays must be **sanitized** the same way builds are
+        (all-NULL buckets as monoid identities, never NaN) — the maintenance
+        module's Arrow path guarantees this.
         """
         secs = np.asarray(secs, dtype=np.int64)
         if secs.size == 0:
@@ -348,7 +429,9 @@ class WheelIndex:
         new_pos = np.searchsorted(merged_secs, secs)
 
         def scatter(old, new, fill, combine):
-            out = np.full(merged_secs.shape, fill, dtype=old.dtype if old is not None else new.dtype)
+            out = np.full(
+                merged_secs.shape, fill, dtype=old.dtype if old is not None else new.dtype
+            )
             if old is not None and old.size:
                 out[old_pos] = old
             if combine == "add":
@@ -360,14 +443,24 @@ class WheelIndex:
             return out
 
         new_cnt = scatter(self.cnt, cnt, 0, "add")
-        if self.sum_ is not None:
-            s = np.asarray(sum_, dtype=np.float64)[order]
-            mn = np.asarray(min_, dtype=np.float64)[order]
-            mx = np.asarray(max_, dtype=np.float64)[order]
-            self.sum_ = scatter(self.sum_, s, 0.0, "add")
-            self.min_ = scatter(self.min_, mn, np.inf, "min")
-            self.max_ = scatter(self.max_, mx, -np.inf, "max")
-            if self.sumsq_ is not None and sumsq_ is not None:
+        if self.vcnt_ is not None:
+            # A delta without NULL tracking assumes no NULLs (vcnt = cnt).
+            vc = cnt if vcnt_ is None else np.asarray(vcnt_, dtype=np.int64)[order]
+            self.vcnt_ = scatter(self.vcnt_, vc, 0, "add")
+        vdtype = np.int64 if self.is_integral else np.float64
+        min_fill = INT_MIN_IDENTITY if self.is_integral else np.inf
+        max_fill = INT_MAX_IDENTITY if self.is_integral else -np.inf
+        if self.sum_ is not None and sum_ is not None:
+            s = np.asarray(sum_, dtype=vdtype)[order]
+            self.sum_ = scatter(self.sum_, s, vdtype(0), "add")
+        if self.min_ is not None and min_ is not None:
+            mn = np.asarray(min_, dtype=vdtype)[order]
+            self.min_ = scatter(self.min_, mn, min_fill, "min")
+        if self.max_ is not None and max_ is not None:
+            mx = np.asarray(max_, dtype=vdtype)[order]
+            self.max_ = scatter(self.max_, mx, max_fill, "max")
+        if self.sumsq_ is not None:
+            if sumsq_ is not None:
                 sq = np.asarray(sumsq_, dtype=np.float64)[order]
                 self.sumsq_ = scatter(self.sumsq_, sq, 0.0, "add")
             else:
@@ -381,13 +474,14 @@ class WheelIndex:
             self.max_ts_us = max_ts_us if was_empty else max(self.max_ts_us, max_ts_us)
         # Invalidate derived structures.
         self._pcnt = np.concatenate([[0], np.cumsum(self.cnt)])
+        self._refresh_pvcnt()
         self._landmark = None
 
     # ------------------------------------------------------- introspection
     def size_bytes(self) -> int:
         """Analogue of ``BuiltInWheels::size_bytes`` (``wheels.rs:53-75``)."""
         total = self.secs.nbytes + self.cnt.nbytes + self._pcnt.nbytes
-        for a in (self.sum_, self.min_, self.max_, self.sumsq_):
+        for a in (self.sum_, self.min_, self.max_, self.sumsq_, self.vcnt_):
             if a is not None:
                 total += a.nbytes
         return total

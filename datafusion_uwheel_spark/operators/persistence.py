@@ -52,16 +52,21 @@ def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
                 w.rollup.write.mode("overwrite").parquet(os.path.join(out_dir, fname))
             else:
                 fname = _wheel_file(i)
+                # Native dtypes preserved: int64 states of integral columns
+                # round-trip exactly (no float coercion past 2^53).
                 cols: dict[str, pa.Array] = {
                     "sec": pa.array(np.asarray(w.secs, dtype=np.int64)),
                     "cnt": pa.array(np.asarray(w.cnt, dtype=np.int64)),
                 }
-                if w.sum_ is not None:
-                    cols["sum"] = pa.array(np.asarray(w.sum_, dtype=np.float64))
-                    cols["min"] = pa.array(np.asarray(w.min_, dtype=np.float64))
-                    cols["max"] = pa.array(np.asarray(w.max_, dtype=np.float64))
-                    if w.sumsq_ is not None:
-                        cols["sumsq"] = pa.array(np.asarray(w.sumsq_, dtype=np.float64))
+                for name, arr in (
+                    ("sum", w.sum_),
+                    ("min", w.min_),
+                    ("max", w.max_),
+                    ("sumsq", w.sumsq_),
+                    ("vcnt", w.vcnt_),
+                ):
+                    if arr is not None:
+                        cols[name] = pa.array(np.asarray(arr))
                 pq.write_table(pa.table(cols), os.path.join(out_dir, fname))
             i += 1
             manifest.append(
@@ -73,6 +78,7 @@ def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
                     "table": w.table,
                     "column": w.column,
                     "filter_key": w.filter_key,
+                    "value_sql_type": getattr(w, "value_sql_type", "DOUBLE"),
                     "min_ts_us": w.min_ts_us,
                     "max_ts_us": w.max_ts_us,
                     "complete": w.complete,
@@ -108,20 +114,26 @@ def load_wheels(in_dir: str, spark=None) -> dict[str, dict]:
                 entry["max_ts_us"],
                 entry["complete"],
                 entry.get("bucket_seconds", 1),
+                value_sql_type=entry.get("value_sql_type", "DOUBLE"),
             )
             continue
         t = pq.read_table(os.path.join(in_dir, entry["file"]))
-        has_states = "sum" in t.column_names
+
+        def col(name):
+            return t[name].to_numpy() if name in t.column_names else None
+
         w = WheelIndex(
             entry["table"],
             entry["column"],
             entry["filter_key"],
             t["sec"].to_numpy(),
             t["cnt"].to_numpy(),
-            sum_=t["sum"].to_numpy() if has_states else None,
-            min_=t["min"].to_numpy() if has_states else None,
-            max_=t["max"].to_numpy() if has_states else None,
-            sumsq_=t["sumsq"].to_numpy() if "sumsq" in t.column_names else None,
+            sum_=col("sum"),
+            min_=col("min"),
+            max_=col("max"),
+            sumsq_=col("sumsq"),
+            vcnt_=col("vcnt"),
+            value_sql_type=entry.get("value_sql_type", "DOUBLE"),
             min_ts_us=entry["min_ts_us"],
             max_ts_us=entry["max_ts_us"],
             complete=entry["complete"],

@@ -12,7 +12,10 @@ orders of magnitude cheaper than scanning the base table, and scaling to any
 span a cluster can cache.
 
 Same states, same monoid math, same rewrite-safety gates as the driver wheel
-— the engine chooses per build via ``index_backend="spark"``.
+— the engine chooses per build via ``index_backend="spark"``. NULL semantics
+come for free here: all-NULL buckets store SQL NULL states and Spark's own
+re-aggregation skips them; the non-null count column (``__vcnt``) supplies
+the AVG/variance denominator, exactly as the driver wheel's ``vcnt_``.
 """
 
 from __future__ import annotations
@@ -23,13 +26,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.timestamps import GRANULARITY_SECONDS, MICROS_PER_SECOND
+from .lookup import INTEGRAL_SQL_TYPES
 
 __all__ = ["SparkRollupWheel"]
 
 
 class SparkRollupWheel:
     """Wheel with :class:`WheelIndex`-compatible query methods, backed by a
-    cached rollup DataFrame ``(__sec, __cnt, [__sum, __min, __max, __sumsq])``."""
+    cached rollup DataFrame ``(__sec, __cnt[, __vcnt, __sum, __min, __max,
+    __sumsq])`` — state columns individually optional (per-aggregate builds)."""
 
     def __init__(
         self,
@@ -41,6 +46,7 @@ class SparkRollupWheel:
         max_ts_us: int,
         complete: bool = False,
         bucket_seconds: int = 1,
+        value_sql_type: str = "DOUBLE",
     ):
         self.rollup = rollup.persist()
         self.table = table
@@ -50,13 +56,24 @@ class SparkRollupWheel:
         self.max_ts_us = max_ts_us
         self.complete = complete
         self.bucket_seconds = bucket_seconds
-        self._has_states = "__sum" in rollup.columns
+        self.value_sql_type = value_sql_type
+        self._state_cols = [
+            s for s in ("sum", "min", "max", "sumsq") if f"__{s}" in rollup.columns
+        ]
+        self._has_vcnt = "__vcnt" in rollup.columns
         self._landmark_cache: dict[str, Any] | None = None
 
     # ---------------------------------------------------- shared gate logic
     @property
     def empty(self) -> bool:
         return self.max_ts_us < self.min_ts_us
+
+    @property
+    def is_integral(self) -> bool:
+        return self.value_sql_type in INTEGRAL_SQL_TYPES
+
+    def _py(self, v):
+        return int(v) if self.is_integral else float(v)
 
     @property
     def low_sec(self) -> int:
@@ -85,32 +102,52 @@ class SparkRollupWheel:
             (F.col("__sec") >= start_sec) & (F.col("__sec") < end_sec)
         )
 
-    def _states_row(self, df: DataFrame) -> dict[str, Any]:
+    def _agg_exprs(self) -> list:
         aggs = [F.sum("__cnt").alias("count")]
-        if self._has_states:
-            aggs += [
-                F.sum("__sum").alias("sum"),
-                F.min("__min").alias("min"),
-                F.max("__max").alias("max"),
-                F.sum("__sumsq").alias("sumsq"),
-            ]
-        row = df.agg(*aggs).collect()[0].asDict()
-        n = int(row["count"] or 0)
-        out: dict[str, Any] = {"count": n}
-        if self._has_states:
-            from .lookup import _variance_states
+        if self._has_vcnt:
+            aggs.append(F.sum("__vcnt").alias("vcnt"))
+        for s in self._state_cols:
+            fn = F.min if s == "min" else (F.max if s == "max" else F.sum)
+            aggs.append(fn(f"__{s}").alias(s))
+        return aggs
 
-            if n == 0:
-                out.update({"sum": None, "min": None, "max": None, "avg": None})
-                out.update(_variance_states(None, None, 0))
-            else:
-                s = float(row["sum"])
-                out.update(
-                    {"sum": s, "min": float(row["min"]), "max": float(row["max"]), "avg": s / n}
+    def _states_from(self, d: dict) -> dict[str, Any]:
+        """Shared post-aggregation state derivation (NULL-correct: vn is the
+        non-null count; Spark's sum/min/max already skipped NULL buckets)."""
+        from .lookup import _variance_states
+
+        n = int(d["count"] or 0)
+        out: dict[str, Any] = {"count": n}
+        if self._has_vcnt:
+            vn = int(d["vcnt"] or 0)
+            out["count_col"] = vn
+        else:
+            vn = n
+        if not self._state_cols:
+            return out
+        s = None
+        if "sum" in self._state_cols:
+            s = d["sum"]
+            out["sum"] = self._py(s) if s is not None and vn else None
+            out["avg"] = float(s) / vn if s is not None and vn else None
+        if "min" in self._state_cols:
+            out["min"] = self._py(d["min"]) if d["min"] is not None and vn else None
+        if "max" in self._state_cols:
+            out["max"] = self._py(d["max"]) if d["max"] is not None and vn else None
+        if "sum" in self._state_cols and "sumsq" in self._state_cols:
+            sq = d["sumsq"]
+            out.update(
+                _variance_states(
+                    float(s) if s is not None else None,
+                    float(sq) if sq is not None else None,
+                    vn,
                 )
-                sq = float(row["sumsq"]) if row["sumsq"] is not None else None
-                out.update(_variance_states(s, sq, n))
+            )
         return out
+
+    def _states_row(self, df: DataFrame) -> dict[str, Any]:
+        row = df.agg(*self._agg_exprs()).collect()[0].asDict()
+        return self._states_from(row)
 
     def count_range(self, start_sec: int, end_sec: int) -> int | None:
         if not self.covers(start_sec, end_sec):
@@ -157,39 +194,19 @@ class SparkRollupWheel:
             return None
         if not self.covers(start_sec, end_sec):
             return None
-        from .lookup import _variance_states
-        aggs = [F.sum("__cnt").alias("count")]
-        if self._has_states:
-            aggs += [
-                F.sum("__sum").alias("sum"),
-                F.min("__min").alias("min"),
-                F.max("__max").alias("max"),
-                F.sum("__sumsq").alias("sumsq"),
-            ]
         rows = (
             self._range(start_sec, end_sec)
             .groupBy(key)
-            .agg(*aggs)
+            .agg(*self._agg_exprs())
             .orderBy("__bucket")
             .collect()
         )
-        out = []
-        for r in rows:
-            d = r.asDict()
-            n = int(d["count"])
-            states: dict[str, Any] = {"count": n}
-            if self._has_states:
-                s = float(d["sum"])
-                states.update(
-                    {"sum": s, "min": float(d["min"]), "max": float(d["max"]), "avg": s / n}
-                )
-                sq = float(d["sumsq"]) if d["sumsq"] is not None else None
-                states.update(_variance_states(s, sq, n))
-            out.append((int(d["__bucket"]), states))
-        return out
+        return [(int(r["__bucket"]), self._states_from(r.asDict())) for r in rows]
 
-    def min_max_range(self, start_sec: int, end_sec: int) -> tuple[float, float] | None:
-        if not self._has_states or not self.covers(start_sec, end_sec):
+    def min_max_range(self, start_sec: int, end_sec: int):
+        if "min" not in self._state_cols or "max" not in self._state_cols:
+            return None
+        if not self.covers(start_sec, end_sec):
             return None
         row = (
             self._range(start_sec, end_sec)
@@ -198,7 +215,7 @@ class SparkRollupWheel:
         )
         if row[0] is None:
             return None
-        return float(row[0]), float(row[1])
+        return self._py(row[0]), self._py(row[1])
 
     # -------------------------------------------------------- maintenance
     def merge_delta_df(
@@ -212,15 +229,18 @@ class SparkRollupWheel:
         spelling of the driver wheel's numpy union+scatter. The new rollup is
         materialized before the old cache is released."""
         aggs = [F.sum("__cnt").alias("__cnt")]
-        if self._has_states:
-            aggs += [
-                F.sum("__sum").alias("__sum"),
-                F.min("__min").alias("__min"),
-                F.max("__max").alias("__max"),
-                F.sum("__sumsq").alias("__sumsq"),
-            ]
+        if self._has_vcnt:
+            aggs.append(F.sum("__vcnt").alias("__vcnt"))
+        for s in self._state_cols:
+            fn = F.min if s == "min" else (F.max if s == "max" else F.sum)
+            aggs.append(fn(f"__{s}").alias(f"__{s}"))
         old = self.rollup
-        merged = old.unionByName(delta).groupBy("__sec").agg(*aggs).persist()
+        merged = (
+            old.unionByName(delta.select(*old.columns))
+            .groupBy("__sec")
+            .agg(*aggs)
+            .persist()
+        )
         merged.count()  # materialize before dropping the old cache
         old.unpersist()
         self.rollup = merged

@@ -19,6 +19,20 @@ states are computed in the same single pass.
 
 Column pruning matters at scale: the job selects only the time column and the
 indexed columns, so the parquet reader never materializes anything else.
+
+Type and NULL fidelity (round-2 hardening):
+
+* Integral columns (BIGINT/INT/SMALLINT/TINYINT) keep **exact int64** states
+  for SUM/MIN/MAX — no double rounding past 2^53; the wheel records the
+  column's SQL type so routed results match the delegate path's schema.
+* Every value wheel also aggregates ``COUNT(col)`` (non-null count) so AVG /
+  variance use the SQL denominator and all-NULL ranges answer NULL.
+* The rollup crosses to the driver as **Arrow** (``DataFrame.toArrow``), and
+  NULL bucket states are filled with monoid identities *in Arrow* — exact
+  int64 round-trip, no pandas NaN-float coercion.
+* Rows whose time column is NULL are excluded: a temporal index only covers
+  timestamped rows (any routed query carries a time predicate, which NULL
+  timestamps can never satisfy).
 """
 
 from __future__ import annotations
@@ -26,13 +40,181 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .lookup import STAR_AGGREGATION_ALIAS, WheelIndex
+from .lookup import (
+    INT_MAX_IDENTITY,
+    INT_MIN_IDENTITY,
+    STAR_AGGREGATION_ALIAS,
+    WheelIndex,
+)
 
-__all__ = ["build_wheel_indices", "build_wheel_index"]
+__all__ = [
+    "build_wheel_indices",
+    "build_wheel_index",
+    "column_sql_type",
+    "state_agg_exprs",
+    "PHYSICAL_STATES",
+    "physical_states_for",
+]
+
+#: Physical per-bucket states a value wheel can carry.
+PHYSICAL_STATES = ("sum", "min", "max", "sumsq")
+
+#: Logical aggregate → physical states it needs (the reference's
+#: ``UWheelAggregate`` variants, ``index/mod.rs:7-21``; ``avg`` is (sum, vcnt)
+#: and the variance family adds sum-of-squares). ``count``/``count_col`` ride
+#: on the always-built cnt/vcnt states.
+_AGG_PHYSICAL = {
+    "count": (),
+    "count_col": (),
+    "sum": ("sum",),
+    "avg": ("sum",),
+    "min": ("min",),
+    "max": ("max",),
+    "stddev": ("sum", "sumsq"),
+    "stddev_samp": ("sum", "sumsq"),
+    "stddev_pop": ("sum", "sumsq"),
+    "variance": ("sum", "sumsq"),
+    "var_samp": ("sum", "sumsq"),
+    "var_pop": ("sum", "sumsq"),
+    "all": PHYSICAL_STATES,
+}
+
+
+def physical_states_for(aggs: Sequence[str] | None) -> tuple[str, ...]:
+    """Map user-facing aggregate names to the physical states to build.
+
+    ``None`` (default) builds everything — the reference's
+    ``UWheelAggregate::All`` path (``lib.rs:224-235``)."""
+    if aggs is None:
+        return PHYSICAL_STATES
+    need: list[str] = []
+    for a in aggs:
+        key = a.lower()
+        if key not in _AGG_PHYSICAL:
+            raise ValueError(f"unknown aggregate {a!r}; one of {sorted(_AGG_PHYSICAL)}")
+        for s in _AGG_PHYSICAL[key]:
+            if s not in need:
+                need.append(s)
+    return tuple(s for s in PHYSICAL_STATES if s in need)
+
+
+_INT_SQL = {
+    T.ByteType: "TINYINT",
+    T.ShortType: "SMALLINT",
+    T.IntegerType: "INT",
+    T.LongType: "BIGINT",
+}
+_FLOAT_SQL = {T.FloatType: "FLOAT", T.DoubleType: "DOUBLE"}
+
+
+def column_sql_type(df: DataFrame, column: str) -> str:
+    """SQL type name for an indexable column; raises for types whose routed
+    aggregates could not match the delegate path's exact semantics (the
+    reference only indexes concrete numeric arrays, ``lib.rs:1130-1158``)."""
+    for f_ in df.schema.fields:
+        if f_.name.lower() == column.lower():
+            dt = type(f_.dataType)
+            if dt in _INT_SQL:
+                return _INT_SQL[dt]
+            if dt in _FLOAT_SQL:
+                return _FLOAT_SQL[dt]
+            raise ValueError(
+                f"cannot build a value wheel on {column!r} of type "
+                f"{f_.dataType.simpleString()}: only integral and floating "
+                "columns are indexable (cast DECIMAL explicitly to DOUBLE or "
+                "BIGINT first — exact routed answers cannot be guaranteed "
+                "otherwise)"
+            )
+    raise ValueError(f"column {column!r} not found")
+
+
+def state_agg_exprs(
+    df: DataFrame,
+    time_column: str,
+    columns: Sequence[str],
+    states: Sequence[str] = PHYSICAL_STATES,
+) -> tuple[list[Column], dict[str, str]]:
+    """The per-bucket aggregate expressions for a wheel build — shared by the
+    batch build and streaming maintenance so their monoid states are
+    bit-identical.
+
+    Returns ``(agg_exprs, {column: value_sql_type})``.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.unix_micros(F.col(time_column))).alias("__tmin"),
+        F.max(F.unix_micros(F.col(time_column))).alias("__tmax"),
+    ]
+    types: dict[str, str] = {}
+    for c in columns:
+        sql_t = column_sql_type(df, c)
+        types[c] = sql_t
+        v = F.col(c)
+        integral = sql_t in _INT_SQL.values()
+        # SUM(int family) is LongType in Spark; keep it exact. Narrow int
+        # MIN/MAX widen to long for uniform int64 arrays (the result literal
+        # is re-cast to the column's own type by the router).
+        sv = v if integral else v.cast("double")
+        vd = v.cast("double")  # sumsq always float (int² overflows int64)
+        aggs.append(F.count(v).alias(f"__vcnt_{c}"))
+        if "sum" in states:
+            expr = F.sum(sv)
+            aggs.append((expr.cast("long") if integral else expr).alias(f"__sum_{c}"))
+        if "min" in states:
+            expr = F.min(sv)
+            aggs.append((expr.cast("long") if integral else expr).alias(f"__min_{c}"))
+        if "max" in states:
+            expr = F.max(sv)
+            aggs.append((expr.cast("long") if integral else expr).alias(f"__max_{c}"))
+        if "sumsq" in states:
+            # Sum of squares — the extra monoid state that derives
+            # VAR/STDDEV at lookup (the custom-aggregator extension point;
+            # the reference's analogue is a custom uwheel Aggregator impl,
+            # aggregator/mod.rs:5-64).
+            aggs.append(F.sum(vd * vd).alias(f"__sumsq_{c}"))
+    return aggs, types
+
+
+def _filled(tbl: pa.Table, name: str, fill, np_dtype) -> np.ndarray:
+    """Arrow column → numpy with NULLs replaced by a monoid identity.
+
+    Exact for int64 (no pandas float detour)."""
+    col = tbl.column(name)
+    if col.null_count:
+        col = pc.fill_null(col, fill)
+    return np.asarray(col).astype(np_dtype, copy=False)
+
+
+def rollup_arrays(
+    tbl: pa.Table, column: str, sql_type: str, states: Sequence[str]
+) -> dict[str, np.ndarray | None]:
+    """Extract one column's sanitized state arrays from a collected rollup."""
+    integral = sql_type in _INT_SQL.values()
+    vdtype = np.int64 if integral else np.float64
+    min_fill = INT_MIN_IDENTITY if integral else np.inf
+    max_fill = INT_MAX_IDENTITY if integral else -np.inf
+    out: dict[str, np.ndarray | None] = {
+        "vcnt": _filled(tbl, f"__vcnt_{column}", 0, np.int64)
+    }
+    out["sum"] = (
+        _filled(tbl, f"__sum_{column}", 0, vdtype) if "sum" in states else None
+    )
+    out["min"] = (
+        _filled(tbl, f"__min_{column}", min_fill, vdtype) if "min" in states else None
+    )
+    out["max"] = (
+        _filled(tbl, f"__max_{column}", max_fill, vdtype) if "max" in states else None
+    )
+    out["sumsq"] = (
+        _filled(tbl, f"__sumsq_{column}", 0.0, np.float64) if "sumsq" in states else None
+    )
+    return out
 
 
 def build_wheel_indices(
@@ -45,6 +227,7 @@ def build_wheel_indices(
     time_range: tuple | None = None,
     bucket_seconds: int = 1,
     backend: str = "driver",
+    states: Sequence[str] = PHYSICAL_STATES,
 ) -> dict[str | None, WheelIndex]:
     """Build the COUNT wheel plus one value wheel per column in ``columns``,
     all in a single distributed pass.
@@ -52,14 +235,15 @@ def build_wheel_indices(
     Returns ``{None: count_wheel, col: value_wheel, ...}``. ``filter_expr``
     makes keyed indices (reference per-index ``with_filter``,
     ``index/mod.rs:34-40``); ``time_range`` restricts the indexed span
-    (``builder.rs:177-191``).
+    (``builder.rs:177-191``); ``states`` restricts which physical states are
+    built (the reference's per-aggregate ``UWheelAggregate`` builds).
 
     ``backend="driver"`` collects the rollup into numpy (µs lookups, driver
     memory bounded by distinct buckets); ``backend="spark"`` keeps it as a
     cached DataFrame (:class:`.rollup_table.SparkRollupWheel` — tiny-job
     lookups, unbounded span).
     """
-    g = df
+    g = df.filter(F.col(time_column).isNotNull())
     if filter_expr is not None:
         g = g.filter(filter_expr)
     if time_range is not None:
@@ -69,23 +253,7 @@ def build_wheel_indices(
     # Project early so the scan only reads what the index needs.
     g = g.select(time_column, *columns)
 
-    aggs = [
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.unix_micros(F.col(time_column))).alias("__tmin"),
-        F.max(F.unix_micros(F.col(time_column))).alias("__tmax"),
-    ]
-    for c in columns:
-        v = F.col(c).cast("double")
-        aggs += [
-            F.sum(v).alias(f"__sum_{c}"),
-            F.min(v).alias(f"__min_{c}"),
-            F.max(v).alias(f"__max_{c}"),
-            # Sum of squares — the extra monoid state that derives
-            # VAR/STDDEV at lookup (the custom-aggregator extension point;
-            # the reference's analogue is a custom uwheel Aggregator impl,
-            # aggregator/mod.rs:5-64).
-            F.sum(v * v).alias(f"__sumsq_{c}"),
-        ]
+    aggs, types = state_agg_exprs(g, time_column, columns, states)
 
     # timestamp → long = floor to epoch seconds (UTC session pinned by the
     # engine), then to the bucket width. One second is the reference's finest
@@ -96,13 +264,14 @@ def build_wheel_indices(
     rolled = g.groupBy(sec.alias("__sec")).agg(*aggs)
     if backend == "spark":
         return _spark_wheels_from_rollup(
-            rolled, table, columns, filter_key,
+            rolled, table, columns, types, filter_key,
             complete=time_range is None, bucket_seconds=bucket_seconds,
+            states=states,
         )
-    pdf = rolled.toPandas()
+    tbl = rolled.toArrow()
     return _indices_from_rollup(
-        pdf, table, columns, filter_key, complete=time_range is None,
-        bucket_seconds=bucket_seconds,
+        tbl, table, columns, types, filter_key, complete=time_range is None,
+        bucket_seconds=bucket_seconds, states=states,
     )
 
 
@@ -110,14 +279,16 @@ def _spark_wheels_from_rollup(
     rolled: DataFrame,
     table: str,
     columns: Sequence[str],
+    types: dict[str, str],
     filter_key: str,
     complete: bool,
     bucket_seconds: int,
+    states: Sequence[str],
 ):
     from .rollup_table import SparkRollupWheel
 
     # Each wheel persists its own column-pruned projection (count wheel:
-    # 2 columns; value wheels: 6) — persisting the parent here too would
+    # 2 columns; value wheels: ≤7) — persisting the parent here too would
     # double-cache every rollup row in executor memory.
     bounds = rolled.agg(F.min("__tmin"), F.max("__tmax")).collect()[0]
     if bounds[0] is None:  # empty source
@@ -131,28 +302,31 @@ def _spark_wheels_from_rollup(
         )
     }
     for c in columns:
+        cols = [
+            F.col("__sec"), F.col("__cnt"),
+            F.col(f"__vcnt_{c}").alias("__vcnt"),
+        ]
+        for s in states:
+            cols.append(F.col(f"__{s}_{c}").alias(f"__{s}"))
         out[c] = SparkRollupWheel(
-            rolled.select(
-                "__sec", "__cnt",
-                F.col(f"__sum_{c}").alias("__sum"),
-                F.col(f"__min_{c}").alias("__min"),
-                F.col(f"__max_{c}").alias("__max"),
-                F.col(f"__sumsq_{c}").alias("__sumsq"),
-            ),
+            rolled.select(*cols),
             table, c, filter_key, min_us, max_us, complete, bucket_seconds,
+            value_sql_type=types[c],
         )
     return out
 
 
 def _indices_from_rollup(
-    pdf: pd.DataFrame,
+    tbl: pa.Table,
     table: str,
     columns: Sequence[str],
+    types: dict[str, str],
     filter_key: str,
     complete: bool = False,
     bucket_seconds: int = 1,
+    states: Sequence[str] = PHYSICAL_STATES,
 ) -> dict[str | None, WheelIndex]:
-    if len(pdf) == 0:
+    if tbl.num_rows == 0:
         empty = np.empty(0, dtype=np.int64)
         out: dict[str | None, WheelIndex] = {
             None: WheelIndex(
@@ -161,18 +335,25 @@ def _indices_from_rollup(
             )
         }
         for c in columns:
+            e = np.empty(0, dtype=np.int64 if types[c] in _INT_SQL.values() else np.float64)
             out[c] = WheelIndex(
                 table, c, filter_key, empty, empty.copy(),
-                np.empty(0), np.empty(0), np.empty(0), np.empty(0),
+                sum_=e if "sum" in states else None,
+                min_=e.copy() if "min" in states else None,
+                max_=e.copy() if "max" in states else None,
+                sumsq_=np.empty(0) if "sumsq" in states else None,
+                vcnt_=empty.copy(),
+                value_sql_type=types[c],
                 complete=complete, bucket_seconds=bucket_seconds,
             )
         return out
 
-    order = np.argsort(pdf["__sec"].to_numpy())
-    secs = pdf["__sec"].to_numpy(dtype=np.int64)[order]
-    cnt = pdf["__cnt"].to_numpy(dtype=np.int64)[order]
-    min_ts_us = int(pdf["__tmin"].min())
-    max_ts_us = int(pdf["__tmax"].max())
+    secs_raw = np.asarray(tbl.column("__sec"))
+    order = np.argsort(secs_raw)
+    secs = secs_raw.astype(np.int64, copy=False)[order]
+    cnt = _filled(tbl, "__cnt", 0, np.int64)[order]
+    min_ts_us = int(pc.min(tbl.column("__tmin")).as_py())
+    max_ts_us = int(pc.max(tbl.column("__tmax")).as_py())
 
     out = {
         None: WheelIndex(
@@ -182,16 +363,19 @@ def _indices_from_rollup(
         )
     }
     for c in columns:
+        arrs = rollup_arrays(tbl, c, types[c], states)
         out[c] = WheelIndex(
             table,
             c,
             filter_key,
             secs,
             cnt,
-            sum_=pdf[f"__sum_{c}"].to_numpy(dtype=np.float64)[order],
-            min_=pdf[f"__min_{c}"].to_numpy(dtype=np.float64)[order],
-            max_=pdf[f"__max_{c}"].to_numpy(dtype=np.float64)[order],
-            sumsq_=pdf[f"__sumsq_{c}"].to_numpy(dtype=np.float64)[order],
+            sum_=arrs["sum"][order] if arrs["sum"] is not None else None,
+            min_=arrs["min"][order] if arrs["min"] is not None else None,
+            max_=arrs["max"][order] if arrs["max"] is not None else None,
+            sumsq_=arrs["sumsq"][order] if arrs["sumsq"] is not None else None,
+            vcnt_=arrs["vcnt"][order],
+            value_sql_type=types[c],
             min_ts_us=min_ts_us,
             max_ts_us=max_ts_us,
             complete=complete,

@@ -32,7 +32,6 @@ from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame
-from pyspark.sql import types as T
 
 from ..functions.timestamps import (
     CALENDAR_GRANULARITIES,
@@ -84,6 +83,28 @@ _AGG_STATE = {
     "var_pop": "var_pop",
 }
 
+
+def _state_key(agg: AggSpec) -> str:
+    """States-dict key for an aggregate. ``COUNT(col)`` counts non-NULL
+    values — served by the value wheel's ``vcnt`` state, never the COUNT(*)
+    wheel (``is_count_star_aggregate``, ``lib.rs:883-907``)."""
+    if agg.func == "count" and agg.arg is not None:
+        return "count_col"
+    return _AGG_STATE[agg.func]
+
+
+def _agg_sql_type(agg: AggSpec, wheel: WheelIndex) -> str:
+    """Result SQL type matching what delegated ``spark.sql`` would return:
+    COUNT → BIGINT; SUM of integral → BIGINT (exact), of float → DOUBLE;
+    MIN/MAX → the column's own type; AVG/variance family → DOUBLE."""
+    if agg.func == "count":
+        return "BIGINT"
+    if agg.func in ("min", "max"):
+        return wheel.value_sql_type
+    if agg.func == "sum":
+        return "BIGINT" if wheel.is_integral else "DOUBLE"
+    return "DOUBLE"
+
 #: Row-count threshold above which constant results fall back to
 #: ``createDataFrame`` (a VALUES SQL string with millions of tuples would
 #: blow up parse time; an RDD-backed local collection is the robust path).
@@ -99,17 +120,17 @@ def _sql_literal(value: Any, sql_type: str) -> str:
     """
     if value is None:
         return f"CAST(NULL AS {sql_type})"
-    if sql_type == "BIGINT":
-        return f"CAST({int(value)} AS BIGINT)"
-    if sql_type == "DOUBLE":
+    if sql_type in ("BIGINT", "INT", "SMALLINT", "TINYINT"):
+        return f"CAST({int(value)} AS {sql_type})"
+    if sql_type in ("DOUBLE", "FLOAT"):
         f = float(value)
         if f != f:  # NaN
-            return "CAST('NaN' AS DOUBLE)"
+            return f"CAST('NaN' AS {sql_type})"
         if f == float("inf"):
-            return "CAST('Infinity' AS DOUBLE)"
+            return f"CAST('Infinity' AS {sql_type})"
         if f == float("-inf"):
-            return "CAST('-Infinity' AS DOUBLE)"
-        return f"CAST('{f!r}' AS DOUBLE)"
+            return f"CAST('-Infinity' AS {sql_type})"
+        return f"CAST('{f!r}' AS {sql_type})"
     if sql_type == "TIMESTAMP":
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S')}'"
     raise ValueError(f"unsupported literal type {sql_type}")
@@ -162,7 +183,7 @@ class Router:
             # *complete* keyed wheel is answerable over the whole span.
             if rng is None and residual and len(residual) == len(q.conjuncts):
                 fk = canonical_filter_key(residual)
-                return self._try_landmark(q, fk, require_complete=True)
+                return self._try_landmark(q, fk)
             return (
                 RouteDecision("delegate", detail={"reason": "no exact aligned range"}),
                 None,
@@ -185,14 +206,20 @@ class Router:
             states = w.combine_range(rng.start_sec, rng.end_sec)
             if states is None:  # outside indexed range → fall through (lib.rs:1498-1518)
                 return RouteDecision("delegate", detail={"reason": "range not covered"}), None
-            values.append(states[_AGG_STATE[agg.func]])
+            key = _state_key(agg)
+            if key not in states:  # state not built on this wheel (per-agg subset)
+                return (
+                    RouteDecision("delegate", detail={"reason": f"state {key} not indexed"}),
+                    None,
+                )
+            values.append(states[key])
 
         kind = (
             "count_range"
-            if len(q.aggs) == 1 and q.aggs[0].func == "count"
+            if len(q.aggs) == 1 and q.aggs[0].func == "count" and q.aggs[0].arg is None
             else ("single_agg" if len(q.aggs) == 1 else "multi_agg")
         )
-        df = self._scalar_result(q.aggs, values)
+        df = self._scalar_result(q.aggs, values, wheels)
         return RouteDecision(kind, index_key=wheels[0].key, detail={"fk": fk}), df
 
     # ------------------------------------------------------------- helpers
@@ -203,12 +230,12 @@ class Router:
         the wildcard form uses the count wheel (``is_count_star_aggregate``,
         ``lib.rs:883-907``)."""
         e = self.engine
-        if agg.func == "count":
-            if agg.arg is not None:
-                return None
+        if agg.func == "count" and agg.arg is None:
             return e.count_wheels.get(filter_key)
         if agg.arg is None:
             return None
+        # COUNT(col) falls through to the value wheel: its vcnt state is the
+        # non-null count (absent on legacy wheels → the router delegates).
         w = e.agg_wheels.get((agg.arg, filter_key))
         if w is None:
             # Catalyst resolves columns case-insensitively; match it so
@@ -235,30 +262,31 @@ class Router:
         """
         spark = self.engine.spark
         if len(rows) > _VALUES_MAX_ROWS:
-            # Arrow path: a pandas DataFrame converts columnarly (one Arrow
+            # Arrow path: a pyarrow Table converts columnarly (one Arrow
             # batch) instead of row-by-row through py4j — measured ~4× faster
-            # for 37k-bucket group-bys.
-            import pandas as pd
+            # for 37k-bucket group-bys — and, unlike a pandas detour, keeps
+            # SQL NULLs as Arrow nulls (no NaN coercion, no int64 loss).
+            import pyarrow as pa
 
-            pdf = pd.DataFrame(rows, columns=names)
-            for n, ty in zip(names, sql_types):
-                if ty == "TIMESTAMP":
-                    pdf[n] = pd.to_datetime(pdf[n])
-                elif ty == "BIGINT":
-                    pdf[n] = pdf[n].astype("int64")
-                else:
-                    pdf[n] = pdf[n].astype("float64")
-            fields = [
-                T.StructField(
-                    n,
-                    T.LongType()
-                    if ty == "BIGINT"
-                    else (T.TimestampType() if ty == "TIMESTAMP" else T.DoubleType()),
-                    True,
-                )
-                for n, ty in zip(names, sql_types)
-            ]
-            return spark.createDataFrame(pdf, schema=T.StructType(fields))
+            pa_types = {
+                "BIGINT": pa.int64(),
+                "INT": pa.int32(),
+                "SMALLINT": pa.int16(),
+                "TINYINT": pa.int8(),
+                "DOUBLE": pa.float64(),
+                "FLOAT": pa.float32(),
+                # tz-aware so Spark maps it to TimestampType (session tz is
+                # pinned UTC); naive datetimes are interpreted as UTC.
+                "TIMESTAMP": pa.timestamp("us", tz="UTC"),
+            }
+            cols = list(zip(*rows)) if rows else [() for _ in names]
+            tbl = pa.table(
+                {
+                    n: pa.array(list(vals), type=pa_types[ty])
+                    for n, ty, vals in zip(names, sql_types, cols)
+                }
+            )
+            return spark.createDataFrame(tbl)
         cols = ", ".join(f"`{n}`" for n in names)
         tuples = ", ".join(
             "(" + ", ".join(_sql_literal(v, ty) for v, ty in zip(row, sql_types)) + ")"
@@ -266,9 +294,11 @@ class Router:
         )
         return spark.sql(f"SELECT * FROM VALUES {tuples} AS __uwheel({cols})")
 
-    def _scalar_result(self, aggs: list[AggSpec], values: list[Any]) -> DataFrame:
+    def _scalar_result(
+        self, aggs: list[AggSpec], values: list[Any], wheels: list[WheelIndex]
+    ) -> DataFrame:
         names = [a.output_name for a in aggs]
-        types = ["BIGINT" if a.func == "count" else "DOUBLE" for a in aggs]
+        types = [_agg_sql_type(a, w) for a, w in zip(aggs, wheels)]
         return self._constant_relation(names, types, [tuple(values)])
 
     # ------------------------------------------------------------ group by
@@ -296,7 +326,13 @@ class Router:
             got = w.group_by(rng.start_sec, rng.end_sec, gb.granularity)
             if got is None:
                 return RouteDecision("delegate", detail={"reason": "range not covered"}), None
-            per_wheel.append({b: st[_AGG_STATE[agg.func]] for b, st in got})
+            key = _state_key(agg)
+            if got and key not in got[0][1]:  # state not built (per-agg subset)
+                return (
+                    RouteDecision("delegate", detail={"reason": f"state {key} not indexed"}),
+                    None,
+                )
+            per_wheel.append({b: st[key] for b, st in got})
 
         # All wheels sharing a filter key were built from the same filtered
         # source, so their occupied buckets coincide; merge defensively anyway.
@@ -316,7 +352,7 @@ class Router:
         for item in q.select_order:
             names.append(item.output_name)
             if isinstance(item, AggSpec):
-                types.append("BIGINT" if item.func == "count" else "DOUBLE")
+                types.append(_agg_sql_type(item, wheels[q.aggs.index(item)]))
             else:
                 types.append("TIMESTAMP")
         df = self._constant_relation(names, types, rows)
@@ -328,26 +364,37 @@ class Router:
         )
 
     # ------------------------------------------------------------ landmark
-    def _try_landmark(self, q, filter_key: str, require_complete: bool = False):
+    def _try_landmark(self, q, filter_key: str):
         """R5: aggregate(s) with no temporal filter — answered from
         ``landmark()``. The reference guard demands exactly one aggregate and
         no filter at all (``single_aggregate_without_filter``,
         ``lib.rs:279-281``); we additionally answer multi-aggregate and
-        purely-keyed landmarks (from complete keyed wheels) — both trivially
-        correct from the same states."""
+        purely-keyed landmarks — both trivially correct from the same states.
+
+        Soundness gate: the wheel must be **complete** (built without a
+        ``time_range`` restriction). A restricted wheel only indexed a
+        sub-span, so answering an unfiltered ``SELECT SUM(x) FROM t`` from it
+        would return the restricted-span aggregate — delegate instead."""
         values, wheels = [], []
         for agg in q.aggs:
             w = self._resolve_wheel(agg, filter_key)
-            if w is None or (require_complete and not w.complete):
+            if w is None or not w.complete:
                 return (
-                    RouteDecision("delegate", detail={"reason": "no index", "fk": filter_key}),
+                    RouteDecision(
+                        "delegate", detail={"reason": "no complete index", "fk": filter_key}
+                    ),
                     None,
                 )
-            if w.empty and not w.complete:
-                return RouteDecision("delegate", detail={"reason": "empty index"}), None
-            values.append(w.landmark()[_AGG_STATE[agg.func]])
+            key = _state_key(agg)
+            states = w.landmark()
+            if key not in states:
+                return (
+                    RouteDecision("delegate", detail={"reason": f"state {key} not indexed"}),
+                    None,
+                )
+            values.append(states[key])
             wheels.append(w)
-        df = self._scalar_result(q.aggs, values)
+        df = self._scalar_result(q.aggs, values, wheels)
         return (
             RouteDecision("landmark", index_key=wheels[0].key, detail={"fk": filter_key}),
             df,

@@ -58,35 +58,42 @@ class StreamingWheelMaintainer:
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         """``foreachBatch`` hook: batch rows → per-second partials → driver
-        merge. Also usable directly for incremental *batch* appends."""
+        merge. Also usable directly for incremental *batch* appends.
+
+        Keyed wheels NOT registered in ``filters`` cannot be maintained (the
+        filter must be re-applied per batch) — they are **marked incomplete**
+        so queries beyond their built span delegate instead of answering from
+        stale state (a complete wheel claims the whole timeline)."""
         self._merge_into(batch_df, STAR_AGGREGATION_ALIAS, self.columns())
         for fk, predicate in self.filters.items():
             cols = [c for (c, k) in self.engine.agg_wheels if k == fk]
             self._merge_into(batch_df.filter(predicate), fk, cols)
+        maintained = set(self.filters) | {STAR_AGGREGATION_ALIAS}
+        e = self.engine
+        for fk, w in e.count_wheels.items():
+            if fk not in maintained:
+                w.complete = False
+        for (_c, fk), w in e.agg_wheels.items():
+            if fk not in maintained:
+                w.complete = False
         # invalidate memoized routed answers — indices just changed
-        self.engine.index_epoch += 1
+        e.index_epoch += 1
 
     def _merge_into(self, df: DataFrame, filter_key: str, cols: list[str]) -> None:
+        from ..operators.rollups import rollup_arrays, state_agg_exprs
+
         e = self.engine
         tc = e.time_column
-        aggs = [
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.unix_micros(F.col(tc))).alias("__tmin"),
-            F.max(F.unix_micros(F.col(tc))).alias("__tmax"),
-        ]
-        for c in cols:
-            v = F.col(c).cast("double")
-            aggs += [
-                F.sum(v).alias(f"__sum_{c}"),
-                F.min(v).alias(f"__min_{c}"),
-                F.max(v).alias(f"__max_{c}"),
-                F.sum(v * v).alias(f"__sumsq_{c}"),
-            ]
+        src = df.filter(F.col(tc).isNotNull()).select(tc, *cols)
+        # Identical monoid-state expressions to the batch build (typed int64
+        # states for integral columns, non-null vcnt) — shared helper keeps
+        # merge results bit-identical to a fresh build over the union.
+        aggs, _types = state_agg_exprs(src, tc, cols)
         sec = F.col(tc).cast("long")
         bs = getattr(e, "bucket_seconds", 1)
         if bs != 1:
             sec = sec - (sec % bs)
-        rolled = df.select(tc, *cols).groupBy(sec.alias("__sec")).agg(*aggs)
+        rolled = src.groupBy(sec.alias("__sec")).agg(*aggs)
 
         targets = []
         cw = e.count_wheels.get(filter_key)
@@ -104,44 +111,56 @@ class StreamingWheelMaintainer:
         driver_targets = [t for t in targets if not hasattr(t[0], "merge_delta_df")]
 
         if spark_targets:
-            from ..operators.rollup_table import SparkRollupWheel  # noqa: F401
-
             bounds = rolled.agg(F.min("__tmin"), F.max("__tmax")).collect()[0]
             if bounds[0] is not None:
                 tmin_s, tmax_s = int(bounds[0]), int(bounds[1])
                 for wheel, col in spark_targets:
-                    if col is None or not wheel._has_states:
+                    if col is None:
                         delta = rolled.select("__sec", "__cnt")
                     else:
-                        delta = rolled.select(
-                            "__sec", "__cnt",
-                            F.col(f"__sum_{col}").alias("__sum"),
-                            F.col(f"__min_{col}").alias("__min"),
-                            F.col(f"__max_{col}").alias("__max"),
-                            F.col(f"__sumsq_{col}").alias("__sumsq"),
-                        )
+                        sel = [F.col("__sec"), F.col("__cnt")]
+                        if wheel._has_vcnt:
+                            sel.append(F.col(f"__vcnt_{col}").alias("__vcnt"))
+                        for s in wheel._state_cols:
+                            sel.append(F.col(f"__{s}_{col}").alias(f"__{s}"))
+                        delta = rolled.select(*sel)
                     wheel.merge_delta_df(delta, min_ts_us=tmin_s, max_ts_us=tmax_s)
 
         if not driver_targets:
             return
-        pdf = rolled.toPandas()
-        if len(pdf) == 0:
+        tbl = rolled.toArrow()
+        if tbl.num_rows == 0:
             return
-        secs = pdf["__sec"].to_numpy()
-        cnt = pdf["__cnt"].to_numpy()
-        tmin = int(pdf["__tmin"].min())
-        tmax = int(pdf["__tmax"].max())
+        import numpy as np
+        import pyarrow.compute as pc
+
+        secs = np.asarray(tbl.column("__sec"))
+        cnt = np.asarray(tbl.column("__cnt"))
+        tmin = int(pc.min(tbl.column("__tmin")).as_py())
+        tmax = int(pc.max(tbl.column("__tmax")).as_py())
         for wheel, col in driver_targets:
-            if col is None or wheel.sum_ is None:
+            if col is None:
                 wheel.merge_delta(secs, cnt, min_ts_us=tmin, max_ts_us=tmax)
             else:
+                present = tuple(
+                    s
+                    for s, arr in (
+                        ("sum", wheel.sum_),
+                        ("min", wheel.min_),
+                        ("max", wheel.max_),
+                        ("sumsq", wheel.sumsq_),
+                    )
+                    if arr is not None
+                )
+                arrs = rollup_arrays(tbl, col, wheel.value_sql_type, present)
                 wheel.merge_delta(
                     secs,
                     cnt,
-                    pdf[f"__sum_{col}"].to_numpy(),
-                    pdf[f"__min_{col}"].to_numpy(),
-                    pdf[f"__max_{col}"].to_numpy(),
-                    pdf[f"__sumsq_{col}"].to_numpy(),
+                    arrs["sum"],
+                    arrs["min"],
+                    arrs["max"],
+                    arrs["sumsq"],
+                    vcnt_=arrs["vcnt"],
                     min_ts_us=tmin,
                     max_ts_us=tmax,
                 )

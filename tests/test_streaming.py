@@ -123,7 +123,8 @@ def test_merge_delta_min_max_and_bounds():
     got = w.combine_range(100, 104)
     want = {"count": 5, "sum": 24.0, "min": 1.0, "max": 9.0, "avg": 24.0 / 5}
     assert {k: got[k] for k in want} == want
-    # no sumsq state on this wheel → variance family is NULL, not wrong
-    assert got["var_pop"] is None and got["stddev_samp"] is None
+    # no sumsq state on this wheel → variance keys absent (router delegates
+    # instead of mis-answering NULL)
+    assert "var_pop" not in got and "stddev_samp" not in got
     assert w.max_ts_us == 103_500_000
     assert w.count_range(103, 104) == 1
