@@ -34,6 +34,11 @@ DAY_A, DAY_B = "2024-01-08 00:00:00", "2024-01-09 00:00:00"
 WEEK_A, WEEK_B = "2024-01-01 00:00:00", "2024-01-29 00:00:00"
 # Verified empty at sf0.01 AND sf0.1 (deterministic seed-42 data).
 EMPTY_A, EMPTY_B = "2024-01-05 00:45:00", "2024-01-05 00:46:00"
+# Boundary literals for the hybrid BETWEEN/<=/>  rewrite — second-aligned, and
+# verified (all SFs) to have no rows in the 1µs window after them, so Spark's
+# µs timestamps and DuckDB's ns timestamps agree at the boundary.
+B_INCL = "2024-01-11 23:59:59"
+GT_A = "2024-01-04 12:00:00"
 IMPOSSIBLE_VALUE = 100000.0  # events.value tops out ≈ 560
 
 JACCARD_T = 0.35
@@ -264,6 +269,47 @@ def uw_prune_minmax(spark, sf_dir):
     )
 
 
+def uw_between_range(spark, sf_dir):
+    """Hybrid boundary rewrite: BETWEEN (inclusive both ends) = wheel core +
+    pruned 1-bucket boundary scan — exact, unlike the reference's `<=`→`<`
+    slop (expr.rs:219-222)."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT COUNT(*) AS n, SUM(value) AS sum_value FROM events "
+        f"WHERE ts BETWEEN '{A}' AND '{B_INCL}'"
+    )
+    return _round(df, {"sum_value": 3})
+
+
+def uw_le_bound_range(spark, sf_dir):
+    """Hybrid boundary rewrite: strict `>` lower + inclusive `<=` upper."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT COUNT(*) AS n, AVG(value) AS avg_value FROM events "
+        f"WHERE ts > '{GT_A}' AND ts <= '{B_INCL}'"
+    )
+    return _round(df, {"avg_value": 6})
+
+
+def uw_count_col(spark, sf_dir):
+    """COUNT(col) — non-null count served by the value wheel's vcnt state
+    (COUNT(*) semantics differ under NULLs; is_count_star_aggregate,
+    lib.rs:883-907)."""
+    return _engine(spark, sf_dir).sql(
+        f"SELECT COUNT(value) AS n_vals FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
+
+
+def uw_int_sum_range(spark, sf_dir):
+    """Integral-column wheel: SUM/MIN/MAX of a BIGINT column keep exact int64
+    states and BIGINT result types (no double rounding past 2^53)."""
+    eng = _engine(spark, sf_dir)
+    if ("user_id", "*_AGG") not in eng.agg_wheels:
+        eng.build_index("user_id")
+    return eng.sql(
+        "SELECT SUM(user_id) AS sum_uid, MIN(user_id) AS min_uid, "
+        f"MAX(user_id) AS max_uid FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
+
+
 def uw_unaligned_delegate(spark, sf_dir):
     """Rewrite-safety: sub-second boundary → router must delegate to Spark
     (the reference would sloppily mis-answer this — SURVEY.md §4.3.1)."""
@@ -468,6 +514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_keyed_numeric": uw_keyed_numeric,
         "uw_keyed_groupby": uw_keyed_groupby,
         "uw_keyed_landmark": uw_keyed_landmark,
+        "uw_between_range": uw_between_range,
+        "uw_le_bound_range": uw_le_bound_range,
+        "uw_count_col": uw_count_col,
+        "uw_int_sum_range": uw_int_sum_range,
         "uw_prune_count": uw_prune_count,
         "uw_prune_minmax": uw_prune_minmax,
         "uw_unaligned_delegate": uw_unaligned_delegate,
@@ -566,6 +616,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "uw_keyed_landmark": (
             "SELECT round(sum(value), 3) AS sum_value FROM events WHERE event_type = 'click'"
+        ),
+        "uw_between_range": (
+            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
+            f"WHERE ts BETWEEN TIMESTAMP '{A}' AND TIMESTAMP '{B_INCL}'"
+        ),
+        "uw_le_bound_range": (
+            "SELECT count(*) AS n, round(avg(value), 6) AS avg_value FROM events "
+            f"WHERE ts > TIMESTAMP '{GT_A}' AND ts <= TIMESTAMP '{B_INCL}'"
+        ),
+        "uw_count_col": (
+            f"SELECT count(value) AS n_vals FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        # DuckDB sum(BIGINT) is HUGEINT — cast back so schemas agree.
+        "uw_int_sum_range": (
+            "SELECT CAST(sum(user_id) AS BIGINT) AS sum_uid, min(user_id) AS min_uid, "
+            "max(user_id) AS max_uid FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
         ),
         "uw_prune_count": (
             f"SELECT * FROM events WHERE ts >= TIMESTAMP '{EMPTY_A}' AND ts < TIMESTAMP '{EMPTY_B}'"

@@ -265,6 +265,7 @@ class WheelIndex:
             if self.max_ is not None:
                 out["max"] = None
             if self.sum_ is not None and self.sumsq_ is not None:
+                out["_sumsq"] = 0.0  # raw monoid state for hybrid combining
                 out.update(_variance_states(None, None, 0))
             return out
         s = None
@@ -277,7 +278,9 @@ class WheelIndex:
         if self.max_ is not None:
             out["max"] = self._py(np.max(self.max_[i:j]))
         if self.sum_ is not None and self.sumsq_ is not None:
-            out.update(_variance_states(float(s), float(np.sum(self.sumsq_[i:j])), vn))
+            sq = float(np.sum(self.sumsq_[i:j]))
+            out["_sumsq"] = sq  # raw monoid state for hybrid combining
+            out.update(_variance_states(float(s), sq, vn))
         return out
 
     def combine_range(self, start_sec: int, end_sec: int) -> dict[str, Any] | None:

@@ -136,6 +136,7 @@ class SparkRollupWheel:
             out["max"] = self._py(d["max"]) if d["max"] is not None and vn else None
         if "sum" in self._state_cols and "sumsq" in self._state_cols:
             sq = d["sumsq"]
+            out["_sumsq"] = float(sq) if sq is not None else 0.0
             out.update(
                 _variance_states(
                     float(s) if s is not None else None,

@@ -45,6 +45,8 @@ class WheelRange:
     start_us: int
     end_us: int
     exact: bool  # True iff built from `ts >= a AND ts < b`
+    lo_op: str = ">="  # original lower operator: ">=" | ">"
+    hi_op: str = "<"  # original upper operator: "<" | "<="
 
     @property
     def start_sec(self) -> int:
@@ -66,6 +68,23 @@ class WheelRange:
         finest (second) dimension + non-empty (``start <= end`` validation as
         in ``WheelRange::new``, ``expr.rs:46-57``)."""
         return self.exact and self.second_aligned and self.start_us <= self.end_us
+
+    @property
+    def hybrid_routable(self) -> bool:
+        """Boundary shapes the hybrid rewrite can answer *exactly*:
+        second-aligned literals with a strict lower (``>``) and/or inclusive
+        upper (``<=``, which BETWEEN desugars to). The reference accepts these
+        by silently treating ``>`` as ``>=`` and ``<=`` as ``<``
+        (``expr.rs:219-222``) — wrong at sub-second precision; we instead
+        answer the full buckets from the wheel and the ≤1-bucket boundary
+        slivers from a partition-pruned scan (see ``Router._try_hybrid``)."""
+        return (
+            not self.exact
+            and self.second_aligned
+            and self.start_us <= self.end_us
+            and self.lo_op in (">=", ">")
+            and self.hi_op in ("<", "<=")
+        )
 
 
 @dataclass(frozen=True)
@@ -116,7 +135,9 @@ def extract_wheel_range(
         return None
     (lo, lo_op), (hi, hi_op) = lower, upper
     exact = lo_op == ">=" and hi_op == "<"
-    return WheelRange(start_us=lo.epoch_us, end_us=hi.epoch_us, exact=exact)
+    return WheelRange(
+        start_us=lo.epoch_us, end_us=hi.epoch_us, exact=exact, lo_op=lo_op, hi_op=hi_op
+    )
 
 
 def extract_min_max_predicate(conjuncts: list[Comparison]) -> MinMaxPredicate | None:

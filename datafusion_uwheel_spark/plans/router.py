@@ -36,7 +36,9 @@ from pyspark.sql import DataFrame
 from ..functions.timestamps import (
     CALENDAR_GRANULARITIES,
     GRANULARITY_SECONDS,
+    MICROS_PER_SECOND,
     sec_to_datetime,
+    us_to_datetime,
 )
 from ..operators.lookup import STAR_AGGREGATION_ALIAS, WheelIndex
 from .predicates import (
@@ -104,6 +106,42 @@ def _agg_sql_type(agg: AggSpec, wheel: WheelIndex) -> str:
     if agg.func == "sum":
         return "BIGINT" if wheel.is_integral else "DOUBLE"
     return "DOUBLE"
+
+
+def _combine_core_boundary(agg: AggSpec, core: dict, brow: dict):
+    """Exact monoid combine of the wheel's core-range states with the
+    boundary scan's single aggregate row (states named by
+    ``state_agg_exprs``): counts/sums add, min/max combine, AVG and the
+    variance family re-derive from the combined (sum, sumsq, non-null count)."""
+    c = agg.arg
+    key = _state_key(agg)
+    bcnt = int(brow["__cnt"] or 0)
+    n = core["count"] + bcnt
+    if key == "count":
+        return n
+    bvn = int(brow.get(f"__vcnt_{c}") or 0)
+    vn = core.get("count_col", core["count"]) + bvn
+    if key == "count_col":
+        return vn
+    bsum = brow.get(f"__sum_{c}")
+    csum = core.get("sum")
+    total_sum = None if (csum is None and bsum is None) else (csum or 0) + (bsum or 0)
+    if key == "sum":
+        return total_sum
+    if key == "avg":
+        return float(total_sum) / vn if vn else None
+    if key == "min":
+        vals = [v for v in (core.get("min"), brow.get(f"__min_{c}")) if v is not None]
+        return min(vals) if vals else None
+    if key == "max":
+        vals = [v for v in (core.get("max"), brow.get(f"__max_{c}")) if v is not None]
+        return max(vals) if vals else None
+    if vn == 0:
+        return None
+    total_sq = (core.get("_sumsq") or 0.0) + float(brow.get(f"__sumsq_{c}") or 0.0)
+    from ..operators.lookup import _variance_states
+
+    return _variance_states(float(total_sum), total_sq, vn)[key]
 
 #: Row-count threshold above which constant results fall back to
 #: ``createDataFrame`` (a VALUES SQL string with millions of tuples would
@@ -178,6 +216,11 @@ class Router:
             return self._try_landmark(q, STAR_AGGREGATION_ALIAS)
 
         if rng is None or not rng.routable:
+            # BETWEEN / `<=` / `>` boundaries: wheel for the full buckets +
+            # a pruned boundary scan for the edge slivers (exact, unlike the
+            # reference's `>`→`>=` slop, expr.rs:219-222).
+            if rng is not None and rng.hybrid_routable:
+                return self._try_hybrid(q, rng, residual)
             # Keyed landmark (beyond the reference, which requires no filter
             # at all, lib.rs:279-281): a purely-keyed predicate matching a
             # *complete* keyed wheel is answerable over the whole span.
@@ -399,6 +442,109 @@ class Router:
             RouteDecision("landmark", index_key=wheels[0].key, detail={"fk": filter_key}),
             df,
         )
+
+    # ------------------------------------------------------------- hybrid
+    def _try_hybrid(self, q, rng, residual):
+        """Boundary-exact rewrite for BETWEEN / ``<=`` / ``>`` temporal
+        bounds (R2/R3 extended).
+
+        The reference accepts these shapes by *approximating* (``>`` → ``>=``,
+        ``<=`` → ``<``, ``expr.rs:83-105,219-222``) — silently wrong whenever
+        sub-bucket timestamps exist. We answer them **exactly** by splitting
+        the query interval:
+
+        * full buckets → wheel lookup (µs, zero scan), and
+        * boundary slivers → ONE scan whose temporal predicate covers at most
+          two bucket-widths: rows with ``ts == upper`` (from ``<=``;
+          timestamps are µs-discrete, so ``ts <= b`` ≡ ``ts < b + 1µs``)
+          and/or ``ts ∈ (lower, lower + bucket)`` (from ``>``).
+
+        At 100 TB the sliver scan prunes to a couple of row groups via the
+        pushed-down timestamp predicate — the delegate alternative scans the
+        whole range. The combined states are exact monoid sums, so results
+        match delegated SQL bit-for-bit (modulo float summation order).
+        """
+        e = self.engine
+        bucket = e.bucket_seconds
+        if rng.start_sec % bucket or rng.end_sec % bucket:
+            return (
+                RouteDecision("delegate", detail={"reason": "no exact aligned range"}),
+                None,
+            )
+        fk = canonical_filter_key(residual) if residual else STAR_AGGREGATION_ALIAS
+        wheels: list[WheelIndex] = []
+        for agg in q.aggs:
+            w = self._resolve_wheel(agg, fk)
+            if w is None:
+                return (
+                    RouteDecision(
+                        "delegate", detail={"reason": f"no index for {agg.func}", "fk": fk}
+                    ),
+                    None,
+                )
+            wheels.append(w)
+
+        core_start = rng.start_sec + (bucket if rng.lo_op == ">" else 0)
+        core_end = rng.end_sec
+        if core_start > core_end:
+            return (
+                RouteDecision("delegate", detail={"reason": "degenerate boundary range"}),
+                None,
+            )
+
+        core_states: list[dict] = []
+        for agg, w in zip(q.aggs, wheels):
+            states = w.combine_range(core_start, core_end)
+            if states is None:
+                return RouteDecision("delegate", detail={"reason": "range not covered"}), None
+            key = _state_key(agg)
+            if key not in states:
+                return (
+                    RouteDecision("delegate", detail={"reason": f"state {key} not indexed"}),
+                    None,
+                )
+            core_states.append(states)
+
+        cond, brow = self._boundary_row(q, rng, residual, bucket)
+        values = [
+            _combine_core_boundary(agg, core, brow)
+            for agg, core in zip(q.aggs, core_states)
+        ]
+        df = self._scalar_result(q.aggs, values, wheels)
+        return (
+            RouteDecision(
+                "hybrid_agg",
+                index_key=wheels[0].key,
+                detail={"fk": fk, "boundary": cond},
+            ),
+            df,
+        )
+
+    def _boundary_row(self, q, rng, residual, bucket: int):
+        """Aggregate the boundary slivers in one pruned scan; returns
+        ``(condition_sql, row_dict)`` with the same typed monoid states the
+        batch build computes (``state_agg_exprs``)."""
+        from ..operators.rollups import state_agg_exprs
+
+        e = self.engine
+        tc = e.time_column
+        parts = []
+        if rng.lo_op == ">":
+            a = us_to_datetime(rng.start_us)
+            a2 = us_to_datetime(rng.start_us + bucket * MICROS_PER_SECOND)
+            parts.append(f"(`{tc}` > TIMESTAMP '{a}' AND `{tc}` < TIMESTAMP '{a2}')")
+        if rng.hi_op == "<=":
+            b = us_to_datetime(rng.end_us)
+            parts.append(f"(`{tc}` = TIMESTAMP '{b}')")
+        cond = " OR ".join(parts)
+        if residual:
+            cond = f"({cond}) AND " + " AND ".join(c.render() for c in residual)
+        cols = sorted(
+            {a.arg for a in q.aggs if a.arg is not None}, key=str.lower
+        )
+        src = e.df.filter(cond)
+        aggs, _types = state_agg_exprs(src, tc, cols)
+        return cond, src.agg(*aggs).collect()[0].asDict()
 
     # ------------------------------------------------------------- pruning
     def _try_pruning(self, q, rng, residual):

@@ -281,10 +281,11 @@ def test_unaligned_boundary_delegates(engine):
     assert run1(engine, sql) == 9
 
 
-def test_le_upper_bound_delegates_but_is_correct(engine):
-    # the reference would mis-treat <= as < (expr.rs:219-222); we delegate
+def test_le_upper_bound_hybrid_routes_and_is_correct(engine):
+    # the reference would mis-treat <= as < (expr.rs:219-222); we answer it
+    # exactly: wheel core + pruned boundary sliver (ts == upper bound)
     sql = "SELECT COUNT(*) AS c FROM fixture WHERE timestamp >= '2024-05-10 00:00:00' AND timestamp <= '2024-05-10 00:00:09'"
-    assert engine.explain_route(sql).kind == "delegate"
+    assert engine.explain_route(sql).kind == "hybrid_agg"
     assert run1(engine, sql) == 10
 
 

@@ -1,0 +1,149 @@
+"""Hybrid boundary rewrite: BETWEEN / ``<=`` / ``>`` temporal bounds are
+answered exactly (wheel core + pruned boundary-sliver scan), where the
+reference silently approximates (``>`` → ``>=``, ``<=`` → ``<``,
+``expr.rs:219-222``). Every routed answer must equal delegated spark.sql."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from datafusion_uwheel_spark import WheelEngine
+from pyspark.sql import types as T
+
+
+@pytest.fixture(scope="module")
+def hybrid_engine(spark, minimal_agg):
+    e = WheelEngine(spark, "hybrid_fix", minimal_agg, time_column="timestamp")
+    e.build_index("agg_col")
+    return e
+
+
+@pytest.fixture(scope="module")
+def subsec_engine(spark):
+    """Sub-second timestamps — the case the reference's slop mis-answers."""
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("v", T.DoubleType(), False),
+        ]
+    )
+    rows = [
+        (datetime(2024, 5, 10, 0, 0, 2), 100.0),  # exactly on the lower bound
+        (datetime(2024, 5, 10, 0, 0, 2, 500000), 1.0),  # in (2, 3) — `> 2` keeps it
+        (datetime(2024, 5, 10, 0, 0, 4), 2.0),
+        (datetime(2024, 5, 10, 0, 0, 7), 4.0),  # exactly on the upper bound
+        (datetime(2024, 5, 10, 0, 0, 7, 250000), 200.0),  # after it — `<= 7` drops it
+    ]
+    e = WheelEngine(spark, "subsec", spark.createDataFrame(rows, schema), time_column="ts")
+    e.build_index("v")
+    return e
+
+
+def check(engine, sql, kind="hybrid_agg"):
+    routed = engine.sql(sql)
+    assert engine.last_route.kind == kind, (sql, engine.last_route)
+    delegated = engine.spark.sql(sql)
+    assert routed.dtypes == delegated.dtypes
+    assert routed.collect() == delegated.collect()
+    return routed.collect()[0]
+
+
+def test_between_count(hybrid_engine):
+    r = check(
+        hybrid_engine,
+        "SELECT COUNT(*) AS c FROM hybrid_fix WHERE timestamp BETWEEN "
+        "'2024-05-10 00:00:02' AND '2024-05-10 00:00:07'",
+    )
+    assert r["c"] == 6  # seconds 2..7 inclusive
+
+
+def test_between_aggregates(hybrid_engine):
+    check(
+        hybrid_engine,
+        "SELECT SUM(agg_col) AS s, AVG(agg_col) AS a, MIN(agg_col) AS mn, "
+        "MAX(agg_col) AS mx, COUNT(agg_col) AS cv FROM hybrid_fix WHERE "
+        "timestamp BETWEEN '2024-05-10 00:00:02' AND '2024-05-10 00:00:07'",
+    )
+
+
+def test_strict_lower_bound(hybrid_engine):
+    r = check(
+        hybrid_engine,
+        "SELECT COUNT(*) AS c FROM hybrid_fix WHERE "
+        "timestamp > '2024-05-10 00:00:02' AND timestamp < '2024-05-10 00:00:08'",
+    )
+    assert r["c"] == 5  # the row AT second 2 is excluded
+
+
+def test_inclusive_upper_bound(hybrid_engine):
+    r = check(
+        hybrid_engine,
+        "SELECT SUM(agg_col) AS s FROM hybrid_fix WHERE "
+        "timestamp >= '2024-05-10 00:00:00' AND timestamp <= '2024-05-10 00:00:09'",
+    )
+    assert r["s"] == 55.0  # all ten rows (second 9 row included by <=)
+
+
+def test_stddev_over_boundary(hybrid_engine):
+    sql = (
+        "SELECT STDDEV(agg_col) AS sd FROM hybrid_fix WHERE "
+        "timestamp BETWEEN '2024-05-10 00:00:01' AND '2024-05-10 00:00:08'"
+    )
+    routed = hybrid_engine.sql(sql)
+    assert hybrid_engine.last_route.kind == "hybrid_agg"
+    a = routed.collect()[0][0]
+    b = hybrid_engine.spark.sql(sql).collect()[0][0]
+    assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_subsecond_rows_handled_exactly(subsec_engine):
+    # `> 2` excludes the row AT second 2 but keeps 2.5; `<= 7` keeps the row
+    # AT second 7 but drops 7.25 — the reference's approximation gets BOTH
+    # wrong (would include 100.0 and 200.0).
+    r = check(
+        subsec_engine,
+        "SELECT SUM(v) AS s, COUNT(*) AS c FROM subsec WHERE "
+        "ts > '2024-05-10 00:00:02' AND ts <= '2024-05-10 00:00:07'",
+    )
+    assert r["s"] == 7.0 and r["c"] == 3
+
+
+def test_between_with_keyed_filter(spark):
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), False),
+        ]
+    )
+    rows = [
+        (datetime(2024, 5, 10, 0, 0, i, 300000 * (i % 2)), "a" if i % 3 else "b", float(i))
+        for i in range(10)
+    ]
+    e = WheelEngine(spark, "hyb_keyed", spark.createDataFrame(rows, schema), time_column="ts")
+    e.build_index("v", filter="k = 'a'")
+    sql = (
+        "SELECT SUM(v) AS s FROM hyb_keyed WHERE "
+        "ts BETWEEN '2024-05-10 00:00:01' AND '2024-05-10 00:00:08' AND k = 'a'"
+    )
+    routed = e.sql(sql)
+    assert e.last_route.kind == "hybrid_agg"
+    assert routed.collect() == e.spark.sql(sql).collect()
+
+
+def test_subsecond_literal_still_delegates(hybrid_engine):
+    hybrid_engine.sql(
+        "SELECT COUNT(*) AS c FROM hybrid_fix WHERE "
+        "timestamp >= '2024-05-10 00:00:02.5' AND timestamp <= '2024-05-10 00:00:07'"
+    )
+    assert hybrid_engine.last_route.kind == "delegate"
+
+
+def test_degenerate_range_delegates(hybrid_engine):
+    hybrid_engine.sql(
+        "SELECT COUNT(*) AS c FROM hybrid_fix WHERE "
+        "timestamp > '2024-05-10 00:00:02' AND timestamp <= '2024-05-10 00:00:02'"
+    )
+    assert hybrid_engine.last_route.kind == "delegate"
