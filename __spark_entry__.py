@@ -488,6 +488,43 @@ def sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(df, QUERY_VEC, k=TOPK, nprobe=2, n_centroids=8)
 
 
+_ANN_INDEXES: dict[tuple[str, str], object] = {}
+
+
+def _ann_index(spark, sf_dir, kind):
+    """Build-once/probe-many: the ANN analogue of the wheel lifecycle
+    (build_index once, lib.rs:153-239; every probe is a partition-pruned
+    read of the bucketed/partitioned index table, never a rehash scan)."""
+    from datafusion_uwheel_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+
+    key = (sf_dir, kind)
+    idx = _ANN_INDEXES.get(key)
+    if idx is None or idx.spark is not spark:
+        path = f"/tmp/ann_index_{abs(hash(sf_dir)) % 10**8}_{kind}"
+        df = _view(spark, sf_dir, "embeddings")
+        if kind == "lsh":
+            build_ann_index(df, path, kind="lsh", dim=EMB_DIM, bits=4, tables=2)
+        else:
+            build_ann_index(df, path, kind="ivf", dim=EMB_DIM, n_centroids=8)
+        idx = load_ann_index(spark, path)
+        _ANN_INDEXES[key] = idx
+    return idx
+
+
+def sim_ann_indexed(spark, sf_dir):
+    """Materialized sign-LSH index probe — identical result set to
+    sim_ann_lsh but from a partition-pruned read (build-once lifecycle)."""
+    return _ann_index(spark, sf_dir, "lsh").topk(QUERY_VEC, k=TOPK)
+
+
+def sim_ivf_indexed(spark, sf_dir):
+    """Materialized IVF index probe — identical result set to sim_ivf_topk."""
+    return _ann_index(spark, sf_dir, "ivf").topk(QUERY_VEC, k=TOPK, nprobe=2)
+
+
 def sim_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (LSH candidates + exact rerank)."""
     df = _view(spark, sf_dir, "embeddings")
@@ -539,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_ann_indexed": sim_ann_indexed,
+        "sim_ivf_indexed": sim_ivf_indexed,
         "sim_embedding_dup_pairs": sim_embedding_dup_pairs,
     }
 
@@ -672,6 +711,14 @@ def oracle_sql() -> dict[str, str]:
             QUERY_VEC, k=TOPK, dim=EMB_DIM, bits=4, tables=2
         ),
         "sim_ivf_topk": oracles.ivf_topk_sql(
+            QUERY_VEC, k=TOPK, nprobe=2, n_centroids=8, dim=EMB_DIM
+        ),
+        # Same oracle as the query-time probes: the materialized index is a
+        # layout change, never a semantics change.
+        "sim_ann_indexed": oracles.ann_topk_sql(
+            QUERY_VEC, k=TOPK, dim=EMB_DIM, bits=4, tables=2
+        ),
+        "sim_ivf_indexed": oracles.ivf_topk_sql(
             QUERY_VEC, k=TOPK, nprobe=2, n_centroids=8, dim=EMB_DIM
         ),
         "sim_embedding_dup_pairs": oracles.embedding_dup_pairs_sql(

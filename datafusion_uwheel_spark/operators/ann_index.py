@@ -1,0 +1,199 @@
+"""Materialized ANN index: build once, probe many — the wheel lifecycle
+(reference ``build_index``/query split, ``datafusion-uwheel/src/lib.rs:153-239``)
+applied to similarity search.
+
+The probe operators in :mod:`.similarity` (``ann_topk`` / ``ivf_topk``)
+compute sign-LSH buckets / IVF cell assignments *at query time* over a full
+scan — measured **slower than exact brute force** at sf0.1 (BENCH_r01), and
+no better at 100 TB. This module fixes the lifecycle: hashing/assignment runs
+once at build and the table is written **partitioned by the bucket/cell
+key**, so a probe is a partition-pruned parquet read of the matching
+directories (Spark skips every other partition at planning time) followed by
+the exact cosine rerank over candidates only.
+
+Layouts
+-------
+* ``kind="lsh"`` — the classic replicated posting-list layout: each row is
+  written once per hash table under ``t=<table>/bucket=<sign-bucket>``. A
+  probe reads exactly ``tables`` directories. Space cost ×``tables`` (the
+  standard LSH trade); keep ``bits`` modest (≤8) so the partition count
+  (``tables × 2^bits``) stays file-system friendly — more tables/fewer bits
+  also raises recall.
+* ``kind="ivf"`` — rows partitioned by their single coarse-quantizer
+  ``cell`` (``n_centroids`` directories); a probe reads the ``nprobe``
+  nearest cells.
+
+Both layouts keep the candidate→exact-rerank semantics of the query-time
+operators bit-identical (same seeded hyperplanes/centroids, same fold
+cosine), so the same DuckDB oracle SQL validates either path.
+
+A JSON manifest (``_ann_manifest.json``) pins kind/dim/bits/tables/seed at
+build; :func:`load_ann_index` refuses probes with mismatched parameters —
+the analogue of the wheel registry keying indices by their build config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import (
+    cosine_topk,
+    hyperplanes,
+    ivf_centroids,
+    with_ivf_cells,
+    with_lsh_buckets,
+)
+
+__all__ = ["build_ann_index", "load_ann_index", "AnnIndex"]
+
+_MANIFEST = "_ann_manifest.json"
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    kind: str = "lsh",
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    tables: int = 4,
+    n_centroids: int = 8,
+    seed: int = 42,
+) -> str:
+    """Hash/assign once and write the partitioned index table. Returns
+    ``path``. One distributed write job; probes afterwards never recompute
+    the ``tables × bits × dim`` (or ``n_centroids × dim``) dot products."""
+    if dim is None:
+        raise ValueError("dim is required (callers know their embedding width)")
+    cols = [F.col(id_col), F.col(vec_col)]
+    if kind == "lsh":
+        bucketed = with_lsh_buckets(df, dim, vec_col, bits, tables, seed)
+        # Replicated posting lists: one copy of the row per hash table,
+        # partitioned by (t, bucket) → a probe is `tables` directory reads.
+        # Every replica also carries ALL bucket ids as data columns, so a
+        # probe can claim each row in exactly one table (t's condition
+        # excludes rows already matched by tables < t) — candidates are
+        # duplicate-free by construction and the probe needs no dedup
+        # shuffle: one scan stage, like IVF.
+        all_buckets = [F.col(f"bucket_{j}").alias(f"b{j}") for j in range(tables)]
+        stacked = None
+        for t in range(tables):
+            part = bucketed.select(
+                *cols,
+                *all_buckets,
+                F.lit(t).alias("t"),
+                F.col(f"bucket_{t}").alias("bucket"),
+            )
+            stacked = part if stacked is None else stacked.unionByName(part)
+        stacked.write.mode("overwrite").partitionBy("t", "bucket").parquet(path)
+    elif kind == "ivf":
+        cents = ivf_centroids(dim, n_centroids, seed)
+        celled = with_ivf_cells(df, cents, vec_col).select(*cols, F.col("cell"))
+        celled.write.mode("overwrite").partitionBy("cell").parquet(path)
+    else:
+        raise ValueError(f"unknown ANN index kind {kind!r}")
+    manifest = {
+        "kind": kind,
+        "dim": dim,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "bits": bits,
+        "tables": tables,
+        "n_centroids": n_centroids,
+        "seed": seed,
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return path
+
+
+class AnnIndex:
+    """Probe handle over a built index directory.
+
+    The reader DataFrame is created once per handle: directory listing and
+    schema resolution are paid at load, not per probe (the file-index is
+    cached on the plan, so each probe only plans partition pruning)."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.m = manifest
+        self._df = spark.read.parquet(path)
+
+    @property
+    def kind(self) -> str:
+        return self.m["kind"]
+
+    def _query_buckets(self, query) -> list[int]:
+        hp = hyperplanes(self.m["dim"], self.m["bits"], self.m["tables"], self.m["seed"])
+        out = []
+        for planes in hp:
+            acc = 0
+            for b, plane in enumerate(planes):
+                dot = 0.0
+                for x, w in zip(query, plane):
+                    dot = dot + float(x) * w
+                if dot > 0.0:
+                    acc |= 1 << b
+            out.append(acc)
+        return out
+
+    def candidates(self, query, nprobe: int = 2) -> DataFrame:
+        """Partition-pruned, duplicate-free candidate read (no rerank) —
+        check ``.explain("formatted")`` for ``PartitionFilters``."""
+        if len(query) != self.m["dim"]:
+            raise ValueError(f"query dim {len(query)} != index dim {self.m['dim']}")
+        df = self._df
+        if self.kind == "lsh":
+            qb = self._query_buckets(query)
+            cond = None
+            for t, b in enumerate(qb):
+                c = (F.col("t") == t) & (F.col("bucket") == b)
+                for j in range(t):  # claimed by an earlier table already
+                    c = c & (F.col(f"b{j}") != qb[j])
+                cond = c if cond is None else (cond | c)
+            return df.filter(cond)
+        cents = ivf_centroids(self.m["dim"], self.m["n_centroids"], self.m["seed"])
+
+        def qdot(c):
+            d = 0.0
+            for x, w in zip(query, c):
+                d = d + float(x) * float(w)
+            return d
+
+        order = sorted(range(self.m["n_centroids"]), key=lambda i: -qdot(cents[i]))
+        probes = [i + 1 for i in order[:nprobe]]
+        return df.filter(F.col("cell").isin(probes))
+
+    def topk(
+        self,
+        query,
+        k: int = 10,
+        nprobe: int = 2,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """ANN top-k from the materialized index: pruned read + exact cosine
+        rerank. Candidate set (and therefore the result) is identical to the
+        query-time operators with the same parameters.
+
+        Candidates arrive duplicate-free (exactly-once claim across tables at
+        the storage layout), so both kinds are a single scan-and-TakeOrdered
+        stage over the probed partitions."""
+        return cosine_topk(
+            self.candidates(query, nprobe=nprobe),
+            query,
+            k,
+            self.m["vec_col"],
+            self.m["id_col"],
+            round_digits=round_digits,
+        )
+
+
+def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        return AnnIndex(spark, path, json.load(f))

@@ -145,6 +145,22 @@ class WheelIndex:
     sumsq_: np.ndarray | None = None
     vcnt_: np.ndarray | None = None
     value_sql_type: str = "DOUBLE"
+    #: At-start sliver states (sparse): per bucket whose start *instant*
+    #: holds ≥1 row, the aggregates of exactly those rows. Makes inclusive /
+    #: strict boundary queries (BETWEEN / ``<=`` / ``>``) answerable from the
+    #: index alone — ``ts <= b`` adds bucket b's at-start sliver, ``ts > a``
+    #: subtracts bucket a's (timestamps are µs-discrete so the sliver is an
+    #: exact equality set). Sparse: ns-precision data typically has ZERO
+    #: bucket-aligned rows, so these cost nothing; second-aligned data pays
+    #: at most a second copy of the states. ``None`` = not tracked (legacy) —
+    #: the router falls back to a pruned boundary scan.
+    at_secs_: np.ndarray | None = None
+    at_cnt_: np.ndarray | None = None
+    at_vcnt_: np.ndarray | None = None
+    at_sum_: np.ndarray | None = None
+    at_min_: np.ndarray | None = None
+    at_max_: np.ndarray | None = None
+    at_sumsq_: np.ndarray | None = None
     min_ts_us: int = 0
     max_ts_us: int = -1
     #: True when built over the *whole* table (no ``time_range`` restriction):
@@ -238,6 +254,47 @@ class WheelIndex:
             return None
         i, j = self._slice(start_sec, end_sec)
         return int(self._pcnt[j] - self._pcnt[i])
+
+    @property
+    def tracks_at_start(self) -> bool:
+        return self.at_secs_ is not None
+
+    def at_start(self, sec: int) -> dict[str, Any] | None:
+        """Monoid states of the rows whose timestamp equals the start instant
+        of the bucket beginning at ``sec``; zero-states when the instant holds
+        no rows, ``None`` when at-start tracking is absent (legacy wheels).
+
+        Keys: ``count``, ``vcnt``, plus ``sum``/``min``/``max``/``sumsq`` for
+        the states this wheel carries (``min``/``max`` are None when the
+        sliver has no non-NULL value; ``sum``/``sumsq`` are additive zeros)."""
+        if self.at_secs_ is None:
+            return None
+        out: dict[str, Any] = {"count": 0, "vcnt": 0}
+        if self.sum_ is not None:
+            out["sum"] = 0
+        if self.sumsq_ is not None:
+            out["sumsq"] = 0.0
+        if self.min_ is not None:
+            out["min"] = None
+        if self.max_ is not None:
+            out["max"] = None
+        i = int(np.searchsorted(self.at_secs_, sec))
+        if i >= self.at_secs_.size or int(self.at_secs_[i]) != sec:
+            return out
+        n = int(self.at_cnt_[i])
+        vn = int(self.at_vcnt_[i]) if self.at_vcnt_ is not None else n
+        out["count"] = n
+        out["vcnt"] = vn
+        if vn:
+            if self.at_sum_ is not None:
+                out["sum"] = self._py(self.at_sum_[i])
+            if self.at_sumsq_ is not None:
+                out["sumsq"] = float(self.at_sumsq_[i])
+            if self.at_min_ is not None:
+                out["min"] = self._py(self.at_min_[i])
+            if self.at_max_ is not None:
+                out["max"] = self._py(self.at_max_[i])
+        return out
 
     def _combine_slice(self, i: int, j: int) -> dict[str, Any]:
         """Combine all *available* states over the bucket slice ``[i, j)``.
@@ -408,6 +465,7 @@ class WheelIndex:
         vcnt_: np.ndarray | None = None,
         min_ts_us: int | None = None,
         max_ts_us: int | None = None,
+        at_states: dict[str, np.ndarray] | None = None,
     ) -> None:
         """Merge a per-second partial-aggregate delta into the wheel.
 
@@ -475,16 +533,75 @@ class WheelIndex:
             self.min_ts_us = min_ts_us if was_empty else min(self.min_ts_us, min_ts_us)
         if max_ts_us is not None:
             self.max_ts_us = max_ts_us if was_empty else max(self.max_ts_us, max_ts_us)
+        self._merge_at_states(secs, order, at_states)
         # Invalidate derived structures.
         self._pcnt = np.concatenate([[0], np.cumsum(self.cnt)])
         self._refresh_pvcnt()
         self._landmark = None
 
+    def _merge_at_states(self, delta_secs, order, at_states) -> None:
+        """Merge at-start sliver deltas (keys ``cnt``/``vcnt``/``sum``/``min``/
+        ``max``/``sumsq``, dense per delta bucket). A delta without them
+        drops tracking — a boundary query then falls back to the scan rather
+        than answering from stale sliver states."""
+        if self.at_secs_ is None:
+            return
+        if at_states is None or at_states.get("cnt") is None:
+            self.at_secs_ = self.at_cnt_ = self.at_vcnt_ = None
+            self.at_sum_ = self.at_min_ = self.at_max_ = self.at_sumsq_ = None
+            return
+        d_cnt = np.asarray(at_states["cnt"], dtype=np.int64)[order]
+        mask = d_cnt > 0
+        if not mask.any():
+            return
+        d_secs = delta_secs[mask]
+        merged = np.union1d(self.at_secs_, d_secs)
+        old_pos = np.searchsorted(merged, self.at_secs_)
+        new_pos = np.searchsorted(merged, d_secs)
+
+        def scat(old, new, fill, combine, dtype):
+            out = np.full(merged.shape, fill, dtype=dtype)
+            if old is not None and old.size:
+                out[old_pos] = old
+            if combine == "add":
+                np.add.at(out, new_pos, new)
+            elif combine == "min":
+                np.minimum.at(out, new_pos, new)
+            else:
+                np.maximum.at(out, new_pos, new)
+            return out
+
+        vdtype = np.int64 if self.is_integral else np.float64
+        min_fill = INT_MIN_IDENTITY if self.is_integral else np.inf
+        max_fill = INT_MAX_IDENTITY if self.is_integral else -np.inf
+
+        def dget(key, dtype):
+            a = at_states.get(key)
+            return None if a is None else np.asarray(a, dtype=dtype)[order][mask]
+
+        self.at_cnt_ = scat(self.at_cnt_, d_cnt[mask], 0, "add", np.int64)
+        if self.at_vcnt_ is not None:
+            dv = dget("vcnt", np.int64)
+            self.at_vcnt_ = scat(self.at_vcnt_, dv if dv is not None else d_cnt[mask], 0, "add", np.int64)
+        if self.at_sum_ is not None:
+            self.at_sum_ = scat(self.at_sum_, dget("sum", vdtype), vdtype(0), "add", vdtype)
+        if self.at_min_ is not None:
+            self.at_min_ = scat(self.at_min_, dget("min", vdtype), min_fill, "min", vdtype)
+        if self.at_max_ is not None:
+            self.at_max_ = scat(self.at_max_, dget("max", vdtype), max_fill, "max", vdtype)
+        if self.at_sumsq_ is not None:
+            self.at_sumsq_ = scat(self.at_sumsq_, dget("sumsq", np.float64), 0.0, "add", np.float64)
+        self.at_secs_ = merged
+
     # ------------------------------------------------------- introspection
     def size_bytes(self) -> int:
         """Analogue of ``BuiltInWheels::size_bytes`` (``wheels.rs:53-75``)."""
         total = self.secs.nbytes + self.cnt.nbytes + self._pcnt.nbytes
-        for a in (self.sum_, self.min_, self.max_, self.sumsq_, self.vcnt_):
+        for a in (
+            self.sum_, self.min_, self.max_, self.sumsq_, self.vcnt_,
+            self.at_secs_, self.at_cnt_, self.at_vcnt_, self.at_sum_,
+            self.at_min_, self.at_max_, self.at_sumsq_,
+        ):
             if a is not None:
                 total += a.nbytes
         return total

@@ -50,7 +50,8 @@ def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
             if backend == "spark":
                 fname = f"wheel_{i:04d}"
                 w.rollup.write.mode("overwrite").parquet(os.path.join(out_dir, fname))
-            else:
+            at_fname = None
+            if backend == "driver":
                 fname = _wheel_file(i)
                 # Native dtypes preserved: int64 states of integral columns
                 # round-trip exactly (no float coercion past 2^53).
@@ -68,6 +69,24 @@ def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
                     if arr is not None:
                         cols[name] = pa.array(np.asarray(arr))
                 pq.write_table(pa.table(cols), os.path.join(out_dir, fname))
+                if w.at_secs_ is not None:
+                    # At-start sliver states: sparse, different length — their
+                    # own file (empty is fine; absence means "not tracked").
+                    at_fname = f"wheel_{i:04d}_at.parquet"
+                    at_cols: dict[str, pa.Array] = {
+                        "sec": pa.array(np.asarray(w.at_secs_, dtype=np.int64)),
+                        "cnt": pa.array(np.asarray(w.at_cnt_, dtype=np.int64)),
+                    }
+                    for name, arr in (
+                        ("vcnt", w.at_vcnt_),
+                        ("sum", w.at_sum_),
+                        ("min", w.at_min_),
+                        ("max", w.at_max_),
+                        ("sumsq", w.at_sumsq_),
+                    ):
+                        if arr is not None:
+                            at_cols[name] = pa.array(np.asarray(arr))
+                    pq.write_table(pa.table(at_cols), os.path.join(out_dir, at_fname))
             i += 1
             manifest.append(
                 {
@@ -79,6 +98,7 @@ def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
                     "column": w.column,
                     "filter_key": w.filter_key,
                     "value_sql_type": getattr(w, "value_sql_type", "DOUBLE"),
+                    "at_file": at_fname,
                     "min_ts_us": w.min_ts_us,
                     "max_ts_us": w.max_ts_us,
                     "complete": w.complete,
@@ -119,25 +139,38 @@ def load_wheels(in_dir: str, spark=None) -> dict[str, dict]:
             continue
         t = pq.read_table(os.path.join(in_dir, entry["file"]))
 
-        def col(name):
-            return t[name].to_numpy() if name in t.column_names else None
+        def col(tab, name):
+            return tab[name].to_numpy() if name in tab.column_names else None
 
+        at: dict[str, object] = {}
+        if entry.get("at_file"):
+            ta = pq.read_table(os.path.join(in_dir, entry["at_file"]))
+            at = {
+                "at_secs_": ta["sec"].to_numpy(),
+                "at_cnt_": ta["cnt"].to_numpy(),
+                "at_vcnt_": col(ta, "vcnt"),
+                "at_sum_": col(ta, "sum"),
+                "at_min_": col(ta, "min"),
+                "at_max_": col(ta, "max"),
+                "at_sumsq_": col(ta, "sumsq"),
+            }
         w = WheelIndex(
             entry["table"],
             entry["column"],
             entry["filter_key"],
             t["sec"].to_numpy(),
             t["cnt"].to_numpy(),
-            sum_=col("sum"),
-            min_=col("min"),
-            max_=col("max"),
-            sumsq_=col("sumsq"),
-            vcnt_=col("vcnt"),
+            sum_=col(t, "sum"),
+            min_=col(t, "min"),
+            max_=col(t, "max"),
+            sumsq_=col(t, "sumsq"),
+            vcnt_=col(t, "vcnt"),
             value_sql_type=entry.get("value_sql_type", "DOUBLE"),
             min_ts_us=entry["min_ts_us"],
             max_ts_us=entry["max_ts_us"],
             complete=entry["complete"],
             bucket_seconds=entry.get("bucket_seconds", 1),
+            **at,
         )
         out[entry["kind"]][key] = w
     return out

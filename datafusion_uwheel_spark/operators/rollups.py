@@ -139,17 +139,29 @@ def state_agg_exprs(
     time_column: str,
     columns: Sequence[str],
     states: Sequence[str] = PHYSICAL_STATES,
+    bucket_seconds: int = 1,
 ) -> tuple[list[Column], dict[str, str]]:
     """The per-bucket aggregate expressions for a wheel build — shared by the
     batch build and streaming maintenance so their monoid states are
     bit-identical.
 
+    Besides the whole-bucket states, every bucket also aggregates its
+    **at-start sliver** — the rows whose timestamp equals the bucket-start
+    instant exactly. Those six extra states make inclusive/strict boundary
+    queries (BETWEEN / ``<=`` / ``>``) resolvable from the index alone:
+    ``ts <= b`` adds the at-start sliver of bucket ``b``; ``ts > a``
+    subtracts it from bucket ``a`` (see ``Router._try_hybrid``). Timestamps
+    are µs-discrete, so "at-start" is an exact equality, not an epsilon.
+
     Returns ``(agg_exprs, {column: value_sql_type})``.
     """
+    bucket_us = bucket_seconds * 1_000_000
+    at = F.unix_micros(F.col(time_column)) % bucket_us == 0
     aggs = [
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.unix_micros(F.col(time_column))).alias("__tmin"),
         F.max(F.unix_micros(F.col(time_column))).alias("__tmax"),
+        F.sum(F.when(at, 1).otherwise(0)).alias("__atcnt"),
     ]
     types: dict[str, str] = {}
     for c in columns:
@@ -162,22 +174,26 @@ def state_agg_exprs(
         # is re-cast to the column's own type by the router).
         sv = v if integral else v.cast("double")
         vd = v.cast("double")  # sumsq always float (int² overflows int64)
+        atv = F.when(at, sv)
+        cast = (lambda e: e.cast("long")) if integral else (lambda e: e)
         aggs.append(F.count(v).alias(f"__vcnt_{c}"))
+        aggs.append(F.count(atv).alias(f"__atvcnt_{c}"))
         if "sum" in states:
-            expr = F.sum(sv)
-            aggs.append((expr.cast("long") if integral else expr).alias(f"__sum_{c}"))
+            aggs.append(cast(F.sum(sv)).alias(f"__sum_{c}"))
+            aggs.append(cast(F.sum(atv)).alias(f"__atsum_{c}"))
         if "min" in states:
-            expr = F.min(sv)
-            aggs.append((expr.cast("long") if integral else expr).alias(f"__min_{c}"))
+            aggs.append(cast(F.min(sv)).alias(f"__min_{c}"))
+            aggs.append(cast(F.min(atv)).alias(f"__atmin_{c}"))
         if "max" in states:
-            expr = F.max(sv)
-            aggs.append((expr.cast("long") if integral else expr).alias(f"__max_{c}"))
+            aggs.append(cast(F.max(sv)).alias(f"__max_{c}"))
+            aggs.append(cast(F.max(atv)).alias(f"__atmax_{c}"))
         if "sumsq" in states:
             # Sum of squares — the extra monoid state that derives
             # VAR/STDDEV at lookup (the custom-aggregator extension point;
             # the reference's analogue is a custom uwheel Aggregator impl,
             # aggregator/mod.rs:5-64).
             aggs.append(F.sum(vd * vd).alias(f"__sumsq_{c}"))
+            aggs.append(F.sum(F.when(at, vd * vd)).alias(f"__atsumsq_{c}"))
     return aggs, types
 
 
@@ -192,27 +208,29 @@ def _filled(tbl: pa.Table, name: str, fill, np_dtype) -> np.ndarray:
 
 
 def rollup_arrays(
-    tbl: pa.Table, column: str, sql_type: str, states: Sequence[str]
+    tbl: pa.Table, column: str, sql_type: str, states: Sequence[str], at: bool = False
 ) -> dict[str, np.ndarray | None]:
-    """Extract one column's sanitized state arrays from a collected rollup."""
+    """Extract one column's sanitized state arrays from a collected rollup.
+    ``at=True`` extracts the at-start sliver variants (``__at*`` columns)."""
+    p = "__at" if at else "__"
     integral = sql_type in _INT_SQL.values()
     vdtype = np.int64 if integral else np.float64
     min_fill = INT_MIN_IDENTITY if integral else np.inf
     max_fill = INT_MAX_IDENTITY if integral else -np.inf
     out: dict[str, np.ndarray | None] = {
-        "vcnt": _filled(tbl, f"__vcnt_{column}", 0, np.int64)
+        "vcnt": _filled(tbl, f"{p}vcnt_{column}", 0, np.int64)
     }
     out["sum"] = (
-        _filled(tbl, f"__sum_{column}", 0, vdtype) if "sum" in states else None
+        _filled(tbl, f"{p}sum_{column}", 0, vdtype) if "sum" in states else None
     )
     out["min"] = (
-        _filled(tbl, f"__min_{column}", min_fill, vdtype) if "min" in states else None
+        _filled(tbl, f"{p}min_{column}", min_fill, vdtype) if "min" in states else None
     )
     out["max"] = (
-        _filled(tbl, f"__max_{column}", max_fill, vdtype) if "max" in states else None
+        _filled(tbl, f"{p}max_{column}", max_fill, vdtype) if "max" in states else None
     )
     out["sumsq"] = (
-        _filled(tbl, f"__sumsq_{column}", 0.0, np.float64) if "sumsq" in states else None
+        _filled(tbl, f"{p}sumsq_{column}", 0.0, np.float64) if "sumsq" in states else None
     )
     return out
 
@@ -253,7 +271,7 @@ def build_wheel_indices(
     # Project early so the scan only reads what the index needs.
     g = g.select(time_column, *columns)
 
-    aggs, types = state_agg_exprs(g, time_column, columns, states)
+    aggs, types = state_agg_exprs(g, time_column, columns, states, bucket_seconds)
 
     # timestamp → long = floor to epoch seconds (UTC session pinned by the
     # engine), then to the bucket width. One second is the reference's finest
@@ -332,6 +350,7 @@ def _indices_from_rollup(
             None: WheelIndex(
                 table, None, filter_key, empty, empty.copy(),
                 complete=complete, bucket_seconds=bucket_seconds,
+                at_secs_=empty.copy(), at_cnt_=empty.copy(),
             )
         }
         for c in columns:
@@ -345,6 +364,11 @@ def _indices_from_rollup(
                 vcnt_=empty.copy(),
                 value_sql_type=types[c],
                 complete=complete, bucket_seconds=bucket_seconds,
+                at_secs_=empty.copy(), at_cnt_=empty.copy(), at_vcnt_=empty.copy(),
+                at_sum_=e.copy() if "sum" in states else None,
+                at_min_=e.copy() if "min" in states else None,
+                at_max_=e.copy() if "max" in states else None,
+                at_sumsq_=np.empty(0) if "sumsq" in states else None,
             )
         return out
 
@@ -354,16 +378,28 @@ def _indices_from_rollup(
     cnt = _filled(tbl, "__cnt", 0, np.int64)[order]
     min_ts_us = int(pc.min(tbl.column("__tmin")).as_py())
     max_ts_us = int(pc.max(tbl.column("__tmax")).as_py())
+    # At-start slivers are sparse: keep only buckets whose start instant
+    # holds rows (ns-precision data typically has none at all).
+    atcnt = _filled(tbl, "__atcnt", 0, np.int64)[order]
+    at_mask = atcnt > 0
+    at_secs = secs[at_mask]
+    at_cnt = atcnt[at_mask]
 
     out = {
         None: WheelIndex(
             table, None, filter_key, secs, cnt,
             min_ts_us=min_ts_us, max_ts_us=max_ts_us,
             complete=complete, bucket_seconds=bucket_seconds,
+            at_secs_=at_secs, at_cnt_=at_cnt,
         )
     }
+
+    def _at(arr):
+        return arr[order][at_mask] if arr is not None else None
+
     for c in columns:
         arrs = rollup_arrays(tbl, c, types[c], states)
+        ats = rollup_arrays(tbl, c, types[c], states, at=True)
         out[c] = WheelIndex(
             table,
             c,
@@ -380,6 +416,13 @@ def _indices_from_rollup(
             max_ts_us=max_ts_us,
             complete=complete,
             bucket_seconds=bucket_seconds,
+            at_secs_=at_secs.copy(),
+            at_cnt_=at_cnt.copy(),
+            at_vcnt_=_at(ats["vcnt"]),
+            at_sum_=_at(ats["sum"]),
+            at_min_=_at(ats["min"]),
+            at_max_=_at(ats["max"]),
+            at_sumsq_=_at(ats["sumsq"]),
         )
     return out
 

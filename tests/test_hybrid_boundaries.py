@@ -141,6 +141,40 @@ def test_subsecond_literal_still_delegates(hybrid_engine):
     assert hybrid_engine.last_route.kind == "delegate"
 
 
+def test_between_zero_jobs_via_at_start_states(hybrid_engine, spark):
+    """With at-start sliver states tracked, BETWEEN resolves entirely from
+    the wheel — zero Spark jobs, like every other routed answer."""
+    sql = (
+        "SELECT COUNT(*) AS c, SUM(agg_col) AS s FROM hybrid_fix WHERE "
+        "timestamp BETWEEN '2024-05-10 00:00:03' AND '2024-05-10 00:00:06'"
+    )
+    hybrid_engine.sql(sql).collect()  # warm (parse caches etc.)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = hybrid_engine.sql(
+        "SELECT COUNT(*) AS c, SUM(agg_col) AS s FROM hybrid_fix WHERE "
+        "timestamp BETWEEN '2024-05-10 00:00:02' AND '2024-05-10 00:00:06'"
+    )
+    assert hybrid_engine.last_route.kind == "hybrid_agg"
+    assert hybrid_engine.last_route.detail["boundary"] == "wheel"
+    assert df.collect()[0]["c"] == 5
+    assert tracker.getJobIdsForGroup(None) == before
+
+
+def test_strict_lower_minmax_mixed_bucket_falls_back_to_scan(subsec_engine):
+    """Bucket 2 holds a row AT second 2 and one at 2.5 — MIN over `> 2` is
+    not derivable from monoid states, so the router uses the pruned boundary
+    scan (still exact, just one tiny job)."""
+    sql = (
+        "SELECT MIN(v) AS mn FROM subsec WHERE "
+        "ts > '2024-05-10 00:00:02' AND ts <= '2024-05-10 00:00:07'"
+    )
+    routed = subsec_engine.sql(sql)
+    assert subsec_engine.last_route.kind == "hybrid_agg"
+    assert subsec_engine.last_route.detail["boundary"] != "wheel"
+    assert routed.collect() == subsec_engine.spark.sql(sql).collect()
+
+
 def test_degenerate_range_delegates(hybrid_engine):
     hybrid_engine.sql(
         "SELECT COUNT(*) AS c FROM hybrid_fix WHERE "
