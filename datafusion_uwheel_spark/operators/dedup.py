@@ -121,7 +121,7 @@ def jaccard_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    max_doc_frac: float | None = None,
+    max_doc_frac: float | None = 0.05,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ ``threshold``.
 
@@ -129,6 +129,16 @@ def jaccard_pairs(
     (only docs sharing ≥1 shingle ever pair), count shared shingles, then
     ``J = |∩| / (|A| + |B| − |∩|)``. Returns ``(id_a, id_b, jaccard)`` with
     ``id_a < id_b``. Integer counts → the division is exact-reproducible.
+
+    ``max_doc_frac`` (skew valve, **on by default**): shingles occurring in
+    more than this fraction of documents are dropped before pairing. A
+    near-universal shingle (boilerplate / template n-grams) makes its
+    posting-list self-join quadratic AND lands it on a single shuffle
+    partition — the classic 100 TB skew-killer. Similarity is then Jaccard
+    over the *filtered* shingle sets (sizes recomputed accordingly, so the
+    math stays internally consistent); a corpus of near-identical documents
+    yields no pairs here by design — catching those is exact dedup's job.
+    Pass ``None`` for unfiltered semantics.
     """
     parts = df.sparkSession.sparkContext.defaultParallelism
     # First repartition spreads a single-file source before the expensive
@@ -152,7 +162,10 @@ def jaccard_pairs(
         # shingle sets — sizes are recomputed accordingly, so the math stays
         # internally consistent.
         n_docs = sh.count()
-        cap = int(n_docs * max_doc_frac)
+        # Floor of 5: a shingle shared by a handful of docs is never
+        # "universal" — without it, small corpora (cap = trunc(n·frac) = 0)
+        # would drop every shingle.
+        cap = max(5, int(n_docs * max_doc_frac))
         hot = (
             posting.groupBy("__h")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -324,6 +337,8 @@ def lsh_candidate_pairs(
     k: int = MINHASH_NUM_PERM,
     bands: int = MINHASH_BANDS,
     min_est_jaccard: float | None = None,
+    max_bucket_size: int | None = 1000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
@@ -333,6 +348,15 @@ def lsh_candidate_pairs(
     fraction of agreeing signature components (the unbiased MinHash
     estimator). The only shuffle is the bucket self-join; bucket keys are
     the banded signature slices themselves.
+
+    ``max_bucket_size`` (skew valve, **on by default**): a degenerate band
+    key — thousands of boilerplate-identical docs sharing one bucket — makes
+    the self-join quadratic in that bucket on a single shuffle partition.
+    Buckets larger than the cap are dropped before pairing (a bounded,
+    documented recall loss: members of an over-cap bucket can still pair
+    through their other ``bands − 1`` buckets; truly identical docs are
+    exact dedup's job). ``log_dropped=True`` runs one extra count job and
+    logs how many buckets the cap removed. ``None`` disables the cap.
 
     The signature column is **persisted** before the self-join: Catalyst
     inlines projection chains, so without materialization the full
@@ -360,6 +384,25 @@ def lsh_candidate_pairs(
             )
         ).alias("__b"),
     ).select("__id", "signature", F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+    if max_bucket_size is not None:
+        hot = (
+            bandrows.groupBy("__band", "__key")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .filter(F.col("__bc") > max_bucket_size)
+        )
+        if log_dropped:
+            import sys
+
+            n_hot = hot.count()
+            if n_hot:
+                print(
+                    f"lsh_candidate_pairs: dropped {n_hot} bucket(s) over "
+                    f"max_bucket_size={max_bucket_size}",
+                    file=sys.stderr,
+                )
+        bandrows = bandrows.join(
+            F.broadcast(hot.select("__band", "__key")), on=["__band", "__key"], how="anti"
+        )
     a = bandrows.select(
         F.col("__id").alias("id_a"), F.col("signature").alias("__sig_a"), "__band", "__key"
     )

@@ -138,18 +138,31 @@ SELECT doc_id, votes_en, votes_de, votes_fr, votes_es, {pred} AS lang_pred
 FROM v"""
 
 
-def jaccard_pairs_sql(threshold: float, table: str = "documents", n: int = 3) -> str:
+def jaccard_pairs_sql(
+    threshold: float,
+    table: str = "documents",
+    n: int = 3,
+    max_doc_frac: float | None = 0.05,
+) -> str:
+    """Mirrors :func:`..operators.dedup.jaccard_pairs` including its default
+    hot-shingle skew valve: shingles in more than ``max_doc_frac`` of
+    documents are dropped and per-doc sizes recomputed — identical integer
+    arithmetic on both engines (cap = trunc(n_docs · frac), same float64
+    product)."""
     toks = tokens_sql()
-    return f"""
+    if max_doc_frac is None:
+        posting_f = "posting"
+        sizes = "SELECT id, hs, len(hs) AS nsh FROM sh WHERE len(hs) > 0"
+        return f"""
 WITH sh AS (
   SELECT doc_id AS id, {shingles_sql(toks, n)} AS hs FROM {table}
 ), nz AS (
-  SELECT id, hs, len(hs) AS nsh FROM sh WHERE len(hs) > 0
+  {sizes}
 ), posting AS (
   SELECT id, unnest(hs) AS h FROM nz
 ), inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
-  FROM posting a JOIN posting b ON a.h = b.h AND a.id < b.id
+  FROM {posting_f} a JOIN {posting_f} b ON a.h = b.h AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b,
@@ -157,6 +170,31 @@ SELECT id_a, id_b,
 FROM inter
 JOIN nz na ON na.id = id_a
 JOIN nz nb ON nb.id = id_b
+WHERE CAST(ni AS DOUBLE) / CAST(na.nsh + nb.nsh - ni AS DOUBLE) >= {threshold!r}"""
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {shingles_sql(toks, n)} AS hs FROM {table}
+), nz AS (
+  SELECT id, hs FROM sh WHERE len(hs) > 0
+), posting AS (
+  SELECT id, unnest(hs) AS h FROM nz
+), hot AS (
+  SELECT h FROM posting GROUP BY h
+  HAVING count(*) > (SELECT GREATEST(5, CAST(trunc(count(*) * {max_doc_frac!r}) AS BIGINT)) FROM nz)
+), pf AS (
+  SELECT * FROM posting WHERE h NOT IN (SELECT h FROM hot)
+), szf AS (
+  SELECT id, count(*) AS nsh FROM pf GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+  FROM pf a JOIN pf b ON a.h = b.h AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(ni AS DOUBLE) / CAST(na.nsh + nb.nsh - ni AS DOUBLE) AS jaccard
+FROM inter
+JOIN szf na ON na.id = id_a
+JOIN szf nb ON nb.id = id_b
 WHERE CAST(ni AS DOUBLE) / CAST(na.nsh + nb.nsh - ni AS DOUBLE) >= {threshold!r}"""
 
 
@@ -167,9 +205,12 @@ def minhash_lsh_sql(
     k: int = MINHASH_NUM_PERM,
     bands: int = MINHASH_BANDS,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> str:
     """Full MinHash+LSH candidate pairs in SQL, hash params baked from the
-    same seeded generator the Spark side uses."""
+    same seeded generator the Spark side uses; mirrors the default
+    ``max_bucket_size`` skew valve (over-cap buckets dropped before
+    pairing)."""
     a_params, b_params = minhash_params(k, seed)
     r = k // bands
     sig_terms = ", ".join(
@@ -177,6 +218,16 @@ def minhash_lsh_sql(
         for a, b in zip(a_params, b_params)
     )
     toks = tokens_sql()
+    if max_bucket_size is None:
+        band_src = "bands"
+        cap_cte = ""
+    else:
+        cap_cte = f""", bcnt AS (
+  SELECT b, key, count(*) AS c FROM bands GROUP BY b, key
+), bf AS (
+  SELECT bands.* FROM bands JOIN bcnt USING (b, key) WHERE bcnt.c <= {max_bucket_size}
+)"""
+        band_src = "bf"
     return f"""
 WITH sh AS (
   SELECT doc_id AS id, {shingles_sql(toks, n)} AS hs FROM {table}
@@ -185,9 +236,9 @@ WITH sh AS (
 ), bands AS (
   SELECT id, s, b, array_to_string(s[b*{r}+1 : b*{r}+{r}], '-') AS key
   FROM sig, (SELECT unnest(range(0, {bands})) AS b)
-), pairs AS (
+){cap_cte}, pairs AS (
   SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.s AS sa, b2.s AS sb
-  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id
+  FROM {band_src} a JOIN {band_src} b2 ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id
 )
 SELECT id_a, id_b,
        CAST(len(list_filter(range(1, {k + 1}), i -> sa[i] = sb[i])) AS DOUBLE)
