@@ -310,6 +310,27 @@ def uw_int_sum_range(spark, sf_dir):
     )
 
 
+_DATE_ENGINES: dict[str, WheelEngine] = {}
+
+
+def uw_date_key(spark, sf_dir):
+    """DATE-keyed wheel: engine over orders with o_orderdate as a true DATE
+    column (the reference's Date32 build path mis-scales days as ms,
+    lib.rs:1250-1258; here days → exact epoch seconds)."""
+    eng = _DATE_ENGINES.get(sf_dir)
+    if eng is None or eng.spark is not spark:
+        base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        dated = base.withColumn("o_orderdate", F.to_date("o_orderdate"))
+        eng = WheelEngine(spark, "orders_dated", dated, time_column="o_orderdate")
+        eng.build_index("o_totalprice")
+        _DATE_ENGINES[sf_dir] = eng
+    df = eng.sql(
+        "SELECT COUNT(*) AS n, SUM(o_totalprice) AS sum_price FROM orders_dated "
+        "WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'"
+    )
+    return _round(df, {"sum_price": 3})
+
+
 def uw_unaligned_delegate(spark, sf_dir):
     """Rewrite-safety: sub-second boundary → router must delegate to Spark
     (the reference would sloppily mis-answer this — SURVEY.md §4.3.1)."""
@@ -555,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_le_bound_range": uw_le_bound_range,
         "uw_count_col": uw_count_col,
         "uw_int_sum_range": uw_int_sum_range,
+        "uw_date_key": uw_date_key,
         "uw_prune_count": uw_prune_count,
         "uw_prune_minmax": uw_prune_minmax,
         "uw_unaligned_delegate": uw_unaligned_delegate,
@@ -667,6 +689,11 @@ def oracle_sql() -> dict[str, str]:
         "uw_count_col": (
             f"SELECT count(value) AS n_vals FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_date_key": (
+            "SELECT count(*) AS n, round(sum(o_totalprice), 3) AS sum_price FROM orders "
+            "WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01' "
+            "AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'"
         ),
         # DuckDB sum(BIGINT) is HUGEINT — cast back so schemas agree.
         "uw_int_sum_range": (

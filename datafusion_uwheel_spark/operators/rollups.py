@@ -113,6 +113,46 @@ _INT_SQL = {
 _FLOAT_SQL = {T.FloatType: "FLOAT", T.DoubleType: "DOUBLE"}
 
 
+def _time_field_type(df: DataFrame, time_column: str):
+    for f_ in df.schema.fields:
+        if f_.name.lower() == time_column.lower():
+            return f_.dataType
+    raise ValueError(f"time column {time_column!r} not found")
+
+
+def time_micros_col(df: DataFrame, time_column: str) -> Column:
+    """Normalize the time column to **epoch microseconds** — the one place
+    TIMESTAMP vs DATE is resolved (the reference normalizes Date32/Date64 in
+    ``scalar_to_timestamp``/``extract_timestamps_from_array``,
+    ``lib.rs:1203-1272``, but mis-scales Date32 days as *milliseconds*,
+    ``lib.rs:1250-1258`` — a DATE-keyed index there answers garbage; here
+    days multiply to exact µs). Raw int64-ns sources should be normalized to
+    TimestampType at read time (``sources.read_parquet`` does)."""
+    dt = _time_field_type(df, time_column)
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(time_column))
+    if isinstance(dt, T.DateType):
+        return F.unix_date(F.col(time_column)).cast("long") * 86_400_000_000
+    raise ValueError(
+        f"time column {time_column!r} has type {dt.simpleString()}; expected "
+        "TIMESTAMP or DATE (normalize raw epoch longs at read time, e.g. "
+        "sources.read_parquet for ns-precision parquet)"
+    )
+
+
+def time_sec_col(df: DataFrame, time_column: str) -> Column:
+    """Epoch-seconds floor of the time column (bucket key), TIMESTAMP/DATE."""
+    dt = _time_field_type(df, time_column)
+    if isinstance(dt, T.TimestampType):
+        return F.col(time_column).cast("long")
+    if isinstance(dt, T.DateType):
+        return F.unix_date(F.col(time_column)).cast("long") * 86_400
+    raise ValueError(
+        f"time column {time_column!r} has type {dt.simpleString()}; expected "
+        "TIMESTAMP or DATE"
+    )
+
+
 def column_sql_type(df: DataFrame, column: str) -> str:
     """SQL type name for an indexable column; raises for types whose routed
     aggregates could not match the delegate path's exact semantics (the
@@ -156,11 +196,12 @@ def state_agg_exprs(
     Returns ``(agg_exprs, {column: value_sql_type})``.
     """
     bucket_us = bucket_seconds * 1_000_000
-    at = F.unix_micros(F.col(time_column)) % bucket_us == 0
+    t_us = time_micros_col(df, time_column)
+    at = t_us % bucket_us == 0
     aggs = [
         F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.unix_micros(F.col(time_column))).alias("__tmin"),
-        F.max(F.unix_micros(F.col(time_column))).alias("__tmax"),
+        F.min(t_us).alias("__tmin"),
+        F.max(t_us).alias("__tmax"),
         F.sum(F.when(at, 1).otherwise(0)).alias("__atcnt"),
     ]
     types: dict[str, str] = {}
@@ -273,10 +314,10 @@ def build_wheel_indices(
 
     aggs, types = state_agg_exprs(g, time_column, columns, states, bucket_seconds)
 
-    # timestamp → long = floor to epoch seconds (UTC session pinned by the
+    # timestamp/date → epoch-seconds floor (UTC session pinned by the
     # engine), then to the bucket width. One second is the reference's finest
     # dimension; coarser bases shrink the collected rollup proportionally.
-    sec = F.col(time_column).cast("long")
+    sec = time_sec_col(g, time_column)
     if bucket_seconds != 1:
         sec = sec - (sec % bucket_seconds)
     rolled = g.groupBy(sec.alias("__sec")).agg(*aggs)

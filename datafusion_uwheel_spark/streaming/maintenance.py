@@ -91,7 +91,9 @@ class StreamingWheelMaintainer:
         # over the union.
         bs = getattr(e, "bucket_seconds", 1)
         aggs, _types = state_agg_exprs(src, tc, cols, bucket_seconds=bs)
-        sec = F.col(tc).cast("long")
+        from ..operators.rollups import time_sec_col
+
+        sec = time_sec_col(src, tc)
         if bs != 1:
             sec = sec - (sec % bs)
         rolled = src.groupBy(sec.alias("__sec")).agg(*aggs)
