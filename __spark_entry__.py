@@ -490,6 +490,35 @@ def text_lang_id(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- multimodal operators
+def _media_df(spark, sf_dir):
+    """Deterministic binary-media fixture: each document's UTF-8 bytes as an
+    opaque payload — DuckDB's ``encode(text)`` builds the identical BLOB, so
+    the media plumbing is oracle-checkable without media files."""
+    return _view(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+
+
+def mm_media_stats(spark, sf_dir):
+    """Media size + content digest over a binary column (pure JVM exprs)."""
+    from datafusion_uwheel_spark.operators import multimodal
+
+    return multimodal.with_media_stats(_media_df(spark, sf_dir)).select(
+        "doc_id", "size_bytes", "digest"
+    )
+
+
+def mm_media_dedup(spark, sf_dir):
+    """Digest-based exact media dedup groups (binary payload identity)."""
+    from datafusion_uwheel_spark.operators import multimodal
+
+    stats = multimodal.with_media_stats(_media_df(spark, sf_dir))
+    return stats.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id")
+    )
+
+
 # -------------------------------------------------- similarity operators
 def sim_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-k — scan + codegen'd fold + TakeOrderedAndProject."""
@@ -592,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "mm_media_stats": mm_media_stats,
+        "mm_media_dedup": mm_media_dedup,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -730,6 +761,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": oracles.jaccard_pairs_sql(JACCARD_T),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(LSH_MIN_EST),
         "dedup_simhash": oracles.simhash_sql(),
+        # documents' UTF-8 bytes are the media payload on both engines:
+        # Spark encode(text,'UTF-8') ≡ DuckDB encode(text); md5(VARCHAR)
+        # hashes the same UTF-8 bytes as Spark's md5(BINARY).
+        "mm_media_stats": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, "
+            "md5(text) AS digest FROM documents"
+        ),
+        "mm_media_dedup": (
+            "SELECT md5(text) AS digest, count(*) AS n_copies, "
+            "min(doc_id) AS keeper_id FROM documents GROUP BY 1"
+        ),
         "text_token_stats": oracles.token_stats_sql(),
         "text_quality": oracles.quality_sql(),
         "text_lang_id": oracles.lang_id_sql(),
