@@ -310,6 +310,18 @@ def uw_int_sum_range(spark, sf_dir):
     )
 
 
+def uw_point_instant(spark, sf_dir):
+    """Point query `ts = literal` answered from the bucket's at-start sliver
+    states (the reference refuses time-column equality, expr.rs:351-356).
+    ns-precision data has no rows at this exact µs instant → COUNT 0 /
+    SUM NULL, proven rather than scanned. (NULL is coalesced on both sides:
+    the oracle harness's pandas path renders SQL NULL as NaN.)"""
+    df = _engine(spark, sf_dir).sql(
+        f"SELECT COUNT(*) AS n, SUM(value) AS sum_value FROM events WHERE ts = '{GT_A}'"
+    )
+    return df.na.fill({"sum_value": -1.0})
+
+
 _DATE_ENGINES: dict[str, WheelEngine] = {}
 
 
@@ -578,7 +590,7 @@ def sim_ivf_indexed(spark, sf_dir):
 def sim_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (LSH candidates + exact rerank)."""
     df = _view(spark, sf_dir, "embeddings")
-    return similarity.embedding_dup_pairs(df, threshold=EMB_DUP_T, bits=8, tables=2)
+    return similarity.embedding_dup_pairs(df, threshold=EMB_DUP_T, bits=8, tables=2, dim=EMB_DIM)
 
 
 # ----------------------------------------------------------- registries
@@ -605,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_le_bound_range": uw_le_bound_range,
         "uw_count_col": uw_count_col,
         "uw_int_sum_range": uw_int_sum_range,
+        "uw_point_instant": uw_point_instant,
         "uw_date_key": uw_date_key,
         "uw_prune_count": uw_prune_count,
         "uw_prune_minmax": uw_prune_minmax,
@@ -720,6 +733,10 @@ def oracle_sql() -> dict[str, str]:
         "uw_count_col": (
             f"SELECT count(value) AS n_vals FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_point_instant": (
+            "SELECT count(*) AS n, COALESCE(sum(value), -1.0) AS sum_value FROM events "
+            f"WHERE ts = TIMESTAMP '{GT_A}'"
         ),
         "uw_date_key": (
             "SELECT count(*) AS n, round(sum(o_totalprice), 3) AS sum_price FROM orders "

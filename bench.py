@@ -316,7 +316,7 @@ def main() -> None:
     log(f"sim_ivf_topk: {queries['sim_ivf_topk']*1e3:.0f} ms median (query-time cells)")
     once(
         "sim_embedding_dup_pairs",
-        lambda: similarity.embedding_dup_pairs(emb, threshold=0.4, bits=8, tables=2).count(),
+        lambda: similarity.embedding_dup_pairs(emb, threshold=0.4, bits=8, tables=2, dim=dim).count(),
     )
 
     # Materialized ANN indexes: build once (reported separately), then time

@@ -272,6 +272,7 @@ def embedding_dup_pairs(
     tables: int = 2,
     seed: int = 42,
     round_digits: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, sim)`` with
     ``sim ≥ threshold`` and ``id_a < id_b``.
@@ -280,11 +281,17 @@ def embedding_dup_pairs(
     sign-bucket in ≥1 hash table — the candidate set is linear-ish, not n²),
     then candidates are **exactly** reranked with the fold cosine. At scale
     the bucket columns should be precomputed and the table written bucketed
-    on them, turning the self-join into a co-located join with no shuffle of
-    the vectors. Approximate by construction: a true near-dup pair landing in
-    no shared bucket is missed; raise ``tables`` / lower ``bits`` for recall.
+    on them (see :mod:`.ann_index`), turning the self-join into a co-located
+    join with no shuffle of the vectors. Approximate by construction: a true
+    near-dup pair landing in no shared bucket is missed; raise ``tables`` /
+    lower ``bits`` for recall.
+
+    Pass ``dim`` (callers know their embedding width) — probing it from data
+    would launch a Spark job at plan-construction time.
     """
-    dim = len(df.select(vec_col).head()[0])
+    if dim is None:
+        # Legacy convenience: one tiny job. Callers on hot paths pass dim.
+        dim = len(df.select(vec_col).head()[0])
     parts = df.sparkSession.sparkContext.defaultParallelism
     # repartition AFTER computing the buckets: materializes the (tables ×
     # bits × dim)-fold sign expressions at a shuffle boundary so the

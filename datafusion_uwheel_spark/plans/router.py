@@ -43,6 +43,7 @@ from ..functions.timestamps import (
 from ..operators.lookup import STAR_AGGREGATION_ALIAS, WheelIndex
 from .predicates import (
     MinMaxPredicate,
+    _ts_value,
     canonical_filter_key,
     extract_min_max_predicate,
     split_temporal_filter,
@@ -221,6 +222,21 @@ class Router:
             # reference's `>`→`>=` slop, expr.rs:219-222).
             if rng is not None and rng.hybrid_routable:
                 return self._try_hybrid(q, rng, residual)
+            # Point query `ts = <bucket-aligned literal>`: exactly the
+            # at-start sliver of one bucket (µs-discrete timestamps) —
+            # answered from the sliver states, zero jobs.
+            if rng is None:
+                eqs = [c for c in q.conjuncts if c.column == e.time_column]
+                if len(eqs) == 1 and eqs[0].op == "=":
+                    ts = _ts_value(eqs[0])
+                    if (
+                        ts is not None
+                        and ts.epoch_us % MICROS_PER_SECOND == 0
+                        and (ts.epoch_us // MICROS_PER_SECOND) % e.bucket_seconds == 0
+                    ):
+                        return self._try_instant(
+                            q, ts.epoch_us // MICROS_PER_SECOND, residual
+                        )
             # Keyed landmark (beyond the reference, which requires no filter
             # at all, lib.rs:279-281): a purely-keyed predicate matching a
             # *complete* keyed wheel is answerable over the whole span.
@@ -446,6 +462,67 @@ class Router:
         df = self._scalar_result(q.aggs, values, wheels)
         return (
             RouteDecision("landmark", index_key=wheels[0].key, detail={"fk": filter_key}),
+            df,
+        )
+
+    # -------------------------------------------------------------- point
+    def _try_instant(self, q, sec: int, residual):
+        """``ts = <literal>`` where the literal is a bucket-start instant:
+        the matching rows are exactly the bucket's at-start sliver (the
+        reference refuses equality on the time column outright,
+        ``expr.rs:351-356``). Zero jobs; unaligned literals delegate."""
+        bucket = self.engine.bucket_seconds
+        fk = canonical_filter_key(residual) if residual else STAR_AGGREGATION_ALIAS
+        values, wheels = [], []
+        for agg in q.aggs:
+            w = self._resolve_wheel(agg, fk)
+            if (
+                w is None
+                or not getattr(w, "tracks_at_start", False)
+                or w.combine_range(sec, sec + bucket) is None  # span/alignment gate
+            ):
+                return (
+                    RouteDecision("delegate", detail={"reason": "no at-start index", "fk": fk}),
+                    None,
+                )
+            at = w.at_start(sec)
+            key = _state_key(agg)
+            vn = at["vcnt"]
+            if key == "count":
+                values.append(at["count"])
+            elif key == "count_col":
+                values.append(vn)
+            elif key in ("sum", "min", "max"):
+                if key not in at:
+                    return (
+                        RouteDecision("delegate", detail={"reason": f"state {key} not indexed"}),
+                        None,
+                    )
+                values.append(at[key] if vn else None)
+            elif key == "avg":
+                if "sum" not in at:
+                    return (
+                        RouteDecision("delegate", detail={"reason": "state sum not indexed"}),
+                        None,
+                    )
+                values.append(float(at["sum"]) / vn if vn else None)
+            else:  # variance family
+                if "sum" not in at or "sumsq" not in at:
+                    return (
+                        RouteDecision("delegate", detail={"reason": "state sumsq not indexed"}),
+                        None,
+                    )
+                from ..operators.lookup import _variance_states
+
+                values.append(
+                    _variance_states(float(at["sum"]), float(at["sumsq"]), vn)[key]
+                    if vn
+                    else None
+                )
+            wheels.append(w)
+        df = self._scalar_result(q.aggs, values, wheels)
+        return (
+            RouteDecision("point_agg", index_key=wheels[0].key, detail={"fk": fk, "sec": sec}),
             df,
         )
 

@@ -175,6 +175,51 @@ def test_strict_lower_minmax_mixed_bucket_falls_back_to_scan(subsec_engine):
     assert routed.collect() == subsec_engine.spark.sql(sql).collect()
 
 
+def test_point_equality_routes_from_at_start(hybrid_engine, spark):
+    sql = (
+        "SELECT COUNT(*) AS c, SUM(agg_col) AS s FROM hybrid_fix "
+        "WHERE timestamp = '2024-05-10 00:00:04'"
+    )
+    hybrid_engine.sql(sql).collect()
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = hybrid_engine.sql(
+        "SELECT COUNT(*) AS c, SUM(agg_col) AS s FROM hybrid_fix "
+        "WHERE timestamp = '2024-05-10 00:00:05'"
+    )
+    assert hybrid_engine.last_route.kind == "point_agg"
+    row = df.collect()[0]
+    assert (row["c"], row["s"]) == (1, 6.0)
+    assert tracker.getJobIdsForGroup(None) == before
+
+
+def test_point_equality_subsecond_rows_excluded(subsec_engine):
+    # second 2 holds a row AT 2.000000 (v=100) and one at 2.5 — equality
+    # must count only the exact instant
+    sql = "SELECT COUNT(*) AS c, SUM(v) AS s FROM subsec WHERE ts = '2024-05-10 00:00:02'"
+    routed = subsec_engine.sql(sql)
+    assert subsec_engine.last_route.kind == "point_agg"
+    assert routed.collect() == subsec_engine.spark.sql(sql).collect()
+    assert routed.collect()[0]["s"] == 100.0
+
+
+def test_point_equality_unaligned_delegates(subsec_engine):
+    sql = "SELECT COUNT(*) AS c FROM subsec WHERE ts = '2024-05-10 00:00:02.5'"
+    df = subsec_engine.sql(sql)
+    assert subsec_engine.last_route.kind == "delegate"
+    assert df.collect()[0][0] == 1
+
+
+def test_point_equality_empty_instant(hybrid_engine):
+    sql = (
+        "SELECT COUNT(*) AS c, MIN(agg_col) AS mn FROM hybrid_fix "
+        "WHERE timestamp = '2024-05-10 00:00:30'"
+    )
+    routed = hybrid_engine.sql(sql)
+    assert hybrid_engine.last_route.kind == "point_agg"
+    assert routed.collect() == hybrid_engine.spark.sql(sql).collect()
+
+
 def test_degenerate_range_delegates(hybrid_engine):
     hybrid_engine.sql(
         "SELECT COUNT(*) AS c FROM hybrid_fix WHERE "
