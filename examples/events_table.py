@@ -1,0 +1,112 @@
+"""End-to-end tour on a real parquet table — the PySpark counterpart of the
+reference's ``examples/nyc_taxi`` (``/root/reference/examples/nyc_taxi/src/main.rs``),
+using the driver-generated events table instead of the taxi dataset:
+count/sum/keyed/group-by rewrites, BETWEEN boundaries, landmark, index
+persistence, and a materialized ANN index over the embeddings table.
+
+Run:  python examples/events_table.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from datafusion_uwheel_spark import WheelEngine, get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def timed(label, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    print(f"{label:<38} {1e3 * (time.perf_counter() - t0):8.1f} ms")
+    return out
+
+
+def main() -> None:
+    spark = get_spark("uwheel-example-events", master="local[8]", shuffle_partitions=8)
+
+    # events.ts is parquet TIMESTAMP(NANOS) — WheelEngine normalizes via
+    # sources.read_parquet when given a path.
+    engine = timed(
+        "engine + COUNT/value/keyed index build",
+        lambda: _build(spark),
+    )
+
+    r = "ts >= '2024-01-05 00:00:00' AND ts < '2024-01-12 00:00:00'"
+    queries = [
+        ("COUNT range (wheel)", f"SELECT COUNT(*) AS n FROM events WHERE {r}"),
+        ("multi-agg (wheel)",
+         f"SELECT COUNT(*) AS n, SUM(value) AS s, AVG(value) AS a FROM events WHERE {r}"),
+        ("keyed SUM (wheel)",
+         f"SELECT SUM(value) AS s FROM events WHERE {r} AND event_type = 'click'"),
+        ("GROUP BY hour (wheel)",
+         "SELECT date_trunc('hour', ts) AS b, COUNT(*) AS n FROM events "
+         f"WHERE {r} GROUP BY date_trunc('hour', ts)"),
+        ("BETWEEN boundaries (wheel + sliver)",
+         "SELECT COUNT(*) AS n FROM events "
+         "WHERE ts BETWEEN '2024-01-05 00:00:00' AND '2024-01-11 23:59:59'"),
+        ("landmark (no filter, wheel)", "SELECT SUM(value) AS s FROM events"),
+        ("window rank (delegated to Catalyst)",
+         "SELECT user_id, rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rk "
+         f"FROM events WHERE {r} LIMIT 5"),
+    ]
+    for label, sql in queries:
+        rows = timed(label, lambda s=sql: engine.sql(s).collect())
+        print(f"    route={engine.last_route.kind:<12} rows={len(rows)}")
+
+    # Build-once index persistence: restart-free reloads.
+    with tempfile.TemporaryDirectory() as d:
+        timed("save_indexes (parquet rollups)", lambda: engine.save_indexes(d))
+        timed(
+            "reload engine from persisted indexes",
+            lambda: WheelEngine(
+                spark, "events", f"{SF_DIR}/events.parquet",
+                time_column="ts", load_indexes=d,
+            ),
+        )
+
+    # Materialized ANN index over the embeddings table.
+    from datafusion_uwheel_spark.operators.ann_index import build_ann_index, load_ann_index
+    from datafusion_uwheel_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = 64
+    query_vec = [((i * 37) % 100) / 100.0 - 0.5 for i in range(dim)]
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/lsh"
+        timed("build LSH ANN index (one-time)",
+              lambda: build_ann_index(emb, path, kind="lsh", dim=dim, bits=4, tables=2))
+        idx = load_ann_index(spark, path)
+        # warm both once (plan + codegen) — steady-state is what matters for
+        # a probe-many index
+        idx.topk(query_vec, k=5).collect()
+        cosine_topk(emb, query_vec, k=5).collect()
+        timed("ANN probe (partition-pruned)", lambda: idx.topk(query_vec, k=5).collect())
+        timed("brute-force top-k (full scan)",
+              lambda: cosine_topk(emb, query_vec, k=5).collect())
+        print(
+            "    (probe vs brute crossover is scale-dependent: at tiny SFs the\n"
+            "     fixed partitioned-read overhead dominates; at sf0.1+ the probe\n"
+            "     wins and the gap grows with data — candidates scale as 1/2^bits)"
+        )
+    spark.stop()
+
+
+def _build(spark):
+    e = WheelEngine(
+        spark, "events", f"{SF_DIR}/events.parquet",
+        time_column="ts", min_max_columns=("value",),
+    )
+    e.build_index("value")
+    e.build_index("value", filter="event_type = 'click'")
+    return e
+
+
+if __name__ == "__main__":
+    main()
