@@ -109,10 +109,15 @@ class WheelEngine:
             self.min_max_wheels = dict(wheels["min_max"])
             self.agg_wheels = dict(wheels["agg"])
         else:
+            # Pruning wheels only ever serve min_max_range — build just those
+            # two states (~3× smaller than a full wheel; the reference's
+            # F64MinMaxAggregator wheels are likewise min/max-only,
+            # lib.rs:967-1017).
             indices = build_wheel_indices(
                 self.df, name, time_column, list(min_max_columns),
                 time_range=time_range, bucket_seconds=self.bucket_seconds,
                 backend=index_backend,
+                states=("min", "max") if min_max_columns else (),
             )
             #: filter_key → COUNT wheel (unfiltered under ``*_AGG``; keyed
             #: wheels are added by :meth:`build_index`).
@@ -196,10 +201,12 @@ class WheelEngine:
         return wheel.key
 
     def build_min_max_index(self, column: str) -> str:
-        """Add a MIN/MAX pruning wheel after construction."""
+        """Add a MIN/MAX pruning wheel after construction (min/max states
+        only — the reference's ``build_min_max_wheel``, ``lib.rs:967-1017``)."""
         indices = build_wheel_indices(
             self.df, self.name, self.time_column, [column],
             bucket_seconds=self.bucket_seconds, backend=self.index_backend,
+            states=("min", "max"),
         )
         self.min_max_wheels[column] = indices[column]
         return indices[column].key

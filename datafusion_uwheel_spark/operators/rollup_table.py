@@ -61,7 +61,45 @@ class SparkRollupWheel:
             s for s in ("sum", "min", "max", "sumsq") if f"__{s}" in rollup.columns
         ]
         self._has_vcnt = "__vcnt" in rollup.columns
+        self._has_at = "__atcnt" in rollup.columns
         self._landmark_cache: dict[str, Any] | None = None
+
+    @property
+    def tracks_at_start(self) -> bool:
+        return self._has_at
+
+    def at_start(self, sec: int) -> dict[str, Any] | None:
+        """At-start sliver states for the bucket at ``sec`` — same contract
+        as :meth:`WheelIndex.at_start` (one tiny job over the cached rollup)."""
+        if not self._has_at:
+            return None
+        out: dict[str, Any] = {"count": 0, "vcnt": 0}
+        if "sum" in self._state_cols:
+            out["sum"] = 0
+        if "sumsq" in self._state_cols:
+            out["sumsq"] = 0.0
+        if "min" in self._state_cols:
+            out["min"] = None
+        if "max" in self._state_cols:
+            out["max"] = None
+        rows = self.rollup.filter(F.col("__sec") == sec).collect()
+        if not rows:
+            return out
+        d = rows[0].asDict()
+        n = int(d["__atcnt"] or 0)
+        vn = int(d.get("__atvcnt") or 0) if "__atvcnt" in d else n
+        out["count"] = n
+        out["vcnt"] = vn
+        if vn:
+            if d.get("__atsum") is not None:
+                out["sum"] = self._py(d["__atsum"])
+            if d.get("__atsumsq") is not None:
+                out["sumsq"] = float(d["__atsumsq"])
+            if d.get("__atmin") is not None:
+                out["min"] = self._py(d["__atmin"])
+            if d.get("__atmax") is not None:
+                out["max"] = self._py(d["__atmax"])
+        return out
 
     # ---------------------------------------------------- shared gate logic
     @property
@@ -235,6 +273,13 @@ class SparkRollupWheel:
         for s in self._state_cols:
             fn = F.min if s == "min" else (F.max if s == "max" else F.sum)
             aggs.append(fn(f"__{s}").alias(f"__{s}"))
+        if self._has_at:
+            aggs.append(F.sum("__atcnt").alias("__atcnt"))
+            if "__atvcnt" in self.rollup.columns:
+                aggs.append(F.sum("__atvcnt").alias("__atvcnt"))
+            for s in self._state_cols:
+                fn = F.min if s == "min" else (F.max if s == "max" else F.sum)
+                aggs.append(fn(f"__at{s}").alias(f"__at{s}"))
         old = self.rollup
         merged = (
             old.unionByName(delta.select(*old.columns))

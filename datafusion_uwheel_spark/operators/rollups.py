@@ -356,17 +356,19 @@ def _spark_wheels_from_rollup(
         min_us, max_us = int(bounds[0]), int(bounds[1])
     out = {
         None: SparkRollupWheel(
-            rolled.select("__sec", "__cnt"),
+            rolled.select("__sec", "__cnt", "__atcnt"),
             table, None, filter_key, min_us, max_us, complete, bucket_seconds,
         )
     }
     for c in columns:
         cols = [
-            F.col("__sec"), F.col("__cnt"),
+            F.col("__sec"), F.col("__cnt"), F.col("__atcnt"),
             F.col(f"__vcnt_{c}").alias("__vcnt"),
+            F.col(f"__atvcnt_{c}").alias("__atvcnt"),
         ]
         for s in states:
             cols.append(F.col(f"__{s}_{c}").alias(f"__{s}"))
+            cols.append(F.col(f"__at{s}_{c}").alias(f"__at{s}"))
         out[c] = SparkRollupWheel(
             rolled.select(*cols),
             table, c, filter_key, min_us, max_us, complete, bucket_seconds,

@@ -119,13 +119,22 @@ class StreamingWheelMaintainer:
                 tmin_s, tmax_s = int(bounds[0]), int(bounds[1])
                 for wheel, col in spark_targets:
                     if col is None:
-                        delta = rolled.select("__sec", "__cnt")
+                        cols_ = ["__sec", "__cnt"]
+                        if wheel._has_at:
+                            cols_.append("__atcnt")
+                        delta = rolled.select(*cols_)
                     else:
                         sel = [F.col("__sec"), F.col("__cnt")]
+                        if wheel._has_at:
+                            sel.append(F.col("__atcnt"))
                         if wheel._has_vcnt:
                             sel.append(F.col(f"__vcnt_{col}").alias("__vcnt"))
+                            if wheel._has_at:
+                                sel.append(F.col(f"__atvcnt_{col}").alias("__atvcnt"))
                         for s in wheel._state_cols:
                             sel.append(F.col(f"__{s}_{col}").alias(f"__{s}"))
+                            if wheel._has_at:
+                                sel.append(F.col(f"__at{s}_{col}").alias(f"__at{s}"))
                         delta = rolled.select(*sel)
                     wheel.merge_delta_df(delta, min_ts_us=tmin_s, max_ts_us=tmax_s)
 

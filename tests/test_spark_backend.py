@@ -54,6 +54,17 @@ QUERIES = [
     ),
     ("SELECT SUM(agg_col) AS s FROM {t}", "landmark"),
     ("SELECT * FROM {t} WHERE " + RANGE + " AND agg_col > 99.0", "prune_minmax"),
+    (
+        # boundary shapes resolve from at-start states on BOTH backends
+        "SELECT COUNT(*) AS c, SUM(agg_col) AS s FROM {t} WHERE "
+        "timestamp BETWEEN '2024-05-10 00:00:02' AND '2024-05-10 00:00:07'",
+        "hybrid_agg",
+    ),
+    (
+        "SELECT COUNT(*) AS c, SUM(agg_col) AS s FROM {t} WHERE "
+        "timestamp = '2024-05-10 00:00:04'",
+        "point_agg",
+    ),
 ]
 
 
