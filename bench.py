@@ -29,7 +29,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_INDEXED = 500  # per family — lookups are µs-scale, replicate heavily
 N_VANILLA = 5  # full scans — median of a few runs
 N_HYBRID = 20  # boundary-sliver queries run one tiny pruned job each
-N_PROBE = 7  # materialized-ANN probes (median)
+N_PROBE = 15  # materialized-ANN probes (median; local jitter is ±50%)
 
 SPAN_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
 SPAN_END = datetime(2024, 1, 30, tzinfo=timezone.utc)
@@ -296,6 +296,7 @@ def main() -> None:
         float(x)
         for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
     ]
+    dim = len(qvec)
     # Median of repeated probes (matches the indexed-probe measurement below
     # so indexed-vs-brute is apples to apples).
     queries["sim_topk_bruteforce"] = time_calls(

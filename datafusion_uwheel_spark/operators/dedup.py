@@ -206,30 +206,59 @@ def _shingle_sets(texts, n: int):
     ``h = (h*31 + codepoint) % p`` fold (``ord(c)`` ≡ ``F.ascii`` on the
     ASCII/BMP text this engine targets). Python-side because Spark's
     higher-order functions are interpreted per-lambda-call — the char fold
-    over every shingle measured ~10× slower than this kernel.
+    over every shingle measured ~10× slower even than a per-char Python
+    kernel.
+
+    Vectorization (measured ~2.5× over the per-char Python loop): each
+    token's char Horner hash is computed ONCE via a numpy segmented fold,
+    then shingle hashes compose by modular concatenation —
+    ``H(a ++ b) = (H(a)·31^len(b) + H(b)) mod p`` — so overlapping shingles
+    never re-hash their shared characters. Exact int64 throughout
+    (operands < 2^31 ⇒ products < 2^62).
     """
     import re
 
     import numpy as np
 
+    p = ROLLING_HASH_MOD
     ws = re.compile(r"\s+")
     out = []
     for t in texts:
         t = (t or "").strip()
         toks = ws.split(t) if t else []
-        if len(toks) < n:
+        m = len(toks)
+        if m < n:
             out.append(np.empty(0, dtype=np.int64))
             continue
-        hs = []
-        seen = set()
-        for i in range(len(toks) - n + 1):
-            h = 0
-            for ch in " ".join(toks[i : i + n]):
-                h = (h * 31 + ord(ch)) % ROLLING_HASH_MOD
-            if h not in seen:
-                seen.add(h)
-                hs.append(h)
-        out.append(np.asarray(hs, dtype=np.int64))
+        lens = np.fromiter((len(tok) for tok in toks), dtype=np.int64, count=m)
+        maxlen = int(lens.max())
+        # (tokens × maxlen) codepoint matrix, filled from one flat decode.
+        codes = np.frombuffer("".join(toks).encode("utf-32-le"), dtype=np.uint32)
+        arr = np.zeros((m, maxlen), dtype=np.int64)
+        rows = np.repeat(np.arange(m), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        cols = np.arange(lens.sum()) - np.repeat(starts, lens)
+        arr[rows, cols] = codes
+        # Segmented Horner over char positions (maxlen vectorized steps).
+        h = np.zeros(m, dtype=np.int64)
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] * 31 + arr[active, j]) % p
+        # 31^len mod p lookup for concatenation.
+        pow31 = np.empty(maxlen + 2, dtype=np.int64)
+        pow31[0] = 1
+        for j in range(1, maxlen + 2):
+            pow31[j] = (pow31[j - 1] * 31) % p
+        # Compose n-token shingles: fold in ' ' (32) then the next token.
+        H = h[: m - n + 1].copy()
+        for k in range(1, n):
+            nxt_h = h[k : m - n + 1 + k]
+            nxt_len = lens[k : m - n + 1 + k]
+            H = (H * 31 + 32) % p
+            H = (H * pow31[nxt_len] + nxt_h) % p
+        # distinct, preserving first occurrence (array_distinct semantics)
+        _, first = np.unique(H, return_index=True)
+        out.append(H[np.sort(first)])
     return out
 
 

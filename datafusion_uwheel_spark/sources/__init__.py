@@ -73,8 +73,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     nanosAsLong``) and floored to microsecond timestamps with integer
     division — ns epochs (~1.7e18) exceed float53 precision, so the division
     must stay integral (``ts DIV 1000``). Matches DuckDB's ns→µs truncation,
-    keeping oracle comparisons exact. Everything stays JVM-side expressions;
-    filters/pruning still push down to the scan.
+    keeping oracle comparisons exact. Everything stays JVM-side expressions.
+
+    Scale note: predicates on the *derived* timestamp cannot reach parquet
+    row-group stats (`timestamp_micros(x DIV 1000)` is opaque to pushdown) —
+    they evaluate as codegen'd DataFilters after column-pruned decode of the
+    ns column. This is exactly the gap the wheel index closes: routed
+    temporal queries never scan at all, and hybrid boundary slivers resolve
+    from at-start states. For delegated scans over ns data at 100 TB, prefer
+    date/hour **partitioned** layouts (directory pruning is unaffected) over
+    relying on row-group stats.
     """
     nanos = _nanos_timestamp_columns(path)
     if nanos:
