@@ -199,6 +199,18 @@ def uw_groupby_month(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
+def uw_groupby_landmark(spark, sf_dir):
+    """Landmark GROUP BY (no WHERE at all — beyond the reference, whose
+    group-by path demands a temporal filter, lib.rs:269-272): a complete
+    wheel covers the whole timeline, so the day buckets come straight from
+    the rollup."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
+        "FROM events GROUP BY date_trunc('day', ts)"
+    )
+    return _round(df, {"sum_value": 3})
+
+
 def uw_landmark_sum(spark, sf_dir):
     """R5: landmark (no filter) aggregate over all indexed data."""
     df = _engine(spark, sf_dir).sql("SELECT SUM(value) AS sum_value FROM events")
@@ -607,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_groupby_minute": uw_groupby_minute,
         "uw_groupby_week": uw_groupby_week,
         "uw_groupby_month": uw_groupby_month,
+        "uw_groupby_landmark": uw_groupby_landmark,
         "uw_landmark_sum": uw_landmark_sum,
         "uw_keyed_sum": uw_keyed_sum,
         "uw_keyed_count": uw_keyed_count,
@@ -699,6 +712,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
+        ),
+        "uw_groupby_landmark": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+            "round(sum(value), 3) AS sum_value FROM events GROUP BY 1"
         ),
         "uw_landmark_sum": "SELECT round(sum(value), 3) AS sum_value FROM events",
         "uw_keyed_sum": (

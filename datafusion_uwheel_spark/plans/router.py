@@ -373,10 +373,6 @@ class Router:
         supported = set(GRANULARITY_SECONDS) | set(CALENDAR_GRANULARITIES)
         if gb.column != e.time_column or gb.granularity not in supported:
             return RouteDecision("delegate", detail={"reason": "unsupported group expr"}), None
-        # The reference's group-by path requires a temporal Filter input
-        # (plan shape Projection(Aggregate(Filter)), lib.rs:269-272,333-358).
-        if rng is None or not rng.routable:
-            return RouteDecision("delegate", detail={"reason": "no exact aligned range"}), None
         fk = canonical_filter_key(residual) if residual else STAR_AGGREGATION_ALIAS
 
         wheels: list[WheelIndex] = []
@@ -386,9 +382,32 @@ class Router:
                 return RouteDecision("delegate", detail={"reason": f"no index for {agg.func}", "fk": fk}), None
             wheels.append(w)
 
+        # Landmark group-by (beyond the reference, which requires a temporal
+        # Filter input, lib.rs:269-272,333-358): no temporal bounds at all —
+        # a *complete* wheel covers the whole timeline, so group over its
+        # full occupied span. Keyed-only predicates use the keyed wheel.
+        kind = "group_by"
+        if rng is None and len(residual) == len(q.conjuncts):
+            if not all(w.complete for w in wheels):
+                return (
+                    RouteDecision("delegate", detail={"reason": "no complete index", "fk": fk}),
+                    None,
+                )
+            spans = [w for w in wheels if not w.empty]
+            if not spans:
+                start_sec, end_sec = 0, 0
+            else:
+                start_sec = min(w.low_sec for w in spans)
+                end_sec = max(w.high_sec_exclusive for w in spans)
+            kind = "group_by_landmark"
+        elif rng is None or not rng.routable:
+            return RouteDecision("delegate", detail={"reason": "no exact aligned range"}), None
+        else:
+            start_sec, end_sec = rng.start_sec, rng.end_sec
+
         per_wheel = []
         for agg, w in zip(q.aggs, wheels):
-            got = w.group_by(rng.start_sec, rng.end_sec, gb.granularity)
+            got = w.group_by(start_sec, end_sec, gb.granularity)
             if got is None:
                 return RouteDecision("delegate", detail={"reason": "range not covered"}), None
             key = _state_key(agg)
@@ -423,7 +442,7 @@ class Router:
         df = self._constant_relation(names, types, rows)
         return (
             RouteDecision(
-                "group_by", index_key=wheels[0].key, detail={"granularity": gb.granularity, "fk": fk}
+                kind, index_key=wheels[0].key, detail={"granularity": gb.granularity, "fk": fk}
             ),
             df,
         )

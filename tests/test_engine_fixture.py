@@ -90,6 +90,37 @@ def test_group_by_second_multi_agg(engine):
     assert engine.last_route.kind == "group_by"
 
 
+def test_landmark_group_by(engine):
+    # beyond the reference (group-by path demands a temporal Filter input,
+    # lib.rs:269-272): a complete wheel covers the whole timeline
+    sql = (
+        "SELECT date_trunc('second', timestamp) AS b, SUM(agg_col) AS s, COUNT(*) AS c "
+        "FROM fixture GROUP BY date_trunc('second', timestamp)"
+    )
+    df = engine.sql(sql)
+    assert engine.last_route.kind == "group_by_landmark"
+    rows = sorted(df.collect(), key=lambda r: r["b"])
+    assert len(rows) == 10 and [r["s"] for r in rows] == [float(i) for i in range(1, 11)]
+    assert sorted(engine.spark.sql(sql).collect()) == sorted(df.collect())
+
+
+def test_landmark_group_by_delegates_when_restricted(spark, minimal_agg):
+    from datetime import datetime
+
+    eng = WheelEngine(
+        spark, "lm_gb_restricted", minimal_agg, time_column="timestamp",
+        time_range=(datetime(2024, 5, 10, 0, 0, 0), datetime(2024, 5, 10, 0, 0, 5)),
+    )
+    eng.build_index("agg_col")
+    sql = (
+        "SELECT date_trunc('second', timestamp) AS b, SUM(agg_col) AS s "
+        "FROM lm_gb_restricted GROUP BY date_trunc('second', timestamp)"
+    )
+    df = eng.sql(sql)
+    assert eng.last_route.kind == "delegate"  # restricted wheel can't claim full span
+    assert len(df.collect()) == 10
+
+
 def test_landmark_sum(engine):
     # lib.rs:1986-2029: landmark sum = 55 with no filter at all
     assert run1(engine, "SELECT SUM(agg_col) AS s FROM fixture") == 55.0
