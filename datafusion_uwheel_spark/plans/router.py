@@ -109,6 +109,20 @@ def _agg_sql_type(agg: AggSpec, wheel: WheelIndex) -> str:
     return "DOUBLE"
 
 
+def _order_limit_rows(q, names: list[str], rows: list[tuple]) -> list[tuple]:
+    """Apply the query's ORDER BY / LIMIT to constant result rows.
+
+    NULL placement matches Spark's defaults (ASC → nulls first, DESC →
+    nulls last) via the ``(is_not_null, value)`` sort key; multi-key sorts
+    compose through stable sorting in reverse key order."""
+    for col, asc in reversed(q.order_by):
+        i = names.index(col)
+        rows.sort(key=lambda r: (r[i] is not None, r[i]), reverse=not asc)
+    if q.limit is not None:
+        rows = rows[: q.limit]
+    return rows
+
+
 def _combine_core_boundary(agg: AggSpec, core: dict, brow: dict):
     """Exact monoid combine of the wheel's core-range states with the
     boundary scan's single aggregate row (states named by
@@ -202,6 +216,19 @@ class Router:
         if q.table.lower() != e.name.lower():
             return RouteDecision("delegate", detail={"reason": "unknown table"}), None
 
+        # LIMIT on a group-by is only deterministic when the leading sort key
+        # is the (unique) time bucket — a tied aggregate at the cut line
+        # would make the kept row SET engine-dependent.
+        if (
+            q.limit is not None
+            and q.group_by is not None
+            and (not q.order_by or q.order_by[0][0] != q.group_by.output_name)
+        ):
+            return (
+                RouteDecision("delegate", detail={"reason": "nondeterministic LIMIT"}),
+                None,
+            )
+
         rng, residual = split_temporal_filter(q.conjuncts, e.time_column)
 
         if q.select_star:
@@ -278,7 +305,7 @@ class Router:
             if len(q.aggs) == 1 and q.aggs[0].func == "count" and q.aggs[0].arg is None
             else ("single_agg" if len(q.aggs) == 1 else "multi_agg")
         )
-        df = self._scalar_result(q.aggs, values, wheels)
+        df = self._scalar_result(q.aggs, values, wheels, q)
         return RouteDecision(kind, index_key=wheels[0].key, detail={"fk": fk}), df
 
     # ------------------------------------------------------------- helpers
@@ -353,6 +380,11 @@ class Router:
             )
             return spark.createDataFrame(tbl)
         cols = ", ".join(f"`{n}`" for n in names)
+        if not rows:  # e.g. LIMIT 0 — typed empty LocalRelation, still no job
+            nulls = "(" + ", ".join(_sql_literal(None, ty) for ty in sql_types) + ")"
+            return spark.sql(
+                f"SELECT * FROM VALUES {nulls} AS __uwheel({cols}) WHERE FALSE"
+            )
         tuples = ", ".join(
             "(" + ", ".join(_sql_literal(v, ty) for v, ty in zip(row, sql_types)) + ")"
             for row in rows
@@ -360,11 +392,18 @@ class Router:
         return spark.sql(f"SELECT * FROM VALUES {tuples} AS __uwheel({cols})")
 
     def _scalar_result(
-        self, aggs: list[AggSpec], values: list[Any], wheels: list[WheelIndex]
+        self,
+        aggs: list[AggSpec],
+        values: list[Any],
+        wheels: list[WheelIndex],
+        q=None,
     ) -> DataFrame:
         names = [a.output_name for a in aggs]
         types = [_agg_sql_type(a, w) for a, w in zip(aggs, wheels)]
-        return self._constant_relation(names, types, [tuple(values)])
+        rows = [tuple(values)]
+        if q is not None and (q.order_by or q.limit is not None):
+            rows = _order_limit_rows(q, names, rows)
+        return self._constant_relation(names, types, rows)
 
     # ------------------------------------------------------------ group by
     def _try_group_by(self, q, rng, residual):
@@ -439,6 +478,8 @@ class Router:
                 types.append(_agg_sql_type(item, wheels[q.aggs.index(item)]))
             else:
                 types.append("TIMESTAMP")
+        if q.order_by or q.limit is not None:
+            rows = _order_limit_rows(q, names, rows)
         df = self._constant_relation(names, types, rows)
         return (
             RouteDecision(
@@ -478,7 +519,7 @@ class Router:
                 )
             values.append(states[key])
             wheels.append(w)
-        df = self._scalar_result(q.aggs, values, wheels)
+        df = self._scalar_result(q.aggs, values, wheels, q)
         return (
             RouteDecision("landmark", index_key=wheels[0].key, detail={"fk": filter_key}),
             df,
@@ -539,7 +580,7 @@ class Router:
                     else None
                 )
             wheels.append(w)
-        df = self._scalar_result(q.aggs, values, wheels)
+        df = self._scalar_result(q.aggs, values, wheels, q)
         return (
             RouteDecision("point_agg", index_key=wheels[0].key, detail={"fk": fk, "sec": sec}),
             df,
@@ -629,7 +670,7 @@ class Router:
             _combine_core_boundary(agg, core, brow)
             for agg, core in zip(q.aggs, core_states)
         ]
-        df = self._scalar_result(q.aggs, values, wheels)
+        df = self._scalar_result(q.aggs, values, wheels, q)
         return (
             RouteDecision(
                 "hybrid_agg",

@@ -151,6 +151,10 @@ class ParsedQuery:
     group_by: DateTruncSpec | None = None
     conjuncts: list[Comparison] = field(default_factory=list)
     select_order: list[object] = field(default_factory=list)  # AggSpec|DateTruncSpec
+    #: (output_name, ascending) — only output columns of the select list are
+    #: accepted, so the router can sort its constant rows identically.
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
 
 
 class _Parser:
@@ -234,6 +238,28 @@ class _Parser:
             q.group_by = truncs[0] if truncs else g
         elif truncs:
             raise ParseError("date_trunc in SELECT without GROUP BY")
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            names = {it.output_name for it in items}
+            while True:
+                col = self.ident()
+                if col not in names:
+                    # only select-list output names are sortable by the
+                    # router's constant rows — anything else delegates
+                    raise ParseError(f"ORDER BY non-output column: {col}")
+                asc = True
+                if self.accept_kw("desc"):
+                    asc = False
+                else:
+                    self.accept_kw("asc")
+                q.order_by.append((col, asc))
+                if not self.accept_punct(","):
+                    break
+        if self.accept_kw("limit"):
+            t = self.next()
+            if t.kind != "number" or "." in t.value:
+                raise ParseError("LIMIT must be an integer literal")
+            q.limit = int(t.value)
         if self.peek() is not None:
             raise ParseError(f"trailing tokens: {self.peek().value!r}")
         return q
