@@ -211,6 +211,19 @@ def uw_groupby_landmark(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
+def uw_having_groupby(spark, sf_dir):
+    """GROUP BY + HAVING + ORDER BY, all index-resolved: the HAVING
+    aggregate is evaluated per bucket from the same wheel states and the
+    constant rows are sorted driver-side — zero Spark jobs end to end
+    (beyond the reference, which has no HAVING/ORDER BY surface at all)."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, AVG(value) AS avg_value "
+        f"FROM events WHERE ts >= '{A}' AND ts < '{B}' "
+        "GROUP BY date_trunc('hour', ts) HAVING AVG(value) > 50 ORDER BY bucket"
+    )
+    return _round(df, {"avg_value": 6})
+
+
 def uw_landmark_sum(spark, sf_dir):
     """R5: landmark (no filter) aggregate over all indexed data."""
     df = _engine(spark, sf_dir).sql("SELECT SUM(value) AS sum_value FROM events")
@@ -619,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_groupby_minute": uw_groupby_minute,
         "uw_groupby_week": uw_groupby_week,
         "uw_groupby_month": uw_groupby_month,
+        "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
         "uw_landmark_sum": uw_landmark_sum,
         "uw_keyed_sum": uw_keyed_sum,
@@ -712,6 +726,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
+        ),
+        "uw_having_groupby": (
+            "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, "
+            "round(avg(value), 6) AS avg_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' "
+            "GROUP BY 1 HAVING avg(value) > 50 ORDER BY bucket"
         ),
         "uw_groupby_landmark": (
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "

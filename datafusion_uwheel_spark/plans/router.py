@@ -109,6 +109,23 @@ def _agg_sql_type(agg: AggSpec, wheel: WheelIndex) -> str:
     return "DOUBLE"
 
 
+def _having_holds(val, op: str, lit: float) -> bool:
+    """SQL three-valued HAVING: NULL comparisons are unknown → filtered out."""
+    if val is None:
+        return False
+    if op == ">":
+        return val > lit
+    if op == ">=":
+        return val >= lit
+    if op == "<":
+        return val < lit
+    if op == "<=":
+        return val <= lit
+    if op == "=":
+        return val == lit
+    return val != lit
+
+
 def _order_limit_rows(q, names: list[str], rows: list[tuple]) -> list[tuple]:
     """Apply the query's ORDER BY / LIMIT to constant result rows.
 
@@ -226,6 +243,11 @@ class Router:
         ):
             return (
                 RouteDecision("delegate", detail={"reason": "nondeterministic LIMIT"}),
+                None,
+            )
+        if q.having and q.group_by is None:
+            return (
+                RouteDecision("delegate", detail={"reason": "HAVING without GROUP BY"}),
                 None,
             )
 
@@ -460,6 +482,37 @@ class Router:
         # All wheels sharing a filter key were built from the same filtered
         # source, so their occupied buckets coincide; merge defensively anyway.
         buckets = sorted(set().union(*per_wheel)) if per_wheel else []
+
+        if q.having:
+            # Evaluate each HAVING aggregate per bucket from wheel states —
+            # the aggregate need not be in the select list.
+            hconds = []
+            for spec, op, lit in q.having:
+                hw = self._resolve_wheel(spec, fk)
+                if hw is None:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"no index for HAVING {spec.func}"}
+                        ),
+                        None,
+                    )
+                hgot = hw.group_by(start_sec, end_sec, gb.granularity)
+                if hgot is None:
+                    return RouteDecision("delegate", detail={"reason": "range not covered"}), None
+                hkey = _state_key(spec)
+                if hgot and hkey not in hgot[0][1]:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"state {hkey} not indexed"}
+                        ),
+                        None,
+                    )
+                hconds.append(({b: st[hkey] for b, st in hgot}, op, lit))
+            buckets = [
+                b
+                for b in buckets
+                if all(_having_holds(hv.get(b), op, lit) for hv, op, lit in hconds)
+            ]
         rows = []
         for b in buckets:
             row: list[Any] = []

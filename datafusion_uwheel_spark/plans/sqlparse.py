@@ -155,6 +155,10 @@ class ParsedQuery:
     #: accepted, so the router can sort its constant rows identically.
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
+    #: HAVING conjuncts: (AggSpec, op, numeric literal). The aggregate need
+    #: not appear in the select list — the router evaluates it per bucket
+    #: from the same wheel states.
+    having: list[tuple[AggSpec, str, float]] = field(default_factory=list)
 
 
 class _Parser:
@@ -238,6 +242,11 @@ class _Parser:
             q.group_by = truncs[0] if truncs else g
         elif truncs:
             raise ParseError("date_trunc in SELECT without GROUP BY")
+        if self.accept_kw("having"):
+            while True:
+                q.having.append(self.having_clause(items))
+                if not self.accept_kw("and"):
+                    break
         if self.accept_kw("order"):
             self.expect_kw("by")
             names = {it.output_name for it in items}
@@ -322,6 +331,34 @@ class _Parser:
         col = self.ident()
         self.expect_punct(")")
         return DateTruncSpec(g.value.lower(), col, None)
+
+    def having_clause(self, items) -> tuple[AggSpec, str, float]:
+        """``HAVING agg(col) ⊙ number`` (or an output alias of an aggregate).
+        The aggregate may be absent from the select list — it is evaluated
+        from wheel states per bucket."""
+        t = self.peek()
+        if t is None or t.kind != "ident":
+            raise ParseError("expected HAVING expression")
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if t.value.lower() in AGG_FUNCS and nxt and nxt.kind == "punct" and nxt.value == "(":
+            spec = self.agg_expr()
+        else:
+            alias = self.ident()
+            matches = [
+                it for it in items if isinstance(it, AggSpec) and it.output_name == alias
+            ]
+            if not matches:
+                raise ParseError(f"HAVING references non-aggregate: {alias}")
+            spec = matches[0]
+        op_t = self.next()
+        if op_t.kind != "op" or op_t.value in ("<>",):
+            if op_t.kind != "op":
+                raise ParseError("expected comparison in HAVING")
+        op = "!=" if op_t.value == "<>" else op_t.value
+        v, k = self.literal()
+        if k != "number":
+            raise ParseError("HAVING literal must be numeric")
+        return spec, op, float(v)
 
     def conjunction(self) -> list[Comparison]:
         out = [*self.comparison()]

@@ -108,3 +108,54 @@ def test_landmark_group_by_order_limit(eng):
         "group_by_landmark",
     )
     assert len(df.collect()) == 4
+
+
+# ------------------------------------------------------------------ HAVING
+def test_having_on_select_agg(eng):
+    check(
+        eng,
+        "SELECT date_trunc('second', timestamp) AS b, SUM(agg_col) AS s "
+        f"FROM ol_fix WHERE {RANGE} GROUP BY date_trunc('second', timestamp) "
+        "HAVING SUM(agg_col) > 5 ORDER BY b",
+        "group_by",
+    )
+
+
+def test_having_alias(eng):
+    df = check(
+        eng,
+        "SELECT date_trunc('second', timestamp) AS b, COUNT(*) AS c "
+        f"FROM ol_fix WHERE {RANGE} GROUP BY date_trunc('second', timestamp) "
+        "HAVING c >= 1 ORDER BY b",
+        "group_by",
+    )
+    assert len(df.collect()) == 10
+
+
+def test_having_agg_not_in_select(eng):
+    # HAVING references MAX which is not selected — evaluated from states
+    df = check(
+        eng,
+        "SELECT date_trunc('second', timestamp) AS b, COUNT(*) AS c "
+        f"FROM ol_fix WHERE {RANGE} GROUP BY date_trunc('second', timestamp) "
+        "HAVING MAX(agg_col) >= 8 ORDER BY b",
+        "group_by",
+    )
+    assert len(df.collect()) == 3  # agg_col 8, 9, 10
+
+
+def test_having_conjunction_and_landmark(eng):
+    df = check(
+        eng,
+        "SELECT date_trunc('second', timestamp) AS b, SUM(agg_col) AS s FROM ol_fix "
+        "GROUP BY date_trunc('second', timestamp) "
+        "HAVING SUM(agg_col) >= 3 AND COUNT(*) <= 1 ORDER BY b",
+        "group_by_landmark",
+    )
+    assert len(df.collect()) == 8  # agg_col 3..10
+
+
+def test_having_without_group_by_delegates(eng):
+    df = eng.sql(f"SELECT SUM(agg_col) AS s FROM ol_fix WHERE {RANGE} HAVING COUNT(*) > 3")
+    assert eng.last_route.kind == "delegate"
+    assert df.collect()[0][0] == 55.0
