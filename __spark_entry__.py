@@ -335,6 +335,18 @@ def uw_int_sum_range(spark, sf_dir):
     )
 
 
+def uw_or_ranges(spark, sf_dir):
+    """OR of temporal ranges (multi-window comparison) — per-interval wheel
+    lookups, monoid-summed; the reference rejects any OR (its extractor
+    walks AND trees only, expr.rs:198-207)."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT COUNT(*) AS n, SUM(value) AS sum_value FROM events WHERE "
+        "(ts >= '2024-01-05 00:00:00' AND ts < '2024-01-08 00:00:00') OR "
+        "(ts >= '2024-01-15 00:00:00' AND ts < '2024-01-18 00:00:00')"
+    )
+    return _round(df, {"sum_value": 3})
+
+
 def uw_point_instant(spark, sf_dir):
     """Point query `ts = literal` answered from the bucket's at-start sliver
     states (the reference refuses time-column equality, expr.rs:351-356).
@@ -644,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_le_bound_range": uw_le_bound_range,
         "uw_count_col": uw_count_col,
         "uw_int_sum_range": uw_int_sum_range,
+        "uw_or_ranges": uw_or_ranges,
         "uw_point_instant": uw_point_instant,
         "uw_date_key": uw_date_key,
         "uw_prune_count": uw_prune_count,
@@ -770,6 +783,11 @@ def oracle_sql() -> dict[str, str]:
         "uw_count_col": (
             f"SELECT count(value) AS n_vals FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
+        "uw_or_ranges": (
+            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
+            "(ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00') OR "
+            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00')"
         ),
         "uw_point_instant": (
             "SELECT count(*) AS n, COALESCE(sum(value), -1.0) AS sum_value FROM events "

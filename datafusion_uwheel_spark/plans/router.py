@@ -140,6 +140,30 @@ def _order_limit_rows(q, names: list[str], rows: list[tuple]) -> list[tuple]:
     return rows
 
 
+def _combine_interval_parts(key: str, parts: list[dict]):
+    """Monoid-sum per-interval states for the OR-of-ranges path (intervals
+    are disjoint after union-merge, so counts/sums add exactly)."""
+    if key == "count":
+        return sum(p["count"] for p in parts)
+    if key == "count_col":
+        return sum(p["count_col"] for p in parts)
+    vn = sum(p.get("count_col", p["count"]) for p in parts)
+    if key in ("min", "max"):
+        vals = [p[key] for p in parts if p[key] is not None]
+        return (min(vals) if key == "min" else max(vals)) if vals else None
+    if vn == 0:
+        return None
+    total_sum = sum(p["sum"] for p in parts if p["sum"] is not None)
+    if key == "sum":
+        return total_sum
+    if key == "avg":
+        return float(total_sum) / vn
+    total_sq = sum(p["_sumsq"] for p in parts)
+    from ..operators.lookup import _variance_states
+
+    return _variance_states(float(total_sum), float(total_sq), vn)[key]
+
+
 def _combine_core_boundary(agg: AggSpec, core: dict, brow: dict):
     """Exact monoid combine of the wheel's core-range states with the
     boundary scan's single aggregate row (states named by
@@ -250,6 +274,9 @@ class Router:
                 RouteDecision("delegate", detail={"reason": "HAVING without GROUP BY"}),
                 None,
             )
+
+        if q.or_branches:
+            return self._try_or_ranges(q)
 
         rng, residual = split_temporal_filter(q.conjuncts, e.time_column)
 
@@ -575,6 +602,75 @@ class Router:
         df = self._scalar_result(q.aggs, values, wheels, q)
         return (
             RouteDecision("landmark", index_key=wheels[0].key, detail={"fk": filter_key}),
+            df,
+        )
+
+    # ---------------------------------------------------------- OR ranges
+    def _try_or_ranges(self, q):
+        """``WHERE (range) OR (range) [OR ...]`` — the multi-window
+        comparison query ("this week OR the same week last year"). Branch
+        intervals are union-merged (rows in overlapping branches count
+        once), then each merged interval is one wheel lookup and the monoid
+        states sum. The reference rejects any OR outright (its predicate
+        extractor only walks AND trees, ``expr.rs:198-207``)."""
+        e = self.engine
+        if q.select_star or q.group_by is not None or not q.aggs:
+            return RouteDecision("delegate", detail={"reason": "OR shape unsupported"}), None
+        fk = None
+        intervals: list[tuple[int, int]] = []
+        for conj in q.or_branches:
+            rng, residual = split_temporal_filter(conj, e.time_column)
+            if rng is None or not rng.routable:
+                return (
+                    RouteDecision("delegate", detail={"reason": "OR branch not routable"}),
+                    None,
+                )
+            bfk = canonical_filter_key(residual) if residual else STAR_AGGREGATION_ALIAS
+            if fk is None:
+                fk = bfk
+            elif bfk != fk:
+                return (
+                    RouteDecision("delegate", detail={"reason": "OR branches differ in filter"}),
+                    None,
+                )
+            intervals.append((rng.start_sec, rng.end_sec))
+        intervals.sort()
+        merged: list[list[int]] = []
+        for s, t in intervals:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], t)
+            else:
+                merged.append([s, t])
+
+        values, wheels = [], []
+        for agg in q.aggs:
+            w = self._resolve_wheel(agg, fk)
+            if w is None:
+                return (
+                    RouteDecision("delegate", detail={"reason": f"no index for {agg.func}", "fk": fk}),
+                    None,
+                )
+            key = _state_key(agg)
+            parts = []
+            for s, t in merged:
+                st = w.combine_range(s, t)
+                if st is None:
+                    return RouteDecision("delegate", detail={"reason": "range not covered"}), None
+                if key not in st:
+                    return (
+                        RouteDecision("delegate", detail={"reason": f"state {key} not indexed"}),
+                        None,
+                    )
+                parts.append(st)
+            values.append(_combine_interval_parts(key, parts))
+            wheels.append(w)
+        df = self._scalar_result(q.aggs, values, wheels, q)
+        return (
+            RouteDecision(
+                "or_ranges",
+                index_key=wheels[0].key,
+                detail={"fk": fk, "intervals": [tuple(m) for m in merged]},
+            ),
             df,
         )
 

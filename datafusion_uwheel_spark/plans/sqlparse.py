@@ -159,6 +159,9 @@ class ParsedQuery:
     #: not appear in the select list — the router evaluates it per bucket
     #: from the same wheel states.
     having: list[tuple[AggSpec, str, float]] = field(default_factory=list)
+    #: OR-of-ranges form: ``WHERE (conj) OR (conj) [OR ...]`` — each branch
+    #: a parenthesized conjunction. Mutually exclusive with ``conjuncts``.
+    or_branches: list[list[Comparison]] = field(default_factory=list)
 
 
 class _Parser:
@@ -229,7 +232,21 @@ class _Parser:
         q.aggs = [it for it in items if isinstance(it, AggSpec)]
         truncs = [it for it in items if isinstance(it, DateTruncSpec)]
         if self.accept_kw("where"):
-            q.conjuncts = self.conjunction()
+            t = self.peek()
+            if t and t.kind == "punct" and t.value == "(":
+                # try the OR-of-parenthesized-conjunctions form; rewind and
+                # fall back to a plain (possibly parenthesized) conjunction
+                mark = self.i
+                try:
+                    q.or_branches = self.or_of_conjunctions()
+                except ParseError:
+                    self.i = mark
+                    q.conjuncts = self.conjunction()
+                else:
+                    if len(q.or_branches) == 1:  # plain parenthesized AND
+                        q.conjuncts = q.or_branches.pop()
+            else:
+                q.conjuncts = self.conjunction()
         if self.accept_kw("group"):
             self.expect_kw("by")
             g = self.date_trunc_expr()
@@ -359,6 +376,17 @@ class _Parser:
         if k != "number":
             raise ParseError("HAVING literal must be numeric")
         return spec, op, float(v)
+
+    def or_of_conjunctions(self) -> list[list[Comparison]]:
+        """``( conj ) [OR ( conj )]...`` — each branch parenthesized."""
+        out = []
+        while True:
+            self.expect_punct("(")
+            out.append(self.conjunction())
+            self.expect_punct(")")
+            if not self.accept_kw("or"):
+                break
+        return out
 
     def conjunction(self) -> list[Comparison]:
         out = [*self.comparison()]

@@ -1,0 +1,107 @@
+"""OR-of-temporal-ranges routing: multi-window comparison queries combine
+per-interval wheel states (union semantics for overlaps). The reference
+rejects any OR (its extractor only walks AND trees, expr.rs:198-207)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_uwheel_spark import WheelEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, minimal_agg):
+    e = WheelEngine(spark, "or_fix", minimal_agg, time_column="timestamp")
+    e.build_index("agg_col")
+    return e
+
+
+def check(e, sql, kind="or_ranges"):
+    routed = e.sql(sql)
+    assert e.last_route.kind == kind, (sql, e.last_route)
+    delegated = e.spark.sql(sql)
+    assert routed.dtypes == delegated.dtypes
+    assert routed.collect() == delegated.collect()
+    return routed.collect()
+
+
+def test_disjoint_or_ranges(eng, spark):
+    sql = (
+        "SELECT COUNT(*) AS c, SUM(agg_col) AS s, MIN(agg_col) AS mn, AVG(agg_col) AS a "
+        "FROM or_fix WHERE "
+        "(timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:03') OR "
+        "(timestamp >= '2024-05-10 00:00:07' AND timestamp < '2024-05-10 00:00:10')"
+    )
+    eng.sql(sql).collect()
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    routed = eng.sql(sql)
+    assert eng.last_route.kind == "or_ranges"
+    rows = routed.collect()
+    assert tracker.getJobIdsForGroup(None) == before  # zero jobs
+    assert rows == eng.spark.sql(sql).collect()
+    # seconds 0,1,2 (1+2+3) and 7,8,9 (8+9+10) → count 6, sum 33
+    assert rows[0]["c"] == 6 and rows[0]["s"] == 33.0
+
+
+def test_overlapping_branches_count_once(eng):
+    rows = check(
+        eng,
+        "SELECT COUNT(*) AS c FROM or_fix WHERE "
+        "(timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:06') OR "
+        "(timestamp >= '2024-05-10 00:00:04' AND timestamp < '2024-05-10 00:00:08')",
+    )
+    assert rows[0]["c"] == 8  # union [0, 8), not 6 + 4
+
+
+def test_three_branches_stddev(eng):
+    sql = (
+        "SELECT STDDEV(agg_col) AS sd FROM or_fix WHERE "
+        "(timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:02') OR "
+        "(timestamp >= '2024-05-10 00:00:04' AND timestamp < '2024-05-10 00:00:05') OR "
+        "(timestamp >= '2024-05-10 00:00:08' AND timestamp < '2024-05-10 00:00:10')"
+    )
+    routed = eng.sql(sql)
+    assert eng.last_route.kind == "or_ranges"
+    a = routed.collect()[0][0]
+    b = eng.spark.sql(sql).collect()[0][0]
+    assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_parenthesized_single_conjunction_still_routes(eng):
+    rows = check(
+        eng,
+        "SELECT COUNT(*) AS c FROM or_fix WHERE "
+        "(timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:05')",
+        kind="count_range",
+    )
+    assert rows[0]["c"] == 5
+
+
+def test_or_with_unaligned_branch_delegates(eng):
+    df = eng.sql(
+        "SELECT COUNT(*) AS c FROM or_fix WHERE "
+        "(timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:03') OR "
+        "(timestamp >= '2024-05-10 00:00:07.5' AND timestamp < '2024-05-10 00:00:10')"
+    )
+    assert eng.last_route.kind == "delegate"
+    assert df.collect()[0][0] == 5  # 0,1,2 + 8,9
+
+
+def test_or_with_mixed_residual_delegates(spark):
+    from datetime import datetime
+
+    rows = [(datetime(2024, 5, 10, 0, 0, i), "a" if i % 2 else "b", float(i)) for i in range(10)]
+    e = WheelEngine(
+        spark, "or_keyed", spark.createDataFrame(rows, "ts timestamp, k string, v double"),
+        time_column="ts",
+    )
+    e.build_index("v", filter="k = 'a'")
+    df = e.sql(
+        "SELECT COUNT(*) AS c FROM or_keyed WHERE "
+        "(ts >= '2024-05-10 00:00:00' AND ts < '2024-05-10 00:00:05' AND k = 'a') OR "
+        "(ts >= '2024-05-10 00:00:05' AND ts < '2024-05-10 00:00:10' AND k = 'b')"
+    )
+    assert e.last_route.kind == "delegate"
+    # k='a' at odd seconds {1,3} in [0,5); k='b' at even seconds {6,8} in [5,10)
+    assert df.collect()[0][0] == 4
