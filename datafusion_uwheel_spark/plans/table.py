@@ -39,24 +39,54 @@ class WheelTable:
         engine: "WheelEngine",
         _filters: tuple[str, ...] = (),
         _group: str | None = None,
+        _having: tuple[str, ...] = (),
+        _order: tuple[str, ...] = (),
+        _limit: int | None = None,
     ):
         self._engine = engine
         self._filters = _filters
         self._group = _group
+        self._having = _having
+        self._order = _order
+        self._limit = _limit
+
+    def _with(self, **kw) -> "WheelTable":
+        args = {
+            "_filters": self._filters,
+            "_group": self._group,
+            "_having": self._having,
+            "_order": self._order,
+            "_limit": self._limit,
+        }
+        args.update(kw)
+        return WheelTable(self._engine, **args)
 
     # ------------------------------------------------------------- verbs
     def filter(self, predicate: str) -> "WheelTable":
         """AND another predicate conjunction (``Filter`` node)."""
-        return WheelTable(self._engine, (*self._filters, predicate), self._group)
+        return self._with(_filters=(*self._filters, predicate))
 
     where = filter
 
     def group_by(self, expr: str) -> "WheelTable":
         """Group by a ``date_trunc('<gran>', ts)`` expression (the only group
         shape the index can answer; anything else delegates)."""
-        return WheelTable(self._engine, self._filters, expr)
+        return self._with(_group=expr)
 
     groupBy = group_by
+
+    def having(self, predicate: str) -> "WheelTable":
+        """AND a HAVING clause (``agg(col) op number``; index-evaluated)."""
+        return self._with(_having=(*self._having, predicate))
+
+    def order_by(self, *exprs: str) -> "WheelTable":
+        """ORDER BY output columns (e.g. ``"bucket DESC"``)."""
+        return self._with(_order=(*self._order, *exprs))
+
+    orderBy = order_by
+
+    def limit(self, n: int) -> "WheelTable":
+        return self._with(_limit=int(n))
 
     # ---------------------------------------------------------- terminals
     def _sql(self, select_list: str) -> str:
@@ -65,6 +95,12 @@ class WheelTable:
             sql += " WHERE " + " AND ".join(f"{f}" for f in self._filters)
         if self._group is not None:
             sql += f" GROUP BY {self._group}"
+        if self._having:
+            sql += " HAVING " + " AND ".join(self._having)
+        if self._order:
+            sql += " ORDER BY " + ", ".join(self._order)
+        if self._limit is not None:
+            sql += f" LIMIT {self._limit}"
         return sql
 
     def agg(self, *aggregates: str) -> DataFrame:

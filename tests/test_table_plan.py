@@ -73,3 +73,18 @@ def test_landmark_and_delegation(engine):
     ).agg("COUNT(*) AS c")
     assert engine.last_route.kind == "delegate"
     assert df.collect()[0][0] == 9
+
+
+def test_fluent_having_order_limit(engine):
+    df = (
+        engine.table_plan()
+        .filter(RANGE)
+        .group_by("date_trunc('second', timestamp)")
+        .having("SUM(agg_col) >= 3")
+        .order_by("bucket DESC")
+        .limit(3)
+        .agg("SUM(agg_col) AS s")
+    )
+    assert engine.last_route.kind == "group_by"
+    rows = df.collect()
+    assert [r["s"] for r in rows] == [10.0, 9.0, 8.0]
