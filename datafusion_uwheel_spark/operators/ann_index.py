@@ -64,10 +64,15 @@ def build_ann_index(
     tables: int = 4,
     n_centroids: int = 8,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> str:
     """Hash/assign once and write the partitioned index table. Returns
     ``path``. One distributed write job; probes afterwards never recompute
-    the ``tables × bits × dim`` (or ``n_centroids × dim``) dot products."""
+    the ``tables × bits × dim`` (or ``n_centroids × dim``) dot products.
+
+    ``centroids`` (IVF only) overrides the seeded random quantizer with e.g.
+    :func:`..similarity.train_ivf_centroids` output; they are pinned in the
+    manifest so probes assign the query with the identical quantizer."""
     if dim is None:
         raise ValueError("dim is required (callers know their embedding width)")
     cols = [F.col(id_col), F.col(vec_col)]
@@ -92,7 +97,7 @@ def build_ann_index(
             stacked = part if stacked is None else stacked.unionByName(part)
         stacked.write.mode("overwrite").partitionBy("t", "bucket").parquet(path)
     elif kind == "ivf":
-        cents = ivf_centroids(dim, n_centroids, seed)
+        cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids, seed)
         celled = with_ivf_cells(df, cents, vec_col).select(*cols, F.col("cell"))
         celled.write.mode("overwrite").partitionBy("cell").parquet(path)
     else:
@@ -104,8 +109,9 @@ def build_ann_index(
         "id_col": id_col,
         "bits": bits,
         "tables": tables,
-        "n_centroids": n_centroids,
+        "n_centroids": n_centroids if centroids is None else len(centroids),
         "seed": seed,
+        "centroids": centroids,
     }
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f)
@@ -158,7 +164,9 @@ class AnnIndex:
                     c = c & (F.col(f"b{j}") != qb[j])
                 cond = c if cond is None else (cond | c)
             return df.filter(cond)
-        cents = ivf_centroids(self.m["dim"], self.m["n_centroids"], self.m["seed"])
+        cents = self.m.get("centroids") or ivf_centroids(
+            self.m["dim"], self.m["n_centroids"], self.m["seed"]
+        )
 
         def qdot(c):
             d = 0.0
@@ -166,7 +174,7 @@ class AnnIndex:
                 d = d + float(x) * float(w)
             return d
 
-        order = sorted(range(self.m["n_centroids"]), key=lambda i: -qdot(cents[i]))
+        order = sorted(range(len(cents)), key=lambda i: -qdot(cents[i]))
         probes = [i + 1 for i in order[:nprobe]]
         return df.filter(F.col("cell").isin(probes))
 

@@ -210,6 +210,44 @@ def ivf_centroids(dim: int, k: int = 8, seed: int = 42) -> list[list[float]]:
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(k)]
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means over a seeded sample → trained coarse-quantizer
+    centroids (driver-side numpy; one small Spark job to fetch the sample).
+
+    Data-dependent by design — production recall is much better than the
+    random-centroid default because cells follow the data's actual cluster
+    structure. Oracle-checked paths keep the seeded random centroids (a
+    static SQL oracle cannot re-run k-means); pass the result to
+    :func:`with_ivf_cells` / ``build_ann_index(centroids=...)``.
+    """
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # max cosine on the unit sphere
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return [[float(x) for x in c] for c in C]
+
+
 def with_ivf_cells(
     df: DataFrame,
     centroids: list[list[float]],
