@@ -200,6 +200,54 @@ class WheelEngine:
         self.index_epoch += 1
         return wheel.key
 
+    def build_indexes(
+        self,
+        columns: tuple[str, ...] | list[str],
+        filter: str | None = None,
+        time_range: tuple | None = None,
+        aggs: tuple[str, ...] | None = None,
+    ) -> list[str]:
+        """Build aggregate wheels for several columns in **one table scan**
+        (the states for every column are computed in the same distributed
+        aggregation job — at 100 TB, N single-column builds cost N scans,
+        this costs one). Same semantics as N :meth:`build_index` calls;
+        returns the index keys."""
+        from .operators.rollups import physical_states_for
+
+        if filter is not None:
+            conjuncts = parse_conjunction(filter)
+            fk = canonical_filter_key(conjuncts)
+            filter_expr: Column | str | None = filter
+        else:
+            fk = STAR_AGGREGATION_ALIAS
+            filter_expr = None
+        indices = build_wheel_indices(
+            self.df,
+            self.name,
+            self.time_column,
+            list(columns),
+            filter_expr=filter_expr,
+            filter_key=fk,
+            time_range=time_range or self._time_range,
+            bucket_seconds=self.bucket_seconds,
+            backend=self.index_backend,
+            states=physical_states_for(aggs),
+        )
+        if time_range is None and self._time_range is None:
+            base = self.count_wheels[STAR_AGGREGATION_ALIAS]
+            if not base.empty:
+                for w in indices.values():
+                    if not w.empty:
+                        w.min_ts_us = min(w.min_ts_us, base.min_ts_us)
+                        w.max_ts_us = max(w.max_ts_us, base.max_ts_us)
+        self.count_wheels.setdefault(fk, indices[None])
+        keys = []
+        for c in columns:
+            self.agg_wheels[(c, fk)] = indices[c]
+            keys.append(indices[c].key)
+        self.index_epoch += 1
+        return keys
+
     def build_min_max_index(self, column: str) -> str:
         """Add a MIN/MAX pruning wheel after construction (min/max states
         only — the reference's ``build_min_max_wheel``, ``lib.rs:967-1017``)."""

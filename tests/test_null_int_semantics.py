@@ -246,3 +246,17 @@ def test_unmaintained_keyed_wheel_goes_incomplete(spark):
         "WHERE ts >= '2024-05-10 00:01:00' AND ts < '2024-05-10 00:02:00'"
     ).collect()[0][0]
     assert e.last_route.rewritten and got == 100.0
+
+
+def test_build_indexes_multi_column_one_pass(spark, minimal_agg):
+    from pyspark.sql import functions as F
+
+    df = minimal_agg.withColumn("second_col", F.col("agg_col") * 2)
+    e = WheelEngine(spark, "multi_build", df, time_column="timestamp")
+    keys = e.build_indexes(["agg_col", "second_col"])
+    assert len(keys) == 2
+    r = "timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10'"
+    assert e.sql(f"SELECT SUM(agg_col) AS s FROM multi_build WHERE {r}").collect()[0][0] == 55.0
+    assert e.last_route.rewritten
+    assert e.sql(f"SELECT SUM(second_col) AS s FROM multi_build WHERE {r}").collect()[0][0] == 110.0
+    assert e.last_route.rewritten
