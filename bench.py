@@ -208,6 +208,56 @@ def main() -> None:
     queries["uw_between_hybrid"] = h_times[len(h_times) // 2]
     log(f"uw_between_hybrid: p50 {queries['uw_between_hybrid']*1e3:.1f} ms")
 
+    # Round-2 surface families: HAVING+ORDER BY group-by, OR-of-ranges,
+    # point instants — all zero-job routed answers.
+    def run_family(family, sql_of, ranges, expect_kind):
+        it2 = iter(ranges)
+        times = []
+        for _ in range(len(ranges)):
+            a, b = next(it2)
+            t0 = time.perf_counter()
+            eng.sql(sql_of(a, b)).collect()
+            assert eng.last_route.kind == expect_kind, eng.last_route
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        queries[family] = times[len(times) // 2]
+        log(f"{family}: p50 {queries[family]*1e3:.2f} ms")
+
+    run_family(
+        "uw_having_groupby",
+        lambda a, b: (
+            "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, AVG(value) AS a "
+            f"FROM events WHERE ts >= '{a}' AND ts < '{b}' "
+            "GROUP BY date_trunc('hour', ts) HAVING AVG(value) > 50 ORDER BY bucket"
+        ),
+        [random_range(rng, 3600, 2, 240) for _ in range(100)],
+        "group_by",
+    )
+    or_ranges_pairs = [
+        (random_range(rng, 60, 10, 720), random_range(rng, 60, 10, 720))
+        for _ in range(100)
+    ]
+    it3 = iter(or_ranges_pairs)
+    times = []
+    for _ in range(len(or_ranges_pairs)):
+        (a1, b1), (a2, b2) = next(it3)
+        t0 = time.perf_counter()
+        eng.sql(
+            "SELECT COUNT(*) AS n, SUM(value) AS s FROM events WHERE "
+            f"(ts >= '{a1}' AND ts < '{b1}') OR (ts >= '{a2}' AND ts < '{b2}')"
+        ).collect()
+        assert eng.last_route.kind == "or_ranges", eng.last_route
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    queries["uw_or_ranges"] = times[len(times) // 2]
+    log(f"uw_or_ranges: p50 {queries['uw_or_ranges']*1e3:.2f} ms")
+    run_family(
+        "uw_point_instant",
+        lambda a, b: f"SELECT COUNT(*) AS n, SUM(value) AS s FROM events WHERE ts = '{a}'",
+        [random_range(rng, 1, 60, 3600) for _ in range(100)],
+        "point_agg",
+    )
+
     # ------------------------------------------- vanilla Spark comparisons
     def run_vanilla(family, sql):
         def call():
