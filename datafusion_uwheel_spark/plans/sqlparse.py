@@ -245,6 +245,9 @@ class _Parser:
                 else:
                     if len(q.or_branches) == 1:  # plain parenthesized AND
                         q.conjuncts = q.or_branches.pop()
+                        # `(conj) AND more...` — keep consuming conjuncts
+                        if self.accept_kw("and"):
+                            q.conjuncts.extend(self.conjunction())
             else:
                 q.conjuncts = self.conjunction()
         if self.accept_kw("group"):

@@ -105,3 +105,23 @@ def test_or_with_mixed_residual_delegates(spark):
     assert e.last_route.kind == "delegate"
     # k='a' at odd seconds {1,3} in [0,5); k='b' at even seconds {6,8} in [5,10)
     assert df.collect()[0][0] == 4
+
+
+def test_parenthesized_range_and_residual_routes(spark, minimal_agg):
+    e = WheelEngine(spark, "paren_fix", minimal_agg, time_column="timestamp")
+    e.build_index("agg_col")
+    sql = (
+        "SELECT SUM(agg_col) AS s FROM paren_fix WHERE "
+        "(timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10') "
+        "AND agg_col > 0"
+    )
+    # residual doesn't match a keyed wheel → delegate, but the parse must
+    # consume the full conjunction (not trip on trailing tokens)
+    df = e.sql(sql)
+    assert df.collect()[0][0] == 55.0
+    sql2 = (
+        "SELECT COUNT(*) AS c FROM paren_fix WHERE "
+        "(timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10')"
+    )
+    assert e.sql(sql2).collect()[0][0] == 10
+    assert e.last_route.kind == "count_range"
