@@ -51,6 +51,15 @@ def main() -> None:
         ("BETWEEN boundaries (wheel + sliver)",
          "SELECT COUNT(*) AS n FROM events "
          "WHERE ts BETWEEN '2024-01-05 00:00:00' AND '2024-01-11 23:59:59'"),
+        ("HAVING + ORDER BY (wheel)",
+         "SELECT date_trunc('hour', ts) AS b, AVG(value) AS a FROM events "
+         f"WHERE {r} GROUP BY date_trunc('hour', ts) HAVING AVG(value) > 50 ORDER BY b"),
+        ("OR of two windows (wheel)",
+         "SELECT COUNT(*) AS n FROM events WHERE "
+         "(ts >= '2024-01-05 00:00:00' AND ts < '2024-01-06 00:00:00') OR "
+         "(ts >= '2024-01-15 00:00:00' AND ts < '2024-01-16 00:00:00')"),
+        ("point instant ts = x (wheel)",
+         "SELECT COUNT(*) AS n FROM events WHERE ts = '2024-01-05 00:00:00'"),
         ("landmark (no filter, wheel)", "SELECT SUM(value) AS s FROM events"),
         ("window rank (delegated to Catalyst)",
          "SELECT user_id, rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rk "
