@@ -624,6 +624,27 @@ def sim_ivf_indexed(spark, sf_dir):
     return _ann_index(spark, sf_dir, "ivf").topk(QUERY_VEC, k=TOPK, nprobe=2)
 
 
+def sim_dup_pairs_indexed(spark, sf_dir):
+    """Near-dup pairs from the materialized LSH index: self-join on the
+    stored (t, bucket) partition key with an exactly-once pair claim — no
+    query-time rehashing — then exact fold-cosine rerank. Same result set
+    as sim_embedding_dup_pairs (the layout is not a semantics change)."""
+    from datafusion_uwheel_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+    )
+
+    key = (sf_dir, "lsh8")
+    idx = _ANN_INDEXES.get(key)
+    if idx is None or idx.spark is not spark:
+        path = f"/tmp/ann_index_{abs(hash(sf_dir)) % 10**8}_lsh8"
+        df = _view(spark, sf_dir, "embeddings")
+        build_ann_index(df, path, kind="lsh", dim=EMB_DIM, bits=8, tables=2)
+        idx = load_ann_index(spark, path)
+        _ANN_INDEXES[key] = idx
+    return idx.dup_pairs(threshold=EMB_DUP_T)
+
+
 def sim_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (LSH candidates + exact rerank)."""
     df = _view(spark, sf_dir, "embeddings")
@@ -684,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim_ivf_topk,
         "sim_ann_indexed": sim_ann_indexed,
         "sim_ivf_indexed": sim_ivf_indexed,
+        "sim_dup_pairs_indexed": sim_dup_pairs_indexed,
         "sim_embedding_dup_pairs": sim_embedding_dup_pairs,
     }
 
@@ -861,6 +883,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_ivf_indexed": oracles.ivf_topk_sql(
             QUERY_VEC, k=TOPK, nprobe=2, n_centroids=8, dim=EMB_DIM
+        ),
+        "sim_dup_pairs_indexed": oracles.embedding_dup_pairs_sql(
+            EMB_DUP_T, dim=EMB_DIM, bits=8, tables=2
         ),
         "sim_embedding_dup_pairs": oracles.embedding_dup_pairs_sql(
             EMB_DUP_T, dim=EMB_DIM, bits=8, tables=2

@@ -394,6 +394,12 @@ def main() -> None:
         lambda: len(ivf_idx.topk(qvec, k=10, nprobe=2).collect()), N_PROBE
     )
     log(f"sim_ivf_indexed: {queries['sim_ivf_indexed']*1e3:.0f} ms median probe")
+    build_ann_index(emb, "/tmp/bench_ann_lsh8", kind="lsh", dim=dim, bits=8, tables=2)
+    lsh8 = load_ann_index(spark, "/tmp/bench_ann_lsh8")
+    t0 = time.perf_counter()
+    n = lsh8.dup_pairs(threshold=0.4).count()
+    queries["sim_dup_pairs_indexed"] = time.perf_counter() - t0
+    log(f"sim_dup_pairs_indexed: {queries['sim_dup_pairs_indexed']:.2f}s ({n} pairs)")
 
     total = sum(queries.values())
     print(

@@ -201,6 +201,64 @@ class AnnIndex:
             round_digits=round_digits,
         )
 
+    def dup_pairs(self, threshold: float, round_digits: int | None = 6) -> DataFrame:
+        """Near-duplicate pairs ``(id_a, id_b, sim ≥ threshold)`` from the
+        stored buckets (LSH only): a self-join on the ``(t, bucket)``
+        partition key — no query-time rehashing — with an exactly-once pair
+        claim (a pair sharing buckets in several tables is kept only in the
+        first), then the exact fold-cosine rerank. Same result set as
+        :func:`..similarity.embedding_dup_pairs` with matching parameters."""
+        return _ann_dup_pairs(self, threshold, round_digits)
+
+
+def _ann_dup_pairs(
+    idx: "AnnIndex",
+    threshold: float,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Near-duplicate pairs from a materialized LSH index (see
+    :meth:`AnnIndex.dup_pairs`)."""
+    from .similarity import cosine_pair_col
+
+    m = idx.m
+    if idx.kind != "lsh":
+        raise ValueError("dup_pairs requires an LSH index")
+    id_col, vec_col, tables = m["id_col"], m["vec_col"], m["tables"]
+    df = idx._df
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("t"),
+        F.col("bucket"),
+        *[F.col(f"b{j}").alias(f"__ab{j}") for j in range(tables)],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("t"),
+        F.col("bucket"),
+        *[F.col(f"b{j}").alias(f"__bb{j}") for j in range(tables)],
+    )
+    joined = a.join(b, on=["t", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    # Exactly-once pair claim: a pair sharing buckets in several tables is
+    # kept only in the FIRST such table — for table t, require they did NOT
+    # already share table j < t. No dropDuplicates shuffle needed.
+    once = None
+    for j in range(tables):
+        neq = F.col(f"__ab{j}") != F.col(f"__bb{j}")
+        cond = F.col("t") > j  # only constrains tables after j
+        clause = ~cond | neq
+        once = clause if once is None else (once & clause)
+    pairs = joined.filter(once)
+    sim = cosine_pair_col("__va", "__vb")
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
 
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     with open(os.path.join(path, _MANIFEST)) as f:

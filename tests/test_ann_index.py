@@ -102,3 +102,24 @@ def test_trained_ivf_centroids_improve_recall(spark, tmp_path_factory):
 
     # manifest pins the trained quantizer
     assert idx.m["centroids"] == trained and idx.m["n_centroids"] == 4
+
+
+def test_dup_pairs_from_index_match_query_time_operator(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "lsh_dup")
+    build_ann_index(emb, path, kind="lsh", dim=DIM, bits=8, tables=2)
+    idx = load_ann_index(spark, path)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["sim"]) for r in idx.dup_pairs(threshold=0.4).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.embedding_dup_pairs(
+            emb, threshold=0.4, bits=8, tables=2, dim=DIM
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_dup_pairs_requires_lsh(ivf_index):
+    with pytest.raises(ValueError, match="LSH"):
+        ivf_index.dup_pairs(threshold=0.5)
