@@ -111,6 +111,53 @@ def main():
     )
     check("out_of_span_zero", rows[0][0] == 0)
 
+    # -------- round-2 routed kinds (boundary algebra / OR / HAVING / point)
+    rows = routed(
+        f"SELECT COUNT(*) AS c FROM events WHERE ts BETWEEN '{A}' AND '2024-01-09 23:59:59'",
+        "hybrid_agg",
+    )
+    want = con.sql(
+        f"SELECT count(*) FROM events WHERE ts BETWEEN TIMESTAMP '{A}' "
+        "AND TIMESTAMP '2024-01-09 23:59:59'"
+    ).fetchone()[0]
+    check("hybrid_between_value", rows[0][0] == want, f"{rows[0][0]} != {want}")
+
+    rows = routed(
+        f"SELECT COUNT(*) AS c FROM events WHERE ts = '{A}'",
+        "point_agg",
+    )
+    want = con.sql(f"SELECT count(*) FROM events WHERE ts = TIMESTAMP '{A}'").fetchone()[0]
+    check("point_instant_value", rows[0][0] == want, f"{rows[0][0]} != {want}")
+
+    rows = routed(
+        "SELECT COUNT(*) AS c FROM events WHERE "
+        f"(ts >= '{A}' AND ts < '2024-01-04 00:00:00') OR "
+        "(ts >= '2024-01-06 00:00:00' AND ts < '2024-01-07 00:00:00')",
+        "or_ranges",
+    )
+    want = con.sql(
+        "SELECT count(*) FROM events WHERE "
+        f"(ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '2024-01-04 00:00:00') OR "
+        "(ts >= TIMESTAMP '2024-01-06 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')"
+    ).fetchone()[0]
+    check("or_ranges_value", rows[0][0] == want, f"{rows[0][0]} != {want}")
+
+    rows = routed(
+        "SELECT date_trunc('hour', ts) AS b, COUNT(*) AS c FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}' GROUP BY date_trunc('hour', ts) "
+        "HAVING COUNT(*) > 10 ORDER BY b LIMIT 5",
+        "group_by",
+    )
+    check("having_order_limit_shape", len(rows) <= 5)
+
+    rows = routed(
+        "SELECT date_trunc('day', ts) AS b, COUNT(*) AS c FROM events "
+        "GROUP BY date_trunc('day', ts)",
+        "group_by_landmark",
+    )
+    want = con.sql("SELECT count(DISTINCT date_trunc('day', ts)) FROM events").fetchone()[0]
+    check("landmark_group_by_rows", len(rows) == want, f"{len(rows)} != {want}")
+
     # -------- delegation probes: must delegate AND stay correct
     probes = [
         (f"SELECT COUNT(*) AS c FROM events WHERE ts >= '2024-01-03 00:00:00.250' AND ts < '{B}'",
