@@ -511,15 +511,29 @@ class WheelIndex:
         vdtype = np.int64 if self.is_integral else np.float64
         min_fill = INT_MIN_IDENTITY if self.is_integral else np.inf
         max_fill = INT_MAX_IDENTITY if self.is_integral else -np.inf
-        if self.sum_ is not None and sum_ is not None:
-            s = np.asarray(sum_, dtype=vdtype)[order]
-            self.sum_ = scatter(self.sum_, s, vdtype(0), "add")
-        if self.min_ is not None and min_ is not None:
-            mn = np.asarray(min_, dtype=vdtype)[order]
-            self.min_ = scatter(self.min_, mn, min_fill, "min")
-        if self.max_ is not None and max_ is not None:
-            mx = np.asarray(max_, dtype=vdtype)[order]
-            self.max_ = scatter(self.max_, mx, max_fill, "max")
+        # A delta that omits a state the wheel carries DROPS that state
+        # (queries needing it delegate) — never skip the merge and leave the
+        # old array misaligned with the widened secs axis, and never raise
+        # mid-merge: silent corruption and partial merges are both worse
+        # than honest delegation.
+        if self.sum_ is not None:
+            if sum_ is not None:
+                s = np.asarray(sum_, dtype=vdtype)[order]
+                self.sum_ = scatter(self.sum_, s, vdtype(0), "add")
+            else:
+                self.sum_ = None
+        if self.min_ is not None:
+            if min_ is not None:
+                mn = np.asarray(min_, dtype=vdtype)[order]
+                self.min_ = scatter(self.min_, mn, min_fill, "min")
+            else:
+                self.min_ = None
+        if self.max_ is not None:
+            if max_ is not None:
+                mx = np.asarray(max_, dtype=vdtype)[order]
+                self.max_ = scatter(self.max_, mx, max_fill, "max")
+            else:
+                self.max_ = None
         if self.sumsq_ is not None:
             if sumsq_ is not None:
                 sq = np.asarray(sumsq_, dtype=np.float64)[order]
@@ -546,7 +560,16 @@ class WheelIndex:
         than answering from stale sliver states."""
         if self.at_secs_ is None:
             return
-        if at_states is None or at_states.get("cnt") is None:
+        # Every tracked at-state must be present in the delta BEFORE any
+        # array is touched — discovering a missing key mid-merge (e.g. 'sum'
+        # absent after at_cnt_ was already widened) would leave the sliver
+        # states partially merged. Missing any ⇒ drop tracking wholesale;
+        # boundary queries then fall back to the scan.
+        tracked = [("sum", self.at_sum_), ("min", self.at_min_), ("max", self.at_max_), ("sumsq", self.at_sumsq_)]
+        incomplete = at_states is None or at_states.get("cnt") is None or any(
+            arr is not None and at_states.get(key) is None for key, arr in tracked
+        )
+        if incomplete:
             self.at_secs_ = self.at_cnt_ = self.at_vcnt_ = None
             self.at_sum_ = self.at_min_ = self.at_max_ = self.at_sumsq_ = None
             return

@@ -801,7 +801,7 @@ class Router:
         # at-start states — zero Spark jobs, like every other routed answer.
         values = self._boundary_from_wheels(q, rng, wheels, core_states, bucket)
         if values is not None:
-            df = self._scalar_result(q.aggs, values, wheels)
+            df = self._scalar_result(q.aggs, values, wheels, q)
             return (
                 RouteDecision(
                     "hybrid_agg",
@@ -847,7 +847,23 @@ class Router:
             if not getattr(w, "tracks_at_start", False):
                 return None
             key = _state_key(agg)
-            up = w.at_start(rng.end_sec) if rng.hi_op == "<=" else None
+            up = None
+            if rng.hi_op == "<=":
+                # The upper sliver bucket (instant rng.end_sec) sits one
+                # bucket PAST the core range, so covers() on the core never
+                # vouches for it.  A wheel built with a ``time_range``
+                # restriction ending exactly at rng.end_sec has no indexed
+                # rows at that instant — at_start would answer a zero state
+                # and silently drop the boundary rows.  Trust it only when
+                # the wheel indexes the whole table or provably covers the
+                # sliver's bucket; otherwise fall back to the pruned
+                # boundary scan (reads the base table — always correct).
+                if not (
+                    w.complete
+                    or w.combine_range(rng.end_sec, rng.end_sec + bucket) is not None
+                ):
+                    return None
+                up = w.at_start(rng.end_sec)
             low_bucket = low_at = None
             if rng.lo_op == ">":
                 low_at = w.at_start(rng.start_sec)

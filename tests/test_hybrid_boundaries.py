@@ -220,6 +220,70 @@ def test_point_equality_empty_instant(hybrid_engine):
     assert routed.collect() == hybrid_engine.spark.sql(sql).collect()
 
 
+def test_time_range_restricted_wheel_upper_sliver_is_exact(spark, minimal_agg):
+    """A wheel whose ``time_range`` ends exactly at the query's inclusive
+    upper bound has NO indexed rows at that instant — at_start answers a
+    zero state.  The router must not trust it (ADVICE r2, high): it falls
+    back to the pruned boundary scan, which reads the base table and keeps
+    the boundary rows."""
+    e = WheelEngine(spark, "tr_upper", minimal_agg, time_column="timestamp")
+    e.build_index(
+        "agg_col",
+        time_range=(datetime(2024, 5, 10, 0, 0, 0), datetime(2024, 5, 10, 0, 0, 5)),
+    )
+    sql = (
+        "SELECT SUM(agg_col) AS s, COUNT(*) AS c FROM tr_upper WHERE "
+        "timestamp > '2024-05-10 00:00:01' AND timestamp <= '2024-05-10 00:00:05'"
+    )
+    routed = e.sql(sql)
+    assert e.last_route.kind == "hybrid_agg"
+    # must NOT have answered the sliver from the (restricted) wheel
+    assert e.last_route.detail["boundary"] != "wheel"
+    row = routed.collect()[0]
+    ref = e.spark.sql(sql).collect()[0]
+    assert (row["s"], row["c"]) == (ref["s"], ref["c"]) == (18.0, 4)
+
+
+def test_time_range_past_data_end_upper_sliver(spark, minimal_agg):
+    """``ts <= b`` where b is one bucket past the wheel's indexed span: the
+    sliver bucket is uncovered, so an incomplete wheel must fall back."""
+    e = WheelEngine(spark, "tr_past", minimal_agg, time_column="timestamp")
+    e.build_index(
+        "agg_col",
+        time_range=(datetime(2024, 5, 10, 0, 0, 0), datetime(2024, 5, 10, 0, 0, 8)),
+    )
+    sql = (
+        "SELECT COUNT(*) AS c FROM tr_past WHERE "
+        "timestamp >= '2024-05-10 00:00:02' AND timestamp <= '2024-05-10 00:00:07'"
+    )
+    routed = e.sql(sql)
+    assert routed.collect() == e.spark.sql(sql).collect()
+
+
+def test_hybrid_wheel_boundary_respects_limit_zero(hybrid_engine):
+    """ORDER BY / LIMIT must survive the wheel-boundary success path
+    (router passed the parsed query through to _scalar_result)."""
+    sql = (
+        "SELECT COUNT(*) AS c FROM hybrid_fix WHERE "
+        "timestamp BETWEEN '2024-05-10 00:00:02' AND '2024-05-10 00:00:06' LIMIT 0"
+    )
+    routed = hybrid_engine.sql(sql)
+    assert hybrid_engine.last_route.kind == "hybrid_agg"
+    assert hybrid_engine.last_route.detail["boundary"] == "wheel"
+    assert routed.collect() == hybrid_engine.spark.sql(sql).collect() == []
+
+
+def test_hybrid_wheel_boundary_order_by_alias(hybrid_engine):
+    sql = (
+        "SELECT SUM(agg_col) AS s FROM hybrid_fix WHERE "
+        "timestamp BETWEEN '2024-05-10 00:00:02' AND '2024-05-10 00:00:06' "
+        "ORDER BY s LIMIT 1"
+    )
+    routed = hybrid_engine.sql(sql)
+    assert hybrid_engine.last_route.kind == "hybrid_agg"
+    assert routed.collect() == hybrid_engine.spark.sql(sql).collect()
+
+
 def test_degenerate_range_delegates(hybrid_engine):
     hybrid_engine.sql(
         "SELECT COUNT(*) AS c FROM hybrid_fix WHERE "

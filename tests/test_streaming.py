@@ -128,3 +128,50 @@ def test_merge_delta_min_max_and_bounds():
     assert "var_pop" not in got and "stddev_samp" not in got
     assert w.max_ts_us == 103_500_000
     assert w.count_range(103, 104) == 1
+
+
+def test_merge_delta_missing_state_drops_not_corrupts():
+    """A delta that omits a value state the wheel carries must DROP that
+    state (queries delegate) — never leave the old array misaligned with the
+    widened secs axis (ADVICE r2: silent wrong slice lookups)."""
+    w = WheelIndex(
+        "t", "v", "*_AGG",
+        secs=np.array([100, 101]), cnt=np.array([1, 1]),
+        sum_=np.array([5.0, 7.0]), min_=np.array([5.0, 7.0]), max_=np.array([5.0, 7.0]),
+        min_ts_us=100_000_000, max_ts_us=101_000_000, complete=True,
+    )
+    # delta carries only counts — no sum/min/max
+    w.merge_delta(np.array([103]), np.array([2]), min_ts_us=103_000_000, max_ts_us=103_000_000)
+    assert w.sum_ is None and w.min_ is None and w.max_ is None
+    assert list(w.secs) == [100, 101, 103]
+    got = w.combine_range(100, 104)
+    assert got["count"] == 4
+    # value keys absent → the router delegates instead of answering from
+    # misaligned arrays
+    assert "sum" not in got and "min" not in got and "max" not in got
+
+
+def test_merge_at_states_incomplete_delta_drops_tracking():
+    """A delta whose at-states carry 'cnt' but miss a tracked value key must
+    drop at-start tracking up front — not raise mid-merge with at_cnt_
+    already widened (ADVICE r2: partial merge)."""
+    w = WheelIndex(
+        "t", "v", "*_AGG",
+        secs=np.array([100]), cnt=np.array([2]),
+        sum_=np.array([5.0]),
+        min_ts_us=100_000_000, max_ts_us=100_500_000, complete=True,
+        at_secs_=np.array([100]), at_cnt_=np.array([1]), at_vcnt_=np.array([1]),
+        at_sum_=np.array([3.0]),
+    )
+    before_cnt = w.at_cnt_.copy() if w.at_cnt_ is not None else None
+    w.merge_delta(
+        np.array([101]), np.array([1]), np.array([4.0]),
+        min_ts_us=101_000_000, max_ts_us=101_000_000,
+        at_states={"cnt": np.array([1])},  # 'sum' missing while at_sum_ tracked
+    )
+    assert w.at_secs_ is None and w.at_cnt_ is None and w.at_sum_ is None
+    assert not w.tracks_at_start
+    # the base states still merged consistently
+    assert list(w.secs) == [100, 101]
+    assert w.combine_range(100, 102)["sum"] == 9.0
+    del before_cnt
