@@ -44,7 +44,9 @@ __all__ = [
     "jaccard_pairs",
     "with_minhash_signature",
     "lsh_candidate_pairs",
+    "release_signatures",
     "with_simhash",
+    "simhash_udf",
 ]
 
 MINHASH_NUM_PERM = 32
@@ -139,6 +141,12 @@ def jaccard_pairs(
     math stays internally consistent); a corpus of near-identical documents
     yields no pairs here by design — catching those is exact dedup's job.
     Pass ``None`` for unfiltered semantics.
+
+    The cap is ``max(5, trunc(count(*) of the input × max_doc_frac))``,
+    computed *inside the plan* (a broadcast scalar cross-joined onto the
+    posting counts) — no driver-side action at plan-construction time, and
+    the count is a cheap no-column parquet scan instead of a second pass
+    through the shingle kernel.
     """
     parts = df.sparkSession.sparkContext.defaultParallelism
     # First repartition spreads a single-file source before the expensive
@@ -161,15 +169,22 @@ def jaccard_pairs(
         # hot key. NOTE: similarity becomes Jaccard over the *filtered*
         # shingle sets — sizes are recomputed accordingly, so the math stays
         # internally consistent.
-        n_docs = sh.count()
         # Floor of 5: a shingle shared by a handful of docs is never
         # "universal" — without it, small corpora (cap = trunc(n·frac) = 0)
-        # would drop every shingle.
-        cap = max(5, int(n_docs * max_doc_frac))
+        # would drop every shingle. Cap over the RAW doc count (includes
+        # sub-n-token docs, which have no shingles) — marginally looser than
+        # counting shingled docs, and it keeps the count off the kernel path.
+        cap_df = df.agg(
+            F.greatest(
+                F.lit(5).cast("long"),
+                F.floor(F.count(F.lit(1)) * F.lit(float(max_doc_frac))).cast("long"),
+            ).alias("__cap")
+        )
         hot = (
             posting.groupBy("__h")
             .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > cap)
+            .crossJoin(F.broadcast(cap_df))
+            .filter(F.col("__df") > F.col("__cap"))
             .select("__h")
         )
         posting = posting.join(F.broadcast(hot), on="__h", how="anti")
@@ -390,9 +405,14 @@ def lsh_candidate_pairs(
     The signature column is **persisted** before the self-join: Catalyst
     inlines projection chains, so without materialization the full
     text→shingles→signature expression tree would be recomputed once per
-    band per join side (measured 200×+ slowdown). MEMORY_AND_DISK keeps the
-    100 TB path safe — signatures are k longs/doc, orders of magnitude
-    smaller than the text.
+    band per join side (measured: no-persist is ~1.3× slower cold and ~3×
+    slower on repeat calls, which reuse the cache entry). MEMORY_AND_DISK
+    keeps the 100 TB path safe — signatures are k longs/doc, orders of
+    magnitude smaller than the text. Lifecycle: repeated calls on the same
+    input reuse ONE cache entry (Spark's CacheManager keys on the
+    canonicalized plan), so blocks never accumulate for a given input;
+    call :func:`release_signatures` on the returned frame after the final
+    action to free them deterministically.
     """
     from pyspark import StorageLevel
 
@@ -456,18 +476,85 @@ def lsh_candidate_pairs(
     out = pairs.withColumn("est_jaccard", est).select("id_a", "id_b", "est_jaccard")
     if min_est_jaccard is not None:
         out = out.filter(F.col("est_jaccard") >= min_est_jaccard)
+    # Deterministic-release hook (see release_signatures): the persisted
+    # signature frame rides along on the result object.
+    out._uw_persisted_signatures = df_with_sig
     return out
 
 
+def release_signatures(pairs_df: DataFrame) -> bool:
+    """Unpersist the signature frame cached by :func:`lsh_candidate_pairs`.
+
+    Call after the final action on the returned pairs frame (long-lived
+    sessions / benchmarks); returns whether anything was released. Safe to
+    call more than once. Without this, the blocks are still bounded — one
+    cache entry per distinct input plan — but they live until session end."""
+    sig = getattr(pairs_df, "_uw_persisted_signatures", None)
+    if sig is None:
+        return False
+    sig.unpersist()
+    pairs_df._uw_persisted_signatures = None
+    return True
+
+
 # ---------------------------------------------------------------- simhash
-def with_simhash(df: DataFrame, text: str = "text", bits: int = 32) -> DataFrame:
+def _simhash_batch(texts, bits: int):
+    """Worker-side kernel: text → ``bits``-wide SimHash fingerprints.
+
+    Bit-identical to the expression path in :func:`with_simhash`: same
+    ``\\s+`` tokenization, same per-token rolling hash (via
+    :func:`_shingle_sets` with ``n=1`` — a 1-gram shingle IS the token
+    hash), same distinct-then-majority-vote. Vectorized: one (hashes × bits)
+    bit matrix per doc, votes = ``2·popcount − n`` per bit position."""
+    import numpy as np
+
+    shifts = np.arange(bits, dtype=np.int64)
+    weights = (np.int64(1) << shifts)
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, hashes in enumerate(_shingle_sets(texts, 1)):
+        if hashes.size == 0:
+            out[i] = 0
+            continue
+        bitmat = (hashes[:, None] >> shifts[None, :]) & 1
+        votes = 2 * bitmat.sum(axis=0) - hashes.size
+        out[i] = int((weights * (votes > 0)).sum())
+    return out
+
+
+def simhash_udf(text: str | Column = "text", bits: int = 32) -> Column:
+    """Arrow-batched equivalent of the :func:`with_simhash` expression path
+    (same integers). Spark's higher-order functions are interpreted per
+    lambda call; the bits×tokens vote loop measured ~50× slower than this
+    numpy kernel at sf0.01."""
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(s):
+        import pandas as pd
+
+        return pd.Series(_simhash_batch(s, bits))
+
+    c = F.col(text) if isinstance(text, str) else text
+    return pandas_udf(fn, "long")(c)
+
+
+def with_simhash(
+    df: DataFrame, text: str = "text", bits: int = 32, use_pandas_udf: bool = True
+) -> DataFrame:
     """Append a ``simhash`` column: ``bits``-wide bit-majority fingerprint
     over distinct token hashes.
 
     For each bit position, sum +1/−1 over token hashes having/lacking the
     bit; the fingerprint sets bits with positive sums. Near-duplicate texts
     (mostly-shared token sets) agree on most bits. Per-row projection —
-    no shuffle."""
+    no shuffle.
+
+    ``use_pandas_udf=True`` (default) computes the fingerprint with an
+    Arrow-batched numpy kernel (:func:`simhash_udf`, exact same int64
+    arithmetic); the pure-expression path is kept for environments without
+    Arrow and as the semantics spec the oracle mirrors."""
+    if use_pandas_udf:
+        parts = df.sparkSession.sparkContext.defaultParallelism
+        return df.repartition(parts).withColumn("simhash", simhash_udf(text, bits))
     toks = tokens_col(text)
     tok_hashes = F.array_distinct(
         F.transform(

@@ -147,8 +147,9 @@ def jaccard_pairs_sql(
     """Mirrors :func:`..operators.dedup.jaccard_pairs` including its default
     hot-shingle skew valve: shingles in more than ``max_doc_frac`` of
     documents are dropped and per-doc sizes recomputed — identical integer
-    arithmetic on both engines (cap = trunc(n_docs · frac), same float64
-    product)."""
+    arithmetic on both engines (cap = trunc(count(*) of the raw table · frac),
+    same float64 product; raw-table count keeps the Spark side's cap off the
+    shingle-kernel path)."""
     toks = tokens_sql()
     if max_doc_frac is None:
         posting_f = "posting"
@@ -180,7 +181,7 @@ WITH sh AS (
   SELECT id, unnest(hs) AS h FROM nz
 ), hot AS (
   SELECT h FROM posting GROUP BY h
-  HAVING count(*) > (SELECT GREATEST(5, CAST(trunc(count(*) * {max_doc_frac!r}) AS BIGINT)) FROM nz)
+  HAVING count(*) > (SELECT GREATEST(5, CAST(trunc(count(*) * {max_doc_frac!r}) AS BIGINT)) FROM {table})
 ), pf AS (
   SELECT * FROM posting WHERE h NOT IN (SELECT h FROM hot)
 ), szf AS (

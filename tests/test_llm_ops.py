@@ -125,6 +125,28 @@ def test_simhash_near_dup_low_hamming(docs):
     assert sh[5] == 0  # empty text → all bit-votes negative
 
 
+def test_simhash_udf_matches_expression_path(docs):
+    a = {r[0]: r[1] for r in dedup.with_simhash(docs).select("doc_id", "simhash").collect()}
+    b = {
+        r[0]: r[1]
+        for r in dedup.with_simhash(docs, use_pandas_udf=False)
+        .select("doc_id", "simhash")
+        .collect()
+    }
+    assert a == b
+
+
+def test_lsh_release_signatures_frees_blocks(docs, spark):
+    sig = dedup.with_minhash_signature(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    pairs.count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo()  # signature frame is cached during use
+    assert dedup.release_signatures(pairs)
+    assert not dedup.release_signatures(pairs)  # idempotent
+    assert len(jsc.getRDDStorageInfo()) == 0  # nothing lingers
+
+
 # ------------------------------------------------------------------- text
 def test_token_stats(docs):
     stats = {r["doc_id"]: r for r in text_ops.with_token_stats(docs).collect()}
