@@ -18,6 +18,7 @@ from .engine import WheelEngine
 from .operators.lookup import STAR_AGGREGATION_ALIAS, WheelIndex
 from .plans.router import RouteDecision
 from .session import get_spark
+from .similarity_engine import SimilarityEngine, SimRoute
 
 __all__ = [
     "WheelEngine",
@@ -26,6 +27,8 @@ __all__ = [
     "RouteDecision",
     "STAR_AGGREGATION_ALIAS",
     "get_spark",
+    "SimilarityEngine",
+    "SimRoute",
 ]
 
 __version__ = "0.1.0"

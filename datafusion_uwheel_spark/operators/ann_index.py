@@ -95,11 +95,19 @@ def build_ann_index(
                 F.col(f"bucket_{t}").alias("bucket"),
             )
             stacked = part if stacked is None else stacked.unionByName(part)
-        stacked.write.mode("overwrite").partitionBy("t", "bucket").parquet(path)
+        # Shuffle onto the partition key before the partitioned write: without
+        # it every task writes a file into every (t, bucket) directory —
+        # tasks × tables × 2^bits small files, the classic small-files
+        # explosion. After it each directory is written by one task.
+        stacked.repartition("t", "bucket").write.mode("overwrite").partitionBy(
+            "t", "bucket"
+        ).parquet(path)
     elif kind == "ivf":
         cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids, seed)
         celled = with_ivf_cells(df, cents, vec_col).select(*cols, F.col("cell"))
-        celled.write.mode("overwrite").partitionBy("cell").parquet(path)
+        celled.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
     else:
         raise ValueError(f"unknown ANN index kind {kind!r}")
     manifest = {
@@ -134,6 +142,64 @@ class AnnIndex:
     @property
     def kind(self) -> str:
         return self.m["kind"]
+
+    def append(self, df: DataFrame) -> "AnnIndex":
+        """Append new rows into the existing partition layout — incremental
+        maintenance, the ANN analogue of the wheels' streaming merge
+        (:mod:`...streaming.maintenance`). New vectors are hashed/assigned
+        with the **manifest's pinned parameters** (same hyperplanes or
+        centroids — a probe cannot tell generations apart), stacked into the
+        same ``t=/bucket=`` (or ``cell=``) directories as extra parquet
+        files, and the handle's cached reader is refreshed so subsequent
+        probes see both generations. One distributed write; existing files
+        are never rewritten.
+
+        Raises ``ValueError`` when ``df`` lacks the manifest's id/vec
+        columns — the manifest is the contract, callers don't pass
+        parameters here (so they cannot mismatch the stored layout)."""
+        m = self.m
+        id_col, vec_col = m["id_col"], m["vec_col"]
+        missing = [c for c in (id_col, vec_col) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"append frame lacks manifest column(s) {missing} "
+                f"(index at {self.path} stores ({id_col}, {vec_col}))"
+            )
+        cols = [F.col(id_col), F.col(vec_col)]
+        if m["kind"] == "lsh":
+            bucketed = with_lsh_buckets(
+                df, m["dim"], vec_col, m["bits"], m["tables"], m["seed"]
+            )
+            all_buckets = [
+                F.col(f"bucket_{j}").alias(f"b{j}") for j in range(m["tables"])
+            ]
+            stacked = None
+            for t in range(m["tables"]):
+                part = bucketed.select(
+                    *cols,
+                    *all_buckets,
+                    F.lit(t).alias("t"),
+                    F.col(f"bucket_{t}").alias("bucket"),
+                )
+                stacked = part if stacked is None else stacked.unionByName(part)
+            stacked.repartition("t", "bucket").write.mode("append").partitionBy(
+                "t", "bucket"
+            ).parquet(self.path)
+        else:
+            cents = m.get("centroids") or ivf_centroids(
+                m["dim"], m["n_centroids"], m["seed"]
+            )
+            celled = with_ivf_cells(df, cents, vec_col).select(*cols, F.col("cell"))
+            celled.repartition("cell").write.mode("append").partitionBy(
+                "cell"
+            ).parquet(self.path)
+        self.m = {**m, "generations": int(m.get("generations", 1)) + 1}
+        with open(os.path.join(self.path, _MANIFEST), "w") as f:
+            json.dump(self.m, f)
+        # Refresh the cached reader: its file index was resolved at load and
+        # does not see the appended files.
+        self._df = self.spark.read.parquet(self.path)
+        return self
 
     def _query_buckets(self, query) -> list[int]:
         hp = hyperplanes(self.m["dim"], self.m["bits"], self.m["tables"], self.m["seed"])

@@ -170,10 +170,15 @@ def ann_topk(
     """Approximate top-k: restrict the exact search to rows sharing the
     query's sign-LSH bucket in ≥1 of ``tables`` hash tables.
 
-    With the LSH columns precomputed and the table bucketed on them, the
-    candidate filter is an equality predicate Spark prunes at the source —
-    the 100 TB path. Recall < 1 by design; ``bits`` down / ``tables`` up →
-    more candidates, higher recall."""
+    **Query-time fallback — prefer the materialized-index path.** This
+    operator rehashes the whole table per query (measured *slower than
+    brute force* at sf0.1); it exists as the correctness baseline and the
+    delegate when no index is built. The shipped path is
+    :class:`..similarity_engine.SimilarityEngine`, which builds the
+    partitioned index once (:mod:`.ann_index`) and serves every probe from
+    a partition-pruned read — identical result set, ~4× faster at sf0.1
+    and the only shape that survives 100 TB. Recall < 1 by design; ``bits``
+    down / ``tables`` up → more candidates, higher recall."""
     dim = len(query)
     hp = hyperplanes(dim, bits, tables, seed)
 
@@ -277,7 +282,11 @@ def ivf_topk(
     """IVF approximate top-k: assign rows to coarse cells, search only the
     ``nprobe`` cells nearest the query, rerank exactly with the fold cosine.
 
-    The complementary ANN strategy to :func:`ann_topk` (sign-LSH): IVF probes
+    **Query-time fallback — prefer the materialized-index path** (see
+    :func:`ann_topk`'s note; the same applies here: per-query cell
+    assignment over a full scan loses to a partition-pruned probe of a
+    built index, :class:`..similarity_engine.SimilarityEngine`). The
+    complementary ANN strategy to :func:`ann_topk` (sign-LSH): IVF probes
     a *tunable* number of Voronoi cells (recall ∝ nprobe) instead of fixed
     hash tables."""
     cents = ivf_centroids(len(query), n_centroids, seed)

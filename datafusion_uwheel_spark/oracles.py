@@ -33,6 +33,8 @@ __all__ = [
     "token_stats_sql",
     "jaccard_pairs_sql",
     "fingerprint_sql",
+    "media_features_sql",
+    "media_frames_sql",
     "cosine_topk_sql",
     "ann_topk_sql",
     "embedding_dup_pairs_sql",
@@ -265,6 +267,72 @@ WITH th AS (
   FROM {table}
 )
 SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM th"""
+
+
+# ------------------------------------------------------------- multimodal
+def _sha_byte(hexpr: str, i: int) -> str:
+    """Byte ``i`` of a hex-digest VARCHAR as an INT (nibble lookup — this
+    DuckDB build has no hex→int cast)."""
+    hi = f"(strpos('0123456789abcdef', substr({hexpr}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({hexpr}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _fake_decode_fold(hexpr: str, n: int) -> str:
+    """Left-fold sum of the first ``n`` fake-decoded floats
+    (``byte/255.0`` narrowed to FLOAT4 then widened, matching Spark's
+    ``array<float>`` storage) — mirrors ``_fake_decode`` +
+    ``F.aggregate(cast array<double>)``. ``n ≤ 32`` (one SHA-256 digest)."""
+    assert n <= 32
+    terms = ", ".join(
+        f"CAST(CAST(CAST({_sha_byte(hexpr, i)} AS DOUBLE) / 255.0 AS FLOAT4) AS DOUBLE)"
+        for i in range(n)
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [{terms}]), (a, x) -> a + x)"
+    )
+
+
+def media_features_sql(dim: int = 16, table: str = "documents") -> str:
+    """Oracle of the deterministic fake feature extractor
+    (:func:`..operators.multimodal.extract_features` with ``fake=True``)
+    over the contract media fixture (payload = UTF-8 bytes of the text):
+    SHA-256(payload ‖ counter₀) bytes → floats, checked as (count, first
+    element, sequential fold sum). ``sha256`` here takes VARCHAR, so the
+    payload+counter BLOB round-trips through ``decode`` (valid UTF-8: text
+    is UTF-8 and the counter bytes are NULs)."""
+    h = f"sha256(decode(encode(text) || unhex('00000000')))"
+    f0 = f"CAST(CAST(CAST({_sha_byte('hx', 0)} AS DOUBLE) / 255.0 AS FLOAT4) AS DOUBLE)"
+    return f"""
+WITH h AS (
+  SELECT doc_id, {h} AS hx FROM {table}
+)
+SELECT doc_id, CAST({dim} AS INT) AS dim,
+       round({f0}, 6) AS f0,
+       round({_fake_decode_fold('hx', dim)}, 6) AS f_sum
+FROM h"""
+
+
+def media_frames_sql(table: str = "documents") -> str:
+    """Oracle of the frame sampler (:func:`..operators.multimodal.sample_frames`,
+    ``every_ms=1``) over the contract video fixture: ``duration_ms =
+    doc_id % 3 + 1`` → that many frames at ``ts_ms = 0, 1, …``; each frame's
+    16 floats derive from SHA-256(payload ‖ ts_be64 ‖ counter₀). ``ts < 3``
+    keeps every appended byte NUL/ASCII, so the BLOB survives ``decode``."""
+    h = (
+        "sha256(decode(encode(text) || unhex(lpad(to_hex(ts_ms), 16, '0')) "
+        "|| unhex('00000000')))"
+    )
+    return f"""
+WITH v AS (
+  SELECT doc_id, text, (doc_id % 3 + 1) AS nf FROM {table}
+), fr AS (
+  SELECT doc_id, text, CAST(unnest(range(nf)) AS BIGINT) AS ts_ms FROM v
+), d AS (
+  SELECT doc_id, CAST(ts_ms AS INT) AS frame_idx, ts_ms, {h} AS hx FROM fr
+)
+SELECT doc_id, frame_idx, ts_ms, round({_fake_decode_fold('hx', 16)}, 6) AS f_sum
+FROM d"""
 
 
 # ------------------------------------------------------------- similarity

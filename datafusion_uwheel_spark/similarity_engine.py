@@ -1,0 +1,310 @@
+"""``SimilarityEngine`` — registry + route-or-delegate for similarity search.
+
+The wheel side of this package keeps a registry of built indices and a router
+that answers from them when the query shape matches, delegating otherwise
+(reference ``UWheelOptimizer``'s wheel registry + rewrite rule,
+``datafusion-uwheel/src/lib.rs:72-146``). This module applies the same
+lifecycle to ANN search, closing the gap where the materialized index
+(:mod:`.operators.ann_index`) existed but nothing routed through it: callers
+of :func:`..operators.similarity.ann_topk` / ``ivf_topk`` were paying
+query-time hashing over a full scan — measured 2.6–3× slower than brute
+force at sf0.1 — even when a matching index had been built.
+
+One engine = one table (parquet path or DataFrame) with one embedding
+column. :meth:`build_index` materializes a partitioned ANN index and
+registers the handle; :meth:`topk` / :meth:`dup_pairs` consult the registry
+and serve a **partition-pruned probe** when a registered index's parameters
+match the request, falling back to the query-time operators otherwise —
+identical result sets either way (same seeded hyperplanes/centroids, same
+exact fold-cosine rerank), so routing is purely a physical decision, like
+the wheel router's. ``last_route`` records the decision for tests/benches.
+
+Routing is **exact-parameter matched**: an index only serves requests whose
+(kind, bits, tables, seed) / (kind, n_centroids, seed) equal its manifest,
+and indexes built with *pinned trained centroids* (``centroids=...`` /
+``train=True``) never serve seeded requests — the quantizers differ, so the
+result sets would too. Probe a trained index through its returned handle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.ann_index import AnnIndex, build_ann_index, load_ann_index
+from .operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    embedding_dup_pairs,
+    ivf_topk,
+    train_ivf_centroids,
+)
+
+__all__ = ["SimilarityEngine", "SimRoute"]
+
+
+class SimRoute:
+    """Routing decision record (the similarity analogue of
+    :class:`..plans.router.RouteDecision`)."""
+
+    def __init__(self, kind: str, detail: dict | None = None):
+        self.kind = kind  # "indexed" | "query_time" | "exact"
+        self.detail = detail or {}
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"SimRoute({self.kind!r}, {self.detail!r})"
+
+
+def _lsh_key(bits: int, tables: int, seed: int) -> tuple:
+    return ("lsh", bits, tables, seed)
+
+
+def _ivf_key(n_centroids: int, seed: int) -> tuple:
+    return ("ivf", n_centroids, seed)
+
+
+class SimilarityEngine:
+    """Similarity search over one table's embedding column with a
+    build-once/probe-many index registry.
+
+    Parameters
+    ----------
+    spark:
+        Active session.
+    name:
+        Logical table name (used for default index paths).
+    source:
+        Parquet path or DataFrame holding ``id_col`` and ``vec_col``.
+    dim:
+        Embedding width. Required — probing it from data would launch a
+        Spark job at construction.
+    index_root:
+        Directory for :meth:`build_index` default paths (a temp dir is
+        created lazily when omitted). On a cluster this should be shared
+        storage (S3/HDFS) so every executor can read the partitioned layout.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        source: str | DataFrame,
+        dim: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        index_root: str | None = None,
+    ):
+        self.spark = spark
+        self.name = name
+        self.dim = dim
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.df = (
+            spark.read.parquet(source) if isinstance(source, str) else source
+        )
+        for c in (vec_col, id_col):
+            if c not in self.df.columns:
+                raise ValueError(f"column {c!r} not in table {name!r}")
+        self._index_root = index_root
+        #: param-key → AnnIndex, the analogue of ``WheelEngine.agg_wheels``.
+        self.indexes: dict[tuple, AnnIndex] = {}
+        self.last_route: SimRoute | None = None
+
+    # -------------------------------------------------------------- builds
+    def _default_path(self, key: tuple) -> str:
+        if self._index_root is None:
+            self._index_root = tempfile.mkdtemp(prefix=f"simidx_{self.name}_")
+        return os.path.join(self._index_root, "_".join(str(p) for p in key))
+
+    def build_index(
+        self,
+        kind: str = "lsh",
+        path: str | None = None,
+        bits: int = 8,
+        tables: int = 4,
+        n_centroids: int = 8,
+        seed: int = 42,
+        train: bool = False,
+        train_sample: int = 4096,
+        train_iters: int = 10,
+    ) -> AnnIndex:
+        """Materialize a partitioned ANN index (one distributed write) and
+        register the handle so :meth:`topk` / :meth:`dup_pairs` route
+        through it — the similarity analogue of
+        :meth:`..engine.WheelEngine.build_index` (``lib.rs:153-239``).
+
+        ``train=True`` (IVF only) fits spherical-k-means centroids on a
+        seeded sample first; the trained index is returned but NOT
+        registered for seeded routing (its quantizer differs — see module
+        docstring)."""
+        centroids = None
+        if train:
+            if kind != "ivf":
+                raise ValueError("train=True applies to kind='ivf' only")
+            centroids = train_ivf_centroids(
+                self.df, self.dim, n_centroids, sample=train_sample,
+                iters=train_iters, seed=seed, vec_col=self.vec_col,
+            )
+        key = (
+            _lsh_key(bits, tables, seed) if kind == "lsh"
+            else _ivf_key(n_centroids, seed)
+        )
+        if path is None:
+            path = self._default_path(key + (("trained",) if train else ()))
+        build_ann_index(
+            self.df,
+            path,
+            kind=kind,
+            dim=self.dim,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            bits=bits,
+            tables=tables,
+            n_centroids=n_centroids,
+            seed=seed,
+            centroids=centroids,
+        )
+        idx = load_ann_index(self.spark, path)
+        if not train:
+            self.indexes[key] = idx
+        return idx
+
+    def register_index(self, path_or_index: str | AnnIndex) -> AnnIndex:
+        """Register an already-built index directory (or handle) for
+        routing — the restart story: build once, re-register per session.
+        Rejects indexes whose manifest disagrees with this engine's
+        table/dim, and never registers pinned-centroid (trained) indexes
+        for seeded routing."""
+        idx = (
+            load_ann_index(self.spark, path_or_index)
+            if isinstance(path_or_index, str)
+            else path_or_index
+        )
+        m = idx.m
+        if m["dim"] != self.dim or m["vec_col"] != self.vec_col or m["id_col"] != self.id_col:
+            raise ValueError(
+                f"index manifest {m['kind']}/dim={m['dim']} does not match "
+                f"engine table {self.name!r} (dim={self.dim})"
+            )
+        if m.get("centroids"):
+            raise ValueError(
+                "trained (pinned-centroid) indexes are probed via their "
+                "handle, not registered for seeded routing"
+            )
+        key = (
+            _lsh_key(m["bits"], m["tables"], m["seed"])
+            if m["kind"] == "lsh"
+            else _ivf_key(m["n_centroids"], m["seed"])
+        )
+        self.indexes[key] = idx
+        return idx
+
+    # ------------------------------------------------------------- queries
+    def topk(
+        self,
+        query: Sequence[float],
+        k: int = 10,
+        kind: str = "lsh",
+        bits: int = 8,
+        tables: int = 4,
+        n_centroids: int = 8,
+        nprobe: int = 2,
+        seed: int = 42,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """Top-k by cosine similarity, route-or-delegate.
+
+        ``kind="exact"`` is the brute-force scan (always available).
+        ``kind="lsh"`` / ``"ivf"``: a registered index with matching
+        parameters serves a partition-pruned probe (no rehash of the
+        table); otherwise the query-time operator runs — same result set,
+        slower physical plan. ``last_route`` tells which happened."""
+        if len(query) != self.dim:
+            raise ValueError(f"query dim {len(query)} != engine dim {self.dim}")
+        if kind == "exact":
+            self.last_route = SimRoute("exact")
+            return cosine_topk(
+                self.df, query, k, self.vec_col, self.id_col, round_digits=round_digits
+            )
+        if kind == "lsh":
+            idx = self.indexes.get(_lsh_key(bits, tables, seed))
+            if idx is not None:
+                self.last_route = SimRoute("indexed", {"kind": "lsh", "path": idx.path})
+                return idx.topk(query, k=k, round_digits=round_digits)
+            self.last_route = SimRoute("query_time", {"kind": "lsh"})
+            return ann_topk(
+                self.df, query, k, self.vec_col, self.id_col,
+                bits=bits, tables=tables, seed=seed, round_digits=round_digits,
+            )
+        if kind == "ivf":
+            idx = self.indexes.get(_ivf_key(n_centroids, seed))
+            if idx is not None:
+                self.last_route = SimRoute("indexed", {"kind": "ivf", "path": idx.path})
+                return idx.topk(query, k=k, nprobe=nprobe, round_digits=round_digits)
+            self.last_route = SimRoute("query_time", {"kind": "ivf"})
+            return ivf_topk(
+                self.df, query, k, nprobe=nprobe, n_centroids=n_centroids,
+                seed=seed, vec_col=self.vec_col, id_col=self.id_col,
+                round_digits=round_digits,
+            )
+        raise ValueError(f"unknown topk kind {kind!r}")
+
+    def dup_pairs(
+        self,
+        threshold: float,
+        bits: int = 8,
+        tables: int = 2,
+        seed: int = 42,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """Embedding-cosine near-duplicate pairs, route-or-delegate: a
+        registered LSH index with matching parameters serves the stored
+        bucket self-join (no query-time rehash, exactly-once pair claim);
+        otherwise the query-time LSH-bucketed operator runs. Same result
+        set either way."""
+        idx = self.indexes.get(_lsh_key(bits, tables, seed))
+        if idx is not None:
+            self.last_route = SimRoute("indexed", {"kind": "lsh", "path": idx.path})
+            return idx.dup_pairs(threshold, round_digits=round_digits)
+        self.last_route = SimRoute("query_time", {"kind": "lsh"})
+        return embedding_dup_pairs(
+            self.df, threshold, self.vec_col, self.id_col,
+            bits=bits, tables=tables, seed=seed,
+            round_digits=round_digits, dim=self.dim,
+        )
+
+    def append(self, delta: DataFrame) -> int:
+        """Incremental maintenance: append a delta of new vectors into every
+        registered index's partition layout (each index hashes the delta
+        with its own pinned parameters — :meth:`AnnIndex.append`). Returns
+        the number of indexes updated.
+
+        The engine's ``df`` is NOT extended by this call: when the source
+        table grows (new parquet files land), construct the engine over the
+        growing source (path / view) so the query-time fallback and the
+        indexes stay in sync, and feed only the delta here."""
+        for idx in self.indexes.values():
+            idx.append(delta)
+        return len(self.indexes)
+
+    # -------------------------------------------------------- introspection
+    def list_indexes(self) -> list[dict]:
+        """Manifest metadata for every registered index (the analogue of
+        :meth:`..engine.WheelEngine.list_indexes`)."""
+        return sorted(
+            ({**idx.m, "path": idx.path} for idx in self.indexes.values()),
+            key=lambda m: m["path"],
+        )
+
+    def drop_index(self, kind: str, bits: int = 8, tables: int = 4,
+                   n_centroids: int = 8, seed: int = 42) -> bool:
+        """Deregister an index (files are left on disk — they are a
+        rebuildable cache, and other sessions may hold handles)."""
+        key = (
+            _lsh_key(bits, tables, seed) if kind == "lsh"
+            else _ivf_key(n_centroids, seed)
+        )
+        return self.indexes.pop(key, None) is not None

@@ -123,3 +123,80 @@ def test_dup_pairs_from_index_match_query_time_operator(spark, emb, tmp_path_fac
 def test_dup_pairs_requires_lsh(ivf_index):
     with pytest.raises(ValueError, match="LSH"):
         ivf_index.dup_pairs(threshold=0.5)
+
+
+# ------------------------------------------------------- incremental append
+def test_append_probe_sees_both_generations(spark, emb, tmp_path_factory):
+    """Build over a prefix, append the rest: probes must equal an index
+    built over the full table in one shot (same pinned hyperplanes)."""
+    path = str(tmp_path_factory.mktemp("ann") / "lsh_gen")
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    build_ann_index(old, path, kind="lsh", dim=DIM, bits=4, tables=2)
+    idx = load_ann_index(spark, path)
+    before = idx.topk(QUERY, k=K).collect()
+    idx.append(new)
+    assert idx.m["generations"] == 2
+    got = idx.topk(QUERY, k=K).collect()
+    want = similarity.ann_topk(emb, QUERY, k=K, bits=4, tables=2).collect()
+    assert got == want
+    assert before != got  # the delta actually changed the answer set
+
+
+def test_append_ivf_and_reload(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "ivf_gen")
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    build_ann_index(old, path, kind="ivf", dim=DIM, n_centroids=8)
+    load_ann_index(spark, path).append(new)
+    # a FRESH handle (restart story) sees both generations too
+    idx2 = load_ann_index(spark, path)
+    assert idx2.m["generations"] == 2
+    got = idx2.topk(QUERY, k=K, nprobe=2).collect()
+    want = similarity.ivf_topk(emb, QUERY, k=K, nprobe=2, n_centroids=8).collect()
+    assert got == want
+
+
+def test_append_rejects_missing_manifest_columns(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "lsh_guard")
+    build_ann_index(emb, path, kind="lsh", dim=DIM, bits=4, tables=2)
+    idx = load_ann_index(spark, path)
+    with pytest.raises(ValueError, match="manifest column"):
+        idx.append(emb.withColumnRenamed("embedding", "vec"))
+
+
+def test_append_dup_pairs_across_generations(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "lsh_dup_gen")
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    build_ann_index(old, path, kind="lsh", dim=DIM, bits=8, tables=2)
+    idx = load_ann_index(spark, path)
+    idx.append(new)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["sim"]) for r in idx.dup_pairs(threshold=0.4).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.embedding_dup_pairs(
+            emb, threshold=0.4, bits=8, tables=2, dim=DIM
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_engine_append_updates_all_registered(spark, emb, tmp_path_factory):
+    from datafusion_uwheel_spark import SimilarityEngine
+
+    root = str(tmp_path_factory.mktemp("simeng_append"))
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    eng = SimilarityEngine(spark, "embeddings", emb, dim=DIM, index_root=root)
+    # build over the prefix only (simulate: indexes built before delta lands)
+    eng.df = old
+    eng.build_index(kind="lsh", bits=4, tables=2)
+    eng.build_index(kind="ivf", n_centroids=8)
+    eng.df = emb
+    assert eng.append(new) == 2
+    got = eng.topk(QUERY, k=K, kind="lsh", bits=4, tables=2).collect()
+    assert eng.last_route.kind == "indexed"
+    assert got == similarity.ann_topk(emb, QUERY, k=K, bits=4, tables=2).collect()
