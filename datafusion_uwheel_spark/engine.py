@@ -55,6 +55,11 @@ class WheelEngine:
         (``Builder::with_time_range``, ``builder.rs:177-191``) — the 100 TB
         lever for multi-year tables: the driver-side index stays bounded by
         the span's distinct seconds.
+    time_unit:
+        For raw integral epoch time columns (``"s"``/``"ms"``/``"us"``/
+        ``"ns"``): normalize to TimestampType once at construction — the
+        reference's Time32/Time64 physical-type normalization
+        (``lib.rs:1203-1272``) Spark-side. Omit for TIMESTAMP/DATE columns.
     """
 
     def __init__(
@@ -68,6 +73,7 @@ class WheelEngine:
         load_indexes: str | None = None,
         index_granularity: str = "second",
         index_backend: str = "driver",
+        time_unit: str | None = None,
     ):
         self.spark = spark
         self.name = name
@@ -96,6 +102,36 @@ class WheelEngine:
             self.df = source
         if time_column not in self.df.columns:
             raise ValueError(f"time column {time_column!r} not in table {name!r}")
+        if time_unit is not None:
+            # Raw integral epoch time column (logs shipped as BIGINT epoch
+            # µs/ms/s/ns): normalize ONCE at construction to TimestampType —
+            # the reference's Time64/Time32 physical-type normalization
+            # (lib.rs:1203-1272) done Spark-side. Both the index build AND
+            # the delegate path then see the same TIMESTAMP view, so
+            # timestamp-literal SQL works identically routed or delegated.
+            # (ns truncates to µs — Spark timestamps are µs precision —
+            # matching sources.read_parquet's ns handling.)
+            from pyspark.sql import types as _T
+
+            dt = self.df.schema[time_column].dataType
+            if not isinstance(dt, (_T.LongType, _T.IntegerType)):
+                raise ValueError(
+                    f"time_unit={time_unit!r} applies to integral epoch "
+                    f"columns; {time_column!r} is {dt.simpleString()}"
+                )
+            conv = {
+                "s": f"timestamp_seconds(`{time_column}`)",
+                "ms": f"timestamp_millis(`{time_column}`)",
+                "us": f"timestamp_micros(`{time_column}`)",
+                "ns": f"timestamp_micros(CAST(`{time_column}` DIV 1000 AS BIGINT))",
+            }
+            if time_unit not in conv:
+                raise ValueError(
+                    f"unknown time_unit {time_unit!r}; one of {sorted(conv)}"
+                )
+            from pyspark.sql import functions as _F
+
+            self.df = self.df.withColumn(time_column, _F.expr(conv[time_unit]))
         self.df.createOrReplaceTempView(name)
 
         if load_indexes is not None:
