@@ -87,6 +87,152 @@ def main() -> None:
     log(f"index build {queries['index_build']:.2f}s, "
         f"{eng.index_usage_bytes() / 1e6:.1f} MB driver-side")
 
+    # ------------------------------------------------- LLM-data operators
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def once(family, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        queries[family] = time.perf_counter() - t0
+        log(f"{family}: {queries[family]:.2f}s ({n} rows)")
+
+    once("dedup_exact", lambda: dedup.dedup_exact(docs).count())
+
+    def minhash_run():
+        pairs = dedup.lsh_candidate_pairs(
+            dedup.with_minhash_signature(docs), min_est_jaccard=0.35
+        )
+        n = pairs.count()
+        dedup.release_signatures(pairs)  # no cached blocks linger post-bench
+        return n
+
+    once("dedup_minhash_lsh", minhash_run)
+    # Aggregate over the fingerprint so the column cannot be pruned — a bare
+    # count() lets Catalyst drop the simhash expression entirely (r2's
+    # 0.23 s for this row measured a pruned no-op, not SimHash).
+    once(
+        "dedup_simhash",
+        lambda: dedup.with_simhash(docs).agg(F.sum("simhash")).collect()[0][0],
+    )
+    once(
+        "text_pipeline",
+        lambda: text_ops.with_lang_id(
+            text_ops.with_quality(text_ops.with_token_stats(docs))
+        ).count(),
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    ]
+    dim = len(qvec)
+    # Median of repeated probes (matches the indexed-probe measurement below
+    # so indexed-vs-brute is apples to apples).
+    queries["sim_topk_bruteforce"] = time_calls(
+        lambda: len(similarity.cosine_topk(emb, qvec, k=10).collect()), N_PROBE
+    )
+    log(f"sim_topk_bruteforce: {queries['sim_topk_bruteforce']*1e3:.0f} ms median")
+
+    # Shipped ANN path: SimilarityEngine registry — build the partitioned
+    # indexes once (timed separately), then every topk/dup_pairs call routes
+    # to a partition-pruned probe. The query-time operators are benched
+    # below under *_fallback for the margin story only.
+    from datafusion_uwheel_spark import SimilarityEngine
+
+    sim_eng = SimilarityEngine(
+        spark, "embeddings", emb, dim=dim, index_root="/tmp/bench_sim_idx"
+    )
+    t0 = time.perf_counter()
+    sim_eng.build_index(kind="lsh", bits=4, tables=2)
+    sim_eng.build_index(kind="ivf", n_centroids=8)
+    queries["ann_index_build"] = time.perf_counter() - t0
+    log(f"ann_index_build: {queries['ann_index_build']:.2f}s (lsh4 + ivf)")
+    t0 = time.perf_counter()
+    sim_eng.build_index(kind="lsh", bits=8, tables=2)
+    queries["ann_index_build_lsh8"] = time.perf_counter() - t0
+    log(f"ann_index_build_lsh8: {queries['ann_index_build_lsh8']:.2f}s")
+
+    def routed_topk(**kw):
+        out = len(sim_eng.topk(qvec, k=10, **kw).collect())
+        assert sim_eng.last_route.kind == "indexed", sim_eng.last_route
+        return out
+
+    queries["sim_ann_lsh"] = time_calls(
+        lambda: routed_topk(kind="lsh", bits=4, tables=2), N_PROBE
+    )
+    log(f"sim_ann_lsh: {queries['sim_ann_lsh']*1e3:.0f} ms median (engine-routed probe)")
+    queries["sim_ivf_topk"] = time_calls(
+        lambda: routed_topk(kind="ivf", nprobe=2, n_centroids=8), N_PROBE
+    )
+    log(f"sim_ivf_topk: {queries['sim_ivf_topk']*1e3:.0f} ms median (engine-routed probe)")
+    # Registry-handle probes (identical physical plan to the routed rows;
+    # kept for r1/r2 series comparability).
+    lsh_idx = sim_eng.indexes[("lsh", 4, 2, 42)]
+    ivf_idx = sim_eng.indexes[("ivf", 8, 42)]
+    queries["sim_ann_indexed"] = time_calls(
+        lambda: len(lsh_idx.topk(qvec, k=10).collect()), N_PROBE
+    )
+    log(f"sim_ann_indexed: {queries['sim_ann_indexed']*1e3:.0f} ms median probe")
+    queries["sim_ivf_indexed"] = time_calls(
+        lambda: len(ivf_idx.topk(qvec, k=10, nprobe=2).collect()), N_PROBE
+    )
+    log(f"sim_ivf_indexed: {queries['sim_ivf_indexed']*1e3:.0f} ms median probe")
+
+    def routed_dup_pairs():
+        n = sim_eng.dup_pairs(threshold=0.4, bits=8, tables=2).count()
+        assert sim_eng.last_route.kind == "indexed", sim_eng.last_route
+        return n
+
+    once("sim_dup_pairs_indexed", routed_dup_pairs)
+
+    # Query-time fallbacks (what runs when no index is registered) — NOT the
+    # shipped path; measured to document the indexed-vs-fallback margin.
+    queries["sim_ann_lsh_fallback"] = time_calls(
+        lambda: len(similarity.ann_topk(emb, qvec, k=10, bits=4, tables=2).collect()),
+        N_PROBE,
+    )
+    log(
+        f"sim_ann_lsh_fallback: {queries['sim_ann_lsh_fallback']*1e3:.0f} ms median "
+        "(query-time hashing; fallback only)"
+    )
+    queries["sim_ivf_topk_fallback"] = time_calls(
+        lambda: len(
+            similarity.ivf_topk(emb, qvec, k=10, nprobe=2, n_centroids=8).collect()
+        ),
+        N_PROBE,
+    )
+    log(
+        f"sim_ivf_topk_fallback: {queries['sim_ivf_topk_fallback']*1e3:.0f} ms median "
+        "(query-time cells; fallback only)"
+    )
+    once(
+        "sim_embedding_dup_pairs",
+        lambda: similarity.embedding_dup_pairs(emb, threshold=0.4, bits=8, tables=2, dim=dim).count(),
+    )
+
+    # Multimodal → ANN end-to-end: binary payloads → mapInPandas feature
+    # extraction → partitioned index build → routed probe (the composed
+    # training-data pipeline, examples/media_pipeline.py).
+    def media_ann_e2e():
+        from datafusion_uwheel_spark.operators import multimodal
+
+        media = docs.select("doc_id", F.encode("text", "UTF-8").alias("data"))
+        feats = multimodal.extract_features(media, dim=32, id_col="doc_id")
+        m_eng = SimilarityEngine(
+            spark, "media_features", feats, dim=32,
+            vec_col="feature", id_col="doc_id",
+            index_root="/tmp/bench_media_ann",
+        )
+        m_eng.build_index(kind="lsh", bits=6, tables=2)
+        q = [float(x) for x in feats.select("feature").head()[0]]
+        n = len(m_eng.topk(q, k=10, kind="lsh", bits=6, tables=2).collect())
+        assert m_eng.last_route.kind == "indexed", m_eng.last_route
+        return n
+
+    once("mm_features_ann_e2e", media_ann_e2e)
+
+
     rng = random.Random(42)
     ranges_sec = [random_range(rng, 1, 60, 3600) for _ in range(N_INDEXED)]
     ranges_min = [random_range(rng, 60, 10, 2880) for _ in range(N_INDEXED)]
@@ -316,145 +462,6 @@ def main() -> None:
         queries["vanilla_between"] / queries["uw_between_hybrid"], 2
     )
     log(f"speedup_between_hybrid: {speedups['between_hybrid']}x")
-
-    # ------------------------------------------------- LLM-data operators
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    docs.createOrReplaceTempView("documents")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-
-    def once(family, fn):
-        t0 = time.perf_counter()
-        n = fn()
-        queries[family] = time.perf_counter() - t0
-        log(f"{family}: {queries[family]:.2f}s ({n} rows)")
-
-    once("dedup_exact", lambda: dedup.dedup_exact(docs).count())
-
-    def minhash_run():
-        pairs = dedup.lsh_candidate_pairs(
-            dedup.with_minhash_signature(docs), min_est_jaccard=0.35
-        )
-        n = pairs.count()
-        dedup.release_signatures(pairs)  # no cached blocks linger post-bench
-        return n
-
-    once("dedup_minhash_lsh", minhash_run)
-    once("dedup_simhash", lambda: dedup.with_simhash(docs).select("doc_id", "simhash").count())
-    once(
-        "text_pipeline",
-        lambda: text_ops.with_lang_id(
-            text_ops.with_quality(text_ops.with_token_stats(docs))
-        ).count(),
-    )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
-    ]
-    dim = len(qvec)
-    # Median of repeated probes (matches the indexed-probe measurement below
-    # so indexed-vs-brute is apples to apples).
-    queries["sim_topk_bruteforce"] = time_calls(
-        lambda: len(similarity.cosine_topk(emb, qvec, k=10).collect()), N_PROBE
-    )
-    log(f"sim_topk_bruteforce: {queries['sim_topk_bruteforce']*1e3:.0f} ms median")
-
-    # Shipped ANN path: SimilarityEngine registry — build the partitioned
-    # indexes once (timed separately), then every topk/dup_pairs call routes
-    # to a partition-pruned probe. The query-time operators are benched
-    # below under *_fallback for the margin story only.
-    from datafusion_uwheel_spark import SimilarityEngine
-
-    sim_eng = SimilarityEngine(
-        spark, "embeddings", emb, dim=dim, index_root="/tmp/bench_sim_idx"
-    )
-    t0 = time.perf_counter()
-    sim_eng.build_index(kind="lsh", bits=4, tables=2)
-    sim_eng.build_index(kind="ivf", n_centroids=8)
-    queries["ann_index_build"] = time.perf_counter() - t0
-    log(f"ann_index_build: {queries['ann_index_build']:.2f}s (lsh4 + ivf)")
-    t0 = time.perf_counter()
-    sim_eng.build_index(kind="lsh", bits=8, tables=2)
-    queries["ann_index_build_lsh8"] = time.perf_counter() - t0
-    log(f"ann_index_build_lsh8: {queries['ann_index_build_lsh8']:.2f}s")
-
-    def routed_topk(**kw):
-        out = len(sim_eng.topk(qvec, k=10, **kw).collect())
-        assert sim_eng.last_route.kind == "indexed", sim_eng.last_route
-        return out
-
-    queries["sim_ann_lsh"] = time_calls(
-        lambda: routed_topk(kind="lsh", bits=4, tables=2), N_PROBE
-    )
-    log(f"sim_ann_lsh: {queries['sim_ann_lsh']*1e3:.0f} ms median (engine-routed probe)")
-    queries["sim_ivf_topk"] = time_calls(
-        lambda: routed_topk(kind="ivf", nprobe=2, n_centroids=8), N_PROBE
-    )
-    log(f"sim_ivf_topk: {queries['sim_ivf_topk']*1e3:.0f} ms median (engine-routed probe)")
-    # Registry-handle probes (identical physical plan to the routed rows;
-    # kept for r1/r2 series comparability).
-    lsh_idx = sim_eng.indexes[("lsh", 4, 2, 42)]
-    ivf_idx = sim_eng.indexes[("ivf", 8, 42)]
-    queries["sim_ann_indexed"] = time_calls(
-        lambda: len(lsh_idx.topk(qvec, k=10).collect()), N_PROBE
-    )
-    log(f"sim_ann_indexed: {queries['sim_ann_indexed']*1e3:.0f} ms median probe")
-    queries["sim_ivf_indexed"] = time_calls(
-        lambda: len(ivf_idx.topk(qvec, k=10, nprobe=2).collect()), N_PROBE
-    )
-    log(f"sim_ivf_indexed: {queries['sim_ivf_indexed']*1e3:.0f} ms median probe")
-
-    def routed_dup_pairs():
-        n = sim_eng.dup_pairs(threshold=0.4, bits=8, tables=2).count()
-        assert sim_eng.last_route.kind == "indexed", sim_eng.last_route
-        return n
-
-    once("sim_dup_pairs_indexed", routed_dup_pairs)
-
-    # Query-time fallbacks (what runs when no index is registered) — NOT the
-    # shipped path; measured to document the indexed-vs-fallback margin.
-    queries["sim_ann_lsh_fallback"] = time_calls(
-        lambda: len(similarity.ann_topk(emb, qvec, k=10, bits=4, tables=2).collect()),
-        N_PROBE,
-    )
-    log(
-        f"sim_ann_lsh_fallback: {queries['sim_ann_lsh_fallback']*1e3:.0f} ms median "
-        "(query-time hashing; fallback only)"
-    )
-    queries["sim_ivf_topk_fallback"] = time_calls(
-        lambda: len(
-            similarity.ivf_topk(emb, qvec, k=10, nprobe=2, n_centroids=8).collect()
-        ),
-        N_PROBE,
-    )
-    log(
-        f"sim_ivf_topk_fallback: {queries['sim_ivf_topk_fallback']*1e3:.0f} ms median "
-        "(query-time cells; fallback only)"
-    )
-    once(
-        "sim_embedding_dup_pairs",
-        lambda: similarity.embedding_dup_pairs(emb, threshold=0.4, bits=8, tables=2, dim=dim).count(),
-    )
-
-    # Multimodal → ANN end-to-end: binary payloads → mapInPandas feature
-    # extraction → partitioned index build → routed probe (the composed
-    # training-data pipeline, examples/media_pipeline.py).
-    def media_ann_e2e():
-        from datafusion_uwheel_spark.operators import multimodal
-
-        media = docs.select("doc_id", F.encode("text", "UTF-8").alias("data"))
-        feats = multimodal.extract_features(media, dim=32, id_col="doc_id")
-        m_eng = SimilarityEngine(
-            spark, "media_features", feats, dim=32,
-            vec_col="feature", id_col="doc_id",
-            index_root="/tmp/bench_media_ann",
-        )
-        m_eng.build_index(kind="lsh", bits=6, tables=2)
-        q = [float(x) for x in feats.select("feature").head()[0]]
-        n = len(m_eng.topk(q, k=10, kind="lsh", bits=6, tables=2).collect())
-        assert m_eng.last_route.kind == "indexed", m_eng.last_route
-        return n
-
-    once("mm_features_ann_e2e", media_ann_e2e)
 
     total = sum(queries.values())
     print(

@@ -14,11 +14,12 @@ the exact cosine rerank over candidates only.
 Layouts
 -------
 * ``kind="lsh"`` — the classic replicated posting-list layout: each row is
-  written once per hash table under ``t=<table>/bucket=<sign-bucket>``. A
-  probe reads exactly ``tables`` directories. Space cost ×``tables`` (the
-  standard LSH trade); keep ``bits`` modest (≤8) so the partition count
-  (``tables × 2^bits``) stays file-system friendly — more tables/fewer bits
-  also raises recall.
+  written once per hash table under ``t=<table>/bg=<bucket-group>`` where
+  ``bg = bucket DIV group`` caps directories at ``_MAX_DIRS_PER_TABLE`` per
+  table (the exact ``bucket`` stays a data column — a probe is a
+  directory-pruned read plus a parquet row-group filter on it). A probe
+  reads exactly ``tables`` directories. Space cost ×``tables`` (the
+  standard LSH trade); more tables/fewer bits raises recall.
 * ``kind="ivf"`` — rows partitioned by their single coarse-quantizer
   ``cell`` (``n_centroids`` directories); a probe reads the ``nprobe``
   nearest cells.
@@ -51,6 +52,10 @@ from .similarity import (
 __all__ = ["build_ann_index", "load_ann_index", "AnnIndex"]
 
 _MANIFEST = "_ann_manifest.json"
+#: Directory-count valve for the LSH layout: buckets are grouped into at
+#: most this many partition directories per hash table (``bg = bucket DIV
+#: group``); the exact bucket id stays a data column for row-group filtering.
+_MAX_DIRS_PER_TABLE = 64
 
 
 def build_ann_index(
@@ -85,6 +90,7 @@ def build_ann_index(
         # excludes rows already matched by tables < t) — candidates are
         # duplicate-free by construction and the probe needs no dedup
         # shuffle: one scan stage, like IVF.
+        group = max(1, (1 << bits) // _MAX_DIRS_PER_TABLE)
         all_buckets = [F.col(f"bucket_{j}").alias(f"b{j}") for j in range(tables)]
         stacked = None
         for t in range(tables):
@@ -93,14 +99,21 @@ def build_ann_index(
                 *all_buckets,
                 F.lit(t).alias("t"),
                 F.col(f"bucket_{t}").alias("bucket"),
+                (F.col(f"bucket_{t}") / group).cast("long").alias("bg"),
             )
             stacked = part if stacked is None else stacked.unionByName(part)
-        # Shuffle onto the partition key before the partitioned write: without
-        # it every task writes a file into every (t, bucket) directory —
-        # tasks × tables × 2^bits small files, the classic small-files
-        # explosion. After it each directory is written by one task.
-        stacked.repartition("t", "bucket").write.mode("overwrite").partitionBy(
-            "t", "bucket"
+        # Directory-count valve: partitioning on the raw bucket id makes
+        # tables × 2^bits directories — at bits=8 that is hundreds of dirs
+        # whose per-file open/commit overhead dominates small builds and
+        # strains file listings at scale. The partition key is the bucket
+        # GROUP ``bg = bucket DIV group`` (≤ _MAX_DIRS_PER_TABLE dirs per
+        # table); the exact ``bucket`` stays a data column, so a probe is a
+        # partition-pruned read of (t, bg) plus a parquet row-group filter
+        # on bucket — same candidates, bounded file count. The repartition
+        # onto the partition key keeps it one file per directory regardless
+        # of input task count (the 100 TB small-files guard).
+        stacked.repartition("t", "bg").write.mode("overwrite").partitionBy(
+            "t", "bg"
         ).parquet(path)
     elif kind == "ivf":
         cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids, seed)
@@ -120,6 +133,7 @@ def build_ann_index(
         "n_centroids": n_centroids if centroids is None else len(centroids),
         "seed": seed,
         "centroids": centroids,
+        "group": max(1, (1 << bits) // _MAX_DIRS_PER_TABLE) if kind == "lsh" else 1,
     }
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f)
@@ -167,6 +181,7 @@ class AnnIndex:
             )
         cols = [F.col(id_col), F.col(vec_col)]
         if m["kind"] == "lsh":
+            group = int(m.get("group", 1))
             bucketed = with_lsh_buckets(
                 df, m["dim"], vec_col, m["bits"], m["tables"], m["seed"]
             )
@@ -180,10 +195,11 @@ class AnnIndex:
                     *all_buckets,
                     F.lit(t).alias("t"),
                     F.col(f"bucket_{t}").alias("bucket"),
+                    (F.col(f"bucket_{t}") / group).cast("long").alias("bg"),
                 )
                 stacked = part if stacked is None else stacked.unionByName(part)
-            stacked.repartition("t", "bucket").write.mode("append").partitionBy(
-                "t", "bucket"
+            stacked.repartition("t", "bg").write.mode("append").partitionBy(
+                "t", "bg"
             ).parquet(self.path)
         else:
             cents = m.get("centroids") or ivf_centroids(
@@ -223,13 +239,19 @@ class AnnIndex:
         df = self._df
         if self.kind == "lsh":
             qb = self._query_buckets(query)
+            group = int(self.m.get("group", 1))
             cond = None
             for t, b in enumerate(qb):
+                # (t, bg) are partition columns → directory pruning; the
+                # exact bucket is a data column → parquet row-group filter.
                 c = (F.col("t") == t) & (F.col("bucket") == b)
+                if group > 1 or "bg" in df.columns:
+                    c = c & (F.col("bg") == b // group)
                 for j in range(t):  # claimed by an earlier table already
                     c = c & (F.col(f"b{j}") != qb[j])
                 cond = c if cond is None else (cond | c)
-            return df.filter(cond)
+            out = df.filter(cond)
+            return out.drop("bg") if "bg" in df.columns else out
         cents = self.m.get("centroids") or ivf_centroids(
             self.m["dim"], self.m["n_centroids"], self.m["seed"]
         )

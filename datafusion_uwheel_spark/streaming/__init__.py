@@ -1,5 +1,5 @@
-"""Streaming index maintenance (Structured Streaming rollups)."""
+"""Streaming index maintenance (Structured Streaming rollups + ANN appends)."""
 
-from .maintenance import StreamingWheelMaintainer
+from .maintenance import StreamingAnnMaintainer, StreamingWheelMaintainer
 
-__all__ = ["StreamingWheelMaintainer"]
+__all__ = ["StreamingWheelMaintainer", "StreamingAnnMaintainer"]

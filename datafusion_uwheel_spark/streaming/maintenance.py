@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..engine import WheelEngine
 from ..operators.lookup import STAR_AGGREGATION_ALIAS
 
-__all__ = ["StreamingWheelMaintainer"]
+__all__ = ["StreamingWheelMaintainer", "StreamingAnnMaintainer"]
 
 
 class StreamingWheelMaintainer:
@@ -200,6 +200,57 @@ class StreamingWheelMaintainer:
     ):
         """Start the maintenance query on a streaming DataFrame
         (``readStream`` source). Returns the ``StreamingQuery``."""
+        writer = (
+            stream_df.writeStream.outputMode("update")
+            .foreachBatch(self.merge_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+
+class StreamingAnnMaintainer:
+    """Keeps a :class:`..similarity_engine.SimilarityEngine`'s registered ANN
+    indexes fresh from a stream of new vectors — the similarity counterpart
+    of :class:`StreamingWheelMaintainer`, built on :meth:`AnnIndex.append`:
+    each micro-batch is hashed with every registered index's pinned
+    parameters and appended into its partition layout (existing files are
+    never rewritten; probes see the new generation immediately).
+
+    Delivery note: ``foreachBatch`` + parquet append is at-least-once — a
+    batch retried after a mid-write failure can append twice. Wheel states
+    are monoids so the wheel maintainer tolerates replays only via Spark's
+    batch-id dedup; here duplicate *rows* would surface as duplicate probe
+    candidates, so either deduplicate by id upstream, or pass
+    ``dedup_ids=True`` to drop ids the index already contains (one
+    anti-join per batch against the stored ids — bounded by the index, and
+    partition-pruned reads keep it off the vectors)."""
+
+    def __init__(self, engine, dedup_ids: bool = False):
+        self.engine = engine
+        self.dedup_ids = dedup_ids
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        e = self.engine
+        delta = batch_df.select(e.id_col, e.vec_col)
+        if self.dedup_ids and e.indexes:
+            any_idx = next(iter(e.indexes.values()))
+            seen = any_idx._df.select(e.id_col).distinct()
+            delta = delta.join(seen, on=e.id_col, how="anti")
+        e.append(delta)
+
+    def attach(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str,
+        trigger_once: bool = False,
+        processing_time: str = "10 seconds",
+    ):
+        """Start the maintenance query (``readStream`` source of
+        ``(id_col, vec_col)`` rows). Returns the ``StreamingQuery``."""
         writer = (
             stream_df.writeStream.outputMode("update")
             .foreachBatch(self.merge_batch)

@@ -104,3 +104,49 @@ def test_drop_index_restores_fallback(engine):
     assert not engine.drop_index("lsh", bits=4, tables=2)
     engine.topk(QUERY, k=2, kind="lsh", bits=4, tables=2).collect()
     assert engine.last_route.kind == "query_time"
+
+
+# --------------------------------------------- kernel/expression equivalence
+def test_lsh_kernel_matches_expression_path(emb):
+    a = similarity.with_lsh_buckets(emb, DIM, bits=8, tables=3, use_pandas_udf=True)
+    b = similarity.with_lsh_buckets(emb, DIM, bits=8, tables=3, use_pandas_udf=False)
+    cols = ["vec_id", "bucket_0", "bucket_1", "bucket_2"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_ivf_kernel_matches_expression_path(emb):
+    cents = similarity.ivf_centroids(DIM, 8)
+    a = similarity.with_ivf_cells(emb, cents, use_pandas_udf=True)
+    b = similarity.with_ivf_cells(emb, cents, use_pandas_udf=False)
+    cols = ["vec_id", "cell"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_kernels_null_and_ragged_vectors(spark):
+    rows = [
+        (1, [0.5] * 4),
+        (2, None),           # NULL vector
+        (3, [0.5, 0.5]),     # ragged (wrong dim)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["bucket_0"], r["cell"])
+        for r in similarity.with_ivf_cells(
+            similarity.with_lsh_buckets(df, 4, bits=4, tables=1),
+            similarity.ivf_centroids(4, 2),
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: (r["bucket_0"], r["cell"])
+        for r in similarity.with_ivf_cells(
+            similarity.with_lsh_buckets(df, 4, bits=4, tables=1, use_pandas_udf=False),
+            similarity.ivf_centroids(4, 2),
+            use_pandas_udf=False,
+        ).collect()
+    }
+    assert got == want
+    assert got[2] == (0, None)  # NULL vec → bucket 0, cell NULL

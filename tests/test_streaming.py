@@ -175,3 +175,80 @@ def test_merge_at_states_incomplete_delta_drops_tracking():
     assert list(w.secs) == [100, 101]
     assert w.combine_range(100, 102)["sum"] == 9.0
     del before_cnt
+
+
+# ---------------------------------------------------------- ANN maintenance
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _vecs(lo, hi, dim=8, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for i in range(lo, hi):
+        rng.seed(seed + i)
+        out.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    return out
+
+
+def test_stream_ann_maintenance_matches_batch_build(spark, tmp_path):
+    """File-source stream appended into registered ANN indexes must probe
+    identically to a one-shot build over the union (same pinned params)."""
+    from datafusion_uwheel_spark import SimilarityEngine
+    from datafusion_uwheel_spark.operators import similarity
+    from datafusion_uwheel_spark.streaming import StreamingAnnMaintainer
+
+    dim = 8
+    initial = spark.createDataFrame(_vecs(0, 60, dim), EMB_SCHEMA)
+    full = spark.createDataFrame(_vecs(0, 100, dim), EMB_SCHEMA)
+    eng = SimilarityEngine(
+        spark, "stream_emb", initial, dim=dim, index_root=str(tmp_path / "idx")
+    )
+    eng.build_index(kind="lsh", bits=4, tables=2)
+    eng.build_index(kind="ivf", n_centroids=4)
+
+    stream_dir = tmp_path / "emb_incoming"
+    stream_dir.mkdir()
+    spark.createDataFrame(_vecs(60, 100, dim), EMB_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir))
+    stream = spark.readStream.schema(EMB_SCHEMA).parquet(str(stream_dir))
+    q = StreamingAnnMaintainer(eng).attach(
+        stream, checkpoint=str(tmp_path / "emb_ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    query = _vecs(0, 1, dim)[0][1]
+    got = eng.topk(query, k=10, kind="lsh", bits=4, tables=2).collect()
+    assert eng.last_route.kind == "indexed"
+    want = similarity.ann_topk(full, query, k=10, bits=4, tables=2).collect()
+    assert got == want
+    got_ivf = eng.topk(query, k=10, kind="ivf", nprobe=2, n_centroids=4).collect()
+    want_ivf = similarity.ivf_topk(full, query, k=10, nprobe=2, n_centroids=4).collect()
+    assert got_ivf == want_ivf
+
+
+def test_stream_ann_dedup_ids_drops_replayed_rows(spark, tmp_path):
+    from datafusion_uwheel_spark import SimilarityEngine
+    from datafusion_uwheel_spark.streaming import StreamingAnnMaintainer
+
+    dim = 8
+    initial = spark.createDataFrame(_vecs(0, 50, dim), EMB_SCHEMA)
+    eng = SimilarityEngine(
+        spark, "stream_emb2", initial, dim=dim, index_root=str(tmp_path / "idx2")
+    )
+    idx = eng.build_index(kind="lsh", bits=4, tables=2)
+    m = StreamingAnnMaintainer(eng, dedup_ids=True)
+    # replay of already-indexed ids + genuinely new ones
+    batch = spark.createDataFrame(_vecs(40, 70, dim), EMB_SCHEMA)
+    m.merge_batch(batch)
+    stored = idx._df.select("vec_id").distinct().count()
+    assert stored == 70  # 0..69 exactly once, replayed 40..49 not duplicated
+    total_rows = idx._df.count()
+    assert total_rows == 70 * eng.indexes[("lsh", 4, 2, 42)].m["tables"]
