@@ -92,6 +92,25 @@ def main() -> None:
     docs.createOrReplaceTempView("documents")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
+    # Bounded JVM warmup so the first timed rows are not cold-JIT
+    # measurements, while staying decoupled from the 1000-query routed
+    # families' codegen-cache aging (these rows ran AFTER those families
+    # until r3; both contexts skewed them — cold-start up to ~2x, aged JVM
+    # up to ~1.6x).
+    wrng = random.Random(7)
+    for _ in range(100):
+        a, b = random_range(wrng, 60, 10, 2880)
+        eng.sql(
+            f"SELECT COUNT(*) AS n FROM events WHERE ts >= '{a}' AND ts < '{b}'"
+        ).collect()
+    spark.sql(
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS s FROM events GROUP BY event_type"
+    ).collect()
+    from datafusion_uwheel_spark.operators import dedup as _warm_dedup
+
+    _warm_dedup.with_minhash_signature(docs.limit(64)).count()  # Arrow path
+    docs.join(docs.limit(64), on="doc_id", how="left_semi").count()  # join codegen
+
     def once(family, fn):
         t0 = time.perf_counter()
         n = fn()
@@ -218,7 +237,14 @@ def main() -> None:
         from datafusion_uwheel_spark.operators import multimodal
 
         media = docs.select("doc_id", F.encode("text", "UTF-8").alias("data"))
-        feats = multimodal.extract_features(media, dim=32, id_col="doc_id")
+        # Materialize the features ONCE (the real pipeline shape at scale:
+        # the feature table is written, then indexed) — without this the
+        # mapInPandas extraction re-runs in every downstream job (index
+        # build branches, query-vector head, probe rerank).
+        multimodal.extract_features(media, dim=32, id_col="doc_id").write.mode(
+            "overwrite"
+        ).parquet("/tmp/bench_media_feats")
+        feats = spark.read.parquet("/tmp/bench_media_feats")
         m_eng = SimilarityEngine(
             spark, "media_features", feats, dim=32,
             vec_col="feature", id_col="doc_id",

@@ -25,6 +25,7 @@ class WheelCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.engines: dict[str, WheelEngine] = {}
+        self.sim_engines: dict[str, object] = {}
         self.last_route: RouteDecision | None = None
 
     def register(self, name: str, source, time_column: str, **kwargs) -> WheelEngine:
@@ -36,6 +37,19 @@ class WheelCatalog:
 
     def engine(self, name: str) -> WheelEngine:
         return self.engines[name.lower()]
+
+    def register_similarity(self, name: str, source, dim: int, **kwargs):
+        """Create and own a :class:`.similarity_engine.SimilarityEngine` for
+        an embedding table — the catalog is the one front door over both
+        index families (temporal wheels + ANN)."""
+        from .similarity_engine import SimilarityEngine
+
+        eng = SimilarityEngine(self.spark, name, source, dim, **kwargs)
+        self.sim_engines[name.lower()] = eng
+        return eng
+
+    def similarity(self, name: str):
+        return self.sim_engines[name.lower()]
 
     def sql(self, query: str) -> DataFrame:
         """Route to the owning engine's wheel lookups, else delegate."""

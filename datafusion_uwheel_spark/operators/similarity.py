@@ -463,17 +463,15 @@ def embedding_dup_pairs(
         # Legacy convenience: one tiny job. Callers on hot paths pass dim.
         dim = len(df.select(vec_col).head()[0])
     parts = df.sparkSession.sparkContext.defaultParallelism
-    # repartition AFTER computing the buckets: materializes the (tables ×
-    # bits × dim)-fold sign expressions at a shuffle boundary so the
-    # self-join branches reuse the exchange instead of recomputing them.
-    bucketed = (
-        with_lsh_buckets(df.repartition(parts), dim, vec_col, bits, tables, seed)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            *[F.col(f"bucket_{t}") for t in range(tables)],
-        )
-        .repartition(parts)
+    # One repartition spreads a possibly-single-file source before the
+    # bucket kernel. (An earlier revision added a second exchange after the
+    # buckets so the join branches would not recompute the interpreted
+    # tables×bits×dim fold; the Arrow kernel made recomputation cheaper
+    # than the extra shuffle's task overhead, so it is gone.)
+    bucketed = with_lsh_buckets(df.repartition(parts), dim, vec_col, bits, tables, seed).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        *[F.col(f"bucket_{t}") for t in range(tables)],
     )
     pairs = None
     for t in range(tables):

@@ -54,9 +54,17 @@ def main() -> None:
     n_unique = timed("digest dedup (distinct payloads)", lambda: stats.select("digest").distinct().count())
     print(f"  {n_total} payloads, {n_unique} unique")
 
-    # 3. binary → feature vectors (Arrow-batched mapInPandas)
-    feats = multimodal.extract_features(media, dim=DIM, id_col="doc_id")
-    timed("feature extraction (mapInPandas)", feats.count)
+    # 3. binary → feature vectors (Arrow-batched mapInPandas), materialized
+    # once — the real pipeline shape at scale: the feature table is written,
+    # then indexed (otherwise the extraction re-runs in every downstream job)
+    feat_dir = tempfile.mkdtemp(prefix="media_feats_")
+    timed(
+        "feature extraction (mapInPandas)",
+        lambda: multimodal.extract_features(media, dim=DIM, id_col="doc_id")
+        .write.mode("overwrite")
+        .parquet(feat_dir),
+    )
+    feats = spark.read.parquet(feat_dir)
 
     # 4. features → ANN: build once, probe partition-pruned
     eng = SimilarityEngine(

@@ -51,3 +51,22 @@ def test_usage_accumulates(catalog):
     assert catalog.index_usage_bytes() == sum(
         e.index_usage_bytes() for e in catalog.engines.values()
     )
+
+
+def test_catalog_owns_similarity_engines(spark, tmp_path):
+    import random
+
+    from datafusion_uwheel_spark import WheelCatalog
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cat = WheelCatalog(spark)
+    se = cat.register_similarity(
+        "cat_emb", emb, dim=8, index_root=str(tmp_path / "cat_idx")
+    )
+    se.build_index(kind="lsh", bits=4, tables=2)
+    q = rows[0][1]
+    got = cat.similarity("cat_emb").topk(q, k=5, kind="lsh", bits=4, tables=2).collect()
+    assert cat.similarity("cat_emb").last_route.kind == "indexed"
+    assert got[0]["vec_id"] == 0  # self is its own nearest neighbour
