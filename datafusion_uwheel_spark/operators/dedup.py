@@ -458,11 +458,23 @@ def lsh_candidate_pairs(
     b = bandrows.select(
         F.col("__id").alias("id_b"), F.col("signature").alias("__sig_b"), "__band", "__key"
     )
+    # Exactly-once pair claim (same trick as the ANN index's stored-bucket
+    # self-join): a pair agreeing in several bands is kept only in the FIRST
+    # such band — for the matched band, require some earlier band's
+    # signature slices to DIFFER. Replaces a dropDuplicates over the whole
+    # candidate set, whose shuffle is the largest in this operator at scale
+    # (candidates >> documents). Both signature arrays are already on the
+    # row; the per-pair check folds over at most ``bands − 1`` small slices.
+    claimed_first = F.forall(
+        F.sequence(F.lit(0), F.col("__band") - 1),
+        lambda j: F.slice(F.col("__sig_a"), j * r + 1, r)
+        != F.slice(F.col("__sig_b"), j * r + 1, r),
+    )
     pairs = (
         a.join(b, on=["__band", "__key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.when(F.col("__band") > 0, claimed_first).otherwise(F.lit(True)))
         .select("id_a", "id_b", "__sig_a", "__sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     est = (
         F.size(
