@@ -80,23 +80,26 @@ def main() -> None:
             ),
         )
 
-    # Materialized ANN index over the embeddings table.
-    from datafusion_uwheel_spark.operators.ann_index import build_ann_index, load_ann_index
+    # ANN over the embeddings table through the SimilarityEngine registry:
+    # build once, and every topk() call routes to the partition-pruned
+    # probe (falling back to query-time hashing only when no index matches).
+    from datafusion_uwheel_spark import SimilarityEngine
     from datafusion_uwheel_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dim = 64
     query_vec = [((i * 37) % 100) / 100.0 - 0.5 for i in range(dim)]
     with tempfile.TemporaryDirectory() as d:
-        path = f"{d}/lsh"
+        sim = SimilarityEngine(spark, "embeddings", emb, dim=dim, index_root=d)
         timed("build LSH ANN index (one-time)",
-              lambda: build_ann_index(emb, path, kind="lsh", dim=dim, bits=4, tables=2))
-        idx = load_ann_index(spark, path)
+              lambda: sim.build_index(kind="lsh", bits=4, tables=2))
         # warm both once (plan + codegen) — steady-state is what matters for
         # a probe-many index
-        idx.topk(query_vec, k=5).collect()
+        sim.topk(query_vec, k=5, kind="lsh", bits=4, tables=2).collect()
+        assert sim.last_route.kind == "indexed", sim.last_route
         cosine_topk(emb, query_vec, k=5).collect()
-        timed("ANN probe (partition-pruned)", lambda: idx.topk(query_vec, k=5).collect())
+        timed("ANN probe (engine-routed, partition-pruned)",
+              lambda: sim.topk(query_vec, k=5, kind="lsh", bits=4, tables=2).collect())
         timed("brute-force top-k (full scan)",
               lambda: cosine_topk(emb, query_vec, k=5).collect())
         print(
