@@ -1,0 +1,99 @@
+"""Approximate-distinct rollup: a wheel of mergeable HLL sketches.
+
+The reference exposes a custom-aggregator extension point
+(``UWheelAggregate`` variants, ``datafusion-uwheel/src/index/mod.rs:7-21``);
+this module applies it to a state the driver-side numpy wheels cannot hold:
+**per-bucket HyperLogLog sketches** (Spark 3.5+ DataSketches —
+``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``, all
+JVM-side). COUNT DISTINCT over a time range is not a scalar monoid — it
+needs a mergeable sketch per bucket — so the rollup lives as a **cached
+DataFrame** (the ``index_backend="spark"`` shape, ~KB per bucket) and a
+range query is a tiny union-and-estimate job over the selected buckets
+instead of a scan of the raw table.
+
+Scale: the rollup is bounded by distinct buckets × sketch size (lgK=12 →
+≤4 KB each), not rows; a year of hourly buckets is ~35 MB of executor cache.
+Query cost is O(buckets in range) regardless of table size — the wheel trade
+applied to distinct counts. Error is the standard HLL bound (~1.6% rel. at
+lgK=12; raise ``lg_k`` for tighter estimates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rollups import time_sec_col
+
+__all__ = ["DistinctRollup", "build_distinct_rollup"]
+
+
+class DistinctRollup:
+    """Handle over a cached per-bucket HLL sketch table.
+
+    ``approx_distinct(a, b)`` answers ``COUNT(DISTINCT col)`` over
+    ``[a, b)`` (second-aligned bounds, like every wheel lookup) by merging
+    the bucket sketches — one tiny Spark job over the cached rollup."""
+
+    def __init__(self, rollup: DataFrame, column: str, bucket_seconds: int, lg_k: int):
+        self._df = rollup
+        self.column = column
+        self.bucket_seconds = bucket_seconds
+        self.lg_k = lg_k
+
+    def approx_distinct(self, start, end) -> int:
+        """Estimated distinct count of ``column`` in ``[start, end)``
+        (timestamp strings or datetimes). Buckets partially covered at the
+        edges are included whole — align bounds to ``bucket_seconds`` for
+        exact range semantics (unaligned asks should delegate to a scan,
+        the wheel discipline)."""
+        a = F.unix_timestamp(F.lit(start).cast("timestamp"))
+        b = F.unix_timestamp(F.lit(end).cast("timestamp"))
+        row = (
+            self._df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("est"))
+            .collect()[0]
+        )
+        return int(row["est"] or 0)
+
+    def merged_sketch(self, start, end) -> bytes | None:
+        """The merged HLL sketch bytes for ``[start, end)`` — composable
+        with sketches from other tables/partitions (union-merge downstream,
+        e.g. cross-dataset dedup accounting)."""
+        a = F.unix_timestamp(F.lit(start).cast("timestamp"))
+        b = F.unix_timestamp(F.lit(end).cast("timestamp"))
+        row = (
+            self._df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
+            .agg(F.hll_union_agg("__hll").alias("sk"))
+            .collect()[0]
+        )
+        return bytes(row["sk"]) if row["sk"] is not None else None
+
+    def unpersist(self) -> None:
+        self._df.unpersist()
+
+
+def build_distinct_rollup(
+    df: DataFrame,
+    time_column: str,
+    column: str,
+    bucket_seconds: int = 3600,
+    lg_k: int = 12,
+) -> DistinctRollup:
+    """One declarative aggregation job over the table → per-bucket HLL
+    sketches, cached (``MEMORY_AND_DISK``) for probe-many use. Default
+    hourly buckets: distinct-count dashboards rarely need finer, and the
+    rollup stays ~9 K buckets/year."""
+    from pyspark import StorageLevel
+
+    sec = time_sec_col(df, time_column)
+    if bucket_seconds != 1:
+        sec = sec - (sec % bucket_seconds)
+    rollup = (
+        df.filter(F.col(time_column).isNotNull())
+        .groupBy(sec.alias("__sec"))
+        .agg(F.hll_sketch_agg(F.col(column), F.lit(lg_k)).alias("__hll"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rollup.count()  # materialize once; probes never touch the raw table
+    return DistinctRollup(rollup, column, bucket_seconds, lg_k)

@@ -290,6 +290,38 @@ class SimilarityEngine:
             idx.append(delta)
         return len(self.indexes)
 
+    # -------------------------------------------------------- persistence
+    def save_registry(self, path: str | None = None) -> str:
+        """Write the registry manifest (the paths of every registered
+        index — the index *data* is already on disk) so a later session can
+        :meth:`load_registry` instead of rebuilding: the restart story,
+        mirroring :meth:`..engine.WheelEngine.save_indexes`."""
+        import json
+
+        if path is None:
+            path = self._default_path(("registry",)) + ".json"
+        with open(path, "w") as f:
+            json.dump({"dim": self.dim, "vec_col": self.vec_col,
+                       "id_col": self.id_col,
+                       "paths": [idx.path for idx in self.indexes.values()]}, f)
+        return path
+
+    def load_registry(self, path: str) -> int:
+        """Re-register every index recorded by :meth:`save_registry`
+        (manifest-validated per :meth:`register_index`). Returns how many
+        were registered."""
+        import json
+
+        with open(path) as f:
+            reg = json.load(f)
+        if reg["dim"] != self.dim:
+            raise ValueError(
+                f"registry dim {reg['dim']} != engine dim {self.dim}"
+            )
+        for p in reg["paths"]:
+            self.register_index(p)
+        return len(reg["paths"])
+
     # -------------------------------------------------------- introspection
     def list_indexes(self) -> list[dict]:
         """Manifest metadata for every registered index (the analogue of

@@ -150,3 +150,22 @@ def test_kernels_null_and_ragged_vectors(spark):
     }
     assert got == want
     assert got[2] == (0, None)  # NULL vec → bucket 0, cell NULL
+
+
+def test_registry_save_load_round_trip(spark, emb, tmp_path):
+    eng = SimilarityEngine(
+        spark, "embeddings", emb, dim=DIM, index_root=str(tmp_path)
+    )
+    eng.build_index(kind="lsh", bits=4, tables=2)
+    eng.build_index(kind="ivf", n_centroids=8)
+    reg = eng.save_registry()
+    fresh = SimilarityEngine(spark, "embeddings", emb, dim=DIM)
+    assert fresh.load_registry(reg) == 2
+    got = fresh.topk(QUERY, k=K, kind="lsh", bits=4, tables=2).collect()
+    assert fresh.last_route.kind == "indexed"
+    assert got == eng.topk(QUERY, k=K, kind="lsh", bits=4, tables=2).collect()
+    wrong_dim = SimilarityEngine(spark, "embeddings", emb.limit(1), dim=32)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wrong_dim.load_registry(reg)
