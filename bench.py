@@ -27,7 +27,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 N_INDEXED = 1000  # per family — reference sample size (nyc_taxi_bench/src/main.rs:32-34)
-N_VANILLA = 5  # full scans — median of a few runs
+N_VANILLA = 9  # full scans — median; the speedup denominators, so jitter here
+               # swings the headline ratios more than anything routed
 N_HYBRID = 20  # boundary-sliver queries run one tiny pruned job each
 N_PROBE = 15  # materialized-ANN probes (median; local jitter is ±50%)
 
