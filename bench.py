@@ -206,6 +206,15 @@ def main() -> None:
 
     once("sim_dup_pairs_indexed", routed_dup_pairs)
 
+    def routed_knn_join():
+        n = sim_eng.knn_join(
+            emb.limit(200), k=10, kind="lsh", bits=4, tables=2
+        ).count()
+        assert sim_eng.last_route.kind == "indexed", sim_eng.last_route
+        return n
+
+    once("sim_knn_join_200q", routed_knn_join)
+
     # Query-time fallbacks (what runs when no index is registered) — NOT the
     # shipped path; measured to document the indexed-vs-fallback margin.
     queries["sim_ann_lsh_fallback"] = time_calls(

@@ -289,6 +289,129 @@ class AnnIndex:
             round_digits=round_digits,
         )
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 2,
+        q_id: str | None = None,
+        q_vec: str | None = None,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """Batch kNN join: for EVERY row of ``queries``, the top-``k``
+        index rows by exact cosine — ``(q_id, vec_id, sim, rank)``. The
+        all-pairs shape a training pipeline needs (attach nearest
+        neighbours to each document) that a single-vector probe cannot
+        express without a driver-side loop.
+
+        Plan shape (LSH): queries hashed ONCE with the manifest's pinned
+        parameters (Arrow kernel), exploded to ``(t, bucket)`` rows with an
+        exactly-once claim across tables, joined to the stored postings on
+        the bucket key — a co-located equi-join, never a cartesian — then
+        exact fold-cosine rerank and a per-query ``row_number() ≤ k``
+        window. IVF: per-query ``nprobe`` nearest cells from the pinned
+        quantizer, join on ``cell``. Recall matches the single-vector
+        probes with the same parameters (same candidates per query).
+
+        At 100 TB: cost is Σ bucket-join fan-out (linear-ish, tuned by
+        bits/tables/nprobe), the rerank is codegen'd, and the window
+        partitions by query id — no global sort, no driver loop."""
+        from pyspark.sql import Window
+
+        from .similarity import cosine_pair_col, hyperplanes, lsh_buckets_udf
+
+        m = self.m
+        q_id = q_id or m["id_col"]
+        q_vec = q_vec or m["vec_col"]
+        for c in (q_id, q_vec):
+            if c not in queries.columns:
+                raise ValueError(f"queries frame lacks column {c!r}")
+        df = self._df
+        if self.kind == "lsh":
+            tables, group = m["tables"], int(m.get("group", 1))
+            qb = queries.select(
+                F.col(q_id).alias("__qid"),
+                F.col(q_vec).alias("__qv"),
+                lsh_buckets_udf(m["dim"], q_vec, m["bits"], tables, m["seed"]).alias("__qb"),
+            )
+            probes = None
+            for t in range(tables):
+                p = qb.select(
+                    "__qid", "__qv",
+                    F.lit(t).alias("t"),
+                    F.element_at("__qb", t + 1).alias("bucket"),
+                    *[F.element_at("__qb", j + 1).alias(f"__qb{j}") for j in range(t)],
+                )
+                probes = p if probes is None else probes.unionByName(
+                    p, allowMissingColumns=True
+                )
+            join_cols = ["t", "bucket"]
+            if "bg" in df.columns:
+                probes = probes.withColumn(
+                    "bg", (F.col("bucket") / group).cast("long")
+                )
+                join_cols = ["t", "bg", "bucket"]
+            cand = probes.join(df, on=join_cols)
+            # Exactly-once claim: a (query, row) pair sharing buckets in
+            # several tables is kept only in the first (same discipline as
+            # candidates()/dup_pairs — no dedup shuffle).
+            once = None
+            for j in range(tables - 1):
+                clause = F.col(f"__qb{j}").isNull() | (
+                    F.col(f"b{j}") != F.col(f"__qb{j}")
+                )
+                once = clause if once is None else (once & clause)
+            if once is not None:
+                cand = cand.filter(once)
+        else:
+            import numpy as np
+
+            cents = m.get("centroids") or ivf_centroids(
+                m["dim"], m["n_centroids"], m["seed"]
+            )
+
+            from pyspark.sql.functions import pandas_udf
+
+            dim = m["dim"]
+
+            def cells_fn(s):
+                import pandas as pd
+
+                from .similarity import _seq_dots, _vec_matrix
+
+                X, ok = _vec_matrix(s, dim)
+                dots = _seq_dots(X, cents)
+                order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe] + 1
+                return pd.Series(
+                    [list(map(int, row)) if good else None
+                     for row, good in zip(order, ok)]
+                )
+
+            cells_udf = pandas_udf(cells_fn, "array<int>")
+            qb = queries.select(
+                F.col(q_id).alias("__qid"),
+                F.col(q_vec).alias("__qv"),
+                F.explode(cells_udf(F.col(q_vec))).alias("cell"),
+            )
+            cand = qb.join(df, on="cell")
+        sim = cosine_pair_col("__qv", F.col(m["vec_col"]))
+        if round_digits is not None:
+            sim = F.round(sim, round_digits)
+        w = Window.partitionBy("__qid").orderBy(
+            F.col("sim").desc(), F.col(m["id_col"]).asc()
+        )
+        return (
+            cand.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("__qid").alias(q_id if q_id != m["id_col"] else "query_id"),
+                F.col(m["id_col"]),
+                "sim",
+                "rank",
+            )
+        )
+
     def dup_pairs(self, threshold: float, round_digits: int | None = 6) -> DataFrame:
         """Near-duplicate pairs ``(id_a, id_b, sim ≥ threshold)`` from the
         stored buckets (LSH only): a self-join on the ``(t, bucket)``

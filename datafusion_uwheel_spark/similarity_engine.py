@@ -290,6 +290,78 @@ class SimilarityEngine:
             idx.append(delta)
         return len(self.indexes)
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        kind: str = "lsh",
+        bits: int = 8,
+        tables: int = 4,
+        n_centroids: int = 8,
+        nprobe: int = 2,
+        seed: int = 42,
+        q_id: str | None = None,
+        q_vec: str | None = None,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """Batch kNN join (top-``k`` neighbours for every row of
+        ``queries``) — :meth:`AnnIndex.knn_join` through the registry.
+
+        ``kind="exact"`` is the brute-force cross-join + per-query window —
+        the ground truth for recall checks, priced accordingly (|queries| ×
+        |table| similarity evaluations; fine for samples, never for 100 TB).
+        ``"lsh"``/``"ivf"`` require a registered index with matching
+        parameters and raise otherwise: there is no query-time fallback
+        that is not quadratic, so silent degradation is refused."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import cosine_pair_col
+
+        q_id = q_id or self.id_col
+        q_vec = q_vec or self.vec_col
+        if kind == "exact":
+            self.last_route = SimRoute("exact")
+            qd = queries.select(
+                F.col(q_id).alias("__qid"), F.col(q_vec).alias("__qv")
+            )
+            sim = cosine_pair_col("__qv", F.col(self.vec_col))
+            if round_digits is not None:
+                sim = F.round(sim, round_digits)
+            w = Window.partitionBy("__qid").orderBy(
+                F.col("sim").desc(), F.col(self.id_col).asc()
+            )
+            return (
+                qd.crossJoin(self.df)
+                .withColumn("sim", sim)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    F.col("__qid").alias(
+                        q_id if q_id != self.id_col else "query_id"
+                    ),
+                    F.col(self.id_col),
+                    "sim",
+                    "rank",
+                )
+            )
+        key = (
+            _lsh_key(bits, tables, seed) if kind == "lsh"
+            else _ivf_key(n_centroids, seed)
+        )
+        idx = self.indexes.get(key)
+        if idx is None:
+            raise ValueError(
+                f"no registered {kind} index with matching parameters — "
+                "build_index() first (batch kNN has no sub-quadratic "
+                "query-time fallback)"
+            )
+        self.last_route = SimRoute("indexed", {"kind": kind, "path": idx.path})
+        return idx.knn_join(
+            queries, k=k, nprobe=nprobe, q_id=q_id, q_vec=q_vec,
+            round_digits=round_digits,
+        )
+
     # -------------------------------------------------------- persistence
     def save_registry(self, path: str | None = None) -> str:
         """Write the registry manifest (the paths of every registered

@@ -169,3 +169,59 @@ def test_registry_save_load_round_trip(spark, emb, tmp_path):
 
     with _pytest.raises(ValueError):
         wrong_dim.load_registry(reg)
+
+
+# ------------------------------------------------------------- batch kNN join
+def test_knn_join_matches_per_query_probes(engine, emb):
+    """Every query's rows from the batch join must equal that query's
+    single-vector indexed probe — same candidates, same rerank, same
+    tiebreak."""
+    idx = engine.build_index(kind="lsh", bits=4, tables=2)
+    qs = emb.limit(5)
+    got = idx.knn_join(qs, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"], r["rank"]))
+    for qrow in qs.collect():
+        want = [
+            (r["vec_id"], r["sim"], i + 1)
+            for i, r in enumerate(idx.topk(list(qrow["embedding"]), k=3).collect())
+        ]
+        assert sorted(by_q[qrow["vec_id"]]) == sorted(want)
+
+
+def test_knn_join_ivf_matches_probes(engine, emb):
+    idx = engine.build_index(kind="ivf", n_centroids=8)
+    qs = emb.limit(4)
+    got = idx.knn_join(qs, k=3, nprobe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+    for qrow in qs.collect():
+        want = [
+            (r["vec_id"], r["sim"])
+            for r in idx.topk(list(qrow["embedding"]), k=3, nprobe=2).collect()
+        ]
+        assert sorted(by_q[qrow["vec_id"]]) == sorted(want)
+
+
+def test_engine_knn_join_routes_and_refuses(engine, emb):
+    qs = emb.limit(3)
+    with pytest.raises(ValueError, match="no registered"):
+        engine.knn_join(qs, k=2, kind="lsh", bits=4, tables=2)
+    engine.build_index(kind="lsh", bits=4, tables=2)
+    out = engine.knn_join(qs, k=2, kind="lsh", bits=4, tables=2)
+    assert engine.last_route.kind == "indexed"
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {r["vec_id"] for r in qs.collect()}
+    assert all(r["rank"] <= 2 for r in rows)
+
+
+def test_engine_knn_join_exact_is_ground_truth(engine, emb):
+    """Exact kNN join top-1 for a query that IS an index row must be the
+    row itself at sim 1.0, and indexed recall ⊆ exact candidates."""
+    qs = emb.limit(3)
+    exact = engine.knn_join(qs, k=1, kind="exact").collect()
+    assert engine.last_route.kind == "exact"
+    for r in exact:
+        assert r["query_id"] == r["vec_id"] and r["sim"] == 1.0
