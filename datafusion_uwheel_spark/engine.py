@@ -166,6 +166,10 @@ class WheelEngine:
             }
             #: (column, filter_key) → aggregate wheel (sum/avg/min/max states).
             self.agg_wheels: dict[tuple[str, str], WheelIndex] = {}
+        #: column → cached HLL sketch rollup (:meth:`build_distinct_index`);
+        #: initialized here so :meth:`approx_distinct` raises the documented
+        #: KeyError (not AttributeError) when no rollup was ever built.
+        self.distinct_rollups: dict = {}
         self.router = Router(self)
         self.last_route: RouteDecision | None = None
         self._time_range = time_range

@@ -41,16 +41,25 @@ class DistinctRollup:
         self.bucket_seconds = bucket_seconds
         self.lg_k = lg_k
 
+    def _range_filter(self, start, end):
+        """Bucket filter covering ``[start, end)``: a bucket ``[s, s+w)``
+        intersects the range iff ``s > a - w`` and ``s < b`` — so partial
+        edge buckets on BOTH sides are included whole (superset semantics;
+        estimates never undercount against unaligned bounds)."""
+        a = F.unix_timestamp(F.lit(start).cast("timestamp"))
+        b = F.unix_timestamp(F.lit(end).cast("timestamp"))
+        return (F.col("__sec") > a - F.lit(self.bucket_seconds)) & (
+            F.col("__sec") < b
+        )
+
     def approx_distinct(self, start, end) -> int:
         """Estimated distinct count of ``column`` in ``[start, end)``
         (timestamp strings or datetimes). Buckets partially covered at the
         edges are included whole — align bounds to ``bucket_seconds`` for
         exact range semantics (unaligned asks should delegate to a scan,
         the wheel discipline)."""
-        a = F.unix_timestamp(F.lit(start).cast("timestamp"))
-        b = F.unix_timestamp(F.lit(end).cast("timestamp"))
         row = (
-            self._df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
+            self._df.filter(self._range_filter(start, end))
             .agg(F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("est"))
             .collect()[0]
         )
@@ -59,11 +68,10 @@ class DistinctRollup:
     def merged_sketch(self, start, end) -> bytes | None:
         """The merged HLL sketch bytes for ``[start, end)`` — composable
         with sketches from other tables/partitions (union-merge downstream,
-        e.g. cross-dataset dedup accounting)."""
-        a = F.unix_timestamp(F.lit(start).cast("timestamp"))
-        b = F.unix_timestamp(F.lit(end).cast("timestamp"))
+        e.g. cross-dataset dedup accounting). Same both-edges-whole bucket
+        coverage as :meth:`approx_distinct`."""
         row = (
-            self._df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
+            self._df.filter(self._range_filter(start, end))
             .agg(F.hll_union_agg("__hll").alias("sk"))
             .collect()[0]
         )

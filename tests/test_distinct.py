@@ -60,6 +60,24 @@ def test_merged_sketch_composes_across_ranges(spark, events, rollup):
     assert merged_est == rollup.approx_distinct(A, B)
 
 
+def test_unaligned_start_includes_leading_partial_bucket(spark, events, rollup):
+    """An unaligned range start must include the leading partially-covered
+    bucket whole (superset semantics) — never silently drop it and
+    undercount. With 3600 s buckets, starting mid-bucket must give the
+    same estimate as starting at the bucket boundary."""
+    unaligned = "2024-01-05 00:30:00"  # mid-bucket for bucket_seconds=3600
+    aligned = "2024-01-05 00:00:00"
+    assert rollup.approx_distinct(unaligned, B) == rollup.approx_distinct(aligned, B)
+
+
+def test_engine_no_rollup_raises_keyerror(spark, events):
+    """approx_distinct on an engine that never built a distinct index must
+    raise the documented KeyError, not AttributeError."""
+    eng = WheelEngine(spark, "ev_no_rollup", events, time_column="ts")
+    with pytest.raises(KeyError):
+        eng.approx_distinct("user_id", A, B)
+
+
 def test_engine_facade(spark, sf_small_dir, events):
     eng = WheelEngine(
         spark, "ev_distinct", events, time_column="ts"
