@@ -327,6 +327,14 @@ class AnnIndex:
             if c not in queries.columns:
                 raise ValueError(f"queries frame lacks column {c!r}")
         df = self._df
+        # NULL / wrong-dimension query vectors cannot have neighbours: the
+        # LSH kernel would fold them to bucket 0 in every table and return
+        # plausible-looking bucket-0 rows with NULL sim. Drop them up front
+        # (the IVF kernel maps them to NULL cells, which explode() drops —
+        # this filter makes the LSH branch match that behavior).
+        queries = queries.filter(
+            F.col(q_vec).isNotNull() & (F.size(q_vec) == int(m["dim"]))
+        )
         if self.kind == "lsh":
             tables, group = m["tables"], int(m.get("group", 1))
             qb = queries.select(

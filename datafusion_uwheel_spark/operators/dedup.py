@@ -557,16 +557,23 @@ def with_simhash(
 
     For each bit position, sum +1/−1 over token hashes having/lacking the
     bit; the fingerprint sets bits with positive sums. Near-duplicate texts
-    (mostly-shared token sets) agree on most bits. Per-row projection —
-    no shuffle.
+    (mostly-shared token sets) agree on most bits.
 
     ``use_pandas_udf=True`` (default) computes the fingerprint with an
     Arrow-batched numpy kernel (:func:`simhash_udf`, exact same int64
     arithmetic); the pure-expression path is kept for environments without
-    Arrow and as the semantics spec the oracle mirrors."""
+    Arrow and as the semantics spec the oracle mirrors. The expression path
+    is a pure per-row projection (no shuffle). The kernel path is also a
+    projection, except when the input has fewer partitions than
+    ``defaultParallelism`` — then it repartitions first so the Arrow
+    batches spread across cores (a small input read as one parquet split
+    would otherwise serialize the whole kernel on one task); callers who
+    need the input partitioning preserved should pre-partition."""
     if use_pandas_udf:
         parts = df.sparkSession.sparkContext.defaultParallelism
-        return df.repartition(parts).withColumn("simhash", simhash_udf(text, bits))
+        if df.rdd.getNumPartitions() < parts:
+            df = df.repartition(parts)
+        return df.withColumn("simhash", simhash_udf(text, bits))
     toks = tokens_col(text)
     tok_hashes = F.array_distinct(
         F.transform(

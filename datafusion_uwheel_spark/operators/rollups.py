@@ -131,6 +131,12 @@ def time_micros_col(df: DataFrame, time_column: str) -> Column:
     dt = _time_field_type(df, time_column)
     if isinstance(dt, T.TimestampType):
         return F.unix_micros(F.col(time_column))
+    if isinstance(dt, T.TimestampNTZType):
+        # NTZ wall-clock read as instant in the session zone (pinned UTC by
+        # get_spark) — same interpretation the DuckDB oracle applies to
+        # naive parquet timestamps. sources.read_parquet avoids NTZ at read
+        # time; this covers user-supplied frames.
+        return F.unix_micros(F.col(time_column).cast("timestamp"))
     if isinstance(dt, T.DateType):
         return F.unix_date(F.col(time_column)).cast("long") * 86_400_000_000
     raise ValueError(
@@ -145,6 +151,8 @@ def time_sec_col(df: DataFrame, time_column: str) -> Column:
     dt = _time_field_type(df, time_column)
     if isinstance(dt, T.TimestampType):
         return F.col(time_column).cast("long")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.col(time_column).cast("timestamp").cast("long")
     if isinstance(dt, T.DateType):
         return F.unix_date(F.col(time_column)).cast("long") * 86_400
     raise ValueError(

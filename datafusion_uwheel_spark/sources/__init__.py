@@ -67,26 +67,33 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` with nanosecond-timestamp normalization.
+    """``spark.read.parquet`` with timestamp normalization to TimestampType.
 
-    Nano columns are read as raw ``long`` (``spark.sql.legacy.parquet.
-    nanosAsLong``) and floored to microsecond timestamps with integer
-    division — ns epochs (~1.7e18) exceed float53 precision, so the division
-    must stay integral (``ts DIV 1000``). Matches DuckDB's ns→µs truncation,
-    keeping oracle comparisons exact. Everything stays JVM-side expressions.
+    Two parquet shapes need help (both detected from one footer read):
 
-    Scale note: predicates on the *derived* timestamp cannot reach parquet
-    row-group stats (`timestamp_micros(x DIV 1000)` is opaque to pushdown) —
-    they evaluate as codegen'd DataFilters after column-pruned decode of the
-    ns column. This is exactly the gap the wheel index closes: routed
-    temporal queries never scan at all, and hybrid boundary slivers resolve
-    from at-start states. For delegated scans over ns data at 100 TB, prefer
-    date/hour **partitioned** layouts (directory pruning is unaffected) over
-    relying on row-group stats.
+    - ``TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false)`` — Spark infers
+      ``timestamp_ntz`` by default; DuckDB/pandas read the same column as a
+      naive timestamp and compare it against naive literals. We disable
+      ``spark.sql.parquet.inferTimestampNTZ.enabled`` so the column comes
+      back as plain TIMESTAMP interpreted in the session zone (pinned UTC by
+      :func:`..session.get_spark`) — byte-identical values to the DuckDB
+      oracle, and temporal predicates still reach the scan as
+      ``PushedFilters`` (no derived column in the way).
+    - ``TIMESTAMP(NANOS)`` — Spark's vectorized reader rejects it outright
+      (PARQUET_TYPE_ILLEGAL). Nano columns are read as raw ``long``
+      (``spark.sql.legacy.parquet.nanosAsLong``) and floored to microsecond
+      timestamps with *integer* division — ns epochs (~1.7e18) exceed
+      float53 precision, so the division must stay integral (``ts DIV
+      1000``). Matches DuckDB's ns→µs truncation. Predicates on the derived
+      timestamp cannot reach row-group stats; that is exactly the gap the
+      wheel index closes (routed queries never scan), and for delegated
+      scans at 100 TB prefer date/hour-partitioned layouts whose directory
+      pruning is unaffected.
     """
     nanos = _nanos_timestamp_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))

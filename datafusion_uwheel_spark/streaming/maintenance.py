@@ -225,9 +225,11 @@ class StreamingAnnMaintainer:
     are monoids so the wheel maintainer tolerates replays only via Spark's
     batch-id dedup; here duplicate *rows* would surface as duplicate probe
     candidates, so either deduplicate by id upstream, or pass
-    ``dedup_ids=True`` to drop ids the index already contains (one
-    anti-join per batch against the stored ids — bounded by the index, and
-    partition-pruned reads keep it off the vectors)."""
+    ``dedup_ids=True`` to drop ids an index already contains. The anti-join
+    runs **per index** against that index's own stored ids (registered
+    indexes may diverge in content — e.g. a later ``register_index`` of an
+    older on-disk layout — so one shared id set would mis-dedup the
+    others); each is bounded by the index's id column, never the vectors."""
 
     def __init__(self, engine, dedup_ids: bool = False):
         self.engine = engine
@@ -236,11 +238,12 @@ class StreamingAnnMaintainer:
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         e = self.engine
         delta = batch_df.select(e.id_col, e.vec_col)
-        if self.dedup_ids and e.indexes:
-            any_idx = next(iter(e.indexes.values()))
-            seen = any_idx._df.select(e.id_col).distinct()
-            delta = delta.join(seen, on=e.id_col, how="anti")
-        e.append(delta)
+        if not (self.dedup_ids and e.indexes):
+            e.append(delta)
+            return
+        for idx in e.indexes.values():
+            seen = idx._df.select(e.id_col).distinct()
+            idx.append(delta.join(seen, on=e.id_col, how="anti"))
 
     def attach(
         self,

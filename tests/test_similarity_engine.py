@@ -217,6 +217,29 @@ def test_engine_knn_join_routes_and_refuses(engine, emb):
     assert all(r["rank"] <= 2 for r in rows)
 
 
+def test_knn_join_drops_invalid_query_vectors(engine, emb):
+    """NULL / wrong-dimension query vectors must yield NO rows (ADVICE r3:
+    the LSH kernel would otherwise fold them to bucket 0 and return
+    plausible-looking neighbours with NULL sim)."""
+    from pyspark.sql import functions as F
+
+    idx = engine.build_index(kind="lsh", bits=4, tables=2)
+    good = emb.select("vec_id", "embedding").limit(2)
+    bad = good.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.when(F.col("vec_id").isNull(), F.col("embedding")).alias("embedding"),
+    ).union(
+        good.select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.slice(F.col("embedding"), 1, 3).alias("embedding"),
+        )
+    )
+    rows = idx.knn_join(good.unionByName(bad), k=2).collect()
+    qids = {r["query_id"] for r in rows}
+    assert qids == {r["vec_id"] for r in good.collect()}
+    assert all(r["sim"] is not None for r in rows)
+
+
 def test_engine_knn_join_exact_is_ground_truth(engine, emb):
     """Exact kNN join top-1 for a query that IS an index row must be the
     row itself at sim 1.0, and indexed recall ⊆ exact candidates."""
