@@ -190,6 +190,21 @@ def uw_groupby_landmark(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
+def uw_window_tumbling(spark, sf_dir):
+    """Tumbling ``window(ts, '6 hours')`` GROUP BY — Spark's idiomatic
+    temporal-rollup shape, routed from the second-granularity wheel at any
+    second-aligned width (the reference's R4 maps only five named
+    date_trunc granularities, lib.rs:348-358). Buckets are epoch-aligned
+    (Spark's default zero startTime); start AND end fields prove the full
+    window struct semantics."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT window(ts, '6 hours').start AS ws, window(ts, '6 hours').end AS we, "
+        "COUNT(*) AS n, SUM(value) AS sum_value "
+        f"FROM events WHERE ts >= '{A}' AND ts < '{B}' GROUP BY window(ts, '6 hours')"
+    )
+    return _round(df, {"sum_value": 3})
+
+
 def uw_having_groupby(spark, sf_dir):
     """GROUP BY + HAVING + ORDER BY, all index-resolved: the HAVING
     aggregate is evaluated per bucket from the same wheel states and the
@@ -232,11 +247,10 @@ def uw_keyed_numeric(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
-def uw_keyed_count(spark, sf_dir):
-    return _engine(spark, sf_dir).sql(
-        "SELECT COUNT(*) AS n FROM events "
-        f"WHERE ts >= '{A}' AND ts < '{B}' AND event_type = 'click'"
-    )
+# NOTE (r4): the former uw_keyed_count row (COUNT(*) + keyed filter + range)
+# was folded out to fund uw_window_tumbling within the 50-row driver cap: its
+# semantics are hash-checked by uw_keyed_numeric's `n` column (count from a
+# keyed wheel over the same range) and pytest-covered in test_engine_fixture.
 
 
 def uw_keyed_landmark(spark, sf_dir):
@@ -665,12 +679,19 @@ def sim_dup_pairs_indexed(spark, sf_dir):
     return _sim_engine(spark, sf_dir).dup_pairs(threshold=EMB_DUP_T, bits=8, tables=2)
 
 
-def sim_embedding_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via the QUERY-TIME operator (LSH
-    candidates + exact rerank) — kept on the fallback path deliberately so
-    the contract exercises both physical plans against one oracle."""
-    df = _view(spark, sf_dir, "embeddings")
-    return similarity.embedding_dup_pairs(df, threshold=EMB_DUP_T, bits=8, tables=2, dim=EMB_DIM)
+KNN_K = 5
+KNN_QUERY_MAX_ID = 5  # queries = embeddings rows with vec_id < 5 (every SF)
+
+
+def sim_knn_join(spark, sf_dir):
+    """Batch kNN join through the registered bits=4 LSH index: every query
+    row (a small fixed id-slice of the table) gets its top-k neighbours via
+    one bucket equi-join against the stored layout + exact rerank + a
+    per-query rank window — the all-pairs training-pipeline shape, no
+    driver loop, no cartesian (operators/ann_index.py knn_join)."""
+    eng = _sim_engine(spark, sf_dir)
+    qs = eng.df.filter(F.col("vec_id") < KNN_QUERY_MAX_ID).select("vec_id", "embedding")
+    return eng.knn_join(qs, k=KNN_K, kind="lsh", bits=4, tables=2)
 
 
 # ----------------------------------------------------------- registries
@@ -690,11 +711,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_groupby_minute": uw_groupby_minute,
         "uw_groupby_week": uw_groupby_week,
         "uw_groupby_month": uw_groupby_month,
+        "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
         "uw_landmark_sum": uw_landmark_sum,
         "uw_keyed_sum": uw_keyed_sum,
-        "uw_keyed_count": uw_keyed_count,
         "uw_keyed_numeric": uw_keyed_numeric,
         "uw_keyed_groupby": uw_keyed_groupby,
         "uw_keyed_landmark": uw_keyed_landmark,
@@ -722,7 +743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_dup_pairs_indexed": sim_dup_pairs_indexed,
-        "sim_embedding_dup_pairs": sim_embedding_dup_pairs,
+        # r4: the query-time sim_embedding_dup_pairs row shared byte-identical
+        # oracle SQL with sim_dup_pairs_indexed; its slot now funds the batch
+        # kNN join (the fallback path stays pytest-pinned to the indexed one
+        # in test_similarity_engine.test_dup_pairs_route_and_parity).
+        "sim_knn_join": sim_knn_join,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_exact_keep": dedup_exact_keep,
         "dedup_fingerprint": dedup_fingerprint,
@@ -779,6 +804,16 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
+        # window(ts, '6 hours') = epoch-aligned 21600-second buckets;
+        # make_timestamp takes epoch µs, so both fields stay naive TIMESTAMP
+        # (to_timestamp would be TIMESTAMPTZ and TZ-dependent).
+        "uw_window_tumbling": (
+            "WITH w AS (SELECT value, "
+            "make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600 * 21600) * 1000000) AS ws "
+            f"FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}') "
+            "SELECT ws, ws + INTERVAL 6 HOUR AS we, count(*) AS n, "
+            "round(sum(value), 3) AS sum_value FROM w GROUP BY ws"
+        ),
         "uw_having_groupby": (
             "SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, "
             "round(avg(value), 6) AS avg_value FROM events "
@@ -792,10 +827,6 @@ def oracle_sql() -> dict[str, str]:
         "uw_landmark_sum": "SELECT round(sum(value), 3) AS sum_value FROM events",
         "uw_keyed_sum": (
             "SELECT round(sum(value), 3) AS sum_value FROM events "
-            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND event_type = 'click'"
-        ),
-        "uw_keyed_count": (
-            "SELECT count(*) AS n FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND event_type = 'click'"
         ),
         "uw_keyed_numeric": (
@@ -898,7 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_dup_pairs_indexed": oracles.embedding_dup_pairs_sql(
             EMB_DUP_T, dim=EMB_DIM, bits=8, tables=2
         ),
-        "sim_embedding_dup_pairs": oracles.embedding_dup_pairs_sql(
-            EMB_DUP_T, dim=EMB_DIM, bits=8, tables=2
+        "sim_knn_join": oracles.knn_join_sql(
+            f"id < {KNN_QUERY_MAX_ID}", k=KNN_K, dim=EMB_DIM, bits=4, tables=2
         ),
     }

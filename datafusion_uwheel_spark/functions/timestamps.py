@@ -77,11 +77,17 @@ def bucket_start_sec(sec: int, granularity: str) -> int:
     return sec // step * step
 
 
-def bucket_starts(secs, granularity: str):
+def bucket_starts(secs, granularity):
     """Vectorized :func:`bucket_start_sec` over a numpy int array.
 
-    ``month``/``year`` use numpy's exact UTC calendar truncation
-    (datetime64 unit conversion) — matches Spark/DuckDB ``date_trunc``."""
+    ``granularity`` is a named ``date_trunc`` granularity, or an **int
+    width in seconds** for epoch-aligned tumbling windows (Spark
+    ``window(ts, '<w>')`` with the default zero ``startTime`` — note no
+    Monday offset, unlike ``'week'``). ``month``/``year`` use numpy's exact
+    UTC calendar truncation (datetime64 unit conversion) — matches
+    Spark/DuckDB ``date_trunc``."""
+    if isinstance(granularity, int):
+        return secs // granularity * granularity
     if granularity in CALENDAR_GRANULARITIES:
         import numpy as np
 

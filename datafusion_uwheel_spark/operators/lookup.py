@@ -361,9 +361,12 @@ class WheelIndex:
         return self._landmark
 
     def group_by(
-        self, start_sec: int, end_sec: int, granularity: str
+        self, start_sec: int, end_sec: int, granularity
     ) -> list[tuple[int, dict[str, Any]]] | None:
-        """``GROUP BY date_trunc(granularity, ts)`` over ``[start, end)``.
+        """``GROUP BY date_trunc(granularity, ts)`` over ``[start, end)`` —
+        or, with an **int** granularity, ``GROUP BY window(ts, '<w sec>')``
+        at any epoch-aligned tumbling width the wheel buckets divide
+        (beyond the reference's five named granularities, lib.rs:348-358).
 
         Reference: per-granularity ``wheel.group_by(range, duration)``
         (``lib.rs:396-482``). Returns ``[(bucket_start_sec, states), ...]``
@@ -371,7 +374,10 @@ class WheelIndex:
         in ascending bucket order. Segmented numpy reduction — no per-bucket
         Python loop over seconds.
         """
-        if granularity in CALENDAR_GRANULARITIES:
+        if isinstance(granularity, int):
+            if granularity <= 0 or granularity % self.bucket_seconds:
+                return None  # coarse wheel can't split its buckets finer
+        elif granularity in CALENDAR_GRANULARITIES:
             # month/year boundaries are day-aligned — any bucket width that
             # divides a day nests exactly (beyond the reference, which
             # refuses calendar granularities outright, lib.rs:348-358).

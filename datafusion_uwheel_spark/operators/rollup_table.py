@@ -204,13 +204,18 @@ class SparkRollupWheel:
             self._landmark_cache = self._states_row(self.rollup)
         return self._landmark_cache
 
-    def group_by(self, start_sec: int, end_sec: int, granularity: str):
+    def group_by(self, start_sec: int, end_sec: int, granularity):
         from ..functions.timestamps import (
             CALENDAR_GRANULARITIES,
             WEEK_EPOCH_OFFSET_SECONDS,
         )
 
-        if granularity in CALENDAR_GRANULARITIES:
+        if isinstance(granularity, int):
+            # Tumbling window(ts, '<w sec>'): epoch-aligned, no week offset.
+            if granularity <= 0 or granularity % self.bucket_seconds:
+                return None
+            key = (F.col("__sec") - (F.col("__sec") % granularity)).alias("__bucket")
+        elif granularity in CALENDAR_GRANULARITIES:
             if 86_400 % self.bucket_seconds:
                 return None
             key = (

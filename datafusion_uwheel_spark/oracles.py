@@ -39,6 +39,7 @@ __all__ = [
     "ann_topk_sql",
     "embedding_dup_pairs_sql",
     "ivf_topk_sql",
+    "knn_join_sql",
 ]
 
 _MOD = ROLLING_HASH_MOD
@@ -473,6 +474,57 @@ FROM cells
 WHERE cell IN ({probes})
 ORDER BY sim DESC, vec_id ASC
 LIMIT {k}"""
+
+
+def knn_join_sql(
+    query_where: str,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 2,
+    seed: int = 42,
+    table: str = "embeddings",
+    round_digits: int = 6,
+) -> str:
+    """Oracle of :meth:`..operators.ann_index.AnnIndex.knn_join` over a query
+    frame drawn from the indexed table itself (``query_where`` selects the
+    query rows): candidates are rows sharing a sign-LSH bucket with the
+    query in ANY table (same hyperplane constants and fold order as the
+    index build; the UNION dedup mirrors the exactly-once claim), reranked
+    by exact fold cosine with the same round-then-rank tiebreak."""
+    hp = hyperplanes(dim, bits, tables, seed)
+    bucket_cols = []
+    for t, planes in enumerate(hp):
+        parts = []
+        for b, plane in enumerate(planes):
+            dot = _dot_chain("embedding", [float(w) for w in plane], dim)
+            parts.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << b} ELSE 0 END)")
+        bucket_cols.append(" + ".join(parts) + f" AS b{t}")
+    bucket_select = ",\n         ".join(bucket_cols)
+    branch = (
+        "SELECT q.id AS query_id, c.id AS vec_id, q.v AS qv, c.v AS cv "
+        "FROM qs q JOIN b c ON q.b{t} = c.b{t}"
+    )
+    union = "\n  UNION\n  ".join(branch.format(t=t) for t in range(tables))
+    pair_dot = _dot_chain("qv", None, dim, right="cv")
+    nq = _norm_sq_chain("qv", dim)
+    nc = _norm_sq_chain("cv", dim)
+    sim = f"round(({pair_dot}) / (sqrt({nq}) * sqrt({nc})), {round_digits})"
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS v,
+         {bucket_select}
+  FROM {table}
+), qs AS (
+  SELECT * FROM b WHERE {query_where}
+), pairs AS (
+  {union}
+), scored AS (
+  SELECT query_id, vec_id, {sim} AS sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY {sim} DESC, vec_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, sim, rank FROM scored WHERE rank <= {k}"""
 
 
 def embedding_dup_pairs_sql(

@@ -48,7 +48,7 @@ from .predicates import (
     extract_min_max_predicate,
     split_temporal_filter,
 )
-from .sqlparse import AggSpec, ParsedQuery
+from .sqlparse import AggSpec, ParsedQuery, WindowSpec
 
 if TYPE_CHECKING:  # pragma: no cover
     from ..engine import WheelEngine
@@ -458,9 +458,25 @@ class Router:
     def _try_group_by(self, q, rng, residual):
         e = self.engine
         gb = q.group_by
-        supported = set(GRANULARITY_SECONDS) | set(CALENDAR_GRANULARITIES)
-        if gb.column != e.time_column or gb.granularity not in supported:
-            return RouteDecision("delegate", detail={"reason": "unsupported group expr"}), None
+        if isinstance(gb, WindowSpec):
+            # Tumbling window(ts, 'w') — any second-aligned width answers
+            # from the wheel (the reference's R4 only maps five named
+            # date_trunc granularities, lib.rs:348-358; Spark's idiomatic
+            # temporal-rollup shape is this one).
+            if gb.column != e.time_column:
+                return (
+                    RouteDecision("delegate", detail={"reason": "unsupported group expr"}),
+                    None,
+                )
+            gran = gb.width_sec
+        else:
+            supported = set(GRANULARITY_SECONDS) | set(CALENDAR_GRANULARITIES)
+            if gb.column != e.time_column or gb.granularity not in supported:
+                return (
+                    RouteDecision("delegate", detail={"reason": "unsupported group expr"}),
+                    None,
+                )
+            gran = gb.granularity
         fk = canonical_filter_key(residual) if residual else STAR_AGGREGATION_ALIAS
 
         wheels: list[WheelIndex] = []
@@ -495,7 +511,7 @@ class Router:
 
         per_wheel = []
         for agg, w in zip(q.aggs, wheels):
-            got = w.group_by(start_sec, end_sec, gb.granularity)
+            got = w.group_by(start_sec, end_sec, gran)
             if got is None:
                 return RouteDecision("delegate", detail={"reason": "range not covered"}), None
             key = _state_key(agg)
@@ -523,7 +539,7 @@ class Router:
                         ),
                         None,
                     )
-                hgot = hw.group_by(start_sec, end_sec, gb.granularity)
+                hgot = hw.group_by(start_sec, end_sec, gran)
                 if hgot is None:
                     return RouteDecision("delegate", detail={"reason": "range not covered"}), None
                 hkey = _state_key(spec)
@@ -547,6 +563,8 @@ class Router:
                 if isinstance(item, AggSpec):
                     idx = q.aggs.index(item)
                     row.append(per_wheel[idx].get(b))
+                elif isinstance(item, WindowSpec) and item.field == "end":
+                    row.append(sec_to_datetime(b + gb.width_sec))
                 else:
                     row.append(sec_to_datetime(b))
             rows.append(tuple(row))
@@ -563,7 +581,12 @@ class Router:
         df = self._constant_relation(names, types, rows)
         return (
             RouteDecision(
-                kind, index_key=wheels[0].key, detail={"granularity": gb.granularity, "fk": fk}
+                kind,
+                index_key=wheels[0].key,
+                detail={
+                    "granularity": gran if isinstance(gran, str) else f"window:{gran}s",
+                    "fk": fk,
+                },
             ),
             df,
         )

@@ -6,9 +6,10 @@ Catalyst's optimizer, so we match **before** Spark sees the query (SURVEY.md
 §7.3.1): this module parses exactly the query shapes the rewrites can ever
 fire on —
 
-    SELECT {* | aggs | date_trunc(g, ts), aggs} FROM t
+    SELECT {* | aggs | date_trunc(g, ts), aggs
+             | window(ts, 'w').{start|end} AS a, aggs} FROM t
     [WHERE conjunct [AND conjunct]...]
-    [GROUP BY date_trunc(g, ts)]
+    [GROUP BY {date_trunc(g, ts) | window(ts, 'w')}]
 
 Anything outside this grammar (joins, OR, subqueries, window functions, …)
 raises :class:`ParseError`, and the router delegates the original SQL string
@@ -26,9 +27,11 @@ __all__ = [
     "ParseError",
     "AggSpec",
     "DateTruncSpec",
+    "WindowSpec",
     "Comparison",
     "ParsedQuery",
     "parse_select",
+    "parse_interval_seconds",
 ]
 
 
@@ -121,6 +124,61 @@ class DateTruncSpec:
         return self.alias or f"date_trunc({self.granularity}, {self.column})"
 
 
+#: Interval units whose widths are fixed second counts (the shapes
+#: ``F.window`` accepts for tumbling windows; months/years vary in width and
+#: are not tumbling-window material — Spark itself rejects them in window()).
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3_600,
+    "day": 86_400,
+    "week": 604_800,
+}
+
+
+def parse_interval_seconds(text: str) -> int:
+    """Spark interval string (``'5 minutes'``, ``'1 hour 30 minutes'``) →
+    whole seconds. Raises :class:`ParseError` for sub-second units or
+    anything else outside whole-second tumbling widths — the caller then
+    delegates, and Spark evaluates the original query natively."""
+    parts = text.strip().lower().split()
+    if not parts or len(parts) % 2:
+        raise ParseError(f"unsupported interval: {text!r}")
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        if not re.fullmatch(r"\d+", n):
+            raise ParseError(f"unsupported interval: {text!r}")
+        u = unit[:-1] if unit.endswith("s") and len(unit) > 1 else unit
+        if u not in _INTERVAL_UNIT_SECONDS:
+            raise ParseError(f"unsupported interval unit: {unit!r}")
+        total += int(n) * _INTERVAL_UNIT_SECONDS[u]
+    if total <= 0:
+        raise ParseError(f"non-positive interval: {text!r}")
+    return total
+
+
+@dataclass(frozen=True)
+class WindowSpec:
+    """``window(column, 'interval')`` tumbling window — Spark's idiomatic
+    temporal rollup (`F.window` / SQL ``window()``), bucket width any whole
+    number of seconds, buckets aligned to the epoch (Spark's default
+    ``startTime`` of 0 — note ``window(ts, '7 days')`` is Thursday-aligned,
+    unlike Monday-aligned ``date_trunc('week')``). ``field`` is ``start`` /
+    ``end`` for select items, ``None`` for the GROUP BY expression itself."""
+
+    column: str
+    width_sec: int
+    interval: str
+    field: str | None
+    alias: str | None
+
+    @property
+    def output_name(self) -> str:
+        if self.alias:
+            return self.alias
+        return f"window({self.column}, '{self.interval}').{self.field}"
+
+
 @dataclass(frozen=True)
 class Comparison:
     """``column op literal`` conjunct. ``value`` is a float for numbers or a
@@ -148,7 +206,7 @@ class ParsedQuery:
     table: str
     select_star: bool = False
     aggs: list[AggSpec] = field(default_factory=list)
-    group_by: DateTruncSpec | None = None
+    group_by: "DateTruncSpec | WindowSpec | None" = None
     conjuncts: list[Comparison] = field(default_factory=list)
     select_order: list[object] = field(default_factory=list)  # AggSpec|DateTruncSpec
     #: (output_name, ascending) — only output columns of the select list are
@@ -231,6 +289,7 @@ class _Parser:
         q.select_order = items
         q.aggs = [it for it in items if isinstance(it, AggSpec)]
         truncs = [it for it in items if isinstance(it, DateTruncSpec)]
+        wins = [it for it in items if isinstance(it, WindowSpec)]
         if self.accept_kw("where"):
             t = self.peek()
             if t and t.kind == "punct" and t.value == "(":
@@ -252,16 +311,30 @@ class _Parser:
                 q.conjuncts = self.conjunction()
         if self.accept_kw("group"):
             self.expect_kw("by")
-            g = self.date_trunc_expr()
-            if len(truncs) > 1:
-                raise ParseError("multiple date_trunc select items")
-            if truncs and (
-                truncs[0].granularity != g.granularity or truncs[0].column != g.column
-            ):
-                raise ParseError("SELECT date_trunc does not match GROUP BY")
-            q.group_by = truncs[0] if truncs else g
-        elif truncs:
-            raise ParseError("date_trunc in SELECT without GROUP BY")
+            t = self.peek()
+            if t and t.kind == "ident" and t.value.lower() == "window":
+                g = self.window_expr()
+                if g.field is not None:
+                    raise ParseError("GROUP BY window field access")
+                if truncs:
+                    raise ParseError("date_trunc select with window GROUP BY")
+                for w in wins:
+                    if w.column != g.column or w.width_sec != g.width_sec:
+                        raise ParseError("SELECT window does not match GROUP BY")
+                q.group_by = g
+            else:
+                g = self.date_trunc_expr()
+                if wins:
+                    raise ParseError("window select with date_trunc GROUP BY")
+                if len(truncs) > 1:
+                    raise ParseError("multiple date_trunc select items")
+                if truncs and (
+                    truncs[0].granularity != g.granularity or truncs[0].column != g.column
+                ):
+                    raise ParseError("SELECT date_trunc does not match GROUP BY")
+                q.group_by = truncs[0] if truncs else g
+        elif truncs or wins:
+            raise ParseError("bucketing expression in SELECT without GROUP BY")
         if self.accept_kw("having"):
             while True:
                 q.having.append(self.having_clause(items))
@@ -312,6 +385,12 @@ class _Parser:
             spec = self.agg_expr()
         elif name == "date_trunc":
             spec = self.date_trunc_expr()
+        elif name == "window":
+            spec = self.window_expr()
+            if spec.field is None:
+                # The bare struct output would need a STRUCT-typed constant
+                # relation; delegate that shape (Spark answers it natively).
+                raise ParseError("window select item needs .start or .end")
         else:
             raise ParseError(f"unsupported select expression: {t.value}")
         alias = None
@@ -321,12 +400,20 @@ class _Parser:
             nxt = self.peek()
             if nxt and nxt.kind == "ident" and nxt.value.lower() not in {"from", "where", "group"}:
                 alias = self.ident_raw()
+        if isinstance(spec, WindowSpec) and alias is None:
+            # Spark's native output name for a window field embeds the full
+            # default-argument rendering; requiring an alias keeps the routed
+            # and delegated schemas identical.
+            raise ParseError("window select item requires an alias")
         if alias is not None:
-            spec = (
-                AggSpec(spec.func, spec.arg, alias)
-                if isinstance(spec, AggSpec)
-                else DateTruncSpec(spec.granularity, spec.column, alias)
-            )
+            if isinstance(spec, AggSpec):
+                spec = AggSpec(spec.func, spec.arg, alias)
+            elif isinstance(spec, WindowSpec):
+                spec = WindowSpec(
+                    spec.column, spec.width_sec, spec.interval, spec.field, alias
+                )
+            else:
+                spec = DateTruncSpec(spec.granularity, spec.column, alias)
         return spec
 
     def agg_expr(self) -> AggSpec:
@@ -338,6 +425,31 @@ class _Parser:
         arg = self.ident()
         self.expect_punct(")")
         return AggSpec(func, arg, None)
+
+    def window_expr(self) -> WindowSpec:
+        """``window(col, 'interval')`` with optional trailing ``.start`` /
+        ``.end`` field access. Sliding/offset forms (3- and 4-argument
+        ``window``) are not tumbling rollups — delegate."""
+        t = self.next()
+        if t.kind != "ident" or t.value.lower() != "window":
+            raise ParseError("expected window")
+        self.expect_punct("(")
+        col = self.ident()
+        self.expect_punct(",")
+        iv = self.next()
+        if iv.kind != "string":
+            raise ParseError("window duration must be a string literal")
+        if self.accept_punct(","):
+            raise ParseError("sliding/offset window is not a tumbling rollup")
+        self.expect_punct(")")
+        width = parse_interval_seconds(iv.value)
+        fld = None
+        if self.accept_punct("."):
+            f_ = self.ident_raw().lower()
+            if f_ not in {"start", "end"}:
+                raise ParseError(f"unsupported window field: {f_}")
+            fld = f_
+        return WindowSpec(col, width, iv.value, fld, None)
 
     def date_trunc_expr(self) -> DateTruncSpec:
         t = self.next()

@@ -121,6 +121,115 @@ def test_landmark_group_by_delegates_when_restricted(spark, minimal_agg):
     assert len(df.collect()) == 10
 
 
+def test_window_tumbling_matches_date_trunc(engine):
+    # window(ts, '1 minute'|'1 hour'|'1 day') buckets coincide with the
+    # epoch-aligned date_trunc granularities (no calendar offset below week)
+    for iv, gran in [("1 minute", "minute"), ("1 hour", "hour"), ("1 day", "day")]:
+        wsql = (
+            f"SELECT window(timestamp, '{iv}').start AS b, COUNT(*) AS c, SUM(agg_col) AS s "
+            f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '{iv}')"
+        )
+        dsql = (
+            f"SELECT date_trunc('{gran}', timestamp) AS b, COUNT(*) AS c, SUM(agg_col) AS s "
+            f"FROM fixture WHERE {RANGE} GROUP BY date_trunc('{gran}', timestamp)"
+        )
+        wdf = engine.sql(wsql)
+        assert engine.last_route.kind == "group_by"
+        assert engine.last_route.detail["granularity"].startswith("window:")
+        assert sorted(map(tuple, wdf.collect())) == sorted(
+            map(tuple, engine.sql(dsql).collect())
+        )
+
+
+def test_window_tumbling_arbitrary_width(engine):
+    # 2-second tumbling buckets: sums (1+2, 3+4, ...) — and the routed rows
+    # must equal Spark's native window() evaluation of the same SQL
+    sql = (
+        "SELECT window(timestamp, '2 seconds').start AS b, "
+        "window(timestamp, '2 seconds').end AS e, SUM(agg_col) AS s "
+        f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '2 seconds') ORDER BY b"
+    )
+    df = engine.sql(sql)
+    assert engine.last_route.kind == "group_by"
+    rows = df.collect()
+    assert [r["s"] for r in rows] == [3.0, 7.0, 11.0, 15.0, 19.0]
+    assert all((r["e"] - r["b"]).total_seconds() == 2.0 for r in rows)
+    assert rows == engine.spark.sql(sql).collect()
+
+
+def test_window_tumbling_landmark_and_keyed(spark, minimal_agg):
+    import pyspark.sql.functions as F
+
+    tagged = minimal_agg.withColumn(
+        "parity", F.when(F.col("agg_col") % 2 == 0, "even").otherwise("odd")
+    )
+    e = WheelEngine(spark, "tagged_w", tagged, time_column="timestamp")
+    e.build_index("agg_col", filter="parity = 'even'")
+    # landmark form (no WHERE) routes from the complete wheel
+    lm = (
+        "SELECT window(timestamp, '5 seconds').start AS b, COUNT(*) AS c "
+        "FROM tagged_w GROUP BY window(timestamp, '5 seconds')"
+    )
+    df = e.sql(lm)
+    assert e.last_route.kind == "group_by_landmark"
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, e.spark.sql(lm).collect())
+    )
+    # keyed residual picks the keyed wheel
+    ksql = (
+        "SELECT window(timestamp, '5 seconds').start AS b, SUM(agg_col) AS s "
+        f"FROM tagged_w WHERE {RANGE} AND parity = 'even' "
+        "GROUP BY window(timestamp, '5 seconds') ORDER BY b"
+    )
+    kdf = e.sql(ksql)
+    assert e.last_route.kind == "group_by"
+    assert "parity = 'even'" in e.last_route.index_key
+    assert [tuple(r) for r in kdf.collect()] == [tuple(r) for r in e.spark.sql(ksql).collect()]
+
+
+def test_window_tumbling_delegates(spark, minimal_agg, engine):
+    # width not divisible by a coarse wheel's buckets → delegate
+    eng = WheelEngine(
+        spark, "fixture_wmin", minimal_agg, time_column="timestamp",
+        index_granularity="minute",
+    )
+    sql90 = (
+        "SELECT window(timestamp, '90 seconds').start AS b, COUNT(*) AS c "
+        "FROM fixture_wmin GROUP BY window(timestamp, '90 seconds')"
+    )
+    assert eng.explain_route(sql90).kind == "delegate"
+    sql120 = (
+        "SELECT window(timestamp, '2 minutes').start AS b, COUNT(*) AS c "
+        "FROM fixture_wmin GROUP BY window(timestamp, '2 minutes')"
+    )
+    assert eng.explain_route(sql120).kind == "group_by_landmark"
+    # sliding windows, bare-struct selects, missing aliases, and sub-second
+    # widths are outside the routable grammar → delegate (Spark answers them)
+    for bad in (
+        f"SELECT window(timestamp, '4 seconds', '2 seconds').start AS b, COUNT(*) AS c "
+        f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '4 seconds', '2 seconds')",
+        f"SELECT window(timestamp, '2 seconds') AS w, COUNT(*) AS c "
+        f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '2 seconds')",
+        f"SELECT window(timestamp, '2 seconds').start, COUNT(*) AS c "
+        f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '2 seconds')",
+        f"SELECT window(timestamp, '500 milliseconds').start AS b, COUNT(*) AS c "
+        f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '500 milliseconds')",
+    ):
+        assert engine.explain_route(bad).kind == "delegate"
+
+
+def test_window_tumbling_no_job(engine, spark):
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = engine.sql(
+        "SELECT window(timestamp, '5 seconds').start AS b, SUM(agg_col) AS s "
+        f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '5 seconds')"
+    )
+    assert engine.last_route.kind == "group_by"
+    assert [r["s"] for r in sorted(df.collect(), key=lambda r: r["b"])] == [15.0, 40.0]
+    assert tracker.getJobIdsForGroup(None) == before
+
+
 def test_landmark_sum(engine):
     # lib.rs:1986-2029: landmark sum = 55 with no filter at all
     assert run1(engine, "SELECT SUM(agg_col) AS s FROM fixture") == 55.0

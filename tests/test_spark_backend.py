@@ -91,6 +91,14 @@ QUERIES = [
         "ORDER BY b DESC LIMIT 3",
         "group_by",
     ),
+    (
+        # tumbling window() — arbitrary epoch-aligned width on BOTH backends
+        "SELECT window(timestamp, '3 seconds').start AS b, "
+        "window(timestamp, '3 seconds').end AS e, SUM(agg_col) AS s FROM {t} WHERE "
+        + RANGE
+        + " GROUP BY window(timestamp, '3 seconds') ORDER BY b",
+        "group_by",
+    ),
 ]
 
 
