@@ -62,6 +62,18 @@ def time_calls(fn, n: int) -> float:
     return statistics.median(times)
 
 
+def quantile(sorted_times: list[float], q: float) -> float:
+    """The q-quantile of an ascending sample (nearest-rank, ceil(q·n)-th
+    order statistic). The r3 spelling ``times[int(n*q)]`` returned the
+    sample MAX for p99.9 at n=1000 (index 999), so a single scheduler/GC
+    stall owned the published tail (r3 uw_keyed_sum_p999 was 48× the r2
+    value from one stall); ceil(0.999·1000)−1 = 998 is the true p99.9."""
+    import math
+
+    n = len(sorted_times)
+    return sorted_times[max(0, min(n - 1, math.ceil(q * n) - 1))]
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -112,13 +124,20 @@ def main() -> None:
     _warm_dedup.with_minhash_signature(docs.limit(64)).count()  # Arrow path
     docs.join(docs.limit(64), on="doc_id", how="left_semi").count()  # join codegen
 
-    def once(family, fn):
-        t0 = time.perf_counter()
-        n = fn()
-        queries[family] = time.perf_counter() - t0
-        log(f"{family}: {queries[family]:.2f}s ({n} rows)")
+    # Operator rows: median of N_OP full runs (single-shot timings carried
+    # ±20% box noise round-over-round — r3 VERDICT "what's wrong" item 3).
+    N_OP = 3
 
-    once("dedup_exact", lambda: dedup.dedup_exact(docs).count())
+    def med(family, fn, n=N_OP):
+        times, rows = [], None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            rows = fn()
+            times.append(time.perf_counter() - t0)
+        queries[family] = statistics.median(times)
+        log(f"{family}: {queries[family]:.2f}s median of {n} ({rows} rows)")
+
+    med("dedup_exact", lambda: dedup.dedup_exact(docs).count())
 
     def minhash_run():
         pairs = dedup.lsh_candidate_pairs(
@@ -128,19 +147,29 @@ def main() -> None:
         dedup.release_signatures(pairs)  # no cached blocks linger post-bench
         return n
 
-    once("dedup_minhash_lsh", minhash_run)
+    med("dedup_minhash_lsh", minhash_run)
     # Aggregate over the fingerprint so the column cannot be pruned — a bare
     # count() lets Catalyst drop the simhash expression entirely (r2's
     # 0.23 s for this row measured a pruned no-op, not SimHash).
-    once(
+    med(
         "dedup_simhash",
         lambda: dedup.with_simhash(docs).agg(F.sum("simhash")).collect()[0][0],
     )
-    once(
+    # Same pruning trap as simhash: a bare count() let Catalyst drop every
+    # computed column, so the r2/r3 numbers timed a bare scan (r3 VERDICT
+    # "what's wrong" item 1). Aggregating over one output of each stage
+    # forces token stats, quality, and lang-id to actually evaluate.
+    med(
         "text_pipeline",
         lambda: text_ops.with_lang_id(
             text_ops.with_quality(text_ops.with_token_stats(docs))
-        ).count(),
+        )
+        .agg(
+            F.sum("n_tokens"),
+            F.sum("quality_score"),
+            F.count_distinct("lang_pred"),
+        )
+        .collect()[0][0],
     )
     qvec = [
         float(x)
@@ -204,7 +233,7 @@ def main() -> None:
         assert sim_eng.last_route.kind == "indexed", sim_eng.last_route
         return n
 
-    once("sim_dup_pairs_indexed", routed_dup_pairs)
+    med("sim_dup_pairs_indexed", routed_dup_pairs)
 
     def routed_knn_join():
         n = sim_eng.knn_join(
@@ -213,7 +242,7 @@ def main() -> None:
         assert sim_eng.last_route.kind == "indexed", sim_eng.last_route
         return n
 
-    once("sim_knn_join_200q", routed_knn_join)
+    med("sim_knn_join_200q", routed_knn_join)
 
     # Query-time fallbacks (what runs when no index is registered) — NOT the
     # shipped path; measured to document the indexed-vs-fallback margin.
@@ -235,7 +264,7 @@ def main() -> None:
         f"sim_ivf_topk_fallback: {queries['sim_ivf_topk_fallback']*1e3:.0f} ms median "
         "(query-time cells; fallback only)"
     )
-    once(
+    med(
         "sim_embedding_dup_pairs",
         lambda: similarity.embedding_dup_pairs(emb, threshold=0.4, bits=8, tables=2, dim=dim).count(),
     )
@@ -266,7 +295,7 @@ def main() -> None:
         assert m_eng.last_route.kind == "indexed", m_eng.last_route
         return n
 
-    once("mm_features_ann_e2e", media_ann_e2e)
+    med("mm_features_ann_e2e", media_ann_e2e)
 
 
     rng = random.Random(42)
@@ -275,80 +304,86 @@ def main() -> None:
     ranges_hour = [random_range(rng, 3600, 2, 240) for _ in range(N_INDEXED)]
 
     # ------------------------------------- indexed families (wheel lookups)
-    def run_indexed(family, sql_of, ranges):
-        it = iter(ranges)
-
-        def call():
-            a, b = next(it)
-            df = eng.sql(sql_of(a, b))
-            df.collect()
-            assert eng.last_route.rewritten, eng.last_route
-
-        times = []
-        for _ in range(len(ranges)):
+    # All routed families run INTERLEAVED (round-robin, one query per family
+    # per round) so a single scheduler/GC stall lands in at most one sample
+    # of each family instead of owning one family's whole tail (r3 VERDICT
+    # "what's wrong" item 4: a 0.87 s p999 on one family, flat p50/p99).
+    indexed_specs = [
+        (
+            "uw_count_range",
+            lambda a, b: f"SELECT COUNT(*) AS n FROM events WHERE ts >= '{a}' AND ts < '{b}'",
+            ranges_sec,
+        ),
+        (
+            "uw_sum_range",
+            lambda a, b: f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}'",
+            ranges_min,
+        ),
+        (
+            "uw_keyed_sum",
+            lambda a, b: (
+                f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}' "
+                "AND event_type = 'click'"
+            ),
+            ranges_min,
+        ),
+        (
+            "uw_groupby_hour",
+            lambda a, b: (
+                "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, SUM(value) AS s "
+                f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('hour', ts)"
+            ),
+            ranges_hour,
+        ),
+        (
+            "uw_window_tumbling",
+            lambda a, b: (
+                "SELECT window(ts, '15 minutes').start AS ws, COUNT(*) AS n, SUM(value) AS s "
+                f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY window(ts, '15 minutes')"
+            ),
+            ranges_hour,
+        ),
+        (
+            "uw_prune_minmax",
+            lambda a, b: (
+                f"SELECT * FROM events WHERE ts >= '{a}' AND ts < '{b}' AND value > 100000.0"
+            ),
+            ranges_min,
+        ),
+        (
+            "uw_stddev_range",
+            lambda a, b: (
+                f"SELECT STDDEV(value) AS sd FROM events WHERE ts >= '{a}' AND ts < '{b}'"
+            ),
+            ranges_min,
+        ),
+        (
+            "uw_groupby_month",
+            lambda a, b: (
+                "SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS n "
+                f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('month', ts)"
+            ),
+            ranges_hour,
+        ),
+    ]
+    fam_times: dict[str, list[float]] = {f: [] for f, _, _ in indexed_specs}
+    for i in range(N_INDEXED):
+        for family, sql_of, ranges in indexed_specs:
+            a, b = ranges[i]
             t0 = time.perf_counter()
-            call()
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        queries[family] = times[len(times) // 2]
-        queries[f"{family}_p99"] = times[min(len(times) - 1, int(len(times) * 0.99))]
-        # p99.9 — reference reports it (README.md:50); at N samples this is
-        # the tail max, reported honestly as such.
-        queries[f"{family}_p999"] = times[min(len(times) - 1, int(len(times) * 0.999))]
+            eng.sql(sql_of(a, b)).collect()
+            fam_times[family].append(time.perf_counter() - t0)
+            assert eng.last_route.rewritten, (family, eng.last_route)
+    for family, _, _ in indexed_specs:
+        times = sorted(fam_times[family])
+        queries[family] = quantile(times, 0.5)
+        queries[f"{family}_p99"] = quantile(times, 0.99)
+        queries[f"{family}_p999"] = quantile(times, 0.999)
         log(
             f"{family}: p50 {queries[family]*1e3:.2f} ms, "
             f"p99 {queries[f'{family}_p99']*1e3:.2f} ms, "
             f"p99.9 {queries[f'{family}_p999']*1e3:.2f} ms"
         )
-
-    run_indexed(
-        "uw_count_range",
-        lambda a, b: f"SELECT COUNT(*) AS n FROM events WHERE ts >= '{a}' AND ts < '{b}'",
-        ranges_sec,
-    )
-    run_indexed(
-        "uw_sum_range",
-        lambda a, b: f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}'",
-        ranges_min,
-    )
-    run_indexed(
-        "uw_keyed_sum",
-        lambda a, b: (
-            f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}' "
-            "AND event_type = 'click'"
-        ),
-        ranges_min,
-    )
-    run_indexed(
-        "uw_groupby_hour",
-        lambda a, b: (
-            "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, SUM(value) AS s "
-            f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('hour', ts)"
-        ),
-        ranges_hour,
-    )
-    run_indexed(
-        "uw_prune_minmax",
-        lambda a, b: (
-            f"SELECT * FROM events WHERE ts >= '{a}' AND ts < '{b}' AND value > 100000.0"
-        ),
-        ranges_min,
-    )
-    run_indexed(
-        "uw_stddev_range",
-        lambda a, b: (
-            f"SELECT STDDEV(value) AS sd FROM events WHERE ts >= '{a}' AND ts < '{b}'"
-        ),
-        ranges_min,
-    )
-    run_indexed(
-        "uw_groupby_month",
-        lambda a, b: (
-            "SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS n "
-            f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('month', ts)"
-        ),
-        ranges_hour,
-    )
 
     # Repeated-query (dashboard) pattern: the route cache skips parse +
     # rewrite, leaving only the collect — the engine's true steady-state
@@ -362,10 +397,8 @@ def main() -> None:
         eng.sql(hot_sql).collect()
         hot_times.append(time.perf_counter() - t0)
     hot_times.sort()
-    queries["uw_repeat_cached"] = hot_times[len(hot_times) // 2]
-    queries["uw_repeat_cached_p999"] = hot_times[
-        min(len(hot_times) - 1, int(len(hot_times) * 0.999))
-    ]
+    queries["uw_repeat_cached"] = quantile(hot_times, 0.5)
+    queries["uw_repeat_cached_p999"] = quantile(hot_times, 0.999)
     log(f"uw_repeat_cached: p50 {queries['uw_repeat_cached']*1e3:.2f} ms")
 
     # Hybrid boundary family (BETWEEN → wheel core + pruned sliver scan):
