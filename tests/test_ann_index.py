@@ -104,6 +104,37 @@ def test_trained_ivf_centroids_improve_recall(spark, tmp_path_factory):
     assert idx.m["centroids"] == trained and idx.m["n_centroids"] == 4
 
 
+def test_trained_centroid_sample_spans_partitions(spark):
+    """Two well-separated clusters living in SEPARATE partitions, with the
+    training sample smaller than the first partition: the r3 limit(sample)
+    sampling read only the first partition's slice, so cluster B was never
+    seen and its best trained-centroid cosine stayed near 0. The seeded
+    hash-ordered sample must draw from both partitions."""
+    import random
+
+    import numpy as np
+
+    from datafusion_uwheel_spark.operators.similarity import train_ivf_centroids
+
+    rng = random.Random(11)
+    dim = 8
+    ca = [1.0] + [0.0] * (dim - 1)
+    cb = [0.0] * (dim - 1) + [1.0]
+    rows_a = [(i, [x + rng.gauss(0, 0.02) for x in ca]) for i in range(400)]
+    rows_b = [(i + 400, [x + rng.gauss(0, 0.02) for x in cb]) for i in range(400)]
+    schema = "vec_id long, embedding array<double>"
+    # range-partition on the id so cluster A fills partition 0 and cluster B
+    # partition 1 — the time-sorted/sharded layout the r3 bias hit
+    df = spark.createDataFrame(rows_a + rows_b, schema).repartitionByRange(
+        2, "vec_id"
+    )
+    assert df.rdd.getNumPartitions() == 2
+    trained = np.asarray(train_ivf_centroids(df, dim=dim, k=2, sample=100, iters=5))
+    for center in (ca, cb):
+        v = np.asarray(center) / np.linalg.norm(center)
+        assert (trained @ v).max() > 0.9
+
+
 def test_dup_pairs_from_index_match_query_time_operator(spark, emb, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ann") / "lsh_dup")
     build_ann_index(emb, path, kind="lsh", dim=DIM, bits=8, tables=2)
