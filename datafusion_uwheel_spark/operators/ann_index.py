@@ -217,6 +217,48 @@ class AnnIndex:
         self._df = self.spark.read.parquet(self.path)
         return self
 
+    def compact(self) -> "AnnIndex":
+        """Rewrite every partition directory into one file and reset the
+        generation count — the small-files remedy for streaming appends.
+
+        Each :meth:`append` adds a file generation per touched partition
+        (existing files are never rewritten), so at streaming cadence a
+        partition decays into many small parquet files whose per-file
+        open/footer cost eventually dominates probes — the classic
+        small-files failure. Compaction is one distributed job: read all
+        generations, repartition onto the partition key (one file per
+        directory — the same guard the initial build uses), write to a
+        temp location, then atomically swap directories and rewrite the
+        manifest. Probe results are identical before and after (same rows,
+        same layout, same pinned parameters).
+
+        The swap is two local renames (write temp → move old away → move
+        temp in); on an object store, pair appends with a
+        rename-by-manifest table format instead."""
+        import shutil
+
+        m = self.m
+        part_cols = ["t", "bg"] if m["kind"] == "lsh" else ["cell"]
+        base = self.path.rstrip("/")
+        tmp, old = base + "._compact_tmp", base + "._compact_old"
+        for p in (tmp, old):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        (
+            self._df.repartition(*[F.col(c) for c in part_cols])
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+        self.m = {**m, "generations": 1}
+        with open(os.path.join(self.path, _MANIFEST), "w") as f:
+            json.dump(self.m, f)
+        self._df = self.spark.read.parquet(self.path)
+        return self
+
     def _query_buckets(self, query) -> list[int]:
         hp = hyperplanes(self.m["dim"], self.m["bits"], self.m["tables"], self.m["seed"])
         out = []

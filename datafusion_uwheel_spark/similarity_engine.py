@@ -290,6 +290,14 @@ class SimilarityEngine:
             idx.append(delta)
         return len(self.indexes)
 
+    def compact(self) -> int:
+        """Compact every registered index (:meth:`AnnIndex.compact`) —
+        run periodically wherever :meth:`append` runs at streaming cadence,
+        so file generations stay bounded. Returns the number compacted."""
+        for idx in self.indexes.values():
+            idx.compact()
+        return len(self.indexes)
+
     def knn_join(
         self,
         queries: DataFrame,

@@ -188,6 +188,70 @@ def test_append_ivf_and_reload(spark, emb, tmp_path_factory):
     assert got == want
 
 
+def _parquet_files(path):
+    import glob
+
+    return sorted(
+        p
+        for p in glob.glob(f"{path}/**/*.parquet", recursive=True)
+        if "._compact" not in p
+    )
+
+
+def _partition_dirs(path):
+    import os as _os
+
+    out = set()
+    for p in _parquet_files(path):
+        out.add(_os.path.dirname(p))
+    return out
+
+
+def test_compact_bounds_files_and_preserves_probes(spark, emb, tmp_path_factory):
+    """N appends → one file generation per touched partition per append;
+    compact() → exactly one file per partition directory, byte-identical
+    probe results, generation counter reset. The restart story holds: a
+    FRESH handle over the compacted dir answers the same."""
+    path = str(tmp_path_factory.mktemp("ann") / "lsh_compact")
+    slices = [emb.filter(f"vec_id % 4 = {i}") for i in range(4)]
+    build_ann_index(slices[0], path, kind="lsh", dim=DIM, bits=4, tables=2)
+    idx = load_ann_index(spark, path)
+    for s in slices[1:]:
+        idx.append(s)
+    assert idx.m["generations"] == 4
+    files_before = _parquet_files(path)
+    dirs = _partition_dirs(path)
+    assert len(files_before) > len(dirs)  # small-files decay happened
+    before_topk = idx.topk(QUERY, k=K).collect()
+    before_dups = sorted(map(tuple, idx.dup_pairs(threshold=0.4).collect()))
+
+    idx.compact()
+    assert idx.m["generations"] == 1
+    files_after = _parquet_files(path)
+    assert len(files_after) == len(_partition_dirs(path))  # one file per dir
+    assert len(files_after) < len(files_before)
+    assert idx.topk(QUERY, k=K).collect() == before_topk
+    assert sorted(map(tuple, idx.dup_pairs(threshold=0.4).collect())) == before_dups
+    fresh = load_ann_index(spark, path)
+    assert fresh.m["generations"] == 1
+    assert fresh.topk(QUERY, k=K).collect() == before_topk
+
+
+def test_compact_ivf(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "ivf_compact")
+    build_ann_index(
+        emb.filter("vec_id % 2 = 0"), path, kind="ivf", dim=DIM, n_centroids=8
+    )
+    idx = load_ann_index(spark, path)
+    idx.append(emb.filter("vec_id % 2 = 1"))
+    before = idx.topk(QUERY, k=K, nprobe=2).collect()
+    idx.compact()
+    assert len(_parquet_files(path)) == len(_partition_dirs(path))
+    assert idx.topk(QUERY, k=K, nprobe=2).collect() == before
+    want = similarity.ivf_topk(emb, QUERY, k=K, nprobe=2, n_centroids=8).collect()
+    assert before == want
+
+
 def test_append_rejects_missing_manifest_columns(spark, emb, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ann") / "lsh_guard")
     build_ann_index(emb, path, kind="lsh", dim=DIM, bits=4, tables=2)
@@ -231,3 +295,9 @@ def test_engine_append_updates_all_registered(spark, emb, tmp_path_factory):
     got = eng.topk(QUERY, k=K, kind="lsh", bits=4, tables=2).collect()
     assert eng.last_route.kind == "indexed"
     assert got == similarity.ann_topk(emb, QUERY, k=K, bits=4, tables=2).collect()
+    # engine-level compaction: probes unchanged, generations reset
+    assert eng.compact() == 2
+    for idx in eng.indexes.values():
+        assert idx.m["generations"] == 1
+    assert eng.topk(QUERY, k=K, kind="lsh", bits=4, tables=2).collect() == got
+    assert eng.last_route.kind == "indexed"
