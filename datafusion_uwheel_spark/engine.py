@@ -170,6 +170,19 @@ class WheelEngine:
         #: initialized here so :meth:`approx_distinct` raises the documented
         #: KeyError (not AttributeError) when no rollup was ever built.
         self.distinct_rollups: dict = {}
+        if load_indexes is not None:
+            import json as _json
+            import os as _os
+
+            dman = _os.path.join(load_indexes, "distinct.json")
+            if _os.path.exists(dman):
+                from .operators.distinct import load_distinct_rollup
+
+                with open(dman) as f:
+                    for entry in _json.load(f)["rollups"]:
+                        self.distinct_rollups[entry["column"]] = load_distinct_rollup(
+                            spark, _os.path.join(load_indexes, entry["dir"])
+                        )
         self.router = Router(self)
         self.last_route: RouteDecision | None = None
         self._time_range = time_range
@@ -381,11 +394,16 @@ class WheelEngine:
     # -------------------------------------------------------- persistence
     def save_indexes(self, out_dir: str) -> str:
         """Persist every wheel as parquet + manifest (see
-        :mod:`.operators.persistence`); reload with
-        ``WheelEngine(..., load_indexes=out_dir)``."""
+        :mod:`.operators.persistence`), and every HLL distinct rollup as a
+        parquet sketch table (``distinct.json`` sidecar manifest — before r4
+        the rollups were cache-only and a restart silently lost them);
+        reload with ``WheelEngine(..., load_indexes=out_dir)``."""
+        import json as _json
+        import os as _os
+
         from .operators.persistence import save_wheels
 
-        return save_wheels(
+        path = save_wheels(
             {
                 "count": self.count_wheels,
                 "min_max": self.min_max_wheels,
@@ -393,6 +411,15 @@ class WheelEngine:
             },
             out_dir,
         )
+        if self.distinct_rollups:
+            entries = []
+            for i, (col, r) in enumerate(sorted(self.distinct_rollups.items())):
+                d = f"distinct_{i:04d}"
+                r.save(_os.path.join(out_dir, d))
+                entries.append({"column": col, "dir": d})
+            with open(_os.path.join(out_dir, "distinct.json"), "w") as f:
+                _json.dump({"version": 1, "rollups": entries}, f)
+        return path
 
     # -------------------------------------------------------- introspection
     def index_usage_bytes(self) -> int:

@@ -20,12 +20,17 @@ lgK=12; raise ``lg_k`` for tighter estimates).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .rollups import time_sec_col
 
-__all__ = ["DistinctRollup", "build_distinct_rollup"]
+__all__ = ["DistinctRollup", "build_distinct_rollup", "load_distinct_rollup"]
+
+_META = "_distinct_meta.json"
 
 
 class DistinctRollup:
@@ -77,6 +82,53 @@ class DistinctRollup:
         )
         return bytes(row["sk"]) if row["sk"] is not None else None
 
+    def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
+        """Merge a micro-batch of raw rows into the rollup — streaming
+        maintenance. HLL sketches are mergeable monoids, so the merged
+        rollup is indistinguishable from a fresh batch build over the union
+        (the same model as the wheel maintainers): the batch is sketched
+        per bucket with the pinned ``lg_k``, unioned with the stored
+        sketches, and re-merged by bucket with ``hll_union_agg``. Late data
+        simply lands in its bucket. The new rollup is materialized before
+        the old cache is released."""
+        from pyspark import StorageLevel
+
+        sec = time_sec_col(batch_df, time_column)
+        if self.bucket_seconds != 1:
+            sec = sec - (sec % self.bucket_seconds)
+        delta = (
+            batch_df.filter(F.col(time_column).isNotNull())
+            .groupBy(sec.alias("__sec"))
+            .agg(F.hll_sketch_agg(F.col(self.column), F.lit(self.lg_k)).alias("__hll"))
+        )
+        merged = (
+            self._df.unionByName(delta)
+            .groupBy("__sec")
+            .agg(F.hll_union_agg("__hll").alias("__hll"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        merged.count()
+        old = self._df
+        self._df = merged
+        old.unpersist()
+
+    def save(self, path: str) -> str:
+        """Persist the sketch table as parquet (one distributed write) plus
+        a JSON sidecar pinning column/bucket/lg_k — without this a restart
+        silently loses the rollup and every estimate pays a rebuild scan.
+        Reload with :func:`load_distinct_rollup`."""
+        self._df.write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, _META), "w") as f:
+            json.dump(
+                {
+                    "column": self.column,
+                    "bucket_seconds": self.bucket_seconds,
+                    "lg_k": self.lg_k,
+                },
+                f,
+            )
+        return path
+
     def unpersist(self) -> None:
         self._df.unpersist()
 
@@ -105,3 +157,16 @@ def build_distinct_rollup(
     )
     rollup.count()  # materialize once; probes never touch the raw table
     return DistinctRollup(rollup, column, bucket_seconds, lg_k)
+
+
+def load_distinct_rollup(spark, path: str) -> DistinctRollup:
+    """Inverse of :meth:`DistinctRollup.save`: read the parquet sketch
+    table back into executor cache. Estimates are identical after reload —
+    the sketches are the state, not a derived view."""
+    from pyspark import StorageLevel
+
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return DistinctRollup(df, meta["column"], meta["bucket_seconds"], meta["lg_k"])

@@ -68,6 +68,12 @@ class StreamingWheelMaintainer:
         for fk, predicate in self.filters.items():
             cols = [c for (c, k) in self.engine.agg_wheels if k == fk]
             self._merge_into(batch_df.filter(predicate), fk, cols)
+        # HLL distinct rollups: sketches are mergeable monoids, so the
+        # merged rollup equals a fresh batch build over the union — the same
+        # correctness model as the wheels (union-and-re-sketch per bucket).
+        for col, rollup in self.engine.distinct_rollups.items():
+            if col in batch_df.columns:
+                rollup.merge_batch(batch_df, self.engine.time_column)
         maintained = set(self.filters) | {STAR_AGGREGATION_ALIAS}
         e = self.engine
         for fk, w in e.count_wheels.items():

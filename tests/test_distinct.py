@@ -88,3 +88,79 @@ def test_engine_facade(spark, sf_small_dir, events):
     assert abs(est - truth) / truth < 0.05
     with pytest.raises(KeyError):
         eng.approx_distinct("value", A, B)  # approximate answers are opt-in
+
+
+def test_save_load_round_trip(spark, events, rollup, tmp_path):
+    """Persisted sketch table → reload → identical estimates (the sketches
+    ARE the state; before r4 the rollup was cache-only and a restart lost
+    it)."""
+    from datafusion_uwheel_spark.operators.distinct import load_distinct_rollup
+
+    path = str(tmp_path / "distinct_rollup")
+    rollup.save(path)
+    fresh = load_distinct_rollup(spark, path)
+    assert fresh.bucket_seconds == rollup.bucket_seconds
+    assert fresh.lg_k == rollup.lg_k
+    assert fresh.column == rollup.column
+    assert fresh.approx_distinct(A, B) == rollup.approx_distinct(A, B)
+    mid = "2024-01-08 00:00:00"
+    assert fresh.approx_distinct(A, mid) == rollup.approx_distinct(A, mid)
+    fresh.unpersist()
+
+
+def test_engine_save_load_includes_distinct(spark, events, tmp_path):
+    eng = WheelEngine(spark, "ev_dsave", events, time_column="ts")
+    eng.build_index("value")
+    eng.build_distinct_index("user_id")
+    want = eng.approx_distinct("user_id", A, B)
+    out = str(tmp_path / "idx")
+    eng.save_indexes(out)
+    eng2 = WheelEngine(
+        spark, "ev_dsave2", events, time_column="ts", load_indexes=out
+    )
+    assert eng2.approx_distinct("user_id", A, B) == want
+    # wheels survive alongside (routed query still answers)
+    sql = f"SELECT SUM(value) AS s FROM ev_dsave2 WHERE ts >= '{A}' AND ts < '{B}'"
+    assert eng2.explain_route(sql).kind == "single_agg"
+
+
+def test_streamed_merges_equal_fresh_batch_build(spark, events):
+    """Micro-batch merges ≡ fresh batch build over the union — sketches are
+    mergeable monoids (the wheel maintainers' correctness model applied to
+    the HLL rollup)."""
+    halves = [
+        events.filter("ts < '2024-01-15 00:00:00'"),
+        events.filter(
+            "ts >= '2024-01-15 00:00:00' AND ts < '2024-01-22 00:00:00'"
+        ),
+        events.filter("ts >= '2024-01-22 00:00:00'"),  # late-ish tail batch
+    ]
+    r = build_distinct_rollup(halves[0], "ts", "user_id", bucket_seconds=3600)
+    for batch in halves[1:]:
+        r.merge_batch(batch, "ts")
+    full = build_distinct_rollup(events, "ts", "user_id", bucket_seconds=3600)
+    span = ("2024-01-01 00:00:00", "2024-01-31 00:00:00")
+    assert r.approx_distinct(*span) == full.approx_distinct(*span)
+    assert r.approx_distinct(A, B) == full.approx_distinct(A, B)
+    r.unpersist()
+    full.unpersist()
+
+
+def test_wheel_maintainer_drives_distinct_rollup(spark, events):
+    """StreamingWheelMaintainer.merge_batch also maintains the engine's
+    distinct rollups, so one foreachBatch hook keeps both index families
+    fresh."""
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    old = events.filter("ts < '2024-01-15 00:00:00'")
+    new = events.filter("ts >= '2024-01-15 00:00:00'")
+    eng = WheelEngine(spark, "ev_dmaint", old, time_column="ts")
+    eng.build_index("value")
+    eng.build_distinct_index("user_id")
+    StreamingWheelMaintainer(eng).merge_batch(new)
+    full = build_distinct_rollup(events, "ts", "user_id", bucket_seconds=3600)
+    span = ("2024-01-01 00:00:00", "2024-01-31 00:00:00")
+    assert eng.approx_distinct("user_id", *span) == full.approx_distinct(*span)
+    full.unpersist()
