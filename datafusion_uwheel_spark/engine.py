@@ -98,8 +98,12 @@ class WheelEngine:
             from .sources import read_parquet
 
             self.df = read_parquet(spark, source)
+            #: Parquet root this engine reads — the JVM shim recognizes
+            #: plans by scan root path (:mod:`.jvmshim`).
+            self.source_path: str | None = source
         else:
             self.df = source
+            self.source_path = None
         if time_column not in self.df.columns:
             raise ValueError(f"time column {time_column!r} not in table {name!r}")
         if time_unit is not None:

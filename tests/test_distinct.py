@@ -88,6 +88,7 @@ def test_engine_facade(spark, sf_small_dir, events):
     assert abs(est - truth) / truth < 0.05
     with pytest.raises(KeyError):
         eng.approx_distinct("value", A, B)  # approximate answers are opt-in
+    eng.distinct_rollups["user_id"].unpersist()
 
 
 def test_save_load_round_trip(spark, events, rollup, tmp_path):
@@ -122,6 +123,8 @@ def test_engine_save_load_includes_distinct(spark, events, tmp_path):
     # wheels survive alongside (routed query still answers)
     sql = f"SELECT SUM(value) AS s FROM ev_dsave2 WHERE ts >= '{A}' AND ts < '{B}'"
     assert eng2.explain_route(sql).kind == "single_agg"
+    eng.distinct_rollups["user_id"].unpersist()
+    eng2.distinct_rollups["user_id"].unpersist()
 
 
 def test_streamed_merges_equal_fresh_batch_build(spark, events):
@@ -164,3 +167,4 @@ def test_wheel_maintainer_drives_distinct_rollup(spark, events):
     span = ("2024-01-01 00:00:00", "2024-01-31 00:00:00")
     assert eng.approx_distinct("user_id", *span) == full.approx_distinct(*span)
     full.unpersist()
+    eng.distinct_rollups["user_id"].unpersist()

@@ -1,0 +1,37 @@
+"""Catalyst shim (jvm/UwheelShim.scala): plain spark.sql answered from the
+wheel rollup via SparkSessionExtensions — the reference's drop-in
+optimizer-rule integration (lib.rs:843-869), SURVEY.md §7.3.1.
+
+Runs the demo in a subprocess: spark.sql.extensions and the driver classpath
+must be set before the JVM starts, which the shared test session cannot do.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_shim_compiles_with_shipped_scala():
+    from datafusion_uwheel_spark.jvmshim import build_shim_jar
+
+    jar = build_shim_jar()
+    assert os.path.exists(jar) and os.path.getsize(jar) > 0
+
+
+def test_shim_rewrites_plain_spark_sql():
+    """Demo asserts: rewritten plan scans no table file, the answer equals
+    both the Python router's and a true delegated scan's, and unaligned
+    bounds fall through to the scan."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "jvm_shim_demo.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "OK shim" in r.stdout

@@ -137,14 +137,30 @@ def test_simhash_udf_matches_expression_path(docs):
 
 
 def test_lsh_release_signatures_frees_blocks(docs, spark):
+    import time
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def wait_empty():
+        for _ in range(50):  # unpersist/clear are async — poll block removal
+            if not jsc.getRDDStorageInfo():
+                return True
+            time.sleep(0.1)
+        return not jsc.getRDDStorageInfo()
+
+    # Start from a clean cache: other suites sharing this session leave
+    # their own cached frames behind, and the CacheManager dedups by
+    # logical plan, so the signature frame may otherwise already be cached
+    # (making "new blocks appeared" unobservable).
+    spark.catalog.clearCache()
+    assert wait_empty()
     sig = dedup.with_minhash_signature(docs)
     pairs = dedup.lsh_candidate_pairs(sig)
     pairs.count()
-    jsc = spark.sparkContext._jsc.sc()
     assert jsc.getRDDStorageInfo()  # signature frame is cached during use
     assert dedup.release_signatures(pairs)
     assert not dedup.release_signatures(pairs)  # idempotent
-    assert len(jsc.getRDDStorageInfo()) == 0  # nothing lingers
+    assert wait_empty()  # nothing lingers
 
 
 # ------------------------------------------------------------------- text
