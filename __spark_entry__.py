@@ -434,11 +434,23 @@ SELECT c_custkey AS custkey FROM customer
 EXCEPT
 SELECT o_custkey AS custkey FROM orders"""
 
-_SQL_SUBQUERY = """
-SELECT c_custkey, c_acctbal
-FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
-  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')"""
+# Day-over-day hourly comparison: both CTEs route from the hour wheel, the
+# join + scalar subquery run over the spliced-in (tiny, broadcast) answers.
+# Filter compares exact int64 counts, so no float-order flakiness; sums are
+# rounded on both sides per the float discipline above.
+PREV_A = "2024-01-07 00:00:00"
+_SQL_CTE_JOIN = (
+    "WITH cur AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, "
+    f"SUM(value) AS sum_value FROM events WHERE ts >= '{DAY_A}' AND ts < '{DAY_B}' "
+    "GROUP BY date_trunc('hour', ts)), "
+    "prev AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, "
+    f"SUM(value) AS sum_value FROM events WHERE ts >= '{PREV_A}' AND ts < '{DAY_A}' "
+    "GROUP BY date_trunc('hour', ts)) "
+    "SELECT cur.bucket AS bucket, cur.n AS n, prev.n AS prev_n, "
+    "cur.sum_value AS sum_value, prev.sum_value AS prev_sum_value "
+    "FROM cur JOIN prev ON prev.bucket = cur.bucket - INTERVAL 1 DAY "
+    "WHERE cur.n > (SELECT AVG(n) FROM prev) ORDER BY bucket"
+)
 
 
 def rel_window(spark, sf_dir):
@@ -453,10 +465,25 @@ def rel_setop(spark, sf_dir):
     return spark.sql(_SQL_SETOP)
 
 
-def rel_subquery(spark, sf_dir):
-    """Delegate surface: scalar + IN subqueries (decorrelated by Catalyst)."""
-    _view(spark, sf_dir, "customer", "orders")
-    return spark.sql(_SQL_SUBQUERY)
+def uw_cte_join(spark, sf_dir):
+    """Beyond-reference: routable aggregate CTEs feeding a join + scalar
+    subquery. :meth:`WheelCatalog.sql` answers each CTE from the hour wheel
+    and splices the tiny answers back in as views (``catalog.py
+    _route_ctes``), so Catalyst broadcasts them into the join; the reference
+    only matches whole plans (``lib.rs:246-252``) and would rescan. The
+    scalar-subquery delegate surface (Catalyst decorrelation) rides along in
+    the WHERE clause."""
+    from datafusion_uwheel_spark.catalog import WheelCatalog
+
+    cat = WheelCatalog(spark)
+    cat.engines["events"] = _engine(spark, sf_dir)
+    df = cat.sql(_SQL_CTE_JOIN)
+    route = cat.last_route
+    assert route.kind == "cte_rewrite" and set(route.detail["routed"]) == {
+        "cur",
+        "prev",
+    }, route
+    return _round(df, {"sum_value": 3, "prev_sum_value": 3})
 
 
 def tpch_q1(spark, sf_dir):
@@ -734,7 +761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": tpch_q6,
         "rel_window": rel_window,
         "rel_setop": rel_setop,
-        "rel_subquery": rel_subquery,
+        # r4: rel_subquery's slot funds the routed-CTE join row — its scalar
+        # subquery surface is preserved inside uw_cte_join's WHERE clause.
+        "uw_cte_join": uw_cte_join,
         # The expensive blocks (index-building sim entries, pair-generating
         # dedup entries) run BEFORE the cheap single-pass mm/text rows: the
         # r02 driver run truncated the registry tail, so keep the entries
@@ -890,7 +919,19 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": _TPCH_Q6,
         "rel_window": _SQL_WINDOW,
         "rel_setop": _SQL_SETOP,
-        "rel_subquery": _SQL_SUBQUERY,
+        "uw_cte_join": (
+            "WITH cur AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, "
+            f"sum(value) AS sum_value FROM events WHERE ts >= TIMESTAMP '{DAY_A}' "
+            f"AND ts < TIMESTAMP '{DAY_B}' GROUP BY 1), "
+            "prev AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, "
+            f"sum(value) AS sum_value FROM events WHERE ts >= TIMESTAMP '{PREV_A}' "
+            f"AND ts < TIMESTAMP '{DAY_A}' GROUP BY 1) "
+            "SELECT cur.bucket AS bucket, cur.n AS n, prev.n AS prev_n, "
+            "round(cur.sum_value, 3) AS sum_value, "
+            "round(prev.sum_value, 3) AS prev_sum_value "
+            "FROM cur JOIN prev ON prev.bucket = cur.bucket - INTERVAL 1 DAY "
+            "WHERE cur.n > (SELECT avg(n) FROM prev) ORDER BY bucket"
+        ),
         "dedup_exact_groups": (
             "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id "
             "FROM documents GROUP BY md5(text)"

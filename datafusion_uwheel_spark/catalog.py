@@ -16,9 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .engine import WheelEngine
 from .plans.router import RouteDecision
-from .plans.sqlparse import ParseError, parse_select
+from .plans.sqlparse import ParseError, parse_select, split_with_ctes
 
 __all__ = ["WheelCatalog"]
+
+#: Monotonic suffix for routed-CTE temp views — keeps concurrent catalogs
+#: (or re-entrant .sql calls) from clobbering each other's views.
+_CTE_VIEW_SEQ = 0
 
 
 class WheelCatalog:
@@ -52,10 +56,23 @@ class WheelCatalog:
         return self.sim_engines[name.lower()]
 
     def sql(self, query: str) -> DataFrame:
-        """Route to the owning engine's wheel lookups, else delegate."""
+        """Route to the owning engine's wheel lookups, else delegate.
+
+        Single-table routable queries go to the owning engine whole. A
+        multi-table query is delegated — but first, if it is a plain
+        ``WITH`` query, each CTE whose body is itself routable is answered
+        from the wheel and spliced back in as a temp view, so a routable
+        aggregate feeding a join still skips the scan (beyond the
+        reference, which only matches whole plans — ``lib.rs:246-252``).
+        The routed answers are tiny driver-built frames, so Catalyst
+        broadcasts them into the surrounding join for free.
+        """
         try:
             parsed = parse_select(query)
         except ParseError as err:
+            routed = self._route_ctes(query)
+            if routed is not None:
+                return routed
             self.last_route = RouteDecision("delegate", detail={"reason": str(err)})
             return self.spark.sql(query)
         eng = self.engines.get(parsed.table.lower())
@@ -67,6 +84,46 @@ class WheelCatalog:
         df = eng.sql(query)
         self.last_route = eng.last_route
         return df
+
+    def _route_ctes(self, query: str) -> DataFrame | None:
+        """Wheel-answer the routable CTEs of a ``WITH`` query; ``None`` if
+        the query isn't a splittable WITH or no CTE routed (caller then
+        delegates the original text untouched)."""
+        global _CTE_VIEW_SEQ
+        try:
+            ctes, main = split_with_ctes(query)
+        except ParseError:
+            return None
+        parts: list[str] = []
+        routed: dict[str, str] = {}
+        delegated: list[str] = []
+        for name, body in ctes:
+            eng = None
+            try:
+                eng = self.engines.get(parse_select(body).table.lower())
+            except ParseError:
+                pass
+            if eng is not None:
+                df = eng.sql(body)
+                if eng.last_route is not None and eng.last_route.rewritten:
+                    _CTE_VIEW_SEQ += 1
+                    view = f"__uw_cte_{_CTE_VIEW_SEQ}"
+                    df.createOrReplaceTempView(view)
+                    # Swap only the body: the CTE keeps its name, so the
+                    # main query text never needs identifier rewriting.
+                    parts.append(f"{name} AS (SELECT * FROM {view})")
+                    routed[name] = eng.last_route.kind
+                    continue
+            delegated.append(name)
+            parts.append(f"{name} AS ({body})")
+        if not routed:
+            return None
+        rewritten = "WITH " + ", ".join(parts) + " " + main
+        self.last_route = RouteDecision(
+            "cte_rewrite",
+            detail={"routed": routed, "delegated": delegated, "sql": rewritten},
+        )
+        return self.spark.sql(rewritten)
 
     def index_usage_bytes(self) -> int:
         return sum(e.index_usage_bytes() for e in self.engines.values())

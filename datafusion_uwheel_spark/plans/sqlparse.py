@@ -32,6 +32,7 @@ __all__ = [
     "ParsedQuery",
     "parse_select",
     "parse_interval_seconds",
+    "split_with_ctes",
 ]
 
 
@@ -575,3 +576,102 @@ def parse_conjunction(sql: str) -> list[Comparison]:
     if p.peek() is not None:
         raise ParseError(f"trailing tokens in filter: {p.peek().value!r}")
     return out
+
+
+# --------------------------------------------------------------- WITH split
+_WITH_RE = re.compile(r"^\s*WITH\b", re.IGNORECASE)
+_CTE_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    return i
+
+
+def _scan_parens(s: str, i: int) -> int:
+    """``s[i]`` must be ``(``; return index just past the matching ``)``.
+    Single-quoted strings (with ``''`` escapes) and double-quoted/backtick
+    identifiers are opaque — parens inside them don't count."""
+    assert s[i] == "("
+    depth = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        elif c == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 1  # escaped quote
+                    else:
+                        break
+                i += 1
+            if i >= n:
+                raise ParseError("unterminated string literal")
+        elif c in ('"', "`"):
+            j = s.find(c, i + 1)
+            if j < 0:
+                raise ParseError("unterminated quoted identifier")
+            i = j
+        i += 1
+    raise ParseError("unbalanced parentheses")
+
+
+def split_with_ctes(sql: str) -> tuple[list[tuple[str, str]], str]:
+    """Split ``WITH a AS (...), b AS (...) <main>`` into
+    ``([(name, body), ...], main_sql)``.
+
+    Character-level scan (quote- and paren-aware) — the CTE *bodies* are
+    arbitrary SQL the routable-grammar tokenizer may reject, so this cannot
+    reuse :func:`_tokenize`. Raises :class:`ParseError` for anything that
+    isn't a plain WITH list: no leading ``WITH``, ``RECURSIVE``, column
+    alias lists (``a(x, y) AS``), or MATERIALIZED hints — callers delegate
+    those queries whole, the analogue of ``try_rewrite`` → ``None``.
+    """
+    s = sql.strip().rstrip(";")
+    m = _WITH_RE.match(s)
+    if not m:
+        raise ParseError("not a WITH query")
+    if "--" in s or "/*" in s:
+        # The paren scanner doesn't understand comments; a ``(`` inside one
+        # would mis-split. Soundness over completeness: delegate whole.
+        raise ParseError("comments not supported in WITH splitting")
+    i = m.end()
+    ctes: list[tuple[str, str]] = []
+    while True:
+        i = _skip_ws(s, i)
+        im = _CTE_IDENT_RE.match(s, i)
+        if not im:
+            raise ParseError("expected CTE name")
+        name = im.group(0)
+        if not ctes and name.upper() == "RECURSIVE":
+            raise ParseError("WITH RECURSIVE is not splittable")
+        i = _skip_ws(s, im.end())
+        am = _CTE_IDENT_RE.match(s, i)
+        if not am or am.group(0).upper() != "AS":
+            # ``name(cols) AS`` or other forms — out of grammar.
+            raise ParseError("expected AS after CTE name")
+        i = _skip_ws(s, am.end())
+        # Permit (and drop) DuckDB/Postgres-style [NOT] MATERIALIZED? No —
+        # delegate: Spark doesn't accept the hint, so pass-through is wrong
+        # only if we rewrote; unrewritten SQL goes back to spark.sql as-is.
+        if i >= len(s) or s[i] != "(":
+            raise ParseError("expected ( after AS")
+        end = _scan_parens(s, i)
+        ctes.append((name, s[i + 1 : end - 1].strip()))
+        i = _skip_ws(s, end)
+        if i < len(s) and s[i] == ",":
+            i += 1
+            continue
+        break
+    main = s[i:].strip()
+    if not main:
+        raise ParseError("WITH query has no main body")
+    return ctes, main

@@ -70,3 +70,78 @@ def test_catalog_owns_similarity_engines(spark, tmp_path):
     got = cat.similarity("cat_emb").topk(q, k=5, kind="lsh", bits=4, tables=2).collect()
     assert cat.similarity("cat_emb").last_route.kind == "indexed"
     assert got[0]["vec_id"] == 0  # self is its own nearest neighbour
+
+
+# ------------------------------------------------------------ CTE routing
+def test_split_with_ctes_parser():
+    from datafusion_uwheel_spark.plans.sqlparse import ParseError, split_with_ctes
+
+    ctes, main = split_with_ctes(
+        "WITH a AS (SELECT 1 AS x), b AS (SELECT '(' AS s FROM t WHERE u IN (1, (2))) "
+        "SELECT * FROM a JOIN b"
+    )
+    assert [n for n, _ in ctes] == ["a", "b"]
+    assert ctes[1][1] == "SELECT '(' AS s FROM t WHERE u IN (1, (2))"
+    assert main == "SELECT * FROM a JOIN b"
+    for bad in [
+        "SELECT 1",  # not a WITH
+        "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r",
+        "WITH a(x) AS (SELECT 1) SELECT * FROM a",  # column alias list
+        "WITH a AS (SELECT 1)",  # no main body
+        "WITH a AS (SELECT 1) SELECT * FROM a -- (",  # comments unsupported
+    ]:
+        with pytest.raises(ParseError):
+            split_with_ctes(bad)
+
+
+_CTE_JOIN_Q = (
+    "WITH cur AS (SELECT date_trunc('second', ts) AS b, SUM(price) AS s FROM cat_b "
+    "WHERE ts >= '2024-05-10 00:00:10' AND ts < '2024-05-10 00:00:20' "
+    "GROUP BY date_trunc('second', ts)), "
+    "prev AS (SELECT date_trunc('second', ts) AS b, SUM(price) AS s FROM cat_b "
+    "WHERE ts >= '2024-05-10 00:00:00' AND ts < '2024-05-10 00:00:10' "
+    "GROUP BY date_trunc('second', ts)) "
+    "SELECT cur.b AS b, cur.s AS s, prev.s AS prev_s FROM cur JOIN prev "
+    "ON prev.b = cur.b - INTERVAL 10 SECONDS ORDER BY b"
+)
+
+
+def test_cte_rewrite_joins_wheel_answers(catalog):
+    got = catalog.sql(_CTE_JOIN_Q)
+    route = catalog.last_route
+    assert route.kind == "cte_rewrite"
+    assert set(route.detail["routed"]) == {"cur", "prev"}
+    assert route.detail["delegated"] == []
+    rows = [tuple(r) for r in got.collect()]
+    expect = [tuple(r) for r in catalog.spark.sql(_CTE_JOIN_Q).collect()]
+    assert rows == expect and len(rows) == 10
+
+
+def test_cte_mixed_routed_and_delegated(catalog):
+    # ``agg`` routes from cat_b's wheel; ``raw`` (a join) stays in-SQL; the
+    # main query also keeps a scalar subquery over the routed CTE.
+    q = (
+        "WITH agg AS (SELECT COUNT(*) AS n, SUM(price) AS s FROM cat_b "
+        "WHERE ts >= '2024-05-10 00:00:00' AND ts < '2024-05-10 00:00:20'), "
+        "raw AS (SELECT cat_b.price AS price FROM cat_b JOIN cat_a "
+        "ON cat_a.timestamp = cat_b.ts) "
+        "SELECT raw.price AS price, agg.n AS n FROM raw, agg "
+        "WHERE raw.price < (SELECT s / n FROM agg) ORDER BY price"
+    )
+    got = catalog.sql(q)
+    route = catalog.last_route
+    assert route.kind == "cte_rewrite"
+    assert list(route.detail["routed"]) == ["agg"]
+    assert route.detail["delegated"] == ["raw"]
+    rows = [tuple(r) for r in got.collect()]
+    expect = [tuple(r) for r in catalog.spark.sql(q).collect()]
+    assert rows == expect and len(rows) > 0
+
+
+def test_cte_no_routable_body_delegates(catalog):
+    # Unregistered table inside the CTE → nothing routes → original text
+    # delegated untouched.
+    catalog.spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("cat_loose")
+    q = "WITH c AS (SELECT COUNT(*) AS n FROM cat_loose) SELECT n FROM c"
+    assert catalog.sql(q).collect()[0][0] == 1
+    assert catalog.last_route.kind == "delegate"
