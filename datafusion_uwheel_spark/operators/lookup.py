@@ -440,6 +440,41 @@ class WheelIndex:
             rows.append((int(keys[k]), states))
         return rows
 
+    def hop_group_by(
+        self, start_sec: int, end_sec: int, width_sec: int, slide_sec: int
+    ) -> list[tuple[int, dict[str, Any]]] | None:
+        """``GROUP BY window(ts, width, slide)`` — hopping windows (Spark's
+        sliding rollup; ``F.window`` with a slide). Window starts are the
+        epoch-aligned multiples of ``slide`` (Spark ``startTime=0``); each
+        window reports its *full* ``[W, W+width)`` bounds but aggregates only
+        the rows inside ``[start, end)``, exactly what Spark computes over a
+        WHERE-bounded scan (Spark requires ``slide <= width``; the parser
+        delegates gapped shapes so Spark raises its own analysis error).
+        Occupied windows only, ascending. Returns ``None`` when the wheel's
+        buckets can't tile the window grid.
+
+        Beyond the reference (tumbling ``date_trunc`` only, lib.rs:348-358)
+        — and beyond our own R4 generalization: overlap means this is NOT a
+        partition of the range, so it reuses :meth:`_combine_slice` per
+        window instead of one segmented reduction; cost is
+        O(windows · width/bucket) driver-side numpy, no Spark job.
+        """
+        if width_sec <= 0 or slide_sec <= 0:
+            return None
+        if width_sec % self.bucket_seconds or slide_sec % self.bucket_seconds:
+            return None
+        if not self.covers(start_sec, end_sec):
+            return None
+        out: list[tuple[int, dict[str, Any]]] = []
+        # Smallest window start strictly overlapping [start, end).
+        wmin = ((start_sec - width_sec) // slide_sec + 1) * slide_sec
+        for wstart in range(wmin, end_sec, slide_sec):
+            i, j = self._slice(max(wstart, start_sec), min(wstart + width_sec, end_sec))
+            if i == j:
+                continue
+            out.append((wstart, self._combine_slice(i, j)))
+        return out
+
     # ----------------------------------------------------------- min/max
     def min_max_range(self, start_sec: int, end_sec: int):
         """(min, max) of the indexed column over the range, for scan pruning

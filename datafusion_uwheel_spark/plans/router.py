@@ -462,7 +462,8 @@ class Router:
             # Tumbling window(ts, 'w') — any second-aligned width answers
             # from the wheel (the reference's R4 only maps five named
             # date_trunc granularities, lib.rs:348-358; Spark's idiomatic
-            # temporal-rollup shape is this one).
+            # temporal-rollup shape is this one). A slide != width makes it
+            # hopping — overlapping windows via WheelIndex.hop_group_by.
             if gb.column != e.time_column:
                 return (
                     RouteDecision("delegate", detail={"reason": "unsupported group expr"}),
@@ -509,9 +510,16 @@ class Router:
         else:
             start_sec, end_sec = rng.start_sec, rng.end_sec
 
+        hopping = isinstance(gb, WindowSpec) and gb.hopping
+
+        def _bucket_states(w):
+            if hopping:
+                return w.hop_group_by(start_sec, end_sec, gb.width_sec, gb.slide_sec)
+            return w.group_by(start_sec, end_sec, gran)
+
         per_wheel = []
         for agg, w in zip(q.aggs, wheels):
-            got = w.group_by(start_sec, end_sec, gran)
+            got = _bucket_states(w)
             if got is None:
                 return RouteDecision("delegate", detail={"reason": "range not covered"}), None
             key = _state_key(agg)
@@ -539,7 +547,7 @@ class Router:
                         ),
                         None,
                     )
-                hgot = hw.group_by(start_sec, end_sec, gran)
+                hgot = _bucket_states(hw)
                 if hgot is None:
                     return RouteDecision("delegate", detail={"reason": "range not covered"}), None
                 hkey = _state_key(spec)
@@ -584,7 +592,11 @@ class Router:
                 kind,
                 index_key=wheels[0].key,
                 detail={
-                    "granularity": gran if isinstance(gran, str) else f"window:{gran}s",
+                    "granularity": (
+                        f"window:{gb.width_sec}s/{gb.slide_sec}s"
+                        if hopping
+                        else gran if isinstance(gran, str) else f"window:{gran}s"
+                    ),
                     "fk": fk,
                 },
             ),

@@ -7,9 +7,9 @@ Catalyst's optimizer, so we match **before** Spark sees the query (SURVEY.md
 fire on —
 
     SELECT {* | aggs | date_trunc(g, ts), aggs
-             | window(ts, 'w').{start|end} AS a, aggs} FROM t
+             | window(ts, 'w'[, 's']).{start|end} AS a, aggs} FROM t
     [WHERE conjunct [AND conjunct]...]
-    [GROUP BY {date_trunc(g, ts) | window(ts, 'w')}]
+    [GROUP BY {date_trunc(g, ts) | window(ts, 'w'[, 's'])}]
 
 Anything outside this grammar (joins, OR, subqueries, window functions, …)
 raises :class:`ParseError`, and the router delegates the original SQL string
@@ -160,18 +160,25 @@ def parse_interval_seconds(text: str) -> int:
 
 @dataclass(frozen=True)
 class WindowSpec:
-    """``window(column, 'interval')`` tumbling window — Spark's idiomatic
-    temporal rollup (`F.window` / SQL ``window()``), bucket width any whole
-    number of seconds, buckets aligned to the epoch (Spark's default
-    ``startTime`` of 0 — note ``window(ts, '7 days')`` is Thursday-aligned,
-    unlike Monday-aligned ``date_trunc('week')``). ``field`` is ``start`` /
-    ``end`` for select items, ``None`` for the GROUP BY expression itself."""
+    """``window(column, 'interval'[, 'slide'])`` tumbling or hopping window —
+    Spark's idiomatic temporal rollup (`F.window` / SQL ``window()``), bucket
+    width any whole number of seconds, window starts aligned to the epoch at
+    multiples of the slide (Spark's default ``startTime`` of 0 — note
+    ``window(ts, '7 days')`` is Thursday-aligned, unlike Monday-aligned
+    ``date_trunc('week')``). ``slide_sec is None`` means tumbling
+    (slide = width). ``field`` is ``start`` / ``end`` for select items,
+    ``None`` for the GROUP BY expression itself."""
 
     column: str
     width_sec: int
     interval: str
     field: str | None
     alias: str | None
+    slide_sec: int | None = None
+
+    @property
+    def hopping(self) -> bool:
+        return self.slide_sec is not None and self.slide_sec != self.width_sec
 
     @property
     def output_name(self) -> str:
@@ -320,7 +327,11 @@ class _Parser:
                 if truncs:
                     raise ParseError("date_trunc select with window GROUP BY")
                 for w in wins:
-                    if w.column != g.column or w.width_sec != g.width_sec:
+                    if (
+                        w.column != g.column
+                        or w.width_sec != g.width_sec
+                        or w.slide_sec != g.slide_sec
+                    ):
                         raise ParseError("SELECT window does not match GROUP BY")
                 q.group_by = g
             else:
@@ -411,7 +422,12 @@ class _Parser:
                 spec = AggSpec(spec.func, spec.arg, alias)
             elif isinstance(spec, WindowSpec):
                 spec = WindowSpec(
-                    spec.column, spec.width_sec, spec.interval, spec.field, alias
+                    spec.column,
+                    spec.width_sec,
+                    spec.interval,
+                    spec.field,
+                    alias,
+                    spec.slide_sec,
                 )
             else:
                 spec = DateTruncSpec(spec.granularity, spec.column, alias)
@@ -428,9 +444,9 @@ class _Parser:
         return AggSpec(func, arg, None)
 
     def window_expr(self) -> WindowSpec:
-        """``window(col, 'interval')`` with optional trailing ``.start`` /
-        ``.end`` field access. Sliding/offset forms (3- and 4-argument
-        ``window``) are not tumbling rollups — delegate."""
+        """``window(col, 'width'[, 'slide'])`` with optional trailing
+        ``.start`` / ``.end`` field access. The 4-argument ``startTime``
+        offset form shifts windows off the epoch grid — delegate that."""
         t = self.next()
         if t.kind != "ident" or t.value.lower() != "window":
             raise ParseError("expected window")
@@ -440,17 +456,27 @@ class _Parser:
         iv = self.next()
         if iv.kind != "string":
             raise ParseError("window duration must be a string literal")
+        slide = None
         if self.accept_punct(","):
-            raise ParseError("sliding/offset window is not a tumbling rollup")
+            sl = self.next()
+            if sl.kind != "string":
+                raise ParseError("window slide must be a string literal")
+            if self.accept_punct(","):
+                raise ParseError("window startTime offset is not routable")
+            slide = parse_interval_seconds(sl.value)
         self.expect_punct(")")
         width = parse_interval_seconds(iv.value)
+        if slide is not None and slide > width:
+            # Spark rejects slide > width (PARAMETER_CONSTRAINT_VIOLATION);
+            # delegate so the caller sees Spark's own analysis error.
+            raise ParseError("window slide must be <= width")
         fld = None
         if self.accept_punct("."):
             f_ = self.ident_raw().lower()
             if f_ not in {"start", "end"}:
                 raise ParseError(f"unsupported window field: {f_}")
             fld = f_
-        return WindowSpec(col, width, iv.value, fld, None)
+        return WindowSpec(col, width, iv.value, fld, None, slide)
 
     def date_trunc_expr(self) -> DateTruncSpec:
         t = self.next()

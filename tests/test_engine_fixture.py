@@ -203,11 +203,12 @@ def test_window_tumbling_delegates(spark, minimal_agg, engine):
         "FROM fixture_wmin GROUP BY window(timestamp, '2 minutes')"
     )
     assert eng.explain_route(sql120).kind == "group_by_landmark"
-    # sliding windows, bare-struct selects, missing aliases, and sub-second
+    # startTime offsets, bare-struct selects, missing aliases, and sub-second
     # widths are outside the routable grammar → delegate (Spark answers them)
     for bad in (
-        f"SELECT window(timestamp, '4 seconds', '2 seconds').start AS b, COUNT(*) AS c "
-        f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '4 seconds', '2 seconds')",
+        f"SELECT window(timestamp, '4 seconds', '2 seconds', '1 second').start AS b, "
+        f"COUNT(*) AS c FROM fixture WHERE {RANGE} "
+        f"GROUP BY window(timestamp, '4 seconds', '2 seconds', '1 second')",
         f"SELECT window(timestamp, '2 seconds') AS w, COUNT(*) AS c "
         f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '2 seconds')",
         f"SELECT window(timestamp, '2 seconds').start, COUNT(*) AS c "
@@ -216,6 +217,78 @@ def test_window_tumbling_delegates(spark, minimal_agg, engine):
         f"FROM fixture WHERE {RANGE} GROUP BY window(timestamp, '500 milliseconds')",
     ):
         assert engine.explain_route(bad).kind == "delegate"
+
+
+def test_window_hopping_overlap(engine):
+    # 4s windows sliding by 2s — every row lands in exactly 2 windows, and
+    # the routed rows must equal Spark's native window() evaluation.
+    sql = (
+        "SELECT window(timestamp, '4 seconds', '2 seconds').start AS b, "
+        "window(timestamp, '4 seconds', '2 seconds').end AS e, "
+        "COUNT(*) AS c, SUM(agg_col) AS s "
+        f"FROM fixture WHERE {RANGE} "
+        "GROUP BY window(timestamp, '4 seconds', '2 seconds') ORDER BY b"
+    )
+    df = engine.sql(sql)
+    assert engine.last_route.kind == "group_by"
+    assert engine.last_route.detail["granularity"] == "window:4s/2s"
+    rows = df.collect()
+    assert rows == engine.spark.sql(sql).collect()
+    # clipped edge windows still report their full 4-second bounds
+    assert all((r["e"] - r["b"]).total_seconds() == 4.0 for r in rows)
+    assert sum(r["c"] for r in rows) == 20  # 10 rows × 2 windows each
+
+
+def test_window_hopping_gaps_and_having(engine):
+    # slide > width is a Spark analysis error (PARAMETER_CONSTRAINT_VIOLATION)
+    # — the parser delegates it so the caller gets Spark's own error.
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    bad = (
+        "SELECT window(timestamp, '2 seconds', '3 seconds').start AS b, COUNT(*) AS c "
+        f"FROM fixture WHERE {RANGE} "
+        "GROUP BY window(timestamp, '2 seconds', '3 seconds') ORDER BY b"
+    )
+    with pytest.raises(AnalysisException):
+        engine.sql(bad)
+    assert engine.last_route.kind == "delegate"
+    # explicit slide == width is just tumbling — routes on the fast path
+    same = (
+        "SELECT window(timestamp, '2 seconds', '2 seconds').start AS b, COUNT(*) AS c "
+        f"FROM fixture WHERE {RANGE} "
+        "GROUP BY window(timestamp, '2 seconds', '2 seconds') ORDER BY b"
+    )
+    sdf = engine.sql(same)
+    assert engine.last_route.kind == "group_by"
+    assert [tuple(r) for r in sdf.collect()] == [
+        tuple(r) for r in engine.spark.sql(same).collect()
+    ]
+    # HAVING evaluated per hopping window from the same wheel states
+    hv = (
+        "SELECT window(timestamp, '4 seconds', '2 seconds').start AS b, SUM(agg_col) AS s "
+        f"FROM fixture WHERE {RANGE} "
+        "GROUP BY window(timestamp, '4 seconds', '2 seconds') "
+        "HAVING COUNT(*) >= 4 ORDER BY b"
+    )
+    hdf = engine.sql(hv)
+    assert engine.last_route.kind == "group_by"
+    assert [tuple(r) for r in hdf.collect()] == [
+        tuple(r) for r in engine.spark.sql(hv).collect()
+    ]
+
+
+def test_window_hopping_landmark_no_job(engine, spark):
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    lm = (
+        "SELECT window(timestamp, '6 seconds', '3 seconds').start AS b, SUM(agg_col) AS s "
+        "FROM fixture GROUP BY window(timestamp, '6 seconds', '3 seconds')"
+    )
+    df = engine.sql(lm)
+    assert engine.last_route.kind == "group_by_landmark"
+    rows = sorted(map(tuple, df.collect()))
+    assert tracker.getJobIdsForGroup(None) == before  # routed: zero Spark jobs
+    assert rows == sorted(map(tuple, spark.sql(lm).collect()))
 
 
 def test_window_tumbling_no_job(engine, spark):
