@@ -344,6 +344,15 @@ def main() -> None:
             ranges_hour,
         ),
         (
+            "uw_window_hopping",
+            lambda a, b: (
+                "SELECT window(ts, '1 hour', '15 minutes').start AS ws, COUNT(*) AS n, "
+                f"SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}' "
+                "GROUP BY window(ts, '1 hour', '15 minutes')"
+            ),
+            ranges_hour,
+        ),
+        (
             "uw_prune_minmax",
             lambda a, b: (
                 f"SELECT * FROM events WHERE ts >= '{a}' AND ts < '{b}' AND value > 100000.0"
@@ -473,6 +482,35 @@ def main() -> None:
         "point_agg",
     )
 
+    # Routed-CTE join (r4): both hourly-rollup CTEs answered from the wheel,
+    # the join + scalar subquery run over the spliced-in broadcast answers;
+    # vanilla_cte_join below runs the identical SQL as two full scans + join.
+    from datafusion_uwheel_spark.catalog import WheelCatalog
+
+    cte_sql = (
+        "WITH cur AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, "
+        "SUM(value) AS s FROM events WHERE ts >= '2024-01-08 00:00:00' AND "
+        "ts < '2024-01-09 00:00:00' GROUP BY date_trunc('hour', ts)), "
+        "prev AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, "
+        "SUM(value) AS s FROM events WHERE ts >= '2024-01-07 00:00:00' AND "
+        "ts < '2024-01-08 00:00:00' GROUP BY date_trunc('hour', ts)) "
+        "SELECT cur.bucket AS bucket, cur.n AS n, prev.n AS prev_n, cur.s AS s, "
+        "prev.s AS prev_s FROM cur JOIN prev ON prev.bucket = cur.bucket - INTERVAL 1 DAY "
+        "WHERE cur.n > (SELECT AVG(n) FROM prev) ORDER BY bucket"
+    )
+    cat = WheelCatalog(spark)
+    cat.engines["events"] = eng
+
+    def cte_call():
+        cat.sql(cte_sql).collect()
+        assert cat.last_route.kind == "cte_rewrite", cat.last_route
+
+    queries["uw_cte_join"] = time_calls(cte_call, N_VANILLA)
+    log(
+        f"uw_cte_join: {queries['uw_cte_join']*1e3:.1f} ms median "
+        "(routed CTEs + broadcast join)"
+    )
+
     # ------------------------------------------- vanilla Spark comparisons
     def run_vanilla(family, sql):
         def call():
@@ -506,6 +544,7 @@ def main() -> None:
         "SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n, SUM(value) AS s "
         f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('hour', ts)",
     )
+    run_vanilla("vanilla_cte_join", cte_sql)
     a, b = ranges_min[0]
     run_vanilla(
         "vanilla_between",
@@ -531,6 +570,10 @@ def main() -> None:
         queries["vanilla_between"] / queries["uw_between_hybrid"], 2
     )
     log(f"speedup_between_hybrid: {speedups['between_hybrid']}x")
+    speedups["cte_join"] = round(
+        queries["vanilla_cte_join"] / queries["uw_cte_join"], 2
+    )
+    log(f"speedup_cte_join: {speedups['cte_join']}x")
 
     total = sum(queries.values())
     print(

@@ -1,12 +1,14 @@
 """Operators: wheel-index build/lookup plus LLM-data-pipeline transforms."""
 
 from . import dedup, multimodal, similarity, text
+from .asof import asof_join
 from .lookup import STAR_AGGREGATION_ALIAS, WheelIndex
 from .rollup_table import SparkRollupWheel
 from .rollups import build_wheel_index, build_wheel_indices
 
 __all__ = [
     "WheelIndex",
+    "asof_join",
     "SparkRollupWheel",
     "STAR_AGGREGATION_ALIAS",
     "build_wheel_index",
