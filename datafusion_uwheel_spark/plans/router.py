@@ -199,10 +199,16 @@ def _combine_core_boundary(agg: AggSpec, core: dict, brow: dict):
 
     return _variance_states(float(total_sum), total_sq, vn)[key]
 
-#: Row-count threshold above which constant results fall back to
-#: ``createDataFrame`` (a VALUES SQL string with millions of tuples would
-#: blow up parse time; an RDD-backed local collection is the robust path).
-_VALUES_MAX_ROWS = 10_000
+#: Row-count threshold above which constant results switch from an inline
+#: VALUES relation to Arrow ``createDataFrame``. VALUES folds to a
+#: LocalRelation (zero Spark jobs — the dashboard-scalar property) but its
+#: JVM parse cost grows with the rendered string; Arrow pays a fixed ~15 ms
+#: + one trivial local job. Measured on distinct (uncached) routed queries,
+#: local[8]: 1-row VALUES ≈ 10 ms beats Arrow; they tie at ~2-8 rows
+#: (20 vs 15-20 ms); Arrow wins 2× at ~100 rows (23 vs 47 ms) and 2.4× at
+#: ~900 rows (69 vs 165 ms). 32 keeps the zero-job guarantee for scalar and
+#: small group-by answers and routes real temporal rollups through Arrow.
+_VALUES_MAX_ROWS = 32
 
 
 def _sql_literal(value: Any, sql_type: str) -> str:
