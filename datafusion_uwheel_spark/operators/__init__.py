@@ -2,6 +2,8 @@
 
 from . import dedup, multimodal, similarity, text
 from .asof import asof_join
+from .rangejoin import range_join
+from .sessions import session_agg, with_session_id
 from .lookup import STAR_AGGREGATION_ALIAS, WheelIndex
 from .rollup_table import SparkRollupWheel
 from .rollups import build_wheel_index, build_wheel_indices
@@ -9,6 +11,9 @@ from .rollups import build_wheel_index, build_wheel_indices
 __all__ = [
     "WheelIndex",
     "asof_join",
+    "range_join",
+    "session_agg",
+    "with_session_id",
     "SparkRollupWheel",
     "STAR_AGGREGATION_ALIAS",
     "build_wheel_index",
