@@ -171,6 +171,51 @@ def main() -> None:
         )
         .collect()[0][0],
     )
+    # Temporal-join operators (r4) on the events table: sessionize by user,
+    # as-of enrich each event with the latest per-type hourly rollup, and
+    # count events per session interval via the bucketized range join.
+    from datafusion_uwheel_spark.operators import asof, rangejoin, sessions
+
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    med(
+        "sessionize_events",
+        lambda: sessions.session_agg(ev, on="ts", by=("user_id",), gap=1800.0)
+        .agg(F.count(F.lit(1)), F.sum("n_events"))
+        .collect()[0][0],
+    )
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("ts"), "event_type")
+        .agg(F.avg("value").alias("hr_avg"), F.count(F.lit(1)).alias("hr_n"))
+    )
+    med(
+        "asof_enrich_events",
+        lambda: asof.asof_join(
+            ev.select("event_id", "ts", "event_type"),
+            hourly,
+            on="ts",
+            by=("event_type",),
+            tolerance=7200.0,
+        )
+        .agg(F.count(F.lit(1)), F.sum("hr_n"))
+        .collect()[0][0],
+    )
+    sess_iv = sessions.session_agg(ev, on="ts", by=("user_id",), gap=1800.0)
+    med(
+        "range_join_sessions",
+        lambda: rangejoin.range_join(
+            ev.select("event_id", "ts", "user_id"),
+            sess_iv,
+            "ts",
+            "session_start",
+            "session_end",
+            by=("user_id",),
+            bucket=1800.0,
+            bounds="[]",
+        )
+        .agg(F.count(F.lit(1)))
+        .collect()[0][0],
+    )
+
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
