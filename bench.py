@@ -216,6 +216,18 @@ def main() -> None:
         .collect()[0][0],
     )
 
+    med(
+        "text_pii_repetition",
+        lambda: text_ops.with_repetition_stats(text_ops.with_pii_scrub(docs))
+        .agg(
+            F.sum("n_email"),
+            F.sum("n_phone"),
+            F.sum("dup_token_ratio"),
+            F.sum(F.length("text_scrubbed")),
+        )
+        .collect()[0][0],
+    )
+
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]

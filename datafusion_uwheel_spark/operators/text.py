@@ -28,6 +28,9 @@ __all__ = [
     "with_quality",
     "with_lang_id",
     "with_fingerprint",
+    "with_pii_scrub",
+    "with_repetition_stats",
+    "PII_PATTERNS",
     "ROLLING_HASH_MOD",
 ]
 
@@ -159,3 +162,71 @@ def fingerprint_col(text: str | Column = "text") -> Column:
 
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_col(text))
+
+
+#: PII patterns — deliberately simple heuristics in the RE2 ∩ Java-regex
+#: dialect (character classes, bounded repeats, \b; no lookarounds) so the
+#: identical pattern runs in Spark codegen AND the DuckDB oracle. The
+#: contract is deterministic redaction of these shapes, not NER-grade recall.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{7,15}|\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def with_pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:
+    """Redact PII-shaped spans and count them per category.
+
+    Adds ``{text}_scrubbed`` (emails → ``<EMAIL>``, phones → ``<PHONE>``,
+    IPv4 → ``<IP>``, applied in that order — an email's host part can no
+    longer be misread as a phone/IP once replaced) plus ``n_email`` /
+    ``n_phone`` / ``n_ipv4`` counts from the ORIGINAL text. Pure
+    ``regexp_replace`` / ``regexp_extract_all`` projections — codegen'd,
+    shuffle-free, no UDFs."""
+    src = F.col(text)
+    counts = {
+        f"n_{name}": F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    scrubbed = src
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(
+            scrubbed, pat, {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}[name]
+        )
+    return df.withColumns({**counts, f"{text}_scrubbed": scrubbed})
+
+
+def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the C4/RefinedWeb-style filters):
+
+    * ``dup_token_ratio`` — 1 − distinct_tokens / tokens (0 when empty);
+    * ``dup_line_ratio`` — 1 − distinct_lines / lines over non-blank lines;
+    * ``top_token_ratio`` — frequency share of the most common token.
+
+    Exact integer-to-double arithmetic over ``split`` / ``array_distinct`` /
+    ``aggregate`` expressions; DuckDB reproduces every value bit-for-bit
+    (see ``tests/test_llm_ops.py``), no Python in the row path."""
+    toks = tokens_col(text)
+    n = F.size(toks).cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    lines = F.filter(F.split(F.col(text), r"\n"), lambda x: F.length(F.trim(x)) > 0)
+    nl = F.size(lines).cast("double")
+    nld = F.size(F.array_distinct(lines)).cast("double")
+    # max token frequency via a fold over the distinct tokens: for each
+    # distinct token count its occurrences — O(distinct · tokens) per row,
+    # fine for the ≤ few-KB documents this targets.
+    max_freq = F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.greatest(
+            acc, F.size(F.filter(toks, lambda x: x == t)).cast("long")
+        ),
+    ).cast("double")
+    return df.withColumns(
+        {
+            "dup_token_ratio": F.when(n == 0, F.lit(0.0)).otherwise(F.lit(1.0) - nd / n),
+            "dup_line_ratio": F.when(nl == 0, F.lit(0.0)).otherwise(F.lit(1.0) - nld / nl),
+            "top_token_ratio": F.when(n == 0, F.lit(0.0)).otherwise(max_freq / n),
+        }
+    )

@@ -93,6 +93,53 @@ SELECT doc_id,
 FROM {table}"""
 
 
+def pii_scrub_sql(table: str = "documents") -> str:
+    """Oracle of :func:`..operators.text.with_pii_scrub` — identical RE2 ∩
+    Java-dialect patterns, replacements applied in the same email → phone →
+    ipv4 order, counts taken from the original text."""
+    from .operators.text import PII_PATTERNS
+
+    e, p, i = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),"
+        f" '{p}', '<PHONE>', 'g'), '{i}', '<IP>', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ipv4,
+       {scrub} AS text_scrubbed
+FROM {table}"""
+
+
+def repetition_sql(table: str = "documents") -> str:
+    """Oracle of :func:`..operators.text.with_repetition_stats` — same
+    tokenizer, same fold for the max token frequency."""
+    toks = tokens_sql()
+    lines = (
+        "list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0)"
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS DOUBLE) AS n,
+         CAST(len(list_distinct({toks})) AS DOUBLE) AS nd,
+         CAST(len({lines}) AS DOUBLE) AS nl,
+         CAST(len(list_distinct({lines})) AS DOUBLE) AS nld,
+         CAST(list_aggregate(
+           list_transform(list_distinct({toks}),
+                          t -> len(list_filter({toks}, x -> x = t))),
+           'max') AS DOUBLE) AS max_freq
+  FROM {table}
+)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - nd / n END AS dup_token_ratio,
+       CASE WHEN nl = 0 THEN 0.0 ELSE 1.0 - nld / nl END AS dup_line_ratio,
+       CASE WHEN n = 0 THEN 0.0 ELSE max_freq / n END AS top_token_ratio
+FROM q"""
+
+
 def quality_sql(table: str = "documents") -> str:
     toks = tokens_sql()
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])

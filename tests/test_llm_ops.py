@@ -294,3 +294,100 @@ def test_lsh_buckets_deterministic(vecs):
     b = similarity.with_lsh_buckets(df, dim=16, bits=4, tables=2).select("vec_id", "bucket_0", "bucket_1")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert a.filter((F.col("bucket_0") < 0) | (F.col("bucket_0") > 15)).count() == 0
+
+
+# ---------------------------------------------------- pii scrub / repetition
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "contact me at alice.smith+spam@example.co.uk or bob@test.org today"),
+        (2, "call +15551234567 or 555-123-4567 now"),
+        (3, "server at 10.0.254.3 and backup 192.168.1.1; version 1.2 is fine"),
+        (4, "mixed: eve@a.io from 127.0.0.1 dialed 800.555.1212 twice"),
+        (5, ""),
+        (6, "no pii here just words\nand a second line\nand a second line"),
+        (7, "dup dup dup dup unique"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _duckdb_rows(pdf, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return sorted(map(tuple, con.sql(sql).fetchall()))
+
+
+def test_pii_scrub_matches_duckdb(pii_docs):
+    from datafusion_uwheel_spark import oracles
+
+    got = sorted(
+        (r["doc_id"], r["n_email"], r["n_phone"], r["n_ipv4"], r["text_scrubbed"])
+        for r in text_ops.with_pii_scrub(pii_docs)
+        .select("doc_id", "n_email", "n_phone", "n_ipv4", "text_scrubbed")
+        .collect()
+    )
+    want = _duckdb_rows(pii_docs.toPandas(), oracles.pii_scrub_sql())
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][1] == 2 and "<EMAIL>" in by_id[1][4]
+    assert by_id[2][2] == 2 and "<PHONE>" in by_id[2][4]
+    assert by_id[3][3] == 2 and "1.2" in by_id[3][4]  # version strings survive
+    assert by_id[4][1:4] == (1, 1, 1)
+    assert by_id[6][1:4] == (0, 0, 0) and by_id[6][4] == pii_docs.collect()[5]["text"]
+
+
+def test_pii_scrub_on_testdata(spark):
+    from datafusion_uwheel_spark import oracles
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        map(tuple, text_ops.with_pii_scrub(docs)
+            .select("doc_id", "n_email", "n_phone", "n_ipv4", "text_scrubbed")
+            .collect())
+    )
+    want = _duckdb_rows(
+        docs.select("doc_id", "text").toPandas(), oracles.pii_scrub_sql()
+    )
+    assert got == want
+
+
+def test_repetition_stats_match_duckdb(pii_docs):
+    from datafusion_uwheel_spark import oracles
+
+    got = sorted(
+        (r["doc_id"], r["dup_token_ratio"], r["dup_line_ratio"], r["top_token_ratio"])
+        for r in text_ops.with_repetition_stats(pii_docs)
+        .select("doc_id", "dup_token_ratio", "dup_line_ratio", "top_token_ratio")
+        .collect()
+    )
+    want = _duckdb_rows(pii_docs.toPandas(), oracles.repetition_sql())
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[5] == (5, 0.0, 0.0, 0.0)  # empty text → all zeros
+    assert by_id[7][1] == pytest.approx(1.0 - 2 / 5)  # dup dup dup dup unique
+    assert by_id[7][3] == pytest.approx(4 / 5)
+    assert by_id[6][2] == pytest.approx(1.0 - 2 / 3)  # one duplicated line
+
+
+def test_repetition_stats_on_testdata(spark):
+    from datafusion_uwheel_spark import oracles
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        (r["doc_id"], round(r["dup_token_ratio"], 9), round(r["dup_line_ratio"], 9),
+         round(r["top_token_ratio"], 9))
+        for r in text_ops.with_repetition_stats(docs)
+        .select("doc_id", "dup_token_ratio", "dup_line_ratio", "top_token_ratio")
+        .collect()
+    )
+    want = [
+        (i, round(a, 9), round(b, 9), round(c, 9))
+        for i, a, b, c in _duckdb_rows(
+            docs.select("doc_id", "text").toPandas(), oracles.repetition_sql()
+        )
+    ]
+    assert got == want
