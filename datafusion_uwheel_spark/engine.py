@@ -330,6 +330,14 @@ class WheelEngine:
         approximate answers are opt-in, never a silent substitution)."""
         return self.distinct_rollups[column].approx_distinct(start, end)
 
+    def approx_distinct_by(self, column: str, granularity, start=None, end=None):
+        """Per-bucket ``COUNT(DISTINCT column)`` estimates — the group-by
+        form: a named ``date_trunc`` granularity or an integer tumbling
+        width in seconds. Same opt-in discipline (KeyError if no rollup)."""
+        return self.distinct_rollups[column].approx_distinct_by(
+            granularity, start, end
+        )
+
     def build_min_max_index(self, column: str) -> str:
         """Add a MIN/MAX pruning wheel after construction (min/max states
         only — the reference's ``build_min_max_wheel``, ``lib.rs:967-1017``)."""

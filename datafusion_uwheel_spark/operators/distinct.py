@@ -70,6 +70,47 @@ class DistinctRollup:
         )
         return int(row["est"] or 0)
 
+    def approx_distinct_by(
+        self, granularity, start=None, end=None
+    ) -> DataFrame:
+        """Per-bucket ``COUNT(DISTINCT col)`` estimates — the group-by form
+        of :meth:`approx_distinct`: ``GROUP BY date_trunc('<granularity>')``
+        for a named granularity, or epoch-aligned tumbling windows for an
+        integer width in seconds (the ``window(ts, w)`` shape). Returns
+        ``(bucket TIMESTAMP, approx_distinct BIGINT)`` for occupied buckets;
+        one tiny job over the cached sketch table, O(stored buckets)
+        regardless of table size. Optional ``[start, end)`` restriction with
+        the same both-edges-whole coverage as the range estimate.
+
+        Sketches are monoids, so regrouping the fine buckets under any
+        coarser bucketing is exact sketch algebra — no rescan, no second
+        rollup build."""
+        ts = F.timestamp_seconds(F.col("__sec"))
+        if isinstance(granularity, int):
+            if granularity <= 0 or granularity % self.bucket_seconds:
+                raise ValueError(
+                    f"width {granularity!r} not tiled by {self.bucket_seconds}s buckets"
+                )
+            bucket = F.timestamp_seconds(
+                F.col("__sec") - F.col("__sec") % F.lit(granularity)
+            )
+        else:
+            bucket = F.date_trunc(str(granularity), ts)
+        df = self._df
+        if start is not None or end is not None:
+            df = df.filter(
+                self._range_filter(start or "1970-01-01", end or "9999-01-01")
+            )
+        return (
+            df.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("__hll"))
+                .cast("long")
+                .alias("approx_distinct")
+            )
+            .orderBy("bucket")
+        )
+
     def merged_sketch(self, start, end) -> bytes | None:
         """The merged HLL sketch bytes for ``[start, end)`` — composable
         with sketches from other tables/partitions (union-merge downstream,

@@ -4,6 +4,7 @@ composition, and the probe-never-scans discipline."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from datafusion_uwheel_spark import WheelEngine
 from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
@@ -168,3 +169,44 @@ def test_wheel_maintainer_drives_distinct_rollup(spark, events):
     assert eng.approx_distinct("user_id", *span) == full.approx_distinct(*span)
     full.unpersist()
     eng.distinct_rollups["user_id"].unpersist()
+
+
+def test_group_by_estimates_within_error(spark, events, rollup):
+    # daily COUNT(DISTINCT user_id) from hourly sketches vs the exact scan
+    got = {
+        r["bucket"]: r["approx_distinct"]
+        for r in rollup.approx_distinct_by("day", A, B).collect()
+    }
+    exact_rows = (
+        events.filter(f"ts >= '{A}' AND ts < '{B}'")
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    assert len(got) == len(exact_rows) > 0
+    for r in exact_rows:
+        est = got[r["bucket"]]
+        assert abs(est - r["n"]) <= max(2, 0.05 * r["n"]), (r["bucket"], est, r["n"])
+
+
+def test_group_by_tumbling_width(spark, events, rollup):
+    # 6-hour epoch-aligned windows; widths the buckets can't tile raise
+    got = rollup.approx_distinct_by(6 * 3600, A, B).collect()
+    assert len(got) == 28  # 7 days x 4 windows
+    secs = [r["bucket"].timestamp() for r in got]
+    assert all(s % (6 * 3600) == 0 for s in secs)
+    with pytest.raises(ValueError, match="not tiled"):
+        rollup.approx_distinct_by(5400)
+
+
+def test_group_by_engine_facade(spark, events):
+    from datafusion_uwheel_spark import WheelEngine
+
+    eng = WheelEngine(spark, "ev_adby", events, time_column="ts")
+    eng.build_distinct_index("user_id")
+    df = eng.approx_distinct_by("user_id", "week")
+    rows = df.collect()
+    assert rows and all(r["approx_distinct"] > 0 for r in rows)
+    # unrestricted group-by covers the whole indexed span
+    total = eng.approx_distinct("user_id", "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert max(r["approx_distinct"] for r in rows) <= total
