@@ -66,6 +66,7 @@ def session_agg(
     on: str = "ts",
     by: tuple[str, ...] | list[str] = (),
     gap: float = 1800.0,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Per-session aggregates via native ``F.session_window``: one row per
     session with ``(by..., session_start, session_end, n_events,
@@ -74,10 +75,17 @@ def session_agg(
     ``session_start``/``session_end`` are the observed first/last event times
     (NOT the window's ``end``, which Spark pads by ``gap``); ``duration_sec``
     is their span, 0.0 for single-event sessions.
+
+    Works unchanged on a streaming frame: pass ``watermark`` (e.g.
+    ``"10 minutes"``) and write with ``outputMode("append")`` — a session is
+    emitted exactly once, when the watermark passes its close (last event +
+    gap). On a batch frame the watermark is a no-op.
     """
     if gap <= 0:
         raise ValueError(f"gap must be positive, got {gap!r}")
     by = list(by)
+    if watermark is not None:
+        df = df.withWatermark(on, watermark)
     sw = F.session_window(F.col(on), f"{gap} seconds")
     out = (
         df.groupBy(sw.alias("__sw"), *[F.col(c) for c in by])

@@ -131,3 +131,61 @@ def test_validation(events, spark):
         session_agg(df, gap=-1)
     with pytest.raises(ValueError, match="already exists"):
         with_session_id(with_session_id(df, by=("user",)), by=("user",))
+
+
+def test_streaming_session_agg_emits_closed_sessions(spark, tmp_path):
+    """Append-mode streaming sessionization: a session is emitted exactly
+    once, when the watermark passes its close; emitted rows equal the batch
+    session_agg over the same data."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    stream_dir = tmp_path / "sess_in"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+    emitted = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+        agg = session_agg(stream, on="ts", by=("user",), gap=60.0, watermark="0 seconds")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _bid: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    chunk1 = [
+        ("u1", BASE + timedelta(seconds=s)) for s in (0, 10, 30)      # one session
+    ] + [
+        ("u1", BASE + timedelta(seconds=s)) for s in (300, 310)       # second session
+    ] + [
+        ("u2", BASE + timedelta(seconds=s)) for s in (5, 100)         # two sessions
+    ]
+    spark.createDataFrame(chunk1, schema).write.mode("append").parquet(str(stream_dir))
+    run_once()  # state only — nothing can be emitted before the watermark moves
+
+    # far-future chunk pushes the watermark past every chunk1 session close
+    spark.createDataFrame(
+        [("u3", BASE + timedelta(days=1))], schema
+    ).write.mode("append").parquet(str(stream_dir))
+    run_once()
+
+    got = sorted(
+        (r["user"], r["session_start"], r["session_end"], r["n_events"], r["duration_sec"])
+        for r in emitted
+    )
+    want = sorted(
+        (r["user"], r["session_start"], r["session_end"], r["n_events"], r["duration_sec"])
+        for r in session_agg(
+            spark.createDataFrame(chunk1, schema), on="ts", by=("user",), gap=60.0
+        ).collect()
+    )
+    assert got == want and len(got) == 4
