@@ -88,3 +88,42 @@ def test_pathological_shapes():
     for c in cases:
         with pytest.raises(ParseError):
             parse_select(c)
+
+
+# ------------------------------------------------------------- WITH splitter
+def test_with_split_round_trips():
+    from datafusion_uwheel_spark.plans.sqlparse import split_with_ctes
+
+    rng = random.Random(31)
+    bodies = [
+        "SELECT 1 AS x",
+        "SELECT a, b FROM t WHERE s = 'it''s (tricky)'",
+        "SELECT * FROM u WHERE x IN (1, (2), ((3)))",
+        'SELECT "we(ird)" FROM `ta(ble)` WHERE y > 0',
+        "SELECT fn(a, fn(b, fn(c)))",
+    ]
+    for _ in range(500):
+        n = rng.randrange(1, 5)
+        names = [f"c{i}" for i in range(n)]
+        cte_bodies = [rng.choice(bodies) for _ in range(n)]
+        parts = ", ".join(f"{nm} AS ({b})" for nm, b in zip(names, cte_bodies))
+        main = f"SELECT * FROM {' JOIN '.join(names)}"
+        got_ctes, got_main = split_with_ctes(f"WITH {parts} {main}")
+        assert [n_ for n_, _ in got_ctes] == names
+        assert [b for _, b in got_ctes] == cte_bodies
+        assert got_main == main
+
+
+def test_with_split_fuzz_never_crashes():
+    from datafusion_uwheel_spark.plans.sqlparse import split_with_ctes
+
+    rng = random.Random(17)
+    toks = ["WITH", "AS", "(", ")", ",", "SELECT", "x", "'a'", "''", '"q"',
+            "`b`", "RECURSIVE", "(SELECT 1)", "--", "/*", ";"]
+    for _ in range(3000):
+        sql = " ".join(rng.choice(toks) for _ in range(rng.randrange(0, 20)))
+        try:
+            ctes, main = split_with_ctes(sql)
+            assert ctes and main  # on success the parts are non-empty
+        except ParseError:
+            pass
