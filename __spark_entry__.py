@@ -149,14 +149,23 @@ def uw_groupby_hour(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
-def uw_groupby_minute(spark, sf_dir):
-    df = _engine(spark, sf_dir).sql(
-        "SELECT date_trunc('minute', ts) AS bucket, AVG(value) AS avg_value, "
-        "MIN(value) AS min_value, MAX(value) AS max_value "
-        f"FROM events WHERE ts >= '{DAY_A}' AND ts < '{DAY_B}' "
-        "GROUP BY date_trunc('minute', ts)"
+def uw_dim_groupby(spark, sf_dir):
+    """Beyond-reference: the time × category dashboard rollup — ``GROUP BY
+    date_trunc, event_type`` answered zero-job from a partitioned wheel
+    family (``router._try_dim_group_by``; the reference binds ONE filter per
+    optimizer and has no multi-dimension group-by, ``lib.rs:76-77``). This
+    slot replaced ``uw_groupby_minute`` (r4): fixed-width minute buckets are
+    mechanically identical to the hour row and stay pytest-covered."""
+    eng = _engine(spark, sf_dir)
+    if "event_type" not in eng.partition_sets:
+        eng.build_partitioned_index("value", partition_by="event_type")
+    df = eng.sql(
+        "SELECT date_trunc('day', ts) AS bucket, event_type AS et, COUNT(*) AS n, "
+        f"SUM(value) AS sum_value FROM events WHERE ts >= '{A}' AND ts < '{B}' "
+        "GROUP BY date_trunc('day', ts), event_type ORDER BY bucket, et"
     )
-    return _round(df, {"avg_value": 6})
+    assert eng.last_route.kind == "group_by", eng.last_route
+    return _round(df, {"sum_value": 3})
 
 
 def uw_groupby_week(spark, sf_dir):
@@ -735,7 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_stddev_range": uw_stddev_range,
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
-        "uw_groupby_minute": uw_groupby_minute,
+        "uw_dim_groupby": uw_dim_groupby,
         "uw_groupby_week": uw_groupby_week,
         "uw_groupby_month": uw_groupby_month,
         "uw_window_tumbling": uw_window_tumbling,
@@ -817,10 +826,11 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' GROUP BY 1"
         ),
-        "uw_groupby_minute": (
-            "SELECT date_trunc('minute', ts) AS bucket, round(avg(value), 6) AS avg_value, "
-            "min(value) AS min_value, max(value) AS max_value FROM events "
-            f"WHERE ts >= TIMESTAMP '{DAY_A}' AND ts < TIMESTAMP '{DAY_B}' GROUP BY 1"
+        "uw_dim_groupby": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
+            "event_type AS et, count(*) AS n, round(sum(value), 3) AS sum_value "
+            f"FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' "
+            "GROUP BY 1, 2 ORDER BY bucket, et"
         ),
         # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
         # TIMESTAMP — cast so the driver's schema compare agrees.

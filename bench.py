@@ -99,6 +99,13 @@ def main() -> None:
     queries["index_build"] = time.perf_counter() - t0
     log(f"index build {queries['index_build']:.2f}s, "
         f"{eng.index_usage_bytes() / 1e6:.1f} MB driver-side")
+    t0 = time.perf_counter()
+    n_keys = eng.build_partitioned_index("value", partition_by="event_type")
+    queries["partitioned_index_build"] = time.perf_counter() - t0
+    log(
+        f"partitioned_index_build: {queries['partitioned_index_build']:.2f}s "
+        f"({n_keys} event_type keys)"
+    )
 
     # ------------------------------------------------- LLM-data operators
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -401,6 +408,15 @@ def main() -> None:
             ranges_hour,
         ),
         (
+            "uw_dim_groupby",
+            lambda a, b: (
+                "SELECT date_trunc('hour', ts) AS bucket, event_type AS et, "
+                f"COUNT(*) AS n, SUM(value) AS s FROM events WHERE ts >= '{a}' "
+                f"AND ts < '{b}' GROUP BY date_trunc('hour', ts), event_type"
+            ),
+            ranges_hour,
+        ),
+        (
             "uw_window_hopping",
             lambda a, b: (
                 "SELECT window(ts, '1 hour', '15 minutes').start AS ws, COUNT(*) AS n, "
@@ -602,6 +618,13 @@ def main() -> None:
         f"FROM events WHERE ts >= '{a}' AND ts < '{b}' GROUP BY date_trunc('hour', ts)",
     )
     run_vanilla("vanilla_cte_join", cte_sql)
+    a, b = ranges_hour[0]
+    run_vanilla(
+        "vanilla_dim_groupby",
+        "SELECT date_trunc('hour', ts) AS bucket, event_type AS et, COUNT(*) AS n, "
+        f"SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}' "
+        "GROUP BY date_trunc('hour', ts), event_type",
+    )
     a, b = ranges_min[0]
     run_vanilla(
         "vanilla_between",
@@ -620,7 +643,14 @@ def main() -> None:
     queries["select_star_range"] = time_calls(star_call, N_VANILLA)
     log(f"select_star_range: {queries['select_star_range']*1e3:.1f} ms median (delegated scan)")
     speedups = {}
-    for fam in ("count_range", "sum_range", "keyed_sum", "groupby_hour", "prune_minmax"):
+    for fam in (
+        "count_range",
+        "sum_range",
+        "keyed_sum",
+        "groupby_hour",
+        "dim_groupby",
+        "prune_minmax",
+    ):
         speedups[fam] = round(queries[f"vanilla_{fam}"] / queries[f"uw_{fam}"], 2)
         log(f"speedup_{fam}: {speedups[fam]}x")
     speedups["between_hybrid"] = round(

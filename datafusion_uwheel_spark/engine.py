@@ -194,6 +194,10 @@ class WheelEngine:
         #: streaming merges) — invalidates the routed-answer cache.
         self.index_epoch = 0
         self._route_cache: dict[str, tuple[int, RouteDecision, DataFrame]] = {}
+        #: ``{key_column_lower: {"key_sql_type", "wheels": {value: family}}}``
+        #: — per-value wheel families for dim group-bys
+        #: (:meth:`build_partitioned_index`).
+        self.partition_sets: dict[str, dict] = {}
 
     # -------------------------------------------------------------- builds
     def build_index(
@@ -256,6 +260,63 @@ class WheelEngine:
         self.agg_wheels[(column, fk)] = wheel
         self.index_epoch += 1
         return wheel.key
+
+    def build_partitioned_index(
+        self,
+        column: str,
+        partition_by: str,
+        aggs: tuple[str, ...] | None = None,
+        max_keys: int = 512,
+    ) -> int:
+        """ONE scan → a key-complete family of per-value wheels for
+        ``partition_by`` (NULL keys included), enabling two query families:
+
+        * ``GROUP BY date_trunc(...)/window(...), partition_by`` — the
+          time × category dashboard rollup — routed zero-job by assembling
+          the per-value group-bys (the reference binds one filter per
+          optimizer and cannot express this, ``lib.rs:76-77``);
+        * every ``WHERE partition_by = <value>`` keyed query, because each
+          non-NULL value's wheels also register under the equality filter
+          key a parsed residual canonicalizes to — one build, N+1 families.
+
+        ``max_keys`` guards the driver: partition on bounded categorical
+        keys (event types, languages, shards), never on user-ids. Returns
+        the number of key values indexed. Driver backend only (the rollup is
+        collected per value)."""
+        from .operators.rollups import (
+            build_partitioned_wheel_indices,
+            physical_states_for,
+        )
+
+        if self.index_backend != "driver":
+            raise ValueError("partitioned wheels require index_backend='driver'")
+        if partition_by.lower() == self.time_column.lower():
+            raise ValueError("partition_by cannot be the time column")
+        fam, ktype = build_partitioned_wheel_indices(
+            self.df,
+            self.name,
+            self.time_column,
+            partition_by,
+            [column],
+            bucket_seconds=self.bucket_seconds,
+            states=physical_states_for(aggs),
+            max_keys=max_keys,
+            time_range=self._time_range,
+        )
+        self.partition_sets[partition_by.lower()] = {
+            "key_column": partition_by,
+            "key_sql_type": ktype,
+            "wheels": fam,
+        }
+        # Non-NULL values double as keyed wheels for equality residuals.
+        for v, wheels in fam.items():
+            if v is None:
+                continue
+            fk = wheels[None].filter_key  # the canonical equality render
+            self.count_wheels.setdefault(fk, wheels[None])
+            self.agg_wheels.setdefault((column, fk), wheels[column])
+        self.index_epoch += 1
+        return len(fam)
 
     def build_indexes(
         self,

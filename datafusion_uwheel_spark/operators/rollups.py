@@ -342,6 +342,100 @@ def build_wheel_indices(
     )
 
 
+def key_sql_type(df: DataFrame, column: str) -> str:
+    """SQL type of a partition-key column; STRING or integral/float only
+    (the constant-relation builder must render the values exactly)."""
+    for f_ in df.schema.fields:
+        if f_.name.lower() == column.lower():
+            dt = type(f_.dataType)
+            if dt is T.StringType:
+                return "STRING"
+            if dt in _INT_SQL:
+                return _INT_SQL[dt]
+            if dt in _FLOAT_SQL:
+                return _FLOAT_SQL[dt]
+            raise ValueError(
+                f"partition key {column!r} of type "
+                f"{f_.dataType.simpleString()} is not supported (STRING, "
+                "integral, or float keys only)"
+            )
+    raise ValueError(f"column {column!r} not found")
+
+
+def build_partitioned_wheel_indices(
+    df: DataFrame,
+    table: str,
+    time_column: str,
+    key_column: str,
+    columns: Sequence[str] = (),
+    bucket_seconds: int = 1,
+    states: Sequence[str] = PHYSICAL_STATES,
+    max_keys: int = 512,
+    time_range: tuple | None = None,
+) -> tuple[dict, str]:
+    """ONE scan → a *key-complete* family of per-value wheels:
+    ``({key_value: {None: count_wheel, col: value_wheel, ...}}, key_sql_type)``.
+
+    The job groups by ``(bucket, key)`` — same cost shape as the plain
+    rollup scan times the key cardinality in rollup rows, still bounded by
+    buckets × keys, never raw rows. Because every value present in the data
+    (NULL included, under the Python ``None`` key) gets a wheel, a
+    ``GROUP BY date_trunc(...), key`` over any covered range is answerable
+    by assembling the per-value group-bys — the reference cannot express
+    this at all (one optimizer = one table = one filter, ``lib.rs:76-77``).
+    ``max_keys`` guards the driver: partitioning on a high-cardinality key
+    (user ids!) is a modeling error, not a scaling path — raise there.
+    """
+    g = df.filter(F.col(time_column).isNotNull())
+    if time_range is not None:
+        start, end = time_range
+        g = g.filter(
+            (F.col(time_column) >= F.lit(start)) & (F.col(time_column) < F.lit(end))
+        )
+    ktype = key_sql_type(df, key_column)
+    g = g.select(time_column, key_column, *columns)
+    aggs, types = state_agg_exprs(g, time_column, list(columns), states, bucket_seconds)
+    sec = time_sec_col(g, time_column)
+    if bucket_seconds != 1:
+        sec = sec - (sec % bucket_seconds)
+    rolled = g.groupBy(
+        sec.alias("__sec"), F.col(key_column).alias("__key")
+    ).agg(*aggs)
+    tbl = rolled.toArrow()
+    keyarr = tbl.column("__key")
+    uniq = pc.unique(keyarr).to_pylist()
+    if len(uniq) > max_keys:
+        raise ValueError(
+            f"partition key {key_column!r} has {len(uniq)} distinct values "
+            f"(> max_keys={max_keys}); partitioned wheels are for bounded "
+            "categorical keys"
+        )
+    fam: dict = {}
+    for v in sorted((x for x in uniq if x is not None), key=str) + (
+        [None] if None in uniq else []
+    ):
+        mask = pc.is_null(keyarr) if v is None else pc.equal(keyarr, v)
+        sub = tbl.filter(mask).drop_columns(["__key"])
+        fk = f"{key_column} IS NULL" if v is None else _key_filter_key(key_column, v, ktype)
+        fam[v] = _indices_from_rollup(
+            sub, table, list(columns), types, fk,
+            complete=time_range is None, bucket_seconds=bucket_seconds,
+            states=states,
+        )
+    return fam, ktype
+
+
+def _key_filter_key(key_column: str, value, ktype: str) -> str:
+    """Render the equality filter key a parsed ``WHERE key = <lit>`` residual
+    canonicalizes to (predicates.canonical_filter_key over one Comparison) —
+    so partitioned wheels also serve plain keyed queries."""
+    from ..plans.sqlparse import Comparison
+
+    kind = "string" if ktype == "STRING" else "number"
+    val = str(value) if ktype == "STRING" else float(value)
+    return Comparison(key_column, "=", val, kind).render()
+
+
 def _spark_wheels_from_rollup(
     rolled: DataFrame,
     table: str,

@@ -48,7 +48,7 @@ from .predicates import (
     extract_min_max_predicate,
     split_temporal_filter,
 )
-from .sqlparse import AggSpec, ParsedQuery, WindowSpec
+from .sqlparse import AggSpec, ColRef, ParsedQuery, WindowSpec
 
 if TYPE_CHECKING:  # pragma: no cover
     from ..engine import WheelEngine
@@ -233,6 +233,8 @@ def _sql_literal(value: Any, sql_type: str) -> str:
         return f"CAST('{f!r}' AS {sql_type})"
     if sql_type == "TIMESTAMP":
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if sql_type == "STRING":
+        return "'" + str(value).replace("'", "''") + "'"
     raise ValueError(f"unsupported literal type {sql_type}")
 
 
@@ -269,7 +271,11 @@ class Router:
         if (
             q.limit is not None
             and q.group_by is not None
-            and (not q.order_by or q.order_by[0][0] != q.group_by.output_name)
+            and (
+                q.group_key is not None  # (bucket, key) rows — bucket not unique
+                or not q.order_by
+                or q.order_by[0][0] != q.group_by.output_name
+            )
         ):
             return (
                 RouteDecision("delegate", detail={"reason": "nondeterministic LIMIT"}),
@@ -425,6 +431,7 @@ class Router:
                 # tz-aware so Spark maps it to TimestampType (session tz is
                 # pinned UTC); naive datetimes are interpreted as UTC.
                 "TIMESTAMP": pa.timestamp("us", tz="UTC"),
+                "STRING": pa.string(),
             }
             cols = list(zip(*rows)) if rows else [() for _ in names]
             tbl = pa.table(
@@ -463,6 +470,8 @@ class Router:
     # ------------------------------------------------------------ group by
     def _try_group_by(self, q, rng, residual):
         e = self.engine
+        if q.group_key is not None:
+            return self._try_dim_group_by(q, rng, residual)
         gb = q.group_by
         if isinstance(gb, WindowSpec):
             # Tumbling window(ts, 'w') — any second-aligned width answers
@@ -604,6 +613,201 @@ class Router:
                         else gran if isinstance(gran, str) else f"window:{gran}s"
                     ),
                     "fk": fk,
+                },
+            ),
+            df,
+        )
+
+
+    def _try_dim_group_by(self, q, rng, residual):
+        """GROUP BY (date_trunc | window) x categorical key, answered from a
+        partitioned wheel family (``engine.build_partitioned_index``). The
+        family is key-complete by construction — every value present in the
+        data (NULL included) owns a wheel — so assembling the per-value
+        group-bys reproduces the scan's groups exactly. Beyond the
+        reference, whose optimizer binds one filter per index and has no
+        multi-dimension group-by at all (``lib.rs:76-77,269-272``)."""
+        e = self.engine
+        gb = q.group_by
+        pset = e.partition_sets.get(q.group_key.lower())
+        if pset is None:
+            return (
+                RouteDecision(
+                    "delegate",
+                    detail={"reason": f"no partitioned index on {q.group_key!r}"},
+                ),
+                None,
+            )
+        if residual:
+            return (
+                RouteDecision(
+                    "delegate", detail={"reason": "residual filter with dim group-by"}
+                ),
+                None,
+            )
+        if isinstance(gb, WindowSpec):
+            if gb.column != e.time_column:
+                return (
+                    RouteDecision("delegate", detail={"reason": "unsupported group expr"}),
+                    None,
+                )
+            gran = gb.width_sec
+            hopping = gb.hopping
+        else:
+            supported = set(GRANULARITY_SECONDS) | set(CALENDAR_GRANULARITIES)
+            if gb.column != e.time_column or gb.granularity not in supported:
+                return (
+                    RouteDecision("delegate", detail={"reason": "unsupported group expr"}),
+                    None,
+                )
+            gran = gb.granularity
+            hopping = False
+
+        values = list(pset["wheels"])
+        if not values:
+            return (
+                RouteDecision("delegate", detail={"reason": "empty partitioned index"}),
+                None,
+            )
+
+        def wheel_for(v, agg):
+            wheels = pset["wheels"][v]
+            if agg.func == "count" and agg.arg is None:
+                return wheels[None]
+            col = (agg.arg or "").lower()
+            for c, w in wheels.items():
+                if c is not None and c.lower() == col:
+                    return w
+            return None
+
+        kind = "group_by"
+        if rng is None and not q.conjuncts:
+            allw = [pset["wheels"][v][None] for v in values]
+            if not all(w.complete for w in allw):
+                return (
+                    RouteDecision("delegate", detail={"reason": "no complete index"}),
+                    None,
+                )
+            spans = [w for w in allw if not w.empty]
+            if not spans:
+                start_sec, end_sec = 0, 0
+            else:
+                start_sec = min(w.low_sec for w in spans)
+                end_sec = max(w.high_sec_exclusive for w in spans)
+            kind = "group_by_landmark"
+        elif rng is None or not rng.routable:
+            return RouteDecision("delegate", detail={"reason": "no exact aligned range"}), None
+        else:
+            start_sec, end_sec = rng.start_sec, rng.end_sec
+
+        def _bucket_states(w):
+            if hopping:
+                return w.hop_group_by(start_sec, end_sec, gb.width_sec, gb.slide_sec)
+            return w.group_by(start_sec, end_sec, gran)
+
+        rows = []
+        for v in values:
+            per_agg = []
+            for agg in q.aggs:
+                w = wheel_for(v, agg)
+                if w is None:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"no index for {agg.func}"}
+                        ),
+                        None,
+                    )
+                got = _bucket_states(w)
+                if got is None:
+                    return (
+                        RouteDecision("delegate", detail={"reason": "range not covered"}),
+                        None,
+                    )
+                key = _state_key(agg)
+                if got and key not in got[0][1]:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"state {key} not indexed"}
+                        ),
+                        None,
+                    )
+                per_agg.append({b: st[key] for b, st in got})
+            buckets = sorted(set().union(*per_agg)) if per_agg else []
+            if q.having:
+                hconds = []
+                for spec, op, lit in q.having:
+                    hw = wheel_for(v, spec)
+                    if hw is None:
+                        return (
+                            RouteDecision(
+                                "delegate",
+                                detail={"reason": f"no index for HAVING {spec.func}"},
+                            ),
+                            None,
+                        )
+                    hgot = _bucket_states(hw)
+                    if hgot is None:
+                        return (
+                            RouteDecision(
+                                "delegate", detail={"reason": "range not covered"}
+                            ),
+                            None,
+                        )
+                    hkey = _state_key(spec)
+                    if hgot and hkey not in hgot[0][1]:
+                        return (
+                            RouteDecision(
+                                "delegate",
+                                detail={"reason": f"state {hkey} not indexed"},
+                            ),
+                            None,
+                        )
+                    hconds.append(({b: st[hkey] for b, st in hgot}, op, lit))
+                buckets = [
+                    b
+                    for b in buckets
+                    if all(_having_holds(hv.get(b), op, lit) for hv, op, lit in hconds)
+                ]
+            for b in buckets:
+                row = []
+                for item in q.select_order:
+                    if isinstance(item, AggSpec):
+                        row.append(per_agg[q.aggs.index(item)].get(b))
+                    elif isinstance(item, ColRef):
+                        row.append(v)
+                    elif isinstance(item, WindowSpec) and item.field == "end":
+                        row.append(sec_to_datetime(b + gb.width_sec))
+                    else:
+                        row.append(sec_to_datetime(b))
+                rows.append(tuple(row))
+
+        names, types = [], []
+        for item in q.select_order:
+            names.append(item.output_name)
+            if isinstance(item, AggSpec):
+                w = next(
+                    w for v in values if (w := wheel_for(v, item)) is not None
+                )
+                types.append(_agg_sql_type(item, w))
+            elif isinstance(item, ColRef):
+                types.append(pset["key_sql_type"])
+            else:
+                types.append("TIMESTAMP")
+        if q.order_by or q.limit is not None:
+            rows = _order_limit_rows(q, names, rows)
+        df = self._constant_relation(names, types, rows)
+        return (
+            RouteDecision(
+                kind,
+                index_key=f"{e.name}.{q.group_key}",
+                detail={
+                    "partition_by": q.group_key,
+                    "keys": len(values),
+                    "granularity": (
+                        f"window:{gb.width_sec}s/{gb.slide_sec}s"
+                        if hopping
+                        else gran if isinstance(gran, str) else f"window:{gran}s"
+                    ),
                 },
             ),
             df,

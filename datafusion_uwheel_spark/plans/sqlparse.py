@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 __all__ = [
     "ParseError",
     "AggSpec",
+    "ColRef",
     "DateTruncSpec",
     "WindowSpec",
     "Comparison",
@@ -188,6 +189,19 @@ class WindowSpec:
 
 
 @dataclass(frozen=True)
+class ColRef:
+    """A bare column reference in the select list — only legal when it names
+    the query's GROUP BY partition key (validated in :meth:`_Parser.parse`)."""
+
+    name: str
+    alias: str | None
+
+    @property
+    def output_name(self) -> str:
+        return self.alias or self.name
+
+
+@dataclass(frozen=True)
 class Comparison:
     """``column op literal`` conjunct. ``value`` is a float for numbers or a
     string for string/timestamp literals (resolved later by the predicate
@@ -228,6 +242,9 @@ class ParsedQuery:
     #: OR-of-ranges form: ``WHERE (conj) OR (conj) [OR ...]`` — each branch
     #: a parenthesized conjunction. Mutually exclusive with ``conjuncts``.
     or_branches: list[list[Comparison]] = field(default_factory=list)
+    #: Second (categorical) GROUP BY dimension:
+    #: ``GROUP BY date_trunc(...), key`` / ``GROUP BY key, window(...)``.
+    group_key: str | None = None
 
 
 class _Parser:
@@ -317,11 +334,29 @@ class _Parser:
                             q.conjuncts.extend(self.conjunction())
             else:
                 q.conjuncts = self.conjunction()
+        colrefs = [it for it in items if isinstance(it, ColRef)]
         if self.accept_kw("group"):
             self.expect_kw("by")
-            t = self.peek()
-            if t and t.kind == "ident" and t.value.lower() == "window":
-                g = self.window_expr()
+            gexprs: list = []
+            while True:
+                t = self.peek()
+                if t is None or t.kind != "ident":
+                    raise ParseError("expected GROUP BY expression")
+                name = t.value.lower()
+                if name == "window":
+                    gexprs.append(self.window_expr())
+                elif name == "date_trunc":
+                    gexprs.append(self.date_trunc_expr())
+                else:
+                    gexprs.append(self.ident())  # categorical key column
+                if not self.accept_punct(","):
+                    break
+            temporal = [g for g in gexprs if not isinstance(g, str)]
+            keys = [g for g in gexprs if isinstance(g, str)]
+            if len(temporal) != 1 or len(keys) > 1:
+                raise ParseError("unsupported GROUP BY shape")
+            g = temporal[0]
+            if isinstance(g, WindowSpec):
                 if g.field is not None:
                     raise ParseError("GROUP BY window field access")
                 if truncs:
@@ -335,7 +370,6 @@ class _Parser:
                         raise ParseError("SELECT window does not match GROUP BY")
                 q.group_by = g
             else:
-                g = self.date_trunc_expr()
                 if wins:
                     raise ParseError("window select with date_trunc GROUP BY")
                 if len(truncs) > 1:
@@ -345,8 +379,14 @@ class _Parser:
                 ):
                     raise ParseError("SELECT date_trunc does not match GROUP BY")
                 q.group_by = truncs[0] if truncs else g
+            q.group_key = keys[0] if keys else None
         elif truncs or wins:
             raise ParseError("bucketing expression in SELECT without GROUP BY")
+        if colrefs and (
+            q.group_key is None
+            or any(c.name.lower() != q.group_key.lower() for c in colrefs)
+        ):
+            raise ParseError("bare column select requires a matching GROUP BY key")
         if self.accept_kw("having"):
             while True:
                 q.having.append(self.having_clause(items))
@@ -404,7 +444,13 @@ class _Parser:
                 # relation; delegate that shape (Spark answers it natively).
                 raise ParseError("window select item needs .start or .end")
         else:
-            raise ParseError(f"unsupported select expression: {t.value}")
+            # A bare column reference — legal only as the GROUP BY partition
+            # key; validated against the parsed GROUP BY in parse().
+            name = self.ident_raw()
+            nxt = self.peek()
+            if nxt and nxt.kind == "punct" and nxt.value == "(":
+                raise ParseError(f"unsupported select expression: {t.value}")
+            spec = ColRef(name, None)
         alias = None
         if self.accept_kw("as"):
             alias = self.ident_raw()
@@ -429,6 +475,8 @@ class _Parser:
                     alias,
                     spec.slide_sec,
                 )
+            elif isinstance(spec, ColRef):
+                spec = ColRef(spec.name, alias)
             else:
                 spec = DateTruncSpec(spec.granularity, spec.column, alias)
         return spec

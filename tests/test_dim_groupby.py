@@ -1,0 +1,162 @@
+"""Dim (time × category) group-bys from partitioned wheel families:
+routing decisions + exact parity with delegated Spark evaluation,
+including NULL key groups, hopping windows, HAVING, and keyed reuse."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_uwheel_spark import WheelEngine
+
+RANGE = "timestamp >= '2024-06-01 00:00:00' AND timestamp < '2024-06-01 00:01:00'"
+
+
+@pytest.fixture(scope="module")
+def dim_engine(spark):
+    base = datetime(2024, 6, 1)
+    rows = []
+    for i in range(60):  # one row per second, cycling categories + NULLs
+        cat = [None, "a", "b", "c"][i % 4]
+        rows.append((base + timedelta(seconds=i), float(i + 1), cat, i % 3))
+    df = spark.createDataFrame(rows, "timestamp timestamp, v double, cat string, grp int")
+    eng = WheelEngine(spark, "dimfix", df, time_column="timestamp")
+    eng.build_partitioned_index("v", partition_by="cat")
+    eng.build_partitioned_index("v", partition_by="grp")
+    return eng
+
+
+def _key(row):
+    return tuple((v is not None, v) for v in row)
+
+
+def _check(eng, sql, expect_kind="group_by"):
+    df = eng.sql(sql)
+    assert eng.last_route.kind == expect_kind, eng.last_route
+    got = sorted(map(tuple, df.collect()), key=_key)
+    want = sorted(map(tuple, eng.spark.sql(sql).collect()), key=_key)
+    assert got == want and got
+    return got
+
+
+def test_trunc_by_string_key_with_nulls(dim_engine):
+    got = _check(
+        dim_engine,
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n, "
+        f"SUM(v) AS s FROM dimfix WHERE {RANGE} "
+        "GROUP BY date_trunc('minute', timestamp), cat",
+    )
+    assert dim_engine.last_route.detail["partition_by"] == "cat"
+    assert any(r[1] is None for r in got)  # the NULL key group is present
+
+
+def test_int_key_and_key_first_order(dim_engine):
+    _check(
+        dim_engine,
+        "SELECT grp, date_trunc('minute', timestamp) AS b, AVG(v) AS a "
+        f"FROM dimfix WHERE {RANGE} GROUP BY grp, date_trunc('minute', timestamp)",
+    )
+
+
+def test_window_and_hopping_by_key(dim_engine):
+    _check(
+        dim_engine,
+        "SELECT window(timestamp, '15 seconds').start AS ws, cat, COUNT(*) AS n "
+        f"FROM dimfix WHERE {RANGE} GROUP BY window(timestamp, '15 seconds'), cat",
+    )
+    _check(
+        dim_engine,
+        "SELECT window(timestamp, '20 seconds', '10 seconds').start AS ws, "
+        "window(timestamp, '20 seconds', '10 seconds').end AS we, cat, SUM(v) AS s "
+        f"FROM dimfix WHERE {RANGE} "
+        "GROUP BY window(timestamp, '20 seconds', '10 seconds'), cat",
+    )
+
+
+def test_landmark_and_having(dim_engine):
+    _check(
+        dim_engine,
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n "
+        "FROM dimfix GROUP BY date_trunc('minute', timestamp), cat",
+        expect_kind="group_by_landmark",
+    )
+    _check(
+        dim_engine,
+        "SELECT date_trunc('minute', timestamp) AS b, grp, SUM(v) AS s "
+        f"FROM dimfix WHERE {RANGE} GROUP BY date_trunc('minute', timestamp), grp "
+        "HAVING COUNT(*) >= 20 ORDER BY b, grp",
+    )
+
+
+def test_no_job_for_dim_groupby(dim_engine, spark):
+    tracker = spark.sparkContext.statusTracker()
+    sql = (
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n "
+        f"FROM dimfix WHERE {RANGE} GROUP BY date_trunc('minute', timestamp), cat"
+    )
+    dim_engine.sql(sql).collect()  # warm the route cache
+    before = tracker.getJobIdsForGroup(None)
+    rows = dim_engine.sql(sql).collect()
+    assert tracker.getJobIdsForGroup(None) == before
+    assert len(rows) == 4
+
+
+def test_keyed_equality_reuse(dim_engine):
+    got = dim_engine.sql(
+        f"SELECT SUM(v) AS s FROM dimfix WHERE {RANGE} AND cat = 'a'"
+    ).collect()[0][0]
+    assert dim_engine.last_route.kind == "single_agg"
+    want = dim_engine.spark.sql(
+        f"SELECT SUM(v) AS s FROM dimfix WHERE {RANGE} AND cat = 'a'"
+    ).collect()[0][0]
+    assert got == want
+    # int key equality routes too (number canonicalization)
+    got = dim_engine.sql(
+        f"SELECT COUNT(*) AS n FROM dimfix WHERE {RANGE} AND grp = 1"
+    ).collect()[0][0]
+    assert dim_engine.last_route.rewritten
+    assert got == 20
+
+
+def test_delegate_cases(dim_engine):
+    # unpartitioned key column
+    r = dim_engine.explain_route(
+        "SELECT date_trunc('minute', timestamp) AS b, v, COUNT(*) AS n "
+        f"FROM dimfix WHERE {RANGE} GROUP BY date_trunc('minute', timestamp), v"
+    )
+    assert r.kind == "delegate"
+    # residual filter alongside the dim group-by
+    r = dim_engine.explain_route(
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n "
+        f"FROM dimfix WHERE {RANGE} AND grp = 1 "
+        "GROUP BY date_trunc('minute', timestamp), cat"
+    )
+    assert r.kind == "delegate"
+    # LIMIT over (bucket, key) rows is never deterministic on bucket alone
+    r = dim_engine.explain_route(
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n "
+        f"FROM dimfix WHERE {RANGE} GROUP BY date_trunc('minute', timestamp), cat "
+        "ORDER BY b LIMIT 2"
+    )
+    assert r.kind == "delegate"
+    # bare column without a matching GROUP BY key
+    r = dim_engine.explain_route(f"SELECT cat FROM dimfix WHERE {RANGE}")
+    assert r.kind == "delegate"
+
+
+def test_build_guards(dim_engine, spark):
+    with pytest.raises(ValueError, match="time column"):
+        dim_engine.build_partitioned_index("v", partition_by="timestamp")
+    with pytest.raises(ValueError, match="max_keys"):
+        dim_engine.build_partitioned_index("v", partition_by="v", max_keys=3)
+    eng = WheelEngine(
+        spark,
+        "dimfix_spark",
+        dim_engine.df,
+        time_column="timestamp",
+        index_backend="spark",
+    )
+    with pytest.raises(ValueError, match="driver"):
+        eng.build_partitioned_index("v", partition_by="cat")
