@@ -198,6 +198,42 @@ class WheelEngine:
         #: — per-value wheel families for dim group-bys
         #: (:meth:`build_partitioned_index`).
         self.partition_sets: dict[str, dict] = {}
+        if load_indexes is not None and wheels.get("partition"):
+            import json as _json
+            import os as _os
+
+            meta: dict = {}
+            pman = _os.path.join(load_indexes, "partitions.json")
+            if _os.path.exists(pman):
+                with open(pman) as f:
+                    meta = {
+                        e["key_column"].lower(): e
+                        for e in _json.load(f)["partitions"]
+                    }
+            for (kc, vtok, ctok), w in wheels["partition"].items():
+                ps = self.partition_sets.setdefault(
+                    kc.lower(),
+                    {
+                        "key_column": kc,
+                        "key_sql_type": meta.get(kc.lower(), {}).get(
+                            "key_sql_type", "STRING"
+                        ),
+                        "wheels": {},
+                    },
+                )
+                ps["wheels"].setdefault(_json.loads(vtok), {})[
+                    None if ctok == "*" else ctok
+                ] = w
+            # re-register non-NULL families for keyed equality reuse
+            for ps in self.partition_sets.values():
+                for v, fam in ps["wheels"].items():
+                    if v is None:
+                        continue
+                    for c, w in fam.items():
+                        if c is None:
+                            self.count_wheels.setdefault(w.filter_key, w)
+                        else:
+                            self.agg_wheels.setdefault((c, w.filter_key), w)
 
     # -------------------------------------------------------------- builds
     def build_index(
@@ -476,14 +512,37 @@ class WheelEngine:
 
         from .operators.persistence import save_wheels
 
-        path = save_wheels(
-            {
-                "count": self.count_wheels,
-                "min_max": self.min_max_wheels,
-                "agg": self.agg_wheels,
-            },
-            out_dir,
-        )
+        # Partitioned-family wheels double-register in count/agg for keyed
+        # reuse — save them once, under the partition group only.
+        part: dict = {}
+        for ps in self.partition_sets.values():
+            for v, fam in ps["wheels"].items():
+                for c, w in fam.items():
+                    part[(ps["key_column"], _json.dumps(v), c or "*")] = w
+        owned = {id(w) for w in part.values()}
+        groups = {
+            "count": {k: w for k, w in self.count_wheels.items() if id(w) not in owned},
+            "min_max": self.min_max_wheels,
+            "agg": {k: w for k, w in self.agg_wheels.items() if id(w) not in owned},
+        }
+        if part:
+            groups["partition"] = part
+        path = save_wheels(groups, out_dir)
+        if self.partition_sets:
+            with open(_os.path.join(out_dir, "partitions.json"), "w") as f:
+                _json.dump(
+                    {
+                        "version": 1,
+                        "partitions": [
+                            {
+                                "key_column": ps["key_column"],
+                                "key_sql_type": ps["key_sql_type"],
+                            }
+                            for ps in self.partition_sets.values()
+                        ],
+                    },
+                    f,
+                )
         if self.distinct_rollups:
             entries = []
             for i, (col, r) in enumerate(sorted(self.distinct_rollups.items())):

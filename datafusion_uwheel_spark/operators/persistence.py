@@ -118,6 +118,7 @@ def load_wheels(in_dir: str, spark=None) -> dict[str, dict]:
         manifest = json.load(f)
     out: dict[str, dict] = {"count": {}, "min_max": {}, "agg": {}}
     for entry in manifest["wheels"]:
+        out.setdefault(entry["kind"], {})
         key = entry["key"]
         key = tuple(key) if isinstance(key, list) else key
         if entry.get("backend") == "spark":

@@ -82,6 +82,16 @@ class StreamingWheelMaintainer:
         for (_c, fk), w in e.agg_wheels.items():
             if fk not in maintained:
                 w.complete = False
+        # Partitioned families: the non-NULL wheels are shared with
+        # count/agg and got marked above; the NULL-key wheel is only
+        # reachable here. An incomplete family makes the dim landmark
+        # delegate and beyond-span ranges fall through (same staleness
+        # contract as unmaintained keyed wheels).
+        for pset in e.partition_sets.values():
+            for fam in pset["wheels"].values():
+                for w in fam.values():
+                    if w.filter_key not in maintained:
+                        w.complete = False
         # invalidate memoized routed answers — indices just changed
         e.index_epoch += 1
 

@@ -160,3 +160,58 @@ def test_build_guards(dim_engine, spark):
     )
     with pytest.raises(ValueError, match="driver"):
         eng.build_partitioned_index("v", partition_by="cat")
+
+
+def test_partition_sets_save_load_round_trip(dim_engine, spark, tmp_path):
+    out = str(tmp_path / "dim_idx")
+    dim_engine.save_indexes(out)
+    eng2 = WheelEngine(
+        spark, "dimfix2", dim_engine.df, time_column="timestamp", load_indexes=out
+    )
+    sql = (
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n, SUM(v) AS s "
+        f"FROM dimfix2 WHERE {RANGE} GROUP BY date_trunc('minute', timestamp), cat"
+    )
+    got = sorted(map(tuple, eng2.sql(sql).collect()), key=_key)
+    assert eng2.last_route.kind == "group_by"
+    assert eng2.partition_sets["cat"]["key_sql_type"] == "STRING"
+    ref = (
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n, SUM(v) AS s "
+        f"FROM dimfix WHERE {RANGE} GROUP BY date_trunc('minute', timestamp), cat"
+    )
+    want = sorted(map(tuple, dim_engine.sql(ref).collect()), key=_key)
+    assert got == want
+    # keyed equality reuse survives the reload
+    eng2.sql(f"SELECT SUM(v) AS s FROM dimfix2 WHERE {RANGE} AND cat = 'b'").collect()
+    assert eng2.last_route.kind == "single_agg"
+    # int keys round-trip as ints (JSON-tokenized, not stringified)
+    assert all(isinstance(k, int) for k in eng2.partition_sets["grp"]["wheels"])
+
+
+def test_merge_marks_partition_sets_incomplete(spark):
+    from datetime import datetime, timedelta
+
+    from datafusion_uwheel_spark.streaming.maintenance import StreamingWheelMaintainer
+
+    base = datetime(2024, 6, 2)
+    rows = [
+        (base + timedelta(seconds=i), float(i), ["x", "y", None][i % 3])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "timestamp timestamp, v double, cat string")
+    eng = WheelEngine(spark, "dimstale", df, time_column="timestamp")
+    eng.build_index("v")
+    eng.build_partitioned_index("v", partition_by="cat")
+    lm = (
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n "
+        "FROM dimstale GROUP BY date_trunc('minute', timestamp), cat"
+    )
+    assert eng.explain_route(lm).kind == "group_by_landmark"
+    m = StreamingWheelMaintainer(eng)
+    late = spark.createDataFrame(
+        [(base + timedelta(seconds=60), 1.0, "x")], "timestamp timestamp, v double, cat string"
+    )
+    m.merge_batch(late)
+    # unmaintained family is now incomplete: the landmark delegates instead
+    # of answering from pre-merge state
+    assert eng.explain_route(lm).kind == "delegate"
