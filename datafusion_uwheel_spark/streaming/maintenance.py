@@ -46,9 +46,19 @@ class StreamingWheelMaintainer:
     ``filters``, mapping canonical filter key → SQL predicate string).
     """
 
-    def __init__(self, engine: WheelEngine, filters: dict[str, str] | None = None):
+    def __init__(
+        self,
+        engine: WheelEngine,
+        filters: dict[str, str] | None = None,
+        maintain_partitions: bool = True,
+    ):
         self.engine = engine
         self.filters = filters or {}
+        #: Merge every partitioned wheel family per batch (one (bucket, key)
+        #: rollup job per family). Values NEW to the stream get wheels built
+        #: on the fly so the family stays key-complete; disable to fall back
+        #: to the stale-marking contract.
+        self.maintain_partitions = maintain_partitions
 
     # ------------------------------------------------------------- plumbing
     def columns(self) -> list[str]:
@@ -76,6 +86,8 @@ class StreamingWheelMaintainer:
                 rollup.merge_batch(batch_df, self.engine.time_column)
         maintained = set(self.filters) | {STAR_AGGREGATION_ALIAS}
         e = self.engine
+        if self.maintain_partitions:
+            maintained |= self._maintain_partitions(batch_df)
         for fk, w in e.count_wheels.items():
             if fk not in maintained:
                 w.complete = False
@@ -205,6 +217,126 @@ class StreamingWheelMaintainer:
                         "sumsq": ats["sumsq"],
                     },
                 )
+
+    def _maintain_partitions(self, batch_df: DataFrame) -> set[str]:
+        """Merge the batch into every partitioned wheel family whose key
+        column the stream carries; returns the filter keys kept fresh.
+
+        One (bucket, key) rollup job per family — the same single-pass shape
+        as ``build_partitioned_wheel_indices``, bounded by the batch's
+        distinct (bucket, key) pairs. Key values the family has never seen
+        get wheels built from the batch rollup and registered (equality
+        filter keys included), so the family stays *key-complete* — a new
+        category appearing mid-stream shows up in the next dim group-by
+        instead of silently missing."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..operators.rollups import (
+            _indices_from_rollup,
+            _key_filter_key,
+            rollup_arrays,
+            state_agg_exprs,
+            time_sec_col,
+        )
+
+        e = self.engine
+        fresh: set[str] = set()
+        for pset in e.partition_sets.values():
+            kc = pset["key_column"]
+            if kc not in batch_df.columns:
+                continue  # unmaintainable from this stream → stale-marked
+            fam0 = next(iter(pset["wheels"].values()), None)
+            if fam0 is None:
+                continue
+            cols = sorted(c for c in fam0 if c is not None)
+            sample = fam0[cols[0]] if cols else None
+            states = tuple(
+                s
+                for s in ("sum", "min", "max", "sumsq")
+                if sample is not None and getattr(sample, f"{s}_", None) is not None
+            )
+            tc = e.time_column
+            src = batch_df.filter(F.col(tc).isNotNull()).select(tc, kc, *cols)
+            bs = e.bucket_seconds
+            aggs, types = state_agg_exprs(src, tc, cols, states, bs)
+            sec = time_sec_col(src, tc)
+            if bs != 1:
+                sec = sec - (sec % bs)
+            tbl = (
+                src.groupBy(sec.alias("__sec"), F.col(kc).alias("__key"))
+                .agg(*aggs)
+                .toArrow()
+            )
+            if tbl.num_rows == 0:
+                # empty delta — the family saw everything there was to see
+                for fam in pset["wheels"].values():
+                    fresh.update(w.filter_key for w in fam.values())
+                continue
+            keyarr = tbl.column("__key")
+            for v in pc.unique(keyarr).to_pylist():
+                mask = pc.is_null(keyarr) if v is None else pc.equal(keyarr, v)
+                sub = tbl.filter(mask).drop_columns(["__key"])
+                fam = pset["wheels"].get(v)
+                if fam is None:
+                    fk = (
+                        f"{kc} IS NULL"
+                        if v is None
+                        else _key_filter_key(kc, v, pset["key_sql_type"])
+                    )
+                    fam = _indices_from_rollup(
+                        sub, e.name, cols, types, fk,
+                        complete=fam0[None].complete, bucket_seconds=bs,
+                        states=states,
+                    )
+                    pset["wheels"][v] = fam
+                    if v is not None:
+                        e.count_wheels.setdefault(fam[None].filter_key, fam[None])
+                        for c in cols:
+                            e.agg_wheels.setdefault((c, fam[None].filter_key), fam[c])
+                else:
+                    secs = np.asarray(sub.column("__sec"))
+                    cnt = np.asarray(sub.column("__cnt"))
+                    atcnt = np.asarray(sub.column("__atcnt"))
+                    tmin = int(pc.min(sub.column("__tmin")).as_py())
+                    tmax = int(pc.max(sub.column("__tmax")).as_py())
+                    fam[None].merge_delta(
+                        secs, cnt, min_ts_us=tmin, max_ts_us=tmax,
+                        at_states={"cnt": atcnt},
+                    )
+                    for c in cols:
+                        w = fam[c]
+                        present = tuple(
+                            s
+                            for s, arr in (
+                                ("sum", w.sum_),
+                                ("min", w.min_),
+                                ("max", w.max_),
+                                ("sumsq", w.sumsq_),
+                            )
+                            if arr is not None
+                        )
+                        arrs = rollup_arrays(sub, c, w.value_sql_type, present)
+                        ats = rollup_arrays(sub, c, w.value_sql_type, present, at=True)
+                        w.merge_delta(
+                            secs, cnt,
+                            arrs["sum"], arrs["min"], arrs["max"], arrs["sumsq"],
+                            vcnt_=arrs["vcnt"],
+                            min_ts_us=tmin, max_ts_us=tmax,
+                            at_states={
+                                "cnt": atcnt,
+                                "vcnt": ats["vcnt"],
+                                "sum": ats["sum"],
+                                "min": ats["min"],
+                                "max": ats["max"],
+                                "sumsq": ats["sumsq"],
+                            },
+                        )
+                fresh.update(w.filter_key for w in fam.values())
+            # values absent from this batch saw an empty delta — still fresh
+            for v, fam in pset["wheels"].items():
+                fresh.update(w.filter_key for w in fam.values())
+        return fresh
 
     # -------------------------------------------------------------- driving
     def attach(

@@ -207,7 +207,7 @@ def test_merge_marks_partition_sets_incomplete(spark):
         "FROM dimstale GROUP BY date_trunc('minute', timestamp), cat"
     )
     assert eng.explain_route(lm).kind == "group_by_landmark"
-    m = StreamingWheelMaintainer(eng)
+    m = StreamingWheelMaintainer(eng, maintain_partitions=False)
     late = spark.createDataFrame(
         [(base + timedelta(seconds=60), 1.0, "x")], "timestamp timestamp, v double, cat string"
     )
@@ -215,3 +215,39 @@ def test_merge_marks_partition_sets_incomplete(spark):
     # unmaintained family is now incomplete: the landmark delegates instead
     # of answering from pre-merge state
     assert eng.explain_route(lm).kind == "delegate"
+
+
+def test_streaming_maintains_partition_sets(spark):
+    from datetime import datetime, timedelta
+
+    from datafusion_uwheel_spark.streaming.maintenance import StreamingWheelMaintainer
+
+    base = datetime(2024, 6, 3)
+    mk = lambda i, cat: (base + timedelta(seconds=i), float(i + 1), cat)
+    rows1 = [mk(i, ["x", "y", None][i % 3]) for i in range(30)]
+    schema = "timestamp timestamp, v double, cat string"
+    df1 = spark.createDataFrame(rows1, schema)
+    eng = WheelEngine(spark, "dimstream", df1, time_column="timestamp")
+    eng.build_index("v")
+    eng.build_partitioned_index("v", partition_by="cat")
+    # batch 2: late data into existing keys, NULL keys, and a NEVER-SEEN key
+    rows2 = [mk(i, "x") for i in (5, 40)] + [mk(41, None), mk(42, "z")]
+    m = StreamingWheelMaintainer(eng)
+    m.merge_batch(spark.createDataFrame(rows2, schema))
+
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    union.createOrReplaceTempView("dimstream_union")
+    lm = (
+        "SELECT date_trunc('minute', {t}) AS b, cat, COUNT(*) AS n, SUM(v) AS s "
+        "FROM {tbl} GROUP BY date_trunc('minute', {t}), cat"
+    )
+    got = eng.sql(lm.format(t="timestamp", tbl="dimstream"))
+    assert eng.last_route.kind == "group_by_landmark", eng.last_route
+    want = spark.sql(lm.format(t="timestamp", tbl="dimstream_union"))
+    assert sorted(map(tuple, got.collect()), key=_key) == sorted(
+        map(tuple, want.collect()), key=_key
+    )
+    # the mid-stream key got a wheel and an equality filter registration
+    assert "z" in eng.partition_sets["cat"]["wheels"]
+    n = eng.sql("SELECT COUNT(*) AS n FROM dimstream WHERE cat = 'z'").collect()[0][0]
+    assert eng.last_route.rewritten and n == 1
