@@ -99,6 +99,8 @@ class MinMaxPredicate:
 def _ts_value(c: Comparison) -> TsLiteral | None:
     """Resolve a conjunct's literal as a timestamp, if it is one
     (``scalar_to_timestamp``, ``lib.rs:1178-1192``: RFC3339 strings, dates)."""
+    if isinstance(c.value, tuple):  # IN lists are never a range bound
+        return None
     if c.value_kind in {"string", "timestamp", "date"}:
         return parse_ts_literal(str(c.value))
     return None

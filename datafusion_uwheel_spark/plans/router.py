@@ -329,12 +329,22 @@ class Router:
             # at all, lib.rs:279-281): a purely-keyed predicate matching a
             # *complete* keyed wheel is answerable over the whole span.
             if rng is None and residual and len(residual) == len(q.conjuncts):
+                hit = self._partition_in_match(residual)
+                if hit is not None and canonical_filter_key(residual) not in e.count_wheels:
+                    return self._try_in_aggregate(q, None, *hit)
                 fk = canonical_filter_key(residual)
                 return self._try_landmark(q, fk)
             return (
                 RouteDecision("delegate", detail={"reason": "no exact aligned range"}),
                 None,
             )
+
+        # `key IN (...)` over a partitioned family: monoid-sum the per-value
+        # answers — unless an explicitly-built wheel matches the exact
+        # canonical IN filter, which is one lookup instead of N.
+        hit = self._partition_in_match(residual)
+        if hit is not None and canonical_filter_key(residual) not in e.count_wheels:
+            return self._try_in_aggregate(q, rng, *hit)
 
         fk = canonical_filter_key(residual) if residual else STAR_AGGREGATION_ALIAS
 
@@ -493,6 +503,10 @@ class Router:
                     None,
                 )
             gran = gb.granularity
+        if residual:
+            hit = self._partition_in_match(residual)
+            if hit is not None and canonical_filter_key(residual) not in e.count_wheels:
+                return self._try_in_group_by(q, rng, *hit)
         fk = canonical_filter_key(residual) if residual else STAR_AGGREGATION_ALIAS
 
         wheels: list[WheelIndex] = []
@@ -619,6 +633,253 @@ class Router:
         )
 
 
+    def _try_in_group_by(self, q, rng, pset, values):
+        """Temporal GROUP BY with a ``key IN (...)`` residual: per-value
+        bucket states merged across the (disjoint) listed keys — per bucket
+        the same monoid combine as OR-of-ranges. Supports tumbling/hopping
+        windows, HAVING, and the landmark (IN-only) form."""
+        e = self.engine
+        gb = q.group_by
+        gran = gb.width_sec if isinstance(gb, WindowSpec) else gb.granularity
+        hopping = isinstance(gb, WindowSpec) and gb.hopping
+
+        def wheel_for(v, agg):
+            fam = pset["wheels"][v]
+            if agg.func == "count" and agg.arg is None:
+                return fam[None]
+            col = (agg.arg or "").lower()
+            for c, w in fam.items():
+                if c is not None and c.lower() == col:
+                    return w
+            return None
+
+        kind = "group_by"
+        if rng is None and len(q.conjuncts) == 1:  # IN residual only
+            allw = [pset["wheels"][v][None] for v in values]
+            if not all(w.complete for w in allw):
+                return (
+                    RouteDecision("delegate", detail={"reason": "no complete index"}),
+                    None,
+                )
+            spans = [w for w in allw if not w.empty]
+            if not spans:
+                start_sec, end_sec = 0, 0
+            else:
+                start_sec = min(w.low_sec for w in spans)
+                end_sec = max(w.high_sec_exclusive for w in spans)
+            kind = "group_by_landmark"
+        elif rng is None or not rng.routable:
+            return (
+                RouteDecision("delegate", detail={"reason": "no exact aligned range"}),
+                None,
+            )
+        else:
+            start_sec, end_sec = rng.start_sec, rng.end_sec
+
+        def _bucket_states(w):
+            if hopping:
+                return w.hop_group_by(start_sec, end_sec, gb.width_sec, gb.slide_sec)
+            return w.group_by(start_sec, end_sec, gran)
+
+        def merged(agg):
+            key = _state_key(agg)
+            per_bucket: dict[int, list] = {}
+            for v in values:
+                w = wheel_for(v, agg)
+                if w is None:
+                    return None, f"no index for {agg.func}"
+                got = _bucket_states(w)
+                if got is None:
+                    return None, "range not covered"
+                if got and key not in got[0][1]:
+                    return None, f"state {key} not indexed"
+                for b, st in got:
+                    per_bucket.setdefault(b, []).append(st)
+            return (
+                {b: _combine_interval_parts(key, parts) for b, parts in per_bucket.items()},
+                None,
+            )
+
+        per_agg = []
+        for agg in q.aggs:
+            m, err = merged(agg)
+            if m is None:
+                return RouteDecision("delegate", detail={"reason": err}), None
+            per_agg.append(m)
+        buckets = sorted(set().union(*per_agg)) if per_agg else []
+        if q.having:
+            hconds = []
+            for spec, op, lit in q.having:
+                m, err = merged(spec)
+                if m is None:
+                    return RouteDecision("delegate", detail={"reason": err}), None
+                hconds.append((m, op, lit))
+            buckets = [
+                b
+                for b in buckets
+                if all(_having_holds(hv.get(b), op, lit) for hv, op, lit in hconds)
+            ]
+        rows = []
+        for b in buckets:
+            row = []
+            for item in q.select_order:
+                if isinstance(item, AggSpec):
+                    row.append(per_agg[q.aggs.index(item)].get(b))
+                elif isinstance(item, WindowSpec) and item.field == "end":
+                    row.append(sec_to_datetime(b + gb.width_sec))
+                else:
+                    row.append(sec_to_datetime(b))
+            rows.append(tuple(row))
+        names, types = [], []
+        any_key = next(iter(pset["wheels"]))
+        for item in q.select_order:
+            names.append(item.output_name)
+            if isinstance(item, AggSpec):
+                tw = None
+                for v in [*values, any_key]:
+                    tw = wheel_for(v, item)
+                    if tw is not None:
+                        break
+                if tw is None:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"no index for {item.func}"}
+                        ),
+                        None,
+                    )
+                types.append(_agg_sql_type(item, tw))
+            else:
+                types.append("TIMESTAMP")
+        if q.order_by or q.limit is not None:
+            rows = _order_limit_rows(q, names, rows)
+        df = self._constant_relation(names, types, rows)
+        return (
+            RouteDecision(
+                kind,
+                index_key=f"{e.name}.{pset['key_column']}",
+                detail={
+                    "in_keys": len(values),
+                    "partition_by": pset["key_column"],
+                    "granularity": (
+                        f"window:{gb.width_sec}s/{gb.slide_sec}s"
+                        if hopping
+                        else gran if isinstance(gran, str) else f"window:{gran}s"
+                    ),
+                },
+            ),
+            df,
+        )
+
+    def _partition_in_match(self, residual):
+        """Match a residual of exactly ``key IN (...)`` against a partitioned
+        wheel family. Returns ``(pset, matched_values)`` or ``None``. Listed
+        values absent from the family are dropped: the family is
+        key-complete, so absence PROVES zero rows (contributing the monoid
+        identity), and NULL never matches an IN list."""
+        if len(residual) != 1 or residual[0].op != "in":
+            return None
+        c = residual[0]
+        pset = self.engine.partition_sets.get(c.column.lower())
+        if pset is None:
+            return None
+        if (c.value_kind == "number") != (pset["key_sql_type"] != "STRING"):
+            return None  # type mismatch — let Spark decide the coercion
+        lookup = {}
+        for k in pset["wheels"]:
+            if k is None:
+                continue
+            lookup[float(k) if c.value_kind == "number" else str(k)] = k
+        matched = []
+        for v in dict.fromkeys(c.value):  # deduped, stable order
+            norm = float(v) if c.value_kind == "number" else str(v)
+            if norm in lookup:
+                matched.append(lookup[norm])
+        return pset, matched
+
+    def _try_in_aggregate(self, q, rng, pset, values):
+        """Scalar aggregates with a ``key IN (...)`` residual: per-value
+        wheel states monoid-summed across the (disjoint) key partitions —
+        the same combine as OR-of-ranges, applied across keys instead of
+        intervals. ``rng=None`` means the keyed-IN landmark (no temporal
+        bounds; every listed wheel must be complete)."""
+        fam0 = next(iter(pset["wheels"].values()))
+
+        def wheel_for(v, agg):
+            fam = pset["wheels"][v]
+            if agg.func == "count" and agg.arg is None:
+                return fam[None]
+            col = (agg.arg or "").lower()
+            for c, w in fam.items():
+                if c is not None and c.lower() == col:
+                    return w
+            return None
+
+        if rng is None:
+            for v in values:
+                if not pset["wheels"][v][None].complete:
+                    return (
+                        RouteDecision("delegate", detail={"reason": "no complete index"}),
+                        None,
+                    )
+        elif not rng.routable:
+            return (
+                RouteDecision("delegate", detail={"reason": "no exact aligned range"}),
+                None,
+            )
+
+        out, wheels = [], []
+        for agg in q.aggs:
+            key = _state_key(agg)
+            parts = []
+            type_wheel = None
+            for v in values:
+                w = wheel_for(v, agg)
+                if w is None:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"no index for {agg.func}"}
+                        ),
+                        None,
+                    )
+                type_wheel = w
+                if rng is None:
+                    st = w.landmark()
+                else:
+                    st = w.combine_range(rng.start_sec, rng.end_sec)
+                if st is None:
+                    return (
+                        RouteDecision("delegate", detail={"reason": "range not covered"}),
+                        None,
+                    )
+                if key not in st:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"state {key} not indexed"}
+                        ),
+                        None,
+                    )
+                parts.append(st)
+            if type_wheel is None:  # every listed value absent — still typed
+                type_wheel = wheel_for(next(iter(pset["wheels"])), agg)
+                if type_wheel is None:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"no index for {agg.func}"}
+                        ),
+                        None,
+                    )
+            out.append(_combine_interval_parts(key, parts))
+            wheels.append(type_wheel)
+        df = self._scalar_result(q.aggs, out, wheels, q)
+        return (
+            RouteDecision(
+                "landmark" if rng is None else "single_agg" if len(q.aggs) == 1 else "multi_agg",
+                index_key=f"{self.engine.name}.{pset['key_column']}",
+                detail={"in_keys": len(values), "partition_by": pset["key_column"]},
+            ),
+            df,
+        )
+
     def _try_dim_group_by(self, q, rng, residual):
         """GROUP BY (date_trunc | window) x categorical key, answered from a
         partitioned wheel family (``engine.build_partitioned_index``). The
@@ -638,13 +899,23 @@ class Router:
                 ),
                 None,
             )
+        sel_values = None
         if residual:
-            return (
-                RouteDecision(
-                    "delegate", detail={"reason": "residual filter with dim group-by"}
-                ),
-                None,
-            )
+            # the one routable residual: `key IN (...)` on the group key
+            # itself — restricts the emitted key groups (NULL never matches)
+            hit = self._partition_in_match(residual)
+            if (
+                hit is None
+                or hit[0] is not pset
+                or residual[0].column.lower() != q.group_key.lower()
+            ):
+                return (
+                    RouteDecision(
+                        "delegate", detail={"reason": "residual filter with dim group-by"}
+                    ),
+                    None,
+                )
+            sel_values = hit[1]
         if isinstance(gb, WindowSpec):
             if gb.column != e.time_column:
                 return (
@@ -663,12 +934,12 @@ class Router:
             gran = gb.granularity
             hopping = False
 
-        values = list(pset["wheels"])
-        if not values:
+        if not pset["wheels"]:
             return (
                 RouteDecision("delegate", detail={"reason": "empty partitioned index"}),
                 None,
             )
+        values = sel_values if sel_values is not None else list(pset["wheels"])
 
         def wheel_for(v, agg):
             wheels = pset["wheels"][v]

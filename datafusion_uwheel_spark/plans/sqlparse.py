@@ -216,11 +216,16 @@ class Comparison:
         """Canonical rendering for keyed-index matching (reference matches on
         the rendered filter expr string with the table qualifier stripped,
         ``lib.rs:783-787,164-173``)."""
-        if self.value_kind == "number":
-            v = repr(float(self.value))
-        else:
-            v = "'" + str(self.value).replace("'", "''") + "'"
-        return f"{self.column} {self.op} {v}"
+
+        def lit(x):
+            if self.value_kind == "number":
+                return repr(float(x))
+            return "'" + str(x).replace("'", "''") + "'"
+
+        if self.op == "in":
+            # sorted + deduped so `IN (b, a, a)` canonicalizes like `IN (a, b)`
+            return f"{self.column} IN ({', '.join(lit(x) for x in sorted(set(self.value)))})"
+        return f"{self.column} {self.op} {lit(self.value)}"
 
 
 @dataclass
@@ -599,6 +604,20 @@ class _Parser:
                 Comparison(col, ">=", lo_v, lo_k),
                 Comparison(col, "<=", hi_v, hi_k),
             ]
+        if self.accept_kw("in"):
+            self.expect_punct("(")
+            vals: list = []
+            kinds: set[str] = set()
+            while True:
+                v, k = self.literal()
+                vals.append(v)
+                kinds.add(k)
+                if not self.accept_punct(","):
+                    break
+            self.expect_punct(")")
+            if len(kinds) != 1:
+                raise ParseError("mixed-type IN list")
+            return [Comparison(col, "in", tuple(vals), kinds.pop())]
         t = self.next()
         if t.kind != "op":
             raise ParseError(f"expected comparison operator, got {t.value!r}")

@@ -251,3 +251,85 @@ def test_streaming_maintains_partition_sets(spark):
     assert "z" in eng.partition_sets["cat"]["wheels"]
     n = eng.sql("SELECT COUNT(*) AS n FROM dimstream WHERE cat = 'z'").collect()[0][0]
     assert eng.last_route.rewritten and n == 1
+
+
+# --------------------------------------------------------------- IN routing
+def test_in_scalar_aggregates(dim_engine):
+    for sql in (
+        f"SELECT COUNT(*) AS n, SUM(v) AS s FROM dimfix WHERE {RANGE} AND cat IN ('a', 'b')",
+        f"SELECT AVG(v) AS a, MIN(v) AS mn, MAX(v) AS mx FROM dimfix WHERE {RANGE} "
+        "AND cat IN ('b', 'c', 'b')",
+        f"SELECT STDDEV(v) AS sd FROM dimfix WHERE {RANGE} AND grp IN (0, 2)",
+        # landmark form: IN residual only, no temporal bounds
+        "SELECT COUNT(*) AS n, SUM(v) AS s FROM dimfix WHERE cat IN ('a', 'c')",
+    ):
+        got = [tuple(r) for r in dim_engine.sql(sql).collect()]
+        assert dim_engine.last_route.rewritten, (sql, dim_engine.last_route)
+        assert dim_engine.last_route.detail.get("in_keys") is not None
+        want = [tuple(r) for r in dim_engine.spark.sql(sql).collect()]
+        assert got == want, sql
+
+
+def test_in_values_absent_from_family(dim_engine):
+    # key-complete family proves absence: unseen values contribute zero rows
+    sql = (
+        f"SELECT COUNT(*) AS n, SUM(v) AS s FROM dimfix WHERE {RANGE} "
+        "AND cat IN ('a', 'zzz')"
+    )
+    got = dim_engine.sql(sql).collect()[0]
+    assert dim_engine.last_route.rewritten
+    want = dim_engine.spark.sql(sql).collect()[0]
+    assert tuple(got) == tuple(want)
+    # every value absent → COUNT 0, SUM NULL — still routed, still right
+    sql0 = f"SELECT COUNT(*) AS n, SUM(v) AS s FROM dimfix WHERE {RANGE} AND cat IN ('zzz')"
+    got0 = dim_engine.sql(sql0).collect()[0]
+    assert dim_engine.last_route.rewritten
+    assert tuple(got0) == tuple(dim_engine.spark.sql(sql0).collect()[0]) == (0, None)
+
+
+def test_in_temporal_group_by(dim_engine):
+    sql = (
+        "SELECT date_trunc('minute', timestamp) AS b, COUNT(*) AS n, SUM(v) AS s "
+        f"FROM dimfix WHERE {RANGE} AND cat IN ('a', 'b') "
+        "GROUP BY date_trunc('minute', timestamp)"
+    )
+    _check(dim_engine, sql)
+    assert dim_engine.last_route.detail["in_keys"] == 2
+    # hopping windows + HAVING through the same merge
+    sql2 = (
+        "SELECT window(timestamp, '20 seconds', '10 seconds').start AS ws, SUM(v) AS s "
+        f"FROM dimfix WHERE {RANGE} AND grp IN (1, 2) "
+        "GROUP BY window(timestamp, '20 seconds', '10 seconds') "
+        "HAVING COUNT(*) >= 10 ORDER BY ws"
+    )
+    _check(dim_engine, sql2)
+    # landmark group-by with IN residual only
+    sql3 = (
+        "SELECT date_trunc('minute', timestamp) AS b, COUNT(*) AS n "
+        "FROM dimfix WHERE cat IN ('a', 'b') GROUP BY date_trunc('minute', timestamp)"
+    )
+    _check(dim_engine, sql3, expect_kind="group_by_landmark")
+
+
+def test_in_restricts_dim_group_by(dim_engine):
+    sql = (
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n "
+        f"FROM dimfix WHERE {RANGE} AND cat IN ('a', 'c') "
+        "GROUP BY date_trunc('minute', timestamp), cat ORDER BY b, cat"
+    )
+    got = _check(dim_engine, sql)
+    assert {r[1] for r in got} == {"a", "c"}  # NULL group excluded by IN
+    # IN on a different partitioned column than the group key → delegate
+    r = dim_engine.explain_route(
+        "SELECT date_trunc('minute', timestamp) AS b, cat, COUNT(*) AS n "
+        f"FROM dimfix WHERE {RANGE} AND grp IN (1) "
+        "GROUP BY date_trunc('minute', timestamp), cat"
+    )
+    assert r.kind == "delegate"
+
+
+def test_in_unpartitioned_column_delegates(dim_engine):
+    r = dim_engine.explain_route(
+        f"SELECT COUNT(*) AS n FROM dimfix WHERE {RANGE} AND v IN (1.0, 2.0)"
+    )
+    assert r.kind == "delegate"
