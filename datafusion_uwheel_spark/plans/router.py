@@ -281,11 +281,23 @@ class Router:
                 RouteDecision("delegate", detail={"reason": "nondeterministic LIMIT"}),
                 None,
             )
-        if q.having and q.group_by is None:
+        if q.having and q.group_by is None and q.group_key is None:
             return (
                 RouteDecision("delegate", detail={"reason": "HAVING without GROUP BY"}),
                 None,
             )
+        if q.limit is not None and q.group_by is None and q.group_key is not None:
+            key_out = next(
+                (it.output_name for it in q.select_order if isinstance(it, ColRef)),
+                q.group_key,
+            )
+            if not q.order_by or q.order_by[0][0] != key_out:
+                return (
+                    RouteDecision(
+                        "delegate", detail={"reason": "nondeterministic LIMIT"}
+                    ),
+                    None,
+                )
 
         if q.or_branches:
             return self._try_or_ranges(q)
@@ -294,6 +306,11 @@ class Router:
 
         if q.select_star:
             return self._try_pruning(q, rng, residual)
+
+        if q.group_key is not None and q.group_by is None:
+            # keys-only GROUP BY — the categorical rollup (also covers the
+            # zero-aggregate DISTINCT-keys form)
+            return self._try_key_group_by(q, rng, residual)
 
         if not q.aggs:
             return RouteDecision("delegate", detail={"reason": "no aggregates"}), None
@@ -632,6 +649,171 @@ class Router:
             df,
         )
 
+
+    def _try_key_group_by(self, q, rng, residual):
+        """Keys-only ``GROUP BY key`` from a partitioned wheel family: one
+        row per key value with count > 0 (SQL emits no empty groups; the
+        zero-aggregate form is the DISTINCT-keys query). Temporal WHERE
+        bounds restrict via per-value ``combine_range``; no bounds is the
+        categorical landmark (complete family required); a ``key IN (...)``
+        residual on the same column restricts the emitted groups."""
+        e = self.engine
+        pset = e.partition_sets.get(q.group_key.lower())
+        if pset is None or not pset["wheels"]:
+            return (
+                RouteDecision(
+                    "delegate",
+                    detail={"reason": f"no partitioned index on {q.group_key!r}"},
+                ),
+                None,
+            )
+        sel_values = None
+        if residual:
+            hit = self._partition_in_match(residual)
+            if (
+                hit is None
+                or hit[0] is not pset
+                or residual[0].column.lower() != q.group_key.lower()
+            ):
+                return (
+                    RouteDecision(
+                        "delegate", detail={"reason": "residual filter with key group-by"}
+                    ),
+                    None,
+                )
+            sel_values = hit[1]
+        values = sel_values if sel_values is not None else list(pset["wheels"])
+
+        def wheel_for(v, agg):
+            fam = pset["wheels"][v]
+            if agg is None or (agg.func == "count" and agg.arg is None):
+                return fam[None]
+            col = (agg.arg or "").lower()
+            for c, w in fam.items():
+                if c is not None and c.lower() == col:
+                    return w
+            return None
+
+        temporal_left = len(residual) != len(q.conjuncts)
+        kind = "group_by"
+        if rng is None and not temporal_left:
+            if not all(pset["wheels"][v][None].complete for v in values):
+                return (
+                    RouteDecision("delegate", detail={"reason": "no complete index"}),
+                    None,
+                )
+            kind = "group_by_landmark"
+        elif rng is None or not rng.routable:
+            return (
+                RouteDecision("delegate", detail={"reason": "no exact aligned range"}),
+                None,
+            )
+
+        def states_of(w):
+            if kind == "group_by_landmark":
+                return w.landmark()
+            return w.combine_range(rng.start_sec, rng.end_sec)
+
+        rows = []
+        type_wheels: dict[int, WheelIndex] = {}
+        for v in values:
+            cstates = states_of(pset["wheels"][v][None])
+            if cstates is None:
+                return (
+                    RouteDecision("delegate", detail={"reason": "range not covered"}),
+                    None,
+                )
+            if cstates["count"] == 0:
+                continue  # no rows for this key in range → no group
+            agg_vals = {}
+            for i, agg in enumerate(q.aggs):
+                w = wheel_for(v, agg)
+                if w is None:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"no index for {agg.func}"}
+                        ),
+                        None,
+                    )
+                type_wheels[i] = w
+                st = states_of(w)
+                key = _state_key(agg)
+                if st is None:
+                    return (
+                        RouteDecision("delegate", detail={"reason": "range not covered"}),
+                        None,
+                    )
+                if key not in st:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"state {key} not indexed"}
+                        ),
+                        None,
+                    )
+                agg_vals[i] = st[key]
+            if q.having:
+                ok = True
+                for spec, op, lit in q.having:
+                    hw = wheel_for(v, spec)
+                    if hw is None:
+                        return (
+                            RouteDecision(
+                                "delegate",
+                                detail={"reason": f"no index for HAVING {spec.func}"},
+                            ),
+                            None,
+                        )
+                    hst = states_of(hw)
+                    hkey = _state_key(spec)
+                    if hst is None or hkey not in hst:
+                        return (
+                            RouteDecision(
+                                "delegate", detail={"reason": "HAVING state missing"}
+                            ),
+                            None,
+                        )
+                    if not _having_holds(hst[hkey], op, lit):
+                        ok = False
+                        break
+                if not ok:
+                    continue
+            row = []
+            for item in q.select_order:
+                if isinstance(item, AggSpec):
+                    row.append(agg_vals[q.aggs.index(item)])
+                else:  # ColRef — the key itself
+                    row.append(v)
+            rows.append(tuple(row))
+
+        names, types = [], []
+        for item in q.select_order:
+            names.append(item.output_name)
+            if isinstance(item, AggSpec):
+                i = q.aggs.index(item)
+                tw = type_wheels.get(i)
+                if tw is None:  # zero emitted groups — type from any family
+                    tw = wheel_for(next(iter(pset["wheels"])), item)
+                if tw is None:
+                    return (
+                        RouteDecision(
+                            "delegate", detail={"reason": f"no index for {item.func}"}
+                        ),
+                        None,
+                    )
+                types.append(_agg_sql_type(item, tw))
+            else:
+                types.append(pset["key_sql_type"])
+        if q.order_by or q.limit is not None:
+            rows = _order_limit_rows(q, names, rows)
+        df = self._constant_relation(names, types, rows)
+        return (
+            RouteDecision(
+                kind,
+                index_key=f"{e.name}.{q.group_key}",
+                detail={"partition_by": q.group_key, "keys": len(values)},
+            ),
+            df,
+        )
 
     def _try_in_group_by(self, q, rng, pset, values):
         """Temporal GROUP BY with a ``key IN (...)`` residual: per-value

@@ -358,10 +358,15 @@ class _Parser:
                     break
             temporal = [g for g in gexprs if not isinstance(g, str)]
             keys = [g for g in gexprs if isinstance(g, str)]
-            if len(temporal) != 1 or len(keys) > 1:
+            if len(temporal) > 1 or len(keys) > 1 or not gexprs:
                 raise ParseError("unsupported GROUP BY shape")
-            g = temporal[0]
-            if isinstance(g, WindowSpec):
+            if not temporal:
+                # keys-only GROUP BY: the categorical rollup (group_by stays
+                # None; group_key alone marks the shape)
+                if truncs or wins:
+                    raise ParseError("bucketing select item without temporal GROUP BY")
+                q.group_key = keys[0]
+            elif isinstance(g := temporal[0], WindowSpec):
                 if g.field is not None:
                     raise ParseError("GROUP BY window field access")
                 if truncs:

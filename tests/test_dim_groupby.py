@@ -333,3 +333,45 @@ def test_in_unpartitioned_column_delegates(dim_engine):
         f"SELECT COUNT(*) AS n FROM dimfix WHERE {RANGE} AND v IN (1.0, 2.0)"
     )
     assert r.kind == "delegate"
+
+
+# ----------------------------------------------------------- keys-only GROUP BY
+def test_key_only_group_by(dim_engine):
+    for sql in (
+        f"SELECT cat, COUNT(*) AS n, SUM(v) AS s FROM dimfix WHERE {RANGE} GROUP BY cat",
+        # categorical landmark (no WHERE), NULL group included
+        "SELECT cat, COUNT(*) AS n, AVG(v) AS a FROM dimfix GROUP BY cat",
+        # int key + HAVING + ORDER BY
+        f"SELECT grp, MAX(v) AS mx FROM dimfix WHERE {RANGE} GROUP BY grp "
+        "HAVING COUNT(*) >= 20 ORDER BY grp",
+        # IN restriction on the same key
+        f"SELECT cat, COUNT(*) AS n FROM dimfix WHERE {RANGE} AND cat IN ('a', 'b') GROUP BY cat",
+        # zero-aggregate DISTINCT-keys form
+        f"SELECT cat FROM dimfix WHERE {RANGE} GROUP BY cat",
+    ):
+        df = dim_engine.sql(sql)
+        assert dim_engine.last_route.rewritten, (sql, dim_engine.last_route)
+        got = sorted(map(tuple, df.collect()), key=_key)
+        want = sorted(map(tuple, dim_engine.spark.sql(sql).collect()), key=_key)
+        assert got == want and got, sql
+
+
+def test_key_only_group_by_limit_and_delegates(dim_engine):
+    # LIMIT deterministic only when the key leads the ORDER BY
+    sql = (
+        f"SELECT cat, COUNT(*) AS n FROM dimfix WHERE {RANGE} "
+        "GROUP BY cat ORDER BY cat DESC LIMIT 2"
+    )
+    got = [tuple(r) for r in dim_engine.sql(sql).collect()]
+    assert dim_engine.last_route.rewritten
+    assert got == [tuple(r) for r in dim_engine.spark.sql(sql).collect()]
+    r = dim_engine.explain_route(
+        f"SELECT cat, COUNT(*) AS n FROM dimfix WHERE {RANGE} "
+        "GROUP BY cat ORDER BY n LIMIT 2"
+    )
+    assert r.kind == "delegate"
+    # unpartitioned key column delegates
+    r = dim_engine.explain_route(
+        f"SELECT v, COUNT(*) AS n FROM dimfix WHERE {RANGE} GROUP BY v"
+    )
+    assert r.kind == "delegate"
