@@ -93,14 +93,17 @@ def _state_key(agg: AggSpec) -> str:
     wheel (``is_count_star_aggregate``, ``lib.rs:883-907``)."""
     if agg.func == "count" and agg.arg is not None:
         return "count_col"
-    return _AGG_STATE[agg.func]
+    # unknown funcs (e.g. count_distinct outside its dedicated path) map to a
+    # key no states dict ever carries, so every `key not in states` guard
+    # delegates instead of crashing
+    return _AGG_STATE.get(agg.func, "__nostate__")
 
 
 def _agg_sql_type(agg: AggSpec, wheel: WheelIndex) -> str:
     """Result SQL type matching what delegated ``spark.sql`` would return:
     COUNT → BIGINT; SUM of integral → BIGINT (exact), of float → DOUBLE;
     MIN/MAX → the column's own type; AVG/variance family → DOUBLE."""
-    if agg.func == "count":
+    if agg.func in ("count", "count_distinct"):
         return "BIGINT"
     if agg.func in ("min", "max"):
         return wheel.value_sql_type
@@ -311,6 +314,17 @@ class Router:
             # keys-only GROUP BY — the categorical rollup (also covers the
             # zero-aggregate DISTINCT-keys form)
             return self._try_key_group_by(q, rng, residual)
+
+        if any(a.func == "count_distinct" for a in q.aggs):
+            if len(q.aggs) == 1 and q.group_by is None:
+                return self._try_count_distinct(q, rng, residual)
+            return (
+                RouteDecision(
+                    "delegate",
+                    detail={"reason": "COUNT(DISTINCT) mixed with other shapes"},
+                ),
+                None,
+            )
 
         if not q.aggs:
             return RouteDecision("delegate", detail={"reason": "no aggregates"}), None
@@ -649,6 +663,78 @@ class Router:
             df,
         )
 
+
+
+    def _try_count_distinct(self, q, rng, residual):
+        """Exact ``COUNT(DISTINCT key)`` from a key-complete partitioned
+        family: the number of non-NULL key values with rows in the range —
+        key-completeness makes the count exact, not an estimate (contrast
+        the opt-in HLL ``approx_distinct``, which serves arbitrary
+        columns). Residual may be a ``key IN (...)`` on the same column;
+        anything else delegates."""
+        e = self.engine
+        agg = q.aggs[0]
+        pset = e.partition_sets.get((agg.arg or "").lower())
+        if pset is None or not pset["wheels"]:
+            return (
+                RouteDecision(
+                    "delegate",
+                    detail={"reason": f"no partitioned index on {agg.arg!r}"},
+                ),
+                None,
+            )
+        sel_values = None
+        if residual:
+            hit = self._partition_in_match(residual)
+            if (
+                hit is None
+                or hit[0] is not pset
+                or residual[0].column.lower() != (agg.arg or "").lower()
+            ):
+                return (
+                    RouteDecision(
+                        "delegate", detail={"reason": "residual with COUNT(DISTINCT)"}
+                    ),
+                    None,
+                )
+            sel_values = hit[1]
+        values = sel_values if sel_values is not None else list(pset["wheels"])
+        values = [v for v in values if v is not None]  # SQL ignores NULL keys
+
+        landmark = rng is None and len(residual) == len(q.conjuncts)
+        if landmark:
+            if not all(pset["wheels"][v][None].complete for v in values):
+                return (
+                    RouteDecision("delegate", detail={"reason": "no complete index"}),
+                    None,
+                )
+        elif rng is None or not rng.routable:
+            return (
+                RouteDecision("delegate", detail={"reason": "no exact aligned range"}),
+                None,
+            )
+
+        n = 0
+        for v in values:
+            cw = pset["wheels"][v][None]
+            st = cw.landmark() if landmark else cw.combine_range(rng.start_sec, rng.end_sec)
+            if st is None:
+                return (
+                    RouteDecision("delegate", detail={"reason": "range not covered"}),
+                    None,
+                )
+            if st["count"] > 0:
+                n += 1
+        any_cw = next(iter(pset["wheels"].values()))[None]
+        df = self._scalar_result([agg], [n], [any_cw], q)
+        return (
+            RouteDecision(
+                "count_distinct",
+                index_key=f"{e.name}.{agg.arg}",
+                detail={"partition_by": pset["key_column"], "keys": len(values)},
+            ),
+            df,
+        )
 
     def _try_key_group_by(self, q, rng, residual):
         """Keys-only ``GROUP BY key`` from a partitioned wheel family: one

@@ -112,6 +112,8 @@ class AggSpec:
     def output_name(self) -> str:
         if self.alias:
             return self.alias
+        if self.func == "count_distinct":
+            return f"count(DISTINCT {self.arg})"
         return f"{self.func}({self.arg if self.arg is not None else '*'})"
 
 
@@ -312,6 +314,7 @@ class _Parser:
     # -- grammar -----------------------------------------------------------
     def parse(self) -> ParsedQuery:
         self.expect_kw("select")
+        distinct = self.accept_kw("distinct")
         items, star = self.select_list()
         self.expect_kw("from")
         table = self.ident()
@@ -392,6 +395,16 @@ class _Parser:
             q.group_key = keys[0] if keys else None
         elif truncs or wins:
             raise ParseError("bucketing expression in SELECT without GROUP BY")
+        if distinct:
+            # only the single-bare-column form maps onto a key group-by
+            # (SELECT DISTINCT key ≡ GROUP BY key); every other DISTINCT
+            # delegates
+            if q.aggs or truncs or wins or star or len(colrefs) != 1:
+                raise ParseError("unsupported DISTINCT shape")
+            if q.group_key is None:
+                q.group_key = colrefs[0].name
+            elif q.group_key.lower() != colrefs[0].name.lower():
+                raise ParseError("DISTINCT column does not match GROUP BY")
         if colrefs and (
             q.group_key is None
             or any(c.name.lower() != q.group_key.lower() for c in colrefs)
@@ -497,6 +510,13 @@ class _Parser:
         if func == "count" and self.accept_punct("*"):
             self.expect_punct(")")
             return AggSpec("count", None, None)
+        if func == "count" and self.accept_kw("distinct"):
+            arg = self.ident()
+            self.expect_punct(")")
+            # exact distinct-key counting — answerable from a key-complete
+            # partitioned family (router _try_count_distinct); anything the
+            # family can't prove delegates
+            return AggSpec("count_distinct", arg, None)
         arg = self.ident()
         self.expect_punct(")")
         return AggSpec(func, arg, None)

@@ -375,3 +375,55 @@ def test_key_only_group_by_limit_and_delegates(dim_engine):
         f"SELECT v, COUNT(*) AS n FROM dimfix WHERE {RANGE} GROUP BY v"
     )
     assert r.kind == "delegate"
+
+
+# ------------------------------------------- COUNT(DISTINCT) / SELECT DISTINCT
+def test_count_distinct_key(dim_engine):
+    for sql in (
+        f"SELECT COUNT(DISTINCT cat) AS n FROM dimfix WHERE {RANGE}",
+        "SELECT COUNT(DISTINCT cat) AS n FROM dimfix",  # landmark
+        f"SELECT COUNT(DISTINCT grp) AS n FROM dimfix WHERE {RANGE}",
+        # IN restriction on the same key; 'zzz' provably contributes nothing
+        f"SELECT COUNT(DISTINCT cat) AS n FROM dimfix WHERE {RANGE} AND cat IN ('a', 'zzz')",
+        # narrow range where only some keys occur
+        "SELECT COUNT(DISTINCT cat) AS n FROM dimfix WHERE "
+        "timestamp >= '2024-06-01 00:00:00' AND timestamp < '2024-06-01 00:00:02'",
+    ):
+        got = dim_engine.sql(sql).collect()[0][0]
+        assert dim_engine.last_route.kind == "count_distinct", (sql, dim_engine.last_route)
+        want = dim_engine.spark.sql(sql).collect()[0][0]
+        assert got == want, sql
+
+
+def test_count_distinct_delegates(dim_engine):
+    # unpartitioned column
+    r = dim_engine.explain_route(
+        f"SELECT COUNT(DISTINCT v) AS n FROM dimfix WHERE {RANGE}"
+    )
+    assert r.kind == "delegate"
+    # mixed with other aggregates
+    r = dim_engine.explain_route(
+        f"SELECT COUNT(DISTINCT cat) AS n, SUM(v) AS s FROM dimfix WHERE {RANGE}"
+    )
+    assert r.kind == "delegate"
+    # correctness of the delegated answers (never wrong, just slower)
+    sql = f"SELECT COUNT(DISTINCT v) AS n FROM dimfix WHERE {RANGE}"
+    assert dim_engine.sql(sql).collect() == dim_engine.spark.sql(sql).collect()
+
+
+def test_select_distinct_key(dim_engine):
+    for sql in (
+        f"SELECT DISTINCT cat FROM dimfix WHERE {RANGE}",
+        "SELECT DISTINCT grp FROM dimfix ORDER BY grp",
+        f"SELECT DISTINCT cat FROM dimfix WHERE {RANGE} AND cat IN ('a', 'b')",
+    ):
+        df = dim_engine.sql(sql)
+        assert dim_engine.last_route.rewritten, (sql, dim_engine.last_route)
+        got = sorted(map(tuple, df.collect()), key=_key)
+        want = sorted(map(tuple, dim_engine.spark.sql(sql).collect()), key=_key)
+        assert got == want and got, sql
+    # DISTINCT over anything else delegates
+    r = dim_engine.explain_route("SELECT DISTINCT cat, grp FROM dimfix")
+    assert r.kind == "delegate"
+    r = dim_engine.explain_route(f"SELECT DISTINCT v FROM dimfix WHERE {RANGE}")
+    assert r.kind == "delegate"
