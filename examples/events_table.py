@@ -69,6 +69,33 @@ def main() -> None:
         rows = timed(label, lambda s=sql: engine.sql(s).collect())
         print(f"    route={engine.last_route.kind:<12} rows={len(rows)}")
 
+    # Partitioned wheel family (r4): one scan → every per-event_type query
+    # family — dim group-bys, keyed equality/IN, categorical rollups, exact
+    # COUNT(DISTINCT).
+    timed(
+        "build_partitioned_index(event_type)",
+        lambda: engine.build_partitioned_index("value", partition_by="event_type"),
+    )
+    for label, sql in [
+        ("GROUP BY hour x event_type (family)",
+         "SELECT date_trunc('hour', ts) AS b, event_type AS et, COUNT(*) AS n, "
+         f"SUM(value) AS s FROM events WHERE {r} "
+         "GROUP BY date_trunc('hour', ts), event_type"),
+        ("keys-only GROUP BY (family)",
+         f"SELECT event_type AS et, COUNT(*) AS n, AVG(value) AS a "
+         f"FROM events WHERE {r} GROUP BY event_type"),
+        ("IN over two keys (family)",
+         f"SELECT COUNT(*) AS n, SUM(value) AS s FROM events WHERE {r} "
+         "AND event_type IN ('click', 'view')"),
+        ("exact COUNT(DISTINCT event_type) (family)",
+         f"SELECT COUNT(DISTINCT event_type) AS n FROM events WHERE {r}"),
+        ("SELECT DISTINCT event_type (family)",
+         f"SELECT DISTINCT event_type FROM events WHERE {r}"),
+    ]:
+        rows = timed(label, lambda s=sql: engine.sql(s).collect())
+        assert engine.last_route.rewritten, engine.last_route
+        print(f"    route={engine.last_route.kind:<12} rows={len(rows)}")
+
     # Build-once index persistence: restart-free reloads.
     with tempfile.TemporaryDirectory() as d:
         timed("save_indexes (parquet rollups)", lambda: engine.save_indexes(d))
