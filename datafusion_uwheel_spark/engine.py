@@ -174,6 +174,9 @@ class WheelEngine:
         #: initialized here so :meth:`approx_distinct` raises the documented
         #: KeyError (not AttributeError) when no rollup was ever built.
         self.distinct_rollups: dict = {}
+        #: column → cached KLL sketch rollup (:meth:`build_quantile_index`);
+        #: same opt-in discipline as the HLL rollups.
+        self.quantile_rollups: dict = {}
         if load_indexes is not None:
             import json as _json
             import os as _os
@@ -185,6 +188,15 @@ class WheelEngine:
                 with open(dman) as f:
                     for entry in _json.load(f)["rollups"]:
                         self.distinct_rollups[entry["column"]] = load_distinct_rollup(
+                            spark, _os.path.join(load_indexes, entry["dir"])
+                        )
+            qman = _os.path.join(load_indexes, "quantiles.json")
+            if _os.path.exists(qman):
+                from .operators.quantiles import load_quantile_rollup
+
+                with open(qman) as f:
+                    for entry in _json.load(f)["rollups"]:
+                        self.quantile_rollups[entry["column"]] = load_quantile_rollup(
                             spark, _os.path.join(load_indexes, entry["dir"])
                         )
         self.router = Router(self)
@@ -435,6 +447,47 @@ class WheelEngine:
             granularity, start, end
         )
 
+    def build_quantile_index(
+        self, column: str, bucket_seconds: int = 3600, k: int = 200
+    ):
+        """Build a per-bucket KLL sketch rollup for approximate-percentile
+        range queries (the custom-aggregator extension point applied to a
+        second non-scalar state — see :mod:`.operators.quantiles`). Query
+        with :meth:`approx_quantile` / :meth:`approx_rank`; answers carry
+        the KLL rank-error bound (~1.65% at k=200) and come from a tiny job
+        over the cached rollup, never a scan of the table. Integral columns
+        keep exact int64 sketch values."""
+        from .operators.quantiles import build_quantile_rollup
+
+        r = build_quantile_rollup(
+            self.df, self.time_column, column,
+            bucket_seconds=bucket_seconds, k=k,
+        )
+        self.quantile_rollups[column] = r
+        return r
+
+    def approx_quantile(self, column: str, q, start, end):
+        """Estimated ``q``-quantile(s) of ``column`` over ``[start, end)``
+        from the rollup built by :meth:`build_quantile_index` (KeyError if
+        none — approximate answers are opt-in, never a silent
+        substitution). ``q`` may be a float or a sequence; a sequence costs
+        the same single merge job."""
+        return self.quantile_rollups[column].approx_quantile(q, start, end)
+
+    def approx_rank(self, column: str, value, start, end):
+        """Estimated CDF of ``value`` within ``column`` over ``[start,
+        end)`` — the inverse of :meth:`approx_quantile`. Same opt-in
+        discipline (KeyError if no rollup)."""
+        return self.quantile_rollups[column].approx_rank(value, start, end)
+
+    def approx_quantile_by(self, column: str, granularity, q, start=None, end=None):
+        """Per-bucket quantile estimates — the group-by form: a named
+        ``date_trunc`` granularity or an integer tumbling width in seconds.
+        Same opt-in discipline (KeyError if no rollup)."""
+        return self.quantile_rollups[column].approx_quantile_by(
+            granularity, q, start, end
+        )
+
     def build_min_max_index(self, column: str) -> str:
         """Add a MIN/MAX pruning wheel after construction (min/max states
         only — the reference's ``build_min_max_wheel``, ``lib.rs:967-1017``)."""
@@ -503,9 +556,10 @@ class WheelEngine:
     # -------------------------------------------------------- persistence
     def save_indexes(self, out_dir: str) -> str:
         """Persist every wheel as parquet + manifest (see
-        :mod:`.operators.persistence`), and every HLL distinct rollup as a
-        parquet sketch table (``distinct.json`` sidecar manifest — before r4
-        the rollups were cache-only and a restart silently lost them);
+        :mod:`.operators.persistence`), and every HLL distinct / KLL
+        quantile rollup as a parquet sketch table (``distinct.json`` /
+        ``quantiles.json`` sidecar manifests — before r4 the rollups were
+        cache-only and a restart silently lost them);
         reload with ``WheelEngine(..., load_indexes=out_dir)``."""
         import json as _json
         import os as _os
@@ -550,6 +604,14 @@ class WheelEngine:
                 r.save(_os.path.join(out_dir, d))
                 entries.append({"column": col, "dir": d})
             with open(_os.path.join(out_dir, "distinct.json"), "w") as f:
+                _json.dump({"version": 1, "rollups": entries}, f)
+        if self.quantile_rollups:
+            entries = []
+            for i, (col, r) in enumerate(sorted(self.quantile_rollups.items())):
+                d = f"quantile_{i:04d}"
+                r.save(_os.path.join(out_dir, d))
+                entries.append({"column": col, "dir": d})
+            with open(_os.path.join(out_dir, "quantiles.json"), "w") as f:
                 _json.dump({"version": 1, "rollups": entries}, f)
         return path
 

@@ -1,0 +1,296 @@
+"""Approximate-quantile rollup: a wheel of mergeable KLL sketches.
+
+The reference's custom-aggregator extension point (``UWheelAggregate``
+variants, ``datafusion-uwheel/src/index/mod.rs:7-21``) covers scalar monoids
+only — percentiles over a time range are out of reach for it and for the
+driver-side numpy wheels alike, because a quantile has no scalar mergeable
+state. This module applies the same wheel trade the HLL rollup
+(:mod:`.distinct`) established to **per-bucket KLL quantile sketches**
+(Spark 4.x DataSketches — ``kll_sketch_agg_{double,bigint}`` /
+``kll_merge_agg_*`` / ``kll_sketch_get_quantile_*``, all JVM-side):
+
+* build: ONE declarative aggregation over the table → one compact sketch per
+  time bucket, cached as a small DataFrame;
+* query: ``approx_quantile(q, a, b)`` merges the buckets covering ``[a, b)``
+  and extracts the quantile — a tiny job over the cached rollup,
+  O(buckets in range) regardless of table size;
+* the sketches are mergeable monoids, so streaming maintenance
+  (:meth:`QuantileRollup.merge_batch`) and regrouping under coarser buckets
+  (:meth:`QuantileRollup.approx_quantile_by`) are exact sketch algebra.
+
+Scale: the rollup is bounded by occupied buckets × sketch size (k=200 →
+~3 KB full), not rows; a year of hourly buckets is ~26 MB of executor cache.
+Error is the KLL rank-error bound (~1.65% at k=200, two-sided, with 99%
+confidence) — the returned value's TRUE rank is within ε of the asked rank;
+the value error itself is data-dependent. Raise ``k`` for tighter ranks.
+
+Integral columns (tinyint..bigint) use the ``bigint`` sketch family so
+estimates stay exact int64 values (the engine's exact-integral-state
+discipline, SURVEY §2.4); everything else narrows to ``double``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rollups import time_sec_col
+
+__all__ = ["QuantileRollup", "build_quantile_rollup", "load_quantile_rollup"]
+
+_META = "_quantile_meta.json"
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _suffix_for(df: DataFrame, column: str) -> str:
+    t = dict(df.dtypes)[column]
+    return "bigint" if t in _INTEGRAL else "double"
+
+
+def _fns(suffix: str):
+    return (
+        getattr(F, f"kll_sketch_agg_{suffix}"),
+        getattr(F, f"kll_merge_agg_{suffix}"),
+        getattr(F, f"kll_sketch_get_quantile_{suffix}"),
+        getattr(F, f"kll_sketch_get_rank_{suffix}"),
+        getattr(F, f"kll_sketch_get_n_{suffix}"),
+    )
+
+
+class QuantileRollup:
+    """Handle over a cached per-bucket KLL sketch table.
+
+    ``approx_quantile(q, a, b)`` answers ``PERCENTILE(col, q)`` over
+    ``[a, b)`` (second-aligned bounds, like every wheel lookup) by merging
+    the bucket sketches — one tiny Spark job over the cached rollup."""
+
+    def __init__(
+        self,
+        rollup: DataFrame,
+        column: str,
+        bucket_seconds: int,
+        k: int,
+        suffix: str,
+    ):
+        self._df = rollup
+        self.column = column
+        self.bucket_seconds = bucket_seconds
+        self.k = k
+        self.suffix = suffix
+
+    def _range_filter(self, start, end):
+        """Bucket filter covering ``[start, end)``: a bucket ``[s, s+w)``
+        intersects the range iff ``s > a - w`` and ``s < b`` — partial edge
+        buckets on BOTH sides are included whole (superset semantics; align
+        bounds to ``bucket_seconds`` for exact range semantics — the wheel
+        discipline)."""
+        a = F.unix_timestamp(F.lit(start).cast("timestamp"))
+        b = F.unix_timestamp(F.lit(end).cast("timestamp"))
+        return (F.col("__sec") > a - F.lit(self.bucket_seconds)) & (
+            F.col("__sec") < b
+        )
+
+    def _merged_row(self, start, end, exprs):
+        _, merge, _, _, _ = _fns(self.suffix)
+        sk = (
+            self._df.filter(self._range_filter(start, end))
+            .agg(merge("__kll", F.lit(self.k)).alias("__sk"))
+        )
+        return sk.select(*exprs).collect()[0]
+
+    def approx_quantile(self, q, start, end):
+        """Estimated ``q``-quantile(s) of ``column`` in ``[start, end)``
+        (timestamp strings or datetimes). ``q`` may be a float or a sequence
+        of floats — a sequence costs the SAME single merge job, one
+        extraction per rank. Returns ``None`` (per rank) when no rows fall
+        in the range. The returned value's true rank is within the KLL
+        bound (~1.65% at k=200) of the asked rank."""
+        qs = list(q) if isinstance(q, (list, tuple)) else [q]
+        for x in qs:
+            if not 0.0 <= float(x) <= 1.0:
+                raise ValueError(f"rank {x!r} outside [0, 1]")
+        _, _, get_q, _, get_n = _fns(self.suffix)
+        # Extraction on an EMPTY sketch raises (KLL_INVALID_INPUT_SKETCH_
+        # BUFFER) instead of propagating NULL, so gate every extraction on
+        # the item count — CASE WHEN short-circuits.
+        occupied = get_n("__sk") > 0
+        row = self._merged_row(
+            start,
+            end,
+            [
+                F.when(occupied, get_q("__sk", F.lit(float(x)))).alias(f"__q{i}")
+                for i, x in enumerate(qs)
+            ],
+        )
+        out = [row[f"__q{i}"] for i in range(len(qs))]
+        return out if isinstance(q, (list, tuple)) else out[0]
+
+    def approx_rank(self, value, start, end):
+        """Estimated CDF: the fraction of ``column`` values in ``[start,
+        end)`` that are ``<= value`` (the inverse of
+        :meth:`approx_quantile`). ``None`` when the range holds no rows."""
+        _, _, _, get_r, get_n = _fns(self.suffix)
+        lit = F.lit(int(value) if self.suffix == "bigint" else float(value))
+        row = self._merged_row(
+            start,
+            end,
+            [F.when(get_n("__sk") > 0, get_r("__sk", lit)).alias("__r")],
+        )
+        return None if row["__r"] is None else float(row["__r"])
+
+    def approx_quantile_by(
+        self, granularity, q, start=None, end=None
+    ) -> DataFrame:
+        """Per-bucket quantile estimates — the group-by form of
+        :meth:`approx_quantile`: ``GROUP BY date_trunc('<granularity>')``
+        for a named granularity, or epoch-aligned tumbling windows for an
+        integer width in seconds (the ``window(ts, w)`` shape). ``q`` may be
+        a float (column ``approx_quantile``) or a sequence (columns
+        ``approx_quantile_0..n`` in ask order). Returns occupied buckets
+        only, ordered; one tiny job over the cached sketch table. Sketches
+        are monoids, so regrouping fine buckets under any coarser bucketing
+        is exact sketch algebra — no rescan, no second rollup build."""
+        qs = list(q) if isinstance(q, (list, tuple)) else [q]
+        _, merge, get_q, _, get_n = _fns(self.suffix)
+        ts = F.timestamp_seconds(F.col("__sec"))
+        if isinstance(granularity, int):
+            if granularity <= 0 or granularity % self.bucket_seconds:
+                raise ValueError(
+                    f"width {granularity!r} not tiled by {self.bucket_seconds}s buckets"
+                )
+            bucket = F.timestamp_seconds(
+                F.col("__sec") - F.col("__sec") % F.lit(granularity)
+            )
+        else:
+            bucket = F.date_trunc(str(granularity), ts)
+        df = self._df
+        if start is not None or end is not None:
+            df = df.filter(
+                self._range_filter(start or "1970-01-01", end or "9999-01-01")
+            )
+        names = (
+            ["approx_quantile"]
+            if not isinstance(q, (list, tuple))
+            else [f"approx_quantile_{i}" for i in range(len(qs))]
+        )
+        return (
+            df.groupBy(bucket.alias("bucket"))
+            .agg(merge("__kll", F.lit(self.k)).alias("__sk"))
+            .select(
+                "bucket",
+                # A bucket whose values were all NULL holds an empty sketch;
+                # extraction on it raises, so gate on the item count (the
+                # bucket surfaces with NULL quantiles, mirroring SQL
+                # percentile-over-no-values semantics).
+                *[
+                    F.when(get_n("__sk") > 0, get_q("__sk", F.lit(float(x)))).alias(n)
+                    for n, x in zip(names, qs)
+                ],
+            )
+            .orderBy("bucket")
+        )
+
+    def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
+        """Merge a micro-batch of raw rows into the rollup — streaming
+        maintenance. KLL sketches are mergeable monoids, so the merged
+        rollup answers as a fresh batch build over the union would (same
+        rank-error bound; the same model as the wheel and HLL maintainers):
+        the batch is sketched per bucket with the pinned ``k``, unioned with
+        the stored sketches, and re-merged by bucket. Late data simply lands
+        in its bucket. The new rollup is materialized before the old cache
+        is released."""
+        from pyspark import StorageLevel
+
+        sketch, merge, _, _, _ = _fns(self.suffix)
+        sec = time_sec_col(batch_df, time_column)
+        if self.bucket_seconds != 1:
+            sec = sec - (sec % self.bucket_seconds)
+        cast = "bigint" if self.suffix == "bigint" else "double"
+        delta = (
+            batch_df.filter(F.col(time_column).isNotNull())
+            .groupBy(sec.alias("__sec"))
+            .agg(
+                sketch(F.col(self.column).cast(cast), F.lit(self.k)).alias("__kll")
+            )
+        )
+        merged = (
+            self._df.unionByName(delta)
+            .groupBy("__sec")
+            .agg(merge("__kll", F.lit(self.k)).alias("__kll"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        merged.count()
+        old = self._df
+        self._df = merged
+        old.unpersist()
+
+    def save(self, path: str) -> str:
+        """Persist the sketch table as parquet (one distributed write) plus
+        a JSON sidecar pinning column/bucket/k/type — without this a restart
+        silently loses the rollup and every estimate pays a rebuild scan.
+        Reload with :func:`load_quantile_rollup`."""
+        self._df.write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, _META), "w") as f:
+            json.dump(
+                {
+                    "column": self.column,
+                    "bucket_seconds": self.bucket_seconds,
+                    "k": self.k,
+                    "suffix": self.suffix,
+                },
+                f,
+            )
+        return path
+
+    def unpersist(self) -> None:
+        self._df.unpersist()
+
+
+def build_quantile_rollup(
+    df: DataFrame,
+    time_column: str,
+    column: str,
+    bucket_seconds: int = 3600,
+    k: int = 200,
+) -> QuantileRollup:
+    """One declarative aggregation job over the table → per-bucket KLL
+    sketches, cached (``MEMORY_AND_DISK``) for probe-many use. Default
+    hourly buckets and k=200 (~1.65% rank error): latency dashboards rarely
+    need finer, and the rollup stays ~9 K buckets/year. NULL values are
+    ignored by the sketch (SQL aggregate semantics)."""
+    from pyspark import StorageLevel
+
+    suffix = _suffix_for(df, column)
+    sketch, _, _, _, _ = _fns(suffix)
+    cast = "bigint" if suffix == "bigint" else "double"
+    sec = time_sec_col(df, time_column)
+    if bucket_seconds != 1:
+        sec = sec - (sec % bucket_seconds)
+    rollup = (
+        df.filter(F.col(time_column).isNotNull())
+        .groupBy(sec.alias("__sec"))
+        .agg(sketch(F.col(column).cast(cast), F.lit(k)).alias("__kll"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rollup.count()  # materialize once; probes never touch the raw table
+    return QuantileRollup(rollup, column, bucket_seconds, k, suffix)
+
+
+def load_quantile_rollup(spark, path: str) -> QuantileRollup:
+    """Inverse of :meth:`QuantileRollup.save`: read the parquet sketch
+    table back into executor cache. The sketch bytes are the state, not a
+    derived view — reloaded estimates carry the identical rank-error bound
+    (query-time merges are randomized KLL compaction, so repeated asks may
+    return adjacent data values within that bound)."""
+    from pyspark import StorageLevel
+
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return QuantileRollup(
+        df, meta["column"], meta["bucket_seconds"], meta["k"], meta["suffix"]
+    )

@@ -84,6 +84,12 @@ class StreamingWheelMaintainer:
         for col, rollup in self.engine.distinct_rollups.items():
             if col in batch_df.columns:
                 rollup.merge_batch(batch_df, self.engine.time_column)
+        # KLL quantile rollups: the same mergeable-monoid contract — the
+        # merged rollup answers as a fresh batch build over the union would
+        # (identical rank-error bound).
+        for col, rollup in self.engine.quantile_rollups.items():
+            if col in batch_df.columns:
+                rollup.merge_batch(batch_df, self.engine.time_column)
         maintained = set(self.filters) | {STAR_AGGREGATION_ALIAS}
         e = self.engine
         if self.maintain_partitions:
