@@ -7,9 +7,12 @@ Everything here uses only what the PySpark distribution ships: the bundled
 ``scala-compiler`` jar compiles the rule offline (no sbt, no network), and
 ``SparkSessionExtensions`` + session confs wire it in. The Python engine
 remains the source of truth — :func:`register_count_rollup` exports a wheel's
-``(sec, cnt)`` buckets as a temp view and pins the table's parquet root +
-time column in ``spark.uwheel.shim.*`` confs; the JVM rule rewrites matching
-``COUNT(*)`` range plans against that view at optimization time.
+``(sec, cnt)`` buckets and :func:`register_agg_rollup` a column wheel's
+``(sec, cnt, vcnt, sum, min, max)`` buckets as temp views, pinning the
+table's parquet root + time column + bucket width in ``spark.uwheel.shim.*``
+confs; the JVM rule rewrites matching scalar-aggregate range plans — any mix
+of COUNT(*) / COUNT(col) / SUM / MIN / MAX / AVG over one registered column,
+the reference's R1–R3 family — against those views at optimization time.
 
 Constraint worth knowing: ``spark.sql.extensions`` and the driver classpath
 must be set **before the JVM starts**, i.e. on the first SparkSession of the
@@ -27,6 +30,7 @@ __all__ = [
     "build_shim_jar",
     "shim_builder_confs",
     "register_count_rollup",
+    "register_agg_rollup",
     "EXTENSIONS_CLASS",
 ]
 
@@ -95,27 +99,22 @@ def shim_builder_confs(jar: str | None = None) -> dict[str, str]:
     }
 
 
-def register_count_rollup(spark, engine) -> str:
-    """Export ``engine``'s COUNT wheel as the shim's rollup view and pin the
-    table metadata in session confs. Returns the view name.
-
-    The view is a LocalRelation of ``(sec, cnt)`` buckets — bounded by
-    occupied seconds, the same driver-side payload the Python router reads —
-    so the rewritten plan aggregates kilobytes-to-megabytes instead of
-    scanning the table."""
-    import pandas as pd
-
-    from .operators.lookup import STAR_AGGREGATION_ALIAS
-
-    w = engine.count_wheels[STAR_AGGREGATION_ALIAS]
-    name = f"__uwheel_rollup_{engine.name}"
-    pdf = pd.DataFrame({"sec": w.secs.astype("int64"), "cnt": w.cnt.astype("int64")})
-    spark.createDataFrame(pdf).createOrReplaceTempView(name)
+def _pin_table_confs(spark, engine, wheel) -> None:
+    """Pin the per-table shim metadata (parquet root, time column, bucket
+    width). The Scala rule only rewrites ranges aligned to ``bucket_sec`` —
+    without it a coarse-granularity wheel would answer second-aligned asks
+    it cannot actually tile."""
     path = getattr(engine, "source_path", None)
     if path is None:
         raise ValueError(
             "engine has no source_path — the shim recognizes tables by their "
             "parquet root; construct WheelEngine from a path"
+        )
+    if not wheel.complete:
+        raise ValueError(
+            "shim rollups require a complete (un-time_range-restricted) "
+            "wheel: the rewrite answers any aligned range, which is only "
+            "sound when the wheel proves rows outside its span don't exist"
         )
     existing = spark.conf.get("spark.uwheel.shim.tables", "")
     tables = [t for t in existing.split(",") if t.strip()]
@@ -124,4 +123,122 @@ def register_count_rollup(spark, engine) -> str:
     spark.conf.set("spark.uwheel.shim.tables", ",".join(tables))
     spark.conf.set(f"spark.uwheel.shim.{engine.name}.path", os.path.abspath(path))
     spark.conf.set(f"spark.uwheel.shim.{engine.name}.time_col", engine.time_column)
+    spark.conf.set(
+        f"spark.uwheel.shim.{engine.name}.bucket_sec", str(wheel.bucket_seconds)
+    )
+
+
+def register_count_rollup(spark, engine) -> str:
+    """Export ``engine``'s COUNT wheel as the shim's rollup view and pin the
+    table metadata in session confs. Returns the view name.
+
+    The view is a LocalRelation of ``(sec, cnt)`` buckets — bounded by
+    occupied seconds, the same driver-side payload the Python router reads —
+    so the rewritten plan aggregates kilobytes-to-megabytes instead of
+    scanning the table. Snapshot semantics: re-register after streaming
+    maintenance merges to refresh the exported buckets."""
+    import pandas as pd
+
+    from .operators.lookup import STAR_AGGREGATION_ALIAS
+
+    w = engine.count_wheels[STAR_AGGREGATION_ALIAS]
+    name = f"__uwheel_rollup_{engine.name}"
+    pdf = pd.DataFrame({"sec": w.secs.astype("int64"), "cnt": w.cnt.astype("int64")})
+    spark.createDataFrame(pdf).createOrReplaceTempView(name)
+    _pin_table_confs(spark, engine, w)
+    return name
+
+
+def _arrow_types(sql_type: str):
+    """value_sql_type → (arrow type for min/max, arrow type for sum).
+    Sum types follow Spark's aggregate typing (SUM over any integral is
+    BIGINT; SUM over FLOAT/DOUBLE is DOUBLE) so the rewritten
+    Sum(rollup.sum) carries the exact result type of the original
+    Sum(col)."""
+    import pyarrow as pa
+
+    table = {
+        "TINYINT": (pa.int8(), pa.int64()),
+        "SMALLINT": (pa.int16(), pa.int64()),
+        "INT": (pa.int32(), pa.int64()),
+        "BIGINT": (pa.int64(), pa.int64()),
+        "FLOAT": (pa.float32(), pa.float64()),
+        "DOUBLE": (pa.float64(), pa.float64()),
+    }
+    return table.get(sql_type)
+
+
+def register_agg_rollup(spark, engine, column: str) -> str:
+    """Export ``engine``'s aggregate wheel for ``column`` as the shim's
+    per-column rollup view ``__uwheel_rollup_<table>__<col>`` and register
+    the column in ``spark.uwheel.shim.<table>.agg_cols``. After this, plain
+    ``spark.sql`` scalar aggregates — any mix of COUNT(*) / COUNT(col) /
+    SUM / MIN / MAX / AVG over the column with aligned range bounds — are
+    rewritten to merge the exported buckets instead of scanning the table
+    (the reference's R2/R3 family through the host optimizer).
+
+    NULL discipline: ``sum``/``min``/``max`` are exported as NULL where the
+    bucket's non-null count is zero, so the JVM-side SUM/MIN/MAX skip them
+    and an all-NULL range answers NULL — identical to the delegate scan.
+    Column types mirror the indexed column's own Spark types, so result
+    schemas match the un-rewritten plan exactly (BIGINT sums stay exact
+    int64). Snapshot semantics: re-register after maintenance merges."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .operators.lookup import STAR_AGGREGATION_ALIAS
+
+    try:
+        w = engine.agg_wheels[(column, STAR_AGGREGATION_ALIAS)]
+    except KeyError:
+        raise KeyError(
+            f"no unfiltered aggregate wheel for {column!r} — call "
+            f"engine.build_index({column!r}) first"
+        ) from None
+    if w.sum_ is None or w.min_ is None or w.max_ is None:
+        raise ValueError(
+            f"wheel for {column!r} was built with a state subset; the shim "
+            "view exports sum/min/max/vcnt — build with aggs=None"
+        )
+    types = _arrow_types(w.value_sql_type.upper())
+    if types is None:
+        raise ValueError(
+            f"unsupported column type for the shim: {w.value_sql_type}"
+        )
+    val_type, sum_type = types
+    vcnt = np.asarray(
+        w.vcnt_ if w.vcnt_ is not None else w.cnt,  # legacy: assume no NULLs
+        dtype="int64",
+    )
+    null_mask = vcnt == 0
+
+    def masked(arr, typ):
+        # All-NULL buckets store monoid identities in the wheel; export them
+        # as real Arrow NULLs so the JVM-side SUM/MIN/MAX skip them. Zero
+        # the masked slots first: int identities (±int64 extremes) would
+        # overflow a narrower arrow cast even though they're never read.
+        vals = np.where(null_mask, 0, arr)
+        return pa.array(vals, mask=null_mask).cast(typ)
+
+    # pa.Table → Spark avoids the pandas conversion path, whose nullable
+    # dtypes degrade to NaN when the session has Arrow disabled.
+    tbl = pa.table(
+        {
+            "sec": pa.array(w.secs.astype("int64")),
+            "cnt": pa.array(w.cnt.astype("int64")),
+            "vcnt": pa.array(vcnt),
+            "sum": masked(w.sum_, sum_type),
+            "min": masked(w.min_, val_type),
+            "max": masked(w.max_, val_type),
+        }
+    )
+    col_key = column.lower()
+    name = f"__uwheel_rollup_{engine.name}__{col_key}"
+    spark.createDataFrame(tbl).createOrReplaceTempView(name)
+    _pin_table_confs(spark, engine, w)
+    conf_key = f"spark.uwheel.shim.{engine.name}.agg_cols"
+    cols = [c for c in spark.conf.get(conf_key, "").split(",") if c.strip()]
+    if col_key not in cols:
+        cols.append(col_key)
+    spark.conf.set(conf_key, ",".join(cols))
     return name

@@ -57,12 +57,23 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         f = files[0]
     try:
         schema = pq.read_schema(f)
+        phys = pq.ParquetFile(f).metadata.schema
+        physical = {
+            phys.column(i).name: phys.column(i).physical_type
+            for i in range(len(phys))
+        }
     except Exception:
         return []
+    # pyarrow reports INT96 timestamps (Spark's default writer output) as
+    # timestamp[ns] too, but Spark reads INT96 natively — only physical
+    # INT64-with-NANOS columns trip PARQUET_TYPE_ILLEGAL and need the
+    # nanosAsLong treatment.
     return [
         n
         for n, t in zip(schema.names, schema.types)
-        if pa.types.is_timestamp(t) and t.unit == "ns"
+        if pa.types.is_timestamp(t)
+        and t.unit == "ns"
+        and physical.get(n) == "INT64"
     ]
 
 

@@ -24,6 +24,7 @@ def main() -> None:
     from datafusion_uwheel_spark import WheelEngine
     from datafusion_uwheel_spark.jvmshim import (
         build_shim_jar,
+        register_agg_rollup,
         register_count_rollup,
         shim_builder_confs,
     )
@@ -73,7 +74,85 @@ def main() -> None:
     spark.conf.set("spark.uwheel.shim.tables", "events")
     assert odd_df.collect()[0][0] == want_odd
 
+    # ---- r4: the full scalar-aggregate family through plain spark.sql ----
+    eng.build_index("value")
+    register_agg_rollup(spark, eng, "value")
+    multi = (
+        "SELECT COUNT(*) AS cnt, COUNT(value) AS vcnt, SUM(value) AS s, "
+        "AVG(value) AS a, MIN(value) AS lo, MAX(value) AS hi "
+        f"FROM events WHERE ts >= '{a}' AND ts < '{b}'"
+    )
+    mdf = spark.sql(multi)
+    mphys = mdf._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in mphys, (
+        "agg shim did not rewrite; plan still scans the table:\n" + mphys
+    )
+    got = mdf.collect()[0]
+    spark.conf.set("spark.uwheel.shim.tables", "")
+    want = spark.sql(multi).collect()[0]
+    spark.conf.set("spark.uwheel.shim.tables", "events")
+    assert got["cnt"] == want["cnt"] and got["vcnt"] == want["vcnt"]
+    assert abs(got["s"] - want["s"]) <= 1e-9 * max(1.0, abs(want["s"]))
+    assert abs(got["a"] - want["a"]) <= 1e-9 * max(1.0, abs(want["a"]))
+    assert got["lo"] == want["lo"] and got["hi"] == want["hi"]
+    assert [f.dataType for f in mdf.schema.fields] == [
+        f.dataType for f in spark.sql(multi).schema.fields
+    ], "rewritten schema diverged from the delegate plan"
+
+    # Empty aligned range: COUNTs 0, value aggregates NULL (SQL semantics).
+    empty = (
+        "SELECT COUNT(*) AS cnt, SUM(value) AS s, AVG(value) AS a "
+        "FROM events WHERE ts >= '2030-01-01 00:00:00' AND ts < '2030-01-02 00:00:00'"
+    )
+    e = spark.sql(empty).collect()[0]
+    assert e["cnt"] == 0 and e["s"] is None and e["a"] is None, dict(e.asDict())
+
+    # Aggregate the shim can't serve (STDDEV) → whole plan falls through.
+    sd = (
+        f"SELECT STDDEV(value) AS sd FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}'"
+    )
+    sd_phys = spark.sql(sd)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" in sd_phys or "FileScan" in sd_phys
+
+    # ---- NULL discipline: all-NULL buckets export NULL states, so the
+    # rewritten SUM/MIN/MAX/AVG answer NULL over all-NULL ranges exactly
+    # like the delegate scan (testdata has no NULLs, so pin it here).
+    import tempfile
+
+    nd = tempfile.mkdtemp(prefix="uwheel_shim_nulls_")
+    npath = os.path.join(nd, "nulls.parquet")
+    spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 1.0),
+            ("2024-01-01 00:00:30", None),
+            ("2024-01-01 01:00:00", None),  # hour 1: all NULL
+            ("2024-01-01 01:30:00", None),
+            ("2024-01-01 02:00:00", 5.0),
+        ],
+        "ts string, v double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v").write.mode(
+        "overwrite"
+    ).parquet(npath)
+    neng = WheelEngine(spark, "nulls", npath, time_column="ts")
+    neng.build_index("v")
+    register_agg_rollup(spark, neng, "v")
+    nsql = (
+        "SELECT COUNT(*) AS cnt, COUNT(v) AS vcnt, SUM(v) AS s, AVG(v) AS a, "
+        "MIN(v) AS lo FROM nulls WHERE ts >= '2024-01-01 01:00:00' "
+        "AND ts < '2024-01-01 02:00:00'"
+    )
+    spark.read.parquet(npath).createOrReplaceTempView("nulls")
+    nrow = spark.sql(nsql)
+    nphys = nrow._jdf.queryExecution().executedPlan().toString()
+    assert "nulls.parquet" not in nphys, "null-table rewrite did not fire:\n" + nphys
+    r = nrow.collect()[0]
+    assert (r["cnt"], r["vcnt"], r["s"], r["a"], r["lo"]) == (2, 0, None, None, None), (
+        dict(r.asDict())
+    )
+
     print(f"OK shim: count={shimmed} (rewritten plan, no table scan)")
+    print(f"OK shim multi-agg: {dict(got.asDict())} (rewritten, no table scan)")
 
 
 if __name__ == "__main__":

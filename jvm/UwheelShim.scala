@@ -5,21 +5,37 @@
  * (datafusion-uwheel/src/lib.rs:843-869, examples/nyc_taxi/src/main.rs:71-79).
  *
  * Pure public Spark API (SparkSessionExtensions.injectOptimizerRule). The
- * Python engine stays the source of truth: it registers the COUNT rollup as
- * a temp view `__uwheel_rollup_<table>` (columns sec: long, cnt: long — one
- * row per occupied second) and pins per-table metadata in session confs:
+ * Python engine stays the source of truth: it registers rollup temp views
+ * and pins per-table metadata in session confs:
  *
  *   spark.uwheel.shim.tables            = "events,..."
  *   spark.uwheel.shim.<table>.path      = parquet root the table reads
  *   spark.uwheel.shim.<table>.time_col  = designated time column
+ *   spark.uwheel.shim.<table>.bucket_sec= wheel bucket width in seconds
+ *   spark.uwheel.shim.<table>.agg_cols  = "value,..." (lowercased)
  *
- * Scope (prototype, mirroring the reference's R1 only): a logical plan of
- * shape Aggregate([], [COUNT(*) AS a], Filter(ts >= L AND ts < U, scan)) over
- * a registered parquet root, with second-aligned literal timestamp bounds, is
- * replaced by Aggregate([], [SUM(cnt) AS a], Filter(sec in range, rollup)).
- * The rewritten aggregate reuses the original output ExprId, so parent plans
- * resolve unchanged. Anything else falls through untouched — the same
- * whole-plan match-or-nothing discipline as `try_rewrite` returning None
+ * Views (one row per occupied bucket, `sec` = bucket-start epoch second):
+ *   __uwheel_rollup_<table>          : (sec, cnt)                COUNT wheel
+ *   __uwheel_rollup_<table>__<col>   : (sec, cnt, vcnt, sum, min, max)
+ *     per-column aggregate wheel; sum/min/max are NULL where vcnt = 0
+ *     (all-NULL bucket), so the rewritten SUM/MIN/MAX skip them and an
+ *     all-NULL range answers NULL — SQL aggregate semantics for free.
+ *
+ * Scope (the reference's R1–R3 whole-plan family): a plan of shape
+ *   Aggregate([], [agg1 AS a1, ..., aggN AS aN],
+ *             Filter(ts >= L AND ts < U, scan))
+ * over a registered parquet root, with BUCKET-aligned literal timestamp
+ * bounds, where every agg is a non-DISTINCT unfiltered COUNT(*) / COUNT(c) /
+ * SUM(c) / MIN(c) / MAX(c) / AVG(c) over at most ONE registered column c, is
+ * replaced by the same aggregate over the pruned rollup view:
+ *   COUNT(*)→ COALESCE(SUM(cnt),0)   COUNT(c)→ COALESCE(SUM(vcnt),0)
+ *   SUM(c)  → SUM(sum)               MIN/MAX(c)→ MIN(min)/MAX(max)
+ *   AVG(c)  → SUM(sum) / SUM(vcnt)   (LEGACY division: NULL over empty)
+ * Result types are preserved because the Python side exports the rollup
+ * columns with the indexed column's own Spark types. Rewritten aggregates
+ * reuse the original output ExprIds, so parent plans resolve unchanged.
+ * Anything else falls through untouched — the same whole-plan
+ * match-or-nothing discipline as `try_rewrite` returning None
  * (lib.rs:246-252).
  *
  * Tables are recognized by their file-source root path (by the time optimizer
@@ -34,14 +50,14 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DoubleType, TimestampType}
 
 class UwheelExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectOptimizerRule(session => UwheelCountRewrite(session))
+    ext.injectOptimizerRule(session => UwheelAggRewrite(session))
 }
 
-case class UwheelCountRewrite(session: SparkSession)
+case class UwheelAggRewrite(session: SparkSession)
     extends Rule[LogicalPlan]
     with PredicateHelper {
 
@@ -52,9 +68,10 @@ case class UwheelCountRewrite(session: SparkSession)
     if (tables.isEmpty) plan
     else
       plan transformUp {
-        case agg @ Aggregate(Nil, Seq(alias @ Alias(ae: AggregateExpression, _)), child, _)
-            if isCountStar(ae) =>
-          tryRewrite(alias, child, tables).getOrElse(agg)
+        case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty =>
+          val aliases = exprs.collect { case a @ Alias(_: AggregateExpression, _) => a }
+          if (aliases.size != exprs.size) agg
+          else tryRewrite(aliases, child, tables).getOrElse(agg)
       }
   }
 
@@ -74,11 +91,34 @@ case class UwheelCountRewrite(session: SparkSession)
   private def normalize(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
-  private def isCountStar(ae: AggregateExpression): Boolean =
-    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-      case Count(children) => children.nonEmpty && children.forall(_.foldable)
-      case _               => false
-    })
+  // ------------------------------------------------- aggregate recognition
+
+  private sealed trait AggKind { def col: Option[String] }
+  private case object CountStar extends AggKind { val col = None }
+  private case class CountCol(c: String) extends AggKind { val col = Some(c) }
+  private case class SumCol(c: String) extends AggKind { val col = Some(c) }
+  private case class MinCol(c: String) extends AggKind { val col = Some(c) }
+  private case class MaxCol(c: String) extends AggKind { val col = Some(c) }
+  private case class AvgCol(c: String) extends AggKind { val col = Some(c) }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name.toLowerCase)
+    case _                     => None
+  }
+
+  private def classify(ae: AggregateExpression): Option[AggKind] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else
+      ae.aggregateFunction match {
+        case Count(children) if children.nonEmpty && children.forall(_.foldable) =>
+          Some(CountStar)
+        case Count(Seq(child)) => attrName(child).map(CountCol)
+        case s: Sum            => attrName(s.child).map(SumCol)
+        case m: Min            => attrName(m.child).map(MinCol)
+        case m: Max            => attrName(m.child).map(MaxCol)
+        case a: Average        => attrName(a.child).map(AvgCol)
+        case _                 => None
+      }
 
   /** Unwrap column-pruning Projects around Filter(cond, parquet scan). */
   private def filterOverScan(plan: LogicalPlan): Option[(Expression, LogicalRelation)] =
@@ -96,8 +136,13 @@ case class UwheelCountRewrite(session: SparkSession)
       case _ => None
     }
 
-  /** ts-range bounds [lo, hi) in epoch micros from exactly two conjuncts. */
-  private def bounds(cond: Expression, timeCol: String): Option[(Long, Long)] = {
+  /** ts-range bounds [lo, hi) in epoch micros from exactly two conjuncts,
+    * aligned to the wheel's bucket width. */
+  private def bounds(
+      cond: Expression,
+      timeCol: String,
+      bucketSec: Long
+  ): Option[(Long, Long)] = {
     def isTime(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name.equalsIgnoreCase(timeCol)
       case _                     => false
@@ -117,27 +162,54 @@ case class UwheelCountRewrite(session: SparkSession)
         hi = Some(v)
       case _ => ()
     }
+    val align = Micros * bucketSec
     (lo, hi) match {
-      case (Some(l), Some(h))
-          if l % Micros == 0 && h % Micros == 0 && l <= h =>
+      case (Some(l), Some(h)) if l % align == 0 && h % align == 0 && l <= h =>
         Some((l, h))
       case _ => None
     }
   }
 
+  private def sumAgg(e: Expression): Expression =
+    AggregateExpression(Sum(e), Complete, isDistinct = false)
+
+  private def minAgg(e: Expression): Expression =
+    AggregateExpression(Min(e), Complete, isDistinct = false)
+
+  private def maxAgg(e: Expression): Expression =
+    AggregateExpression(Max(e), Complete, isDistinct = false)
+
   private def tryRewrite(
-      alias: Alias,
+      aliases: Seq[Alias],
       child: LogicalPlan,
       tables: Map[String, (String, String)]
   ): Option[LogicalPlan] =
     for {
+      kinds <- traverse(aliases.map(a => classify(a.child.asInstanceOf[AggregateExpression])))
+      cols = kinds.flatMap(_.col).distinct
+      if cols.size <= 1 // one rollup view per rewrite — no view joins
       (cond, rel) <- filterOverScan(child)
       root <- scanRoot(rel)
       (table, timeCol) <- tables.get(root)
-      (lo, hi) <- bounds(cond, timeCol)
-      rollup <- rollupPlan(table)
+      bucketSec = session.conf
+        .getOption(s"spark.uwheel.shim.$table.bucket_sec")
+        .map(_.toLong)
+        .getOrElse(1L)
+      (lo, hi) <- bounds(cond, timeCol, bucketSec)
+      viewName <- cols.headOption match {
+        case None => Some(s"__uwheel_rollup_$table")
+        case Some(c) =>
+          val registered = session.conf
+            .getOption(s"spark.uwheel.shim.$table.agg_cols")
+            .toSeq
+            .flatMap(_.split(",").map(_.trim.toLowerCase))
+          if (registered.contains(c)) Some(s"__uwheel_rollup_${table}__$c") else None
+      }
+      rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
-      cnt <- rollup.output.find(_.name == "cnt")
+      outs <- traverse(kinds.zip(aliases).map { case (k, a) =>
+        replacement(k, rollup).map(e => Alias(e, a.name)(exprId = a.exprId))
+      })
     } yield {
       val pruned = Filter(
         And(
@@ -146,12 +218,36 @@ case class UwheelCountRewrite(session: SparkSession)
         ),
         rollup
       )
-      val sum = AggregateExpression(Sum(cnt), Complete, isDistinct = false)
-      // COUNT over an empty range is 0, SUM is NULL — coalesce, and keep the
-      // original output ExprId so references above the aggregate still bind.
-      val out = Alias(Coalesce(Seq(sum, Literal(0L))), alias.name)(exprId = alias.exprId)
-      Aggregate(Nil, Seq(out), pruned, None)
+      Aggregate(Nil, outs, pruned, None)
     }
+
+  /** The merged-range expression for one recognized aggregate, over the
+    * rollup view's columns; None when the view lacks a needed state column
+    * (per-aggregate builds export subsets — absent state, no rewrite). */
+  private def replacement(kind: AggKind, rollup: LogicalPlan): Option[Expression] = {
+    def col(n: String) = rollup.output.find(_.name == n)
+    kind match {
+      case CountStar =>
+        col("cnt").map(c => Coalesce(Seq(sumAgg(c), Literal(0L))))
+      case CountCol(_) =>
+        col("vcnt").map(c => Coalesce(Seq(sumAgg(c), Literal(0L))))
+      case SumCol(_) => col("sum").map(sumAgg)
+      case MinCol(_) => col("min").map(minAgg)
+      case MaxCol(_) => col("max").map(maxAgg)
+      case AvgCol(_) =>
+        for (s <- col("sum"); v <- col("vcnt"))
+          // LEGACY division: NULL on zero/NULL denominator even under ANSI,
+          // matching AVG-over-empty semantics of the original plan.
+          yield Divide(
+            Cast(sumAgg(s), DoubleType),
+            Cast(sumAgg(v), DoubleType),
+            EvalMode.LEGACY
+          )
+    }
+  }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
   /** The rollup view's analyzed plan, with the SubqueryAlias/View wrappers
     * stripped: EliminateSubqueryAliases/EliminateView ran in the Finish
@@ -163,8 +259,8 @@ case class UwheelCountRewrite(session: SparkSession)
     case other                   => other
   }
 
-  private def rollupPlan(table: String): Option[LogicalPlan] =
+  private def rollupPlan(view: String): Option[LogicalPlan] =
     try
-      Some(stripViews(session.table(s"__uwheel_rollup_$table").queryExecution.analyzed))
+      Some(stripViews(session.table(view).queryExecution.analyzed))
     catch { case _: Exception => None }
 }

@@ -23,9 +23,11 @@ def test_shim_compiles_with_shipped_scala():
 
 
 def test_shim_rewrites_plain_spark_sql():
-    """Demo asserts: rewritten plan scans no table file, the answer equals
-    both the Python router's and a true delegated scan's, and unaligned
-    bounds fall through to the scan."""
+    """Demo asserts: rewritten plans scan no table file; the COUNT answer
+    equals both the Python router's and a true delegated scan's; the
+    multi-agg family (COUNT/COUNT(col)/SUM/AVG/MIN/MAX) matches the scan in
+    values AND schema; all-NULL ranges answer SQL NULLs; unaligned bounds
+    and unsupported aggregates (STDDEV) fall through to the scan."""
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "jvm_shim_demo.py")],
         capture_output=True,
