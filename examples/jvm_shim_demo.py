@@ -115,6 +115,37 @@ def main() -> None:
     sd_phys = spark.sql(sd)._jdf.queryExecution().executedPlan().toString()
     assert "events.parquet" in sd_phys or "FileScan" in sd_phys
 
+    # ---- r4: GROUP BY date_trunc through plain spark.sql ----
+    for gran in ("hour", "week"):  # fixed + calendar (Spark's own trunc logic)
+        gsql = (
+            f"SELECT date_trunc('{gran}', ts) AS b, COUNT(*) AS c, "
+            "SUM(value) AS s, AVG(value) AS a "
+            f"FROM events WHERE ts >= '{a}' AND ts < '{b}' "
+            "GROUP BY 1 ORDER BY b"
+        )
+        gdf = spark.sql(gsql)
+        gphys = gdf._jdf.queryExecution().executedPlan().toString()
+        assert "events.parquet" not in gphys, (
+            f"group-by {gran} shim did not rewrite:\n" + gphys
+        )
+        grows = gdf.collect()
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        wrows = spark.sql(gsql).collect()
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert len(grows) == len(wrows) > 0, (gran, len(grows), len(wrows))
+        for gr, wr in zip(grows, wrows):
+            assert gr["b"] == wr["b"] and gr["c"] == wr["c"], (gran, gr, wr)
+            assert abs(gr["s"] - wr["s"]) <= 1e-9 * max(1.0, abs(wr["s"]))
+            assert abs(gr["a"] - wr["a"]) <= 1e-9 * max(1.0, abs(wr["a"]))
+
+    # Sub-second granularity is finer than the wheel → must fall through.
+    msql = (
+        f"SELECT date_trunc('millisecond', ts) AS b, COUNT(*) AS c FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY 1"
+    )
+    mphys2 = spark.sql(msql)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" in mphys2 or "FileScan" in mphys2
+
     # ---- NULL discipline: all-NULL buckets export NULL states, so the
     # rewritten SUM/MIN/MAX/AVG answer NULL over all-NULL ranges exactly
     # like the delegate scan (testdata has no NULLs, so pin it here).

@@ -21,22 +21,32 @@
  *     (all-NULL bucket), so the rewritten SUM/MIN/MAX skip them and an
  *     all-NULL range answers NULL — SQL aggregate semantics for free.
  *
- * Scope (the reference's R1–R3 whole-plan family): a plan of shape
+ * Scope (the reference's R1–R4 whole-plan family): plans of shape
  *   Aggregate([], [agg1 AS a1, ..., aggN AS aN],
- *             Filter(ts >= L AND ts < U, scan))
+ *             Filter(ts >= L AND ts < U, scan))                 — scalar
+ *   Aggregate([date_trunc(g, ts)], [date_trunc(g, ts) AS b, aggs...],
+ *             Filter(ts >= L AND ts < U, scan))                 — group-by
  * over a registered parquet root, with BUCKET-aligned literal timestamp
  * bounds, where every agg is a non-DISTINCT unfiltered COUNT(*) / COUNT(c) /
- * SUM(c) / MIN(c) / MAX(c) / AVG(c) over at most ONE registered column c, is
- * replaced by the same aggregate over the pruned rollup view:
+ * SUM(c) / MIN(c) / MAX(c) / AVG(c) over at most ONE registered column c,
+ * are replaced by the same aggregate over the pruned rollup view:
  *   COUNT(*)→ COALESCE(SUM(cnt),0)   COUNT(c)→ COALESCE(SUM(vcnt),0)
  *   SUM(c)  → SUM(sum)               MIN/MAX(c)→ MIN(min)/MAX(max)
  *   AVG(c)  → SUM(sum) / SUM(vcnt)   (LEGACY division: NULL over empty)
+ * The group-by form regroups the rollup under the ORIGINAL TruncTimestamp
+ * expression applied to the bucket-start (`date_trunc(g,
+ * seconds_to_timestamp(sec))`), so Spark's own calendar logic (weeks,
+ * months, session time zone) produces the grouping keys — no re-derivation
+ * to diverge from. Sub-second granularities never rewrite; with coarse
+ * wheel buckets (bucket_sec > 1) the granularity must tile into buckets
+ * and the session zone must be UTC (epoch-aligned buckets only provably
+ * tile local calendar boundaries there).
  * Result types are preserved because the Python side exports the rollup
  * columns with the indexed column's own Spark types. Rewritten aggregates
- * reuse the original output ExprIds, so parent plans resolve unchanged.
- * Anything else falls through untouched — the same whole-plan
- * match-or-nothing discipline as `try_rewrite` returning None
- * (lib.rs:246-252).
+ * reuse the original output ExprIds, so parent plans (ORDER BY, HAVING,
+ * projections) resolve unchanged. Anything else falls through untouched —
+ * the same whole-plan match-or-nothing discipline as `try_rewrite`
+ * returning None (lib.rs:246-252).
  *
  * Tables are recognized by their file-source root path (by the time optimizer
  * rules run, EliminateSubqueryAliases has stripped the view name), which also
@@ -69,11 +79,34 @@ case class UwheelAggRewrite(session: SparkSession)
     else
       plan transformUp {
         case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty =>
-          val aliases = exprs.collect { case a @ Alias(_: AggregateExpression, _) => a }
-          if (aliases.size != exprs.size) agg
-          else tryRewrite(aliases, child, tables).getOrElse(agg)
+          tryRewrite(exprs, None, child, tables).getOrElse(agg)
+        case agg @ Aggregate(Seq(gexpr), exprs, child, _) if exprs.nonEmpty =>
+          resolveTrunc(gexpr, child) match {
+            case Some(t) =>
+              tryRewrite(exprs, Some((gexpr, t)), child, tables).getOrElse(agg)
+            case None => agg
+          }
       }
   }
+
+  /** The grouping key as a TruncTimestamp: either inline, or (after
+    * PullOutGroupingExpressions, which runs before injected rules) an
+    * attribute bound to a `date_trunc(...) AS _groupingexpression` alias in
+    * a Project below the Aggregate. */
+  private def resolveTrunc(e: Expression, child: LogicalPlan): Option[TruncTimestamp] =
+    e match {
+      case t: TruncTimestamp => Some(t)
+      case a: AttributeReference =>
+        def find(p: LogicalPlan): Option[TruncTimestamp] = p match {
+          case Project(list, inner) =>
+            list.collectFirst {
+              case al @ Alias(t: TruncTimestamp, _) if al.exprId == a.exprId => t
+            }.orElse(find(inner))
+          case _ => None
+        }
+        find(child)
+      case _ => None
+    }
 
   /** path root -> (table name, time column) */
   private def registeredTables(): Map[String, (String, String)] =
@@ -179,13 +212,53 @@ case class UwheelAggRewrite(session: SparkSession)
   private def maxAgg(e: Expression): Expression =
     AggregateExpression(Max(e), Complete, isDistinct = false)
 
+  /** Seconds per fixed date_trunc level; calendar levels (week and up) are
+    * whole local days. Sub-second levels never rewrite — finer than the
+    * wheel's resolution. */
+  private val FixedGranSecs =
+    Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L, "day" -> 86400L, "dd" -> 86400L)
+  private val CalendarGrans =
+    Set("week", "month", "mon", "mm", "quarter", "year", "yyyy", "yy")
+
+  /** Can `date_trunc(fmt, ·)` of every row in a bucket be read off the
+    * bucket start? True iff whole buckets land in one trunc cell. */
+  private def granTiles(fmt: String, bucketSec: Long, tz: String): Boolean = {
+    val f = fmt.toLowerCase
+    val known = FixedGranSecs.contains(f) || CalendarGrans.contains(f)
+    if (!known) false
+    else if (bucketSec == 1L) true // IANA offsets are whole seconds
+    else if (tz != "UTC") false // only UTC provably epoch-aligns boundaries
+    else FixedGranSecs.get(f) match {
+      case Some(s) => s % bucketSec == 0
+      case None    => 86400L % bucketSec == 0 // calendar cells are whole days
+    }
+  }
+
+  /** The recognized shape of one output expression. */
+  private sealed trait OutKind
+  private case class AggOut(kind: AggKind) extends OutKind
+  private case object KeyOut extends OutKind
+
   private def tryRewrite(
-      aliases: Seq[Alias],
+      exprs: Seq[NamedExpression],
+      grouping: Option[(Expression, TruncTimestamp)],
       child: LogicalPlan,
       tables: Map[String, (String, String)]
   ): Option[LogicalPlan] =
     for {
-      kinds <- traverse(aliases.map(a => classify(a.child.asInstanceOf[AggregateExpression])))
+      aliases <- traverse(exprs.map { case a: Alias => Some(a); case _ => None })
+      outs0 <- traverse(aliases.map { a =>
+        a.child match {
+          case ae: AggregateExpression => classify(ae).map(AggOut)
+          case e
+              if grouping.exists { case (orig, t) =>
+                e.semanticEquals(orig) || e.semanticEquals(t)
+              } =>
+            Some(KeyOut)
+          case _ => None
+        }
+      })
+      kinds = outs0.collect { case AggOut(k) => k }
       cols = kinds.flatMap(_.col).distinct
       if cols.size <= 1 // one rollup view per rewrite — no view joins
       (cond, rel) <- filterOverScan(child)
@@ -195,6 +268,22 @@ case class UwheelAggRewrite(session: SparkSession)
         .getOption(s"spark.uwheel.shim.$table.bucket_sec")
         .map(_.toLong)
         .getOrElse(1L)
+      // the grouped ts must be the registered time column, at a granularity
+      // whole buckets tile into
+      if grouping.forall { case (_, g) =>
+        (g.timestamp match {
+          case a: AttributeReference => a.name.equalsIgnoreCase(timeCol)
+          case _                     => false
+        }) && (g.format match {
+          case Literal(s, _) if s != null =>
+            granTiles(
+              s.toString,
+              bucketSec,
+              g.timeZoneId.getOrElse(session.sessionState.conf.sessionLocalTimeZone)
+            )
+          case _ => false
+        })
+      }
       (lo, hi) <- bounds(cond, timeCol, bucketSec)
       viewName <- cols.headOption match {
         case None => Some(s"__uwheel_rollup_$table")
@@ -207,8 +296,14 @@ case class UwheelAggRewrite(session: SparkSession)
       }
       rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
-      outs <- traverse(kinds.zip(aliases).map { case (k, a) =>
-        replacement(k, rollup).map(e => Alias(e, a.name)(exprId = a.exprId))
+      // the original trunc over the bucket-start timestamp: Spark's own
+      // calendar logic computes the keys, nothing re-derived
+      newKey = grouping.map { case (_, g) => g.copy(timestamp = SecondsToTimestamp(sec)) }
+      outs <- traverse(outs0.zip(aliases).map {
+        case (AggOut(k), a) =>
+          replacement(k, rollup).map(e => Alias(e, a.name)(exprId = a.exprId))
+        case (KeyOut, a) =>
+          newKey.map(e => Alias(e, a.name)(exprId = a.exprId))
       })
     } yield {
       val pruned = Filter(
@@ -218,7 +313,7 @@ case class UwheelAggRewrite(session: SparkSession)
         ),
         rollup
       )
-      Aggregate(Nil, outs, pruned, None)
+      Aggregate(newKey.toSeq, outs, pruned, None)
     }
 
   /** The merged-range expression for one recognized aggregate, over the
