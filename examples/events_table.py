@@ -107,6 +107,22 @@ def main() -> None:
             ),
         )
 
+    # Sketch rollups (opt-in): COUNT(DISTINCT) and percentiles over any
+    # aligned range in O(buckets) — per-bucket HLL / KLL sketches, mergeable
+    # monoids, maintained by the same streaming hook as the wheels.
+    timed("build HLL distinct rollup (one-time)",
+          lambda: engine.build_distinct_index("user_id"))
+    timed("build KLL quantile rollup (one-time)",
+          lambda: engine.build_quantile_index("value"))
+    a, b = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+    est = timed("approx_distinct(user_id) over 7 days",
+                lambda: engine.approx_distinct("user_id", a, b))
+    p50, p95, p99 = timed(
+        "approx_quantile(value, [.5,.95,.99]) — one merge job",
+        lambda: engine.approx_quantile("value", [0.5, 0.95, 0.99], a, b),
+    )
+    print(f"    distinct users ≈ {est}; value p50={p50:.2f} p95={p95:.2f} p99={p99:.2f}")
+
     # ANN over the embeddings table through the SimilarityEngine registry:
     # build once, and every topk() call routes to the partition-pruned
     # probe (falling back to query-time hashing only when no index matches).
