@@ -107,6 +107,30 @@ def main() -> None:
         f"({n_keys} event_type keys)"
     )
 
+    # Sketch rollups (r4): build once (one aggregation scan each), then
+    # probe — each probe is an O(buckets) merge job over the cached sketch
+    # table, never a scan of the events table.
+    t0 = time.perf_counter()
+    dr = eng.build_distinct_index("user_id")
+    queries["distinct_index_build"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    qr = eng.build_quantile_index("value")
+    queries["quantile_index_build"] = time.perf_counter() - t0
+    log(
+        f"distinct_index_build {queries['distinct_index_build']:.2f}s, "
+        f"quantile_index_build {queries['quantile_index_build']:.2f}s"
+    )
+    _qa, _qb = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+    queries["uw_approx_distinct"] = time_calls(
+        lambda: dr.approx_distinct(_qa, _qb), N_PROBE
+    )
+    queries["uw_approx_quantile"] = time_calls(
+        lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb), N_PROBE
+    )
+    queries["uw_approx_quantile_by_day"] = time_calls(
+        lambda: qr.approx_quantile_by("day", 0.95).count(), N_PROBE
+    )
+
     # ------------------------------------------------- LLM-data operators
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     docs.createOrReplaceTempView("documents")

@@ -169,13 +169,18 @@ def _arrow_types(sql_type: str):
 
 
 def register_agg_rollup(spark, engine, column: str) -> str:
-    """Export ``engine``'s aggregate wheel for ``column`` as the shim's
-    per-column rollup view ``__uwheel_rollup_<table>__<col>`` and register
-    the column in ``spark.uwheel.shim.<table>.agg_cols``. After this, plain
-    ``spark.sql`` scalar aggregates — any mix of COUNT(*) / COUNT(col) /
-    SUM / MIN / MAX / AVG over the column with aligned range bounds — are
-    rewritten to merge the exported buckets instead of scanning the table
-    (the reference's R2/R3 family through the host optimizer).
+    """Export ``engine``'s aggregate wheel for ``column`` into the shim's
+    combined per-table rollup view ``__uwheel_rollup_<table>__agg``
+    (columns ``sec, cnt`` plus ``vcnt_<c>, sum_<c>, min_<c>, max_<c>`` per
+    registered column) and register the column in
+    ``spark.uwheel.shim.<table>.agg_cols``. After this, plain ``spark.sql``
+    aggregates — any mix of COUNT(*) / COUNT(col) / SUM / MIN / MAX / AVG
+    over ANY registered columns, scalar or GROUP BY date_trunc, with
+    aligned range bounds — are rewritten to merge the exported buckets
+    instead of scanning the table (the reference's R1–R4 family through the
+    host optimizer). One view serves all columns because every unfiltered
+    wheel of a table shares the same occupied-bucket domain, so
+    mixed-column aggregates need no view joins.
 
     NULL discipline: ``sum``/``min``/``max`` are exported as NULL where the
     bucket's non-null count is zero, so the JVM-side SUM/MIN/MAX skip them
@@ -200,45 +205,50 @@ def register_agg_rollup(spark, engine, column: str) -> str:
             f"wheel for {column!r} was built with a state subset; the shim "
             "view exports sum/min/max/vcnt — build with aggs=None"
         )
-    types = _arrow_types(w.value_sql_type.upper())
-    if types is None:
+    if _arrow_types(w.value_sql_type.upper()) is None:
         raise ValueError(
             f"unsupported column type for the shim: {w.value_sql_type}"
         )
-    val_type, sum_type = types
-    vcnt = np.asarray(
-        w.vcnt_ if w.vcnt_ is not None else w.cnt,  # legacy: assume no NULLs
-        dtype="int64",
-    )
-    null_mask = vcnt == 0
+    registered = getattr(engine, "_shim_agg_wheels", None)
+    if registered is None:
+        registered = engine._shim_agg_wheels = {}
+    base = next(iter(registered.values()), w)
+    if not np.array_equal(w.secs, base.secs):
+        raise ValueError(
+            "wheel bucket domain diverged from previously registered "
+            "columns — rebuild the indexes from the same table snapshot"
+        )
+    registered[column.lower()] = w
 
-    def masked(arr, typ):
+    def masked(wheel, arr, typ):
         # All-NULL buckets store monoid identities in the wheel; export them
         # as real Arrow NULLs so the JVM-side SUM/MIN/MAX skip them. Zero
         # the masked slots first: int identities (±int64 extremes) would
         # overflow a narrower arrow cast even though they're never read.
+        vcnt = np.asarray(
+            wheel.vcnt_ if wheel.vcnt_ is not None else wheel.cnt, dtype="int64"
+        )
+        null_mask = vcnt == 0
         vals = np.where(null_mask, 0, arr)
         return pa.array(vals, mask=null_mask).cast(typ)
 
     # pa.Table → Spark avoids the pandas conversion path, whose nullable
     # dtypes degrade to NaN when the session has Arrow disabled.
-    tbl = pa.table(
-        {
-            "sec": pa.array(w.secs.astype("int64")),
-            "cnt": pa.array(w.cnt.astype("int64")),
-            "vcnt": pa.array(vcnt),
-            "sum": masked(w.sum_, sum_type),
-            "min": masked(w.min_, val_type),
-            "max": masked(w.max_, val_type),
-        }
-    )
-    col_key = column.lower()
-    name = f"__uwheel_rollup_{engine.name}__{col_key}"
-    spark.createDataFrame(tbl).createOrReplaceTempView(name)
+    cols: dict = {
+        "sec": pa.array(w.secs.astype("int64")),
+        "cnt": pa.array(w.cnt.astype("int64")),
+    }
+    for c, cw in sorted(registered.items()):
+        val_type, sum_type = _arrow_types(cw.value_sql_type.upper())
+        cols[f"vcnt_{c}"] = pa.array(
+            np.asarray(cw.vcnt_ if cw.vcnt_ is not None else cw.cnt, dtype="int64")
+        )
+        cols[f"sum_{c}"] = masked(cw, cw.sum_, sum_type)
+        cols[f"min_{c}"] = masked(cw, cw.min_, val_type)
+        cols[f"max_{c}"] = masked(cw, cw.max_, val_type)
+    name = f"__uwheel_rollup_{engine.name}__agg"
+    spark.createDataFrame(pa.table(cols)).createOrReplaceTempView(name)
     _pin_table_confs(spark, engine, w)
     conf_key = f"spark.uwheel.shim.{engine.name}.agg_cols"
-    cols = [c for c in spark.conf.get(conf_key, "").split(",") if c.strip()]
-    if col_key not in cols:
-        cols.append(col_key)
-    spark.conf.set(conf_key, ",".join(cols))
+    spark.conf.set(conf_key, ",".join(sorted(registered)))
     return name

@@ -99,6 +99,30 @@ def main() -> None:
         f.dataType for f in spark.sql(multi).schema.fields
     ], "rewritten schema diverged from the delegate plan"
 
+    # Mixed-column aggregates from the ONE combined view (no view joins):
+    # BIGINT user_id sums must come back exact with BIGINT schema.
+    eng.build_index("user_id")
+    register_agg_rollup(spark, eng, "user_id")
+    mixed = (
+        "SELECT COUNT(*) AS cnt, SUM(value) AS sv, AVG(user_id) AS au, "
+        "SUM(user_id) AS su, MIN(user_id) AS lo "
+        f"FROM events WHERE ts >= '{a}' AND ts < '{b}'"
+    )
+    xdf = spark.sql(mixed)
+    xphys = xdf._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in xphys, "mixed-column rewrite did not fire:\n" + xphys
+    xg = xdf.collect()[0]
+    spark.conf.set("spark.uwheel.shim.tables", "")
+    xw = spark.sql(mixed).collect()[0]
+    wschema = spark.sql(mixed).schema
+    spark.conf.set("spark.uwheel.shim.tables", "events")
+    assert (xg["cnt"], xg["su"], xg["lo"]) == (xw["cnt"], xw["su"], xw["lo"])
+    assert abs(xg["sv"] - xw["sv"]) <= 1e-9 * max(1.0, abs(xw["sv"]))
+    assert abs(xg["au"] - xw["au"]) <= 1e-9 * max(1.0, abs(xw["au"]))
+    assert [f.dataType for f in xdf.schema.fields] == [
+        f.dataType for f in wschema.fields
+    ], "mixed-column schema diverged"
+
     # Empty aligned range: COUNTs 0, value aggregates NULL (SQL semantics).
     empty = (
         "SELECT COUNT(*) AS cnt, SUM(value) AS s, AVG(value) AS a "

@@ -15,11 +15,14 @@
  *   spark.uwheel.shim.<table>.agg_cols  = "value,..." (lowercased)
  *
  * Views (one row per occupied bucket, `sec` = bucket-start epoch second):
- *   __uwheel_rollup_<table>          : (sec, cnt)                COUNT wheel
- *   __uwheel_rollup_<table>__<col>   : (sec, cnt, vcnt, sum, min, max)
- *     per-column aggregate wheel; sum/min/max are NULL where vcnt = 0
- *     (all-NULL bucket), so the rewritten SUM/MIN/MAX skip them and an
- *     all-NULL range answers NULL — SQL aggregate semantics for free.
+ *   __uwheel_rollup_<table>       : (sec, cnt)                  COUNT wheel
+ *   __uwheel_rollup_<table>__agg  : (sec, cnt, vcnt_<c>, sum_<c>, min_<c>,
+ *     max_<c> per registered column c) — ONE combined view for all columns
+ *     (every unfiltered wheel of a table shares the occupied-bucket
+ *     domain), so mixed-column aggregates rewrite without view joins;
+ *     sum/min/max are NULL where vcnt = 0 (all-NULL bucket), so the
+ *     rewritten SUM/MIN/MAX skip them and an all-NULL range answers NULL —
+ *     SQL aggregate semantics for free.
  *
  * Scope (the reference's R1–R4 whole-plan family): plans of shape
  *   Aggregate([], [agg1 AS a1, ..., aggN AS aN],
@@ -28,7 +31,7 @@
  *             Filter(ts >= L AND ts < U, scan))                 — group-by
  * over a registered parquet root, with BUCKET-aligned literal timestamp
  * bounds, where every agg is a non-DISTINCT unfiltered COUNT(*) / COUNT(c) /
- * SUM(c) / MIN(c) / MAX(c) / AVG(c) over at most ONE registered column c,
+ * SUM(c) / MIN(c) / MAX(c) / AVG(c) over registered columns c,
  * are replaced by the same aggregate over the pruned rollup view:
  *   COUNT(*)→ COALESCE(SUM(cnt),0)   COUNT(c)→ COALESCE(SUM(vcnt),0)
  *   SUM(c)  → SUM(sum)               MIN/MAX(c)→ MIN(min)/MAX(max)
@@ -260,7 +263,6 @@ case class UwheelAggRewrite(session: SparkSession)
       })
       kinds = outs0.collect { case AggOut(k) => k }
       cols = kinds.flatMap(_.col).distinct
-      if cols.size <= 1 // one rollup view per rewrite — no view joins
       (cond, rel) <- filterOverScan(child)
       root <- scanRoot(rel)
       (table, timeCol) <- tables.get(root)
@@ -285,15 +287,17 @@ case class UwheelAggRewrite(session: SparkSession)
         })
       }
       (lo, hi) <- bounds(cond, timeCol, bucketSec)
-      viewName <- cols.headOption match {
-        case None => Some(s"__uwheel_rollup_$table")
-        case Some(c) =>
+      viewName <-
+        if (cols.isEmpty) Some(s"__uwheel_rollup_$table")
+        else {
           val registered = session.conf
             .getOption(s"spark.uwheel.shim.$table.agg_cols")
             .toSeq
             .flatMap(_.split(",").map(_.trim.toLowerCase))
-          if (registered.contains(c)) Some(s"__uwheel_rollup_${table}__$c") else None
-      }
+            .toSet
+          if (cols.forall(registered.contains)) Some(s"__uwheel_rollup_${table}__agg")
+          else None
+        }
       rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
       // the original trunc over the bucket-start timestamp: Spark's own
@@ -324,13 +328,13 @@ case class UwheelAggRewrite(session: SparkSession)
     kind match {
       case CountStar =>
         col("cnt").map(c => Coalesce(Seq(sumAgg(c), Literal(0L))))
-      case CountCol(_) =>
-        col("vcnt").map(c => Coalesce(Seq(sumAgg(c), Literal(0L))))
-      case SumCol(_) => col("sum").map(sumAgg)
-      case MinCol(_) => col("min").map(minAgg)
-      case MaxCol(_) => col("max").map(maxAgg)
-      case AvgCol(_) =>
-        for (s <- col("sum"); v <- col("vcnt"))
+      case CountCol(c) =>
+        col(s"vcnt_$c").map(v => Coalesce(Seq(sumAgg(v), Literal(0L))))
+      case SumCol(c) => col(s"sum_$c").map(sumAgg)
+      case MinCol(c) => col(s"min_$c").map(minAgg)
+      case MaxCol(c) => col(s"max_$c").map(maxAgg)
+      case AvgCol(c) =>
+        for (s <- col(s"sum_$c"); v <- col(s"vcnt_$c"))
           // LEGACY division: NULL on zero/NULL denominator even under ANSI,
           // matching AVG-over-empty semantics of the original plan.
           yield Divide(
