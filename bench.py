@@ -130,6 +130,26 @@ def main() -> None:
     queries["uw_approx_quantile_by_day"] = time_calls(
         lambda: qr.approx_quantile_by("day", 0.95).count(), N_PROBE
     )
+    # The scan-path denominators for the sketch probes (exact answers, full
+    # reads). The probes sit at the local small-job floor (~130 ms: a bare
+    # count() on the cached sketch table costs the same); at scale the scan
+    # grows with the table while the probe stays O(buckets).
+    ev_view = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    ev_view.createOrReplaceTempView("events_raw")
+    queries["vanilla_count_distinct"] = time_calls(
+        lambda: spark.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM events_raw "
+            f"WHERE ts >= '{_qa}' AND ts < '{_qb}'"
+        ).collect(),
+        N_VANILLA,
+    )
+    queries["vanilla_percentile"] = time_calls(
+        lambda: spark.sql(
+            f"SELECT percentile_approx(value, array(0.5, 0.95, 0.99)) "
+            f"FROM events_raw WHERE ts >= '{_qa}' AND ts < '{_qb}'"
+        ).collect(),
+        N_VANILLA,
+    )
 
     # ------------------------------------------------- LLM-data operators
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -190,10 +210,15 @@ def main() -> None:
     # computed column, so the r2/r3 numbers timed a bare scan (r3 VERDICT
     # "what's wrong" item 1). Aggregating over one output of each stage
     # forces token stats, quality, and lang-id to actually evaluate.
+    # The text ops are pure projections (no implicit repartition — the
+    # operators stay shuffle-free for callers); the bench input is ONE
+    # parquet file, so spread it across cores first, as any production
+    # multi-file source already arrives.
+    docs_wide = docs.repartition(int(CPUS))
     med(
         "text_pipeline",
         lambda: text_ops.with_lang_id(
-            text_ops.with_quality(text_ops.with_token_stats(docs))
+            text_ops.with_quality(text_ops.with_token_stats(docs_wide))
         )
         .agg(
             F.sum("n_tokens"),
@@ -249,7 +274,7 @@ def main() -> None:
 
     med(
         "text_pii_repetition",
-        lambda: text_ops.with_repetition_stats(text_ops.with_pii_scrub(docs))
+        lambda: text_ops.with_repetition_stats(text_ops.with_pii_scrub(docs_wide))
         .agg(
             F.sum("n_email"),
             F.sum("n_phone"),

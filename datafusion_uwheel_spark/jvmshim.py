@@ -212,13 +212,15 @@ def register_agg_rollup(spark, engine, column: str) -> str:
     registered = getattr(engine, "_shim_agg_wheels", None)
     if registered is None:
         registered = engine._shim_agg_wheels = {}
-    base = next(iter(registered.values()), w)
+    base = next(iter(registered.values()), (column, w))[1]
     if not np.array_equal(w.secs, base.secs):
         raise ValueError(
             "wheel bucket domain diverged from previously registered "
             "columns — rebuild the indexes from the same table snapshot"
         )
-    registered[column.lower()] = w
+    #: lowered name → (original name, wheel): the view/conf protocol is
+    #: lowercase, re-registration (streaming refresh) needs the original.
+    registered[column.lower()] = (column, w)
 
     def masked(wheel, arr, typ):
         # All-NULL buckets store monoid identities in the wheel; export them
@@ -238,7 +240,7 @@ def register_agg_rollup(spark, engine, column: str) -> str:
         "sec": pa.array(w.secs.astype("int64")),
         "cnt": pa.array(w.cnt.astype("int64")),
     }
-    for c, cw in sorted(registered.items()):
+    for c, (_orig, cw) in sorted(registered.items()):
         val_type, sum_type = _arrow_types(cw.value_sql_type.upper())
         cols[f"vcnt_{c}"] = pa.array(
             np.asarray(cw.vcnt_ if cw.vcnt_ is not None else cw.cnt, dtype="int64")

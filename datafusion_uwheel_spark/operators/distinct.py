@@ -31,6 +31,10 @@ from .rollups import time_sec_col
 __all__ = ["DistinctRollup", "build_distinct_rollup", "load_distinct_rollup"]
 
 _META = "_distinct_meta.json"
+#: Cached-rollup partition count — small enough that probes run at the
+#: task-launch floor (the shuffle-partition default made every estimate
+#: schedule ~33 tasks), large enough to parallelize a multi-year rollup.
+_CACHE_PARTITIONS = 4
 
 
 class DistinctRollup:
@@ -146,6 +150,7 @@ class DistinctRollup:
             self._df.unionByName(delta)
             .groupBy("__sec")
             .agg(F.hll_union_agg("__hll").alias("__hll"))
+            .coalesce(_CACHE_PARTITIONS)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         merged.count()
@@ -194,6 +199,7 @@ def build_distinct_rollup(
         df.filter(F.col(time_column).isNotNull())
         .groupBy(sec.alias("__sec"))
         .agg(F.hll_sketch_agg(F.col(column), F.lit(lg_k)).alias("__hll"))
+        .coalesce(_CACHE_PARTITIONS)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rollup.count()  # materialize once; probes never touch the raw table
@@ -208,6 +214,10 @@ def load_distinct_rollup(spark, path: str) -> DistinctRollup:
 
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
-    df = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    df = (
+        spark.read.parquet(path)
+        .coalesce(_CACHE_PARTITIONS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df.count()
     return DistinctRollup(df, meta["column"], meta["bucket_seconds"], meta["lg_k"])

@@ -43,6 +43,9 @@ __all__ = ["QuantileRollup", "build_quantile_rollup", "load_quantile_rollup"]
 
 _META = "_quantile_meta.json"
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+#: Cached-rollup partition count — small enough that probes run at the
+#: task-launch floor, large enough to parallelize a multi-year rollup.
+_CACHE_PARTITIONS = 4
 
 
 def _suffix_for(df: DataFrame, column: str) -> str:
@@ -220,6 +223,7 @@ class QuantileRollup:
             self._df.unionByName(delta)
             .groupBy("__sec")
             .agg(merge("__kll", F.lit(self.k)).alias("__kll"))
+            .coalesce(_CACHE_PARTITIONS)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         merged.count()
@@ -273,6 +277,11 @@ def build_quantile_rollup(
         df.filter(F.col(time_column).isNotNull())
         .groupBy(sec.alias("__sec"))
         .agg(sketch(F.col(column).cast(cast), F.lit(k)).alias("__kll"))
+        # The cached rollup is tiny (occupied buckets, not rows) but the
+        # group-by leaves it in shuffle-partition-count pieces, making every
+        # probe schedule ~33 tasks; a handful of partitions keeps probes at
+        # task-launch floor while still parallelizing huge rollups.
+        .coalesce(_CACHE_PARTITIONS)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rollup.count()  # materialize once; probes never touch the raw table
@@ -289,7 +298,11 @@ def load_quantile_rollup(spark, path: str) -> QuantileRollup:
 
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
-    df = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    df = (
+        spark.read.parquet(path)
+        .coalesce(_CACHE_PARTITIONS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df.count()
     return QuantileRollup(
         df, meta["column"], meta["bucket_seconds"], meta["k"], meta["suffix"]

@@ -112,6 +112,46 @@ class StreamingWheelMaintainer:
                         w.complete = False
         # invalidate memoized routed answers — indices just changed
         e.index_epoch += 1
+        self._refresh_shim_views()
+
+    def _refresh_shim_views(self) -> None:
+        """If the engine's table is registered with the Catalyst shim
+        (:mod:`..jvmshim`), re-export its rollup views so plain
+        ``spark.sql`` keeps answering from FRESH buckets — the exported
+        views are snapshots, and serving pre-merge state would silently
+        miss everything this batch added. If the unfiltered wheel went
+        incomplete (it cannot happen through this maintainer, but a caller
+        may have restricted it), the table is UNREGISTERED instead — the
+        freshness-gate contract: stale never answers."""
+        e = self.engine
+        spark = getattr(e, "spark", None)
+        if spark is None:
+            return
+        tables = [
+            t.strip()
+            for t in spark.conf.get("spark.uwheel.shim.tables", "").split(",")
+            if t.strip()
+        ]
+        if e.name not in tables:
+            return
+        from ..jvmshim import register_agg_rollup, register_count_rollup
+
+        star = e.count_wheels[STAR_AGGREGATION_ALIAS]
+        if not star.complete:
+            spark.conf.set(
+                "spark.uwheel.shim.tables",
+                ",".join(t for t in tables if t != e.name),
+            )
+            return
+        register_count_rollup(spark, e)
+        agg_cols = [
+            orig for (orig, _w) in getattr(e, "_shim_agg_wheels", {}).values()
+        ]
+        # re-registration re-reads each wheel from the engine; reset the
+        # snapshot dict so the bucket-domain guard compares post-merge wheels
+        e._shim_agg_wheels = {}
+        for c in agg_cols:
+            register_agg_rollup(spark, e, c)
 
     def _merge_into(self, df: DataFrame, filter_key: str, cols: list[str]) -> None:
         from ..operators.rollups import rollup_arrays, state_agg_exprs

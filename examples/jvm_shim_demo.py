@@ -206,6 +206,28 @@ def main() -> None:
         dict(r.asDict())
     )
 
+    # ---- streaming freshness: a maintainer merge re-exports the views, so
+    # plain spark.sql sees rows that exist only in the merged rollup (the
+    # logical table = files + stream; a stale snapshot would miss them).
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    batch = spark.createDataFrame(
+        [("2024-02-01 00:00:10", 42.0), ("2024-02-01 00:00:20", 8.0)],
+        "ts string, v double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+    StreamingWheelMaintainer(neng).merge_batch(batch)
+    fsql = (
+        "SELECT COUNT(*) AS c, SUM(v) AS s FROM nulls "
+        "WHERE ts >= '2024-02-01 00:00:00' AND ts < '2024-02-02 00:00:00'"
+    )
+    fdf = spark.sql(fsql)
+    fphys = fdf._jdf.queryExecution().executedPlan().toString()
+    assert "nulls.parquet" not in fphys, "post-merge rewrite did not fire:\n" + fphys
+    fr = fdf.collect()[0]
+    assert (fr["c"], fr["s"]) == (2, 50.0), dict(fr.asDict())
+
     print(f"OK shim: count={shimmed} (rewritten plan, no table scan)")
     print(f"OK shim multi-agg: {dict(got.asDict())} (rewritten, no table scan)")
 
