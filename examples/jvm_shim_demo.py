@@ -162,6 +162,31 @@ def main() -> None:
             assert abs(gr["s"] - wr["s"]) <= 1e-9 * max(1.0, abs(wr["s"]))
             assert abs(gr["a"] - wr["a"]) <= 1e-9 * max(1.0, abs(wr["a"]))
 
+    # Half-open and landmark (no WHERE) shapes — sound because only
+    # complete wheels register (the rollup holds the whole timeline).
+    for hsql in (
+        f"SELECT COUNT(*) AS c, SUM(value) AS s FROM events WHERE ts >= '{a}'",
+        f"SELECT COUNT(*) AS c, SUM(value) AS s FROM events WHERE ts < '{b}'",
+        "SELECT COUNT(*) AS c, SUM(value) AS s, MIN(value) AS lo FROM events",
+        "SELECT date_trunc('day', ts) AS d, COUNT(*) AS c FROM events GROUP BY 1",
+    ):
+        hdf = spark.sql(hsql)
+        hphys = hdf._jdf.queryExecution().executedPlan().toString()
+        assert "events.parquet" not in hphys, (
+            "half-open/landmark rewrite did not fire:\n" + hsql + "\n" + hphys
+        )
+        hrows = sorted(map(tuple, hdf.collect()))
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        wrows = sorted(map(tuple, spark.sql(hsql).collect()))
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert len(hrows) == len(wrows)
+        for hr, wr in zip(hrows, wrows):
+            for x, y in zip(hr, wr):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (hsql, hr, wr)
+                else:
+                    assert x == y, (hsql, hr, wr)
+
     # Sub-second granularity is finer than the wheel → must fall through.
     msql = (
         f"SELECT date_trunc('millisecond', ts) AS b, COUNT(*) AS c FROM events "

@@ -156,11 +156,16 @@ case class UwheelAggRewrite(session: SparkSession)
         case _                 => None
       }
 
-  /** Unwrap column-pruning Projects around Filter(cond, parquet scan). */
-  private def filterOverScan(plan: LogicalPlan): Option[(Expression, LogicalRelation)] =
+  /** Unwrap column-pruning Projects around [Filter(cond,)] parquet scan —
+    * a bare scan (no WHERE) is the landmark shape, sound because only
+    * complete wheels register (the rollup holds the whole timeline). */
+  private def filterOverScan(
+      plan: LogicalPlan
+  ): Option[(Option[Expression], LogicalRelation)] =
     plan match {
-      case Filter(c, r: LogicalRelation)             => Some((c, r))
-      case Filter(c, Project(_, r: LogicalRelation)) => Some((c, r))
+      case Filter(c, r: LogicalRelation)             => Some((Some(c), r))
+      case Filter(c, Project(_, r: LogicalRelation)) => Some((Some(c), r))
+      case r: LogicalRelation                        => Some((None, r))
       case Project(_, inner)                         => filterOverScan(inner)
       case _                                         => None
     }
@@ -172,21 +177,25 @@ case class UwheelAggRewrite(session: SparkSession)
       case _ => None
     }
 
-  /** ts-range bounds [lo, hi) in epoch micros from exactly two conjuncts,
-    * aligned to the wheel's bucket width. */
+  /** ts-range bounds (lo?, hi?) in epoch micros — [lo, hi), half-open when
+    * one side is absent, (None, None) for no WHERE at all (landmark).
+    * EVERY conjunct must be a recognized aligned bound or the whole plan
+    * falls through (match-or-nothing). Open sides are sound because only
+    * complete wheels register. */
   private def bounds(
-      cond: Expression,
+      cond: Option[Expression],
       timeCol: String,
       bucketSec: Long
-  ): Option[(Long, Long)] = {
+  ): Option[(Option[Long], Option[Long])] = {
     def isTime(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name.equalsIgnoreCase(timeCol)
       case _                     => false
     }
-    val conjuncts = splitConjunctivePredicates(cond)
-    if (conjuncts.size != 2) return None
+    val conjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
+    if (conjuncts.size > 2) return None
     var lo: Option[Long] = None
     var hi: Option[Long] = None
+    var unrecognized = false
     conjuncts.foreach {
       case GreaterThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
         lo = Some(v)
@@ -196,14 +205,14 @@ case class UwheelAggRewrite(session: SparkSession)
         hi = Some(v)
       case GreaterThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
         hi = Some(v)
-      case _ => ()
+      case _ => unrecognized = true
     }
     val align = Micros * bucketSec
-    (lo, hi) match {
-      case (Some(l), Some(h)) if l % align == 0 && h % align == 0 && l <= h =>
-        Some((l, h))
-      case _ => None
-    }
+    if (unrecognized) None
+    else if (lo.size + hi.size != conjuncts.size) None // duplicate-side conjuncts
+    else if (lo.exists(_ % align != 0) || hi.exists(_ % align != 0)) None
+    else if (lo.zip(hi).exists { case (l, h) => l > h }) None
+    else Some((lo, hi))
   }
 
   private def sumAgg(e: Expression): Expression =
@@ -310,13 +319,10 @@ case class UwheelAggRewrite(session: SparkSession)
           newKey.map(e => Alias(e, a.name)(exprId = a.exprId))
       })
     } yield {
-      val pruned = Filter(
-        And(
-          GreaterThanOrEqual(sec, Literal(lo / Micros)),
-          LessThan(sec, Literal(hi / Micros))
-        ),
-        rollup
-      )
+      val preds =
+        lo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
+          hi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
+      val pruned = preds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
       Aggregate(newKey.toSeq, outs, pruned, None)
     }
 
