@@ -31,6 +31,7 @@ __all__ = [
     "shim_builder_confs",
     "register_count_rollup",
     "register_agg_rollup",
+    "register_keyed_agg_rollup",
     "EXTENSIONS_CLASS",
 ]
 
@@ -221,6 +222,19 @@ def register_agg_rollup(spark, engine, column: str) -> str:
     #: lowered name → (original name, wheel): the view/conf protocol is
     #: lowercase, re-registration (streaming refresh) needs the original.
     registered[column.lower()] = (column, w)
+    name = f"__uwheel_rollup_{engine.name}__agg"
+    _export_agg_view(spark, registered, name)
+    _pin_table_confs(spark, engine, w)
+    conf_key = f"spark.uwheel.shim.{engine.name}.agg_cols"
+    spark.conf.set(conf_key, ",".join(sorted(registered)))
+    return name
+
+
+def _export_agg_view(spark, wheels: dict, name: str) -> None:
+    """Export a combined rollup view from ``{lowered: (orig, wheel)}`` —
+    ``sec, cnt`` plus per-column ``vcnt_/sum_/min_/max_`` states."""
+    import numpy as np
+    import pyarrow as pa
 
     def masked(wheel, arr, typ):
         # All-NULL buckets store monoid identities in the wheel; export them
@@ -234,13 +248,14 @@ def register_agg_rollup(spark, engine, column: str) -> str:
         vals = np.where(null_mask, 0, arr)
         return pa.array(vals, mask=null_mask).cast(typ)
 
+    w = next(iter(wheels.values()))[1]
     # pa.Table → Spark avoids the pandas conversion path, whose nullable
     # dtypes degrade to NaN when the session has Arrow disabled.
     cols: dict = {
         "sec": pa.array(w.secs.astype("int64")),
         "cnt": pa.array(w.cnt.astype("int64")),
     }
-    for c, (_orig, cw) in sorted(registered.items()):
+    for c, (_orig, cw) in sorted(wheels.items()):
         val_type, sum_type = _arrow_types(cw.value_sql_type.upper())
         cols[f"vcnt_{c}"] = pa.array(
             np.asarray(cw.vcnt_ if cw.vcnt_ is not None else cw.cnt, dtype="int64")
@@ -248,9 +263,83 @@ def register_agg_rollup(spark, engine, column: str) -> str:
         cols[f"sum_{c}"] = masked(cw, cw.sum_, sum_type)
         cols[f"min_{c}"] = masked(cw, cw.min_, val_type)
         cols[f"max_{c}"] = masked(cw, cw.max_, val_type)
-    name = f"__uwheel_rollup_{engine.name}__agg"
     spark.createDataFrame(pa.table(cols)).createOrReplaceTempView(name)
+
+
+def register_keyed_agg_rollup(spark, engine, column: str, filter: str) -> str:
+    """Export a KEYED aggregate wheel (``engine.build_index(column,
+    filter="key = 'value'")``) as a shim view, so plain ``spark.sql``
+    queries carrying the same single string-equality conjunct alongside
+    their time range — ``WHERE key = 'value' AND ts >= ... AND ts < ...``,
+    scalar or GROUP BY date_trunc — are answered from the keyed rollup (the
+    reference's composite-filter keyed match, ``lib.rs:310-321``, through
+    the host optimizer).
+
+    Scope: exactly one ``col = 'string'`` equality (the dimensional-enum
+    case; the JVM side matches the literal VALUE, and non-string literal
+    rendering is type-dependent enough to mis-match, so other shapes raise
+    here instead of silently never matching). Multiple values of the same
+    or different key columns register as separate views; queries with
+    unregistered values fall through to the scan."""
+    import numpy as np
+
+    from .plans.predicates import canonical_filter_key
+    from .plans.sqlparse import parse_conjunction
+
+    conj = parse_conjunction(filter)
+    if (
+        len(conj) != 1
+        or conj[0].op != "="
+        or conj[0].value_kind != "string"
+    ):
+        raise ValueError(
+            "shim keyed views support exactly one `col = 'value'` string "
+            f"equality; got {filter!r}"
+        )
+    fk = canonical_filter_key(conj)
+    try:
+        w = engine.agg_wheels[(column, fk)]
+    except KeyError:
+        raise KeyError(
+            f"no keyed wheel for ({column!r}, {filter!r}) — call "
+            f"engine.build_index({column!r}, filter={filter!r}) first"
+        ) from None
+    if w.sum_ is None or w.min_ is None or w.max_ is None:
+        raise ValueError(
+            f"keyed wheel for {column!r} was built with a state subset; "
+            "the shim view exports sum/min/max/vcnt — build with aggs=None"
+        )
+    if _arrow_types(w.value_sql_type.upper()) is None:
+        raise ValueError(
+            f"unsupported column type for the shim: {w.value_sql_type}"
+        )
+    keyed = getattr(engine, "_shim_keyed", None)
+    if keyed is None:
+        keyed = engine._shim_keyed = {}
+    entry = keyed.setdefault(
+        fk,
+        {
+            "col": conj[0].column.lower(),
+            "value": str(conj[0].value),
+            "filter": filter,
+            "idx": len(keyed),
+            "wheels": {},
+        },
+    )
+    base = next(iter(entry["wheels"].values()), (column, w))[1]
+    if not np.array_equal(w.secs, base.secs):
+        raise ValueError(
+            "keyed wheel bucket domain diverged from previously registered "
+            "columns — rebuild the indexes from the same table snapshot"
+        )
+    entry["wheels"][column.lower()] = (column, w)
+    name = f"__uwheel_rollup_{engine.name}__key{entry['idx']}"
+    _export_agg_view(spark, entry["wheels"], name)
     _pin_table_confs(spark, engine, w)
-    conf_key = f"spark.uwheel.shim.{engine.name}.agg_cols"
-    spark.conf.set(conf_key, ",".join(sorted(registered)))
+    pre = f"spark.uwheel.shim.{engine.name}.keyed"
+    spark.conf.set(f"{pre}_count", str(len(keyed)))
+    i = entry["idx"]
+    spark.conf.set(f"{pre}.{i}.col", entry["col"])
+    spark.conf.set(f"{pre}.{i}.value", entry["value"])
+    spark.conf.set(f"{pre}.{i}.cols", ",".join(sorted(entry["wheels"])))
     return name

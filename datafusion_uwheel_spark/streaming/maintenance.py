@@ -152,6 +152,26 @@ class StreamingWheelMaintainer:
         e._shim_agg_wheels = {}
         for c in agg_cols:
             register_agg_rollup(spark, e, c)
+        # Keyed views: a keyed wheel whose filter this maintainer does not
+        # re-apply goes incomplete above — its view must stop matching, so
+        # its confs are unset (the rule's lookups then miss). Maintained
+        # keyed wheels re-export like the unfiltered ones.
+        from ..jvmshim import register_keyed_agg_rollup
+
+        for fk, entry in getattr(e, "_shim_keyed", {}).items():
+            cols = [orig for (orig, _w) in entry["wheels"].values()]
+            fresh = [e.agg_wheels.get((c, fk)) for c in cols]
+            pre = f"spark.uwheel.shim.{e.name}.keyed.{entry['idx']}"
+            if not all(w is not None and w.complete for w in fresh):
+                for suf in ("col", "value", "cols"):
+                    try:
+                        spark.conf.unset(f"{pre}.{suf}")
+                    except Exception:
+                        pass
+                continue
+            entry["wheels"] = {}
+            for c in cols:
+                register_keyed_agg_rollup(spark, e, c, entry["filter"])
 
     def _merge_into(self, df: DataFrame, filter_key: str, cols: list[str]) -> None:
         from ..operators.rollups import rollup_arrays, state_agg_exprs

@@ -162,6 +162,41 @@ def main() -> None:
             assert abs(gr["s"] - wr["s"]) <= 1e-9 * max(1.0, abs(wr["s"]))
             assert abs(gr["a"] - wr["a"]) <= 1e-9 * max(1.0, abs(wr["a"]))
 
+    # ---- keyed wheels through plain spark.sql: a single string-equality
+    # conjunct routes to the matching keyed view; unregistered values fall
+    # through to the scan.
+    from datafusion_uwheel_spark.jvmshim import register_keyed_agg_rollup
+
+    eng.build_index("value", filter="event_type = 'click'")
+    register_keyed_agg_rollup(spark, eng, "value", "event_type = 'click'")
+    for ksql in (
+        "SELECT COUNT(*) AS c, SUM(value) AS s, AVG(value) AS av FROM events "
+        f"WHERE event_type = 'click' AND ts >= '{a}' AND ts < '{b}'",
+        "SELECT date_trunc('day', ts) AS d, COUNT(*) AS c, MAX(value) AS m "
+        f"FROM events WHERE event_type = 'click' AND ts >= '{a}' AND ts < '{b}' "
+        "GROUP BY 1 ORDER BY d",
+    ):
+        kdf = spark.sql(ksql)
+        kphys = kdf._jdf.queryExecution().executedPlan().toString()
+        assert "events.parquet" not in kphys, "keyed rewrite did not fire:\n" + kphys
+        krows = [tuple(r) for r in kdf.collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        wrows = [tuple(r) for r in spark.sql(ksql).collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert len(krows) == len(wrows) > 0
+        for kr, wr in zip(krows, wrows):
+            for x, y in zip(kr, wr):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (ksql, kr, wr)
+                else:
+                    assert x == y, (ksql, kr, wr)
+    unreg = (
+        "SELECT COUNT(*) AS c FROM events "
+        f"WHERE event_type = 'purchase' AND ts >= '{a}' AND ts < '{b}'"
+    )
+    uphys = spark.sql(unreg)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" in uphys or "FileScan" in uphys
+
     # Half-open and landmark (no WHERE) shapes — sound because only
     # complete wheels register (the rollup holds the whole timeline).
     for hsql in (

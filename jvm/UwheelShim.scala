@@ -63,7 +63,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
 
 class UwheelExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -178,41 +178,49 @@ case class UwheelAggRewrite(session: SparkSession)
     }
 
   /** ts-range bounds (lo?, hi?) in epoch micros — [lo, hi), half-open when
-    * one side is absent, (None, None) for no WHERE at all (landmark).
-    * EVERY conjunct must be a recognized aligned bound or the whole plan
-    * falls through (match-or-nothing). Open sides are sound because only
-    * complete wheels register. */
+    * one side is absent, (None, None) for no WHERE at all (landmark) — plus
+    * an optional single `key = 'string'` equality (the keyed-wheel match).
+    * EVERY conjunct must be a recognized aligned bound or the key equality
+    * or the whole plan falls through (match-or-nothing). Open sides are
+    * sound because only complete wheels register. */
   private def bounds(
       cond: Option[Expression],
       timeCol: String,
       bucketSec: Long
-  ): Option[(Option[Long], Option[Long])] = {
+  ): Option[(Option[Long], Option[Long], Option[(String, String)])] = {
     def isTime(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name.equalsIgnoreCase(timeCol)
       case _                     => false
     }
     val conjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
-    if (conjuncts.size > 2) return None
+    if (conjuncts.size > 3) return None
     var lo: Option[Long] = None
     var hi: Option[Long] = None
-    var unrecognized = false
+    var key: Option[(String, String)] = None
+    var n = 0
     conjuncts.foreach {
       case GreaterThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
-        lo = Some(v)
+        lo = Some(v); n += 1
       case LessThanOrEqual(Literal(v: Long, TimestampType), a) if isTime(a) =>
-        lo = Some(v)
+        lo = Some(v); n += 1
       case LessThan(a, Literal(v: Long, TimestampType)) if isTime(a) =>
-        hi = Some(v)
+        hi = Some(v); n += 1
       case GreaterThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
-        hi = Some(v)
-      case _ => unrecognized = true
+        hi = Some(v); n += 1
+      case EqualTo(a: AttributeReference, Literal(s, t)) if t == StringType && s != null =>
+        key = Some((a.name.toLowerCase, s.toString)); n += 1
+      case EqualTo(Literal(s, t), a: AttributeReference) if t == StringType && s != null =>
+        key = Some((a.name.toLowerCase, s.toString)); n += 1
+      case _ => ()
     }
     val align = Micros * bucketSec
-    if (unrecognized) None
-    else if (lo.size + hi.size != conjuncts.size) None // duplicate-side conjuncts
+    // n counts recognized conjuncts; a duplicate-side overwrite makes the
+    // distinct-slot sum fall short of conjuncts.size — both reject.
+    if (n != conjuncts.size) None
+    else if (lo.size + hi.size + key.size != conjuncts.size) None
     else if (lo.exists(_ % align != 0) || hi.exists(_ % align != 0)) None
     else if (lo.zip(hi).exists { case (l, h) => l > h }) None
-    else Some((lo, hi))
+    else Some((lo, hi, key))
   }
 
   private def sumAgg(e: Expression): Expression =
@@ -295,18 +303,21 @@ case class UwheelAggRewrite(session: SparkSession)
           case _ => false
         })
       }
-      (lo, hi) <- bounds(cond, timeCol, bucketSec)
-      viewName <-
-        if (cols.isEmpty) Some(s"__uwheel_rollup_$table")
-        else {
-          val registered = session.conf
-            .getOption(s"spark.uwheel.shim.$table.agg_cols")
-            .toSeq
-            .flatMap(_.split(",").map(_.trim.toLowerCase))
-            .toSet
-          if (cols.forall(registered.contains)) Some(s"__uwheel_rollup_${table}__agg")
-          else None
-        }
+      (lo, hi, key) <- bounds(cond, timeCol, bucketSec)
+      viewName <- key match {
+        case Some((kcol, kval)) => keyedView(table, kcol, kval, cols)
+        case None =>
+          if (cols.isEmpty) Some(s"__uwheel_rollup_$table")
+          else {
+            val registered = session.conf
+              .getOption(s"spark.uwheel.shim.$table.agg_cols")
+              .toSeq
+              .flatMap(_.split(",").map(_.trim.toLowerCase))
+              .toSet
+            if (cols.forall(registered.contains)) Some(s"__uwheel_rollup_${table}__agg")
+            else None
+          }
+      }
       rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
       // the original trunc over the bucket-start timestamp: Spark's own
@@ -348,6 +359,38 @@ case class UwheelAggRewrite(session: SparkSession)
             Cast(sumAgg(v), DoubleType),
             EvalMode.LEGACY
           )
+    }
+  }
+
+  /** The registered keyed view matching a `key = 'value'` conjunct, if its
+    * exported columns cover every aggregate the query needs (COUNT(*) rides
+    * on the keyed view's cnt). */
+  private def keyedView(
+      table: String,
+      kcol: String,
+      kval: String,
+      needed: Seq[String]
+  ): Option[String] = {
+    val count = session.conf
+      .getOption(s"spark.uwheel.shim.$table.keyed_count")
+      .map(_.toInt)
+      .getOrElse(0)
+    (0 until count).collectFirst {
+      case i
+          if session.conf
+            .getOption(s"spark.uwheel.shim.$table.keyed.$i.col")
+            .contains(kcol) &&
+            session.conf
+              .getOption(s"spark.uwheel.shim.$table.keyed.$i.value")
+              .contains(kval) && {
+            val have = session.conf
+              .getOption(s"spark.uwheel.shim.$table.keyed.$i.cols")
+              .toSeq
+              .flatMap(_.split(",").map(_.trim.toLowerCase))
+              .toSet
+            needed.forall(have.contains)
+          } =>
+        s"__uwheel_rollup_${table}__key$i"
     }
   }
 

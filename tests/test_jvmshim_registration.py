@@ -80,6 +80,76 @@ def test_registration_rejects_incomplete_wheel(spark, sf_small_dir):
         register_count_rollup(spark, e)
 
 
+def test_keyed_registration_view_and_guards(spark, eng):
+    from datafusion_uwheel_spark.jvmshim import register_keyed_agg_rollup
+
+    with pytest.raises(ValueError, match="string"):
+        register_keyed_agg_rollup(spark, eng, "value", "user_id = 42")
+    with pytest.raises(KeyError, match="build_index"):
+        register_keyed_agg_rollup(spark, eng, "value", "event_type = 'click'")
+    eng.build_index("value", filter="event_type = 'click'")
+    name = register_keyed_agg_rollup(spark, eng, "value", "event_type = 'click'")
+    assert name == "__uwheel_rollup_shimreg__key0"
+    assert spark.conf.get("spark.uwheel.shim.shimreg.keyed_count") == "1"
+    assert spark.conf.get("spark.uwheel.shim.shimreg.keyed.0.col") == "event_type"
+    assert spark.conf.get("spark.uwheel.shim.shimreg.keyed.0.value") == "click"
+    # the keyed view's totals equal the filtered table's
+    got = spark.table(name).agg(
+        F.sum("cnt").alias("c"), F.sum("sum_value").alias("s")
+    ).collect()[0]
+    want = eng.df.filter("event_type = 'click'").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")
+    ).collect()[0]
+    assert got["c"] == want["c"] and abs(got["s"] - want["s"]) < 1e-6
+
+
+def test_unmaintained_keyed_view_is_revoked_on_merge(spark, sf_small_dir):
+    """A streaming merge that cannot re-apply a keyed filter marks the
+    keyed wheel incomplete; the refresh must then UNSET that view's confs
+    so the rule stops matching — stale never answers."""
+    from datafusion_uwheel_spark.jvmshim import (
+        register_agg_rollup,
+        register_keyed_agg_rollup,
+    )
+    from datafusion_uwheel_spark.sources import read_parquet
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    batch = spark.createDataFrame(
+        [("2024-03-01 00:00:10", "click", 1.0)],
+        "ts string, event_type string, value double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    e = WheelEngine(
+        spark, "shimrev", f"{sf_small_dir}/events.parquet", time_column="ts"
+    )
+    e.build_index("value")
+    e.build_index("value", filter="event_type = 'click'")
+    register_count_rollup(spark, e)
+    register_agg_rollup(spark, e, "value")
+    register_keyed_agg_rollup(spark, e, "value", "event_type = 'click'")
+    pre = "spark.uwheel.shim.shimrev.keyed.0"
+    assert spark.conf.get(f"{pre}.col") == "event_type"
+    # maintainer WITHOUT the keyed filter registered → keyed wheel stale
+    StreamingWheelMaintainer(e).merge_batch(batch)
+    assert spark.conf.get(f"{pre}.col", None) is None
+    # the unfiltered views refreshed instead of being revoked
+    assert "shimrev" in spark.conf.get("spark.uwheel.shim.tables")
+    # maintainer WITH the filter keeps the keyed view registered
+    e2 = WheelEngine(
+        spark, "shimrev2", f"{sf_small_dir}/events.parquet", time_column="ts"
+    )
+    e2.build_index("value")
+    e2.build_index("value", filter="event_type = 'click'")
+    register_keyed_agg_rollup(spark, e2, "value", "event_type = 'click'")
+    StreamingWheelMaintainer(
+        e2, filters={"event_type = 'click'": "event_type = 'click'"}
+    ).merge_batch(batch)
+    assert (
+        spark.conf.get("spark.uwheel.shim.shimrev2.keyed.0.col") == "event_type"
+    )
+
+
 def test_registration_requires_source_path(spark, sf_small_dir):
     df = read_parquet(spark, f"{sf_small_dir}/events.parquet")
     e = WheelEngine(spark, "shimreg_df", df, time_column="ts")
