@@ -415,29 +415,43 @@ class WheelEngine:
         return keys
 
     def build_distinct_index(
-        self, column: str, bucket_seconds: int = 3600, lg_k: int = 12
+        self,
+        column: str,
+        bucket_seconds: int = 3600,
+        lg_k: int = 12,
+        partition_by: str | None = None,
     ):
         """Build a per-bucket HLL sketch rollup for ``COUNT(DISTINCT col)``
         range estimates (the custom-aggregator extension point applied to a
         non-scalar state — see :mod:`.operators.distinct`). Query with
         :meth:`approx_distinct`; answers are ~1.6%-error estimates from a
-        tiny job over the cached rollup, never a scan of the table."""
+        tiny job over the cached rollup, never a scan of the table.
+        ``partition_by=key`` adds the dimensional form: per-key estimates
+        via :meth:`approx_distinct_by_key` / ``key=`` restrictions from the
+        same single build."""
         from .operators.distinct import build_distinct_rollup
 
         if not hasattr(self, "distinct_rollups"):
             self.distinct_rollups: dict = {}
         r = build_distinct_rollup(
             self.df, self.time_column, column,
-            bucket_seconds=bucket_seconds, lg_k=lg_k,
+            bucket_seconds=bucket_seconds, lg_k=lg_k, partition_by=partition_by,
         )
         self.distinct_rollups[column] = r
         return r
 
-    def approx_distinct(self, column: str, start, end) -> int:
+    def approx_distinct(self, column: str, start, end, **kw) -> int:
         """Estimated distinct count of ``column`` over ``[start, end)`` from
         the rollup built by :meth:`build_distinct_index` (KeyError if none —
-        approximate answers are opt-in, never a silent substitution)."""
-        return self.distinct_rollups[column].approx_distinct(start, end)
+        approximate answers are opt-in, never a silent substitution).
+        ``key=value`` restricts a keyed rollup to one partition value."""
+        return self.distinct_rollups[column].approx_distinct(start, end, **kw)
+
+    def approx_distinct_by_key(self, column: str, start=None, end=None):
+        """Per-key distinct estimates from a keyed rollup
+        (``build_distinct_index(..., partition_by=key)``) — distinct users
+        per segment in one tiny job."""
+        return self.distinct_rollups[column].approx_distinct_by_key(start, end)
 
     def approx_distinct_by(self, column: str, granularity, start=None, end=None):
         """Per-bucket ``COUNT(DISTINCT column)`` estimates — the group-by
@@ -448,7 +462,11 @@ class WheelEngine:
         )
 
     def build_quantile_index(
-        self, column: str, bucket_seconds: int = 3600, k: int = 200
+        self,
+        column: str,
+        bucket_seconds: int = 3600,
+        k: int = 200,
+        partition_by: str | None = None,
     ):
         """Build a per-bucket KLL sketch rollup for approximate-percentile
         range queries (the custom-aggregator extension point applied to a
@@ -461,24 +479,31 @@ class WheelEngine:
 
         r = build_quantile_rollup(
             self.df, self.time_column, column,
-            bucket_seconds=bucket_seconds, k=k,
+            bucket_seconds=bucket_seconds, k=k, partition_by=partition_by,
         )
         self.quantile_rollups[column] = r
         return r
 
-    def approx_quantile(self, column: str, q, start, end):
+    def approx_quantile(self, column: str, q, start, end, **kw):
         """Estimated ``q``-quantile(s) of ``column`` over ``[start, end)``
         from the rollup built by :meth:`build_quantile_index` (KeyError if
         none — approximate answers are opt-in, never a silent
         substitution). ``q`` may be a float or a sequence; a sequence costs
-        the same single merge job."""
-        return self.quantile_rollups[column].approx_quantile(q, start, end)
+        the same single merge job. ``key=value`` restricts a keyed rollup
+        to one partition value."""
+        return self.quantile_rollups[column].approx_quantile(q, start, end, **kw)
 
-    def approx_rank(self, column: str, value, start, end):
+    def approx_rank(self, column: str, value, start, end, **kw):
         """Estimated CDF of ``value`` within ``column`` over ``[start,
         end)`` — the inverse of :meth:`approx_quantile`. Same opt-in
         discipline (KeyError if no rollup)."""
-        return self.quantile_rollups[column].approx_rank(value, start, end)
+        return self.quantile_rollups[column].approx_rank(value, start, end, **kw)
+
+    def approx_quantile_by_key(self, column: str, q, start=None, end=None):
+        """Per-key quantile estimates from a keyed rollup
+        (``build_quantile_index(..., partition_by=key)``) — latency
+        percentile per endpoint in one tiny job."""
+        return self.quantile_rollups[column].approx_quantile_by_key(q, start, end)
 
     def approx_quantile_by(self, column: str, granularity, q, start=None, end=None):
         """Per-bucket quantile estimates — the group-by form: a named

@@ -44,11 +44,36 @@ class DistinctRollup:
     ``[a, b)`` (second-aligned bounds, like every wheel lookup) by merging
     the bucket sketches — one tiny Spark job over the cached rollup."""
 
-    def __init__(self, rollup: DataFrame, column: str, bucket_seconds: int, lg_k: int):
+    def __init__(
+        self,
+        rollup: DataFrame,
+        column: str,
+        bucket_seconds: int,
+        lg_k: int,
+        key_column: str | None = None,
+    ):
         self._df = rollup
         self.column = column
         self.bucket_seconds = bucket_seconds
         self.lg_k = lg_k
+        #: Optional partition key: sketches per (bucket, key value) — the
+        #: partitioned-wheel-family idea applied to distinct state. Unkeyed
+        #: asks on a keyed rollup union across keys (HLL union is exact
+        #: sketch algebra, and idempotent, so shared values don't
+        #: double-count).
+        self.key_column = key_column
+
+    _NO_KEY = object()  # sentinel: None is a real (NULL) key value
+
+    def _restrict(self, start, end, key=_NO_KEY):
+        df = self._df.filter(self._range_filter(start, end))
+        if key is not DistinctRollup._NO_KEY:
+            if self.key_column is None:
+                raise ValueError(
+                    "rollup was built without partition_by — no key column"
+                )
+            df = df.filter(F.col("__key").eqNullSafe(F.lit(key)))
+        return df
 
     def _range_filter(self, start, end):
         """Bucket filter covering ``[start, end)``: a bucket ``[s, s+w)``
@@ -61,18 +86,45 @@ class DistinctRollup:
             F.col("__sec") < b
         )
 
-    def approx_distinct(self, start, end) -> int:
+    def approx_distinct(self, start, end, key=_NO_KEY) -> int:
         """Estimated distinct count of ``column`` in ``[start, end)``
         (timestamp strings or datetimes). Buckets partially covered at the
         edges are included whole — align bounds to ``bucket_seconds`` for
         exact range semantics (unaligned asks should delegate to a scan,
-        the wheel discipline)."""
+        the wheel discipline). On a keyed rollup, ``key=value`` restricts
+        to one partition value (NULL-safe); omitting it unions across
+        keys."""
         row = (
-            self._df.filter(self._range_filter(start, end))
+            self._restrict(start, end, key)
             .agg(F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("est"))
             .collect()[0]
         )
         return int(row["est"] or 0)
+
+    def approx_distinct_by_key(self, start=None, end=None) -> DataFrame:
+        """Per-key distinct estimates over an optional ``[start, end)``
+        restriction — the dimensional form (distinct users per segment).
+        Requires a keyed build (``partition_by=``). Returns
+        ``(<key_column>, approx_distinct)`` ordered by key (NULL keys
+        included); one tiny job over the cached sketch table."""
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+        df = self._df
+        if start is not None or end is not None:
+            df = df.filter(
+                self._range_filter(start or "1970-01-01", end or "9999-01-01")
+            )
+        return (
+            df.groupBy(F.col("__key").alias(self.key_column))
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("__hll"))
+                .cast("long")
+                .alias("approx_distinct")
+            )
+            .orderBy(self.key_column)
+        )
 
     def approx_distinct_by(
         self, granularity, start=None, end=None
@@ -141,14 +193,23 @@ class DistinctRollup:
         sec = time_sec_col(batch_df, time_column)
         if self.bucket_seconds != 1:
             sec = sec - (sec % self.bucket_seconds)
+        keys = [sec.alias("__sec")]
+        if self.key_column is not None:
+            if self.key_column not in batch_df.columns:
+                raise ValueError(
+                    f"batch lacks partition column {self.key_column!r} — a "
+                    "keyed rollup cannot be maintained without it"
+                )
+            keys.append(F.col(self.key_column).alias("__key"))
         delta = (
             batch_df.filter(F.col(time_column).isNotNull())
-            .groupBy(sec.alias("__sec"))
+            .groupBy(*keys)
             .agg(F.hll_sketch_agg(F.col(self.column), F.lit(self.lg_k)).alias("__hll"))
         )
+        group = ["__sec"] + (["__key"] if self.key_column is not None else [])
         merged = (
             self._df.unionByName(delta)
-            .groupBy("__sec")
+            .groupBy(*group)
             .agg(F.hll_union_agg("__hll").alias("__hll"))
             .coalesce(_CACHE_PARTITIONS)
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -170,6 +231,7 @@ class DistinctRollup:
                     "column": self.column,
                     "bucket_seconds": self.bucket_seconds,
                     "lg_k": self.lg_k,
+                    "key_column": self.key_column,
                 },
                 f,
             )
@@ -185,25 +247,38 @@ def build_distinct_rollup(
     column: str,
     bucket_seconds: int = 3600,
     lg_k: int = 12,
+    partition_by: str | None = None,
 ) -> DistinctRollup:
     """One declarative aggregation job over the table → per-bucket HLL
     sketches, cached (``MEMORY_AND_DISK``) for probe-many use. Default
     hourly buckets: distinct-count dashboards rarely need finer, and the
-    rollup stays ~9 K buckets/year."""
+    rollup stays ~9 K buckets/year.
+
+    ``partition_by=key`` sketches per ``(bucket, key value)``: per-key
+    distinct asks (:meth:`DistinctRollup.approx_distinct_by_key`, ``key=``
+    restrictions) come from the same single build, and unkeyed asks still
+    work by unioning across keys (HLL union is idempotent, so values seen
+    under several keys don't double-count). State grows to buckets ×
+    distinct keys — meant for low-cardinality dimensional keys."""
     from pyspark import StorageLevel
 
     sec = time_sec_col(df, time_column)
     if bucket_seconds != 1:
         sec = sec - (sec % bucket_seconds)
+    keys = [sec.alias("__sec")]
+    if partition_by is not None:
+        keys.append(F.col(partition_by).alias("__key"))
     rollup = (
         df.filter(F.col(time_column).isNotNull())
-        .groupBy(sec.alias("__sec"))
+        .groupBy(*keys)
         .agg(F.hll_sketch_agg(F.col(column), F.lit(lg_k)).alias("__hll"))
         .coalesce(_CACHE_PARTITIONS)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rollup.count()  # materialize once; probes never touch the raw table
-    return DistinctRollup(rollup, column, bucket_seconds, lg_k)
+    return DistinctRollup(
+        rollup, column, bucket_seconds, lg_k, key_column=partition_by
+    )
 
 
 def load_distinct_rollup(spark, path: str) -> DistinctRollup:
@@ -220,4 +295,10 @@ def load_distinct_rollup(spark, path: str) -> DistinctRollup:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df.count()
-    return DistinctRollup(df, meta["column"], meta["bucket_seconds"], meta["lg_k"])
+    return DistinctRollup(
+        df,
+        meta["column"],
+        meta["bucket_seconds"],
+        meta["lg_k"],
+        key_column=meta.get("key_column"),
+    )

@@ -77,12 +77,17 @@ class QuantileRollup:
         bucket_seconds: int,
         k: int,
         suffix: str,
+        key_column: str | None = None,
     ):
         self._df = rollup
         self.column = column
         self.bucket_seconds = bucket_seconds
         self.k = k
         self.suffix = suffix
+        #: Optional partition key: sketches per (bucket, key value) — the
+        #: partitioned-wheel-family idea applied to quantile state. Unkeyed
+        #: asks on a keyed rollup merge across keys (exact sketch algebra).
+        self.key_column = key_column
 
     def _range_filter(self, start, end):
         """Bucket filter covering ``[start, end)``: a bucket ``[s, s+w)``
@@ -96,21 +101,35 @@ class QuantileRollup:
             F.col("__sec") < b
         )
 
-    def _merged_row(self, start, end, exprs):
+    _NO_KEY = object()  # sentinel: None is a real (NULL) key value
+
+    def _restrict(self, start, end, key):
+        df = self._df.filter(self._range_filter(start, end))
+        if key is not QuantileRollup._NO_KEY:
+            if self.key_column is None:
+                raise ValueError(
+                    "rollup was built without partition_by — no key column"
+                )
+            df = df.filter(F.col("__key").eqNullSafe(F.lit(key)))
+        return df
+
+    def _merged_row(self, start, end, exprs, key=_NO_KEY):
         _, merge, _, _, _ = _fns(self.suffix)
-        sk = (
-            self._df.filter(self._range_filter(start, end))
-            .agg(merge("__kll", F.lit(self.k)).alias("__sk"))
+        sk = self._restrict(start, end, key).agg(
+            merge("__kll", F.lit(self.k)).alias("__sk")
         )
         return sk.select(*exprs).collect()[0]
 
-    def approx_quantile(self, q, start, end):
+    def approx_quantile(self, q, start, end, key=_NO_KEY):
         """Estimated ``q``-quantile(s) of ``column`` in ``[start, end)``
         (timestamp strings or datetimes). ``q`` may be a float or a sequence
         of floats — a sequence costs the SAME single merge job, one
-        extraction per rank. Returns ``None`` (per rank) when no rows fall
-        in the range. The returned value's true rank is within the KLL
-        bound (~1.65% at k=200) of the asked rank."""
+        extraction per rank. On a keyed rollup, ``key=value`` restricts to
+        one partition value (NULL-safe; ``key=None`` is the NULL-key
+        partition) and omitting it merges across keys. Returns ``None``
+        (per rank) when no rows fall in the range. The returned value's
+        true rank is within the KLL bound (~1.65% at k=200) of the asked
+        rank."""
         qs = list(q) if isinstance(q, (list, tuple)) else [q]
         for x in qs:
             if not 0.0 <= float(x) <= 1.0:
@@ -127,11 +146,12 @@ class QuantileRollup:
                 F.when(occupied, get_q("__sk", F.lit(float(x)))).alias(f"__q{i}")
                 for i, x in enumerate(qs)
             ],
+            key,
         )
         out = [row[f"__q{i}"] for i in range(len(qs))]
         return out if isinstance(q, (list, tuple)) else out[0]
 
-    def approx_rank(self, value, start, end):
+    def approx_rank(self, value, start, end, key=_NO_KEY):
         """Estimated CDF: the fraction of ``column`` values in ``[start,
         end)`` that are ``<= value`` (the inverse of
         :meth:`approx_quantile`). ``None`` when the range holds no rows."""
@@ -141,8 +161,47 @@ class QuantileRollup:
             start,
             end,
             [F.when(get_n("__sk") > 0, get_r("__sk", lit)).alias("__r")],
+            key,
         )
         return None if row["__r"] is None else float(row["__r"])
+
+    def approx_quantile_by_key(self, q, start=None, end=None) -> DataFrame:
+        """Per-key quantile estimates over an optional ``[start, end)``
+        restriction — the dimensional form (latency percentile per
+        endpoint, quality score per language). Requires a keyed build
+        (``partition_by=``). Returns ``(<key_column>, approx_quantile[_i])``
+        ordered by key (NULL keys included as their own row); one tiny job
+        over the cached sketch table."""
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+        qs = list(q) if isinstance(q, (list, tuple)) else [q]
+        _, merge, get_q, _, get_n = _fns(self.suffix)
+        df = self._df
+        if start is not None or end is not None:
+            df = df.filter(
+                self._range_filter(start or "1970-01-01", end or "9999-01-01")
+            )
+        names = (
+            ["approx_quantile"]
+            if not isinstance(q, (list, tuple))
+            else [f"approx_quantile_{i}" for i in range(len(qs))]
+        )
+        return (
+            df.groupBy(F.col("__key").alias(self.key_column))
+            .agg(merge("__kll", F.lit(self.k)).alias("__sk"))
+            .select(
+                self.key_column,
+                *[
+                    F.when(
+                        get_n("__sk") > 0, get_q("__sk", F.lit(float(x)))
+                    ).alias(n)
+                    for n, x in zip(names, qs)
+                ],
+            )
+            .orderBy(self.key_column)
+        )
 
     def approx_quantile_by(
         self, granularity, q, start=None, end=None
@@ -212,16 +271,25 @@ class QuantileRollup:
         if self.bucket_seconds != 1:
             sec = sec - (sec % self.bucket_seconds)
         cast = "bigint" if self.suffix == "bigint" else "double"
+        keys = [sec.alias("__sec")]
+        if self.key_column is not None:
+            if self.key_column not in batch_df.columns:
+                raise ValueError(
+                    f"batch lacks partition column {self.key_column!r} — a "
+                    "keyed rollup cannot be maintained without it"
+                )
+            keys.append(F.col(self.key_column).alias("__key"))
         delta = (
             batch_df.filter(F.col(time_column).isNotNull())
-            .groupBy(sec.alias("__sec"))
+            .groupBy(*keys)
             .agg(
                 sketch(F.col(self.column).cast(cast), F.lit(self.k)).alias("__kll")
             )
         )
+        group = ["__sec"] + (["__key"] if self.key_column is not None else [])
         merged = (
             self._df.unionByName(delta)
-            .groupBy("__sec")
+            .groupBy(*group)
             .agg(merge("__kll", F.lit(self.k)).alias("__kll"))
             .coalesce(_CACHE_PARTITIONS)
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -244,6 +312,7 @@ class QuantileRollup:
                     "bucket_seconds": self.bucket_seconds,
                     "k": self.k,
                     "suffix": self.suffix,
+                    "key_column": self.key_column,
                 },
                 f,
             )
@@ -259,12 +328,21 @@ def build_quantile_rollup(
     column: str,
     bucket_seconds: int = 3600,
     k: int = 200,
+    partition_by: str | None = None,
 ) -> QuantileRollup:
     """One declarative aggregation job over the table → per-bucket KLL
     sketches, cached (``MEMORY_AND_DISK``) for probe-many use. Default
     hourly buckets and k=200 (~1.65% rank error): latency dashboards rarely
     need finer, and the rollup stays ~9 K buckets/year. NULL values are
-    ignored by the sketch (SQL aggregate semantics)."""
+    ignored by the sketch (SQL aggregate semantics).
+
+    ``partition_by=key`` sketches per ``(bucket, key value)`` — the
+    partitioned-wheel-family idea applied to quantile state: per-key
+    percentile asks (:meth:`QuantileRollup.approx_quantile_by_key`,
+    ``key=`` restrictions) come from the same single build, and unkeyed
+    asks still work by merging across keys (sketches are monoids). State
+    grows to buckets × distinct keys — meant for low-cardinality
+    dimensional keys."""
     from pyspark import StorageLevel
 
     suffix = _suffix_for(df, column)
@@ -273,9 +351,12 @@ def build_quantile_rollup(
     sec = time_sec_col(df, time_column)
     if bucket_seconds != 1:
         sec = sec - (sec % bucket_seconds)
+    keys = [sec.alias("__sec")]
+    if partition_by is not None:
+        keys.append(F.col(partition_by).alias("__key"))
     rollup = (
         df.filter(F.col(time_column).isNotNull())
-        .groupBy(sec.alias("__sec"))
+        .groupBy(*keys)
         .agg(sketch(F.col(column).cast(cast), F.lit(k)).alias("__kll"))
         # The cached rollup is tiny (occupied buckets, not rows) but the
         # group-by leaves it in shuffle-partition-count pieces, making every
@@ -285,7 +366,9 @@ def build_quantile_rollup(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rollup.count()  # materialize once; probes never touch the raw table
-    return QuantileRollup(rollup, column, bucket_seconds, k, suffix)
+    return QuantileRollup(
+        rollup, column, bucket_seconds, k, suffix, key_column=partition_by
+    )
 
 
 def load_quantile_rollup(spark, path: str) -> QuantileRollup:
@@ -305,5 +388,10 @@ def load_quantile_rollup(spark, path: str) -> QuantileRollup:
     )
     df.count()
     return QuantileRollup(
-        df, meta["column"], meta["bucket_seconds"], meta["k"], meta["suffix"]
+        df,
+        meta["column"],
+        meta["bucket_seconds"],
+        meta["k"],
+        meta["suffix"],
+        key_column=meta.get("key_column"),
     )

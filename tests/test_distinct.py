@@ -171,6 +171,39 @@ def test_wheel_maintainer_drives_distinct_rollup(spark, events):
     eng.distinct_rollups["user_id"].unpersist()
 
 
+def test_keyed_rollup_per_key_distincts(spark, events):
+    """partition_by=event_type → distinct users per segment from ONE build;
+    the unkeyed ask still answers by idempotent union across keys."""
+    r = build_distinct_rollup(
+        events, "ts", "user_id", bucket_seconds=3600, partition_by="event_type"
+    )
+    got = {
+        row["event_type"]: row["approx_distinct"]
+        for row in r.approx_distinct_by_key(A, B).collect()
+    }
+    exact_rows = (
+        events.filter(f"ts >= '{A}' AND ts < '{B}'")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    assert len(got) == len(exact_rows) > 1
+    for row in exact_rows:
+        est = got[row["event_type"]]
+        assert abs(est - row["n"]) <= max(2, 0.05 * row["n"]), (row, est)
+    some_key = exact_rows[0]["event_type"]
+    one = r.approx_distinct(A, B, key=some_key)
+    assert abs(one - exact_rows[0]["n"]) <= max(2, 0.05 * exact_rows[0]["n"])
+    # unkeyed union across keys must NOT double-count shared users
+    est = r.approx_distinct(A, B)
+    truth = exact(spark, events, A, B)
+    assert abs(est - truth) / truth < 0.05
+    assert r.approx_distinct(A, B, key="no_such_key") == 0
+    with pytest.raises(ValueError, match="partition column"):
+        r.merge_batch(events.select("ts", "user_id"), "ts")
+    r.unpersist()
+
+
 def test_group_by_estimates_within_error(spark, events, rollup):
     # daily COUNT(DISTINCT user_id) from hourly sketches vs the exact scan
     got = {

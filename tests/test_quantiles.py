@@ -217,6 +217,81 @@ def test_streamed_merges_within_rank_bound(events):
     r.unpersist()
 
 
+def test_keyed_rollup_per_key_quantiles(spark, events):
+    """partition_by=event_type → per-key percentiles from ONE build; the
+    unkeyed ask still answers by merging across keys."""
+    r = build_quantile_rollup(
+        events, "ts", "value", bucket_seconds=3600, partition_by="event_type"
+    )
+    got = {
+        row["event_type"]: row["approx_quantile"]
+        for row in r.approx_quantile_by_key(0.5, A, B).collect()
+    }
+    exact_rows = (
+        events.filter(f"ts >= '{A}' AND ts < '{B}'")
+        .groupBy("event_type")
+        .agg(
+            F.expr(f"percentile(value, {0.5 - EPS})").alias("lo"),
+            F.expr(f"percentile(value, {0.5 + EPS})").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(got) == len(exact_rows) > 1
+    for row in exact_rows:
+        est = got[row["event_type"]]
+        assert row["lo"] <= est <= row["hi"], (row["event_type"], est)
+    # key= restriction matches the by_key row's partition
+    some_key = exact_rows[0]["event_type"]
+    one = r.approx_quantile(0.5, A, B, key=some_key)
+    lo, hi = exact_rows[0]["lo"], exact_rows[0]["hi"]
+    assert lo <= one <= hi
+    # unkeyed ask on the keyed rollup: merged across keys, same bound
+    assert_rank_bracket(events, "value", 0.5, r.approx_quantile(0.5, A, B))
+    # unknown key → empty partition → None
+    assert r.approx_quantile(0.5, A, B, key="no_such_key") is None
+    r.unpersist()
+
+
+def test_keyed_rollup_round_trip_and_merge(spark, events, tmp_path):
+    from datafusion_uwheel_spark.operators.quantiles import load_quantile_rollup
+
+    halves = [
+        events.filter("ts < '2024-01-15 00:00:00'"),
+        events.filter("ts >= '2024-01-15 00:00:00'"),
+    ]
+    r = build_quantile_rollup(
+        halves[0], "ts", "value", partition_by="event_type"
+    )
+    r.merge_batch(halves[1], "ts")
+    span = ("2024-01-01 00:00:00", "2024-01-31 00:00:00")
+    keys = [x["event_type"] for x in events.select("event_type").distinct().collect()]
+    per_key = {
+        row["event_type"]: row["approx_quantile"]
+        for row in r.approx_quantile_by_key(0.9, *span).collect()
+    }
+    assert set(per_key) == set(keys)
+    path = str(tmp_path / "keyed_quantiles")
+    r.save(path)
+    fresh = load_quantile_rollup(spark, path)
+    assert fresh.key_column == "event_type"
+    assert set(
+        row["event_type"]
+        for row in fresh.approx_quantile_by_key(0.9, *span).collect()
+    ) == set(keys)
+    # a batch without the key column cannot maintain a keyed rollup
+    with pytest.raises(ValueError, match="partition column"):
+        fresh.merge_batch(events.select("ts", "value"), "ts")
+    fresh.unpersist()
+    r.unpersist()
+
+
+def test_unkeyed_rollup_rejects_key_asks(rollup):
+    with pytest.raises(ValueError, match="partition_by"):
+        rollup.approx_quantile(0.5, A, B, key="click")
+    with pytest.raises(ValueError, match="partition_by"):
+        rollup.approx_quantile_by_key(0.5)
+
+
 def test_wheel_maintainer_drives_quantile_rollup(spark, events):
     """One foreachBatch hook keeps wheels + HLL + KLL rollups fresh."""
     from datafusion_uwheel_spark.streaming.maintenance import (
