@@ -122,6 +122,13 @@ def main() -> None:
         lambda: engine.approx_quantile("value", [0.5, 0.95, 0.99], a, b),
     )
     print(f"    distinct users ≈ {est}; value p50={p50:.2f} p95={p95:.2f} p99={p99:.2f}")
+    # Dimensional form: ONE keyed build answers per-segment percentiles.
+    timed("build keyed KLL rollup (partition_by=event_type)",
+          lambda: engine.build_quantile_index("value", partition_by="event_type"))
+    rows = timed("approx_quantile_by_key(value, .95) per event_type",
+                 lambda: engine.approx_quantile_by_key("value", 0.95, a, b).collect())
+    print("    p95 by segment: " + ", ".join(
+        f"{r[0]}={r['approx_quantile']:.1f}" for r in rows))
 
     # ANN over the embeddings table through the SimilarityEngine registry:
     # build once, and every topk() call routes to the partition-pruned
