@@ -266,6 +266,53 @@ def main() -> None:
         dict(r.asDict())
     )
 
+    # ---- coarse buckets: a minute-granularity wheel pins bucket_sec=60;
+    # minute-aligned asks rewrite, second-aligned-but-unaligned-to-minute
+    # asks fall through, and GROUP BY date_trunc('hour') still tiles.
+    ceng = WheelEngine(
+        spark, "events_m", f"{SF}/events.parquet",
+        time_column="ts", index_granularity="minute",
+    )
+    ceng.build_index("value")
+    register_agg_rollup(spark, ceng, "value")
+    spark.read.parquet(f"{SF}/events.parquet").createOrReplaceTempView("events_m")
+    assert spark.conf.get("spark.uwheel.shim.events_m.bucket_sec") == "60"
+    csql = (
+        "SELECT COUNT(*) AS c, SUM(value) AS s FROM events_m "
+        f"WHERE ts >= '{a}' AND ts < '{b}'"  # minute-aligned bounds
+    )
+    cphys = spark.sql(csql)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in cphys, "coarse-bucket rewrite did not fire"
+    odd2 = (
+        "SELECT COUNT(*) AS c FROM events_m "
+        f"WHERE ts >= '2024-01-03 00:00:30' AND ts < '{b}'"  # sub-minute bound
+    )
+    ophys = spark.sql(odd2)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" in ophys or "FileScan" in ophys
+    gsql2 = (
+        "SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c FROM events_m "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY 1"
+    )
+    gphys2 = spark.sql(gsql2)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in gphys2, "hour-on-minute-buckets did not fire"
+    gm = (  # minute grouping on minute buckets tiles too
+        "SELECT date_trunc('minute', ts) AS m, COUNT(*) AS c FROM events_m "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY 1"
+    )
+    assert "events.parquet" not in (
+        spark.sql(gm)._jdf.queryExecution().executedPlan().toString()
+    )
+    # cross-check one coarse rewrite's values against the scan
+    cg = spark.sql(csql).collect()[0]
+    all_tables = spark.conf.get("spark.uwheel.shim.tables")
+    spark.conf.set(
+        "spark.uwheel.shim.tables",
+        ",".join(t for t in all_tables.split(",") if t != "events_m"),
+    )
+    cw = spark.sql(csql).collect()[0]
+    spark.conf.set("spark.uwheel.shim.tables", all_tables)
+    assert cg["c"] == cw["c"] and abs(cg["s"] - cw["s"]) <= 1e-9 * abs(cw["s"])
+
     # ---- streaming freshness: a maintainer merge re-exports the views, so
     # plain spark.sql sees rows that exist only in the merged rollup (the
     # logical table = files + stream; a stale snapshot would miss them).

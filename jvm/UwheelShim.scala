@@ -193,10 +193,11 @@ case class UwheelAggRewrite(session: SparkSession)
       case _                     => false
     }
     val conjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
-    if (conjuncts.size > 3) return None
     var lo: Option[Long] = None
     var hi: Option[Long] = None
     var key: Option[(String, String)] = None
+    var nn = 0 // IsNotNull(ts) conjuncts the optimizer infers from bounds —
+    //           a no-op here: the rollup build drops NULL-ts rows already
     var n = 0
     conjuncts.foreach {
       case GreaterThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
@@ -207,6 +208,8 @@ case class UwheelAggRewrite(session: SparkSession)
         hi = Some(v); n += 1
       case GreaterThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
         hi = Some(v); n += 1
+      case IsNotNull(a) if isTime(a) =>
+        nn += 1; n += 1
       case EqualTo(a: AttributeReference, Literal(s, t)) if t == StringType && s != null =>
         key = Some((a.name.toLowerCase, s.toString)); n += 1
       case EqualTo(Literal(s, t), a: AttributeReference) if t == StringType && s != null =>
@@ -217,7 +220,7 @@ case class UwheelAggRewrite(session: SparkSession)
     // n counts recognized conjuncts; a duplicate-side overwrite makes the
     // distinct-slot sum fall short of conjuncts.size — both reject.
     if (n != conjuncts.size) None
-    else if (lo.size + hi.size + key.size != conjuncts.size) None
+    else if (lo.size + hi.size + key.size + nn != conjuncts.size) None
     else if (lo.exists(_ % align != 0) || hi.exists(_ % align != 0)) None
     else if (lo.zip(hi).exists { case (l, h) => l > h }) None
     else Some((lo, hi, key))
@@ -307,7 +310,11 @@ case class UwheelAggRewrite(session: SparkSession)
       viewName <- key match {
         case Some((kcol, kval)) => keyedView(table, kcol, kval, cols)
         case None =>
-          if (cols.isEmpty) Some(s"__uwheel_rollup_$table")
+          if (cols.isEmpty)
+            // COUNT(*)-only: the count view if registered, else any agg
+            // view (it carries cnt too)
+            Seq(s"__uwheel_rollup_$table", s"__uwheel_rollup_${table}__agg")
+              .find(v => rollupPlan(v).isDefined)
           else {
             val registered = session.conf
               .getOption(s"spark.uwheel.shim.$table.agg_cols")
