@@ -119,6 +119,20 @@ def _pin_table_confs(spark, engine, wheel) -> None:
         )
     existing = spark.conf.get("spark.uwheel.shim.tables", "")
     tables = [t for t in existing.split(",") if t.strip()]
+    # The rule recognizes tables by scan ROOT (views are stripped before it
+    # runs), so two engines over one parquet root are indistinguishable at
+    # plan time and the later registration would silently shadow the first.
+    norm = os.path.abspath(path).rstrip("/")
+    for t in tables:
+        if t == engine.name:
+            continue
+        other = spark.conf.get(f"spark.uwheel.shim.{t}.path", "")
+        if other.rstrip("/") == norm:
+            raise ValueError(
+                f"parquet root {norm!r} is already registered with the shim "
+                f"as table {t!r} — one engine per root (the optimizer rule "
+                "matches scans by path, not view name)"
+            )
     if engine.name not in tables:
         tables.append(engine.name)
     spark.conf.set("spark.uwheel.shim.tables", ",".join(tables))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -233,8 +234,6 @@ def main() -> None:
     # ---- NULL discipline: all-NULL buckets export NULL states, so the
     # rewritten SUM/MIN/MAX/AVG answer NULL over all-NULL ranges exactly
     # like the delegate scan (testdata has no NULLs, so pin it here).
-    import tempfile
-
     nd = tempfile.mkdtemp(prefix="uwheel_shim_nulls_")
     npath = os.path.join(nd, "nulls.parquet")
     spark.createDataFrame(
@@ -269,13 +268,27 @@ def main() -> None:
     # ---- coarse buckets: a minute-granularity wheel pins bucket_sec=60;
     # minute-aligned asks rewrite, second-aligned-but-unaligned-to-minute
     # asks fall through, and GROUP BY date_trunc('hour') still tiles.
+    # One engine per parquet root (the rule matches scans by path) — the
+    # coarse engine gets its own copy, and double-registering a root raises.
+    mdir = os.path.join(tempfile.mkdtemp(prefix="uwheel_shim_m_"), "events_m.parquet")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(mdir)
+    try:
+        WheelEngine(
+            spark, "events_dup", f"{SF}/events.parquet", time_column="ts"
+        )
+        dup = WheelEngine(
+            spark, "events_dup", f"{SF}/events.parquet", time_column="ts"
+        )
+        register_count_rollup(spark, dup)
+        raise AssertionError("same-root double registration must raise")
+    except ValueError as exc:
+        assert "already registered" in str(exc)
     ceng = WheelEngine(
-        spark, "events_m", f"{SF}/events.parquet",
-        time_column="ts", index_granularity="minute",
+        spark, "events_m", mdir, time_column="ts", index_granularity="minute"
     )
     ceng.build_index("value")
     register_agg_rollup(spark, ceng, "value")
-    spark.read.parquet(f"{SF}/events.parquet").createOrReplaceTempView("events_m")
+    spark.read.parquet(mdir).createOrReplaceTempView("events_m")
     assert spark.conf.get("spark.uwheel.shim.events_m.bucket_sec") == "60"
     csql = (
         "SELECT COUNT(*) AS c, SUM(value) AS s FROM events_m "

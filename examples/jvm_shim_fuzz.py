@@ -1,0 +1,166 @@
+"""Randomized equivalence fuzz for the Catalyst shim: whatever the rule
+does — rewrite or fall through — plain ``spark.sql`` results must be
+byte-equal (float-tolerant) to the delegate scan on every generated shape.
+
+Generates aggregate queries across the full matched surface and its edges:
+mixed aggregate sets, fine/coarse bucket tables, aligned / unaligned /
+half-open / absent / reversed bounds, registered / unregistered key
+equalities, every date_trunc granularity including sub-second, and scalar
+vs grouped forms. Run standalone or via ``tests/test_jvm_shim.py`` (a
+subprocess — the extensions class must load with the JVM).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+N_QUERIES = int(os.environ.get("SHIM_FUZZ_N", "60"))
+
+#: (choice, weight) — biased toward matchable shapes so the fuzz exercises
+#: the rewrite path heavily while still probing every fall-through edge.
+CORE_AGGS = ["COUNT(*)", "COUNT(value)", "SUM(value)", "AVG(value)", "MIN(value)", "MAX(value)"]
+EVENTS_ONLY_AGGS = ["SUM(user_id)", "AVG(user_id)"]  # user_id registered on `events` only
+GRANS = ["second", "minute", "hour", "day", "week", "month", "quarter", "year"]
+BOUNDS = [
+    (("2024-01-03 00:00:00", "2024-01-10 00:00:00"), 4),  # minute+hour aligned
+    (("2024-01-03 00:07:00", "2024-01-09 23:41:00"), 3),  # minute aligned only
+    (("2024-01-03 00:00:07", "2024-01-09 23:41:13"), 2),  # second aligned only
+    (("2024-01-03 00:00:00.500", "2024-01-10 00:00:00"), 1),  # sub-second
+    (("2024-01-20 00:00:00", "2024-01-05 00:00:00"), 1),  # reversed (empty)
+    (("2030-01-01 00:00:00", "2030-02-01 00:00:00"), 1),  # beyond the data
+]
+KEYS = [
+    (None, 6),
+    ("event_type = 'click'", 3),  # registered keyed view on `events`
+    ("event_type = 'purchase'", 1),  # unregistered value → scan
+    ("event_type = 'zzz'", 1),  # value absent from the data → scan, 0 rows
+]
+
+
+def pick(rng, weighted):
+    return rng.choices([c for c, _ in weighted], [w for _, w in weighted])[0]
+
+
+def gen_query(rng: random.Random, table: str) -> str:
+    pool = list(CORE_AGGS)
+    if table == "events":
+        pool += EVENTS_ONLY_AGGS
+    aggs = rng.sample(pool, rng.randint(1, 3))
+    if rng.random() < 0.12:
+        aggs.append("STDDEV(value)")  # never rewrites — must fall through intact
+    select = [f"{a} AS a{i}" for i, a in enumerate(aggs)]
+    group = ""
+    if rng.random() < 0.5:
+        g = "millisecond" if rng.random() < 0.1 else rng.choice(GRANS)
+        select.insert(0, f"date_trunc('{g}', ts) AS b")
+        group = " GROUP BY 1"
+    conj = []
+    shape = rng.choices([0, 1, 2, 3], [5, 1, 1, 1])[0]
+    if shape != 3:  # 3 = landmark (no time bounds)
+        a, b = pick(rng, BOUNDS)
+        if shape in (0, 1):
+            conj.append(f"ts >= '{a}'")
+        if shape in (0, 2):
+            conj.append(f"ts < '{b}'")
+    key = pick(rng, KEYS)
+    if key:
+        conj.append(key)
+    where = (" WHERE " + " AND ".join(conj)) if conj else ""
+    return f"SELECT {', '.join(select)} FROM {table}{where}{group}"
+
+
+def rows_equal(xs, ys) -> bool:
+    if len(xs) != len(ys):
+        return False
+    for x, y in zip(xs, ys):
+        for u, v in zip(x, y):
+            if isinstance(u, float) and isinstance(v, float):
+                if abs(u - v) > 1e-9 * max(1.0, abs(u), abs(v)):
+                    return False
+            elif u != v:
+                return False
+    return True
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from datafusion_uwheel_spark import WheelEngine
+    from datafusion_uwheel_spark.jvmshim import (
+        build_shim_jar,
+        register_agg_rollup,
+        register_count_rollup,
+        register_keyed_agg_rollup,
+        shim_builder_confs,
+    )
+
+    builder = (
+        SparkSession.builder.appName("uwheel-shim-fuzz")
+        .master("local[2]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in shim_builder_confs(build_shim_jar()).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+
+    # fine-bucket table with count + agg (value, user_id) + keyed views
+    eng = WheelEngine(spark, "events", f"{SF}/events.parquet", time_column="ts")
+    register_count_rollup(spark, eng)
+    eng.build_index("value")
+    eng.build_index("user_id")
+    register_agg_rollup(spark, eng, "value")
+    register_agg_rollup(spark, eng, "user_id")
+    eng.build_index("value", filter="event_type = 'click'")
+    register_keyed_agg_rollup(spark, eng, "value", "event_type = 'click'")
+    # coarse-bucket table, agg view only — its OWN parquet root (the rule
+    # recognizes tables by scan path; one engine per root)
+    import tempfile
+
+    mdir = os.path.join(tempfile.mkdtemp(prefix="uwheel_fuzz_"), "events_m.parquet")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(mdir)
+    ceng = WheelEngine(
+        spark, "events_m", mdir, time_column="ts", index_granularity="minute"
+    )
+    ceng.build_index("value")
+    register_agg_rollup(spark, ceng, "value")
+    spark.read.parquet(mdir).createOrReplaceTempView("events_m")
+    tables_conf = spark.conf.get("spark.uwheel.shim.tables")
+
+    rng = random.Random(20260814)
+    rewritten = fell_through = 0
+    for i in range(N_QUERIES):
+        table = rng.choice(["events", "events", "events_m"])
+        sql = gen_query(rng, table)
+        df = spark.sql(sql)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if ".parquet" in plan:  # rewritten plans only touch LocalRelations
+            fell_through += 1
+            if os.environ.get("SHIM_FUZZ_DEBUG"):
+                print("FT", sql)
+        else:
+            rewritten += 1
+            if os.environ.get("SHIM_FUZZ_DEBUG"):
+                print("RW", sql)
+        got = sorted(map(tuple, df.collect()))
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        want = sorted(map(tuple, spark.sql(sql).collect()))
+        spark.conf.set("spark.uwheel.shim.tables", tables_conf)
+        assert rows_equal(got, want), (
+            f"MISMATCH on fuzz #{i}:\n{sql}\nshim: {got[:5]}\nscan: {want[:5]}"
+        )
+    # the generator must exercise both outcomes or it tests nothing
+    assert rewritten >= N_QUERIES // 10, (rewritten, fell_through)
+    assert fell_through >= N_QUERIES // 10, (rewritten, fell_through)
+    print(f"OK shim fuzz: {N_QUERIES} queries, {rewritten} rewritten, "
+          f"{fell_through} fell through, 0 mismatches")
+
+
+if __name__ == "__main__":
+    main()

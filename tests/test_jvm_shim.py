@@ -37,3 +37,17 @@ def test_shim_rewrites_plain_spark_sql():
     )
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "OK shim" in r.stdout
+
+
+def test_shim_fuzz_equivalence():
+    """Randomized shapes across the whole matched surface and its edges:
+    whatever the rule does, results must equal the delegate scan's."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "jvm_shim_fuzz.py")],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "0 mismatches" in r.stdout

@@ -16,10 +16,17 @@ from datafusion_uwheel_spark.sources import read_parquet
 
 
 @pytest.fixture()
-def eng(spark, sf_small_dir):
-    return WheelEngine(
-        spark, "shimreg", f"{sf_small_dir}/events.parquet", time_column="ts"
-    )
+def ev_copy(spark, sf_small_dir, tmp_path):
+    """A per-test parquet root: the shim allows ONE engine per root, and
+    the shared session's confs persist across tests."""
+    p = str(tmp_path / "events.parquet")
+    read_parquet(spark, f"{sf_small_dir}/events.parquet").write.parquet(p)
+    return p
+
+
+@pytest.fixture()
+def eng(spark, ev_copy):
+    return WheelEngine(spark, "shimreg", ev_copy, time_column="ts")
 
 
 def test_count_rollup_view_and_confs(spark, eng):
@@ -103,7 +110,7 @@ def test_keyed_registration_view_and_guards(spark, eng):
     assert got["c"] == want["c"] and abs(got["s"] - want["s"]) < 1e-6
 
 
-def test_unmaintained_keyed_view_is_revoked_on_merge(spark, sf_small_dir):
+def test_unmaintained_keyed_view_is_revoked_on_merge(spark, ev_copy):
     """A streaming merge that cannot re-apply a keyed filter marks the
     keyed wheel incomplete; the refresh must then UNSET that view's confs
     so the rule stops matching — stale never answers."""
@@ -120,9 +127,7 @@ def test_unmaintained_keyed_view_is_revoked_on_merge(spark, sf_small_dir):
         [("2024-03-01 00:00:10", "click", 1.0)],
         "ts string, event_type string, value double",
     ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
-    e = WheelEngine(
-        spark, "shimrev", f"{sf_small_dir}/events.parquet", time_column="ts"
-    )
+    e = WheelEngine(spark, "shimrev", ev_copy, time_column="ts")
     e.build_index("value")
     e.build_index("value", filter="event_type = 'click'")
     register_count_rollup(spark, e)
@@ -136,9 +141,9 @@ def test_unmaintained_keyed_view_is_revoked_on_merge(spark, sf_small_dir):
     # the unfiltered views refreshed instead of being revoked
     assert "shimrev" in spark.conf.get("spark.uwheel.shim.tables")
     # maintainer WITH the filter keeps the keyed view registered
-    e2 = WheelEngine(
-        spark, "shimrev2", f"{sf_small_dir}/events.parquet", time_column="ts"
-    )
+    p2 = ev_copy.replace("events.parquet", "events2.parquet")
+    read_parquet(spark, ev_copy).write.parquet(p2)
+    e2 = WheelEngine(spark, "shimrev2", p2, time_column="ts")
     e2.build_index("value")
     e2.build_index("value", filter="event_type = 'click'")
     register_keyed_agg_rollup(spark, e2, "value", "event_type = 'click'")
