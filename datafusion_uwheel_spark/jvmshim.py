@@ -32,6 +32,7 @@ __all__ = [
     "register_count_rollup",
     "register_agg_rollup",
     "register_keyed_agg_rollup",
+    "register_dim_rollup",
     "EXTENSIONS_CLASS",
 ]
 
@@ -356,4 +357,115 @@ def register_keyed_agg_rollup(spark, engine, column: str, filter: str) -> str:
     spark.conf.set(f"{pre}.{i}.col", entry["col"])
     spark.conf.set(f"{pre}.{i}.value", entry["value"])
     spark.conf.set(f"{pre}.{i}.cols", ",".join(sorted(entry["wheels"])))
+    return name
+
+
+def register_dim_rollup(spark, engine, key_column: str) -> str:
+    """Export a partitioned wheel family
+    (``engine.build_partitioned_index(col, partition_by=key_column)``) as
+    the shim's dimensional view ``__uwheel_rollup_<table>__dim<i>`` —
+    rows ``(sec, key, cnt, vcnt_<c>, sum_<c>, min_<c>, max_<c>)``, one per
+    (bucket, key value) including NULL keys. Plain ``spark.sql``
+    category group-bys then rewrite: ``GROUP BY key``, and the
+    time × category dashboard shape ``GROUP BY date_trunc(g, ts), key``
+    (either order), scalar aggregates included, with or without time
+    bounds — the reference cannot express any of this (one filter per
+    optimizer, ``lib.rs:76-77``). The family is key-complete, so the
+    rewritten group-by produces exactly the scan's groups."""
+    import numpy as np
+    import pyarrow as pa
+
+    try:
+        ps = engine.partition_sets[key_column.lower()]
+    except KeyError:
+        raise KeyError(
+            f"no partitioned family for {key_column!r} — call "
+            f"engine.build_partitioned_index(col, partition_by={key_column!r})"
+            " first"
+        ) from None
+    fams = ps["wheels"]
+    cols = sorted(
+        {c for fam in fams.values() for c in fam if c is not None},
+        key=str.lower,
+    )
+    ktype = ps["key_sql_type"].upper()
+    if ktype == "STRING":
+        key_arrow = pa.string()
+    else:
+        kt = _arrow_types(ktype)
+        if kt is None:
+            raise ValueError(f"unsupported key type for the shim: {ktype}")
+        key_arrow = kt[0]
+    secs_parts, key_vals, cnt_parts = [], [], []
+    state_parts: dict = {c: {"vcnt": [], "sum": [], "min": [], "max": []} for c in cols}
+    masks: dict = {c: [] for c in cols}
+    base_for_pin = None
+    for v, fam in sorted(fams.items(), key=lambda kv: (kv[0] is None, str(kv[0]))):
+        base = fam[None]
+        base_for_pin = base_for_pin or base
+        if not base.complete:
+            raise ValueError(
+                "shim dim views require a complete family — a time_range-"
+                "restricted or stale build cannot claim the whole timeline"
+            )
+        secs_parts.append(base.secs.astype("int64"))
+        cnt_parts.append(base.cnt.astype("int64"))
+        key_vals.extend([v] * base.secs.size)
+        for c in cols:
+            w = fam.get(c)
+            if w is None or w.sum_ is None or w.min_ is None or w.max_ is None:
+                raise ValueError(
+                    f"family value {v!r} lacks full states for {c!r} — "
+                    "build the partitioned index with aggs=None"
+                )
+            if not np.array_equal(w.secs, base.secs):
+                raise ValueError(
+                    f"family value {v!r}: state wheel bucket domain diverged"
+                )
+            vc = np.asarray(
+                w.vcnt_ if w.vcnt_ is not None else w.cnt, dtype="int64"
+            )
+            state_parts[c]["vcnt"].append(vc)
+            state_parts[c]["sum"].append(np.asarray(w.sum_))
+            state_parts[c]["min"].append(np.asarray(w.min_))
+            state_parts[c]["max"].append(np.asarray(w.max_))
+            masks[c].append(vc == 0)
+    arrays: dict = {
+        "sec": pa.array(np.concatenate(secs_parts)),
+        "key": pa.array(key_vals, type=key_arrow),
+        "cnt": pa.array(np.concatenate(cnt_parts)),
+    }
+    for c in cols:
+        cw = next(fam[c] for fam in fams.values() if c in fam)
+        types = _arrow_types(cw.value_sql_type.upper())
+        if types is None:
+            raise ValueError(
+                f"unsupported column type for the shim: {cw.value_sql_type}"
+            )
+        val_type, sum_type = types
+        null_mask = np.concatenate(masks[c])
+
+        def masked(parts, typ):
+            vals = np.where(null_mask, 0, np.concatenate(parts))
+            return pa.array(vals, mask=null_mask).cast(typ)
+
+        lc = c.lower()
+        arrays[f"vcnt_{lc}"] = pa.array(np.concatenate(state_parts[c]["vcnt"]))
+        arrays[f"sum_{lc}"] = masked(state_parts[c]["sum"], sum_type)
+        arrays[f"min_{lc}"] = masked(state_parts[c]["min"], val_type)
+        arrays[f"max_{lc}"] = masked(state_parts[c]["max"], val_type)
+    dims = getattr(engine, "_shim_dims", None)
+    if dims is None:
+        dims = engine._shim_dims = {}
+    entry = dims.setdefault(
+        key_column.lower(), {"idx": len(dims), "key_column": key_column}
+    )
+    i = entry["idx"]
+    name = f"__uwheel_rollup_{engine.name}__dim{i}"
+    spark.createDataFrame(pa.table(arrays)).createOrReplaceTempView(name)
+    _pin_table_confs(spark, engine, base_for_pin)
+    pre = f"spark.uwheel.shim.{engine.name}.dim"
+    spark.conf.set(f"{pre}_count", str(len(dims)))
+    spark.conf.set(f"{pre}.{i}.col", key_column.lower())
+    spark.conf.set(f"{pre}.{i}.cols", ",".join(c.lower() for c in cols))
     return name

@@ -198,6 +198,42 @@ def main() -> None:
     uphys = spark.sql(unreg)._jdf.queryExecution().executedPlan().toString()
     assert "events.parquet" in uphys or "FileScan" in uphys
 
+    # ---- dim group-bys from the partitioned family: GROUP BY key and the
+    # time x category dashboard shape through plain spark.sql.
+    from datafusion_uwheel_spark.jvmshim import register_dim_rollup
+
+    eng.build_partitioned_index("value", partition_by="event_type")
+    register_dim_rollup(spark, eng, "event_type")
+    for dsql in (
+        "SELECT event_type AS k, COUNT(*) AS c, SUM(value) AS s FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY 1 ORDER BY k",
+        "SELECT date_trunc('day', ts) AS d, event_type AS k, COUNT(*) AS c, "
+        "AVG(value) AS av FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY 1, 2 ORDER BY d, k",
+        "SELECT event_type AS k, MAX(value) AS m FROM events GROUP BY 1 ORDER BY k",
+    ):
+        ddf = spark.sql(dsql)
+        dphys = ddf._jdf.queryExecution().executedPlan().toString()
+        assert "events.parquet" not in dphys, "dim rewrite did not fire:\n" + dphys
+        drows = [tuple(r) for r in ddf.collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        xrows = [tuple(r) for r in spark.sql(dsql).collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert len(drows) == len(xrows) > 0, (dsql, len(drows), len(xrows))
+        for dr, xr in zip(drows, xrows):
+            for x, y in zip(dr, xr):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (dsql, dr, xr)
+                else:
+                    assert x == y, (dsql, dr, xr)
+    # grouping on an unregistered dimension falls through
+    ug = (
+        "SELECT user_id AS k, COUNT(*) AS c FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY 1"
+    )
+    ugphys = spark.sql(ug)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" in ugphys or "FileScan" in ugphys
+
     # Half-open and landmark (no WHERE) shapes — sound because only
     # complete wheels register (the rollup holds the whole timeline).
     for hsql in (

@@ -81,15 +81,44 @@ case class UwheelAggRewrite(session: SparkSession)
     if (tables.isEmpty) plan
     else
       plan transformUp {
-        case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty =>
-          tryRewrite(exprs, None, child, tables).getOrElse(agg)
-        case agg @ Aggregate(Seq(gexpr), exprs, child, _) if exprs.nonEmpty =>
-          resolveTrunc(gexpr, child) match {
-            case Some(t) =>
-              tryRewrite(exprs, Some((gexpr, t)), child, tables).getOrElse(agg)
+        case agg @ Aggregate(gexprs, exprs, child, _)
+            if exprs.nonEmpty && gexprs.size <= 2 =>
+          resolveGroups(gexprs, child) match {
+            case Some(groups) =>
+              tryRewrite(exprs, groups, child, tables).getOrElse(agg)
             case None => agg
           }
       }
+  }
+
+  /** Grouping expressions the rollups can serve: at most one time trunc
+    * plus at most one plain key attribute (the partitioned-family view's
+    * dimension). */
+  private sealed trait GroupSpec { def orig: Expression }
+  private case class TimeGroup(orig: Expression, t: TruncTimestamp) extends GroupSpec
+  private case class KeyGroup(orig: AttributeReference) extends GroupSpec
+
+  private def resolveGroups(
+      gexprs: Seq[Expression],
+      child: LogicalPlan
+  ): Option[Seq[GroupSpec]] = {
+    val specs = gexprs.map { g =>
+      resolveTrunc(g, child) match {
+        case Some(t) => Some(TimeGroup(g, t))
+        case None =>
+          g match {
+            case a: AttributeReference => Some(KeyGroup(a))
+            case _                     => None
+          }
+      }
+    }
+    if (specs.exists(_.isEmpty)) None
+    else {
+      val out = specs.map(_.get)
+      val times = out.count(_.isInstanceOf[TimeGroup])
+      val keys = out.count(_.isInstanceOf[KeyGroup])
+      if (times <= 1 && keys <= 1) Some(out) else None
+    }
   }
 
   /** The grouping key as a TruncTimestamp: either inline, or (after
@@ -260,26 +289,30 @@ case class UwheelAggRewrite(session: SparkSession)
   /** The recognized shape of one output expression. */
   private sealed trait OutKind
   private case class AggOut(kind: AggKind) extends OutKind
-  private case object KeyOut extends OutKind
+  private case class GroupOut(idx: Int) extends OutKind
 
   private def tryRewrite(
       exprs: Seq[NamedExpression],
-      grouping: Option[(Expression, TruncTimestamp)],
+      grouping: Seq[GroupSpec],
       child: LogicalPlan,
       tables: Map[String, (String, String)]
-  ): Option[LogicalPlan] =
+  ): Option[LogicalPlan] = {
+    def groupIdx(e: Expression): Option[Int] =
+      grouping.zipWithIndex.collectFirst {
+        case (TimeGroup(orig, t), i) if e.semanticEquals(orig) || e.semanticEquals(t) => i
+        case (KeyGroup(a), i) if e.semanticEquals(a) => i
+      }
+    val timeGroup = grouping.collectFirst { case tg: TimeGroup => tg }
+    val keyGroup = grouping.collectFirst { case kg: KeyGroup => kg }
     for {
-      aliases <- traverse(exprs.map { case a: Alias => Some(a); case _ => None })
-      outs0 <- traverse(aliases.map { a =>
-        a.child match {
-          case ae: AggregateExpression => classify(ae).map(AggOut)
-          case e
-              if grouping.exists { case (orig, t) =>
-                e.semanticEquals(orig) || e.semanticEquals(t)
-              } =>
-            Some(KeyOut)
-          case _ => None
-        }
+      outs0 <- traverse(exprs.map {
+        case a: Alias =>
+          a.child match {
+            case ae: AggregateExpression => classify(ae).map(AggOut)
+            case e                       => groupIdx(e).map(GroupOut)
+          }
+        case ar: AttributeReference => groupIdx(ar).map(GroupOut)
+        case _                      => None
       })
       kinds = outs0.collect { case AggOut(k) => k }
       cols = kinds.flatMap(_.col).distinct
@@ -291,8 +324,8 @@ case class UwheelAggRewrite(session: SparkSession)
         .map(_.toLong)
         .getOrElse(1L)
       // the grouped ts must be the registered time column, at a granularity
-      // whole buckets tile into
-      if grouping.forall { case (_, g) =>
+      // whole buckets tile into; a key grouping must NOT be the time column
+      if timeGroup.forall { case TimeGroup(_, g) =>
         (g.timestamp match {
           case a: AttributeReference => a.name.equalsIgnoreCase(timeCol)
           case _                     => false
@@ -306,10 +339,13 @@ case class UwheelAggRewrite(session: SparkSession)
           case _ => false
         })
       }
+      if keyGroup.forall(kg => !kg.orig.name.equalsIgnoreCase(timeCol))
       (lo, hi, key) <- bounds(cond, timeCol, bucketSec)
-      viewName <- key match {
-        case Some((kcol, kval)) => keyedView(table, kcol, kval, cols)
-        case None =>
+      viewName <- (keyGroup, key) match {
+        case (Some(_), Some(_)) => None // key grouping + key equality: punt
+        case (Some(kg), None)   => dimView(table, kg.orig.name.toLowerCase, cols)
+        case (None, Some((kcol, kval))) => keyedView(table, kcol, kval, cols)
+        case (None, None) =>
           if (cols.isEmpty)
             // COUNT(*)-only: the count view if registered, else any agg
             // view (it carries cnt too)
@@ -327,22 +363,56 @@ case class UwheelAggRewrite(session: SparkSession)
       }
       rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
-      // the original trunc over the bucket-start timestamp: Spark's own
-      // calendar logic computes the keys, nothing re-derived
-      newKey = grouping.map { case (_, g) => g.copy(timestamp = SecondsToTimestamp(sec)) }
-      outs <- traverse(outs0.zip(aliases).map {
+      keyAttr = rollup.output.find(_.name == "key")
+      // each grouping expression over the rollup: the ORIGINAL trunc over
+      // the bucket-start timestamp (Spark's own calendar logic computes the
+      // keys, nothing re-derived), and the dim view's key column
+      newGroups <- traverse(grouping.map {
+        case TimeGroup(_, g) =>
+          Some(g.copy(timestamp = SecondsToTimestamp(sec)): Expression)
+        case KeyGroup(_) => keyAttr.map(a => a: Expression)
+      })
+      outs <- traverse(outs0.zip(exprs).map {
         case (AggOut(k), a) =>
           replacement(k, rollup).map(e => Alias(e, a.name)(exprId = a.exprId))
-        case (KeyOut, a) =>
-          newKey.map(e => Alias(e, a.name)(exprId = a.exprId))
+        case (GroupOut(i), a) =>
+          Some(Alias(newGroups(i), a.name)(exprId = a.exprId))
       })
     } yield {
       val preds =
         lo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
           hi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
       val pruned = preds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
-      Aggregate(newKey.toSeq, outs, pruned, None)
+      Aggregate(newGroups, outs, pruned, None)
     }
+  }
+
+  /** The registered dim (partitioned-family) view for a key-column
+    * grouping, when its exported columns cover every needed aggregate. */
+  private def dimView(
+      table: String,
+      kcol: String,
+      needed: Seq[String]
+  ): Option[String] = {
+    val count = session.conf
+      .getOption(s"spark.uwheel.shim.$table.dim_count")
+      .map(_.toInt)
+      .getOrElse(0)
+    (0 until count).collectFirst {
+      case i
+          if session.conf
+            .getOption(s"spark.uwheel.shim.$table.dim.$i.col")
+            .contains(kcol) && {
+            val have = session.conf
+              .getOption(s"spark.uwheel.shim.$table.dim.$i.cols")
+              .toSeq
+              .flatMap(_.split(",").map(_.trim.toLowerCase))
+              .toSet
+            needed.forall(have.contains)
+          } =>
+        s"__uwheel_rollup_${table}__dim$i"
+    }
+  }
 
   /** The merged-range expression for one recognized aggregate, over the
     * rollup view's columns; None when the view lacks a needed state column
