@@ -54,11 +54,23 @@ def gen_query(rng: random.Random, table: str) -> str:
     if rng.random() < 0.12:
         aggs.append("STDDEV(value)")  # never rewrites — must fall through intact
     select = [f"{a} AS a{i}" for i, a in enumerate(aggs)]
-    group = ""
+    gcols = []
     if rng.random() < 0.5:
         g = "millisecond" if rng.random() < 0.1 else rng.choice(GRANS)
-        select.insert(0, f"date_trunc('{g}', ts) AS b")
-        group = " GROUP BY 1"
+        gcols.append(f"date_trunc('{g}', ts) AS b")
+    if rng.random() < 0.35:
+        # dim grouping: event_type has a registered family on `events`;
+        # user_id never does → fall-through probe
+        gcols.append(
+            ("user_id" if rng.random() < 0.2 else "event_type") + " AS k"
+        )
+    rng.shuffle(gcols)
+    select = gcols + select
+    group = (
+        " GROUP BY " + ", ".join(str(i + 1) for i in range(len(gcols)))
+        if gcols
+        else ""
+    )
     conj = []
     shape = rng.choices([0, 1, 2, 3], [5, 1, 1, 1])[0]
     if shape != 3:  # 3 = landmark (no time bounds)
@@ -95,6 +107,7 @@ def main() -> None:
         build_shim_jar,
         register_agg_rollup,
         register_count_rollup,
+        register_dim_rollup,
         register_keyed_agg_rollup,
         shim_builder_confs,
     )
@@ -119,6 +132,8 @@ def main() -> None:
     register_agg_rollup(spark, eng, "user_id")
     eng.build_index("value", filter="event_type = 'click'")
     register_keyed_agg_rollup(spark, eng, "value", "event_type = 'click'")
+    eng.build_partitioned_index("value", partition_by="event_type")
+    register_dim_rollup(spark, eng, "event_type")
     # coarse-bucket table, agg view only — its OWN parquet root (the rule
     # recognizes tables by scan path; one engine per root)
     import tempfile
