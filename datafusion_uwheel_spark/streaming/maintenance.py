@@ -172,6 +172,27 @@ class StreamingWheelMaintainer:
             entry["wheels"] = {}
             for c in cols:
                 register_keyed_agg_rollup(spark, e, c, entry["filter"])
+        # Dim (partitioned-family) views: families are maintained per batch
+        # when maintain_partitions is on, so re-export; a family that went
+        # incomplete (unmaintainable) gets its view confs unset instead.
+        from ..jvmshim import register_dim_rollup
+
+        for kc, entry in getattr(e, "_shim_dims", {}).items():
+            ps = e.partition_sets.get(kc)
+            pre = f"spark.uwheel.shim.{e.name}.dim.{entry['idx']}"
+            complete = ps is not None and all(
+                w.complete
+                for fam in ps["wheels"].values()
+                for w in fam.values()
+            )
+            if not complete:
+                for suf in ("col", "cols"):
+                    try:
+                        spark.conf.unset(f"{pre}.{suf}")
+                    except Exception:
+                        pass
+                continue
+            register_dim_rollup(spark, e, entry["key_column"])
 
     def _merge_into(self, df: DataFrame, filter_key: str, cols: list[str]) -> None:
         from ..operators.rollups import rollup_arrays, state_agg_exprs

@@ -155,6 +155,34 @@ def test_unmaintained_keyed_view_is_revoked_on_merge(spark, ev_copy):
     )
 
 
+def test_dim_view_refreshed_or_revoked_on_merge(spark, ev_copy):
+    """Partitioned families are maintained per batch, so their dim views
+    re-export on merge; an unmaintained (incomplete) family's view is
+    revoked instead."""
+    from datafusion_uwheel_spark.jvmshim import register_dim_rollup
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    batch = spark.createDataFrame(
+        [("2024-03-01 00:00:10", "click", 1.0)],
+        "ts string, event_type string, value double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    e = WheelEngine(spark, "shimdim", ev_copy, time_column="ts")
+    e.build_index("value")
+    e.build_partitioned_index("value", partition_by="event_type")
+    register_count_rollup(spark, e)
+    name = register_dim_rollup(spark, e, "event_type")
+    assert spark.conf.get("spark.uwheel.shim.shimdim.dim.0.col") == "event_type"
+    before = spark.table(name).count()
+    StreamingWheelMaintainer(e).merge_batch(batch)  # maintains the family
+    assert spark.conf.get("spark.uwheel.shim.shimdim.dim.0.col") == "event_type"
+    assert spark.table(name).count() == before + 1  # new (bucket, click) row
+    # unmaintained family → incomplete → the view confs go away
+    StreamingWheelMaintainer(e, maintain_partitions=False).merge_batch(batch)
+    assert spark.conf.get("spark.uwheel.shim.shimdim.dim.0.col", None) is None
+
+
 def test_registration_requires_source_path(spark, sf_small_dir):
     df = read_parquet(spark, f"{sf_small_dir}/events.parquet")
     e = WheelEngine(spark, "shimreg_df", df, time_column="ts")
