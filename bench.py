@@ -199,6 +199,18 @@ def main() -> None:
         return n
 
     med("dedup_minhash_lsh", minhash_run)
+
+    def cluster_run():
+        # the full dedup pipeline: signatures → banded pairs → connected
+        # components → transitive keep-one
+        pairs = dedup.lsh_candidate_pairs(
+            dedup.with_minhash_signature(docs), min_est_jaccard=0.35
+        )
+        n = dedup.dedup_clustered(docs, pairs).count()
+        dedup.release_signatures(pairs)
+        return n
+
+    med("dedup_cluster_pipeline", cluster_run)
     # Aggregate over the fingerprint so the column cannot be pruned — a bare
     # count() lets Catalyst drop the simhash expression entirely (r2's
     # 0.23 s for this row measured a pruned no-op, not SimHash).

@@ -607,3 +607,93 @@ def with_simhash(
         + F.when(bit_vote(b) > 0, pow2(b)).otherwise(F.lit(0).cast("long")),
     )
     return df.withColumn("simhash", sim)
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, cluster_id)``,
+    where ``cluster_id`` is the smallest id in the component — the step
+    that turns pairwise similarity (``jaccard_pairs`` /
+    ``lsh_candidate_pairs`` / ANN ``dup_pairs``) into dedup GROUPS:
+    near-duplication is transitive in practice (A≈B≈C must keep ONE doc,
+    even when (A, C) was never emitted as a pair).
+
+    Distributed min-label propagation: every vertex starts labelled with
+    itself; each round every vertex takes the minimum label among itself
+    and its neighbours (one equi-join + group-by per round). Converges in
+    O(component diameter) rounds — near-dup clusters are shallow (a hub
+    document pulls its copies within a hop or two), so the loop is short;
+    ``max_iter`` guards pathological chains and raises rather than
+    returning a partial clustering. Each round ``localCheckpoint``\\ s the
+    labels, cutting the lineage that otherwise grows linearly and
+    re-executes every prior join per action — the standard iterative-Spark
+    discipline. The per-round convergence check rides the SAME
+    materialization that builds the checkpoint (no extra scan).
+
+    Scale: cost per round is one shuffle of the edge list on ``dst`` plus
+    one of the labels — both bounded by pairs, not the corpus; vertices
+    are only the ids that appear in ≥1 pair (singletons need no cluster).
+    """
+    edges = pairs.select(
+        F.col(left).alias("src"), F.col(right).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("__nbr"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("__nbr", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+                (F.col("__nbr") < F.col("cluster_id")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter("__changed").limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds — a pair graph "
+        "with that diameter is pathological for near-dup data; raise "
+        "max_iter explicitly if it is expected"
+    )
+
+
+def dedup_clustered(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Keep ONE document per near-dup cluster (the smallest id — the same
+    deterministic keep-lowest rule as :func:`dedup_exact`) and every
+    unpaired document. The transitive completion of pair-based dedup:
+    dropping ``id_b`` of each pair over-deletes when chains overlap, and
+    under-deletes transitive copies; clustering first does neither."""
+    members = dup_clusters(pairs, left=left, right=right, max_iter=max_iter)
+    losers = members.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
