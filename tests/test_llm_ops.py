@@ -151,8 +151,14 @@ def test_lsh_release_signatures_frees_blocks(docs, spark):
     # Start from a clean cache: other suites sharing this session leave
     # their own cached frames behind, and the CacheManager dedups by
     # logical plan, so the signature frame may otherwise already be cached
-    # (making "new blocks appeared" unobservable).
+    # (making "new blocks appeared" unobservable). localCheckpoint blocks
+    # (dup_clusters rounds) are not SQL cache entries — drop them via the
+    # persistent-RDD registry (the ContextCleaner would get there only
+    # after a driver GC).
     spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd_id in list(jmap.keySet().toArray()):
+        jmap.get(rdd_id).unpersist(False)
     assert wait_empty()
     sig = dedup.with_minhash_signature(docs)
     pairs = dedup.lsh_candidate_pairs(sig)
