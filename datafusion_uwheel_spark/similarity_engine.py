@@ -276,6 +276,25 @@ class SimilarityEngine:
             round_digits=round_digits, dim=self.dim,
         )
 
+    def dup_clusters(
+        self,
+        threshold: float,
+        bits: int = 8,
+        tables: int = 2,
+        seed: int = 42,
+        max_iter: int = 25,
+    ) -> DataFrame:
+        """Transitive near-dup GROUPS over the embedding space:
+        :meth:`dup_pairs` (route-or-delegate) fed through connected
+        components (:func:`.operators.dedup.dup_clusters`) — returns
+        ``(id, cluster_id)`` with the smallest id as the canonical
+        survivor. The pairwise set alone over-/under-deletes on chains;
+        this is the keep-one semantics a training pipeline wants."""
+        from .operators.dedup import dup_clusters as _cc
+
+        pairs = self.dup_pairs(threshold, bits=bits, tables=tables, seed=seed)
+        return _cc(pairs, max_iter=max_iter)
+
     def append(self, delta: DataFrame) -> int:
         """Incremental maintenance: append a delta of new vectors into every
         registered index's partition layout (each index hashes the delta

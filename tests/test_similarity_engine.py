@@ -80,6 +80,31 @@ def test_dup_pairs_route_and_parity(engine, emb):
     assert got_indexed == want
 
 
+def test_dup_clusters_transitive_groups(engine):
+    """Pairs → connected components through the engine: members agree with
+    a union-find over the same pair set, survivors are the min ids."""
+    pairs = [(r["id_a"], r["id_b"]) for r in engine.dup_pairs(0.4, bits=8, tables=2).collect()]
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in engine.dup_clusters(0.4, bits=8, tables=2).collect()
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want and len(got) > 0
+
+
 def test_trained_index_not_registered_for_seeded_routing(engine):
     idx = engine.build_index(kind="ivf", n_centroids=4, train=True, train_sample=256, train_iters=2)
     assert idx.m["centroids"]  # pinned in manifest
