@@ -284,6 +284,18 @@ def main() -> None:
         .collect()[0][0],
     )
 
+    from datafusion_uwheel_spark.operators import packing
+
+    med(
+        "pack_sequences_2k",
+        lambda: packing.pack_sequences(
+            text_ops.with_token_stats(docs_wide).select("doc_id", "n_tokens"),
+            2048,
+        )
+        .select("seq_id")
+        .distinct()
+        .count(),
+    )
     med(
         "text_pii_repetition",
         lambda: text_ops.with_repetition_stats(text_ops.with_pii_scrub(docs_wide))

@@ -1,0 +1,158 @@
+"""Training-batch assembly: sequence packing and mixture sampling.
+
+Two operators an LLM training-data pipeline needs between "clean corpus"
+and "training batches", both absent from Spark and from the reference
+(which stops at query acceleration):
+
+* :func:`pack_sequences` — greedy first-fit-decreasing bin packing of
+  documents into fixed-token-budget training sequences. Packing is
+  inherently sequential, so it distributes by SHARDING: documents are
+  hash-sharded, each shard packs locally inside one Arrow-batched
+  ``applyInPandas`` call (numpy FFD, no Python-per-row), and shard-local
+  bin ids are made globally unique by offsetting with the shard id. FFD
+  inside a shard wastes at most ~(11/9 OPT + 1) bins of that shard — at
+  corpus scale with thousands of docs per shard, per-shard waste is noise
+  while the packing itself stays embarrassingly parallel.
+* :func:`mixture_sample` — weighted blending of several sources toward a
+  token budget: per-source Bernoulli sampling at the exact fraction that
+  hits the source's share of the budget in expectation. One pass per
+  source, no shuffle; sampling fractions are computed from per-source
+  token totals (one tiny aggregate each).
+
+Neither is SQL-expressible (greedy packing; cross-frame budget math), so
+these carry invariant-based pytest coverage instead of a DuckDB oracle —
+the documented weaker-check tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences", "mixture_sample"]
+
+#: Bins per shard namespace — shard-local bin ids are offset by
+#: ``shard * _SHARD_STRIDE`` for global uniqueness. 10^12 bins per shard
+#: is unreachable (a bin holds ≥1 doc and shards hold far fewer docs).
+_SHARD_STRIDE = 10**12
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shards: int | None = None,
+) -> DataFrame:
+    """Assign every document to a training sequence of at most
+    ``max_tokens`` total tokens. Returns ``(id_col, tokens_col, seq_id,
+    oversize)`` — one row per input document. Documents exceeding
+    ``max_tokens`` on their own get singleton sequences with
+    ``oversize = true`` (callers decide to truncate or drop; silently
+    losing them would corrupt the corpus accounting).
+
+    Deterministic for a fixed ``shards``: sharding is ``xxhash64(id) %
+    shards`` and packing sorts by (tokens desc, id) — reruns produce the
+    same assignment, so resumed pipelines agree.
+
+    Scale: one shuffle (the groupBy on shard), then per-shard numpy FFD in
+    a single Arrow batch; memory per task is the shard's (id, tokens)
+    pairs only — size ``shards`` so docs/shard stays in the low millions."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    spark = df.sparkSession
+    if shards is None:
+        shards = spark.sparkContext.defaultParallelism * 4
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        toks = pdf[tokens_col].to_numpy()
+        order = np.lexsort((pdf[id_col].to_numpy(), -toks))  # FFD: big first
+        toks = toks[order]
+        shard = int(pdf["__shard"].iloc[0]) * _SHARD_STRIDE
+        bins: list[int] = []  # remaining capacity per open bin
+        assign = np.empty(len(toks), dtype="int64")
+        oversize = toks > max_tokens
+        for i, t in enumerate(toks):
+            t = int(t)
+            if t > max_tokens:
+                assign[i] = shard + len(bins)
+                bins.append(0)  # closed singleton
+                continue
+            # first open bin that fits (linear probe over open bins; bins
+            # close once no future doc can fit, keeping the probe short)
+            for j in range(len(bins)):
+                if bins[j] >= t:
+                    bins[j] -= t
+                    assign[i] = shard + j
+                    break
+            else:
+                assign[i] = shard + len(bins)
+                bins.append(max_tokens - t)
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy()[order],
+                tokens_col: toks,
+                "seq_id": assign,
+                "oversize": oversize,
+            }
+        )
+        return out
+
+    schema = (
+        f"{id_col} {id_type}, {tokens_col} long, seq_id long, oversize boolean"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(tokens_col).cast("long").alias(tokens_col),
+            (F.abs(F.xxhash64(F.col(id_col))) % F.lit(shards)).alias("__shard"),
+        )
+        .groupBy("__shard")
+        .applyInPandas(pack, schema=schema)
+    )
+
+
+def mixture_sample(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    target_tokens: int,
+    tokens_col: str = "n_tokens",
+    seed: int = 42,
+) -> DataFrame:
+    """Blend ``sources`` toward ``target_tokens`` total tokens with the
+    given mixture ``weights`` (normalized internally). Each source is
+    Bernoulli-sampled at ``fraction = weight_share · target / source_total``
+    — the expected sampled token mass hits the share exactly; the realized
+    mass concentrates around it (relative error ~1/√docs). A fraction > 1
+    raises: silently under-delivering a source would skew the mixture
+    (upsample by unioning the source with a sampled remainder instead).
+
+    Returns the union with a ``source`` column; no shuffle — each input is
+    one filtered pass."""
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have identical keys")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    out = None
+    for name in sorted(sources):
+        src = sources[name]
+        share = weights[name] / total_w * target_tokens
+        src_total = src.agg(F.sum(tokens_col)).collect()[0][0] or 0
+        if src_total < share:
+            raise ValueError(
+                f"source {name!r} holds {src_total} tokens but its mixture "
+                f"share is {share:.0f} — upsample it explicitly instead of "
+                "silently skewing the blend"
+            )
+        frac = share / src_total
+        sampled = src.sample(fraction=float(frac), seed=seed).withColumn(
+            "source", F.lit(name)
+        )
+        out = sampled if out is None else out.unionByName(sampled)
+    return out

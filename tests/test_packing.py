@@ -1,0 +1,106 @@
+"""Sequence packing + mixture sampling: invariants (these ops are greedy /
+cross-frame, not SQL-expressible — the documented weaker-check tier)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_uwheel_spark.operators import packing, text as text_ops
+from datafusion_uwheel_spark.sources import read_parquet
+
+MAX = 2048
+
+
+@pytest.fixture(scope="module")
+def docs_tokens(spark, sf_small_dir):
+    docs = read_parquet(spark, f"{sf_small_dir}/documents.parquet")
+    return text_ops.with_token_stats(docs).select("doc_id", "n_tokens")
+
+
+def test_every_doc_packed_exactly_once(spark, docs_tokens):
+    packed = packing.pack_sequences(docs_tokens, MAX)
+    assert packed.count() == docs_tokens.count()
+    assert packed.select("doc_id").distinct().count() == docs_tokens.count()
+
+
+def test_no_sequence_exceeds_budget(spark, docs_tokens):
+    packed = packing.pack_sequences(docs_tokens, MAX)
+    over = (
+        packed.filter(~F.col("oversize"))
+        .groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .filter(F.col("t") > MAX)
+        .count()
+    )
+    assert over == 0
+    # oversize docs sit alone in their sequences, flagged
+    o = packed.filter("oversize")
+    if o.count():
+        solo = o.groupBy("seq_id").count().filter("count > 1").count()
+        assert solo == 0
+
+
+def test_packing_efficiency_vs_lower_bound(spark, docs_tokens):
+    """FFD per shard: total bins within 2x of the global lower bound
+    ceil(total_tokens / max) (sharding adds slack; 2x is conservative)."""
+    packed = packing.pack_sequences(docs_tokens, MAX)
+    n_bins = packed.filter(~F.col("oversize")).select("seq_id").distinct().count()
+    tot = (
+        packed.filter(~F.col("oversize")).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    lower = math.ceil(tot / MAX)
+    assert n_bins <= 2 * lower, (n_bins, lower)
+
+
+def test_packing_deterministic(spark, docs_tokens):
+    a = sorted(map(tuple, packing.pack_sequences(docs_tokens, MAX, shards=8).collect()))
+    b = sorted(map(tuple, packing.pack_sequences(docs_tokens, MAX, shards=8).collect()))
+    assert a == b
+
+
+def test_oversize_docs_flagged_not_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5000), (3, 20)], "doc_id long, n_tokens long"
+    )
+    packed = packing.pack_sequences(df, 100, shards=2)
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    assert rows[2]["oversize"] and not rows[1]["oversize"]
+    assert len(rows) == 3
+
+
+def test_mixture_hits_shares(spark, docs_tokens):
+    half = docs_tokens.filter("doc_id % 2 = 0")
+    other = docs_tokens.filter("doc_id % 2 = 1")
+    et = half.agg(F.sum("n_tokens")).collect()[0][0]
+    ot = other.agg(F.sum("n_tokens")).collect()[0][0]
+    # largest target both sources can fund at 75/25, with headroom
+    target = int(0.8 * min(et / 0.75, ot / 0.25))
+    blend = packing.mixture_sample(
+        {"even": half, "odd": other}, {"even": 3.0, "odd": 1.0}, target
+    )
+    got = {
+        r["source"]: r["t"]
+        for r in blend.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert abs(got["even"] - 0.75 * target) / (0.75 * target) < 0.30
+    assert abs(got["odd"] - 0.25 * target) / (0.25 * target) < 0.35
+
+
+def test_mixture_refuses_underfilled_source(spark, docs_tokens):
+    tiny = docs_tokens.limit(3)
+    with pytest.raises(ValueError, match="upsample"):
+        packing.mixture_sample(
+            {"tiny": tiny, "rest": docs_tokens},
+            {"tiny": 0.9, "rest": 0.1},
+            10**9,
+        )
+
+
+def test_mixture_key_mismatch_raises(spark, docs_tokens):
+    with pytest.raises(ValueError, match="identical keys"):
+        packing.mixture_sample({"a": docs_tokens}, {"b": 1.0}, 1000)
