@@ -1,0 +1,125 @@
+"""End-to-end LLM training-data pipeline over the driver testdata: quality
+gates → exact + near-dup removal (transitive clusters) → embedding near-dup
+removal → token accounting with sketch-backed monitoring → sequence packing
+→ mixture blending. Every stage is an operator this engine ships; the
+pipeline is pure DataFrame composition — one driver program a 1000-executor
+cluster would run unchanged.
+
+Run: ``python examples/training_pipeline.py`` (env ``SPARK_GRAFT_SF_DIR``
+to point at a larger SF).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from datafusion_uwheel_spark import SimilarityEngine, get_spark
+    from datafusion_uwheel_spark.operators import dedup, packing
+    from datafusion_uwheel_spark.operators import text as text_ops
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    spark = get_spark("training-pipeline", master="local[8]", shuffle_partitions=8)
+    t0 = time.perf_counter()
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").repartition(8)
+    n0 = docs.count()
+
+    # 1. Quality gates: language, score, repetition — all JVM expressions.
+    scored = text_ops.with_repetition_stats(
+        text_ops.with_lang_id(text_ops.with_quality(text_ops.with_token_stats(docs)))
+    )
+    kept = scored.filter(
+        (F.col("quality_score") > 0.3)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("dup_token_ratio") < 0.9)
+    )
+    n1 = kept.count()
+
+    # 2. Exact dedup (digest keep-lowest), then near-dup CLUSTERS from
+    # MinHash/LSH pairs — transitive keep-one, not pairwise dropping.
+    exact = dedup.dedup_exact(kept)
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.with_minhash_signature(exact), min_est_jaccard=0.5
+    )
+    text_clean = dedup.dedup_clustered(exact, pairs)
+    dedup.release_signatures(pairs)
+    n2 = text_clean.count()
+
+    # 3. Embedding near-dup removal through the SimilarityEngine (stored
+    # buckets when an index exists; query-time otherwise) — drop every
+    # cluster member except the canonical survivor.
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    sim = SimilarityEngine(spark, "embeddings", emb, dim=64)
+    losers = (
+        sim.dup_clusters(threshold=0.995, bits=8, tables=2)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("vec_id"))
+    )
+    # vec_id keys the embedding table; doc_id keys documents — testdata
+    # aligns them 1:1, so the anti-join composes directly.
+    final = text_clean.join(
+        losers.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    n3 = final.count()
+
+    # 4. Token accounting for the cleaned corpus.
+    stats = text_ops.with_token_stats(final).agg(
+        F.sum("n_tokens").alias("tokens"), F.count(F.lit(1)).alias("docs")
+    ).collect()[0]
+
+    # 5. Pack into 2048-token training sequences (deterministic FFD).
+    # Few shards at this tiny SF: per-shard waste is at most one open bin,
+    # so utilization needs enough docs per shard to amortize it (at corpus
+    # scale the default parallelism-derived shard count is right).
+    packed = packing.pack_sequences(
+        text_ops.with_token_stats(final).select("doc_id", "n_tokens"),
+        2048,
+        shards=4,
+    )
+    n_seq = packed.filter(~F.col("oversize")).select("seq_id").distinct().count()
+    util = (
+        packed.filter(~F.col("oversize")).agg(F.sum("n_tokens")).collect()[0][0]
+        / (n_seq * 2048)
+    )
+
+    # 6. Blend with a (synthetic) second source at 80/20 toward a budget.
+    src_b = text_ops.with_token_stats(docs).select("doc_id", "n_tokens")
+    main_src = text_ops.with_token_stats(final).select("doc_id", "n_tokens")
+    mt = main_src.agg(F.sum("n_tokens")).collect()[0][0]
+    bt = src_b.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(0.8 * min(mt / 0.8, bt / 0.2))
+    blend = packing.mixture_sample(
+        {"clean": main_src, "raw": src_b}, {"clean": 4.0, "raw": 1.0}, budget
+    )
+    shares = {
+        r["source"]: r["t"]
+        for r in blend.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+
+    dt = time.perf_counter() - t0
+    print(
+        f"pipeline: {n0} docs -> quality {n1} -> text-dedup {n2} -> "
+        f"embed-dedup {n3}; {stats['tokens']} tokens"
+    )
+    print(
+        f"packed into {n_seq} x 2048-token sequences ({util:.0%} utilization); "
+        f"blend shares {shares} vs budget {budget}"
+    )
+    print(f"total {dt:.1f}s at {SF_DIR}")
+    assert n0 >= n1 >= n2 >= n3 > 0
+    assert util > 0.5
+    print("OK training pipeline")
+
+
+if __name__ == "__main__":
+    main()
