@@ -226,6 +226,21 @@ def main() -> None:
                     assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (dsql, dr, xr)
                 else:
                     assert x == y, (dsql, dr, xr)
+    # bare-attribute grouping output (no alias) — the optimizer emits the
+    # attribute itself, not an Alias, in the result list
+    bare = (
+        "SELECT event_type, COUNT(*) AS c FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY event_type ORDER BY event_type"
+    )
+    bdf = spark.sql(bare)
+    bphys = bdf._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in bphys, "bare-attr dim rewrite did not fire:\n" + bphys
+    brows = [tuple(r) for r in bdf.collect()]
+    spark.conf.set("spark.uwheel.shim.tables", "")
+    xrows2 = [tuple(r) for r in spark.sql(bare).collect()]
+    spark.conf.set("spark.uwheel.shim.tables", "events")
+    assert brows == xrows2, (brows[:3], xrows2[:3])
+
     # grouping on an unregistered dimension falls through
     ug = (
         "SELECT user_id AS k, COUNT(*) AS c FROM events "
