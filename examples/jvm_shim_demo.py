@@ -241,6 +241,29 @@ def main() -> None:
     spark.conf.set("spark.uwheel.shim.tables", "events")
     assert brows == xrows2, (brows[:3], xrows2[:3])
 
+    # the dim view also serves key EQUALITY for values with no per-value
+    # keyed view — one registration covers every value, absent values
+    # included (key-completeness proves their zero rows)
+    for kv, min_rows in (("purchase", 1), ("zzz", 1)):
+        esql = (
+            f"SELECT COUNT(*) AS c, AVG(value) AS av FROM events "
+            f"WHERE event_type = '{kv}' AND ts >= '{a}' AND ts < '{b}'"
+        )
+        edf = spark.sql(esql)
+        ephys = edf._jdf.queryExecution().executedPlan().toString()
+        assert "events.parquet" not in ephys, (
+            "dim-equality rewrite did not fire:\n" + ephys
+        )
+        er = edf.collect()
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        ew = spark.sql(esql).collect()
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert len(er) == len(ew) >= min_rows
+        assert er[0]["c"] == ew[0]["c"]
+        assert (er[0]["av"] is None) == (ew[0]["av"] is None)
+        if er[0]["av"] is not None:
+            assert abs(er[0]["av"] - ew[0]["av"]) <= 1e-9 * abs(ew[0]["av"])
+
     # grouping on an unregistered dimension falls through
     ug = (
         "SELECT user_id AS k, COUNT(*) AS c FROM events "

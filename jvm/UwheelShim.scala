@@ -341,29 +341,43 @@ case class UwheelAggRewrite(session: SparkSession)
       }
       if keyGroup.forall(kg => !kg.orig.name.equalsIgnoreCase(timeCol))
       (lo, hi, key) <- bounds(cond, timeCol, bucketSec)
-      viewName <- (keyGroup, key) match {
+      // (view, key value to filter the dim view's rows down to) — a keyed
+      // equality is served by its per-value keyed view when registered,
+      // else by the dim view with a key filter (ONE dim registration
+      // covers every value of the key)
+      chosen <- (keyGroup, key) match {
         case (Some(_), Some(_)) => None // key grouping + key equality: punt
-        case (Some(kg), None)   => dimView(table, kg.orig.name.toLowerCase, cols)
-        case (None, Some((kcol, kval))) => keyedView(table, kcol, kval, cols)
+        case (Some(kg), None) =>
+          dimView(table, kg.orig.name.toLowerCase, cols).map((_, None))
+        case (None, Some((kcol, kval))) =>
+          keyedView(table, kcol, kval, cols)
+            .map((_, None))
+            .orElse(dimView(table, kcol, cols).map((_, Some(kval))))
         case (None, None) =>
           if (cols.isEmpty)
             // COUNT(*)-only: the count view if registered, else any agg
             // view (it carries cnt too)
             Seq(s"__uwheel_rollup_$table", s"__uwheel_rollup_${table}__agg")
               .find(v => rollupPlan(v).isDefined)
+              .map((_, None))
           else {
             val registered = session.conf
               .getOption(s"spark.uwheel.shim.$table.agg_cols")
               .toSeq
               .flatMap(_.split(",").map(_.trim.toLowerCase))
               .toSet
-            if (cols.forall(registered.contains)) Some(s"__uwheel_rollup_${table}__agg")
+            if (cols.forall(registered.contains))
+              Some((s"__uwheel_rollup_${table}__agg", None))
             else None
           }
       }
+      (viewName, keyFilter) = chosen
       rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
       keyAttr = rollup.output.find(_.name == "key")
+      // a dim-view key restriction needs the key column to be STRING (the
+      // recognized equality literal is)
+      if keyFilter.forall(_ => keyAttr.exists(_.dataType == StringType))
       // each grouping expression over the rollup: the ORIGINAL trunc over
       // the bucket-start timestamp (Spark's own calendar logic computes the
       // keys, nothing re-derived), and the dim view's key column
@@ -381,7 +395,8 @@ case class UwheelAggRewrite(session: SparkSession)
     } yield {
       val preds =
         lo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
-          hi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
+          hi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq ++
+          keyFilter.flatMap(v => keyAttr.map(a => EqualTo(a, Literal(v)): Expression)).toSeq
       val pruned = preds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
       Aggregate(newGroups, outs, pruned, None)
     }
