@@ -264,6 +264,21 @@ def main() -> None:
         if er[0]["av"] is not None:
             assert abs(er[0]["av"] - ew[0]["av"]) <= 1e-9 * abs(ew[0]["av"])
 
+    # key IN (...) lists route through the dim view too (the Python router's
+    # family IN-routing, now in plain spark.sql)
+    insql = (
+        "SELECT COUNT(*) AS c, SUM(value) AS s FROM events "
+        f"WHERE event_type IN ('click', 'view') AND ts >= '{a}' AND ts < '{b}'"
+    )
+    idf = spark.sql(insql)
+    iphys = idf._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in iphys, "IN-list rewrite did not fire:\n" + iphys
+    ir = idf.collect()[0]
+    spark.conf.set("spark.uwheel.shim.tables", "")
+    iw = spark.sql(insql).collect()[0]
+    spark.conf.set("spark.uwheel.shim.tables", "events")
+    assert ir["c"] == iw["c"] and abs(ir["s"] - iw["s"]) <= 1e-9 * abs(iw["s"])
+
     # grouping on an unregistered dimension falls through
     ug = (
         "SELECT user_id AS k, COUNT(*) AS c FROM events "

@@ -208,15 +208,16 @@ case class UwheelAggRewrite(session: SparkSession)
 
   /** ts-range bounds (lo?, hi?) in epoch micros — [lo, hi), half-open when
     * one side is absent, (None, None) for no WHERE at all (landmark) — plus
-    * an optional single `key = 'string'` equality (the keyed-wheel match).
-    * EVERY conjunct must be a recognized aligned bound or the key equality
-    * or the whole plan falls through (match-or-nothing). Open sides are
-    * sound because only complete wheels register. */
+    * an optional single `key = 'string'` / `key IN ('a', 'b', ...)`
+    * restriction (the keyed-wheel / dim-family match). EVERY conjunct must
+    * be a recognized aligned bound or the key restriction or the whole
+    * plan falls through (match-or-nothing). Open sides are sound because
+    * only complete wheels register. */
   private def bounds(
       cond: Option[Expression],
       timeCol: String,
       bucketSec: Long
-  ): Option[(Option[Long], Option[Long], Option[(String, String)])] = {
+  ): Option[(Option[Long], Option[Long], Option[(String, Seq[String])])] = {
     def isTime(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name.equalsIgnoreCase(timeCol)
       case _                     => false
@@ -224,7 +225,7 @@ case class UwheelAggRewrite(session: SparkSession)
     val conjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
     var lo: Option[Long] = None
     var hi: Option[Long] = None
-    var key: Option[(String, String)] = None
+    var key: Option[(String, Seq[String])] = None
     var nn = 0 // IsNotNull(ts) conjuncts the optimizer infers from bounds —
     //           a no-op here: the rollup build drops NULL-ts rows already
     var n = 0
@@ -240,9 +241,18 @@ case class UwheelAggRewrite(session: SparkSession)
       case IsNotNull(a) if isTime(a) =>
         nn += 1; n += 1
       case EqualTo(a: AttributeReference, Literal(s, t)) if t == StringType && s != null =>
-        key = Some((a.name.toLowerCase, s.toString)); n += 1
+        key = Some((a.name.toLowerCase, Seq(s.toString))); n += 1
       case EqualTo(Literal(s, t), a: AttributeReference) if t == StringType && s != null =>
-        key = Some((a.name.toLowerCase, s.toString)); n += 1
+        key = Some((a.name.toLowerCase, Seq(s.toString))); n += 1
+      case In(a: AttributeReference, vals)
+          if vals.nonEmpty && vals.forall {
+            case Literal(s, t) => t == StringType && s != null
+            case _             => false
+          } =>
+        key = Some(
+          (a.name.toLowerCase, vals.collect { case Literal(s, _) => s.toString })
+        )
+        n += 1
       case _ => ()
     }
     val align = Micros * bucketSec
@@ -349,10 +359,12 @@ case class UwheelAggRewrite(session: SparkSession)
         case (Some(_), Some(_)) => None // key grouping + key equality: punt
         case (Some(kg), None) =>
           dimView(table, kg.orig.name.toLowerCase, cols).map((_, None))
-        case (None, Some((kcol, kval))) =>
+        case (None, Some((kcol, Seq(kval)))) =>
           keyedView(table, kcol, kval, cols)
             .map((_, None))
-            .orElse(dimView(table, kcol, cols).map((_, Some(kval))))
+            .orElse(dimView(table, kcol, cols).map((_, Some(Seq(kval)))))
+        case (None, Some((kcol, kvals))) => // IN list: dim view only
+          dimView(table, kcol, cols).map((_, Some(kvals)))
         case (None, None) =>
           if (cols.isEmpty)
             // COUNT(*)-only: the count view if registered, else any agg
@@ -396,7 +408,12 @@ case class UwheelAggRewrite(session: SparkSession)
       val preds =
         lo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
           hi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq ++
-          keyFilter.flatMap(v => keyAttr.map(a => EqualTo(a, Literal(v)): Expression)).toSeq
+          keyFilter.flatMap { vs =>
+            keyAttr.map { a =>
+              (if (vs.size == 1) EqualTo(a, Literal(vs.head))
+               else In(a, vs.map(Literal(_)))): Expression
+            }
+          }.toSeq
       val pruned = preds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
       Aggregate(newGroups, outs, pruned, None)
     }
