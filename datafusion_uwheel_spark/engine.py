@@ -484,6 +484,25 @@ class WheelEngine:
         self.quantile_rollups[column] = r
         return r
 
+    def build_quantile_indexes(
+        self,
+        columns: tuple[str, ...] | list[str],
+        bucket_seconds: int = 3600,
+        k: int = 200,
+        partition_by: str | None = None,
+    ):
+        """N columns' KLL rollups in ONE table scan (the multi-column
+        one-pass discipline of :meth:`build_indexes` applied to sketches).
+        Registers every column for :meth:`approx_quantile` asks."""
+        from .operators.quantiles import build_quantile_rollups
+
+        rollups = build_quantile_rollups(
+            self.df, self.time_column, list(columns),
+            bucket_seconds=bucket_seconds, k=k, partition_by=partition_by,
+        )
+        self.quantile_rollups.update(rollups)
+        return rollups
+
     def approx_quantile(self, column: str, q, start, end, **kw):
         """Estimated ``q``-quantile(s) of ``column`` over ``[start, end)``
         from the rollup built by :meth:`build_quantile_index` (KeyError if

@@ -319,7 +319,9 @@ class QuantileRollup:
         return path
 
     def unpersist(self) -> None:
-        self._df.unpersist()
+        # one-pass multi-column builds share a cached parent frame; release
+        # the storage that actually holds the sketches
+        getattr(self, "_parent", self._df).unpersist()
 
 
 def build_quantile_rollup(
@@ -369,6 +371,57 @@ def build_quantile_rollup(
     return QuantileRollup(
         rollup, column, bucket_seconds, k, suffix, key_column=partition_by
     )
+
+
+def build_quantile_rollups(
+    df: DataFrame,
+    time_column: str,
+    columns: list[str] | tuple[str, ...],
+    bucket_seconds: int = 3600,
+    k: int = 200,
+    partition_by: str | None = None,
+) -> dict[str, QuantileRollup]:
+    """N columns' sketch rollups in ONE table scan (the engine's
+    multi-column one-pass discipline, :meth:`..engine.WheelEngine.
+    build_indexes`, applied to sketches): a single group-by aggregates one
+    KLL sketch per column per bucket; each returned handle selects its own
+    column from the shared cached frame, so probes stay per-column while
+    the build cost is one scan instead of N."""
+    from pyspark import StorageLevel
+
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    suffixes = {c: _suffix_for(df, c) for c in columns}
+    sec = time_sec_col(df, time_column)
+    if bucket_seconds != 1:
+        sec = sec - (sec % bucket_seconds)
+    keys = [sec.alias("__sec")]
+    if partition_by is not None:
+        keys.append(F.col(partition_by).alias("__key"))
+    aggs = []
+    for i, c in enumerate(columns):
+        sketch, _, _, _, _ = _fns(suffixes[c])
+        cast = "bigint" if suffixes[c] == "bigint" else "double"
+        aggs.append(sketch(F.col(c).cast(cast), F.lit(k)).alias(f"__kll{i}"))
+    combined = (
+        df.filter(F.col(time_column).isNotNull())
+        .groupBy(*keys)
+        .agg(*aggs)
+        .coalesce(_CACHE_PARTITIONS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    combined.count()  # ONE materializing scan for all columns
+    out = {}
+    base_cols = ["__sec"] + (["__key"] if partition_by is not None else [])
+    for i, c in enumerate(columns):
+        view = combined.select(
+            *base_cols, F.col(f"__kll{i}").alias("__kll")
+        )
+        out[c] = QuantileRollup(
+            view, c, bucket_seconds, k, suffixes[c], key_column=partition_by
+        )
+        out[c]._parent = combined  # unpersist releases the shared cache
+    return out
 
 
 def load_quantile_rollup(spark, path: str) -> QuantileRollup:

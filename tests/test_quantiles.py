@@ -285,6 +285,33 @@ def test_keyed_rollup_round_trip_and_merge(spark, events, tmp_path):
     r.unpersist()
 
 
+def test_one_pass_multi_column_build(spark, events):
+    """build_quantile_rollups: N columns from ONE scan — per-column handles
+    answer within the same rank bound as individual builds, bigint dispatch
+    preserved per column."""
+    from datafusion_uwheel_spark.operators.quantiles import build_quantile_rollups
+
+    rollups = build_quantile_rollups(events, "ts", ["value", "user_id"])
+    assert set(rollups) == {"value", "user_id"}
+    assert rollups["value"].suffix == "double"
+    assert rollups["user_id"].suffix == "bigint"
+    assert_rank_bracket(events, "value", 0.5, rollups["value"].approx_quantile(0.5, A, B))
+    got = rollups["user_id"].approx_quantile(0.9, A, B)
+    assert isinstance(got, int)
+    lo = exact_percentile(events, "user_id", 0.9 - EPS)
+    hi = exact_percentile(events, "user_id", 0.9 + EPS)
+    assert lo <= got <= hi
+    rollups["value"].unpersist()
+
+
+def test_engine_one_pass_facade(spark, events):
+    eng = WheelEngine(spark, "ev_qmulti", events, time_column="ts")
+    eng.build_quantile_indexes(["value", "user_id"])
+    assert_rank_bracket(events, "value", 0.5, eng.approx_quantile("value", 0.5, A, B))
+    assert isinstance(eng.approx_quantile("user_id", 0.5, A, B), int)
+    eng.quantile_rollups["value"].unpersist()
+
+
 def test_unkeyed_rollup_rejects_key_asks(rollup):
     with pytest.raises(ValueError, match="partition_by"):
         rollup.approx_quantile(0.5, A, B, key="click")
