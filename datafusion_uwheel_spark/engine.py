@@ -440,6 +440,25 @@ class WheelEngine:
         self.distinct_rollups[column] = r
         return r
 
+    def build_distinct_indexes(
+        self,
+        columns: tuple[str, ...] | list[str],
+        bucket_seconds: int = 3600,
+        lg_k: int = 12,
+        partition_by: str | None = None,
+    ):
+        """N columns' HLL rollups in ONE table scan (the multi-column
+        one-pass discipline applied to sketches). Registers every column
+        for :meth:`approx_distinct` asks."""
+        from .operators.distinct import build_distinct_rollups
+
+        rollups = build_distinct_rollups(
+            self.df, self.time_column, list(columns),
+            bucket_seconds=bucket_seconds, lg_k=lg_k, partition_by=partition_by,
+        )
+        self.distinct_rollups.update(rollups)
+        return rollups
+
     def approx_distinct(self, column: str, start, end, **kw) -> int:
         """Estimated distinct count of ``column`` over ``[start, end)`` from
         the rollup built by :meth:`build_distinct_index` (KeyError if none —

@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from .rollups import time_sec_col
 
-__all__ = ["DistinctRollup", "build_distinct_rollup", "load_distinct_rollup"]
+__all__ = [
+    "DistinctRollup",
+    "build_distinct_rollup",
+    "build_distinct_rollups",
+    "load_distinct_rollup",
+]
 
 _META = "_distinct_meta.json"
 #: Cached-rollup partition count — small enough that probes run at the
@@ -238,7 +243,9 @@ class DistinctRollup:
         return path
 
     def unpersist(self) -> None:
-        self._df.unpersist()
+        # one-pass multi-column builds share a cached parent frame; release
+        # the storage that actually holds the sketches
+        getattr(self, "_parent", self._df).unpersist()
 
 
 def build_distinct_rollup(
@@ -279,6 +286,52 @@ def build_distinct_rollup(
     return DistinctRollup(
         rollup, column, bucket_seconds, lg_k, key_column=partition_by
     )
+
+
+def build_distinct_rollups(
+    df: DataFrame,
+    time_column: str,
+    columns: list[str] | tuple[str, ...],
+    bucket_seconds: int = 3600,
+    lg_k: int = 12,
+    partition_by: str | None = None,
+) -> dict[str, DistinctRollup]:
+    """N columns' HLL rollups in ONE table scan (the multi-column one-pass
+    discipline applied to sketches): a single group-by aggregates one
+    sketch per column per bucket; each handle selects its own column from
+    the shared cached frame (``unpersist`` releases the parent)."""
+    from pyspark import StorageLevel
+
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    sec = time_sec_col(df, time_column)
+    if bucket_seconds != 1:
+        sec = sec - (sec % bucket_seconds)
+    keys = [sec.alias("__sec")]
+    if partition_by is not None:
+        keys.append(F.col(partition_by).alias("__key"))
+    combined = (
+        df.filter(F.col(time_column).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            *[
+                F.hll_sketch_agg(F.col(c), F.lit(lg_k)).alias(f"__hll{i}")
+                for i, c in enumerate(columns)
+            ]
+        )
+        .coalesce(_CACHE_PARTITIONS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    combined.count()  # ONE materializing scan for all columns
+    out = {}
+    base_cols = ["__sec"] + (["__key"] if partition_by is not None else [])
+    for i, c in enumerate(columns):
+        view = combined.select(*base_cols, F.col(f"__hll{i}").alias("__hll"))
+        out[c] = DistinctRollup(
+            view, c, bucket_seconds, lg_k, key_column=partition_by
+        )
+        out[c]._parent = combined
+    return out
 
 
 def load_distinct_rollup(spark, path: str) -> DistinctRollup:

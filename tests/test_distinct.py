@@ -204,6 +204,23 @@ def test_keyed_rollup_per_key_distincts(spark, events):
     r.unpersist()
 
 
+def test_one_pass_multi_column_build(spark, events):
+    from datafusion_uwheel_spark.operators.distinct import build_distinct_rollups
+
+    rollups = build_distinct_rollups(events, "ts", ["user_id", "event_type"])
+    assert set(rollups) == {"user_id", "event_type"}
+    est = rollups["user_id"].approx_distinct(A, B)
+    truth = exact(spark, events, A, B)
+    assert abs(est - truth) / truth < 0.05
+    et = rollups["event_type"].approx_distinct(A, B)
+    true_et = (
+        events.filter(f"ts >= '{A}' AND ts < '{B}'")
+        .select("event_type").distinct().count()
+    )
+    assert abs(et - true_et) <= max(1, 0.05 * true_et)
+    rollups["user_id"].unpersist()
+
+
 def test_group_by_estimates_within_error(spark, events, rollup):
     # daily COUNT(DISTINCT user_id) from hourly sketches vs the exact scan
     got = {
