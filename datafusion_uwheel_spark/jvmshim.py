@@ -33,6 +33,7 @@ __all__ = [
     "register_agg_rollup",
     "register_keyed_agg_rollup",
     "register_dim_rollup",
+    "unregister_table",
     "EXTENSIONS_CLASS",
 ]
 
@@ -142,6 +143,25 @@ def _pin_table_confs(spark, engine, wheel) -> None:
     spark.conf.set(
         f"spark.uwheel.shim.{engine.name}.bucket_sec", str(wheel.bucket_seconds)
     )
+
+
+def unregister_table(spark, name: str) -> bool:
+    """Remove ``name`` from the shim's table list — the rule stops matching
+    its scans immediately (views and per-table confs stay parked; a later
+    re-registration reclaims them). Returns whether the table was listed.
+    This is the manual form of the staleness revoke the streaming
+    maintainer applies automatically."""
+    tables = [
+        t
+        for t in spark.conf.get("spark.uwheel.shim.tables", "").split(",")
+        if t.strip()
+    ]
+    if name not in tables:
+        return False
+    spark.conf.set(
+        "spark.uwheel.shim.tables", ",".join(t for t in tables if t != name)
+    )
+    return True
 
 
 def register_count_rollup(spark, engine) -> str:

@@ -183,6 +183,19 @@ def test_dim_view_refreshed_or_revoked_on_merge(spark, ev_copy):
     assert spark.conf.get("spark.uwheel.shim.shimdim.dim.0.col", None) is None
 
 
+def test_unregister_table(spark, eng):
+    from datafusion_uwheel_spark.jvmshim import unregister_table
+
+    register_count_rollup(spark, eng)
+    assert "shimreg" in spark.conf.get("spark.uwheel.shim.tables")
+    assert unregister_table(spark, "shimreg") is True
+    assert "shimreg" not in spark.conf.get("spark.uwheel.shim.tables")
+    assert unregister_table(spark, "shimreg") is False
+    # re-registration reclaims the root (no same-root collision with self)
+    register_count_rollup(spark, eng)
+    assert "shimreg" in spark.conf.get("spark.uwheel.shim.tables")
+
+
 def test_registration_requires_source_path(spark, sf_small_dir):
     df = read_parquet(spark, f"{sf_small_dir}/events.parquet")
     e = WheelEngine(spark, "shimreg_df", df, time_column="ts")

@@ -91,6 +91,16 @@ def test_mixture_hits_shares(spark, docs_tokens):
     assert abs(got["odd"] - 0.25 * target) / (0.25 * target) < 0.35
 
 
+def test_mixture_deterministic_for_seed(spark, docs_tokens):
+    half = docs_tokens.filter("doc_id % 2 = 0")
+    other = docs_tokens.filter("doc_id % 2 = 1")
+    tot = docs_tokens.agg(F.sum("n_tokens")).collect()[0][0]
+    args = ({"a": half, "b": other}, {"a": 1.0, "b": 1.0}, int(tot * 0.2))
+    one = sorted(map(tuple, packing.mixture_sample(*args, seed=7).collect()))
+    two = sorted(map(tuple, packing.mixture_sample(*args, seed=7).collect()))
+    assert one == two
+
+
 def test_mixture_refuses_underfilled_source(spark, docs_tokens):
     tiny = docs_tokens.limit(3)
     with pytest.raises(ValueError, match="upsample"):
