@@ -279,6 +279,35 @@ def main() -> None:
     spark.conf.set("spark.uwheel.shim.tables", "events")
     assert ir["c"] == iw["c"] and abs(ir["s"] - iw["s"]) <= 1e-9 * abs(iw["s"])
 
+    # exact COUNT(DISTINCT key) from the key-complete family (alone, mixed
+    # with other aggregates, and restricted to one value), plus HAVING
+    # above a rewritten group-by (the outer Filter binds by ExprId)
+    for xsql in (
+        f"SELECT COUNT(DISTINCT event_type) AS d FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}'",
+        "SELECT COUNT(DISTINCT event_type) AS d, COUNT(*) AS c, SUM(value) AS s "
+        f"FROM events WHERE ts >= '{a}' AND ts < '{b}'",
+        "SELECT COUNT(DISTINCT event_type) AS d FROM events "
+        f"WHERE event_type = 'click' AND ts >= '{a}' AND ts < '{b}'",
+        "SELECT date_trunc('day', ts) AS dd, COUNT(*) AS c FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY 1 HAVING COUNT(*) > 30 "
+        "ORDER BY dd",
+    ):
+        xdf = spark.sql(xsql)
+        xphys2 = xdf._jdf.queryExecution().executedPlan().toString()
+        assert "events.parquet" not in xphys2, "rewrite did not fire:\n" + xsql
+        xr2 = [tuple(r) for r in xdf.collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        xw2 = [tuple(r) for r in spark.sql(xsql).collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert len(xr2) == len(xw2)
+        for rr, ww in zip(xr2, xw2):
+            for x, y in zip(rr, ww):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (xsql, rr, ww)
+                else:
+                    assert x == y, (xsql, rr, ww)
+
     # grouping on an unregistered dimension falls through
     ug = (
         "SELECT user_id AS k, COUNT(*) AS c FROM events "

@@ -165,6 +165,10 @@ case class UwheelAggRewrite(session: SparkSession)
   private case class MinCol(c: String) extends AggKind { val col = Some(c) }
   private case class MaxCol(c: String) extends AggKind { val col = Some(c) }
   private case class AvgCol(c: String) extends AggKind { val col = Some(c) }
+  // COUNT(DISTINCT dimkey): exact from the key-complete dim view; the
+  // key is NOT a state column (col = None keeps it out of coverage math —
+  // the view requirement is enforced separately)
+  private case class CountDistinctKey(c: String) extends AggKind { val col = None }
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name.toLowerCase)
@@ -172,7 +176,12 @@ case class UwheelAggRewrite(session: SparkSession)
   }
 
   private def classify(ae: AggregateExpression): Option[AggKind] =
-    if (ae.isDistinct || ae.filter.nonEmpty) None
+    if (ae.filter.nonEmpty) None
+    else if (ae.isDistinct)
+      ae.aggregateFunction match {
+        case Count(Seq(child)) => attrName(child).map(CountDistinctKey)
+        case _                 => None
+      }
     else
       ae.aggregateFunction match {
         case Count(children) if children.nonEmpty && children.forall(_.foldable) =>
@@ -355,34 +364,49 @@ case class UwheelAggRewrite(session: SparkSession)
       // equality is served by its per-value keyed view when registered,
       // else by the dim view with a key filter (ONE dim registration
       // covers every value of the key)
-      chosen <- (keyGroup, key) match {
-        case (Some(_), Some(_)) => None // key grouping + key equality: punt
-        case (Some(kg), None) =>
-          dimView(table, kg.orig.name.toLowerCase, cols).map((_, None))
-        case (None, Some((kcol, Seq(kval)))) =>
-          keyedView(table, kcol, kval, cols)
-            .map((_, None))
-            .orElse(dimView(table, kcol, cols).map((_, Some(Seq(kval)))))
-        case (None, Some((kcol, kvals))) => // IN list: dim view only
-          dimView(table, kcol, cols).map((_, Some(kvals)))
-        case (None, None) =>
-          if (cols.isEmpty)
-            // COUNT(*)-only: the count view if registered, else any agg
-            // view (it carries cnt too)
-            Seq(s"__uwheel_rollup_$table", s"__uwheel_rollup_${table}__agg")
-              .find(v => rollupPlan(v).isDefined)
-              .map((_, None))
-          else {
-            val registered = session.conf
-              .getOption(s"spark.uwheel.shim.$table.agg_cols")
-              .toSeq
-              .flatMap(_.split(",").map(_.trim.toLowerCase))
-              .toSet
-            if (cols.forall(registered.contains))
-              Some((s"__uwheel_rollup_${table}__agg", None))
-            else None
+      distinctKeys = kinds.collect { case CountDistinctKey(c) => c }.distinct
+      chosen <-
+        if (distinctKeys.size > 1) None
+        else
+          distinctKeys.headOption match {
+            case Some(dk) =>
+              // COUNT(DISTINCT key) is exact only off the key-complete dim
+              // view of THAT column; any key grouping / equality must be
+              // on the same column
+              val kgOk = keyGroup.forall(_.orig.name.toLowerCase == dk)
+              val eqOk = key.forall(_._1 == dk)
+              if (kgOk && eqOk) dimView(table, dk, cols).map((_, key.map(_._2)))
+              else None
+            case None =>
+              (keyGroup, key) match {
+                case (Some(_), Some(_)) => None // grouping + equality: punt
+                case (Some(kg), None) =>
+                  dimView(table, kg.orig.name.toLowerCase, cols).map((_, None))
+                case (None, Some((kcol, Seq(kval)))) =>
+                  keyedView(table, kcol, kval, cols)
+                    .map((_, None))
+                    .orElse(dimView(table, kcol, cols).map((_, Some(Seq(kval)))))
+                case (None, Some((kcol, kvals))) => // IN list: dim view only
+                  dimView(table, kcol, cols).map((_, Some(kvals)))
+                case (None, None) =>
+                  if (cols.isEmpty)
+                    // COUNT(*)-only: the count view if registered, else any
+                    // agg view (it carries cnt too)
+                    Seq(s"__uwheel_rollup_$table", s"__uwheel_rollup_${table}__agg")
+                      .find(v => rollupPlan(v).isDefined)
+                      .map((_, None))
+                  else {
+                    val registered = session.conf
+                      .getOption(s"spark.uwheel.shim.$table.agg_cols")
+                      .toSeq
+                      .flatMap(_.split(",").map(_.trim.toLowerCase))
+                      .toSet
+                    if (cols.forall(registered.contains))
+                      Some((s"__uwheel_rollup_${table}__agg", None))
+                    else None
+                  }
+              }
           }
-      }
       (viewName, keyFilter) = chosen
       rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
@@ -459,6 +483,12 @@ case class UwheelAggRewrite(session: SparkSession)
       case SumCol(c) => col(s"sum_$c").map(sumAgg)
       case MinCol(c) => col(s"min_$c").map(minAgg)
       case MaxCol(c) => col(s"max_$c").map(maxAgg)
+      case CountDistinctKey(_) =>
+        // distinct key values among the pruned (bucket, key) rows — exact
+        // by key-completeness; NULL keys excluded like any COUNT(DISTINCT)
+        col("key").map(k =>
+          AggregateExpression(Count(Seq(k)), Complete, isDistinct = true)
+        )
       case AvgCol(c) =>
         for (s <- col(s"sum_$c"); v <- col(s"vcnt_$c"))
           // LEGACY division: NULL on zero/NULL denominator even under ANSI,
