@@ -53,6 +53,13 @@ def gen_query(rng: random.Random, table: str) -> str:
     aggs = rng.sample(pool, rng.randint(1, 3))
     if rng.random() < 0.12:
         aggs.append("STDDEV(value)")  # never rewrites — must fall through intact
+    if rng.random() < 0.2:
+        # exact from the dim view on `events`; no family on events_m/user_id
+        aggs.append(
+            "COUNT(DISTINCT "
+            + ("user_id" if rng.random() < 0.25 else "event_type")
+            + ")"
+        )
     select = [f"{a} AS a{i}" for i, a in enumerate(aggs)]
     gcols = []
     if rng.random() < 0.5:
@@ -83,7 +90,10 @@ def gen_query(rng: random.Random, table: str) -> str:
     if key:
         conj.append(key)
     where = (" WHERE " + " AND ".join(conj)) if conj else ""
-    return f"SELECT {', '.join(select)} FROM {table}{where}{group}"
+    having = ""
+    if gcols and rng.random() < 0.25:
+        having = " HAVING COUNT(*) > 5"
+    return f"SELECT {', '.join(select)} FROM {table}{where}{group}{having}"
 
 
 def rows_equal(xs, ys) -> bool:
