@@ -6,13 +6,21 @@ path, the reference's drop-in optimizer-rule integration
 Everything here uses only what the PySpark distribution ships: the bundled
 ``scala-compiler`` jar compiles the rule offline (no sbt, no network), and
 ``SparkSessionExtensions`` + session confs wire it in. The Python engine
-remains the source of truth — :func:`register_count_rollup` exports a wheel's
-``(sec, cnt)`` buckets and :func:`register_agg_rollup` a column wheel's
-``(sec, cnt, vcnt, sum, min, max)`` buckets as temp views, pinning the
-table's parquet root + time column + bucket width in ``spark.uwheel.shim.*``
-confs; the JVM rule rewrites matching scalar-aggregate range plans — any mix
-of COUNT(*) / COUNT(col) / SUM / MIN / MAX / AVG over one registered column,
-the reference's R1–R3 family — against those views at optimization time.
+remains the source of truth — :func:`register_count_rollup` exports a
+wheel's ``(sec, cnt)`` buckets, :func:`register_agg_rollup` the combined
+per-table ``(sec, cnt, vcnt_<c>, sum_<c>, min_<c>, max_<c>)`` view,
+:func:`register_keyed_agg_rollup` per-value keyed views, and
+:func:`register_dim_rollup` the partitioned family's ``(sec, key, states)``
+view — pinning parquet root + time column + bucket width in
+``spark.uwheel.shim.*`` confs; the JVM rule rewrites matching aggregate
+plans against those views at optimization time: any mix of COUNT(*) /
+COUNT(col) / SUM / MIN / MAX / AVG over registered columns, scalar or
+grouped by ``date_trunc`` and/or the dim key, over full / half-open /
+absent time ranges, with ``key = 'value'`` / ``key IN (...)`` restrictions
+and exact ``COUNT(DISTINCT key)`` — the reference's R1–R5 + R9 family plus
+category dimensions it cannot express. The streaming maintainer re-exports
+(or revokes) the views after merges; ``unregister_table`` is the manual
+revoke.
 
 Constraint worth knowing: ``spark.sql.extensions`` and the driver classpath
 must be set **before the JVM starts**, i.e. on the first SparkSession of the
