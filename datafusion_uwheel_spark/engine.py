@@ -480,6 +480,90 @@ class WheelEngine:
             granularity, start, end
         )
 
+    def null_stats(self, column: str, start=None, end=None) -> dict:
+        """Data-quality monitor, zero jobs: ``(rows, nulls, null_ratio)``
+        of ``column`` over ``[start, end)`` — derived from the aggregate
+        wheel's existing COUNT(*) / non-null-count states, so a quality
+        dashboard probing it never touches the table. Bounds default to the
+        wheel's own span; they must be bucket-aligned and covered
+        (ValueError otherwise — the facade never silently scans).
+
+        Requires an unfiltered wheel for ``column`` (KeyError if none) with
+        NULL tracking (every wheel built since r2 has it)."""
+        from .functions.timestamps import parse_ts_literal
+
+        w = self.agg_wheels[(column, STAR_AGGREGATION_ALIAS)]
+        if w.vcnt_ is None:
+            raise ValueError(
+                f"wheel for {column!r} predates NULL tracking — rebuild it"
+            )
+
+        def to_sec(x, default):
+            if x is None:
+                return default
+            lit = parse_ts_literal(str(x))
+            if lit is None or not lit.second_aligned:
+                raise ValueError(f"bound {x!r} is not a second-aligned timestamp")
+            return lit.epoch_us // 1_000_000
+
+        a = to_sec(start, w.low_sec)
+        b = to_sec(end, w.high_sec_exclusive)
+        states = w.combine_range(a, b)
+        if states is None:
+            raise ValueError(
+                "range not answerable from the wheel (unaligned to its "
+                "buckets or outside a time_range-restricted build) — query "
+                "through engine.sql for the delegated answer"
+            )
+        rows = states["count"]
+        nulls = rows - states["count_col"]
+        return {
+            "rows": rows,
+            "nulls": nulls,
+            "null_ratio": (nulls / rows) if rows else None,
+        }
+
+    def null_stats_by(self, column: str, granularity, start=None, end=None):
+        """Per-bucket NULL accounting — the drift-detection form of
+        :meth:`null_stats`: ``(bucket TIMESTAMP, rows, nulls, null_ratio)``
+        for occupied buckets at a named ``date_trunc`` granularity or an
+        integer tumbling width in seconds. Zero jobs; the result is a tiny
+        constant relation assembled from the wheel states."""
+        from .functions.timestamps import parse_ts_literal, sec_to_datetime
+
+        w = self.agg_wheels[(column, STAR_AGGREGATION_ALIAS)]
+        if w.vcnt_ is None:
+            raise ValueError(
+                f"wheel for {column!r} predates NULL tracking — rebuild it"
+            )
+
+        def to_sec(x, default):
+            if x is None:
+                return default
+            lit = parse_ts_literal(str(x))
+            if lit is None or not lit.second_aligned:
+                raise ValueError(f"bound {x!r} is not a second-aligned timestamp")
+            return lit.epoch_us // 1_000_000
+
+        a = to_sec(start, w.low_sec)
+        b = to_sec(end, w.high_sec_exclusive)
+        groups = w.group_by(a, b, granularity)
+        if groups is None:
+            raise ValueError(
+                "range/granularity not answerable from the wheel — query "
+                "through engine.sql for the delegated answer"
+            )
+        rows = []
+        for sec, states in groups:
+            n = states["count"]
+            nulls = n - states["count_col"]
+            rows.append(
+                (sec_to_datetime(sec), n, nulls, (nulls / n) if n else None)
+            )
+        return self.spark.createDataFrame(
+            rows, "bucket timestamp, rows bigint, nulls bigint, null_ratio double"
+        )
+
     def build_quantile_index(
         self,
         column: str,
