@@ -564,6 +564,47 @@ class WheelEngine:
             rows, "bucket timestamp, rows bigint, nulls bigint, null_ratio double"
         )
 
+    def value_range_by(self, column: str, granularity, start=None, end=None):
+        """Per-bucket value-envelope drift — the MIN/MAX companion of
+        :meth:`null_stats_by`: ``(bucket TIMESTAMP, min_value, max_value)``
+        from the wheel's min/max states, zero jobs. All-NULL buckets emit
+        NULL bounds (SQL aggregate semantics). Outlier injections show up
+        as envelope jumps without ever scanning the table."""
+        from .functions.timestamps import parse_ts_literal, sec_to_datetime
+
+        w = self.agg_wheels[(column, STAR_AGGREGATION_ALIAS)]
+        if w.min_ is None or w.max_ is None:
+            raise ValueError(
+                f"wheel for {column!r} lacks min/max states — build with "
+                "aggs=None or aggs including 'min'/'max'"
+            )
+
+        def to_sec(x, default):
+            if x is None:
+                return default
+            lit = parse_ts_literal(str(x))
+            if lit is None or not lit.second_aligned:
+                raise ValueError(f"bound {x!r} is not a second-aligned timestamp")
+            return lit.epoch_us // 1_000_000
+
+        a = to_sec(start, w.low_sec)
+        b = to_sec(end, w.high_sec_exclusive)
+        groups = w.group_by(a, b, granularity)
+        if groups is None:
+            raise ValueError(
+                "range/granularity not answerable from the wheel — query "
+                "through engine.sql for the delegated answer"
+            )
+        sql_type = w.value_sql_type
+        rows = [
+            (sec_to_datetime(sec), states.get("min"), states.get("max"))
+            for sec, states in groups
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            f"bucket timestamp, min_value {sql_type}, max_value {sql_type}",
+        )
+
     def build_quantile_index(
         self,
         column: str,

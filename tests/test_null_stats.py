@@ -72,6 +72,20 @@ def test_tumbling_width_form(eng):
     assert [r["nulls"] for r in rows] == [10, 50]
 
 
+def test_value_range_drift_matches_sql(spark, eng):
+    got = {
+        r["bucket"]: (r["min_value"], r["max_value"])
+        for r in eng.value_range_by("v", "hour").collect()
+    }
+    want = spark.sql(
+        "SELECT date_trunc('hour', ts) AS b, MIN(v) lo, MAX(v) hi "
+        "FROM nullstats GROUP BY 1"
+    ).collect()
+    assert len(got) == len(want) == 4
+    for r in want:
+        assert got[r["b"]] == (r["lo"], r["hi"])
+
+
 def test_gates(spark, eng):
     with pytest.raises(KeyError):
         eng.null_stats("missing", A, B)
