@@ -6,6 +6,8 @@ from __future__ import annotations
 import math
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from datafusion_uwheel_spark.operators import packing, text as text_ops
@@ -69,6 +71,35 @@ def test_oversize_docs_flagged_not_dropped(spark):
     rows = {r["doc_id"]: r for r in packed.collect()}
     assert rows[2]["oversize"] and not rows[1]["oversize"]
     assert len(rows) == 3
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=120),
+    cap=st.integers(min_value=50, max_value=500),
+)
+def test_packing_invariants_property(spark, tokens, cap):
+    """Random workloads: every doc lands exactly once, no bin over cap,
+    oversize docs isolated, and per-shard FFD stays within the classic
+    bound (total bins ≤ shards' worth of slack over ceil(total/cap))."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    packed = packing.pack_sequences(df, cap, shards=2).collect()
+    assert sorted(r["doc_id"] for r in packed) == list(range(len(tokens)))
+    by_bin: dict = {}
+    for r in packed:
+        by_bin.setdefault(r["seq_id"], []).append(r)
+    for members in by_bin.values():
+        if any(m["oversize"] for m in members):
+            assert len(members) == 1
+        else:
+            assert sum(m["n_tokens"] for m in members) <= cap
+    fit = [t for t in tokens if t <= cap]
+    if fit:
+        n_bins = len({r["seq_id"] for r in packed if not r["oversize"]})
+        # FFD ≤ (11/9)·OPT + 1 per shard; 2 shards + small-OPT slack
+        assert n_bins <= math.ceil(1.5 * math.ceil(sum(fit) / cap)) + 3
 
 
 def test_mixture_hits_shares(spark, docs_tokens):
