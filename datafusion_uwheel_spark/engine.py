@@ -564,6 +564,58 @@ class WheelEngine:
             rows, "bucket timestamp, rows bigint, nulls bigint, null_ratio double"
         )
 
+    def null_stats_by_key(self, column: str, key_column: str, start=None, end=None):
+        """Per-segment NULL accounting from a partitioned wheel family
+        (``build_partitioned_index(column, partition_by=key_column)``):
+        ``(key, rows, nulls, null_ratio)`` per key value with rows in the
+        range — zero jobs, key-complete (NULL keys included; values with no
+        rows in range are omitted, matching a delegated GROUP BY)."""
+        from .functions.timestamps import parse_ts_literal
+
+        ps = self.partition_sets[key_column.lower()]
+        star = self.count_wheels[STAR_AGGREGATION_ALIAS]
+
+        def to_sec(x, default):
+            if x is None:
+                return default
+            lit = parse_ts_literal(str(x))
+            if lit is None or not lit.second_aligned:
+                raise ValueError(f"bound {x!r} is not a second-aligned timestamp")
+            return lit.epoch_us // 1_000_000
+
+        a = to_sec(start, star.low_sec)
+        b = to_sec(end, star.high_sec_exclusive)
+        rows = []
+        for v, fam in sorted(
+            ps["wheels"].items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+        ):
+            w = fam.get(column)
+            if w is None or w.vcnt_ is None:
+                raise ValueError(
+                    f"family for {key_column!r} lacks a NULL-tracking wheel "
+                    f"for {column!r}"
+                )
+            # a value's wheel may span less than the ask: clamp to its own
+            # coverage (key-completeness proves nothing exists outside it)
+            states = w.combine_range(
+                max(a, w.low_sec), min(b, w.high_sec_exclusive)
+            ) if w.low_sec < b and w.high_sec_exclusive > a else {"count": 0, "count_col": 0}
+            if states is None:
+                raise ValueError(
+                    "range not answerable from the family (unaligned to its "
+                    "buckets) — query through engine.sql instead"
+                )
+            n = states["count"]
+            if n == 0:
+                continue
+            nulls = n - states["count_col"]
+            rows.append((v, n, nulls, nulls / n))
+        ktype = ps["key_sql_type"]
+        return self.spark.createDataFrame(
+            rows,
+            f"key {ktype}, rows bigint, nulls bigint, null_ratio double",
+        )
+
     def value_range_by(self, column: str, granularity, start=None, end=None):
         """Per-bucket value-envelope drift — the MIN/MAX companion of
         :meth:`null_stats_by`: ``(bucket TIMESTAMP, min_value, max_value)``

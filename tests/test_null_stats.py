@@ -86,6 +86,41 @@ def test_value_range_drift_matches_sql(spark, eng):
         assert got[r["b"]] == (r["lo"], r["hi"])
 
 
+def test_per_key_null_drift_matches_sql(spark):
+    rows = []
+    for h in range(3):
+        for i in range(40):
+            seg = "a" if i % 2 == 0 else "b"
+            # segment b degrades over time; a stays clean
+            v = None if (seg == "b" and i < h * 12) else float(i)
+            rows.append((f"2024-01-01 0{h}:00:{i:02d}", seg, v))
+    df = spark.createDataFrame(rows, "ts string, seg string, v double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "seg", "v"
+    )
+    e = WheelEngine(spark, "nullseg", df, time_column="ts")
+    e.build_partitioned_index("v", partition_by="seg")
+    got = {
+        r["key"]: (r["rows"], r["nulls"])
+        for r in e.null_stats_by_key("v", "seg").collect()
+    }
+    want = spark.sql(
+        "SELECT seg, COUNT(*) n, COUNT(v) vn FROM nullseg GROUP BY seg"
+    ).collect()
+    assert len(got) == len(want) == 2
+    for r in want:
+        assert got[r["seg"]] == (r["n"], r["n"] - r["vn"])
+    # seg b holds the odd i's: nulls per hour = |{odd i < h*12}| = 0, 6, 12
+    assert got["a"][1] == 0 and got["b"][1] == 18
+    # restricted range: only hour 2
+    h2 = {
+        r["key"]: r["nulls"]
+        for r in e.null_stats_by_key(
+            "v", "seg", "2024-01-01 02:00:00", "2024-01-01 03:00:00"
+        ).collect()
+    }
+    assert h2 == {"a": 0, "b": 12}
+
+
 def test_gates(spark, eng):
     with pytest.raises(KeyError):
         eng.null_stats("missing", A, B)
