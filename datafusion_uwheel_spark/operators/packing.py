@@ -4,15 +4,16 @@ Two operators an LLM training-data pipeline needs between "clean corpus"
 and "training batches", both absent from Spark and from the reference
 (which stops at query acceleration):
 
-* :func:`pack_sequences` — greedy first-fit-decreasing bin packing of
+* :func:`pack_sequences` — greedy best-fit-decreasing bin packing of
   documents into fixed-token-budget training sequences. Packing is
   inherently sequential, so it distributes by SHARDING: documents are
   hash-sharded, each shard packs locally inside one Arrow-batched
-  ``applyInPandas`` call (numpy FFD, no Python-per-row), and shard-local
-  bin ids are made globally unique by offsetting with the shard id. FFD
-  inside a shard wastes at most ~(11/9 OPT + 1) bins of that shard — at
-  corpus scale with thousands of docs per shard, per-shard waste is noise
-  while the packing itself stays embarrassingly parallel.
+  ``applyInPandas`` call (sorted-capacity bisect probe, no linear scan
+  per doc), and shard-local bin ids are made globally unique by
+  offsetting with the shard id. BFD inside a shard wastes at most
+  ~(11/9 OPT + 1) bins of that shard — at corpus scale with thousands of
+  docs per shard, per-shard waste is noise while the packing itself
+  stays embarrassingly parallel.
 * :func:`mixture_sample` — weighted blending of several sources toward a
   token budget: per-source Bernoulli sampling at the exact fraction that
   hits the source's share of the budget in expectation. One pass per
@@ -55,9 +56,10 @@ def pack_sequences(
     shards`` and packing sorts by (tokens desc, id) — reruns produce the
     same assignment, so resumed pipelines agree.
 
-    Scale: one shuffle (the groupBy on shard), then per-shard numpy FFD in
-    a single Arrow batch; memory per task is the shard's (id, tokens)
-    pairs only — size ``shards`` so docs/shard stays in the low millions."""
+    Scale: one shuffle (the groupBy on shard), then per-shard best-fit
+    packing (O(docs·log bins) via a sorted open-capacity list) in a single
+    Arrow batch; memory per task is the shard's (id, tokens) pairs only —
+    size ``shards`` so docs/shard stays in the low millions."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     spark = df.sparkSession
@@ -67,32 +69,45 @@ def pack_sequences(
     id_type = dict(df.dtypes)[id_col]
 
     def pack(pdf):
+        from bisect import bisect_left, insort
+
         import numpy as np
         import pandas as pd
 
         toks = pdf[tokens_col].to_numpy()
-        order = np.lexsort((pdf[id_col].to_numpy(), -toks))  # FFD: big first
+        order = np.lexsort((pdf[id_col].to_numpy(), -toks))  # BFD: big first
         toks = toks[order]
         shard = int(pdf["__shard"].iloc[0]) * _SHARD_STRIDE
-        bins: list[int] = []  # remaining capacity per open bin
+        # Open bins as (remaining_capacity, bin_id) pairs kept sorted by
+        # capacity: best-fit probes with bisect (O(log B)), and a bin is
+        # CLOSED (dropped) once its capacity falls below the smallest doc
+        # still to place — descending order makes that the shard's global
+        # min, so closed bins never linger and the worst case (every doc
+        # > max_tokens/2 opening its own bin) stays O(D log B), not O(D·B).
+        # Oversize singletons and full bins are never inserted, so a
+        # zero-token doc can't ride along in an oversize sequence.
+        open_bins: list[tuple[int, int]] = []
+        n_bins = 0
         assign = np.empty(len(toks), dtype="int64")
         oversize = toks > max_tokens
+        min_tok = max(int(toks[-1]), 1) if len(toks) else 1
         for i, t in enumerate(toks):
             t = int(t)
             if t > max_tokens:
-                assign[i] = shard + len(bins)
-                bins.append(0)  # closed singleton
+                assign[i] = shard + n_bins
+                n_bins += 1  # closed oversize singleton
                 continue
-            # first open bin that fits (linear probe over open bins; bins
-            # close once no future doc can fit, keeping the probe short)
-            for j in range(len(bins)):
-                if bins[j] >= t:
-                    bins[j] -= t
-                    assign[i] = shard + j
-                    break
+            j = bisect_left(open_bins, (t, -1))
+            if j < len(open_bins):  # tightest bin that still fits (best-fit)
+                cap, b = open_bins.pop(j)
+                cap -= t
+                assign[i] = shard + b
             else:
-                assign[i] = shard + len(bins)
-                bins.append(max_tokens - t)
+                cap, b = max_tokens - t, n_bins
+                assign[i] = shard + b
+                n_bins += 1
+            if cap >= min_tok:
+                insort(open_bins, (cap, b))
         out = pd.DataFrame(
             {
                 id_col: pdf[id_col].to_numpy()[order],

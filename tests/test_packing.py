@@ -102,6 +102,41 @@ def test_packing_invariants_property(spark, tokens, cap):
         assert n_bins <= math.ceil(1.5 * math.ceil(sum(fit) / cap)) + 3
 
 
+def test_zero_token_docs_never_join_oversize(spark):
+    """A zero-token doc fits anywhere, but an oversize singleton is not an
+    open bin — the ADVICE-flagged regression (capacity-0 closed bins
+    accepting t == 0 probes)."""
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 0), (3, 0), (4, 40)], "doc_id long, n_tokens long"
+    )
+    packed = packing.pack_sequences(df, 100, shards=1).collect()
+    rows = {r["doc_id"]: r for r in packed}
+    assert rows[1]["oversize"]
+    others = {rows[i]["seq_id"] for i in (2, 3, 4)}
+    assert rows[1]["seq_id"] not in others
+    assert sorted(r["doc_id"] for r in packed) == [1, 2, 3, 4]
+
+
+def test_worst_case_probe_is_not_quadratic(spark):
+    """Every doc just over max/2: each opens its own bin and no later doc
+    fits any earlier bin. The old linear probe was O(n^2) Python here; the
+    sorted-capacity probe closes each bin immediately (capacity < min doc),
+    so 20k docs in one shard must pack comfortably fast."""
+    import time
+
+    n, cap = 20_000, 1000
+    df = spark.createDataFrame(
+        [(i, cap // 2 + 1 + (i % 3)) for i in range(n)],
+        "doc_id long, n_tokens long",
+    )
+    t0 = time.monotonic()
+    packed = packing.pack_sequences(df, cap, shards=1)
+    n_bins = packed.select("seq_id").distinct().count()
+    elapsed = time.monotonic() - t0
+    assert n_bins == n  # nothing fits with anything else
+    assert elapsed < 30, f"packing took {elapsed:.1f}s — probe degraded"
+
+
 def test_mixture_hits_shares(spark, docs_tokens):
     half = docs_tokens.filter("doc_id % 2 = 0")
     other = docs_tokens.filter("doc_id % 2 = 1")
