@@ -296,17 +296,38 @@ def main() -> None:
         .distinct()
         .count(),
     )
-    med(
-        "text_pii_repetition",
-        lambda: text_ops.with_repetition_stats(text_ops.with_pii_scrub(docs_wide))
-        .agg(
-            F.sum("n_email"),
-            F.sum("n_phone"),
-            F.sum("dup_token_ratio"),
-            F.sum(F.length("text_scrubbed")),
-        )
-        .collect()[0][0],
+    # Seed PII-bearing docs: the synthetic corpus carries no emails/phones,
+    # so without them a zero count can't distinguish "scrub ran" from
+    # "regexes broke" (r4 VERDICT "what's wrong" item 3). The asserts make
+    # the row FAIL on a regex regression instead of printing a quiet zero.
+    pii_seed = spark.createDataFrame(
+        [
+            (-1, "contact alice@example.com or bob@test.org today"),
+            (-2, "call 415-555-0123 or +14155550123 from 10.0.0.1"),
+        ],
+        "doc_id long, text string",
     )
+    pii_docs = docs_wide.select("doc_id", "text").unionByName(pii_seed)
+
+    def pii_run():
+        row = (
+            text_ops.with_repetition_stats(text_ops.with_pii_scrub(pii_docs))
+            .agg(
+                F.sum("n_email").alias("e"),
+                F.sum("n_phone").alias("p"),
+                F.sum("n_ipv4").alias("ip"),
+                F.sum("dup_token_ratio").alias("d"),
+                F.sum(F.length("text_scrubbed")).alias("s"),
+            )
+            .collect()[0]
+        )
+        assert row["e"] >= 2 and row["p"] >= 2 and row["ip"] >= 1, (
+            f"PII regexes matched nothing on seeded docs: {row}"
+        )
+        assert row["s"] and row["s"] > 0, "scrubbed text evaluated empty"
+        return row["e"]
+
+    med("text_pii_repetition", pii_run)
 
     qvec = [
         float(x)
@@ -736,18 +757,23 @@ def main() -> None:
     log(f"speedup_cte_join: {speedups['cte_join']}x")
 
     total = sum(queries.values())
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 5) for k, v in queries.items()},
-                "speedup_vs_vanilla": speedups,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "bench_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 5) for k, v in queries.items()},
+            "speedup_vs_vanilla": speedups,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # stdout AND a file: the r4 round artifact captured only the tail of
+    # stdout and lost half the rows (BENCH_r04.json "parsed": null) — the
+    # file copy is truncation-proof.
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json"), "w") as fh:
+        fh.write(line + "\n")
 
 
 if __name__ == "__main__":
