@@ -297,7 +297,12 @@ class QuantileRollup:
         merged.count()
         old = self._df
         self._df = merged
-        old.unpersist()
+        # A handle from a one-pass multi-column build shared the parent
+        # cache; it now owns a private persisted frame, so drop the claim
+        # (the parent is released when the last sibling detaches). Handles
+        # with a private frame release exactly the frame being replaced.
+        if not self._detach_shared():
+            old.unpersist()
 
     def save(self, path: str) -> str:
         """Persist the sketch table as parquet (one distributed write) plus
@@ -318,10 +323,25 @@ class QuantileRollup:
             )
         return path
 
+    def _detach_shared(self) -> bool:
+        """Drop this handle's claim on a one-pass shared parent frame,
+        releasing it when the LAST sibling detaches. Returns whether the
+        handle was sharing (its own ``_df`` is an unpersisted view)."""
+        shared = getattr(self, "_shared", None)
+        if shared is None:
+            return False
+        self._shared = None
+        shared["refs"] -= 1
+        if shared["refs"] == 0:
+            shared["df"].unpersist()
+        return True
+
     def unpersist(self) -> None:
-        # one-pass multi-column builds share a cached parent frame; release
-        # the storage that actually holds the sketches
-        getattr(self, "_parent", self._df).unpersist()
+        # release the storage that actually holds the sketches: the shared
+        # one-pass parent (refcounted across sibling handles) or this
+        # handle's private frame
+        if not self._detach_shared():
+            self._df.unpersist()
 
 
 def build_quantile_rollup(
@@ -412,6 +432,9 @@ def build_quantile_rollups(
     )
     combined.count()  # ONE materializing scan for all columns
     out = {}
+    #: refcounted shared cache: released when the last sibling handle
+    #: unpersists or detaches via merge_batch
+    holder = {"df": combined, "refs": len(columns)}
     base_cols = ["__sec"] + (["__key"] if partition_by is not None else [])
     for i, c in enumerate(columns):
         view = combined.select(
@@ -420,7 +443,7 @@ def build_quantile_rollups(
         out[c] = QuantileRollup(
             view, c, bucket_seconds, k, suffixes[c], key_column=partition_by
         )
-        out[c]._parent = combined  # unpersist releases the shared cache
+        out[c]._shared = holder
     return out
 
 

@@ -219,6 +219,30 @@ def test_one_pass_multi_column_build(spark, events):
     )
     assert abs(et - true_et) <= max(1, 0.05 * true_et)
     rollups["user_id"].unpersist()
+    rollups["event_type"].unpersist()
+
+
+def test_one_pass_cache_lifecycle_with_merge(spark, events):
+    """Mirror of the quantile lifecycle pin: merge_batch detaches the
+    handle from the shared one-pass parent without leaking the merged
+    frame; the parent lives until the last sibling unpersists."""
+    from datafusion_uwheel_spark.operators.distinct import build_distinct_rollups
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    rollups = build_distinct_rollups(events, "ts", ["user_id", "event_type"])
+    assert n_cached() == base + 1
+    rollups["user_id"].merge_batch(events.limit(500), "ts")
+    assert n_cached() == base + 2
+    rollups["user_id"].merge_batch(events.limit(100), "ts")
+    assert n_cached() == base + 2
+    assert rollups["event_type"].approx_distinct(A, B) > 0
+    rollups["user_id"].unpersist()
+    assert n_cached() == base + 1
+    rollups["event_type"].unpersist()
+    assert n_cached() == base
 
 
 def test_group_by_estimates_within_error(spark, events, rollup):

@@ -302,6 +302,34 @@ def test_one_pass_multi_column_build(spark, events):
     hi = exact_percentile(events, "user_id", 0.9 + EPS)
     assert lo <= got <= hi
     rollups["value"].unpersist()
+    rollups["user_id"].unpersist()
+
+
+def test_one_pass_cache_lifecycle_with_merge(spark, events):
+    """The ADVICE-flagged leak: merge_batch on a one-pass handle must hand
+    it a private frame (releasing its shared-parent claim), later merges
+    must release exactly the replaced frame, and the shared parent must
+    survive until the LAST sibling lets go — ending with nothing cached."""
+    from datafusion_uwheel_spark.operators.quantiles import build_quantile_rollups
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    rollups = build_quantile_rollups(events, "ts", ["value", "user_id"])
+    assert n_cached() == base + 1  # ONE shared parent for both handles
+    rollups["value"].merge_batch(events.limit(500), "ts")
+    # merged handle owns a private frame; the parent survives for the
+    # sibling (the old code leaked the merged frame and let any handle's
+    # unpersist yank the sibling's cache)
+    assert n_cached() == base + 2
+    rollups["value"].merge_batch(events.limit(100), "ts")
+    assert n_cached() == base + 2  # replaced private frame was released
+    assert isinstance(rollups["user_id"].approx_quantile(0.5, A, B), int)
+    rollups["value"].unpersist()
+    assert n_cached() == base + 1  # private frame gone, parent still shared
+    rollups["user_id"].unpersist()
+    assert n_cached() == base  # last sibling released the parent
 
 
 def test_engine_one_pass_facade(spark, events):
