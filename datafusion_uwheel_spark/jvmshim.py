@@ -26,6 +26,13 @@ Constraint worth knowing: ``spark.sql.extensions`` and the driver classpath
 must be set **before the JVM starts**, i.e. on the first SparkSession of the
 process — an existing local SparkContext cannot adopt the rule. Demos/tests
 therefore run in a subprocess (``examples/jvm_shim_demo.py``).
+
+View backing: small rollups are driver LocalRelations (zero-I/O rewritten
+plans); rollups past :data:`_MAX_LOCAL_ROWS` rows are written as parquet
+tables and the view reads the file — the rewritten plan's ``sec`` filter
+prunes row groups, so probes stay tiny while the driver never embeds
+millions of buckets into every plan (the 100x-scale hazard of an
+all-LocalRelation design).
 """
 
 from __future__ import annotations
@@ -50,6 +57,63 @@ EXTENSIONS_CLASS = "io.uwheel.spark.UwheelExtensions"
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_REPO, "jvm", "UwheelShim.scala")
 _DEFAULT_JAR = os.path.join(_REPO, "jvm", "uwheel-shim.jar")
+
+#: Rollup views at or below this many rows stay driver-side LocalRelations
+#: (zero-I/O probes); above it they are written as parquet tables instead —
+#: a LocalRelation is embedded into EVERY rewritten plan, so a
+#: second-granularity multi-year wheel (~31 M buckets, x key values for dim
+#: views) would be a driver-memory and plan-size hazard at the 100x scale
+#: target. 64 Ki rows ≈ 18 hours of second buckets ≈ a few MB — safely
+#: below any plan-size concern, while parquet-backed views keep probes
+#: cheap via row-group min/max pruning on `sec`.
+_MAX_LOCAL_ROWS = 65536
+
+#: Rows per parquet row group for file-backed views: stats-based pruning
+#: granularity (~18 h of second buckets per group).
+_ROW_GROUP = 65536
+
+
+def _register_view(spark, engine, name, table) -> None:
+    """Publish a rollup view: LocalRelation for small tables, a
+    parquet-backed table above :data:`_MAX_LOCAL_ROWS` rows (the Scala rule
+    reads either through ``session.table``; a file-backed view's pruning
+    ``Filter(sec ...)`` pushes into the parquet scan, so probes read only
+    the boundary row groups). Parquet files are versioned per export —
+    streaming re-exports write a fresh file and retire the old one instead
+    of overwriting in place under a live reader."""
+    import pyarrow.parquet as pq
+
+    limit = getattr(engine, "_shim_max_local_rows", None)
+    if limit is None:
+        limit = _MAX_LOCAL_ROWS
+    if table.num_rows <= limit:
+        spark.createDataFrame(table).createOrReplaceTempView(name)
+        return
+    root = getattr(engine, "_shim_storage_dir", None)
+    if root is None:
+        import tempfile
+
+        root = engine._shim_storage_dir = tempfile.mkdtemp(
+            prefix=f"uwheel_shim_{engine.name}_"
+        )
+    versions = getattr(engine, "_shim_view_versions", None)
+    if versions is None:
+        versions = engine._shim_view_versions = {}
+    v = versions.get(name, 0) + 1
+    versions[name] = v
+    # one view = one directory holding exactly one versioned file: Spark
+    # reads the DIRECTORY, so the temp view never dangles mid-refresh
+    vdir = os.path.join(root, name)
+    os.makedirs(vdir, exist_ok=True)
+    path = os.path.join(vdir, f"v{v}.parquet")
+    pq.write_table(table, path, row_group_size=_ROW_GROUP)
+    for old in glob.glob(os.path.join(vdir, "v*.parquet")):
+        if old != path:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+    spark.read.parquet(vdir).createOrReplaceTempView(name)
 
 
 def pyspark_jars_dir() -> str:
@@ -172,23 +236,42 @@ def unregister_table(spark, name: str) -> bool:
     return True
 
 
-def register_count_rollup(spark, engine) -> str:
+def _pin_storage_prefs(engine, storage_dir, max_local_rows) -> None:
+    """Record per-engine view-publishing preferences so streaming
+    re-exports (:mod:`.streaming.maintenance`) reuse them."""
+    if storage_dir is not None:
+        engine._shim_storage_dir = storage_dir
+    if max_local_rows is not None:
+        engine._shim_max_local_rows = max_local_rows
+
+
+def register_count_rollup(
+    spark, engine, storage_dir: str | None = None,
+    max_local_rows: int | None = None,
+) -> str:
     """Export ``engine``'s COUNT wheel as the shim's rollup view and pin the
     table metadata in session confs. Returns the view name.
 
-    The view is a LocalRelation of ``(sec, cnt)`` buckets — bounded by
-    occupied seconds, the same driver-side payload the Python router reads —
-    so the rewritten plan aggregates kilobytes-to-megabytes instead of
-    scanning the table. Snapshot semantics: re-register after streaming
-    maintenance merges to refresh the exported buckets."""
-    import pandas as pd
+    The view holds one ``(sec, cnt)`` row per occupied bucket — a driver
+    LocalRelation while small, a parquet-backed table past
+    :data:`_MAX_LOCAL_ROWS` rows (``max_local_rows`` overrides; the
+    rewritten plan then prunes row groups on ``sec`` instead of embedding
+    millions of buckets into every plan). Snapshot semantics: re-register
+    after streaming maintenance merges to refresh the exported buckets."""
+    import pyarrow as pa
 
     from .operators.lookup import STAR_AGGREGATION_ALIAS
 
+    _pin_storage_prefs(engine, storage_dir, max_local_rows)
     w = engine.count_wheels[STAR_AGGREGATION_ALIAS]
     name = f"__uwheel_rollup_{engine.name}"
-    pdf = pd.DataFrame({"sec": w.secs.astype("int64"), "cnt": w.cnt.astype("int64")})
-    spark.createDataFrame(pdf).createOrReplaceTempView(name)
+    table = pa.table(
+        {
+            "sec": pa.array(w.secs.astype("int64")),
+            "cnt": pa.array(w.cnt.astype("int64")),
+        }
+    )
+    _register_view(spark, engine, name, table)
     _pin_table_confs(spark, engine, w)
     return name
 
@@ -212,7 +295,10 @@ def _arrow_types(sql_type: str):
     return table.get(sql_type)
 
 
-def register_agg_rollup(spark, engine, column: str) -> str:
+def register_agg_rollup(
+    spark, engine, column: str, storage_dir: str | None = None,
+    max_local_rows: int | None = None,
+) -> str:
     """Export ``engine``'s aggregate wheel for ``column`` into the shim's
     combined per-table rollup view ``__uwheel_rollup_<table>__agg``
     (columns ``sec, cnt`` plus ``vcnt_<c>, sum_<c>, min_<c>, max_<c>`` per
@@ -237,6 +323,7 @@ def register_agg_rollup(spark, engine, column: str) -> str:
 
     from .operators.lookup import STAR_AGGREGATION_ALIAS
 
+    _pin_storage_prefs(engine, storage_dir, max_local_rows)
     try:
         w = engine.agg_wheels[(column, STAR_AGGREGATION_ALIAS)]
     except KeyError:
@@ -266,14 +353,14 @@ def register_agg_rollup(spark, engine, column: str) -> str:
     #: lowercase, re-registration (streaming refresh) needs the original.
     registered[column.lower()] = (column, w)
     name = f"__uwheel_rollup_{engine.name}__agg"
-    _export_agg_view(spark, registered, name)
+    _export_agg_view(spark, engine, registered, name)
     _pin_table_confs(spark, engine, w)
     conf_key = f"spark.uwheel.shim.{engine.name}.agg_cols"
     spark.conf.set(conf_key, ",".join(sorted(registered)))
     return name
 
 
-def _export_agg_view(spark, wheels: dict, name: str) -> None:
+def _export_agg_view(spark, engine, wheels: dict, name: str) -> None:
     """Export a combined rollup view from ``{lowered: (orig, wheel)}`` —
     ``sec, cnt`` plus per-column ``vcnt_/sum_/min_/max_`` states."""
     import numpy as np
@@ -306,10 +393,13 @@ def _export_agg_view(spark, wheels: dict, name: str) -> None:
         cols[f"sum_{c}"] = masked(cw, cw.sum_, sum_type)
         cols[f"min_{c}"] = masked(cw, cw.min_, val_type)
         cols[f"max_{c}"] = masked(cw, cw.max_, val_type)
-    spark.createDataFrame(pa.table(cols)).createOrReplaceTempView(name)
+    _register_view(spark, engine, name, pa.table(cols))
 
 
-def register_keyed_agg_rollup(spark, engine, column: str, filter: str) -> str:
+def register_keyed_agg_rollup(
+    spark, engine, column: str, filter: str,
+    storage_dir: str | None = None, max_local_rows: int | None = None,
+) -> str:
     """Export a KEYED aggregate wheel (``engine.build_index(column,
     filter="key = 'value'")``) as a shim view, so plain ``spark.sql``
     queries carrying the same single string-equality conjunct alongside
@@ -329,6 +419,7 @@ def register_keyed_agg_rollup(spark, engine, column: str, filter: str) -> str:
     from .plans.predicates import canonical_filter_key
     from .plans.sqlparse import parse_conjunction
 
+    _pin_storage_prefs(engine, storage_dir, max_local_rows)
     conj = parse_conjunction(filter)
     if (
         len(conj) != 1
@@ -377,7 +468,7 @@ def register_keyed_agg_rollup(spark, engine, column: str, filter: str) -> str:
         )
     entry["wheels"][column.lower()] = (column, w)
     name = f"__uwheel_rollup_{engine.name}__key{entry['idx']}"
-    _export_agg_view(spark, entry["wheels"], name)
+    _export_agg_view(spark, engine, entry["wheels"], name)
     _pin_table_confs(spark, engine, w)
     pre = f"spark.uwheel.shim.{engine.name}.keyed"
     spark.conf.set(f"{pre}_count", str(len(keyed)))
@@ -388,7 +479,10 @@ def register_keyed_agg_rollup(spark, engine, column: str, filter: str) -> str:
     return name
 
 
-def register_dim_rollup(spark, engine, key_column: str) -> str:
+def register_dim_rollup(
+    spark, engine, key_column: str, storage_dir: str | None = None,
+    max_local_rows: int | None = None,
+) -> str:
     """Export a partitioned wheel family
     (``engine.build_partitioned_index(col, partition_by=key_column)``) as
     the shim's dimensional view ``__uwheel_rollup_<table>__dim<i>`` —
@@ -403,6 +497,7 @@ def register_dim_rollup(spark, engine, key_column: str) -> str:
     import numpy as np
     import pyarrow as pa
 
+    _pin_storage_prefs(engine, storage_dir, max_local_rows)
     try:
         ps = engine.partition_sets[key_column.lower()]
     except KeyError:
@@ -490,7 +585,7 @@ def register_dim_rollup(spark, engine, key_column: str) -> str:
     )
     i = entry["idx"]
     name = f"__uwheel_rollup_{engine.name}__dim{i}"
-    spark.createDataFrame(pa.table(arrays)).createOrReplaceTempView(name)
+    _register_view(spark, engine, name, pa.table(arrays))
     _pin_table_confs(spark, engine, base_for_pin)
     pre = f"spark.uwheel.shim.{engine.name}.dim"
     spark.conf.set(f"{pre}_count", str(len(dims)))

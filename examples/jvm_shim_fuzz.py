@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
 N_QUERIES = int(os.environ.get("SHIM_FUZZ_N", "60"))
+#: SHIM_FUZZ_PARQUET_VIEWS=1 forces every rollup view onto the parquet
+#: backing (max_local_rows=0) — the path large wheels take automatically —
+#: so the whole fuzz matrix also proves the file-backed rewrite.
+PARQUET_VIEWS = os.environ.get("SHIM_FUZZ_PARQUET_VIEWS") == "1"
 
 #: (choice, weight) — biased toward matchable shapes so the fuzz exercises
 #: the rewrite path heavily while still probing every fall-through edge.
@@ -135,6 +139,8 @@ def main() -> None:
 
     # fine-bucket table with count + agg (value, user_id) + keyed views
     eng = WheelEngine(spark, "events", f"{SF}/events.parquet", time_column="ts")
+    if PARQUET_VIEWS:
+        eng._shim_max_local_rows = 0
     register_count_rollup(spark, eng)
     eng.build_index("value")
     eng.build_index("user_id")
@@ -153,6 +159,8 @@ def main() -> None:
     ceng = WheelEngine(
         spark, "events_m", mdir, time_column="ts", index_granularity="minute"
     )
+    if PARQUET_VIEWS:
+        ceng._shim_max_local_rows = 0
     ceng.build_index("value")
     register_agg_rollup(spark, ceng, "value")
     spark.read.parquet(mdir).createOrReplaceTempView("events_m")
@@ -165,7 +173,9 @@ def main() -> None:
         sql = gen_query(rng, table)
         df = spark.sql(sql)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if ".parquet" in plan:  # rewritten plans only touch LocalRelations
+        # rewritten plans never scan the SOURCE files (rollup views may be
+        # parquet-backed themselves, so match the table file names)
+        if "events.parquet" in plan or "events_m.parquet" in plan:
             fell_through += 1
             if os.environ.get("SHIM_FUZZ_DEBUG"):
                 print("FT", sql)
@@ -183,7 +193,8 @@ def main() -> None:
     # the generator must exercise both outcomes or it tests nothing
     assert rewritten >= N_QUERIES // 10, (rewritten, fell_through)
     assert fell_through >= N_QUERIES // 10, (rewritten, fell_through)
-    print(f"OK shim fuzz: {N_QUERIES} queries, {rewritten} rewritten, "
+    mode = "parquet-backed views" if PARQUET_VIEWS else "local views"
+    print(f"OK shim fuzz ({mode}): {N_QUERIES} queries, {rewritten} rewritten, "
           f"{fell_through} fell through, 0 mismatches")
 
 

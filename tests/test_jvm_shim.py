@@ -51,3 +51,21 @@ def test_shim_fuzz_equivalence():
     )
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "0 mismatches" in r.stdout
+
+
+def test_shim_fuzz_equivalence_parquet_views():
+    """The same fuzz matrix with every rollup view forced onto the parquet
+    backing — the path any wheel past _MAX_LOCAL_ROWS buckets takes, so
+    plain-spark.sql acceleration survives wheels too large to embed as
+    driver LocalRelations."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "jvm_shim_fuzz.py")],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        cwd=REPO,
+        env={**os.environ, "SHIM_FUZZ_PARQUET_VIEWS": "1"},
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "0 mismatches" in r.stdout
+    assert "parquet-backed views" in r.stdout

@@ -201,3 +201,63 @@ def test_registration_requires_source_path(spark, sf_small_dir):
     e = WheelEngine(spark, "shimreg_df", df, time_column="ts")
     with pytest.raises(ValueError, match="source_path"):
         register_count_rollup(spark, e)
+
+
+def test_views_go_parquet_backed_past_threshold(spark, eng, tmp_path):
+    """Above max_local_rows the view must be file-backed (no LocalRelation
+    embedded in rewritten plans — the 100x-scale driver-memory hazard),
+    with identical content, and streaming-refresh versioning must not
+    accumulate files."""
+    eng.build_index("value")
+    # threshold far below the wheel's occupied buckets -> parquet backing
+    name = register_agg_rollup(
+        spark, eng, "value", storage_dir=str(tmp_path / "views"),
+        max_local_rows=16,
+    )
+    plan = spark.table(name)._jdf.queryExecution().analyzed().toString()
+    assert "LocalRelation" not in plan and "parquet" in plan.lower()
+    total = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+    assert total == eng.df.filter(F.col("ts").isNotNull()).count()
+    # re-register (the streaming-refresh path): exactly one version on disk
+    register_agg_rollup(spark, eng, "value")
+    import glob as _glob
+    files = _glob.glob(str(tmp_path / "views" / name / "v*.parquet"))
+    assert len(files) == 1 and files[0].endswith("v2.parquet")
+    total2 = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+    assert total2 == total
+
+
+def test_small_views_stay_local(spark, eng):
+    """Below the threshold the view stays a LocalRelation — zero-I/O
+    rewritten plans for small wheels."""
+    eng.build_index("value")
+    name = register_agg_rollup(spark, eng, "value")
+    plan = spark.table(name)._jdf.queryExecution().analyzed().toString()
+    assert "LocalRelation" in plan
+
+
+def test_dim_and_count_views_respect_backing(spark, eng, tmp_path):
+    eng.build_partitioned_index("value", partition_by="event_type")
+    from datafusion_uwheel_spark.jvmshim import register_dim_rollup
+
+    dname = register_dim_rollup(
+        spark, eng, "event_type", storage_dir=str(tmp_path / "v2"),
+        max_local_rows=0,
+    )
+    dplan = spark.table(dname)._jdf.queryExecution().analyzed().toString()
+    assert "LocalRelation" not in dplan
+    # engine-pinned prefs carry to later registrations (streaming refresh
+    # re-exports with no kwargs)
+    cname = register_count_rollup(spark, eng)
+    cplan = spark.table(cname)._jdf.queryExecution().analyzed().toString()
+    assert "LocalRelation" not in cplan
+    # dim view content: per-key counts match the scan
+    got = {
+        r["key"]: r["n"]
+        for r in spark.table(dname).groupBy("key").agg(F.sum("cnt").alias("n")).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in eng.df.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
