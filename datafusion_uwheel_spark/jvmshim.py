@@ -209,6 +209,21 @@ def _pin_table_confs(spark, engine, wheel) -> None:
             )
     if engine.name not in tables:
         tables.append(engine.name)
+    # NULL-ts attestation: the rollup build drops NULL-ts rows, and a query
+    # with NO time bounds (landmark shape) would silently miss them — a
+    # bounded scan drops them too, an unbounded scan does not. Probe the
+    # source ONCE per engine (a column-pruned one-row scan) and pin the
+    # result; the JVM rule skips absent-bounds rewrites unless it is true.
+    nonnull = getattr(engine, "_shim_ts_nonnull", None)
+    if nonnull is None:
+        from pyspark.sql import functions as F
+
+        nonnull = engine._shim_ts_nonnull = not engine.df.filter(
+            F.col(engine.time_column).isNull()
+        ).head(1)
+    spark.conf.set(
+        f"spark.uwheel.shim.{engine.name}.ts_nonnull", str(bool(nonnull)).lower()
+    )
     spark.conf.set("spark.uwheel.shim.tables", ",".join(tables))
     spark.conf.set(f"spark.uwheel.shim.{engine.name}.path", os.path.abspath(path))
     spark.conf.set(f"spark.uwheel.shim.{engine.name}.time_col", engine.time_column)

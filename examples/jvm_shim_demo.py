@@ -466,6 +466,87 @@ def main() -> None:
     fr = fdf.collect()[0]
     assert (fr["c"], fr["s"]) == (2, 50.0), dict(fr.asDict())
 
+    # ---- tumbling window() group-bys — Spark's most idiomatic time
+    # grouping shape, beyond the reference's surface (no window support at
+    # all, lib.rs:348-358). The rule matches the TimeWindowing-generated
+    # struct and regroups the rollup from bucket starts; hopping windows
+    # (Expand plans) fall through.
+    for wsql in (
+        "SELECT window, COUNT(*) AS c, SUM(value) AS s FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY window(ts, '1 hour') "
+        "ORDER BY window",
+        "SELECT window.start AS ws, window.end AS we, COUNT(*) AS c, "
+        "AVG(value) AS av FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY window(ts, '6 hours') "
+        "ORDER BY ws",
+        # landmark window group-by (no WHERE): needs the ts_nonnull
+        # attestation pinned at registration
+        "SELECT window.start AS ws, COUNT(*) AS c FROM events "
+        "GROUP BY window(ts, '1 day') ORDER BY ws",
+        # startTime-offset windows
+        "SELECT window.start AS ws, COUNT(*) AS c FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' "
+        "GROUP BY window(ts, '1 hour', '1 hour', '30 minutes') ORDER BY ws",
+    ):
+        wdf = spark.sql(wsql)
+        wphys = wdf._jdf.queryExecution().executedPlan().toString()
+        assert "events.parquet" not in wphys, (
+            "window rewrite did not fire:\n" + wsql + "\n" + wphys
+        )
+        wr_ = [tuple(r) for r in wdf.collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        ww_ = [tuple(r) for r in spark.sql(wsql).collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert len(wr_) == len(ww_) > 0, (wsql, len(wr_), len(ww_))
+        for gr, wr in zip(wr_, ww_):
+            for x, y in zip(gr, wr):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (wsql, gr, wr)
+                else:
+                    assert x == y, (wsql, gr, wr)
+    # hopping windows compile to an Expand — must fall through, stay right
+    hsql2 = (
+        "SELECT window.start AS ws, COUNT(*) AS c FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' "
+        "GROUP BY window(ts, '1 hour', '30 minutes') ORDER BY ws"
+    )
+    hphys2 = spark.sql(hsql2)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" in hphys2 or "FileScan" in hphys2
+
+    # ---- NULL-ts gate: a table whose time column HAS NULLs must not
+    # answer landmark (no-WHERE) shapes from the rollup — the rollup drops
+    # NULL-ts rows, an unbounded scan does not. Bounded shapes still
+    # rewrite (ts comparisons drop NULLs in the scan too).
+    gd = tempfile.mkdtemp(prefix="uwheel_shim_nullts_")
+    gpath = os.path.join(gd, "nullts.parquet")
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0), (None, 99.0), ("2024-01-01 02:00:00", 5.0)],
+        "ts string, v double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v").write.parquet(gpath)
+    geng = WheelEngine(spark, "nullts", gpath, time_column="ts")
+    geng.build_index("v")
+    register_agg_rollup(spark, geng, "v")
+    assert spark.conf.get("spark.uwheel.shim.nullts.ts_nonnull") == "false"
+    spark.read.parquet(gpath).createOrReplaceTempView("nullts")
+    land = "SELECT COUNT(*) AS c, SUM(v) AS s FROM nullts"
+    lphys = spark.sql(land)._jdf.queryExecution().executedPlan().toString()
+    assert "nullts.parquet" in lphys or "FileScan" in lphys, (
+        "landmark over NULL-ts table must not rewrite:\n" + lphys
+    )
+    lr = spark.sql(land).collect()[0]
+    assert (lr["c"], lr["s"]) == (3, 105.0), dict(lr.asDict())  # NULL-ts row counted
+    bnd = (
+        "SELECT COUNT(*) AS c, SUM(v) AS s FROM nullts "
+        "WHERE ts >= '2024-01-01 00:00:00' AND ts < '2024-01-02 00:00:00'"
+    )
+    bdf2 = spark.sql(bnd)
+    bphys2 = bdf2._jdf.queryExecution().executedPlan().toString()
+    assert "nullts.parquet" not in bphys2, (
+        "bounded shape over NULL-ts table should rewrite:\n" + bphys2
+    )
+    br2 = bdf2.collect()[0]
+    assert (br2["c"], br2["s"]) == (2, 6.0), dict(br2.asDict())
+
     # ---- parquet-backed rollup views: force file backing
     # (max_local_rows=0 — the path every view takes past _MAX_LOCAL_ROWS
     # rows) and re-run representative shapes. Same answers; the rewritten

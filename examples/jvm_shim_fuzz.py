@@ -44,6 +44,17 @@ KEYS = [
     ("event_type = 'purchase'", 1),  # unregistered value → scan
     ("event_type = 'zzz'", 1),  # value absent from the data → scan, 0 rows
 ]
+#: tumbling/hopping/offset window() group-by shapes: tumbling rewrites
+#: when slide+offset tile the buckets; hopping (Expand) and non-tiling
+#:  widths on coarse buckets must fall through — all must match the scan.
+WINDOWS = [
+    ("window(ts, '1 hour')", 4),
+    ("window(ts, '15 minutes')", 3),
+    ("window(ts, '90 seconds')", 2),  # tiles 1 s buckets, NOT 60 s ones
+    ("window(ts, '1 hour', '30 minutes')", 2),  # hopping → Expand → scan
+    ("window(ts, '1 hour', '1 hour', '30 minutes')", 2),  # offset start
+    ("window(ts, '97 seconds')", 1),  # odd width — 1 s buckets only
+]
 
 
 def pick(rng, weighted):
@@ -65,22 +76,25 @@ def gen_query(rng: random.Random, table: str) -> str:
             + ")"
         )
     select = [f"{a} AS a{i}" for i, a in enumerate(aggs)]
-    gcols = []
-    if rng.random() < 0.5:
+    gcols = []  # (select_sql, group_sql)
+    r = rng.random()
+    if r < 0.35:
         g = "millisecond" if rng.random() < 0.1 else rng.choice(GRANS)
-        gcols.append(f"date_trunc('{g}', ts) AS b")
+        e = f"date_trunc('{g}', ts)"
+        gcols.append((f"{e} AS b", e))
+    elif r < 0.6:
+        w = pick(rng, WINDOWS)
+        sel = "window.start AS b" if rng.random() < 0.5 else "window AS b"
+        gcols.append((sel, w))
     if rng.random() < 0.35:
         # dim grouping: event_type has a registered family on `events`;
         # user_id never does → fall-through probe
-        gcols.append(
-            ("user_id" if rng.random() < 0.2 else "event_type") + " AS k"
-        )
+        k = "user_id" if rng.random() < 0.2 else "event_type"
+        gcols.append((k + " AS k", k))
     rng.shuffle(gcols)
-    select = gcols + select
+    select = [s for s, _ in gcols] + select
     group = (
-        " GROUP BY " + ", ".join(str(i + 1) for i in range(len(gcols)))
-        if gcols
-        else ""
+        " GROUP BY " + ", ".join(g for _, g in gcols) if gcols else ""
     )
     conj = []
     shape = rng.choices([0, 1, 2, 3], [5, 1, 1, 1])[0]

@@ -29,10 +29,20 @@
  *             Filter(ts >= L AND ts < U, scan))                 — scalar
  *   Aggregate([date_trunc(g, ts)], [date_trunc(g, ts) AS b, aggs...],
  *             Filter(ts >= L AND ts < U, scan))                 — group-by
+ *   Aggregate([window], [window(.start/.end)?, aggs...],
+ *             Project(TimeWindowing struct, Filter(..., scan))) — tumbling
+ *             GROUP BY window(ts, w[, s[, off]]) when slide and offset
+ *             tile the buckets; hopping windows (Expand plans) fall
+ *             through (the Python router answers those)
  * over a registered parquet root, with BUCKET-aligned literal timestamp
  * bounds, where every agg is a non-DISTINCT unfiltered COUNT(*) / COUNT(c) /
  * SUM(c) / MIN(c) / MAX(c) / AVG(c) over registered columns c,
- * are replaced by the same aggregate over the pruned rollup view:
+ * are replaced by the same aggregate over the pruned rollup view
+ * (every matched attribute must bind to the scan's own output — a
+ * surviving rename alias never matches a rollup state column; absent-bound
+ * landmark shapes additionally require the registration-time
+ * `ts_nonnull = true` attestation, because the rollup drops NULL-ts rows
+ * that an UNbounded scan would count):
  *   COUNT(*)→ COALESCE(SUM(cnt),0)   COUNT(c)→ COALESCE(SUM(vcnt),0)
  *   SUM(c)  → SUM(sum)               MIN/MAX(c)→ MIN(min)/MAX(max)
  *   AVG(c)  → SUM(sum) / SUM(vcnt)   (LEGACY division: NULL over empty)
@@ -63,7 +73,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 
 class UwheelExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -91,11 +101,20 @@ case class UwheelAggRewrite(session: SparkSession)
       }
   }
 
-  /** Grouping expressions the rollups can serve: at most one time trunc
+  /** Grouping expressions the rollups can serve: at most one time-like
+    * grouping (a `date_trunc` or a tumbling `window(ts, w[, s])` struct)
     * plus at most one plain key attribute (the partitioned-family view's
     * dimension). */
   private sealed trait GroupSpec { def orig: Expression }
-  private case class TimeGroup(orig: Expression, t: TruncTimestamp) extends GroupSpec
+  private sealed trait TimeLike extends GroupSpec
+  private case class TimeGroup(orig: Expression, t: TruncTimestamp) extends TimeLike
+  private case class WindowGroup(
+      orig: Expression,
+      struct: Expression,
+      ts: AttributeReference,
+      slide: Long,
+      offset: Long
+  ) extends TimeLike
   private case class KeyGroup(orig: AttributeReference) extends GroupSpec
 
   private def resolveGroups(
@@ -103,9 +122,18 @@ case class UwheelAggRewrite(session: SparkSession)
       child: LogicalPlan
   ): Option[Seq[GroupSpec]] = {
     val specs = gexprs.map { g =>
-      resolveTrunc(g, child) match {
-        case Some(t) => Some(TimeGroup(g, t))
+      val aliased = g match {
+        case t: TruncTimestamp     => Some(t: Expression)
+        case a: AttributeReference => findAlias(a, child)
+        case _                     => None
+      }
+      aliased match {
+        case Some(t: TruncTimestamp) => Some(TimeGroup(g, t))
+        case Some(e)                 => windowSpec(g, e)
         case None =>
+          // not computed below the Aggregate: a plain scan column (the
+          // rewrite later requires it binds to rel.outputSet — an alias
+          // merely NAMED like a registered column never matches)
           g match {
             case a: AttributeReference => Some(KeyGroup(a))
             case _                     => None
@@ -115,30 +143,59 @@ case class UwheelAggRewrite(session: SparkSession)
     if (specs.exists(_.isEmpty)) None
     else {
       val out = specs.map(_.get)
-      val times = out.count(_.isInstanceOf[TimeGroup])
+      val times = out.count(_.isInstanceOf[TimeLike])
       val keys = out.count(_.isInstanceOf[KeyGroup])
       if (times <= 1 && keys <= 1) Some(out) else None
     }
   }
 
-  /** The grouping key as a TruncTimestamp: either inline, or (after
-    * PullOutGroupingExpressions, which runs before injected rules) an
-    * attribute bound to a `date_trunc(...) AS _groupingexpression` alias in
-    * a Project below the Aggregate. */
-  private def resolveTrunc(e: Expression, child: LogicalPlan): Option[TruncTimestamp] =
-    e match {
-      case t: TruncTimestamp => Some(t)
-      case a: AttributeReference =>
-        def find(p: LogicalPlan): Option[TruncTimestamp] = p match {
-          case Project(list, inner) =>
-            list.collectFirst {
-              case al @ Alias(t: TruncTimestamp, _) if al.exprId == a.exprId => t
-            }.orElse(find(inner))
-          case _ => None
-        }
-        find(child)
+  /** The expression a grouping attribute is bound to: after
+    * PullOutGroupingExpressions (which runs before injected rules) computed
+    * grouping keys live as `expr AS _groupingexpression` aliases in a
+    * Project below the Aggregate; the analyzer's TimeWindowing leaves
+    * `named_struct(...) AS window` the same way. */
+  private def findAlias(a: AttributeReference, child: LogicalPlan): Option[Expression] = {
+    def find(p: LogicalPlan): Option[Expression] = p match {
+      case Project(list, inner) =>
+        list.collectFirst {
+          case al @ Alias(c, _) if al.exprId == a.exprId => c
+        }.orElse(find(inner))
       case _ => None
     }
+    find(child)
+  }
+
+  /** A grouping attribute bound to the struct the analyzer's TimeWindowing
+    * rule generates for a TUMBLING `GROUP BY window(ts, w[, s])`: extract
+    * (slide, offset) micros from the `(conv(ts) - offset) % slide`
+    * arithmetic. Only TimeWindowing emits PreciseTimestampConversion, so
+    * the match cannot fire on user-written structs; hopping windows
+    * (slide < width) compile to an Expand and fall through. Sound to
+    * regroup from bucket starts whenever whole buckets land in one window
+    * cell — window start = offset + slide * floor((t - offset)/slide)
+    * depends on t only through that floor, which is constant across an
+    * epoch-aligned bucket when slide and offset are bucket multiples. */
+  private def windowSpec(orig: Expression, e: Expression): Option[GroupSpec] = e match {
+    case s: CreateNamedStruct if s.deterministic && s.references.size == 1 =>
+      val params = s.collect {
+        case Remainder(l, Literal(slide: Long, LongType), _) =>
+          l match {
+            case Subtract(_: PreciseTimestampConversion, Literal(off: Long, LongType), _) =>
+              Some((slide, off))
+            case _: PreciseTimestampConversion => Some((slide, 0L))
+            case _                             => None
+          }
+      }
+      s.references.head match {
+        case ts: AttributeReference
+            if params.nonEmpty && params.forall(_.isDefined) &&
+              params.flatten.distinct.size == 1 =>
+          val (slide, off) = params.flatten.head
+          if (slide > 0) Some(WindowGroup(orig, s, ts, slide, off)) else None
+        case _ => None
+      }
+    case _ => None
+  }
 
   /** path root -> (table name, time column) */
   private def registeredTables(): Map[String, (String, String)] =
@@ -170,27 +227,31 @@ case class UwheelAggRewrite(session: SparkSession)
   // the view requirement is enforced separately)
   private case class CountDistinctKey(c: String) extends AggKind { val col = None }
 
-  private def attrName(e: Expression): Option[String] = e match {
-    case a: AttributeReference => Some(a.name.toLowerCase)
-    case _                     => None
+  /** Column name of a DIRECT scan attribute — aggregates/keys are matched
+    * by name against registered columns, so the attribute must bind to the
+    * scan's own output (a surviving rename alias over some other
+    * expression must never match a rollup state column). */
+  private def attrName(e: Expression, allowed: AttributeSet): Option[String] = e match {
+    case a: AttributeReference if allowed.contains(a) => Some(a.name.toLowerCase)
+    case _                                            => None
   }
 
-  private def classify(ae: AggregateExpression): Option[AggKind] =
+  private def classify(ae: AggregateExpression, allowed: AttributeSet): Option[AggKind] =
     if (ae.filter.nonEmpty) None
     else if (ae.isDistinct)
       ae.aggregateFunction match {
-        case Count(Seq(child)) => attrName(child).map(CountDistinctKey)
+        case Count(Seq(child)) => attrName(child, allowed).map(CountDistinctKey)
         case _                 => None
       }
     else
       ae.aggregateFunction match {
         case Count(children) if children.nonEmpty && children.forall(_.foldable) =>
           Some(CountStar)
-        case Count(Seq(child)) => attrName(child).map(CountCol)
-        case s: Sum            => attrName(s.child).map(SumCol)
-        case m: Min            => attrName(m.child).map(MinCol)
-        case m: Max            => attrName(m.child).map(MaxCol)
-        case a: Average        => attrName(a.child).map(AvgCol)
+        case Count(Seq(child)) => attrName(child, allowed).map(CountCol)
+        case s: Sum            => attrName(s.child, allowed).map(SumCol)
+        case m: Min            => attrName(m.child, allowed).map(MinCol)
+        case m: Max            => attrName(m.child, allowed).map(MaxCol)
+        case a: Average        => attrName(a.child, allowed).map(AvgCol)
         case _                 => None
       }
 
@@ -225,11 +286,13 @@ case class UwheelAggRewrite(session: SparkSession)
   private def bounds(
       cond: Option[Expression],
       timeCol: String,
-      bucketSec: Long
+      bucketSec: Long,
+      allowed: AttributeSet
   ): Option[(Option[Long], Option[Long], Option[(String, Seq[String])])] = {
     def isTime(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name.equalsIgnoreCase(timeCol)
-      case _                     => false
+      case a: AttributeReference =>
+        allowed.contains(a) && a.name.equalsIgnoreCase(timeCol)
+      case _ => false
     }
     val conjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
     var lo: Option[Long] = None
@@ -249,12 +312,14 @@ case class UwheelAggRewrite(session: SparkSession)
         hi = Some(v); n += 1
       case IsNotNull(a) if isTime(a) =>
         nn += 1; n += 1
-      case EqualTo(a: AttributeReference, Literal(s, t)) if t == StringType && s != null =>
+      case EqualTo(a: AttributeReference, Literal(s, t))
+          if t == StringType && s != null && allowed.contains(a) =>
         key = Some((a.name.toLowerCase, Seq(s.toString))); n += 1
-      case EqualTo(Literal(s, t), a: AttributeReference) if t == StringType && s != null =>
+      case EqualTo(Literal(s, t), a: AttributeReference)
+          if t == StringType && s != null && allowed.contains(a) =>
         key = Some((a.name.toLowerCase, Seq(s.toString))); n += 1
       case In(a: AttributeReference, vals)
-          if vals.nonEmpty && vals.forall {
+          if allowed.contains(a) && vals.nonEmpty && vals.forall {
             case Literal(s, t) => t == StringType && s != null
             case _             => false
           } =>
@@ -309,6 +374,8 @@ case class UwheelAggRewrite(session: SparkSession)
   private sealed trait OutKind
   private case class AggOut(kind: AggKind) extends OutKind
   private case class GroupOut(idx: Int) extends OutKind
+  // window.start / window.end projected out of a struct grouping
+  private case class FieldOut(idx: Int, ord: Int, fname: Option[String]) extends OutKind
 
   private def tryRewrite(
       exprs: Seq[NamedExpression],
@@ -319,47 +386,70 @@ case class UwheelAggRewrite(session: SparkSession)
     def groupIdx(e: Expression): Option[Int] =
       grouping.zipWithIndex.collectFirst {
         case (TimeGroup(orig, t), i) if e.semanticEquals(orig) || e.semanticEquals(t) => i
+        case (WindowGroup(orig, s, _, _, _), i)
+            if e.semanticEquals(orig) || e.semanticEquals(s) =>
+          i
         case (KeyGroup(a), i) if e.semanticEquals(a) => i
       }
-    val timeGroup = grouping.collectFirst { case tg: TimeGroup => tg }
+    val timeGroup = grouping.collectFirst { case tg: TimeLike => tg }
     val keyGroup = grouping.collectFirst { case kg: KeyGroup => kg }
     for {
+      (cond, rel) <- filterOverScan(child)
+      root <- scanRoot(rel)
+      (table, timeCol) <- tables.get(root)
+      allowed = rel.outputSet
+      bucketSec = session.conf
+        .getOption(s"spark.uwheel.shim.$table.bucket_sec")
+        .map(_.toLong)
+        .getOrElse(1L)
       outs0 <- traverse(exprs.map {
         case a: Alias =>
           a.child match {
-            case ae: AggregateExpression => classify(ae).map(AggOut)
-            case e                       => groupIdx(e).map(GroupOut)
+            case ae: AggregateExpression => classify(ae, allowed).map(AggOut)
+            case GetStructField(g, ord, fname) =>
+              groupIdx(g).map(FieldOut(_, ord, fname))
+            case e => groupIdx(e).map(GroupOut)
           }
         case ar: AttributeReference => groupIdx(ar).map(GroupOut)
         case _                      => None
       })
       kinds = outs0.collect { case AggOut(k) => k }
       cols = kinds.flatMap(_.col).distinct
-      (cond, rel) <- filterOverScan(child)
-      root <- scanRoot(rel)
-      (table, timeCol) <- tables.get(root)
-      bucketSec = session.conf
-        .getOption(s"spark.uwheel.shim.$table.bucket_sec")
-        .map(_.toLong)
-        .getOrElse(1L)
-      // the grouped ts must be the registered time column, at a granularity
-      // whole buckets tile into; a key grouping must NOT be the time column
-      if timeGroup.forall { case TimeGroup(_, g) =>
-        (g.timestamp match {
-          case a: AttributeReference => a.name.equalsIgnoreCase(timeCol)
-          case _                     => false
-        }) && (g.format match {
-          case Literal(s, _) if s != null =>
-            granTiles(
-              s.toString,
-              bucketSec,
-              g.timeZoneId.getOrElse(session.sessionState.conf.sessionLocalTimeZone)
-            )
-          case _ => false
-        })
+      // the grouped ts must be the registered time column BOUND TO THE SCAN,
+      // at a granularity (trunc level / window slide+offset) whole buckets
+      // tile into; a key grouping must bind to the scan and not be the
+      // time column
+      if timeGroup.forall {
+        case TimeGroup(_, g) =>
+          (g.timestamp match {
+            case a: AttributeReference =>
+              allowed.contains(a) && a.name.equalsIgnoreCase(timeCol)
+            case _ => false
+          }) && (g.format match {
+            case Literal(s, _) if s != null =>
+              granTiles(
+                s.toString,
+                bucketSec,
+                g.timeZoneId.getOrElse(session.sessionState.conf.sessionLocalTimeZone)
+              )
+            case _ => false
+          })
+        case WindowGroup(_, _, ts, slide, off) =>
+          allowed.contains(ts) && ts.name.equalsIgnoreCase(timeCol) &&
+          slide % (Micros * bucketSec) == 0 && off % (Micros * bucketSec) == 0
       }
-      if keyGroup.forall(kg => !kg.orig.name.equalsIgnoreCase(timeCol))
-      (lo, hi, key) <- bounds(cond, timeCol, bucketSec)
+      if keyGroup.forall(kg =>
+        allowed.contains(kg.orig) && !kg.orig.name.equalsIgnoreCase(timeCol)
+      )
+      (lo, hi, key) <- bounds(cond, timeCol, bucketSec, allowed)
+      // absent time bounds (landmark shapes) read the WHOLE rollup as the
+      // whole table — sound only when the time column has no NULLs (the
+      // rollup build drops NULL-ts rows; a bounded scan drops them too,
+      // an unbounded scan does NOT). Registration probes the source and
+      // pins the attestation; absent conf = assume NULLs possible.
+      if lo.nonEmpty || hi.nonEmpty || session.conf
+        .getOption(s"spark.uwheel.shim.$table.ts_nonnull")
+        .contains("true")
       // (view, key value to filter the dim view's rows down to) — a keyed
       // equality is served by its per-value keyed view when registered,
       // else by the dim view with a key filter (ONE dim registration
@@ -417,16 +507,36 @@ case class UwheelAggRewrite(session: SparkSession)
       // each grouping expression over the rollup: the ORIGINAL trunc over
       // the bucket-start timestamp (Spark's own calendar logic computes the
       // keys, nothing re-derived), and the dim view's key column
+      // WindowGroup: the ORIGINAL TimeWindowing arithmetic evaluated at
+      // the bucket start — whole buckets land in one window cell (checked
+      // above), so this is the window of every row the bucket aggregates.
+      // It must stay an ALIAS in a Project below the Aggregate (grouping
+      // on its attribute, the shape TimeWindowing itself emits): inlined
+      // into the result expressions, SimplifyExtractValueOps collapses
+      // `window.start` extractions into raw arithmetic that no longer
+      // embeds the grouping expression, breaking aggregate output binding.
+      winAlias = grouping.collectFirst { case wg: WindowGroup =>
+        Alias(
+          wg.struct.transform {
+            case a: AttributeReference if a.exprId == wg.ts.exprId =>
+              SecondsToTimestamp(sec)
+          },
+          "window"
+        )()
+      }
       newGroups <- traverse(grouping.map {
         case TimeGroup(_, g) =>
           Some(g.copy(timestamp = SecondsToTimestamp(sec)): Expression)
-        case KeyGroup(_) => keyAttr.map(a => a: Expression)
+        case _: WindowGroup => winAlias.map(_.toAttribute: Expression)
+        case KeyGroup(_)    => keyAttr.map(a => a: Expression)
       })
       outs <- traverse(outs0.zip(exprs).map {
         case (AggOut(k), a) =>
           replacement(k, rollup).map(e => Alias(e, a.name)(exprId = a.exprId))
         case (GroupOut(i), a) =>
           Some(Alias(newGroups(i), a.name)(exprId = a.exprId))
+        case (FieldOut(i, ord, fn), a) =>
+          Some(Alias(GetStructField(newGroups(i), ord, fn), a.name)(exprId = a.exprId))
       })
     } yield {
       val preds =
@@ -438,7 +548,11 @@ case class UwheelAggRewrite(session: SparkSession)
                else In(a, vs.map(Literal(_)))): Expression
             }
           }.toSeq
-      val pruned = preds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+      val pruned0 = preds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+      val pruned = winAlias match {
+        case Some(al) => Project(al +: rollup.output, pruned0)
+        case None     => pruned0
+      }
       Aggregate(newGroups, outs, pruned, None)
     }
   }
