@@ -855,6 +855,70 @@ class WheelEngine:
                 _json.dump({"version": 1, "rollups": entries}, f)
         return path
 
+    # ---------------------------------------------------- tiered retention
+    def compact_indexes(self, older_than, granularity: str | int = "hour") -> int:
+        """Tiered HAW retention (µWheel's hierarchical wheel model, SURVEY
+        §1.3 / ``index/mod.rs`` HawConf): roll every driver wheel's buckets
+        older than ``older_than`` into coarser ``granularity`` buckets,
+        bounding index memory for long-running streams — without it a
+        second-granularity wheel grows linearly with timeline span forever.
+
+        ``older_than`` is a timestamp literal (or epoch seconds);
+        ``granularity`` a named level ("minute"/"hour"/"day"/...) or a
+        width in seconds that the base bucket width divides. Repeated calls
+        with growing cutoffs implement the classic ladder (seconds roll to
+        minutes after a day, to hours after a week, ...). Returns total
+        buckets reclaimed.
+
+        Queries whose bounds reach into the compacted span answer at the
+        coarser alignment; finer asks DELEGATE (the covers() gate — answers
+        never go stale or approximate). Aggregate values are unchanged for
+        every query both tiers can serve: bucket states are monoids, so
+        rolled buckets hold exactly what a fresh coarse build would.
+        Spark-backend wheels are skipped (their memory lives in executor
+        cache, not the driver). Re-register shim views after compacting —
+        the exported ``bucket_sec`` becomes the coarsest tier width."""
+        from .functions.timestamps import GRANULARITY_SECONDS, parse_ts_literal
+
+        if isinstance(granularity, str):
+            if granularity not in GRANULARITY_SECONDS:
+                raise ValueError(
+                    f"unknown granularity {granularity!r}; one of "
+                    f"{sorted(GRANULARITY_SECONDS)} or a width in seconds"
+                )
+            width = GRANULARITY_SECONDS[granularity]
+        else:
+            width = int(granularity)
+        if isinstance(older_than, int):
+            cutoff = older_than
+        else:
+            lit = parse_ts_literal(str(older_than))
+            if lit is None:
+                raise ValueError(f"unparseable cutoff {older_than!r}")
+            cutoff = lit.epoch_us // 1_000_000
+        cutoff -= cutoff % width
+        reclaimed = 0
+        seen: set[int] = set()
+        for w in self._all_wheels():
+            if id(w) in seen or not hasattr(w, "compact_before"):
+                continue
+            seen.add(id(w))
+            reclaimed += w.compact_before(cutoff, width)
+        if reclaimed:
+            self.index_epoch += 1
+            self._route_cache.clear()
+        return reclaimed
+
+    def _all_wheels(self):
+        yield from self.count_wheels.values()
+        yield from self.min_max_wheels.values()
+        yield from self.agg_wheels.values()
+        for ps in self.partition_sets.values():
+            for fam in ps["wheels"].values():
+                for w in fam.values():
+                    if w is not None:
+                        yield w
+
     # -------------------------------------------------------- introspection
     def index_usage_bytes(self) -> int:
         """Total driver-side index footprint (reference

@@ -227,8 +227,12 @@ def _pin_table_confs(spark, engine, wheel) -> None:
     spark.conf.set("spark.uwheel.shim.tables", ",".join(tables))
     spark.conf.set(f"spark.uwheel.shim.{engine.name}.path", os.path.abspath(path))
     spark.conf.set(f"spark.uwheel.shim.{engine.name}.time_col", engine.time_column)
+    # a tiered (compacted) wheel pins its COARSEST width: the rule cannot
+    # consult the tier map, and coarse alignment is sound everywhere
+    # (coarse bounds never split a finer bucket)
     spark.conf.set(
-        f"spark.uwheel.shim.{engine.name}.bucket_sec", str(wheel.bucket_seconds)
+        f"spark.uwheel.shim.{engine.name}.bucket_sec",
+        str(getattr(wheel, "coarsest_width", wheel.bucket_seconds)),
     )
 
 

@@ -175,6 +175,15 @@ class WheelIndex:
     #: driver-side index by the same factor — the scale lever for multi-year
     #: tables; the router only routes ranges aligned to this width.
     bucket_seconds: int = 1
+    #: Tiered retention (µWheel's hierarchical aggregate wheel tiering,
+    #: SURVEY §1.3 / ``index/mod.rs`` HawConf): ``[(end_sec, width), ...]``
+    #: prefix spans, ascending ends with strictly DECREASING widths — all
+    #: buckets before ``end_sec`` use that coarser ``width``; buckets past
+    #: the last tier use ``bucket_seconds``. ``None``/empty = uniform.
+    #: Produced by :meth:`compact_before`; widths form a divisibility
+    #: ladder, so range sums over the flat arrays stay exact — only the
+    #: ALIGNMENT gates consult the tier map.
+    tiers: list | None = None
     _pcnt: np.ndarray = field(init=False, repr=False, default=None)
     _pvcnt: np.ndarray | None = field(init=False, repr=False, default=None)
     _landmark: dict[str, Any] | None = field(init=False, repr=False, default=None)
@@ -210,13 +219,39 @@ class WheelIndex:
     def _py(self, v) -> int | float:
         return int(v) if self.is_integral else float(v)
 
+    # ------------------------------------------------------ tiered widths
+    @property
+    def coarsest_width(self) -> int:
+        """Widest bucket anywhere in the wheel — the alignment a consumer
+        that cannot consult the tier map (e.g. the JVM shim's single
+        ``bucket_sec`` conf) must use to stay sound."""
+        if not self.tiers:
+            return self.bucket_seconds
+        return max(self.bucket_seconds, max(w for _, w in self.tiers))
+
+    def width_at(self, sec: int) -> int:
+        """Bucket width in force at ``sec`` (tiers are prefix spans)."""
+        for end, w in self.tiers or ():
+            if sec < end:
+                return w
+        return self.bucket_seconds
+
+    def _max_width_in(self, start_sec: int, end_sec: int) -> int:
+        """Coarsest bucket width intersecting ``[start, end)`` — the width
+        a grouping granularity must tile."""
+        w = self.bucket_seconds
+        for tend, tw in self.tiers or ():
+            if start_sec < tend:
+                w = max(w, tw)
+        return w
+
     # ------------------------------------------------------- range validity
     @property
     def low_sec(self) -> int:
         """Watermark start = min timestamp floored to the bucket width
         (lib.rs:976,1106; seconds in the reference)."""
         s = self.min_ts_us // MICROS_PER_SECOND
-        return s - (s % self.bucket_seconds)
+        return s - (s % self.width_at(s))
 
     @property
     def high_sec_exclusive(self) -> int:
@@ -224,23 +259,125 @@ class WheelIndex:
         wheel to ``max + 1s`` so the final second stays queryable
         (``advance_to(end+1000)``, ``lib.rs:1080,1120``)."""
         s = self.max_ts_us // MICROS_PER_SECOND
-        return s - (s % self.bucket_seconds) + self.bucket_seconds
+        w = self.width_at(s)
+        return s - (s % w) + w
 
     def covers(self, start_sec: int, end_sec: int) -> bool:
         """Whether the wheel can answer ``[start_sec, end_sec)`` — outside
         ranges must fall through, mirroring ``combine_range_and_lower``
         returning ``None`` (``lib.rs:663-688``; test ``lib.rs:1498-1518``).
-        Ranges not aligned to the bucket width are unanswerable (a minute
-        wheel cannot split a bucket at second precision)."""
+        Ranges that would split a bucket are unanswerable (a minute wheel
+        cannot answer at second precision) — each bound must align to the
+        bucket width in force at ITS tier, so queries into a compacted span
+        answer at the coarser alignment and finer asks fall through."""
         if start_sec > end_sec:
             return False
-        if start_sec % self.bucket_seconds or end_sec % self.bucket_seconds:
+        if start_sec % self.width_at(start_sec) or end_sec % self.width_at(end_sec):
             return False
         if self.complete:
             return True
         if self.empty:
             return False
         return start_sec >= self.low_sec and end_sec <= self.high_sec_exclusive
+
+    # --------------------------------------------------- tiered compaction
+    def compact_before(self, cutoff_sec: int, width: int) -> int:
+        """Roll buckets older than ``cutoff_sec`` into ``width``-second
+        buckets — µWheel's HAW tiering (SURVEY §1.3: old fine slots drain
+        into coarser wheels), the retention lever that bounds driver index
+        memory for long-running streams. Returns buckets reclaimed.
+
+        States are monoids, so the re-bucketed aggregates are exactly what
+        a fresh coarse build over the same rows produces (identity-filled
+        all-NULL buckets merge to identities). At-start sliver entries are
+        KEPT: they record rows at exact instants — facts compaction cannot
+        invalidate — and remain consultable at coarse-aligned boundaries.
+        Queries over the compacted span answer at the coarser alignment;
+        finer asks fall through via :meth:`covers` (exactness preserved).
+
+        Widths must nest (divisibility ladder): ``bucket_seconds`` divides
+        ``width``; previously-compacted coarser tiers are left alone (their
+        span must already be older), finer ones inside the cutoff are
+        re-rolled. ``cutoff_sec`` must be ``width``-aligned. Repeated calls
+        with growing cutoffs implement the second→minute→hour→day ladder."""
+        if width <= 0 or width % self.bucket_seconds:
+            raise ValueError(
+                f"compaction width {width} must be a positive multiple of "
+                f"the base bucket width {self.bucket_seconds}"
+            )
+        if cutoff_sec % width:
+            raise ValueError(
+                f"cutoff {cutoff_sec} must align to the compaction width {width}"
+            )
+        tiers = list(self.tiers or [])
+        keep = [(e, w) for e, w in tiers if w >= width]
+        roll = [(e, w) for e, w in tiers if w < width]
+        for e, w in keep:
+            if w % width:
+                raise ValueError(
+                    f"existing tier width {w} and new width {width} must nest"
+                )
+            if e > cutoff_sec:
+                raise ValueError(
+                    "cannot re-compact a coarser tier to a finer width "
+                    f"(tier ends {e}, cutoff {cutoff_sec})"
+                )
+        for e, w in roll:
+            if width % w:
+                raise ValueError(
+                    f"existing tier width {w} and new width {width} must nest"
+                )
+        # Buckets to roll: the contiguous span after the last kept (coarser)
+        # tier, before the cutoff — tiers are prefixes, so this is a slice.
+        lo = 0
+        last_keep = max((e for e, _ in keep), default=None)
+        if last_keep is not None:
+            lo = int(np.searchsorted(self.secs, last_keep, side="left"))
+        hi = int(np.searchsorted(self.secs, cutoff_sec, side="left"))
+        new_tiers = [
+            (e, w)
+            for e, w in keep + [(cutoff_sec, width)]
+            + [(e, w) for e, w in roll if e > cutoff_sec]
+            if w != self.bucket_seconds
+        ]
+        widths = [w for _, w in new_tiers]
+        ends = [e for e, _ in new_tiers]
+        # prefix spans: ends ascending, widths strictly decreasing
+        assert ends == sorted(ends) and widths == sorted(widths, reverse=True), (
+            new_tiers
+        )
+        self.tiers = new_tiers
+        if hi <= lo:
+            return 0
+        seg = self.secs[lo:hi]
+        ids = seg - (seg % width)
+        breaks = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        reclaimed = int((hi - lo) - breaks.size)
+        if reclaimed == 0:
+            return 0
+
+        def splice(arr, reducer):
+            if arr is None:
+                return None
+            mid = reducer.reduceat(arr[lo:hi], breaks)
+            return np.concatenate([arr[:lo], mid, arr[hi:]])
+
+        self.secs = np.concatenate([self.secs[:lo], ids[breaks], self.secs[hi:]])
+        self.cnt = splice(self.cnt, np.add)
+        if self.vcnt_ is not None:
+            self.vcnt_ = splice(self.vcnt_, np.add)
+        if self.sum_ is not None:
+            self.sum_ = splice(self.sum_, np.add)
+        if self.sumsq_ is not None:
+            self.sumsq_ = splice(self.sumsq_, np.add)
+        if self.min_ is not None:
+            self.min_ = splice(self.min_, np.minimum)
+        if self.max_ is not None:
+            self.max_ = splice(self.max_, np.maximum)
+        self._pcnt = np.concatenate([[0], np.cumsum(self.cnt)])
+        self._refresh_pvcnt()
+        self._landmark = None
+        return reclaimed
 
     # ------------------------------------------------------------- queries
     def _slice(self, start_sec: int, end_sec: int) -> tuple[int, int]:
@@ -374,18 +511,19 @@ class WheelIndex:
         in ascending bucket order. Segmented numpy reduction — no per-bucket
         Python loop over seconds.
         """
+        maxw = self._max_width_in(start_sec, end_sec)
         if isinstance(granularity, int):
-            if granularity <= 0 or granularity % self.bucket_seconds:
-                return None  # coarse wheel can't split its buckets finer
+            if granularity <= 0 or granularity % maxw:
+                return None  # coarse buckets can't be split finer
         elif granularity in CALENDAR_GRANULARITIES:
             # month/year boundaries are day-aligned — any bucket width that
             # divides a day nests exactly (beyond the reference, which
             # refuses calendar granularities outright, lib.rs:348-358).
-            if 86_400 % self.bucket_seconds:
+            if 86_400 % maxw:
                 return None
         elif granularity in GRANULARITY_SECONDS:
-            if GRANULARITY_SECONDS[granularity] % self.bucket_seconds:
-                return None  # coarse wheel can't split its buckets finer
+            if GRANULARITY_SECONDS[granularity] % maxw:
+                return None  # coarse buckets can't be split finer
         else:
             return None
         if not self.covers(start_sec, end_sec):
@@ -461,7 +599,8 @@ class WheelIndex:
         """
         if width_sec <= 0 or slide_sec <= 0:
             return None
-        if width_sec % self.bucket_seconds or slide_sec % self.bucket_seconds:
+        maxw = self._max_width_in(start_sec, end_sec)
+        if width_sec % maxw or slide_sec % maxw:
             return None
         if not self.covers(start_sec, end_sec):
             return None

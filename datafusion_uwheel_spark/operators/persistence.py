@@ -103,6 +103,10 @@ def save_wheels(wheels: dict[str, dict], out_dir: str) -> str:
                     "max_ts_us": w.max_ts_us,
                     "complete": w.complete,
                     "bucket_seconds": w.bucket_seconds,
+                    # retention tiers MUST round-trip: a compacted wheel
+                    # reloaded without them would accept fine-grained
+                    # bounds that split its coarse buckets
+                    "tiers": [list(t) for t in getattr(w, "tiers", None) or []],
                 }
             )
     path = os.path.join(out_dir, _MANIFEST)
@@ -171,6 +175,7 @@ def load_wheels(in_dir: str, spark=None) -> dict[str, dict]:
             max_ts_us=entry["max_ts_us"],
             complete=entry["complete"],
             bucket_seconds=entry.get("bucket_seconds", 1),
+            tiers=[tuple(t) for t in entry.get("tiers", [])] or None,
             **at,
         )
         out[entry["kind"]][key] = w

@@ -51,6 +51,7 @@ class StreamingWheelMaintainer:
         engine: WheelEngine,
         filters: dict[str, str] | None = None,
         maintain_partitions: bool = True,
+        retention: tuple[int, str | int] | None = None,
     ):
         self.engine = engine
         self.filters = filters or {}
@@ -59,6 +60,13 @@ class StreamingWheelMaintainer:
         #: on the fly so the family stays key-complete; disable to fall back
         #: to the stale-marking contract.
         self.maintain_partitions = maintain_partitions
+        #: Tiered HAW retention, applied after every merge:
+        #: ``(keep_fine_seconds, granularity)`` rolls buckets older than
+        #: ``watermark - keep_fine_seconds`` into coarser ``granularity``
+        #: buckets (:meth:`..engine.WheelEngine.compact_indexes`) — bounds
+        #: driver index memory on an endless stream instead of growing
+        #: linearly with timeline span. ``None`` keeps everything fine.
+        self.retention = retention
 
     # ------------------------------------------------------------- plumbing
     def columns(self) -> list[str]:
@@ -112,6 +120,16 @@ class StreamingWheelMaintainer:
                         w.complete = False
         # invalidate memoized routed answers — indices just changed
         e.index_epoch += 1
+        if self.retention is not None:
+            keep_fine, gran = self.retention
+            # watermark = the newest indexed instant across maintained
+            # wheels; compact everything older than keep_fine behind it
+            high = max(
+                (w.max_ts_us for w in e._all_wheels() if w.max_ts_us >= 0),
+                default=-1,
+            )
+            if high >= 0:
+                e.compact_indexes(high // 1_000_000 - int(keep_fine), gran)
         self._refresh_shim_views()
 
     def _refresh_shim_views(self) -> None:

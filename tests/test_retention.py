@@ -1,0 +1,217 @@
+"""Tiered HAW retention (µWheel's hierarchical wheel model, SURVEY §1.3):
+old fine buckets roll into coarser tiers, bounding driver index memory on
+long-running streams. Answers must be unchanged for every query the
+retained tiers can serve; finer asks into a compacted span must DELEGATE
+(the stale/covered gates), never answer wrong or approximate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_uwheel_spark import WheelEngine
+from datafusion_uwheel_spark.operators.lookup import WheelIndex
+from datafusion_uwheel_spark.sources import read_parquet
+
+CUT = "2024-01-15 00:00:00"
+CUT_SEC = 1705276800  # epoch of CUT (UTC)
+
+
+@pytest.fixture()
+def eng(spark, sf_small_dir):
+    e = WheelEngine(
+        spark, "ret_events", f"{sf_small_dir}/events.parquet", time_column="ts",
+        min_max_columns=("value",),
+    )
+    e.build_index("value")
+    return e
+
+
+QUERIES = [
+    # hour-aligned range straddling the compaction cutoff
+    "SELECT COUNT(*) AS c, SUM(value) AS s FROM ret_events "
+    "WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-20 00:00:00'",
+    # entirely inside the compacted span, hour-aligned
+    "SELECT COUNT(*) AS c, AVG(value) AS a, MIN(value) AS lo FROM ret_events "
+    "WHERE ts >= '2024-01-05 00:00:00' AND ts < '2024-01-07 03:00:00'",
+    # landmark
+    "SELECT COUNT(*) AS c, SUM(value) AS s FROM ret_events",
+    # group-by day spanning both tiers
+    "SELECT date_trunc('day', ts) AS b, COUNT(*) AS c, MAX(value) AS m "
+    "FROM ret_events GROUP BY date_trunc('day', ts) ORDER BY b",
+]
+
+
+def _collect(eng, sql):
+    return [tuple(r) for r in eng.sql(sql).collect()]
+
+
+def test_compaction_preserves_answers_and_shrinks(eng):
+    before = {q: _collect(eng, q) for q in QUERIES}
+    size_before = eng.index_usage_bytes()
+    buckets_before = eng.count_wheels["*_AGG"].secs.size
+    reclaimed = eng.compact_indexes(CUT, "hour")
+    assert reclaimed > 0
+    assert eng.index_usage_bytes() < size_before
+    assert eng.count_wheels["*_AGG"].secs.size < buckets_before
+    for q in QUERIES:
+        got = _collect(eng, q)
+        assert eng.last_route.kind != "delegate", q
+        assert len(got) == len(before[q])
+        for g, w in zip(got, before[q]):
+            for x, y in zip(g, w):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (q, g, w)
+                else:
+                    assert x == y, (q, g, w)
+
+
+def test_fine_bounds_in_compacted_span_delegate_correctly(eng, spark, sf_small_dir):
+    fine = (
+        "SELECT COUNT(*) AS c FROM ret_events "
+        "WHERE ts >= '2024-01-05 00:00:07' AND ts < '2024-01-06 00:00:00'"
+    )
+    want = _collect(eng, fine)
+    assert eng.last_route.rewritten  # second-aligned: routed pre-compaction
+    eng.compact_indexes(CUT, "hour")
+    got = _collect(eng, fine)
+    assert eng.last_route.kind == "delegate"  # coarse tier can't split
+    assert got == want
+    # fine bounds in the RECENT (uncompacted) span still route
+    recent = (
+        "SELECT COUNT(*) AS c FROM ret_events "
+        "WHERE ts >= '2024-01-20 00:00:07' AND ts < '2024-01-21 00:00:00'"
+    )
+    _collect(eng, recent)
+    assert eng.last_route.rewritten
+
+
+def test_group_by_finer_than_compacted_tier_delegates(eng):
+    gb_min = (
+        "SELECT date_trunc('minute', ts) AS b, COUNT(*) AS c FROM ret_events "
+        "WHERE ts >= '2024-01-05 00:00:00' AND ts < '2024-01-05 02:00:00' "
+        "GROUP BY date_trunc('minute', ts) ORDER BY b"
+    )
+    want = _collect(eng, gb_min)
+    eng.compact_indexes(CUT, "hour")
+    got = _collect(eng, gb_min)
+    assert eng.last_route.kind == "delegate"
+    assert got == want
+    # hour group-bys over the compacted span still answer zero-job
+    gb_hr = gb_min.replace("'minute'", "'hour'")
+    _collect(eng, gb_hr)
+    assert eng.last_route.rewritten
+
+
+def test_ladder_and_validation(eng):
+    land = "SELECT COUNT(*) AS c, SUM(value) AS s FROM ret_events"
+    want = _collect(eng, land)
+    eng.compact_indexes("2024-01-08 00:00:00", "minute")
+    eng.compact_indexes(CUT, "hour")  # re-rolls the minute tier inside CUT
+    w = eng.count_wheels["*_AGG"]
+    assert w.tiers == [(CUT_SEC, 3600)]
+    assert w.coarsest_width == 3600
+    assert _collect(eng, land) == want
+    # ladder extends: day tier over the older half only
+    eng.compact_indexes("2024-01-10 00:00:00", "day")
+    w = eng.count_wheels["*_AGG"]
+    assert w.tiers == [(1704844800, 86400), (CUT_SEC, 3600)]
+    assert _collect(eng, land) == want
+    # a coarser tier cannot be re-rolled to a finer width
+    with pytest.raises(ValueError, match="re-compact"):
+        eng.compact_indexes("2024-01-09 00:00:00", "hour")
+    # widths must nest (90 min neither divides a day tier nor is divided
+    # by the hour tier it would roll)
+    with pytest.raises(ValueError, match="nest"):
+        eng.count_wheels["*_AGG"].compact_before(CUT_SEC, 5400)
+    with pytest.raises(ValueError, match="align"):
+        eng.count_wheels["*_AGG"].compact_before(CUT_SEC + 1, 60)
+
+
+def test_compaction_matches_fresh_coarse_build(spark, sf_small_dir):
+    """Rolled buckets must hold exactly what building at the coarse
+    granularity from scratch produces — states are monoids."""
+    fine = WheelEngine(
+        spark, "ret_f", f"{sf_small_dir}/events.parquet", time_column="ts"
+    )
+    fine.build_index("value")
+    fine.compact_indexes("2099-01-01 00:00:00", "minute")  # everything
+    coarse = WheelEngine(
+        spark, "ret_c", f"{sf_small_dir}/events.parquet", time_column="ts",
+        index_granularity="minute",
+    )
+    coarse.build_index("value")
+    fw = fine.agg_wheels[("value", "*_AGG")]
+    cw = coarse.agg_wheels[("value", "*_AGG")]
+    assert np.array_equal(fw.secs, cw.secs)
+    assert np.array_equal(fw.cnt, cw.cnt)
+    assert np.array_equal(fw.vcnt_, cw.vcnt_)
+    assert np.allclose(fw.sum_, cw.sum_)
+    assert np.array_equal(fw.min_, cw.min_)
+    assert np.array_equal(fw.max_, cw.max_)
+
+
+def test_save_load_round_trips_tiers(eng, tmp_path):
+    land = "SELECT COUNT(*) AS c, SUM(value) AS s FROM ret_events"
+    fine = (
+        "SELECT COUNT(*) AS c FROM ret_events "
+        "WHERE ts >= '2024-01-05 00:01:00' AND ts < '2024-01-06 00:00:00'"
+    )
+    eng.compact_indexes(CUT, "hour")
+    want = _collect(eng, land)
+    eng.save_indexes(str(tmp_path / "idx"))
+    e2 = WheelEngine(
+        eng.spark, "ret_events", eng.source_path, time_column="ts",
+        load_indexes=str(tmp_path / "idx"),
+    )
+    w = e2.count_wheels["*_AGG"]
+    assert w.tiers == [(CUT_SEC, 3600)]
+    assert _collect(e2, land) == want
+    # the reloaded wheel must refuse to split coarse buckets — a lost tier
+    # map would silently chop them and answer wrong
+    _collect(e2, fine)
+    assert e2.last_route.kind == "delegate"
+
+
+def test_streaming_retention_bounds_state(spark):
+    """An endless stream with retention keeps bounded fine state: buckets
+    older than the keep-fine horizon roll up as the watermark advances,
+    and coarse answers stay exact."""
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    base = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 0.0)], "ts string, v double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+    eng = WheelEngine(spark, "ret_stream", base, time_column="ts")
+    eng.build_index("v")
+    # keep 1 day fine; older rolls to hours
+    m = StreamingWheelMaintainer(eng, retention=(86400, "hour"))
+    rows_per_day = 600
+    for day in range(1, 8):
+        rows = [
+            (f"2024-01-0{day} {h:02d}:{mi:02d}:{s:02d}", float(day * 100 + i))
+            for i, (h, mi, s) in enumerate(
+                (i // 3600 % 24, i // 60 % 60, i % 60) for i in range(0, rows_per_day)
+            )
+        ]
+        batch = spark.createDataFrame(rows, "ts string, v double").selectExpr(
+            "CAST(ts AS TIMESTAMP) AS ts", "v"
+        )
+        m.merge_batch(batch)
+    w = eng.count_wheels["*_AGG"]
+    # without retention: 1 + 7*600 fine buckets; with it, the first six
+    # days are hourly (10-minute span each day → 1 bucket/day)
+    assert w.secs.size < 1 + 2 * rows_per_day + 10, w.secs.size
+    assert w.tiers and w.tiers[-1][1] == 3600
+    got = eng.sql(
+        "SELECT COUNT(*) AS c FROM ret_stream "
+        "WHERE ts >= '2024-01-02 00:00:00' AND ts < '2024-01-05 00:00:00'"
+    ).collect()[0][0]
+    assert eng.last_route.rewritten
+    assert got == 3 * rows_per_day
+    # total mass conserved across all merges + compactions
+    land = eng.sql("SELECT COUNT(*) AS c FROM ret_stream").collect()[0][0]
+    assert land == 1 + 7 * rows_per_day
