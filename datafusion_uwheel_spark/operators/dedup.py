@@ -622,9 +622,11 @@ def dup_clusters(
     near-duplication is transitive in practice (A≈B≈C must keep ONE doc,
     even when (A, C) was never emitted as a pair).
 
-    Distributed min-label propagation: every vertex starts labelled with
-    itself; each round every vertex takes the minimum label among itself
-    and its neighbours (one equi-join + group-by per round). Converges in
+    Distributed min-label propagation with an ACTIVE-SET frontier: every
+    vertex starts labelled with itself; each round, only vertices whose
+    label CHANGED last round can lower a neighbour (an unchanged vertex
+    already offered its label), so the per-round join runs edges against
+    the shrinking frontier instead of all labels. Converges in
     O(component diameter) rounds — near-dup clusters are shallow (a hub
     document pulls its copies within a hop or two), so the loop is short;
     ``max_iter`` guards pathological chains and raises rather than
@@ -634,9 +636,13 @@ def dup_clusters(
     discipline. The per-round convergence check rides the SAME
     materialization that builds the checkpoint (no extra scan).
 
-    Scale: cost per round is one shuffle of the edge list on ``dst`` plus
-    one of the labels — both bounded by pairs, not the corpus; vertices
-    are only the ids that appear in ≥1 pair (singletons need no cluster).
+    Scale: edges are hash-partitioned on ``dst`` ONCE (the checkpoint
+    pins the partitioning, so every round's frontier join reuses it
+    without re-shuffling the edge list), and labels stay partitioned on
+    ``id`` the same way; the per-round shuffle is bounded by the frontier
+    — which collapses geometrically once hubs settle — not by the full
+    edge list. Vertices are only the ids that appear in ≥1 pair
+    (singletons need no cluster).
     """
     edges = pairs.select(
         F.col(left).alias("src"), F.col(right).alias("dst")
@@ -644,16 +650,19 @@ def dup_clusters(
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)  # reused every round
+    # partition once on the join key; reused (no exchange) every round
+    edges = edges.repartition("dst").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
+        .repartition("id")
         .localCheckpoint(eager=True)
     )
+    frontier = labels  # round 1: every vertex offers its label
     for _ in range(max_iter):
         nbr_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            edges.join(frontier, edges["dst"] == frontier["id"])
             .groupBy("src")
             .agg(F.min("cluster_id").alias("__nbr"))
         )
@@ -668,9 +677,9 @@ def dup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = updated.filter("__changed").limit(1).count()
+        frontier = updated.filter("__changed").drop("__changed")
         labels = updated.drop("__changed")
-        if changed == 0:
+        if frontier.limit(1).count() == 0:
             return labels
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iter} rounds — a pair graph "
