@@ -598,6 +598,37 @@ def main() -> None:
         "PushedFilters: ["
     )[1].split("]")[0], scalar_phys
 
+    # ---- hybrid (core + sliver) rewrites: BETWEEN / <= / > / unaligned
+    # bounds the exact path cannot tile. The plan unions the sec-pruned
+    # rollup with a <=2-bucket sliver scan of the table — detectable here
+    # because the views are parquet-backed: BOTH sources appear, and the
+    # sliver's ts predicate is pushed down.
+    for ysql in (
+        "SELECT COUNT(*) AS c, SUM(value) AS s, AVG(value) AS av FROM events "
+        f"WHERE ts BETWEEN '{a}' AND '2024-01-09 23:59:59'",
+        "SELECT COUNT(*) AS c, MIN(value) AS lo FROM events "
+        f"WHERE ts > '{a}' AND ts <= '{b}'",
+        "SELECT COUNT(*) AS c, SUM(value) AS s FROM events "
+        f"WHERE ts >= '{a}.500' AND ts < '{b}'",
+    ):
+        ydf = spark.sql(ysql)
+        yphys = ydf._jdf.queryExecution().executedPlan().toString()
+        assert "__uwheel_rollup_events" in yphys and "events.parquet" in yphys, (
+            "hybrid rewrite did not fire:\n" + ysql + "\n" + yphys
+        )
+        yr = [tuple(r) for r in ydf.collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        yw = [tuple(r) for r in spark.sql(ysql).collect()]
+        ysch = [f.dataType for f in spark.sql(ysql).schema.fields]
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert [f.dataType for f in ydf.schema.fields] == ysch, ysql
+        for gr, wr in zip(yr, yw):
+            for x, y in zip(gr, wr):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (ysql, gr, wr)
+                else:
+                    assert x == y, (ysql, gr, wr)
+
     print(f"OK shim: count={shimmed} (rewritten plan, no table scan)")
     print(f"OK shim multi-agg: {dict(got.asDict())} (rewritten, no table scan)")
     print("OK shim parquet-backed views: rewrites fire, answers match scan")

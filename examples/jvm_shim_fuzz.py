@@ -100,10 +100,14 @@ def gen_query(rng: random.Random, table: str) -> str:
     shape = rng.choices([0, 1, 2, 3], [5, 1, 1, 1])[0]
     if shape != 3:  # 3 = landmark (no time bounds)
         a, b = pick(rng, BOUNDS)
+        # `>` / `<=` exercise the hybrid (core + sliver) rewrite on scalar
+        # shapes and full fall-through on grouped/keyed ones
+        lo_op = ">" if rng.random() < 0.25 else ">="
+        hi_op = "<=" if rng.random() < 0.25 else "<"
         if shape in (0, 1):
-            conj.append(f"ts >= '{a}'")
+            conj.append(f"ts {lo_op} '{a}'")
         if shape in (0, 2):
-            conj.append(f"ts < '{b}'")
+            conj.append(f"ts {hi_op} '{b}'")
     key = pick(rng, KEYS)
     if key:
         conj.append(key)
@@ -181,7 +185,7 @@ def main() -> None:
     tables_conf = spark.conf.get("spark.uwheel.shim.tables")
 
     rng = random.Random(20260814)
-    rewritten = fell_through = 0
+    rewritten = fell_through = hybrid = 0
     for i in range(N_QUERIES):
         table = rng.choice(["events", "events", "events_m"])
         sql = gen_query(rng, table)
@@ -191,6 +195,10 @@ def main() -> None:
         # parquet-backed themselves, so match the table file names)
         if "events.parquet" in plan or "events_m.parquet" in plan:
             fell_through += 1
+            # hybrid (core + sliver) plans scan BOTH the rollup and the
+            # source — only distinguishable when views are file-backed
+            if PARQUET_VIEWS and "__uwheel_rollup_" in plan:
+                hybrid += 1
             if os.environ.get("SHIM_FUZZ_DEBUG"):
                 print("FT", sql)
         else:
@@ -208,8 +216,9 @@ def main() -> None:
     assert rewritten >= N_QUERIES // 10, (rewritten, fell_through)
     assert fell_through >= N_QUERIES // 10, (rewritten, fell_through)
     mode = "parquet-backed views" if PARQUET_VIEWS else "local views"
+    extra = f" ({hybrid} of those hybrid core+sliver)" if PARQUET_VIEWS else ""
     print(f"OK shim fuzz ({mode}): {N_QUERIES} queries, {rewritten} rewritten, "
-          f"{fell_through} fell through, 0 mismatches")
+          f"{fell_through} fell through{extra}, 0 mismatches")
 
 
 if __name__ == "__main__":

@@ -46,6 +46,12 @@
  *   COUNT(*)→ COALESCE(SUM(cnt),0)   COUNT(c)→ COALESCE(SUM(vcnt),0)
  *   SUM(c)  → SUM(sum)               MIN/MAX(c)→ MIN(min)/MAX(max)
  *   AVG(c)  → SUM(sum) / SUM(vcnt)   (LEGACY division: NULL over empty)
+ * Scalar shapes whose bounds the exact path cannot tile — BETWEEN, `<=`,
+ * `>`, bucket-unaligned literals — rewrite HYBRID: the bucket-aligned core
+ * comes from the pruned rollup, the sub-bucket remainders from a sliver
+ * scan whose pushed-down ts predicate covers at most two bucket-widths,
+ * unioned as partial states under the original aggregates (see tryHybrid;
+ * the reference APPROXIMATES these ops instead, expr.rs:83-105).
  * The group-by form regroups the rollup under the ORIGINAL TruncTimestamp
  * expression applied to the bucket-start (`date_trunc(g,
  * seconds_to_timestamp(sec))`), so Spark's own calendar logic (weeks,
@@ -93,11 +99,17 @@ case class UwheelAggRewrite(session: SparkSession)
       plan transformUp {
         case agg @ Aggregate(gexprs, exprs, child, _)
             if exprs.nonEmpty && gexprs.size <= 2 =>
-          resolveGroups(gexprs, child) match {
-            case Some(groups) =>
-              tryRewrite(exprs, groups, child, tables).getOrElse(agg)
-            case None => agg
+          val exact = resolveGroups(gexprs, child) match {
+            case Some(groups) => tryRewrite(exprs, groups, child, tables)
+            case None         => None
           }
+          exact
+            .orElse(
+              // scalar aggregates whose bounds the exact path cannot tile
+              // (<= / > ops, unaligned literals): rollup core + sliver scan
+              if (gexprs.isEmpty) tryHybrid(exprs, child, tables) else None
+            )
+            .getOrElse(agg)
       }
   }
 
@@ -644,6 +656,177 @@ case class UwheelAggRewrite(session: SparkSession)
             needed.forall(have.contains)
           } =>
         s"__uwheel_rollup_${table}__key$i"
+    }
+  }
+
+  // --------------------------------------------------------------- hybrid
+
+  /** Raw temporal bounds including the ops the exact path cannot tile:
+    * (micros, inclusive?) per side. Every conjunct must be a recognized
+    * bound or IsNotNull(ts) — key equalities and anything else reject
+    * (match-or-nothing; the hybrid path serves plain scalar ranges). */
+  private def rawBounds(
+      cond: Expression,
+      timeCol: String,
+      allowed: AttributeSet
+  ): Option[(Option[(Long, Boolean)], Option[(Long, Boolean)])] = {
+    def isTime(e: Expression): Boolean = e match {
+      case a: AttributeReference =>
+        allowed.contains(a) && a.name.equalsIgnoreCase(timeCol)
+      case _ => false
+    }
+    val conjuncts = splitConjunctivePredicates(cond)
+    var lo: Option[(Long, Boolean)] = None
+    var hi: Option[(Long, Boolean)] = None
+    var n = 0
+    var nn = 0
+    conjuncts.foreach {
+      case GreaterThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+        lo = Some((v, true)); n += 1
+      case LessThanOrEqual(Literal(v: Long, TimestampType), a) if isTime(a) =>
+        lo = Some((v, true)); n += 1
+      case GreaterThan(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+        lo = Some((v, false)); n += 1
+      case LessThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
+        lo = Some((v, false)); n += 1
+      case LessThan(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+        hi = Some((v, false)); n += 1
+      case GreaterThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
+        hi = Some((v, false)); n += 1
+      case LessThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+        hi = Some((v, true)); n += 1
+      case GreaterThanOrEqual(Literal(v: Long, TimestampType), a) if isTime(a) =>
+        hi = Some((v, true)); n += 1
+      case IsNotNull(a) if isTime(a) => nn += 1; n += 1
+      case _                         => ()
+    }
+    if (n != conjuncts.size) None
+    else if (lo.size + hi.size + nn != conjuncts.size) None // duplicate side
+    else if (lo.isEmpty && hi.isEmpty) None // landmark: exact path's job
+    else Some((lo, hi))
+  }
+
+  /** Boundary-exact rewrite for scalar aggregates whose bounds the exact
+    * path cannot tile — `<=` / `>` comparisons and bucket-unaligned
+    * literals (the Python router's hybrid family, through the host
+    * optimizer; the reference APPROXIMATES these shapes, expr.rs:83-105,
+    * silently wrong on sub-bucket timestamps). The query interval splits
+    * into a bucket-aligned CORE answered from the pruned rollup view and
+    * at most two sub-bucket SLIVERS answered by a scan whose pushed-down
+    * ts predicate covers ≤ 2 bucket-widths; a Union of the core's partial
+    * states with per-row partials from the sliver feeds the original
+    * aggregates, so results are exact monoid sums (timestamps are
+    * µs-discrete: `ts <= U` ≡ `ts < U+1µs`, `ts > L` ≡ `ts >= L+1µs`). */
+  private def tryHybrid(
+      exprs: Seq[NamedExpression],
+      child: LogicalPlan,
+      tables: Map[String, (String, String)]
+  ): Option[LogicalPlan] = {
+    for {
+      (condOpt, rel) <- filterOverScan(child)
+      cond <- condOpt
+      root <- scanRoot(rel)
+      (table, timeCol) <- tables.get(root)
+      allowed = rel.outputSet
+      bucketSec = session.conf
+        .getOption(s"spark.uwheel.shim.$table.bucket_sec")
+        .map(_.toLong)
+        .getOrElse(1L)
+      kinds <- traverse(exprs.map {
+        case a: Alias =>
+          a.child match {
+            case ae: AggregateExpression =>
+              classify(ae, allowed).filter {
+                case CountDistinctKey(_) => false // needs the dim view
+                case _                   => true
+              }
+            case _ => None
+          }
+        case _ => None
+      })
+      cols = kinds.flatMap(_.col).distinct
+      (lo, hi) <- rawBounds(cond, timeCol, allowed)
+      tsAttr <- rel.output.find(_.name.equalsIgnoreCase(timeCol))
+      registered = session.conf
+        .getOption(s"spark.uwheel.shim.$table.agg_cols")
+        .toSeq
+        .flatMap(_.split(",").map(_.trim.toLowerCase))
+        .toSet
+      viewName <-
+        if (cols.isEmpty)
+          Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
+            .find(v => rollupPlan(v).isDefined)
+        else if (cols.forall(registered.contains))
+          Some(s"__uwheel_rollup_${table}__agg")
+        else None
+      rollup <- rollupPlan(viewName)
+      sec <- rollup.output.find(_.name == "sec")
+      // every state column the aggregates merge must exist on the view AND
+      // resolve to a scan column for the sliver side
+      needed = "cnt" +: cols.flatMap(c =>
+        Seq(s"vcnt_$c", s"sum_$c", s"min_$c", s"max_$c")
+      )
+      stateAttrs <- traverse(needed.map(n => rollup.output.find(_.name == n)))
+      colAttrs <- traverse(
+        cols.map(c => rel.output.find(_.name.equalsIgnoreCase(c)))
+      )
+    } yield {
+      val colAttr = cols.zip(colAttrs).toMap
+      val align = Micros * bucketSec
+      // normalize to a half-open µs interval [loMic, hiMic)
+      val loMic = lo.map { case (v, incl) => if (incl) v else v + 1 }
+      val hiMic = hi.map { case (v, incl) => if (incl) v + 1 else v }
+      def ceilA(v: Long) = {
+        val m = Math.floorMod(v, align); if (m == 0) v else v + (align - m)
+      }
+      def floorA(v: Long) = v - Math.floorMod(v, align)
+      val coreLo = loMic.map(ceilA)
+      val coreHi = hiMic.map(floorA)
+      val emptyCore = coreLo.zip(coreHi).exists { case (l, h) => l >= h }
+      // core: sec-pruned rollup partials (empty when the interval spans
+      // less than one full bucket — the preds then select nothing)
+      val corePreds =
+        coreLo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
+          coreHi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
+      val core = Project(
+        stateAttrs.map(a => a: NamedExpression),
+        corePreds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+      )
+      // slivers: the sub-bucket remainders of the interval
+      val slivers: Seq[(Option[Long], Option[Long])] =
+        if (emptyCore) Seq((loMic, hiMic))
+        else
+          loMic.filter(l => coreLo.exists(_ > l)).map(l => (Some(l), coreLo)).toSeq ++
+            hiMic.filter(h => coreHi.exists(_ < h)).map(h => (coreHi, Some(h))).toSeq
+      def tsLit(v: Long) = Literal(v, TimestampType)
+      def ivalPred(a: Option[Long], b: Option[Long]): Expression = {
+        val ps = a.map(v => GreaterThanOrEqual(tsAttr, tsLit(v)): Expression).toSeq ++
+          b.map(v => LessThan(tsAttr, tsLit(v)): Expression).toSeq
+        ps.reduceOption(And).getOrElse(Literal(true))
+      }
+      def sliverExpr(a: Attribute): Expression = a.name match {
+        case "cnt" => Literal(1L)
+        case n if n.startsWith("vcnt_") =>
+          If(IsNull(colAttr(n.stripPrefix("vcnt_"))), Literal(0L), Literal(1L))
+        case n =>
+          val c = colAttr(n.dropWhile(_ != '_').drop(1))
+          if (c.dataType == a.dataType) c else Cast(c, a.dataType)
+      }
+      val plan =
+        if (slivers.isEmpty) core
+        else {
+          val pred = slivers.map { case (a, b) => ivalPred(a, b) }.reduce(Or)
+          val sliver = Project(
+            stateAttrs.map(a => Alias(sliverExpr(a), a.name)(): NamedExpression),
+            Filter(pred, rel)
+          )
+          Union(Seq(core, sliver))
+        }
+      val outs = kinds.zip(exprs).map { case (k, a) =>
+        // state columns were required above, so replacement can't miss
+        Alias(replacement(k, plan).get, a.name)(exprId = a.exprId)
+      }
+      Aggregate(Nil, outs, plan, None)
     }
   }
 
