@@ -504,14 +504,40 @@ def main() -> None:
                     assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (wsql, gr, wr)
                 else:
                     assert x == y, (wsql, gr, wr)
-    # hopping windows compile to an Expand — must fall through, stay right
-    hsql2 = (
+    # hopping windows (Expand plans, width % slide == 0): the rule keeps
+    # the Expand but replicates pruned ROLLUP rows through it
+    for hsql2 in (
+        "SELECT window.start AS ws, COUNT(*) AS c, SUM(value) AS s FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' "
+        "GROUP BY window(ts, '1 hour', '30 minutes') ORDER BY ws",
+        "SELECT window, COUNT(*) AS c, AVG(value) AS av FROM events "
+        "GROUP BY window(ts, '1 day', '6 hours') ORDER BY window",
+    ):
+        hdf2 = spark.sql(hsql2)
+        hphys2 = hdf2._jdf.queryExecution().executedPlan().toString()
+        assert "events.parquet" not in hphys2, (
+            "hopping rewrite did not fire:\n" + hsql2 + "\n" + hphys2
+        )
+        hr2 = [tuple(r) for r in hdf2.collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        hw2 = [tuple(r) for r in spark.sql(hsql2).collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert len(hr2) == len(hw2) > 0
+        for gr, wr in zip(hr2, hw2):
+            for x, y in zip(gr, wr):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (hsql2, gr, wr)
+                else:
+                    assert x == y, (hsql2, gr, wr)
+    # a non-dividing hop (width % slide != 0 adds a containment filter)
+    # must fall through
+    nds = (
         "SELECT window.start AS ws, COUNT(*) AS c FROM events "
         f"WHERE ts >= '{a}' AND ts < '{b}' "
-        "GROUP BY window(ts, '1 hour', '30 minutes') ORDER BY ws"
+        "GROUP BY window(ts, '25 minutes', '10 minutes')"
     )
-    hphys2 = spark.sql(hsql2)._jdf.queryExecution().executedPlan().toString()
-    assert "events.parquet" in hphys2 or "FileScan" in hphys2
+    ndp = spark.sql(nds)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" in ndp or "FileScan" in ndp
 
     # ---- NULL-ts gate: a table whose time column HAS NULLs must not
     # answer landmark (no-WHERE) shapes from the rollup — the rollup drops

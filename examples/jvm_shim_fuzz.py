@@ -45,14 +45,17 @@ KEYS = [
     ("event_type = 'zzz'", 1),  # value absent from the data → scan, 0 rows
 ]
 #: tumbling/hopping/offset window() group-by shapes: tumbling rewrites
-#: when slide+offset tile the buckets; hopping (Expand) and non-tiling
-#:  widths on coarse buckets must fall through — all must match the scan.
+#: when slide+offset tile the buckets, hopping (Expand) when additionally
+#: width % slide == 0; non-tiling widths on coarse buckets and
+#: non-dividing hops must fall through — all must match the scan.
 WINDOWS = [
     ("window(ts, '1 hour')", 4),
     ("window(ts, '15 minutes')", 3),
     ("window(ts, '90 seconds')", 2),  # tiles 1 s buckets, NOT 60 s ones
-    ("window(ts, '1 hour', '30 minutes')", 2),  # hopping → Expand → scan
+    ("window(ts, '1 hour', '30 minutes')", 2),  # hopping → Expand rewrite
+    ("window(ts, '6 hours', '2 hours')", 1),  # hopping, 3 replicas
     ("window(ts, '1 hour', '1 hour', '30 minutes')", 2),  # offset start
+    ("window(ts, '25 minutes', '10 minutes')", 1),  # non-dividing → scan
     ("window(ts, '97 seconds')", 1),  # odd width — 1 s buckets only
 ]
 

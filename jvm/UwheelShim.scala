@@ -32,8 +32,10 @@
  *   Aggregate([window], [window(.start/.end)?, aggs...],
  *             Project(TimeWindowing struct, Filter(..., scan))) — tumbling
  *             GROUP BY window(ts, w[, s[, off]]) when slide and offset
- *             tile the buckets; hopping windows (Expand plans) fall
- *             through (the Python router answers those)
+ *             tile the buckets; HOPPING windows (Expand plans) rewrite
+ *             too when additionally w % s == 0 (see tryHop) — rollup
+ *             rows replicate through the kept Expand exactly as raw rows
+ *             would; non-dividing hops fall through
  * over a registered parquet root, with BUCKET-aligned literal timestamp
  * bounds, where every agg is a non-DISTINCT unfiltered COUNT(*) / COUNT(c) /
  * SUM(c) / MIN(c) / MAX(c) / AVG(c) over registered columns c,
@@ -108,6 +110,10 @@ case class UwheelAggRewrite(session: SparkSession)
               // scalar aggregates whose bounds the exact path cannot tile
               // (<= / > ops, unaligned literals): rollup core + sliver scan
               if (gexprs.isEmpty) tryHybrid(exprs, child, tables) else None
+            )
+            .orElse(
+              // hopping window() group-bys (Expand plans)
+              tryHop(exprs, gexprs, child, tables)
             )
             .getOrElse(agg)
       }
@@ -656,6 +662,120 @@ case class UwheelAggRewrite(session: SparkSession)
             needed.forall(have.contains)
           } =>
         s"__uwheel_rollup_${table}__key$i"
+    }
+  }
+
+  // -------------------------------------------------------------- hopping
+
+  /** HOPPING `GROUP BY window(ts, w, s[, off])` with `w % s == 0` — the
+    * analyzer compiles it to an Expand replicating every row into the
+    * w/s windows containing it (no residual containment filter in this
+    * shape; non-dividing widths add one and fall through). The rewrite
+    * keeps the Expand but feeds it pruned ROLLUP rows instead of the
+    * table: each bucket-row replicates into exactly the windows its rows
+    * would (window edges sit on the slide grid, which tiles the buckets —
+    * same constancy argument as tumbling), and the original aggregates
+    * become their partial-state merges. */
+  private def tryHop(
+      exprs: Seq[NamedExpression],
+      gexprs: Seq[Expression],
+      child: LogicalPlan,
+      tables: Map[String, (String, String)]
+  ): Option[LogicalPlan] = {
+    for {
+      groupAttr <- gexprs match {
+        case Seq(a: AttributeReference) => Some(a)
+        case _                          => None
+      }
+      expand <- child match {
+        case e: Expand => Some(e)
+        case _         => None
+      }
+      widx = expand.output.indexWhere(_.exprId == groupAttr.exprId)
+      if widx >= 0
+      specs <- traverse(
+        expand.projections.map(p => windowSpec(groupAttr, p(widx)))
+      )
+      wspecs = specs.collect { case w: WindowGroup => w }
+      if wspecs.size == specs.size && wspecs.nonEmpty
+      // one window arithmetic across all replicas (offsets differ only by
+      // the k*slide shifts OUTSIDE the remainder, which windowSpec ignores)
+      if wspecs.map(w => (w.slide, w.offset)).distinct.size == 1
+      tsA = wspecs.head.ts
+      (cond, rel) <- filterOverScan(expand.child)
+      root <- scanRoot(rel)
+      (table, timeCol) <- tables.get(root)
+      allowed = rel.outputSet
+      if allowed.contains(tsA) && tsA.name.equalsIgnoreCase(timeCol)
+      bucketSec = session.conf
+        .getOption(s"spark.uwheel.shim.$table.bucket_sec")
+        .map(_.toLong)
+        .getOrElse(1L)
+      if wspecs.head.slide % (Micros * bucketSec) == 0 &&
+        wspecs.head.offset % (Micros * bucketSec) == 0
+      outs0 <- traverse(exprs.map {
+        case a: Alias =>
+          a.child match {
+            case ae: AggregateExpression => classify(ae, allowed).map(AggOut)
+            case GetStructField(g, ord, fname) if g.semanticEquals(groupAttr) =>
+              Some(FieldOut(0, ord, fname))
+            case e if e.semanticEquals(groupAttr) => Some(GroupOut(0))
+            case _                                => None
+          }
+        case ar: AttributeReference if ar.semanticEquals(groupAttr) =>
+          Some(GroupOut(0))
+        case _ => None
+      })
+      kinds = outs0.collect { case AggOut(k) => k }
+      if !kinds.exists(_.isInstanceOf[CountDistinctKey]) // needs the dim view
+      cols = kinds.flatMap(_.col).distinct
+      (lo, hi, key) <- bounds(cond, timeCol, bucketSec, allowed)
+      if key.isEmpty // keyed hopping: per-value views don't replicate here
+      if lo.nonEmpty || hi.nonEmpty || session.conf
+        .getOption(s"spark.uwheel.shim.$table.ts_nonnull")
+        .contains("true")
+      registered = session.conf
+        .getOption(s"spark.uwheel.shim.$table.agg_cols")
+        .toSeq
+        .flatMap(_.split(",").map(_.trim.toLowerCase))
+        .toSet
+      viewName <-
+        if (cols.isEmpty)
+          Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
+            .find(v => rollupPlan(v).isDefined)
+        else if (cols.forall(registered.contains))
+          Some(s"__uwheel_rollup_${table}__agg")
+        else None
+      rollup <- rollupPlan(viewName)
+      sec <- rollup.output.find(_.name == "sec")
+      needed = "cnt" +: cols.flatMap(c =>
+        Seq(s"vcnt_$c", s"sum_$c", s"min_$c", s"max_$c")
+      )
+      stateAttrs <- traverse(needed.map(n => rollup.output.find(_.name == n)))
+    } yield {
+      val preds =
+        lo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
+          hi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
+      val pruned = preds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+      val newProjections = expand.projections.map { p =>
+        (p(widx).transform {
+          case a: AttributeReference if a.exprId == tsA.exprId =>
+            SecondsToTimestamp(sec)
+        }) +: stateAttrs.map(a => a: Expression)
+      }
+      val winAttr = expand.output(widx)
+      val newExpand =
+        Expand(newProjections, winAttr +: stateAttrs, pruned)
+      val outs = outs0.zip(exprs).map {
+        case (AggOut(k), a) =>
+          // state presence was required above, so replacement can't miss
+          Alias(replacement(k, newExpand).get, a.name)(exprId = a.exprId)
+        case (GroupOut(_), a) =>
+          Alias(winAttr, a.name)(exprId = a.exprId)
+        case (FieldOut(_, ord, fn), a) =>
+          Alias(GetStructField(winAttr, ord, fn), a.name)(exprId = a.exprId)
+      }
+      Aggregate(Seq(winAttr), outs, newExpand, None)
     }
   }
 
