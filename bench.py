@@ -329,6 +329,32 @@ def main() -> None:
 
     med("text_pii_repetition", pii_run)
 
+    # Train/eval decontamination: held-out = verbatim snippets of a few
+    # corpus docs (guaranteed hits — the assert fails if the gram join
+    # breaks) against the full corpus; one gram join, held-out side
+    # broadcast by AQE.
+    from datafusion_uwheel_spark.operators import contamination
+
+    held_seed = docs.limit(5).select(
+        "doc_id", F.substring("text", 1, 400).alias("text")
+    )
+
+    def contam_run():
+        row = (
+            contamination.with_contamination(
+                docs_wide.select("doc_id", "text"), held_seed, n=13
+            )
+            .agg(
+                F.sum(F.col("contaminated").cast("long")).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        assert row["c"] >= 1, "seeded held-out snippets were not flagged"
+        return row["c"]
+
+    med("text_decontaminate", contam_run)
+
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
@@ -755,6 +781,32 @@ def main() -> None:
         queries["vanilla_cte_join"] / queries["uw_cte_join"], 2
     )
     log(f"speedup_cte_join: {speedups['cte_join']}x")
+
+    # Tiered retention (LAST — compaction coarsens the wheels, so every
+    # second-aligned measurement above must already be recorded): roll the
+    # first ~⅔ of the timeline to hour buckets, then probe an hour-aligned
+    # range over the compacted span — still routed, still zero-job.
+    mb_before = eng.index_usage_bytes() / 1e6
+    t0 = time.perf_counter()
+    reclaimed = eng.compact_indexes("2024-01-20 00:00:00", "hour")
+    queries["uw_compact_to_hour"] = time.perf_counter() - t0
+    log(
+        f"uw_compact_to_hour: {queries['uw_compact_to_hour']*1e3:.0f} ms, "
+        f"{reclaimed} buckets reclaimed, "
+        f"{mb_before:.1f} -> {eng.index_usage_bytes()/1e6:.1f} MB driver-side"
+    )
+    assert reclaimed > 0
+
+    def compacted_call():
+        df = eng.sql(
+            "SELECT COUNT(*) AS c, SUM(value) AS s FROM events "
+            "WHERE ts >= '2024-01-08 00:00:00' AND ts < '2024-01-15 00:00:00'"
+        )
+        assert eng.last_route.rewritten
+        df.collect()
+
+    queries["uw_compacted_range"] = time_calls(compacted_call, N_PROBE)
+    log(f"uw_compacted_range: {queries['uw_compacted_range']*1e3:.1f} ms median")
 
     total = sum(queries.values())
     line = json.dumps(
