@@ -72,12 +72,25 @@ def main() -> None:
     )
     n3 = final.count()
 
-    # 4. Token accounting for the cleaned corpus.
+    # 4. Decontaminate against a (synthetic) held-out eval set: verbatim
+    # snippets of surviving corpus docs stand in for leaked benchmark
+    # text — the 13-gram guard must drop their source documents.
+    from datafusion_uwheel_spark.operators import contamination
+
+    held_out = (
+        final.filter(F.length("text") >= 150)  # snippet must carry >=13 grams
+        .limit(8)
+        .select("doc_id", F.substring("text", 1, 150).alias("text"))
+    )
+    final = contamination.decontaminate(final, held_out, n=13)
+    n4 = final.count()
+
+    # 5. Token accounting for the cleaned corpus.
     stats = text_ops.with_token_stats(final).agg(
         F.sum("n_tokens").alias("tokens"), F.count(F.lit(1)).alias("docs")
     ).collect()[0]
 
-    # 5. Pack into 2048-token training sequences (deterministic FFD).
+    # 6. Pack into 2048-token training sequences (deterministic BFD).
     # Few shards at this tiny SF: per-shard waste is at most one open bin,
     # so utilization needs enough docs per shard to amortize it (at corpus
     # scale the default parallelism-derived shard count is right).
@@ -92,7 +105,7 @@ def main() -> None:
         / (n_seq * 2048)
     )
 
-    # 6. Blend with a (synthetic) second source at 80/20 toward a budget.
+    # 7. Blend with a (synthetic) second source at 80/20 toward a budget.
     src_b = text_ops.with_token_stats(docs).select("doc_id", "n_tokens")
     main_src = text_ops.with_token_stats(final).select("doc_id", "n_tokens")
     mt = main_src.agg(F.sum("n_tokens")).collect()[0][0]
@@ -109,14 +122,14 @@ def main() -> None:
     dt = time.perf_counter() - t0
     print(
         f"pipeline: {n0} docs -> quality {n1} -> text-dedup {n2} -> "
-        f"embed-dedup {n3}; {stats['tokens']} tokens"
+        f"embed-dedup {n3} -> decontaminated {n4}; {stats['tokens']} tokens"
     )
     print(
         f"packed into {n_seq} x 2048-token sequences ({util:.0%} utilization); "
         f"blend shares {shares} vs budget {budget}"
     )
     print(f"total {dt:.1f}s at {SF_DIR}")
-    assert n0 >= n1 >= n2 >= n3 > 0
+    assert n0 >= n1 >= n2 >= n3 > n4 > 0  # the seeded snippets must drop docs
     assert util > 0.5
     print("OK training pipeline")
 

@@ -215,3 +215,77 @@ def test_streaming_retention_bounds_state(spark):
     # total mass conserved across all merges + compactions
     land = eng.sql("SELECT COUNT(*) AS c FROM ret_stream").collect()[0][0]
     assert land == 1 + 7 * rows_per_day
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_compaction_property_random_timelines(data):
+    """Pure-numpy property pin (no Spark): random raw rows -> fine wheel ->
+    a random minute/hour compaction ladder. Every range the tier map
+    declares coverable must answer exactly the raw-row aggregates; bounds
+    that would split a coarse bucket must refuse; total mass is conserved."""
+    rng = data.draw(st.randoms(use_true_random=False))
+    n_rows = data.draw(st.integers(5, 300))
+    span = data.draw(st.sampled_from([3600, 86400, 3 * 86400]))
+    rows = [(rng.randrange(0, span), rng.uniform(-100.0, 100.0)) for _ in range(n_rows)]
+    by_sec: dict[int, list[float]] = {}
+    for s, v in rows:
+        by_sec.setdefault(s, []).append(v)
+    secs = np.array(sorted(by_sec), dtype=np.int64)
+    cnt = np.array([len(by_sec[s]) for s in secs], dtype=np.int64)
+    w = WheelIndex(
+        "t", "v", "*_AGG", secs, cnt,
+        sum_=np.array([sum(by_sec[s]) for s in secs]),
+        min_=np.array([min(by_sec[s]) for s in secs]),
+        max_=np.array([max(by_sec[s]) for s in secs]),
+        vcnt_=cnt.copy(),
+        value_sql_type="DOUBLE",
+        min_ts_us=int(secs[0]) * 10**6,
+        max_ts_us=int(secs[-1]) * 10**6,
+        complete=True,
+        bucket_seconds=1,
+    )
+    # ladder: minute tier behind cut_m, then (maybe) an older hour tier
+    cut_m = (data.draw(st.integers(0, span)) // 60) * 60
+    w.compact_before(cut_m, 60)
+    if data.draw(st.booleans()):
+        cut_h = (data.draw(st.integers(0, cut_m)) // 3600) * 3600
+        w.compact_before(cut_h, 3600)
+    assert int(w.landmark()["count"]) == n_rows  # mass conserved
+
+    def raw(a, b):
+        vals = [v for s, v in rows if a <= s < b]
+        return len(vals), vals
+
+    for _ in range(15):
+        a = data.draw(st.integers(-60, span + 60))
+        b = data.draw(st.integers(a, span + 120))
+        states = w.combine_range(a, b)
+        aligned = a % w.width_at(a) == 0 and b % w.width_at(b) == 0
+        if not aligned:
+            assert states is None  # would split a coarse bucket
+            continue
+        assert states is not None  # complete wheel: any aligned range
+        n, vals = raw(a, b)
+        assert states["count"] == n
+        if n:
+            assert abs(states["sum"] - sum(vals)) <= 1e-9 * max(1.0, abs(sum(vals)))
+            assert states["min"] == min(vals) and states["max"] == max(vals)
+        else:
+            assert states["sum"] is None and states["min"] is None
+
+    # group-by at a granularity every intersecting tier divides
+    g = data.draw(st.sampled_from([3600, 86400]))
+    res = w.group_by(0, ((span // g) + 1) * g, g)
+    if w._max_width_in(0, span) <= g:
+        assert res is not None
+        got = {k: s["count"] for k, s in res}
+        want: dict[int, int] = {}
+        for s, _v in rows:
+            want[s - s % g] = want.get(s - s % g, 0) + 1
+        assert got == want
