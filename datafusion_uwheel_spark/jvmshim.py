@@ -412,6 +412,11 @@ def _export_agg_view(spark, engine, wheels: dict, name: str) -> None:
         cols[f"sum_{c}"] = masked(cw, cw.sum_, sum_type)
         cols[f"min_{c}"] = masked(cw, cw.min_, val_type)
         cols[f"max_{c}"] = masked(cw, cw.max_, val_type)
+        if cw.sumsq_ is not None:
+            # sum-of-squares state (always float64 — int² overflows int64):
+            # serves STDDEV/VARIANCE through the rule; subset builds
+            # without it simply leave those shapes to the scan
+            cols[f"sumsq_{c}"] = masked(cw, cw.sumsq_, pa.float64())
     _register_view(spark, engine, name, pa.table(cols))
 
 
@@ -539,7 +544,11 @@ def register_dim_rollup(
             raise ValueError(f"unsupported key type for the shim: {ktype}")
         key_arrow = kt[0]
     secs_parts, key_vals, cnt_parts = [], [], []
-    state_parts: dict = {c: {"vcnt": [], "sum": [], "min": [], "max": []} for c in cols}
+    state_parts: dict = {
+        c: {"vcnt": [], "sum": [], "min": [], "max": [], "sumsq": []} for c in cols
+    }
+    #: sumsq is exported only when EVERY family value's wheel carries it
+    sumsq_ok: dict = {c: True for c in cols}
     masks: dict = {c: [] for c in cols}
     base_for_pin = None
     for v, fam in sorted(fams.items(), key=lambda kv: (kv[0] is None, str(kv[0]))):
@@ -571,6 +580,10 @@ def register_dim_rollup(
             state_parts[c]["sum"].append(np.asarray(w.sum_))
             state_parts[c]["min"].append(np.asarray(w.min_))
             state_parts[c]["max"].append(np.asarray(w.max_))
+            if w.sumsq_ is not None:
+                state_parts[c]["sumsq"].append(np.asarray(w.sumsq_))
+            else:
+                sumsq_ok[c] = False
             masks[c].append(vc == 0)
     arrays: dict = {
         "sec": pa.array(np.concatenate(secs_parts)),
@@ -596,6 +609,8 @@ def register_dim_rollup(
         arrays[f"sum_{lc}"] = masked(state_parts[c]["sum"], sum_type)
         arrays[f"min_{lc}"] = masked(state_parts[c]["min"], val_type)
         arrays[f"max_{lc}"] = masked(state_parts[c]["max"], val_type)
+        if sumsq_ok[c]:
+            arrays[f"sumsq_{lc}"] = masked(state_parts[c]["sumsq"], pa.float64())
     dims = getattr(engine, "_shim_dims", None)
     if dims is None:
         dims = engine._shim_dims = {}

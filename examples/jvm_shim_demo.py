@@ -132,9 +132,43 @@ def main() -> None:
     e = spark.sql(empty).collect()[0]
     assert e["cnt"] == 0 and e["s"] is None and e["a"] is None, dict(e.asDict())
 
-    # Aggregate the shim can't serve (STDDEV) → whole plan falls through.
+    # Variance family from the sum-of-squares state: STDDEV/VARIANCE and
+    # the _POP/_SAMP forms rewrite (algebraic form over merged monoid
+    # states; the delegate computes incrementally, so compare at 1e-9).
+    for vsql in (
+        f"SELECT STDDEV(value) AS sd, VARIANCE(value) AS vr, COUNT(*) AS c "
+        f"FROM events WHERE ts >= '{a}' AND ts < '{b}'",
+        f"SELECT STDDEV_POP(value) AS sp, VAR_POP(value) AS vp FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}'",
+        f"SELECT date_trunc('day', ts) AS d, STDDEV(value) AS sd FROM events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' GROUP BY 1 ORDER BY d",
+    ):
+        vdf = spark.sql(vsql)
+        vphys = vdf._jdf.queryExecution().executedPlan().toString()
+        assert "events.parquet" not in vphys, (
+            "variance rewrite did not fire:\n" + vsql + "\n" + vphys
+        )
+        vr_ = [tuple(r) for r in vdf.collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        vw_ = [tuple(r) for r in spark.sql(vsql).collect()]
+        spark.conf.set("spark.uwheel.shim.tables", "events")
+        assert len(vr_) == len(vw_) > 0
+        for gr, wr in zip(vr_, vw_):
+            for x, y in zip(gr, wr):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (vsql, gr, wr)
+                else:
+                    assert x == y, (vsql, gr, wr)
+    # empty aligned range answers NULL stddev (LEGACY divide over NULL sums)
+    esd = spark.sql(
+        "SELECT STDDEV(value) AS sd FROM events "
+        "WHERE ts >= '2030-01-01 00:00:00' AND ts < '2030-01-02 00:00:00'"
+    ).collect()[0]
+    assert esd["sd"] is None
+
+    # Aggregate the shim can't serve (SKEWNESS) → whole plan falls through.
     sd = (
-        f"SELECT STDDEV(value) AS sd FROM events "
+        f"SELECT SKEWNESS(value) AS sk FROM events "
         f"WHERE ts >= '{a}' AND ts < '{b}'"
     )
     sd_phys = spark.sql(sd)._jdf.queryExecution().executedPlan().toString()

@@ -70,7 +70,9 @@ def gen_query(rng: random.Random, table: str) -> str:
         pool += EVENTS_ONLY_AGGS
     aggs = rng.sample(pool, rng.randint(1, 3))
     if rng.random() < 0.12:
-        aggs.append("STDDEV(value)")  # never rewrites — must fall through intact
+        aggs.append("STDDEV(value)")  # variance family — rewrites from sumsq
+    if rng.random() < 0.08:
+        aggs.append("SKEWNESS(value)")  # never rewrites — fall-through probe
     if rng.random() < 0.2:
         # exact from the dim view on `events`; no family on events_m/user_id
         aggs.append(
@@ -100,8 +102,9 @@ def gen_query(rng: random.Random, table: str) -> str:
         " GROUP BY " + ", ".join(g for _, g in gcols) if gcols else ""
     )
     conj = []
-    shape = rng.choices([0, 1, 2, 3], [5, 1, 1, 1])[0]
-    if shape != 3:  # 3 = landmark (no time bounds)
+    # 0=[a,b) 1=lo-only 2=hi-only 3=landmark 4=OR of two ranges 5=ts equality
+    shape = rng.choices([0, 1, 2, 3, 4, 5], [5, 1, 1, 1, 2, 1])[0]
+    if shape in (0, 1, 2):
         a, b = pick(rng, BOUNDS)
         # `>` / `<=` exercise the hybrid (core + sliver) rewrite on scalar
         # shapes and full fall-through on grouped/keyed ones
@@ -111,6 +114,18 @@ def gen_query(rng: random.Random, table: str) -> str:
             conj.append(f"ts {lo_op} '{a}'")
         if shape in (0, 2):
             conj.append(f"ts {hi_op} '{b}'")
+    elif shape == 4:
+        # OR of ranges (overlapping, disjoint, adjacent): hybrid interval
+        # merge on scalar shapes, fall-through on grouped ones
+        (a1, b1) = pick(rng, BOUNDS)
+        (a2, b2) = pick(rng, BOUNDS)
+        conj.append(
+            f"((ts >= '{a1}' AND ts < '{b1}') OR (ts >= '{a2}' AND ts <= '{b2}'))"
+        )
+    elif shape == 5:
+        conj.append(
+            "ts = '" + pick(rng, BOUNDS)[rng.randint(0, 1)] + "'"
+        )
     key = pick(rng, KEYS)
     if key:
         conj.append(key)

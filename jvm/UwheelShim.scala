@@ -48,12 +48,18 @@
  *   COUNT(*)→ COALESCE(SUM(cnt),0)   COUNT(c)→ COALESCE(SUM(vcnt),0)
  *   SUM(c)  → SUM(sum)               MIN/MAX(c)→ MIN(min)/MAX(max)
  *   AVG(c)  → SUM(sum) / SUM(vcnt)   (LEGACY division: NULL over empty)
+ *   STDDEV/VARIANCE(_POP/_SAMP)(c) → algebraic form over SUM(sumsq_c),
+ *     SUM(sum_c), SUM(vcnt_c) when the view exports the sum-of-squares
+ *     state (negative-clamped against float cancellation; LEGACY divides
+ *     give NULL over empty and for _SAMP at n=1)
  * Scalar shapes whose bounds the exact path cannot tile — BETWEEN, `<=`,
- * `>`, bucket-unaligned literals — rewrite HYBRID: the bucket-aligned core
- * comes from the pruned rollup, the sub-bucket remainders from a sliver
- * scan whose pushed-down ts predicate covers at most two bucket-widths,
- * unioned as partial states under the original aggregates (see tryHybrid;
- * the reference APPROXIMATES these ops instead, expr.rs:83-105).
+ * `>`, bucket-unaligned literals, `ts = instant` equality, and
+ * OR-of-ranges (legs merged into disjoint intervals) — rewrite HYBRID:
+ * the bucket-aligned cores come from the pruned rollup, the sub-bucket
+ * remainders from a sliver scan whose pushed-down ts predicate covers at
+ * most two bucket-widths per interval, unioned as partial states under
+ * the original aggregates (see tryHybrid; the reference APPROXIMATES the
+ * boundary ops, expr.rs:83-105, and rejects OR / time equality outright).
  * The group-by form regroups the rollup under the ORIGINAL TruncTimestamp
  * expression applied to the bucket-start (`date_trunc(g,
  * seconds_to_timestamp(sec))`), so Spark's own calendar logic (weeks,
@@ -240,6 +246,11 @@ case class UwheelAggRewrite(session: SparkSession)
   private case class MinCol(c: String) extends AggKind { val col = Some(c) }
   private case class MaxCol(c: String) extends AggKind { val col = Some(c) }
   private case class AvgCol(c: String) extends AggKind { val col = Some(c) }
+  // variance family from the sum-of-squares state; vkind ∈
+  // var_pop | var_samp | stddev_pop | stddev_samp
+  private case class VarCol(c: String, vkind: String) extends AggKind {
+    val col = Some(c)
+  }
   // COUNT(DISTINCT dimkey): exact from the key-complete dim view; the
   // key is NOT a state column (col = None keeps it out of coverage math —
   // the view requirement is enforced separately)
@@ -270,6 +281,10 @@ case class UwheelAggRewrite(session: SparkSession)
         case m: Min            => attrName(m.child, allowed).map(MinCol)
         case m: Max            => attrName(m.child, allowed).map(MaxCol)
         case a: Average        => attrName(a.child, allowed).map(AvgCol)
+        case v: VariancePop    => attrName(v.child, allowed).map(VarCol(_, "var_pop"))
+        case v: VarianceSamp   => attrName(v.child, allowed).map(VarCol(_, "var_samp"))
+        case v: StddevPop      => attrName(v.child, allowed).map(VarCol(_, "stddev_pop"))
+        case v: StddevSamp     => attrName(v.child, allowed).map(VarCol(_, "stddev_samp"))
         case _                 => None
       }
 
@@ -630,6 +645,29 @@ case class UwheelAggRewrite(session: SparkSession)
             Cast(sumAgg(v), DoubleType),
             EvalMode.LEGACY
           )
+      case VarCol(c, vkind) =>
+        // algebraic form over merged monoid states: (Σx² − (Σx)²/n)/denom.
+        // LEGACY divides give NULL over empty ranges and for samp at n=1,
+        // matching the original plan; the negative-clamp guards the tiny
+        // float cancellation the incremental (Welford) delegate never sees
+        // (If preserves NULL — a null predicate takes the else branch).
+        for (s <- col(s"sum_$c"); q <- col(s"sumsq_$c"); v <- col(s"vcnt_$c"))
+          yield {
+            def dbl(e: Expression) = Cast(e, DoubleType)
+            val n = dbl(sumAgg(v))
+            val s1 = dbl(sumAgg(s))
+            val num = Subtract(
+              dbl(sumAgg(q)),
+              Divide(Multiply(s1, s1, EvalMode.LEGACY), n, EvalMode.LEGACY),
+              EvalMode.LEGACY
+            )
+            val denom =
+              if (vkind.endsWith("pop")) n
+              else Subtract(n, Literal(1.0), EvalMode.LEGACY)
+            val va = Divide(num, denom, EvalMode.LEGACY)
+            val clamped = If(LessThan(va, Literal(0.0)), Literal(0.0), va)
+            if (vkind.startsWith("stddev")) Sqrt(clamped) else clamped
+          }
     }
   }
 
@@ -748,9 +786,10 @@ case class UwheelAggRewrite(session: SparkSession)
         else None
       rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
-      needed = "cnt" +: cols.flatMap(c =>
+      varCols = kinds.collect { case VarCol(c, _) => c }.distinct
+      needed = "cnt" +: (cols.flatMap(c =>
         Seq(s"vcnt_$c", s"sum_$c", s"min_$c", s"max_$c")
-      )
+      ) ++ varCols.map(c => s"sumsq_$c"))
       stateAttrs <- traverse(needed.map(n => rollup.output.find(_.name == n)))
     } yield {
       val preds =
@@ -781,62 +820,121 @@ case class UwheelAggRewrite(session: SparkSession)
 
   // --------------------------------------------------------------- hybrid
 
-  /** Raw temporal bounds including the ops the exact path cannot tile:
-    * (micros, inclusive?) per side. Every conjunct must be a recognized
-    * bound or IsNotNull(ts) — key equalities and anything else reject
-    * (match-or-nothing; the hybrid path serves plain scalar ranges). */
-  private def rawBounds(
-      cond: Expression,
+  /** A half-open µs interval; None = unbounded on that side. */
+  private case class Ival(lo: Option[Long], hi: Option[Long])
+
+  /** One leg's temporal bounds including the ops the exact path cannot
+    * tile — `>` / `<=` (normalized by ±1µs: timestamps are µs-discrete)
+    * and `ts = instant` (a 1µs interval). Every conjunct must be a
+    * recognized bound or IsNotNull(ts) — key equalities and anything else
+    * reject (match-or-nothing). Returns None for a boundless leg. */
+  private def legInterval(
+      conjuncts: Seq[Expression],
       timeCol: String,
       allowed: AttributeSet
-  ): Option[(Option[(Long, Boolean)], Option[(Long, Boolean)])] = {
+  ): Option[Ival] = {
     def isTime(e: Expression): Boolean = e match {
       case a: AttributeReference =>
         allowed.contains(a) && a.name.equalsIgnoreCase(timeCol)
       case _ => false
     }
-    val conjuncts = splitConjunctivePredicates(cond)
-    var lo: Option[(Long, Boolean)] = None
-    var hi: Option[(Long, Boolean)] = None
-    var n = 0
-    var nn = 0
+    var lo: Option[Long] = None // inclusive micros
+    var hi: Option[Long] = None // EXCLUSIVE micros
+    var loN, hiN, n, nn = 0
     conjuncts.foreach {
       case GreaterThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
-        lo = Some((v, true)); n += 1
+        lo = Some(v); loN += 1; n += 1
       case LessThanOrEqual(Literal(v: Long, TimestampType), a) if isTime(a) =>
-        lo = Some((v, true)); n += 1
+        lo = Some(v); loN += 1; n += 1
       case GreaterThan(a, Literal(v: Long, TimestampType)) if isTime(a) =>
-        lo = Some((v, false)); n += 1
+        lo = Some(v + 1); loN += 1; n += 1
       case LessThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
-        lo = Some((v, false)); n += 1
+        lo = Some(v + 1); loN += 1; n += 1
       case LessThan(a, Literal(v: Long, TimestampType)) if isTime(a) =>
-        hi = Some((v, false)); n += 1
+        hi = Some(v); hiN += 1; n += 1
       case GreaterThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
-        hi = Some((v, false)); n += 1
+        hi = Some(v); hiN += 1; n += 1
       case LessThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
-        hi = Some((v, true)); n += 1
+        hi = Some(v + 1); hiN += 1; n += 1
       case GreaterThanOrEqual(Literal(v: Long, TimestampType), a) if isTime(a) =>
-        hi = Some((v, true)); n += 1
+        hi = Some(v + 1); hiN += 1; n += 1
+      case EqualTo(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+        lo = Some(v); hi = Some(v + 1); loN += 1; hiN += 1; n += 1
+      case EqualTo(Literal(v: Long, TimestampType), a) if isTime(a) =>
+        lo = Some(v); hi = Some(v + 1); loN += 1; hiN += 1; n += 1
       case IsNotNull(a) if isTime(a) => nn += 1; n += 1
       case _                         => ()
     }
-    if (n != conjuncts.size) None
-    else if (lo.size + hi.size + nn != conjuncts.size) None // duplicate side
-    else if (lo.isEmpty && hi.isEmpty) None // landmark: exact path's job
-    else Some((lo, hi))
+    if (n != conjuncts.size || loN > 1 || hiN > 1) None
+    else if (lo.isEmpty && hi.isEmpty) None // boundless leg
+    else Some(Ival(lo, hi))
+  }
+
+  /** The Filter condition as DISJOINT half-open µs intervals: plain
+    * conjunctions give one; a single OR-of-range-conjunctions conjunct
+    * (alongside inferred IsNotNull(ts)) gives several, merged so a row in
+    * overlapping legs is counted once. Any conjunct the grammar doesn't
+    * recognize rejects the plan. */
+  private def condIntervals(
+      cond: Expression,
+      timeCol: String,
+      allowed: AttributeSet
+  ): Option[Seq[Ival]] = {
+    def isTimeNN(e: Expression): Boolean = e match {
+      case IsNotNull(a: AttributeReference) =>
+        allowed.contains(a) && a.name.equalsIgnoreCase(timeCol)
+      case _ => false
+    }
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (nn, rest) = conjuncts.partition(isTimeNN)
+    val raw: Option[Seq[Ival]] = rest match {
+      case Seq(or: Or) =>
+        traverse(
+          splitDisjunctivePredicates(or)
+            .map(leg => legInterval(splitConjunctivePredicates(leg), timeCol, allowed))
+        )
+      case _ if rest.nonEmpty =>
+        legInterval(rest, timeCol, allowed).map(Seq(_))
+      case _ => None // no bounds at all: the exact landmark path's job
+    }
+    val _ = nn
+    raw.map { ivs =>
+      // drop provably-empty legs, then merge on the sorted lower bounds
+      val live = ivs.filter(iv =>
+        iv.lo.zip(iv.hi).forall { case (l, h) => l < h }
+      )
+      val sorted = live.sortBy(iv => iv.lo.getOrElse(Long.MinValue))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[Ival]
+      sorted.foreach { iv =>
+        merged.lastOption match {
+          case Some(last)
+              if last.hi.isEmpty ||
+                iv.lo.exists(l => last.hi.exists(l <= _)) || iv.lo.isEmpty =>
+            val hi =
+              if (last.hi.isEmpty || iv.hi.isEmpty) None
+              else Some(Math.max(last.hi.get, iv.hi.get))
+            merged(merged.size - 1) = Ival(last.lo, hi)
+          case _ => merged += iv
+        }
+      }
+      merged.toSeq
+    }
   }
 
   /** Boundary-exact rewrite for scalar aggregates whose bounds the exact
-    * path cannot tile — `<=` / `>` comparisons and bucket-unaligned
-    * literals (the Python router's hybrid family, through the host
-    * optimizer; the reference APPROXIMATES these shapes, expr.rs:83-105,
-    * silently wrong on sub-bucket timestamps). The query interval splits
-    * into a bucket-aligned CORE answered from the pruned rollup view and
-    * at most two sub-bucket SLIVERS answered by a scan whose pushed-down
-    * ts predicate covers ≤ 2 bucket-widths; a Union of the core's partial
-    * states with per-row partials from the sliver feeds the original
-    * aggregates, so results are exact monoid sums (timestamps are
-    * µs-discrete: `ts <= U` ≡ `ts < U+1µs`, `ts > L` ≡ `ts >= L+1µs`). */
+    * path cannot tile — `<=` / `>` comparisons, bucket-unaligned
+    * literals, `ts = instant` equality (a 1µs interval), and
+    * OR-of-temporal-ranges (legs merged into disjoint intervals so
+    * overlaps count once; the Python router's hybrid + or_ranges +
+    * point families, through the host optimizer; the reference
+    * APPROXIMATES the boundary ops, expr.rs:83-105, and rejects OR and
+    * time equality outright, expr.rs:198-207,351-356). Each interval
+    * splits into a bucket-aligned CORE answered from the pruned rollup
+    * view and ≤2 sub-bucket SLIVERS answered by a scan whose pushed-down
+    * ts predicate covers ≤ 2 bucket-widths per interval; a Union of the
+    * cores' partial states with per-row partials from the slivers feeds
+    * the original aggregates, so results are exact monoid sums
+    * (timestamps are µs-discrete: `ts <= U` ≡ `ts < U+1µs`). */
   private def tryHybrid(
       exprs: Seq[NamedExpression],
       child: LogicalPlan,
@@ -865,7 +963,7 @@ case class UwheelAggRewrite(session: SparkSession)
         case _ => None
       })
       cols = kinds.flatMap(_.col).distinct
-      (lo, hi) <- rawBounds(cond, timeCol, allowed)
+      intervals <- condIntervals(cond, timeCol, allowed)
       tsAttr <- rel.output.find(_.name.equalsIgnoreCase(timeCol))
       registered = session.conf
         .getOption(s"spark.uwheel.shim.$table.agg_cols")
@@ -883,9 +981,10 @@ case class UwheelAggRewrite(session: SparkSession)
       sec <- rollup.output.find(_.name == "sec")
       // every state column the aggregates merge must exist on the view AND
       // resolve to a scan column for the sliver side
-      needed = "cnt" +: cols.flatMap(c =>
+      varCols = kinds.collect { case VarCol(c, _) => c }.distinct
+      needed = "cnt" +: (cols.flatMap(c =>
         Seq(s"vcnt_$c", s"sum_$c", s"min_$c", s"max_$c")
-      )
+      ) ++ varCols.map(c => s"sumsq_$c"))
       stateAttrs <- traverse(needed.map(n => rollup.output.find(_.name == n)))
       colAttrs <- traverse(
         cols.map(c => rel.output.find(_.name.equalsIgnoreCase(c)))
@@ -893,31 +992,35 @@ case class UwheelAggRewrite(session: SparkSession)
     } yield {
       val colAttr = cols.zip(colAttrs).toMap
       val align = Micros * bucketSec
-      // normalize to a half-open µs interval [loMic, hiMic)
-      val loMic = lo.map { case (v, incl) => if (incl) v else v + 1 }
-      val hiMic = hi.map { case (v, incl) => if (incl) v + 1 else v }
       def ceilA(v: Long) = {
         val m = Math.floorMod(v, align); if (m == 0) v else v + (align - m)
       }
       def floorA(v: Long) = v - Math.floorMod(v, align)
-      val coreLo = loMic.map(ceilA)
-      val coreHi = hiMic.map(floorA)
-      val emptyCore = coreLo.zip(coreHi).exists { case (l, h) => l >= h }
-      // core: sec-pruned rollup partials (empty when the interval spans
-      // less than one full bucket — the preds then select nothing)
-      val corePreds =
-        coreLo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
-          coreHi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
+      // per disjoint interval: a bucket-aligned core plus ≤2 slivers
+      var corePreds = Seq.empty[Expression] // one conjunction per interval
+      var slivers = Seq.empty[(Option[Long], Option[Long])]
+      intervals.foreach { iv =>
+        val coreLo = iv.lo.map(ceilA)
+        val coreHi = iv.hi.map(floorA)
+        val emptyCore = coreLo.zip(coreHi).exists { case (l, h) => l >= h }
+        if (emptyCore) slivers :+= ((iv.lo, iv.hi))
+        else {
+          val ps =
+            coreLo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
+              coreHi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
+          corePreds :+= ps.reduceOption(And).getOrElse(Literal(true))
+          slivers ++=
+            iv.lo.filter(l => coreLo.exists(_ > l)).map(l => (Some(l), coreLo)).toSeq ++
+              iv.hi.filter(h => coreHi.exists(_ < h)).map(h => (coreHi, Some(h))).toSeq
+        }
+      }
+      val corePred: Expression =
+        if (intervals.isEmpty) Literal(false) // all legs provably empty
+        else corePreds.reduceOption(Or).getOrElse(Literal(false))
       val core = Project(
         stateAttrs.map(a => a: NamedExpression),
-        corePreds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
+        Filter(corePred, rollup)
       )
-      // slivers: the sub-bucket remainders of the interval
-      val slivers: Seq[(Option[Long], Option[Long])] =
-        if (emptyCore) Seq((loMic, hiMic))
-        else
-          loMic.filter(l => coreLo.exists(_ > l)).map(l => (Some(l), coreLo)).toSeq ++
-            hiMic.filter(h => coreHi.exists(_ < h)).map(h => (coreHi, Some(h))).toSeq
       def tsLit(v: Long) = Literal(v, TimestampType)
       def ivalPred(a: Option[Long], b: Option[Long]): Expression = {
         val ps = a.map(v => GreaterThanOrEqual(tsAttr, tsLit(v)): Expression).toSeq ++
@@ -928,6 +1031,9 @@ case class UwheelAggRewrite(session: SparkSession)
         case "cnt" => Literal(1L)
         case n if n.startsWith("vcnt_") =>
           If(IsNull(colAttr(n.stripPrefix("vcnt_"))), Literal(0L), Literal(1L))
+        case n if n.startsWith("sumsq_") =>
+          val c = Cast(colAttr(n.stripPrefix("sumsq_")), DoubleType)
+          Multiply(c, c, EvalMode.LEGACY)
         case n =>
           val c = colAttr(n.dropWhile(_ != '_').drop(1))
           if (c.dataType == a.dataType) c else Cast(c, a.dataType)

@@ -44,7 +44,10 @@ def test_agg_rollup_combined_view_accumulates_columns(spark, eng):
     name = register_agg_rollup(spark, eng, "value")
     assert name == "__uwheel_rollup_shimreg__agg"
     cols = set(spark.table(name).columns)
-    assert {"sec", "cnt", "vcnt_value", "sum_value", "min_value", "max_value"} <= cols
+    assert {
+        "sec", "cnt", "vcnt_value", "sum_value", "min_value", "max_value",
+        "sumsq_value",  # serves STDDEV/VARIANCE through the rule
+    } <= cols
     eng.build_index("user_id")
     register_agg_rollup(spark, eng, "user_id")
     cols = set(spark.table(name).columns)
