@@ -24,6 +24,12 @@ N_QUERIES = int(os.environ.get("SHIM_FUZZ_N", "60"))
 #: backing (max_local_rows=0) — the path large wheels take automatically —
 #: so the whole fuzz matrix also proves the file-backed rewrite.
 PARQUET_VIEWS = os.environ.get("SHIM_FUZZ_PARQUET_VIEWS") == "1"
+#: SHIM_FUZZ_NTZ=1 re-creates the queried temp views from a RAW
+#: ``spark.read.parquet`` with NTZ inference on — the testdata is
+#: ``isAdjustedToUTC=false``, so this is exactly what a user who never
+#: touches ``sources.read_parquet`` sees: TIMESTAMP_NTZ columns. The whole
+#: matrix must rewrite (and match the scan) against naive-micros literals.
+NTZ_VIEWS = os.environ.get("SHIM_FUZZ_NTZ") == "1"
 
 #: (choice, weight) — biased toward matchable shapes so the fuzz exercises
 #: the rewrite path heavily while still probing every fall-through edge.
@@ -191,6 +197,10 @@ def main() -> None:
     import tempfile
 
     mdir = os.path.join(tempfile.mkdtemp(prefix="uwheel_fuzz_"), "events_m.parquet")
+    if NTZ_VIEWS:
+        # copy through an NTZ read so the written file stays NTZ-annotated
+        # (writing an LTZ frame would flip it to isAdjustedToUTC=true)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     spark.read.parquet(f"{SF}/events.parquet").write.parquet(mdir)
     ceng = WheelEngine(
         spark, "events_m", mdir, time_column="ts", index_granularity="minute"
@@ -200,6 +210,13 @@ def main() -> None:
     ceng.build_index("value")
     register_agg_rollup(spark, ceng, "value")
     spark.read.parquet(mdir).createOrReplaceTempView("events_m")
+    if NTZ_VIEWS:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        for name, p in (("events", f"{SF}/events.parquet"), ("events_m", mdir)):
+            ndf = spark.read.parquet(p)
+            assert dict(ndf.dtypes)["ts"] == "timestamp_ntz", ndf.dtypes
+            ndf.createOrReplaceTempView(name)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     tables_conf = spark.conf.get("spark.uwheel.shim.tables")
 
     rng = random.Random(20260814)
@@ -230,10 +247,45 @@ def main() -> None:
         assert rows_equal(got, want), (
             f"MISMATCH on fuzz #{i}:\n{sql}\nshim: {got[:5]}\nscan: {want[:5]}"
         )
+    # SELECT * scan-pruning sweep (reference R6/R7 through the rule):
+    # whatever the rule does the row counts must match, and a pruned plan
+    # is only ever an EMPTY-proof
+    star_rng = random.Random(77)
+    pruned_n = 0
+    for _ in range(30):
+        a, b = pick(star_rng, BOUNDS)
+        conj = []
+        if star_rng.random() < 0.8:
+            conj.append(f"ts >= '{a}'")
+        if star_rng.random() < 0.8:
+            conj.append(f"ts < '{b}'")
+        if star_rng.random() < 0.5:
+            v = star_rng.choice([-10.0, 0.5, 100000.0, 250.0])
+            op = star_rng.choice([">", ">=", "<", "<="])
+            conj.append(f"value {op} {v}")
+        if not conj:
+            continue
+        sql = "SELECT * FROM events WHERE " + " AND ".join(conj)
+        df = spark.sql(sql)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pruned = "events.parquet" not in plan and "FileScan" not in plan
+        got = df.count()
+        spark.conf.set("spark.uwheel.shim.tables", "")
+        want = spark.sql(sql).count()
+        spark.conf.set("spark.uwheel.shim.tables", tables_conf)
+        assert got == want, ("star", sql, got, want)
+        assert not pruned or got == 0, ("unsound prune", sql)
+        pruned_n += pruned
+    # file-backed views keep no driver-resident buckets, so the proof (an
+    # in-memory iteration) only runs in LocalRelation mode
+    assert pruned_n > 0 or PARQUET_VIEWS
+
     # the generator must exercise both outcomes or it tests nothing
     assert rewritten >= N_QUERIES // 10, (rewritten, fell_through)
     assert fell_through >= N_QUERIES // 10, (rewritten, fell_through)
     mode = "parquet-backed views" if PARQUET_VIEWS else "local views"
+    if NTZ_VIEWS:
+        mode += ", NTZ tables"
     extra = f" ({hybrid} of those hybrid core+sliver)" if PARQUET_VIEWS else ""
     print(f"OK shim fuzz ({mode}): {N_QUERIES} queries, {rewritten} rewritten, "
           f"{fell_through} fell through{extra}, 0 mismatches")

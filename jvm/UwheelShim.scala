@@ -75,6 +75,14 @@
  * the same whole-plan match-or-nothing discipline as `try_rewrite`
  * returning None (lib.rs:246-252).
  *
+ * SELECT * scan pruning (reference R6/R7, lib.rs:608-649): a Filter whose
+ * temporal range (any alignment — the proof covers the enclosing buckets)
+ * and optional single numeric comparison the driver-resident rollup
+ * PROVES match zero rows is replaced with an empty relation at plan time —
+ * count-proof from cnt, min/max-proof from the per-bucket envelopes;
+ * file-backed views are not consulted (the proof stays an in-memory
+ * iteration) and anything unprovable scans normally.
+ *
  * Tables are recognized by their file-source root path (by the time optimizer
  * rules run, EliminateSubqueryAliases has stripped the view name), which also
  * makes the rewrite safe under `SELECT ... FROM parquet.`/path/`` style scans.
@@ -87,7 +95,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 class UwheelExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -99,6 +107,13 @@ case class UwheelAggRewrite(session: SparkSession)
     with PredicateHelper {
 
   private val Micros = 1000000L
+
+  /** `spark.uwheel.shim.debug=true` traces match decisions to stderr —
+    * the rule is silent by design (fallthrough is always sound), so this
+    * is the supported way to see WHY a query didn't rewrite. */
+  private def dbg(msg: => String): Unit =
+    if (session.conf.getOption("spark.uwheel.shim.debug").contains("true"))
+      System.err.println(s"[uwheel-shim] $msg")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val tables = registeredTables()
@@ -122,6 +137,17 @@ case class UwheelAggRewrite(session: SparkSession)
               tryHop(exprs, gexprs, child, tables)
             )
             .getOrElse(agg)
+        // SELECT * scan pruning (reference R6/R7, lib.rs:608-649): a
+        // temporal/min-max predicate the driver-resident rollup PROVES
+        // matches zero rows replaces the whole scan with an empty relation.
+        // `spark.uwheel.shim.prune=false` is the ops kill-switch (it also
+        // composes with the hybrid rewrite — a proven-empty sliver drops
+        // the scan leg entirely — which the switch makes observable).
+        case f @ Filter(cond, rel: LogicalRelation)
+            if session.conf
+              .getOption("spark.uwheel.shim.prune")
+              .forall(_ != "false") =>
+          if (provablyEmpty(cond, rel, tables)) LocalRelation(f.output) else f
       }
   }
 
@@ -335,13 +361,13 @@ case class UwheelAggRewrite(session: SparkSession)
     //           a no-op here: the rollup build drops NULL-ts rows already
     var n = 0
     conjuncts.foreach {
-      case GreaterThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+      case GreaterThanOrEqual(a, TsLit(v)) if isTime(a) =>
         lo = Some(v); n += 1
-      case LessThanOrEqual(Literal(v: Long, TimestampType), a) if isTime(a) =>
+      case LessThanOrEqual(TsLit(v), a) if isTime(a) =>
         lo = Some(v); n += 1
-      case LessThan(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+      case LessThan(a, TsLit(v)) if isTime(a) =>
         hi = Some(v); n += 1
-      case GreaterThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
+      case GreaterThan(TsLit(v), a) if isTime(a) =>
         hi = Some(v); n += 1
       case IsNotNull(a) if isTime(a) =>
         nn += 1; n += 1
@@ -360,7 +386,11 @@ case class UwheelAggRewrite(session: SparkSession)
           (a.name.toLowerCase, vals.collect { case Literal(s, _) => s.toString })
         )
         n += 1
-      case _ => ()
+      case other =>
+        dbg(
+          s"unrecognized conjunct ${other.getClass.getSimpleName}: $other " +
+            s"(children: ${other.children.map(c => s"$c:${c.dataType}").mkString(", ")})"
+        )
     }
     val align = Micros * bucketSec
     // n counts recognized conjuncts; a duplicate-side overwrite makes the
@@ -391,6 +421,27 @@ case class UwheelAggRewrite(session: SparkSession)
 
   /** Can `date_trunc(fmt, ·)` of every row in a bucket be read off the
     * bucket start? True iff whole buckets land in one trunc cell. */
+  /** Timestamp literal micros, for BOTH timestamp flavors. TIMESTAMP_NTZ
+    * comparisons are naive-micros vs naive-micros, and the rollup's `sec`
+    * buckets ARE naive seconds for an NTZ-annotated source (parquet stores
+    * the same int64 either way; the build never converts) — so range
+    * matching is timezone-independent for NTZ and epoch-based for LTZ. */
+  private object TsLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType | TimestampNTZType) => Some(v)
+      case _                                                  => None
+    }
+  }
+
+  /** The bucket-start `sec` column materialized back as a timestamp OF THE
+    * ORIGINAL COLUMN'S TYPE — an NTZ grouping must reconstruct NTZ (same
+    * naive instant: epoch→UTC wall clock, explicitly pinned so the session
+    * zone cannot shift it) or the rewritten schema/grouping keys diverge. */
+  private def bucketTs(sec: Expression, dt: DataType): Expression =
+    if (dt == TimestampNTZType)
+      Cast(SecondsToTimestamp(sec), TimestampNTZType, Some("UTC"))
+    else SecondsToTimestamp(sec)
+
   private def granTiles(fmt: String, bucketSec: Long, tz: String): Boolean = {
     val f = fmt.toLowerCase
     val known = FixedGranSecs.contains(f) || CalendarGrans.contains(f)
@@ -427,9 +478,9 @@ case class UwheelAggRewrite(session: SparkSession)
     val timeGroup = grouping.collectFirst { case tg: TimeLike => tg }
     val keyGroup = grouping.collectFirst { case kg: KeyGroup => kg }
     for {
-      (cond, rel) <- filterOverScan(child)
-      root <- scanRoot(rel)
-      (table, timeCol) <- tables.get(root)
+      (cond, rel) <- orDbg(filterOverScan(child), "no filter-over-scan shape")
+      root <- orDbg(scanRoot(rel), "scan has no file root")
+      (table, timeCol) <- orDbg(tables.get(root), s"root not registered: $root")
       allowed = rel.outputSet
       bucketSec = session.conf
         .getOption(s"spark.uwheel.shim.$table.bucket_sec")
@@ -463,7 +514,11 @@ case class UwheelAggRewrite(session: SparkSession)
               granTiles(
                 s.toString,
                 bucketSec,
-                g.timeZoneId.getOrElse(session.sessionState.conf.sessionLocalTimeZone)
+                // NTZ truncation is naive-calendar arithmetic — its
+                // boundaries epoch-align exactly like UTC's do
+                if (g.timestamp.dataType == TimestampNTZType) "UTC"
+                else
+                  g.timeZoneId.getOrElse(session.sessionState.conf.sessionLocalTimeZone)
               )
             case _ => false
           })
@@ -474,7 +529,10 @@ case class UwheelAggRewrite(session: SparkSession)
       if keyGroup.forall(kg =>
         allowed.contains(kg.orig) && !kg.orig.name.equalsIgnoreCase(timeCol)
       )
-      (lo, hi, key) <- bounds(cond, timeCol, bucketSec, allowed)
+      (lo, hi, key) <- orDbg(
+        bounds(cond, timeCol, bucketSec, allowed),
+        s"bounds not tileable for $table: $cond"
+      )
       // absent time bounds (landmark shapes) read the WHOLE rollup as the
       // whole table — sound only when the time column has no NULLs (the
       // rollup build drops NULL-ts rows; a bounded scan drops them too,
@@ -531,8 +589,8 @@ case class UwheelAggRewrite(session: SparkSession)
               }
           }
       (viewName, keyFilter) = chosen
-      rollup <- rollupPlan(viewName)
-      sec <- rollup.output.find(_.name == "sec")
+      rollup <- orDbg(rollupPlan(viewName), s"view not resolvable: $viewName")
+      sec <- orDbg(rollup.output.find(_.name == "sec"), s"no sec col: $viewName")
       keyAttr = rollup.output.find(_.name == "key")
       // a dim-view key restriction needs the key column to be STRING (the
       // recognized equality literal is)
@@ -552,14 +610,16 @@ case class UwheelAggRewrite(session: SparkSession)
         Alias(
           wg.struct.transform {
             case a: AttributeReference if a.exprId == wg.ts.exprId =>
-              SecondsToTimestamp(sec)
+              bucketTs(sec, a.dataType)
           },
           "window"
         )()
       }
       newGroups <- traverse(grouping.map {
         case TimeGroup(_, g) =>
-          Some(g.copy(timestamp = SecondsToTimestamp(sec)): Expression)
+          Some(
+            g.copy(timestamp = bucketTs(sec, g.timestamp.dataType)): Expression
+          )
         case _: WindowGroup => winAlias.map(_.toAttribute: Expression)
         case KeyGroup(_)    => keyAttr.map(a => a: Expression)
       })
@@ -767,7 +827,10 @@ case class UwheelAggRewrite(session: SparkSession)
       kinds = outs0.collect { case AggOut(k) => k }
       if !kinds.exists(_.isInstanceOf[CountDistinctKey]) // needs the dim view
       cols = kinds.flatMap(_.col).distinct
-      (lo, hi, key) <- bounds(cond, timeCol, bucketSec, allowed)
+      (lo, hi, key) <- orDbg(
+        bounds(cond, timeCol, bucketSec, allowed),
+        s"bounds not tileable for $table: $cond"
+      )
       if key.isEmpty // keyed hopping: per-value views don't replicate here
       if lo.nonEmpty || hi.nonEmpty || session.conf
         .getOption(s"spark.uwheel.shim.$table.ts_nonnull")
@@ -799,7 +862,7 @@ case class UwheelAggRewrite(session: SparkSession)
       val newProjections = expand.projections.map { p =>
         (p(widx).transform {
           case a: AttributeReference if a.exprId == tsA.exprId =>
-            SecondsToTimestamp(sec)
+            bucketTs(sec, a.dataType)
         }) +: stateAttrs.map(a => a: Expression)
       }
       val winAttr = expand.output(widx)
@@ -842,25 +905,25 @@ case class UwheelAggRewrite(session: SparkSession)
     var hi: Option[Long] = None // EXCLUSIVE micros
     var loN, hiN, n, nn = 0
     conjuncts.foreach {
-      case GreaterThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+      case GreaterThanOrEqual(a, TsLit(v)) if isTime(a) =>
         lo = Some(v); loN += 1; n += 1
-      case LessThanOrEqual(Literal(v: Long, TimestampType), a) if isTime(a) =>
+      case LessThanOrEqual(TsLit(v), a) if isTime(a) =>
         lo = Some(v); loN += 1; n += 1
-      case GreaterThan(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+      case GreaterThan(a, TsLit(v)) if isTime(a) =>
         lo = Some(v + 1); loN += 1; n += 1
-      case LessThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
+      case LessThan(TsLit(v), a) if isTime(a) =>
         lo = Some(v + 1); loN += 1; n += 1
-      case LessThan(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+      case LessThan(a, TsLit(v)) if isTime(a) =>
         hi = Some(v); hiN += 1; n += 1
-      case GreaterThan(Literal(v: Long, TimestampType), a) if isTime(a) =>
+      case GreaterThan(TsLit(v), a) if isTime(a) =>
         hi = Some(v); hiN += 1; n += 1
-      case LessThanOrEqual(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+      case LessThanOrEqual(a, TsLit(v)) if isTime(a) =>
         hi = Some(v + 1); hiN += 1; n += 1
-      case GreaterThanOrEqual(Literal(v: Long, TimestampType), a) if isTime(a) =>
+      case GreaterThanOrEqual(TsLit(v), a) if isTime(a) =>
         hi = Some(v + 1); hiN += 1; n += 1
-      case EqualTo(a, Literal(v: Long, TimestampType)) if isTime(a) =>
+      case EqualTo(a, TsLit(v)) if isTime(a) =>
         lo = Some(v); hi = Some(v + 1); loN += 1; hiN += 1; n += 1
-      case EqualTo(Literal(v: Long, TimestampType), a) if isTime(a) =>
+      case EqualTo(TsLit(v), a) if isTime(a) =>
         lo = Some(v); hi = Some(v + 1); loN += 1; hiN += 1; n += 1
       case IsNotNull(a) if isTime(a) => nn += 1; n += 1
       case _                         => ()
@@ -1021,7 +1084,9 @@ case class UwheelAggRewrite(session: SparkSession)
         stateAttrs.map(a => a: NamedExpression),
         Filter(corePred, rollup)
       )
-      def tsLit(v: Long) = Literal(v, TimestampType)
+      // sliver-scan bounds typed as the COLUMN's timestamp flavor (an NTZ
+      // column compared to an LTZ literal would re-introduce casts/shift)
+      def tsLit(v: Long) = Literal(v, tsAttr.dataType)
       def ivalPred(a: Option[Long], b: Option[Long]): Expression = {
         val ps = a.map(v => GreaterThanOrEqual(tsAttr, tsLit(v)): Expression).toSeq ++
           b.map(v => LessThan(tsAttr, tsLit(v)): Expression).toSeq
@@ -1056,8 +1121,167 @@ case class UwheelAggRewrite(session: SparkSession)
     }
   }
 
+  // -------------------------------------------------------- scan pruning
+
+  /** Whether `cond` over a registered scan PROVABLY matches zero rows,
+    * judged entirely from a driver-resident (LocalRelation) rollup view at
+    * plan time — zero jobs, the reference's count- and min/max-based scan
+    * pruning (lib.rs:608-649) through the host optimizer. Recognized:
+    * ts-range conjuncts at ANY alignment (the proof covers the enclosing
+    * bucket-aligned range — emptiness of the cover implies emptiness) plus
+    * at most one numeric comparison on a registered column, proven from
+    * the per-bucket min/max states. Parquet-backed views are not consulted
+    * (the proof must stay an in-memory iteration); any unrecognized
+    * conjunct, and the default, is "cannot prove" — never prune. */
+  private def provablyEmpty(
+      cond: Expression,
+      rel: LogicalRelation,
+      tables: Map[String, (String, String)]
+  ): Boolean = {
+    val proved = for {
+      root <- scanRoot(rel)
+      (table, timeCol) <- tables.get(root)
+      allowed = rel.outputSet
+      bucketSec = session.conf
+        .getOption(s"spark.uwheel.shim.$table.bucket_sec")
+        .map(_.toLong)
+        .getOrElse(1L)
+      parsed <- orDbg(
+        prunePredicates(cond, timeCol, allowed),
+        s"prune: predicates not provable for $table: $cond"
+      )
+      (ival, vpred) = parsed
+      // no ts bound at all: the rollup misses NULL-ts rows an unbounded
+      // scan would keep — require the registration-time attestation
+      if ival.lo.nonEmpty || ival.hi.nonEmpty || session.conf
+        .getOption(s"spark.uwheel.shim.$table.ts_nonnull")
+        .contains("true")
+      viewName <- vpred match {
+        case Some((c, _, _)) =>
+          val registered = session.conf
+            .getOption(s"spark.uwheel.shim.$table.agg_cols")
+            .toSeq
+            .flatMap(_.split(",").map(_.trim.toLowerCase))
+            .toSet
+          if (registered.contains(c)) Some(s"__uwheel_rollup_${table}__agg")
+          else None
+        case None =>
+          Seq(s"__uwheel_rollup_$table", s"__uwheel_rollup_${table}__agg")
+            .find(v => rollupPlan(v).isDefined)
+      }
+      local <- rollupPlan(viewName) match {
+        case Some(lr: LocalRelation) => Some(lr)
+        case other => // file-backed: no driver proof
+          dbg(s"prune: view $viewName not a LocalRelation: ${other.map(_.getClass.getSimpleName)}")
+          None
+      }
+      secIdx = local.output.indexWhere(_.name == "sec")
+      cntIdx = local.output.indexWhere(_.name == "cnt")
+      if secIdx >= 0 && cntIdx >= 0
+    } yield {
+      val align = Micros * bucketSec
+      // bucket-aligned COVER of the asked interval: emptiness of the
+      // cover implies emptiness of the (possibly unaligned) interval
+      val loSec = ival.lo.map(l => (l - Math.floorMod(l, align)) / Micros)
+      val hiSec = ival.hi.map { h =>
+        val m = Math.floorMod(h, align)
+        (if (m == 0) h else h + (align - m)) / Micros
+      }
+      val stateIdx = vpred.map { case (c, op, _) =>
+        val n = if (op == ">" || op == ">=") s"max_$c" else s"min_$c"
+        local.output.indexWhere(_.name == n)
+      }
+      if (stateIdx.exists(_ < 0)) false
+      else
+        local.data.forall { row =>
+          val sec = row.getLong(secIdx)
+          val inRange = loSec.forall(sec >= _) && hiSec.forall(sec < _)
+          if (!inRange || row.getLong(cntIdx) == 0L) true
+          else
+            vpred match {
+              case None => false // an occupied bucket in range: rows exist
+              case Some((_, op, x)) =>
+                val i = stateIdx.get
+                row.isNullAt(i) || { // all-NULL bucket can't match
+                  val vOpt = local.output(i).dataType match {
+                    case LongType    => Some(row.getLong(i).toDouble)
+                    case DoubleType  => Some(row.getDouble(i))
+                    case FloatType   => Some(row.getFloat(i).toDouble)
+                    case IntegerType => Some(row.getInt(i).toDouble)
+                    case _           => None // unprovable state type
+                  }
+                  vOpt.exists { v =>
+                    op match {
+                      case ">"  => v <= x // bucket max <= x: nothing exceeds
+                      case ">=" => v < x
+                      case "<"  => v >= x // bucket min >= x: nothing below
+                      case "<=" => v > x
+                    }
+                  }
+                }
+            }
+        }
+    }
+    proved.getOrElse(false)
+  }
+
+  /** `cond` parsed for the pruning proof: a ts interval (any alignment,
+    * same grammar as the hybrid path minus OR) plus at most ONE numeric
+    * comparison `col op literal` over a scan column. Anything else is
+    * unprovable. */
+  private def prunePredicates(
+      cond: Expression,
+      timeCol: String,
+      allowed: AttributeSet
+  ): Option[(Ival, Option[(String, String, Double)])] = {
+    def numLit(l: Literal): Option[Double] = l match {
+      case Literal(v: Double, DoubleType) => Some(v)
+      case Literal(v: Float, _)           => Some(v.toDouble)
+      case Literal(v: Long, LongType)     => Some(v.toDouble)
+      case Literal(v: Int, _)             => Some(v.toDouble)
+      case _                              => None
+    }
+    def colOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if allowed.contains(a) && !a.name.equalsIgnoreCase(timeCol) =>
+        Some(a.name.toLowerCase)
+      case _ => None
+    }
+    val conjuncts = splitConjunctivePredicates(cond)
+    var vpred: Option[(String, String, Double)] = None
+    var vN = 0
+    val rest = conjuncts.filter {
+      case GreaterThan(e, l: Literal) if colOf(e).isDefined && numLit(l).isDefined =>
+        vpred = Some((colOf(e).get, ">", numLit(l).get)); vN += 1; false
+      case GreaterThanOrEqual(e, l: Literal)
+          if colOf(e).isDefined && numLit(l).isDefined =>
+        vpred = Some((colOf(e).get, ">=", numLit(l).get)); vN += 1; false
+      case LessThan(e, l: Literal) if colOf(e).isDefined && numLit(l).isDefined =>
+        vpred = Some((colOf(e).get, "<", numLit(l).get)); vN += 1; false
+      case LessThanOrEqual(e, l: Literal)
+          if colOf(e).isDefined && numLit(l).isDefined =>
+        vpred = Some((colOf(e).get, "<=", numLit(l).get)); vN += 1; false
+      case LessThan(l: Literal, e) if colOf(e).isDefined && numLit(l).isDefined =>
+        vpred = Some((colOf(e).get, ">", numLit(l).get)); vN += 1; false
+      case GreaterThan(l: Literal, e) if colOf(e).isDefined && numLit(l).isDefined =>
+        vpred = Some((colOf(e).get, "<", numLit(l).get)); vN += 1; false
+      case IsNotNull(a: AttributeReference) if allowed.contains(a) => false
+      case _ => true
+    }
+    if (vN > 1) None
+    else if (rest.isEmpty && vpred.isEmpty) None
+    else if (rest.isEmpty) Some((Ival(None, None), vpred))
+    else legInterval(rest, timeCol, allowed).map(iv => (iv, vpred))
+  }
+
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** Pass-through that traces a None to the debug log with `why`. */
+  private def orDbg[A](o: Option[A], why: => String): Option[A] = {
+    if (o.isEmpty) dbg(why)
+    o
+  }
 
   /** The rollup view's analyzed plan, with the SubqueryAlias/View wrappers
     * stripped: EliminateSubqueryAliases/EliminateView ran in the Finish

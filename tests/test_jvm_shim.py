@@ -69,3 +69,22 @@ def test_shim_fuzz_equivalence_parquet_views():
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "0 mismatches" in r.stdout
     assert "parquet-backed views" in r.stdout
+
+
+def test_shim_fuzz_equivalence_ntz_tables():
+    """The same fuzz matrix against TIMESTAMP_NTZ temp views — what a raw
+    ``spark.read.parquet`` of isAdjustedToUTC=false data (pandas/pyarrow
+    writers) gives a user who never calls sources.read_parquet. NTZ range
+    literals are naive micros, which is exactly what the rollup's ``sec``
+    buckets hold, so the whole surface must rewrite and match the scan."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "jvm_shim_fuzz.py")],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        cwd=REPO,
+        env={**os.environ, "SHIM_FUZZ_NTZ": "1"},
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "0 mismatches" in r.stdout
+    assert "NTZ tables" in r.stdout
