@@ -131,9 +131,13 @@ def uw_stddev_range(spark, sf_dir):
 
 
 def uw_multi_agg(spark, sf_dir):
-    """R3: several aggregates in one statement → one-row multi-column scan."""
+    """R3: several aggregates in one statement → one-row multi-column scan.
+    ``COUNT(value)`` folded in r5 (the former uw_count_col row — non-null
+    count from the value wheel's vcnt state; is_count_star_aggregate,
+    lib.rs:883-907) to fund uw_compacted_range under the 50-row cap."""
     df = _engine(spark, sf_dir).sql(
-        "SELECT COUNT(*) AS n, SUM(value) AS sum_value, AVG(value) AS avg_value, "
+        "SELECT COUNT(*) AS n, COUNT(value) AS n_vals, SUM(value) AS sum_value, "
+        "AVG(value) AS avg_value, "
         "MIN(value) AS min_value, MAX(value) AS max_value "
         f"FROM events WHERE ts >= '{A}' AND ts < '{B}'"
     )
@@ -176,15 +180,11 @@ def uw_groupby_week(spark, sf_dir):
     )
 
 
-def uw_groupby_month(spark, sf_dir):
-    """Calendar granularity (beyond the reference, which refuses month/year):
-    month boundaries are day-aligned, so second buckets nest exactly."""
-    df = _engine(spark, sf_dir).sql(
-        "SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
-        f"FROM events WHERE ts >= '{WEEK_A}' AND ts < '{WEEK_B}' "
-        "GROUP BY date_trunc('month', ts)"
-    )
-    return _round(df, {"sum_value": 3})
+# NOTE (r5): the former uw_groupby_month row (calendar month granularity —
+# beyond the reference, which refuses month/year) was folded out to fund
+# decon_ngram within the 50-row driver cap: uw_groupby_week keeps the
+# calendar-granularity router path oracle-checked, and month/quarter/year
+# bucket arithmetic is property-tested in test_lookup_properties.py.
 
 
 def uw_groupby_landmark(spark, sf_dir):
@@ -316,13 +316,31 @@ def uw_le_bound_range(spark, sf_dir):
     return _round(df, {"avg_value": 6})
 
 
-def uw_count_col(spark, sf_dir):
-    """COUNT(col) — non-null count served by the value wheel's vcnt state
-    (COUNT(*) semantics differ under NULLs; is_count_star_aggregate,
-    lib.rs:883-907)."""
-    return _engine(spark, sf_dir).sql(
-        f"SELECT COUNT(value) AS n_vals FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+_COMPACT_ENGINES: dict[str, WheelEngine] = {}
+
+
+def uw_compacted_range(spark, sf_dir):
+    """Tiered HAW retention (r5; µWheel's hierarchical wheel model, SURVEY
+    §1.3 / ``index/mod.rs`` HawConf — the reference crate retains every
+    granularity forever, README.md:56): a PRIVATE engine (the shared one
+    must keep fine buckets for the other rows) compacts its whole timeline
+    to hour tiers, then an hour-aligned range answers FROM THE ROLLED
+    BUCKETS — bucket states are monoids, so the answer is bit-for-bit the
+    plain-SQL one while the index holds ~1/3600 of the original state."""
+    eng = _COMPACT_ENGINES.get(sf_dir)
+    if eng is None or eng.spark is not spark:
+        eng = WheelEngine(
+            spark, "events", f"{sf_dir}/events.parquet", time_column="ts"
+        )
+        eng.build_index("value")
+        eng.compact_indexes("2024-02-01 00:00:00", "hour")
+        _COMPACT_ENGINES[sf_dir] = eng
+    df = eng.sql(
+        "SELECT COUNT(*) AS n, SUM(value) AS sum_value FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}'"
     )
+    assert eng.last_route.kind == "multi_agg", eng.last_route
+    return _round(df, {"sum_value": 3})
 
 
 def uw_int_sum_range(spark, sf_dir):
@@ -568,6 +586,27 @@ def text_lang_id(spark, sf_dir):
     )
 
 
+def decon_ngram(spark, sf_dir):
+    """Train/eval n-gram decontamination (r5; the GPT-3/PaLM 13-gram rule,
+    here n=3 so the synthetic corpus actually overlaps): every 7th document
+    plays the held-out benchmark, the rest the training corpus; each
+    training doc is annotated with its count of DISTINCT shared grams. The
+    Spark side joins 64-bit xxhash64 gram hashes (narrow shuffle); the
+    oracle joins the gram STRINGS — equal barring ~2^-64 collisions."""
+    from datafusion_uwheel_spark.operators.contamination import (
+        with_contamination,
+    )
+
+    docs = _view(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    held_out = docs.filter(F.col("doc_id") % 7 == 0)
+    return (
+        with_contamination(train, held_out, n=3)
+        .select("doc_id", "n_shared_ngrams", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------- multimodal operators
 def _media_df(spark, sf_dir):
     """Deterministic binary-media fixture: each document's UTF-8 bytes as an
@@ -746,7 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
         "uw_groupby_week": uw_groupby_week,
-        "uw_groupby_month": uw_groupby_month,
+        # r5: uw_groupby_month folded out (see NOTE above its old body);
+        # its slot funds decon_ngram below.
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
@@ -757,7 +797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_keyed_landmark": uw_keyed_landmark,
         "uw_between_range": uw_between_range,
         "uw_le_bound_range": uw_le_bound_range,
-        "uw_count_col": uw_count_col,
+        # r5: uw_count_col folded into uw_multi_agg's n_vals column; its
+        # slot funds uw_compacted_range (tiered HAW retention).
+        "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
         "uw_or_ranges": uw_or_ranges,
         "uw_point_instant": uw_point_instant,
@@ -799,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
+        "decon_ngram": decon_ngram,
     }
 
 
@@ -817,7 +860,8 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
         ),
         "uw_multi_agg": (
-            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value, "
+            "SELECT count(*) AS n, count(value) AS n_vals, "
+            "round(sum(value), 3) AS sum_value, "
             "round(avg(value), 6) AS avg_value, min(value) AS min_value, "
             f"max(value) AS max_value FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
         ),
@@ -836,11 +880,6 @@ def oracle_sql() -> dict[str, str]:
         # TIMESTAMP — cast so the driver's schema compare agrees.
         "uw_groupby_week": (
             "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n FROM events "
-            f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
-        ),
-        "uw_groupby_month": (
-            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
-            "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
         # window(ts, '6 hours') = epoch-aligned 21600-second buckets;
@@ -889,8 +928,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n, round(avg(value), 6) AS avg_value FROM events "
             f"WHERE ts > TIMESTAMP '{GT_A}' AND ts <= TIMESTAMP '{B_INCL}'"
         ),
-        "uw_count_col": (
-            f"SELECT count(value) AS n_vals FROM events "
+        # the compacted engine answers from hour tiers; the truth is the
+        # plain scan — monoid roll-ups must be bit-for-bit identical
+        "uw_compacted_range": (
+            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
         ),
         "uw_or_ranges": (
@@ -970,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oracles.token_stats_sql(),
         "text_quality": oracles.quality_sql(),
         "text_lang_id": oracles.lang_id_sql(),
+        "decon_ngram": oracles.contamination_sql(n=3, holdout_mod=7),
         "sim_topk_bruteforce": oracles.cosine_topk_sql(QUERY_VEC, k=TOPK, dim=EMB_DIM),
         "sim_ann_lsh": oracles.ann_topk_sql(
             QUERY_VEC, k=TOPK, dim=EMB_DIM, bits=4, tables=2

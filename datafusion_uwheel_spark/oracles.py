@@ -614,3 +614,41 @@ WITH b AS (
 SELECT id_a, id_b, {sim} AS sim
 FROM pairs
 WHERE {sim} >= {threshold!r}"""
+
+
+def contamination_sql(
+    n: int = 3, holdout_mod: int = 7, table: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`operators.contamination.with_contamination`
+    over a ``doc_id % holdout_mod`` train/held-out split. Joins the n-gram
+    STRINGS where the Spark side joins their xxhash64 hashes — identical
+    counts barring ~2^-64 collisions (the hash exists only to keep the
+    Spark shuffle narrow; the SEMANTICS are shared distinct grams)."""
+    return f"""\
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> len(t) > 0) AS toks
+  FROM {table}
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {n}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - {n - 1}),
+                     i -> array_to_string(toks[i:i+{n - 1}], ' ')))
+              ELSE [] END AS gs
+  FROM tok
+), ho AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {holdout_mod} = 0
+), tr AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % {holdout_mod} <> 0
+), shared AS (
+  SELECT tr.doc_id, count(*) AS n_shared_ngrams
+  FROM tr JOIN ho USING (g) GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_shared_ngrams, 0) AS n_shared_ngrams,
+       COALESCE(s.n_shared_ngrams, 0) > 0 AS contaminated
+FROM {table} d LEFT JOIN shared s USING (doc_id)
+WHERE d.doc_id % {holdout_mod} <> 0
+ORDER BY d.doc_id"""
