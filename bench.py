@@ -130,6 +130,23 @@ def main() -> None:
     queries["uw_approx_quantile_by_day"] = time_calls(
         lambda: qr.approx_quantile_by("day", 0.95).count(), N_PROBE
     )
+    # Theta set algebra (r5): retention between two weeks from the cached
+    # sketch wheel — the vanilla equivalent is TWO distinct scans + an
+    # intersection shuffle; the probe is one tiny job over the buckets.
+    t0 = time.perf_counter()
+    tr = eng.build_theta_index("user_id")
+    queries["theta_index_build"] = time.perf_counter() - t0
+    _r1 = ("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+    _r2 = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+    queries["uw_theta_retained"] = time_calls(
+        lambda: tr.approx_retained(_r1, _r2), N_PROBE
+    )
+    _tn = tr.approx_retained(_r1, _r2)
+    assert _tn > 0, "theta retention probe returned 0 on sf data"
+    log(
+        f"theta_index_build {queries['theta_index_build']:.2f}s, "
+        f"retained={_tn}"
+    )
     # The scan-path denominators for the sketch probes (exact answers, full
     # reads). The probes sit at the local small-job floor (~130 ms: a bare
     # count() on the cached sketch table costs the same); at scale the scan
@@ -147,6 +164,16 @@ def main() -> None:
         lambda: spark.sql(
             f"SELECT percentile_approx(value, array(0.5, 0.95, 0.99)) "
             f"FROM events_raw WHERE ts >= '{_qa}' AND ts < '{_qb}'"
+        ).collect(),
+        N_VANILLA,
+    )
+    queries["vanilla_retained"] = time_calls(
+        lambda: spark.sql(
+            "SELECT count(*) FROM ("
+            "SELECT DISTINCT user_id FROM events_raw "
+            f"WHERE ts >= '{_r1[0]}' AND ts < '{_r1[1]}' "
+            "INTERSECT SELECT DISTINCT user_id FROM events_raw "
+            f"WHERE ts >= '{_r2[0]}' AND ts < '{_r2[1]}')"
         ).collect(),
         N_VANILLA,
     )

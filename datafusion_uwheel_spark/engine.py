@@ -177,6 +177,10 @@ class WheelEngine:
         #: column → cached KLL sketch rollup (:meth:`build_quantile_index`);
         #: same opt-in discipline as the HLL rollups.
         self.quantile_rollups: dict = {}
+        #: column → cached theta sketch rollup (:meth:`build_theta_index`) —
+        #: distinct-set ALGEBRA across time ranges (retention / new /
+        #: overlap), which HLL unions cannot express.
+        self.theta_rollups: dict = {}
         if load_indexes is not None:
             import json as _json
             import os as _os
@@ -197,6 +201,15 @@ class WheelEngine:
                 with open(qman) as f:
                     for entry in _json.load(f)["rollups"]:
                         self.quantile_rollups[entry["column"]] = load_quantile_rollup(
+                            spark, _os.path.join(load_indexes, entry["dir"])
+                        )
+            tman = _os.path.join(load_indexes, "theta.json")
+            if _os.path.exists(tman):
+                from .operators.theta import load_theta_rollup
+
+                with open(tman) as f:
+                    for entry in _json.load(f)["rollups"]:
+                        self.theta_rollups[entry["column"]] = load_theta_rollup(
                             spark, _os.path.join(load_indexes, entry["dir"])
                         )
         self.router = Router(self)
@@ -458,6 +471,51 @@ class WheelEngine:
         )
         self.distinct_rollups.update(rollups)
         return rollups
+
+    def build_theta_index(
+        self,
+        column: str,
+        bucket_seconds: int = 3600,
+        lg_k: int = 12,
+        partition_by: str | None = None,
+    ):
+        """Build a per-bucket THETA sketch rollup — the distinct-count wheel
+        with SET ALGEBRA across time ranges (see :mod:`.operators.theta`):
+        :meth:`approx_retained` (distincts in both ranges — retention),
+        :meth:`approx_new` (in r2, never in r1), :meth:`approx_jaccard`
+        (audience overlap), plus the plain range estimate. Answers are tiny
+        jobs over the cached rollup, never a table scan; same opt-in
+        discipline as the HLL rollups (KeyError when absent).
+        ``partition_by=key`` adds :meth:`theta_retained_by_key` cohort
+        tables from the same build."""
+        from .operators.theta import build_theta_rollup
+
+        r = build_theta_rollup(
+            self.df, self.time_column, column,
+            bucket_seconds=bucket_seconds, lg_k=lg_k, partition_by=partition_by,
+        )
+        self.theta_rollups[column] = r
+        return r
+
+    def approx_retained(self, column: str, r1, r2) -> int:
+        """Estimated distinct ``column`` values present in BOTH ``(start,
+        end)`` ranges — period-over-period retention, from the theta rollup
+        (:meth:`build_theta_index`; KeyError if none)."""
+        return self.theta_rollups[column].approx_retained(r1, r2)
+
+    def approx_new(self, column: str, r1, r2) -> int:
+        """Estimated distinct ``column`` values in ``r2`` never seen in
+        ``r1`` (set difference) — new-audience counts."""
+        return self.theta_rollups[column].approx_new(r1, r2)
+
+    def approx_jaccard(self, column: str, r1, r2) -> float:
+        """Estimated ``|r1 ∩ r2| / |r1 ∪ r2|`` audience overlap in [0, 1]."""
+        return self.theta_rollups[column].approx_jaccard(r1, r2)
+
+    def theta_retained_by_key(self, column: str, r1, r2):
+        """Per-key cohort retention table ``(key, n_r1, n_r2, n_retained)``
+        from a keyed theta build (``partition_by=``)."""
+        return self.theta_rollups[column].retained_by_key(r1, r2)
 
     def approx_distinct(self, column: str, start, end, **kw) -> int:
         """Estimated distinct count of ``column`` over ``[start, end)`` from
@@ -852,6 +910,14 @@ class WheelEngine:
                 r.save(_os.path.join(out_dir, d))
                 entries.append({"column": col, "dir": d})
             with open(_os.path.join(out_dir, "quantiles.json"), "w") as f:
+                _json.dump({"version": 1, "rollups": entries}, f)
+        if self.theta_rollups:
+            entries = []
+            for i, (col, r) in enumerate(sorted(self.theta_rollups.items())):
+                d = f"theta_{i:04d}"
+                r.save(_os.path.join(out_dir, d))
+                entries.append({"column": col, "dir": d})
+            with open(_os.path.join(out_dir, "theta.json"), "w") as f:
                 _json.dump({"version": 1, "rollups": entries}, f)
         return path
 

@@ -1,0 +1,307 @@
+"""Theta-sketch rollup: a wheel of mergeable sketches with SET ALGEBRA.
+
+The HLL rollup (:mod:`.distinct`) answers ``COUNT(DISTINCT col)`` over a
+range, but HLL unions are all it can do. Theta sketches (Spark 4's
+DataSketches bindings — ``theta_sketch_agg`` / ``theta_union`` /
+``theta_intersection`` / ``theta_difference`` / ``theta_sketch_estimate``,
+all JVM-side) additionally support **intersection and difference**, which
+turns the per-bucket wheel into an audience-algebra index:
+
+* ``approx_retained(r1, r2)`` — distinct values seen in BOTH ranges (user
+  retention between two weeks);
+* ``approx_new(r1, r2)``      — distinct values in ``r2`` never seen in
+  ``r1`` (new-user counts);
+* ``approx_jaccard(r1, r2)``  — ``|∩| / |∪|`` audience overlap;
+* the plain ``approx_distinct`` range estimate, like the HLL wheel.
+
+Every answer is one tiny job over the cached rollup (O(buckets touched),
+never the raw table) — the wheel trade applied to set algebra. This is the
+reference's custom-aggregator extension point (``UWheelAggregate``
+variants, ``datafusion-uwheel/src/index/mod.rs:7-21``) carried past what
+scalar monoids can express.
+
+Scale: per-bucket sketch size is bounded by ``lg_k`` (default 2^12 nominal
+entries ≈ 32 KB worst case, far less on sparse buckets); a year of hourly
+buckets stays tens of MB of executor cache. Intersection error grows as
+the true intersection shrinks relative to the operand sketches (the
+standard theta bound) — retention ratios on tiny overlaps are noisier than
+union estimates; raise ``lg_k`` for tighter answers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rollups import time_sec_col
+
+__all__ = ["ThetaRollup", "build_theta_rollup", "load_theta_rollup"]
+
+_META = "_theta_meta.json"
+#: Cached-rollup partition count — probes run at the task-launch floor.
+_CACHE_PARTITIONS = 4
+
+
+class ThetaRollup:
+    """Handle over a cached per-bucket theta sketch table.
+
+    Range asks use second-aligned bounds like every wheel lookup; buckets
+    partially covered at the edges are included whole (superset semantics
+    — estimates never undercount against unaligned bounds)."""
+
+    def __init__(
+        self,
+        rollup: DataFrame,
+        column: str,
+        bucket_seconds: int,
+        lg_k: int,
+        key_column: str | None = None,
+    ):
+        self._df = rollup
+        self.column = column
+        self.bucket_seconds = bucket_seconds
+        self.lg_k = lg_k
+        #: Optional partition key: sketches per (bucket, key value). Unkeyed
+        #: asks union across keys (theta union is exact sketch algebra and
+        #: idempotent, so shared values never double-count).
+        self.key_column = key_column
+
+    # ------------------------------------------------------------ internals
+
+    def _range_filter(self, start, end):
+        a = F.unix_timestamp(F.lit(start).cast("timestamp"))
+        b = F.unix_timestamp(F.lit(end).cast("timestamp"))
+        return (F.col("__sec") > a - F.lit(self.bucket_seconds)) & (
+            F.col("__sec") < b
+        )
+
+    def _two_range_sketches(self, r1, r2, key_grouped: bool):
+        """One job: (union over r1, union over r2) per group — the operand
+        sketches every set-algebra ask combines."""
+        f1 = self._range_filter(*r1)
+        f2 = self._range_filter(*r2)
+        df = self._df.filter(f1 | f2).select(
+            *([F.col("__key")] if key_grouped else []),
+            F.when(f1, F.col("__theta")).alias("__s1"),
+            F.when(f2, F.col("__theta")).alias("__s2"),
+        )
+        aggs = [
+            F.expr("theta_union_agg(__s1)").alias("__u1"),
+            F.expr("theta_union_agg(__s2)").alias("__u2"),
+        ]
+        if key_grouped:
+            return df.groupBy("__key").agg(*aggs)
+        return df.agg(*aggs)
+
+    @staticmethod
+    def _est(expr: str) -> F.Column:
+        """NULL-safe estimate: an empty range has a NULL sketch, and every
+        theta operator with a NULL operand yields NULL — an empty set."""
+        return F.coalesce(
+            F.expr(f"theta_sketch_estimate({expr})").cast("double"), F.lit(0.0)
+        )
+
+    # -------------------------------------------------------------- queries
+
+    def approx_distinct(self, start, end) -> int:
+        """Estimated ``COUNT(DISTINCT column)`` over ``[start, end)`` — the
+        HLL wheel's ask, answered from theta unions."""
+        row = (
+            self._df.filter(self._range_filter(start, end))
+            .select(F.col("__theta").alias("__s1"))
+            .agg(F.expr("theta_union_agg(__s1)").alias("__u1"))
+            .select(self._est("__u1").alias("est"))
+            .collect()[0]
+        )
+        return int(row["est"])
+
+    def approx_retained(self, r1, r2) -> int:
+        """Estimated distinct values present in BOTH ranges (``r1``/``r2``
+        are ``(start, end)`` pairs) — retention between two periods. One
+        job over the buckets either range touches."""
+        row = (
+            self._two_range_sketches(r1, r2, key_grouped=False)
+            .select(self._est("theta_intersection(__u1, __u2)").alias("est"))
+            .collect()[0]
+        )
+        return int(row["est"])
+
+    def approx_new(self, r1, r2) -> int:
+        """Estimated distinct values in ``r2`` NEVER seen in ``r1`` (set
+        difference ``r2 − r1``) — new-audience counts."""
+        row = (
+            self._two_range_sketches(r1, r2, key_grouped=False)
+            .select(self._est("theta_difference(__u2, __u1)").alias("est"))
+            .collect()[0]
+        )
+        return int(row["est"])
+
+    def approx_jaccard(self, r1, r2) -> float:
+        """Estimated ``|r1 ∩ r2| / |r1 ∪ r2|`` audience overlap in [0, 1]
+        (0.0 when both ranges are empty)."""
+        row = (
+            self._two_range_sketches(r1, r2, key_grouped=False)
+            .select(
+                self._est("theta_intersection(__u1, __u2)").alias("i"),
+                self._est("theta_union(__u1, __u2)").alias("u"),
+            )
+            .collect()[0]
+        )
+        return float(row["i"] / row["u"]) if row["u"] else 0.0
+
+    def retained_by_key(self, r1, r2) -> DataFrame:
+        """Per-key retention (requires a ``partition_by=`` build): for each
+        key value, estimated distincts in r1, in r2, and in both — the
+        cohort-retention table, one job over the cached rollup. Returns
+        ``(<key_column>, n_r1, n_r2, n_retained)`` ordered by key."""
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+        return (
+            self._two_range_sketches(r1, r2, key_grouped=True)
+            .select(
+                F.col("__key").alias(self.key_column),
+                self._est("__u1").cast("long").alias("n_r1"),
+                self._est("__u2").cast("long").alias("n_r2"),
+                self._est("theta_intersection(__u1, __u2)")
+                .cast("long")
+                .alias("n_retained"),
+            )
+            .orderBy(self.key_column)
+        )
+
+    def merged_sketch(self, start, end) -> bytes | None:
+        """The merged theta sketch bytes for ``[start, end)`` — composable
+        with sketches from other tables (cross-dataset audience algebra)."""
+        row = (
+            self._df.filter(self._range_filter(start, end))
+            .select(F.col("__theta").alias("__s1"))
+            .agg(F.expr("theta_union_agg(__s1)").alias("sk"))
+            .collect()[0]
+        )
+        return bytes(row["sk"]) if row["sk"] is not None else None
+
+    # -------------------------------------------------------- maintenance
+
+    def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
+        """Merge a micro-batch of raw rows — streaming maintenance. Theta
+        unions are mergeable monoids, so the merged rollup is
+        indistinguishable from a fresh build over the union; late data
+        lands in its bucket. The new rollup is materialized before the old
+        cache is released."""
+        from pyspark import StorageLevel
+
+        sec = time_sec_col(batch_df, time_column)
+        if self.bucket_seconds != 1:
+            sec = sec - (sec % self.bucket_seconds)
+        keys = [sec.alias("__sec")]
+        if self.key_column is not None:
+            if self.key_column not in batch_df.columns:
+                raise ValueError(
+                    f"batch lacks partition column {self.key_column!r} — a "
+                    "keyed rollup cannot be maintained without it"
+                )
+            keys.append(F.col(self.key_column).alias("__key"))
+        delta = (
+            batch_df.filter(F.col(time_column).isNotNull())
+            .groupBy(*keys)
+            .agg(
+                F.expr(
+                    f"theta_sketch_agg({self.column}, {self.lg_k})"
+                ).alias("__theta")
+            )
+        )
+        group = ["__sec"] + (["__key"] if self.key_column is not None else [])
+        merged = (
+            self._df.unionByName(delta)
+            .groupBy(*group)
+            .agg(F.expr("theta_union_agg(__theta)").alias("__theta"))
+            .coalesce(_CACHE_PARTITIONS)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        merged.count()
+        old = self._df
+        self._df = merged
+        old.unpersist()
+
+    def save(self, path: str) -> str:
+        """Persist as parquet + a JSON sidecar pinning the build config;
+        reload with :func:`load_theta_rollup`."""
+        self._df.write.mode("overwrite").parquet(path)
+        with open(os.path.join(path, _META), "w") as f:
+            json.dump(
+                {
+                    "column": self.column,
+                    "bucket_seconds": self.bucket_seconds,
+                    "lg_k": self.lg_k,
+                    "key_column": self.key_column,
+                },
+                f,
+            )
+        return path
+
+    def unpersist(self) -> None:
+        self._df.unpersist()
+
+
+def build_theta_rollup(
+    df: DataFrame,
+    time_column: str,
+    column: str,
+    bucket_seconds: int = 3600,
+    lg_k: int = 12,
+    partition_by: str | None = None,
+) -> ThetaRollup:
+    """One declarative aggregation job over the table → per-bucket theta
+    sketches, cached (``MEMORY_AND_DISK``) for probe-many use. Default
+    hourly buckets, like the HLL rollup.
+
+    ``partition_by=key`` sketches per ``(bucket, key value)`` for cohort
+    asks (:meth:`ThetaRollup.retained_by_key`); unkeyed asks still union
+    across keys without double-counting. State grows to buckets × distinct
+    keys — meant for low-cardinality dimensional keys."""
+    from pyspark import StorageLevel
+
+    sec = time_sec_col(df, time_column)
+    if bucket_seconds != 1:
+        sec = sec - (sec % bucket_seconds)
+    keys = [sec.alias("__sec")]
+    if partition_by is not None:
+        keys.append(F.col(partition_by).alias("__key"))
+    rollup = (
+        df.filter(F.col(time_column).isNotNull())
+        .groupBy(*keys)
+        .agg(F.expr(f"theta_sketch_agg({column}, {lg_k})").alias("__theta"))
+        .coalesce(_CACHE_PARTITIONS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rollup.count()  # materialize once; probes never touch the raw table
+    return ThetaRollup(
+        rollup, column, bucket_seconds, lg_k, key_column=partition_by
+    )
+
+
+def load_theta_rollup(spark, path: str) -> ThetaRollup:
+    """Reload a :meth:`ThetaRollup.save` rollup: parquet → cache. Estimates
+    are bit-identical to the saved handle's (sketch bytes round-trip)."""
+    from pyspark import StorageLevel
+
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    df = (
+        spark.read.parquet(path)
+        .coalesce(_CACHE_PARTITIONS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df.count()
+    return ThetaRollup(
+        df,
+        meta["column"],
+        meta["bucket_seconds"],
+        meta["lg_k"],
+        key_column=meta["key_column"],
+    )

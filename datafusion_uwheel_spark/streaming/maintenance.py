@@ -98,6 +98,12 @@ class StreamingWheelMaintainer:
         for col, rollup in self.engine.quantile_rollups.items():
             if col in batch_df.columns:
                 rollup.merge_batch(batch_df, self.engine.time_column)
+        # Theta rollups: unions are mergeable monoids too, so set-algebra
+        # asks (retained/new/jaccard) over a streamed rollup answer as a
+        # fresh batch build over the union would.
+        for col, rollup in getattr(self.engine, "theta_rollups", {}).items():
+            if col in batch_df.columns:
+                rollup.merge_batch(batch_df, self.engine.time_column)
         maintained = set(self.filters) | {STAR_AGGREGATION_ALIAS}
         e = self.engine
         if self.maintain_partitions:

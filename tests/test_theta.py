@@ -1,0 +1,210 @@
+"""Theta-sketch rollup: distinct-set ALGEBRA across time ranges (retained /
+new / jaccard) vs exact SQL, streamed-vs-batch equality, save/load, and the
+engine's opt-in discipline.
+
+Theta sketches store values exactly below the nominal-entries threshold
+(lg_k=12 → 4096), so the controlled-membership fixtures assert EXACT
+answers; the sf-data test asserts the documented error bound instead."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_uwheel_spark import WheelEngine
+from datafusion_uwheel_spark.operators.theta import (
+    build_theta_rollup,
+    load_theta_rollup,
+)
+from datafusion_uwheel_spark.sources import read_parquet
+
+R1 = ("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+R2 = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+
+# Controlled membership: week 1 = users 0..99, week 2 = users 50..169.
+#   retained (∩)         = 50..99           → 50
+#   new in week 2 (r2−r1) = 100..169        → 70
+#   churned (r1−r2)       = 0..49           → 50
+#   union                 = 0..169          → 170
+W1 = range(100)
+W2 = range(50, 170)
+
+
+@pytest.fixture(scope="module")
+def cohort(spark):
+    """Each user appears in TWO buckets of their week so per-bucket
+    sketches genuinely merge, under a parity segment for the keyed form."""
+    rows = []
+    for u in W1:
+        rows.append(("2024-01-02 10:00:00", u, "a" if u % 2 else "b"))
+        rows.append(("2024-01-06 22:00:00", u, "a" if u % 2 else "b"))
+    for u in W2:
+        rows.append(("2024-01-09 10:00:00", u, "a" if u % 2 else "b"))
+        rows.append(("2024-01-13 22:00:00", u, "a" if u % 2 else "b"))
+    df = spark.createDataFrame(rows, "ts string, user_id long, seg string")
+    return df.select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "seg"
+    )
+
+
+@pytest.fixture(scope="module")
+def rollup(cohort):
+    r = build_theta_rollup(cohort, "ts", "user_id", bucket_seconds=3600)
+    yield r
+    r.unpersist()
+
+
+def test_exact_set_algebra_small(rollup):
+    assert rollup.approx_distinct(*R1) == 100
+    assert rollup.approx_distinct(*R2) == 120
+    assert rollup.approx_retained(R1, R2) == 50
+    assert rollup.approx_jaccard(R1, R2) == pytest.approx(50 / 170)
+
+
+def test_difference_is_directional(rollup):
+    assert rollup.approx_new(R1, R2) == 70  # joined in week 2
+    assert rollup.approx_new(R2, R1) == 50  # churned after week 1
+
+
+def test_empty_ranges(rollup):
+    empty = ("2030-01-01 00:00:00", "2030-01-02 00:00:00")
+    assert rollup.approx_distinct(*empty) == 0
+    assert rollup.approx_retained(empty, R1) == 0
+    assert rollup.approx_new(empty, R1) == 100  # everything in R1 is new
+    assert rollup.approx_new(R1, empty) == 0
+    assert rollup.approx_jaccard(empty, empty) == 0.0
+
+
+def test_retained_by_key_cohorts(cohort):
+    r = build_theta_rollup(
+        cohort, "ts", "user_id", bucket_seconds=3600, partition_by="seg"
+    )
+    try:
+        rows = {x["seg"]: x for x in r.retained_by_key(R1, R2).collect()}
+        # seg 'a' = odd users: 50 in week 1, 60 in week 2, retained = odd
+        # users in 50..99 → 25; same split for 'b' (even)
+        assert rows["a"]["n_r1"] == 50 and rows["a"]["n_r2"] == 60
+        assert rows["a"]["n_retained"] == 25
+        assert rows["b"]["n_retained"] == 25
+        # unkeyed asks on the keyed rollup union across keys — never
+        # double-count
+        assert r.approx_distinct(*R1) == 100
+        assert r.approx_retained(R1, R2) == 50
+    finally:
+        r.unpersist()
+
+
+def test_unkeyed_rollup_refuses_cohort_table(rollup):
+    with pytest.raises(ValueError):
+        rollup.retained_by_key(R1, R2)
+
+
+def test_streamed_equals_batch(spark, cohort):
+    """merge_batch over halves ≡ one batch build (mergeable monoid)."""
+    first = cohort.filter(f"ts < '{R2[0]}'")
+    second = cohort.filter(f"ts >= '{R2[0]}'")
+    streamed = build_theta_rollup(first, "ts", "user_id", bucket_seconds=3600)
+    batch = build_theta_rollup(cohort, "ts", "user_id", bucket_seconds=3600)
+    try:
+        streamed.merge_batch(second, "ts")
+        for ask in (
+            lambda r: r.approx_distinct(*R1),
+            lambda r: r.approx_distinct(*R2),
+            lambda r: r.approx_retained(R1, R2),
+            lambda r: r.approx_new(R1, R2),
+        ):
+            assert ask(streamed) == ask(batch)
+    finally:
+        streamed.unpersist()
+        batch.unpersist()
+
+
+def test_save_load_round_trip(spark, rollup, tmp_path):
+    p = str(tmp_path / "theta_rollup")
+    rollup.save(p)
+    loaded = load_theta_rollup(spark, p)
+    try:
+        assert loaded.approx_distinct(*R1) == rollup.approx_distinct(*R1)
+        assert loaded.approx_retained(R1, R2) == rollup.approx_retained(R1, R2)
+        assert loaded.bucket_seconds == rollup.bucket_seconds
+        assert loaded.column == rollup.column
+    finally:
+        loaded.unpersist()
+
+
+def test_sf_data_error_bound(spark, sf_small_dir):
+    """Real testdata: estimates within the documented bound of exact SQL."""
+    events = read_parquet(spark, f"{sf_small_dir}/events.parquet")
+    r = build_theta_rollup(events, "ts", "user_id", bucket_seconds=3600)
+    try:
+        a, b = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+        truth = (
+            events.filter(f"ts >= '{a}' AND ts < '{b}'")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert truth > 0
+        est = r.approx_distinct(a, b)
+        assert abs(est - truth) / truth < 0.05
+        mid = "2024-01-08 00:00:00"
+        inter = (
+            events.filter(f"ts >= '{a}' AND ts < '{mid}'")
+            .select("user_id")
+            .intersect(
+                events.filter(f"ts >= '{mid}' AND ts < '{b}'").select("user_id")
+            )
+            .count()
+        )
+        got = r.approx_retained((a, mid), (mid, b))
+        assert abs(got - inter) <= max(2, 0.1 * inter)
+    finally:
+        r.unpersist()
+
+
+def test_maintainer_streams_theta(spark, cohort):
+    """The streaming maintainer carries theta rollups like the HLL/KLL
+    ones: after merging the second week as a micro-batch, set-algebra
+    answers equal a fresh build over everything."""
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="uwheel_theta_stream_")
+    first = cohort.filter(f"ts < '{R2[0]}'")
+    first.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    eng = WheelEngine(
+        spark, "events", f"{d}/events.parquet", time_column="ts"
+    )
+    eng.build_index("user_id")
+    eng.build_theta_index("user_id", bucket_seconds=3600)
+    StreamingWheelMaintainer(eng).merge_batch(
+        cohort.filter(f"ts >= '{R2[0]}'")
+    )
+    assert eng.approx_retained("user_id", R1, R2) == 50
+    assert eng.approx_new("user_id", R1, R2) == 70
+
+
+def test_engine_glue_and_persistence(spark, sf_small_dir, tmp_path):
+    eng = WheelEngine(
+        spark, "events", f"{sf_small_dir}/events.parquet", time_column="ts"
+    )
+    with pytest.raises(KeyError):
+        eng.approx_retained("user_id", R1, R2)  # opt-in, never silent
+    eng.build_theta_index("user_id", bucket_seconds=3600)
+    n = eng.approx_retained("user_id", R1, R2)
+    assert n >= 0
+    j = eng.approx_jaccard("user_id", R1, R2)
+    assert 0.0 <= j <= 1.0
+    eng.build_index("value")  # save_indexes requires at least one wheel
+    out = str(tmp_path / "idx")
+    eng.save_indexes(out)
+    eng2 = WheelEngine(
+        spark,
+        "events",
+        f"{sf_small_dir}/events.parquet",
+        time_column="ts",
+        load_indexes=out,
+    )
+    assert eng2.approx_retained("user_id", R1, R2) == n
