@@ -217,6 +217,30 @@ def main() -> None:
 
     med("dedup_exact", lambda: dedup.dedup_exact(docs).count())
 
+    def stream_dedup_run():
+        # ingestion-time dedup: a fresh batch filtered against a digest
+        # corpus seeded from the documents table (bucket-pruned anti-join
+        # + per-bucket state append per micro-batch)
+        import shutil
+        import tempfile
+
+        from datafusion_uwheel_spark.operators.stream_dedup import CorpusDedup
+
+        d = tempfile.mkdtemp(prefix="bench_stream_dedup_")
+        try:
+            cd = CorpusDedup(spark, f"{d}/digests", n_buckets=64)
+            cd.filter_batch(docs).count()  # seed the corpus
+            batch = docs.withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )  # same content, new ids → all dropped
+            n = cd.filter_batch(batch).count()
+            assert n == 0, f"seeded content leaked through: {n}"
+            return n
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    med("dedup_stream_corpus", stream_dedup_run)
+
     def minhash_run():
         pairs = dedup.lsh_candidate_pairs(
             dedup.with_minhash_signature(docs), min_est_jaccard=0.35
@@ -266,6 +290,30 @@ def main() -> None:
         )
         .collect()[0][0],
     )
+
+    def gopher_run():
+        # aggregate over every rule column so Catalyst cannot prune any of
+        # the gate's work (the text_pipeline pruning lesson)
+        r = (
+            text_ops.with_gopher_rules(docs_wide, min_words=10)
+            .agg(
+                F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+                *[
+                    F.sum(F.col(c).cast("long"))
+                    for c in (
+                        "gr_word_count", "gr_mean_word_len",
+                        "gr_symbol_ratio", "gr_bullet_lines",
+                        "gr_ellipsis_lines", "gr_alpha_words",
+                        "gr_required_words",
+                    )
+                ],
+            )
+            .collect()[0]
+        )
+        assert r["n_pass"] is not None
+        return int(r["n_pass"])
+
+    med("text_gopher_gate", gopher_run)
     # Temporal-join operators (r4) on the events table: sessionize by user,
     # as-of enrich each event with the latest per-type hourly rollup, and
     # count events per session interval via the bucketized range join.
@@ -412,6 +460,45 @@ def main() -> None:
     sim_eng.build_index(kind="lsh", bits=8, tables=2)
     queries["ann_index_build_lsh8"] = time.perf_counter() - t0
     log(f"ann_index_build_lsh8: {queries['ann_index_build_lsh8']:.2f}s")
+
+    # int8-quantized index (r5): same layout/candidates, ~8x smaller files;
+    # the probe rescored against the source recovers exact ranking.
+    from datafusion_uwheel_spark.operators.ann_index import (
+        build_ann_index as _build_ann,
+        load_ann_index as _load_ann,
+    )
+
+    q8_path = "/tmp/bench_sim_idx/lsh4_q8"
+    t0 = time.perf_counter()
+    _build_ann(
+        emb, q8_path, kind="lsh", dim=dim, bits=4, tables=2, quantize="int8"
+    )
+    queries["ann_index_build_q8"] = time.perf_counter() - t0
+    q8_idx = _load_ann(spark, q8_path)
+
+    def _dir_mb(p):
+        import os as _o
+
+        return sum(
+            _o.path.getsize(_o.path.join(r, f))
+            for r, _, fs in _o.walk(p)
+            for f in fs
+        ) / 1e6
+
+    log(
+        f"ann_index_build_q8: {queries['ann_index_build_q8']:.2f}s "
+        f"({_dir_mb(q8_path):.1f} MB vs full-precision twin)"
+    )
+    queries["sim_ann_q8_rescored"] = time_calls(
+        lambda: len(
+            q8_idx.topk(qvec, k=10, rescore_with=emb).collect()
+        ),
+        N_PROBE,
+    )
+    log(
+        f"sim_ann_q8_rescored: {queries['sim_ann_q8_rescored']*1e3:.0f} ms "
+        "median (quantized probe + exact rescore join)"
+    )
 
     def routed_topk(**kw):
         out = len(sim_eng.topk(qvec, k=10, **kw).collect())

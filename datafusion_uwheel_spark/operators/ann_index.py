@@ -58,6 +58,19 @@ _MANIFEST = "_ann_manifest.json"
 _MAX_DIRS_PER_TABLE = 64
 
 
+def _q8_col(vec) -> F.Column:
+    """Direction-preserving int8 codes: per-vector symmetric max-abs
+    quantization, ``round(x / max|x| * 127)``. Cosine is invariant to a
+    positive per-vector scale, so probes rank on the codes with NO scale
+    column to carry; zero vectors stay zero. Pure codegen'd expressions."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.round(x / mx * 127).cast("byte")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("byte")))
+
+
 def build_ann_index(
     df: DataFrame,
     path: str,
@@ -70,6 +83,7 @@ def build_ann_index(
     n_centroids: int = 8,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    quantize: str | None = None,
 ) -> str:
     """Hash/assign once and write the partitioned index table. Returns
     ``path``. One distributed write job; probes afterwards never recompute
@@ -77,12 +91,26 @@ def build_ann_index(
 
     ``centroids`` (IVF only) overrides the seeded random quantizer with e.g.
     :func:`..similarity.train_ivf_centroids` output; they are pinned in the
-    manifest so probes assign the query with the identical quantizer."""
+    manifest so probes assign the query with the identical quantizer.
+
+    ``quantize="int8"`` stores the vectors as int8 codes instead of
+    float64 arrays — ~8× smaller index files/cache/shuffle (the 100 TB
+    lever: an embedding index that fits in executor cache probes at memory
+    speed). Bucket/cell assignment still happens on the EXACT vectors, so
+    the partition layout and candidate sets are identical to an unquantized
+    build; only the rerank ranks on the rounded directions (cosine is
+    scale-invariant). ``AnnIndex.topk(..., rescore_with=source_df)``
+    recovers exact ranking with one bounded join."""
     if dim is None:
         raise ValueError("dim is required (callers know their embedding width)")
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     cols = [F.col(id_col), F.col(vec_col)]
     if kind == "lsh":
         bucketed = with_lsh_buckets(df, dim, vec_col, bits, tables, seed)
+        if quantize == "int8":
+            # AFTER bucketing: hashes see exact vectors, storage sees codes
+            bucketed = bucketed.withColumn(vec_col, _q8_col(vec_col))
         # Replicated posting lists: one copy of the row per hash table,
         # partitioned by (t, bucket) → a probe is `tables` directory reads.
         # Every replica also carries ALL bucket ids as data columns, so a
@@ -118,6 +146,8 @@ def build_ann_index(
     elif kind == "ivf":
         cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids, seed)
         celled = with_ivf_cells(df, cents, vec_col).select(*cols, F.col("cell"))
+        if quantize == "int8":
+            celled = celled.withColumn(vec_col, _q8_col(vec_col))
         celled.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(path)
@@ -134,6 +164,7 @@ def build_ann_index(
         "seed": seed,
         "centroids": centroids,
         "group": max(1, (1 << bits) // _MAX_DIRS_PER_TABLE) if kind == "lsh" else 1,
+        "quantize": quantize,
     }
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f)
@@ -151,7 +182,22 @@ class AnnIndex:
         self.spark = spark
         self.path = path
         self.m = manifest
-        self._df = spark.read.parquet(path)
+        self._df = self._read()
+
+    def _read(self) -> DataFrame:
+        """The probe frame. A quantized index stores int8 codes; they are
+        cast back to double AT SCAN TIME (a codegen'd transform in the
+        plan), so every probe path ranks on the code DIRECTION unchanged —
+        cosine is invariant to the per-vector scale the codes dropped. The
+        4× storage/IO/cache saving is the point; the cast costs nothing
+        material next to the scan."""
+        df = self.spark.read.parquet(self.path)
+        if self.m.get("quantize") == "int8":
+            vc = self.m["vec_col"]
+            df = df.withColumn(
+                vc, F.transform(vc, lambda x: x.cast("double"))
+            )
+        return df
 
     @property
     def kind(self) -> str:
@@ -185,6 +231,8 @@ class AnnIndex:
             bucketed = with_lsh_buckets(
                 df, m["dim"], vec_col, m["bits"], m["tables"], m["seed"]
             )
+            if m.get("quantize") == "int8":
+                bucketed = bucketed.withColumn(vec_col, _q8_col(vec_col))
             all_buckets = [
                 F.col(f"bucket_{j}").alias(f"b{j}") for j in range(m["tables"])
             ]
@@ -206,6 +254,8 @@ class AnnIndex:
                 m["dim"], m["n_centroids"], m["seed"]
             )
             celled = with_ivf_cells(df, cents, vec_col).select(*cols, F.col("cell"))
+            if m.get("quantize") == "int8":
+                celled = celled.withColumn(vec_col, _q8_col(vec_col))
             celled.repartition("cell").write.mode("append").partitionBy(
                 "cell"
             ).parquet(self.path)
@@ -214,7 +264,7 @@ class AnnIndex:
             json.dump(self.m, f)
         # Refresh the cached reader: its file index was resolved at load and
         # does not see the appended files.
-        self._df = self.spark.read.parquet(self.path)
+        self._df = self._read()
         return self
 
     def compact(self) -> "AnnIndex":
@@ -256,7 +306,7 @@ class AnnIndex:
         self.m = {**m, "generations": 1}
         with open(os.path.join(self.path, _MANIFEST), "w") as f:
             json.dump(self.m, f)
-        self._df = self.spark.read.parquet(self.path)
+        self._df = self._read()
         return self
 
     def _query_buckets(self, query) -> list[int]:
@@ -314,21 +364,42 @@ class AnnIndex:
         k: int = 10,
         nprobe: int = 2,
         round_digits: int | None = 6,
+        rescore_with: DataFrame | None = None,
+        oversample: int = 4,
     ) -> DataFrame:
-        """ANN top-k from the materialized index: pruned read + exact cosine
+        """ANN top-k from the materialized index: pruned read + cosine
         rerank. Candidate set (and therefore the result) is identical to the
         query-time operators with the same parameters.
 
         Candidates arrive duplicate-free (exactly-once claim across tables at
         the storage layout), so both kinds are a single scan-and-TakeOrdered
-        stage over the probed partitions."""
-        return cosine_topk(
+        stage over the probed partitions.
+
+        ``rescore_with`` (a frame carrying the manifest's id/vec columns at
+        FULL precision, e.g. the source embeddings table) recovers exact
+        ranking over a quantized index: the quantized rerank keeps the top
+        ``k × oversample``, one semi-join pulls their exact vectors, and the
+        exact cosine reranks those — the standard two-stage ANN shape, priced
+        at one bounded join instead of 8× more index bytes."""
+        first = cosine_topk(
             self.candidates(query, nprobe=nprobe),
             query,
-            k,
+            k if rescore_with is None else k * oversample,
             self.m["vec_col"],
             self.m["id_col"],
             round_digits=round_digits,
+        )
+        if rescore_with is None:
+            return first
+        id_col, vec_col = self.m["id_col"], self.m["vec_col"]
+        for c in (id_col, vec_col):
+            if c not in rescore_with.columns:
+                raise ValueError(f"rescore frame lacks column {c!r}")
+        exact = rescore_with.join(
+            F.broadcast(first.select(id_col)), on=id_col, how="semi"
+        )
+        return cosine_topk(
+            exact, query, k, vec_col, id_col, round_digits=round_digits
         )
 
     def knn_join(

@@ -30,6 +30,9 @@ __all__ = [
     "with_fingerprint",
     "with_pii_scrub",
     "with_repetition_stats",
+    "with_gopher_rules",
+    "gopher_filter",
+    "GOPHER_REQUIRED_WORDS",
     "PII_PATTERNS",
     "ROLLING_HASH_MOD",
 ]
@@ -230,3 +233,101 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
             "top_token_ratio": F.when(n == 0, F.lit(0.0)).otherwise(max_freq / n),
         }
     )
+
+
+#: The MassiveText/Gopher "required words": a document plausibly written in
+#: English contains at least two of these (Rae et al. 2021, §A.1.1).
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText quality gate (Rae et al. 2021, §A.1.1) as
+    per-rule boolean columns plus the combined ``gopher_pass`` — the
+    standard pre-training filter between "crawled" and "kept". Defaults are
+    the published thresholds; every rule is a codegen'd expression over the
+    whitespace tokens / raw lines, no Python in the row path.
+
+    Columns: ``gr_word_count`` (words in [min, max]), ``gr_mean_word_len``
+    (mean characters per word in [3, 10]), ``gr_symbol_ratio`` (``#`` or
+    ``...``/``…`` per word ≤ 0.1), ``gr_bullet_lines`` (≤ 90% of lines
+    start with a bullet), ``gr_ellipsis_lines`` (≤ 30% of lines end with an
+    ellipsis), ``gr_alpha_words`` (≥ 80% of words contain a letter),
+    ``gr_required_words`` (≥ 2 of the eight Gopher stop words), and
+    ``gopher_pass`` (AND of all). Empty documents fail ``gr_word_count``
+    and pass the ratio rules vacuously — exactly one deterministic path."""
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    mean_len = F.when(n_words > 0, total_chars / nw).otherwise(F.lit(0.0))
+    hashes = (
+        F.length(F.col(text))
+        - F.length(F.regexp_replace(F.col(text), r"#", ""))
+    ).cast("double")
+    # one '…' or one '...' counts once: count '…' plus non-overlapping '...'
+    ell_u = F.size(F.split(F.col(text), "…")) - 1
+    ell_a = F.size(F.split(F.col(text), r"\.\.\.")) - 1
+    symbols = hashes + (ell_u + ell_a).cast("double")
+    lines = F.filter(
+        F.split(F.col(text), r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•▪▸]"))
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("double")
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    required_hits = F.size(
+        F.array_intersect(F.transform(toks, F.lower), req)
+    )
+    rules = {
+        "gr_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "gr_mean_word_len": (n_words > 0)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "gr_symbol_ratio": F.when(
+            n_words == 0, F.lit(True)
+        ).otherwise(symbols / nw <= max_symbol_word_ratio),
+        "gr_bullet_lines": F.when(n_lines == 0, F.lit(True)).otherwise(
+            bullet_lines / n_lines <= max_bullet_line_ratio
+        ),
+        "gr_ellipsis_lines": F.when(n_lines == 0, F.lit(True)).otherwise(
+            ellipsis_lines / n_lines <= max_ellipsis_line_ratio
+        ),
+        "gr_alpha_words": F.when(n_words == 0, F.lit(True)).otherwise(
+            alpha_words / nw >= min_alpha_word_ratio
+        ),
+        "gr_required_words": required_hits >= min_required_words,
+    }
+    out = df.withColumns(rules)
+    passed = None
+    for name in rules:
+        c = F.col(name)
+        passed = c if passed is None else (passed & c)
+    return out.withColumn("gopher_pass", passed)
+
+
+def gopher_filter(df: DataFrame, text: str = "text", **thresholds) -> DataFrame:
+    """Keep only documents passing the Gopher gate — the enforcement form
+    of :func:`with_gopher_rules`; original columns unchanged."""
+    flagged = with_gopher_rules(df, text=text, **thresholds)
+    return flagged.filter("gopher_pass").select(*df.columns)

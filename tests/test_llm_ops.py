@@ -397,3 +397,57 @@ def test_repetition_stats_on_testdata(spark):
         )
     ]
     assert got == want
+
+
+# ------------------------------------------------ Gopher quality gate (r5)
+def test_gopher_rules_each_rule_fires(spark):
+    from datafusion_uwheel_spark.operators.text import (
+        gopher_filter,
+        with_gopher_rules,
+    )
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog again and again with it"]
+        * 5
+    )  # 65 words, letters, stopwords present
+    rows = [
+        (1, good),
+        (2, "too short to pass"),  # word count
+        (3, " ".join(["a"] * 60)),  # mean word length < 3
+        (4, " ".join(["the be to of and that have with ####"] * 8)),  # symbols
+        (5, "\n".join(["- bullet point item here"] * 10)
+            + "\nthe be to of and that have with "
+            + " ".join(["filler"] * 50)),  # bullets > 90%? 10/11 lines
+        (6, " ".join(["12345 67890 999 888 777"] * 14)),  # no alpha words
+        (7, " ".join(["zebra quagga okapi tapir dugong"] * 13)),  # no required words
+        (8, ""),  # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_gopher_rules(df, min_words=50).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["gr_word_count"] is False and out[2]["gopher_pass"] is False
+    assert out[3]["gr_mean_word_len"] is False
+    assert out[4]["gr_symbol_ratio"] is False
+    assert out[5]["gr_bullet_lines"] is False
+    assert out[6]["gr_alpha_words"] is False
+    assert out[7]["gr_required_words"] is False
+    assert out[8]["gr_word_count"] is False
+    kept = gopher_filter(df, min_words=50)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert kept.columns == df.columns  # enforcement form adds nothing
+
+
+def test_gopher_ellipsis_rule(spark):
+    from datafusion_uwheel_spark.operators.text import with_gopher_rules
+
+    text = "\n".join(
+        ["this line trails off..."] * 4
+        + ["the be to of and that have with solid ending here"] * 6
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = with_gopher_rules(df, min_words=1).collect()[0]
+    assert r["gr_ellipsis_lines"] is False  # 4/10 = 40% > 30%
+    r2 = with_gopher_rules(
+        df, min_words=1, max_ellipsis_line_ratio=0.5
+    ).collect()[0]
+    assert r2["gr_ellipsis_lines"] is True
