@@ -1,9 +1,10 @@
-"""End-to-end LLM training-data pipeline over the driver testdata: quality
-gates → exact + near-dup removal (transitive clusters) → embedding near-dup
-removal → token accounting with sketch-backed monitoring → sequence packing
-→ mixture blending. Every stage is an operator this engine ships; the
-pipeline is pure DataFrame composition — one driver program a 1000-executor
-cluster would run unchanged.
+"""End-to-end LLM training-data pipeline over the driver testdata: ingest
+dedup (streaming digest corpus) → quality gates (incl. the Gopher rule set)
+→ exact + near-dup removal (transitive clusters) → embedding near-dup
+removal → eval decontamination → token accounting with sketch-backed
+monitoring → sequence packing → mixture blending. Every stage is an
+operator this engine ships; the pipeline is pure DataFrame composition —
+one driver program a 1000-executor cluster would run unchanged.
 
 Run: ``python examples/training_pipeline.py`` (env ``SPARK_GRAFT_SF_DIR``
 to point at a larger SF).
@@ -31,17 +32,46 @@ def main() -> None:
     spark = get_spark("training-pipeline", master="local[8]", shuffle_partitions=8)
     t0 = time.perf_counter()
 
-    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").repartition(8)
+    raw = read_parquet(spark, f"{SF_DIR}/documents.parquet").repartition(8)
+    n_raw = raw.count()
+
+    # 0. Ingest dedup (r5): two crawl snapshots through the persistent
+    # digest corpus — the second snapshot re-crawls everything in the
+    # first, so only its genuinely new documents survive; repeated content
+    # inside a snapshot keeps its lowest doc_id. This is the streaming
+    # front door of the pipeline, here driven as two batches.
+    import tempfile
+
+    from datafusion_uwheel_spark.operators.stream_dedup import CorpusDedup
+
+    ingest = CorpusDedup(
+        spark,
+        tempfile.mkdtemp(prefix="pipeline_ingest_") + "/digests",
+        n_buckets=32,
+    )
+    crawl1 = raw.filter(F.col("doc_id") % 2 == 0)
+    batch1 = ingest.filter_batch(crawl1)
+    batch2 = ingest.filter_batch(raw)  # re-crawl: half dup, half new
+    docs = batch1.unionByName(batch2)
     n0 = docs.count()
 
-    # 1. Quality gates: language, score, repetition — all JVM expressions.
-    scored = text_ops.with_repetition_stats(
-        text_ops.with_lang_id(text_ops.with_quality(text_ops.with_token_stats(docs)))
+    # 1. Quality gates: language, score, repetition, and the Gopher rule
+    # set (r5; thresholds relaxed for the short synthetic docs) — all JVM
+    # expressions.
+    scored = text_ops.with_gopher_rules(
+        text_ops.with_repetition_stats(
+            text_ops.with_lang_id(
+                text_ops.with_quality(text_ops.with_token_stats(docs))
+            )
+        ),
+        min_words=5,
+        min_required_words=1,
     )
     kept = scored.filter(
         (F.col("quality_score") > 0.3)
         & (F.col("n_tokens") >= 10)
         & (F.col("dup_token_ratio") < 0.9)
+        & F.col("gopher_pass")
     )
     n1 = kept.count()
 
@@ -121,15 +151,16 @@ def main() -> None:
 
     dt = time.perf_counter() - t0
     print(
-        f"pipeline: {n0} docs -> quality {n1} -> text-dedup {n2} -> "
-        f"embed-dedup {n3} -> decontaminated {n4}; {stats['tokens']} tokens"
+        f"pipeline: {n_raw} crawled -> ingest-dedup {n0} -> quality {n1} -> "
+        f"text-dedup {n2} -> embed-dedup {n3} -> decontaminated {n4}; "
+        f"{stats['tokens']} tokens"
     )
     print(
         f"packed into {n_seq} x 2048-token sequences ({util:.0%} utilization); "
         f"blend shares {shares} vs budget {budget}"
     )
     print(f"total {dt:.1f}s at {SF_DIR}")
-    assert n0 >= n1 >= n2 >= n3 > n4 > 0  # the seeded snippets must drop docs
+    assert n_raw >= n0 >= n1 >= n2 >= n3 > n4 > 0  # seeded snippets must drop docs
     assert util > 0.5
     print("OK training pipeline")
 
