@@ -130,6 +130,7 @@ class SimilarityEngine:
         train: bool = False,
         train_sample: int = 4096,
         train_iters: int = 10,
+        quantize: str | None = None,
     ) -> AnnIndex:
         """Materialize a partitioned ANN index (one distributed write) and
         register the handle so :meth:`topk` / :meth:`dup_pairs` route
@@ -139,7 +140,12 @@ class SimilarityEngine:
         ``train=True`` (IVF only) fits spherical-k-means centroids on a
         seeded sample first; the trained index is returned but NOT
         registered for seeded routing (its quantizer differs — see module
-        docstring)."""
+        docstring). ``quantize="int8"`` builds the compact int8-code index
+        (~8× smaller — see :func:`..operators.ann_index.build_ann_index`);
+        it too is returned unregistered, because its rounded rerank order
+        can differ from the query-time operators the routing contract
+        promises to match — probe it via the handle
+        (``topk(..., rescore_with=...)`` recovers exact order)."""
         centroids = None
         if train:
             if kind != "ivf":
@@ -153,7 +159,10 @@ class SimilarityEngine:
             else _ivf_key(n_centroids, seed)
         )
         if path is None:
-            path = self._default_path(key + (("trained",) if train else ()))
+            tag = (("trained",) if train else ()) + (
+                (quantize,) if quantize else ()
+            )
+            path = self._default_path(key + tag)
         build_ann_index(
             self.df,
             path,
@@ -166,9 +175,10 @@ class SimilarityEngine:
             n_centroids=n_centroids,
             seed=seed,
             centroids=centroids,
+            quantize=quantize,
         )
         idx = load_ann_index(self.spark, path)
-        if not train:
+        if not train and quantize is None:
             self.indexes[key] = idx
         return idx
 
@@ -193,6 +203,12 @@ class SimilarityEngine:
             raise ValueError(
                 "trained (pinned-centroid) indexes are probed via their "
                 "handle, not registered for seeded routing"
+            )
+        if m.get("quantize"):
+            raise ValueError(
+                "quantized indexes are probed via their handle (rounded "
+                "rerank order can differ from the query-time operators "
+                "routing promises to match), not registered for routing"
             )
         key = (
             _lsh_key(m["bits"], m["tables"], m["seed"])

@@ -113,3 +113,23 @@ def test_append_stays_quantized(spark, emb, tmp_path):
     assert raw.count() == emb.count()
     got = idx.topk(QUERY, k=K).collect()
     assert len(got) == K
+
+
+def test_similarity_engine_quantized_stays_unregistered(spark, emb, tmp_path):
+    """A quantized build is returned for handle probes but never registered
+    for seeded routing — routing promises results identical to the
+    query-time operators, which int8 rounding cannot."""
+    import pytest as _pytest
+
+    from datafusion_uwheel_spark import SimilarityEngine
+
+    eng = SimilarityEngine(
+        spark, "embq", emb, dim=DIM, index_root=str(tmp_path / "idx")
+    )
+    before = dict(eng.indexes)
+    idx = eng.build_index(kind="lsh", bits=4, tables=2, quantize="int8")
+    assert eng.indexes == before  # nothing registered
+    assert idx.m["quantize"] == "int8"
+    assert len(idx.topk(QUERY, k=K).collect()) == K
+    with _pytest.raises(ValueError):
+        eng.register_index(idx)
