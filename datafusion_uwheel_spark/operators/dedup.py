@@ -43,6 +43,7 @@ __all__ = [
     "shingle_hashes_col",
     "jaccard_pairs",
     "with_minhash_signature",
+    "band_rows",
     "lsh_candidate_pairs",
     "release_signatures",
     "with_simhash",
@@ -375,6 +376,36 @@ def with_minhash_signature(
     return out.withColumn("signature", sig).drop("__sh")
 
 
+def band_rows(
+    df_with_sig: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_NUM_PERM,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Explode a signature frame into its LSH band keys:
+    ``(__id, signature, __band, __key)`` — one row per (doc, band), the
+    ``key`` being the band's signature slice joined as a string. Shared by
+    the batch self-join (:func:`lsh_candidate_pairs`) and the streaming
+    corpus state (:class:`.stream_dedup.NearCorpusDedup`), so both sides
+    of an ingest-time match compute identical keys by construction."""
+    r = k // bands
+    return df_with_sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("signature"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.concat_ws(
+                        "-", F.transform(F.slice(F.col("signature"), bnd * r + 1, r), lambda v: v.cast("string"))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", "signature", F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+
+
 def lsh_candidate_pairs(
     df_with_sig: DataFrame,
     id_col: str = "doc_id",
@@ -418,21 +449,7 @@ def lsh_candidate_pairs(
 
     r = k // bands
     df_with_sig = df_with_sig.persist(StorageLevel.MEMORY_AND_DISK)
-    bandrows = df_with_sig.select(
-        F.col(id_col).alias("__id"),
-        F.col("signature"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.struct(
-                    bnd.alias("band"),
-                    F.concat_ws(
-                        "-", F.transform(F.slice(F.col("signature"), bnd * r + 1, r), lambda v: v.cast("string"))
-                    ).alias("key"),
-                ),
-            )
-        ).alias("__b"),
-    ).select("__id", "signature", F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+    bandrows = band_rows(df_with_sig, id_col, k=k, bands=bands)
     if max_bucket_size is not None:
         hot = (
             bandrows.groupBy("__band", "__key")

@@ -11,6 +11,9 @@ surface at all) — two pieces:
   plus a ``filter_batch`` that keeps only never-seen content and records
   what it kept. Drive it from Structured Streaming via :meth:`attach`
   (``foreachBatch``) or call it directly from batch code.
+* :class:`NearCorpusDedup` — the fuzzy form: MinHash/LSH band state
+  instead of digests, so re-crawls that differ by a footer or a rewrite
+  still drop; optional estimator verification against stored signatures.
 * :func:`dedup_within_stream` — the bounded-lateness form for unbounded
   ``readStream`` pipelines: Spark's own watermarked state
   (``dropDuplicatesWithinWatermark``), for when "seen before" only needs
@@ -41,7 +44,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CorpusDedup", "dedup_within_stream"]
+__all__ = ["CorpusDedup", "NearCorpusDedup", "dedup_within_stream"]
 
 _STATE_SCHEMA = "digest string, bucket int"
 
@@ -196,3 +199,225 @@ def dedup_within_stream(
         .dropDuplicatesWithinWatermark(["__digest"])
         .drop("__digest")
     )
+
+
+class NearCorpusDedup:
+    """Ingestion-time NEAR-dup dedup: drop arriving documents that are
+    near-duplicates — by the MinHash/LSH rule — of anything ever kept,
+    near-dedup the batch against itself under the same rule, then record
+    the survivors. The fuzzy sibling of :class:`CorpusDedup`, which only
+    catches byte-identical content (a re-crawl with a new boilerplate
+    footer sails straight through an exact digest).
+
+    State is the LSH banding itself, persisted: one row per (kept doc,
+    band) holding the owner id and the band's signature-slice key, laid
+    out in ``hb = pmod(xxhash64(key), n_buckets)`` partition dirs. A batch
+    joins its band keys against ONLY the buckets those keys hash into —
+    the same partition-pruned, batch-proportional cost model as the exact
+    form. With ``min_est_jaccard`` set, band collisions are VERIFIED
+    against stored signatures (a side table partitioned by owner-id hash,
+    read pruned to the candidate owners' buckets): the MinHash estimator
+    gate, not just the banding gate. ``None`` keeps the pure LSH decision
+    rule and skips the signature table entirely.
+
+    Documents with no shingles (shorter than the shingle width) carry no
+    signature: they pass through unfiltered and are never recorded, like
+    NULL text in the exact form. Replays are at-least-once safe the same
+    way: a re-filtered batch collides with its own recorded bands and
+    emits nothing new. ``id_col`` must be integral (the signature-table
+    bucketing hashes it).
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        text: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        k: int = 32,
+        bands: int = 8,
+        seed: int = 42,
+        min_est_jaccard: float | None = None,
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.text = text
+        self.id_col = id_col
+        self.n = n
+        self.k = k
+        self.bands = bands
+        self.seed = seed
+        self.min_est_jaccard = min_est_jaccard
+        self.n_buckets = n_buckets
+
+    _BANDS_SCHEMA = "owner long, band int, key string, hb int"
+    _SIGS_SCHEMA = "owner long, signature array<bigint>, sb int"
+
+    def _read_state(self, sub: str, schema: str):
+        p = os.path.join(self.state_dir, sub)
+        if not os.path.isdir(p):
+            return None
+        try:
+            return self.spark.read.schema(schema).parquet(p)
+        except Exception:
+            return None
+
+    def _matched_ids(self, rows, sig):
+        """Batch ids whose band keys collide with the stored corpus —
+        verified against stored signatures when the estimator gate is on.
+        ``rows``: the batch's band rows (+``hb``); ``sig``: the batch's
+        persisted signature frame."""
+        bands_state = self._read_state("bands", self._BANDS_SCHEMA)
+        if bands_state is None:
+            return None
+        touched = [r["hb"] for r in rows.select("hb").distinct().collect()]
+        if not touched:
+            return None
+        pruned = bands_state.filter(F.col("hb").isin(touched))
+        hits = rows.join(
+            pruned.select(
+                F.col("band").alias("__band"),
+                F.col("key").alias("__key"),
+                "owner",
+            ),
+            on=["__band", "__key"],
+        )
+        if self.min_est_jaccard is None:
+            return hits.select(F.col("__id").alias(self.id_col)).distinct()
+        sigs_state = self._read_state("sigs", self._SIGS_SCHEMA)
+        if sigs_state is None:  # state written by a rule-only instance
+            raise ValueError(
+                "min_est_jaccard verification needs the signature side "
+                "table, but this state was recorded without one "
+                "(built with min_est_jaccard=None)"
+            )
+        cand = hits.select(F.col("__id").alias(self.id_col), "owner").distinct()
+        sb = [
+            r["sb"]
+            for r in cand.select(
+                F.pmod(F.xxhash64("owner"), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("sb")
+            )
+            .distinct()
+            .collect()
+        ]
+        owner_sigs = sigs_state.filter(F.col("sb").isin(sb)).select(
+            "owner", F.col("signature").alias("__corpus_sig")
+        )
+        est = (
+            cand.join(owner_sigs, on="owner")
+            .join(
+                sig.select(self.id_col, F.col("signature").alias("__batch_sig")),
+                on=self.id_col,
+            )
+            .withColumn(
+                "__est",
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "__batch_sig",
+                            "__corpus_sig",
+                            lambda a, b: a == b,
+                        ),
+                        lambda x: x,
+                    )
+                ).cast("double")
+                / F.lit(float(self.k)),
+            )
+        )
+        return (
+            est.filter(F.col("__est") >= self.min_est_jaccard)
+            .select(self.id_col)
+            .distinct()
+        )
+
+    def filter_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Survivors of ``batch_df``: not a near-dup of the corpus, not a
+        near-dup of a lower-id batch doc (transitive keep-one), with their
+        bands (and signatures, when verifying) recorded. Shingle-less rows
+        pass through unrecorded."""
+        from .dedup import (
+            band_rows,
+            dedup_clustered,
+            lsh_candidate_pairs,
+            release_signatures,
+            with_minhash_signature,
+        )
+
+        sig = with_minhash_signature(
+            batch_df, text=self.text, n=self.n, k=self.k, seed=self.seed
+        ).persist()
+        try:
+            rows = band_rows(sig, self.id_col, k=self.k, bands=self.bands).withColumn(
+                "hb",
+                F.pmod(F.xxhash64("__key"), F.lit(self.n_buckets)).cast("int"),
+            )
+            matched = self._matched_ids(rows, sig)
+            surv_sig = (
+                sig
+                if matched is None
+                else sig.join(matched, on=self.id_col, how="left_anti")
+            )
+            # within-batch near-dups under the SAME rule: banded pairs →
+            # transitive keep-lowest
+            pairs = lsh_candidate_pairs(
+                surv_sig,
+                id_col=self.id_col,
+                k=self.k,
+                bands=self.bands,
+                min_est_jaccard=self.min_est_jaccard,
+            )
+            kept = (
+                dedup_clustered(
+                    surv_sig.select(self.id_col), pairs, id_col=self.id_col
+                )
+                .select(self.id_col)
+                .localCheckpoint(eager=True)  # lineage cut before the append
+            )
+            release_signatures(pairs)
+            kept_sig = sig.join(kept, on=self.id_col, how="semi")
+            new_bands = (
+                band_rows(kept_sig, self.id_col, k=self.k, bands=self.bands)
+                .select(
+                    F.col("__id").cast("long").alias("owner"),
+                    F.col("__band").alias("band"),
+                    F.col("__key").alias("key"),
+                )
+                .withColumn(
+                    "hb",
+                    F.pmod(F.xxhash64("key"), F.lit(self.n_buckets)).cast("int"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_bands.write.mode("append").partitionBy("hb").parquet(
+                os.path.join(self.state_dir, "bands")
+            )
+            if self.min_est_jaccard is not None:
+                new_sigs = (
+                    kept_sig.select(
+                        F.col(self.id_col).cast("long").alias("owner"),
+                        F.col("signature").cast("array<bigint>").alias("signature"),
+                    )
+                    .withColumn(
+                        "sb",
+                        F.pmod(F.xxhash64("owner"), F.lit(self.n_buckets)).cast("int"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                new_sigs.write.mode("append").partitionBy("sb").parquet(
+                    os.path.join(self.state_dir, "sigs")
+                )
+            no_sig = batch_df.join(
+                sig.select(self.id_col), on=self.id_col, how="left_anti"
+            )
+            survivors = batch_df.join(kept, on=self.id_col, how="semi")
+            return survivors.unionByName(no_sig)
+        finally:
+            sig.unpersist()
+
+    def seen_bands(self) -> int:
+        s = self._read_state("bands", self._BANDS_SCHEMA)
+        return 0 if s is None else s.count()

@@ -120,3 +120,105 @@ def test_within_stream_watermark_dedup(spark, tmp_path):
     rows = spark.sql("SELECT doc_id FROM wm_dedup_out").collect()
     kept = sorted(r["doc_id"] for r in rows)
     assert len(kept) == 2 and 3 in kept  # one of {1,2} plus 3
+
+
+# ----------------------------------------------------- near-dup corpus form
+def ndocs(spark, rows):
+    return spark.createDataFrame(rows, DOC)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain "
+    "falls gently on the quiet town and the lights flicker softly"
+)
+
+
+@pytest.fixture()
+def near(spark, tmp_path):
+    from datafusion_uwheel_spark.operators.stream_dedup import NearCorpusDedup
+
+    return NearCorpusDedup(spark, str(tmp_path / "near"), n_buckets=8)
+
+
+def test_near_batch_drops_rewrites_of_corpus(spark, near):
+    out1 = near.filter_batch(ndocs(spark, [(1, BASE), (2, "completely different content about spacecraft navigation systems and orbital mechanics calculations")]))
+    assert ids(out1) == [1, 2]
+    # a re-crawl with a tweaked tail is NOT byte-identical but IS a
+    # near-dup — the banded rule must drop it; fresh content survives
+    out2 = near.filter_batch(
+        ndocs(
+            spark,
+            [
+                (10, BASE + " extra footer"),
+                (11, "entirely new text describing deep sea creatures and their bioluminescent displays in the midnight zone"),
+            ],
+        )
+    )
+    assert ids(out2) == [11]
+
+
+def test_near_within_batch_keeps_lowest(spark, near):
+    out = near.filter_batch(
+        ndocs(spark, [(5, BASE), (3, BASE + " tail"), (9, BASE + " tail two")])
+    )
+    assert ids(out) == [3]  # one survivor per near-dup cluster, lowest id
+
+
+def test_near_replay_emits_nothing(spark, near):
+    batch = ndocs(spark, [(1, BASE)])
+    assert ids(near.filter_batch(batch)) == [1]
+    assert ids(near.filter_batch(batch)) == []
+
+
+def test_near_short_docs_pass_through(spark, near):
+    out = near.filter_batch(ndocs(spark, [(1, "ab"), (2, BASE)]))
+    assert ids(out) == [1, 2]
+    out2 = near.filter_batch(ndocs(spark, [(3, "ab"), (4, BASE + " x")]))
+    assert ids(out2) == [3]  # shingle-less doc passes again; near-dup drops
+
+
+#: est ≈ 0.66 vs BASE with the pinned seed — collides on exactly one band
+#: (so the pure LSH rule drops it) while clearly failing a 0.9 estimator
+#: gate (so a verifying instance keeps it). Deterministic: seeded MinHash.
+MID = BASE + " " + " ".join(f"word{i}" for i in range(10))
+
+
+def test_near_verified_gate(spark, tmp_path):
+    """min_est_jaccard verifies band collisions against stored signatures:
+    the near-identical doc is dropped, while the mid-similarity doc that
+    COLLIDES on a band (the pure rule would drop it — see the companion
+    test) clears verification and survives."""
+    from datafusion_uwheel_spark.operators.stream_dedup import NearCorpusDedup
+
+    strict = NearCorpusDedup(
+        spark, str(tmp_path / "v"), n_buckets=8, min_est_jaccard=0.9
+    )
+    strict.filter_batch(ndocs(spark, [(1, BASE)]))
+    out = strict.filter_batch(
+        ndocs(spark, [(10, BASE + " y"), (11, MID)])
+    )
+    got = ids(out)
+    assert 10 not in got and 11 in got
+
+
+def test_near_pure_rule_drops_band_collisions(spark, tmp_path):
+    """The same mid-similarity doc through a rule-only instance IS dropped
+    (band collision = decision), proving the estimator gate above is doing
+    real verification work rather than vacuously passing."""
+    from datafusion_uwheel_spark.operators.stream_dedup import NearCorpusDedup
+
+    plain = NearCorpusDedup(spark, str(tmp_path / "r"), n_buckets=8)
+    plain.filter_batch(ndocs(spark, [(1, BASE)]))
+    assert ids(plain.filter_batch(ndocs(spark, [(11, MID)]))) == []
+
+
+def test_near_rule_only_state_refuses_verification(spark, tmp_path):
+    from datafusion_uwheel_spark.operators.stream_dedup import NearCorpusDedup
+
+    plain = NearCorpusDedup(spark, str(tmp_path / "p"), n_buckets=8)
+    plain.filter_batch(ndocs(spark, [(1, BASE)]))
+    verifying = NearCorpusDedup(
+        spark, str(tmp_path / "p"), n_buckets=8, min_est_jaccard=0.5
+    )
+    with pytest.raises(ValueError):
+        verifying.filter_batch(ndocs(spark, [(2, BASE + " z")])).collect()
