@@ -517,6 +517,12 @@ class WheelEngine:
         from a keyed theta build (``partition_by=``)."""
         return self.theta_rollups[column].retained_by_key(r1, r2)
 
+    def theta_retention_by(self, column: str, granularity, start=None, end=None):
+        """Period-over-period retention series ``(period, n_curr, n_prev,
+        n_retained, retention)`` — each period's distinct ``column`` values
+        intersected with the previous occupied period's."""
+        return self.theta_rollups[column].retention_by(granularity, start, end)
+
     def approx_distinct(self, column: str, start, end, **kw) -> int:
         """Estimated distinct count of ``column`` over ``[start, end)`` from
         the rollup built by :meth:`build_distinct_index` (KeyError if none —

@@ -421,3 +421,17 @@ class NearCorpusDedup:
     def seen_bands(self) -> int:
         s = self._read_state("bands", self._BANDS_SCHEMA)
         return 0 if s is None else s.count()
+
+    def attach(self, stream_df: DataFrame, sink, **start_kwargs):
+        """Drive the near-dedup from a stream — same contract as
+        :meth:`CorpusDedup.attach`: each micro-batch is filtered and the
+        survivors handed to ``sink(survivors_df, batch_id)``."""
+
+        def _each(batch_df: DataFrame, batch_id: int) -> None:
+            sink(self.filter_batch(batch_df), batch_id)
+
+        return (
+            stream_df.writeStream.foreachBatch(_each)
+            .options(**start_kwargs.pop("options", {}))
+            .start(**start_kwargs)
+        )

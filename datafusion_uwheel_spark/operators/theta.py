@@ -174,6 +174,61 @@ class ThetaRollup:
             .orderBy(self.key_column)
         )
 
+    def retention_by(self, granularity, start=None, end=None) -> DataFrame:
+        """The period-over-period retention SERIES — the dashboard form of
+        :meth:`approx_retained`: bucket sketches regrouped into periods (a
+        ``date_trunc`` granularity name or an integer tumbling width in
+        seconds), each period intersected with the PREVIOUS OCCUPIED
+        period. Returns ``(period, n_curr, n_prev, n_retained,
+        retention)`` ordered by period, ``retention = n_retained / n_prev``
+        (NULL for the first period). One job over the cached rollup; the
+        ordering window runs on one task, fine for the handful of periods
+        a series has — the heavy lifting (per-bucket sketching) already
+        happened at build."""
+        from pyspark.sql import Window
+
+        ts = F.timestamp_seconds(F.col("__sec"))
+        if isinstance(granularity, int):
+            if granularity <= 0 or granularity % self.bucket_seconds:
+                raise ValueError(
+                    f"width {granularity!r} not tiled by "
+                    f"{self.bucket_seconds}s buckets"
+                )
+            bucket = F.timestamp_seconds(
+                F.col("__sec") - F.col("__sec") % F.lit(granularity)
+            )
+        else:
+            bucket = F.date_trunc(str(granularity), ts)
+        df = self._df
+        if start is not None or end is not None:
+            df = df.filter(
+                self._range_filter(start or "1970-01-01", end or "9999-01-01")
+            )
+        periods = df.groupBy(bucket.alias("period")).agg(
+            F.expr("theta_union_agg(__theta)").alias("__s")
+        )
+        w = Window.orderBy("period")
+        n_prev = self._est("__prev").cast("long")
+        n_ret = self._est("theta_intersection(__s, __prev)").cast("long")
+        return (
+            periods.withColumn("__prev", F.lag("__s").over(w))
+            .select(
+                "period",
+                self._est("__s").cast("long").alias("n_curr"),
+                F.when(F.col("__prev").isNull(), F.lit(None).cast("long"))
+                .otherwise(n_prev)
+                .alias("n_prev"),
+                F.when(F.col("__prev").isNull(), F.lit(None).cast("long"))
+                .otherwise(n_ret)
+                .alias("n_retained"),
+                F.when(
+                    F.col("__prev").isNotNull() & (n_prev > 0),
+                    n_ret.cast("double") / n_prev.cast("double"),
+                ).alias("retention"),
+            )
+            .orderBy("period")
+        )
+
     def merged_sketch(self, start, end) -> bytes | None:
         """The merged theta sketch bytes for ``[start, end)`` — composable
         with sketches from other tables (cross-dataset audience algebra)."""

@@ -208,3 +208,40 @@ def test_engine_glue_and_persistence(spark, sf_small_dir, tmp_path):
         load_indexes=out,
     )
     assert eng2.approx_retained("user_id", R1, R2) == n
+
+
+def test_retention_series(spark, cohort):
+    """Weekly retention series over the controlled cohort: week 2 retains
+    exactly the 50..99 overlap; the first period has NULL prev columns."""
+    r = build_theta_rollup(cohort, "ts", "user_id", bucket_seconds=3600)
+    try:
+        rows = r.retention_by("week").collect()
+        assert len(rows) == 2
+        first, second = rows
+        assert first["n_curr"] == 100
+        assert first["n_prev"] is None and first["retention"] is None
+        assert second["n_curr"] == 120
+        assert second["n_prev"] == 100
+        assert second["n_retained"] == 50
+        assert second["retention"] == pytest.approx(0.5)
+        # integer 7-day tumbling windows are EPOCH-aligned (boundaries on
+        # Thursdays — 1970-01-01), splitting the cohort differently than
+        # calendar weeks: [.., Jan 4) holds W1's Jan 2; [Jan 4, 11) holds
+        # W1's Jan 6 AND W2's Jan 9 (170 distinct); [Jan 11, ..) holds
+        # W2's Jan 13. Retained: 100 (W1∩(W1∪W2)), then 120 ((W1∪W2)∩W2).
+        rows2 = r.retention_by(7 * 86400).collect()
+        assert [x["n_retained"] for x in rows2] == [None, 100, 120]
+        assert [x["n_curr"] for x in rows2] == [100, 170, 120]
+        with pytest.raises(ValueError):
+            r.retention_by(3600 - 1)  # width the buckets don't tile
+    finally:
+        r.unpersist()
+
+
+def test_engine_retention_series(spark, cohort, tmp_path):
+    src = str(tmp_path / "cohort.parquet")
+    cohort.write.mode("overwrite").parquet(src)
+    eng = WheelEngine(spark, "cohort", src, time_column="ts")
+    eng.build_theta_index("user_id", bucket_seconds=3600)
+    got = eng.theta_retention_by("user_id", "week").collect()
+    assert [x["n_retained"] for x in got] == [None, 50]
