@@ -947,9 +947,12 @@ class WheelEngine:
         never go stale or approximate). Aggregate values are unchanged for
         every query both tiers can serve: bucket states are monoids, so
         rolled buckets hold exactly what a fresh coarse build would.
-        Spark-backend wheels are skipped (their memory lives in executor
-        cache, not the driver). Re-register shim views after compacting —
-        the exported ``bucket_sec`` becomes the coarsest tier width."""
+        Spark-backend wheels compact too (one re-aggregation job over the
+        cached rollup — bounding EXECUTOR cache the way the driver form
+        bounds driver memory), under a slightly stricter ladder: widths
+        must nest every existing tier and the cutoff may only advance.
+        Re-register shim views after compacting — the exported
+        ``bucket_sec`` becomes the coarsest tier width."""
         from .functions.timestamps import GRANULARITY_SECONDS, parse_ts_literal
 
         if isinstance(granularity, str):

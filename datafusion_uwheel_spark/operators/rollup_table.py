@@ -63,6 +63,90 @@ class SparkRollupWheel:
         self._has_vcnt = "__vcnt" in rollup.columns
         self._has_at = "__atcnt" in rollup.columns
         self._landmark_cache: dict[str, Any] | None = None
+        #: Tiered-retention prefix spans [(end_sec_exclusive, width_sec)],
+        #: same contract as the driver wheel's (lookup.WheelIndex.tiers).
+        self.tiers: list[tuple[int, int]] = []
+
+    # ----------------------------------------------------- tiered retention
+    def width_at(self, sec: int) -> int:
+        """Bucket width in force at ``sec`` (tiers are prefix spans)."""
+        for end, w in self.tiers:
+            if sec < end:
+                return w
+        return self.bucket_seconds
+
+    def _max_width_in(self, start_sec: int, end_sec: int) -> int:
+        w = self.bucket_seconds
+        for tend, tw in self.tiers:
+            if start_sec < tend:
+                w = max(w, tw)
+        return w
+
+    def compact_before(self, cutoff_sec: int, width: int) -> int:
+        """Roll buckets older than ``cutoff_sec`` into ``width``-second
+        buckets — the Spark-backend spelling of the driver wheel's HAW
+        tiering: one re-aggregation job over the cached rollup, swapping
+        in the coarse prefix. Bounds EXECUTOR cache for endless streams
+        the way the driver form bounds driver memory. States are monoids,
+        so answers over compacted spans match a fresh coarse build;
+        at-start sliver states survive on each coarse bucket's start
+        instant (rows at other instants merge into the interior, exactly
+        like the driver wheel). Queries finer than a compacted tier fall
+        through via :meth:`covers`. Returns buckets reclaimed.
+
+        Ladder discipline (a strict subset of the driver wheel's, enough
+        for the seconds→minutes→hours→days cadence): ``width`` must be a
+        multiple of ``bucket_seconds`` AND of every existing tier width,
+        and ``cutoff_sec`` (floored to ``width``) must not precede an
+        existing tier's end."""
+        if width <= 0 or width % self.bucket_seconds:
+            raise ValueError(
+                f"width {width} not a multiple of bucket {self.bucket_seconds}"
+            )
+        for tend, tw in self.tiers:
+            if width % tw:
+                raise ValueError(
+                    f"width {width} does not nest existing tier width {tw}"
+                )
+        cutoff = cutoff_sec - (cutoff_sec % width)
+        for tend, _ in self.tiers:
+            if cutoff < tend:
+                raise ValueError(
+                    f"cutoff {cutoff} precedes existing tier end {tend}"
+                )
+        if width == self.bucket_seconds and not self.tiers:
+            return 0
+        old = self.rollup
+        in_span = F.col("__sec") < cutoff
+        before = old.filter(in_span).count()
+        if before == 0:
+            return 0
+        gsec = (F.col("__sec") - (F.col("__sec") % width)).alias("__sec")
+        aggs = [F.sum("__cnt").alias("__cnt")]
+        if self._has_vcnt:
+            aggs.append(F.sum("__vcnt").alias("__vcnt"))
+        for s in self._state_cols:
+            fn = F.min if s == "min" else (F.max if s == "max" else F.sum)
+            aggs.append(fn(f"__{s}").alias(f"__{s}"))
+        if self._has_at:
+            # the coarse bucket's at-start states are the fine bucket AT its
+            # start instant (at most one row matches; absent → NULL → the
+            # at_start() reader already treats missing as zero)
+            start_hit = F.col("__sec") % width == 0
+            for c in old.columns:
+                if c.startswith("__at"):
+                    aggs.append(F.sum(F.when(start_hit, F.col(c))).alias(c))
+        coarse = old.filter(in_span).groupBy(gsec).agg(*aggs)
+        merged = (
+            coarse.unionByName(old.filter(~in_span).select(*coarse.columns))
+            .persist()
+        )
+        after = merged.filter(in_span).count()  # also materializes the cache
+        old.unpersist()
+        self.rollup = merged
+        self.tiers = [(cutoff, width)]
+        self._landmark_cache = None
+        return before - after
 
     @property
     def tracks_at_start(self) -> bool:
@@ -116,17 +200,21 @@ class SparkRollupWheel:
     @property
     def low_sec(self) -> int:
         s = self.min_ts_us // MICROS_PER_SECOND
-        return s - (s % self.bucket_seconds)
+        return s - (s % self.width_at(s))
 
     @property
     def high_sec_exclusive(self) -> int:
         s = self.max_ts_us // MICROS_PER_SECOND
-        return s - (s % self.bucket_seconds) + self.bucket_seconds
+        w = self.width_at(s)
+        return s - (s % w) + w
 
     def covers(self, start_sec: int, end_sec: int) -> bool:
+        """Each bound must align to the bucket width in force at ITS tier
+        (same contract as the driver wheel): queries into a compacted span
+        answer at the coarser alignment, finer asks fall through."""
         if start_sec > end_sec:
             return False
-        if start_sec % self.bucket_seconds or end_sec % self.bucket_seconds:
+        if start_sec % self.width_at(start_sec) or end_sec % self.width_at(end_sec):
             return False
         if self.complete:
             return True
@@ -210,13 +298,16 @@ class SparkRollupWheel:
             WEEK_EPOCH_OFFSET_SECONDS,
         )
 
+        # the grouping must tile the COARSEST bucket width in the asked
+        # range — after tiered compaction that can exceed bucket_seconds
+        maxw = self._max_width_in(start_sec, end_sec)
         if isinstance(granularity, int):
             # Tumbling window(ts, '<w sec>'): epoch-aligned, no week offset.
-            if granularity <= 0 or granularity % self.bucket_seconds:
+            if granularity <= 0 or granularity % maxw:
                 return None
             key = (F.col("__sec") - (F.col("__sec") % granularity)).alias("__bucket")
         elif granularity in CALENDAR_GRANULARITIES:
-            if 86_400 % self.bucket_seconds:
+            if 86_400 % maxw:
                 return None
             key = (
                 F.unix_timestamp(
@@ -225,7 +316,7 @@ class SparkRollupWheel:
             ).alias("__bucket")
         elif granularity in GRANULARITY_SECONDS:
             gs = GRANULARITY_SECONDS[granularity]
-            if gs % self.bucket_seconds:
+            if gs % maxw:
                 return None
             if granularity == "week":
                 off = WEEK_EPOCH_OFFSET_SECONDS

@@ -289,3 +289,68 @@ def test_compaction_property_random_timelines(data):
         for s, _v in rows:
             want[s - s % g] = want.get(s - s % g, 0) + 1
         assert got == want
+
+
+# ------------------------------------------------ spark-backend tiers (r5)
+CUT2 = "2024-01-20 00:00:00"
+
+
+@pytest.fixture()
+def seng(spark, sf_small_dir):
+    e = WheelEngine(
+        spark, "ret_events", f"{sf_small_dir}/events.parquet", time_column="ts",
+        index_backend="spark",
+    )
+    e.build_index("value")
+    return e
+
+
+def test_spark_backend_compaction_preserves_answers(seng, eng):
+    """The cached-DataFrame backend compacts too: answers over hour-aligned
+    ranges, landmarks, and day group-bys are identical to the driver
+    backend's compacted answers (one re-aggregation job, monoid states)."""
+    reclaimed = seng.compact_indexes(CUT, "hour")
+    assert reclaimed > 0
+    eng.compact_indexes(CUT, "hour")
+    for q in QUERIES:
+        got = _collect(seng, q)
+        assert seng.last_route.kind != "delegate", q
+        want = _collect(eng, q)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            for x, y in zip(g, w):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (q, g, w)
+                else:
+                    assert x == y, (q, g, w)
+
+
+def test_spark_backend_fine_asks_delegate_after_compaction(seng):
+    seng.compact_indexes(CUT, "hour")
+    # minute-aligned bound INSIDE the compacted span: must delegate (and
+    # still answer correctly via the scan)
+    q = (
+        "SELECT COUNT(*) AS c FROM ret_events "
+        "WHERE ts >= '2024-01-05 00:30:00' AND ts < '2024-01-20 00:00:00'"
+    )
+    got = _collect(seng, q)
+    assert seng.last_route.kind == "delegate"
+    # minute group-by over the compacted span: the hour tier can't split
+    q2 = (
+        "SELECT date_trunc('minute', ts) AS b, COUNT(*) AS c FROM ret_events "
+        "WHERE ts >= '2024-01-05 00:00:00' AND ts < '2024-01-06 00:00:00' "
+        "GROUP BY 1"
+    )
+    _collect(seng, q2)
+    assert seng.last_route.kind == "delegate"
+
+
+def test_spark_backend_ladder_validation(seng):
+    seng.compact_indexes(CUT, "hour")
+    w = seng.agg_wheels[("value", "*_AGG")]
+    with pytest.raises(ValueError):
+        w.compact_before(10**10, 7)  # 7 s does not nest 3600 s tier
+    with pytest.raises(ValueError):
+        w.compact_before(0, 86400)  # cutoff behind the existing tier end
+    # advancing the ladder (hour → day, later cutoff) is fine
+    assert seng.compact_indexes(CUT2, "day") >= 0
