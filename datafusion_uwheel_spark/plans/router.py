@@ -167,6 +167,107 @@ def _combine_interval_parts(key: str, parts: list[dict]):
     return _variance_states(float(total_sum), float(total_sq), vn)[key]
 
 
+#: Identity states standing in for a CORE a boundary sliver lands outside
+#: of (e.g. a `<=` instant opening a group cell the core range never
+#: touches). ``_sumsq`` is included — whether the wheel actually tracks it
+#: is gated upstream by the per-aggregate state check.
+_EMPTY_CORE: dict = {
+    "count": 0,
+    "count_col": 0,
+    "sum": None,
+    "_sumsq": 0.0,
+    "min": None,
+    "max": None,
+    "avg": None,
+}
+
+
+def _hybrid_agg_value(key: str, core: dict, up, low_bucket, low_at):
+    """One aggregate's value over ``core ∪ upper-sliver ∪ (first bucket −
+    its at-start instant)`` from monoid states — the shared math of the
+    scalar hybrid path and the grouped one (where ``core`` is a single
+    group CELL's states). Returns ``(ok, value)``; ``ok=False`` marks a
+    non-derivable combination (min/max over a mixed lower bucket, a
+    missing sum-of-squares state) — callers fall back to a pruned scan or
+    delegate."""
+    if up is None and low_bucket is None:
+        return True, core[key]
+
+    def part_counts(states, at=False):
+        n = states["count"]
+        vn = states["vcnt"] if at else states.get("count_col", states["count"])
+        return n, vn
+
+    n = core["count"]
+    vn = core.get("count_col", core["count"])
+    if up is not None:
+        n += up["count"]
+        vn += up["vcnt"]
+    if low_bucket is not None:
+        bn, bvn = part_counts(low_bucket)
+        n += bn - low_at["count"]
+        vn += bvn - low_at["vcnt"]
+    if key == "count":
+        return True, n
+    if key == "count_col":
+        return True, vn
+
+    if key in ("min", "max"):
+        parts = []
+        if core.get(key) is not None:
+            parts.append(core[key])
+        if up is not None and up.get(key) is not None:
+            parts.append(up[key])
+        if low_bucket is not None:
+            _, bvn = part_counts(low_bucket)
+            sliver_vn = bvn - low_at["vcnt"]
+            if sliver_vn > 0:
+                if low_at["vcnt"] == 0:
+                    # sliver holds ALL of the bucket's non-null values
+                    if low_bucket.get(key) is None:
+                        return False, None
+                    parts.append(low_bucket[key])
+                else:
+                    return False, None  # mixed bucket — not subtractable
+        pick = min if key == "min" else max
+        return True, (pick(parts) if parts else None)
+
+    # additive numeric states: sum / sumsq-derived / avg
+    def tot(state_key, at_key):
+        t = core.get(state_key)
+        t = 0 if t is None else t
+        if state_key == "_sumsq" and "_sumsq" not in core:
+            return None  # sumsq not tracked on this wheel
+        if up is not None:
+            uv = up.get(at_key)
+            if uv is None and at_key in ("sum", "sumsq") and at_key not in up:
+                return None
+            t += uv if uv is not None else 0
+        if low_bucket is not None:
+            bv = low_bucket.get(state_key)
+            t += 0 if bv is None else bv
+            av = low_at.get(at_key)
+            t -= 0 if av is None else av
+        return t
+
+    if key == "sum":
+        s = tot("sum", "sum")
+        return True, (None if vn == 0 or s is None else s)
+    if key == "avg":
+        s = tot("sum", "sum")
+        return True, (None if vn == 0 or s is None else float(s) / vn)
+    # variance family
+    s = tot("sum", "sum")
+    sq = tot("_sumsq", "sumsq")
+    if s is None or sq is None:
+        return False, None
+    if vn == 0:
+        return True, None
+    from ..operators.lookup import _variance_states
+
+    return True, _variance_states(float(s), float(sq), vn)[key]
+
+
 def _combine_core_boundary(agg: AggSpec, core: dict, brow: dict):
     """Exact monoid combine of the wheel's core-range states with the
     boundary scan's single aggregate row (states named by
@@ -566,6 +667,21 @@ class Router:
                 end_sec = max(w.high_sec_exclusive for w in spans)
             kind = "group_by_landmark"
         elif rng is None or not rng.routable:
+            # BETWEEN / `<=` / `>` bounds on a GROUP BY: core cells from the
+            # wheel's group-by + boundary slivers folded into the cells that
+            # contain them (the scalar hybrid's exact monoid algebra applied
+            # per cell — beyond both the reference, which approximates the
+            # ops and has no such group surface, and the scalar-only r4
+            # hybrid here).
+            if (
+                rng is not None
+                and rng.hybrid_routable
+                and not (isinstance(gb, WindowSpec) and gb.hopping)
+                and not q.having
+            ):
+                return self._try_group_by_hybrid(
+                    q, gb, gran, rng, residual, wheels, fk
+                )
             return RouteDecision("delegate", detail={"reason": "no exact aligned range"}), None
         else:
             start_sec, end_sec = rng.start_sec, rng.end_sec
@@ -1613,6 +1729,128 @@ class Router:
             df,
         )
 
+    def _try_group_by_hybrid(self, q, gb, gran, rng, residual, wheels, fk):
+        """GROUP BY date_trunc / tumbling window with BETWEEN / ``<=`` /
+        ``>`` temporal bounds — the scalar hybrid's exact monoid algebra
+        applied PER GROUP CELL, zero jobs: core cells from the wheel's
+        group-by, boundary slivers (at-start states) folded into the cells
+        that contain them. Each boundary instant lies in exactly one cell
+        (cells are bucket-aligned and at least a bucket wide), and the cell
+        keys come from the wheel's own group-by over the sliver's bucket —
+        the same calendar logic as the core, nothing re-derived. Anything
+        not derivable from states (mixed-bucket min/max, missing at-start
+        tracking) delegates — never a wrong answer."""
+        e = self.engine
+        bucket = e.bucket_seconds
+
+        def _delegate(reason):
+            return RouteDecision("delegate", detail={"reason": reason, "fk": fk}), None
+
+        if rng.start_sec % bucket or rng.end_sec % bucket:
+            return _delegate("no exact aligned range")
+        core_start = rng.start_sec + (bucket if rng.lo_op == ">" else 0)
+        core_end = rng.end_sec
+        if core_start > core_end:
+            return _delegate("degenerate boundary range")
+        per_wheel_vals: list[dict] = []
+        for agg, w in zip(q.aggs, wheels):
+            if not getattr(w, "tracks_at_start", False):
+                return _delegate("no at-start states")
+            got = w.group_by(core_start, core_end, gran)
+            if got is None:
+                return _delegate("range not covered")
+            key = _state_key(agg)
+            if got and key not in got[0][1]:
+                return _delegate(f"state {key} not indexed")
+            cells = dict(got)
+            up = low_bucket = low_at = None
+            up_cell = low_cell = None
+            if rng.hi_op == "<=":
+                # same trust gate as the scalar path: the sliver bucket sits
+                # one bucket past the core, outside covers()'s vouching
+                if not (
+                    w.complete
+                    or w.combine_range(rng.end_sec, rng.end_sec + bucket)
+                    is not None
+                ):
+                    return _delegate("upper sliver not covered")
+                up = w.at_start(rng.end_sec)
+                if up is None:
+                    return _delegate("no at-start states")
+                if up["count"] == 0:
+                    up = None
+                else:
+                    g1 = w.group_by(rng.end_sec, rng.end_sec + bucket, gran)
+                    if not g1:
+                        return _delegate("upper sliver cell unresolved")
+                    up_cell = g1[0][0]
+            if rng.lo_op == ">":
+                low_at = w.at_start(rng.start_sec)
+                low_bucket = w.combine_range(
+                    rng.start_sec, rng.start_sec + bucket
+                )
+                if low_bucket is None or low_at is None:
+                    return _delegate("lower sliver not covered")
+                if low_bucket["count"] - low_at["count"] == 0:
+                    low_bucket = low_at = None  # empty sliver
+                else:
+                    g0 = w.group_by(rng.start_sec, rng.start_sec + bucket, gran)
+                    if not g0:
+                        return _delegate("lower sliver cell unresolved")
+                    low_cell = g0[0][0]
+            all_cells = set(cells)
+            if up is not None:
+                all_cells.add(up_cell)
+            if low_bucket is not None:
+                all_cells.add(low_cell)
+            vals: dict = {}
+            for c in all_cells:
+                core = cells.get(c, _EMPTY_CORE)
+                u = up if (up is not None and c == up_cell) else None
+                lb = low_bucket if (low_bucket is not None and c == low_cell) else None
+                la = low_at if lb is not None else None
+                ok, v = _hybrid_agg_value(key, core, u, lb, la)
+                if not ok:
+                    return _delegate("boundary not derivable from states")
+                vals[c] = v
+            per_wheel_vals.append(vals)
+
+        buckets = sorted(set().union(*per_wheel_vals)) if per_wheel_vals else []
+        rows = []
+        for b in buckets:
+            row: list[Any] = []
+            for item in q.select_order:
+                if isinstance(item, AggSpec):
+                    row.append(per_wheel_vals[q.aggs.index(item)].get(b))
+                elif isinstance(item, WindowSpec) and item.field == "end":
+                    row.append(sec_to_datetime(b + gb.width_sec))
+                else:
+                    row.append(sec_to_datetime(b))
+            rows.append(tuple(row))
+        names, types = [], []
+        for item in q.select_order:
+            names.append(item.output_name)
+            if isinstance(item, AggSpec):
+                types.append(_agg_sql_type(item, wheels[q.aggs.index(item)]))
+            else:
+                types.append("TIMESTAMP")
+        if q.order_by or q.limit is not None:
+            rows = _order_limit_rows(q, names, rows)
+        df = self._constant_relation(names, types, rows)
+        return (
+            RouteDecision(
+                "group_by_hybrid",
+                index_key=wheels[0].key,
+                detail={
+                    "granularity": (
+                        gran if isinstance(gran, str) else f"window:{gran}s"
+                    ),
+                    "fk": fk,
+                },
+            ),
+            df,
+        )
+
     def _boundary_from_wheels(self, q, rng, wheels, core_states, bucket: int):
         """Combine core states with the boundary slivers using the wheels'
         at-start states (rows at the exact bucket-start instant):
@@ -1654,89 +1892,10 @@ class Router:
                 low_bucket = w.combine_range(rng.start_sec, rng.start_sec + bucket)
                 if low_bucket is None or low_at is None:
                     return None
-            if up is None and low_bucket is None:
-                values.append(core[key])
-                continue
-
-            def part_counts(states, at=False):
-                n = states["count"]
-                vn = states["vcnt"] if at else states.get("count_col", states["count"])
-                return n, vn
-
-            n = core["count"]
-            vn = core.get("count_col", core["count"])
-            if up is not None:
-                n += up["count"]
-                vn += up["vcnt"]
-            if low_bucket is not None:
-                bn, bvn = part_counts(low_bucket)
-                n += bn - low_at["count"]
-                vn += bvn - low_at["vcnt"]
-            if key == "count":
-                values.append(n)
-                continue
-            if key == "count_col":
-                values.append(vn)
-                continue
-
-            if key in ("min", "max"):
-                parts = []
-                if core.get(key) is not None:
-                    parts.append(core[key])
-                if up is not None and up.get(key) is not None:
-                    parts.append(up[key])
-                if low_bucket is not None:
-                    _, bvn = part_counts(low_bucket)
-                    sliver_vn = bvn - low_at["vcnt"]
-                    if sliver_vn > 0:
-                        if low_at["vcnt"] == 0:
-                            # sliver holds ALL of the bucket's non-null values
-                            if low_bucket.get(key) is None:
-                                return None
-                            parts.append(low_bucket[key])
-                        else:
-                            return None  # mixed bucket — not subtractable
-                pick = min if key == "min" else max
-                values.append(pick(parts) if parts else None)
-                continue
-
-            # additive numeric states: sum / sumsq-derived / avg
-            def tot(state_key, at_key):
-                t = core.get(state_key)
-                t = 0 if t is None else t
-                if state_key == "_sumsq" and "_sumsq" not in core:
-                    return None  # sumsq not tracked on this wheel
-                if up is not None:
-                    uv = up.get(at_key)
-                    if uv is None and at_key in ("sum", "sumsq") and at_key not in up:
-                        return None
-                    t += uv if uv is not None else 0
-                if low_bucket is not None:
-                    bv = low_bucket.get(state_key)
-                    t += 0 if bv is None else bv
-                    av = low_at.get(at_key)
-                    t -= 0 if av is None else av
-                return t
-
-            if key == "sum":
-                s = tot("sum", "sum")
-                values.append(None if vn == 0 or s is None else s)
-                continue
-            if key == "avg":
-                s = tot("sum", "sum")
-                values.append(None if vn == 0 or s is None else float(s) / vn)
-                continue
-            # variance family
-            s = tot("sum", "sum")
-            sq = tot("_sumsq", "sumsq")
-            if s is None or sq is None:
+            ok, v = _hybrid_agg_value(key, core, up, low_bucket, low_at)
+            if not ok:
                 return None
-            if vn == 0:
-                values.append(None)
-                continue
-            from ..operators.lookup import _variance_states
-
-            values.append(_variance_states(float(s), float(sq), vn)[key])
+            values.append(v)
         return values
 
     def _boundary_row(self, q, rng, residual, bucket: int):

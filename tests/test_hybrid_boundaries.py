@@ -290,3 +290,142 @@ def test_degenerate_range_delegates(hybrid_engine):
         "timestamp > '2024-05-10 00:00:02' AND timestamp <= '2024-05-10 00:00:02'"
     )
     assert hybrid_engine.last_route.kind == "delegate"
+
+
+# ------------------------------------------------ grouped hybrid (r5)
+@pytest.fixture(scope="module")
+def gb_engine(spark, sf_small_dir):
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    e = WheelEngine(
+        spark, "gbh_events", f"{sf_small_dir}/events.parquet", time_column="ts"
+    )
+    e.build_index("value")
+    e.build_index("value", filter="event_type = 'click'")
+    read_parquet(spark, f"{sf_small_dir}/events.parquet").createOrReplaceTempView(
+        "gbh_events"
+    )
+    return e
+
+
+def gb_check(engine, sql, kind="group_by_hybrid"):
+    routed = engine.sql(sql)
+    assert engine.last_route.kind == kind, (sql, engine.last_route)
+    want = engine.spark.sql(sql).collect()
+    got = routed.collect()
+    assert len(got) == len(want), (sql, len(got), len(want))
+    for g, w in zip(got, want):
+        for x, y in zip(g, w):
+            if isinstance(x, float):
+                assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (sql, g, w)
+            else:
+                assert x == y, (sql, g, w)
+    return got
+
+
+@pytest.mark.parametrize(
+    "gran", ["hour", "day", "week", "month"]
+)
+def test_grouped_between(gb_engine, gran):
+    gb_check(
+        gb_engine,
+        f"SELECT date_trunc('{gran}', ts) AS b, COUNT(*) AS n, "
+        "SUM(value) AS s, AVG(value) AS a FROM gbh_events "
+        "WHERE ts BETWEEN '2024-01-03 00:00:00' AND '2024-01-09 23:59:59' "
+        f"GROUP BY date_trunc('{gran}', ts) ORDER BY b",
+    )
+
+
+def test_grouped_strict_lower(gb_engine):
+    gb_check(
+        gb_engine,
+        "SELECT date_trunc('day', ts) AS b, COUNT(*) AS n, SUM(value) AS s "
+        "FROM gbh_events WHERE ts > '2024-01-03 00:00:00' "
+        "AND ts <= '2024-01-07 00:00:00' "
+        "GROUP BY date_trunc('day', ts) ORDER BY b",
+    )
+
+
+def test_grouped_window_tumbling(gb_engine):
+    gb_check(
+        gb_engine,
+        "SELECT window(ts, '6 hours').start AS b, COUNT(*) AS n "
+        "FROM gbh_events WHERE ts > '2024-01-03 00:00:00' "
+        "AND ts < '2024-01-08 00:00:00' "
+        "GROUP BY window(ts, '6 hours') ORDER BY b",
+    )
+
+
+def test_grouped_keyed_residual(gb_engine):
+    gb_check(
+        gb_engine,
+        "SELECT date_trunc('day', ts) AS b, COUNT(*) AS n, SUM(value) AS s "
+        "FROM gbh_events WHERE ts BETWEEN '2024-01-03 00:00:00' AND "
+        "'2024-01-09 23:59:59' AND event_type = 'click' "
+        "GROUP BY date_trunc('day', ts) ORDER BY b",
+    )
+
+
+def test_grouped_upper_sliver_opens_new_cell(spark):
+    """A `<=` instant exactly at a day boundary opens a cell the core range
+    never touches — the sliver must appear as its OWN group row (the
+    `_EMPTY_CORE` + at-start path), and sub-second rows after the instant
+    stay excluded."""
+    rows = [
+        ("2024-05-09 10:00:00", 1.0),
+        ("2024-05-09 22:30:00", 2.0),
+        ("2024-05-10 00:00:00", 40.0),  # exactly the <= instant: own cell
+        ("2024-05-10 00:00:00.300", 99.0),  # after it — must be excluded
+        ("2024-05-10 06:00:00", 7.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "ts string, v double")
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+    )
+    e = WheelEngine(spark, "gbh_cell", df, time_column="ts")
+    e.build_index("v")
+    df.createOrReplaceTempView("gbh_cell")
+    got = gb_check(
+        e,
+        "SELECT date_trunc('day', ts) AS b, COUNT(*) AS n, SUM(v) AS s "
+        "FROM gbh_cell WHERE ts BETWEEN '2024-05-09 00:00:00' "
+        "AND '2024-05-10 00:00:00' "
+        "GROUP BY date_trunc('day', ts) ORDER BY b",
+    )
+    assert [(r["n"], r["s"]) for r in got] == [(2, 3.0), (1, 40.0)]
+
+
+def test_grouped_hybrid_gates(gb_engine):
+    # HAVING delegates (v1 scope), hopping windows delegate, sub-second
+    # bounds delegate — and the delegated answers are still correct
+    for sql in (
+        "SELECT date_trunc('day', ts) AS b, COUNT(*) AS n FROM gbh_events "
+        "WHERE ts BETWEEN '2024-01-03 00:00:00' AND '2024-01-09 23:59:59' "
+        "GROUP BY date_trunc('day', ts) HAVING COUNT(*) > 5 ORDER BY b",
+        "SELECT window(ts, '6 hours', '2 hours').start AS b, COUNT(*) AS n "
+        "FROM gbh_events WHERE ts > '2024-01-03 00:00:00' "
+        "AND ts <= '2024-01-08 00:00:00' "
+        "GROUP BY window(ts, '6 hours', '2 hours') ORDER BY b",
+        "SELECT date_trunc('day', ts) AS b, COUNT(*) AS n FROM gbh_events "
+        "WHERE ts BETWEEN '2024-01-03 00:00:00.250' AND '2024-01-09 23:59:59' "
+        "GROUP BY date_trunc('day', ts) ORDER BY b",
+    ):
+        gb_check(gb_engine, sql, kind="delegate")
+
+
+def test_grouped_min_over_boundary(gb_engine):
+    """MIN/MAX with a strict lower bound: the sliver bucket usually mixes
+    at-start and interior rows (not subtractable) — route or delegate, the
+    answer must match either way."""
+    routed = gb_engine.sql(
+        "SELECT date_trunc('day', ts) AS b, MIN(value) AS lo, MAX(value) AS hi "
+        "FROM gbh_events WHERE ts > '2024-01-03 00:00:00' "
+        "AND ts <= '2024-01-07 00:00:00' GROUP BY date_trunc('day', ts) ORDER BY b"
+    )
+    assert gb_engine.last_route.kind in ("group_by_hybrid", "delegate")
+    want = gb_engine.spark.sql(
+        "SELECT date_trunc('day', ts) AS b, MIN(value) AS lo, MAX(value) AS hi "
+        "FROM gbh_events WHERE ts > '2024-01-03 00:00:00' "
+        "AND ts <= '2024-01-07 00:00:00' GROUP BY date_trunc('day', ts) ORDER BY b"
+    ).collect()
+    assert routed.collect() == want
