@@ -296,14 +296,23 @@ def uw_prune_minmax(spark, sf_dir):
     )
 
 
-def uw_between_range(spark, sf_dir):
-    """Hybrid boundary rewrite: BETWEEN (inclusive both ends) = wheel core +
-    pruned 1-bucket boundary scan — exact, unlike the reference's `<=`→`<`
-    slop (expr.rs:219-222)."""
-    df = _engine(spark, sf_dir).sql(
-        "SELECT COUNT(*) AS n, SUM(value) AS sum_value FROM events "
-        f"WHERE ts BETWEEN '{A}' AND '{B_INCL}'"
+def uw_between_groupby(spark, sf_dir):
+    """GROUPED hybrid boundary rewrite (r5 — this slot held the scalar
+    uw_between_range through r4; the scalar form stays pinned by
+    uw_le_bound_range's op pair and test_hybrid_boundaries): ``GROUP BY
+    date_trunc('day')`` with BETWEEN bounds answers zero-job — core cells
+    from the wheel's group-by, the inclusive-upper sliver's at-start
+    states folded into the cell containing the instant. The reference
+    approximates the boundary ops AND has no grouped surface for them
+    (expr.rs:83-105,219-222)."""
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS n, "
+        "SUM(value) AS sum_value FROM events "
+        f"WHERE ts BETWEEN '{A}' AND '{B_INCL}' "
+        "GROUP BY date_trunc('day', ts) ORDER BY bucket"
     )
+    assert eng.last_route.kind == "group_by_hybrid", eng.last_route
     return _round(df, {"sum_value": 3})
 
 
@@ -795,7 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_keyed_numeric": uw_keyed_numeric,
         "uw_keyed_groupby": uw_keyed_groupby,
         "uw_keyed_landmark": uw_keyed_landmark,
-        "uw_between_range": uw_between_range,
+        "uw_between_groupby": uw_between_groupby,
         "uw_le_bound_range": uw_le_bound_range,
         # r5: uw_count_col folded into uw_multi_agg's n_vals column; its
         # slot funds uw_compacted_range (tiered HAW retention).
@@ -920,9 +929,12 @@ def oracle_sql() -> dict[str, str]:
         "uw_keyed_landmark": (
             "SELECT round(sum(value), 3) AS sum_value FROM events WHERE event_type = 'click'"
         ),
-        "uw_between_range": (
-            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
-            f"WHERE ts BETWEEN TIMESTAMP '{A}' AND TIMESTAMP '{B_INCL}'"
+        # DuckDB date_trunc('day') returns DATE — cast to match Spark.
+        "uw_between_groupby": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
+            "count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
+            f"WHERE ts BETWEEN TIMESTAMP '{A}' AND TIMESTAMP '{B_INCL}' "
+            "GROUP BY 1 ORDER BY bucket"
         ),
         "uw_le_bound_range": (
             "SELECT count(*) AS n, round(avg(value), 6) AS avg_value FROM events "
