@@ -314,6 +314,12 @@ def main() -> None:
         return int(r["n_pass"])
 
     med("text_gopher_gate", gopher_run)
+    med(
+        "text_chunk_256",
+        lambda: text_ops.chunk_documents(docs_wide, 256, overlap=32)
+        .agg(F.count(F.lit(1)), F.sum("chunk_tokens"))
+        .collect()[0][0],
+    )
     # Temporal-join operators (r4) on the events table: sessionize by user,
     # as-of enrich each event with the latest per-type hourly rollup, and
     # count events per session interval via the bucketized range join.

@@ -31,6 +31,7 @@ __all__ = [
     "with_pii_scrub",
     "with_repetition_stats",
     "with_gopher_rules",
+    "chunk_documents",
     "gopher_filter",
     "GOPHER_REQUIRED_WORDS",
     "PII_PATTERNS",
@@ -331,3 +332,54 @@ def gopher_filter(df: DataFrame, text: str = "text", **thresholds) -> DataFrame:
     of :func:`with_gopher_rules`; original columns unchanged."""
     flagged = with_gopher_rules(df, text=text, **thresholds)
     return flagged.filter("gopher_pass").select(*df.columns)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into ≤ ``max_tokens``-token chunks with
+    ``overlap`` shared tokens between consecutive chunks — the context-
+    window prep step between "clean corpus" and "training sequences"
+    (packing assembles whole docs; chunking cuts docs the window cannot
+    hold).
+
+    Output: ``(id_col, chunk_index, chunk_text, chunk_tokens)`` — one row
+    per chunk, ``chunk_index`` 0-based, every token covered, the last
+    chunk possibly shorter, consecutive chunks sharing exactly ``overlap``
+    tokens (except never past the end). Tokens are the whitespace tokens
+    the stats operators use; documents with no tokens produce NO chunks
+    (chunking empty text is meaningless — filter beforehand if every doc
+    must survive). Pure ``sequence``/``slice``/``explode`` expressions, no
+    Python in the row path; the only cost is the explode's row growth
+    (Σ ceil(tokens/stride)), embarrassingly parallel per document."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+    toks = tokens_col(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (max_tokens - stride), F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s, max_tokens)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(n > 0, chunks).otherwise(
+                    F.array().cast("array<array<string>>")
+                )
+            ).alias("chunk_index", "__toks"),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            F.concat_ws(" ", "__toks").alias("chunk_text"),
+            F.size("__toks").alias("chunk_tokens"),
+        )
+    )

@@ -451,3 +451,65 @@ def test_gopher_ellipsis_rule(spark):
         df, min_words=1, max_ellipsis_line_ratio=0.5
     ).collect()[0]
     assert r2["gr_ellipsis_lines"] is True
+
+
+# ---------------------------------------------------- document chunking (r5)
+def test_chunk_documents_cover_and_overlap(spark):
+    from datafusion_uwheel_spark.operators.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 3 → starts 1,4,7 → chunks of 4,4,4 (tokens 0-3,3-6,6-9)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    assert [r["chunk_tokens"] for r in c1] == [4, 4, 4]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[1]["chunk_text"] == "t3 t4 t5 t6"  # shares exactly 1 token
+    assert c1[2]["chunk_text"] == "t6 t7 t8 t9"
+    # every token covered, consecutive chunks share the overlap token
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(toks)
+    # short doc: one chunk, itself
+    assert [(r["chunk_index"], r["chunk_text"]) for r in by_doc[2]] == [
+        (0, "short doc")
+    ]
+    # empty / NULL text: no chunks
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_chunk_documents_no_overlap_and_validation(spark):
+    import pytest as _pytest
+
+    from datafusion_uwheel_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(9)))], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(df, max_tokens=4).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    assert [r["chunk_tokens"] for r in out] == [4, 4, 1]  # last one shorter
+    assert out[-1]["chunk_text"] == "8"
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_exact_boundary_no_empty_tail(spark):
+    from datafusion_uwheel_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(8)))], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=4).collect()
+    assert [r["chunk_tokens"] for r in sorted(out, key=lambda r: r["chunk_index"])] == [4, 4]
