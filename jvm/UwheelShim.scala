@@ -133,6 +133,11 @@ case class UwheelAggRewrite(session: SparkSession)
               if (gexprs.isEmpty) tryHybrid(exprs, child, tables) else None
             )
             .orElse(
+              // GROUP BY date_trunc with hybrid (core + sliver) boundaries
+              if (gexprs.size == 1) tryGroupHybrid(exprs, gexprs, child, tables)
+              else None
+            )
+            .orElse(
               // hopping window() group-bys (Expand plans)
               tryHop(exprs, gexprs, child, tables)
             )
@@ -1118,6 +1123,172 @@ case class UwheelAggRewrite(session: SparkSession)
         Alias(replacement(k, plan).get, a.name)(exprId = a.exprId)
       }
       Aggregate(Nil, outs, plan, None)
+    }
+  }
+
+  /** GROUP BY date_trunc with hybrid (core + sliver) boundaries — the
+    * grouped form of tryHybrid, matching the Python router's
+    * `_try_group_by_hybrid` (reference contrast: approximates the boundary
+    * ops AND has no grouped surface for them, expr.rs:83-105,219-222).
+    * The union gains a computed group-key column: the rollup side
+    * re-evaluates the trunc at bucket starts (Spark's own calendar logic,
+    * nothing re-derived), the sliver side keeps the ORIGINAL trunc over
+    * raw timestamps; the final Aggregate groups on that column, so parent
+    * plans (HAVING, ORDER BY) resolve unchanged through the preserved
+    * ExprIds. date_trunc only — grouped-window hybrids and key groupings
+    * fall through via the same match-or-nothing discipline. */
+  private def tryGroupHybrid(
+      exprs: Seq[NamedExpression],
+      gexprs: Seq[Expression],
+      child: LogicalPlan,
+      tables: Map[String, (String, String)]
+  ): Option[LogicalPlan] = {
+    for {
+      groups <- resolveGroups(gexprs, child)
+      if groups.size == 1
+      tg <- groups.collectFirst { case t: TimeGroup => t }
+      (condOpt, rel) <- filterOverScan(child)
+      cond <- condOpt
+      root <- scanRoot(rel)
+      (table, timeCol) <- tables.get(root)
+      allowed = rel.outputSet
+      bucketSec = session.conf
+        .getOption(s"spark.uwheel.shim.$table.bucket_sec")
+        .map(_.toLong)
+        .getOrElse(1L)
+      // trunc over the scan's registered time column, at a granularity
+      // whole buckets tile into (NTZ truncates on the naive calendar)
+      if (tg.t.timestamp match {
+        case a: AttributeReference =>
+          allowed.contains(a) && a.name.equalsIgnoreCase(timeCol)
+        case _ => false
+      })
+      if (tg.t.format match {
+        case Literal(s, _) if s != null =>
+          granTiles(
+            s.toString,
+            bucketSec,
+            if (tg.t.timestamp.dataType == TimestampNTZType) "UTC"
+            else
+              tg.t.timeZoneId
+                .getOrElse(session.sessionState.conf.sessionLocalTimeZone)
+          )
+        case _ => false
+      })
+      outs0 <- traverse(exprs.map {
+        case a: Alias =>
+          a.child match {
+            case ae: AggregateExpression =>
+              classify(ae, allowed)
+                .filter {
+                  case CountDistinctKey(_) => false // needs the dim view
+                  case _                   => true
+                }
+                .map(k => Some(k): Option[AggKind])
+            case e if e.semanticEquals(tg.orig) || e.semanticEquals(tg.t) =>
+              Some(None: Option[AggKind])
+            case _ => None
+          }
+        case ar: AttributeReference if ar.semanticEquals(tg.orig) =>
+          Some(None: Option[AggKind])
+        case _ => None
+      })
+      kinds = outs0.flatten
+      cols = kinds.flatMap(_.col).distinct
+      intervals <- condIntervals(cond, timeCol, allowed)
+      tsAttr <- rel.output.find(_.name.equalsIgnoreCase(timeCol))
+      registered = session.conf
+        .getOption(s"spark.uwheel.shim.$table.agg_cols")
+        .toSeq
+        .flatMap(_.split(",").map(_.trim.toLowerCase))
+        .toSet
+      viewName <-
+        if (cols.isEmpty)
+          Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
+            .find(v => rollupPlan(v).isDefined)
+        else if (cols.forall(registered.contains))
+          Some(s"__uwheel_rollup_${table}__agg")
+        else None
+      rollup <- rollupPlan(viewName)
+      sec <- rollup.output.find(_.name == "sec")
+      varCols = kinds.collect { case VarCol(c, _) => c }.distinct
+      needed = "cnt" +: (cols.flatMap(c =>
+        Seq(s"vcnt_$c", s"sum_$c", s"min_$c", s"max_$c")
+      ) ++ varCols.map(c => s"sumsq_$c"))
+      stateAttrs <- traverse(needed.map(n => rollup.output.find(_.name == n)))
+      colAttrs <- traverse(
+        cols.map(c => rel.output.find(_.name.equalsIgnoreCase(c)))
+      )
+    } yield {
+      val colAttr = cols.zip(colAttrs).toMap
+      val align = Micros * bucketSec
+      def ceilA(v: Long) = {
+        val m = Math.floorMod(v, align); if (m == 0) v else v + (align - m)
+      }
+      def floorA(v: Long) = v - Math.floorMod(v, align)
+      var corePreds = Seq.empty[Expression]
+      var slivers = Seq.empty[(Option[Long], Option[Long])]
+      intervals.foreach { iv =>
+        val coreLo = iv.lo.map(ceilA)
+        val coreHi = iv.hi.map(floorA)
+        val emptyCore = coreLo.zip(coreHi).exists { case (l, h) => l >= h }
+        if (emptyCore) slivers :+= ((iv.lo, iv.hi))
+        else {
+          val ps =
+            coreLo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
+              coreHi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
+          corePreds :+= ps.reduceOption(And).getOrElse(Literal(true))
+          slivers ++=
+            iv.lo.filter(l => coreLo.exists(_ > l)).map(l => (Some(l), coreLo)).toSeq ++
+              iv.hi.filter(h => coreHi.exists(_ < h)).map(h => (coreHi, Some(h))).toSeq
+        }
+      }
+      val corePred: Expression =
+        if (intervals.isEmpty) Literal(false)
+        else corePreds.reduceOption(Or).getOrElse(Literal(false))
+      val coreKey = Alias(
+        tg.t.copy(timestamp = bucketTs(sec, tg.t.timestamp.dataType)),
+        "__gkey"
+      )()
+      val core = Project(
+        stateAttrs.map(a => a: NamedExpression) :+ coreKey,
+        Filter(corePred, rollup)
+      )
+      def tsLit(v: Long) = Literal(v, tsAttr.dataType)
+      def ivalPred(a: Option[Long], b: Option[Long]): Expression = {
+        val ps = a.map(v => GreaterThanOrEqual(tsAttr, tsLit(v)): Expression).toSeq ++
+          b.map(v => LessThan(tsAttr, tsLit(v)): Expression).toSeq
+        ps.reduceOption(And).getOrElse(Literal(true))
+      }
+      def sliverExpr(a: Attribute): Expression = a.name match {
+        case "cnt" => Literal(1L)
+        case n if n.startsWith("vcnt_") =>
+          If(IsNull(colAttr(n.stripPrefix("vcnt_"))), Literal(0L), Literal(1L))
+        case n if n.startsWith("sumsq_") =>
+          val c = Cast(colAttr(n.stripPrefix("sumsq_")), DoubleType)
+          Multiply(c, c, EvalMode.LEGACY)
+        case n =>
+          val c = colAttr(n.dropWhile(_ != '_').drop(1))
+          if (c.dataType == a.dataType) c else Cast(c, a.dataType)
+      }
+      val plan =
+        if (slivers.isEmpty) core
+        else {
+          val pred = slivers.map { case (a, b) => ivalPred(a, b) }.reduce(Or)
+          val sliver = Project(
+            stateAttrs.map(a => Alias(sliverExpr(a), a.name)(): NamedExpression)
+              :+ Alias(tg.t, "__gkey")(),
+            Filter(pred, rel)
+          )
+          Union(Seq(core, sliver))
+        }
+      val gattr = plan.output.last
+      val outs = outs0.zip(exprs).map {
+        case (Some(k), a) =>
+          Alias(replacement(k, plan).get, a.name)(exprId = a.exprId)
+        case (None, a) => Alias(gattr, a.name)(exprId = a.exprId)
+      }
+      Aggregate(Seq(gattr), outs, plan, None)
     }
   }
 
