@@ -435,3 +435,33 @@ class NearCorpusDedup:
             .options(**start_kwargs.pop("options", {}))
             .start(**start_kwargs)
         )
+
+    def compact(self) -> None:
+        """Fold per-batch appended files and drop replay double-records in
+        BOTH state tables (bands, and signatures when verifying) — the same
+        bounded small-files discipline as :meth:`CorpusDedup.compact`."""
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            bands = self._read_state("bands", self._BANDS_SCHEMA)
+            if bands is not None:
+                folded = bands.dropDuplicates(
+                    ["owner", "band", "key"]
+                ).repartition("hb")
+                folded.write.mode("overwrite").partitionBy("hb").parquet(
+                    os.path.join(self.state_dir, "bands")
+                )
+            sigs = self._read_state("sigs", self._SIGS_SCHEMA)
+            if sigs is not None:
+                folded = sigs.dropDuplicates(["owner"]).repartition("sb")
+                folded.write.mode("overwrite").partitionBy("sb").parquet(
+                    os.path.join(self.state_dir, "sigs")
+                )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )

@@ -222,3 +222,15 @@ def test_near_rule_only_state_refuses_verification(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         verifying.filter_batch(ndocs(spark, [(2, BASE + " z")])).collect()
+
+
+def test_near_compact_preserves_filtering(spark, near):
+    for i in range(3):
+        near.filter_batch(
+            ndocs(spark, [(i * 10, BASE + f" round {i} marker")])
+        )
+    before = near.seen_bands()
+    near.compact()
+    assert near.seen_bands() == before
+    # previously kept content still drops after the rewrite
+    assert ids(near.filter_batch(ndocs(spark, [(99, BASE + " round 0 marker")]))) == []

@@ -245,3 +245,54 @@ def test_engine_retention_series(spark, cohort, tmp_path):
     eng.build_theta_index("user_id", bucket_seconds=3600)
     got = eng.theta_retention_by("user_id", "week").collect()
     assert [x["n_retained"] for x in got] == [None, 50]
+
+
+# ------------------------------------------------- property: random ranges
+from datetime import datetime, timedelta
+import random as _random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def random_rollup(spark):
+    """One seeded random timeline (≤400 distinct users — below the theta
+    exactness threshold), probed with hypothesis-drawn range pairs."""
+    rng = _random.Random(7)
+    base = datetime(2024, 3, 1)
+    rows = []
+    for day in range(14):
+        for u in rng.sample(range(400), rng.randint(20, 120)):
+            rows.append((base + timedelta(days=day, hours=rng.randint(0, 23)), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    r = build_theta_rollup(df, "ts", "user_id", bucket_seconds=3600)
+    yield r, rows, base
+    r.unpersist()
+
+
+@given(
+    d1=st.integers(0, 13),
+    l1=st.integers(1, 4),
+    d2=st.integers(0, 13),
+    l2=st.integers(1, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_theta_algebra_matches_exact_sets(random_rollup, d1, l1, d2, l2):
+    """Every set-algebra ask over random day ranges equals exact Python
+    set arithmetic (sketches are exact below the nominal threshold)."""
+    r, rows, base = random_rollup
+
+    def span(d, l):
+        a = base + timedelta(days=d)
+        b = base + timedelta(days=min(d + l, 14))
+        return (str(a), str(b)), {u for ts, u in rows if a <= ts < b}
+
+    r1, s1 = span(d1, l1)
+    r2, s2 = span(d2, l2)
+    assert r.approx_distinct(*r1) == len(s1)
+    assert r.approx_retained(r1, r2) == len(s1 & s2)
+    assert r.approx_new(r1, r2) == len(s2 - s1)
+    union = len(s1 | s2)
+    want_j = (len(s1 & s2) / union) if union else 0.0
+    assert r.approx_jaccard(r1, r2) == pytest.approx(want_j)
