@@ -407,6 +407,30 @@ case class UwheelAggRewrite(session: SparkSession)
     else Some((lo, hi, key))
   }
 
+  /** Split ONE ``col = 'string'`` equality over a scan column out of a
+    * conjunction (the keyed-wheel match): ``(keyEq, remaining)``. More
+    * than one string equality → no match (the router delegates those
+    * too); zero → ``(None, cond)`` unchanged. */
+  private def splitKeyEquality(
+      cond: Expression,
+      timeCol: String,
+      allowed: AttributeSet
+  ): Option[(Option[(AttributeReference, String)], Option[Expression])] = {
+    val cs = splitConjunctivePredicates(cond)
+    def keyOf(e: Expression): Option[(AttributeReference, String)] = e match {
+      case EqualTo(a: AttributeReference, Literal(s, StringType))
+          if allowed.contains(a) && !a.name.equalsIgnoreCase(timeCol) && s != null =>
+        Some((a, s.toString))
+      case EqualTo(Literal(s, StringType), a: AttributeReference)
+          if allowed.contains(a) && !a.name.equalsIgnoreCase(timeCol) && s != null =>
+        Some((a, s.toString))
+      case _ => None
+    }
+    val eqs = cs.flatMap(keyOf(_))
+    if (eqs.size > 1) None
+    else Some((eqs.headOption, cs.filter(keyOf(_).isEmpty).reduceOption(And)))
+  }
+
   private def sumAgg(e: Expression): Expression =
     AggregateExpression(Sum(e), Complete, isDistinct = false)
 
@@ -1031,21 +1055,43 @@ case class UwheelAggRewrite(session: SparkSession)
         case _ => None
       })
       cols = kinds.flatMap(_.col).distinct
-      intervals <- condIntervals(cond, timeCol, allowed)
+      split <- splitKeyEquality(cond, timeCol, allowed)
+      (keyEq, restOpt) = split
+      rest <- restOpt // a bare key equality is the exact path's landmark job
+      intervals <- condIntervals(rest, timeCol, allowed)
       tsAttr <- rel.output.find(_.name.equalsIgnoreCase(timeCol))
       registered = session.conf
         .getOption(s"spark.uwheel.shim.$table.agg_cols")
         .toSeq
         .flatMap(_.split(",").map(_.trim.toLowerCase))
         .toSet
-      viewName <-
-        if (cols.isEmpty)
-          Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
-            .find(v => rollupPlan(v).isDefined)
-        else if (cols.forall(registered.contains))
-          Some(s"__uwheel_rollup_${table}__agg")
-        else None
-      rollup <- rollupPlan(viewName)
+      // keyed equality: the per-value keyed view, else the dim family view
+      // restricted to the value; unkeyed: the agg/count views as before
+      chosen <- keyEq match {
+        case Some((ka, kval)) =>
+          keyedView(table, ka.name.toLowerCase, kval, cols)
+            .map(v => (v, None: Option[(AttributeReference, String)]))
+            .orElse(
+              dimView(table, ka.name.toLowerCase, cols)
+                .map(v => (v, Some((ka, kval))))
+            )
+        case None =>
+          (if (cols.isEmpty)
+             Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
+               .find(v => rollupPlan(v).isDefined)
+           else if (cols.forall(registered.contains))
+             Some(s"__uwheel_rollup_${table}__agg")
+           else None).map(v => (v, None))
+      }
+      (viewName, dimRestrict) = chosen
+      rollup0 <- rollupPlan(viewName)
+      rollup <- dimRestrict match {
+        case None => Some(rollup0)
+        case Some((_, kval)) =>
+          rollup0.output
+            .find(a => a.name == "key" && a.dataType == StringType)
+            .map(ka => Filter(EqualTo(ka, Literal(kval)), rollup0))
+      }
       sec <- rollup.output.find(_.name == "sec")
       // every state column the aggregates merge must exist on the view AND
       // resolve to a scan column for the sliver side
@@ -1111,7 +1157,11 @@ case class UwheelAggRewrite(session: SparkSession)
       val plan =
         if (slivers.isEmpty) core
         else {
-          val pred = slivers.map { case (a, b) => ivalPred(a, b) }.reduce(Or)
+          val ivals = slivers.map { case (a, b) => ivalPred(a, b) }.reduce(Or)
+          // a keyed query's sliver scans only the key's raw rows
+          val pred = keyEq
+            .map { case (ka, kval) => And(ivals, EqualTo(ka, Literal(kval))) }
+            .getOrElse(ivals)
           val sliver = Project(
             stateAttrs.map(a => Alias(sliverExpr(a), a.name)(): NamedExpression),
             Filter(pred, rel)
@@ -1195,21 +1245,44 @@ case class UwheelAggRewrite(session: SparkSession)
       })
       kinds = outs0.flatten
       cols = kinds.flatMap(_.col).distinct
-      intervals <- condIntervals(cond, timeCol, allowed)
+      split <- splitKeyEquality(cond, timeCol, allowed)
+      (keyEq, restOpt) = split
+      rest <- restOpt // a bare key equality is the exact path's landmark job
+      intervals <- condIntervals(rest, timeCol, allowed)
       tsAttr <- rel.output.find(_.name.equalsIgnoreCase(timeCol))
       registered = session.conf
         .getOption(s"spark.uwheel.shim.$table.agg_cols")
         .toSeq
         .flatMap(_.split(",").map(_.trim.toLowerCase))
         .toSet
-      viewName <-
-        if (cols.isEmpty)
-          Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
-            .find(v => rollupPlan(v).isDefined)
-        else if (cols.forall(registered.contains))
-          Some(s"__uwheel_rollup_${table}__agg")
-        else None
-      rollup <- rollupPlan(viewName)
+      // keyed equality: the per-value keyed view, else the dim family view
+      // restricted to the value; unkeyed: the agg/count views as before
+      chosen <- keyEq match {
+        case Some((ka, kval)) =>
+          keyedView(table, ka.name.toLowerCase, kval, cols)
+            .map(v => (v, None: Option[(AttributeReference, String)]))
+            .orElse(
+              dimView(table, ka.name.toLowerCase, cols)
+                .map(v => (v, Some((ka, kval))))
+            )
+        case None =>
+          (if (cols.isEmpty)
+             Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
+               .find(v => rollupPlan(v).isDefined)
+           else if (cols.forall(registered.contains))
+             Some(s"__uwheel_rollup_${table}__agg")
+           else None).map(v => (v, None))
+      }
+      (viewName, dimRestrict) = chosen
+      rollup0 <- rollupPlan(viewName)
+      // a dim-view restriction needs the view's STRING key column
+      rollup <- dimRestrict match {
+        case None => Some(rollup0)
+        case Some((_, kval)) =>
+          rollup0.output
+            .find(a => a.name == "key" && a.dataType == StringType)
+            .map(ka => Filter(EqualTo(ka, Literal(kval)), rollup0))
+      }
       sec <- rollup.output.find(_.name == "sec")
       varCols = kinds.collect { case VarCol(c, _) => c }.distinct
       needed = "cnt" +: (cols.flatMap(c =>
@@ -1274,7 +1347,11 @@ case class UwheelAggRewrite(session: SparkSession)
       val plan =
         if (slivers.isEmpty) core
         else {
-          val pred = slivers.map { case (a, b) => ivalPred(a, b) }.reduce(Or)
+          val ivals = slivers.map { case (a, b) => ivalPred(a, b) }.reduce(Or)
+          // a keyed query's sliver scans only the key's raw rows
+          val pred = keyEq
+            .map { case (ka, kval) => And(ivals, EqualTo(ka, Literal(kval))) }
+            .getOrElse(ivals)
           val sliver = Project(
             stateAttrs.map(a => Alias(sliverExpr(a), a.name)(): NamedExpression)
               :+ Alias(tg.t, "__gkey")(),
