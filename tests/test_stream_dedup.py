@@ -234,3 +234,30 @@ def test_near_compact_preserves_filtering(spark, near):
     assert near.seen_bands() == before
     # previously kept content still drops after the rewrite
     assert ids(near.filter_batch(ndocs(spark, [(99, BASE + " round 0 marker")]))) == []
+
+
+def test_state_read_is_partition_pruned(spark, tmp_path):
+    """The scale claim, held in the executed plan: a batch's anti-join
+    reads ONLY the state buckets its own digests hash into
+    (PartitionFilters on the bucket dirs), not the whole corpus state."""
+    import re
+
+    cd = CorpusDedup(spark, str(tmp_path / "pruned"), n_buckets=64)
+    cd.filter_batch(
+        docs(spark, [(i, f"doc number {i}") for i in range(500)])
+    ).count()
+    small = docs(spark, [(9001, "doc number 7"), (9002, "brand new")])
+    digests = cd._digests(small).filter(F.col("digest").isNotNull())
+    keep = digests.groupBy("digest", "bucket").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    touched = [r["bucket"] for r in keep.select("bucket").distinct().collect()]
+    pruned = cd._state().filter(F.col("bucket").isin(touched))
+    plan = (
+        keep.join(pruned, on="digest", how="left_anti")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1) and "IN" in m.group(1), plan[:800]
