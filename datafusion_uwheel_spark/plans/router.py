@@ -677,7 +677,6 @@ class Router:
                 rng is not None
                 and rng.hybrid_routable
                 and not (isinstance(gb, WindowSpec) and gb.hopping)
-                and not q.having
             ):
                 return self._try_group_by_hybrid(
                     q, gb, gran, rng, residual, wheels, fk
@@ -1752,16 +1751,18 @@ class Router:
         core_end = rng.end_sec
         if core_start > core_end:
             return _delegate("degenerate boundary range")
-        per_wheel_vals: list[dict] = []
-        for agg, w in zip(q.aggs, wheels):
+
+        def _cell_values(agg, w):
+            """Per-cell hybrid-corrected values for one aggregate, or a
+            delegate reason string. Shared by the select list and HAVING."""
             if not getattr(w, "tracks_at_start", False):
-                return _delegate("no at-start states")
+                return "no at-start states"
             got = w.group_by(core_start, core_end, gran)
             if got is None:
-                return _delegate("range not covered")
+                return "range not covered"
             key = _state_key(agg)
             if got and key not in got[0][1]:
-                return _delegate(f"state {key} not indexed")
+                return f"state {key} not indexed"
             cells = dict(got)
             up = low_bucket = low_at = None
             up_cell = low_cell = None
@@ -1773,16 +1774,16 @@ class Router:
                     or w.combine_range(rng.end_sec, rng.end_sec + bucket)
                     is not None
                 ):
-                    return _delegate("upper sliver not covered")
+                    return "upper sliver not covered"
                 up = w.at_start(rng.end_sec)
                 if up is None:
-                    return _delegate("no at-start states")
+                    return "no at-start states"
                 if up["count"] == 0:
                     up = None
                 else:
                     g1 = w.group_by(rng.end_sec, rng.end_sec + bucket, gran)
                     if not g1:
-                        return _delegate("upper sliver cell unresolved")
+                        return "upper sliver cell unresolved"
                     up_cell = g1[0][0]
             if rng.lo_op == ">":
                 low_at = w.at_start(rng.start_sec)
@@ -1790,13 +1791,13 @@ class Router:
                     rng.start_sec, rng.start_sec + bucket
                 )
                 if low_bucket is None or low_at is None:
-                    return _delegate("lower sliver not covered")
+                    return "lower sliver not covered"
                 if low_bucket["count"] - low_at["count"] == 0:
                     low_bucket = low_at = None  # empty sliver
                 else:
                     g0 = w.group_by(rng.start_sec, rng.start_sec + bucket, gran)
                     if not g0:
-                        return _delegate("lower sliver cell unresolved")
+                        return "lower sliver cell unresolved"
                     low_cell = g0[0][0]
             all_cells = set(cells)
             if up is not None:
@@ -1811,11 +1812,32 @@ class Router:
                 la = low_at if lb is not None else None
                 ok, v = _hybrid_agg_value(key, core, u, lb, la)
                 if not ok:
-                    return _delegate("boundary not derivable from states")
+                    return "boundary not derivable from states"
                 vals[c] = v
-            per_wheel_vals.append(vals)
+            return vals
+
+        per_wheel_vals: list[dict] = []
+        for agg, w in zip(q.aggs, wheels):
+            got = _cell_values(agg, w)
+            if isinstance(got, str):
+                return _delegate(got)
+            per_wheel_vals.append(got)
 
         buckets = sorted(set().union(*per_wheel_vals)) if per_wheel_vals else []
+
+        if q.having:
+            # HAVING aggregates get the SAME hybrid-corrected per-cell
+            # values (the aggregate need not be in the select list)
+            for spec, op, lit in q.having:
+                hw = self._resolve_wheel(spec, fk)
+                if hw is None:
+                    return _delegate(f"no index for HAVING {spec.func}")
+                hv = _cell_values(spec, hw)
+                if isinstance(hv, str):
+                    return _delegate(hv)
+                buckets = [
+                    b for b in buckets if _having_holds(hv.get(b), op, lit)
+                ]
         rows = []
         for b in buckets:
             row: list[Any] = []

@@ -395,13 +395,27 @@ def test_grouped_upper_sliver_opens_new_cell(spark):
     assert [(r["n"], r["s"]) for r in got] == [(2, 3.0), (1, 40.0)]
 
 
-def test_grouped_hybrid_gates(gb_engine):
-    # HAVING delegates (v1 scope), hopping windows delegate, sub-second
-    # bounds delegate — and the delegated answers are still correct
-    for sql in (
+def test_grouped_hybrid_having(gb_engine):
+    """HAVING aggregates get the same hybrid-corrected per-cell values —
+    including a HAVING aggregate absent from the select list."""
+    gb_check(
+        gb_engine,
         "SELECT date_trunc('day', ts) AS b, COUNT(*) AS n FROM gbh_events "
         "WHERE ts BETWEEN '2024-01-03 00:00:00' AND '2024-01-09 23:59:59' "
         "GROUP BY date_trunc('day', ts) HAVING COUNT(*) > 5 ORDER BY b",
+    )
+    gb_check(
+        gb_engine,
+        "SELECT date_trunc('day', ts) AS b, COUNT(*) AS n FROM gbh_events "
+        "WHERE ts > '2024-01-03 00:00:00' AND ts <= '2024-01-09 00:00:00' "
+        "GROUP BY date_trunc('day', ts) HAVING AVG(value) > 45 ORDER BY b",
+    )
+
+
+def test_grouped_hybrid_gates(gb_engine):
+    # hopping windows delegate, sub-second bounds delegate — and the
+    # delegated answers are still correct
+    for sql in (
         "SELECT window(ts, '6 hours', '2 hours').start AS b, COUNT(*) AS n "
         "FROM gbh_events WHERE ts > '2024-01-03 00:00:00' "
         "AND ts <= '2024-01-08 00:00:00' "
