@@ -1196,7 +1196,7 @@ case class UwheelAggRewrite(session: SparkSession)
     for {
       groups <- resolveGroups(gexprs, child)
       if groups.size == 1
-      tg <- groups.collectFirst { case t: TimeGroup => t }
+      tl <- groups.collectFirst { case t: TimeLike => t }
       (condOpt, rel) <- filterOverScan(child)
       cond <- condOpt
       root <- scanRoot(rel)
@@ -1206,44 +1206,63 @@ case class UwheelAggRewrite(session: SparkSession)
         .getOption(s"spark.uwheel.shim.$table.bucket_sec")
         .map(_.toLong)
         .getOrElse(1L)
-      // trunc over the scan's registered time column, at a granularity
-      // whole buckets tile into (NTZ truncates on the naive calendar)
-      if (tg.t.timestamp match {
-        case a: AttributeReference =>
-          allowed.contains(a) && a.name.equalsIgnoreCase(timeCol)
-        case _ => false
+      // the grouping must be over the scan's registered time column, at a
+      // granularity (trunc level / tumbling window slide+offset) whole
+      // buckets tile into (NTZ truncates on the naive calendar)
+      if (tl match {
+        case tg: TimeGroup =>
+          (tg.t.timestamp match {
+            case a: AttributeReference =>
+              allowed.contains(a) && a.name.equalsIgnoreCase(timeCol)
+            case _ => false
+          }) && (tg.t.format match {
+            case Literal(s, _) if s != null =>
+              granTiles(
+                s.toString,
+                bucketSec,
+                if (tg.t.timestamp.dataType == TimestampNTZType) "UTC"
+                else
+                  tg.t.timeZoneId
+                    .getOrElse(session.sessionState.conf.sessionLocalTimeZone)
+              )
+            case _ => false
+          })
+        case wg: WindowGroup =>
+          allowed.contains(wg.ts) && wg.ts.name.equalsIgnoreCase(timeCol) &&
+          wg.slide % (Micros * bucketSec) == 0 &&
+          wg.offset % (Micros * bucketSec) == 0
       })
-      if (tg.t.format match {
-        case Literal(s, _) if s != null =>
-          granTiles(
-            s.toString,
-            bucketSec,
-            if (tg.t.timestamp.dataType == TimestampNTZType) "UTC"
-            else
-              tg.t.timeZoneId
-                .getOrElse(session.sessionState.conf.sessionLocalTimeZone)
-          )
-        case _ => false
-      })
-      outs0 <- traverse(exprs.map {
-        case a: Alias =>
-          a.child match {
-            case ae: AggregateExpression =>
-              classify(ae, allowed)
-                .filter {
-                  case CountDistinctKey(_) => false // needs the dim view
-                  case _                   => true
-                }
-                .map(k => Some(k): Option[AggKind])
-            case e if e.semanticEquals(tg.orig) || e.semanticEquals(tg.t) =>
-              Some(None: Option[AggKind])
+      // group-out shapes: the whole key, or a window-struct field
+      outs0 <- traverse(exprs.map { e0 =>
+        def groupOut(e: Expression): Option[scala.util.Either[AggKind, Option[(Int, Option[String])]]] =
+          e match {
+            case _
+                if e.semanticEquals(tl.orig) || (tl match {
+                  case tg: TimeGroup   => e.semanticEquals(tg.t)
+                  case wg: WindowGroup => e.semanticEquals(wg.struct)
+                }) =>
+              Some(scala.util.Right(None))
+            case GetStructField(g, ord, fname) if groupOut(g).contains(scala.util.Right(None)) =>
+              Some(scala.util.Right(Some((ord, fname))))
             case _ => None
           }
-        case ar: AttributeReference if ar.semanticEquals(tg.orig) =>
-          Some(None: Option[AggKind])
-        case _ => None
+        e0 match {
+          case a: Alias =>
+            a.child match {
+              case ae: AggregateExpression =>
+                classify(ae, allowed)
+                  .filter {
+                    case CountDistinctKey(_) => false // needs the dim view
+                    case _                   => true
+                  }
+                  .map(k => scala.util.Left(k): scala.util.Either[AggKind, Option[(Int, Option[String])]])
+              case e => groupOut(e)
+            }
+          case ar: AttributeReference => groupOut(ar)
+          case _                      => None
+        }
       })
-      kinds = outs0.flatten
+      kinds = outs0.collect { case scala.util.Left(k) => k }
       cols = kinds.flatMap(_.col).distinct
       split <- splitKeyEquality(cond, timeCol, allowed)
       (keyEq, restOpt) = split
@@ -1319,10 +1338,18 @@ case class UwheelAggRewrite(session: SparkSession)
       val corePred: Expression =
         if (intervals.isEmpty) Literal(false)
         else corePreds.reduceOption(Or).getOrElse(Literal(false))
-      val coreKey = Alias(
-        tg.t.copy(timestamp = bucketTs(sec, tg.t.timestamp.dataType)),
-        "__gkey"
-      )()
+      // the group key recomputed per union leg: bucket starts on the
+      // rollup side, the original expression over raw rows on the sliver
+      def keyAt(tsExpr: Expression => Expression): Expression = tl match {
+        case tg: TimeGroup =>
+          tg.t.copy(timestamp = tsExpr(tg.t.timestamp))
+        case wg: WindowGroup =>
+          wg.struct.transform {
+            case a: AttributeReference if a.exprId == wg.ts.exprId =>
+              tsExpr(a)
+          }
+      }
+      val coreKey = Alias(keyAt(e => bucketTs(sec, e.dataType)), "__gkey")()
       val core = Project(
         stateAttrs.map(a => a: NamedExpression) :+ coreKey,
         Filter(corePred, rollup)
@@ -1354,16 +1381,18 @@ case class UwheelAggRewrite(session: SparkSession)
             .getOrElse(ivals)
           val sliver = Project(
             stateAttrs.map(a => Alias(sliverExpr(a), a.name)(): NamedExpression)
-              :+ Alias(tg.t, "__gkey")(),
+              :+ Alias(keyAt(identity), "__gkey")(),
             Filter(pred, rel)
           )
           Union(Seq(core, sliver))
         }
       val gattr = plan.output.last
       val outs = outs0.zip(exprs).map {
-        case (Some(k), a) =>
+        case (scala.util.Left(k), a) =>
           Alias(replacement(k, plan).get, a.name)(exprId = a.exprId)
-        case (None, a) => Alias(gattr, a.name)(exprId = a.exprId)
+        case (scala.util.Right(None), a) => Alias(gattr, a.name)(exprId = a.exprId)
+        case (scala.util.Right(Some((ord, fn))), a) =>
+          Alias(GetStructField(gattr, ord, fn), a.name)(exprId = a.exprId)
       }
       Aggregate(Seq(gattr), outs, plan, None)
     }
