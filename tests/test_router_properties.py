@@ -146,3 +146,37 @@ def test_landmark_and_landmark_group_by_match_delegate(prop_engine):
         sorted(routed.collect(), key=lambda r: r["b"]),
         sorted(e.spark.sql(sql).collect(), key=lambda r: r["b"]),
     )
+
+
+@pytest.mark.parametrize("tpl", [t for t, ranged in BOUNDS if ranged])
+def test_grouped_boundary_shapes_match_delegate(prop_engine, tpl):
+    """The grouped hybrid under the adversarial net: every boundary-op
+    template × granularities × optional HAVING over the nasty dataset
+    (sub-second rows, NULLs, instants exactly on bounds). Whatever routes
+    must equal stock spark.sql; at least one query per template must take
+    the group_by_hybrid path (the `>=`/`<` template routes exact)."""
+    rng = random.Random(hash(tpl) & 0xFFF)
+    e = prop_engine
+    routed_seen = 0
+    for _ in range(6):
+        lo = rng.randrange(0, 28)
+        hi = rng.randrange(lo, 31)
+        cond = tpl.format(a=_t(lo), b=_t(hi))
+        gran = rng.choice(["second", "minute"])
+        having = " HAVING COUNT(*) > 1" if rng.random() < 0.4 else ""
+        sql = (
+            f"SELECT date_trunc('{gran}', ts) AS b, COUNT(*) AS c, "
+            f"SUM(v) AS s, AVG(v) AS a FROM proptab WHERE {cond} "
+            f"GROUP BY date_trunc('{gran}', ts){having}"
+        )
+        routed = e.sql(sql)
+        kind = e.last_route.kind
+        delegated = e.spark.sql(sql)
+        assert routed.dtypes == delegated.dtypes, (sql, kind)
+        assert _rows_equal(
+            sorted(routed.collect(), key=lambda r: r["b"]),
+            sorted(delegated.collect(), key=lambda r: r["b"]),
+        ), (sql, kind)
+        if kind in ("group_by", "group_by_hybrid"):
+            routed_seen += 1
+    assert routed_seen > 0, f"no grouped query of shape {tpl!r} ever routed"
