@@ -1761,7 +1761,15 @@ class Router:
             if got is None:
                 return "range not covered"
             key = _state_key(agg)
-            if got and key not in got[0][1]:
+            # State availability must be validated independently of core
+            # occupancy: an empty core plus a non-empty boundary sliver
+            # would otherwise fabricate values from _EMPTY_CORE defaults on
+            # subset-state wheels.  combine_range emits keys for exactly
+            # the states this wheel carries, occupied or not — the same
+            # gate the scalar hybrid applies (group_by already proved the
+            # range covered, so the probe cannot be None).
+            probe = w.combine_range(core_start, core_end)
+            if probe is None or key not in probe:
                 return f"state {key} not indexed"
             cells = dict(got)
             up = low_bucket = low_at = None

@@ -443,3 +443,61 @@ def test_grouped_min_over_boundary(gb_engine):
         "AND ts <= '2024-01-07 00:00:00' GROUP BY date_trunc('day', ts) ORDER BY b"
     ).collect()
     assert routed.collect() == want
+
+
+# ---------------------------------- empty core + subset-state wheel (r6)
+@pytest.fixture(scope="module")
+def subset_gb_engine(spark):
+    """COUNT-only wheel over data whose rows sit ONLY on hybrid boundary
+    instants — the grouped hybrid's core range is empty, so the per-cell
+    state gate cannot lean on occupied core cells."""
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("v", T.DoubleType(), False),
+        ]
+    )
+    rows = [
+        (datetime(2024, 5, 10, 0, 0, 0), 1.0),
+        (datetime(2024, 5, 10, 0, 0, 10), 3.0),  # upper-bound instant
+        (datetime(2024, 5, 10, 0, 0, 10), 4.5),  # upper-bound instant
+    ]
+    df = spark.createDataFrame(rows, schema)
+    e = WheelEngine(spark, "subset_gb", df, time_column="ts")
+    e.build_index("v", aggs=("count",))
+    return e
+
+
+def test_grouped_hybrid_empty_core_subset_state_delegates(subset_gb_engine):
+    """A grouped hybrid whose core range is empty but whose boundary sliver
+    is not must DELEGATE unindexed states, not fabricate values from empty
+    defaults: SUM(v) on a count-only wheel (ADVICE r5, router.py:1764)."""
+    sql = (
+        "SELECT date_trunc('minute', ts) AS b, SUM(v) AS s FROM subset_gb "
+        "WHERE ts > '2024-05-10 00:00:02' AND ts <= '2024-05-10 00:00:10' "
+        "GROUP BY date_trunc('minute', ts) ORDER BY b"
+    )
+    routed = subset_gb_engine.sql(sql)
+    assert subset_gb_engine.last_route.kind == "delegate", (
+        subset_gb_engine.last_route
+    )
+    want = subset_gb_engine.spark.sql(sql).collect()
+    assert routed.collect() == want
+    assert want[0]["s"] == 7.5
+
+
+def test_grouped_hybrid_empty_core_count_still_routes(subset_gb_engine):
+    """The state the wheel DOES carry keeps routing in the same empty-core
+    shape — the fix must not over-delegate."""
+    sql = (
+        "SELECT date_trunc('minute', ts) AS b, COUNT(*) AS n FROM subset_gb "
+        "WHERE ts > '2024-05-10 00:00:02' AND ts <= '2024-05-10 00:00:10' "
+        "GROUP BY date_trunc('minute', ts) ORDER BY b"
+    )
+    routed = subset_gb_engine.sql(sql)
+    assert subset_gb_engine.last_route.kind == "group_by_hybrid", (
+        subset_gb_engine.last_route
+    )
+    want = subset_gb_engine.spark.sql(sql).collect()
+    assert routed.collect() == want
+    assert want[0]["n"] == 2
