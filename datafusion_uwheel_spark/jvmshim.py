@@ -79,8 +79,9 @@ def _register_view(spark, engine, name, table) -> None:
     reads either through ``session.table``; a file-backed view's pruning
     ``Filter(sec ...)`` pushes into the parquet scan, so probes read only
     the boundary row groups). Parquet files are versioned per export —
-    streaming re-exports write a fresh file and retire the old one instead
-    of overwriting in place under a live reader."""
+    streaming re-exports write a fresh file, re-point the view, and retire
+    versions older than N-1 (the immediately previous file survives one
+    extra cycle so in-flight scans of the prior view complete)."""
     import pyarrow.parquet as pq
 
     limit = getattr(engine, "_shim_max_local_rows", None)
@@ -101,19 +102,23 @@ def _register_view(spark, engine, name, table) -> None:
         versions = engine._shim_view_versions = {}
     v = versions.get(name, 0) + 1
     versions[name] = v
-    # one view = one directory holding exactly one versioned file: Spark
-    # reads the DIRECTORY, so the temp view never dangles mid-refresh
+    # The view reads one specific versioned FILE (not the directory), so a
+    # refresh is genuinely atomic: write v{N}, re-point the temp view, and
+    # only then retire stale versions — keeping v{N-1} on disk until the
+    # NEXT export so shim queries planned against the previous view finish
+    # their scan instead of hitting FileNotFoundException mid-swap.
     vdir = os.path.join(root, name)
     os.makedirs(vdir, exist_ok=True)
     path = os.path.join(vdir, f"v{v}.parquet")
+    keep = {path, os.path.join(vdir, f"v{v - 1}.parquet")}
     pq.write_table(table, path, row_group_size=_ROW_GROUP)
+    spark.read.parquet(path).createOrReplaceTempView(name)
     for old in glob.glob(os.path.join(vdir, "v*.parquet")):
-        if old != path:
+        if old not in keep:
             try:
                 os.remove(old)
             except OSError:
                 pass
-    spark.read.parquet(vdir).createOrReplaceTempView(name)
 
 
 def pyspark_jars_dir() -> str:

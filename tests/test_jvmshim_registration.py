@@ -221,13 +221,24 @@ def test_views_go_parquet_backed_past_threshold(spark, eng, tmp_path):
     assert "LocalRelation" not in plan and "parquet" in plan.lower()
     total = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
     assert total == eng.df.filter(F.col("ts").isNotNull()).count()
-    # re-register (the streaming-refresh path): exactly one version on disk
-    register_agg_rollup(spark, eng, "value")
+    # re-register (the streaming-refresh path): the previous version
+    # survives exactly one cycle (in-flight scans of the prior view finish),
+    # then is retired by the NEXT export — files never accumulate past two
     import glob as _glob
-    files = _glob.glob(str(tmp_path / "views" / name / "v*.parquet"))
-    assert len(files) == 1 and files[0].endswith("v2.parquet")
+    import os as _os
+
+    def _versions():
+        return sorted(
+            _os.path.basename(p)
+            for p in _glob.glob(str(tmp_path / "views" / name / "v*.parquet"))
+        )
+
+    register_agg_rollup(spark, eng, "value")
+    assert _versions() == ["v1.parquet", "v2.parquet"]
     total2 = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
     assert total2 == total
+    register_agg_rollup(spark, eng, "value")
+    assert _versions() == ["v2.parquet", "v3.parquet"]
 
 
 def test_small_views_stay_local(spark, eng):
@@ -264,3 +275,42 @@ def test_dim_and_count_views_respect_backing(spark, eng, tmp_path):
         for r in eng.df.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_reexport_is_atomic_under_concurrent_readers(spark, eng, tmp_path):
+    """Streaming re-export under a live query loop: the view is re-pointed
+    to the new version BEFORE any deletion, and the prior version survives
+    one extra cycle, so a reader that resolved the previous view never hits
+    FileNotFoundException mid-swap (ADVICE r5, jvmshim.py:110)."""
+    import threading
+    import time
+
+    eng.build_index("value")
+    name = register_agg_rollup(
+        spark, eng, "value", storage_dir=str(tmp_path / "cv"), max_local_rows=0
+    )
+    expect = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+    errors: list = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+            except Exception as exc:  # mid-swap dangle → fail loudly
+                errors.append(repr(exc))
+                return
+            if got != expect:
+                errors.append(f"total drifted: {got} != {expect}")
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(6):
+            register_agg_rollup(spark, eng, "value")
+            time.sleep(0.4)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors[:3]
