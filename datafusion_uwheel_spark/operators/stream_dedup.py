@@ -29,9 +29,15 @@ per-bucket parquet appends; :meth:`compact` folds the accumulated small
 files and drops any digests double-recorded by replayed batches (the state
 is a SET — duplicate rows cost space, never correctness).
 
-Retried micro-batches (foreachBatch is at-least-once) re-filter against a
-state that already holds their digests, so replays emit FEWER rows, never
-duplicates — the failure mode a dedup sink wants.
+At-least-once semantics are two-phase: :meth:`~CorpusDedup.prepare_batch`
+computes the survivors WITHOUT touching state, and
+:meth:`~CorpusDedup.commit` records them — :meth:`~CorpusDedup.attach`
+commits only AFTER the sink returns, so a sink failure replays the batch
+with its documents still unseen (re-emitted, never lost). The flip side:
+a sink that durably wrote part of its output before failing sees those
+rows again on retry — pair with an idempotent sink. ``filter_batch``
+(prepare + immediate commit) remains for direct batch use, where the
+caller holds the survivors and can retry its own write.
 
 NULL text carries no content to match: such rows pass through unfiltered
 and are never recorded.
@@ -44,9 +50,32 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CorpusDedup", "NearCorpusDedup", "dedup_within_stream"]
+__all__ = [
+    "CorpusDedup",
+    "NearCorpusDedup",
+    "PendingState",
+    "dedup_within_stream",
+]
 
 _STATE_SCHEMA = "digest string, bucket int"
+
+
+class PendingState:
+    """State writes computed by ``prepare_batch`` but not yet recorded —
+    hand to ``commit`` after the survivors are durably written. The frames
+    are eagerly checkpointed, so committing later (or never, on sink
+    failure) cannot change what the filter already answered."""
+
+    def __init__(self, writes: list[tuple[DataFrame, str, str]]):
+        self._writes = writes
+        self.committed = False
+
+    def _commit(self) -> None:
+        if self.committed:
+            return
+        for df, partition_col, path in self._writes:
+            df.write.mode("append").partitionBy(partition_col).parquet(path)
+        self.committed = True
 
 
 class CorpusDedup:
@@ -101,14 +130,19 @@ class CorpusDedup:
 
     # -------------------------------------------------------------- filter
 
-    def filter_batch(self, batch_df: DataFrame) -> DataFrame:
-        """Rows of ``batch_df`` whose content digest is NEW — not in the
-        corpus state and not earlier (lower id) in this batch — with those
-        digests recorded. NULL-text rows pass through and are not recorded.
+    def prepare_batch(
+        self, batch_df: DataFrame
+    ) -> tuple[DataFrame, PendingState]:
+        """Phase 1: the rows of ``batch_df`` whose content digest is NEW —
+        not in the corpus state and not earlier (lower id) in this batch —
+        plus the pending state append, NOT yet recorded. Call
+        :meth:`commit` once the survivors are durably written; until then a
+        replay of the same batch re-emits the same documents instead of
+        losing them. NULL-text rows pass through and are never recorded.
 
         One shuffle on the digest (in-batch keep-lowest), one anti-join
         against ONLY the state buckets this batch touches (partition-pruned
-        scan), one per-bucket parquet append."""
+        scan); the commit is one per-bucket parquet append."""
         digests = self._digests(batch_df).filter(F.col("digest").isNotNull())
         # in-batch: lowest id per digest
         keep = (
@@ -129,14 +163,29 @@ class CorpusDedup:
         # reads the state files (the anti-join), and a recompute after the
         # append would see this batch's own digests and emit nothing.
         new = keep.localCheckpoint(eager=True)
-        new.select("digest", "bucket").write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(self.state_dir)
+        pending = PendingState(
+            [(new.select("digest", "bucket"), "bucket", self.state_dir)]
+        )
         null_rows = batch_df.filter(F.col(self.text).isNull())
         survivors = batch_df.join(
             new.select(self.id_col), on=self.id_col, how="semi"
         )
-        return survivors.unionByName(null_rows)
+        return survivors.unionByName(null_rows), pending
+
+    def commit(self, pending: PendingState) -> None:
+        """Phase 2: record the prepared digests. Idempotent per token."""
+        pending._commit()
+
+    def filter_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Survivors of ``batch_df`` with their digests recorded
+        IMMEDIATELY — prepare + commit in one call, for direct batch use
+        where the caller owns the survivors and can redo its own write.
+        Inside ``foreachBatch`` prefer :meth:`attach` (or the explicit
+        two-phase pair): a sink that fails AFTER this method returns would
+        see its replay filtered out — lost documents, not duplicates."""
+        survivors, pending = self.prepare_batch(batch_df)
+        self.commit(pending)
+        return survivors
 
     # --------------------------------------------------------- maintenance
 
@@ -168,12 +217,16 @@ class CorpusDedup:
     # ---------------------------------------------------------- streaming
 
     def attach(self, stream_df: DataFrame, sink, **start_kwargs):
-        """Drive the dedup from a stream: every micro-batch is filtered and
-        the survivors handed to ``sink(survivors_df, batch_id)``. Returns
-        the started ``StreamingQuery``."""
+        """Drive the dedup from a stream: every micro-batch is filtered,
+        the survivors handed to ``sink(survivors_df, batch_id)``, and the
+        state committed only AFTER the sink returns — a failing sink
+        replays the batch with its documents still unseen (at-least-once:
+        re-emitted, never lost). Returns the started ``StreamingQuery``."""
 
         def _each(batch_df: DataFrame, batch_id: int) -> None:
-            sink(self.filter_batch(batch_df), batch_id)
+            survivors, pending = self.prepare_batch(batch_df)
+            sink(survivors, batch_id)
+            self.commit(pending)
 
         return (
             stream_df.writeStream.foreachBatch(_each)
@@ -334,11 +387,15 @@ class NearCorpusDedup:
             .distinct()
         )
 
-    def filter_batch(self, batch_df: DataFrame) -> DataFrame:
-        """Survivors of ``batch_df``: not a near-dup of the corpus, not a
-        near-dup of a lower-id batch doc (transitive keep-one), with their
-        bands (and signatures, when verifying) recorded. Shingle-less rows
-        pass through unrecorded."""
+    def prepare_batch(
+        self, batch_df: DataFrame
+    ) -> tuple[DataFrame, PendingState]:
+        """Phase 1: survivors of ``batch_df`` — not a near-dup of the
+        corpus, not a near-dup of a lower-id batch doc (transitive
+        keep-one) — plus the pending band/signature appends, NOT yet
+        recorded. Call :meth:`commit` after the survivors are durably
+        written (same contract as :meth:`CorpusDedup.prepare_batch`).
+        Shingle-less rows pass through unrecorded."""
         from .dedup import (
             band_rows,
             dedup_clustered,
@@ -392,9 +449,9 @@ class NearCorpusDedup:
                 )
                 .localCheckpoint(eager=True)
             )
-            new_bands.write.mode("append").partitionBy("hb").parquet(
-                os.path.join(self.state_dir, "bands")
-            )
+            writes = [
+                (new_bands, "hb", os.path.join(self.state_dir, "bands"))
+            ]
             if self.min_est_jaccard is not None:
                 new_sigs = (
                     kept_sig.select(
@@ -407,16 +464,30 @@ class NearCorpusDedup:
                     )
                     .localCheckpoint(eager=True)
                 )
-                new_sigs.write.mode("append").partitionBy("sb").parquet(
-                    os.path.join(self.state_dir, "sigs")
+                writes.append(
+                    (new_sigs, "sb", os.path.join(self.state_dir, "sigs"))
                 )
             no_sig = batch_df.join(
                 sig.select(self.id_col), on=self.id_col, how="left_anti"
             )
             survivors = batch_df.join(kept, on=self.id_col, how="semi")
-            return survivors.unionByName(no_sig)
+            return survivors.unionByName(no_sig), PendingState(writes)
         finally:
             sig.unpersist()
+
+    def commit(self, pending: PendingState) -> None:
+        """Phase 2: record the prepared bands/signatures. Idempotent per
+        token."""
+        pending._commit()
+
+    def filter_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Prepare + immediate commit — same caveat as
+        :meth:`CorpusDedup.filter_batch`: inside ``foreachBatch`` use
+        :meth:`attach` or the two-phase pair so a failing sink cannot lose
+        the batch's documents."""
+        survivors, pending = self.prepare_batch(batch_df)
+        self.commit(pending)
+        return survivors
 
     def seen_bands(self) -> int:
         s = self._read_state("bands", self._BANDS_SCHEMA)
@@ -424,11 +495,14 @@ class NearCorpusDedup:
 
     def attach(self, stream_df: DataFrame, sink, **start_kwargs):
         """Drive the near-dedup from a stream — same contract as
-        :meth:`CorpusDedup.attach`: each micro-batch is filtered and the
-        survivors handed to ``sink(survivors_df, batch_id)``."""
+        :meth:`CorpusDedup.attach`: each micro-batch is filtered, the
+        survivors handed to ``sink(survivors_df, batch_id)``, and the band
+        state committed only after the sink returns."""
 
         def _each(batch_df: DataFrame, batch_id: int) -> None:
-            sink(self.filter_batch(batch_df), batch_id)
+            survivors, pending = self.prepare_batch(batch_df)
+            sink(survivors, batch_id)
+            self.commit(pending)
 
         return (
             stream_df.writeStream.foreachBatch(_each)

@@ -261,3 +261,76 @@ def test_state_read_is_partition_pruned(spark, tmp_path):
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1) and "IN" in m.group(1), plan[:800]
+
+
+# ------------------------------------------------ two-phase prepare/commit
+def test_prepare_without_commit_loses_nothing(spark, dedup):
+    """Sink-failure path: state is NOT recorded at prepare time, so a
+    replayed batch re-emits the same documents (at-least-once re-emission,
+    never loss — ADVICE r5, stream_dedup.py:132)."""
+    batch = docs(spark, [(1, "aaa"), (2, "bbb")])
+    survivors, pending = dedup.prepare_batch(batch)
+    assert ids(survivors) == [1, 2]
+    assert dedup.seen_count() == 0  # nothing recorded yet
+    # the sink "failed": no commit — the replay sees the docs as unseen
+    replay, pending2 = dedup.prepare_batch(batch)
+    assert ids(replay) == [1, 2]
+    dedup.commit(pending2)
+    assert dedup.seen_count() == 2
+    assert ids(dedup.filter_batch(batch)) == []
+    # committing the abandoned token twice is allowed and idempotent
+    dedup.commit(pending)
+    dedup.commit(pending)
+    assert pending.committed
+
+
+def test_attach_commits_after_sink_success(spark, dedup, tmp_path):
+    """A sink that fails on its first attempt must see the batch's docs
+    again on retry — attach commits state only after the sink returns."""
+    src = tmp_path / "incoming2"
+    src.mkdir()
+    docs(spark, [(1, "aaa"), (2, "bbb")]).write.mode("append").parquet(
+        str(src)
+    )
+    calls = {"n": 0}
+    got = []
+
+    def flaky_sink(df, bid):
+        calls["n"] += 1
+        emitted = ids(df)
+        if calls["n"] == 1:
+            raise RuntimeError("sink down")
+        got.extend(emitted)
+
+    stream = spark.readStream.schema(DOC).parquet(str(src))
+    q = dedup.attach(
+        stream,
+        sink=flaky_sink,
+        checkpointLocation=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    assert dedup.seen_count() == 0  # failed sink → no state recorded
+    # restart from the checkpoint: the batch replays in full
+    q2 = dedup.attach(
+        spark.readStream.schema(DOC).parquet(str(src)),
+        sink=flaky_sink,
+        checkpointLocation=str(tmp_path / "ckpt2"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert sorted(got) == [1, 2]
+    assert dedup.seen_count() == 2
+
+
+def test_near_prepare_without_commit_loses_nothing(spark, near):
+    batch = ndocs(spark, [(1, BASE)])
+    survivors, pending = near.prepare_batch(batch)
+    assert ids(survivors) == [1]
+    assert near.seen_bands() == 0
+    replay, pending2 = near.prepare_batch(batch)
+    assert ids(replay) == [1]  # nothing lost
+    near.commit(pending2)
+    assert near.seen_bands() > 0
+    assert ids(near.filter_batch(ndocs(spark, [(9, BASE + " x")]))) == []
