@@ -972,12 +972,22 @@ class WheelEngine:
                 raise ValueError(f"unparseable cutoff {older_than!r}")
             cutoff = lit.epoch_us // 1_000_000
         cutoff -= cutoff % width
-        reclaimed = 0
         seen: set[int] = set()
+        wheels = []
         for w in self._all_wheels():
             if id(w) in seen or not hasattr(w, "compact_before"):
                 continue
             seen.add(id(w))
+            wheels.append(w)
+        # All-or-nothing: every wheel validates the (cutoff, width) shape
+        # BEFORE any wheel mutates — the Spark backend's ladder is stricter
+        # than the driver wheel's, and a mid-iteration ValueError must not
+        # leave some wheels compacted (and the epoch unbumped) while others
+        # are not.
+        for w in wheels:
+            w.check_compact(cutoff, width)
+        reclaimed = 0
+        for w in wheels:
             reclaimed += w.compact_before(cutoff, width)
         if reclaimed:
             self.index_epoch += 1

@@ -281,25 +281,19 @@ class WheelIndex:
         return start_sec >= self.low_sec and end_sec <= self.high_sec_exclusive
 
     # --------------------------------------------------- tiered compaction
-    def compact_before(self, cutoff_sec: int, width: int) -> int:
-        """Roll buckets older than ``cutoff_sec`` into ``width``-second
-        buckets — µWheel's HAW tiering (SURVEY §1.3: old fine slots drain
-        into coarser wheels), the retention lever that bounds driver index
-        memory for long-running streams. Returns buckets reclaimed.
+    def check_compact(self, cutoff_sec: int, width: int) -> None:
+        """Validate ``(cutoff, width)`` against this wheel's ladder WITHOUT
+        mutating anything — ``engine.compact_indexes`` pre-validates every
+        wheel with this so a mixed-backend compaction is all-or-nothing
+        (no wheel left compacted when a later one would reject)."""
+        self._compact_plan(cutoff_sec, width)
 
-        States are monoids, so the re-bucketed aggregates are exactly what
-        a fresh coarse build over the same rows produces (identity-filled
-        all-NULL buckets merge to identities). At-start sliver entries are
-        KEPT: they record rows at exact instants — facts compaction cannot
-        invalidate — and remain consultable at coarse-aligned boundaries.
-        Queries over the compacted span answer at the coarser alignment;
-        finer asks fall through via :meth:`covers` (exactness preserved).
-
-        Widths must nest (divisibility ladder): ``bucket_seconds`` divides
-        ``width``; previously-compacted coarser tiers are left alone (their
-        span must already be older), finer ones inside the cutoff are
-        re-rolled. ``cutoff_sec`` must be ``width``-aligned. Repeated calls
-        with growing cutoffs implement the second→minute→hour→day ladder."""
+    def _compact_plan(
+        self, cutoff_sec: int, width: int
+    ) -> tuple[list, list]:
+        """The (keep, roll) tier split for a compaction, raising on every
+        invalid ladder shape; shared by :meth:`check_compact` and
+        :meth:`compact_before`."""
         if width <= 0 or width % self.bucket_seconds:
             raise ValueError(
                 f"compaction width {width} must be a positive multiple of "
@@ -327,6 +321,28 @@ class WheelIndex:
                 raise ValueError(
                     f"existing tier width {w} and new width {width} must nest"
                 )
+        return keep, roll
+
+    def compact_before(self, cutoff_sec: int, width: int) -> int:
+        """Roll buckets older than ``cutoff_sec`` into ``width``-second
+        buckets — µWheel's HAW tiering (SURVEY §1.3: old fine slots drain
+        into coarser wheels), the retention lever that bounds driver index
+        memory for long-running streams. Returns buckets reclaimed.
+
+        States are monoids, so the re-bucketed aggregates are exactly what
+        a fresh coarse build over the same rows produces (identity-filled
+        all-NULL buckets merge to identities). At-start sliver entries are
+        KEPT: they record rows at exact instants — facts compaction cannot
+        invalidate — and remain consultable at coarse-aligned boundaries.
+        Queries over the compacted span answer at the coarser alignment;
+        finer asks fall through via :meth:`covers` (exactness preserved).
+
+        Widths must nest (divisibility ladder): ``bucket_seconds`` divides
+        ``width``; previously-compacted coarser tiers are left alone (their
+        span must already be older), finer ones inside the cutoff are
+        re-rolled. ``cutoff_sec`` must be ``width``-aligned. Repeated calls
+        with growing cutoffs implement the second→minute→hour→day ladder."""
+        keep, roll = self._compact_plan(cutoff_sec, width)
         # Buckets to roll: the contiguous span after the last kept (coarser)
         # tier, before the cutoff — tiers are prefixes, so this is a slice.
         lo = 0

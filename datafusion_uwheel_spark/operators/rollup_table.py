@@ -82,6 +82,28 @@ class SparkRollupWheel:
                 w = max(w, tw)
         return w
 
+    def check_compact(self, cutoff_sec: int, width: int) -> None:
+        """Validate ``(cutoff, width)`` against this wheel's (stricter)
+        ladder without mutating anything — the all-or-nothing pre-check
+        ``engine.compact_indexes`` runs over every wheel before compacting
+        any, so a mixed driver/Spark-backed engine never ends up partially
+        compacted when this backend rejects a shape the driver accepts."""
+        if width <= 0 or width % self.bucket_seconds:
+            raise ValueError(
+                f"width {width} not a multiple of bucket {self.bucket_seconds}"
+            )
+        for tend, tw in self.tiers:
+            if width % tw:
+                raise ValueError(
+                    f"width {width} does not nest existing tier width {tw}"
+                )
+        cutoff = cutoff_sec - (cutoff_sec % width)
+        for tend, _ in self.tiers:
+            if cutoff < tend:
+                raise ValueError(
+                    f"cutoff {cutoff} precedes existing tier end {tend}"
+                )
+
     def compact_before(self, cutoff_sec: int, width: int) -> int:
         """Roll buckets older than ``cutoff_sec`` into ``width``-second
         buckets — the Spark-backend spelling of the driver wheel's HAW
@@ -99,21 +121,8 @@ class SparkRollupWheel:
         multiple of ``bucket_seconds`` AND of every existing tier width,
         and ``cutoff_sec`` (floored to ``width``) must not precede an
         existing tier's end."""
-        if width <= 0 or width % self.bucket_seconds:
-            raise ValueError(
-                f"width {width} not a multiple of bucket {self.bucket_seconds}"
-            )
-        for tend, tw in self.tiers:
-            if width % tw:
-                raise ValueError(
-                    f"width {width} does not nest existing tier width {tw}"
-                )
+        self.check_compact(cutoff_sec, width)
         cutoff = cutoff_sec - (cutoff_sec % width)
-        for tend, _ in self.tiers:
-            if cutoff < tend:
-                raise ValueError(
-                    f"cutoff {cutoff} precedes existing tier end {tend}"
-                )
         if width == self.bucket_seconds and not self.tiers:
             return 0
         old = self.rollup

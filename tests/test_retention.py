@@ -354,3 +354,30 @@ def test_spark_backend_ladder_validation(seng):
         w.compact_before(0, 86400)  # cutoff behind the existing tier end
     # advancing the ladder (hour → day, later cutoff) is fine
     assert seng.compact_indexes(CUT2, "day") >= 0
+
+
+def test_compact_indexes_is_all_or_nothing(seng):
+    """compact_indexes validates the (cutoff, width) shape against EVERY
+    wheel before mutating any: when one wheel's ladder rejects the shape,
+    no wheel is compacted and the epoch is unchanged (ADVICE r5,
+    rollup_table.py:109 — previously a mid-iteration ValueError left
+    already-visited wheels compacted)."""
+    from datafusion_uwheel_spark.engine import STAR_AGGREGATION_ALIAS
+
+    # push ONE wheel onto an hour tier directly, so the engine's wheels
+    # disagree about what ladder shapes are acceptable
+    agg = seng.agg_wheels[("value", "*_AGG")]
+    agg.compact_before(
+        1705708800, 3600  # 2024-01-20 00:00:00 — aligns to the hour
+    )
+    star = seng.count_wheels[STAR_AGGREGATION_ALIAS]
+    assert star.tiers == [] or star.tiers is None or not star.tiers
+    epoch = seng.index_epoch
+    # minute nests the star wheel's (tierless) ladder but NOT the agg
+    # wheel's hour tier → the whole call must refuse up front
+    with pytest.raises(ValueError):
+        seng.compact_indexes("2024-01-25 00:00:00", "minute")
+    assert not star.tiers  # the star wheel was NOT touched first
+    assert seng.index_epoch == epoch
+    # and a shape every wheel accepts still works afterwards
+    assert seng.compact_indexes("2024-01-25 00:00:00", "hour") >= 0
