@@ -141,6 +141,10 @@ case class UwheelAggRewrite(session: SparkSession)
               // hopping window() group-bys (Expand plans)
               tryHop(exprs, gexprs, child, tables)
             )
+            .orElse(
+              // hopping windows with hybrid (core + sliver) boundaries
+              tryHopHybrid(exprs, gexprs, child, tables)
+            )
             .getOrElse(agg)
         // SELECT * scan pruning (reference R6/R7, lib.rs:608-649): a
         // temporal/min-max predicate the driver-resident rollup PROVES
@@ -910,6 +914,179 @@ case class UwheelAggRewrite(session: SparkSession)
     }
   }
 
+  /** HOPPING `GROUP BY window(ts, w, s)` with boundary (core + sliver)
+    * bounds — the hybrid extension of tryHop for the `<=` / `>` /
+    * unaligned-literal / OR-of-ranges shapes tryHop's aligned-bounds gate
+    * rejects. The Expand is kept, but fed a Union of pruned rollup rows
+    * (bucket-aligned core, ts reconstructed from the bucket start) and raw
+    * sliver rows (each row's own timestamp, per-row partial states) — the
+    * same sliver-union the scalar and grouped hybrids build. Window
+    * assignment stays exact on both legs: whole core buckets land in one
+    * window cell per replica (slide and offset are bucket multiples,
+    * checked), and sliver rows replicate by their raw timestamps. Keyed
+    * hopping still falls through (per-value views don't replicate here). */
+  private def tryHopHybrid(
+      exprs: Seq[NamedExpression],
+      gexprs: Seq[Expression],
+      child: LogicalPlan,
+      tables: Map[String, (String, String)]
+  ): Option[LogicalPlan] = {
+    for {
+      groupAttr <- gexprs match {
+        case Seq(a: AttributeReference) => Some(a)
+        case _                          => None
+      }
+      expand <- child match {
+        case e: Expand => Some(e)
+        case _         => None
+      }
+      widx = expand.output.indexWhere(_.exprId == groupAttr.exprId)
+      if widx >= 0
+      specs <- traverse(
+        expand.projections.map(p => windowSpec(groupAttr, p(widx)))
+      )
+      wspecs = specs.collect { case w: WindowGroup => w }
+      if wspecs.size == specs.size && wspecs.nonEmpty
+      if wspecs.map(w => (w.slide, w.offset)).distinct.size == 1
+      tsA = wspecs.head.ts
+      (condOpt, rel) <- filterOverScan(expand.child)
+      cond <- condOpt // landmark (boundless) hops are tryHop's job
+      root <- scanRoot(rel)
+      (table, timeCol) <- tables.get(root)
+      allowed = rel.outputSet
+      if allowed.contains(tsA) && tsA.name.equalsIgnoreCase(timeCol)
+      bucketSec = session.conf
+        .getOption(s"spark.uwheel.shim.$table.bucket_sec")
+        .map(_.toLong)
+        .getOrElse(1L)
+      if wspecs.head.slide % (Micros * bucketSec) == 0 &&
+        wspecs.head.offset % (Micros * bucketSec) == 0
+      outs0 <- traverse(exprs.map {
+        case a: Alias =>
+          a.child match {
+            case ae: AggregateExpression => classify(ae, allowed).map(AggOut)
+            case GetStructField(g, ord, fname) if g.semanticEquals(groupAttr) =>
+              Some(FieldOut(0, ord, fname))
+            case e if e.semanticEquals(groupAttr) => Some(GroupOut(0))
+            case _                                => None
+          }
+        case ar: AttributeReference if ar.semanticEquals(groupAttr) =>
+          Some(GroupOut(0))
+        case _ => None
+      })
+      kinds = outs0.collect { case AggOut(k) => k }
+      if !kinds.exists(_.isInstanceOf[CountDistinctKey]) // needs the dim view
+      cols = kinds.flatMap(_.col).distinct
+      split <- splitKeyEquality(cond, timeCol, allowed)
+      (keyEq, restOpt) = split
+      if keyEq.isEmpty // keyed hopping: per-value views don't replicate here
+      rest <- restOpt
+      intervals <- condIntervals(rest, timeCol, allowed)
+      tsAttr <- rel.output.find(_.name.equalsIgnoreCase(timeCol))
+      registered = session.conf
+        .getOption(s"spark.uwheel.shim.$table.agg_cols")
+        .toSeq
+        .flatMap(_.split(",").map(_.trim.toLowerCase))
+        .toSet
+      viewName <-
+        if (cols.isEmpty)
+          Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
+            .find(v => rollupPlan(v).isDefined)
+        else if (cols.forall(registered.contains))
+          Some(s"__uwheel_rollup_${table}__agg")
+        else None
+      rollup <- rollupPlan(viewName)
+      sec <- rollup.output.find(_.name == "sec")
+      varCols = kinds.collect { case VarCol(c, _) => c }.distinct
+      needed = "cnt" +: (cols.flatMap(c =>
+        Seq(s"vcnt_$c", s"sum_$c", s"min_$c", s"max_$c")
+      ) ++ varCols.map(c => s"sumsq_$c"))
+      stateAttrs <- traverse(needed.map(n => rollup.output.find(_.name == n)))
+      colAttrs <- traverse(
+        cols.map(c => rel.output.find(_.name.equalsIgnoreCase(c)))
+      )
+    } yield {
+      val colAttr = cols.zip(colAttrs).toMap
+      val align = Micros * bucketSec
+      def ceilA(v: Long) = {
+        val m = Math.floorMod(v, align); if (m == 0) v else v + (align - m)
+      }
+      def floorA(v: Long) = v - Math.floorMod(v, align)
+      var corePreds = Seq.empty[Expression]
+      var slivers = Seq.empty[(Option[Long], Option[Long])]
+      intervals.foreach { iv =>
+        val coreLo = iv.lo.map(ceilA)
+        val coreHi = iv.hi.map(floorA)
+        val emptyCore = coreLo.zip(coreHi).exists { case (l, h) => l >= h }
+        if (emptyCore) slivers :+= ((iv.lo, iv.hi))
+        else {
+          val ps =
+            coreLo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
+              coreHi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
+          corePreds :+= ps.reduceOption(And).getOrElse(Literal(true))
+          slivers ++=
+            iv.lo.filter(l => coreLo.exists(_ > l)).map(l => (Some(l), coreLo)).toSeq ++
+              iv.hi.filter(h => coreHi.exists(_ < h)).map(h => (coreHi, Some(h))).toSeq
+        }
+      }
+      val corePred: Expression =
+        if (intervals.isEmpty) Literal(false)
+        else corePreds.reduceOption(Or).getOrElse(Literal(false))
+      val core = Project(
+        Alias(bucketTs(sec, tsAttr.dataType), "__hts")()
+          +: stateAttrs.map(a => a: NamedExpression),
+        Filter(corePred, rollup)
+      )
+      def tsLit(v: Long) = Literal(v, tsAttr.dataType)
+      def ivalPred(a: Option[Long], b: Option[Long]): Expression = {
+        val ps = a.map(v => GreaterThanOrEqual(tsAttr, tsLit(v)): Expression).toSeq ++
+          b.map(v => LessThan(tsAttr, tsLit(v)): Expression).toSeq
+        ps.reduceOption(And).getOrElse(Literal(true))
+      }
+      def sliverExpr(a: Attribute): Expression = a.name match {
+        case "cnt" => Literal(1L)
+        case n if n.startsWith("vcnt_") =>
+          If(IsNull(colAttr(n.stripPrefix("vcnt_"))), Literal(0L), Literal(1L))
+        case n if n.startsWith("sumsq_") =>
+          val c = Cast(colAttr(n.stripPrefix("sumsq_")), DoubleType)
+          Multiply(c, c, EvalMode.LEGACY)
+        case n =>
+          val c = colAttr(n.dropWhile(_ != '_').drop(1))
+          if (c.dataType == a.dataType) c else Cast(c, a.dataType)
+      }
+      val unionPlan =
+        if (slivers.isEmpty) core
+        else {
+          val ivals = slivers.map { case (a, b) => ivalPred(a, b) }.reduce(Or)
+          val sliver = Project(
+            Alias(tsAttr, "__hts")()
+              +: stateAttrs.map(a => Alias(sliverExpr(a), a.name)(): NamedExpression),
+            Filter(ivals, rel)
+          )
+          Union(Seq(core, sliver))
+        }
+      val tsU = unionPlan.output.head
+      val stateU = unionPlan.output.tail
+      val newProjections = expand.projections.map { p =>
+        (p(widx).transform {
+          case a: AttributeReference if a.exprId == tsA.exprId => tsU
+        }) +: stateU.map(a => a: Expression)
+      }
+      val winAttr = expand.output(widx)
+      val newExpand = Expand(newProjections, winAttr +: stateU, unionPlan)
+      val outs = outs0.zip(exprs).map {
+        case (AggOut(k), a) =>
+          // state presence was required above, so replacement can't miss
+          Alias(replacement(k, newExpand).get, a.name)(exprId = a.exprId)
+        case (GroupOut(_), a) =>
+          Alias(winAttr, a.name)(exprId = a.exprId)
+        case (FieldOut(_, ord, fn), a) =>
+          Alias(GetStructField(winAttr, ord, fn), a.name)(exprId = a.exprId)
+      }
+      Aggregate(Seq(winAttr), outs, newExpand, None)
+    }
+  }
+
   // --------------------------------------------------------------- hybrid
 
   /** A half-open µs interval; None = unbounded on that side. */
@@ -1185,8 +1362,10 @@ case class UwheelAggRewrite(session: SparkSession)
     * nothing re-derived), the sliver side keeps the ORIGINAL trunc over
     * raw timestamps; the final Aggregate groups on that column, so parent
     * plans (HAVING, ORDER BY) resolve unchanged through the preserved
-    * ExprIds. date_trunc only — grouped-window hybrids and key groupings
-    * fall through via the same match-or-nothing discipline. */
+    * ExprIds. Handles date_trunc AND tumbling window() groupings (both are
+    * TimeLike here); hopping windows take the Expand path (tryHopHybrid)
+    * and key groupings fall through via the same match-or-nothing
+    * discipline. */
   private def tryGroupHybrid(
       exprs: Seq[NamedExpression],
       gexprs: Seq[Expression],

@@ -88,3 +88,18 @@ def test_shim_fuzz_equivalence_ntz_tables():
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "0 mismatches" in r.stdout
     assert "NTZ tables" in r.stdout
+
+
+def test_shim_hop_hybrid_boundaries():
+    """Hopping window() group-bys with boundary bounds (strict >, inclusive
+    <=, sub-bucket literals, OR-of-ranges) rewrite through the Expand over
+    a rollup-core + raw-sliver Union and match the delegate scan."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "jvm_shim_hop_hybrid.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "OK shim hop-hybrid" in r.stdout
