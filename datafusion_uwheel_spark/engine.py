@@ -951,8 +951,13 @@ class WheelEngine:
         cached rollup — bounding EXECUTOR cache the way the driver form
         bounds driver memory), under a slightly stricter ladder: widths
         must nest every existing tier and the cutoff may only advance.
-        Re-register shim views after compacting — the exported
-        ``bucket_sec`` becomes the coarsest tier width."""
+        Sketch rollups (HLL distinct / KLL quantile / theta) join the same
+        ladder — sketches are union monoids, so compacted spans answer
+        coarse-aligned asks with identical estimates; rollups already at
+        or coarser than the requested width are skipped, not an error.
+        The whole call is all-or-nothing: every index validates the shape
+        before any mutates. Re-register shim views after compacting — the
+        exported ``bucket_sec`` becomes the coarsest tier width."""
         from .functions.timestamps import GRANULARITY_SECONDS, parse_ts_literal
 
         if isinstance(granularity, str):
@@ -979,15 +984,32 @@ class WheelEngine:
                 continue
             seen.add(id(w))
             wheels.append(w)
-        # All-or-nothing: every wheel validates the (cutoff, width) shape
-        # BEFORE any wheel mutates — the Spark backend's ladder is stricter
-        # than the driver wheel's, and a mid-iteration ValueError must not
-        # leave some wheels compacted (and the epoch unbumped) while others
-        # are not.
-        for w in wheels:
+        # Sketch rollups (HLL / KLL / theta) join the same ladder — their
+        # per-bucket sketch frames are the only other index state that
+        # grows with timeline span under streaming maintenance, and
+        # sketches are union monoids so the wheels' compaction model
+        # applies verbatim. Their bucket config is independent of the
+        # engine's, so a rollup already at or coarser than the requested
+        # width (or whose buckets the width can't nest) is SKIPPED, not an
+        # error — its state is already bounded at or above the target.
+        sketches = [
+            r
+            for r in (
+                list(self.distinct_rollups.values())
+                + list(self.quantile_rollups.values())
+                + list(self.theta_rollups.values())
+            )
+            if width > r.bucket_seconds and width % r.bucket_seconds == 0
+        ]
+        # All-or-nothing: every index validates the (cutoff, width) shape
+        # BEFORE any mutates — the Spark backend's ladder is stricter than
+        # the driver wheel's, and a mid-iteration ValueError must not leave
+        # some indexes compacted (and the epoch unbumped) while others are
+        # not.
+        for w in wheels + sketches:
             w.check_compact(cutoff, width)
         reclaimed = 0
-        for w in wheels:
+        for w in wheels + sketches:
             reclaimed += w.compact_before(cutoff, width)
         if reclaimed:
             self.index_epoch += 1

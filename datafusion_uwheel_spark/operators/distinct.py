@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .rollups import time_sec_col
+from .sketch_retention import SketchRetention
 
 __all__ = [
     "DistinctRollup",
@@ -42,7 +43,7 @@ _META = "_distinct_meta.json"
 _CACHE_PARTITIONS = 4
 
 
-class DistinctRollup:
+class DistinctRollup(SketchRetention):
     """Handle over a cached per-bucket HLL sketch table.
 
     ``approx_distinct(a, b)`` answers ``COUNT(DISTINCT col)`` over
@@ -87,7 +88,9 @@ class DistinctRollup:
         estimates never undercount against unaligned bounds)."""
         a = F.unix_timestamp(F.lit(start).cast("timestamp"))
         b = F.unix_timestamp(F.lit(end).cast("timestamp"))
-        return (F.col("__sec") > a - F.lit(self.bucket_seconds)) & (
+        # per-row width: compacted (coarser) buckets widen the slop so a
+        # coarse bucket spanning the range start is still included whole
+        return (F.col("__sec") > a - self._width_expr()) & (
             F.col("__sec") < b
         )
 
@@ -147,11 +150,8 @@ class DistinctRollup:
         coarser bucketing is exact sketch algebra — no rescan, no second
         rollup build."""
         ts = F.timestamp_seconds(F.col("__sec"))
+        self._check_granularity(granularity)
         if isinstance(granularity, int):
-            if granularity <= 0 or granularity % self.bucket_seconds:
-                raise ValueError(
-                    f"width {granularity!r} not tiled by {self.bucket_seconds}s buckets"
-                )
             bucket = F.timestamp_seconds(
                 F.col("__sec") - F.col("__sec") % F.lit(granularity)
             )
@@ -184,6 +184,11 @@ class DistinctRollup:
         )
         return bytes(row["sk"]) if row["sk"] is not None else None
 
+    def _union_agg_exprs(self):
+        """Merge aggregation for :meth:`SketchRetention.compact_before` —
+        HLL union is exact sketch algebra."""
+        return [F.hll_union_agg("__hll").alias("__hll")]
+
     def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
         """Merge a micro-batch of raw rows into the rollup — streaming
         maintenance. HLL sketches are mergeable monoids, so the merged
@@ -195,9 +200,7 @@ class DistinctRollup:
         the old cache is released."""
         from pyspark import StorageLevel
 
-        sec = time_sec_col(batch_df, time_column)
-        if self.bucket_seconds != 1:
-            sec = sec - (sec % self.bucket_seconds)
+        sec = self._bucket_expr(time_sec_col(batch_df, time_column))
         keys = [sec.alias("__sec")]
         if self.key_column is not None:
             if self.key_column not in batch_df.columns:
@@ -242,6 +245,7 @@ class DistinctRollup:
                     "bucket_seconds": self.bucket_seconds,
                     "lg_k": self.lg_k,
                     "key_column": self.key_column,
+                    "tiers": self.tiers,
                 },
                 f,
             )
@@ -371,10 +375,12 @@ def load_distinct_rollup(spark, path: str) -> DistinctRollup:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df.count()
-    return DistinctRollup(
+    r = DistinctRollup(
         df,
         meta["column"],
         meta["bucket_seconds"],
         meta["lg_k"],
         key_column=meta.get("key_column"),
     )
+    r._tiers = [tuple(t) for t in meta.get("tiers", [])]
+    return r

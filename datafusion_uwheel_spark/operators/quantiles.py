@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .rollups import time_sec_col
+from .sketch_retention import SketchRetention
 
 __all__ = ["QuantileRollup", "build_quantile_rollup", "load_quantile_rollup"]
 
@@ -63,7 +64,7 @@ def _fns(suffix: str):
     )
 
 
-class QuantileRollup:
+class QuantileRollup(SketchRetention):
     """Handle over a cached per-bucket KLL sketch table.
 
     ``approx_quantile(q, a, b)`` answers ``PERCENTILE(col, q)`` over
@@ -97,7 +98,9 @@ class QuantileRollup:
         discipline)."""
         a = F.unix_timestamp(F.lit(start).cast("timestamp"))
         b = F.unix_timestamp(F.lit(end).cast("timestamp"))
-        return (F.col("__sec") > a - F.lit(self.bucket_seconds)) & (
+        # per-row width: compacted (coarser) buckets widen the slop so a
+        # coarse bucket spanning the range start is still included whole
+        return (F.col("__sec") > a - self._width_expr()) & (
             F.col("__sec") < b
         )
 
@@ -218,11 +221,8 @@ class QuantileRollup:
         qs = list(q) if isinstance(q, (list, tuple)) else [q]
         _, merge, get_q, _, get_n = _fns(self.suffix)
         ts = F.timestamp_seconds(F.col("__sec"))
+        self._check_granularity(granularity)
         if isinstance(granularity, int):
-            if granularity <= 0 or granularity % self.bucket_seconds:
-                raise ValueError(
-                    f"width {granularity!r} not tiled by {self.bucket_seconds}s buckets"
-                )
             bucket = F.timestamp_seconds(
                 F.col("__sec") - F.col("__sec") % F.lit(granularity)
             )
@@ -255,6 +255,12 @@ class QuantileRollup:
             .orderBy("bucket")
         )
 
+    def _union_agg_exprs(self):
+        """Merge aggregation for :meth:`SketchRetention.compact_before` —
+        KLL merge is exact sketch algebra (same rank-error bound)."""
+        _, merge, _, _, _ = _fns(self.suffix)
+        return [merge("__kll", F.lit(self.k)).alias("__kll")]
+
     def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
         """Merge a micro-batch of raw rows into the rollup — streaming
         maintenance. KLL sketches are mergeable monoids, so the merged
@@ -267,9 +273,7 @@ class QuantileRollup:
         from pyspark import StorageLevel
 
         sketch, merge, _, _, _ = _fns(self.suffix)
-        sec = time_sec_col(batch_df, time_column)
-        if self.bucket_seconds != 1:
-            sec = sec - (sec % self.bucket_seconds)
+        sec = self._bucket_expr(time_sec_col(batch_df, time_column))
         cast = "bigint" if self.suffix == "bigint" else "double"
         keys = [sec.alias("__sec")]
         if self.key_column is not None:
@@ -318,6 +322,7 @@ class QuantileRollup:
                     "k": self.k,
                     "suffix": self.suffix,
                     "key_column": self.key_column,
+                    "tiers": self.tiers,
                 },
                 f,
             )
@@ -463,7 +468,7 @@ def load_quantile_rollup(spark, path: str) -> QuantileRollup:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df.count()
-    return QuantileRollup(
+    r = QuantileRollup(
         df,
         meta["column"],
         meta["bucket_seconds"],
@@ -471,3 +476,5 @@ def load_quantile_rollup(spark, path: str) -> QuantileRollup:
         meta["suffix"],
         key_column=meta.get("key_column"),
     )
+    r._tiers = [tuple(t) for t in meta.get("tiers", [])]
+    return r

@@ -1,0 +1,170 @@
+"""Tiered HAW retention for the sketch rollups (HLL / KLL / theta).
+
+The wheels gained a retention ladder (``lookup.py`` ``compact_before``,
+``rollup_table.py`` for the Spark backend) so no index grows linearly with
+timeline span under streaming maintenance — but the sketch rollup tables
+(one sketch frame row per bucket, persisted sidecars included) kept
+growing O(span / bucket_seconds) forever. Sketches are **union monoids**
+(HLL union, KLL merge, theta union are all exact sketch algebra), so the
+wheels' ladder applies verbatim: regroup fine buckets older than a cutoff
+under a coarser width with one re-aggregation job over the cached rollup,
+and the compacted table is indistinguishable from a fresh coarse build
+over the same rows — identical estimates for every coarse-aligned ask,
+the same error bounds.
+
+Reference model: µWheel's hierarchical wheel tiering (SURVEY §1.3,
+``index/mod.rs:168-181`` HawConf — old fine slots drain into coarser
+wheels). The mixin mirrors the Spark-backend wheel's ladder discipline
+(``rollup_table.py``): a single prefix tier ``[(end_sec, width)]``, widths
+must nest, cutoffs only advance.
+
+Gates honored after compaction:
+
+* range filters widen their edge-inclusion slop to the per-row bucket
+  width (a coarse bucket spanning the range start must still be included
+  whole — superset semantics preserved);
+* group-by style asks (``approx_distinct_by`` / ``approx_quantile_by`` /
+  ``retention_by``) require the granularity to be tiled by the coarsest
+  stored width — coarse buckets cannot be split finer, exactly the wheel
+  ``group_by`` discipline (raise, never a silently wrong distribution);
+* ``merge_batch`` buckets late rows landing in a compacted span at the
+  tier width, keeping row counts bounded and the layout identical to a
+  fresh coarse build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["SketchRetention"]
+
+#: Fixed date_trunc levels in seconds; calendar levels (week and up) have
+#: day-aligned boundaries, so day-nesting widths tile them.
+_FIXED_GRAN_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+class SketchRetention:
+    """Mixin adding ``compact_before`` / ``check_compact`` tiered retention
+    to a per-bucket sketch rollup.
+
+    Host-class contract: ``self._df`` (cached rollup with ``__sec`` and,
+    when keyed, ``__key``), ``self.bucket_seconds``, ``self.key_column``,
+    and ``_union_agg_exprs()`` returning the merge aggregation(s) that
+    re-bucket the sketch column(s). ``_detach_shared`` is honored when the
+    host has one (one-pass multi-column builds)."""
+
+    _SKETCH_CACHE_PARTITIONS = 4
+
+    # ------------------------------------------------------------- ladder
+    @property
+    def tiers(self) -> list[tuple[int, int]]:
+        """Prefix compaction tiers ``[(end_sec, width)]`` — at most one
+        entry (each compaction re-rolls the whole prefix), mirroring the
+        Spark-backend wheel."""
+        return getattr(self, "_tiers", [])
+
+    def width_at(self, sec: int) -> int:
+        """Bucket width in force at ``sec``."""
+        for end, w in self.tiers:
+            if sec < end:
+                return w
+        return self.bucket_seconds
+
+    def _max_width(self) -> int:
+        return max((w for _, w in self.tiers), default=self.bucket_seconds)
+
+    def _width_expr(self) -> Column:
+        """Per-row bucket width — the edge-inclusion slop the range
+        filters need so a coarse bucket spanning the range start is still
+        included whole."""
+        out: Column = F.lit(self.bucket_seconds)
+        for end, w in self.tiers:
+            out = F.when(F.col("__sec") < F.lit(end), F.lit(w)).otherwise(out)
+        return out
+
+    def _bucket_expr(self, sec: Column) -> Column:
+        """Tier-aware bucketing for ``merge_batch``: late rows landing in a
+        compacted span bucket at the tier width."""
+        out = sec if self.bucket_seconds == 1 else sec - (sec % self.bucket_seconds)
+        for end, w in self.tiers:
+            out = F.when(sec < F.lit(end), sec - (sec % F.lit(w))).otherwise(out)
+        return out
+
+    def _check_granularity(self, granularity) -> None:
+        """Every stored bucket must land whole in one output cell: the
+        requested granularity must be tiled by the coarsest stored bucket
+        width (conservative across the whole table — compaction is a
+        prefix, but asks are validated against the coarsest tier so a
+        compacted span can never leak a wrong fine-grained distribution)."""
+        maxw = self._max_width()
+        if isinstance(granularity, int):
+            if granularity <= 0 or granularity % maxw:
+                raise ValueError(
+                    f"width {granularity!r} not tiled by {maxw}s buckets"
+                )
+            return
+        g = str(granularity).lower()
+        secs = _FIXED_GRAN_SECS.get(g, 86400)  # calendar: day-aligned
+        if secs % maxw:
+            raise ValueError(
+                f"granularity {granularity!r} ({secs}s) not tiled by "
+                f"{maxw}s buckets — compacted spans cannot split finer"
+            )
+
+    # --------------------------------------------------------- compaction
+    def check_compact(self, cutoff_sec: int, width: int) -> None:
+        """Validate ``(cutoff, width)`` against this rollup's ladder
+        WITHOUT mutating anything — the all-or-nothing pre-check
+        ``engine.compact_indexes`` runs before compacting any index."""
+        if width <= 0 or width % self.bucket_seconds:
+            raise ValueError(
+                f"width {width} not a multiple of bucket {self.bucket_seconds}"
+            )
+        for _tend, tw in self.tiers:
+            if width % tw:
+                raise ValueError(
+                    f"width {width} does not nest existing tier width {tw}"
+                )
+        cutoff = cutoff_sec - (cutoff_sec % width)
+        for tend, _ in self.tiers:
+            if cutoff < tend:
+                raise ValueError(
+                    f"cutoff {cutoff} precedes existing tier end {tend}"
+                )
+
+    def compact_before(self, cutoff_sec: int, width: int) -> int:
+        """Roll buckets older than ``cutoff_sec`` into ``width``-second
+        buckets — one re-aggregation job over the cached rollup (sketch
+        unions are exact algebra, so estimates over compacted spans match a
+        fresh coarse build bit-for-bit within the pinned error bounds).
+        Returns rows reclaimed. Repeated calls with growing cutoffs
+        implement the hour→day→week ladder, bounding rollup rows (and
+        persisted sidecar size) on endless streams."""
+        from pyspark import StorageLevel
+
+        self.check_compact(cutoff_sec, width)
+        cutoff = cutoff_sec - (cutoff_sec % width)
+        if width == self.bucket_seconds and not self.tiers:
+            return 0
+        old = self._df
+        in_span = F.col("__sec") < cutoff
+        before = old.filter(in_span).count()
+        if before == 0:
+            return 0
+        gcols = [(F.col("__sec") - (F.col("__sec") % width)).alias("__sec")]
+        if self.key_column is not None:
+            gcols.append(F.col("__key"))
+        coarse = old.filter(in_span).groupBy(*gcols).agg(*self._union_agg_exprs())
+        merged = (
+            coarse.unionByName(old.filter(~in_span).select(*coarse.columns))
+            .coalesce(self._SKETCH_CACHE_PARTITIONS)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        after = merged.filter(in_span).count()  # also materializes the cache
+        self._df = merged
+        detach = getattr(self, "_detach_shared", None)
+        if not (detach() if detach is not None else False):
+            old.unpersist()
+        self._tiers = [(cutoff, width)]
+        return before - after

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .rollups import time_sec_col
+from .sketch_retention import SketchRetention
 
 __all__ = ["ThetaRollup", "build_theta_rollup", "load_theta_rollup"]
 
@@ -45,7 +46,7 @@ _META = "_theta_meta.json"
 _CACHE_PARTITIONS = 4
 
 
-class ThetaRollup:
+class ThetaRollup(SketchRetention):
     """Handle over a cached per-bucket theta sketch table.
 
     Range asks use second-aligned bounds like every wheel lookup; buckets
@@ -74,7 +75,9 @@ class ThetaRollup:
     def _range_filter(self, start, end):
         a = F.unix_timestamp(F.lit(start).cast("timestamp"))
         b = F.unix_timestamp(F.lit(end).cast("timestamp"))
-        return (F.col("__sec") > a - F.lit(self.bucket_seconds)) & (
+        # per-row width: compacted (coarser) buckets widen the slop so a
+        # coarse bucket spanning the range start is still included whole
+        return (F.col("__sec") > a - self._width_expr()) & (
             F.col("__sec") < b
         )
 
@@ -188,12 +191,8 @@ class ThetaRollup:
         from pyspark.sql import Window
 
         ts = F.timestamp_seconds(F.col("__sec"))
+        self._check_granularity(granularity)
         if isinstance(granularity, int):
-            if granularity <= 0 or granularity % self.bucket_seconds:
-                raise ValueError(
-                    f"width {granularity!r} not tiled by "
-                    f"{self.bucket_seconds}s buckets"
-                )
             bucket = F.timestamp_seconds(
                 F.col("__sec") - F.col("__sec") % F.lit(granularity)
             )
@@ -242,6 +241,11 @@ class ThetaRollup:
 
     # -------------------------------------------------------- maintenance
 
+    def _union_agg_exprs(self):
+        """Merge aggregation for :meth:`SketchRetention.compact_before` —
+        theta union is exact sketch algebra."""
+        return [F.expr("theta_union_agg(__theta)").alias("__theta")]
+
     def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
         """Merge a micro-batch of raw rows — streaming maintenance. Theta
         unions are mergeable monoids, so the merged rollup is
@@ -250,9 +254,7 @@ class ThetaRollup:
         cache is released."""
         from pyspark import StorageLevel
 
-        sec = time_sec_col(batch_df, time_column)
-        if self.bucket_seconds != 1:
-            sec = sec - (sec % self.bucket_seconds)
+        sec = self._bucket_expr(time_sec_col(batch_df, time_column))
         keys = [sec.alias("__sec")]
         if self.key_column is not None:
             if self.key_column not in batch_df.columns:
@@ -294,6 +296,7 @@ class ThetaRollup:
                     "bucket_seconds": self.bucket_seconds,
                     "lg_k": self.lg_k,
                     "key_column": self.key_column,
+                    "tiers": self.tiers,
                 },
                 f,
             )
@@ -353,10 +356,12 @@ def load_theta_rollup(spark, path: str) -> ThetaRollup:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df.count()
-    return ThetaRollup(
+    r = ThetaRollup(
         df,
         meta["column"],
         meta["bucket_seconds"],
         meta["lg_k"],
         key_column=meta["key_column"],
     )
+    r._tiers = [tuple(t) for t in meta.get("tiers", [])]
+    return r
