@@ -172,19 +172,19 @@ def uw_dim_groupby(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
-def uw_groupby_week(spark, sf_dir):
-    return _engine(spark, sf_dir).sql(
-        "SELECT date_trunc('week', ts) AS bucket, COUNT(*) AS n "
+def uw_groupby_month(spark, sf_dir):
+    """Calendar granularity (beyond the reference, which refuses month/year):
+    month boundaries are day-aligned, so second buckets nest exactly. This
+    slot ALTERNATES with uw_groupby_week round-over-round (r6: month in,
+    week out) so each calendar granularity gets the DuckDB hash check at
+    least every other round; both stay property-tested in
+    test_lookup_properties.py regardless."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
         f"FROM events WHERE ts >= '{WEEK_A}' AND ts < '{WEEK_B}' "
-        "GROUP BY date_trunc('week', ts)"
+        "GROUP BY date_trunc('month', ts)"
     )
-
-
-# NOTE (r5): the former uw_groupby_month row (calendar month granularity —
-# beyond the reference, which refuses month/year) was folded out to fund
-# decon_ngram within the 50-row driver cap: uw_groupby_week keeps the
-# calendar-granularity router path oracle-checked, and month/quarter/year
-# bucket arithmetic is property-tested in test_lookup_properties.py.
+    return _round(df, {"sum_value": 3})
 
 
 def uw_groupby_landmark(spark, sf_dir):
@@ -242,18 +242,11 @@ def uw_keyed_sum(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
-def uw_keyed_numeric(spark, sf_dir):
-    """Keyed wheel with a *numeric* equality filter — exercises the
-    canonical number rendering in filter-key matching (the reference matches
-    `passenger_count = 3.0` style keys, lib.rs:164-173)."""
-    eng = _engine(spark, sf_dir)
-    if ("value", "user_id = 7.0") not in eng.agg_wheels:
-        eng.build_index("value", filter="user_id = 7")
-    df = eng.sql(
-        "SELECT SUM(value) AS sum_value, COUNT(*) AS n FROM events "
-        f"WHERE ts >= '{A}' AND ts < '{B}' AND user_id = 7"
-    )
-    return _round(df, {"sum_value": 3})
+# NOTE (r6): the former uw_keyed_numeric row (numeric equality filter key —
+# canonical number rendering, lib.rs:164-173) was folded out to fund the
+# re-seated uw_count_col row under the 50-row driver cap: the keyed scalar
+# surface stays hash-checked by uw_keyed_sum and the numeric-key
+# canonicalization by tests/test_predicates.py.
 
 
 # NOTE (r4): the former uw_keyed_count row (COUNT(*) + keyed filter + range)
@@ -316,6 +309,17 @@ def uw_between_groupby(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
+def uw_between_range(spark, sf_dir):
+    """Scalar hybrid boundary rewrite (re-seated r6, retired r5): BETWEEN
+    (inclusive both ends) = wheel core + at-start boundary sliver — exact,
+    unlike the reference's `<=`->`<` slop (expr.rs:219-222)."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT COUNT(*) AS n, SUM(value) AS sum_value FROM events "
+        f"WHERE ts BETWEEN '{A}' AND '{B_INCL}'"
+    )
+    return _round(df, {"sum_value": 3})
+
+
 def uw_le_bound_range(spark, sf_dir):
     """Hybrid boundary rewrite: strict `>` lower + inclusive `<=` upper."""
     df = _engine(spark, sf_dir).sql(
@@ -350,6 +354,15 @@ def uw_compacted_range(spark, sf_dir):
     )
     assert eng.last_route.kind == "multi_agg", eng.last_route
     return _round(df, {"sum_value": 3})
+
+
+def uw_count_col(spark, sf_dir):
+    """COUNT(col) — non-null count served by the value wheel's vcnt state
+    (re-seated r6; COUNT(*) semantics differ under NULLs —
+    is_count_star_aggregate, lib.rs:883-907)."""
+    return _engine(spark, sf_dir).sql(
+        f"SELECT COUNT(value) AS n_vals FROM events WHERE ts >= '{A}' AND ts < '{B}'"
+    )
 
 
 def uw_int_sum_range(spark, sf_dir):
@@ -547,9 +560,10 @@ def dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dup_groups(df)
 
 
-def dedup_exact_keep(spark, sf_dir):
-    df = _view(spark, sf_dir, "documents")
-    return dedup.dedup_exact(df).select("doc_id")
+# NOTE (r6): the former dedup_exact_keep row (keep-lowest survivors) was
+# folded out to fund uw_between_range: it is mechanically the keeper_id
+# column of dedup_exact_groups, and dedup_exact() stays pytest-pinned in
+# tests/test_llm_ops.py.
 
 
 def dedup_fingerprint(spark, sf_dir):
@@ -571,6 +585,27 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     df = _view(spark, sf_dir, "documents")
     return dedup.with_simhash(df).select("doc_id", "simhash")
+
+
+def dedup_near_corpus(spark, sf_dir):
+    """Streaming NEAR-dup corpus dedup end-to-end (r5 operator, first
+    oracle row r6): a two-batch crawl replay. Batch 1 (doc_id % 3 == 0)
+    near-dedupes against itself and records its survivors' LSH band state;
+    batch 2 (the rest) is filtered against that state and near-deduped
+    within itself under the same pure banding rule. The oracle mirrors the
+    full decision rule in DuckDB — band-slice equality joins plus
+    recursive min-label connected components (oracles.near_corpus_sql)."""
+    import tempfile
+
+    from datafusion_uwheel_spark.operators.stream_dedup import NearCorpusDedup
+
+    docs = _view(spark, sf_dir, "documents")
+    nd = NearCorpusDedup(
+        spark, tempfile.mkdtemp(prefix="uw_near_corpus_"), n_buckets=8
+    )
+    nd.filter_batch(docs.filter(F.col("doc_id") % 3 == 0))
+    surv = nd.filter_batch(docs.filter(F.col("doc_id") % 3 != 0))
+    return surv.select("doc_id").orderBy("doc_id")
 
 
 # -------------------------------------------------------- text operators
@@ -635,14 +670,11 @@ def mm_media_stats(spark, sf_dir):
     )
 
 
-def mm_media_dedup(spark, sf_dir):
-    """Digest-based exact media dedup groups (binary payload identity)."""
-    from datafusion_uwheel_spark.operators import multimodal
-
-    stats = multimodal.with_media_stats(_media_df(spark, sf_dir))
-    return stats.groupBy("digest").agg(
-        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id")
-    )
+# NOTE (r6): the former mm_media_dedup row (digest group-by over the binary
+# payload) was folded out to fund dedup_near_corpus: its digest column is
+# hash-checked by mm_media_stats and the group-by shape by
+# dedup_exact_groups; the operator stays pytest-pinned in
+# tests/test_multimodal.py.
 
 
 def mm_features(spark, sf_dir):
@@ -793,20 +825,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
-        "uw_groupby_week": uw_groupby_week,
-        # r5: uw_groupby_month folded out (see NOTE above its old body);
+        "uw_groupby_month": uw_groupby_month,
         # its slot funds decon_ngram below.
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
         "uw_landmark_sum": uw_landmark_sum,
         "uw_keyed_sum": uw_keyed_sum,
-        "uw_keyed_numeric": uw_keyed_numeric,
         "uw_keyed_groupby": uw_keyed_groupby,
         "uw_keyed_landmark": uw_keyed_landmark,
         "uw_between_groupby": uw_between_groupby,
+        "uw_between_range": uw_between_range,
         "uw_le_bound_range": uw_le_bound_range,
-        # r5: uw_count_col folded into uw_multi_agg's n_vals column; its
+        "uw_count_col": uw_count_col,
         # slot funds uw_compacted_range (tiered HAW retention).
         "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
@@ -838,13 +869,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in test_similarity_engine.test_dup_pairs_route_and_parity).
         "sim_knn_join": sim_knn_join,
         "dedup_exact_groups": dedup_exact_groups,
-        "dedup_exact_keep": dedup_exact_keep,
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_near_corpus": dedup_near_corpus,
         "mm_media_stats": mm_media_stats,
-        "mm_media_dedup": mm_media_dedup,
         "mm_features": mm_features,
         "mm_frames": mm_frames,
         "text_token_stats": text_token_stats,
@@ -887,8 +917,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
         # TIMESTAMP — cast so the driver's schema compare agrees.
-        "uw_groupby_week": (
-            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n FROM events "
+        "uw_groupby_month": (
+            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+            "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
         # window(ts, '6 hours') = epoch-aligned 21600-second buckets;
@@ -916,10 +947,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND event_type = 'click'"
         ),
-        "uw_keyed_numeric": (
-            "SELECT round(sum(value), 3) AS sum_value, count(*) AS n FROM events "
-            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND user_id = 7"
-        ),
         "uw_keyed_groupby": (
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
@@ -935,6 +962,10 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts BETWEEN TIMESTAMP '{A}' AND TIMESTAMP '{B_INCL}' "
             "GROUP BY 1 ORDER BY bucket"
+        ),
+        "uw_between_range": (
+            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
+            f"WHERE ts BETWEEN TIMESTAMP '{A}' AND TIMESTAMP '{B_INCL}'"
         ),
         "uw_le_bound_range": (
             "SELECT count(*) AS n, round(avg(value), 6) AS avg_value FROM events "
@@ -961,6 +992,10 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'"
         ),
         # DuckDB sum(BIGINT) is HUGEINT — cast back so schemas agree.
+        "uw_count_col": (
+            f"SELECT count(value) AS n_vals FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        ),
         "uw_int_sum_range": (
             "SELECT CAST(sum(user_id) AS BIGINT) AS sum_uid, min(user_id) AS min_uid, "
             "max(user_id) AS max_uid FROM events "
@@ -999,24 +1034,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id "
             "FROM documents GROUP BY md5(text)"
         ),
-        "dedup_exact_keep": (
-            "SELECT doc_id FROM documents WHERE doc_id IN "
-            "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
-        ),
         "dedup_fingerprint": oracles.fingerprint_sql(),
         "dedup_jaccard_pairs": oracles.jaccard_pairs_sql(JACCARD_T),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(LSH_MIN_EST),
         "dedup_simhash": oracles.simhash_sql(),
+        "dedup_near_corpus": oracles.near_corpus_sql(),
         # documents' UTF-8 bytes are the media payload on both engines:
         # Spark encode(text,'UTF-8') ≡ DuckDB encode(text); md5(VARCHAR)
         # hashes the same UTF-8 bytes as Spark's md5(BINARY).
         "mm_media_stats": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, "
             "md5(text) AS digest FROM documents"
-        ),
-        "mm_media_dedup": (
-            "SELECT md5(text) AS digest, count(*) AS n_copies, "
-            "min(doc_id) AS keeper_id FROM documents GROUP BY 1"
         ),
         "mm_features": oracles.media_features_sql(dim=16),
         "mm_frames": oracles.media_frames_sql(),

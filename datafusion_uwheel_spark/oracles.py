@@ -299,6 +299,93 @@ WHERE CAST(len(list_filter(range(1, {k + 1}), i -> sa[i] = sb[i])) AS DOUBLE)
         / CAST({k} AS DOUBLE) >= {min_est_jaccard!r}"""
 
 
+def near_corpus_sql(
+    table: str = "documents",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> str:
+    """DuckDB mirror of the streaming NEAR-dup corpus dedup's two-batch
+    replay (``stream_dedup.NearCorpusDedup``, pure banding rule): batch 1
+    (``doc_id % 3 == 0``) near-dedupes against itself and records its
+    SURVIVORS' LSH bands as corpus state; batch 2 (the rest) drops any doc
+    whose band slice collides with that state, then near-dedupes within
+    itself under the same rule (transitive keep-lowest — recursive
+    min-label connected components). Shingle-less docs pass through
+    unrecorded on both batches, exactly like the operator. Defaults match
+    ``NearCorpusDedup``'s (n=3, k=32, bands=8, seed=42) and
+    ``lsh_candidate_pairs``'s within-batch bucket cap."""
+    a_params, b_params = minhash_params(k, seed)
+    r = k // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MOD}))"
+        for a, b in zip(a_params, b_params)
+    )
+    toks = tokens_sql()
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, doc_id % 3 = 0 AS in_corpus,
+         {shingles_sql(toks, n)} AS hs
+  FROM {table}
+), sig AS (
+  SELECT id, in_corpus, [{sig_terms}] AS s FROM sh WHERE len(hs) > 0
+), bnd AS (
+  SELECT id, in_corpus, b, array_to_string(s[b*{r}+1 : b*{r}+{r}], '-') AS key
+  FROM sig, (SELECT unnest(range(0, {bands})) AS b)
+), b1cnt AS (
+  SELECT b, key, count(*) AS c FROM bnd WHERE in_corpus GROUP BY b, key
+), p1 AS (
+  SELECT DISTINCT a.id AS ia, c.id AS ib
+  FROM bnd a
+  JOIN bnd c ON a.b = c.b AND a.key = c.key AND a.id < c.id
+  JOIN b1cnt ON b1cnt.b = a.b AND b1cnt.key = a.key
+  WHERE a.in_corpus AND c.in_corpus AND b1cnt.c <= {max_bucket_size}
+), e1 AS (
+  SELECT ia AS x, ib AS y FROM p1 UNION ALL SELECT ib, ia FROM p1
+), reach1(id, lab) AS (
+  SELECT id, id FROM sig WHERE in_corpus
+  UNION
+  SELECT e1.x, reach1.lab FROM reach1 JOIN e1 ON e1.y = reach1.id
+), k1 AS (
+  SELECT id FROM reach1 GROUP BY id HAVING min(lab) = id
+), corpus_bands AS (
+  SELECT bnd.b, bnd.key FROM bnd JOIN k1 USING (id) WHERE in_corpus
+), hit2 AS (
+  SELECT DISTINCT a.id
+  FROM bnd a JOIN corpus_bands cb ON a.b = cb.b AND a.key = cb.key
+  WHERE NOT a.in_corpus
+), s2 AS (
+  SELECT id FROM sig
+  WHERE NOT in_corpus AND id NOT IN (SELECT id FROM hit2)
+), bnd2 AS (
+  SELECT bnd.* FROM bnd JOIN s2 USING (id) WHERE NOT in_corpus
+), b2cnt AS (
+  SELECT b, key, count(*) AS c FROM bnd2 GROUP BY b, key
+), p2 AS (
+  SELECT DISTINCT a.id AS ia, c.id AS ib
+  FROM bnd2 a
+  JOIN bnd2 c ON a.b = c.b AND a.key = c.key AND a.id < c.id
+  JOIN b2cnt ON b2cnt.b = a.b AND b2cnt.key = a.key
+  WHERE b2cnt.c <= {max_bucket_size}
+), e2 AS (
+  SELECT ia AS x, ib AS y FROM p2 UNION ALL SELECT ib, ia FROM p2
+), reach2(id, lab) AS (
+  SELECT id, id FROM s2
+  UNION
+  SELECT e2.x, reach2.lab FROM reach2 JOIN e2 ON e2.y = reach2.id
+), k2 AS (
+  SELECT id FROM reach2 GROUP BY id HAVING min(lab) = id
+)
+SELECT id AS doc_id FROM k2
+UNION ALL
+SELECT doc_id FROM {table}
+WHERE doc_id % 3 != 0
+  AND doc_id NOT IN (SELECT id FROM sh WHERE len(hs) > 0)
+ORDER BY doc_id"""
+
+
 def simhash_sql(table: str = "documents", bits: int = 32) -> str:
     toks = tokens_sql()
     tok_hash = char_hash_sql("t")
