@@ -928,6 +928,53 @@ def main() -> None:
     queries["uw_compacted_range"] = time_calls(compacted_call, N_PROBE)
     log(f"uw_compacted_range: {queries['uw_compacted_range']*1e3:.1f} ms median")
 
+    # Streaming retention steady state (r6): the bounded-on-endless-streams
+    # claim, MEASURED — a fresh engine streams 14 daily batches (rows
+    # spread across each day at second granularity) with
+    # retention=(1 day, "hour"); index bytes must go flat once the ladder
+    # engages instead of growing with the timeline. Sketch rollups ride
+    # the same compaction call, so their rows are bounded too.
+    from datafusion_uwheel_spark import WheelEngine as _WE
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer as _SWM,
+    )
+
+    base = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 0.0)], "ts string, v double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+    ret_eng = _WE(spark, "bench_ret_stream", base, time_column="ts")
+    ret_eng.build_index("v")
+    ret_m = _SWM(ret_eng, retention=(86400, "hour"))
+    per_day, day_bytes, merge_times = 2000, [], []
+    for day in range(1, 15):
+        d0 = SPAN_START + timedelta(days=day - 1)
+        rows = [
+            (
+                (d0 + timedelta(seconds=i * 86400 // per_day)).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                float(day * 1000 + i),
+            )
+            for i in range(per_day)
+        ]
+        batch = spark.createDataFrame(rows, "ts string, v double").selectExpr(
+            "CAST(ts AS TIMESTAMP) AS ts", "v"
+        )
+        t0 = time.perf_counter()
+        ret_m.merge_batch(batch)
+        merge_times.append(time.perf_counter() - t0)
+        day_bytes.append(ret_eng.index_usage_bytes())
+    queries["uw_stream_retention_merge"] = statistics.median(merge_times)
+    # flat tail: once >1 day is behind the watermark the per-day footprint
+    # is the fine window (1 day) + a bounded hourly prefix
+    assert day_bytes[-1] <= int(day_bytes[6] * 1.25) + 4096, day_bytes
+    retention_bytes = [int(b) for b in day_bytes]
+    log(
+        f"uw_stream_retention_merge: {queries['uw_stream_retention_merge']:.2f}s "
+        f"median/batch; bytes/day {retention_bytes[0]} -> "
+        f"{retention_bytes[6]} -> {retention_bytes[-1]} (flat tail)"
+    )
+
     total = sum(queries.values())
     line = json.dumps(
         {
@@ -936,6 +983,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {k: round(v, 5) for k, v in queries.items()},
             "speedup_vs_vanilla": speedups,
+            "stream_retention_bytes_per_day": retention_bytes,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

@@ -341,7 +341,16 @@ class WheelIndex:
         ``width``; previously-compacted coarser tiers are left alone (their
         span must already be older), finer ones inside the cutoff are
         re-rolled. ``cutoff_sec`` must be ``width``-aligned. Repeated calls
-        with growing cutoffs implement the second→minute→hour→day ladder."""
+        with growing cutoffs implement the second→minute→hour→day ladder.
+
+        At-start sliver entries at instants a compacted tier makes
+        UNREACHABLE are pruned: inside a tier, every at-start consultation
+        point is tier-aligned (``covers``/``combine_range`` gates delegate
+        finer asks to a scan), so entries at non-aligned instants can never
+        be read again — keeping them would grow at-start memory linearly
+        with the timeline even though the buckets are bounded (the Spark
+        backend's ``start_hit`` compaction already applies the same rule).
+        The pruned layout matches a fresh coarse build's exactly."""
         keep, roll = self._compact_plan(cutoff_sec, width)
         # Buckets to roll: the contiguous span after the last kept (coarser)
         # tier, before the cutoff — tiers are prefixes, so this is a slice.
@@ -363,6 +372,7 @@ class WheelIndex:
             new_tiers
         )
         self.tiers = new_tiers
+        self._prune_at_start()
         if hi <= lo:
             return 0
         seg = self.secs[lo:hi]
@@ -394,6 +404,34 @@ class WheelIndex:
         self._refresh_pvcnt()
         self._landmark = None
         return reclaimed
+
+    def _prune_at_start(self) -> None:
+        """Drop at-start sliver entries at instants the tier map makes
+        unreachable (non-tier-aligned instants inside a compacted span) —
+        the retention ladder applied to the at-start arrays, without which
+        they grow linearly with distinct instants forever. Entries in the
+        fine suffix and at tier bucket starts are untouched; the result is
+        exactly the at-start layout a fresh coarse build produces."""
+        if self.at_secs_ is None or not self.tiers:
+            return
+        secs = self.at_secs_
+        keep = np.ones(secs.size, dtype=bool)
+        prev_end = 0
+        for end, w in self.tiers:
+            i = int(np.searchsorted(secs, prev_end, side="left"))
+            j = int(np.searchsorted(secs, end, side="left"))
+            if i < j:
+                keep[i:j] &= (secs[i:j] % w) == 0
+            prev_end = end
+        if bool(keep.all()):
+            return
+        for name in (
+            "at_secs_", "at_cnt_", "at_vcnt_",
+            "at_sum_", "at_sumsq_", "at_min_", "at_max_",
+        ):
+            arr = getattr(self, name)
+            if arr is not None:
+                setattr(self, name, arr[keep])
 
     # ------------------------------------------------------------- queries
     def _slice(self, start_sec: int, end_sec: int) -> tuple[int, int]:

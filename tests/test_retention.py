@@ -555,3 +555,61 @@ def test_sketch_streaming_retention_bounds_rows(spark):
     # estimates still answer: 50 distinct uids per day, exact at this size
     est = d.approx_distinct("2024-01-02 00:00:00", "2024-01-03 00:00:00")
     assert abs(est - 50) <= 2, est
+
+
+def test_compaction_prunes_unreachable_at_start_entries(spark):
+    """The at-start sliver arrays join the retention ladder (r6): entries
+    at non-tier-aligned instants inside a compacted span are unreachable
+    (covers/combine_range gates delegate finer asks) and are pruned —
+    without this, at-start memory grows linearly with distinct instants
+    even though the buckets are bounded. Tier-aligned entries survive and
+    keep serving hybrid boundaries exactly."""
+    # exact-second timestamps: every row sits AT its 1s bucket start, so
+    # the at-start arrays hold one entry per distinct second
+    rows = [
+        (f"2024-01-01 {h:02d}:{m:02d}:{sec:02d}", float(h * 3600 + m * 60 + sec))
+        for h in range(4)
+        for m in range(0, 60, 7)
+        for sec in (0, 13, 29)
+    ]
+    df = spark.createDataFrame(rows, "ts string, v double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "v"
+    )
+    e = WheelEngine(spark, "ret_at", df, time_column="ts")
+    e.build_index("v")
+    w = e.agg_wheels[("v", "*_AGG")]
+    before = int(w.at_secs_.size)
+    assert before == len(rows)
+    sql_hyb = (
+        "SELECT COUNT(*) AS n, SUM(v) AS s FROM ret_at "
+        "WHERE ts > '2024-01-01 00:00:00' AND ts <= '2024-01-01 03:00:00'"
+    )
+    want = spark.sql(sql_hyb).collect()
+    cut = "2024-01-01 02:00:00"
+    cut_sec = 1704074400
+    e.compact_indexes(cut, "hour")
+    after = int(w.at_secs_.size)
+    assert after < before, (before, after)
+    # every surviving compacted-span entry is hour-aligned
+    in_span = w.at_secs_[w.at_secs_ < cut_sec]
+    assert in_span.size > 0 and (in_span % 3600 == 0).all()
+    # fine-suffix entries survive untouched
+    assert (w.at_secs_ >= cut_sec).sum() == sum(
+        1 for r in rows if r[0] >= "2024-01-01 02:00:00"
+    )
+    # a tier-aligned hybrid boundary INSIDE the compacted span still
+    # answers from the kept at-start entry, exactly
+    got = e.sql(sql_hyb)
+    assert e.last_route.kind in ("hybrid_agg", "delegate")
+    r0 = got.collect()[0]
+    assert r0["n"] == want[0]["n"]
+    assert abs(r0["s"] - want[0]["s"]) <= 1e-9 * max(1.0, abs(want[0]["s"]))
+    # a fine (second-aligned) boundary inside the compacted span delegates
+    # and still answers correctly via the scan
+    sql_fine = (
+        "SELECT COUNT(*) AS n FROM ret_at "
+        "WHERE ts > '2024-01-01 00:00:13' AND ts <= '2024-01-01 01:00:00'"
+    )
+    got2 = e.sql(sql_fine)
+    assert e.last_route.kind == "delegate"
+    assert got2.collect() == spark.sql(sql_fine).collect()
