@@ -126,21 +126,36 @@ def decode_media(
     n_values: int = 64,
     fake: bool = True,
     data_col: str = "data",
+    decoder=None,
 ) -> DataFrame:
     """Decode the binary payload to a numeric ``decoded array<float>`` column
     via ``mapInPandas`` (iterator-of-batches: constant memory per task).
 
-    ``fake=True`` (the only mode that runs here) uses the deterministic
-    SHA-stream stand-in; ``fake=False`` calls the import-gated real codec.
+    ``decoder`` is the injection point for a REAL codec: a picklable
+    ``(payload: bytes, kind: str | None) -> list[float]`` callable (wrap
+    Pillow/ffmpeg/librosa here) — it ships to the executors and runs inside
+    the same Arrow-batched plumbing, no operator edits needed. Without it,
+    ``fake=True`` (the only mode that runs in this container) uses the
+    deterministic SHA-stream stand-in and ``fake=False`` calls the
+    import-gated :func:`_real_decode` stub.
     """
     fields = df.schema.fields
     out_schema = T.StructType(
         list(fields) + [T.StructField("decoded", T.ArrayType(T.FloatType()), True)]
     )
+    has_kind = "kind" in df.columns
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         for pdf in batches:
-            if fake:
+            if decoder is not None:
+                kinds = pdf["kind"] if has_kind else [None] * len(pdf)
+                pdf = pdf.assign(
+                    decoded=[
+                        decoder(bytes(p), k) if p is not None else None
+                        for p, k in zip(pdf[data_col], kinds)
+                    ]
+                )
+            elif fake:
                 pdf = pdf.assign(
                     decoded=[
                         _fake_decode(bytes(p), n_values) if p is not None else None
@@ -165,13 +180,19 @@ def extract_features(
     fake: bool = True,
     data_col: str = "data",
     id_col: str = "media_id",
+    decoder=None,
 ) -> DataFrame:
     """Binary → fixed-``dim`` feature vector ``(id_col, feature)``, ready for
     :func:`..operators.similarity.cosine_topk` / LSH bucketing.
 
-    Column-pruned input (only id + payload cross into Python), Arrow-batched;
-    the feature model itself is the stubbed decoder (deterministic fake)."""
-    pruned = df.select(id_col, data_col)
+    Column-pruned input (only id + payload — and ``kind`` when a real
+    ``decoder`` is injected — cross into Python), Arrow-batched.
+    ``decoder``: picklable ``(payload, kind) -> list[float]`` feature model
+    (a real embed/decode pipeline); default is the deterministic fake."""
+    has_kind = decoder is not None and "kind" in df.columns
+    pruned = df.select(
+        *([id_col, data_col] + (["kind"] if has_kind else []))
+    )
     out_schema = T.StructType(
         [
             pruned.schema[id_col],
@@ -181,12 +202,18 @@ def extract_features(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         for pdf in batches:
-            yield pdf.assign(
-                feature=[
+            if decoder is not None:
+                kinds = pdf["kind"] if has_kind else [None] * len(pdf)
+                feats = [
+                    decoder(bytes(p), k) if p is not None else None
+                    for p, k in zip(pdf[data_col], kinds)
+                ]
+            else:
+                feats = [
                     _fake_decode(bytes(p), dim) if (fake and p is not None) else None
                     for p in pdf[data_col]
                 ]
-            )[[id_col, "feature"]]
+            yield pdf.assign(feature=feats)[[id_col, "feature"]]
 
     return pruned.mapInPandas(run, schema=out_schema)
 
@@ -196,10 +223,13 @@ def sample_frames(
     every_ms: int = 1000,
     fake: bool = True,
     id_col: str = "media_id",
+    decoder=None,
 ) -> DataFrame:
     """Video → one row per sampled frame ``(media_id, frame_idx, ts_ms,
     frame)`` — the row-exploding shape of a real frame sampler, driven by the
-    ``duration_ms`` metadata; frame payloads come from the stubbed decoder."""
+    ``duration_ms`` metadata. ``decoder``: picklable
+    ``(payload, ts_ms) -> list[float]`` frame extractor (wrap ffmpeg/pyav
+    here); default is the stubbed deterministic fake."""
     pruned = df.select(id_col, "kind", "data", F.col("meta.duration_ms").alias("__dur"))
     out_schema = T.StructType(
         [
@@ -223,11 +253,14 @@ def sample_frames(
                 n_frames = max(1, int(dur) // every_ms)
                 for i in range(n_frames):
                     ts = i * every_ms
-                    frame = (
-                        _fake_decode(bytes(payload) + ts.to_bytes(8, "big"), 16)
-                        if fake
-                        else _real_decode(bytes(payload), "video")
-                    )
+                    if decoder is not None:
+                        frame = decoder(bytes(payload), ts)
+                    elif fake:
+                        frame = _fake_decode(
+                            bytes(payload) + ts.to_bytes(8, "big"), 16
+                        )
+                    else:
+                        frame = _real_decode(bytes(payload), "video")
                     rows.append((mid, i, ts, frame))
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "ts_ms", "frame"])
 
