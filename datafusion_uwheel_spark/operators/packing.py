@@ -19,6 +19,10 @@ and "training batches", both absent from Spark and from the reference
   hits the source's share of the budget in expectation. One pass per
   source, no shuffle; sampling fractions are computed from per-source
   token totals (one tiny aggregate each).
+* :func:`cap_per_key` / :func:`sample_per_key` — per-domain frequency
+  caps and exact-size stratified samples via a skew-safe two-stage
+  top-k (shard-local rank, then rank the bounded survivors) — no hot
+  key ever funnels through one task.
 
 Neither is SQL-expressible (greedy packing; cross-frame budget math), so
 these carry invariant-based pytest coverage instead of a DuckDB oracle —
@@ -30,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "mixture_sample"]
+__all__ = ["cap_per_key", "mixture_sample", "pack_sequences", "sample_per_key"]
 
 #: Bins per shard namespace — shard-local bin ids are offset by
 #: ``shard * _SHARD_STRIDE`` for global uniqueness. 10^12 bins per shard
@@ -171,3 +175,72 @@ def mixture_sample(
         )
         out = sampled if out is None else out.unionByName(sampled)
     return out
+
+
+def cap_per_key(
+    df: DataFrame,
+    key: str,
+    max_rows: int,
+    order_by=None,
+    id_col: str = "doc_id",
+    shards: int = 16,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per ``key`` value — the
+    domain-frequency cap every crawl-curation pipeline applies before
+    training (a handful of hot domains otherwise dominate the token mix;
+    e.g. Gopher/MassiveWeb cap documents per domain). ``order_by`` (a
+    Column or list) chooses WHICH rows survive — quality descending,
+    recency, ... — with ``id_col`` appended as the deterministic
+    tiebreak; default keeps the lowest ids.
+
+    Skew-safe top-k: a single ``row_number() OVER (PARTITION BY key)``
+    funnels a hot key's EVERY row through one task — the classic 100 TB
+    failure (one domain with 10^9 pages = one straggler task). Instead
+    rank within ``(key, shard)`` slices first (shard =
+    ``pmod(xxhash64(id), shards)``) and keep ``max_rows`` per slice, then
+    rank the ≤ ``max_rows·shards`` survivors per key. Two narrow window
+    stages; no task ever holds more than ``max_rows·shards`` rows of any
+    one key, regardless of skew. Selection is identical to the one-stage
+    form: the global top-k under a total order is contained in the union
+    of per-slice top-ks."""
+    from pyspark.sql import Window
+
+    if max_rows <= 0:
+        raise ValueError(f"max_rows must be positive, got {max_rows}")
+    order = list(order_by) if isinstance(order_by, (list, tuple)) else (
+        [order_by] if order_by is not None else []
+    )
+    order = order + [F.col(id_col)]
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int")
+    w1 = Window.partitionBy(F.col(key), shard).orderBy(*order)
+    pre = (
+        df.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= max_rows)
+        .drop("__rk")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        pre.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= max_rows)
+        .drop("__rk")
+    )
+
+
+def sample_per_key(
+    df: DataFrame,
+    key: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    shards: int = 16,
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` UNIFORMLY pseudo-random rows per
+    ``key`` value — exact-size stratified sampling (``df.sampleBy`` is
+    Bernoulli: group sizes only hit k in expectation). The order is a
+    seeded 64-bit hash of the id, so the draw is deterministic across
+    runs and executors; the same skew-safe two-stage top-k as
+    :func:`cap_per_key` carries it to hot keys."""
+    rnd = F.xxhash64(F.col(id_col), F.lit(seed))
+    return cap_per_key(
+        df, key, k, order_by=[rnd], id_col=id_col, shards=shards
+    )

@@ -180,3 +180,90 @@ def test_mixture_refuses_underfilled_source(spark, docs_tokens):
 def test_mixture_key_mismatch_raises(spark, docs_tokens):
     with pytest.raises(ValueError, match="identical keys"):
         packing.mixture_sample({"a": docs_tokens}, {"b": 1.0}, 1000)
+
+
+# ------------------------------------------------- per-key caps (r6)
+def test_cap_per_key_matches_duckdb_window(spark, sf_small_dir):
+    """The skew-safe two-stage top-k selects EXACTLY what the one-stage
+    SQL window selects — pinned against a DuckDB ROW_NUMBER() mirror on
+    the same parquet (order: n_chars DESC, doc_id tiebreak)."""
+    import duckdb
+
+    docs = read_parquet(spark, f"{sf_small_dir}/documents.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in packing.cap_per_key(
+            docs, "source", 30, order_by=F.col("n_chars").desc()
+        )
+        .select("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk "
+            f"FROM '{sf_small_dir}/documents.parquet') WHERE rk <= 30"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_cap_per_key_bounds_and_default_order(spark, sf_small_dir):
+    docs = read_parquet(spark, f"{sf_small_dir}/documents.parquet")
+    out = packing.cap_per_key(docs, "source", 5)
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    orig = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in sizes.items():
+        assert n == min(5, orig[s]), (s, n, orig[s])
+    # default order keeps the LOWEST ids per key
+    first = out.filter(F.col("source") == sorted(orig)[0]).select("doc_id")
+    want_first = (
+        docs.filter(F.col("source") == sorted(orig)[0])
+        .orderBy("doc_id")
+        .limit(5)
+        .select("doc_id")
+    )
+    assert sorted(r[0] for r in first.collect()) == sorted(
+        r[0] for r in want_first.collect()
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        packing.cap_per_key(docs, "source", 0)
+
+
+def test_cap_per_key_skew_safe_plan(spark, sf_small_dir):
+    """No single-task global sort: both window stages partition by a key
+    (never an empty partition spec), so a hot domain cannot funnel its
+    whole row set through one task."""
+    docs = read_parquet(spark, f"{sf_small_dir}/documents.parquet")
+    plan = packing.cap_per_key(docs, "source", 10)._jdf.queryExecution().executedPlan().toString()
+    # a Window with an empty partition spec plans a SinglePartition
+    # exchange — the one-task funnel this operator exists to avoid
+    assert "SinglePartition" not in plan, plan
+
+
+def test_sample_per_key_exact_sizes_and_determinism(spark, sf_small_dir):
+    docs = read_parquet(spark, f"{sf_small_dir}/documents.parquet")
+    a = packing.sample_per_key(docs, "source", 7, seed=1)
+    b = packing.sample_per_key(docs, "source", 7, seed=1)
+    c = packing.sample_per_key(docs, "source", 7, seed=2)
+    ids = lambda d: sorted(r["doc_id"] for r in d.select("doc_id").collect())
+    assert ids(a) == ids(b)  # deterministic for a seed
+    assert ids(a) != ids(c)  # seed changes the draw
+    sizes = {
+        r["source"]: r["n"]
+        for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    orig = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in sizes.items():
+        assert n == min(7, orig[s])
