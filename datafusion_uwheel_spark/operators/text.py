@@ -28,6 +28,7 @@ __all__ = [
     "with_quality",
     "with_lang_id",
     "with_fingerprint",
+    "with_normalized_text",
     "with_pii_scrub",
     "with_repetition_stats",
     "with_gopher_rules",
@@ -177,6 +178,31 @@ PII_PATTERNS: dict[str, str] = {
     "phone": r"\+\d{7,15}|\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
+
+
+def with_normalized_text(
+    df: DataFrame,
+    text: str = "text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Append ``{text}_norm``: the standard pre-dedup/pre-train text
+    cleanup (the C4/Gopher-style normalization pass) as pure codegen'd
+    expressions — strip C0/C1 control characters (tab/newline become
+    spaces first, so words stay separated), collapse whitespace runs to
+    one space, trim, and optionally casefold. Deterministic and
+    UDF-free; exact digests over ``{text}_norm`` make byte-identical
+    re-crawls that differ only in whitespace/controls collapse to one
+    document. NULL text stays NULL."""
+    src = F.col(text)
+    # \p{Cc} covers C0+DEL+C1; translate tab/CR/LF to spaces FIRST so
+    # control-stripping never glues adjacent words together
+    norm = F.translate(src, "\t\n\r", "   ")
+    norm = F.regexp_replace(norm, r"\p{Cc}", "")
+    norm = F.regexp_replace(norm, r" {2,}", " ")
+    norm = F.trim(norm)
+    if lowercase:
+        norm = F.lower(norm)
+    return df.withColumn(f"{text}_norm", norm)
 
 
 def with_pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:

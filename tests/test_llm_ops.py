@@ -513,3 +513,59 @@ def test_chunk_documents_exact_boundary_no_empty_tail(spark):
     )
     out = chunk_documents(df, max_tokens=4).collect()
     assert [r["chunk_tokens"] for r in sorted(out, key=lambda r: r["chunk_index"])] == [4, 4]
+
+
+# ------------------------------------------------- text normalization (r6)
+def test_normalized_text_matches_duckdb(spark, sf_small_dir):
+    """with_normalized_text vs a DuckDB regexp mirror on the same parquet:
+    identical normalized strings (both engines run the same control-strip /
+    whitespace-collapse / trim pipeline)."""
+    import duckdb
+
+    from datafusion_uwheel_spark.operators import text as text_ops
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    docs = read_parquet(spark, f"{sf_small_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["text_norm"]
+        for r in text_ops.with_normalized_text(docs)
+        .select("doc_id", "text_norm")
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "translate(text, chr(9) || chr(10) || chr(13), '   '), "
+            "'\\p{Cc}', '', 'g'), ' {2,}', ' ', 'g')) "
+            f"FROM '{sf_small_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_normalized_text_shapes(spark):
+    from datafusion_uwheel_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "  hello\t\tworld \r\n twice  "),
+            (2, "ctrl\x07chars\x00stripped"),
+            (3, None),
+            (4, "MiXeD Case"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_norm"]
+        for r in text_ops.with_normalized_text(df).collect()
+    }
+    assert out[1] == "hello world twice"
+    assert out[2] == "ctrlcharsstripped"
+    assert out[3] is None
+    assert out[4] == "MiXeD Case"
+    low = {
+        r["doc_id"]: r["text_norm"]
+        for r in text_ops.with_normalized_text(df, lowercase=True).collect()
+    }
+    assert low[4] == "mixed case"
