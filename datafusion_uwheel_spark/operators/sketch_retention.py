@@ -79,7 +79,9 @@ class SketchRetention:
         filters need so a coarse bucket spanning the range start is still
         included whole."""
         out: Column = F.lit(self.bucket_seconds)
-        for end, w in self.tiers:
+        # reversed: the FIRST matching tier (ascending ends) must win, so
+        # earlier (coarser) tiers wrap outermost in the CASE chain
+        for end, w in reversed(self.tiers):
             out = F.when(F.col("__sec") < F.lit(end), F.lit(w)).otherwise(out)
         return out
 
@@ -87,7 +89,8 @@ class SketchRetention:
         """Tier-aware bucketing for ``merge_batch``: late rows landing in a
         compacted span bucket at the tier width."""
         out = sec if self.bucket_seconds == 1 else sec - (sec % self.bucket_seconds)
-        for end, w in self.tiers:
+        # reversed: first matching tier wins (see _width_expr)
+        for end, w in reversed(self.tiers):
             out = F.when(sec < F.lit(end), sec - (sec % F.lit(w))).otherwise(out)
         return out
 
