@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 from . import dedup
 from . import text as text_ops
 
-__all__ = ["curate", "quality_filter", "lang_filter", "length_filter"]
+__all__ = [
+    "curate",
+    "domain_cap",
+    "lang_filter",
+    "length_filter",
+    "normalize_text",
+    "quality_filter",
+]
 
 
 def quality_filter(min_score: float = 0.5) -> Callable[[DataFrame], DataFrame]:
@@ -55,6 +62,35 @@ def length_filter(
         if max_tokens is not None:
             out = out.filter(F.col("n_tokens") <= max_tokens)
         return out
+
+    return step
+
+
+def normalize_text(lowercase: bool = False) -> Callable[[DataFrame], DataFrame]:
+    """Append ``text_norm`` (control strip, whitespace collapse, trim,
+    optional casefold) — run it FIRST so downstream digests/signatures see
+    canonical bytes (:func:`..operators.text.with_normalized_text`)."""
+
+    def step(df: DataFrame) -> DataFrame:
+        return text_ops.with_normalized_text(df, lowercase=lowercase)
+
+    return step
+
+
+def domain_cap(
+    key: str,
+    max_rows: int,
+    order_by=None,
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame], DataFrame]:
+    """Keep at most ``max_rows`` documents per ``key`` value (domain,
+    source, ...) — the Gopher/MassiveWeb frequency cap, via the skew-safe
+    two-stage top-k (:func:`..operators.packing.cap_per_key`)."""
+
+    def step(df: DataFrame) -> DataFrame:
+        from .packing import cap_per_key
+
+        return cap_per_key(df, key, max_rows, order_by=order_by, id_col=id_col)
 
     return step
 

@@ -56,3 +56,31 @@ def test_index_management(spark, minimal_agg):
     assert not eng.drop_index("agg_col", filter="agg_col >= 5.0")  # already gone
     sql = "SELECT SUM(agg_col) AS s FROM mgmt_tbl WHERE timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10' AND agg_col >= 5.0"
     assert eng.explain_route(sql).kind == "delegate"  # keyed wheel dropped
+
+
+def test_curate_with_domain_cap_and_normalization(spark):
+    from datafusion_uwheel_spark.operators.pipeline import (
+        curate,
+        domain_cap,
+        normalize_text,
+    )
+
+    rows = [
+        (i, f"doc  {i}\twith   spaces", "hot" if i < 8 else "cold")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate(
+        df,
+        steps=[normalize_text(), domain_cap("source", 3)],
+        exact_dedup=False,
+    )
+    got = out.collect()
+    # normalization appended text_norm with collapsed whitespace
+    assert all("  " not in r["text_norm"] and "\t" not in r["text_norm"] for r in got)
+    # hot source capped at 3 (lowest ids kept), cold kept whole
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src["hot"]) == [0, 1, 2]
+    assert sorted(by_src["cold"]) == [8, 9]
