@@ -613,3 +613,70 @@ def test_compaction_prunes_unreachable_at_start_entries(spark):
     got2 = e.sql(sql_fine)
     assert e.last_route.kind == "delegate"
     assert got2.collect() == spark.sql(sql_fine).collect()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_at_start_pruning_property(data):
+    """Pure-numpy property pin for the r6 at-start retention rule: random
+    exact-second rows -> wheel WITH at-start slivers -> random ladder.
+    Every surviving entry is aligned to the width in force at its instant;
+    every instant still aligned to its tier answers the exact raw rows at
+    that instant (the reachable set is untouched); fine-suffix entries all
+    survive; combine_range stays exact — nothing the pruning removed was
+    consultable."""
+    rng = data.draw(st.randoms(use_true_random=False))
+    n_rows = data.draw(st.integers(5, 200))
+    span = data.draw(st.sampled_from([3600, 86400]))
+    rows = [(rng.randrange(0, span), rng.uniform(-50.0, 50.0)) for _ in range(n_rows)]
+    by_sec: dict[int, list[float]] = {}
+    for s, v in rows:
+        by_sec.setdefault(s, []).append(v)
+    secs = np.array(sorted(by_sec), dtype=np.int64)
+    cnt = np.array([len(by_sec[s]) for s in secs], dtype=np.int64)
+    sums = np.array([sum(by_sec[s]) for s in secs])
+    w = WheelIndex(
+        "t", "v", "*_AGG", secs, cnt,
+        sum_=sums.copy(),
+        min_=np.array([min(by_sec[s]) for s in secs]),
+        max_=np.array([max(by_sec[s]) for s in secs]),
+        vcnt_=cnt.copy(),
+        at_secs_=secs.copy(), at_cnt_=cnt.copy(), at_vcnt_=cnt.copy(),
+        at_sum_=sums.copy(),
+        at_min_=np.array([min(by_sec[s]) for s in secs]),
+        at_max_=np.array([max(by_sec[s]) for s in secs]),
+        value_sql_type="DOUBLE",
+        min_ts_us=int(secs[0]) * 10**6,
+        max_ts_us=int(secs[-1]) * 10**6,
+        complete=True,
+        bucket_seconds=1,
+    )
+    cut_m = (data.draw(st.integers(0, span)) // 60) * 60
+    w.compact_before(cut_m, 60)
+    if data.draw(st.booleans()):
+        cut_h = (data.draw(st.integers(0, cut_m)) // 3600) * 3600
+        w.compact_before(cut_h, 3600)
+    # 1) every surviving at entry aligns to the width in force at it
+    for s in w.at_secs_:
+        assert int(s) % w.width_at(int(s)) == 0, (s, w.tiers)
+    # 2) the reachable set answers exactly: any instant aligned to its
+    #    tier width returns the raw rows AT that instant (zero-state when
+    #    the instant holds none)
+    probes = set(int(s) for s in secs) | {
+        (data.draw(st.integers(0, span)) // 60) * 60 for _ in range(5)
+    }
+    for s in probes:
+        if s % w.width_at(s):
+            continue  # unreachable through the gated paths
+        at = w.at_start(s)
+        vals = by_sec.get(s, [])
+        assert at["count"] == len(vals), (s, at)
+        if vals:
+            assert abs(at["sum"] - sum(vals)) <= 1e-9 * max(1.0, abs(sum(vals)))
+    # 3) fine-suffix entries all survive
+    fine_start = max((e for e, _ in w.tiers), default=0)
+    want_fine = [s for s in by_sec if s >= fine_start]
+    assert int((w.at_secs_ >= fine_start).sum()) == len(want_fine)
+    # 4) bucket states stay exact over an aligned range
+    states = w.combine_range(0, ((span // 3600) + 1) * 3600)
+    assert states is not None and states["count"] == n_rows
