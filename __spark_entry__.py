@@ -818,6 +818,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into uw_multi_agg, whose oracle hash-checks the identical avg_value /
     # min_value / max_value columns (the R2 routing path stays covered by
     # uw_sum_range / uw_stddev_range here and per-aggregate pytests).
+    #
+    # ROTATION LEDGER (so every retired surface regains the per-round
+    # DuckDB hash check at least every other round):
+    #   - uw_groupby_week <-> uw_groupby_month alternate each round
+    #     (r6: month IN, week out; r7 should swap back).
+    #   - retired, pytest-pinned, candidates to rotate back in by
+    #     re-retiring a subsumed row: uw_keyed_numeric (r6 out),
+    #     dedup_exact_keep (r6 out), mm_media_dedup (r6 out),
+    #     uw_keyed_count (r4 out), sim_ann_indexed/sim_ivf_indexed
+    #     (r3 out, physically identical plans to the engine-routed rows).
     return {
         "uw_count_range": uw_count_range,
         "uw_sum_range": uw_sum_range,
