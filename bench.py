@@ -731,6 +731,46 @@ def main() -> None:
     queries["uw_repeat_cached_p999"] = quantile(hot_times, 0.999)
     log(f"uw_repeat_cached: p50 {queries['uw_repeat_cached']*1e3:.2f} ms")
 
+    # Direct-rows path (r6): sql_rows answers routed queries with ZERO JVM
+    # round trips — plain Row lists, no VALUES parse, no collect. This is
+    # the µs regime the reference's published numbers live in (59 µs COUNT
+    # p50); the DataFrame rows above pay the ~5-10 ms py4j floor per
+    # materialization, which is contract overhead, not lookup cost.
+    direct_specs = [
+        (
+            "uw_count_direct",
+            lambda a, b: f"SELECT COUNT(*) AS n FROM events WHERE ts >= '{a}' AND ts < '{b}'",
+            ranges_sec,
+        ),
+        (
+            "uw_keyed_sum_direct",
+            lambda a, b: (
+                f"SELECT SUM(value) AS s FROM events WHERE ts >= '{a}' AND ts < '{b}' "
+                "AND event_type = 'click'"
+            ),
+            ranges_min,
+        ),
+    ]
+    for family, sql_of, dranges in direct_specs:
+        dtimes = []
+        for i in range(N_INDEXED):
+            a, b = dranges[i]
+            q = sql_of(a, b)
+            eng._rows_cache.pop(q, None)  # time the full route, not the memo
+            t0 = time.perf_counter()
+            eng.sql_rows(q)
+            dtimes.append(time.perf_counter() - t0)
+            assert eng.last_route.rewritten, (family, eng.last_route)
+        dtimes.sort()
+        queries[family] = quantile(dtimes, 0.5)
+        queries[f"{family}_p99"] = quantile(dtimes, 0.99)
+        queries[f"{family}_p999"] = quantile(dtimes, 0.999)
+        log(
+            f"{family}: p50 {queries[family]*1e6:.0f} us, "
+            f"p99 {queries[f'{family}_p99']*1e6:.0f} us, "
+            f"p99.9 {queries[f'{family}_p999']*1e6:.0f} us"
+        )
+
     # Hybrid boundary family (BETWEEN → wheel core + pruned sliver scan):
     # runs one tiny job per query, still far below a full-range scan.
     run_hybrid_ranges = [random_range(rng, 60, 10, 2880) for _ in range(N_HYBRID)]

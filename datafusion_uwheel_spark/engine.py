@@ -219,6 +219,7 @@ class WheelEngine:
         #: streaming merges) — invalidates the routed-answer cache.
         self.index_epoch = 0
         self._route_cache: dict[str, tuple[int, RouteDecision, DataFrame]] = {}
+        self._rows_cache: dict[str, tuple[int, RouteDecision, list]] = {}
         #: ``{key_column_lower: {"key_sql_type", "wheels": {value: family}}}``
         #: — per-value wheel families for dim group-bys
         #: (:meth:`build_partitioned_index`).
@@ -835,6 +836,51 @@ class WheelEngine:
             return df
         return self.spark.sql(query)
 
+    def sql_rows(self, query: str) -> list:
+        """:meth:`sql` with the DataFrame layer peeled off: routed answers
+        come back as plain ``Row`` lists with **zero JVM round trips** — no
+        VALUES parse, no ``collect()`` — so a wheel-served dashboard query
+        costs microseconds of Python instead of the ~5-10 ms py4j floor
+        every DataFrame materialization pays (the reference's µs-level
+        latencies are py4j-free for the same reason: the answer is already
+        driver-resident). Delegated queries run ``spark.sql(...).collect()``
+        — identical rows either way (same values, names, and ordering; a
+        routed answer without ORDER BY has the same deterministic order the
+        LocalRelation would). ``self.last_route`` records the decision, and
+        answers are memoized per query string until any index mutates."""
+        from pyspark.sql import Row
+
+        cached = self._rows_cache.get(query)
+        if cached is not None and cached[0] == self.index_epoch:
+            self.last_route = cached[1]
+            return cached[2]
+        try:
+            parsed = parse_select(query)
+        except ParseError as err:
+            self.last_route = RouteDecision("delegate", detail={"reason": str(err)})
+            return self.spark.sql(query).collect()
+        r = self.router
+        r.capture_rows = True
+        try:
+            decision, df = r.try_rewrite(parsed)
+        finally:
+            r.capture_rows = False
+        self.last_route = decision
+        if r.captured is not None:
+            names, _types, rows = r.captured
+            factory = Row(*names)
+            out = [factory(*row) for row in rows]
+            if len(self._rows_cache) > 512:
+                self._rows_cache.clear()
+            self._rows_cache[query] = (self.index_epoch, decision, out)
+            return out
+        if df is not None:
+            # rewritten, but not via a constant relation (scan-pruning
+            # empty results carry the table's schema): collect the tiny
+            # LocalRelation
+            return df.collect()
+        return self.spark.sql(query).collect()
+
     def explain_route(self, query: str) -> RouteDecision:
         """Routing decision without executing the delegate path."""
         try:
@@ -1014,6 +1060,7 @@ class WheelEngine:
         if reclaimed:
             self.index_epoch += 1
             self._route_cache.clear()
+            self._rows_cache.clear()
         return reclaimed
 
     def _all_wheels(self):

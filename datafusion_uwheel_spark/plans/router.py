@@ -361,10 +361,18 @@ class Router:
         self.engine = engine
 
     # ------------------------------------------------------------------ api
+    #: When True, ``_constant_relation`` records ``(names, types, rows)``
+    #: in :attr:`captured` and skips building the DataFrame — the
+    #: ``engine.sql_rows`` direct path, which answers routed queries with
+    #: ZERO JVM round trips (no VALUES parse, no collect).
+    capture_rows: bool = False
+    captured: tuple | None = None
+
     def try_rewrite(self, q: ParsedQuery) -> tuple[RouteDecision, DataFrame | None]:
         """Pattern-match the parsed query against the plan-shape guards
         (SURVEY.md §2.3) and produce a LocalRelation answer, or ``None`` to
         delegate."""
+        self.captured = None
         e = self.engine
         if q.table.lower() != e.name.lower():
             return RouteDecision("delegate", detail={"reason": "unknown table"}), None
@@ -555,6 +563,11 @@ class Router:
         at ~4.7 ms p50 (collect only). Huge results (beyond
         :data:`_VALUES_MAX_ROWS`) fall back to Arrow ``createDataFrame``.
         """
+        if self.capture_rows:
+            # the sql_rows direct path: hand the Python values straight
+            # back — the caller never touches the JVM for a routed answer
+            self.captured = (names, sql_types, rows)
+            return None
         spark = self.engine.spark
         if len(rows) > _VALUES_MAX_ROWS:
             # Arrow path: a pyarrow Table converts columnarly (one Arrow

@@ -1,0 +1,105 @@
+"""engine.sql_rows — the direct-rows fast path: routed answers as plain
+Row lists with ZERO JVM round trips (no VALUES parse, no collect), byte-
+equal to the DataFrame path; delegates still run through spark.sql."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_uwheel_spark import WheelEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_small_dir):
+    e = WheelEngine(
+        spark, "rows_events", f"{sf_small_dir}/events.parquet",
+        time_column="ts", min_max_columns=("value",),
+    )
+    e.build_index("value")
+    e.build_index("value", filter="event_type = 'click'")
+    return e
+
+
+A, B = "2024-01-03 00:00:00", "2024-01-10 00:00:00"
+
+ROUTED = [
+    f"SELECT COUNT(*) AS c FROM rows_events WHERE ts >= '{A}' AND ts < '{B}'",
+    f"SELECT COUNT(*) AS c, SUM(value) AS s, AVG(value) AS a, MIN(value) AS lo, "
+    f"MAX(value) AS hi FROM rows_events WHERE ts >= '{A}' AND ts < '{B}'",
+    f"SELECT date_trunc('day', ts) AS b, COUNT(*) AS n FROM rows_events "
+    f"WHERE ts >= '{A}' AND ts < '{B}' GROUP BY date_trunc('day', ts) ORDER BY b",
+    f"SELECT STDDEV(value) AS sd FROM rows_events WHERE ts >= '{A}' AND ts < '{B}'",
+    f"SELECT SUM(value) AS s FROM rows_events WHERE ts >= '{A}' AND ts < '{B}' "
+    "AND event_type = 'click'",
+    "SELECT COUNT(*) AS c, SUM(value) AS s FROM rows_events",  # landmark
+    f"SELECT COUNT(*) AS c FROM rows_events WHERE ts BETWEEN '{A}' AND "
+    "'2024-01-09 23:59:59'",  # hybrid
+    f"SELECT COUNT(*) AS c FROM rows_events WHERE (ts >= '{A}' AND ts < "
+    f"'2024-01-05 00:00:00') OR (ts >= '2024-01-07 00:00:00' AND ts < '{B}')",
+]
+
+
+def test_rows_match_dataframe_path(eng):
+    for sql in ROUTED:
+        rows = eng.sql_rows(sql)
+        route_rows = eng.last_route
+        assert route_rows.rewritten, (sql, route_rows)
+        df_rows = eng.sql(sql).collect()
+        assert eng.last_route.kind == route_rows.kind
+        assert [tuple(r) for r in rows] == [tuple(r) for r in df_rows], sql
+        assert [list(r.asDict()) for r in rows] == [
+            list(r.asDict()) for r in df_rows
+        ], sql
+
+
+def test_rows_zero_spark_jobs_and_fast(eng, spark):
+    sql = ROUTED[0]
+    eng.sql_rows(sql)  # warm (parse caches, nothing JVM)
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    t0 = time.perf_counter()
+    for _ in range(50):
+        eng._rows_cache.clear()  # force full route every iteration
+        eng.sql_rows(sql)
+    dt = (time.perf_counter() - t0) / 50
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before  # not a single Spark job
+    # pure Python: parse + wheel lookup. Generous bound for slow boxes —
+    # the DataFrame path's py4j floor alone is ~5-10 ms.
+    assert dt < 0.005, f"direct path took {dt*1e3:.2f} ms"
+
+
+def test_rows_cache_and_epoch_invalidation(eng):
+    sql = ROUTED[0]
+    r1 = eng.sql_rows(sql)
+    assert eng._rows_cache  # memoized
+    r2 = eng.sql_rows(sql)
+    assert r1 is r2  # cache hit returns the same list
+    eng.build_index("user_id")  # epoch bump
+    r3 = eng.sql_rows(sql)
+    assert r3 == r1 and r3 is not r1  # recomputed, same values
+
+
+def test_rows_delegate_parity(eng):
+    sql = (
+        "SELECT event_type AS k, COUNT(*) AS n FROM rows_events "
+        "GROUP BY event_type ORDER BY k"
+    )
+    rows = eng.sql_rows(sql)
+    assert eng.last_route.kind == "delegate"
+    assert [tuple(r) for r in rows] == [
+        tuple(r) for r in eng.spark.sql(sql).collect()
+    ]
+
+
+def test_rows_prune_empty(eng):
+    sql = (
+        f"SELECT * FROM rows_events WHERE ts >= '{A}' AND ts < '{B}' "
+        "AND value > 100000.0"
+    )
+    rows = eng.sql_rows(sql)
+    assert eng.last_route.rewritten
+    assert rows == []
