@@ -112,6 +112,16 @@ class WheelTable:
         )
         return self._engine.sql(self._sql(select))
 
+    def agg_rows(self, *aggregates: str) -> list:
+        """Terminal: :meth:`agg` through the direct-rows path
+        (``engine.sql_rows``) — routed answers as plain ``Row`` lists with
+        zero JVM round trips; delegates collect via ``spark.sql``."""
+        select = ", ".join(
+            ([f"{self._group} AS bucket"] if self._group is not None else [])
+            + list(aggregates)
+        )
+        return self._engine.sql_rows(self._sql(select))
+
     def select_star(self) -> DataFrame:
         """Terminal: ``SELECT *`` — the pruning-eligible shape (R6/R7)."""
         return self._engine.sql(self._sql("*"))

@@ -88,3 +88,25 @@ def test_fluent_having_order_limit(engine):
     assert engine.last_route.kind == "group_by"
     rows = df.collect()
     assert [r["s"] for r in rows] == [10.0, 9.0, 8.0]
+
+
+def test_agg_rows_direct_path(engine):
+    """agg_rows routes through sql_rows: same values as the DataFrame
+    terminal, routed, no JVM materialization."""
+    t = engine.table_plan().filter(RANGE)
+    rows = t.agg_rows("COUNT(*) AS n", "SUM(agg_col) AS s")
+    assert engine.last_route.rewritten
+    df_rows = t.agg("COUNT(*) AS n", "SUM(agg_col) AS s").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in df_rows]
+    # grouped form too
+    g = (
+        engine.table_plan()
+        .filter(RANGE)
+        .group_by("date_trunc('second', timestamp)")
+        .order_by("bucket")
+    )
+    rows2 = g.agg_rows("COUNT(*) AS n")
+    assert engine.last_route.rewritten
+    assert [tuple(r) for r in rows2] == [
+        tuple(r) for r in g.agg("COUNT(*) AS n").collect()
+    ]
