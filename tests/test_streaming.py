@@ -252,3 +252,65 @@ def test_stream_ann_dedup_ids_drops_replayed_rows(spark, tmp_path):
     assert stored == 70  # 0..69 exactly once, replayed 40..49 not duplicated
     total_rows = idx._df.count()
     assert total_rows == 70 * eng.indexes[("lsh", 4, 2, 42)].m["tables"]
+
+
+# ------------------------------------------- stateful per-key caps (r6)
+def test_stream_cap_per_key(spark, tmp_path):
+    """applyInPandasWithState-backed ingestion cap: a hot key admits at
+    most max_rows rows over the stream's LIFETIME (state = one counter per
+    key), cold keys pass whole; the cap carries across micro-batches."""
+    from datafusion_uwheel_spark.streaming import stream_cap_per_key
+
+    src = tmp_path / "cap_src"
+    src.mkdir()
+    schema = "doc_id long, source string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(src)
+        )
+
+    # batch 1: hot=8 rows, cold=2
+    write_batch([(i, "hot") for i in range(8)] + [(100, "cold"), (101, "cold")])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = stream_cap_per_key(stream, "source", 12, order_by="doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cap_out")
+        .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("SELECT source, count(*) AS n FROM cap_out GROUP BY 1").collect()
+        assert {r["source"]: r["n"] for r in got1} == {"hot": 8, "cold": 2}
+        # batch 2: hot floods 10 more — only 4 admit (8 + 4 = 12 cap)
+        write_batch([(200 + i, "hot") for i in range(10)] + [(300, "cold")])
+        q.processAllAvailable()
+        got2 = {
+            r["source"]: r["n"]
+            for r in spark.sql(
+                "SELECT source, count(*) AS n FROM cap_out GROUP BY 1"
+            ).collect()
+        }
+        assert got2 == {"hot": 12, "cold": 3}
+        # order_by admitted the LOWEST doc_ids of batch 2's flood
+        hot2 = sorted(
+            r["doc_id"]
+            for r in spark.sql(
+                "SELECT doc_id FROM cap_out WHERE doc_id >= 200 AND source = 'hot'"
+            ).collect()
+        )
+        assert hot2 == [200, 201, 202, 203]
+    finally:
+        q.stop()
+
+
+def test_stream_cap_validation(spark):
+    from datafusion_uwheel_spark.streaming import stream_cap_per_key
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="max_rows"):
+        stream_cap_per_key(df, "source", 0)
+    with pytest.raises(ValueError, match="key column"):
+        stream_cap_per_key(df, "nope", 5)
