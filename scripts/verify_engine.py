@@ -158,6 +158,33 @@ def main():
     want = con.sql("SELECT count(DISTINCT date_trunc('day', ts)) FROM events").fetchone()[0]
     check("landmark_group_by_rows", len(rows) == want, f"{len(rows)} != {want}")
 
+    # -------- direct-rows path (r6): same values as the DataFrame path,
+    # zero Spark jobs, zero JVM round trips
+    direct_sqls = [
+        f"SELECT COUNT(*) AS c FROM events WHERE ts >= '{A}' AND ts < '{B}'",
+        f"SELECT COUNT(*) AS c, SUM(value) AS s, MIN(value) AS lo FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}'",
+        f"SELECT date_trunc('day', ts) AS b, COUNT(*) AS c FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}' GROUP BY date_trunc('day', ts) ORDER BY b",
+    ]
+    sc = spark.sparkContext
+    jobs_before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    for sql in direct_sqls:
+        rows = eng.sql_rows(sql)
+        check(f"sql_rows routed[{sql[:48]}…]", eng.last_route.rewritten, str(eng.last_route))
+        df_rows = eng.sql(sql).collect()
+        same = [tuple(r) for r in rows] == [tuple(r) for r in df_rows]
+        check("  …sql_rows parity", same, f"{rows[:2]} != {df_rows[:2]}")
+    jobs_after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    # the eng.sql().collect() comparisons may launch jobs on some paths;
+    # re-run the direct calls alone and require NO new jobs from them
+    jobs_before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    for sql in direct_sqls:
+        eng._rows_cache.clear()
+        eng.sql_rows(sql)
+    jobs_after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    check("sql_rows zero jobs", jobs_after == jobs_before, f"{jobs_before}->{jobs_after}")
+
     # -------- delegation probes: must delegate AND stay correct
     probes = [
         (f"SELECT COUNT(*) AS c FROM events WHERE ts >= '2024-01-03 00:00:00.250' AND ts < '{B}'",
