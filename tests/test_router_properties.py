@@ -106,7 +106,12 @@ def test_every_routed_boundary_shape_matches_delegate(prop_engine, tpl, ranged):
         kind = e.last_route.kind
         delegated = e.spark.sql(sql)
         assert routed.dtypes == delegated.dtypes, (sql, kind)
-        assert _rows_equal(routed.collect(), delegated.collect()), (sql, kind)
+        collected = routed.collect()
+        assert _rows_equal(collected, delegated.collect()), (sql, kind)
+        # the direct-rows path must agree with both, whatever routed
+        direct = e.sql_rows(sql)
+        assert e.last_route.kind == kind, (sql, kind, e.last_route)
+        assert _rows_equal(direct, collected), (sql, kind, "sql_rows")
         if kind != "delegate":
             routed_seen += 1
     assert routed_seen > 0, f"no query of shape {tpl!r} ever routed"
