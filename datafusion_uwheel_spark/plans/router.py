@@ -1526,8 +1526,15 @@ class Router:
         states sum. The reference rejects any OR outright (its predicate
         extractor only walks AND trees, ``expr.rs:198-207``)."""
         e = self.engine
-        if q.select_star or q.group_by is not None or not q.aggs:
+        if q.select_star or not q.aggs:
             return RouteDecision("delegate", detail={"reason": "OR shape unsupported"}), None
+        if q.group_key is not None:
+            # OR + a KEY grouping: the scalar path would silently drop the
+            # key column — always hand the whole query to Spark
+            return (
+                RouteDecision("delegate", detail={"reason": "OR with key grouping"}),
+                None,
+            )
         fk = None
         intervals: list[tuple[int, int]] = []
         for conj in q.or_branches:
@@ -1553,6 +1560,9 @@ class Router:
                 merged[-1][1] = max(merged[-1][1], t)
             else:
                 merged.append([s, t])
+
+        if q.group_by is not None:
+            return self._try_or_group_by(q, merged, fk)
 
         values, wheels = [], []
         for agg in q.aggs:
@@ -1580,6 +1590,107 @@ class Router:
         return (
             RouteDecision(
                 "or_ranges",
+                index_key=wheels[0].key,
+                detail={"fk": fk, "intervals": [tuple(m) for m in merged]},
+            ),
+            df,
+        )
+
+    def _try_or_group_by(self, q, merged, fk):
+        """``GROUP BY date_trunc / window()`` with OR-of-ranges bounds —
+        the grouped form of :meth:`_try_or_ranges` ("this week vs the same
+        week last year, per day"): each merged (disjoint) interval
+        contributes its bucket cells from the wheel's group-by, and cells
+        landing in the same calendar bucket from different intervals
+        monoid-combine (rows are disjoint across merged intervals, so
+        counts/sums add exactly — the same algebra as ``key IN (...)``
+        group-bys). The Catalyst shim already served this shape for plain
+        ``spark.sql`` (``condIntervals`` in ``tryGroupHybrid``); this
+        closes the engine-router side. The reference rejects any OR
+        outright (``expr.rs:198-207``)."""
+        gb = q.group_by
+        gran = gb.width_sec if isinstance(gb, WindowSpec) else gb.granularity
+        hopping = isinstance(gb, WindowSpec) and gb.hopping
+
+        def merged_cells(agg):
+            w = self._resolve_wheel(agg, fk)
+            if w is None:
+                return None, None, f"no index for {agg.func}"
+            key = _state_key(agg)
+            per_bucket: dict[int, list] = {}
+            for s, t in merged:
+                # state availability independent of cell occupancy (the
+                # empty-interval fabrication gate, same as the hybrids)
+                probe = w.combine_range(s, t)
+                if probe is None:
+                    return None, None, "range not covered"
+                if key not in probe:
+                    return None, None, f"state {key} not indexed"
+                got = (
+                    w.hop_group_by(s, t, gb.width_sec, gb.slide_sec)
+                    if hopping
+                    else w.group_by(s, t, gran)
+                )
+                if got is None:
+                    return None, None, "range not covered"
+                for b, st in got:
+                    per_bucket.setdefault(b, []).append(st)
+            return (
+                {
+                    b: _combine_interval_parts(key, parts)
+                    for b, parts in per_bucket.items()
+                },
+                w,
+                None,
+            )
+
+        per_agg, wheels = [], []
+        for agg in q.aggs:
+            cells, w, err = merged_cells(agg)
+            if cells is None:
+                return RouteDecision("delegate", detail={"reason": err, "fk": fk}), None
+            per_agg.append(cells)
+            wheels.append(w)
+        buckets = sorted(set().union(*per_agg)) if per_agg else []
+        if q.having:
+            hconds = []
+            for spec, op, lit in q.having:
+                cells, _w, err = merged_cells(spec)
+                if cells is None:
+                    return (
+                        RouteDecision("delegate", detail={"reason": err, "fk": fk}),
+                        None,
+                    )
+                hconds.append((cells, op, lit))
+            buckets = [
+                b
+                for b in buckets
+                if all(_having_holds(hv.get(b), op, lit) for hv, op, lit in hconds)
+            ]
+        rows = []
+        for b in buckets:
+            row = []
+            for item in q.select_order:
+                if isinstance(item, AggSpec):
+                    row.append(per_agg[q.aggs.index(item)].get(b))
+                elif isinstance(item, WindowSpec) and item.field == "end":
+                    row.append(sec_to_datetime(b + gb.width_sec))
+                else:
+                    row.append(sec_to_datetime(b))
+            rows.append(tuple(row))
+        names, types = [], []
+        for item in q.select_order:
+            names.append(item.output_name)
+            if isinstance(item, AggSpec):
+                types.append(_agg_sql_type(item, wheels[q.aggs.index(item)]))
+            else:
+                types.append("TIMESTAMP")
+        if q.order_by or q.limit is not None:
+            rows = _order_limit_rows(q, names, rows)
+        df = self._constant_relation(names, types, rows)
+        return (
+            RouteDecision(
+                "or_group_by",
                 index_key=wheels[0].key,
                 detail={"fk": fk, "intervals": [tuple(m) for m in merged]},
             ),

@@ -125,3 +125,117 @@ def test_parenthesized_range_and_residual_routes(spark, minimal_agg):
     )
     assert e.sql(sql2).collect()[0][0] == 10
     assert e.last_route.kind == "count_range"
+
+
+# ------------------------------------------------ grouped OR-ranges (r6)
+@pytest.fixture(scope="module")
+def gb_or_eng(spark, sf_small_dir):
+    from datafusion_uwheel_spark import WheelEngine
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    e = WheelEngine(
+        spark, "orgb_events", f"{sf_small_dir}/events.parquet", time_column="ts"
+    )
+    e.build_index("value")
+    e.build_index("value", filter="event_type = 'click'")
+    read_parquet(spark, f"{sf_small_dir}/events.parquet").createOrReplaceTempView(
+        "orgb_events"
+    )
+    return e
+
+
+R1 = "(ts >= '2024-01-03 00:00:00' AND ts < '2024-01-05 00:00:00')"
+R2 = "(ts >= '2024-01-08 00:00:00' AND ts < '2024-01-10 00:00:00')"
+
+
+def gb_or_check(e, sql, kind="or_group_by"):
+    routed = e.sql(sql)
+    assert e.last_route.kind == kind, (sql, e.last_route)
+    got = routed.collect()
+    want = e.spark.sql(sql).collect()
+    assert routed.dtypes == e.spark.sql(sql).dtypes
+    assert len(got) == len(want), (sql, len(got), len(want))
+    for g, w in zip(got, want):
+        for x, y in zip(g, w):
+            if isinstance(x, float):
+                assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (sql, g, w)
+            else:
+                assert x == y, (sql, g, w)
+
+
+def test_or_group_by_day(gb_or_eng):
+    gb_or_check(
+        gb_or_eng,
+        "SELECT date_trunc('day', ts) AS b, COUNT(*) AS n, SUM(value) AS s "
+        f"FROM orgb_events WHERE {R1} OR {R2} "
+        "GROUP BY date_trunc('day', ts) ORDER BY b",
+    )
+
+
+def test_or_group_by_overlapping_branches_merge(gb_or_eng):
+    """Overlapping branches union-merge; a week cell straddling both
+    intervals counts every row exactly once."""
+    gb_or_check(
+        gb_or_eng,
+        "SELECT date_trunc('week', ts) AS b, COUNT(*) AS n FROM orgb_events "
+        "WHERE (ts >= '2024-01-03 00:00:00' AND ts < '2024-01-08 00:00:00') "
+        "OR (ts >= '2024-01-05 00:00:00' AND ts < '2024-01-12 00:00:00') "
+        "GROUP BY date_trunc('week', ts) ORDER BY b",
+    )
+
+
+def test_or_group_by_windows_and_having(gb_or_eng):
+    gb_or_check(
+        gb_or_eng,
+        "SELECT window(ts, '6 hours').start AS b, COUNT(*) AS n "
+        f"FROM orgb_events WHERE {R1} OR {R2} "
+        "GROUP BY window(ts, '6 hours') HAVING COUNT(*) > 2 ORDER BY b",
+    )
+    gb_or_check(
+        gb_or_eng,
+        "SELECT window(ts, '6 hours', '3 hours').start AS b, COUNT(*) AS n "
+        f"FROM orgb_events WHERE {R1} OR {R2} "
+        "GROUP BY window(ts, '6 hours', '3 hours') ORDER BY b",
+    )
+
+
+def test_or_group_by_keyed_residual(gb_or_eng):
+    gb_or_check(
+        gb_or_eng,
+        "SELECT date_trunc('day', ts) AS b, SUM(value) AS s FROM orgb_events "
+        "WHERE (ts >= '2024-01-03 00:00:00' AND ts < '2024-01-05 00:00:00' "
+        "AND event_type = 'click') OR (ts >= '2024-01-08 00:00:00' AND "
+        "ts < '2024-01-10 00:00:00' AND event_type = 'click') "
+        "GROUP BY date_trunc('day', ts) ORDER BY b",
+    )
+
+
+def test_or_with_key_grouping_delegates_correctly(gb_or_eng):
+    """The r6 wrong-answer fix: OR + a KEY grouping previously fell into
+    the scalar OR path, which dropped the key column (one scalar row
+    instead of per-key rows) or crashed under ORDER BY. Must DELEGATE and
+    match Spark exactly."""
+    for sql in (
+        f"SELECT event_type AS k, COUNT(*) AS n FROM orgb_events "
+        f"WHERE {R1} OR {R2} GROUP BY event_type ORDER BY k",
+        f"SELECT event_type AS k, COUNT(*) AS n FROM orgb_events "
+        f"WHERE {R1} OR {R2} GROUP BY event_type",
+    ):
+        routed = gb_or_eng.sql(sql)
+        assert gb_or_eng.last_route.kind == "delegate", gb_or_eng.last_route
+        got = sorted(map(tuple, routed.collect()))
+        want = sorted(map(tuple, gb_or_eng.spark.sql(sql).collect()))
+        assert got == want
+
+
+def test_or_group_by_unaligned_branch_delegates(gb_or_eng):
+    sql = (
+        "SELECT date_trunc('day', ts) AS b, COUNT(*) AS n FROM orgb_events "
+        f"WHERE {R1} OR (ts >= '2024-01-08 00:00:00.500' AND ts < "
+        "'2024-01-10 00:00:00') GROUP BY date_trunc('day', ts) ORDER BY b"
+    )
+    routed = gb_or_eng.sql(sql)
+    assert gb_or_eng.last_route.kind == "delegate"
+    assert [tuple(r) for r in routed.collect()] == [
+        tuple(r) for r in gb_or_eng.spark.sql(sql).collect()
+    ]
