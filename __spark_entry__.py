@@ -823,6 +823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DuckDB hash check at least every other round):
     #   - uw_groupby_week <-> uw_groupby_month alternate each round
     #     (r6: month IN, week out; r7 should swap back).
+    #   - new r6 surfaces worth a future slot: or_group_by (grouped
+    #     OR-of-ranges, currently pytest-pinned vs the delegate),
+    #     dedup_near_corpus stays.
     #   - retired, pytest-pinned, candidates to rotate back in by
     #     re-retiring a subsumed row: uw_keyed_numeric (r6 out),
     #     dedup_exact_keep (r6 out), mm_media_dedup (r6 out),
