@@ -839,7 +839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
         "uw_groupby_month": uw_groupby_month,
-        # its slot funds decon_ngram below.
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
@@ -851,7 +850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_between_range": uw_between_range,
         "uw_le_bound_range": uw_le_bound_range,
         "uw_count_col": uw_count_col,
-        # slot funds uw_compacted_range (tiered HAW retention).
         "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
         "uw_or_ranges": uw_or_ranges,

@@ -853,7 +853,7 @@ class WheelEngine:
         cached = self._rows_cache.get(query)
         if cached is not None and cached[0] == self.index_epoch:
             self.last_route = cached[1]
-            return cached[2]
+            return list(cached[2])  # a copy: caller mutation can't poison the memo
         try:
             parsed = parse_select(query)
         except ParseError as err:
@@ -873,7 +873,7 @@ class WheelEngine:
             if len(self._rows_cache) > 512:
                 self._rows_cache.clear()
             self._rows_cache[query] = (self.index_epoch, decision, out)
-            return out
+            return list(out)
         if df is not None:
             # rewritten, but not via a constant relation (scan-pruning
             # empty results carry the table's schema): collect the tiny
@@ -1036,8 +1036,21 @@ class WheelEngine:
         # sketches are union monoids so the wheels' compaction model
         # applies verbatim. Their bucket config is independent of the
         # engine's, so a rollup already at or coarser than the requested
-        # width (or whose buckets the width can't nest) is SKIPPED, not an
-        # error — its state is already bounded at or above the target.
+        # width — by bucket config OR by an existing coarser tier (its
+        # stricter single-tier ladder rejects a finer re-roll the driver
+        # wheels accept) — is SKIPPED, not an error: its state is already
+        # bounded at or above the target, and a mixed ladder must not
+        # abort the whole call (under streaming retention that ValueError
+        # would kill the stream).
+        def _sketch_applicable(r) -> bool:
+            if not (width > r.bucket_seconds and width % r.bucket_seconds == 0):
+                return False
+            try:
+                r.check_compact(cutoff, width)
+            except ValueError:
+                return False
+            return True
+
         sketches = [
             r
             for r in (
@@ -1045,7 +1058,7 @@ class WheelEngine:
                 + list(self.quantile_rollups.values())
                 + list(self.theta_rollups.values())
             )
-            if width > r.bucket_seconds and width % r.bucket_seconds == 0
+            if _sketch_applicable(r)
         ]
         # All-or-nothing: every index validates the (cutoff, width) shape
         # BEFORE any mutates — the Spark backend's ladder is stricter than

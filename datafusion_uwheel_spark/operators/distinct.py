@@ -150,7 +150,7 @@ class DistinctRollup(SketchRetention):
         coarser bucketing is exact sketch algebra — no rescan, no second
         rollup build."""
         ts = F.timestamp_seconds(F.col("__sec"))
-        self._check_granularity(granularity)
+        self._check_granularity(granularity, start)
         if isinstance(granularity, int):
             bucket = F.timestamp_seconds(
                 F.col("__sec") - F.col("__sec") % F.lit(granularity)

@@ -221,7 +221,7 @@ class QuantileRollup(SketchRetention):
         qs = list(q) if isinstance(q, (list, tuple)) else [q]
         _, merge, get_q, _, get_n = _fns(self.suffix)
         ts = F.timestamp_seconds(F.col("__sec"))
-        self._check_granularity(granularity)
+        self._check_granularity(granularity, start)
         if isinstance(granularity, int):
             bucket = F.timestamp_seconds(
                 F.col("__sec") - F.col("__sec") % F.lit(granularity)

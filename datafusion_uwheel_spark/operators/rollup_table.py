@@ -347,6 +347,48 @@ class SparkRollupWheel:
         )
         return [(int(r["__bucket"]), self._states_from(r.asDict())) for r in rows]
 
+    def hop_group_by(
+        self, start_sec: int, end_sec: int, width_sec: int, slide_sec: int
+    ) -> list[tuple[int, dict[str, Any]]] | None:
+        """``GROUP BY window(ts, width, slide)`` — hopping windows, the
+        Spark-backend spelling of :meth:`.lookup.WheelIndex.hop_group_by`
+        (same contract: epoch-aligned window starts, occupied windows only,
+        each aggregating the rows inside ``[start, end)``): one job that
+        EXPLODES each in-range bucket row into the windows containing it
+        and re-aggregates by window start — windows align to bucket
+        boundaries (the width/slide tiling gate), so whole buckets land in
+        each replica. Before r6 this method did not exist and hopping
+        queries on the spark backend crashed with AttributeError instead
+        of delegating."""
+        if width_sec <= 0 or slide_sec <= 0:
+            return None
+        maxw = self._max_width_in(start_sec, end_sec)
+        if width_sec % maxw or slide_sec % maxw:
+            return None
+        if not self.covers(start_sec, end_sec):
+            return None
+        # a bucket at sec belongs to windows W = (sec - sec%slide) - k*slide
+        # with W > sec - width; ceil(width/slide) replicas bound k (width
+        # need not be a slide multiple — edge buckets carry one fewer)
+        nmax = -(-width_sec // slide_sec)
+        base = F.col("__sec") - (F.col("__sec") % slide_sec)
+        replicated = (
+            self._range(start_sec, end_sec)
+            .select(
+                "*",
+                F.explode(F.sequence(F.lit(0), F.lit(nmax))).alias("__k"),
+            )
+            .withColumn("__bucket", base - F.col("__k") * F.lit(slide_sec))
+            .filter(F.col("__bucket") > F.col("__sec") - F.lit(width_sec))
+        )
+        rows = (
+            replicated.groupBy("__bucket")
+            .agg(*self._agg_exprs())
+            .orderBy("__bucket")
+            .collect()
+        )
+        return [(int(r["__bucket"]), self._states_from(r.asDict())) for r in rows]
+
     def min_max_range(self, start_sec: int, end_sec: int):
         if "min" not in self._state_cols or "max" not in self._state_cols:
             return None

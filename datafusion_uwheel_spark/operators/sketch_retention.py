@@ -74,6 +74,33 @@ class SketchRetention:
     def _max_width(self) -> int:
         return max((w for _, w in self.tiers), default=self.bucket_seconds)
 
+    @staticmethod
+    def _epoch_sec(v) -> int | None:
+        """Driver-side epoch seconds of a timestamp string/datetime (the
+        same literal parser the engine uses — naive values are UTC, like
+        the pinned session); None when unparseable."""
+        if v is None:
+            return None
+        from ..functions.timestamps import parse_ts_literal
+
+        lit = parse_ts_literal(str(v))
+        return None if lit is None else lit.epoch_us // 1_000_000
+
+    def _max_width_over(self, start=None) -> int:
+        """Coarsest bucket width intersecting ``[start, ∞)`` — tiers are
+        prefix spans, so only tiers ending AFTER the range start constrain
+        an ask; a fine-granularity group-by over the uncompacted suffix
+        stays answerable after the prefix compacts (the wheels'
+        ``_max_width_in`` discipline)."""
+        if start is None:
+            return self._max_width()
+        sec = self._epoch_sec(start)
+        if sec is None:
+            return self._max_width()  # unparseable: stay conservative
+        return max(
+            (w for e, w in self.tiers if e > sec), default=self.bucket_seconds
+        )
+
     def _width_expr(self) -> Column:
         """Per-row bucket width — the edge-inclusion slop the range
         filters need so a coarse bucket spanning the range start is still
@@ -94,13 +121,14 @@ class SketchRetention:
             out = F.when(sec < F.lit(end), sec - (sec % F.lit(w))).otherwise(out)
         return out
 
-    def _check_granularity(self, granularity) -> None:
-        """Every stored bucket must land whole in one output cell: the
-        requested granularity must be tiled by the coarsest stored bucket
-        width (conservative across the whole table — compaction is a
-        prefix, but asks are validated against the coarsest tier so a
-        compacted span can never leak a wrong fine-grained distribution)."""
-        maxw = self._max_width()
+    def _check_granularity(self, granularity, start=None) -> None:
+        """Every stored bucket in the asked range must land whole in one
+        output cell: the granularity must be tiled by the coarsest bucket
+        width intersecting the range (``start=None`` = the whole table —
+        conservative). A compacted span can never leak a wrong
+        fine-grained distribution; a restriction to the fine suffix keeps
+        fine group-bys answerable."""
+        maxw = self._max_width_over(start)
         if isinstance(granularity, int):
             if granularity <= 0 or granularity % maxw:
                 raise ValueError(

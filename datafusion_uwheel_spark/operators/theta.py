@@ -191,7 +191,7 @@ class ThetaRollup(SketchRetention):
         from pyspark.sql import Window
 
         ts = F.timestamp_seconds(F.col("__sec"))
-        self._check_granularity(granularity)
+        self._check_granularity(granularity, start)
         if isinstance(granularity, int):
             bucket = F.timestamp_seconds(
                 F.col("__sec") - F.col("__sec") % F.lit(granularity)

@@ -361,12 +361,39 @@ class Router:
         self.engine = engine
 
     # ------------------------------------------------------------------ api
-    #: When True, ``_constant_relation`` records ``(names, types, rows)``
-    #: in :attr:`captured` and skips building the DataFrame — the
-    #: ``engine.sql_rows`` direct path, which answers routed queries with
-    #: ZERO JVM round trips (no VALUES parse, no collect).
-    capture_rows: bool = False
-    captured: tuple | None = None
+    #: Thread-local capture channel for ``engine.sql_rows``: when
+    #: ``capture_rows`` is set on the CALLING thread, ``_constant_relation``
+    #: records ``(names, types, rows)`` in ``captured`` and skips building
+    #: the DataFrame — zero JVM round trips for routed answers. Thread-local
+    #: because routing can release the GIL mid-rewrite (Spark-backed wheels
+    #: run jobs inside try_rewrite); a shared flag would let a concurrent
+    #: call on the same engine steal or poison another query's rows.
+    @property
+    def _capture(self):
+        tl = getattr(self, "_capture_tl", None)
+        if tl is None:
+            import threading
+
+            tl = self._capture_tl = threading.local()
+        if not hasattr(tl, "on"):
+            tl.on, tl.captured = False, None
+        return tl
+
+    @property
+    def capture_rows(self) -> bool:
+        return self._capture.on
+
+    @capture_rows.setter
+    def capture_rows(self, v: bool) -> None:
+        self._capture.on = v
+
+    @property
+    def captured(self):
+        return self._capture.captured
+
+    @captured.setter
+    def captured(self, v) -> None:
+        self._capture.captured = v
 
     def try_rewrite(self, q: ParsedQuery) -> tuple[RouteDecision, DataFrame | None]:
         """Pattern-match the parsed query against the plan-shape guards

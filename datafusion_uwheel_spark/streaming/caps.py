@@ -56,15 +56,32 @@ def stream_cap_per_key(
 
     def admit(key_tuple, pdfs, state):
         n = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if n >= max_rows:
-                continue  # drain the iterator; nothing more admits
-            if order_by is not None:
-                pdf = pdf.sort_values(order_by, kind="mergesort")
-            take = min(max_rows - n, len(pdf))
-            n += take
-            if take:
-                yield pdf.iloc[:take][cols]
+        if order_by is None:
+            # arrival order: stream the Arrow chunks, never buffer the group
+            for pdf in pdfs:
+                if n >= max_rows:
+                    continue  # drain the iterator; nothing more admits
+                take = min(max_rows - n, len(pdf))
+                n += take
+                if take:
+                    yield pdf.iloc[:take][cols]
+        else:
+            # order_by ranks across the WHOLE micro-batch group — a group
+            # larger than one Arrow chunk must not let chunking decide who
+            # admits, so buffer the chunks (only up to the first
+            # cap-exceeding point matters, but correctness first: sort the
+            # full group, then take)
+            import pandas as pd
+
+            chunks = [pdf for pdf in pdfs]
+            if chunks and n < max_rows:
+                whole = (
+                    pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+                ).sort_values(order_by, kind="mergesort")
+                take = min(max_rows - n, len(whole))
+                n += take
+                if take:
+                    yield whole.iloc[:take][cols]
         state.update((n,))
 
     return (

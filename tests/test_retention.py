@@ -680,3 +680,92 @@ def test_at_start_pruning_property(data):
     # 4) bucket states stay exact over an aligned range
     states = w.combine_range(0, ((span // 3600) + 1) * 3600)
     assert states is not None and states["count"] == n_rows
+
+
+def test_sketch_with_coarser_tier_skipped_not_fatal(sk_eng):
+    """A sketch rollup whose EXISTING tier rejects the requested shape
+    (finer width after a coarser tier — the single-tier ladder is stricter
+    than the driver wheels') is SKIPPED, not a ValueError that aborts the
+    whole compaction: under streaming retention that abort would kill the
+    stream (r6 review finding)."""
+    e = sk_eng
+    d = e.build_distinct_index("user_id", bucket_seconds=60)
+    e.compact_indexes("2024-01-10 00:00:00", "day")  # rollup tier: day
+    assert d.tiers and d.tiers[0][1] == 86400
+    # hour is finer than the rollup's day tier: the rollup skips, the 1 s
+    # wheels still compact, nothing raises
+    reclaimed = e.compact_indexes(CUT, "hour")
+    assert reclaimed > 0
+    assert d.tiers[0][1] == 86400  # untouched
+    # advancing the rollup's own ladder still works
+    e.compact_indexes("2024-01-20 00:00:00", "day")
+    assert d.tiers == [(1705708800, 86400)]
+
+
+def test_sketch_fine_suffix_groupby_after_prefix_compaction(spark, sk_eng):
+    """Range-aware granularity gate (r6 review finding): after compacting
+    the PREFIX to hours, minute group-bys restricted to the fine suffix
+    still answer (tiers are prefixes — only tiers intersecting the asked
+    range constrain it); unrestricted or prefix-reaching asks still
+    raise."""
+    e = sk_eng
+    d = e.build_distinct_index("user_id", bucket_seconds=60)
+    e.compact_indexes(CUT, "hour")
+    # fine suffix only: answers
+    out = d.approx_distinct_by(60, start=CUT, end="2024-01-25 00:00:00")
+    assert out.count() > 0
+    out2 = d.approx_distinct_by(
+        "minute", start="2024-01-16 00:00:00", end="2024-01-18 00:00:00"
+    )
+    assert out2.count() > 0
+    # whole table: the compacted prefix forbids minute cells
+    with pytest.raises(ValueError, match="not tiled"):
+        d.approx_distinct_by(60)
+    # range reaching into the prefix: still forbidden
+    with pytest.raises(ValueError, match="not tiled"):
+        d.approx_distinct_by(60, start="2024-01-10 00:00:00", end="2024-01-20 00:00:00")
+
+
+def test_spark_backend_hopping_windows_route(spark, sf_small_dir):
+    """SparkRollupWheel.hop_group_by (r6): hopping window() group-bys on
+    the spark index backend previously CRASHED with AttributeError at
+    every hop site; they now route and match the delegate — including the
+    width-not-a-slide-multiple shape (variable replicas per bucket) and
+    the grouped-OR form."""
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    e = WheelEngine(
+        spark, "shop_events", f"{sf_small_dir}/events.parquet",
+        time_column="ts", index_backend="spark",
+    )
+    e.build_index("value")
+    read_parquet(spark, f"{sf_small_dir}/events.parquet").createOrReplaceTempView(
+        "shop_events"
+    )
+    cases = [
+        ("SELECT window(ts, '6 hours', '3 hours').start AS b, COUNT(*) AS n, "
+         "SUM(value) AS s FROM shop_events "
+         "WHERE ts >= '2024-01-03 00:00:00' AND ts < '2024-01-05 00:00:00' "
+         "GROUP BY window(ts, '6 hours', '3 hours') ORDER BY b", "group_by"),
+        ("SELECT window(ts, '90 seconds', '60 seconds').start AS b, COUNT(*) AS n "
+         "FROM shop_events WHERE ts >= '2024-01-03 00:00:00' AND "
+         "ts < '2024-01-03 01:00:00' "
+         "GROUP BY window(ts, '90 seconds', '60 seconds') ORDER BY b", "group_by"),
+        ("SELECT window(ts, '6 hours', '2 hours').start AS b, COUNT(*) AS n "
+         "FROM shop_events WHERE (ts >= '2024-01-03 00:00:00' AND "
+         "ts < '2024-01-04 00:00:00') OR (ts >= '2024-01-06 00:00:00' AND "
+         "ts < '2024-01-07 00:00:00') "
+         "GROUP BY window(ts, '6 hours', '2 hours') ORDER BY b", "or_group_by"),
+    ]
+    for sql, kind in cases:
+        routed = e.sql(sql)
+        assert e.last_route.kind == kind, (sql, e.last_route)
+        got = [tuple(r) for r in routed.collect()]
+        want = [tuple(r) for r in spark.sql(sql).collect()]
+        assert len(got) == len(want), sql
+        for g, w in zip(got, want):
+            for x, y in zip(g, w):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (sql, g, w)
+                else:
+                    assert x == y, (sql, g, w)

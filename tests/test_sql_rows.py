@@ -77,10 +77,12 @@ def test_rows_cache_and_epoch_invalidation(eng):
     r1 = eng.sql_rows(sql)
     assert eng._rows_cache  # memoized
     r2 = eng.sql_rows(sql)
-    assert r1 is r2  # cache hit returns the same list
+    assert r1 == r2 and r1 is not r2  # cache hit returns a COPY
+    r2.clear()  # caller mutation must not poison the memo
+    assert eng.sql_rows(sql) == r1
     eng.build_index("user_id")  # epoch bump
     r3 = eng.sql_rows(sql)
-    assert r3 == r1 and r3 is not r1  # recomputed, same values
+    assert r3 == r1  # recomputed, same values
 
 
 def test_rows_delegate_parity(eng):

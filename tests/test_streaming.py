@@ -314,3 +314,44 @@ def test_stream_cap_validation(spark):
         stream_cap_per_key(df, "source", 0)
     with pytest.raises(ValueError, match="key column"):
         stream_cap_per_key(df, "nope", 5)
+
+
+def test_stream_cap_order_spans_arrow_chunks(spark, tmp_path):
+    """order_by must rank across the WHOLE micro-batch group, not per
+    Arrow chunk (r6 review finding): with maxRecordsPerBatch=3 a 10-row
+    group splits into chunks, and the globally-best rows must still win."""
+    from datafusion_uwheel_spark.streaming import stream_cap_per_key
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        src = tmp_path / "chunk_src"
+        src.mkdir()
+        # best (lowest rank) rows LAST so a per-chunk sort would miss them
+        rows = [(i, "hot", 100 - i) for i in range(10)]
+        spark.createDataFrame(
+            rows, "doc_id long, source string, rank long"
+        ).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(
+            "doc_id long, source string, rank long"
+        ).parquet(str(src))
+        out = stream_cap_per_key(stream, "source", 4, order_by="rank")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("chunk_cap_out")
+            .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            kept = sorted(
+                r["doc_id"]
+                for r in spark.sql("SELECT doc_id FROM chunk_cap_out").collect()
+            )
+            # lowest rank = highest doc_id: 6..9 must win regardless of
+            # which Arrow chunk carried them
+            assert kept == [6, 7, 8, 9], kept
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
