@@ -1060,12 +1060,13 @@ class WheelEngine:
             )
             if _sketch_applicable(r)
         ]
-        # All-or-nothing: every index validates the (cutoff, width) shape
-        # BEFORE any mutates — the Spark backend's ladder is stricter than
-        # the driver wheel's, and a mid-iteration ValueError must not leave
-        # some indexes compacted (and the epoch unbumped) while others are
-        # not.
-        for w in wheels + sketches:
+        # All-or-nothing: every WHEEL validates the (cutoff, width) shape
+        # BEFORE any index mutates — the Spark backend's ladder is stricter
+        # than the driver wheel's, and a mid-iteration ValueError must not
+        # leave some indexes compacted (and the epoch unbumped) while
+        # others are not. Sketches were already validated inside
+        # _sketch_applicable (incompatible ones are skipped, not fatal).
+        for w in wheels:
             w.check_compact(cutoff, width)
         reclaimed = 0
         for w in wheels + sketches:

@@ -622,6 +622,11 @@ class WheelIndex:
             if maxs is not None:
                 states["max"] = self._py(maxs[k]) if vn else None
             if sqs is not None:
+                # raw monoid state alongside the derived values: cells from
+                # several disjoint intervals / partition keys re-combine via
+                # _combine_interval_parts, which needs Σx² (the derived
+                # variance values are NOT additive)
+                states["_sumsq"] = float(sqs[k]) if vn else 0.0
                 states.update(
                     _variance_states(
                         float(sums[k]) if vn else None,

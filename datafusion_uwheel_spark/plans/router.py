@@ -359,6 +359,11 @@ def _is_empty_range(pred: MinMaxPredicate, lo: float, hi: float) -> bool:
 class Router:
     def __init__(self, engine: "WheelEngine"):
         self.engine = engine
+        import threading
+
+        # created eagerly: a lazy first-touch init could race two threads
+        # into separate threading.local objects, dropping one's capture flag
+        self._capture_tl = threading.local()
 
     # ------------------------------------------------------------------ api
     #: Thread-local capture channel for ``engine.sql_rows``: when
@@ -370,11 +375,7 @@ class Router:
     #: call on the same engine steal or poison another query's rows.
     @property
     def _capture(self):
-        tl = getattr(self, "_capture_tl", None)
-        if tl is None:
-            import threading
-
-            tl = self._capture_tl = threading.local()
+        tl = self._capture_tl
         if not hasattr(tl, "on"):
             tl.on, tl.captured = False, None
         return tl
@@ -1635,7 +1636,29 @@ class Router:
         ``spark.sql`` (``condIntervals`` in ``tryGroupHybrid``); this
         closes the engine-router side. The reference rejects any OR
         outright (``expr.rs:198-207``)."""
+        e = self.engine
         gb = q.group_by
+        # the SAME grouping gates as _try_group_by: the grouped column must
+        # be the engine's time column (the wheel's buckets ARE that column
+        # — grouping another timestamp here would silently bucket on the
+        # wrong axis) at a supported granularity
+        if isinstance(gb, WindowSpec):
+            if gb.column != e.time_column:
+                return (
+                    RouteDecision(
+                        "delegate", detail={"reason": "unsupported group expr"}
+                    ),
+                    None,
+                )
+        else:
+            supported = set(GRANULARITY_SECONDS) | set(CALENDAR_GRANULARITIES)
+            if gb.column != e.time_column or gb.granularity not in supported:
+                return (
+                    RouteDecision(
+                        "delegate", detail={"reason": "unsupported group expr"}
+                    ),
+                    None,
+                )
         gran = gb.width_sec if isinstance(gb, WindowSpec) else gb.granularity
         hopping = isinstance(gb, WindowSpec) and gb.hopping
 
@@ -1646,13 +1669,6 @@ class Router:
             key = _state_key(agg)
             per_bucket: dict[int, list] = {}
             for s, t in merged:
-                # state availability independent of cell occupancy (the
-                # empty-interval fabrication gate, same as the hybrids)
-                probe = w.combine_range(s, t)
-                if probe is None:
-                    return None, None, "range not covered"
-                if key not in probe:
-                    return None, None, f"state {key} not indexed"
                 got = (
                     w.hop_group_by(s, t, gb.width_sec, gb.slide_sec)
                     if hopping
@@ -1660,6 +1676,19 @@ class Router:
                 )
                 if got is None:
                     return None, None, "range not covered"
+                if got:
+                    # occupied cells prove state availability directly
+                    if key not in got[0][1]:
+                        return None, None, f"state {key} not indexed"
+                else:
+                    # empty interval: validate availability from the range
+                    # states (the empty-interval fabrication gate, same as
+                    # the hybrids) — only then does the probe cost a job
+                    probe = w.combine_range(s, t)
+                    if probe is None:
+                        return None, None, "range not covered"
+                    if key not in probe:
+                        return None, None, f"state {key} not indexed"
                 for b, st in got:
                     per_bucket.setdefault(b, []).append(st)
             return (

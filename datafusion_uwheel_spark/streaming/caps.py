@@ -51,6 +51,8 @@ def stream_cap_per_key(
         raise ValueError(f"max_rows must be positive, got {max_rows}")
     if key not in stream_df.columns:
         raise ValueError(f"key column {key!r} not in stream")
+    if order_by is not None and order_by not in stream_df.columns:
+        raise ValueError(f"order_by column {order_by!r} not in stream")
     schema = stream_df.schema
     cols = list(stream_df.columns)
 

@@ -168,16 +168,14 @@ def main():
         f"WHERE ts >= '{A}' AND ts < '{B}' GROUP BY date_trunc('day', ts) ORDER BY b",
     ]
     sc = spark.sparkContext
-    jobs_before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
     for sql in direct_sqls:
         rows = eng.sql_rows(sql)
         check(f"sql_rows routed[{sql[:48]}…]", eng.last_route.rewritten, str(eng.last_route))
         df_rows = eng.sql(sql).collect()
         same = [tuple(r) for r in rows] == [tuple(r) for r in df_rows]
         check("  …sql_rows parity", same, f"{rows[:2]} != {df_rows[:2]}")
-    jobs_after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
     # the eng.sql().collect() comparisons may launch jobs on some paths;
-    # re-run the direct calls alone and require NO new jobs from them
+    # run the direct calls alone and require NO new jobs from them
     jobs_before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
     for sql in direct_sqls:
         eng._rows_cache.clear()

@@ -427,3 +427,34 @@ def test_select_distinct_key(dim_engine):
     assert r.kind == "delegate"
     r = dim_engine.explain_route(f"SELECT DISTINCT v FROM dimfix WHERE {RANGE}")
     assert r.kind == "delegate"
+
+
+def test_in_group_by_variance_family(spark, sf_small_dir):
+    """key IN (...) + grouped STDDEV — the pre-existing sibling of the r6
+    grouped-OR KeyError('_sumsq'): interval/key cell combination needs the
+    raw sum-of-squares monoid in every group_by cell."""
+    from datafusion_uwheel_spark import WheelEngine
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    e = WheelEngine(
+        spark, "invar_events", f"{sf_small_dir}/events.parquet", time_column="ts"
+    )
+    e.build_index("value")
+    e.build_partitioned_index("value", partition_by="event_type")
+    read_parquet(spark, f"{sf_small_dir}/events.parquet").createOrReplaceTempView(
+        "invar_events"
+    )
+    sql = (
+        "SELECT date_trunc('day', ts) AS b, STDDEV(value) AS sd FROM invar_events "
+        "WHERE ts >= '2024-01-03 00:00:00' AND ts < '2024-01-06 00:00:00' "
+        "AND event_type IN ('click', 'view') "
+        "GROUP BY date_trunc('day', ts) ORDER BY b"
+    )
+    routed = e.sql(sql)
+    assert e.last_route.rewritten, e.last_route
+    got = routed.collect()
+    want = spark.sql(sql).collect()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["b"] == w["b"]
+        assert abs(g["sd"] - w["sd"]) <= 1e-9 * max(1.0, abs(w["sd"]))

@@ -239,3 +239,47 @@ def test_or_group_by_unaligned_branch_delegates(gb_or_eng):
     assert [tuple(r) for r in routed.collect()] == [
         tuple(r) for r in gb_or_eng.spark.sql(sql).collect()
     ]
+
+
+def test_or_group_by_variance_family(gb_or_eng):
+    """Grouped OR + STDDEV previously raised KeyError('_sumsq'): group_by
+    cells carried only the derived variance values, not the raw Σx² monoid
+    the interval combiner needs (r6 review finding — the keyed-IN grouped
+    path shared the latent defect)."""
+    gb_or_check(
+        gb_or_eng,
+        "SELECT date_trunc('day', ts) AS b, STDDEV(value) AS sd, "
+        f"VAR_POP(value) AS vp FROM orgb_events WHERE {R1} OR {R2} "
+        "GROUP BY date_trunc('day', ts) ORDER BY b",
+    )
+
+
+def test_or_group_by_wrong_time_column_delegates(spark):
+    """An OR-of-ranges query grouped on a DIFFERENT timestamp column must
+    DELEGATE (r6 review finding: it previously bucketed silently on the
+    wheel's time column)."""
+    from datafusion_uwheel_spark import WheelEngine
+
+    rows = [
+        (f"2024-01-0{d} 0{h}:00:00", f"2024-02-0{d} 0{h}:00:00", float(d * h))
+        for d in range(1, 8)
+        for h in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, upd_s string, v double"
+    ).selectExpr(
+        "CAST(ts_s AS TIMESTAMP) AS ts", "CAST(upd_s AS TIMESTAMP) AS updated_at", "v"
+    )
+    e = WheelEngine(spark, "or_twocol", df, time_column="ts")
+    e.build_index("v")
+    sql = (
+        "SELECT date_trunc('day', updated_at) AS b, COUNT(*) AS n FROM or_twocol "
+        "WHERE (ts >= '2024-01-02 00:00:00' AND ts < '2024-01-04 00:00:00') OR "
+        "(ts >= '2024-01-06 00:00:00' AND ts < '2024-01-08 00:00:00') "
+        "GROUP BY date_trunc('day', updated_at) ORDER BY b"
+    )
+    routed = e.sql(sql)
+    assert e.last_route.kind == "delegate", e.last_route
+    assert [tuple(r) for r in routed.collect()] == [
+        tuple(r) for r in spark.sql(sql).collect()
+    ]
