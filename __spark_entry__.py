@@ -172,17 +172,17 @@ def uw_dim_groupby(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
-def uw_groupby_month(spark, sf_dir):
-    """Calendar granularity (beyond the reference, which refuses month/year):
-    month boundaries are day-aligned, so second buckets nest exactly. This
-    slot ALTERNATES with uw_groupby_week round-over-round (r6: month in,
-    week out) so each calendar granularity gets the DuckDB hash check at
-    least every other round; both stay property-tested in
+def uw_groupby_week(spark, sf_dir):
+    """Calendar granularity (beyond the reference, which refuses
+    week/month/year): ISO-week boundaries are day-aligned, so second buckets
+    nest exactly. This slot ALTERNATES with uw_groupby_month round-over-round
+    (r7: week in, month out) so each calendar granularity gets the DuckDB
+    hash check at least every other round; both stay property-tested in
     test_lookup_properties.py regardless."""
     df = _engine(spark, sf_dir).sql(
-        "SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
+        "SELECT date_trunc('week', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
         f"FROM events WHERE ts >= '{WEEK_A}' AND ts < '{WEEK_B}' "
-        "GROUP BY date_trunc('month', ts)"
+        "GROUP BY date_trunc('week', ts)"
     )
     return _round(df, {"sum_value": 3})
 
@@ -386,6 +386,25 @@ def uw_or_ranges(spark, sf_dir):
         "(ts >= '2024-01-05 00:00:00' AND ts < '2024-01-08 00:00:00') OR "
         "(ts >= '2024-01-15 00:00:00' AND ts < '2024-01-18 00:00:00')"
     )
+    return _round(df, {"sum_value": 3})
+
+
+def or_group_by(spark, sf_dir):
+    """Grouped OR-of-ranges ("this window vs that window, per day") — the
+    r6 wrong-answer site (the scalar sibling dropped the key column until
+    39b1f8e): per merged interval the wheel's group-by cells monoid-combine
+    into calendar buckets (plans/router.py _try_or_group_by). Seated per
+    the rotation ledger so the surface earns a DuckDB hash check, not just
+    the pytest-vs-delegate pin in test_or_ranges.py."""
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS n, "
+        "SUM(value) AS sum_value FROM events WHERE "
+        "(ts >= '2024-01-05 00:00:00' AND ts < '2024-01-08 00:00:00') OR "
+        "(ts >= '2024-01-15 00:00:00' AND ts < '2024-01-18 00:00:00') "
+        "GROUP BY date_trunc('day', ts) ORDER BY bucket"
+    )
+    assert eng.last_route.kind == "or_group_by", eng.last_route
     return _round(df, {"sum_value": 3})
 
 
@@ -822,15 +841,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION LEDGER (so every retired surface regains the per-round
     # DuckDB hash check at least every other round):
     #   - uw_groupby_week <-> uw_groupby_month alternate each round
-    #     (r6: month IN, week out; r7 should swap back).
-    #   - new r6 surfaces worth a future slot: or_group_by (grouped
-    #     OR-of-ranges, currently pytest-pinned vs the delegate),
-    #     dedup_near_corpus stays.
+    #     (r7: week IN, month out; r8 should swap back).
+    #   - or_group_by seated r7 (the r6 wrong-answer surface earns its
+    #     DuckDB hash check); its slot came from dedup_fingerprint, which
+    #     stays pytest-pinned vs an exact Python oracle
+    #     (test_llm_ops.py::test_fingerprint_matches_python) and is
+    #     mechanically subsumed by dedup_exact_groups' digest path.
     #   - retired, pytest-pinned, candidates to rotate back in by
-    #     re-retiring a subsumed row: uw_keyed_numeric (r6 out),
-    #     dedup_exact_keep (r6 out), mm_media_dedup (r6 out),
-    #     uw_keyed_count (r4 out), sim_ann_indexed/sim_ivf_indexed
-    #     (r3 out, physically identical plans to the engine-routed rows).
+    #     re-retiring a subsumed row: dedup_fingerprint (r7 out),
+    #     uw_keyed_numeric (r6 out), dedup_exact_keep (r6 out),
+    #     mm_media_dedup (r6 out), uw_keyed_count (r4 out),
+    #     sim_ann_indexed/sim_ivf_indexed (r3 out, physically identical
+    #     plans to the engine-routed rows).
     return {
         "uw_count_range": uw_count_range,
         "uw_sum_range": uw_sum_range,
@@ -838,7 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
-        "uw_groupby_month": uw_groupby_month,
+        "uw_groupby_week": uw_groupby_week,
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
@@ -853,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
         "uw_or_ranges": uw_or_ranges,
+        "or_group_by": or_group_by,
         "uw_point_instant": uw_point_instant,
         "uw_date_key": uw_date_key,
         "uw_prune_count": uw_prune_count,
@@ -880,7 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in test_similarity_engine.test_dup_pairs_route_and_parity).
         "sim_knn_join": sim_knn_join,
         "dedup_exact_groups": dedup_exact_groups,
-        "dedup_fingerprint": dedup_fingerprint,
+        # r7: dedup_fingerprint's slot funds or_group_by (see ledger).
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -928,10 +951,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
         # TIMESTAMP — cast so the driver's schema compare agrees.
-        "uw_groupby_month": (
-            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+        "uw_groupby_week": (
+            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
+        ),
+        "or_group_by": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
+            "count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
+            "(ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00') OR "
+            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00') "
+            "GROUP BY 1 ORDER BY bucket"
         ),
         # window(ts, '6 hours') = epoch-aligned 21600-second buckets;
         # make_timestamp takes epoch µs, so both fields stay naive TIMESTAMP
@@ -1045,7 +1075,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id "
             "FROM documents GROUP BY md5(text)"
         ),
-        "dedup_fingerprint": oracles.fingerprint_sql(),
         "dedup_jaccard_pairs": oracles.jaccard_pairs_sql(JACCARD_T),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(LSH_MIN_EST),
         "dedup_simhash": oracles.simhash_sql(),
