@@ -105,6 +105,14 @@ def build_ann_index(
         raise ValueError("dim is required (callers know their embedding width)")
     if quantize not in (None, "int8"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
+    # One count-star job (footer-only on parquet sources) so the manifest
+    # can price staleness later: ``base_rows`` is the population the pinned
+    # parameters (hyperplanes / centroids) were fixed against; appends
+    # accumulate ``delta_rows`` and :meth:`AnnIndex.staleness` reports the
+    # drifted fraction. The wheel registry's "stale never answers"
+    # discipline, applied to the one index that could otherwise rot
+    # silently on a long stream.
+    base_rows = df.count()
     cols = [F.col(id_col), F.col(vec_col)]
     if kind == "lsh":
         bucketed = with_lsh_buckets(df, dim, vec_col, bits, tables, seed)
@@ -165,6 +173,8 @@ def build_ann_index(
         "centroids": centroids,
         "group": max(1, (1 << bits) // _MAX_DIRS_PER_TABLE) if kind == "lsh" else 1,
         "quantize": quantize,
+        "base_rows": base_rows,
+        "delta_rows": 0,
     }
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f)
@@ -225,6 +235,7 @@ class AnnIndex:
                 f"append frame lacks manifest column(s) {missing} "
                 f"(index at {self.path} stores ({id_col}, {vec_col}))"
             )
+        delta_n = df.count()  # priced like the build's count — see there
         cols = [F.col(id_col), F.col(vec_col)]
         if m["kind"] == "lsh":
             group = int(m.get("group", 1))
@@ -259,7 +270,11 @@ class AnnIndex:
             celled.repartition("cell").write.mode("append").partitionBy(
                 "cell"
             ).parquet(self.path)
-        self.m = {**m, "generations": int(m.get("generations", 1)) + 1}
+        self.m = {
+            **m,
+            "generations": int(m.get("generations", 1)) + 1,
+            "delta_rows": int(m.get("delta_rows", 0)) + delta_n,
+        }
         with open(os.path.join(self.path, _MANIFEST), "w") as f:
             json.dump(self.m, f)
         # Refresh the cached reader: its file index was resolved at load and
@@ -303,9 +318,122 @@ class AnnIndex:
         os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old)
+        # Compaction bounds FILES, not parameter drift: base_rows/delta_rows
+        # carry through unchanged so staleness() still reports the fraction
+        # hashed/assigned after the parameters were pinned. Only retrain()
+        # resets them.
         self.m = {**m, "generations": 1}
         with open(os.path.join(self.path, _MANIFEST), "w") as f:
             json.dump(self.m, f)
+        self._df = self._read()
+        return self
+
+    def staleness(self) -> float:
+        """Fraction of the index hashed/assigned AFTER the build pinned its
+        parameters: ``delta_rows / (base_rows + delta_rows)``. 0.0 for a
+        fresh build or after :meth:`retrain`; compaction does NOT reset it
+        (it bounds files, not drift).
+
+        Why it matters: :meth:`append` hashes new vectors with the pinned
+        hyperplanes/centroids so probes stay layout-consistent, but a
+        trained IVF quantizer fitted on the base population can mis-cell a
+        drifted delta and recall decays *silently* — no error, just worse
+        neighbours. Every other index in this engine refuses to answer
+        stale (wheel freshness gates, shim view revocation); this is the
+        ANN side of that contract. Gate on it via
+        ``SimilarityEngine(max_delta_fraction=...)`` or check it directly.
+
+        Manifests from builds older than this field fall back to the
+        generation count ((generations-1)/generations) — coarser, and reset
+        by compact(), but never *understates* a never-compacted stream."""
+        base, delta = self.m.get("base_rows"), self.m.get("delta_rows")
+        if base is None or delta is None:
+            gens = int(self.m.get("generations", 1))
+            return (gens - 1) / gens if gens > 1 else 0.0
+        total = int(base) + int(delta)
+        return int(delta) / total if total else 0.0
+
+    def retrain(
+        self,
+        source: DataFrame | None = None,
+        train_sample: int = 4096,
+        train_iters: int = 10,
+    ) -> "AnnIndex":
+        """Re-pin the index parameters against the CURRENT population and
+        rebuild the layout — the remedy :meth:`staleness` prices.
+
+        * Trained-centroid IVF (the drift-prone case): re-runs
+          :func:`..similarity.train_ivf_centroids` over ``source`` (or the
+          index's own rows) and rebuilds every cell under the new
+          quantizer.
+        * Seeded LSH / seeded IVF: parameters are data-independent, so this
+          is a rebuild + counter reset (recall never drifted; the reset
+          records that the layout was re-derived from the full population).
+
+        ``source`` defaults to the index's own stored rows (the ``t=0``
+        replica set for LSH — every row appears exactly once per table).
+        Quantized indexes REQUIRE an explicit full-precision ``source``:
+        their stored int8 codes dropped the per-vector scale, and
+        re-hashing rounded directions would move bucket boundaries relative
+        to a from-scratch build — silently different candidates. Refusing
+        is the same honesty as the wheel router's delegate gates.
+
+        One distributed rebuild (same cost as the original build over
+        today's population), then the identical atomic directory swap
+        :meth:`compact` uses; the handle serves the old layout until the
+        swap completes. Resets ``base_rows``/``delta_rows``/generations."""
+        import shutil
+
+        from .similarity import train_ivf_centroids
+
+        m = self.m
+        if source is None:
+            if m.get("quantize"):
+                raise ValueError(
+                    "retrain() of a quantized index needs source= with "
+                    "full-precision vectors (stored int8 codes dropped the "
+                    "per-vector scale; re-hashing them would shift bucket "
+                    "assignments relative to a fresh build)"
+                )
+            rows = self._df
+            if m["kind"] == "lsh":
+                rows = rows.filter(F.col("t") == 0)
+            source = rows.select(m["id_col"], m["vec_col"])
+        centroids = None
+        if m["kind"] == "ivf" and m.get("centroids"):
+            centroids = train_ivf_centroids(
+                source,
+                m["dim"],
+                len(m["centroids"]),
+                sample=train_sample,
+                iters=train_iters,
+                seed=m["seed"],
+                vec_col=m["vec_col"],
+            )
+        base = self.path.rstrip("/")
+        tmp, old = base + "._retrain_tmp", base + "._retrain_old"
+        for p in (tmp, old):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        build_ann_index(
+            source,
+            tmp,
+            kind=m["kind"],
+            dim=m["dim"],
+            vec_col=m["vec_col"],
+            id_col=m["id_col"],
+            bits=m["bits"],
+            tables=m["tables"],
+            n_centroids=m["n_centroids"],
+            seed=m["seed"],
+            centroids=centroids,
+            quantize=m.get("quantize"),
+        )
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+        with open(os.path.join(self.path, _MANIFEST)) as f:
+            self.m = json.load(f)
         self._df = self._read()
         return self
 

@@ -85,6 +85,18 @@ class SimilarityEngine:
         Directory for :meth:`build_index` default paths (a temp dir is
         created lazily when omitted). On a cluster this should be shared
         storage (S3/HDFS) so every executor can read the partitioned layout.
+    max_delta_fraction:
+        Freshness gate: when a registered index's :meth:`AnnIndex.staleness`
+        (fraction of rows appended after its parameters were pinned)
+        exceeds this, routing DEGRADES instead of serving the drifted
+        layout — :meth:`topk`/:meth:`dup_pairs` fall back to the query-time
+        operators (correct, slower), :meth:`knn_join` refuses (its only
+        fallback is quadratic). ``None`` (default) keeps the pre-gate
+        behavior: indexes serve regardless, callers watch staleness
+        themselves. :meth:`retrain` restores routing. This is the
+        "stale never answers" discipline the wheel registry and shim views
+        already enforce, applied to the one index that can otherwise rot
+        silently on a long append stream.
     """
 
     def __init__(
@@ -96,6 +108,7 @@ class SimilarityEngine:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         index_root: str | None = None,
+        max_delta_fraction: float | None = None,
     ):
         self.spark = spark
         self.name = name
@@ -109,9 +122,54 @@ class SimilarityEngine:
             if c not in self.df.columns:
                 raise ValueError(f"column {c!r} not in table {name!r}")
         self._index_root = index_root
+        self.max_delta_fraction = max_delta_fraction
         #: param-key → AnnIndex, the analogue of ``WheelEngine.agg_wheels``.
         self.indexes: dict[tuple, AnnIndex] = {}
         self.last_route: SimRoute | None = None
+
+    # ------------------------------------------------------------ freshness
+    def _fresh(self, idx: AnnIndex) -> bool:
+        return (
+            self.max_delta_fraction is None
+            or idx.staleness() <= self.max_delta_fraction
+        )
+
+    def _stale_route(self, kind: str, idx: AnnIndex) -> SimRoute:
+        return SimRoute(
+            "query_time",
+            {
+                "kind": kind,
+                "reason": "stale",
+                "staleness": idx.staleness(),
+                "max_delta_fraction": self.max_delta_fraction,
+            },
+        )
+
+    def staleness(self) -> float:
+        """Worst-case drift across the registry: the max
+        :meth:`AnnIndex.staleness` over registered indexes (0.0 when none
+        are registered or none have appends). Dashboards alert on this; the
+        ``max_delta_fraction`` gate acts on it per-index at probe time."""
+        return max(
+            (idx.staleness() for idx in self.indexes.values()), default=0.0
+        )
+
+    def retrain(self, train_sample: int = 4096, train_iters: int = 10) -> int:
+        """Re-pin every registered index against the engine's CURRENT
+        source table (:meth:`AnnIndex.retrain` with ``source=self.df`` —
+        full-precision vectors, so quantized layouts rebuild exactly) and
+        reset their staleness, restoring indexed routing under the
+        ``max_delta_fraction`` gate. Returns the number retrained.
+
+        Run it wherever :meth:`compact` runs, at the cadence the gate
+        implies: compaction bounds files, retraining bounds drift."""
+        for idx in self.indexes.values():
+            idx.retrain(
+                source=self.df.select(self.id_col, self.vec_col),
+                train_sample=train_sample,
+                train_iters=train_iters,
+            )
+        return len(self.indexes)
 
     # -------------------------------------------------------------- builds
     def _default_path(self, key: tuple) -> str:
@@ -247,20 +305,28 @@ class SimilarityEngine:
             )
         if kind == "lsh":
             idx = self.indexes.get(_lsh_key(bits, tables, seed))
-            if idx is not None:
+            if idx is not None and self._fresh(idx):
                 self.last_route = SimRoute("indexed", {"kind": "lsh", "path": idx.path})
                 return idx.topk(query, k=k, round_digits=round_digits)
-            self.last_route = SimRoute("query_time", {"kind": "lsh"})
+            self.last_route = (
+                self._stale_route("lsh", idx)
+                if idx is not None
+                else SimRoute("query_time", {"kind": "lsh"})
+            )
             return ann_topk(
                 self.df, query, k, self.vec_col, self.id_col,
                 bits=bits, tables=tables, seed=seed, round_digits=round_digits,
             )
         if kind == "ivf":
             idx = self.indexes.get(_ivf_key(n_centroids, seed))
-            if idx is not None:
+            if idx is not None and self._fresh(idx):
                 self.last_route = SimRoute("indexed", {"kind": "ivf", "path": idx.path})
                 return idx.topk(query, k=k, nprobe=nprobe, round_digits=round_digits)
-            self.last_route = SimRoute("query_time", {"kind": "ivf"})
+            self.last_route = (
+                self._stale_route("ivf", idx)
+                if idx is not None
+                else SimRoute("query_time", {"kind": "ivf"})
+            )
             return ivf_topk(
                 self.df, query, k, nprobe=nprobe, n_centroids=n_centroids,
                 seed=seed, vec_col=self.vec_col, id_col=self.id_col,
@@ -282,10 +348,14 @@ class SimilarityEngine:
         otherwise the query-time LSH-bucketed operator runs. Same result
         set either way."""
         idx = self.indexes.get(_lsh_key(bits, tables, seed))
-        if idx is not None:
+        if idx is not None and self._fresh(idx):
             self.last_route = SimRoute("indexed", {"kind": "lsh", "path": idx.path})
             return idx.dup_pairs(threshold, round_digits=round_digits)
-        self.last_route = SimRoute("query_time", {"kind": "lsh"})
+        self.last_route = (
+            self._stale_route("lsh", idx)
+            if idx is not None
+            else SimRoute("query_time", {"kind": "lsh"})
+        )
         return embedding_dup_pairs(
             self.df, threshold, self.vec_col, self.id_col,
             bits=bits, tables=tables, seed=seed,
@@ -398,6 +468,16 @@ class SimilarityEngine:
                 f"no registered {kind} index with matching parameters — "
                 "build_index() first (batch kNN has no sub-quadratic "
                 "query-time fallback)"
+            )
+        if not self._fresh(idx):
+            # No sub-quadratic fallback exists here, so the gate REFUSES
+            # rather than degrading — serving the drifted layout would be
+            # silently worse recall, which is the failure mode the gate is
+            # for.
+            raise ValueError(
+                f"{kind} index staleness {idx.staleness():.3f} exceeds "
+                f"max_delta_fraction {self.max_delta_fraction} — retrain() "
+                "to re-pin its parameters against the current population"
             )
         self.last_route = SimRoute("indexed", {"kind": kind, "path": idx.path})
         return idx.knn_join(
