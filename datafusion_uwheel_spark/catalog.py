@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .engine import WheelEngine
+from .engine import WheelEngine, _memo_get, _memo_put
 from .plans.router import RouteDecision
 from .plans.sqlparse import ParseError, parse_select, split_with_ctes
 
@@ -27,10 +27,17 @@ _CTE_VIEW_SEQ = 0
 
 class WheelCatalog:
     def __init__(self, spark: SparkSession):
+        from collections import OrderedDict
+
         self.spark = spark
         self.engines: dict[str, WheelEngine] = {}
         self.sim_engines: dict[str, object] = {}
         self.last_route: RouteDecision | None = None
+        #: query text → ParsedQuery | ParseError: the catalog's dispatch
+        #: parse, memoized like the engines' (it survives index mutations —
+        #: parses depend on text alone) so the direct path pays one
+        #: tokenize total, amortized to zero for repeated dashboard text.
+        self._parse_cache: OrderedDict[str, object] = OrderedDict()
 
     def register(self, name: str, source, time_column: str, **kwargs) -> WheelEngine:
         """Create and own an engine for ``name`` (same parameters as
@@ -38,6 +45,27 @@ class WheelCatalog:
         eng = WheelEngine(self.spark, name, source, time_column, **kwargs)
         self.engines[name.lower()] = eng
         return eng
+
+    def adopt(self, engine: WheelEngine) -> WheelEngine:
+        """Register an ALREADY-constructed engine under its own table name —
+        the migration path for code holding per-table engines that wants the
+        catalog front door without rebuilding indexes."""
+        self.engines[engine.name.lower()] = engine
+        return engine
+
+    def _parse(self, query: str):
+        hit = _memo_get(self._parse_cache, query)
+        if hit is not None:
+            if isinstance(hit, ParseError):
+                raise hit
+            return hit
+        try:
+            parsed = parse_select(query)
+        except ParseError as err:
+            _memo_put(self._parse_cache, query, err)
+            raise
+        _memo_put(self._parse_cache, query, parsed)
+        return parsed
 
     def engine(self, name: str) -> WheelEngine:
         return self.engines[name.lower()]
@@ -68,7 +96,7 @@ class WheelCatalog:
         broadcasts them into the surrounding join for free.
         """
         try:
-            parsed = parse_select(query)
+            parsed = self._parse(query)
         except ParseError as err:
             routed = self._route_ctes(query)
             if routed is not None:
@@ -84,6 +112,36 @@ class WheelCatalog:
         df = eng.sql(query)
         self.last_route = eng.last_route
         return df
+
+    def sql_rows(self, query: str) -> list:
+        """:meth:`sql` with the DataFrame layer peeled off — the catalog
+        front door to :meth:`.engine.WheelEngine.sql_rows`: single-table
+        routed answers come back as plain ``Row`` lists with zero JVM round
+        trips (µs, not the ~5-10 ms py4j floor a DataFrame pays), so a
+        multi-table dashboard needs no per-engine handles to get the direct
+        path. Unregistered tables and unparseable SQL run
+        ``spark.sql(...).collect()``; a ``WITH`` query goes through the CTE
+        splicer first (its routed CTEs skip the table scans, but the outer
+        join still executes on the JVM — there is nothing driver-resident
+        to hand back). Identical rows to ``self.sql(query).collect()`` in
+        every case."""
+        try:
+            parsed = self._parse(query)
+        except ParseError as err:
+            routed = self._route_ctes(query)
+            if routed is not None:
+                return routed.collect()
+            self.last_route = RouteDecision("delegate", detail={"reason": str(err)})
+            return self.spark.sql(query).collect()
+        eng = self.engines.get(parsed.table.lower())
+        if eng is None:
+            self.last_route = RouteDecision(
+                "delegate", detail={"reason": f"unregistered table {parsed.table!r}"}
+            )
+            return self.spark.sql(query).collect()
+        out = eng.sql_rows(query, _parsed=parsed)
+        self.last_route = eng.last_route
+        return out
 
     def _route_ctes(self, query: str) -> DataFrame | None:
         """Wheel-answer the routable CTEs of a ``WITH`` query; ``None`` if

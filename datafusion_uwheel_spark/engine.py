@@ -18,6 +18,8 @@ windows, set ops, …) with zero custom code (SURVEY.md §2.2).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from .operators.lookup import STAR_AGGREGATION_ALIAS, WheelIndex
@@ -27,6 +29,26 @@ from .plans.sqlparse import ParseError, parse_conjunction, parse_select
 from .plans.predicates import canonical_filter_key
 
 __all__ = ["WheelEngine"]
+
+#: Per-engine cap for the query-string memos (routed answers, routed rows,
+#: parses). LRU-evicted at the cap: a dashboard cycling >512 distinct query
+#: strings keeps its hot set warm instead of re-deriving everything each
+#: cycle (the old overflow behavior cleared the whole dict).
+_MEMO_CAP = 512
+
+
+def _memo_get(cache: OrderedDict, key):
+    v = cache.get(key)
+    if v is not None:
+        cache.move_to_end(key)
+    return v
+
+
+def _memo_put(cache: OrderedDict, key, val) -> None:
+    cache[key] = val
+    cache.move_to_end(key)
+    if len(cache) > _MEMO_CAP:
+        cache.popitem(last=False)
 
 
 class WheelEngine:
@@ -218,8 +240,21 @@ class WheelEngine:
         #: Bumped whenever any wheel's contents change (build_index,
         #: streaming merges) — invalidates the routed-answer cache.
         self.index_epoch = 0
-        self._route_cache: dict[str, tuple[int, RouteDecision, DataFrame]] = {}
-        self._rows_cache: dict[str, tuple[int, RouteDecision, list]] = {}
+        self._route_cache: OrderedDict[str, tuple[int, RouteDecision, DataFrame]] = (
+            OrderedDict()
+        )
+        self._rows_cache: OrderedDict[str, tuple[int, RouteDecision, list]] = (
+            OrderedDict()
+        )
+        #: query text → ParsedQuery | ParseError. Unlike the answer memos
+        #: this is NOT epoch-keyed: a parse depends only on the SQL text, so
+        #: it survives index mutations — the streaming case (every
+        #: micro-batch merge bumps ``index_epoch`` and invalidates the
+        #: answer memos, but the dashboard's query strings are unchanged)
+        #: re-routes without re-tokenizing. Safe to share because nothing
+        #: downstream mutates a ParsedQuery (list fields are only appended
+        #: to inside the parser itself).
+        self._parse_cache: OrderedDict[str, object] = OrderedDict()
         #: ``{key_column_lower: {"key_sql_type", "wheels": {value: family}}}``
         #: — per-value wheel families for dim group-bys
         #: (:meth:`build_partitioned_index`).
@@ -818,25 +853,40 @@ class WheelEngine:
         constant-plan construction. Delegated queries are never cached — the
         underlying table may change outside the engine's view.
         """
-        cached = self._route_cache.get(query)
+        cached = _memo_get(self._route_cache, query)
         if cached is not None and cached[0] == self.index_epoch:
             self.last_route = cached[1]
             return cached[2]
         try:
-            parsed = parse_select(query)
+            parsed = self._parse(query)
         except ParseError as err:
             self.last_route = RouteDecision("delegate", detail={"reason": str(err)})
             return self.spark.sql(query)
         decision, df = self.router.try_rewrite(parsed)
         self.last_route = decision
         if df is not None:
-            if len(self._route_cache) > 512:
-                self._route_cache.clear()
-            self._route_cache[query] = (self.index_epoch, decision, df)
+            _memo_put(self._route_cache, query, (self.index_epoch, decision, df))
             return df
         return self.spark.sql(query)
 
-    def sql_rows(self, query: str) -> list:
+    def _parse(self, query: str):
+        """Memoized :func:`parse_select` — parses (and parse FAILURES) are
+        functions of the text alone, so they outlive index mutations; see
+        ``_parse_cache``. Raises the cached ParseError for known-bad text."""
+        hit = _memo_get(self._parse_cache, query)
+        if hit is not None:
+            if isinstance(hit, ParseError):
+                raise hit
+            return hit
+        try:
+            parsed = parse_select(query)
+        except ParseError as err:
+            _memo_put(self._parse_cache, query, err)
+            raise
+        _memo_put(self._parse_cache, query, parsed)
+        return parsed
+
+    def sql_rows(self, query: str, _parsed=None) -> list:
         """:meth:`sql` with the DataFrame layer peeled off: routed answers
         come back as plain ``Row`` lists with **zero JVM round trips** — no
         VALUES parse, no ``collect()`` — so a wheel-served dashboard query
@@ -850,12 +900,14 @@ class WheelEngine:
         answers are memoized per query string until any index mutates."""
         from pyspark.sql import Row
 
-        cached = self._rows_cache.get(query)
+        cached = _memo_get(self._rows_cache, query)
         if cached is not None and cached[0] == self.index_epoch:
             self.last_route = cached[1]
             return list(cached[2])  # a copy: caller mutation can't poison the memo
         try:
-            parsed = parse_select(query)
+            # _parsed: the catalog front door already parsed the text to
+            # find the owning engine — don't tokenize twice on its path.
+            parsed = self._parse(query) if _parsed is None else _parsed
         except ParseError as err:
             self.last_route = RouteDecision("delegate", detail={"reason": str(err)})
             return self.spark.sql(query).collect()
@@ -870,9 +922,7 @@ class WheelEngine:
             names, _types, rows = r.captured
             factory = Row(*names)
             out = [factory(*row) for row in rows]
-            if len(self._rows_cache) > 512:
-                self._rows_cache.clear()
-            self._rows_cache[query] = (self.index_epoch, decision, out)
+            _memo_put(self._rows_cache, query, (self.index_epoch, decision, out))
             return list(out)
         if df is not None:
             # rewritten, but not via a constant relation (scan-pruning
@@ -884,7 +934,7 @@ class WheelEngine:
     def explain_route(self, query: str) -> RouteDecision:
         """Routing decision without executing the delegate path."""
         try:
-            parsed = parse_select(query)
+            parsed = self._parse(query)
         except ParseError as err:
             return RouteDecision("delegate", detail={"reason": str(err)})
         decision, _ = self.router.try_rewrite(parsed)

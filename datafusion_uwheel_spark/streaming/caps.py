@@ -70,20 +70,26 @@ def stream_cap_per_key(
         else:
             # order_by ranks across the WHOLE micro-batch group — a group
             # larger than one Arrow chunk must not let chunking decide who
-            # admits, so buffer the chunks (only up to the first
-            # cap-exceeding point matters, but correctness first: sort the
-            # full group, then take)
+            # admits. Incremental stable top-k instead of buffering the
+            # group: fold each chunk into a survivor frame capped at the
+            # remaining budget, so memory is ≤ budget + one Arrow chunk
+            # even when a hot key floods the batch. Left-to-right folding
+            # preserves the full-sort semantics exactly: survivors stay in
+            # stable (value, arrival) order, appended chunks arrive later
+            # than every survivor, so mergesort breaks boundary ties the
+            # same way one sort of the whole group would.
             import pandas as pd
 
-            chunks = [pdf for pdf in pdfs]
-            if chunks and n < max_rows:
-                whole = (
-                    pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-                ).sort_values(order_by, kind="mergesort")
-                take = min(max_rows - n, len(whole))
-                n += take
-                if take:
-                    yield whole.iloc[:take][cols]
+            budget = max_rows - n
+            kept = None
+            for pdf in pdfs:
+                if budget <= 0:
+                    continue  # drain the iterator; nothing admits
+                both = pdf if kept is None else pd.concat([kept, pdf])
+                kept = both.sort_values(order_by, kind="mergesort").iloc[:budget]
+            if kept is not None and len(kept):
+                n += len(kept)
+                yield kept[cols]
         state.update((n,))
 
     return (

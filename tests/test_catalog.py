@@ -145,3 +145,56 @@ def test_cte_no_routable_body_delegates(catalog):
     q = "WITH c AS (SELECT COUNT(*) AS n FROM cat_loose) SELECT n FROM c"
     assert catalog.sql(q).collect()[0][0] == 1
     assert catalog.last_route.kind == "delegate"
+
+
+def test_catalog_sql_rows_routed_and_delegate(catalog):
+    sql = f"SELECT SUM(agg_col) AS s FROM cat_a WHERE {RANGE_A}"
+    rows = catalog.sql_rows(sql)
+    assert catalog.last_route.rewritten
+    assert [tuple(r) for r in rows] == [tuple(r) for r in catalog.sql(sql).collect()]
+    assert rows[0]["s"] == 55.0
+    # second table through the same front door
+    rows_b = catalog.sql_rows(f"SELECT COUNT(*) AS n FROM cat_b WHERE {RANGE_B}")
+    assert catalog.last_route.rewritten and rows_b[0]["n"] == 20
+    # unregistered table → spark.sql collect parity
+    catalog.spark.range(5).createOrReplaceTempView("cat_plain")
+    got = catalog.sql_rows("SELECT COUNT(*) AS n FROM cat_plain")
+    assert catalog.last_route.kind == "delegate"
+    assert got[0]["n"] == 5
+
+
+def test_catalog_sql_rows_zero_jobs(catalog):
+    sql = f"SELECT SUM(agg_col) AS s FROM cat_a WHERE {RANGE_A}"
+    catalog.sql_rows(sql)  # warm parse + rows memos
+    eng = catalog.engine("cat_a")
+    sc = catalog.spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    for _ in range(10):
+        eng._rows_cache.clear()  # fresh route each time; parse memo stays
+        assert catalog.sql_rows(sql)[0]["s"] == 55.0
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before
+
+
+def test_catalog_sql_rows_cte_parity(catalog):
+    sql = (
+        f"WITH agg AS (SELECT SUM(agg_col) AS s FROM cat_a WHERE {RANGE_A}) "
+        "SELECT s FROM agg"
+    )
+    rows = catalog.sql_rows(sql)
+    assert catalog.last_route.kind == "cte_rewrite"
+    assert [tuple(r) for r in rows] == [tuple(r) for r in catalog.sql(sql).collect()]
+
+
+def test_adopt_existing_engine(spark, minimal_agg):
+    from datafusion_uwheel_spark import WheelEngine
+
+    eng = WheelEngine(spark, "cat_adopted", minimal_agg, time_column="timestamp")
+    eng.build_index("agg_col")
+    cat = WheelCatalog(spark)
+    assert cat.adopt(eng) is eng
+    rows = cat.sql_rows(
+        "SELECT COUNT(*) AS n FROM cat_adopted WHERE "
+        "timestamp >= '2024-05-10 00:00:00' AND timestamp < '2024-05-10 00:00:10'"
+    )
+    assert cat.last_route.rewritten and rows[0]["n"] == 10

@@ -105,3 +105,45 @@ def test_rows_prune_empty(eng):
     rows = eng.sql_rows(sql)
     assert eng.last_route.rewritten
     assert rows == []
+
+
+def test_parse_cache_survives_epoch_bump(eng):
+    """The streaming case the parse memo exists for: an index mutation
+    invalidates the ANSWER memo but not the parse — re-routing the same
+    text must hit the parse cache and still produce correct values."""
+    sql = ROUTED[1]
+    r1 = eng.sql_rows(sql)
+    assert sql in eng._parse_cache
+    parsed_obj = eng._parse_cache[sql]
+    eng.index_epoch += 1  # what a streaming merge does
+    r2 = eng.sql_rows(sql)
+    assert r2 == r1
+    assert eng._parse_cache[sql] is parsed_obj  # no re-tokenize
+
+
+def test_parse_cache_caches_failures(eng):
+    bad = "SELECT FROM WHERE nonsense ~~ rows_events"
+    # unparseable → delegate; spark.sql raises its own analysis error
+    with pytest.raises(Exception):
+        eng.sql_rows(bad)
+    assert bad in eng._parse_cache
+    from datafusion_uwheel_spark.plans.sqlparse import ParseError
+
+    assert isinstance(eng._parse_cache[bad], ParseError)
+    with pytest.raises(Exception):  # the memoized error path delegates again
+        eng.sql_rows(bad)
+
+
+def test_memo_lru_evicts_oldest_keeps_hot(monkeypatch):
+    """Route memos evict least-recently-used at the cap instead of clearing
+    wholesale — a dashboard cycling >cap distinct strings keeps its hot set."""
+    from datafusion_uwheel_spark import engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "_MEMO_CAP", 3)
+    cache = engine_mod.OrderedDict()
+    for k in "abc":
+        engine_mod._memo_put(cache, k, k.upper())
+    assert engine_mod._memo_get(cache, "a") == "A"  # touch: a is now hot
+    engine_mod._memo_put(cache, "d", "D")  # evicts b (LRU), not a
+    assert list(cache) == ["c", "a", "d"]
+    assert engine_mod._memo_get(cache, "b") is None

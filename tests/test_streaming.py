@@ -355,3 +355,43 @@ def test_stream_cap_order_spans_arrow_chunks(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_stream_cap_incremental_fold_equals_whole_group_sort():
+    """Incremental stable top-k (r7: the order_by path no longer buffers
+    the whole group) must be BYTE-IDENTICAL to the old semantics — one
+    stable mergesort of the concatenated chunks, take budget — including
+    boundary ties, for every chunking. Pinned as a pandas-level property
+    over random chunk splits and tie-heavy data."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    for trial in range(50):
+        n_rows = rng.randint(1, 40)
+        budget = rng.randint(1, 12)
+        # heavy ties: ranks drawn from a tiny alphabet
+        df = pd.DataFrame(
+            {
+                "doc_id": range(n_rows),
+                "rank": [rng.randint(0, 4) for _ in range(n_rows)],
+            }
+        )
+        # random chunking preserving order (what Arrow delivery does
+        # within one group iterator)
+        cuts = sorted(rng.sample(range(1, n_rows), min(rng.randint(0, 5), n_rows - 1))) if n_rows > 1 else []
+        bounds = [0, *cuts, n_rows]
+        chunks = [df.iloc[a:b] for a, b in zip(bounds, bounds[1:])]
+        # reference: whole-group stable sort, take budget
+        want = (
+            pd.concat(chunks).sort_values("rank", kind="mergesort").iloc[:budget]
+        )
+        # the operator's fold
+        kept = None
+        for pdf in chunks:
+            both = pdf if kept is None else pd.concat([kept, pdf])
+            kept = both.sort_values("rank", kind="mergesort").iloc[:budget]
+        assert kept["doc_id"].tolist() == want["doc_id"].tolist(), (
+            trial, bounds, budget,
+        )
