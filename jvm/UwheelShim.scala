@@ -864,7 +864,6 @@ case class UwheelAggRewrite(session: SparkSession)
         bounds(cond, timeCol, bucketSec, allowed),
         s"bounds not tileable for $table: $cond"
       )
-      if key.isEmpty // keyed hopping: per-value views don't replicate here
       if lo.nonEmpty || hi.nonEmpty || session.conf
         .getOption(s"spark.uwheel.shim.$table.ts_nonnull")
         .contains("true")
@@ -873,23 +872,47 @@ case class UwheelAggRewrite(session: SparkSession)
         .toSeq
         .flatMap(_.split(",").map(_.trim.toLowerCase))
         .toSet
-      viewName <-
-        if (cols.isEmpty)
-          Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
-            .find(v => rollupPlan(v).isDefined)
-        else if (cols.forall(registered.contains))
-          Some(s"__uwheel_rollup_${table}__agg")
-        else None
+      // keyed hopping (r7): a key equality is served by its per-value
+      // keyed view, else by the dim family with a key filter — the rollup
+      // rows replicate through the kept Expand exactly like the unkeyed
+      // views' (the final Aggregate merge-sums states, so several
+      // (sec, key) rows per bucket fold correctly). IN-lists ride the dim
+      // view only.
+      chosen <- key match {
+        case None =>
+          (if (cols.isEmpty)
+             Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
+               .find(v => rollupPlan(v).isDefined)
+           else if (cols.forall(registered.contains))
+             Some(s"__uwheel_rollup_${table}__agg")
+           else None).map(v => (v, None: Option[Seq[String]]))
+        case Some((kcol, Seq(kval))) =>
+          keyedView(table, kcol, kval, cols)
+            .map(v => (v, None: Option[Seq[String]]))
+            .orElse(dimView(table, kcol, cols).map(v => (v, Some(Seq(kval)))))
+        case Some((kcol, kvals)) =>
+          dimView(table, kcol, cols).map(v => (v, Some(kvals)))
+      }
+      (viewName, keyFilter) = chosen
       rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
+      keyAttr = rollup.output.find(_.name == "key")
+      // a dim-view key restriction needs the key column to be STRING (the
+      // recognized equality literal is)
+      if keyFilter.forall(_ => keyAttr.exists(_.dataType == StringType))
       varCols = kinds.collect { case VarCol(c, _) => c }.distinct
       needed = "cnt" +: (cols.flatMap(c =>
         Seq(s"vcnt_$c", s"sum_$c", s"min_$c", s"max_$c")
       ) ++ varCols.map(c => s"sumsq_$c"))
       stateAttrs <- traverse(needed.map(n => rollup.output.find(_.name == n)))
     } yield {
+      val keyPred = for {
+        vals <- keyFilter
+        ka <- keyAttr
+      } yield vals.map(v => EqualTo(ka, Literal(v)): Expression).reduce(Or)
       val preds =
-        lo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
+        keyPred.toSeq ++
+          lo.map(l => GreaterThanOrEqual(sec, Literal(l / Micros)): Expression).toSeq ++
           hi.map(h => LessThan(sec, Literal(h / Micros)): Expression).toSeq
       val pruned = preds.reduceOption(And).map(Filter(_, rollup)).getOrElse(rollup)
       val newProjections = expand.projections.map { p =>
@@ -923,8 +946,10 @@ case class UwheelAggRewrite(session: SparkSession)
     * same sliver-union the scalar and grouped hybrids build. Window
     * assignment stays exact on both legs: whole core buckets land in one
     * window cell per replica (slide and offset are bucket multiples,
-    * checked), and sliver rows replicate by their raw timestamps. Keyed
-    * hopping still falls through (per-value views don't replicate here). */
+    * checked), and sliver rows replicate by their raw timestamps. A key
+    * equality restricts BOTH legs (r7): the core reads the per-value keyed
+    * view (or the dim family filtered to the value), the sliver re-applies
+    * the original equality to raw rows. */
   private def tryHopHybrid(
       exprs: Seq[NamedExpression],
       gexprs: Seq[Expression],
@@ -979,7 +1004,6 @@ case class UwheelAggRewrite(session: SparkSession)
       cols = kinds.flatMap(_.col).distinct
       split <- splitKeyEquality(cond, timeCol, allowed)
       (keyEq, restOpt) = split
-      if keyEq.isEmpty // keyed hopping: per-value views don't replicate here
       rest <- restOpt
       intervals <- condIntervals(rest, timeCol, allowed)
       tsAttr <- rel.output.find(_.name.equalsIgnoreCase(timeCol))
@@ -988,15 +1012,30 @@ case class UwheelAggRewrite(session: SparkSession)
         .toSeq
         .flatMap(_.split(",").map(_.trim.toLowerCase))
         .toSet
-      viewName <-
-        if (cols.isEmpty)
-          Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
-            .find(v => rollupPlan(v).isDefined)
-        else if (cols.forall(registered.contains))
-          Some(s"__uwheel_rollup_${table}__agg")
-        else None
+      // keyed hopping hybrids (r7): the core leg reads the per-value keyed
+      // view (or the dim family filtered to the value); the sliver leg
+      // re-applies the ORIGINAL key equality to the raw rows. Both legs
+      // replicate through the kept Expand unchanged.
+      chosen <- keyEq match {
+        case None =>
+          (if (cols.isEmpty)
+             Seq(s"__uwheel_rollup_${table}__agg", s"__uwheel_rollup_$table")
+               .find(v => rollupPlan(v).isDefined)
+           else if (cols.forall(registered.contains))
+             Some(s"__uwheel_rollup_${table}__agg")
+           else None).map(v => (v, None: Option[String]))
+        case Some((ka, kval)) =>
+          keyedView(table, ka.name.toLowerCase, kval, cols)
+            .map(v => (v, None: Option[String]))
+            .orElse(
+              dimView(table, ka.name.toLowerCase, cols).map(v => (v, Some(kval)))
+            )
+      }
+      (viewName, keyFilter) = chosen
       rollup <- rollupPlan(viewName)
       sec <- rollup.output.find(_.name == "sec")
+      keyAttr = rollup.output.find(_.name == "key")
+      if keyFilter.forall(_ => keyAttr.exists(_.dataType == StringType))
       varCols = kinds.collect { case VarCol(c, _) => c }.distinct
       needed = "cnt" +: (cols.flatMap(c =>
         Seq(s"vcnt_$c", s"sum_$c", s"min_$c", s"max_$c")
@@ -1029,14 +1068,22 @@ case class UwheelAggRewrite(session: SparkSession)
               iv.hi.filter(h => coreHi.exists(_ < h)).map(h => (coreHi, Some(h))).toSeq
         }
       }
-      val corePred: Expression =
+      val corePred0: Expression =
         if (intervals.isEmpty) Literal(false)
         else corePreds.reduceOption(Or).getOrElse(Literal(false))
+      val corePred = (for {
+        kval <- keyFilter
+        ka <- keyAttr
+      } yield And(EqualTo(ka, Literal(kval)), corePred0)).getOrElse(corePred0)
       val core = Project(
         Alias(bucketTs(sec, tsAttr.dataType), "__hts")()
           +: stateAttrs.map(a => a: NamedExpression),
         Filter(corePred, rollup)
       )
+      // the sliver leg re-applies the original key equality to raw rows
+      // (the keyed/dim VIEW restricted the core leg; raw rows need it too)
+      val sliverKey: Option[Expression] =
+        keyEq.map { case (ka, kval) => EqualTo(ka, Literal(kval)) }
       def tsLit(v: Long) = Literal(v, tsAttr.dataType)
       def ivalPred(a: Option[Long], b: Option[Long]): Expression = {
         val ps = a.map(v => GreaterThanOrEqual(tsAttr, tsLit(v)): Expression).toSeq ++
@@ -1058,10 +1105,11 @@ case class UwheelAggRewrite(session: SparkSession)
         if (slivers.isEmpty) core
         else {
           val ivals = slivers.map { case (a, b) => ivalPred(a, b) }.reduce(Or)
+          val sliverPred = sliverKey.map(And(_, ivals)).getOrElse(ivals)
           val sliver = Project(
             Alias(tsAttr, "__hts")()
               +: stateAttrs.map(a => Alias(sliverExpr(a), a.name)(): NamedExpression),
-            Filter(ivals, rel)
+            Filter(sliverPred, rel)
           )
           Union(Seq(core, sliver))
         }

@@ -103,3 +103,20 @@ def test_shim_hop_hybrid_boundaries():
     )
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "OK shim hop-hybrid" in r.stdout
+
+
+def test_shim_keyed_hopping_windows():
+    """Keyed hopping window() group-bys (r7 — the last documented
+    plain-spark.sql fall-through family): aligned bounds rewrite via the
+    per-value keyed view / dim family with no table scan; boundary bounds
+    rewrite via the hybrid with key-filtered core and sliver legs; an
+    unregistered key column still falls through and matches the scan."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "jvm_shim_keyed_hop.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "OK shim keyed-hop" in r.stdout
