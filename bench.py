@@ -229,17 +229,91 @@ def main() -> None:
         d = tempfile.mkdtemp(prefix="bench_stream_dedup_")
         try:
             cd = CorpusDedup(spark, f"{d}/digests", n_buckets=64)
-            cd.filter_batch(docs).count()  # seed the corpus
+            # the r6 at-least-once contract, priced end-to-end: prepare
+            # (filter + eager checkpoint), "sink write" (the count stands
+            # in), THEN commit the state append — the exact two-phase
+            # sequence attach() drives per micro-batch
+            survivors, pending = cd.prepare_batch(docs)  # seed the corpus
+            survivors.count()
+            cd.commit(pending)
             batch = docs.withColumn(
                 "doc_id", F.col("doc_id") + 1_000_000
             )  # same content, new ids → all dropped
-            n = cd.filter_batch(batch).count()
+            survivors, pending = cd.prepare_batch(batch)
+            n = survivors.count()
+            cd.commit(pending)
             assert n == 0, f"seeded content leaked through: {n}"
             return n
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
     med("dedup_stream_corpus", stream_dedup_run)
+
+    # Ingestion-time per-key cap (r6 operator, first bench row r7): a real
+    # checkpointed stream where one hot key floods every micro-batch and 50
+    # cold keys trickle. Steady-state per-batch latency is the metric;
+    # state must stay ONE bigint per distinct key (flat as batches pass —
+    # the state-rows figure is recorded alongside).
+    def stream_cap_run():
+        import shutil
+        import tempfile
+
+        from datafusion_uwheel_spark.streaming import stream_cap_per_key
+
+        d = tempfile.mkdtemp(prefix="bench_stream_cap_")
+        cap_schema = "doc_id long, source string"
+
+        def write_batch(b):
+            rows = [(b * 100_000 + i, "hot") for i in range(2_000)] + [
+                (b * 100_000 + 50_000 + i, f"cold_{i % 50}")
+                for i in range(500)
+            ]
+            spark.createDataFrame(rows, cap_schema).write.mode(
+                "append"
+            ).parquet(f"{d}/src")
+
+        try:
+            write_batch(0)
+            stream = spark.readStream.schema(cap_schema).parquet(f"{d}/src")
+            out = stream_cap_per_key(stream, "source", 100, order_by="doc_id")
+            q = (
+                out.writeStream.format("memory")
+                .queryName("bench_cap_out")
+                .option("checkpointLocation", f"{d}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # batch 0: hot hits its cap here
+                btimes = []
+                for b in range(1, 6):
+                    write_batch(b)
+                    t0 = time.perf_counter()
+                    q.processAllAvailable()
+                    btimes.append(time.perf_counter() - t0)
+                state_rows = (q.lastProgress or {}).get(
+                    "stateOperators", [{}]
+                )[0].get("numRowsTotal")
+                admitted = spark.sql(
+                    "SELECT count(*) AS n FROM bench_cap_out"
+                ).collect()[0]["n"]
+            finally:
+                q.stop()
+            # hot capped at 100 forever; 50 cold keys × 10 rows × 6 batches
+            assert admitted == 100 + 50 * 10 * 6, admitted
+            assert state_rows is None or state_rows == 51, state_rows
+            btimes.sort()
+            queries["stream_cap_per_key"] = btimes[len(btimes) // 2]
+            if state_rows is not None:
+                queries["stream_cap_state_rows"] = state_rows
+            log(
+                f"stream_cap_per_key: p50 {queries['stream_cap_per_key']:.2f}s "
+                f"per 2500-row batch (hot key past cap), state rows "
+                f"{state_rows} (= distinct keys, flat)"
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    stream_cap_run()
 
     def minhash_run():
         pairs = dedup.lsh_candidate_pairs(

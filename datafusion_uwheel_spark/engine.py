@@ -203,6 +203,10 @@ class WheelEngine:
         #: distinct-set ALGEBRA across time ranges (retention / new /
         #: overlap), which HLL unions cannot express.
         self.theta_rollups: dict = {}
+        #: column → cached truncated-counter rollup
+        #: (:meth:`build_topk_index`) — approximate "top items in range"
+        #: with deterministic [est, upper] bounds; same opt-in discipline.
+        self.topk_rollups: dict = {}
         if load_indexes is not None:
             import json as _json
             import os as _os
@@ -532,6 +536,39 @@ class WheelEngine:
         )
         self.theta_rollups[column] = r
         return r
+
+    def build_topk_index(
+        self,
+        column: str,
+        bucket_seconds: int = 3600,
+        capacity: int = 64,
+    ):
+        """Build a per-bucket truncated-counter rollup for approximate
+        "top ``column`` values in a time range" — the heavy-hitters sketch
+        family (see :mod:`.operators.frequency`). Query with
+        :meth:`approx_topk` / :meth:`approx_item_count`; answers come with
+        deterministic ``[est, upper]`` bounds, cost O(buckets × capacity),
+        never a table scan. With ``capacity`` ≥ the per-bucket distinct
+        count the answers are exact."""
+        from .operators.frequency import build_frequency_rollup
+
+        r = build_frequency_rollup(
+            self.df, column, self.time_column,
+            bucket_seconds=bucket_seconds, capacity=capacity,
+        )
+        self.topk_rollups[column] = r
+        return r
+
+    def approx_topk(self, column: str, start, end, k: int = 10) -> DataFrame:
+        """Top-``k`` ``column`` values by count over ``[start, end)`` as
+        ``(item, est, upper)`` from the truncated-counter rollup
+        (:meth:`build_topk_index`; KeyError if none)."""
+        return self.topk_rollups[column].approx_topk(start, end, k)
+
+    def approx_item_count(self, column: str, item, start, end) -> tuple[int, int]:
+        """``(est, upper)`` count bounds for one ``column`` value over the
+        range (the point-query form of :meth:`approx_topk`)."""
+        return self.topk_rollups[column].approx_count(item, start, end)
 
     def approx_retained(self, column: str, r1, r2) -> int:
         """Estimated distinct ``column`` values present in BOTH ``(start,
@@ -1107,6 +1144,7 @@ class WheelEngine:
                 list(self.distinct_rollups.values())
                 + list(self.quantile_rollups.values())
                 + list(self.theta_rollups.values())
+                + list(self.topk_rollups.values())
             )
             if _sketch_applicable(r)
         ]

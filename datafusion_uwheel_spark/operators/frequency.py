@@ -1,0 +1,352 @@
+"""Approximate top-k / heavy-hitters rollup: a wheel of mergeable
+per-bucket frequency summaries.
+
+The reference's custom-aggregator extension point (``UWheelAggregate``
+variants, ``datafusion-uwheel/src/index/mod.rs:7-21``) applied to the
+fourth classic sketch family (after HLL distinct, KLL quantiles, and theta
+set-ops): **"top domains/sources in a time range"**. The exact answer needs
+per-(bucket, item) counts — at crawl cardinalities (every domain on the
+internet) that dim-rollup explodes, and the raw-table ``GROUP BY`` scan is
+the thing wheels exist to avoid.
+
+Summary design (mergeable truncated counters, the Misra-Gries/SpaceSaving
+shape from the mergeable-summaries literature):
+
+* BUILD: one ``groupBy(bucket, item)`` shuffle for exact per-bucket
+  counts, then per bucket keep the top ``capacity`` items (window rank —
+  no driver loop) and record ``err = the (capacity+1)-th count`` (0 when a
+  bucket has ≤ capacity items). Kept counts are EXACT; any dropped item's
+  in-bucket count is ≤ ``err``.
+* QUERY (``approx_topk`` / ``approx_count``): aligned-range sum of kept
+  counts per item (``est``, a lower bound) and ``upper = est + Σ err``
+  over the range's buckets — every true count lies in ``[est, upper]``,
+  and any item whose true count exceeds the k-th ``est`` + Σ err is
+  GUARANTEED to appear in the top-k result (the standard heavy-hitter
+  guarantee). One tiny job over the cached rollup, O(buckets × capacity)
+  regardless of table size.
+* MERGE (``merge_batch``): micro-batch counts sum into the kept rows,
+  buckets re-truncate to ``capacity``, and ``err`` grows by the
+  (capacity+1)-th merged count — errors add across merges (Agarwal et
+  al., "Mergeable Summaries"), bounds stay valid.
+* RETENTION (``compact_before``): fine buckets older than a cutoff regroup
+  under a coarser width — counts sum, the coarse bucket re-truncates, and
+  the folded ``err`` absorbs both the fine errors and the truncation, so
+  the ladder keeps rollup rows bounded on endless streams with bounds
+  intact (same single-tier prefix discipline as the other sketches).
+
+Scale: rollup rows ≤ buckets × capacity (+1 err row per bucket); a year of
+hourly buckets at capacity 64 is ~0.5M tiny rows of executor cache. All
+plans are JVM expressions (groupBy / window rank / joins) — no Python on
+any row path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rollups import time_sec_col
+from .sketch_retention import SketchRetention
+
+__all__ = ["FrequencyRollup", "build_frequency_rollup", "load_frequency_rollup"]
+
+_META = "_frequency_meta.json"
+_CACHE_PARTITIONS = 4
+
+
+def _truncate(counts: DataFrame, capacity: int) -> tuple[DataFrame, DataFrame]:
+    """Per-bucket top-``capacity`` of exact/merged ``(__sec, __item, cnt)``
+    rows plus the per-bucket truncation error ``(__sec, err)`` — the
+    (capacity+1)-th count, 0 when nothing is dropped. Ties break on item so
+    the kept set is deterministic."""
+    w = Window.partitionBy("__sec").orderBy(
+        F.col("cnt").desc(), F.col("__item").asc()
+    )
+    ranked = counts.withColumn("__rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rk") <= capacity).drop("__rk")
+    err = (
+        ranked.groupBy("__sec")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("__rk") == capacity + 1, F.col("cnt"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("err")
+        )
+    )
+    return kept, err
+
+
+class FrequencyRollup(SketchRetention):
+    """Handle over a cached per-bucket truncated-counter table.
+
+    ``approx_topk(a, b, k)`` answers ``SELECT item, COUNT(*) ... GROUP BY
+    item ORDER BY 2 DESC LIMIT k`` over ``[a, b)`` from the rollup;
+    ``approx_count(item, a, b)`` bounds one item's count. Bounds must be
+    aligned to the coarsest bucket width intersecting the range (raise,
+    never a silently partial bucket — the wheel alignment discipline;
+    counts, unlike the union-monoid sketches, would overcount on superset
+    edge inclusion)."""
+
+    def __init__(
+        self,
+        kept: DataFrame,
+        err: DataFrame,
+        column: str,
+        bucket_seconds: int,
+        capacity: int,
+    ):
+        self._df = kept  # (__sec, __item, cnt) — SketchRetention contract
+        self._err = err  # (__sec, err)
+        self.column = column
+        self.bucket_seconds = bucket_seconds
+        self.capacity = capacity
+        self.key_column = None  # item IS the dimension; no second key
+
+    # ------------------------------------------------------------ queries
+    def _aligned_sec(self, v, name: str) -> int:
+        sec = self._epoch_sec(v)
+        if sec is None:
+            raise ValueError(f"unparseable {name} bound: {v!r}")
+        return sec
+
+    def _range(self, start, end) -> tuple[int, int]:
+        a, b = self._aligned_sec(start, "start"), self._aligned_sec(end, "end")
+        maxw = self._max_width_over(start)
+        if a % maxw or b % maxw:
+            raise ValueError(
+                f"bounds must align to the {maxw}s buckets in range "
+                "(counts cannot include partial buckets)"
+            )
+        return a, b
+
+    def _restrict(self, df: DataFrame, a: int, b: int) -> DataFrame:
+        return df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
+
+    def total_err(self, start, end) -> int:
+        """Σ per-bucket truncation error over the (aligned) range — the
+        additive slack between ``est`` and ``upper``. 0 when every bucket
+        in range held ≤ capacity items (answers are then EXACT)."""
+        a, b = self._range(start, end)
+        row = self._restrict(self._err, a, b).agg(
+            F.coalesce(F.sum("err"), F.lit(0)).alias("e")
+        ).collect()[0]
+        return int(row["e"])
+
+    def approx_topk(self, start, end, k: int = 10) -> DataFrame:
+        """Top-``k`` items by estimated count over ``[start, end)`` as
+        ``(item, est, upper)``, ``est`` descending (ties on item). ``est``
+        never exceeds the true count; the true count never exceeds
+        ``upper``; any item whose true count beats the k-th ``est`` plus
+        the range's total error is guaranteed present."""
+        a, b = self._range(start, end)
+        terr = self.total_err(start, end)
+        return (
+            self._restrict(self._df, a, b)
+            .groupBy(F.col("__item").alias("item"))
+            .agg(F.sum("cnt").alias("est"))
+            .withColumn("upper", F.col("est") + F.lit(terr))
+            .orderBy(F.col("est").desc(), F.col("item").asc())
+            .limit(k)
+        )
+
+    def approx_count(self, item, start, end) -> tuple[int, int]:
+        """``(est, upper)`` bounds for ONE item's count over the range —
+        the point-query form (est = Σ kept counts, a lower bound that is
+        exact while no merge/compaction has folded error into the range's
+        buckets)."""
+        a, b = self._range(start, end)
+        row = (
+            self._restrict(self._df, a, b)
+            .filter(F.col("__item").eqNullSafe(F.lit(item)))
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("est"))
+            .collect()[0]
+        )
+        est = int(row["est"])
+        return est, est + self.total_err(start, end)
+
+    # ------------------------------------------------------------ updates
+    def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
+        """Fold a micro-batch in: batch counts sum into the kept rows
+        (tier-aware bucketing for late rows landing in a compacted span),
+        buckets re-truncate to capacity, and ``err`` grows by each
+        touched bucket's (capacity+1)-th merged count. Dropped-now items
+        carried a merged lower bound ≤ that rank value, and previously
+        absent items were already covered by the old ``err`` — so
+        ``[est, upper]`` stays valid with errors adding across merges."""
+        from pyspark import StorageLevel
+
+        sec = self._bucket_expr(time_sec_col(batch_df, time_column))
+        batch = (
+            batch_df.filter(F.col(time_column).isNotNull())
+            .groupBy(
+                sec.alias("__sec"),
+                F.col(self.column).alias("__item"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        merged = (
+            self._df.unionByName(batch)
+            .groupBy("__sec", "__item")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        kept, add_err = _truncate(merged, self.capacity)
+        new_err = (
+            self._err.join(add_err, on="__sec", how="full")
+            .select(
+                "__sec",
+                (
+                    F.coalesce(self._err["err"], F.lit(0))
+                    + F.coalesce(add_err["err"], F.lit(0))
+                ).alias("err"),
+            )
+        )
+        old_df, old_err = self._df, self._err
+        self._df = kept.coalesce(_CACHE_PARTITIONS).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._err = new_err.coalesce(_CACHE_PARTITIONS).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._df.count()
+        self._err.count()
+        old_df.unpersist()
+        old_err.unpersist()
+
+    def compact_before(self, cutoff_sec: int, width: int) -> int:
+        """Tiered retention (see :class:`SketchRetention`): fine buckets
+        older than the cutoff regroup under ``width``; counts sum, the
+        coarse bucket re-truncates to capacity, and the coarse ``err``
+        absorbs the fine errors plus the re-truncation rank — bounds stay
+        valid, rows stay bounded. Returns candidate rows reclaimed."""
+        from pyspark import StorageLevel
+
+        self.check_compact(cutoff_sec, width)
+        cutoff = cutoff_sec - (cutoff_sec % width)
+        if width == self.bucket_seconds and not self.tiers:
+            return 0
+        in_span = F.col("__sec") < cutoff
+        before = self._df.filter(in_span).count()
+        if before == 0:
+            return 0
+        coarse_sec = (F.col("__sec") - (F.col("__sec") % width)).alias("__sec")
+        coarse_counts = (
+            self._df.filter(in_span)
+            .groupBy(coarse_sec, F.col("__item"))
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        kept, trunc_err = _truncate(coarse_counts, self.capacity)
+        fine_err = (
+            self._err.filter(in_span)
+            .groupBy(coarse_sec)
+            .agg(F.sum("err").alias("err"))
+        )
+        coarse_err = (
+            fine_err.join(trunc_err, on="__sec", how="full")
+            .select(
+                "__sec",
+                (
+                    F.coalesce(fine_err["err"], F.lit(0))
+                    + F.coalesce(trunc_err["err"], F.lit(0))
+                ).alias("err"),
+            )
+        )
+        new_df = kept.unionByName(self._df.filter(~in_span)).coalesce(
+            _CACHE_PARTITIONS
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        new_err = coarse_err.unionByName(self._err.filter(~in_span)).coalesce(
+            _CACHE_PARTITIONS
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        after = new_df.filter(in_span).count()
+        new_err.count()
+        old_df, old_err = self._df, self._err
+        self._df, self._err = new_df, new_err
+        old_df.unpersist()
+        old_err.unpersist()
+        self._tiers = [(cutoff, width)]
+        return before - after
+
+    def _union_agg_exprs(self):  # pragma: no cover - SketchRetention hook
+        # unused: compact_before is overridden (truncation isn't a plain
+        # union aggregate), but the mixin contract names the hook
+        return [F.sum("cnt").alias("cnt")]
+
+    # -------------------------------------------------------- persistence
+    def save(self, path: str) -> str:
+        os.makedirs(path, exist_ok=True)
+        self._df.write.mode("overwrite").parquet(os.path.join(path, "kept"))
+        self._err.write.mode("overwrite").parquet(os.path.join(path, "err"))
+        with open(os.path.join(path, _META), "w") as f:
+            json.dump(
+                {
+                    "column": self.column,
+                    "bucket_seconds": self.bucket_seconds,
+                    "capacity": self.capacity,
+                    "tiers": self.tiers,
+                },
+                f,
+            )
+        return path
+
+    def unpersist(self) -> None:
+        self._df.unpersist()
+        self._err.unpersist()
+
+
+def build_frequency_rollup(
+    df: DataFrame,
+    column: str,
+    time_column: str,
+    bucket_seconds: int = 3600,
+    capacity: int = 64,
+) -> FrequencyRollup:
+    """One shuffle over the table → cached per-bucket truncated counters.
+
+    ``capacity`` trades rollup size against slack: per bucket, items past
+    the top ``capacity`` fold into ``err``. With capacity ≥ the per-bucket
+    distinct-item count the rollup is EXACT (err 0 everywhere)."""
+    from pyspark import StorageLevel
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    sec = time_sec_col(df, time_column)
+    if bucket_seconds > 1:
+        sec = sec - (sec % bucket_seconds)
+    counts = (
+        df.filter(F.col(time_column).isNotNull())
+        .groupBy(sec.alias("__sec"), F.col(column).alias("__item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    kept, err = _truncate(counts, capacity)
+    kept = kept.coalesce(_CACHE_PARTITIONS).persist(StorageLevel.MEMORY_AND_DISK)
+    err = err.coalesce(_CACHE_PARTITIONS).persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count()
+    err.count()
+    return FrequencyRollup(kept, err, column, bucket_seconds, capacity)
+
+
+def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
+    from pyspark import StorageLevel
+
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    kept = (
+        spark.read.parquet(os.path.join(path, "kept"))
+        .coalesce(_CACHE_PARTITIONS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    err = (
+        spark.read.parquet(os.path.join(path, "err"))
+        .coalesce(_CACHE_PARTITIONS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    r = FrequencyRollup(
+        kept, err, meta["column"], meta["bucket_seconds"], meta["capacity"]
+    )
+    if meta.get("tiers"):
+        r._tiers = [tuple(t) for t in meta["tiers"]]
+    return r

@@ -88,6 +88,107 @@ def main() -> None:
     assert eng.last_route.kind == "query_time", eng.last_route
     print("route-or-delegate: unindexed params fell back to query-time hashing")
 
+    real_codec_demo(spark)
+
+
+# ------------------------------------------------- real codec via decoder=
+def _make_png(pixels: list[list[int]]) -> bytes:
+    """A spec-conformant grayscale 8-bit PNG built with stdlib only."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def real_codec_demo(spark) -> None:
+    """The ``decoder=`` injection point against a REAL codec, optional-dep
+    style: Pillow when importable (any PNG an executor can open), else a
+    stdlib zlib/struct PNG parser (grayscale filter-0 — enough to prove the
+    plumbing without adding a dependency). Same Arrow-batched
+    ``extract_features`` path either way; where both codecs can run they
+    produce identical pixel vectors, so swapping Pillow in changes NOTHING
+    but codec coverage. On a cluster, executors need the chosen lib
+    installed — the closure ships by value, the import happens per-task."""
+    try:
+        import PIL  # noqa: F401
+
+        mode = "pillow"
+    except ImportError:
+        mode = "stdlib"
+
+    def stdlib_png(payload: bytes, kind) -> list[float]:
+        import struct
+        import zlib
+
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG payload"
+        pos, idat, w = 8, b"", None
+        while pos < len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                w, _h, _depth, color = struct.unpack(">IIBB", data[:10])
+                assert color == 0, "grayscale only"
+            elif typ == b"IDAT":
+                idat += data
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = w + 1
+        px: list[float] = []
+        for r in range(len(raw) // stride):
+            row = raw[r * stride : (r + 1) * stride]
+            assert row[0] == 0, "only filter type 0 supported"
+            px.extend(b / 255.0 for b in row[1:])
+        return px
+
+    def pillow_png(payload: bytes, kind) -> list[float]:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return [b / 255.0 for b in img.tobytes()]
+
+    decoder = pillow_png if mode == "pillow" else stdlib_png
+
+    # 8×4 grayscale frames, doc_id-deterministic → DIM=32 pixel vectors
+    payloads = [
+        (i, _make_png([[(i * 7 + r * 16 + c * 3) % 256 for c in range(8)] for r in range(4)]))
+        for i in range(64)
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, data binary")
+    feats = timed(
+        f"real PNG decode via decoder= ({mode})",
+        lambda: multimodal.extract_features(
+            media, id_col="doc_id", decoder=decoder
+        ).collect(),
+    )
+    assert len(feats) == 64 and all(len(r["feature"]) == 32 for r in feats)
+    # both codecs must agree where both run (driver-side spot check)
+    by_id = {r["doc_id"]: r["feature"] for r in feats}
+    want = stdlib_png(payloads[0][1], None)
+    got = list(map(float, by_id[0]))
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))
+    print(f"  64 PNGs decoded on executors with the {mode} codec; "
+          "pixels match the stdlib reference")
+
 
 if __name__ == "__main__":
     main()
