@@ -176,13 +176,24 @@ def uw_groupby_week(spark, sf_dir):
     """Calendar granularity (beyond the reference, which refuses
     week/month/year): ISO-week boundaries are day-aligned, so second buckets
     nest exactly. This slot ALTERNATES with uw_groupby_month round-over-round
-    (r7: week in, month out) so each calendar granularity gets the DuckDB
+    (r8: month in, week out) so each calendar granularity gets the DuckDB
     hash check at least every other round; both stay property-tested in
     test_lookup_properties.py regardless."""
     df = _engine(spark, sf_dir).sql(
         "SELECT date_trunc('week', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
         f"FROM events WHERE ts >= '{WEEK_A}' AND ts < '{WEEK_B}' "
         "GROUP BY date_trunc('week', ts)"
+    )
+    return _round(df, {"sum_value": 3})
+
+
+def uw_groupby_month(spark, sf_dir):
+    """Calendar granularity, month form — see :func:`uw_groupby_week` for
+    the alternation ledger (r8: month holds the registry slot)."""
+    df = _engine(spark, sf_dir).sql(
+        "SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS n, SUM(value) AS sum_value "
+        f"FROM events WHERE ts >= '{WEEK_A}' AND ts < '{WEEK_B}' "
+        "GROUP BY date_trunc('month', ts)"
     )
     return _round(df, {"sum_value": 3})
 
@@ -242,11 +253,19 @@ def uw_keyed_sum(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
-# NOTE (r6): the former uw_keyed_numeric row (numeric equality filter key —
-# canonical number rendering, lib.rs:164-173) was folded out to fund the
-# re-seated uw_count_col row under the 50-row driver cap: the keyed scalar
-# surface stays hash-checked by uw_keyed_sum and the numeric-key
-# canonicalization by tests/test_predicates.py.
+def uw_keyed_numeric(spark, sf_dir):
+    """Keyed wheel with a *numeric* equality filter — exercises the
+    canonical number rendering in filter-key matching (the reference matches
+    `passenger_count = 3.0` style keys, lib.rs:164-173). Rotated back in r8
+    (out since r6, when its slot funded the re-seated uw_count_col row)."""
+    eng = _engine(spark, sf_dir)
+    if ("value", "user_id = 7.0") not in eng.agg_wheels:
+        eng.build_index("value", filter="user_id = 7")
+    df = eng.sql(
+        "SELECT SUM(value) AS sum_value, COUNT(*) AS n FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}' AND user_id = 7"
+    )
+    return _round(df, {"sum_value": 3})
 
 
 # NOTE (r4): the former uw_keyed_count row (COUNT(*) + keyed filter + range)
@@ -406,6 +425,23 @@ def or_group_by(spark, sf_dir):
     )
     assert eng.last_route.kind == "or_group_by", eng.last_route
     return _round(df, {"sum_value": 3})
+
+
+def freq_topk(spark, sf_dir):
+    """Heavy-hitters rollup (the 4th custom-aggregator sketch family after
+    HLL/KLL/theta — reference extension point ``index/mod.rs:7-21``): top
+    event types over a range answered from the per-bucket truncated-counter
+    rollup (operators/frequency.py) in O(buckets x capacity), never a table
+    scan. capacity (8) >= the table's 5 distinct event types, so ``est`` is
+    EXACT and ``upper == est`` (err 0) — hash-checkable against the exact
+    GROUP BY; the truncated regime's [est, upper] bounds are pytest-pinned
+    in tests/test_frequency.py. k=4 < 5 distinct exercises the LIMIT and
+    the deterministic (est desc, item asc) tie-break — at sf0.01 'click'
+    and 'view' tie at the cut."""
+    eng = _engine(spark, sf_dir)
+    if "event_type" not in eng.topk_rollups:
+        eng.build_topk_index("event_type", bucket_seconds=3600, capacity=8)
+    return eng.approx_topk("event_type", A, B, k=4)
 
 
 def uw_point_instant(spark, sf_dir):
@@ -841,18 +877,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION LEDGER (so every retired surface regains the per-round
     # DuckDB hash check at least every other round):
     #   - uw_groupby_week <-> uw_groupby_month alternate each round
-    #     (r7: week IN, month out; r8 should swap back).
+    #     (r8: month IN, week out; r9 should swap back).
+    #   - freq_topk seated r8 (the heavy-hitters rollup earns its DuckDB
+    #     hash check in the exact regime; truncated [est, upper] bounds are
+    #     pytest-pinned in test_frequency.py); its slot came from
+    #     uw_landmark_sum, whose scalar-landmark routing stays hash-checked
+    #     through uw_groupby_landmark + uw_keyed_landmark (same complete-
+    #     wheel landmark path) and pytest-pinned in test_engine_fixture.py.
+    #   - uw_keyed_numeric re-seated r8 (out since r6); its slot came from
+    #     uw_or_ranges, whose scalar OR-of-ranges machinery is exercised by
+    #     or_group_by (same interval-split + monoid-sum path, plus
+    #     grouping) and stays pytest-pinned vs delegate in
+    #     test_or_ranges.py.
     #   - or_group_by seated r7 (the r6 wrong-answer surface earns its
     #     DuckDB hash check); its slot came from dedup_fingerprint, which
     #     stays pytest-pinned vs an exact Python oracle
     #     (test_llm_ops.py::test_fingerprint_matches_python) and is
     #     mechanically subsumed by dedup_exact_groups' digest path.
     #   - retired, pytest-pinned, candidates to rotate back in by
-    #     re-retiring a subsumed row: dedup_fingerprint (r7 out),
-    #     uw_keyed_numeric (r6 out), dedup_exact_keep (r6 out),
-    #     mm_media_dedup (r6 out), uw_keyed_count (r4 out),
-    #     sim_ann_indexed/sim_ivf_indexed (r3 out, physically identical
-    #     plans to the engine-routed rows).
+    #     re-retiring a subsumed row: uw_landmark_sum (r8 out),
+    #     uw_or_ranges (r8 out), dedup_fingerprint (r7 out),
+    #     dedup_exact_keep (r6 out), mm_media_dedup (r6 out),
+    #     uw_keyed_count (r4 out), sim_ann_indexed/sim_ivf_indexed (r3 out,
+    #     physically identical plans to the engine-routed rows).
     return {
         "uw_count_range": uw_count_range,
         "uw_sum_range": uw_sum_range,
@@ -860,12 +907,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
-        "uw_groupby_week": uw_groupby_week,
+        "uw_groupby_month": uw_groupby_month,
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
-        "uw_landmark_sum": uw_landmark_sum,
+        # r8: uw_landmark_sum's slot funds freq_topk (see ledger).
+        "freq_topk": freq_topk,
         "uw_keyed_sum": uw_keyed_sum,
+        "uw_keyed_numeric": uw_keyed_numeric,
         "uw_keyed_groupby": uw_keyed_groupby,
         "uw_keyed_landmark": uw_keyed_landmark,
         "uw_between_groupby": uw_between_groupby,
@@ -874,7 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_count_col": uw_count_col,
         "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
-        "uw_or_ranges": uw_or_ranges,
+        # r8: uw_or_ranges' slot funds the returning uw_keyed_numeric (see
+        # ledger); the scalar OR path stays pytest-pinned in test_or_ranges.
         "or_group_by": or_group_by,
         "uw_point_instant": uw_point_instant,
         "uw_date_key": uw_date_key,
@@ -951,8 +1001,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
         # TIMESTAMP — cast so the driver's schema compare agrees.
-        "uw_groupby_week": (
-            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+        "uw_groupby_month": (
+            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
@@ -983,7 +1033,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events GROUP BY 1"
         ),
-        "uw_landmark_sum": "SELECT round(sum(value), 3) AS sum_value FROM events",
+        # exact regime: capacity >= distinct event types -> est == true
+        # count and upper == est; ORDER BY matches the rollup's
+        # deterministic (est desc, item asc) tie-break.
+        "freq_topk": (
+            "SELECT event_type AS item, count(*) AS est, count(*) AS upper "
+            f"FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' "
+            "GROUP BY 1 ORDER BY est DESC, item ASC LIMIT 4"
+        ),
         "uw_keyed_sum": (
             "SELECT round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND event_type = 'click'"
@@ -1018,10 +1075,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
         ),
-        "uw_or_ranges": (
-            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
-            "(ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00') OR "
-            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00')"
+        "uw_keyed_numeric": (
+            "SELECT round(sum(value), 3) AS sum_value, count(*) AS n FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND user_id = 7"
         ),
         "uw_point_instant": (
             "SELECT count(*) AS n, COALESCE(sum(value), -1.0) AS sum_value FROM events "

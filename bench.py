@@ -147,6 +147,21 @@ def main() -> None:
         f"theta_index_build {queries['theta_index_build']:.2f}s, "
         f"retained={_tn}"
     )
+    # Heavy-hitters top-k (r8): "top event types in a week" from the
+    # truncated-counter rollup — one tiny job over the cached buckets; the
+    # vanilla equivalent scans + full GROUP BY + sort every ask.
+    t0 = time.perf_counter()
+    fr = eng.build_topk_index("event_type", bucket_seconds=3600, capacity=8)
+    queries["freq_index_build"] = time.perf_counter() - t0
+    queries["uw_freq_topk"] = time_calls(
+        lambda: fr.approx_topk(_qa, _qb, k=4).collect(), N_PROBE
+    )
+    _fk = fr.approx_topk(_qa, _qb, k=4).collect()
+    assert len(_fk) == 4 and fr.total_err(_qa, _qb) == 0, _fk
+    log(
+        f"freq_index_build {queries['freq_index_build']:.2f}s, "
+        f"top={_fk[0]['item']}={_fk[0]['est']}"
+    )
     # The scan-path denominators for the sketch probes (exact answers, full
     # reads). The probes sit at the local small-job floor (~130 ms: a bare
     # count() on the cached sketch table costs the same); at scale the scan
@@ -164,6 +179,14 @@ def main() -> None:
         lambda: spark.sql(
             f"SELECT percentile_approx(value, array(0.5, 0.95, 0.99)) "
             f"FROM events_raw WHERE ts >= '{_qa}' AND ts < '{_qb}'"
+        ).collect(),
+        N_VANILLA,
+    )
+    queries["vanilla_topk"] = time_calls(
+        lambda: spark.sql(
+            "SELECT event_type, count(*) AS n FROM events_raw "
+            f"WHERE ts >= '{_qa}' AND ts < '{_qb}' "
+            "GROUP BY 1 ORDER BY n DESC, event_type LIMIT 4"
         ).collect(),
         N_VANILLA,
     )

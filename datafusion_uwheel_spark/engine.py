@@ -238,6 +238,15 @@ class WheelEngine:
                         self.theta_rollups[entry["column"]] = load_theta_rollup(
                             spark, _os.path.join(load_indexes, entry["dir"])
                         )
+            kman = _os.path.join(load_indexes, "topk.json")
+            if _os.path.exists(kman):
+                from .operators.frequency import load_frequency_rollup
+
+                with open(kman) as f:
+                    for entry in _json.load(f)["rollups"]:
+                        self.topk_rollups[entry["column"]] = load_frequency_rollup(
+                            spark, _os.path.join(load_indexes, entry["dir"])
+                        )
         self.router = Router(self)
         self.last_route: RouteDecision | None = None
         self._time_range = time_range
@@ -1057,6 +1066,14 @@ class WheelEngine:
                 r.save(_os.path.join(out_dir, d))
                 entries.append({"column": col, "dir": d})
             with open(_os.path.join(out_dir, "theta.json"), "w") as f:
+                _json.dump({"version": 1, "rollups": entries}, f)
+        if self.topk_rollups:
+            entries = []
+            for i, (col, r) in enumerate(sorted(self.topk_rollups.items())):
+                d = f"topk_{i:04d}"
+                r.save(_os.path.join(out_dir, d))
+                entries.append({"column": col, "dir": d})
+            with open(_os.path.join(out_dir, "topk.json"), "w") as f:
                 _json.dump({"version": 1, "rollups": entries}, f)
         return path
 

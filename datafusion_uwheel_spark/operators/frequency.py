@@ -127,29 +127,37 @@ class FrequencyRollup(SketchRetention):
     def _restrict(self, df: DataFrame, a: int, b: int) -> DataFrame:
         return df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
 
+    def _total_err_df(self, a: int, b: int) -> DataFrame:
+        """1-row ``(__terr)`` aggregate of the range's truncation error —
+        cross-joined into query plans so est and bound come back in ONE
+        job (two collects per ask was the pre-r8 shape)."""
+        return self._restrict(self._err, a, b).agg(
+            F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("__terr")
+        )
+
     def total_err(self, start, end) -> int:
         """Σ per-bucket truncation error over the (aligned) range — the
         additive slack between ``est`` and ``upper``. 0 when every bucket
         in range held ≤ capacity items (answers are then EXACT)."""
         a, b = self._range(start, end)
-        row = self._restrict(self._err, a, b).agg(
-            F.coalesce(F.sum("err"), F.lit(0)).alias("e")
-        ).collect()[0]
-        return int(row["e"])
+        return int(self._total_err_df(a, b).collect()[0]["__terr"])
 
     def approx_topk(self, start, end, k: int = 10) -> DataFrame:
         """Top-``k`` items by estimated count over ``[start, end)`` as
         ``(item, est, upper)``, ``est`` descending (ties on item). ``est``
         never exceeds the true count; the true count never exceeds
         ``upper``; any item whose true count beats the k-th ``est`` plus
-        the range's total error is guaranteed present."""
+        the range's total error is guaranteed present. One job end to end:
+        the 1-row error aggregate rides the same plan (broadcast cross
+        join), not a second collect."""
         a, b = self._range(start, end)
-        terr = self.total_err(start, end)
         return (
             self._restrict(self._df, a, b)
             .groupBy(F.col("__item").alias("item"))
             .agg(F.sum("cnt").alias("est"))
-            .withColumn("upper", F.col("est") + F.lit(terr))
+            .crossJoin(F.broadcast(self._total_err_df(a, b)))
+            .withColumn("upper", F.col("est") + F.col("__terr"))
+            .drop("__terr")
             .orderBy(F.col("est").desc(), F.col("item").asc())
             .limit(k)
         )
@@ -158,16 +166,16 @@ class FrequencyRollup(SketchRetention):
         """``(est, upper)`` bounds for ONE item's count over the range —
         the point-query form (est = Σ kept counts, a lower bound that is
         exact while no merge/compaction has folded error into the range's
-        buckets)."""
+        buckets). One collect: the two 1-row aggregates join in-plan."""
         a, b = self._range(start, end)
-        row = (
+        est_df = (
             self._restrict(self._df, a, b)
             .filter(F.col("__item").eqNullSafe(F.lit(item)))
-            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("est"))
-            .collect()[0]
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("est"))
         )
+        row = est_df.crossJoin(F.broadcast(self._total_err_df(a, b))).collect()[0]
         est = int(row["est"])
-        return est, est + self.total_err(start, end)
+        return est, est + int(row["__terr"])
 
     # ------------------------------------------------------------ updates
     def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:

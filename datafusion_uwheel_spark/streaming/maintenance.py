@@ -104,6 +104,14 @@ class StreamingWheelMaintainer:
         for col, rollup in getattr(self.engine, "theta_rollups", {}).items():
             if col in batch_df.columns:
                 rollup.merge_batch(batch_df, self.engine.time_column)
+        # Top-k truncated-counter rollups: NOT a plain monoid — merge folds
+        # the (capacity+1)-th merged count into ``err``, so the streamed
+        # rollup's [est, upper] bounds stay valid (errors add across
+        # merges) rather than bit-identical to a fresh build. Same
+        # stale-never-answers discipline as the sketch families above.
+        for col, rollup in getattr(self.engine, "topk_rollups", {}).items():
+            if col in batch_df.columns:
+                rollup.merge_batch(batch_df, self.engine.time_column)
         maintained = set(self.filters) | {STAR_AGGREGATION_ALIAS}
         e = self.engine
         if self.maintain_partitions:

@@ -1,0 +1,397 @@
+"""Heavy-hitters / top-k truncated-counter rollup (operators/frequency.py):
+the [est, upper] bound contract on adversarial skew, merge-bound growth,
+retention folding, tie-break determinism, save/load, and the engine +
+streaming-maintainer glue.
+
+Unlike the union-monoid sketches (HLL/KLL/theta), the frequency summary is
+*lossy by design*: per bucket only the top ``capacity`` exact counts are
+kept and everything below folds into a per-bucket ``err``. The invariant
+every test leans on: for EVERY item and every aligned range,
+
+    est <= true_count <= est + total_err(range)        (= ``upper``)
+
+with est EXACT (err 0) whenever capacity >= per-bucket distinct items.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import datetime, timedelta
+import random as _random
+
+import pytest
+
+from datafusion_uwheel_spark import WheelEngine
+from datafusion_uwheel_spark.operators.frequency import (
+    build_frequency_rollup,
+    load_frequency_rollup,
+)
+
+BASE = datetime(2024, 2, 1)
+DAY1 = "2024-02-01 00:00:00"
+DAY2 = "2024-02-02 00:00:00"
+DAY3 = "2024-02-03 00:00:00"
+FULL = (DAY1, DAY3)
+
+
+def _mk_rows():
+    """Two days x six hourly buckets of skewed traffic: two heavy items
+    dominate every bucket; ten tail items carry near-tied small counts
+    (adversarial for truncation — the kept set flips between buckets)."""
+    rng = _random.Random(42)
+    rows = []
+    for day in range(2):
+        for hour in range(6):
+            ts = BASE + timedelta(days=day, hours=hour)
+            rows += [(ts, "hvy_a")] * 30
+            rows += [(ts, "hvy_b")] * 20
+            for t in range(10):
+                rows += [(ts, f"t{t:02d}")] * rng.randint(1, 6)
+    # a NULL item in two buckets: NULL is a countable value, not a drop
+    rows += [(BASE + timedelta(hours=1), None)] * 5
+    rows += [(BASE + timedelta(days=1, hours=2), None)] * 3
+    return rows
+
+
+ROWS = _mk_rows()
+
+
+def _truth(a: str, b: str) -> Counter:
+    lo = datetime.fromisoformat(a)
+    hi = datetime.fromisoformat(b)
+    return Counter(item for ts, item in ROWS if lo <= ts < hi)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(ROWS, "ts timestamp, item string")
+
+
+@pytest.fixture(scope="module")
+def tight(events):
+    """capacity 4 < 13 distinct per bucket — truncation active."""
+    r = build_frequency_rollup(events, "item", "ts", bucket_seconds=3600, capacity=4)
+    yield r
+    r.unpersist()
+
+
+@pytest.fixture(scope="module")
+def ample(events):
+    """capacity 64 >= distinct per bucket — exact everywhere."""
+    r = build_frequency_rollup(events, "item", "ts", bucket_seconds=3600, capacity=64)
+    yield r
+    r.unpersist()
+
+
+def _bounds(rollup, a: str, b: str) -> tuple[dict, int]:
+    """{item: (est, upper)} for every KEPT item in range + the range's
+    total_err (items absent from the rollup have est 0, upper total_err)."""
+    kept = {
+        row["item"]: (row["est"], row["upper"])
+        for row in rollup.approx_topk(a, b, k=10_000).collect()
+    }
+    return kept, rollup.total_err(a, b)
+
+
+def _assert_bounds_hold(rollup, a: str, b: str) -> None:
+    kept, terr = _bounds(rollup, a, b)
+    truth = _truth(a, b)
+    for item, true in truth.items():
+        est, upper = kept.get(item, (0, terr))
+        assert est <= true <= upper, (item, est, true, upper)
+    # kept items never overcount: est is a sum of exact kept counts
+    for item, (est, upper) in kept.items():
+        assert est <= truth.get(item, 0)
+        assert upper == est + terr
+
+
+# ------------------------------------------------------------ exact regime
+def test_exact_when_capacity_covers(ample):
+    assert ample.total_err(*FULL) == 0
+    truth = _truth(*FULL)
+    got = {r["item"]: (r["est"], r["upper"]) for r in
+           ample.approx_topk(*FULL, k=10_000).collect()}
+    assert {i: e for i, (e, _) in got.items()} == dict(truth)
+    assert all(e == u for e, u in got.values())  # upper == est when err 0
+    # top-k ordering: est desc, then item asc
+    top3 = [r["item"] for r in ample.approx_topk(*FULL, k=3).collect()]
+    want = sorted(truth, key=lambda i: (-truth[i], i if i is not None else ""))[:3]
+    assert top3 == want
+
+
+def test_point_query_exact_and_null_item(ample):
+    truth = _truth(*FULL)
+    assert ample.approx_count("hvy_a", *FULL) == (truth["hvy_a"], truth["hvy_a"])
+    assert ample.approx_count(None, *FULL) == (truth[None], truth[None])
+    assert ample.approx_count("nope", *FULL) == (0, 0)
+
+
+# ------------------------------------------------------- truncated regime
+def test_bounds_hold_under_truncation(tight):
+    assert tight.total_err(*FULL) > 0
+    for a, b in (FULL, (DAY1, DAY2), (DAY2, DAY3),
+                 ("2024-02-01 02:00:00", "2024-02-01 05:00:00")):
+        _assert_bounds_hold(tight, a, b)
+
+
+def test_heavy_hitter_guarantee(tight):
+    """Any item whose true count beats the k-th est + total_err MUST be in
+    the returned top-k (the standard SpaceSaving guarantee)."""
+    k = 4
+    top = tight.approx_topk(*FULL, k=k).collect()
+    kth_est = top[-1]["est"]
+    terr = tight.total_err(*FULL)
+    present = {r["item"] for r in top}
+    for item, true in _truth(*FULL).items():
+        if true > kth_est + terr:
+            assert item in present, (item, true, kth_est, terr)
+    # the two genuinely heavy items always survive
+    assert {"hvy_a", "hvy_b"} <= present
+
+
+def test_empty_range_and_validation(tight):
+    empty = ("2030-01-01 00:00:00", "2030-01-02 00:00:00")
+    assert tight.approx_topk(*empty).collect() == []
+    assert tight.approx_count("hvy_a", *empty) == (0, 0)
+    assert tight.total_err(*empty) == 0
+    with pytest.raises(ValueError):  # not hour-aligned
+        tight.approx_topk(DAY1, "2024-02-01 03:30:00")
+    with pytest.raises(ValueError):  # unparseable bound
+        tight.approx_count("hvy_a", "not-a-time", DAY2)
+
+
+def test_capacity_must_be_positive(events):
+    with pytest.raises(ValueError):
+        build_frequency_rollup(events, "item", "ts", capacity=0)
+
+
+def test_tie_break_deterministic(spark):
+    """Exact ties at the truncation boundary keep the lexicographically
+    smallest items — two builds collect identically."""
+    ts = datetime(2024, 2, 1)
+    df = spark.createDataFrame(
+        [(ts, i) for i in ("c", "a", "b", "d", "e") for _ in range(5)],
+        "ts timestamp, item string",
+    )
+    r1 = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=2)
+    r2 = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=2)
+    try:
+        day = ("2024-02-01 00:00:00", "2024-02-02 00:00:00")
+        got1 = r1.approx_topk(*day, k=5).collect()
+        assert [x["item"] for x in got1] == ["a", "b"]
+        assert [x["est"] for x in got1] == [5, 5]
+        assert [x["upper"] for x in got1] == [10, 10]  # err = 5 (the 3rd)
+        assert got1 == r2.approx_topk(*day, k=5).collect()
+    finally:
+        r1.unpersist()
+        r2.unpersist()
+
+
+# ------------------------------------------------------------------ merge
+def test_merge_exact_equals_fresh(spark, events):
+    """Ample capacity: merge_batch over halves == one batch build, err 0."""
+    first = events.filter(f"ts < '{DAY2}'")
+    second = events.filter(f"ts >= '{DAY2}'")
+    streamed = build_frequency_rollup(first, "item", "ts", 3600, capacity=64)
+    try:
+        streamed.merge_batch(second, "ts")
+        assert streamed.total_err(*FULL) == 0
+        truth = _truth(*FULL)
+        got = {r["item"]: r["est"] for r in
+               streamed.approx_topk(*FULL, k=10_000).collect()}
+        assert got == dict(truth)
+    finally:
+        streamed.unpersist()
+
+
+def test_merge_bounds_valid_and_errors_add(spark, events, tight):
+    """Tight capacity: the streamed rollup's bounds stay valid vs total
+    truth, and its error never shrinks below the fresh build's (errors add
+    across merges — Agarwal et al., Mergeable Summaries)."""
+    first = events.filter(f"ts < '{DAY2}'")
+    second = events.filter(f"ts >= '{DAY2}'")
+    streamed = build_frequency_rollup(first, "item", "ts", 3600, capacity=4)
+    try:
+        streamed.merge_batch(second, "ts")
+        _assert_bounds_hold(streamed, *FULL)
+        _assert_bounds_hold(streamed, DAY2, DAY3)
+        assert streamed.total_err(*FULL) >= tight.total_err(*FULL)
+    finally:
+        streamed.unpersist()
+
+
+# -------------------------------------------------------------- retention
+def test_compact_before_reclaims_and_gates(spark, events):
+    r = build_frequency_rollup(events, "item", "ts", 3600, capacity=64)
+    try:
+        day2_sec = int(datetime(2024, 2, 2).timestamp())
+        reclaimed = r.compact_before(day2_sec, 86400)
+        assert reclaimed > 0  # 6 hourly buckets x 13 items -> 1 day bucket
+        assert r.tiers == [(day2_sec, 86400)]
+        # coarse-aligned asks over the prefix still bounded correctly
+        _assert_bounds_hold(r, DAY1, DAY2)
+        _assert_bounds_hold(r, *FULL)
+        # ample capacity: folding 6 exact hourly buckets is still exact
+        assert r.total_err(DAY1, DAY2) == 0
+        # fine asks into the compacted prefix refuse
+        with pytest.raises(ValueError):
+            r.approx_topk(DAY1, "2024-02-01 03:00:00")
+        # the uncompacted suffix still answers hour-aligned asks
+        _assert_bounds_hold(r, "2024-02-02 02:00:00", "2024-02-02 05:00:00")
+        # ladder: cutoff may not retreat, width must nest
+        with pytest.raises(ValueError):
+            r.check_compact(day2_sec - 86400, 86400)
+        with pytest.raises(ValueError):
+            r.check_compact(day2_sec, 86400 + 3600)
+    finally:
+        r.unpersist()
+
+
+def test_compact_truncation_folds_into_err(spark, events):
+    """Tight capacity: the coarse day bucket holds 13 distinct items > 4,
+    so compaction itself truncates — the folded err absorbs both the fine
+    errors and the re-truncation, bounds stay valid."""
+    r = build_frequency_rollup(events, "item", "ts", 3600, capacity=4)
+    try:
+        fine_err = r.total_err(DAY1, DAY2)
+        day2_sec = int(datetime(2024, 2, 2).timestamp())
+        r.compact_before(day2_sec, 86400)
+        assert r.total_err(DAY1, DAY2) >= fine_err
+        _assert_bounds_hold(r, DAY1, DAY2)
+        _assert_bounds_hold(r, *FULL)
+    finally:
+        r.unpersist()
+
+
+def test_late_rows_merge_at_tier_width(spark, events):
+    """merge_batch after compaction: late rows landing in the compacted
+    prefix bucket at the tier width (no fine bucket reappears) and the
+    bounds still cover them."""
+    r = build_frequency_rollup(events, "item", "ts", 3600, capacity=64)
+    try:
+        day2_sec = int(datetime(2024, 2, 2).timestamp())
+        r.compact_before(day2_sec, 86400)
+        late = spark.createDataFrame(
+            [(datetime(2024, 2, 1, 10), "late_x")] * 7,
+            "ts timestamp, item string",
+        )
+        r.merge_batch(late, "ts")
+        est, upper = r.approx_count("late_x", DAY1, DAY2)
+        assert est <= 7 <= upper
+        assert est == 7  # ample capacity keeps it exactly
+        # still exactly one coarse bucket in the prefix
+        assert r._df.filter("__sec < {}".format(day2_sec)).select("__sec").distinct().count() == 1
+    finally:
+        r.unpersist()
+
+
+# ------------------------------------------------------------ persistence
+def test_save_load_round_trip(spark, tight, tmp_path):
+    p = str(tmp_path / "freq")
+    tight.save(p)
+    loaded = load_frequency_rollup(spark, p)
+    try:
+        assert loaded.capacity == tight.capacity
+        assert loaded.bucket_seconds == tight.bucket_seconds
+        assert loaded.column == tight.column
+        assert loaded.approx_topk(*FULL, k=50).collect() == \
+            tight.approx_topk(*FULL, k=50).collect()
+        assert loaded.total_err(*FULL) == tight.total_err(*FULL)
+    finally:
+        loaded.unpersist()
+
+
+def test_save_load_preserves_tiers(spark, events, tmp_path):
+    r = build_frequency_rollup(events, "item", "ts", 3600, capacity=64)
+    day2_sec = int(datetime(2024, 2, 2).timestamp())
+    r.compact_before(day2_sec, 86400)
+    p = str(tmp_path / "freq_tiered")
+    r.save(p)
+    loaded = load_frequency_rollup(spark, p)
+    try:
+        assert loaded.tiers == [(day2_sec, 86400)]
+        with pytest.raises(ValueError):  # alignment gate survives reload
+            loaded.approx_topk(DAY1, "2024-02-01 03:00:00")
+        assert loaded.approx_count("hvy_a", DAY1, DAY2) == \
+            r.approx_count("hvy_a", DAY1, DAY2)
+    finally:
+        loaded.unpersist()
+        r.unpersist()
+
+
+# ------------------------------------------------------------ engine glue
+def test_engine_opt_in_and_persistence(spark, events, tmp_path):
+    src = str(tmp_path / "freq_events.parquet")
+    events.write.mode("overwrite").parquet(src)
+    eng = WheelEngine(spark, "freq_events", src, time_column="ts")
+    with pytest.raises(KeyError):
+        eng.approx_topk("item", *FULL)  # opt-in, never silent
+    eng.build_topk_index("item", bucket_seconds=3600, capacity=64)
+    truth = _truth(*FULL)
+    top = eng.approx_topk("item", *FULL, k=2).collect()
+    assert [(r["item"], r["est"]) for r in top] == [
+        ("hvy_a", truth["hvy_a"]), ("hvy_b", truth["hvy_b"])
+    ]
+    assert eng.approx_item_count("item", "hvy_b", *FULL) == \
+        (truth["hvy_b"], truth["hvy_b"])
+    out = str(tmp_path / "idx")
+    eng.save_indexes(out)
+    eng2 = WheelEngine(spark, "freq_events", src, time_column="ts",
+                       load_indexes=out)
+    assert eng2.approx_topk("item", *FULL, k=2).collect() == top
+
+
+def test_engine_compact_indexes_includes_topk(spark, events, tmp_path):
+    src = str(tmp_path / "freq_events2.parquet")
+    events.write.mode("overwrite").parquet(src)
+    eng = WheelEngine(spark, "freq_events2", src, time_column="ts")
+    eng.build_topk_index("item", bucket_seconds=3600, capacity=64)
+    day2_sec = int(datetime(2024, 2, 2).timestamp())
+    eng.compact_indexes(day2_sec, "day")
+    r = eng.topk_rollups["item"]
+    assert r.tiers == [(day2_sec, 86400)]
+    _assert_bounds_hold(r, DAY1, DAY2)
+
+
+def test_maintainer_streams_topk(spark, events, tmp_path):
+    """The streaming maintainer folds micro-batches into the top-k rollup
+    like every sibling sketch family — post-merge answers cover the whole
+    stream, with valid bounds (stale never answers)."""
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    first = events.filter(f"ts < '{DAY2}'")
+    src = str(tmp_path / "stream_events.parquet")
+    first.write.mode("overwrite").parquet(src)
+    eng = WheelEngine(spark, "stream_events", src, time_column="ts")
+    eng.build_topk_index("item", bucket_seconds=3600, capacity=64)
+    StreamingWheelMaintainer(eng).merge_batch(events.filter(f"ts >= '{DAY2}'"))
+    truth = _truth(*FULL)
+    got = {r["item"]: r["est"] for r in
+           eng.approx_topk("item", *FULL, k=10_000).collect()}
+    assert got == dict(truth)  # ample capacity: streamed == exact
+
+
+# ---------------------------------------------------------------- sf data
+def test_sf_data_exact_topk(spark, sf_small_dir):
+    """Real testdata: capacity >= the 5 distinct event types -> the rollup
+    answer IS the exact GROUP BY top-k."""
+    from datafusion_uwheel_spark.sources import read_parquet
+    from pyspark.sql import functions as F
+
+    ev = read_parquet(spark, f"{sf_small_dir}/events.parquet")
+    r = build_frequency_rollup(ev, "event_type", "ts", 3600, capacity=8)
+    try:
+        a, b = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+        want = [
+            (x["event_type"], x["n"])
+            for x in ev.filter(f"ts >= '{a}' AND ts < '{b}'")
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("event_type")).limit(3).collect()
+        ]
+        got = [(x["item"], x["est"]) for x in r.approx_topk(a, b, k=3).collect()]
+        assert got == want
+        assert r.total_err(a, b) == 0
+    finally:
+        r.unpersist()
