@@ -858,6 +858,19 @@ def main() -> None:
             ),
             ranges_hour,
         ),
+        (
+            # dim group-by (bucket x event_type from the partitioned
+            # family) — the widest dashboard shape, most rows per answer,
+            # so skipping the py4j floor pays the most here (r8)
+            "uw_dim_groupby_direct",
+            lambda a, b: (
+                "SELECT date_trunc('day', ts) AS bucket, event_type AS et, "
+                f"COUNT(*) AS n, SUM(value) AS s FROM events "
+                f"WHERE ts >= '{a}' AND ts < '{b}' "
+                "GROUP BY date_trunc('day', ts), event_type ORDER BY bucket, et"
+            ),
+            ranges_hour,
+        ),
     ]
     for family, sql_of, dranges in direct_specs:
         dtimes = []

@@ -20,6 +20,7 @@ def eng(spark, sf_small_dir):
     )
     e.build_index("value")
     e.build_index("value", filter="event_type = 'click'")
+    e.build_partitioned_index("value", partition_by="event_type")
     return e
 
 
@@ -40,6 +41,57 @@ ROUTED = [
     f"SELECT COUNT(*) AS c FROM rows_events WHERE (ts >= '{A}' AND ts < "
     f"'2024-01-05 00:00:00') OR (ts >= '2024-01-07 00:00:00' AND ts < '{B}')",
 ]
+
+# r8 (VERDICT r7 item 5): the remaining routed families with grouped
+# answers — dim group-by, OR-grouped, grouped-hybrid — ride the same
+# capture channel; pin (expected kind, parity) for each.
+GROUPED_DIRECT = [
+    (
+        f"SELECT date_trunc('day', ts) AS b, event_type AS et, COUNT(*) AS n, "
+        f"SUM(value) AS s FROM rows_events WHERE ts >= '{A}' AND ts < '{B}' "
+        "GROUP BY date_trunc('day', ts), event_type ORDER BY b, et",
+        "group_by",  # dim group-by (partitioned family)
+    ),
+    (
+        f"SELECT date_trunc('day', ts) AS b, COUNT(*) AS n, SUM(value) AS s "
+        f"FROM rows_events WHERE (ts >= '{A}' AND ts < '2024-01-05 00:00:00') "
+        f"OR (ts >= '2024-01-07 00:00:00' AND ts < '{B}') "
+        "GROUP BY date_trunc('day', ts) ORDER BY b",
+        "or_group_by",
+    ),
+    (
+        f"SELECT date_trunc('day', ts) AS b, COUNT(*) AS n, SUM(value) AS s "
+        f"FROM rows_events WHERE ts BETWEEN '{A}' AND '2024-01-09 23:59:59' "
+        "GROUP BY date_trunc('day', ts) ORDER BY b",
+        "group_by_hybrid",  # runs the sliver job, rows still captured
+    ),
+]
+
+
+def test_grouped_families_direct_parity(eng):
+    for sql, kind in GROUPED_DIRECT:
+        rows = eng.sql_rows(sql)
+        assert eng.last_route.kind == kind, (sql, eng.last_route)
+        df_rows = eng.sql(sql).collect()
+        assert eng.last_route.kind == kind
+        assert [tuple(r) for r in rows] == [tuple(r) for r in df_rows], sql
+        assert rows and [list(r.asDict()) for r in rows] == [
+            list(r.asDict()) for r in df_rows
+        ], sql
+
+
+def test_dim_and_or_grouped_direct_zero_jobs(eng, spark):
+    """The two fully-index-resolved grouped families must stay job-free on
+    the direct path (grouped-hybrid legitimately runs its sliver job)."""
+    for sql, _kind in GROUPED_DIRECT[:2]:
+        eng.sql_rows(sql)  # warm parse/route caches
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    for sql, _kind in GROUPED_DIRECT[:2]:
+        eng._rows_cache.clear()
+        eng.sql_rows(sql)
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before
 
 
 def test_rows_match_dataframe_path(eng):
@@ -86,9 +138,11 @@ def test_rows_cache_and_epoch_invalidation(eng):
 
 
 def test_rows_delegate_parity(eng):
+    # user_id has no partitioned family -> keys-only GROUP BY delegates
+    # (event_type would ROUTE since the fixture's r8 partitioned build)
     sql = (
-        "SELECT event_type AS k, COUNT(*) AS n FROM rows_events "
-        "GROUP BY event_type ORDER BY k"
+        "SELECT user_id AS k, COUNT(*) AS n FROM rows_events "
+        "GROUP BY user_id ORDER BY k"
     )
     rows = eng.sql_rows(sql)
     assert eng.last_route.kind == "delegate"
