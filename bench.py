@@ -1194,6 +1194,126 @@ def main() -> None:
         f"{retention_bytes[6]} -> {retention_bytes[-1]} (flat tail)"
     )
 
+    # ------------------------------------------------ scaling point (r8)
+    # The 100 TB story anchored by a measurement instead of plans: derive a
+    # 10x "sf1" from the driver testdata (10 timeline-shifted copies of
+    # events -> 10x rows AND 10x occupied buckets; 10 token-suffixed copies
+    # of documents -> 10x docs, cross-copy Jaccard 0, within-copy near-dup
+    # structure intact) and measure the design curves:
+    #   index_build_sf1        ~ linear in rows (one scan + groupBy(sec))
+    #   uw_count_sf1           flat vs sf (answers are O(range buckets))
+    #   uw_count_direct_sf1    flat us (driver lookup, no JVM)
+    #   dedup_minhash_lsh_sf1  ~ linear (banded equi-join, never all-pairs)
+    # Gated to the default sf0.1 run so sf0.01 iteration stays fast; the
+    # derived parquet is cached under .scale_cache/ (gitignored).
+    if sf == "0.1":
+        scale_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scale_cache", "sf1"
+        )
+        ev1_path = os.path.join(scale_dir, "events.parquet")
+        doc1_path = os.path.join(scale_dir, "documents.parquet")
+        if not (os.path.isdir(ev1_path) and os.path.isdir(doc1_path)):
+            t0 = time.perf_counter()
+            ev0 = read_parquet(spark, f"{SF_DIR}/events.parquet")
+            u = None
+            for k in range(10):
+                part = ev0.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {35 * k} DAYS")
+                )
+                u = part if u is None else u.unionByName(part)
+            u.repartition(int(CPUS)).write.mode("overwrite").parquet(ev1_path)
+            d0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            u = None
+            for k in range(10):
+                part = d0.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1_c{k}")
+                ).withColumn("doc_id", F.col("doc_id") + F.lit(k * 10_000_000))
+                u = part if u is None else u.unionByName(part)
+            u.repartition(int(CPUS)).write.mode("overwrite").parquet(doc1_path)
+            log(f"sf1 scale data derived in {time.perf_counter() - t0:.1f}s")
+        # warm same-shape sf0.1 rebuild first: the session-opening
+        # index_build row pays cold-JVM/first-scan overhead, so the honest
+        # scaling ratio is warm-vs-warm
+        t0 = time.perf_counter()
+        eng01 = WheelEngine(
+            spark, "events_sf01_warm", f"{SF_DIR}/events.parquet",
+            time_column="ts", min_max_columns=("value",),
+        )
+        eng01.build_index("value")
+        queries["index_build_warm"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        eng1 = WheelEngine(
+            spark, "events_sf1", ev1_path, time_column="ts",
+            min_max_columns=("value",),
+        )
+        eng1.build_index("value")
+        queries["index_build_sf1"] = time.perf_counter() - t0
+        log(
+            f"index_build_sf1: {queries['index_build_sf1']:.2f}s "
+            f"(warm sf0.1 {queries['index_build_warm']:.2f}s -> ratio "
+            f"{queries['index_build_sf1'] / queries['index_build_warm']:.1f}x "
+            f"for 10x rows), {eng1.index_usage_bytes() / 1e6:.1f} MB driver"
+        )
+        s_ranges = [random_range(rng, 1, 60, 3600) for _ in range(200)]
+        stimes = []
+        for a, b in s_ranges:
+            q = f"SELECT COUNT(*) AS n FROM events_sf1 WHERE ts >= '{a}' AND ts < '{b}'"
+            t0 = time.perf_counter()
+            eng1.sql(q).collect()
+            stimes.append(time.perf_counter() - t0)
+            assert eng1.last_route.kind == "count_range", eng1.last_route
+        stimes.sort()
+        queries["uw_count_sf1"] = quantile(stimes, 0.5)
+        dtimes = []
+        for a, b in s_ranges:
+            q = f"SELECT COUNT(*) AS n FROM events_sf1 WHERE ts >= '{a}' AND ts < '{b}'"
+            eng1._rows_cache.pop(q, None)
+            t0 = time.perf_counter()
+            eng1.sql_rows(q)
+            dtimes.append(time.perf_counter() - t0)
+        dtimes.sort()
+        queries["uw_count_direct_sf1"] = quantile(dtimes, 0.5)
+        log(
+            f"uw_count_sf1: p50 {queries['uw_count_sf1'] * 1e3:.2f} ms "
+            f"(sf0.1 {queries['uw_count_range'] * 1e3:.2f} ms — flat means O(range), "
+            f"not O(table)); direct {queries['uw_count_direct_sf1'] * 1e6:.0f} us"
+        )
+        # heavy-hitters crossover: the probe stays O(buckets) while the
+        # vanilla GROUP BY scan grows with the table — at sf0.1 both sit
+        # near the local small-job floor; at 10x the scan has left it
+        fr1 = eng1.build_topk_index("event_type", bucket_seconds=3600, capacity=8)
+        queries["uw_freq_topk_sf1"] = time_calls(
+            lambda: fr1.approx_topk(_qa, _qb, k=4).collect(), N_PROBE
+        )
+        ev1_view = read_parquet(spark, ev1_path)
+        ev1_view.createOrReplaceTempView("events_sf1_raw")
+        queries["vanilla_topk_sf1"] = time_calls(
+            lambda: spark.sql(
+                "SELECT event_type, count(*) AS n FROM events_sf1_raw "
+                f"WHERE ts >= '{_qa}' AND ts < '{_qb}' "
+                "GROUP BY 1 ORDER BY n DESC, event_type LIMIT 4"
+            ).collect(),
+            N_VANILLA,
+        )
+        log(
+            f"uw_freq_topk_sf1: {queries['uw_freq_topk_sf1']*1e3:.0f} ms flat "
+            f"(sf0.1 {queries['uw_freq_topk']*1e3:.0f} ms) vs vanilla_topk_sf1 "
+            f"{queries['vanilla_topk_sf1']*1e3:.0f} ms "
+            f"(sf0.1 {queries['vanilla_topk']*1e3:.0f} ms — scan grows)"
+        )
+        docs1 = spark.read.parquet(doc1_path)
+        t0 = time.perf_counter()
+        n_pairs_sf1 = dedup.lsh_candidate_pairs(
+            dedup.with_minhash_signature(docs1), min_est_jaccard=0.35
+        ).count()
+        queries["dedup_minhash_lsh_sf1"] = time.perf_counter() - t0
+        log(
+            f"dedup_minhash_lsh_sf1: {queries['dedup_minhash_lsh_sf1']:.2f}s "
+            f"({n_pairs_sf1} pairs = 10x the sf0.1 run; sf0.1 "
+            f"{queries['dedup_minhash_lsh']:.2f}s -> ratio "
+            f"{queries['dedup_minhash_lsh_sf1'] / queries['dedup_minhash_lsh']:.1f}x)"
+        )
+
     total = sum(queries.values())
     line = json.dumps(
         {

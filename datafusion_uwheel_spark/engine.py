@@ -579,6 +579,15 @@ class WheelEngine:
         range (the point-query form of :meth:`approx_topk`)."""
         return self.topk_rollups[column].approx_count(item, start, end)
 
+    def approx_topk_by(
+        self, column: str, granularity, k: int = 10, start=None, end=None
+    ) -> DataFrame:
+        """Per-period top-``k`` ``column`` values ("top domains per day") —
+        the group-by form of :meth:`approx_topk`, same opt-in discipline."""
+        return self.topk_rollups[column].approx_topk_by(
+            granularity, k, start=start, end=end
+        )
+
     def approx_retained(self, column: str, r1, r2) -> int:
         """Estimated distinct ``column`` values present in BOTH ``(start,
         end)`` ranges — period-over-period retention, from the theta rollup

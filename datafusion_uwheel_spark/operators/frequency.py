@@ -106,6 +106,23 @@ class FrequencyRollup(SketchRetention):
         self.bucket_seconds = bucket_seconds
         self.capacity = capacity
         self.key_column = None  # item IS the dimension; no second key
+        self._refresh_err_cache()
+
+    def _refresh_err_cache(self) -> None:
+        """Mirror the tiny ``(__sec, err)`` frame into driver-side numpy
+        prefix sums — one row per bucket, the same driver-residency regime
+        as the wheels themselves — so :meth:`total_err` is a zero-job
+        ``searchsorted`` lookup and the scalar asks cost ONE Spark job for
+        the kept aggregate plus a driver literal for ``upper`` (the
+        pre-r8 broadcast-join shape paid a broadcast-exchange job per
+        ask). Refreshed wherever ``_err`` changes (build, merge_batch,
+        compact_before, load)."""
+        import numpy as np
+
+        rows = self._err.orderBy("__sec").collect()
+        self._err_secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
+        errs = np.array([r["err"] for r in rows], dtype=np.int64)
+        self._err_prefix = np.concatenate(([0], np.cumsum(errs)))
 
     # ------------------------------------------------------------ queries
     def _aligned_sec(self, v, name: str) -> int:
@@ -127,55 +144,109 @@ class FrequencyRollup(SketchRetention):
     def _restrict(self, df: DataFrame, a: int, b: int) -> DataFrame:
         return df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
 
-    def _total_err_df(self, a: int, b: int) -> DataFrame:
-        """1-row ``(__terr)`` aggregate of the range's truncation error —
-        cross-joined into query plans so est and bound come back in ONE
-        job (two collects per ask was the pre-r8 shape)."""
-        return self._restrict(self._err, a, b).agg(
-            F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("__terr")
-        )
+    def _total_err(self, a: int, b: int) -> int:
+        import numpy as np
+
+        lo = int(np.searchsorted(self._err_secs, a, side="left"))
+        hi = int(np.searchsorted(self._err_secs, b, side="left"))
+        return int(self._err_prefix[hi] - self._err_prefix[lo])
 
     def total_err(self, start, end) -> int:
         """Σ per-bucket truncation error over the (aligned) range — the
         additive slack between ``est`` and ``upper``. 0 when every bucket
-        in range held ≤ capacity items (answers are then EXACT)."""
+        in range held ≤ capacity items (answers are then EXACT). A pure
+        driver lookup over the cached prefix sums: zero Spark jobs."""
         a, b = self._range(start, end)
-        return int(self._total_err_df(a, b).collect()[0]["__terr"])
+        return self._total_err(a, b)
 
     def approx_topk(self, start, end, k: int = 10) -> DataFrame:
         """Top-``k`` items by estimated count over ``[start, end)`` as
         ``(item, est, upper)``, ``est`` descending (ties on item). ``est``
         never exceeds the true count; the true count never exceeds
         ``upper``; any item whose true count beats the k-th ``est`` plus
-        the range's total error is guaranteed present. One job end to end:
-        the 1-row error aggregate rides the same plan (broadcast cross
-        join), not a second collect."""
+        the range's total error is guaranteed present. ONE Spark job end
+        to end: the kept aggregate is the only distributed work —
+        ``upper`` adds the driver-resident error lookup as a literal (the
+        pre-r8 broadcast-join shape paid a broadcast-exchange job per
+        ask, pushing the probe past the local small-job floor)."""
         a, b = self._range(start, end)
+        terr = self._total_err(a, b)
         return (
             self._restrict(self._df, a, b)
             .groupBy(F.col("__item").alias("item"))
             .agg(F.sum("cnt").alias("est"))
-            .crossJoin(F.broadcast(self._total_err_df(a, b)))
-            .withColumn("upper", F.col("est") + F.col("__terr"))
-            .drop("__terr")
+            .withColumn("upper", (F.col("est") + F.lit(terr)).cast("long"))
             .orderBy(F.col("est").desc(), F.col("item").asc())
             .limit(k)
+        )
+
+    def approx_topk_by(
+        self, granularity, k: int = 10, start=None, end=None
+    ) -> DataFrame:
+        """Per-period top-``k`` — the group-by form of :meth:`approx_topk`
+        ("top domains per day"), mirroring the sibling sketches'
+        ``approx_distinct_by`` / ``approx_quantile_by`` / ``retention_by``:
+        ``(bucket, item, est, upper)`` with at most ``k`` items per bucket,
+        ordered (bucket, est desc, item). ``granularity`` is a named
+        ``date_trunc`` level or an integer tumbling width in seconds; it
+        must be tiled by the coarsest stored bucket width in the asked span
+        (compacted prefixes can never leak a finer distribution — raise,
+        never silently wrong). ``upper`` adds the CELL's summed truncation
+        error, so every per-period true count lies in ``[est, upper]``.
+        Occupied buckets only; one tiny job over the cached rollup."""
+        self._check_granularity(granularity, start)
+        if (start is None) != (end is None):
+            raise ValueError("give both bounds or neither")
+        kept, err = self._df, self._err
+        if start is not None:
+            a, b = self._range(start, end)  # alignment gate incl. tiers
+            kept, err = self._restrict(kept, a, b), self._restrict(err, a, b)
+        ts = F.timestamp_seconds(F.col("__sec"))
+        if isinstance(granularity, int):
+            bucket = F.timestamp_seconds(
+                F.col("__sec") - F.col("__sec") % F.lit(granularity)
+            )
+        else:
+            bucket = F.date_trunc(str(granularity), ts)
+        cells = (
+            kept.groupBy(bucket.alias("bucket"), F.col("__item").alias("item"))
+            .agg(F.sum("cnt").alias("est"))
+        )
+        cell_err = err.groupBy(bucket.alias("bucket")).agg(
+            F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("__terr")
+        )
+        w = Window.partitionBy("bucket").orderBy(
+            F.col("est").desc(), F.col("item").asc()
+        )
+        return (
+            cells.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .join(cell_err, on="bucket", how="left")
+            .select(
+                "bucket",
+                "item",
+                "est",
+                (F.col("est") + F.coalesce(F.col("__terr"), F.lit(0))).alias(
+                    "upper"
+                ),
+            )
+            .orderBy("bucket", F.col("est").desc(), F.col("item").asc())
         )
 
     def approx_count(self, item, start, end) -> tuple[int, int]:
         """``(est, upper)`` bounds for ONE item's count over the range —
         the point-query form (est = Σ kept counts, a lower bound that is
         exact while no merge/compaction has folded error into the range's
-        buckets). One collect: the two 1-row aggregates join in-plan."""
+        buckets). One collect; the error bound is a driver lookup."""
         a, b = self._range(start, end)
-        est_df = (
+        row = (
             self._restrict(self._df, a, b)
             .filter(F.col("__item").eqNullSafe(F.lit(item)))
             .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("est"))
+            .collect()[0]
         )
-        row = est_df.crossJoin(F.broadcast(self._total_err_df(a, b))).collect()[0]
         est = int(row["est"])
-        return est, est + int(row["__terr"])
+        return est, est + self._total_err(a, b)
 
     # ------------------------------------------------------------ updates
     def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
@@ -224,6 +295,7 @@ class FrequencyRollup(SketchRetention):
         self._err.count()
         old_df.unpersist()
         old_err.unpersist()
+        self._refresh_err_cache()
 
     def compact_before(self, cutoff_sec: int, width: int) -> int:
         """Tiered retention (see :class:`SketchRetention`): fine buckets
@@ -276,6 +348,7 @@ class FrequencyRollup(SketchRetention):
         old_df.unpersist()
         old_err.unpersist()
         self._tiers = [(cutoff, width)]
+        self._refresh_err_cache()
         return before - after
 
     def _union_agg_exprs(self):  # pragma: no cover - SketchRetention hook

@@ -187,6 +187,99 @@ def test_tie_break_deterministic(spark):
         r2.unpersist()
 
 
+def test_total_err_is_driver_resident(tight, spark):
+    """total_err is a prefix-sum lookup over the driver-mirrored error
+    table — zero Spark jobs (the wheels' driver-residency discipline)."""
+    tight.total_err(*FULL)  # warm
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert tight.total_err(*FULL) > 0
+    assert tight.total_err(DAY1, DAY2) >= 0
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before
+
+
+# ------------------------------------------------------------ group-by form
+def _truth_by_day() -> dict:
+    out: dict = {}
+    for ts, item in ROWS:
+        day = datetime(ts.year, ts.month, ts.day)
+        out.setdefault(day, Counter())[item] += 1
+    return out
+
+
+def test_topk_by_exact_per_day(ample):
+    got: dict = {}
+    for r in ample.approx_topk_by("day", k=2).collect():
+        got.setdefault(r["bucket"], []).append((r["item"], r["est"], r["upper"]))
+    truth = _truth_by_day()
+    assert set(got) == set(truth)
+    for day, rows in got.items():
+        want = sorted(
+            truth[day].items(), key=lambda kv: (-kv[1], kv[0] or "")
+        )[:2]
+        assert [(i, e) for i, e, _ in rows] == want
+        assert all(e == u for _, e, u in rows)  # err 0 -> upper == est
+
+
+def test_topk_by_bounds_under_truncation(tight):
+    truth = _truth_by_day()
+    rows = tight.approx_topk_by("day", k=100).collect()
+    terr_by_day: dict = {}
+    for r in rows:
+        terr_by_day[r["bucket"]] = r["upper"] - r["est"]  # cell terr constant
+    for r in rows:
+        true = truth[r["bucket"]][r["item"]]
+        assert r["est"] <= true <= r["upper"], r
+    # per-cell error is positive somewhere (capacity 4 < 13 distinct)
+    assert any(v > 0 for v in terr_by_day.values())
+
+
+def test_topk_by_int_width_and_restriction(ample):
+    # 2-hour epoch-aligned tumbling windows over a restricted aligned range
+    rows = ample.approx_topk_by(7200, k=1, start=DAY1, end=DAY2).collect()
+    assert [r["bucket"] for r in rows] == [
+        BASE + timedelta(hours=h) for h in (0, 2, 4)
+    ]
+    assert all(r["item"] == "hvy_a" and r["est"] == 60 for r in rows)
+    with pytest.raises(ValueError):  # one-sided restriction
+        ample.approx_topk_by("day", start=DAY1)
+    with pytest.raises(ValueError):  # unaligned restriction
+        ample.approx_topk_by("day", start=DAY1, end="2024-02-01 03:30:00")
+    with pytest.raises(ValueError):  # granularity finer than buckets
+        ample.approx_topk_by(1800)
+
+
+def test_topk_by_compaction_gate(spark, events):
+    r = build_frequency_rollup(events, "item", "ts", 3600, capacity=64)
+    try:
+        day2_sec = int(datetime(2024, 2, 2).timestamp())
+        r.compact_before(day2_sec, 86400)
+        with pytest.raises(ValueError):  # hour cells would split day buckets
+            r.approx_topk_by("hour")
+        got = {x["bucket"]: (x["item"], x["est"]) for x in
+               r.approx_topk_by("day", k=1).collect()}
+        truth = _truth_by_day()
+        want = {
+            d: sorted(truth[d].items(), key=lambda kv: (-kv[1], kv[0] or ""))[0]
+            for d in truth
+        }
+        assert got == want
+        # restriction to the fine suffix keeps fine group-bys answerable
+        assert r.approx_topk_by("hour", k=1, start=DAY2, end=DAY3).count() == 6
+    finally:
+        r.unpersist()
+
+
+def test_engine_topk_by(spark, events, tmp_path):
+    src = str(tmp_path / "freq_events_by.parquet")
+    events.write.mode("overwrite").parquet(src)
+    eng = WheelEngine(spark, "freq_events_by", src, time_column="ts")
+    eng.build_topk_index("item", bucket_seconds=3600, capacity=64)
+    rows = eng.approx_topk_by("item", "day", k=1).collect()
+    assert [r["item"] for r in rows] == ["hvy_a", "hvy_a"]
+
+
 # ------------------------------------------------------------------ merge
 def test_merge_exact_equals_fresh(spark, events):
     """Ample capacity: merge_batch over halves == one batch build, err 0."""
