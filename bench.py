@@ -1302,11 +1302,23 @@ def main() -> None:
             f"(sf0.1 {queries['vanilla_topk']*1e3:.0f} ms — scan grows)"
         )
         docs1 = spark.read.parquet(doc1_path)
-        t0 = time.perf_counter()
-        n_pairs_sf1 = dedup.lsh_candidate_pairs(
-            dedup.with_minhash_signature(docs1), min_est_jaccard=0.35
-        ).count()
-        queries["dedup_minhash_lsh_sf1"] = time.perf_counter() - t0
+        pair_counts_sf1 = []
+
+        def minhash_sf1_run():
+            # same med()/release discipline as the sf0.1 row: the ratio
+            # must be warm-median vs warm-median, and the 10x signature
+            # frame (the biggest cached block the bench creates) must not
+            # stay pinned for the rest of the run
+            pairs = dedup.lsh_candidate_pairs(
+                dedup.with_minhash_signature(docs1), min_est_jaccard=0.35
+            )
+            n = pairs.count()
+            dedup.release_signatures(pairs)
+            pair_counts_sf1.append(n)
+            return n
+
+        med("dedup_minhash_lsh_sf1", minhash_sf1_run)
+        n_pairs_sf1 = pair_counts_sf1[-1]
         log(
             f"dedup_minhash_lsh_sf1: {queries['dedup_minhash_lsh_sf1']:.2f}s "
             f"({n_pairs_sf1} pairs = 10x the sf0.1 run; sf0.1 "

@@ -211,40 +211,25 @@ class WheelEngine:
             import json as _json
             import os as _os
 
-            dman = _os.path.join(load_indexes, "distinct.json")
-            if _os.path.exists(dman):
-                from .operators.distinct import load_distinct_rollup
+            from .operators.distinct import load_distinct_rollup
+            from .operators.frequency import load_frequency_rollup
+            from .operators.quantiles import load_quantile_rollup
+            from .operators.theta import load_theta_rollup
 
-                with open(dman) as f:
+            # one manifest per sketch family, same format (save_indexes
+            # writes the mirror loop) — a fifth family is one more row
+            for manifest, loader, target in (
+                ("distinct.json", load_distinct_rollup, self.distinct_rollups),
+                ("quantiles.json", load_quantile_rollup, self.quantile_rollups),
+                ("theta.json", load_theta_rollup, self.theta_rollups),
+                ("topk.json", load_frequency_rollup, self.topk_rollups),
+            ):
+                man = _os.path.join(load_indexes, manifest)
+                if not _os.path.exists(man):
+                    continue
+                with open(man) as f:
                     for entry in _json.load(f)["rollups"]:
-                        self.distinct_rollups[entry["column"]] = load_distinct_rollup(
-                            spark, _os.path.join(load_indexes, entry["dir"])
-                        )
-            qman = _os.path.join(load_indexes, "quantiles.json")
-            if _os.path.exists(qman):
-                from .operators.quantiles import load_quantile_rollup
-
-                with open(qman) as f:
-                    for entry in _json.load(f)["rollups"]:
-                        self.quantile_rollups[entry["column"]] = load_quantile_rollup(
-                            spark, _os.path.join(load_indexes, entry["dir"])
-                        )
-            tman = _os.path.join(load_indexes, "theta.json")
-            if _os.path.exists(tman):
-                from .operators.theta import load_theta_rollup
-
-                with open(tman) as f:
-                    for entry in _json.load(f)["rollups"]:
-                        self.theta_rollups[entry["column"]] = load_theta_rollup(
-                            spark, _os.path.join(load_indexes, entry["dir"])
-                        )
-            kman = _os.path.join(load_indexes, "topk.json")
-            if _os.path.exists(kman):
-                from .operators.frequency import load_frequency_rollup
-
-                with open(kman) as f:
-                    for entry in _json.load(f)["rollups"]:
-                        self.topk_rollups[entry["column"]] = load_frequency_rollup(
+                        target[entry["column"]] = loader(
                             spark, _os.path.join(load_indexes, entry["dir"])
                         )
         self.router = Router(self)
@@ -1052,37 +1037,22 @@ class WheelEngine:
                     },
                     f,
                 )
-        if self.distinct_rollups:
+        # one manifest per sketch family — the mirror of the load loop in
+        # ``__init__``; a fifth family is one more row in both tables
+        for rollups, prefix, manifest in (
+            (self.distinct_rollups, "distinct", "distinct.json"),
+            (self.quantile_rollups, "quantile", "quantiles.json"),
+            (self.theta_rollups, "theta", "theta.json"),
+            (self.topk_rollups, "topk", "topk.json"),
+        ):
+            if not rollups:
+                continue
             entries = []
-            for i, (col, r) in enumerate(sorted(self.distinct_rollups.items())):
-                d = f"distinct_{i:04d}"
+            for i, (col, r) in enumerate(sorted(rollups.items())):
+                d = f"{prefix}_{i:04d}"
                 r.save(_os.path.join(out_dir, d))
                 entries.append({"column": col, "dir": d})
-            with open(_os.path.join(out_dir, "distinct.json"), "w") as f:
-                _json.dump({"version": 1, "rollups": entries}, f)
-        if self.quantile_rollups:
-            entries = []
-            for i, (col, r) in enumerate(sorted(self.quantile_rollups.items())):
-                d = f"quantile_{i:04d}"
-                r.save(_os.path.join(out_dir, d))
-                entries.append({"column": col, "dir": d})
-            with open(_os.path.join(out_dir, "quantiles.json"), "w") as f:
-                _json.dump({"version": 1, "rollups": entries}, f)
-        if self.theta_rollups:
-            entries = []
-            for i, (col, r) in enumerate(sorted(self.theta_rollups.items())):
-                d = f"theta_{i:04d}"
-                r.save(_os.path.join(out_dir, d))
-                entries.append({"column": col, "dir": d})
-            with open(_os.path.join(out_dir, "theta.json"), "w") as f:
-                _json.dump({"version": 1, "rollups": entries}, f)
-        if self.topk_rollups:
-            entries = []
-            for i, (col, r) in enumerate(sorted(self.topk_rollups.items())):
-                d = f"topk_{i:04d}"
-                r.save(_os.path.join(out_dir, d))
-                entries.append({"column": col, "dir": d})
-            with open(_os.path.join(out_dir, "topk.json"), "w") as f:
+            with open(_os.path.join(out_dir, manifest), "w") as f:
                 _json.dump({"version": 1, "rollups": entries}, f)
         return path
 

@@ -116,13 +116,16 @@ class FrequencyRollup(SketchRetention):
         the kept aggregate plus a driver literal for ``upper`` (the
         pre-r8 broadcast-join shape paid a broadcast-exchange job per
         ask). Refreshed wherever ``_err`` changes (build, merge_batch,
-        compact_before, load)."""
+        compact_before, load). Published as ONE attribute so a concurrent
+        reader (dashboard thread during a streaming merge) always sees a
+        consistent (secs, prefix) snapshot — two attributes could be
+        observed half-updated between assignments."""
         import numpy as np
 
         rows = self._err.orderBy("__sec").collect()
-        self._err_secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
+        secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
         errs = np.array([r["err"] for r in rows], dtype=np.int64)
-        self._err_prefix = np.concatenate(([0], np.cumsum(errs)))
+        self._err_cache = (secs, np.concatenate(([0], np.cumsum(errs))))
 
     # ------------------------------------------------------------ queries
     def _aligned_sec(self, v, name: str) -> int:
@@ -147,9 +150,10 @@ class FrequencyRollup(SketchRetention):
     def _total_err(self, a: int, b: int) -> int:
         import numpy as np
 
-        lo = int(np.searchsorted(self._err_secs, a, side="left"))
-        hi = int(np.searchsorted(self._err_secs, b, side="left"))
-        return int(self._err_prefix[hi] - self._err_prefix[lo])
+        secs, prefix = self._err_cache  # one read: consistent snapshot
+        lo = int(np.searchsorted(secs, a, side="left"))
+        hi = int(np.searchsorted(secs, b, side="left"))
+        return int(prefix[hi] - prefix[lo])
 
     def total_err(self, start, end) -> int:
         """Σ per-bucket truncation error over the (aligned) range — the
