@@ -536,6 +536,7 @@ class WheelEngine:
         column: str,
         bucket_seconds: int = 3600,
         capacity: int = 64,
+        partition_by: str | None = None,
     ):
         """Build a per-bucket truncated-counter rollup for approximate
         "top ``column`` values in a time range" — the heavy-hitters sketch
@@ -543,12 +544,15 @@ class WheelEngine:
         :meth:`approx_topk` / :meth:`approx_item_count`; answers come with
         deterministic ``[est, upper]`` bounds, cost O(buckets × capacity),
         never a table scan. With ``capacity`` ≥ the per-bucket distinct
-        count the answers are exact."""
+        count the answers are exact. ``partition_by=key`` truncates per
+        ``(bucket, key)`` for :meth:`approx_topk_by_key` dimensional asks
+        (unkeyed asks still answer with valid bounds)."""
         from .operators.frequency import build_frequency_rollup
 
         r = build_frequency_rollup(
             self.df, column, self.time_column,
             bucket_seconds=bucket_seconds, capacity=capacity,
+            partition_by=partition_by,
         )
         self.topk_rollups[column] = r
         return r
@@ -571,6 +575,16 @@ class WheelEngine:
         the group-by form of :meth:`approx_topk`, same opt-in discipline."""
         return self.topk_rollups[column].approx_topk_by(
             granularity, k, start=start, end=end
+        )
+
+    def approx_topk_by_key(
+        self, column: str, k: int = 10, start=None, end=None
+    ) -> DataFrame:
+        """Per-key top-``k`` ``column`` values ("top domains per language")
+        — requires a ``partition_by=`` build of :meth:`build_topk_index`;
+        same opt-in discipline."""
+        return self.topk_rollups[column].approx_topk_by_key(
+            k, start=start, end=end
         )
 
     def approx_retained(self, column: str, r1, r2) -> int:

@@ -57,18 +57,22 @@ _META = "_frequency_meta.json"
 _CACHE_PARTITIONS = 4
 
 
-def _truncate(counts: DataFrame, capacity: int) -> tuple[DataFrame, DataFrame]:
-    """Per-bucket top-``capacity`` of exact/merged ``(__sec, __item, cnt)``
-    rows plus the per-bucket truncation error ``(__sec, err)`` — the
-    (capacity+1)-th count, 0 when nothing is dropped. Ties break on item so
-    the kept set is deterministic."""
-    w = Window.partitionBy("__sec").orderBy(
+def _truncate(
+    counts: DataFrame, capacity: int, keyed: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Per-bucket (or per ``(bucket, key)`` when ``keyed``) top-``capacity``
+    of exact/merged ``(__sec[, __key], __item, cnt)`` rows plus the
+    matching truncation error rows — the (capacity+1)-th count, 0 when
+    nothing is dropped. Ties break on item so the kept set is
+    deterministic."""
+    grp = ["__sec"] + (["__key"] if keyed else [])
+    w = Window.partitionBy(*grp).orderBy(
         F.col("cnt").desc(), F.col("__item").asc()
     )
     ranked = counts.withColumn("__rk", F.row_number().over(w))
     kept = ranked.filter(F.col("__rk") <= capacity).drop("__rk")
     err = (
-        ranked.groupBy("__sec")
+        ranked.groupBy(*grp)
         .agg(
             F.coalesce(
                 F.max(F.when(F.col("__rk") == capacity + 1, F.col("cnt"))),
@@ -79,6 +83,28 @@ def _truncate(counts: DataFrame, capacity: int) -> tuple[DataFrame, DataFrame]:
         )
     )
     return kept, err
+
+
+def _sum_err_frames(a: DataFrame, b: DataFrame, grp: list[str]) -> DataFrame:
+    """Full-outer sum of two ``(*grp, err)`` frames. NULL-SAFE on the
+    group columns: a keyed rollup's ``__key`` can be NULL, and a plain
+    USING join would miss the NULL-key match — splitting one bucket's
+    error across duplicate rows (sums stay right, rows grow per merge)."""
+    la, rb = a.alias("__efl"), b.alias("__efr")
+    cond = None
+    for c in grp:
+        e = F.col(f"__efl.{c}").eqNullSafe(F.col(f"__efr.{c}"))
+        cond = e if cond is None else cond & e
+    return la.join(rb, on=cond, how="full").select(
+        *[
+            F.coalesce(F.col(f"__efl.{c}"), F.col(f"__efr.{c}")).alias(c)
+            for c in grp
+        ],
+        (
+            F.coalesce(F.col("__efl.err"), F.lit(0))
+            + F.coalesce(F.col("__efr.err"), F.lit(0))
+        ).cast("long").alias("err"),
+    )
 
 
 class FrequencyRollup(SketchRetention):
@@ -99,14 +125,23 @@ class FrequencyRollup(SketchRetention):
         column: str,
         bucket_seconds: int,
         capacity: int,
+        key_column: str | None = None,
     ):
-        self._df = kept  # (__sec, __item, cnt) — SketchRetention contract
-        self._err = err  # (__sec, err)
+        self._df = kept  # (__sec[, __key], __item, cnt) — mixin contract
+        self._err = err  # (__sec[, __key], err)
         self.column = column
         self.bucket_seconds = bucket_seconds
         self.capacity = capacity
-        self.key_column = None  # item IS the dimension; no second key
+        #: ``partition_by=`` dimension of a keyed build (truncation and
+        #: error tracking per (bucket, key) — :meth:`approx_topk_by_key`);
+        #: None for the plain per-bucket form. Unkeyed asks on a keyed
+        #: rollup stay valid: kept counts sum across keys (a lower bound)
+        #: and the error cache sums every key's slack per bucket.
+        self.key_column = key_column
         self._refresh_err_cache()
+
+    def _grp(self) -> list[str]:
+        return ["__sec"] + (["__key"] if self.key_column is not None else [])
 
     def _refresh_err_cache(self) -> None:
         """Mirror the tiny ``(__sec, err)`` frame into driver-side numpy
@@ -122,7 +157,11 @@ class FrequencyRollup(SketchRetention):
         observed half-updated between assignments."""
         import numpy as np
 
-        rows = self._err.orderBy("__sec").collect()
+        err = self._err
+        if self.key_column is not None:
+            # unkeyed bounds on a keyed rollup: every key's slack counts
+            err = err.groupBy("__sec").agg(F.sum("err").alias("err"))
+        rows = err.orderBy("__sec").collect()
         secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
         errs = np.array([r["err"] for r in rows], dtype=np.int64)
         self._err_cache = (secs, np.concatenate(([0], np.cumsum(errs))))
@@ -237,6 +276,59 @@ class FrequencyRollup(SketchRetention):
             .orderBy("bucket", F.col("est").desc(), F.col("item").asc())
         )
 
+    def approx_topk_by_key(self, k: int = 10, start=None, end=None) -> DataFrame:
+        """Per-key top-``k`` over an optional aligned ``[start, end)``
+        restriction — the dimensional form ("top domains per language";
+        requires a ``partition_by=`` build): ``(<key_column>, item, est,
+        upper)`` with at most ``k`` items per key, ordered (key, est desc,
+        item), NULL keys included as their own row. ``upper`` adds that
+        KEY's summed truncation error over the range, so every per-key
+        true count lies in ``[est, upper]``. One tiny job."""
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+        kept, err = self._df, self._err
+        if (start is None) != (end is None):
+            raise ValueError("give both bounds or neither")
+        if start is not None:
+            a, b = self._range(start, end)
+            kept, err = self._restrict(kept, a, b), self._restrict(err, a, b)
+        per_key = (
+            kept.groupBy(
+                F.col("__key").alias(self.key_column),
+                F.col("__item").alias("item"),
+            )
+            .agg(F.sum("cnt").alias("est"))
+        )
+        # NULL-safe err join: a plain USING join would drop the NULL key's
+        # slack and emit an upper bound that is too SMALL (a wrong answer,
+        # not just a loose one)
+        key_err = err.groupBy(F.col("__key").alias("__ek")).agg(
+            F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("__terr")
+        )
+        w = Window.partitionBy(self.key_column).orderBy(
+            F.col("est").desc(), F.col("item").asc()
+        )
+        return (
+            per_key.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .join(
+                key_err,
+                on=F.col(self.key_column).eqNullSafe(F.col("__ek")),
+                how="left",
+            )
+            .select(
+                self.key_column,
+                "item",
+                "est",
+                (F.col("est") + F.coalesce(F.col("__terr"), F.lit(0))).alias(
+                    "upper"
+                ),
+            )
+            .orderBy(self.key_column, F.col("est").desc(), F.col("item").asc())
+        )
+
     def approx_count(self, item, start, end) -> tuple[int, int]:
         """``(est, upper)`` bounds for ONE item's count over the range —
         the point-query form (est = Σ kept counts, a lower bound that is
@@ -264,30 +356,24 @@ class FrequencyRollup(SketchRetention):
         from pyspark import StorageLevel
 
         sec = self._bucket_expr(time_sec_col(batch_df, time_column))
+        grp = self._grp()
+        gcols = [sec.alias("__sec")]
+        if self.key_column is not None:
+            gcols.append(F.col(self.key_column).alias("__key"))
         batch = (
             batch_df.filter(F.col(time_column).isNotNull())
-            .groupBy(
-                sec.alias("__sec"),
-                F.col(self.column).alias("__item"),
-            )
+            .groupBy(*gcols, F.col(self.column).alias("__item"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         merged = (
             self._df.unionByName(batch)
-            .groupBy("__sec", "__item")
+            .groupBy(*grp, "__item")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        kept, add_err = _truncate(merged, self.capacity)
-        new_err = (
-            self._err.join(add_err, on="__sec", how="full")
-            .select(
-                "__sec",
-                (
-                    F.coalesce(self._err["err"], F.lit(0))
-                    + F.coalesce(add_err["err"], F.lit(0))
-                ).alias("err"),
-            )
+        kept, add_err = _truncate(
+            merged, self.capacity, keyed=self.key_column is not None
         )
+        new_err = _sum_err_frames(self._err, add_err, grp)
         old_df, old_err = self._df, self._err
         self._df = kept.coalesce(_CACHE_PARTITIONS).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -317,28 +403,23 @@ class FrequencyRollup(SketchRetention):
         before = self._df.filter(in_span).count()
         if before == 0:
             return 0
+        grp = self._grp()
         coarse_sec = (F.col("__sec") - (F.col("__sec") % width)).alias("__sec")
+        key_cols = [F.col("__key")] if self.key_column is not None else []
         coarse_counts = (
             self._df.filter(in_span)
-            .groupBy(coarse_sec, F.col("__item"))
+            .groupBy(coarse_sec, *key_cols, F.col("__item"))
             .agg(F.sum("cnt").alias("cnt"))
         )
-        kept, trunc_err = _truncate(coarse_counts, self.capacity)
+        kept, trunc_err = _truncate(
+            coarse_counts, self.capacity, keyed=self.key_column is not None
+        )
         fine_err = (
             self._err.filter(in_span)
-            .groupBy(coarse_sec)
+            .groupBy(coarse_sec, *key_cols)
             .agg(F.sum("err").alias("err"))
         )
-        coarse_err = (
-            fine_err.join(trunc_err, on="__sec", how="full")
-            .select(
-                "__sec",
-                (
-                    F.coalesce(fine_err["err"], F.lit(0))
-                    + F.coalesce(trunc_err["err"], F.lit(0))
-                ).alias("err"),
-            )
-        )
+        coarse_err = _sum_err_frames(fine_err, trunc_err, grp)
         new_df = kept.unionByName(self._df.filter(~in_span)).coalesce(
             _CACHE_PARTITIONS
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -372,6 +453,7 @@ class FrequencyRollup(SketchRetention):
                     "bucket_seconds": self.bucket_seconds,
                     "capacity": self.capacity,
                     "tiers": self.tiers,
+                    "key_column": self.key_column,
                 },
                 f,
             )
@@ -388,12 +470,18 @@ def build_frequency_rollup(
     time_column: str,
     bucket_seconds: int = 3600,
     capacity: int = 64,
+    partition_by: str | None = None,
 ) -> FrequencyRollup:
     """One shuffle over the table → cached per-bucket truncated counters.
 
     ``capacity`` trades rollup size against slack: per bucket, items past
     the top ``capacity`` fold into ``err``. With capacity ≥ the per-bucket
-    distinct-item count the rollup is EXACT (err 0 everywhere)."""
+    distinct-item count the rollup is EXACT (err 0 everywhere).
+    ``partition_by=key`` truncates per ``(bucket, key value)`` for
+    dimensional asks (:meth:`FrequencyRollup.approx_topk_by_key`); unkeyed
+    asks still answer with valid bounds by summing across keys. State
+    grows to buckets × keys × capacity — meant for low-cardinality
+    dimensional keys."""
     from pyspark import StorageLevel
 
     if capacity <= 0:
@@ -401,17 +489,22 @@ def build_frequency_rollup(
     sec = time_sec_col(df, time_column)
     if bucket_seconds > 1:
         sec = sec - (sec % bucket_seconds)
+    gcols = [sec.alias("__sec")]
+    if partition_by is not None:
+        gcols.append(F.col(partition_by).alias("__key"))
     counts = (
         df.filter(F.col(time_column).isNotNull())
-        .groupBy(sec.alias("__sec"), F.col(column).alias("__item"))
+        .groupBy(*gcols, F.col(column).alias("__item"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    kept, err = _truncate(counts, capacity)
+    kept, err = _truncate(counts, capacity, keyed=partition_by is not None)
     kept = kept.coalesce(_CACHE_PARTITIONS).persist(StorageLevel.MEMORY_AND_DISK)
     err = err.coalesce(_CACHE_PARTITIONS).persist(StorageLevel.MEMORY_AND_DISK)
     kept.count()
     err.count()
-    return FrequencyRollup(kept, err, column, bucket_seconds, capacity)
+    return FrequencyRollup(
+        kept, err, column, bucket_seconds, capacity, key_column=partition_by
+    )
 
 
 def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
@@ -430,8 +523,13 @@ def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     r = FrequencyRollup(
-        kept, err, meta["column"], meta["bucket_seconds"], meta["capacity"]
+        kept,
+        err,
+        meta["column"],
+        meta["bucket_seconds"],
+        meta["capacity"],
+        key_column=meta.get("key_column"),
     )
     if meta.get("tiers"):
-        r._tiers = [tuple(t) for t in meta["tiers"]]
+        r._tiers = [tuple(t) for t in meta["tiers"]]  # cache is tier-free
     return r

@@ -466,6 +466,166 @@ def test_maintainer_streams_topk(spark, events, tmp_path):
     assert got == dict(truth)  # ample capacity: streamed == exact
 
 
+# -------------------------------------------------------------- keyed form
+def _mk_keyed_rows():
+    """Two hourly buckets x three segments ('a', 'b', NULL) with per-segment
+    skew: each segment's top item differs, and segment 'b' carries a long
+    tail so a tight capacity truncates it (per-key err > 0)."""
+    rows = []
+    for hour in range(2):
+        ts = BASE + timedelta(hours=hour)
+        rows += [(ts, "seg_a_top", "a")] * 20 + [(ts, "shared", "a")] * 5
+        rows += [(ts, "seg_b_top", "b")] * 15 + [(ts, "shared", "b")] * 4
+        for t in range(8):  # segment-b tail, near-tied
+            rows += [(ts, f"b_tail{t}", "b")] * (2 + t % 3)
+        rows += [(ts, "nullseg_top", None)] * 7
+    return rows
+
+
+KEYED_ROWS = _mk_keyed_rows()
+
+
+def _keyed_truth(seg) -> Counter:
+    return Counter(item for _ts, item, s in KEYED_ROWS if s == seg)
+
+
+@pytest.fixture(scope="module")
+def keyed_events(spark):
+    return spark.createDataFrame(
+        KEYED_ROWS, "ts timestamp, item string, seg string"
+    )
+
+
+def test_keyed_exact_per_key(spark, keyed_events):
+    r = build_frequency_rollup(
+        keyed_events, "item", "ts", 3600, capacity=64, partition_by="seg"
+    )
+    try:
+        got: dict = {}
+        for x in r.approx_topk_by_key(k=2).collect():
+            got.setdefault(x["seg"], []).append((x["item"], x["est"], x["upper"]))
+        for seg in ("a", "b", None):
+            truth = _keyed_truth(seg)
+            want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+            assert [(i, e) for i, e, _ in got[seg]] == want, seg
+            assert all(e == u for _, e, u in got[seg])  # ample -> exact
+        # unkeyed asks on the keyed rollup still answer exactly (union of
+        # kept counts is complete when nothing truncates)
+        all_truth = _truth_of(KEYED_ROWS)
+        day = ("2024-02-01 00:00:00", "2024-02-02 00:00:00")
+        est, upper = r.approx_count("shared", *day)
+        assert est == upper == all_truth["shared"]
+    finally:
+        r.unpersist()
+
+
+def test_keyed_bounds_under_truncation(spark, keyed_events):
+    """capacity 2 truncates segment b's tail (and nothing else): per-key
+    bounds hold, including for the NULL segment (its err must not be lost
+    to a NULL-unsafe join), and unkeyed bounds stay valid."""
+    r = build_frequency_rollup(
+        keyed_events, "item", "ts", 3600, capacity=2, partition_by="seg"
+    )
+    try:
+        rows = r.approx_topk_by_key(k=100).collect()
+        by_seg: dict = {}
+        for x in rows:
+            by_seg.setdefault(x["seg"], {})[x["item"]] = (x["est"], x["upper"])
+        for seg in ("a", "b", None):
+            truth = _keyed_truth(seg)
+            kept = by_seg[seg]
+            terr = next(u - e for e, u in kept.values())
+            for item, true in truth.items():
+                est, upper = kept.get(item, (0, terr))
+                assert est <= true <= upper, (seg, item, est, true, upper)
+        # segment b truncated, a and NULL did not
+        terr_of = {s: next(u - e for e, u in by_seg[s].values()) for s in by_seg}
+        assert terr_of["b"] > 0 and terr_of["a"] == 0 and terr_of[None] == 0
+        # unkeyed ask: bounds still valid summing across keys
+        day = ("2024-02-01 00:00:00", "2024-02-02 00:00:00")
+        all_truth = _truth_of(KEYED_ROWS)
+        est, upper = r.approx_count("shared", *day)
+        assert est <= all_truth["shared"] <= upper
+    finally:
+        r.unpersist()
+
+
+def test_keyed_merge_compact_save_load(spark, keyed_events, tmp_path):
+    first = keyed_events.filter("ts < '2024-02-01 01:00:00'")
+    second = keyed_events.filter("ts >= '2024-02-01 01:00:00'")
+    r = build_frequency_rollup(
+        first, "item", "ts", 3600, capacity=64, partition_by="seg"
+    )
+    try:
+        r.merge_batch(second, "ts")
+        want = {}
+        for x in r.approx_topk_by_key(k=1).collect():
+            want[x["seg"]] = (x["item"], x["est"], x["upper"])
+        assert want["a"] == ("seg_a_top", 40, 40)  # streamed == exact
+        assert want[None] == ("nullseg_top", 14, 14)
+        # compact both hours into one day bucket: still exact, keys intact
+        day2 = int(datetime(2024, 2, 2).timestamp())
+        assert r.compact_before(day2, 86400) > 0
+        got = {x["seg"]: (x["item"], x["est"]) for x in
+               r.approx_topk_by_key(k=1).collect()}
+        assert got["b"] == ("seg_b_top", 30)
+        p = str(tmp_path / "keyed_freq")
+        r.save(p)
+        loaded = load_frequency_rollup(spark, p)
+        try:
+            assert loaded.key_column == "seg"
+            assert loaded.tiers == r.tiers
+            assert loaded.approx_topk_by_key(k=1).collect() == \
+                r.approx_topk_by_key(k=1).collect()
+        finally:
+            loaded.unpersist()
+    finally:
+        r.unpersist()
+
+
+def test_keyed_gates(spark, keyed_events, tight):
+    with pytest.raises(ValueError):  # unkeyed rollup refuses the keyed ask
+        tight.approx_topk_by_key()
+    r = build_frequency_rollup(
+        keyed_events, "item", "ts", 3600, capacity=8, partition_by="seg"
+    )
+    try:
+        with pytest.raises(ValueError):  # one-sided restriction
+            r.approx_topk_by_key(start="2024-02-01 00:00:00")
+        with pytest.raises(ValueError):  # unaligned restriction
+            r.approx_topk_by_key(
+                start="2024-02-01 00:00:00", end="2024-02-01 00:30:00"
+            )
+        # aligned restriction limits to the first hour
+        got = {x["seg"]: x["est"] for x in r.approx_topk_by_key(
+            k=1, start="2024-02-01 00:00:00", end="2024-02-01 01:00:00"
+        ).collect()}
+        assert got["a"] == 20
+    finally:
+        r.unpersist()
+
+
+def test_engine_keyed_topk(spark, keyed_events, tmp_path):
+    src = str(tmp_path / "keyed_events.parquet")
+    keyed_events.write.mode("overwrite").parquet(src)
+    eng = WheelEngine(spark, "keyed_events", src, time_column="ts")
+    eng.build_topk_index("item", bucket_seconds=3600, capacity=64,
+                         partition_by="seg")
+    rows = eng.approx_topk_by_key("item", k=1).collect()
+    assert {x["seg"]: x["item"] for x in rows} == {
+        "a": "seg_a_top", "b": "seg_b_top", None: "nullseg_top"
+    }
+    out = str(tmp_path / "keyed_idx")
+    eng.save_indexes(out)
+    eng2 = WheelEngine(spark, "keyed_events", src, time_column="ts",
+                       load_indexes=out)
+    assert eng2.approx_topk_by_key("item", k=1).collect() == rows
+
+
+def _truth_of(rows) -> Counter:
+    return Counter(item for _ts, item, *_ in rows)
+
+
 # ---------------------------------------------------------------- sf data
 def test_sf_data_exact_topk(spark, sf_small_dir):
     """Real testdata: capacity >= the 5 distinct event types -> the rollup
