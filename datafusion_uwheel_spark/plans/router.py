@@ -405,39 +405,42 @@ class Router:
         if q.table.lower() != e.name.lower():
             return RouteDecision("delegate", detail={"reason": "unknown table"}), None
 
-        # LIMIT on a group-by is only deterministic when the leading sort key
-        # is the (unique) time bucket — a tied aggregate at the cut line
-        # would make the kept row SET engine-dependent.
-        if (
-            q.limit is not None
-            and q.group_by is not None
-            and (
-                q.group_key is not None  # (bucket, key) rows — bucket not unique
-                or not q.order_by
-                or q.order_by[0][0] != q.group_by.output_name
-            )
-        ):
-            return (
-                RouteDecision("delegate", detail={"reason": "nondeterministic LIMIT"}),
-                None,
-            )
-        if q.having and q.group_by is None and q.group_key is None:
-            return (
-                RouteDecision("delegate", detail={"reason": "HAVING without GROUP BY"}),
-                None,
-            )
-        if q.limit is not None and q.group_by is None and q.group_key is not None:
-            key_out = next(
-                (it.output_name for it in q.select_order if isinstance(it, ColRef)),
-                q.group_key,
-            )
-            if not q.order_by or q.order_by[0][0] != key_out:
+        # LIMIT on a grouped result is deterministic iff the ORDER BY
+        # columns CONTAIN the rows' unique key — the time bucket, the
+        # category key, or both for dim group-bys. Once every unique-key
+        # column appears anywhere in the sort list the order is total, so
+        # a tie on a leading aggregate no longer makes the kept row SET
+        # engine-dependent: the top-k SQL shape (`GROUP BY key ORDER BY n
+        # DESC, key LIMIT k`) routes (r8; before, only a leading
+        # unique-bucket sort passed). Anything less delegates.
+        if q.limit is not None and (q.group_by is not None or q.group_key is not None):
+            order_cols = {c for c, _ in q.order_by}
+            unique = set()
+            if q.group_by is not None:
+                unique.add(q.group_by.output_name)
+            if q.group_key is not None:
+                unique.add(
+                    next(
+                        (
+                            it.output_name
+                            for it in q.select_order
+                            if isinstance(it, ColRef)
+                        ),
+                        q.group_key,
+                    )
+                )
+            if not unique <= order_cols:
                 return (
                     RouteDecision(
                         "delegate", detail={"reason": "nondeterministic LIMIT"}
                     ),
                     None,
                 )
+        if q.having and q.group_by is None and q.group_key is None:
+            return (
+                RouteDecision("delegate", detail={"reason": "HAVING without GROUP BY"}),
+                None,
+            )
 
         if q.or_branches:
             return self._try_or_ranges(q)

@@ -1,7 +1,10 @@
 """ORDER BY / LIMIT on routable queries — dashboards sort timelines, so the
-router must keep these zero-job instead of delegating. LIMIT on a group-by
-routes only when the leading sort key is the unique time bucket (otherwise a
-tied aggregate at the cut makes the kept set engine-dependent → delegate)."""
+router must keep these zero-job instead of delegating. LIMIT on a grouped
+result routes when the ORDER BY columns contain the rows' unique key (time
+bucket, category key, or both) anywhere in the sort list — a total order;
+otherwise a tied aggregate at the cut makes the kept set engine-dependent
+→ delegate (r8: before, only a LEADING unique-bucket sort passed, so the
+classic top-k shape `ORDER BY n DESC, key LIMIT k` delegated)."""
 
 from __future__ import annotations
 
@@ -79,6 +82,53 @@ def test_limit_without_bucket_order_delegates(eng):
         f"FROM ol_fix WHERE {RANGE} GROUP BY date_trunc('second', timestamp) LIMIT 3"
     )
     assert eng.last_route.kind == "delegate"
+
+
+def test_limit_with_bucket_tiebreak_routes(eng):
+    """r8: ORDER BY <aggregate>, <unique bucket> LIMIT is a TOTAL order —
+    the top-k-by-value shape routes (the unique key may appear anywhere in
+    the sort list, not only leading)."""
+    check(
+        eng,
+        "SELECT date_trunc('second', timestamp) AS b, SUM(agg_col) AS s "
+        f"FROM ol_fix WHERE {RANGE} GROUP BY date_trunc('second', timestamp) "
+        "ORDER BY s DESC, b LIMIT 3",
+        "group_by",
+    )
+
+
+def test_topk_sql_over_categories(spark, sf_small_dir):
+    """The classic top-k SQL (`GROUP BY key ORDER BY n DESC, key LIMIT k`)
+    routes from the partitioned family and matches Spark row-for-row;
+    without the key tie-break it still delegates (ties at the cut)."""
+    from datafusion_uwheel_spark import WheelEngine as WE
+
+    e = WE(spark, "ol_events", f"{sf_small_dir}/events.parquet",
+           time_column="ts", min_max_columns=("value",))
+    e.build_partitioned_index("value", partition_by="event_type")
+    a, b = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+    sql = (
+        "SELECT event_type AS k, COUNT(*) AS n FROM ol_events "
+        f"WHERE ts >= '{a}' AND ts < '{b}' "
+        "GROUP BY event_type ORDER BY n DESC, k LIMIT 3"
+    )
+    routed = e.sql(sql)
+    assert e.last_route.kind == "group_by", e.last_route
+    assert routed.collect() == spark.sql(sql).collect()
+    # dim form: total order needs BOTH bucket and key in the sort list
+    dim = (
+        "SELECT date_trunc('day', ts) AS b, event_type AS et, COUNT(*) AS n "
+        f"FROM ol_events WHERE ts >= '{a}' AND ts < '{b}' "
+        "GROUP BY date_trunc('day', ts), event_type "
+        "ORDER BY n DESC, b, et LIMIT 5"
+    )
+    routed = e.sql(dim)
+    assert e.last_route.kind == "group_by", e.last_route
+    assert routed.collect() == spark.sql(dim).collect()
+    e.sql(dim.replace(", b, et LIMIT", ", b LIMIT"))  # et missing: partial
+    assert e.last_route.kind == "delegate"
+    e.sql(sql.replace(", k LIMIT", " LIMIT"))
+    assert e.last_route.kind == "delegate"
 
 
 def test_scalar_limit_zero(eng):
