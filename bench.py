@@ -1013,6 +1013,19 @@ def main() -> None:
         [random_range(rng, 1, 60, 3600) for _ in range(100)],
         "point_agg",
     )
+    # top-k SQL shape (r8): ORDER BY n DESC, k LIMIT is a total order, so
+    # the categorical rollup answers it zero-job (before r8 it delegated
+    # to the full scan the vanilla_topk row prices)
+    run_family(
+        "uw_topk_sql",
+        lambda a, b: (
+            "SELECT event_type AS k, COUNT(*) AS n FROM events "
+            f"WHERE ts >= '{a}' AND ts < '{b}' "
+            "GROUP BY event_type ORDER BY n DESC, k LIMIT 3"
+        ),
+        [random_range(rng, 3600, 2, 240) for _ in range(100)],
+        "group_by",
+    )
 
     # Routed-CTE join (r4): both hourly-rollup CTEs answered from the wheel,
     # the join + scalar subquery run over the spliced-in broadcast answers;

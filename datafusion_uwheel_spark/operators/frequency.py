@@ -251,29 +251,44 @@ class FrequencyRollup(SketchRetention):
             )
         else:
             bucket = F.date_trunc(str(granularity), ts)
+        return self._grouped_topk(kept, err, bucket, "bucket", k)
+
+    def _grouped_topk(
+        self, kept: DataFrame, err: DataFrame, group_expr, out_name: str, k: int
+    ) -> DataFrame:
+        """Shared rank / err-join / select of the per-period and per-key
+        forms: per group, the top-``k`` kept sums plus the GROUP's summed
+        truncation error as ``upper``. The err join is NULL-safe — a
+        partition key can be NULL and a plain USING join would drop that
+        group's slack (an upper bound too small, a wrong answer); for
+        ``__sec``-derived buckets null-safety is merely a no-op."""
         cells = (
-            kept.groupBy(bucket.alias("bucket"), F.col("__item").alias("item"))
+            kept.groupBy(group_expr.alias(out_name), F.col("__item").alias("item"))
             .agg(F.sum("cnt").alias("est"))
         )
-        cell_err = err.groupBy(bucket.alias("bucket")).agg(
+        grp_err = err.groupBy(group_expr.alias("__eg")).agg(
             F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("__terr")
         )
-        w = Window.partitionBy("bucket").orderBy(
+        w = Window.partitionBy(out_name).orderBy(
             F.col("est").desc(), F.col("item").asc()
         )
         return (
             cells.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
-            .join(cell_err, on="bucket", how="left")
+            .join(
+                grp_err,
+                on=F.col(out_name).eqNullSafe(F.col("__eg")),
+                how="left",
+            )
             .select(
-                "bucket",
+                out_name,
                 "item",
                 "est",
                 (F.col("est") + F.coalesce(F.col("__terr"), F.lit(0))).alias(
                     "upper"
                 ),
             )
-            .orderBy("bucket", F.col("est").desc(), F.col("item").asc())
+            .orderBy(out_name, F.col("est").desc(), F.col("item").asc())
         )
 
     def approx_topk_by_key(self, k: int = 10, start=None, end=None) -> DataFrame:
@@ -294,40 +309,7 @@ class FrequencyRollup(SketchRetention):
         if start is not None:
             a, b = self._range(start, end)
             kept, err = self._restrict(kept, a, b), self._restrict(err, a, b)
-        per_key = (
-            kept.groupBy(
-                F.col("__key").alias(self.key_column),
-                F.col("__item").alias("item"),
-            )
-            .agg(F.sum("cnt").alias("est"))
-        )
-        # NULL-safe err join: a plain USING join would drop the NULL key's
-        # slack and emit an upper bound that is too SMALL (a wrong answer,
-        # not just a loose one)
-        key_err = err.groupBy(F.col("__key").alias("__ek")).agg(
-            F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("__terr")
-        )
-        w = Window.partitionBy(self.key_column).orderBy(
-            F.col("est").desc(), F.col("item").asc()
-        )
-        return (
-            per_key.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= k)
-            .join(
-                key_err,
-                on=F.col(self.key_column).eqNullSafe(F.col("__ek")),
-                how="left",
-            )
-            .select(
-                self.key_column,
-                "item",
-                "est",
-                (F.col("est") + F.coalesce(F.col("__terr"), F.lit(0))).alias(
-                    "upper"
-                ),
-            )
-            .orderBy(self.key_column, F.col("est").desc(), F.col("item").asc())
-        )
+        return self._grouped_topk(kept, err, F.col("__key"), self.key_column, k)
 
     def approx_count(self, item, start, end) -> tuple[int, int]:
         """``(est, upper)`` bounds for ONE item's count over the range —
@@ -359,6 +341,11 @@ class FrequencyRollup(SketchRetention):
         grp = self._grp()
         gcols = [sec.alias("__sec")]
         if self.key_column is not None:
+            if self.key_column not in batch_df.columns:
+                raise ValueError(
+                    f"batch lacks partition column {self.key_column!r} — a "
+                    "keyed rollup cannot be maintained without it"
+                )
             gcols.append(F.col(self.key_column).alias("__key"))
         batch = (
             batch_df.filter(F.col(time_column).isNotNull())

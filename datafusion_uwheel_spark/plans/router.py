@@ -133,11 +133,20 @@ def _order_limit_rows(q, names: list[str], rows: list[tuple]) -> list[tuple]:
     """Apply the query's ORDER BY / LIMIT to constant result rows.
 
     NULL placement matches Spark's defaults (ASC → nulls first, DESC →
-    nulls last) via the ``(is_not_null, value)`` sort key; multi-key sorts
-    compose through stable sorting in reverse key order."""
+    nulls last) via the ``(is_not_null, is_nan, value)`` sort key —
+    Spark also orders NaN GREATER than every other double (ASC → NaN
+    last, DESC → NaN first, before nulls' placement), where a bare
+    Python tuple sort would leave NaN rows wherever comparison found
+    them. Multi-key sorts compose through stable sorting in reverse key
+    order."""
+
+    def key_of(v):
+        nan = isinstance(v, float) and v != v
+        return (v is not None, nan, 0.0 if nan else v)
+
     for col, asc in reversed(q.order_by):
         i = names.index(col)
-        rows.sort(key=lambda r: (r[i] is not None, r[i]), reverse=not asc)
+        rows.sort(key=lambda r: key_of(r[i]), reverse=not asc)
     if q.limit is not None:
         rows = rows[: q.limit]
     return rows
@@ -412,11 +421,33 @@ class Router:
         # a tie on a leading aggregate no longer makes the kept row SET
         # engine-dependent: the top-k SQL shape (`GROUP BY key ORDER BY n
         # DESC, key LIMIT k`) routes (r8; before, only a leading
-        # unique-bucket sort passed). Anything less delegates.
+        # unique-bucket sort passed). Anything less delegates. Caveat
+        # shared with value-ordered ORDER BY (routed long before LIMIT
+        # was): a FLOAT aggregate whose wheel-combined value differs from
+        # Spark's row-order summation in the last ulp can swap adjacent
+        # ranks — integral COUNT/SUM sorts are exact.
         if q.limit is not None and (q.group_by is not None or q.group_key is not None):
             order_cols = {c for c, _ in q.order_by}
             unique = set()
-            if q.group_by is not None:
+            if isinstance(q.group_by, WindowSpec):
+                # the GROUP BY window() expression itself is never a select
+                # output — its start/end FIELDS are, and either one totally
+                # identifies the bucket (fixed width/slide), so any one of
+                # them in the sort list stands in for the bucket key
+                fields = {
+                    it.output_name
+                    for it in q.select_order
+                    if isinstance(it, WindowSpec) and it.field in ("start", "end")
+                }
+                if not (fields & order_cols):
+                    return (
+                        RouteDecision(
+                            "delegate",
+                            detail={"reason": "nondeterministic LIMIT"},
+                        ),
+                        None,
+                    )
+            elif q.group_by is not None:
                 unique.add(q.group_by.output_name)
             if q.group_key is not None:
                 unique.add(

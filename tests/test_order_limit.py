@@ -131,6 +131,52 @@ def test_topk_sql_over_categories(spark, sf_small_dir):
     assert e.last_route.kind == "delegate"
 
 
+def test_window_topk_routes(eng):
+    """r8: a window-bucket group-by passes the total-order gate through its
+    start/end FIELD alias (the GROUP BY window() expression itself is never
+    a select output)."""
+    sql = (
+        "SELECT window(timestamp, '2 seconds').start AS w, SUM(agg_col) AS s "
+        f"FROM ol_fix WHERE {RANGE} GROUP BY window(timestamp, '2 seconds') "
+        "ORDER BY s DESC, w LIMIT 3"
+    )
+    routed = eng.sql(sql)
+    assert eng.last_route.rewritten, eng.last_route
+    assert routed.collect() == eng.spark.sql(sql).collect()
+    eng.sql(sql.replace(", w LIMIT", " LIMIT"))  # no window field in sort
+    assert eng.last_route.kind == "delegate"
+
+
+def test_limit_nan_ordering_matches_spark(spark):
+    """Spark orders NaN GREATER than every double (ASC last, DESC first);
+    the constant-row sort must match or a value-ordered LIMIT keeps a
+    different row SET than the delegate (r8: found in review once the
+    total-order gate made aggregate sorts limit-decisive)."""
+    from datetime import datetime
+
+    rows = [
+        (datetime(2024, 5, 10, 0, 0, 0), 9.0),
+        (datetime(2024, 5, 10, 0, 0, 1), float("nan")),
+        (datetime(2024, 5, 10, 0, 0, 2), 7.0),
+        (datetime(2024, 5, 10, 0, 0, 3), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "timestamp timestamp, agg_col double")
+    e = WheelEngine(spark, "nan_fix", df, time_column="timestamp")
+    e.build_index("agg_col")
+    for order in ("a DESC, b", "a ASC, b", "a DESC, b DESC"):
+        sql = (
+            "SELECT date_trunc('second', timestamp) AS b, AVG(agg_col) AS a "
+            f"FROM nan_fix WHERE {RANGE} "
+            "GROUP BY date_trunc('second', timestamp) "
+            f"ORDER BY {order} LIMIT 2"
+        )
+        routed = e.sql(sql)
+        assert e.last_route.kind == "group_by", (sql, e.last_route)
+        got = [(r["b"], str(r["a"])) for r in routed.collect()]
+        want = [(r["b"], str(r["a"])) for r in e.spark.sql(sql).collect()]
+        assert got == want, (order, got, want)
+
+
 def test_scalar_limit_zero(eng):
     df = check(eng, f"SELECT COUNT(*) AS c FROM ol_fix WHERE {RANGE} LIMIT 0", "count_range")
     assert df.collect() == []
