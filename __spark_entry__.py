@@ -900,6 +900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     dedup_exact_keep (r6 out), mm_media_dedup (r6 out),
     #     uw_keyed_count (r4 out), sim_ann_indexed/sim_ivf_indexed (r3 out,
     #     physically identical plans to the engine-routed rows).
+    #   - NEW r8 surfaces, pytest-pinned, never yet hash-checked — r9
+    #     seating candidates: the routed top-k SQL shape (GROUP BY key
+    #     ORDER BY n DESC, key LIMIT k — exact, trivially oracle-able),
+    #     approx_topk_by day series and approx_topk_by_key (both exact in
+    #     the ample-capacity regime, so hash-checkable like freq_topk).
     return {
         "uw_count_range": uw_count_range,
         "uw_sum_range": uw_sum_range,

@@ -156,6 +156,9 @@ def main() -> None:
     queries["uw_freq_topk"] = time_calls(
         lambda: fr.approx_topk(_qa, _qb, k=4).collect(), N_PROBE
     )
+    queries["uw_freq_topk_by_day"] = time_calls(
+        lambda: fr.approx_topk_by("day", k=2).count(), N_PROBE
+    )
     _fk = fr.approx_topk(_qa, _qb, k=4).collect()
     assert len(_fk) == 4 and fr.total_err(_qa, _qb) == 0, _fk
     log(
