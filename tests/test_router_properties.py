@@ -185,3 +185,43 @@ def test_grouped_boundary_shapes_match_delegate(prop_engine, tpl):
         if kind in ("group_by", "group_by_hybrid"):
             routed_seen += 1
     assert routed_seen > 0, f"no grouped query of shape {tpl!r} ever routed"
+
+
+def test_order_limit_fuzz_matches_delegate(prop_engine):
+    """Randomized ORDER BY / LIMIT sweep for the r8 total-order gate: the
+    nasty dataset guarantees abundant COUNT ties, so a wrong kept-set
+    decision at the LIMIT cut would surface as a routed-vs-delegate row
+    mismatch. Sort keys are drawn from the integral outputs plus the
+    bucket (float sorts carry the documented last-ulp rank caveat and the
+    NaN placement is pinned in test_order_limit); whenever the bucket is
+    in the sort list the query must ROUTE and match the delegate ordered
+    row-for-row — membership AND order — and when it is absent the gate
+    must DELEGATE."""
+    e = prop_engine
+    rng = random.Random(77)
+    routed_seen = delegated_seen = 0
+    for _ in range(24):
+        cols = rng.sample(["b", "c", "cv"], rng.randint(1, 3))
+        order = ", ".join(
+            f"{c} {'DESC' if rng.random() < 0.5 else 'ASC'}" for c in cols
+        )
+        limit = rng.choice([1, 2, 3, 5, 100])
+        sql = (
+            "SELECT date_trunc('second', ts) AS b, COUNT(*) AS c, "
+            "COUNT(v) AS cv, SUM(v) AS s FROM proptab "
+            f"WHERE ts >= '{_t(0)}' AND ts < '{_t(30)}' "
+            f"GROUP BY date_trunc('second', ts) ORDER BY {order} LIMIT {limit}"
+        )
+        routed = e.sql(sql)
+        kind = e.last_route.kind
+        if "b" not in cols:
+            assert kind == "delegate", (sql, e.last_route)
+            delegated_seen += 1
+            continue
+        assert kind == "group_by", (sql, e.last_route)
+        routed_seen += 1
+        got = routed.collect()
+        want = e.spark.sql(sql).collect()
+        assert len(got) == len(want), sql
+        assert _rows_equal(got, want), sql  # ordered compare: no pre-sort
+    assert routed_seen > 4 and delegated_seen > 2
