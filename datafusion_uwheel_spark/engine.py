@@ -387,7 +387,7 @@ class WheelEngine:
             raise ValueError("partitioned wheels require index_backend='driver'")
         if partition_by.lower() == self.time_column.lower():
             raise ValueError("partition_by cannot be the time column")
-        fam, ktype = build_partitioned_wheel_indices(
+        fam, ktype, star = build_partitioned_wheel_indices(
             self.df,
             self.name,
             self.time_column,
@@ -410,6 +410,15 @@ class WheelEngine:
             fk = wheels[None].filter_key  # the canonical equality render
             self.count_wheels.setdefault(fk, wheels[None])
             self.agg_wheels.setdefault((column, fk), wheels[column])
+        # The same scan also yields the UNFILTERED wheels (the key
+        # partitions rows disjointly, so the star rollup is the per-key
+        # rollup monoid-folded driver-side): one build_partitioned_index
+        # call now serves dim group-bys, keyed equality AND plain
+        # unfiltered aggregates — no separate build_index scan needed.
+        # setdefault: an explicitly built STAR wheel (exact float add
+        # order) keeps precedence over the derived one.
+        self.count_wheels.setdefault(STAR_AGGREGATION_ALIAS, star[None])
+        self.agg_wheels.setdefault((column, STAR_AGGREGATION_ALIAS), star[column])
         self.index_epoch += 1
         return len(fam)
 

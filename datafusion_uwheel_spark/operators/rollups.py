@@ -422,7 +422,49 @@ def build_partitioned_wheel_indices(
             complete=time_range is None, bucket_seconds=bucket_seconds,
             states=states,
         )
-    return fam, ktype
+    # Derive the UNFILTERED wheels from the same collected rollup — the
+    # key partitions the rows disjointly, so re-aggregating the (sec, key)
+    # table by sec driver-side (monoid folds: counts/sums add, min/max
+    # combine, at-start sliver states likewise) yields exactly what a
+    # separate STAR build's scan would, without that second 100 TB scan.
+    # Float sums re-add per key, so they can differ from a direct build in
+    # the last ulp; counts/min/max/timestamps are exact.
+    star = _indices_from_rollup(
+        _regroup_rollup_by_sec(tbl), table, list(columns), types,
+        STAR_AGGREGATION_ALIAS, complete=time_range is None,
+        bucket_seconds=bucket_seconds, states=states,
+    )
+    return fam, ktype, star
+
+
+def _regroup_rollup_by_sec(tbl: pa.Table) -> pa.Table:
+    """Fold a ``(__sec, __key, states...)`` rollup to ``(__sec, states...)``
+    with the matching monoid per state column (min for ``*min*``/``__tmin``,
+    max for ``*max*``/``__tmax``, sum for counts/sums/sumsq). pyarrow's
+    grouped aggregation skips NULLs, so all-NULL buckets stay NULL and
+    ``_filled`` sanitizes them exactly as in the distributed build."""
+
+    def op_of(name: str) -> str:
+        if name == "__tmin" or "__min_" in name or "__atmin_" in name:
+            return "min"
+        if name == "__tmax" or "__max_" in name or "__atmax_" in name:
+            return "max"
+        return "sum"
+
+    state_cols = [c for c in tbl.column_names if c not in ("__sec", "__key")]
+    out = tbl.group_by("__sec").aggregate([(c, op_of(c)) for c in state_cols])
+    renamed = []
+    for n in out.column_names:  # pyarrow appends "_{op}" to aggregates
+        if n == "__sec":
+            renamed.append(n)
+            continue
+        for op in ("_sum", "_min", "_max"):
+            if n.endswith(op):
+                renamed.append(n[: -len(op)])
+                break
+        else:  # pragma: no cover - every aggregate gets an op suffix
+            renamed.append(n)
+    return out.rename_columns(renamed)
 
 
 def _key_filter_key(key_column: str, value, ktype: str) -> str:

@@ -458,3 +458,70 @@ def test_in_group_by_variance_family(spark, sf_small_dir):
     for g, w in zip(got, want):
         assert g["b"] == w["b"]
         assert abs(g["sd"] - w["sd"]) <= 1e-9 * max(1.0, abs(w["sd"]))
+
+
+def test_derived_star_wheels_from_one_scan(spark):
+    """r8: build_partitioned_index also yields the UNFILTERED wheels by
+    monoid-folding the per-key rollup driver-side — one scan serves dim
+    group-bys, keyed equality AND plain aggregates. Counts/min/max/bounds
+    must equal a direct build exactly; float sums within re-add tolerance;
+    at-start sliver states survive (hybrid boundaries route)."""
+    base = datetime(2024, 6, 2)
+    rows = []
+    for i in range(90):
+        cat = [None, "a", "b"][i % 3]
+        v = None if i % 7 == 0 else float(i) - 40.0
+        # sub-second offsets except every 3rd row exactly on the second
+        micro = 0 if i % 3 == 0 else 123456
+        rows.append((base + timedelta(seconds=i // 3, microseconds=micro), v, cat))
+    df = spark.createDataFrame(rows, "timestamp timestamp, v double, cat string")
+    derived = WheelEngine(spark, "star_derived", df, time_column="timestamp")
+    derived.build_partitioned_index("v", partition_by="cat")
+    direct = WheelEngine(spark, "star_direct", df, time_column="timestamp")
+    direct.build_index("v")
+
+    a, b = "2024-06-02 00:00:05", "2024-06-02 00:00:25"
+    for sql_t, kind in (
+        ("SELECT COUNT(*) AS c, COUNT(v) AS cv, MIN(v) AS mn, MAX(v) AS mx, "
+         "SUM(v) AS s, AVG(v) AS av FROM {t} "
+         f"WHERE timestamp >= '{a}' AND timestamp < '{b}'", "multi_agg"),
+        ("SELECT STDDEV(v) AS sd FROM {t} "
+         f"WHERE timestamp >= '{a}' AND timestamp < '{b}'", "single_agg"),
+        ("SELECT COUNT(*) AS c, SUM(v) AS s FROM {t} "
+         f"WHERE timestamp BETWEEN '{a}' AND '2024-06-02 00:00:24'", "hybrid_agg"),
+        ("SELECT COUNT(*) AS c, SUM(v) AS s FROM {t}", "landmark"),
+    ):
+        d_rows = derived.sql(sql_t.format(t="star_derived"))
+        assert derived.last_route.kind == kind, (sql_t, derived.last_route)
+        e_rows = direct.sql(sql_t.format(t="star_direct"))
+        assert direct.last_route.kind == kind
+        got, want = d_rows.collect()[0], e_rows.collect()[0]
+        spark_want = spark.sql(sql_t.format(t="star_derived")).collect()[0]
+        for g, w, sw in zip(got, want, spark_want):
+            if g is None:
+                assert w is None and sw is None
+            else:
+                assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (sql_t, got, want)
+                assert abs(g - sw) <= 1e-9 * max(1.0, abs(sw)), (sql_t, got, spark_want)
+
+    # wheel-level equivalence: exact for integral states and bounds
+    dw = derived.agg_wheels[("v", "*_AGG")]
+    xw = direct.agg_wheels[("v", "*_AGG")]
+    assert (dw.secs == xw.secs).all()
+    assert (dw.cnt == xw.cnt).all()
+    assert (dw.vcnt_ == xw.vcnt_).all()
+    assert (dw.min_ == xw.min_).all() and (dw.max_ == xw.max_).all()
+    assert dw.min_ts_us == xw.min_ts_us and dw.max_ts_us == xw.max_ts_us
+
+
+def test_derived_star_does_not_clobber_explicit_build(spark):
+    base = datetime(2024, 6, 3)
+    df = spark.createDataFrame(
+        [(base + timedelta(seconds=i), float(i), "x") for i in range(10)],
+        "timestamp timestamp, v double, cat string",
+    )
+    e = WheelEngine(spark, "star_prec", df, time_column="timestamp")
+    e.build_index("v")
+    explicit = e.agg_wheels[("v", "*_AGG")]
+    e.build_partitioned_index("v", partition_by="cat")
+    assert e.agg_wheels[("v", "*_AGG")] is explicit  # setdefault precedence
