@@ -358,13 +358,16 @@ class WheelEngine:
 
     def build_partitioned_index(
         self,
-        column: str,
+        column: str | tuple[str, ...] | list[str],
         partition_by: str,
         aggs: tuple[str, ...] | None = None,
         max_keys: int = 512,
     ) -> int:
         """ONE scan → a key-complete family of per-value wheels for
-        ``partition_by`` (NULL keys included), enabling two query families:
+        ``partition_by`` (NULL keys included; ``column`` may be a tuple —
+        every listed column's states ride the same job, so mixed-column dim
+        group-bys like ``SUM(value), SUM(qty)`` route from one build),
+        enabling two query families:
 
         * ``GROUP BY date_trunc(...)/window(...), partition_by`` — the
           time × category dashboard rollup — routed zero-job by assembling
@@ -387,12 +390,13 @@ class WheelEngine:
             raise ValueError("partitioned wheels require index_backend='driver'")
         if partition_by.lower() == self.time_column.lower():
             raise ValueError("partition_by cannot be the time column")
+        columns = [column] if isinstance(column, str) else list(column)
         fam, ktype, star = build_partitioned_wheel_indices(
             self.df,
             self.name,
             self.time_column,
             partition_by,
-            [column],
+            columns,
             bucket_seconds=self.bucket_seconds,
             states=physical_states_for(aggs),
             max_keys=max_keys,
@@ -409,7 +413,8 @@ class WheelEngine:
                 continue
             fk = wheels[None].filter_key  # the canonical equality render
             self.count_wheels.setdefault(fk, wheels[None])
-            self.agg_wheels.setdefault((column, fk), wheels[column])
+            for c in columns:
+                self.agg_wheels.setdefault((c, fk), wheels[c])
         # The same scan also yields the UNFILTERED wheels (the key
         # partitions rows disjointly, so the star rollup is the per-key
         # rollup monoid-folded driver-side): one build_partitioned_index
@@ -418,7 +423,8 @@ class WheelEngine:
         # setdefault: an explicitly built STAR wheel (exact float add
         # order) keeps precedence over the derived one.
         self.count_wheels.setdefault(STAR_AGGREGATION_ALIAS, star[None])
-        self.agg_wheels.setdefault((column, STAR_AGGREGATION_ALIAS), star[column])
+        for c in columns:
+            self.agg_wheels.setdefault((c, STAR_AGGREGATION_ALIAS), star[c])
         self.index_epoch += 1
         return len(fam)
 

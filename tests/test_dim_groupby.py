@@ -525,3 +525,47 @@ def test_derived_star_does_not_clobber_explicit_build(spark):
     explicit = e.agg_wheels[("v", "*_AGG")]
     e.build_partitioned_index("v", partition_by="cat")
     assert e.agg_wheels[("v", "*_AGG")] is explicit  # setdefault precedence
+
+
+def test_multi_column_family_one_scan(spark):
+    """r8: build_partitioned_index accepts a COLUMN TUPLE — every listed
+    column's states ride the same (bucket, key) job, so mixed-column dim
+    group-bys, keyed equality on either column, and unfiltered aggregates
+    over both all route from ONE build."""
+    base = datetime(2024, 6, 4)
+    rows = []
+    for i in range(80):
+        cat = ["a", "b", None][i % 3]
+        rows.append((base + timedelta(seconds=i), float(i) / 2.0, i * 3, cat))
+    df = spark.createDataFrame(
+        rows, "timestamp timestamp, v double, qty long, cat string"
+    )
+    e = WheelEngine(spark, "multicol_fam", df, time_column="timestamp")
+    e.build_partitioned_index(("v", "qty"), partition_by="cat")
+    a, b = "2024-06-04 00:00:10", "2024-06-04 00:01:00"
+    # mixed-column dim group-by
+    _check(
+        e,
+        "SELECT date_trunc('minute', timestamp) AS bkt, cat AS k, "
+        "SUM(v) AS sv, SUM(qty) AS sq, MAX(qty) AS mq, COUNT(*) AS n "
+        f"FROM multicol_fam WHERE timestamp >= '{a}' AND timestamp < '{b}' "
+        "GROUP BY date_trunc('minute', timestamp), cat",
+    )
+    # keyed equality on the second column
+    sql = (
+        "SELECT SUM(qty) AS sq FROM multicol_fam "
+        f"WHERE timestamp >= '{a}' AND timestamp < '{b}' AND cat = 'b'"
+    )
+    routed = e.sql(sql)
+    assert e.last_route.rewritten, e.last_route
+    assert routed.collect() == e.spark.sql(sql).collect()
+    # derived unfiltered wheels exist for BOTH columns
+    sql = (
+        "SELECT SUM(qty) AS sq, AVG(v) AS av FROM multicol_fam "
+        f"WHERE timestamp >= '{a}' AND timestamp < '{b}'"
+    )
+    routed = e.sql(sql)
+    assert e.last_route.kind == "multi_agg", e.last_route
+    got, want = routed.collect()[0], e.spark.sql(sql).collect()[0]
+    assert got["sq"] == want["sq"]
+    assert abs(got["av"] - want["av"]) <= 1e-9 * max(1.0, abs(want["av"]))
