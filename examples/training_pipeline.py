@@ -120,6 +120,28 @@ def main() -> None:
         F.sum("n_tokens").alias("tokens"), F.count(F.lit(1)).alias("docs")
     ).collect()[0]
 
+    # 5b. Corpus monitoring (r8): "top sources in the crawl window" from
+    # the heavy-hitters rollup — O(buckets x capacity) regardless of
+    # corpus size, with [est, upper] bounds (exact here: capacity covers
+    # the source cardinality). The crawl timestamp is synthesized from
+    # doc_id the same way stage 0 pretends two snapshots; a real crawl
+    # carries its own fetch time.
+    from datafusion_uwheel_spark import WheelEngine
+
+    crawl = final.withColumn(
+        "crawl_ts",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, CAST(doc_id % 72 AS INT), 0, 0)"
+        ),
+    )
+    mon = WheelEngine(spark, "crawl_mon", crawl, time_column="crawl_ts")
+    mon.build_topk_index("source", bucket_seconds=3600, capacity=16)
+    top_sources = mon.approx_topk(
+        "source", "2024-01-01 00:00:00", "2024-01-04 00:00:00", k=3
+    ).collect()
+    assert top_sources and all(r["est"] == r["upper"] for r in top_sources)
+
     # 6. Pack into 2048-token training sequences (deterministic BFD).
     # Few shards at this tiny SF: per-shard waste is at most one open bin,
     # so utilization needs enough docs per shard to amortize it (at corpus
@@ -158,6 +180,10 @@ def main() -> None:
     print(
         f"packed into {n_seq} x 2048-token sequences ({util:.0%} utilization); "
         f"blend shares {shares} vs budget {budget}"
+    )
+    print(
+        "top sources: "
+        + ", ".join(f"{r['item']}={r['est']}" for r in top_sources)
     )
     print(f"total {dt:.1f}s at {SF_DIR}")
     assert n_raw >= n0 >= n1 >= n2 >= n3 > n4 > 0  # seeded snippets must drop docs
