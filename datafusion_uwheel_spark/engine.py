@@ -391,6 +391,9 @@ class WheelEngine:
         if partition_by.lower() == self.time_column.lower():
             raise ValueError("partition_by cannot be the time column")
         columns = [column] if isinstance(column, str) else list(column)
+        if len({c.lower() for c in columns}) != len(columns):
+            # fail here, not as pyarrow's obscure duplicate-field KeyError
+            raise ValueError(f"duplicate columns in {columns!r}")
         fam, ktype, star = build_partitioned_wheel_indices(
             self.df,
             self.name,
@@ -442,6 +445,8 @@ class WheelEngine:
         returns the index keys."""
         from .operators.rollups import physical_states_for
 
+        if len({c.lower() for c in columns}) != len(list(columns)):
+            raise ValueError(f"duplicate columns in {list(columns)!r}")
         if filter is not None:
             conjuncts = parse_conjunction(filter)
             fk = canonical_filter_key(conjuncts)

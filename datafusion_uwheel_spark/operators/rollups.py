@@ -445,9 +445,13 @@ def _regroup_rollup_by_sec(tbl: pa.Table) -> pa.Table:
     ``_filled`` sanitizes them exactly as in the distributed build."""
 
     def op_of(name: str) -> str:
-        if name == "__tmin" or "__min_" in name or "__atmin_" in name:
+        # PREFIX match, never substring: state aliases embed the USER's
+        # column name (`__{state}_{column}`), so a column itself named
+        # `_min_x` would make `"__min_" in "__vcnt__min_x"` true and
+        # MIN-fold counts across keys — a silent wrong answer.
+        if name == "__tmin" or name.startswith(("__min_", "__atmin_")):
             return "min"
-        if name == "__tmax" or "__max_" in name or "__atmax_" in name:
+        if name == "__tmax" or name.startswith(("__max_", "__atmax_")):
             return "max"
         return "sum"
 

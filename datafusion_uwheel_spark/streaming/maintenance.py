@@ -231,6 +231,24 @@ class StreamingWheelMaintainer:
 
         e = self.engine
         tc = e.time_column
+        # Value columns the batch does not carry cannot be maintained —
+        # STALE-MARK their wheels (beyond-span queries then delegate, the
+        # same contract as unmaintainable keyed families) instead of dying
+        # in an unresolved-column AnalysisException and killing the
+        # stream. Possible since r8: a partitioned build derives (col,
+        # *_AGG) wheels, so columns() can name columns a narrower stream
+        # never carried. The count wheel needs no value column and stays
+        # maintained either way.
+        missing = [c for c in cols if c not in df.columns]
+        for c in missing:
+            w = e.agg_wheels.get((c, filter_key))
+            if w is not None:
+                w.complete = False
+            if filter_key == STAR_AGGREGATION_ALIAS:
+                mm = e.min_max_wheels.get(c)
+                if mm is not None:
+                    mm.complete = False
+        cols = [c for c in cols if c not in missing]
         src = df.filter(F.col(tc).isNotNull()).select(tc, *cols)
         # Identical monoid-state expressions to the batch build (typed int64
         # states for integral columns, non-null vcnt, at-start slivers) —

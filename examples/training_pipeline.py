@@ -112,7 +112,11 @@ def main() -> None:
         .limit(8)
         .select("doc_id", F.substring("text", 1, 150).alias("text"))
     )
-    final = contamination.decontaminate(final, held_out, n=13)
+    # Cut lineage once the corpus is final: every stage below (token
+    # accounting, the monitoring engine's two rollup scans, packing,
+    # blending) re-reads it, and without the checkpoint each would replay
+    # the whole dedup/ANN/decontamination DAG from scratch.
+    final = contamination.decontaminate(final, held_out, n=13).localCheckpoint()
     n4 = final.count()
 
     # 5. Token accounting for the cleaned corpus.

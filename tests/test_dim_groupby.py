@@ -569,3 +569,73 @@ def test_multi_column_family_one_scan(spark):
     got, want = routed.collect()[0], e.spark.sql(sql).collect()[0]
     assert got["sq"] == want["sq"]
     assert abs(got["av"] - want["av"]) <= 1e-9 * max(1.0, abs(want["av"]))
+
+
+def test_regroup_op_prefix_not_substring(spark):
+    """r8 review repro: a column literally named '_min_x' embeds '__min_'
+    in every state alias; substring classification MIN-folded its counts
+    and sums across keys in the derived star wheels (silent wrong
+    answer). Prefix matching keeps the monoids straight."""
+    base = datetime(2024, 6, 5)
+    rows = [
+        (base + timedelta(seconds=i), float(10 + i), ["a", "b"][i % 2])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp timestamp, _min_x double, cat string"
+    )
+    e = WheelEngine(spark, "minx_fam", df, time_column="timestamp")
+    e.build_partitioned_index("_min_x", partition_by="cat")
+    sql = (
+        "SELECT COUNT(_min_x) AS c, SUM(_min_x) AS s FROM minx_fam "
+        "WHERE timestamp >= '2024-06-05 00:00:00' "
+        "AND timestamp < '2024-06-05 00:01:00'"
+    )
+    routed = e.sql(sql)
+    assert e.last_route.rewritten, e.last_route
+    got, want = routed.collect()[0], spark.sql(sql).collect()[0]
+    assert got["c"] == want["c"] == 40
+    assert abs(got["s"] - want["s"]) <= 1e-9 * abs(want["s"])
+
+
+def test_maintainer_stale_marks_missing_column(spark):
+    """r8 review repro: after a partitioned build derives (col, *_AGG)
+    wheels, a maintenance batch that lacks the value column must
+    STALE-MARK those wheels (the documented contract) instead of dying in
+    an unresolved-column AnalysisException and killing the stream."""
+    from datafusion_uwheel_spark.operators.lookup import STAR_AGGREGATION_ALIAS
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    base = datetime(2024, 6, 6)
+    df = spark.createDataFrame(
+        [(base + timedelta(seconds=i), float(i), "a") for i in range(20)],
+        "timestamp timestamp, v double, cat string",
+    )
+    e = WheelEngine(spark, "narrow_stream", df, time_column="timestamp")
+    e.build_partitioned_index("v", partition_by="cat")
+    vw = e.agg_wheels[("v", STAR_AGGREGATION_ALIAS)]
+    assert vw.complete
+    batch = spark.createDataFrame(
+        [(base + timedelta(seconds=100 + i),) for i in range(5)],
+        "timestamp timestamp",
+    )
+    StreamingWheelMaintainer(e, maintain_partitions=False).merge_batch(batch)
+    assert not vw.complete  # stale-marked, not crashed
+    cw = e.count_wheels[STAR_AGGREGATION_ALIAS]
+    assert cw.max_ts_us >= int(
+        (base + timedelta(seconds=104)).timestamp() * 1_000_000
+    )  # the count wheel DID take the batch
+
+
+def test_duplicate_columns_rejected(spark):
+    base = datetime(2024, 6, 7)
+    df = spark.createDataFrame(
+        [(base, 1.0, "a")], "timestamp timestamp, v double, cat string"
+    )
+    e = WheelEngine(spark, "dup_cols", df, time_column="timestamp")
+    with pytest.raises(ValueError, match="duplicate"):
+        e.build_partitioned_index(("v", "v"), partition_by="cat")
+    with pytest.raises(ValueError, match="duplicate"):
+        e.build_indexes(["v", "V"])
