@@ -430,45 +430,37 @@ def build_partitioned_wheel_indices(
     # Float sums re-add per key, so they can differ from a direct build in
     # the last ulp; counts/min/max/timestamps are exact.
     star = _indices_from_rollup(
-        _regroup_rollup_by_sec(tbl), table, list(columns), types,
+        _regroup_rollup_by_sec(tbl, columns), table, list(columns), types,
         STAR_AGGREGATION_ALIAS, complete=time_range is None,
         bucket_seconds=bucket_seconds, states=states,
     )
     return fam, ktype, star
 
 
-def _regroup_rollup_by_sec(tbl: pa.Table) -> pa.Table:
+def _regroup_rollup_by_sec(tbl: pa.Table, columns: Sequence[str]) -> pa.Table:
     """Fold a ``(__sec, __key, states...)`` rollup to ``(__sec, states...)``
-    with the matching monoid per state column (min for ``*min*``/``__tmin``,
-    max for ``*max*``/``__tmax``, sum for counts/sums/sumsq). pyarrow's
-    grouped aggregation skips NULLs, so all-NULL buckets stay NULL and
-    ``_filled`` sanitizes them exactly as in the distributed build."""
-
-    def op_of(name: str) -> str:
-        # PREFIX match, never substring: state aliases embed the USER's
-        # column name (`__{state}_{column}`), so a column itself named
-        # `_min_x` would make `"__min_" in "__vcnt__min_x"` true and
-        # MIN-fold counts across keys — a silent wrong answer.
-        if name == "__tmin" or name.startswith(("__min_", "__atmin_")):
-            return "min"
-        if name == "__tmax" or name.startswith(("__max_", "__atmax_")):
-            return "max"
-        return "sum"
-
+    with the matching monoid per state column. The alias → monoid map is
+    built from the SAME ``__{state}_{column}`` construction
+    :func:`state_agg_exprs` uses — never inferred from the alias text,
+    where a user column literally named ``_min_x`` would make substring or
+    suffix heuristics mis-fold counts (a silent wrong answer caught in
+    review). pyarrow's grouped aggregation skips NULLs, so all-NULL
+    buckets stay NULL and ``_filled`` sanitizes them exactly as in the
+    distributed build."""
+    ops = {"__cnt": "sum", "__tmin": "min", "__tmax": "max", "__atcnt": "sum"}
+    per_col = (
+        ("vcnt", "sum"), ("atvcnt", "sum"), ("sum", "sum"), ("atsum", "sum"),
+        ("min", "min"), ("atmin", "min"), ("max", "max"), ("atmax", "max"),
+        ("sumsq", "sum"), ("atsumsq", "sum"),
+    )
+    for c in columns:
+        for st, op in per_col:
+            ops[f"__{st}_{c}"] = op
     state_cols = [c for c in tbl.column_names if c not in ("__sec", "__key")]
-    out = tbl.group_by("__sec").aggregate([(c, op_of(c)) for c in state_cols])
-    renamed = []
-    for n in out.column_names:  # pyarrow appends "_{op}" to aggregates
-        if n == "__sec":
-            renamed.append(n)
-            continue
-        for op in ("_sum", "_min", "_max"):
-            if n.endswith(op):
-                renamed.append(n[: -len(op)])
-                break
-        else:  # pragma: no cover - every aggregate gets an op suffix
-            renamed.append(n)
-    return out.rename_columns(renamed)
+    out = tbl.group_by("__sec").aggregate([(c, ops[c]) for c in state_cols])
+    # pyarrow names aggregates "{col}_{op}" — map each back exactly
+    back = {f"{c}_{ops[c]}": c for c in state_cols}
+    return out.rename_columns([back.get(n, n) for n in out.column_names])
 
 
 def _key_filter_key(key_column: str, value, ktype: str) -> str:
