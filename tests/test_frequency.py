@@ -648,3 +648,57 @@ def test_sf_data_exact_topk(spark, sf_small_dir):
         assert r.total_err(a, b) == 0
     finally:
         r.unpersist()
+
+
+# ------------------------------------------------- property: random regimes
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(capacity=st.integers(1, 14), seed=st.integers(0, 10**6))
+@settings(max_examples=8, deadline=None)
+def test_bounds_property_random_data_and_capacity(spark, capacity, seed):
+    """The advisor's original ask, as a property: for RANDOM skew and
+    RANDOM capacity, every item's true count lies in [est, upper], kept
+    estimates never overcount, the heavy-hitter guarantee holds at k=3,
+    and a split-then-merge build keeps all of it true with error never
+    shrinking below the fresh build's."""
+    rng = _random.Random(seed)
+    rows = []
+    for hour in range(3):
+        ts = BASE + timedelta(hours=hour)
+        for item_id in range(rng.randint(1, 18)):
+            rows.append((ts, f"i{item_id:02d}", rng.randint(1, 25)))
+    data = [(ts, item) for ts, item, n in rows for _ in range(n)]
+    truth = Counter(item for _ts, item in data)
+    df = spark.createDataFrame(data, "ts timestamp, item string")
+    span = ("2024-02-01 00:00:00", "2024-02-01 03:00:00")
+    fresh = build_frequency_rollup(df, "item", "ts", 3600, capacity=capacity)
+    streamed = build_frequency_rollup(
+        df.filter("ts < '2024-02-01 01:00:00'"), "item", "ts", 3600,
+        capacity=capacity,
+    )
+    try:
+        streamed.merge_batch(df.filter("ts >= '2024-02-01 01:00:00'"), "ts")
+        for r in (fresh, streamed):
+            kept = {
+                row["item"]: (row["est"], row["upper"])
+                for row in r.approx_topk(*span, k=10_000).collect()
+            }
+            terr = r.total_err(*span)
+            for item, true in truth.items():
+                est, upper = kept.get(item, (0, terr))
+                assert est <= true <= upper, (item, est, true, upper, capacity)
+            for item, (est, _u) in kept.items():
+                assert est <= truth.get(item, 0)
+            top = r.approx_topk(*span, k=3).collect()
+            if top:
+                kth = top[-1]["est"]
+                present = {x["item"] for x in top}
+                for item, true in truth.items():
+                    if true > kth + terr:
+                        assert item in present, (item, true, kth, terr)
+        assert streamed.total_err(*span) >= fresh.total_err(*span)
+    finally:
+        fresh.unpersist()
+        streamed.unpersist()
