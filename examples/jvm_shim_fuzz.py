@@ -139,7 +139,23 @@ def gen_query(rng: random.Random, table: str) -> str:
     having = ""
     if gcols and rng.random() < 0.25:
         having = " HAVING COUNT(*) > 5"
-    return f"SELECT {', '.join(select)} FROM {table}{where}{group}{having}"
+    # ORDER BY / LIMIT above the (maybe-)rewritten aggregate: Sort/Limit
+    # bind to the rollup merge through preserved ExprIds — a LIMIT's kept
+    # set only compares deterministically under a TOTAL order, so sorts
+    # with LIMIT always end in the full group-alias list; aggregate-led
+    # sorts (rank depends on float value representation, the documented
+    # last-ulp caveat) only generate WITHOUT a LIMIT.
+    tail = ""
+    if gcols and rng.random() < 0.3:
+        keys = [s.split(" AS ")[1] for s, _ in gcols]
+        parts = [k + (" DESC" if rng.random() < 0.3 else "") for k in keys]
+        with_limit = rng.random() < 0.6
+        if not with_limit and rng.random() < 0.5:
+            parts.insert(0, "a0 DESC")
+        tail = " ORDER BY " + ", ".join(parts)
+        if with_limit:
+            tail += f" LIMIT {rng.choice([1, 3, 7, 100])}"
+    return f"SELECT {', '.join(select)} FROM {table}{where}{group}{having}{tail}"
 
 
 def rows_equal(xs, ys) -> bool:
