@@ -102,6 +102,7 @@ class DistinctRollup(SketchRetention):
         the wheel discipline). On a keyed rollup, ``key=value`` restricts
         to one partition value (NULL-safe); omitting it unions across
         keys."""
+        self._require_fresh()
         row = (
             self._restrict(start, end, key)
             .agg(F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("est"))
@@ -115,6 +116,7 @@ class DistinctRollup(SketchRetention):
         Requires a keyed build (``partition_by=``). Returns
         ``(<key_column>, approx_distinct)`` ordered by key (NULL keys
         included); one tiny job over the cached sketch table."""
+        self._require_fresh()
         if self.key_column is None:
             raise ValueError(
                 "rollup was built without partition_by — no key column"
@@ -149,6 +151,7 @@ class DistinctRollup(SketchRetention):
         Sketches are monoids, so regrouping the fine buckets under any
         coarser bucketing is exact sketch algebra — no rescan, no second
         rollup build."""
+        self._require_fresh()
         ts = F.timestamp_seconds(F.col("__sec"))
         self._check_granularity(granularity, start)
         if isinstance(granularity, int):

@@ -199,6 +199,7 @@ class FrequencyRollup(SketchRetention):
         additive slack between ``est`` and ``upper``. 0 when every bucket
         in range held ≤ capacity items (answers are then EXACT). A pure
         driver lookup over the cached prefix sums: zero Spark jobs."""
+        self._require_fresh()
         a, b = self._range(start, end)
         return self._total_err(a, b)
 
@@ -212,6 +213,7 @@ class FrequencyRollup(SketchRetention):
         ``upper`` adds the driver-resident error lookup as a literal (the
         pre-r8 broadcast-join shape paid a broadcast-exchange job per
         ask, pushing the probe past the local small-job floor)."""
+        self._require_fresh()
         a, b = self._range(start, end)
         terr = self._total_err(a, b)
         return (
@@ -237,6 +239,7 @@ class FrequencyRollup(SketchRetention):
         never silently wrong). ``upper`` adds the CELL's summed truncation
         error, so every per-period true count lies in ``[est, upper]``.
         Occupied buckets only; one tiny job over the cached rollup."""
+        self._require_fresh()
         self._check_granularity(granularity, start)
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
@@ -299,6 +302,7 @@ class FrequencyRollup(SketchRetention):
         item), NULL keys included as their own row. ``upper`` adds that
         KEY's summed truncation error over the range, so every per-key
         true count lies in ``[est, upper]``. One tiny job."""
+        self._require_fresh()
         if self.key_column is None:
             raise ValueError(
                 "rollup was built without partition_by — no key column"
@@ -316,6 +320,7 @@ class FrequencyRollup(SketchRetention):
         the point-query form (est = Σ kept counts, a lower bound that is
         exact while no merge/compaction has folded error into the range's
         buckets). One collect; the error bound is a driver lookup."""
+        self._require_fresh()
         a, b = self._range(start, end)
         row = (
             self._restrict(self._df, a, b)

@@ -133,6 +133,7 @@ class QuantileRollup(SketchRetention):
         (per rank) when no rows fall in the range. The returned value's
         true rank is within the KLL bound (~1.65% at k=200) of the asked
         rank."""
+        self._require_fresh()
         qs = list(q) if isinstance(q, (list, tuple)) else [q]
         for x in qs:
             if not 0.0 <= float(x) <= 1.0:
@@ -158,6 +159,7 @@ class QuantileRollup(SketchRetention):
         """Estimated CDF: the fraction of ``column`` values in ``[start,
         end)`` that are ``<= value`` (the inverse of
         :meth:`approx_quantile`). ``None`` when the range holds no rows."""
+        self._require_fresh()
         _, _, _, get_r, get_n = _fns(self.suffix)
         lit = F.lit(int(value) if self.suffix == "bigint" else float(value))
         row = self._merged_row(
@@ -175,6 +177,7 @@ class QuantileRollup(SketchRetention):
         (``partition_by=``). Returns ``(<key_column>, approx_quantile[_i])``
         ordered by key (NULL keys included as their own row); one tiny job
         over the cached sketch table."""
+        self._require_fresh()
         if self.key_column is None:
             raise ValueError(
                 "rollup was built without partition_by — no key column"
@@ -218,6 +221,7 @@ class QuantileRollup(SketchRetention):
         only, ordered; one tiny job over the cached sketch table. Sketches
         are monoids, so regrouping fine buckets under any coarser bucketing
         is exact sketch algebra — no rescan, no second rollup build."""
+        self._require_fresh()
         qs = list(q) if isinstance(q, (list, tuple)) else [q]
         _, merge, get_q, _, get_n = _fns(self.suffix)
         ts = F.timestamp_seconds(F.col("__sec"))

@@ -56,6 +56,38 @@ class SketchRetention:
 
     _SKETCH_CACHE_PARTITIONS = 4
 
+    # ---------------------------------------------------------- freshness
+    #: The stale-never-answers discipline, extended from the wheels and
+    #: the ANN index to the sketch rollups: when a maintenance batch
+    #: cannot be folded in (the stream does not carry the rollup's value
+    #: or partition column), the maintainer MARKS the rollup instead of
+    #: silently skipping it (answers would quietly miss streamed data) or
+    #: raising mid-stream (an AnalysisException/ValueError inside
+    #: foreachBatch kills the query). Every ask then refuses until the
+    #: operator rebuilds — or explicitly accepts with :meth:`mark_fresh`.
+    @property
+    def stale(self) -> bool:
+        return getattr(self, "_stale_reason", None) is not None
+
+    def mark_stale(self, reason: str) -> None:
+        self._stale_reason = reason
+
+    def mark_fresh(self) -> None:
+        """Clear the stale mark — after a rebuild over the full data, or
+        as an explicit operator decision to serve answers that miss the
+        unfolded batches. Never called implicitly: a later complete batch
+        cannot repair the rows already missed."""
+        self._stale_reason = None
+
+    def _require_fresh(self) -> None:
+        reason = getattr(self, "_stale_reason", None)
+        if reason is not None:
+            raise RuntimeError(
+                f"sketch rollup is STALE ({reason}) — rebuild it, or call "
+                "mark_fresh() to knowingly serve answers missing streamed "
+                "data"
+            )
+
     # ------------------------------------------------------------- ladder
     @property
     def tiers(self) -> list[tuple[int, int]]:

@@ -112,6 +112,7 @@ class ThetaRollup(SketchRetention):
     def approx_distinct(self, start, end) -> int:
         """Estimated ``COUNT(DISTINCT column)`` over ``[start, end)`` — the
         HLL wheel's ask, answered from theta unions."""
+        self._require_fresh()
         row = (
             self._df.filter(self._range_filter(start, end))
             .select(F.col("__theta").alias("__s1"))
@@ -125,6 +126,7 @@ class ThetaRollup(SketchRetention):
         """Estimated distinct values present in BOTH ranges (``r1``/``r2``
         are ``(start, end)`` pairs) — retention between two periods. One
         job over the buckets either range touches."""
+        self._require_fresh()
         row = (
             self._two_range_sketches(r1, r2, key_grouped=False)
             .select(self._est("theta_intersection(__u1, __u2)").alias("est"))
@@ -135,6 +137,7 @@ class ThetaRollup(SketchRetention):
     def approx_new(self, r1, r2) -> int:
         """Estimated distinct values in ``r2`` NEVER seen in ``r1`` (set
         difference ``r2 − r1``) — new-audience counts."""
+        self._require_fresh()
         row = (
             self._two_range_sketches(r1, r2, key_grouped=False)
             .select(self._est("theta_difference(__u2, __u1)").alias("est"))
@@ -145,6 +148,7 @@ class ThetaRollup(SketchRetention):
     def approx_jaccard(self, r1, r2) -> float:
         """Estimated ``|r1 ∩ r2| / |r1 ∪ r2|`` audience overlap in [0, 1]
         (0.0 when both ranges are empty)."""
+        self._require_fresh()
         row = (
             self._two_range_sketches(r1, r2, key_grouped=False)
             .select(
@@ -160,6 +164,7 @@ class ThetaRollup(SketchRetention):
         key value, estimated distincts in r1, in r2, and in both — the
         cohort-retention table, one job over the cached rollup. Returns
         ``(<key_column>, n_r1, n_r2, n_retained)`` ordered by key."""
+        self._require_fresh()
         if self.key_column is None:
             raise ValueError(
                 "rollup was built without partition_by — no key column"
@@ -188,6 +193,7 @@ class ThetaRollup(SketchRetention):
         ordering window runs on one task, fine for the handful of periods
         a series has — the heavy lifting (per-bucket sketching) already
         happened at build."""
+        self._require_fresh()
         from pyspark.sql import Window
 
         ts = F.timestamp_seconds(F.col("__sec"))

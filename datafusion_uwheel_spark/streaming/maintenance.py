@@ -86,32 +86,35 @@ class StreamingWheelMaintainer:
         for fk, predicate in self.filters.items():
             cols = [c for (c, k) in self.engine.agg_wheels if k == fk]
             self._merge_into(batch_df.filter(predicate), fk, cols)
-        # HLL distinct rollups: sketches are mergeable monoids, so the
-        # merged rollup equals a fresh batch build over the union — the same
-        # correctness model as the wheels (union-and-re-sketch per bucket).
-        for col, rollup in self.engine.distinct_rollups.items():
-            if col in batch_df.columns:
-                rollup.merge_batch(batch_df, self.engine.time_column)
-        # KLL quantile rollups: the same mergeable-monoid contract — the
-        # merged rollup answers as a fresh batch build over the union would
-        # (identical rank-error bound).
-        for col, rollup in self.engine.quantile_rollups.items():
-            if col in batch_df.columns:
-                rollup.merge_batch(batch_df, self.engine.time_column)
-        # Theta rollups: unions are mergeable monoids too, so set-algebra
-        # asks (retained/new/jaccard) over a streamed rollup answer as a
-        # fresh batch build over the union would.
-        for col, rollup in getattr(self.engine, "theta_rollups", {}).items():
-            if col in batch_df.columns:
-                rollup.merge_batch(batch_df, self.engine.time_column)
-        # Top-k truncated-counter rollups: NOT a plain monoid — merge folds
-        # the (capacity+1)-th merged count into ``err``, so the streamed
-        # rollup's [est, upper] bounds stay valid (errors add across
-        # merges) rather than bit-identical to a fresh build. Same
-        # stale-never-answers discipline as the sketch families above.
-        for col, rollup in getattr(self.engine, "topk_rollups", {}).items():
-            if col in batch_df.columns:
-                rollup.merge_batch(batch_df, self.engine.time_column)
+        # Sketch rollups ride every batch: HLL/KLL/theta are mergeable
+        # monoids (the merged rollup answers as a fresh batch build over
+        # the union would); the top-k truncated counters fold batches with
+        # errors ADDING (bounds stay valid rather than bit-identical). A
+        # rollup whose value or partition column the batch does not carry
+        # is MARKED STALE — its asks refuse until a rebuild (or an
+        # explicit mark_fresh) — never silently skipped (answers would
+        # quietly miss this batch's rows) and never a mid-stream raise
+        # (which would kill the streaming query). r8: before, a missing
+        # value column skipped silently and a missing key column raised.
+        for rollups in (
+            self.engine.distinct_rollups,
+            self.engine.quantile_rollups,
+            getattr(self.engine, "theta_rollups", {}),
+            getattr(self.engine, "topk_rollups", {}),
+        ):
+            for col, rollup in rollups.items():
+                missing = [
+                    c
+                    for c in (col, rollup.key_column)
+                    if c is not None and c not in batch_df.columns
+                ]
+                if missing:
+                    rollup.mark_stale(
+                        f"maintenance batch lacks column(s) {missing}"
+                    )
+                elif not rollup.stale:  # a stale rollup stays stale —
+                    # later batches cannot repair the rows already missed
+                    rollup.merge_batch(batch_df, self.engine.time_column)
         maintained = set(self.filters) | {STAR_AGGREGATION_ALIAS}
         e = self.engine
         if self.maintain_partitions:

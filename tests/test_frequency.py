@@ -702,3 +702,53 @@ def test_bounds_property_random_data_and_capacity(spark, capacity, seed):
     finally:
         fresh.unpersist()
         streamed.unpersist()
+
+
+def test_maintainer_stale_marks_unmaintainable_sketches(spark, tmp_path):
+    """r8: a maintenance batch that does not carry a sketch rollup's value
+    (or partition) column MARKS it stale — asks refuse with a clear error
+    until mark_fresh(), later batches do NOT quietly un-stale it, and
+    maintainable siblings in the same engine keep merging. Before, a
+    missing value column was skipped SILENTLY (stale answers) and a
+    missing key column raised mid-stream (killing the query)."""
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    rows = [(BASE + timedelta(hours=h), f"it{h % 3}", h) for h in range(6)]
+    df = spark.createDataFrame(rows, "ts timestamp, item string, uid long")
+    src = str(tmp_path / "stale_events.parquet")
+    df.write.mode("overwrite").parquet(src)
+    eng = WheelEngine(spark, "stale_events", src, time_column="ts")
+    eng.build_topk_index("item", bucket_seconds=3600, capacity=8)
+    eng.build_distinct_index("uid")
+    m = StreamingWheelMaintainer(eng)
+
+    # batch carries uid but not item -> topk stale, distinct merged
+    batch = spark.createDataFrame(
+        [(BASE + timedelta(hours=10), 99)], "ts timestamp, uid long"
+    )
+    m.merge_batch(batch)
+    fr = eng.topk_rollups["item"]
+    assert fr.stale
+    with pytest.raises(RuntimeError, match="STALE"):
+        fr.approx_topk(DAY1, DAY2)
+    with pytest.raises(RuntimeError, match="STALE"):
+        fr.total_err(DAY1, DAY2)
+    dr = eng.distinct_rollups["uid"]
+    assert not dr.stale
+    span = ("2024-02-01 00:00:00", "2024-02-01 11:00:00")
+    assert dr.approx_distinct(*span) == 7  # 6 built + the streamed uid 99
+
+    # a LATER full batch must not quietly repair the topk rollup
+    full = spark.createDataFrame(
+        [(BASE + timedelta(hours=11), "late", 100)],
+        "ts timestamp, item string, uid long",
+    )
+    m.merge_batch(full)
+    assert fr.stale  # the hour-10 rows are gone forever
+    with pytest.raises(RuntimeError):
+        fr.approx_count("late", DAY1, DAY2)
+    # explicit operator decision re-opens it (documented, never implicit)
+    fr.mark_fresh()
+    assert fr.approx_count("it0", *span)[0] == 2
