@@ -180,6 +180,7 @@ class DistinctRollup(SketchRetention):
         with sketches from other tables/partitions (union-merge downstream,
         e.g. cross-dataset dedup accounting). Same both-edges-whole bucket
         coverage as :meth:`approx_distinct`."""
+        self._require_fresh()
         row = (
             self._df.filter(self._range_filter(start, end))
             .agg(F.hll_union_agg("__hll").alias("sk"))
@@ -248,7 +249,7 @@ class DistinctRollup(SketchRetention):
                     "bucket_seconds": self.bucket_seconds,
                     "lg_k": self.lg_k,
                     "key_column": self.key_column,
-                    "tiers": self.tiers,
+                    **self._persist_meta(),
                 },
                 f,
             )
@@ -385,5 +386,5 @@ def load_distinct_rollup(spark, path: str) -> DistinctRollup:
         meta["lg_k"],
         key_column=meta.get("key_column"),
     )
-    r._tiers = [tuple(t) for t in meta.get("tiers", [])]
+    r._restore_meta(meta)
     return r

@@ -444,8 +444,8 @@ class FrequencyRollup(SketchRetention):
                     "column": self.column,
                     "bucket_seconds": self.bucket_seconds,
                     "capacity": self.capacity,
-                    "tiers": self.tiers,
                     "key_column": self.key_column,
+                    **self._persist_meta(),
                 },
                 f,
             )
@@ -522,6 +522,5 @@ def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
         meta["capacity"],
         key_column=meta.get("key_column"),
     )
-    if meta.get("tiers"):
-        r._tiers = [tuple(t) for t in meta["tiers"]]  # cache is tier-free
+    r._restore_meta(meta)  # tiers (err cache is tier-free) + stale mark
     return r

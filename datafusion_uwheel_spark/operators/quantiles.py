@@ -326,7 +326,7 @@ class QuantileRollup(SketchRetention):
                     "k": self.k,
                     "suffix": self.suffix,
                     "key_column": self.key_column,
-                    "tiers": self.tiers,
+                    **self._persist_meta(),
                 },
                 f,
             )
@@ -480,5 +480,5 @@ def load_quantile_rollup(spark, path: str) -> QuantileRollup:
         meta["suffix"],
         key_column=meta.get("key_column"),
     )
-    r._tiers = [tuple(t) for t in meta.get("tiers", [])]
+    r._restore_meta(meta)
     return r

@@ -182,6 +182,23 @@ def column_sql_type(df: DataFrame, column: str) -> str:
     raise ValueError(f"column {column!r} not found")
 
 
+#: Every state alias a rollup can carry and its re-aggregation monoid —
+#: base (bucket-level) states plus per-column templates (``__{st}_{c}``).
+#: :func:`state_agg_exprs` below is the emission site and
+#: :func:`_regroup_rollup_by_sec` the driver-side folding consumer: a new
+#: state must be added to BOTH, and a missed entry fails LOUDLY at
+#: partitioned-build time (explicit unknown-alias error), never as a
+#: silent misfold.
+_BASE_STATE_MONOIDS = {
+    "__cnt": "sum", "__tmin": "min", "__tmax": "max", "__atcnt": "sum",
+}
+_PER_COLUMN_STATE_MONOIDS = (
+    ("vcnt", "sum"), ("atvcnt", "sum"), ("sum", "sum"), ("atsum", "sum"),
+    ("min", "min"), ("atmin", "min"), ("max", "max"), ("atmax", "max"),
+    ("sumsq", "sum"), ("atsumsq", "sum"),
+)
+
+
 def state_agg_exprs(
     df: DataFrame,
     time_column: str,
@@ -447,16 +464,18 @@ def _regroup_rollup_by_sec(tbl: pa.Table, columns: Sequence[str]) -> pa.Table:
     review). pyarrow's grouped aggregation skips NULLs, so all-NULL
     buckets stay NULL and ``_filled`` sanitizes them exactly as in the
     distributed build."""
-    ops = {"__cnt": "sum", "__tmin": "min", "__tmax": "max", "__atcnt": "sum"}
-    per_col = (
-        ("vcnt", "sum"), ("atvcnt", "sum"), ("sum", "sum"), ("atsum", "sum"),
-        ("min", "min"), ("atmin", "min"), ("max", "max"), ("atmax", "max"),
-        ("sumsq", "sum"), ("atsumsq", "sum"),
-    )
+    ops = dict(_BASE_STATE_MONOIDS)
     for c in columns:
-        for st, op in per_col:
+        for st, op in _PER_COLUMN_STATE_MONOIDS:
             ops[f"__{st}_{c}"] = op
     state_cols = [c for c in tbl.column_names if c not in ("__sec", "__key")]
+    unknown = [c for c in state_cols if c not in ops]
+    if unknown:
+        raise ValueError(
+            f"state alias(es) {unknown} have no registered monoid — a new "
+            "state was added to state_agg_exprs without updating "
+            "_PER_COLUMN_STATE_MONOIDS"
+        )
     out = tbl.group_by("__sec").aggregate([(c, ops[c]) for c in state_cols])
     # pyarrow names aggregates "{col}_{op}" — map each back exactly
     back = {f"{c}_{ops[c]}": c for c in state_cols}

@@ -88,6 +88,22 @@ class SketchRetention:
                 "data"
             )
 
+    def _persist_meta(self) -> dict:
+        """Ladder + freshness fields every family's ``save()`` meta must
+        carry: a save/load cycle that dropped the stale mark would turn
+        'refuse' into silent wrong answers on the standard streaming-
+        recovery path (checkpoint → restart → load_indexes)."""
+        return {
+            "tiers": self.tiers,
+            "stale_reason": getattr(self, "_stale_reason", None),
+        }
+
+    def _restore_meta(self, meta: dict) -> None:
+        if meta.get("tiers"):
+            self._tiers = [tuple(t) for t in meta["tiers"]]
+        if meta.get("stale_reason"):
+            self._stale_reason = meta["stale_reason"]
+
     # ------------------------------------------------------------- ladder
     @property
     def tiers(self) -> list[tuple[int, int]]:

@@ -237,6 +237,7 @@ class ThetaRollup(SketchRetention):
     def merged_sketch(self, start, end) -> bytes | None:
         """The merged theta sketch bytes for ``[start, end)`` — composable
         with sketches from other tables (cross-dataset audience algebra)."""
+        self._require_fresh()
         row = (
             self._df.filter(self._range_filter(start, end))
             .select(F.col("__theta").alias("__s1"))
@@ -302,7 +303,7 @@ class ThetaRollup(SketchRetention):
                     "bucket_seconds": self.bucket_seconds,
                     "lg_k": self.lg_k,
                     "key_column": self.key_column,
-                    "tiers": self.tiers,
+                    **self._persist_meta(),
                 },
                 f,
             )
@@ -369,5 +370,5 @@ def load_theta_rollup(spark, path: str) -> ThetaRollup:
         meta["lg_k"],
         key_column=meta["key_column"],
     )
-    r._tiers = [tuple(t) for t in meta.get("tiers", [])]
+    r._restore_meta(meta)
     return r

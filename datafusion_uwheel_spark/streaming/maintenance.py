@@ -82,6 +82,25 @@ class StreamingWheelMaintainer:
         filter must be re-applied per batch) — they are **marked incomplete**
         so queries beyond their built span delegate instead of answering from
         stale state (a complete wheel claims the whole timeline)."""
+        e = self.engine
+        if e.time_column not in batch_df.columns:
+            # A stream without the TIME column can maintain nothing at all
+            # — stale-mark the whole engine (wheels incomplete, sketches
+            # refusing) instead of raising inside foreachBatch and killing
+            # the query (r8: the value/partition-column cases below got
+            # this discipline first; this is the last mid-stream raise).
+            for w in e._all_wheels():
+                w.complete = False
+            for rollups in (
+                e.distinct_rollups, e.quantile_rollups,
+                getattr(e, "theta_rollups", {}), getattr(e, "topk_rollups", {}),
+            ):
+                for rollup in rollups.values():
+                    rollup.mark_stale(
+                        f"maintenance batch lacks time column {e.time_column!r}"
+                    )
+            e.index_epoch += 1
+            return
         self._merge_into(batch_df, STAR_AGGREGATION_ALIAS, self.columns())
         for fk, predicate in self.filters.items():
             cols = [c for (c, k) in self.engine.agg_wheels if k == fk]

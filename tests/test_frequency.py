@@ -752,3 +752,71 @@ def test_maintainer_stale_marks_unmaintainable_sketches(spark, tmp_path):
     # explicit operator decision re-opens it (documented, never implicit)
     fr.mark_fresh()
     assert fr.approx_count("it0", *span)[0] == 2
+
+
+def test_stale_mark_survives_save_load(spark, events, tmp_path):
+    """r8 review: the stale mark persists through save/load — a
+    checkpoint/restart cycle must not quietly convert 'refuse' back into
+    answers that miss dropped batches."""
+    r = build_frequency_rollup(events, "item", "ts", 3600, capacity=8)
+    try:
+        r.mark_stale("test: dropped batch")
+        p = str(tmp_path / "stale_freq")
+        r.save(p)
+        loaded = load_frequency_rollup(spark, p)
+        try:
+            assert loaded.stale
+            with pytest.raises(RuntimeError, match="STALE"):
+                loaded.approx_topk(DAY1, DAY2)
+            loaded.mark_fresh()
+            assert loaded.approx_topk(DAY1, DAY2, k=1).count() == 1
+        finally:
+            loaded.unpersist()
+    finally:
+        r.unpersist()
+
+
+def test_merged_sketch_gated_too(spark, tmp_path):
+    """The sketch-bytes escape hatches (distinct/theta merged_sketch) obey
+    the same freshness gate as the numeric asks."""
+    from datafusion_uwheel_spark.operators.distinct import (
+        build_distinct_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(BASE + timedelta(hours=h), h) for h in range(4)],
+        "ts timestamp, uid long",
+    )
+    r = build_distinct_rollup(df, "ts", "uid", bucket_seconds=3600)
+    try:
+        assert r.merged_sketch(DAY1, DAY2) is not None
+        r.mark_stale("test")
+        with pytest.raises(RuntimeError, match="STALE"):
+            r.merged_sketch(DAY1, DAY2)
+    finally:
+        r.unpersist()
+
+
+def test_maintainer_missing_time_column_stale_marks_engine(spark, tmp_path):
+    """A batch without the TIME column can maintain nothing — the whole
+    engine stale-marks (wheels incomplete, sketches refusing) instead of
+    an AnalysisException killing the stream."""
+    from datafusion_uwheel_spark.operators.lookup import STAR_AGGREGATION_ALIAS
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    rows = [(BASE + timedelta(hours=h), f"i{h}", float(h)) for h in range(4)]
+    df = spark.createDataFrame(rows, "ts timestamp, item string, v double")
+    src = str(tmp_path / "no_tc_events.parquet")
+    df.write.mode("overwrite").parquet(src)
+    eng = WheelEngine(spark, "no_tc_events", src, time_column="ts")
+    eng.build_index("v")
+    eng.build_topk_index("item", bucket_seconds=3600, capacity=8)
+    epoch = eng.index_epoch
+    batch = spark.createDataFrame([("x", 1.0)], "item string, v double")
+    StreamingWheelMaintainer(eng).merge_batch(batch)  # must not raise
+    assert not eng.count_wheels[STAR_AGGREGATION_ALIAS].complete
+    assert not eng.agg_wheels[("v", STAR_AGGREGATION_ALIAS)].complete
+    assert eng.topk_rollups["item"].stale
+    assert eng.index_epoch > epoch
