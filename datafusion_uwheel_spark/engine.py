@@ -583,6 +583,13 @@ class WheelEngine:
         (:meth:`build_topk_index`; KeyError if none)."""
         return self.topk_rollups[column].approx_topk(start, end, k)
 
+    def approx_topk_rows(self, column: str, start, end, k: int = 10) -> list:
+        """Driver-resident form of :meth:`approx_topk` — the same
+        ``(item, est, upper)`` rows as plain Python tuples with ZERO Spark
+        jobs (the counterpart of :meth:`sql_rows` for the frequency
+        rollup; see :meth:`..operators.frequency.FrequencyRollup.topk_rows`)."""
+        return self.topk_rollups[column].topk_rows(start, end, k)
+
     def approx_item_count(self, column: str, item, start, end) -> tuple[int, int]:
         """``(est, upper)`` count bounds for one ``column`` value over the
         range (the point-query form of :meth:`approx_topk`)."""

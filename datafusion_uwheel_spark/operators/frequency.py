@@ -138,23 +138,33 @@ class FrequencyRollup(SketchRetention):
         #: rollup stay valid: kept counts sum across keys (a lower bound)
         #: and the error cache sums every key's slack per bucket.
         self.key_column = key_column
-        self._refresh_err_cache()
+        self._refresh_caches()
 
     def _grp(self) -> list[str]:
         return ["__sec"] + (["__key"] if self.key_column is not None else [])
 
-    def _refresh_err_cache(self) -> None:
-        """Mirror the tiny ``(__sec, err)`` frame into driver-side numpy
-        prefix sums — one row per bucket, the same driver-residency regime
-        as the wheels themselves — so :meth:`total_err` is a zero-job
-        ``searchsorted`` lookup and the scalar asks cost ONE Spark job for
-        the kept aggregate plus a driver literal for ``upper`` (the
-        pre-r8 broadcast-join shape paid a broadcast-exchange job per
-        ask). Refreshed wherever ``_err`` changes (build, merge_batch,
-        compact_before, load). Published as ONE attribute so a concurrent
-        reader (dashboard thread during a streaming merge) always sees a
-        consistent (secs, prefix) snapshot — two attributes could be
-        observed half-updated between assignments."""
+    def _refresh_caches(self) -> None:
+        """Mirror BOTH rollup frames into driver-side numpy — the same
+        driver-residency regime as the wheels themselves (the reference's
+        µs-latency asks are driver lookups, ``README.md:50-51``):
+
+        * ``(__sec, err)`` → prefix sums, so :meth:`total_err` is a
+          zero-job ``searchsorted`` lookup (one row per bucket);
+        * the kept ``(__sec, __item, cnt)`` rows → sec-sorted parallel
+          arrays (≤ buckets × capacity rows — bounded by construction, a
+          year of hourly buckets at capacity 64 is ~0.5M tiny rows), so
+          :meth:`topk_rows` and :meth:`approx_count` answer with ZERO
+          Spark jobs instead of paying the ~100 ms small-job floor that
+          made probes slower than vanilla scans at small SF.
+
+        Refreshed wherever the frames change (build, merge_batch,
+        compact_before, load). Each mirror is published as ONE attribute
+        so a concurrent reader (dashboard thread during a streaming merge)
+        always sees a consistent snapshot — two attributes could be
+        observed half-updated between assignments. Keyed builds mirror the
+        kept rows with the key projected away (duplicate (sec, item) rows
+        simply sum at ask time): the direct asks are the UNKEYED forms,
+        whose kept sums add across keys anyway."""
         import numpy as np
 
         err = self._err
@@ -165,6 +175,24 @@ class FrequencyRollup(SketchRetention):
         secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
         errs = np.array([r["err"] for r in rows], dtype=np.int64)
         self._err_cache = (secs, np.concatenate(([0], np.cumsum(errs))))
+
+        tbl = self._df.select("__sec", "__item", "cnt").toArrow()
+        ksecs = np.asarray(tbl.column("__sec"), dtype=np.int64)
+        kitems = np.array(tbl.column("__item").to_pylist(), dtype=object)
+        kcnts = np.asarray(tbl.column("cnt"), dtype=np.int64)
+        order = np.argsort(ksecs, kind="stable")
+        self._kept_cache = (ksecs[order], kitems[order], kcnts[order])
+
+    # backwards-compatible alias (pre-r9 name, err-only mirror)
+    _refresh_err_cache = _refresh_caches
+
+    def _kept_slice(self, a: int, b: int):
+        import numpy as np
+
+        secs, items, cnts = self._kept_cache  # one read: consistent snapshot
+        lo = int(np.searchsorted(secs, a, side="left"))
+        hi = int(np.searchsorted(secs, b, side="left"))
+        return items[lo:hi], cnts[lo:hi]
 
     # ------------------------------------------------------------ queries
     def _aligned_sec(self, v, name: str) -> int:
@@ -224,6 +252,28 @@ class FrequencyRollup(SketchRetention):
             .orderBy(F.col("est").desc(), F.col("item").asc())
             .limit(k)
         )
+
+    def topk_rows(self, start, end, k: int = 10) -> list[tuple]:
+        """Driver-resident sibling of :meth:`approx_topk`: the same
+        ``(item, est, upper)`` top-``k`` rows as plain Python tuples,
+        computed from the numpy kept-rows mirror with **zero Spark jobs**
+        — the frequency counterpart of the wheels' ``sql_rows`` direct
+        path (the reference's µs latencies are driver lookups,
+        ``/root/reference/README.md:50-51``). Ordering matches the routed
+        DataFrame exactly: est desc, then item asc with NULL first
+        (Spark's ASC default). O(kept rows in range) per ask, bounded by
+        buckets × capacity. Freshness-gated like every other ask."""
+        self._require_fresh()
+        a, b = self._range(start, end)
+        terr = self._total_err(a, b)
+        items, cnts = self._kept_slice(a, b)
+        agg: dict = {}
+        for it, c in zip(items.tolist(), cnts.tolist()):
+            agg[it] = agg.get(it, 0) + c
+        ordered = sorted(
+            agg.items(), key=lambda kv: (-kv[1], kv[0] is not None, kv[0])
+        )
+        return [(it, est, est + terr) for it, est in ordered[:k]]
 
     def approx_topk_by(
         self, granularity, k: int = 10, start=None, end=None
@@ -319,16 +369,16 @@ class FrequencyRollup(SketchRetention):
         """``(est, upper)`` bounds for ONE item's count over the range —
         the point-query form (est = Σ kept counts, a lower bound that is
         exact while no merge/compaction has folded error into the range's
-        buckets). One collect; the error bound is a driver lookup."""
+        buckets). ZERO Spark jobs since r9: both sides read the driver
+        mirrors (kept rows + error prefix sums) — identical values to the
+        pre-r9 one-collect form, pinned by the parity pytest."""
         self._require_fresh()
         a, b = self._range(start, end)
-        row = (
-            self._restrict(self._df, a, b)
-            .filter(F.col("__item").eqNullSafe(F.lit(item)))
-            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("est"))
-            .collect()[0]
-        )
-        est = int(row["est"])
+        items, cnts = self._kept_slice(a, b)
+        est = 0
+        for it, c in zip(items.tolist(), cnts.tolist()):
+            if it == item or (it is None and item is None):
+                est += c
         return est, est + self._total_err(a, b)
 
     # ------------------------------------------------------------ updates
@@ -377,7 +427,7 @@ class FrequencyRollup(SketchRetention):
         self._err.count()
         old_df.unpersist()
         old_err.unpersist()
-        self._refresh_err_cache()
+        self._refresh_caches()
 
     def compact_before(self, cutoff_sec: int, width: int) -> int:
         """Tiered retention (see :class:`SketchRetention`): fine buckets
@@ -425,7 +475,7 @@ class FrequencyRollup(SketchRetention):
         old_df.unpersist()
         old_err.unpersist()
         self._tiers = [(cutoff, width)]
-        self._refresh_err_cache()
+        self._refresh_caches()
         return before - after
 
     def _union_agg_exprs(self):  # pragma: no cover - SketchRetention hook
@@ -478,6 +528,16 @@ def build_frequency_rollup(
 
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    if partition_by in ("item", "est", "upper"):
+        # approx_topk_by_key outputs the key column VERBATIM alongside the
+        # fixed (item, est, upper) names — a colliding partition column
+        # would make that select ambiguous or silently shadow an output.
+        # Rejected at build time, never at ask time (ADVICE r8).
+        raise ValueError(
+            f"partition_by={partition_by!r} collides with the reserved "
+            "result column names ('item', 'est', 'upper') of "
+            "approx_topk_by_key — rename the key column"
+        )
     sec = time_sec_col(df, time_column)
     if bucket_seconds > 1:
         sec = sec - (sec % bucket_seconds)

@@ -389,9 +389,13 @@ def build_partitioned_wheel_indices(
     states: Sequence[str] = PHYSICAL_STATES,
     max_keys: int = 512,
     time_range: tuple | None = None,
-) -> tuple[dict, str]:
+) -> tuple[dict, str, dict]:
     """ONE scan → a *key-complete* family of per-value wheels:
-    ``({key_value: {None: count_wheel, col: value_wheel, ...}}, key_sql_type)``.
+    ``({key_value: {None: count_wheel, col: value_wheel, ...}}, key_sql_type,
+    star_wheels)`` where ``star_wheels`` maps ``{None: count_wheel, col:
+    value_wheel, ...}`` for the derived UNFILTERED (key-summed) wheels —
+    the same single scan also funds the table-wide rollup, so a partitioned
+    build never needs a second pass for the STAR family.
 
     The job groups by ``(bucket, key)`` — same cost shape as the plain
     rollup scan times the key cardinality in rollup rows, still bounded by

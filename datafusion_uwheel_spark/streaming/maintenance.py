@@ -100,6 +100,13 @@ class StreamingWheelMaintainer:
                         f"maintenance batch lacks time column {e.time_column!r}"
                     )
             e.index_epoch += 1
+            # The shim's exported views are SNAPSHOTS — with every wheel now
+            # incomplete they must stop answering, so refresh (which
+            # unregisters the table on an incomplete star wheel) before
+            # returning; otherwise plain spark.sql keeps serving pre-batch
+            # buckets forever, the exact stale-serves hole the unregister
+            # path below exists to close.
+            self._refresh_shim_views()
             return
         self._merge_into(batch_df, STAR_AGGREGATION_ALIAS, self.columns())
         for fk, predicate in self.filters.items():
@@ -204,7 +211,25 @@ class StreamingWheelMaintainer:
         # re-registration re-reads each wheel from the engine; reset the
         # snapshot dict so the bucket-domain guard compares post-merge wheels
         e._shim_agg_wheels = {}
+        # Only columns whose (c, STAR) wheel is still complete re-export —
+        # a stream missing a value column stale-marks its wheel in
+        # _merge_into, and re-exporting it would (a) keep serving pre-batch
+        # buckets through plain spark.sql and (b) diverge its __sec domain
+        # from the maintained columns', tripping register_agg_rollup's
+        # np.array_equal guard mid-stream. Dropped columns must also stop
+        # MATCHING, so the agg_cols conf is cleared first; re-registering
+        # the fresh subset rebuilds it with only those columns.
+        fresh_cols = []
         for c in agg_cols:
+            w = e.agg_wheels.get((c, STAR_AGGREGATION_ALIAS))
+            if w is not None and w.complete:
+                fresh_cols.append(c)
+        if len(fresh_cols) != len(agg_cols):
+            try:
+                spark.conf.unset(f"spark.uwheel.shim.{e.name}.agg_cols")
+            except Exception:
+                pass
+        for c in fresh_cols:
             register_agg_rollup(spark, e, c)
         # Keyed views: a keyed wheel whose filter this maintainer does not
         # re-apply goes incomplete above — its view must stop matching, so

@@ -820,3 +820,161 @@ def test_maintainer_missing_time_column_stale_marks_engine(spark, tmp_path):
     assert not eng.agg_wheels[("v", STAR_AGGREGATION_ALIAS)].complete
     assert eng.topk_rollups["item"].stale
     assert eng.index_epoch > epoch
+
+
+# --------------------------------- r9: driver-resident direct-ask path
+def _job_topk(rollup, a, b, k=10):
+    """The routed-DataFrame path's rows, as plain tuples — the parity
+    oracle for the zero-job topk_rows mirror."""
+    return [
+        (r["item"], r["est"], r["upper"])
+        for r in rollup.approx_topk(a, b, k).collect()
+    ]
+
+
+@pytest.mark.parametrize("fx", ["ample", "tight"])
+def test_topk_rows_parity_with_job_path(fx, request):
+    """topk_rows == approx_topk row-for-row (values AND order, NULL item
+    included) in both the exact and truncated regimes, across range widths
+    and k above/below the distinct-item count."""
+    rollup = request.getfixturevalue(fx)
+    for a, b in (
+        FULL,
+        (DAY1, DAY2),
+        ("2024-02-01 02:00:00", "2024-02-01 05:00:00"),
+    ):
+        for k in (1, 3, 10_000):
+            assert rollup.topk_rows(a, b, k) == _job_topk(rollup, a, b, k)
+
+
+def test_direct_asks_are_zero_jobs(tight, spark):
+    """topk_rows and approx_count launch NO Spark jobs — the wheels'
+    driver-residency discipline extended to the frequency rollup (the
+    whole point of the r9 kept-rows mirror: the ~100 ms small-job floor
+    made probes slower than vanilla scans at sf0.1)."""
+    tight.topk_rows(*FULL)  # caches built at build time; warm anyway
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    rows = tight.topk_rows(*FULL, k=5)
+    est, upper = tight.approx_count("hvy_a", *FULL)
+    n_est, n_upper = tight.approx_count(None, *FULL)
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before
+    assert rows and est > 0 and upper >= est
+    # NULL item is truncated out of the capacity-4 kept set (est 0), but
+    # its true count ≤ upper still holds — the bound survives zero-job
+    assert n_upper >= n_est >= 0
+    assert n_upper >= 5  # true NULL count in DAY1 is 5; upper must cover it
+
+
+def test_approx_count_parity_with_dataframe(ample, tight):
+    """approx_count (driver mirror since r9) == the pre-r9 one-collect
+    DataFrame computation, item by item, NULL and absent items included."""
+    from pyspark.sql import functions as F
+
+    for rollup in (ample, tight):
+        a, b = rollup._range(*FULL)
+        for item in ("hvy_a", "t03", None, "nope"):
+            df_est = (
+                rollup._restrict(rollup._df, a, b)
+                .filter(F.col("__item").eqNullSafe(F.lit(item)))
+                .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long"))
+                .collect()[0][0]
+            )
+            est, upper = rollup.approx_count(item, *FULL)
+            assert est == int(df_est)
+            assert upper == est + rollup.total_err(*FULL)
+
+
+def test_direct_caches_follow_merge_and_compact(spark, events):
+    """The kept-rows mirror invalidates wherever the frames change:
+    after merge_batch and compact_before the direct answers still match
+    the job path (and actually reflect the fold)."""
+    r = build_frequency_rollup(events, "item", "ts", bucket_seconds=3600, capacity=4)
+    try:
+        before = r.topk_rows(*FULL, k=3)
+        extra = spark.createDataFrame(
+            [(BASE + timedelta(hours=1), "merged_item")] * 500,
+            "ts timestamp, item string",
+        )
+        r.merge_batch(extra, "ts")
+        after = r.topk_rows(*FULL, k=3)
+        assert after == _job_topk(r, *FULL, k=3)
+        assert after != before  # 500 merged rows must surface
+        assert after[0][0] == "merged_item"
+        cutoff = int(datetime.fromisoformat(DAY2).timestamp())
+        r.compact_before(cutoff, 86_400)
+        assert r.topk_rows(*FULL, k=5) == _job_topk(r, *FULL, k=5)
+        assert r.approx_count("merged_item", *FULL)[1] >= 500
+    finally:
+        r.unpersist()
+
+
+def test_direct_caches_follow_save_load(spark, tight, tmp_path):
+    path = str(tmp_path / "fr_direct")
+    tight.save(path)
+    lo = load_frequency_rollup(spark, path)
+    try:
+        assert lo.topk_rows(*FULL, k=8) == tight.topk_rows(*FULL, k=8)
+        assert lo.approx_count("hvy_a", *FULL) == tight.approx_count(
+            "hvy_a", *FULL
+        )
+    finally:
+        lo.unpersist()
+
+
+def test_direct_asks_freshness_gated(spark, events):
+    """A stale rollup refuses the direct asks too — driver mirrors are
+    snapshots and MUST honor the stale-never-answers contract."""
+    r = build_frequency_rollup(events, "item", "ts", bucket_seconds=3600, capacity=4)
+    try:
+        r.mark_stale("test")
+        with pytest.raises(RuntimeError, match="STALE"):
+            r.topk_rows(*FULL)
+        with pytest.raises(RuntimeError, match="STALE"):
+            r.approx_count("hvy_a", *FULL)
+        r.mark_fresh()
+        assert r.topk_rows(*FULL, k=1) == _job_topk(r, *FULL, k=1)
+    finally:
+        r.unpersist()
+
+
+def test_keyed_build_direct_parity(spark, keyed_events):
+    """Unkeyed direct asks on a keyed build: the mirror carries duplicate
+    (sec, item) rows (one per key) that sum at ask time — parity with the
+    job path, which groups the same rows."""
+    r = build_frequency_rollup(
+        keyed_events, "item", "ts", bucket_seconds=3600, capacity=3,
+        partition_by="seg",
+    )
+    try:
+        a, b = DAY1, "2024-02-01 02:00:00"
+        assert r.topk_rows(a, b, k=100) == _job_topk(r, a, b, k=100)
+        assert r.approx_count("shared", a, b)[0] == sum(
+            est for item, est, _u in r.topk_rows(a, b, k=1000)
+            if item == "shared"
+        )
+    finally:
+        r.unpersist()
+
+
+def test_partition_by_reserved_names_rejected(events):
+    """ADVICE r8: a partition column named like a result column of
+    approx_topk_by_key would shadow/ambiguate the output select — rejected
+    at build time."""
+    for bad in ("item", "est", "upper"):
+        with pytest.raises(ValueError, match="reserved"):
+            build_frequency_rollup(events, "item", "ts", partition_by=bad)
+
+
+def test_engine_topk_rows_delegates(spark, events, tmp_path):
+    src = str(tmp_path / "fr_engine_direct.parquet")
+    events.write.mode("overwrite").parquet(src)
+    eng = WheelEngine(spark, "fr_engine_direct", src, time_column="ts")
+    eng.build_topk_index("item", bucket_seconds=3600, capacity=4)
+    got = eng.approx_topk_rows("item", *FULL, k=4)
+    want = [
+        (r["item"], r["est"], r["upper"])
+        for r in eng.approx_topk("item", *FULL, k=4).collect()
+    ]
+    assert got == want

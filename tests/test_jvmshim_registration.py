@@ -314,3 +314,76 @@ def test_reexport_is_atomic_under_concurrent_readers(spark, eng, tmp_path):
         stop.set()
         t.join()
     assert not errors, errors[:3]
+
+
+def test_missing_time_column_batch_unregisters_table(spark, ev_copy):
+    """ADVICE r8: a batch WITHOUT the time column stale-marks the whole
+    engine — the early return must still run the shim refresh, which
+    unregisters the table (star wheel incomplete), so plain spark.sql
+    stops answering from pre-batch snapshots. Stale never answers."""
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    e = WheelEngine(spark, "shimnotc", ev_copy, time_column="ts")
+    e.build_index("value")
+    register_count_rollup(spark, e)
+    register_agg_rollup(spark, e, "value")
+    assert "shimnotc" in spark.conf.get("spark.uwheel.shim.tables")
+    batch = spark.createDataFrame([("click", 1.0)], "event_type string, value double")
+    StreamingWheelMaintainer(e).merge_batch(batch)  # must not raise
+    assert "shimnotc" not in spark.conf.get("spark.uwheel.shim.tables")
+
+
+def test_stale_value_column_agg_view_revoked_on_merge(spark, ev_copy):
+    """ADVICE r8: a stream that lacks ONE registered value column must (a)
+    not raise register_agg_rollup's bucket-domain guard mid-stream (the
+    maintained column's __sec domain grows, the unmaintained one's
+    doesn't), and (b) drop the stale column from agg_cols so the rule
+    stops matching it, while the maintained column keeps re-exporting."""
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    e = WheelEngine(spark, "shimstalecol", ev_copy, time_column="ts")
+    e.build_index("value")
+    e.build_index("user_id")
+    register_count_rollup(spark, e)
+    register_agg_rollup(spark, e, "value")
+    register_agg_rollup(spark, e, "user_id")
+    conf_key = "spark.uwheel.shim.shimstalecol.agg_cols"
+    assert spark.conf.get(conf_key) == "user_id,value"
+    name = "__uwheel_rollup_shimstalecol__agg"
+    before = spark.table(name).count()
+    # a NEW bucket, carrying value but not user_id
+    batch = spark.createDataFrame(
+        [("2024-03-01 00:00:10", 2.5)], "ts string, value double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
+    StreamingWheelMaintainer(e).merge_batch(batch)  # must not raise
+    assert spark.conf.get(conf_key) == "value"
+    assert "shimstalecol" in spark.conf.get("spark.uwheel.shim.tables")
+    # the re-exported view carries the merged bucket (fresh, not snapshot)
+    assert spark.table(name).count() == before + 1
+    assert "sum_value" in spark.table(name).columns
+
+
+def test_all_value_columns_stale_clears_agg_conf(spark, ev_copy):
+    """Degenerate case of the above: EVERY registered agg column is
+    unmaintainable → agg_cols must go away entirely (no register call
+    would otherwise rewrite it), while COUNT(*) stays served."""
+    from datafusion_uwheel_spark.streaming.maintenance import (
+        StreamingWheelMaintainer,
+    )
+
+    e = WheelEngine(spark, "shimallstale", ev_copy, time_column="ts")
+    e.build_index("user_id")
+    register_count_rollup(spark, e)
+    register_agg_rollup(spark, e, "user_id")
+    conf_key = "spark.uwheel.shim.shimallstale.agg_cols"
+    assert spark.conf.get(conf_key) == "user_id"
+    batch = spark.createDataFrame(
+        [("2024-03-01 00:00:10", 2.5)], "ts string, value double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
+    StreamingWheelMaintainer(e).merge_batch(batch)
+    assert spark.conf.get(conf_key, None) is None
+    assert "shimallstale" in spark.conf.get("spark.uwheel.shim.tables")
