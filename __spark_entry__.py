@@ -444,6 +444,44 @@ def freq_topk(spark, sf_dir):
     return eng.approx_topk("event_type", A, B, k=4)
 
 
+def uw_topk_sql(spark, sf_dir):
+    """Routed top-k SQL shape (r8 surface, seated r9 per the ledger):
+    ``GROUP BY key ORDER BY n DESC, key LIMIT k`` is a TOTAL order, so the
+    partitioned family answers the dashboard top-k zero-scan
+    (plans/router.py _order_limit_rows + the fuzzed LIMIT gate in
+    tests/test_router_properties.py). Exact — the wheels hold exact
+    per-key counts — so trivially DuckDB hash-checkable."""
+    eng = _engine(spark, sf_dir)
+    if "event_type" not in eng.partition_sets:
+        eng.build_partitioned_index("value", partition_by="event_type")
+    df = eng.sql(
+        "SELECT event_type AS k, COUNT(*) AS n FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}' "
+        "GROUP BY event_type ORDER BY n DESC, k LIMIT 3"
+    )
+    assert eng.last_route.kind == "group_by", eng.last_route
+    return df
+
+
+def freq_topk_by_key(spark, sf_dir):
+    """Per-key heavy hitters (r8 surface, seated r9 per the ledger): top
+    users per event type over [A, B) from a ``partition_by=`` build of the
+    truncated-counter rollup (operators/frequency.py approx_topk_by_key —
+    truncation and error tracked per (bucket, key)). capacity 256 ≥ the
+    per-(hour, event_type) distinct-user count at every driver SF (10 at
+    sf0.01, 51 at sf0.1), so ``est`` is EXACT and ``upper == est``;
+    the truncated regime's [est, upper] bounds stay pytest-pinned in
+    tests/test_frequency.py."""
+    eng = _engine(spark, sf_dir)
+    r = eng.topk_rollups.get("user_id")
+    if r is None or r.key_column != "event_type":
+        eng.build_topk_index(
+            "user_id", bucket_seconds=3600, capacity=256,
+            partition_by="event_type",
+        )
+    return eng.approx_topk_by_key("user_id", k=3, start=A, end=B)
+
+
 def uw_point_instant(spark, sf_dir):
     """Point query `ts = literal` answered from the bucket's at-start sliver
     states (the reference refuses time-column equality, expr.rs:351-356).
@@ -877,34 +915,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION LEDGER (so every retired surface regains the per-round
     # DuckDB hash check at least every other round):
     #   - uw_groupby_week <-> uw_groupby_month alternate each round
-    #     (r8: month IN, week out; r9 should swap back).
-    #   - freq_topk seated r8 (the heavy-hitters rollup earns its DuckDB
-    #     hash check in the exact regime; truncated [est, upper] bounds are
-    #     pytest-pinned in test_frequency.py); its slot came from
-    #     uw_landmark_sum, whose scalar-landmark routing stays hash-checked
-    #     through uw_groupby_landmark + uw_keyed_landmark (same complete-
-    #     wheel landmark path) and pytest-pinned in test_engine_fixture.py.
-    #   - uw_keyed_numeric re-seated r8 (out since r6); its slot came from
-    #     uw_or_ranges, whose scalar OR-of-ranges machinery is exercised by
-    #     or_group_by (same interval-split + monoid-sum path, plus
-    #     grouping) and stays pytest-pinned vs delegate in
+    #     (r9: week IN, month out; r10 swaps back). Both stay
+    #     property-tested in test_lookup_properties.py regardless.
+    #   - uw_or_ranges <-> or_group_by alternate (r9: scalar IN, grouped
+    #     out) — both sides of the interval-split + monoid-sum path; the
+    #     bench away side stays pytest-pinned vs delegate in
     #     test_or_ranges.py.
-    #   - or_group_by seated r7 (the r6 wrong-answer surface earns its
-    #     DuckDB hash check); its slot came from dedup_fingerprint, which
-    #     stays pytest-pinned vs an exact Python oracle
-    #     (test_llm_ops.py::test_fingerprint_matches_python) and is
-    #     mechanically subsumed by dedup_exact_groups' digest path.
+    #   - uw_topk_sql seated r9 (the r8 routed top-k SQL shape earns its
+    #     DuckDB hash check — exact, total-order gated); its slot came
+    #     from uw_le_bound_range, whose <=-bound hybrid path stays covered
+    #     by uw_between_range (same at-start sliver machinery) and
+    #     test_hybrid_boundaries.py.
+    #   - freq_topk_by_key seated r9 (the r8 per-key heavy-hitters form,
+    #     exact in the ample-capacity regime); its slot came from
+    #     uw_point_instant, whose at-start point path stays covered by the
+    #     hybrid rows and test_hybrid_boundaries.py.
+    #   - freq_topk seated r8 (exact regime; truncated [est, upper] bounds
+    #     pytest-pinned in test_frequency.py); slot from uw_landmark_sum,
+    #     whose scalar-landmark routing stays hash-checked through
+    #     uw_groupby_landmark + uw_keyed_landmark and pytest-pinned in
+    #     test_engine_fixture.py.
+    #   - uw_keyed_numeric re-seated r8 (out since r6); slot from
+    #     uw_or_ranges (now back, see above).
     #   - retired, pytest-pinned, candidates to rotate back in by
-    #     re-retiring a subsumed row: uw_landmark_sum (r8 out),
-    #     uw_or_ranges (r8 out), dedup_fingerprint (r7 out),
-    #     dedup_exact_keep (r6 out), mm_media_dedup (r6 out),
-    #     uw_keyed_count (r4 out), sim_ann_indexed/sim_ivf_indexed (r3 out,
-    #     physically identical plans to the engine-routed rows).
-    #   - NEW r8 surfaces, pytest-pinned, never yet hash-checked — r9
-    #     seating candidates: the routed top-k SQL shape (GROUP BY key
-    #     ORDER BY n DESC, key LIMIT k — exact, trivially oracle-able),
-    #     approx_topk_by day series and approx_topk_by_key (both exact in
-    #     the ample-capacity regime, so hash-checkable like freq_topk).
+    #     re-retiring a subsumed row: uw_groupby_month (r9 out),
+    #     or_group_by (r9 out), uw_le_bound_range (r9 out),
+    #     uw_point_instant (r9 out), uw_landmark_sum (r8 out),
+    #     dedup_fingerprint (r7 out), dedup_exact_keep (r6 out),
+    #     mm_media_dedup (r6 out), uw_keyed_count (r4 out),
+    #     sim_ann_indexed/sim_ivf_indexed (r3 out, physically identical
+    #     plans to the engine-routed rows).
+    #   - r8 surfaces still never hash-checked: approx_topk_by day series
+    #     (exact in the ample-capacity regime — r10 seating candidate; the
+    #     per-key sibling is now hash-checked via freq_topk_by_key).
     return {
         "uw_count_range": uw_count_range,
         "uw_sum_range": uw_sum_range,
@@ -912,7 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
-        "uw_groupby_month": uw_groupby_month,
+        "uw_groupby_week": uw_groupby_week,
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
@@ -924,14 +967,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_keyed_landmark": uw_keyed_landmark,
         "uw_between_groupby": uw_between_groupby,
         "uw_between_range": uw_between_range,
-        "uw_le_bound_range": uw_le_bound_range,
+        # r9: uw_le_bound_range's slot funds the routed top-k SQL
+        # shape (see ledger); the <=-bound hybrid path stays covered by
+        # uw_between_range (same at-start sliver machinery) and
+        # test_hybrid_boundaries.py.
+        "uw_topk_sql": uw_topk_sql,
         "uw_count_col": uw_count_col,
         "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
-        # r8: uw_or_ranges' slot funds the returning uw_keyed_numeric (see
-        # ledger); the scalar OR path stays pytest-pinned in test_or_ranges.
-        "or_group_by": or_group_by,
-        "uw_point_instant": uw_point_instant,
+        # r9: or_group_by <-> uw_or_ranges alternate (both sides of the
+        # interval-split + monoid-sum path; the grouped form stays
+        # pytest-pinned vs delegate in test_or_ranges.py).
+        "uw_or_ranges": uw_or_ranges,
+        # r9: uw_point_instant's slot funds the per-key heavy hitters
+        # (see ledger); the at-start point path stays covered by the
+        # hybrid rows + test_hybrid_boundaries.py.
+        "freq_topk_by_key": freq_topk_by_key,
         "uw_date_key": uw_date_key,
         "uw_prune_count": uw_prune_count,
         "uw_prune_minmax": uw_prune_minmax,
@@ -1006,17 +1057,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
         # TIMESTAMP — cast so the driver's schema compare agrees.
-        "uw_groupby_month": (
-            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+        "uw_groupby_week": (
+            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
-        "or_group_by": (
-            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
-            "count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
+        "uw_or_ranges": (
+            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
             "(ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00') OR "
-            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00') "
-            "GROUP BY 1 ORDER BY bucket"
+            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00')"
         ),
         # window(ts, '6 hours') = epoch-aligned 21600-second buckets;
         # make_timestamp takes epoch µs, so both fields stay naive TIMESTAMP
@@ -1070,9 +1119,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts BETWEEN TIMESTAMP '{A}' AND TIMESTAMP '{B_INCL}'"
         ),
-        "uw_le_bound_range": (
-            "SELECT count(*) AS n, round(avg(value), 6) AS avg_value FROM events "
-            f"WHERE ts > TIMESTAMP '{GT_A}' AND ts <= TIMESTAMP '{B_INCL}'"
+        # total order (n DESC then key) makes the LIMIT deterministic —
+        # the same gate the router enforces before answering the shape.
+        "uw_topk_sql": (
+            "SELECT event_type AS k, count(*) AS n FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' "
+            "GROUP BY event_type ORDER BY n DESC, k LIMIT 3"
         ),
         # the compacted engine answers from hour tiers; the truth is the
         # plain scan — monoid roll-ups must be bit-for-bit identical
@@ -1084,9 +1136,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(sum(value), 3) AS sum_value, count(*) AS n FROM events "
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' AND user_id = 7"
         ),
-        "uw_point_instant": (
-            "SELECT count(*) AS n, COALESCE(sum(value), -1.0) AS sum_value FROM events "
-            f"WHERE ts = TIMESTAMP '{GT_A}'"
+        # exact regime (capacity 256 >= per-(hour, key) distinct users):
+        # est == true count, upper == est; rank/order mirror the rollup's
+        # deterministic (key, est desc, item asc) output.
+        "freq_topk_by_key": (
+            "SELECT event_type, item, est, est AS upper FROM ("
+            "SELECT event_type, user_id AS item, count(*) AS est, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY count(*) DESC, user_id ASC) AS rk "
+            f"FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' "
+            "GROUP BY event_type, user_id) WHERE rk <= 3 "
+            "ORDER BY event_type, est DESC, item"
         ),
         "uw_date_key": (
             "SELECT count(*) AS n, round(sum(o_totalprice), 3) AS sum_price FROM orders "

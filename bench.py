@@ -159,8 +159,17 @@ def main() -> None:
     queries["uw_freq_topk_by_day"] = time_calls(
         lambda: fr.approx_topk_by("day", k=2).count(), N_PROBE
     )
+    # r9: the driver-resident direct path — same (item, est, upper) rows
+    # from the numpy kept-rows mirror, ZERO Spark jobs (the wheels'
+    # sql_rows economics extended to the sketch probe; kills the ~100 ms
+    # small-job floor that made the probe slower than the scan at sf0.1)
+    queries["uw_freq_topk_direct"] = time_calls(
+        lambda: fr.topk_rows(_qa, _qb, k=4), N_PROBE
+    )
     _fk = fr.approx_topk(_qa, _qb, k=4).collect()
     assert len(_fk) == 4 and fr.total_err(_qa, _qb) == 0, _fk
+    assert [tuple(r) for r in _fk] == fr.topk_rows(_qa, _qb, k=4)
+    log(f"uw_freq_topk_direct: {queries['uw_freq_topk_direct']*1e3:.2f} ms median")
     log(
         f"freq_index_build {queries['freq_index_build']:.2f}s, "
         f"top={_fk[0]['item']}={_fk[0]['est']}"
