@@ -150,7 +150,19 @@ def gen_query(rng: random.Random, table: str) -> str:
         keys = [s.split(" AS ")[1] for s, _ in gcols]
         parts = [k + (" DESC" if rng.random() < 0.3 else "") for k in keys]
         with_limit = rng.random() < 0.6
-        if not with_limit and rng.random() < 0.5:
+        if with_limit and rng.random() < 0.4:
+            # r9: the dashboard top-k shape — `ORDER BY n DESC, <all group
+            # keys> LIMIT k`. An EXACT integer count leading the sort stays
+            # a TOTAL order once every group key follows as tie-break, so
+            # the kept set compares deterministically against the scan;
+            # float-led sorts with LIMIT stay excluded (last-ulp ranks).
+            exact = [
+                f"a{i}" for i, a in enumerate(aggs)
+                if a in ("COUNT(*)", "COUNT(value)")
+            ]
+            if exact:
+                parts.insert(0, rng.choice(exact) + " DESC")
+        elif not with_limit and rng.random() < 0.5:
             parts.insert(0, "a0 DESC")
         tail = " ORDER BY " + ", ".join(parts)
         if with_limit:

@@ -120,3 +120,20 @@ def test_shim_keyed_hopping_windows():
     )
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "OK shim keyed-hop" in r.stdout
+
+
+def test_shim_dashboard_topk():
+    """The routed top-k dashboard shape over plain spark.sql (r9):
+    GROUP BY key ORDER BY n DESC, key LIMIT k answers from the registered
+    dim view with no table scan; the count-led sort is a TOTAL order, so
+    the LIMIT's kept set matches the delegate scan row-for-row INCLUDING
+    row order; an unregistered key column falls through and matches."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "jvm_shim_topk.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "OK shim top-k" in r.stdout

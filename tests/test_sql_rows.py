@@ -65,6 +65,22 @@ GROUPED_DIRECT = [
         "GROUP BY date_trunc('day', ts) ORDER BY b",
         "group_by_hybrid",  # runs the sliver job, rows still captured
     ),
+    # r9: the fuzzed ORDER BY / HAVING / LIMIT gate applies above these
+    # two families too — LIMIT only answers under a TOTAL order (n DESC
+    # ties broken by the unique bucket; plain bucket order is total).
+    (
+        f"SELECT date_trunc('day', ts) AS b, COUNT(*) AS n, SUM(value) AS s "
+        f"FROM rows_events WHERE (ts >= '{A}' AND ts < '2024-01-05 00:00:00') "
+        f"OR (ts >= '2024-01-07 00:00:00' AND ts < '{B}') "
+        "GROUP BY date_trunc('day', ts) ORDER BY n DESC, b LIMIT 2",
+        "or_group_by",
+    ),
+    (
+        f"SELECT date_trunc('day', ts) AS b, COUNT(*) AS n, SUM(value) AS s "
+        f"FROM rows_events WHERE ts BETWEEN '{A}' AND '2024-01-09 23:59:59' "
+        "GROUP BY date_trunc('day', ts) HAVING COUNT(*) > 1 ORDER BY b LIMIT 3",
+        "group_by_hybrid",
+    ),
 ]
 
 
