@@ -121,11 +121,33 @@ def main() -> None:
         f"quantile_index_build {queries['quantile_index_build']:.2f}s"
     )
     _qa, _qb = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+
+    def fresh(rollup, ask):
+        # r9: repeated asks memoize (sketch_retention._memoized_ask), so
+        # the existing probe rows clear the memo per call to keep pricing
+        # the FRESH-ask job; the *_memo rows price the hit path.
+        def run():
+            rollup.invalidate_asks()
+            return ask()
+        return run
+
     queries["uw_approx_distinct"] = time_calls(
+        fresh(dr, lambda: dr.approx_distinct(_qa, _qb)), N_PROBE
+    )
+    queries["uw_approx_distinct_memo"] = time_calls(
         lambda: dr.approx_distinct(_qa, _qb), N_PROBE
     )
     queries["uw_approx_quantile"] = time_calls(
+        fresh(qr, lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb)), N_PROBE
+    )
+    queries["uw_approx_quantile_memo"] = time_calls(
         lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb), N_PROBE
+    )
+    log(
+        f"memo hits: distinct {queries['uw_approx_distinct_memo']*1e6:.0f} µs, "
+        f"quantile {queries['uw_approx_quantile_memo']*1e6:.0f} µs "
+        f"(fresh: {queries['uw_approx_distinct']*1e3:.0f} / "
+        f"{queries['uw_approx_quantile']*1e3:.0f} ms)"
     )
     queries["uw_approx_quantile_by_day"] = time_calls(
         lambda: qr.approx_quantile_by("day", 0.95).count(), N_PROBE
@@ -139,6 +161,9 @@ def main() -> None:
     _r1 = ("2024-01-01 00:00:00", "2024-01-08 00:00:00")
     _r2 = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
     queries["uw_theta_retained"] = time_calls(
+        fresh(tr, lambda: tr.approx_retained(_r1, _r2)), N_PROBE
+    )
+    queries["uw_theta_retained_memo"] = time_calls(
         lambda: tr.approx_retained(_r1, _r2), N_PROBE
     )
     _tn = tr.approx_retained(_r1, _r2)

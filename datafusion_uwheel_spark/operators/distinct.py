@@ -101,14 +101,20 @@ class DistinctRollup(SketchRetention):
         exact range semantics (unaligned asks should delegate to a scan,
         the wheel discipline). On a keyed rollup, ``key=value`` restricts
         to one partition value (NULL-safe); omitting it unions across
-        keys."""
+        keys. Repeated asks are memoized until the rollup mutates (see
+        :meth:`..sketch_retention.SketchRetention._memoized_ask` — the
+        sketch MERGE stays a JVM job; only the answer is remembered)."""
         self._require_fresh()
-        row = (
-            self._restrict(start, end, key)
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("est"))
-            .collect()[0]
-        )
-        return int(row["est"] or 0)
+
+        def compute() -> int:
+            row = (
+                self._restrict(start, end, key)
+                .agg(F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("est"))
+                .collect()[0]
+            )
+            return int(row["est"] or 0)
+
+        return self._memoized_ask(("distinct", str(start), str(end), key), compute)
 
     def approx_distinct_by_key(self, start=None, end=None) -> DataFrame:
         """Per-key distinct estimates over an optional ``[start, end)``
@@ -179,14 +185,18 @@ class DistinctRollup(SketchRetention):
         """The merged HLL sketch bytes for ``[start, end)`` — composable
         with sketches from other tables/partitions (union-merge downstream,
         e.g. cross-dataset dedup accounting). Same both-edges-whole bucket
-        coverage as :meth:`approx_distinct`."""
+        coverage as :meth:`approx_distinct`. Memoized like it."""
         self._require_fresh()
-        row = (
-            self._df.filter(self._range_filter(start, end))
-            .agg(F.hll_union_agg("__hll").alias("sk"))
-            .collect()[0]
-        )
-        return bytes(row["sk"]) if row["sk"] is not None else None
+
+        def compute() -> bytes | None:
+            row = (
+                self._df.filter(self._range_filter(start, end))
+                .agg(F.hll_union_agg("__hll").alias("sk"))
+                .collect()[0]
+            )
+            return bytes(row["sk"]) if row["sk"] is not None else None
+
+        return self._memoized_ask(("sketch", str(start), str(end)), compute)
 
     def _union_agg_exprs(self):
         """Merge aggregation for :meth:`SketchRetention.compact_before` —
@@ -235,6 +245,7 @@ class DistinctRollup(SketchRetention):
         # with a private frame release exactly the frame being replaced.
         if not self._detach_shared():
             old.unpersist()
+        self.invalidate_asks()
 
     def save(self, path: str) -> str:
         """Persist the sketch table as parquet (one distributed write) plus

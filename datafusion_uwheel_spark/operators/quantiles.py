@@ -132,43 +132,60 @@ class QuantileRollup(SketchRetention):
         partition) and omitting it merges across keys. Returns ``None``
         (per rank) when no rows fall in the range. The returned value's
         true rank is within the KLL bound (~1.65% at k=200) of the asked
-        rank."""
+        rank. Repeated asks are memoized until the rollup mutates (the
+        KLL merge stays a JVM job; a memoized value pins ONE of the
+        adjacent data values randomized re-merges could alternate
+        between)."""
         self._require_fresh()
         qs = list(q) if isinstance(q, (list, tuple)) else [q]
         for x in qs:
             if not 0.0 <= float(x) <= 1.0:
                 raise ValueError(f"rank {x!r} outside [0, 1]")
-        _, _, get_q, _, get_n = _fns(self.suffix)
-        # Extraction on an EMPTY sketch raises (KLL_INVALID_INPUT_SKETCH_
-        # BUFFER) instead of propagating NULL, so gate every extraction on
-        # the item count — CASE WHEN short-circuits.
-        occupied = get_n("__sk") > 0
-        row = self._merged_row(
-            start,
-            end,
-            [
-                F.when(occupied, get_q("__sk", F.lit(float(x)))).alias(f"__q{i}")
-                for i, x in enumerate(qs)
-            ],
-            key,
+
+        def compute():
+            _, _, get_q, _, get_n = _fns(self.suffix)
+            # Extraction on an EMPTY sketch raises (KLL_INVALID_INPUT_SKETCH_
+            # BUFFER) instead of propagating NULL, so gate every extraction on
+            # the item count — CASE WHEN short-circuits.
+            occupied = get_n("__sk") > 0
+            row = self._merged_row(
+                start,
+                end,
+                [
+                    F.when(occupied, get_q("__sk", F.lit(float(x)))).alias(f"__q{i}")
+                    for i, x in enumerate(qs)
+                ],
+                key,
+            )
+            return [row[f"__q{i}"] for i in range(len(qs))]
+
+        out = self._memoized_ask(
+            ("quantile", tuple(float(x) for x in qs), str(start), str(end), key),
+            compute,
         )
-        out = [row[f"__q{i}"] for i in range(len(qs))]
-        return out if isinstance(q, (list, tuple)) else out[0]
+        return list(out) if isinstance(q, (list, tuple)) else out[0]
 
     def approx_rank(self, value, start, end, key=_NO_KEY):
         """Estimated CDF: the fraction of ``column`` values in ``[start,
         end)`` that are ``<= value`` (the inverse of
-        :meth:`approx_quantile`). ``None`` when the range holds no rows."""
+        :meth:`approx_quantile`). ``None`` when the range holds no rows.
+        Memoized like :meth:`approx_quantile`."""
         self._require_fresh()
-        _, _, _, get_r, get_n = _fns(self.suffix)
-        lit = F.lit(int(value) if self.suffix == "bigint" else float(value))
-        row = self._merged_row(
-            start,
-            end,
-            [F.when(get_n("__sk") > 0, get_r("__sk", lit)).alias("__r")],
-            key,
+
+        def compute():
+            _, _, _, get_r, get_n = _fns(self.suffix)
+            lit = F.lit(int(value) if self.suffix == "bigint" else float(value))
+            row = self._merged_row(
+                start,
+                end,
+                [F.when(get_n("__sk") > 0, get_r("__sk", lit)).alias("__r")],
+                key,
+            )
+            return None if row["__r"] is None else float(row["__r"])
+
+        return self._memoized_ask(
+            ("rank", value, str(start), str(end), key), compute
         )
-        return None if row["__r"] is None else float(row["__r"])
 
     def approx_quantile_by_key(self, q, start=None, end=None) -> DataFrame:
         """Per-key quantile estimates over an optional ``[start, end)``
@@ -311,6 +328,7 @@ class QuantileRollup(SketchRetention):
         # with a private frame release exactly the frame being replaced.
         if not self._detach_shared():
             old.unpersist()
+        self.invalidate_asks()
 
     def save(self, path: str) -> str:
         """Persist the sketch table as parquet (one distributed write) plus

@@ -88,6 +88,46 @@ class SketchRetention:
                 "data"
             )
 
+    # ------------------------------------------------------------ ask memo
+    #: The frequency rollup answers zero-job from a full driver mirror of
+    #: its kept rows (exact integers — numpy can re-aggregate them). The
+    #: HLL / KLL / theta rollups CANNOT get that treatment honestly: their
+    #: per-bucket states are JVM DataSketches binaries
+    #: (hll_sketch_agg / kll_sketch_agg / theta_sketch_agg), and merging
+    #: them driver-side would mean reimplementing the DataSketches wire
+    #: formats in Python (datasketches-python is not available here) — a
+    #: correctness hazard for zero semantic gain, so THE MERGES STAY JVM.
+    #: What the driver CAN do is remember answers: every ask is a pure
+    #: function of (rollup state, ask args), so an LRU memo invalidated on
+    #: every mutation (merge_batch / compact_before) gives repeated
+    #: dashboard asks the wheels' memoized-route economics — ~µs instead
+    #: of the ~100 ms small-job floor — without touching sketch bytes.
+    _ASK_MEMO_MAX = 256
+
+    def _memoized_ask(self, key: tuple, compute):
+        """Return the memoized answer for ``key`` or run ``compute`` and
+        remember it. NOT a freshness gate — callers still `_require_fresh`
+        first. KLL note: merge compaction is randomized, so a memoized
+        quantile pins ONE of the adjacent data values repeated live asks
+        could alternate between — any memoized answer is a valid answer."""
+        memo = getattr(self, "_ask_memo", None)
+        if memo is None:
+            memo = self._ask_memo = {}
+        if key in memo:
+            memo[key] = memo.pop(key)  # LRU touch (dicts iterate in order)
+            return memo[key]
+        val = compute()
+        memo[key] = val
+        if len(memo) > self._ASK_MEMO_MAX:
+            memo.pop(next(iter(memo)))
+        return val
+
+    def invalidate_asks(self) -> None:
+        """Drop memoized answers — called by every mutation (merge_batch,
+        compact_before); stale transitions need no invalidation (the data
+        under a stale mark never changed, only its completeness)."""
+        self._ask_memo = {}
+
     def _persist_meta(self) -> dict:
         """Ladder + freshness fields every family's ``save()`` meta must
         carry: a save/load cycle that dropped the stale mark would turn
@@ -246,4 +286,5 @@ class SketchRetention:
         if not (detach() if detach is not None else False):
             old.unpersist()
         self._tiers = [(cutoff, width)]
+        self.invalidate_asks()
         return before - after

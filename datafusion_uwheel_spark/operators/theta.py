@@ -111,53 +111,78 @@ class ThetaRollup(SketchRetention):
 
     def approx_distinct(self, start, end) -> int:
         """Estimated ``COUNT(DISTINCT column)`` over ``[start, end)`` — the
-        HLL wheel's ask, answered from theta unions."""
+        HLL wheel's ask, answered from theta unions. Repeated asks are
+        memoized until the rollup mutates (the set algebra stays JVM;
+        only the answer is remembered — see SketchRetention)."""
         self._require_fresh()
-        row = (
-            self._df.filter(self._range_filter(start, end))
-            .select(F.col("__theta").alias("__s1"))
-            .agg(F.expr("theta_union_agg(__s1)").alias("__u1"))
-            .select(self._est("__u1").alias("est"))
-            .collect()[0]
-        )
-        return int(row["est"])
+
+        def compute() -> int:
+            row = (
+                self._df.filter(self._range_filter(start, end))
+                .select(F.col("__theta").alias("__s1"))
+                .agg(F.expr("theta_union_agg(__s1)").alias("__u1"))
+                .select(self._est("__u1").alias("est"))
+                .collect()[0]
+            )
+            return int(row["est"])
+
+        return self._memoized_ask(("distinct", str(start), str(end)), compute)
 
     def approx_retained(self, r1, r2) -> int:
         """Estimated distinct values present in BOTH ranges (``r1``/``r2``
         are ``(start, end)`` pairs) — retention between two periods. One
-        job over the buckets either range touches."""
+        job over the buckets either range touches. Memoized like
+        :meth:`approx_distinct`."""
         self._require_fresh()
-        row = (
-            self._two_range_sketches(r1, r2, key_grouped=False)
-            .select(self._est("theta_intersection(__u1, __u2)").alias("est"))
-            .collect()[0]
+
+        def compute() -> int:
+            row = (
+                self._two_range_sketches(r1, r2, key_grouped=False)
+                .select(self._est("theta_intersection(__u1, __u2)").alias("est"))
+                .collect()[0]
+            )
+            return int(row["est"])
+
+        return self._memoized_ask(
+            ("retained", str(r1[0]), str(r1[1]), str(r2[0]), str(r2[1])), compute
         )
-        return int(row["est"])
 
     def approx_new(self, r1, r2) -> int:
         """Estimated distinct values in ``r2`` NEVER seen in ``r1`` (set
-        difference ``r2 − r1``) — new-audience counts."""
+        difference ``r2 − r1``) — new-audience counts. Memoized."""
         self._require_fresh()
-        row = (
-            self._two_range_sketches(r1, r2, key_grouped=False)
-            .select(self._est("theta_difference(__u2, __u1)").alias("est"))
-            .collect()[0]
+
+        def compute() -> int:
+            row = (
+                self._two_range_sketches(r1, r2, key_grouped=False)
+                .select(self._est("theta_difference(__u2, __u1)").alias("est"))
+                .collect()[0]
+            )
+            return int(row["est"])
+
+        return self._memoized_ask(
+            ("new", str(r1[0]), str(r1[1]), str(r2[0]), str(r2[1])), compute
         )
-        return int(row["est"])
 
     def approx_jaccard(self, r1, r2) -> float:
         """Estimated ``|r1 ∩ r2| / |r1 ∪ r2|`` audience overlap in [0, 1]
-        (0.0 when both ranges are empty)."""
+        (0.0 when both ranges are empty). Memoized."""
         self._require_fresh()
-        row = (
-            self._two_range_sketches(r1, r2, key_grouped=False)
-            .select(
-                self._est("theta_intersection(__u1, __u2)").alias("i"),
-                self._est("theta_union(__u1, __u2)").alias("u"),
+
+        def compute() -> float:
+            row = (
+                self._two_range_sketches(r1, r2, key_grouped=False)
+                .select(
+                    self._est("theta_intersection(__u1, __u2)").alias("i"),
+                    self._est("theta_union(__u1, __u2)").alias("u"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
+            return float(row["i"] / row["u"]) if row["u"] else 0.0
+
+        return self._memoized_ask(
+            ("jaccard", str(r1[0]), str(r1[1]), str(r2[0]), str(r2[1])), compute
         )
-        return float(row["i"] / row["u"]) if row["u"] else 0.0
 
     def retained_by_key(self, r1, r2) -> DataFrame:
         """Per-key retention (requires a ``partition_by=`` build): for each
@@ -236,15 +261,20 @@ class ThetaRollup(SketchRetention):
 
     def merged_sketch(self, start, end) -> bytes | None:
         """The merged theta sketch bytes for ``[start, end)`` — composable
-        with sketches from other tables (cross-dataset audience algebra)."""
+        with sketches from other tables (cross-dataset audience algebra).
+        Memoized."""
         self._require_fresh()
-        row = (
-            self._df.filter(self._range_filter(start, end))
-            .select(F.col("__theta").alias("__s1"))
-            .agg(F.expr("theta_union_agg(__s1)").alias("sk"))
-            .collect()[0]
-        )
-        return bytes(row["sk"]) if row["sk"] is not None else None
+
+        def compute() -> bytes | None:
+            row = (
+                self._df.filter(self._range_filter(start, end))
+                .select(F.col("__theta").alias("__s1"))
+                .agg(F.expr("theta_union_agg(__s1)").alias("sk"))
+                .collect()[0]
+            )
+            return bytes(row["sk"]) if row["sk"] is not None else None
+
+        return self._memoized_ask(("sketch", str(start), str(end)), compute)
 
     # -------------------------------------------------------- maintenance
 
@@ -291,6 +321,7 @@ class ThetaRollup(SketchRetention):
         old = self._df
         self._df = merged
         old.unpersist()
+        self.invalidate_asks()
 
     def save(self, path: str) -> str:
         """Persist as parquet + a JSON sidecar pinning the build config;

@@ -1,0 +1,152 @@
+"""Ask memoization on the JVM-sketch rollups (sketch_retention.py r9):
+HLL / KLL / theta merges stay JVM jobs (their DataSketches wire formats
+have no honest driver-side Python merge here), but every ask is a pure
+function of (rollup state, args) — so repeated asks answer from an LRU
+memo with ZERO Spark jobs, invalidated on every mutation. The frequency
+family is out of scope: it answers zero-job from a full driver mirror
+instead (test_frequency.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
+from datafusion_uwheel_spark.operators.quantiles import build_quantile_rollup
+from datafusion_uwheel_spark.operators.theta import build_theta_rollup
+
+BASE = datetime(2024, 2, 1)
+A, B = "2024-02-01 00:00:00", "2024-02-01 06:00:00"
+R1 = ("2024-02-01 00:00:00", "2024-02-01 03:00:00")
+R2 = ("2024-02-01 03:00:00", "2024-02-01 06:00:00")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (BASE + timedelta(hours=h, minutes=m), (h * 7 + m) % 40, float(h * 60 + m))
+        for h in range(6)
+        for m in range(0, 60, 5)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, uid bigint, v double")
+
+
+def _no_jobs(spark, fn):
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    out = fn()
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    return out, after == before
+
+
+def test_hll_ask_memoized_and_invalidated(spark, events):
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        first = r.approx_distinct(A, B)
+        second, job_free = _no_jobs(spark, lambda: r.approx_distinct(A, B))
+        assert second == first and job_free
+        sk, _ = _no_jobs(spark, lambda: r.merged_sketch(A, B))
+        sk2, job_free = _no_jobs(spark, lambda: r.merged_sketch(A, B))
+        assert sk2 == sk and job_free
+        # a merge with NEW distinct values must invalidate the memo
+        extra = spark.createDataFrame(
+            [(BASE + timedelta(hours=1), 1000 + i, 0.0) for i in range(200)],
+            "ts timestamp, uid bigint, v double",
+        )
+        r.merge_batch(extra, "ts")
+        assert r.approx_distinct(A, B) > first
+    finally:
+        r.unpersist()
+
+
+def test_kll_ask_memoized_and_invalidated(spark, events):
+    r = build_quantile_rollup(events, "ts", "v", bucket_seconds=3600)
+    try:
+        q = r.approx_quantile(0.5, A, B)
+        q2, job_free = _no_jobs(spark, lambda: r.approx_quantile(0.5, A, B))
+        assert q2 == q and job_free
+        # list-rank asks memoize on the rank tuple; result stays a list
+        qs = r.approx_quantile([0.25, 0.75], A, B)
+        qs2, job_free = _no_jobs(
+            spark, lambda: r.approx_quantile([0.25, 0.75], A, B)
+        )
+        assert qs2 == qs and isinstance(qs2, list) and job_free
+        rk = r.approx_rank(100.0, A, B)
+        rk2, job_free = _no_jobs(spark, lambda: r.approx_rank(100.0, A, B))
+        assert rk2 == rk and job_free
+        # merging a block of huge values must move the memoized median
+        extra = spark.createDataFrame(
+            [(BASE + timedelta(hours=2), 0, 1e6)] * 500,
+            "ts timestamp, uid bigint, v double",
+        )
+        r.merge_batch(extra, "ts")
+        assert r.approx_quantile(0.5, A, B) != q
+    finally:
+        r.unpersist()
+
+
+def test_theta_asks_memoized_and_compact_invalidates(spark, events):
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        vals = (
+            r.approx_distinct(A, B),
+            r.approx_retained(R1, R2),
+            r.approx_new(R1, R2),
+            r.approx_jaccard(R1, R2),
+        )
+        again, job_free = _no_jobs(
+            spark,
+            lambda: (
+                r.approx_distinct(A, B),
+                r.approx_retained(R1, R2),
+                r.approx_new(R1, R2),
+                r.approx_jaccard(R1, R2),
+            ),
+        )
+        assert again == vals and job_free
+        # compaction re-rolls the table — memo must drop (answers identical
+        # here because theta union is exact algebra, but the memo itself
+        # must be empty so the next ask recomputes from the new frame)
+        cutoff = int(datetime(2024, 2, 1, 3).timestamp())
+        r.compact_before(cutoff, 3600 * 3)
+        assert not getattr(r, "_ask_memo", {})
+        assert r.approx_distinct(A, B) == vals[0]
+    finally:
+        r.unpersist()
+
+
+def test_memo_respects_stale_gate(spark, events):
+    """mark_stale must gate even memoized answers — the gate runs before
+    the memo lookup."""
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r.approx_distinct(A, B)  # memoize
+        r.mark_stale("test")
+        with pytest.raises(RuntimeError, match="STALE"):
+            r.approx_distinct(A, B)
+        r.mark_fresh()  # data never changed while stale — memo still valid
+        _, job_free = _no_jobs(spark, lambda: r.approx_distinct(A, B))
+        assert job_free
+    finally:
+        r.unpersist()
+
+
+def test_memo_lru_bound(spark, events):
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._ASK_MEMO_MAX = 4
+        for h in range(6):
+            r.approx_distinct(f"2024-02-01 0{h}:00:00", B)
+        assert len(r._ask_memo) == 4
+        # the newest key survived (hit = no job), the oldest was evicted
+        _, job_free = _no_jobs(
+            spark, lambda: r.approx_distinct("2024-02-01 05:00:00", B)
+        )
+        assert job_free
+        _, job_free = _no_jobs(
+            spark, lambda: r.approx_distinct("2024-02-01 00:00:00", B)
+        )
+        assert not job_free
+    finally:
+        r.unpersist()
