@@ -1335,6 +1335,9 @@ def main() -> None:
         queries["uw_freq_topk_sf1"] = time_calls(
             lambda: fr1.approx_topk(_qa, _qb, k=4).collect(), N_PROBE
         )
+        queries["uw_freq_topk_direct_sf1"] = time_calls(
+            lambda: fr1.topk_rows(_qa, _qb, k=4), N_PROBE
+        )
         ev1_view = read_parquet(spark, ev1_path)
         ev1_view.createOrReplaceTempView("events_sf1_raw")
         queries["vanilla_topk_sf1"] = time_calls(
@@ -1375,6 +1378,89 @@ def main() -> None:
             f"{queries['dedup_minhash_lsh']:.2f}s -> ratio "
             f"{queries['dedup_minhash_lsh_sf1'] / queries['dedup_minhash_lsh']:.1f}x)"
         )
+
+        # --------------------------------------- second decade (r9): sf10
+        # One more measured decade (100x the bench SF) for the two FLAT
+        # curves only — the count direct lookup and the heavy-hitters probe
+        # against its growing vanilla scan — so each crossover claim rests
+        # on TWO measured points, not one. Guarded by a disk budget (the
+        # derivation writes ~100x the events parquet, ~200 MB) and
+        # SPARK_GRAFT_NO_SF10=1 to opt out; derived data is cached like sf1.
+        import shutil
+
+        free_gb = shutil.disk_usage(scale_dir).free / 1e9
+        if os.environ.get("SPARK_GRAFT_NO_SF10") == "1" or free_gb < 5:
+            log(f"sf10 decade skipped (free {free_gb:.1f} GB / opted out)")
+        else:
+            ev10_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".scale_cache", "sf10", "events.parquet",
+            )
+            if not os.path.isdir(ev10_path):
+                t0 = time.perf_counter()
+                ev1 = read_parquet(spark, ev1_path)
+                u = None
+                for k in range(10):
+                    part = ev1.withColumn(
+                        "ts", F.col("ts") + F.expr(f"INTERVAL {350 * k} DAYS")
+                    )
+                    u = part if u is None else u.unionByName(part)
+                u.repartition(int(CPUS)).write.mode("overwrite").parquet(ev10_path)
+                log(f"sf10 scale data derived in {time.perf_counter() - t0:.1f}s")
+            t0 = time.perf_counter()
+            eng10 = WheelEngine(
+                spark, "events_sf10", ev10_path, time_column="ts",
+            )
+            # count-only states: the flat claim under test is the COUNT
+            # lookup; the lean build keeps the 100x driver mirror ~3x smaller
+            eng10.build_index("value", aggs=("count",))
+            queries["index_build_sf10"] = time.perf_counter() - t0
+            dtimes = []
+            for a, b in s_ranges:
+                q = (
+                    f"SELECT COUNT(*) AS n FROM events_sf10 "
+                    f"WHERE ts >= '{a}' AND ts < '{b}'"
+                )
+                eng10._rows_cache.pop(q, None)
+                t0 = time.perf_counter()
+                eng10.sql_rows(q)
+                dtimes.append(time.perf_counter() - t0)
+                assert eng10.last_route.kind == "count_range", eng10.last_route
+            dtimes.sort()
+            queries["uw_count_direct_sf10"] = quantile(dtimes, 0.5)
+            log(
+                f"uw_count_direct_sf10: p50 "
+                f"{queries['uw_count_direct_sf10'] * 1e6:.0f} us "
+                f"(sf1 {queries['uw_count_direct_sf1'] * 1e6:.0f} us — flat "
+                f"across two decades); index_build_sf10 "
+                f"{queries['index_build_sf10']:.1f}s, "
+                f"{eng10.index_usage_bytes() / 1e6:.0f} MB driver"
+            )
+            fr10 = eng10.build_topk_index(
+                "event_type", bucket_seconds=3600, capacity=8
+            )
+            queries["uw_freq_topk_sf10"] = time_calls(
+                lambda: fr10.approx_topk(_qa, _qb, k=4).collect(), N_PROBE
+            )
+            queries["uw_freq_topk_direct_sf10"] = time_calls(
+                lambda: fr10.topk_rows(_qa, _qb, k=4), N_PROBE
+            )
+            ev10_view = read_parquet(spark, ev10_path)
+            ev10_view.createOrReplaceTempView("events_sf10_raw")
+            queries["vanilla_topk_sf10"] = time_calls(
+                lambda: spark.sql(
+                    "SELECT event_type, count(*) AS n FROM events_sf10_raw "
+                    f"WHERE ts >= '{_qa}' AND ts < '{_qb}' "
+                    "GROUP BY 1 ORDER BY n DESC, event_type LIMIT 4"
+                ).collect(),
+                N_VANILLA,
+            )
+            log(
+                f"uw_freq_topk_sf10: {queries['uw_freq_topk_sf10']*1e3:.0f} ms "
+                f"(direct {queries['uw_freq_topk_direct_sf10']*1e6:.0f} us) vs "
+                f"vanilla_topk_sf10 {queries['vanilla_topk_sf10']*1e3:.0f} ms — "
+                f"probe flat across sf0.1/sf1/sf10 while the scan grows"
+            )
 
     total = sum(queries.values())
     line = json.dumps(

@@ -375,9 +375,19 @@ class FrequencyRollup(SketchRetention):
         self._require_fresh()
         a, b = self._range(start, end)
         items, cnts = self._kept_slice(a, b)
+
+        def same(x, y) -> bool:
+            if x is None or y is None:
+                return x is y
+            if x == y:
+                return True
+            # Spark SQL equality (and the pre-r9 eqNullSafe path) treats
+            # NaN = NaN as TRUE — mirror that for float item columns
+            return x != x and y != y
+
         est = 0
         for it, c in zip(items.tolist(), cnts.tolist()):
-            if it == item or (it is None and item is None):
+            if same(it, item):
                 est += c
         return est, est + self._total_err(a, b)
 

@@ -43,6 +43,9 @@ __all__ = ["SketchRetention"]
 #: day-aligned boundaries, so day-nesting widths tile them.
 _FIXED_GRAN_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
+#: memo-miss sentinel — memoized answers may legitimately be None/0/b""
+_MEMO_MISS = object()
+
 
 class SketchRetention:
     """Mixin adding ``compact_before`` / ``check_compact`` tiered retention
@@ -109,17 +112,27 @@ class SketchRetention:
         remember it. NOT a freshness gate — callers still `_require_fresh`
         first. KLL note: merge compaction is randomized, so a memoized
         quantile pins ONE of the adjacent data values repeated live asks
-        could alternate between — any memoized answer is a valid answer."""
+        could alternate between — any memoized answer is a valid answer.
+        Concurrency: invalidate_asks swaps in a FRESH dict (readers on the
+        old snapshot stay consistent), and every lookup/evict here
+        tolerates a concurrent swap/evict (get-with-sentinel,
+        pop-with-default) — a dashboard thread racing a streaming merge
+        can at worst recompute, never crash or see a half state."""
         memo = getattr(self, "_ask_memo", None)
         if memo is None:
             memo = self._ask_memo = {}
-        if key in memo:
-            memo[key] = memo.pop(key)  # LRU touch (dicts iterate in order)
-            return memo[key]
+        val = memo.get(key, _MEMO_MISS)
+        if val is not _MEMO_MISS:
+            memo.pop(key, None)  # LRU touch (dicts iterate in order)
+            memo[key] = val
+            return val
         val = compute()
         memo[key] = val
-        if len(memo) > self._ASK_MEMO_MAX:
-            memo.pop(next(iter(memo)))
+        while len(memo) > self._ASK_MEMO_MAX:
+            try:
+                memo.pop(next(iter(memo)), None)
+            except (StopIteration, RuntimeError):
+                break
         return val
 
     def invalidate_asks(self) -> None:

@@ -978,3 +978,17 @@ def test_engine_topk_rows_delegates(spark, events, tmp_path):
         for r in eng.approx_topk("item", *FULL, k=4).collect()
     ]
     assert got == want
+
+
+def test_approx_count_nan_item_matches_spark_equality(spark):
+    """Spark SQL groups float NaN as ONE value and eqNullSafe(NaN, NaN) is
+    TRUE — the driver-resident approx_count must mirror that, not IEEE
+    NaN != NaN."""
+    rows = [(BASE, float("nan"))] * 7 + [(BASE, 1.5)] * 3
+    df = spark.createDataFrame(rows, "ts timestamp, item double")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        assert r.approx_count(float("nan"), DAY1, DAY2) == (7, 7)
+        assert r.approx_count(1.5, DAY1, DAY2) == (3, 3)
+    finally:
+        r.unpersist()
