@@ -56,6 +56,71 @@ __all__ = ["FrequencyRollup", "build_frequency_rollup", "load_frequency_rollup"]
 _META = "_frequency_meta.json"
 _CACHE_PARTITIONS = 4
 
+#: canonical NaN: Spark groups every NaN as ONE item and sorts it LAST
+#: among doubles; distinct Python float('nan') objects hash/compare
+#: unequal (hash(nan) is id-based since 3.10), so the driver mirror maps
+#: them all onto this singleton — dict lookups then unify by identity.
+_NAN = float("nan")
+
+
+def _canon_item(x):
+    """Driver-side canonical form of a kept item / ask argument: NaN →
+    the `_NAN` singleton, list (array column) → tuple (hashable; Spark
+    groups arrays by value, a Python dict cannot group lists at all)."""
+    if isinstance(x, float) and x != x:
+        return _NAN
+    if isinstance(x, list):
+        return tuple(_canon_item(v) for v in x)
+    return x
+
+
+def _item_sort_key(x):
+    """Spark's ascending item order, driver-side: NULLS FIRST, NaN LAST
+    among doubles (Spark treats NaN as larger than any double), plain
+    value order between."""
+    if x is None:
+        return (0, 0, None)
+    if x is _NAN:
+        return (2, 0, None)
+    return (1, 0, x)
+
+
+class _LazyCaches:
+    """A writer-captured ``(kept_df, err_df)`` pair awaiting its driver
+    collect. The writer (merge/compact/build/load) owns both frames when
+    it captures, so a reader building from the pair always gets a
+    MATCHED kept/err snapshot regardless of how the build interleaves
+    with later mutations."""
+
+    __slots__ = ("kept_df", "err_df", "key_column")
+
+    def __init__(self, kept_df, err_df, key_column):
+        self.kept_df = kept_df
+        self.err_df = err_df
+        self.key_column = key_column
+
+    def build(self) -> tuple:
+        import numpy as np
+
+        err = self.err_df
+        if self.key_column is not None:
+            # unkeyed bounds on a keyed rollup: every key's slack counts
+            err = err.groupBy("__sec").agg(F.sum("err").alias("err"))
+        rows = err.orderBy("__sec").collect()
+        secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
+        errs = np.array([r["err"] for r in rows], dtype=np.int64)
+        err_cache = (secs, np.concatenate(([0], np.cumsum(errs))))
+
+        tbl = self.kept_df.select("__sec", "__item", "cnt").toArrow()
+        ksecs = np.asarray(tbl.column("__sec"), dtype=np.int64)
+        kitems = np.array(
+            [_canon_item(v) for v in tbl.column("__item").to_pylist()],
+            dtype=object,
+        )
+        kcnts = np.asarray(tbl.column("cnt"), dtype=np.int64)
+        order = np.argsort(ksecs, kind="stable")
+        return (err_cache, (ksecs[order], kitems[order], kcnts[order]))
+
 
 def _truncate(
     counts: DataFrame, capacity: int, keyed: bool = False
@@ -139,57 +204,59 @@ class FrequencyRollup(SketchRetention):
         #: and the error cache sums every key's slack per bucket.
         self.key_column = key_column
         self._refresh_caches()
+        self._get_caches()  # eager at build: probes zero-job from the start
 
     def _grp(self) -> list[str]:
         return ["__sec"] + (["__key"] if self.key_column is not None else [])
 
     def _refresh_caches(self) -> None:
-        """Mirror BOTH rollup frames into driver-side numpy — the same
-        driver-residency regime as the wheels themselves (the reference's
-        µs-latency asks are driver lookups, ``README.md:50-51``):
+        """Mark the driver mirrors for rebuild, CAPTURING the current frame
+        pair — the same driver-residency regime as the wheels (the
+        reference's µs-latency asks are driver lookups, ``README.md:50-51``):
 
         * ``(__sec, err)`` → prefix sums, so :meth:`total_err` is a
           zero-job ``searchsorted`` lookup (one row per bucket);
         * the kept ``(__sec, __item, cnt)`` rows → sec-sorted parallel
-          arrays (≤ buckets × capacity rows — bounded by construction, a
-          year of hourly buckets at capacity 64 is ~0.5M tiny rows), so
+          arrays (buckets × capacity rows — times the KEY CARDINALITY on a
+          ``partition_by=`` build, so a year of hourly buckets at capacity
+          64 is ~0.5M rows unkeyed but ~0.5M × keys keyed), so
           :meth:`topk_rows` and :meth:`approx_count` answer with ZERO
-          Spark jobs instead of paying the ~100 ms small-job floor that
-          made probes slower than vanilla scans at small SF.
+          Spark jobs instead of paying the ~100 ms small-job floor.
 
-        Refreshed wherever the frames change (build, merge_batch,
-        compact_before, load). Each mirror is published as ONE attribute
-        so a concurrent reader (dashboard thread during a streaming merge)
-        always sees a consistent snapshot — two attributes could be
-        observed half-updated between assignments. Keyed builds mirror the
-        kept rows with the key projected away (duplicate (sec, item) rows
-        simply sum at ask time): the direct asks are the UNKEYED forms,
-        whose kept sums add across keys anyway."""
-        import numpy as np
-
-        err = self._err
-        if self.key_column is not None:
-            # unkeyed bounds on a keyed rollup: every key's slack counts
-            err = err.groupBy("__sec").agg(F.sum("err").alias("err"))
-        rows = err.orderBy("__sec").collect()
-        secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
-        errs = np.array([r["err"] for r in rows], dtype=np.int64)
-        self._err_cache = (secs, np.concatenate(([0], np.cumsum(errs))))
-
-        tbl = self._df.select("__sec", "__item", "cnt").toArrow()
-        ksecs = np.asarray(tbl.column("__sec"), dtype=np.int64)
-        kitems = np.array(tbl.column("__item").to_pylist(), dtype=object)
-        kcnts = np.asarray(tbl.column("cnt"), dtype=np.int64)
-        order = np.argsort(ksecs, kind="stable")
-        self._kept_cache = (ksecs[order], kitems[order], kcnts[order])
+        Called wherever the frames change (build, merge_batch,
+        compact_before, load). The collects are LAZY (r9 review): the
+        writer only captures the new frame pair here — a ONE-attribute
+        publish — and the first direct ask after the mutation builds both
+        mirrors from that pair in one atomic snapshot. Two guarantees
+        follow: a stream that never takes direct asks pays no per-batch
+        driver collect, and a dashboard thread racing a merge can never
+        pair post-merge kept counts with pre-merge error sums (the
+        pre-fix two-attribute publish allowed exactly that, breaking the
+        ``true ≤ upper`` bound). ``__init__`` forces an eager build so
+        probes are zero-job from the start."""
+        self._caches = _LazyCaches(self._df, self._err, self.key_column)
 
     # backwards-compatible alias (pre-r9 name, err-only mirror)
     _refresh_err_cache = _refresh_caches
 
-    def _kept_slice(self, a: int, b: int):
+    def _get_caches(self) -> tuple:
+        """The ``((err_secs, err_prefix), (ksecs, kitems, kcnts))``
+        snapshot — built on first use after a mutation. If another merge
+        lands mid-build, the stale-but-internally-consistent snapshot is
+        returned WITHOUT being published (``is`` check), so the next ask
+        rebuilds from the newer captured pair."""
+        c = self._caches
+        if isinstance(c, _LazyCaches):
+            built = c.build()
+            if self._caches is c:
+                self._caches = built
+            return built
+        return c
+
+    def _kept_slice(self, a: int, b: int, kept=None):
         import numpy as np
 
-        secs, items, cnts = self._kept_cache  # one read: consistent snapshot
+        secs, items, cnts = kept if kept is not None else self._get_caches()[1]
         lo = int(np.searchsorted(secs, a, side="left"))
         hi = int(np.searchsorted(secs, b, side="left"))
         return items[lo:hi], cnts[lo:hi]
@@ -214,10 +281,12 @@ class FrequencyRollup(SketchRetention):
     def _restrict(self, df: DataFrame, a: int, b: int) -> DataFrame:
         return df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
 
-    def _total_err(self, a: int, b: int) -> int:
+    def _total_err(self, a: int, b: int, err_cache=None) -> int:
         import numpy as np
 
-        secs, prefix = self._err_cache  # one read: consistent snapshot
+        secs, prefix = (
+            err_cache if err_cache is not None else self._get_caches()[0]
+        )
         lo = int(np.searchsorted(secs, a, side="left"))
         hi = int(np.searchsorted(secs, b, side="left"))
         return int(prefix[hi] - prefix[lo])
@@ -265,13 +334,14 @@ class FrequencyRollup(SketchRetention):
         buckets × capacity. Freshness-gated like every other ask."""
         self._require_fresh()
         a, b = self._range(start, end)
-        terr = self._total_err(a, b)
-        items, cnts = self._kept_slice(a, b)
+        err_c, kept_c = self._get_caches()  # ONE matched snapshot
+        terr = self._total_err(a, b, err_c)
+        items, cnts = self._kept_slice(a, b, kept_c)
         agg: dict = {}
         for it, c in zip(items.tolist(), cnts.tolist()):
             agg[it] = agg.get(it, 0) + c
         ordered = sorted(
-            agg.items(), key=lambda kv: (-kv[1], kv[0] is not None, kv[0])
+            agg.items(), key=lambda kv: (-kv[1], _item_sort_key(kv[0]))
         )
         return [(it, est, est + terr) for it, est in ordered[:k]]
 
@@ -374,22 +444,35 @@ class FrequencyRollup(SketchRetention):
         pre-r9 one-collect form, pinned by the parity pytest."""
         self._require_fresh()
         a, b = self._range(start, end)
-        items, cnts = self._kept_slice(a, b)
+        err_c, kept_c = self._get_caches()  # ONE matched snapshot
+        items, cnts = self._kept_slice(a, b, kept_c)
+        item = _canon_item(item)
 
         def same(x, y) -> bool:
             if x is None or y is None:
                 return x is y
+            # canonical-NaN identity: Spark's eqNullSafe(NaN, NaN) is TRUE
+            if x is _NAN or y is _NAN:
+                return x is y
             if x == y:
                 return True
-            # Spark SQL equality (and the pre-r9 eqNullSafe path) treats
-            # NaN = NaN as TRUE — mirror that for float item columns
-            return x != x and y != y
+            # the pre-r9 eqNullSafe(col, lit(item)) path let Spark coerce
+            # string-vs-numeric comparisons (both sides promote to double)
+            # — mirror that so a string-column rollup asked with 7 (or a
+            # numeric one asked with '7') keeps matching instead of
+            # silently answering 0
+            if isinstance(x, str) != isinstance(y, str):
+                try:
+                    return float(x) == float(y)
+                except (TypeError, ValueError):
+                    return False
+            return False
 
         est = 0
         for it, c in zip(items.tolist(), cnts.tolist()):
             if same(it, item):
                 est += c
-        return est, est + self._total_err(a, b)
+        return est, est + self._total_err(a, b, err_c)
 
     # ------------------------------------------------------------ updates
     def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:

@@ -992,3 +992,86 @@ def test_approx_count_nan_item_matches_spark_equality(spark):
         assert r.approx_count(1.5, DAY1, DAY2) == (3, 3)
     finally:
         r.unpersist()
+
+
+def test_topk_rows_nan_grouping_matches_job_path(spark):
+    """r9 review repro: NaN items spanning buckets must aggregate as ONE
+    item in topk_rows (Spark groups all NaN together; distinct Python
+    float('nan') objects hash apart since 3.10) and must sort LAST among
+    doubles like Spark's ASC — pre-fix the direct path returned a wrong
+    top-1 with duplicate NaN rows."""
+    import math
+
+    rows = (
+        [(BASE, float("nan"))] * 4
+        + [(BASE + timedelta(hours=1), float("nan"))] * 3
+        + [(BASE, 1.5)] * 5
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, item double")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        direct = r.topk_rows(DAY1, DAY2, k=5)
+        job = [
+            (x["item"], x["est"], x["upper"])
+            for x in r.approx_topk(DAY1, DAY2, k=5).collect()
+        ]
+        assert len(direct) == len(job) == 2
+        for (di, de, du), (ji, je, ju) in zip(direct, job):
+            assert (de, du) == (je, ju)
+            assert (math.isnan(di) and math.isnan(ji)) or di == ji
+        assert math.isnan(direct[0][0]) and direct[0][1] == 7  # NaN top-1
+        # est-tied NaN vs number (both 7): NaN sorts LAST (Spark ASC)
+        extra = spark.createDataFrame(
+            [(BASE, 0.5)] * 7, "ts timestamp, item double"
+        )
+        r.merge_batch(extra, "ts")
+        tied = r.topk_rows(DAY1, DAY2, k=5)
+        jtied = [
+            (x["item"], x["est"], x["upper"])
+            for x in r.approx_topk(DAY1, DAY2, k=5).collect()
+        ]
+        assert [e for _i, e, _u in tied] == [e for _i, e, _u in jtied]
+        assert all(
+            (math.isnan(a) and math.isnan(b)) or a == b
+            for (a, _, _), (b, _, _) in zip(tied, jtied)
+        )
+    finally:
+        r.unpersist()
+
+
+def test_approx_count_cross_type_coercion(spark):
+    """The pre-r9 eqNullSafe(col, lit(item)) path let Spark coerce
+    string-vs-numeric comparisons — the driver mirror must keep matching
+    (both sides promote to double), not silently answer 0."""
+    rows = [(BASE, "7")] * 4 + [(BASE, "x")] * 2
+    df = spark.createDataFrame(rows, "ts timestamp, item string")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        assert r.approx_count(7, DAY1, DAY2) == (4, 4)  # int vs string col
+        assert r.approx_count(7.0, DAY1, DAY2) == (4, 4)
+        assert r.approx_count("7", DAY1, DAY2) == (4, 4)
+        assert r.approx_count(99, DAY1, DAY2) == (0, 0)
+    finally:
+        r.unpersist()
+
+
+def test_direct_build_is_lazy_after_merge(spark, events):
+    """r9 review: a stream that never takes direct asks must not pay a
+    per-batch driver collect — merge_batch only CAPTURES the new frame
+    pair; the first direct ask builds the snapshot (and the answer
+    reflects the merge)."""
+    from datafusion_uwheel_spark.operators.frequency import _LazyCaches
+
+    r = build_frequency_rollup(events, "item", "ts", bucket_seconds=3600, capacity=4)
+    try:
+        assert not isinstance(r._caches, _LazyCaches)  # eager at build
+        extra = spark.createDataFrame(
+            [(BASE + timedelta(hours=1), "lazy_item")] * 50,
+            "ts timestamp, item string",
+        )
+        r.merge_batch(extra, "ts")
+        assert isinstance(r._caches, _LazyCaches)  # captured, not collected
+        assert r.approx_count("lazy_item", *FULL)[1] >= 50
+        assert not isinstance(r._caches, _LazyCaches)  # built on first ask
+    finally:
+        r.unpersist()
