@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -56,6 +57,10 @@ __all__ = ["FrequencyRollup", "build_frequency_rollup", "load_frequency_rollup"]
 _META = "_frequency_meta.json"
 _CACHE_PARTITIONS = 4
 
+#: Spark CAST(string AS DOUBLE) literal shape (no underscores, unlike
+#: Python float()); NaN/Infinity words are handled separately.
+_DOUBLE_LIT = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+
 #: canonical NaN: Spark groups every NaN as ONE item and sorts it LAST
 #: among doubles; distinct Python float('nan') objects hash/compare
 #: unequal (hash(nan) is id-based since 3.10), so the driver mirror maps
@@ -65,61 +70,123 @@ _NAN = float("nan")
 
 def _canon_item(x):
     """Driver-side canonical form of a kept item / ask argument: NaN →
-    the `_NAN` singleton, list (array column) → tuple (hashable; Spark
-    groups arrays by value, a Python dict cannot group lists at all)."""
+    the `_NAN` singleton, list (array column) → tuple, dict (struct
+    column) → tuple of (field, value) pairs in schema order — hashable
+    so the driver dict can group them the way Spark groups arrays and
+    structs by value."""
     if isinstance(x, float) and x != x:
         return _NAN
     if isinstance(x, list):
         return tuple(_canon_item(v) for v in x)
+    if isinstance(x, dict):
+        return tuple((k, _canon_item(v)) for k, v in x.items())
     return x
 
 
 def _item_sort_key(x):
     """Spark's ascending item order, driver-side: NULLS FIRST, NaN LAST
     among doubles (Spark treats NaN as larger than any double), plain
-    value order between."""
+    value order between. RECURSES into tuples (canonicalized arrays /
+    structs) so composite items containing NULL or NaN elements compare
+    element-wise instead of raising TypeError on None < float."""
     if x is None:
-        return (0, 0, None)
-    if x is _NAN:
-        return (2, 0, None)
-    return (1, 0, x)
+        return (0, ())
+    if x is _NAN or (isinstance(x, float) and x != x):
+        return (3, ())
+    if isinstance(x, tuple):
+        return (2, tuple(_item_sort_key(v) for v in x))
+    return (1, x)
 
 
-class _LazyCaches:
-    """A writer-captured ``(kept_df, err_df)`` pair awaiting its driver
-    collect. The writer (merge/compact/build/load) owns both frames when
-    it captures, so a reader building from the pair always gets a
-    MATCHED kept/err snapshot regardless of how the build interleaves
-    with later mutations."""
+def _object_array(values: list):
+    """A 1-D numpy object array holding ``values`` AS-IS — np.array(...,
+    dtype=object) over uniform-length tuples silently builds a 2-D array
+    whose rows degrade back to lists on .tolist() (review r9 pass 2)."""
+    import numpy as np
 
-    __slots__ = ("kept_df", "err_df", "key_column")
+    arr = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        arr[i] = v
+    return arr
+
+
+def _spark_str_to_double(s: str):
+    """Spark's ``CAST(string AS DOUBLE)`` grammar, driver-side: trimmed;
+    plain decimal/scientific literals; 'NaN' and '[+-]Infinity' accepted;
+    everything else NULL (None). Python ``float()`` is NOT this grammar —
+    it also accepts underscored numerals like '1_0' (review r9 pass 2)."""
+    t = s.strip()
+    if _DOUBLE_LIT.match(t):
+        return float(t)
+    tl = t.lower()
+    if tl == "nan":
+        return float("nan")
+    if tl in ("inf", "+inf", "infinity", "+infinity"):
+        return float("inf")
+    if tl in ("-inf", "-infinity"):
+        return float("-inf")
+    return None
+
+
+class _Caches:
+    """A writer-captured ``(kept_df, err_df)`` pair with lazily built,
+    internally memoized driver mirrors. The writer (merge / compact /
+    build / load) owns both frames when it captures, so BOTH halves built
+    off one `_Caches` object form a MATCHED snapshot no matter how reads
+    interleave with later mutations — and because the memoization lives
+    INSIDE the published object, there is no reader publish-back step to
+    race a newer capture (the pass-2 check-then-set hazard). The halves
+    build independently: err-only consumers (``total_err``, the
+    ``approx_topk`` job path's upper bound) never pay the kept-rows Arrow
+    collect, which on a keyed build is buckets × capacity × keys rows."""
+
+    __slots__ = ("kept_df", "err_df", "key_column", "_lock", "_err", "_kept")
 
     def __init__(self, kept_df, err_df, key_column):
+        import threading
+
         self.kept_df = kept_df
         self.err_df = err_df
         self.key_column = key_column
+        self._lock = threading.Lock()
+        self._err = None
+        self._kept = None
 
-    def build(self) -> tuple:
+    def err_cache(self) -> tuple:
         import numpy as np
 
-        err = self.err_df
-        if self.key_column is not None:
-            # unkeyed bounds on a keyed rollup: every key's slack counts
-            err = err.groupBy("__sec").agg(F.sum("err").alias("err"))
-        rows = err.orderBy("__sec").collect()
-        secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
-        errs = np.array([r["err"] for r in rows], dtype=np.int64)
-        err_cache = (secs, np.concatenate(([0], np.cumsum(errs))))
+        c = self._err
+        if c is not None:
+            return c
+        with self._lock:
+            if self._err is None:
+                err = self.err_df
+                if self.key_column is not None:
+                    # unkeyed bounds on a keyed rollup: every key's slack
+                    err = err.groupBy("__sec").agg(F.sum("err").alias("err"))
+                rows = err.orderBy("__sec").collect()
+                secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
+                errs = np.array([r["err"] for r in rows], dtype=np.int64)
+                self._err = (secs, np.concatenate(([0], np.cumsum(errs))))
+            return self._err
 
-        tbl = self.kept_df.select("__sec", "__item", "cnt").toArrow()
-        ksecs = np.asarray(tbl.column("__sec"), dtype=np.int64)
-        kitems = np.array(
-            [_canon_item(v) for v in tbl.column("__item").to_pylist()],
-            dtype=object,
-        )
-        kcnts = np.asarray(tbl.column("cnt"), dtype=np.int64)
-        order = np.argsort(ksecs, kind="stable")
-        return (err_cache, (ksecs[order], kitems[order], kcnts[order]))
+    def kept_cache(self) -> tuple:
+        import numpy as np
+
+        c = self._kept
+        if c is not None:
+            return c
+        with self._lock:
+            if self._kept is None:
+                tbl = self.kept_df.select("__sec", "__item", "cnt").toArrow()
+                ksecs = np.asarray(tbl.column("__sec"), dtype=np.int64)
+                kitems = _object_array(
+                    [_canon_item(v) for v in tbl.column("__item").to_pylist()]
+                )
+                kcnts = np.asarray(tbl.column("cnt"), dtype=np.int64)
+                order = np.argsort(ksecs, kind="stable")
+                self._kept = (ksecs[order], kitems[order], kcnts[order])
+            return self._kept
 
 
 def _truncate(
@@ -204,59 +271,43 @@ class FrequencyRollup(SketchRetention):
         #: and the error cache sums every key's slack per bucket.
         self.key_column = key_column
         self._refresh_caches()
-        self._get_caches()  # eager at build: probes zero-job from the start
 
     def _grp(self) -> list[str]:
         return ["__sec"] + (["__key"] if self.key_column is not None else [])
 
     def _refresh_caches(self) -> None:
-        """Mark the driver mirrors for rebuild, CAPTURING the current frame
-        pair — the same driver-residency regime as the wheels (the
-        reference's µs-latency asks are driver lookups, ``README.md:50-51``):
+        """Capture the current frame pair for the driver mirrors — the
+        same driver-residency regime as the wheels (the reference's
+        µs-latency asks are driver lookups, ``README.md:50-51``):
 
         * ``(__sec, err)`` → prefix sums, so :meth:`total_err` is a
           zero-job ``searchsorted`` lookup (one row per bucket);
         * the kept ``(__sec, __item, cnt)`` rows → sec-sorted parallel
-          arrays (buckets × capacity rows — times the KEY CARDINALITY on a
-          ``partition_by=`` build, so a year of hourly buckets at capacity
-          64 is ~0.5M rows unkeyed but ~0.5M × keys keyed), so
-          :meth:`topk_rows` and :meth:`approx_count` answer with ZERO
-          Spark jobs instead of paying the ~100 ms small-job floor.
+          arrays (buckets × capacity rows — times the KEY CARDINALITY on
+          a ``partition_by=`` build), so :meth:`topk_rows` and
+          :meth:`approx_count` answer with ZERO Spark jobs instead of
+          paying the ~100 ms small-job floor.
 
         Called wherever the frames change (build, merge_batch,
-        compact_before, load). The collects are LAZY (r9 review): the
-        writer only captures the new frame pair here — a ONE-attribute
-        publish — and the first direct ask after the mutation builds both
-        mirrors from that pair in one atomic snapshot. Two guarantees
-        follow: a stream that never takes direct asks pays no per-batch
-        driver collect, and a dashboard thread racing a merge can never
-        pair post-merge kept counts with pre-merge error sums (the
-        pre-fix two-attribute publish allowed exactly that, breaking the
-        ``true ≤ upper`` bound). ``__init__`` forces an eager build so
-        probes are zero-job from the start."""
-        self._caches = _LazyCaches(self._df, self._err, self.key_column)
+        compact_before, load). This is a ONE-attribute publish of a
+        :class:`_Caches` capture; the collects run lazily INSIDE that
+        object on first use, each half independently (see its docstring
+        for the matched-snapshot and no-publish-race guarantees). A
+        stream that never takes direct asks pays no per-batch driver
+        collect; ``build_frequency_rollup`` warms both halves so fresh
+        builds answer zero-job from the start (loads stay lazy — a
+        stale-marked load must not pay collects it can never serve)."""
+        self._caches = _Caches(self._df, self._err, self.key_column)
 
     # backwards-compatible alias (pre-r9 name, err-only mirror)
     _refresh_err_cache = _refresh_caches
 
-    def _get_caches(self) -> tuple:
-        """The ``((err_secs, err_prefix), (ksecs, kitems, kcnts))``
-        snapshot — built on first use after a mutation. If another merge
-        lands mid-build, the stale-but-internally-consistent snapshot is
-        returned WITHOUT being published (``is`` check), so the next ask
-        rebuilds from the newer captured pair."""
-        c = self._caches
-        if isinstance(c, _LazyCaches):
-            built = c.build()
-            if self._caches is c:
-                self._caches = built
-            return built
-        return c
-
     def _kept_slice(self, a: int, b: int, kept=None):
         import numpy as np
 
-        secs, items, cnts = kept if kept is not None else self._get_caches()[1]
+        secs, items, cnts = (
+            kept if kept is not None else self._caches.kept_cache()
+        )
         lo = int(np.searchsorted(secs, a, side="left"))
         hi = int(np.searchsorted(secs, b, side="left"))
         return items[lo:hi], cnts[lo:hi]
@@ -285,7 +336,7 @@ class FrequencyRollup(SketchRetention):
         import numpy as np
 
         secs, prefix = (
-            err_cache if err_cache is not None else self._get_caches()[0]
+            err_cache if err_cache is not None else self._caches.err_cache()
         )
         lo = int(np.searchsorted(secs, a, side="left"))
         hi = int(np.searchsorted(secs, b, side="left"))
@@ -334,9 +385,9 @@ class FrequencyRollup(SketchRetention):
         buckets × capacity. Freshness-gated like every other ask."""
         self._require_fresh()
         a, b = self._range(start, end)
-        err_c, kept_c = self._get_caches()  # ONE matched snapshot
-        terr = self._total_err(a, b, err_c)
-        items, cnts = self._kept_slice(a, b, kept_c)
+        c = self._caches  # one attribute read: a matched frame pair
+        terr = self._total_err(a, b, c.err_cache())
+        items, cnts = self._kept_slice(a, b, c.kept_cache())
         agg: dict = {}
         for it, c in zip(items.tolist(), cnts.tolist()):
             agg[it] = agg.get(it, 0) + c
@@ -444,35 +495,42 @@ class FrequencyRollup(SketchRetention):
         pre-r9 one-collect form, pinned by the parity pytest."""
         self._require_fresh()
         a, b = self._range(start, end)
-        err_c, kept_c = self._get_caches()  # ONE matched snapshot
-        items, cnts = self._kept_slice(a, b, kept_c)
+        c = self._caches  # one attribute read: a matched frame pair
+        items, cnts = self._kept_slice(a, b, c.kept_cache())
         item = _canon_item(item)
 
         def same(x, y) -> bool:
             if x is None or y is None:
                 return x is y
+            # string-vs-numeric asks coerce like Spark's TRY_CAST to
+            # double (the _spark_str_to_double grammar, NOT Python
+            # float()): '7' matches 7, a stored 'NaN' matches a NaN ask,
+            # '1_0' does NOT match 10, and malformed strings simply never
+            # match — deliberately NOT ANSI eqNullSafe, which would RAISE
+            # mid-ask on any malformed kept string (pinned in
+            # test_cross_type_coercion_uses_spark_cast_grammar)
+            if isinstance(x, str) != isinstance(y, str):
+                str_side, other = (x, y) if isinstance(x, str) else (y, x)
+                if isinstance(other, bool) or not isinstance(
+                    other, (int, float)
+                ):
+                    return False
+                d = _spark_str_to_double(str_side)
+                if d is None:
+                    return False
+                if d != d:  # NaN from the cast
+                    return other is _NAN or other != other
+                return d == other
             # canonical-NaN identity: Spark's eqNullSafe(NaN, NaN) is TRUE
             if x is _NAN or y is _NAN:
                 return x is y
-            if x == y:
-                return True
-            # the pre-r9 eqNullSafe(col, lit(item)) path let Spark coerce
-            # string-vs-numeric comparisons (both sides promote to double)
-            # — mirror that so a string-column rollup asked with 7 (or a
-            # numeric one asked with '7') keeps matching instead of
-            # silently answering 0
-            if isinstance(x, str) != isinstance(y, str):
-                try:
-                    return float(x) == float(y)
-                except (TypeError, ValueError):
-                    return False
-            return False
+            return x == y
 
         est = 0
-        for it, c in zip(items.tolist(), cnts.tolist()):
+        for it, cnt in zip(items.tolist(), cnts.tolist()):
             if same(it, item):
-                est += c
-        return est, est + self._total_err(a, b, err_c)
+                est += cnt
+        return est, est + self._total_err(a, b, c.err_cache())
 
     # ------------------------------------------------------------ updates
     def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
@@ -647,9 +705,15 @@ def build_frequency_rollup(
     err = err.coalesce(_CACHE_PARTITIONS).persist(StorageLevel.MEMORY_AND_DISK)
     kept.count()
     err.count()
-    return FrequencyRollup(
+    r = FrequencyRollup(
         kept, err, column, bucket_seconds, capacity, key_column=partition_by
     )
+    # fresh builds warm both mirrors eagerly (probes zero-job from the
+    # start); loads stay lazy — a stale-marked load must not pay driver
+    # collects it can never serve (review r9 pass 2)
+    r._caches.err_cache()
+    r._caches.kept_cache()
+    return r
 
 
 def load_frequency_rollup(spark, path: str) -> FrequencyRollup:

@@ -1058,20 +1058,138 @@ def test_approx_count_cross_type_coercion(spark):
 def test_direct_build_is_lazy_after_merge(spark, events):
     """r9 review: a stream that never takes direct asks must not pay a
     per-batch driver collect — merge_batch only CAPTURES the new frame
-    pair; the first direct ask builds the snapshot (and the answer
-    reflects the merge)."""
-    from datafusion_uwheel_spark.operators.frequency import _LazyCaches
-
+    pair; each mirror half builds independently on first use (err-only
+    consumers like approx_topk never pull the kept rows)."""
     r = build_frequency_rollup(events, "item", "ts", bucket_seconds=3600, capacity=4)
     try:
-        assert not isinstance(r._caches, _LazyCaches)  # eager at build
+        c = r._caches
+        assert c._err is not None and c._kept is not None  # eager at build
         extra = spark.createDataFrame(
             [(BASE + timedelta(hours=1), "lazy_item")] * 50,
             "ts timestamp, item string",
         )
         r.merge_batch(extra, "ts")
-        assert isinstance(r._caches, _LazyCaches)  # captured, not collected
+        c = r._caches
+        assert c._err is None and c._kept is None  # captured, not collected
+        r.approx_topk(*FULL, k=2).collect()  # job path: err half only
+        assert c._err is not None and c._kept is None
         assert r.approx_count("lazy_item", *FULL)[1] >= 50
-        assert not isinstance(r._caches, _LazyCaches)  # built on first ask
+        assert c._kept is not None  # kept half built by the direct ask
     finally:
         r.unpersist()
+
+
+def test_array_item_column_direct_parity(spark):
+    """r9 review pass 2: array item columns — the mirror must hold 1-D
+    object entries (np.array over uniform tuples silently went 2-D),
+    group them like Spark groups arrays by value, order ties with NULL
+    and NaN ELEMENTS without raising, and match counts for array asks."""
+    import math
+
+    rows = (
+        [(BASE, [1.0, 2.0])] * 5
+        + [(BASE + timedelta(hours=1), [1.0, 2.0])] * 2
+        + [(BASE, [None])] * 3
+        + [(BASE, [3.0])] * 3  # est-tied with [None]: sort must not raise
+        + [(BASE, [float("nan")])] * 3  # and NaN elements order like Spark
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, item array<double>")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        direct = r.topk_rows(DAY1, DAY2, k=10)
+        job = [
+            (x["item"], x["est"], x["upper"])
+            for x in r.approx_topk(DAY1, DAY2, k=10).collect()
+        ]
+        assert [(e, u) for _i, e, u in direct] == [(e, u) for _i, e, u in job]
+        def norm(v):
+            return [
+                "nan" if isinstance(x, float) and math.isnan(x) else x
+                for x in v
+            ]
+        assert [norm(i) for i, _e, _u in direct] == [
+            norm(i) for i, _e, _u in job
+        ]
+        assert r.approx_count([1.0, 2.0], DAY1, DAY2) == (7, 7)
+        assert r.approx_count([None], DAY1, DAY2) == (3, 3)
+        assert r.approx_count([9.9], DAY1, DAY2) == (0, 0)
+    finally:
+        r.unpersist()
+
+
+def test_struct_item_column_direct_parity(spark):
+    """r9 review pass 2: struct item columns group by value in Spark —
+    the mirror canonicalizes dicts to (field, value) tuples so the
+    driver dict can group them too."""
+    rows = (
+        [(BASE, {"a": 1, "b": "x"})] * 4
+        + [(BASE + timedelta(hours=1), {"a": 1, "b": "x"})] * 2
+        + [(BASE, {"a": 2, "b": "y"})] * 3
+    )
+    df = spark.createDataFrame(
+        rows, "ts timestamp, item struct<a: bigint, b: string>"
+    )
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        direct = r.topk_rows(DAY1, DAY2, k=5)
+        assert [(e, u) for _i, e, u in direct] == [(6, 6), (3, 3)]
+        assert direct[0][0] == (("a", 1), ("b", "x"))
+        assert r.approx_count({"a": 2, "b": "y"}, DAY1, DAY2) == (3, 3)
+    finally:
+        r.unpersist()
+
+
+def test_cross_type_coercion_uses_spark_cast_grammar(spark):
+    """r9 review pass 2: Python float() accepts '1_0' where Spark's
+    CAST(string AS DOUBLE) is NULL/raise, and Spark's cast accepts 'NaN'.
+    The driver shim follows the TRY_CAST-to-double semantics (malformed
+    strings simply don't match) — a raw ANSI eqNullSafe would RAISE
+    mid-ask on any malformed kept string, which is exactly the behavior
+    an ask API must not have. Pinned against the try_cast job path."""
+    from pyspark.sql import functions as F
+
+    rows = [(BASE, "1_0")] * 3 + [(BASE, "NaN")] * 4 + [(BASE, "10")] * 5
+    df = spark.createDataFrame(rows, "ts timestamp, item string")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        def job_count(item):
+            a, b = r._range(DAY1, DAY2)
+            return int(
+                r._restrict(r._df, a, b)
+                .filter(
+                    F.col("__item")
+                    .try_cast("double")
+                    .eqNullSafe(F.lit(float(item)))
+                )
+                .agg(F.coalesce(F.sum("cnt"), F.lit(0)))
+                .collect()[0][0]
+            )
+
+        for ask in (10, 10.0, float("nan")):
+            assert r.approx_count(ask, DAY1, DAY2)[0] == job_count(ask), ask
+        assert r.approx_count(10, DAY1, DAY2)[0] == 5  # '1_0' must NOT match
+        assert r.approx_count(float("nan"), DAY1, DAY2)[0] == 4  # 'NaN' must
+        assert r.approx_count("10", DAY1, DAY2) == (5, 5)  # same-type exact
+    finally:
+        r.unpersist()
+
+
+def test_stale_load_pays_no_collect(spark, events, tmp_path):
+    """r9 review pass 2: loading a stale-saved rollup must not eagerly
+    build mirrors it can never serve — loads stay lazy."""
+    r = build_frequency_rollup(events, "item", "ts", bucket_seconds=3600, capacity=4)
+    r.mark_stale("test")
+    path = str(tmp_path / "fr_stale_lazy")
+    r.save(path)
+    r.unpersist()
+    lo = load_frequency_rollup(spark, path)
+    try:
+        assert lo.stale
+        c = lo._caches
+        assert c._err is None and c._kept is None  # nothing collected
+        with pytest.raises(RuntimeError, match="STALE"):
+            lo.topk_rows(*FULL)
+        lo.mark_fresh()
+        assert lo.topk_rows(*FULL, k=1)  # builds on first served ask
+    finally:
+        lo.unpersist()
