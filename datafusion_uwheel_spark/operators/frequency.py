@@ -42,6 +42,7 @@ any row path.
 
 from __future__ import annotations
 
+import decimal
 import json
 import os
 import re
@@ -70,16 +71,19 @@ _NAN = float("nan")
 
 def _canon_item(x):
     """Driver-side canonical form of a kept item / ask argument: NaN →
-    the `_NAN` singleton, list (array column) → tuple, dict (struct
-    column) → tuple of (field, value) pairs in schema order — hashable
-    so the driver dict can group them the way Spark groups arrays and
-    structs by value."""
+    the `_NAN` singleton, list OR tuple (array column; tuples are what
+    ``topk_rows`` itself returns, so tuple asks must round-trip) →
+    canonical tuple, dict (struct column) → tuple of (field, value)
+    pairs SORTED by field name — value-equal structs match regardless of
+    the ask dict's key order (Spark struct equality is by value). All
+    hashable, so the driver dict groups the way Spark groups arrays and
+    structs."""
     if isinstance(x, float) and x != x:
         return _NAN
-    if isinstance(x, list):
+    if isinstance(x, (list, tuple)):
         return tuple(_canon_item(v) for v in x)
     if isinstance(x, dict):
-        return tuple((k, _canon_item(v)) for k, v in x.items())
+        return tuple(sorted((k, _canon_item(v)) for k, v in x.items()))
     return x
 
 
@@ -111,13 +115,17 @@ def _object_array(values: list):
 
 
 def _spark_str_to_double(s: str):
-    """Spark's ``CAST(string AS DOUBLE)`` grammar, driver-side: trimmed;
-    plain decimal/scientific literals; 'NaN' and '[+-]Infinity' accepted;
-    everything else NULL (None). Python ``float()`` is NOT this grammar —
-    it also accepts underscored numerals like '1_0' (review r9 pass 2)."""
+    """Spark's ``TRY_CAST(string AS DOUBLE)`` grammar, driver-side,
+    pinned by a live-session probe (r9 pass 3): trimmed;
+    case-insensitive NaN / [+-]Inf(inity); decimal/scientific literals
+    with an optional single d/D/f/F suffix ('1.5d' → 1.5, '.5d' → 0.5,
+    '2f' → 2.0); Java HEX FLOAT literals only WITH a p-exponent
+    ('0x1.8p1' → 3.0 but '0x10' → NULL); no underscores ('1_0' → NULL,
+    unlike Python ``float()``); word+suffix forms like 'InfinityD' →
+    NULL. Everything else None."""
     t = s.strip()
-    if _DOUBLE_LIT.match(t):
-        return float(t)
+    if not t or "_" in t:
+        return None
     tl = t.lower()
     if tl == "nan":
         return float("nan")
@@ -125,6 +133,32 @@ def _spark_str_to_double(s: str):
         return float("inf")
     if tl in ("-inf", "-infinity"):
         return float("-inf")
+    body = t[:-1] if tl[-1] in "df" and len(t) > 1 else t
+    bl = body.lower()
+    if bl.lstrip("+-").startswith("0x"):
+        if "p" not in bl:  # Java hex floats REQUIRE the p-exponent
+            return None
+        try:
+            return float.fromhex(body)
+        except ValueError:
+            return None
+    if _DOUBLE_LIT.match(body):
+        return float(body)
+    return None
+
+
+#: Spark's StringUtils true/false string sets (TRY_CAST(string AS
+#: BOOLEAN)), trimmed and case-insensitive — probe-pinned.
+_TRUE_STRS = frozenset(("t", "true", "y", "yes", "1"))
+_FALSE_STRS = frozenset(("f", "false", "n", "no", "0"))
+
+
+def _spark_str_to_bool(s: str):
+    tl = s.strip().lower()
+    if tl in _TRUE_STRS:
+        return True
+    if tl in _FALSE_STRS:
+        return False
     return None
 
 
@@ -140,7 +174,10 @@ class _Caches:
     ``approx_topk`` job path's upper bound) never pay the kept-rows Arrow
     collect, which on a keyed build is buckets × capacity × keys rows."""
 
-    __slots__ = ("kept_df", "err_df", "key_column", "_lock", "_err", "_kept")
+    __slots__ = (
+        "kept_df", "err_df", "key_column", "_err_lock", "_kept_lock",
+        "_err", "_kept",
+    )
 
     def __init__(self, kept_df, err_df, key_column):
         import threading
@@ -148,7 +185,10 @@ class _Caches:
         self.kept_df = kept_df
         self.err_df = err_df
         self.key_column = key_column
-        self._lock = threading.Lock()
+        # one lock PER HALF: an err-only reader (total_err) must never
+        # block behind the much bigger kept-rows Arrow collect
+        self._err_lock = threading.Lock()
+        self._kept_lock = threading.Lock()
         self._err = None
         self._kept = None
 
@@ -158,7 +198,7 @@ class _Caches:
         c = self._err
         if c is not None:
             return c
-        with self._lock:
+        with self._err_lock:
             if self._err is None:
                 err = self.err_df
                 if self.key_column is not None:
@@ -176,7 +216,7 @@ class _Caches:
         c = self._kept
         if c is not None:
             return c
-        with self._lock:
+        with self._kept_lock:
             if self._kept is None:
                 tbl = self.kept_df.select("__sec", "__item", "cnt").toArrow()
                 ksecs = np.asarray(tbl.column("__sec"), dtype=np.int64)
@@ -389,8 +429,8 @@ class FrequencyRollup(SketchRetention):
         terr = self._total_err(a, b, c.err_cache())
         items, cnts = self._kept_slice(a, b, c.kept_cache())
         agg: dict = {}
-        for it, c in zip(items.tolist(), cnts.tolist()):
-            agg[it] = agg.get(it, 0) + c
+        for it, cnt in zip(items.tolist(), cnts.tolist()):
+            agg[it] = agg.get(it, 0) + cnt
         ordered = sorted(
             agg.items(), key=lambda kv: (-kv[1], _item_sort_key(kv[0]))
         )
@@ -511,9 +551,11 @@ class FrequencyRollup(SketchRetention):
             # test_cross_type_coercion_uses_spark_cast_grammar)
             if isinstance(x, str) != isinstance(y, str):
                 str_side, other = (x, y) if isinstance(x, str) else (y, x)
-                if isinstance(other, bool) or not isinstance(
-                    other, (int, float)
-                ):
+                if isinstance(other, bool):
+                    # Spark coerces string-vs-boolean via the boolean
+                    # cast ('1'/'yes'/'t' are true, '0'/'no'/'f' false)
+                    return _spark_str_to_bool(str_side) is other
+                if not isinstance(other, (int, float, decimal.Decimal)):
                     return False
                 d = _spark_str_to_double(str_side)
                 if d is None:
@@ -740,4 +782,9 @@ def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
         key_column=meta.get("key_column"),
     )
     r._restore_meta(meta)  # tiers (err cache is tier-free) + stale mark
+    if not r.stale:
+        # fresh loads keep the zero-job-from-the-start contract; stale
+        # loads stay lazy (collects they could never serve)
+        r._caches.err_cache()
+        r._caches.kept_cache()
     return r

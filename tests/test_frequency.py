@@ -1113,6 +1113,11 @@ def test_array_item_column_direct_parity(spark):
         assert r.approx_count([1.0, 2.0], DAY1, DAY2) == (7, 7)
         assert r.approx_count([None], DAY1, DAY2) == (3, 3)
         assert r.approx_count([9.9], DAY1, DAY2) == (0, 0)
+        # r9 pass 3: tuple asks are exactly what topk_rows returns, so
+        # they must round-trip — including NaN elements
+        assert r.approx_count((1.0, 2.0), DAY1, DAY2) == (7, 7)
+        assert r.approx_count((float("nan"),), DAY1, DAY2) == (3, 3)
+        assert r.approx_count([float("nan")], DAY1, DAY2) == (3, 3)
     finally:
         r.unpersist()
 
@@ -1135,6 +1140,9 @@ def test_struct_item_column_direct_parity(spark):
         assert [(e, u) for _i, e, u in direct] == [(6, 6), (3, 3)]
         assert direct[0][0] == (("a", 1), ("b", "x"))
         assert r.approx_count({"a": 2, "b": "y"}, DAY1, DAY2) == (3, 3)
+        # r9 pass 3: struct equality is by VALUE — key order must not
+        # matter (canonical form sorts field pairs)
+        assert r.approx_count({"b": "y", "a": 2}, DAY1, DAY2) == (3, 3)
     finally:
         r.unpersist()
 
@@ -1193,3 +1201,29 @@ def test_stale_load_pays_no_collect(spark, events, tmp_path):
         assert lo.topk_rows(*FULL, k=1)  # builds on first served ask
     finally:
         lo.unpersist()
+
+
+def test_cast_grammar_suffixes_hex_bool_decimal(spark):
+    """r9 pass 3: the driver cast grammar is probe-pinned to Spark's
+    TRY_CAST — d/f suffixes and p-exponent hex floats match, plain hex
+    ints do not; boolean asks use the boolean-cast string sets; Decimal
+    items cross-match strings."""
+    from decimal import Decimal
+
+    rows = (
+        [(BASE, "1.5d")] * 2 + [(BASE, "0x1.8p1")] * 3 + [(BASE, "0x10")] * 4
+        + [(BASE, "yes")] * 5 + [(BASE, "0")] * 6
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, item string")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        assert r.approx_count(1.5, DAY1, DAY2) == (2, 2)     # '1.5d'
+        assert r.approx_count(3.0, DAY1, DAY2) == (3, 3)     # hex float
+        assert r.approx_count(16.0, DAY1, DAY2) == (0, 0)    # '0x10' = NULL
+        assert r.approx_count(Decimal("1.5"), DAY1, DAY2) == (2, 2)
+        assert r.approx_count(True, DAY1, DAY2) == (5, 5)    # 'yes'
+        assert r.approx_count(False, DAY1, DAY2) == (6, 6)   # '0'
+        # '0' also casts to double 0.0 for a numeric ask
+        assert r.approx_count(0, DAY1, DAY2) == (6, 6)
+    finally:
+        r.unpersist()
