@@ -62,6 +62,9 @@ _CACHE_PARTITIONS = 4
 #: Python float()); NaN/Infinity words are handled separately.
 _DOUBLE_LIT = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 
+#: Java's Character <= 0x20 whitespace class (what parseDouble/trim skip)
+_JAVA_WS = "".join(chr(i) for i in range(0x21))
+
 #: canonical NaN: Spark groups every NaN as ONE item and sorts it LAST
 #: among doubles; distinct Python float('nan') objects hash/compare
 #: unequal (hash(nan) is id-based since 3.10), so the driver mirror maps
@@ -74,16 +77,19 @@ def _canon_item(x):
     the `_NAN` singleton, list OR tuple (array column; tuples are what
     ``topk_rows`` itself returns, so tuple asks must round-trip) →
     canonical tuple, dict (struct column) → tuple of (field, value)
-    pairs SORTED by field name — value-equal structs match regardless of
-    the ask dict's key order (Spark struct equality is by value). All
-    hashable, so the driver dict groups the way Spark groups arrays and
-    structs."""
+    pairs in INSERTION order — for mirror items that is the schema field
+    order, which both preserves the consumer-visible shape and keeps
+    tie-break ordering parity with Spark (structs compare by field
+    POSITION, not name). Ask dicts with a different key order are
+    reordered against the actual struct schema first
+    (:meth:`FrequencyRollup._canon_ask`). All hashable, so the driver
+    dict groups the way Spark groups arrays and structs."""
     if isinstance(x, float) and x != x:
         return _NAN
     if isinstance(x, (list, tuple)):
         return tuple(_canon_item(v) for v in x)
     if isinstance(x, dict):
-        return tuple(sorted((k, _canon_item(v)) for k, v in x.items()))
+        return tuple((k, _canon_item(v)) for k, v in x.items())
     return x
 
 
@@ -123,11 +129,14 @@ def _spark_str_to_double(s: str):
     ('0x1.8p1' → 3.0 but '0x10' → NULL); no underscores ('1_0' → NULL,
     unlike Python ``float()``); word+suffix forms like 'InfinityD' →
     NULL. Everything else None."""
-    t = s.strip()
+    # Java's parseDouble/trim only skip the [\x00-\x20] class — Python
+    # str.strip() also eats Unicode spaces like \u00a0, which Spark's
+    # cast rejects (review r9 pass 4)
+    t = s.strip(_JAVA_WS)
     if not t or "_" in t:
         return None
     tl = t.lower()
-    if tl == "nan":
+    if tl in ("nan", "+nan", "-nan"):  # parseDouble allows a signed NaN
         return float("nan")
     if tl in ("inf", "+inf", "infinity", "+infinity"):
         return float("inf")
@@ -142,6 +151,9 @@ def _spark_str_to_double(s: str):
             return float.fromhex(body)
         except ValueError:
             return None
+        except OverflowError:
+            # Java overflows to a signed Infinity, never an error
+            return float("-inf") if bl.startswith("-") else float("inf")
     if _DOUBLE_LIT.match(body):
         return float(body)
     return None
@@ -334,13 +346,27 @@ class FrequencyRollup(SketchRetention):
         object on first use, each half independently (see its docstring
         for the matched-snapshot and no-publish-race guarantees). A
         stream that never takes direct asks pays no per-batch driver
-        collect; ``build_frequency_rollup`` warms both halves so fresh
-        builds answer zero-job from the start (loads stay lazy — a
-        stale-marked load must not pay collects it can never serve)."""
+        collect; ``build_frequency_rollup`` and non-stale loads warm both
+        halves so probes answer zero-job from the start (only STALE loads
+        stay lazy — collects they could never serve)."""
         self._caches = _Caches(self._df, self._err, self.key_column)
 
     # backwards-compatible alias (pre-r9 name, err-only mirror)
     _refresh_err_cache = _refresh_caches
+
+    def _canon_ask(self, item):
+        """Canonicalize an ask argument; dict asks (struct columns) are
+        first reordered to the struct SCHEMA's field order so value-equal
+        structs match regardless of the caller's key order (Spark struct
+        equality is by value; the mirror's canonical form is
+        positional)."""
+        if isinstance(item, dict):
+            from pyspark.sql.types import StructType
+
+            dt = self._df.schema["__item"].dataType
+            if isinstance(dt, StructType):
+                item = {f.name: item.get(f.name) for f in dt.fields}
+        return _canon_item(item)
 
     def _kept_slice(self, a: int, b: int, kept=None):
         import numpy as np
@@ -537,7 +563,7 @@ class FrequencyRollup(SketchRetention):
         a, b = self._range(start, end)
         c = self._caches  # one attribute read: a matched frame pair
         items, cnts = self._kept_slice(a, b, c.kept_cache())
-        item = _canon_item(item)
+        item = self._canon_ask(item)
 
         def same(x, y) -> bool:
             if x is None or y is None:
@@ -562,6 +588,10 @@ class FrequencyRollup(SketchRetention):
                     return False
                 if d != d:  # NaN from the cast
                     return other is _NAN or other != other
+                if isinstance(other, decimal.Decimal):
+                    # Spark casts BOTH sides to double; Python's
+                    # Decimal == float is exact (Decimal('0.1') != 0.1)
+                    return d == float(other)
                 return d == other
             # canonical-NaN identity: Spark's eqNullSafe(NaN, NaN) is TRUE
             if x is _NAN or y is _NAN:
@@ -751,8 +781,8 @@ def build_frequency_rollup(
         kept, err, column, bucket_seconds, capacity, key_column=partition_by
     )
     # fresh builds warm both mirrors eagerly (probes zero-job from the
-    # start); loads stay lazy — a stale-marked load must not pay driver
-    # collects it can never serve (review r9 pass 2)
+    # start); only STALE loads stay lazy — collects they could never
+    # serve (review r9 passes 2-3)
     r._caches.err_cache()
     r._caches.kept_cache()
     return r

@@ -1227,3 +1227,57 @@ def test_cast_grammar_suffixes_hex_bool_decimal(spark):
         assert r.approx_count(0, DAY1, DAY2) == (6, 6)
     finally:
         r.unpersist()
+
+
+def test_cast_grammar_pass4_edges(spark):
+    """r9 pass 4 probe-pinned edges: signed NaN matches, hex overflow is
+    a signed Infinity (never a crash), NBSP-prefixed strings are NULL in
+    Spark's cast (Python strip() would wrongly eat them), tab-wrapped
+    numerals parse, and Decimal('0.1') matches a '0.1' string (both sides
+    promote to double — exact Decimal==float is False)."""
+    from decimal import Decimal
+
+    rows = (
+        [(BASE, "-NaN")] * 2 + [(BASE, "0x1p99999")] * 3
+        + [(BASE, " 1.5")] * 4 + [(BASE, "\t2.5\t")] * 5
+        + [(BASE, "0.1")] * 6
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, item string")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        assert r.approx_count(float("nan"), DAY1, DAY2) == (2, 2)
+        assert r.approx_count(float("inf"), DAY1, DAY2) == (3, 3)
+        assert r.approx_count(1.5, DAY1, DAY2) == (0, 0)  # NBSP = NULL cast
+        assert r.approx_count(2.5, DAY1, DAY2) == (5, 5)  # tabs trim
+        assert r.approx_count(Decimal("0.1"), DAY1, DAY2) == (6, 6)
+    finally:
+        r.unpersist()
+
+
+def test_struct_nonalpha_schema_order_parity(spark):
+    """r9 pass 4: struct tie-break ordering follows field POSITION (the
+    schema), not name — a name-sorted canonical form would order
+    struct<b, a> ties by 'a' first and diverge from approx_topk. Ask
+    dicts in any key order still match (reordered against the schema)."""
+    rows = (
+        [(BASE, {"b": 1, "a": "z"})] * 3
+        + [(BASE, {"b": 2, "a": "a"})] * 3  # est-tied with the above
+        + [(BASE, {"b": 9, "a": "m"})] * 5
+    )
+    df = spark.createDataFrame(
+        rows, "ts timestamp, item struct<b: bigint, a: string>"
+    )
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        direct = r.topk_rows(DAY1, DAY2, k=5)
+        job = [
+            (tuple(zip(x["item"].__fields__, x["item"])), x["est"], x["upper"])
+            for x in r.approx_topk(DAY1, DAY2, k=5).collect()
+        ]
+        assert direct == job  # identical order INCLUDING the b-first tie
+        assert direct[1][0] == (("b", 1), ("a", "z"))  # b=1 wins the tie
+        # ask-dict key order is irrelevant
+        assert r.approx_count({"a": "m", "b": 9}, DAY1, DAY2) == (5, 5)
+        assert r.approx_count({"b": 9, "a": "m"}, DAY1, DAY2) == (5, 5)
+    finally:
+        r.unpersist()
