@@ -65,6 +65,9 @@ _DOUBLE_LIT = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 #: Java's Character <= 0x20 whitespace class (what parseDouble/trim skip)
 _JAVA_WS = "".join(chr(i) for i in range(0x21))
 
+#: UTF8String.trimAll's class (boolean cast): whitespace + ISO controls
+_BOOL_TRIM = _JAVA_WS + "".join(chr(i) for i in range(0x7F, 0xA0))
+
 #: canonical NaN: Spark groups every NaN as ONE item and sorts it LAST
 #: among doubles; distinct Python float('nan') objects hash/compare
 #: unequal (hash(nan) is id-based since 3.10), so the driver mirror maps
@@ -108,6 +111,24 @@ def _item_sort_key(x):
     return (1, x)
 
 
+def _reorder_by_schema(value, dt):
+    """Recursively rewrite a (possibly nested) ask value's dicts into the
+    struct schema's field order — see :meth:`FrequencyRollup._canon_ask`
+    for the matching/safety contract."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    if isinstance(dt, StructType) and isinstance(value, dict):
+        if set(value) != {f.name for f in dt.fields}:
+            return value  # mismatched field set: must never match
+        return {
+            f.name: _reorder_by_schema(value[f.name], f.dataType)
+            for f in dt.fields
+        }
+    if isinstance(dt, ArrayType) and isinstance(value, (list, tuple)):
+        return [_reorder_by_schema(v, dt.elementType) for v in value]
+    return value
+
+
 def _object_array(values: list):
     """A 1-D numpy object array holding ``values`` AS-IS — np.array(...,
     dtype=object) over uniform-length tuples silently builds a 2-D array
@@ -136,7 +157,10 @@ def _spark_str_to_double(s: str):
     if not t or "_" in t:
         return None
     tl = t.lower()
-    if tl in ("nan", "+nan", "-nan"):  # parseDouble allows a signed NaN
+    # unsigned 'nan' matches in any case (Spark's special-literal
+    # fallback lowercases), but SIGNED NaN only in Java's exact casing —
+    # try_cast('-nan') is NULL while try_cast('-NaN') is NaN (probe r9p5)
+    if tl == "nan" or t in ("+NaN", "-NaN"):
         return float("nan")
     if tl in ("inf", "+inf", "infinity", "+infinity"):
         return float("inf")
@@ -166,7 +190,10 @@ _FALSE_STRS = frozenset(("f", "false", "n", "no", "0"))
 
 
 def _spark_str_to_bool(s: str):
-    tl = s.strip().lower()
+    # Spark's boolean cast trims with UTF8String.trimAll (ASCII
+    # whitespace + ISO controls — '\x00yes' is true, NBSP-yes is NULL;
+    # probe r9p5), NOT Python's Unicode-aware strip()
+    tl = s.strip(_BOOL_TRIM).lower()
     if tl in _TRUE_STRS:
         return True
     if tl in _FALSE_STRS:
@@ -356,17 +383,17 @@ class FrequencyRollup(SketchRetention):
 
     def _canon_ask(self, item):
         """Canonicalize an ask argument; dict asks (struct columns) are
-        first reordered to the struct SCHEMA's field order so value-equal
+        RECURSIVELY reordered to the struct SCHEMA's field order — nested
+        structs and structs inside arrays included — so value-equal
         structs match regardless of the caller's key order (Spark struct
-        equality is by value; the mirror's canonical form is
-        positional)."""
-        if isinstance(item, dict):
-            from pyspark.sql.types import StructType
-
-            dt = self._df.schema["__item"].dataType
-            if isinstance(dt, StructType):
-                item = {f.name: item.get(f.name) for f in dt.fields}
-        return _canon_item(item)
+        equality is by value; the mirror's canonical form is positional).
+        A dict whose key set does not equal the schema's field set is
+        left as-is and therefore never matches (Spark would refuse to
+        compare mismatched struct types; silently dropping a typo'd extra
+        field would fabricate matches)."""
+        return _canon_item(
+            _reorder_by_schema(item, self._df.schema["__item"].dataType)
+        )
 
     def _kept_slice(self, a: int, b: int, kept=None):
         import numpy as np
@@ -596,6 +623,13 @@ class FrequencyRollup(SketchRetention):
             # canonical-NaN identity: Spark's eqNullSafe(NaN, NaN) is TRUE
             if x is _NAN or y is _NAN:
                 return x is y
+            # Decimal-vs-float promotes to double (probe r9p5: DOUBLE 0.1
+            # = DECIMAL 0.1 is TRUE in Spark, but Python's Decimal==float
+            # is exact and says False); Decimal-vs-int is already exact
+            if isinstance(x, decimal.Decimal) and isinstance(y, float):
+                return float(x) == y
+            if isinstance(y, decimal.Decimal) and isinstance(x, float):
+                return x == float(y)
             return x == y
 
         est = 0

@@ -1281,3 +1281,50 @@ def test_struct_nonalpha_schema_order_parity(spark):
         assert r.approx_count({"b": 9, "a": "m"}, DAY1, DAY2) == (5, 5)
     finally:
         r.unpersist()
+
+
+def test_cast_grammar_pass5_edges(spark):
+    """r9 pass 5 probe-pinned: signed NaN only in Java casing ('-nan' is
+    NULL, '-NaN' is NaN); boolean trim is trimAll (NUL-prefixed 'yes' is
+    true, NBSP-prefixed is NULL); Decimal asks against stored DOUBLE
+    items promote to double; nested struct key order is schema-driven;
+    mismatched struct field sets never match."""
+    from decimal import Decimal
+
+    rows = [(BASE, "-nan")] * 2 + [(BASE, "-NaN")] * 3 + [(BASE, "\x00yes")] * 4
+    df = spark.createDataFrame(rows, "ts timestamp, item string")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        assert r.approx_count(float("nan"), DAY1, DAY2) == (3, 3)  # -NaN only
+        assert r.approx_count(True, DAY1, DAY2) == (4, 4)  # NUL trims
+        assert r.approx_count(False, DAY1, DAY2) == (0, 0)
+    finally:
+        r.unpersist()
+
+    dbl = spark.createDataFrame(
+        [(BASE, 0.1)] * 5 + [(BASE, 0.25)] * 2, "ts timestamp, item double"
+    )
+    r2 = build_frequency_rollup(dbl, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        assert r2.approx_count(Decimal("0.1"), DAY1, DAY2) == (5, 5)
+        assert r2.approx_count(Decimal("0.25"), DAY1, DAY2) == (2, 2)
+    finally:
+        r2.unpersist()
+
+    nested = spark.createDataFrame(
+        [(BASE, {"s": {"x": 1, "y": 2}, "n": 3})] * 6,
+        "ts timestamp, item struct<s: struct<x: bigint, y: bigint>, n: bigint>",
+    )
+    r3 = build_frequency_rollup(nested, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        # inner dict in caller order != schema order still matches
+        assert r3.approx_count(
+            {"n": 3, "s": {"y": 2, "x": 1}}, DAY1, DAY2
+        ) == (6, 6)
+        # extra / missing fields must NEVER match (not silently dropped)
+        assert r3.approx_count(
+            {"n": 3, "s": {"y": 2, "x": 1}, "zz": 1}, DAY1, DAY2
+        ) == (0, 0)
+        assert r3.approx_count({"n": 3}, DAY1, DAY2) == (0, 0)
+    finally:
+        r3.unpersist()
