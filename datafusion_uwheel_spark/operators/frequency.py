@@ -65,8 +65,10 @@ _DOUBLE_LIT = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 #: Java's Character <= 0x20 whitespace class (what parseDouble/trim skip)
 _JAVA_WS = "".join(chr(i) for i in range(0x21))
 
-#: UTF8String.trimAll's class (boolean cast): whitespace + ISO controls
-_BOOL_TRIM = _JAVA_WS + "".join(chr(i) for i in range(0x7F, 0xA0))
+#: UTF8String.trimAll's class (boolean cast): byte-level, SIGNED bytes —
+#: only 0x00-0x20 and 0x7F ever trim; U+0080-U+009F are two-byte UTF-8
+#: sequences trimAll never strips (bytecode-verified, review r9p6)
+_BOOL_TRIM = _JAVA_WS + "\x7f"
 
 #: canonical NaN: Spark groups every NaN as ONE item and sorts it LAST
 #: among doubles; distinct Python float('nan') objects hash/compare
@@ -187,6 +189,16 @@ def _spark_str_to_double(s: str):
 #: BOOLEAN)), trimmed and case-insensitive — probe-pinned.
 _TRUE_STRS = frozenset(("t", "true", "y", "yes", "1"))
 _FALSE_STRS = frozenset(("f", "false", "n", "no", "0"))
+
+
+def _dec_to_float(v):
+    """float(Decimal) that never raises: Decimal('sNaN') cannot convert
+    (ValueError) — an un-comparable ask must NOT MATCH, never crash the
+    ask mid-iteration (review r9p6)."""
+    try:
+        return float(v)
+    except (ValueError, decimal.InvalidOperation):
+        return None
 
 
 def _spark_str_to_bool(s: str):
@@ -618,7 +630,8 @@ class FrequencyRollup(SketchRetention):
                 if isinstance(other, decimal.Decimal):
                     # Spark casts BOTH sides to double; Python's
                     # Decimal == float is exact (Decimal('0.1') != 0.1)
-                    return d == float(other)
+                    f = _dec_to_float(other)
+                    return f is not None and d == f
                 return d == other
             # canonical-NaN identity: Spark's eqNullSafe(NaN, NaN) is TRUE
             if x is _NAN or y is _NAN:
@@ -627,9 +640,11 @@ class FrequencyRollup(SketchRetention):
             # = DECIMAL 0.1 is TRUE in Spark, but Python's Decimal==float
             # is exact and says False); Decimal-vs-int is already exact
             if isinstance(x, decimal.Decimal) and isinstance(y, float):
-                return float(x) == y
+                f = _dec_to_float(x)
+                return f is not None and f == y
             if isinstance(y, decimal.Decimal) and isinstance(x, float):
-                return x == float(y)
+                f = _dec_to_float(y)
+                return f is not None and x == f
             return x == y
 
         est = 0

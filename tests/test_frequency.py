@@ -1328,3 +1328,19 @@ def test_cast_grammar_pass5_edges(spark):
         assert r3.approx_count({"n": 3}, DAY1, DAY2) == (0, 0)
     finally:
         r3.unpersist()
+
+
+def test_cast_grammar_pass6_edges(spark):
+    """r9 pass 6 (bytecode-verified): U+0085-prefixed boolean words are
+    NULL in Spark's byte-level trimAll (only 0x00-0x20 and 0x7F trim);
+    Decimal('sNaN') asks must not match, never crash."""
+    from decimal import Decimal
+
+    rows = [(BASE, "\x85yes")] * 3 + [(BASE, "\x7fyes")] * 4
+    df = spark.createDataFrame(rows, "ts timestamp, item string")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        assert r.approx_count(True, DAY1, DAY2) == (4, 4)  # only \x7f trims
+        assert r.approx_count(Decimal("sNaN"), DAY1, DAY2) == (0, 0)
+    finally:
+        r.unpersist()
