@@ -191,9 +191,15 @@ def main() -> None:
     queries["uw_freq_topk_direct"] = time_calls(
         lambda: fr.topk_rows(_qa, _qb, k=4), N_PROBE
     )
+    queries["uw_freq_topk_by_day_direct"] = time_calls(
+        lambda: fr.topk_rows_by("day", k=2), N_PROBE
+    )
     _fk = fr.approx_topk(_qa, _qb, k=4).collect()
     assert len(_fk) == 4 and fr.total_err(_qa, _qb) == 0, _fk
     assert [tuple(r) for r in _fk] == fr.topk_rows(_qa, _qb, k=4)
+    assert [tuple(r) for r in fr.approx_topk_by("day", k=2).collect()] == (
+        fr.topk_rows_by("day", k=2)
+    )
     log(f"uw_freq_topk_direct: {queries['uw_freq_topk_direct']*1e3:.2f} ms median")
     log(
         f"freq_index_build {queries['freq_index_build']:.2f}s, "

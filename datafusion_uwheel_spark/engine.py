@@ -590,6 +590,24 @@ class WheelEngine:
         rollup; see :meth:`..operators.frequency.FrequencyRollup.topk_rows`)."""
         return self.topk_rollups[column].topk_rows(start, end, k)
 
+    def approx_topk_rows_by(
+        self, column: str, granularity, k: int = 10, start=None, end=None
+    ) -> list:
+        """Driver-resident form of :meth:`approx_topk_by` — per-period
+        ``(bucket, item, est, upper)`` tuples, zero Spark jobs."""
+        return self.topk_rollups[column].topk_rows_by(
+            granularity, k, start=start, end=end
+        )
+
+    def approx_topk_rows_by_key(
+        self, column: str, k: int = 10, start=None, end=None
+    ) -> list:
+        """Driver-resident form of :meth:`approx_topk_by_key` — per-key
+        ``(<key>, item, est, upper)`` tuples, zero Spark jobs."""
+        return self.topk_rollups[column].topk_rows_by_key(
+            k, start=start, end=end
+        )
+
     def approx_item_count(self, column: str, item, start, end) -> tuple[int, int]:
         """``(est, upper)`` count bounds for one ``column`` value over the
         range (the point-query form of :meth:`approx_topk`)."""

@@ -131,6 +131,54 @@ def _reorder_by_schema(value, dt):
     return value
 
 
+#: named granularities the DRIVER-side truncation supports (the job path
+#: approx_topk_by accepts anything Spark's date_trunc does)
+_DIRECT_GRANS = ("second", "minute", "hour", "day", "week", "month",
+                 "quarter", "year")
+
+
+def _trunc_bucket_sec(sec: int, granularity) -> int:
+    """Epoch second of the bucket holding ``sec`` — mirrors the job
+    path's bucket exprs: integer widths are epoch-aligned tumbling
+    windows; named levels match Spark's UTC ``date_trunc`` (weeks start
+    Monday; month/quarter/year via the calendar)."""
+    from datetime import datetime, timezone
+
+    if isinstance(granularity, int):
+        return sec - sec % granularity
+    g = str(granularity).lower()
+    if g == "second":
+        return sec
+    if g == "minute":
+        return sec - sec % 60
+    if g == "hour":
+        return sec - sec % 3600
+    if g == "day":
+        return sec - sec % 86400
+    if g == "week":
+        days = sec // 86400
+        return (days - (days + 3) % 7) * 86400  # 1970-01-01 was Thursday
+    dt = datetime.fromtimestamp(sec, tz=timezone.utc)
+    if g == "month":
+        dt = dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    elif g == "quarter":
+        dt = dt.replace(
+            month=(dt.month - 1) // 3 * 3 + 1, day=1,
+            hour=0, minute=0, second=0, microsecond=0,
+        )
+    elif g == "year":
+        dt = dt.replace(
+            month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+        )
+    else:
+        raise ValueError(
+            f"granularity {granularity!r} has no driver-side truncation — "
+            f"supported: {_DIRECT_GRANS} or an integer width; the job path "
+            "(approx_topk_by) accepts every Spark date_trunc level"
+        )
+    return int(dt.timestamp())
+
+
 def _object_array(values: list):
     """A 1-D numpy object array holding ``values`` AS-IS — np.array(...,
     dtype=object) over uniform-length tuples silently builds a 2-D array
@@ -227,7 +275,7 @@ class _Caches:
 
     __slots__ = (
         "kept_df", "err_df", "key_column", "_err_lock", "_kept_lock",
-        "_err", "_kept",
+        "_keyed_lock", "_err", "_kept", "_kkept", "_kerr",
     )
 
     def __init__(self, kept_df, err_df, key_column):
@@ -240,8 +288,13 @@ class _Caches:
         # block behind the much bigger kept-rows Arrow collect
         self._err_lock = threading.Lock()
         self._kept_lock = threading.Lock()
+        self._keyed_lock = threading.Lock()
         self._err = None
         self._kept = None
+        #: keyed mirrors (keyed builds only): kept rows WITH the key, and
+        #: per-(sec, key) err rows — the per-key direct asks' inputs
+        self._kkept = None
+        self._kerr = None
 
     def err_cache(self) -> tuple:
         import numpy as np
@@ -260,6 +313,49 @@ class _Caches:
                 errs = np.array([r["err"] for r in rows], dtype=np.int64)
                 self._err = (secs, np.concatenate(([0], np.cumsum(errs))))
             return self._err
+
+    def keyed_kept_cache(self) -> tuple:
+        """``(secs, keys, items, cnts)`` sec-sorted — keyed builds only."""
+        c = self._kkept
+        if c is not None:
+            return c
+        import numpy as np
+
+        with self._keyed_lock:
+            if self._kkept is None:
+                tbl = self.kept_df.select(
+                    "__sec", "__key", "__item", "cnt"
+                ).toArrow()
+                secs = np.asarray(tbl.column("__sec"), dtype=np.int64)
+                keys = _object_array(
+                    [_canon_item(v) for v in tbl.column("__key").to_pylist()]
+                )
+                items = _object_array(
+                    [_canon_item(v) for v in tbl.column("__item").to_pylist()]
+                )
+                cnts = np.asarray(tbl.column("cnt"), dtype=np.int64)
+                order = np.argsort(secs, kind="stable")
+                self._kkept = (
+                    secs[order], keys[order], items[order], cnts[order]
+                )
+            return self._kkept
+
+    def keyed_err_cache(self) -> tuple:
+        """``(secs, keys, errs)`` sec-sorted — keyed builds only."""
+        c = self._kerr
+        if c is not None:
+            return c
+        import numpy as np
+
+        with self._keyed_lock:
+            if self._kerr is None:
+                rows = self.err_df.select("__sec", "__key", "err").collect()
+                secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
+                keys = _object_array([_canon_item(r["__key"]) for r in rows])
+                errs = np.array([r["err"] for r in rows], dtype=np.int64)
+                order = np.argsort(secs, kind="stable")
+                self._kerr = (secs[order], keys[order], errs[order])
+            return self._kerr
 
     def kept_cache(self) -> tuple:
         import numpy as np
@@ -500,6 +596,119 @@ class FrequencyRollup(SketchRetention):
             agg.items(), key=lambda kv: (-kv[1], _item_sort_key(kv[0]))
         )
         return [(it, est, est + terr) for it, est in ordered[:k]]
+
+    def topk_rows_by(self, granularity, k: int = 10, start=None, end=None) -> list[tuple]:
+        """Driver-resident sibling of :meth:`approx_topk_by`: the same
+        ``(bucket, item, est, upper)`` per-period top-``k`` rows as plain
+        Python tuples (bucket = naive-UTC datetime, matching the job
+        path's collected TIMESTAMPs) with ZERO Spark jobs. ``upper`` adds
+        the CELL's summed truncation error, recovered from the err prefix
+        sums (per-sec errs = prefix diffs). Named granularities cover
+        Spark's fixed+calendar levels (weeks start Monday); exotic levels
+        stay on the job path. Same alignment/tiling gates as the job
+        path."""
+        from datetime import datetime, timezone
+
+        import numpy as np
+
+        self._require_fresh()
+        self._check_granularity(granularity, start)
+        if (start is None) != (end is None):
+            raise ValueError("give both bounds or neither")
+        c = self._caches  # one attribute read: a matched frame pair
+        esecs, prefix = c.err_cache()
+        ksecs, kitems, kcnts = c.kept_cache()
+        if start is not None:
+            a, b = self._range(start, end)
+            lo = int(np.searchsorted(ksecs, a, side="left"))
+            hi = int(np.searchsorted(ksecs, b, side="left"))
+            ksecs, kitems, kcnts = ksecs[lo:hi], kitems[lo:hi], kcnts[lo:hi]
+            elo = int(np.searchsorted(esecs, a, side="left"))
+            ehi = int(np.searchsorted(esecs, b, side="left"))
+            esecs = esecs[elo:ehi]
+            per_sec_err = np.diff(prefix)[elo:ehi]
+        else:
+            per_sec_err = np.diff(prefix)
+        trunc_memo: dict = {}
+
+        def bucket_of(sec: int) -> int:
+            t = trunc_memo.get(sec)
+            if t is None:
+                t = trunc_memo[sec] = _trunc_bucket_sec(sec, granularity)
+            return t
+
+        cells: dict = {}
+        for sec, it, cnt in zip(
+            ksecs.tolist(), kitems.tolist(), kcnts.tolist()
+        ):
+            key = (bucket_of(sec), it)
+            cells[key] = cells.get(key, 0) + cnt
+        cell_err: dict = {}
+        for sec, e in zip(esecs.tolist(), per_sec_err.tolist()):
+            bk = bucket_of(sec)
+            cell_err[bk] = cell_err.get(bk, 0) + e
+        per_bucket: dict = {}
+        for (bk, it), est in cells.items():
+            per_bucket.setdefault(bk, []).append((it, est))
+        out = []
+        for bk in sorted(per_bucket):
+            terr = cell_err.get(bk, 0)
+            top = sorted(
+                per_bucket[bk], key=lambda p: (-p[1], _item_sort_key(p[0]))
+            )[:k]
+            dt = datetime.fromtimestamp(bk, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+            out += [(dt, it, est, est + terr) for it, est in top]
+        return out
+
+    def topk_rows_by_key(self, k: int = 10, start=None, end=None) -> list[tuple]:
+        """Driver-resident sibling of :meth:`approx_topk_by_key`: the same
+        ``(<key>, item, est, upper)`` per-key top-``k`` rows as plain
+        Python tuples with ZERO Spark jobs, from the keyed mirrors
+        (built lazily on first keyed direct ask — unkeyed workloads never
+        pay for them). ``upper`` adds that KEY's summed truncation error
+        over the range. Ordering matches the job path: key asc (NULL
+        first), est desc, item asc."""
+        import numpy as np
+
+        self._require_fresh()
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+        if (start is None) != (end is None):
+            raise ValueError("give both bounds or neither")
+        c = self._caches  # one attribute read: a matched frame pair
+        ksecs, kkeys, kitems, kcnts = c.keyed_kept_cache()
+        esecs, ekeys, eerrs = c.keyed_err_cache()
+        if start is not None:
+            a, b = self._range(start, end)
+            lo = int(np.searchsorted(ksecs, a, side="left"))
+            hi = int(np.searchsorted(ksecs, b, side="left"))
+            kkeys, kitems, kcnts = kkeys[lo:hi], kitems[lo:hi], kcnts[lo:hi]
+            elo = int(np.searchsorted(esecs, a, side="left"))
+            ehi = int(np.searchsorted(esecs, b, side="left"))
+            ekeys, eerrs = ekeys[elo:ehi], eerrs[elo:ehi]
+        cells: dict = {}
+        for key, it, cnt in zip(
+            kkeys.tolist(), kitems.tolist(), kcnts.tolist()
+        ):
+            cells[(key, it)] = cells.get((key, it), 0) + cnt
+        key_err: dict = {}
+        for key, e in zip(ekeys.tolist(), eerrs.tolist()):
+            key_err[key] = key_err.get(key, 0) + e
+        per_key: dict = {}
+        for (key, it), est in cells.items():
+            per_key.setdefault(key, []).append((it, est))
+        out = []
+        for key in sorted(per_key, key=_item_sort_key):
+            terr = key_err.get(key, 0)
+            top = sorted(
+                per_key[key], key=lambda p: (-p[1], _item_sort_key(p[0]))
+            )[:k]
+            out += [(key, it, est, est + terr) for it, est in top]
+        return out
 
     def approx_topk_by(
         self, granularity, k: int = 10, start=None, end=None

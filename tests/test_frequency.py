@@ -1344,3 +1344,113 @@ def test_cast_grammar_pass6_edges(spark):
         assert r.approx_count(Decimal("sNaN"), DAY1, DAY2) == (0, 0)
     finally:
         r.unpersist()
+
+
+# ------------------------------- r9: grouped driver-resident direct asks
+def _job_topk_by(rollup, granularity, k=10, start=None, end=None):
+    return [
+        (x["bucket"], x["item"], x["est"], x["upper"])
+        for x in rollup.approx_topk_by(
+            granularity, k, start=start, end=end
+        ).collect()
+    ]
+
+
+def _job_topk_by_key(rollup, k=10, start=None, end=None):
+    return [
+        tuple(x) for x in rollup.approx_topk_by_key(
+            k, start=start, end=end
+        ).collect()
+    ]
+
+
+@pytest.mark.parametrize("fx", ["ample", "tight"])
+def test_topk_rows_by_parity(fx, request):
+    """topk_rows_by == approx_topk_by row-for-row across granularities
+    (int widths, fixed and calendar levels), k values, and restrictions,
+    in both the exact and truncated regimes."""
+    rollup = request.getfixturevalue(fx)
+    for gran in (3600, 7200, "hour", "day", "week", "month"):
+        for kwargs in ({}, {"start": DAY1, "end": DAY2}):
+            for k in (1, 2, 10_000):
+                got = rollup.topk_rows_by(gran, k, **kwargs)
+                want = _job_topk_by(rollup, gran, k, **kwargs)
+                assert got == want, (gran, k, kwargs)
+
+
+def test_topk_rows_by_key_parity(spark, keyed_events):
+    r = build_frequency_rollup(
+        keyed_events, "item", "ts", bucket_seconds=3600, capacity=3,
+        partition_by="seg",
+    )
+    try:
+        for kwargs in ({}, {"start": DAY1, "end": "2024-02-01 01:00:00"}):
+            for k in (1, 2, 100):
+                got = r.topk_rows_by_key(k, **kwargs)
+                want = _job_topk_by_key(r, k, **kwargs)
+                assert got == want, (k, kwargs)
+        # unkeyed build refuses, mirroring the job path
+        fx = build_frequency_rollup(
+            keyed_events, "item", "ts", bucket_seconds=3600, capacity=3
+        )
+        try:
+            with pytest.raises(ValueError, match="partition_by"):
+                fx.topk_rows_by_key()
+        finally:
+            fx.unpersist()
+    finally:
+        r.unpersist()
+
+
+def test_grouped_direct_zero_jobs_and_lazy_keyed_mirror(spark, keyed_events):
+    """Grouped direct asks launch no jobs once mirrors are built; the
+    KEYED mirrors build lazily on the first keyed direct ask (unkeyed
+    workloads never collect them)."""
+    r = build_frequency_rollup(
+        keyed_events, "item", "ts", bucket_seconds=3600, capacity=3,
+        partition_by="seg",
+    )
+    try:
+        c = r._caches
+        assert c._kkept is None and c._kerr is None  # not built eagerly
+        r.topk_rows_by_key(k=2)  # builds the keyed mirrors
+        assert c._kkept is not None and c._kerr is not None
+        sc = spark.sparkContext
+        before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+        rows_k = r.topk_rows_by_key(k=2)
+        rows_b = r.topk_rows_by("hour", k=2)
+        after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+        assert after == before
+        assert rows_k and rows_b
+    finally:
+        r.unpersist()
+
+
+def test_topk_rows_by_gates_match_job_path(tight):
+    """Same guardrails as approx_topk_by: both-or-neither bounds, the
+    granularity tiling gate, and unsupported driver levels raise with a
+    pointer to the job path."""
+    with pytest.raises(ValueError, match="both bounds"):
+        tight.topk_rows_by("day", start=DAY1)
+    with pytest.raises(ValueError, match="not tiled"):
+        tight.topk_rows_by(1800)  # finer than the hourly buckets
+    with pytest.raises(ValueError, match="driver-side truncation"):
+        tight.topk_rows_by("millennium")
+
+
+def test_grouped_direct_follow_merge(spark, events):
+    """The keyed/grouped mirrors ride the same capture invalidation: after
+    a merge the grouped direct answers match the job path again."""
+    r = build_frequency_rollup(events, "item", "ts", bucket_seconds=3600, capacity=4)
+    try:
+        before = r.topk_rows_by("day", k=2)
+        extra = spark.createDataFrame(
+            [(BASE + timedelta(hours=2), "merged_g")] * 300,
+            "ts timestamp, item string",
+        )
+        r.merge_batch(extra, "ts")
+        after = r.topk_rows_by("day", k=2)
+        assert after == _job_topk_by(r, "day", k=2)
+        assert after != before
+    finally:
+        r.unpersist()
