@@ -131,52 +131,24 @@ def _reorder_by_schema(value, dt):
     return value
 
 
-#: named granularities the DRIVER-side truncation supports (the job path
-#: approx_topk_by accepts anything Spark's date_trunc does)
-_DIRECT_GRANS = ("second", "minute", "hour", "day", "week", "month",
-                 "quarter", "year")
-
-
-def _trunc_bucket_sec(sec: int, granularity) -> int:
-    """Epoch second of the bucket holding ``sec`` — mirrors the job
-    path's bucket exprs: integer widths are epoch-aligned tumbling
-    windows; named levels match Spark's UTC ``date_trunc`` (weeks start
-    Monday; month/quarter/year via the calendar)."""
-    from datetime import datetime, timezone
+def _check_direct_granularity(granularity) -> None:
+    """UP-FRONT gate for the driver-side truncation — a typo'd level must
+    raise even over an empty rollup/range, never silently return []
+    (review r9p7). Integer widths and the named levels
+    :func:`..functions.timestamps.bucket_starts` supports pass; exotic
+    ``date_trunc`` levels stay on the job path (``approx_topk_by``)."""
+    from ..functions.timestamps import CALENDAR_GRANULARITIES, GRANULARITIES
 
     if isinstance(granularity, int):
-        return sec - sec % granularity
+        return
     g = str(granularity).lower()
-    if g == "second":
-        return sec
-    if g == "minute":
-        return sec - sec % 60
-    if g == "hour":
-        return sec - sec % 3600
-    if g == "day":
-        return sec - sec % 86400
-    if g == "week":
-        days = sec // 86400
-        return (days - (days + 3) % 7) * 86400  # 1970-01-01 was Thursday
-    dt = datetime.fromtimestamp(sec, tz=timezone.utc)
-    if g == "month":
-        dt = dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
-    elif g == "quarter":
-        dt = dt.replace(
-            month=(dt.month - 1) // 3 * 3 + 1, day=1,
-            hour=0, minute=0, second=0, microsecond=0,
-        )
-    elif g == "year":
-        dt = dt.replace(
-            month=1, day=1, hour=0, minute=0, second=0, microsecond=0
-        )
-    else:
+    if g not in GRANULARITIES and g not in CALENDAR_GRANULARITIES:
         raise ValueError(
             f"granularity {granularity!r} has no driver-side truncation — "
-            f"supported: {_DIRECT_GRANS} or an integer width; the job path "
-            "(approx_topk_by) accepts every Spark date_trunc level"
+            f"supported: {GRANULARITIES + CALENDAR_GRANULARITIES} or an "
+            "integer width; the job path (approx_topk_by) accepts every "
+            "Spark date_trunc level"
         )
-    return int(dt.timestamp())
 
 
 def _object_array(values: list):
@@ -349,10 +321,17 @@ class _Caches:
 
         with self._keyed_lock:
             if self._kerr is None:
-                rows = self.err_df.select("__sec", "__key", "err").collect()
-                secs = np.array([r["__sec"] for r in rows], dtype=np.int64)
-                keys = _object_array([_canon_item(r["__key"]) for r in rows])
-                errs = np.array([r["err"] for r in rows], dtype=np.int64)
+                # Arrow decode, NOT .collect(): Row is a tuple subclass,
+                # so a struct key would canonicalize to a values-only
+                # tuple here but a (field, value)-pairs tuple in the kept
+                # mirror — the per-key err lookup would silently miss and
+                # report upper == est (review r9p7)
+                tbl = self.err_df.select("__sec", "__key", "err").toArrow()
+                secs = np.asarray(tbl.column("__sec"), dtype=np.int64)
+                keys = _object_array(
+                    [_canon_item(v) for v in tbl.column("__key").to_pylist()]
+                )
+                errs = np.asarray(tbl.column("err"), dtype=np.int64)
                 order = np.argsort(secs, kind="stable")
                 self._kerr = (secs[order], keys[order], errs[order])
             return self._kerr
@@ -363,6 +342,16 @@ class _Caches:
         c = self._kept
         if c is not None:
             return c
+        if self.key_column is not None:
+            # keyed builds single-source from the keyed mirror (same rows
+            # plus the key array) — ONE collect serves both views instead
+            # of holding two full driver copies (review r9p7)
+            secs, _keys, items, cnts = self.keyed_kept_cache()
+            view = (secs, items, cnts)
+            with self._kept_lock:
+                if self._kept is None:
+                    self._kept = view
+                return self._kept
         with self._kept_lock:
             if self._kept is None:
                 tbl = self.kept_df.select("__sec", "__item", "cnt").toArrow()
@@ -585,6 +574,8 @@ class FrequencyRollup(SketchRetention):
         (Spark's ASC default). O(kept rows in range) per ask, bounded by
         buckets × capacity. Freshness-gated like every other ask."""
         self._require_fresh()
+        if k < 0:
+            raise ValueError(f"k must be >= 0, got {k}")
         a, b = self._range(start, end)
         c = self._caches  # one attribute read: a matched frame pair
         terr = self._total_err(a, b, c.err_cache())
@@ -611,10 +602,15 @@ class FrequencyRollup(SketchRetention):
 
         import numpy as np
 
+        from ..functions.timestamps import bucket_starts
+
         self._require_fresh()
+        _check_direct_granularity(granularity)
         self._check_granularity(granularity, start)
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
+        if k < 0:
+            raise ValueError(f"k must be >= 0, got {k}")
         c = self._caches  # one attribute read: a matched frame pair
         esecs, prefix = c.err_cache()
         ksecs, kitems, kcnts = c.kept_cache()
@@ -629,23 +625,19 @@ class FrequencyRollup(SketchRetention):
             per_sec_err = np.diff(prefix)[elo:ehi]
         else:
             per_sec_err = np.diff(prefix)
-        trunc_memo: dict = {}
-
-        def bucket_of(sec: int) -> int:
-            t = trunc_memo.get(sec)
-            if t is None:
-                t = trunc_memo[sec] = _trunc_bucket_sec(sec, granularity)
-            return t
+        # one vectorized pass (functions/timestamps.bucket_starts — the
+        # same floor/calendar semantics the router's window rewrites use)
+        kbuckets = bucket_starts(ksecs, granularity)
+        ebuckets = bucket_starts(esecs, granularity)
 
         cells: dict = {}
-        for sec, it, cnt in zip(
-            ksecs.tolist(), kitems.tolist(), kcnts.tolist()
+        for bk, it, cnt in zip(
+            kbuckets.tolist(), kitems.tolist(), kcnts.tolist()
         ):
-            key = (bucket_of(sec), it)
+            key = (bk, it)
             cells[key] = cells.get(key, 0) + cnt
         cell_err: dict = {}
-        for sec, e in zip(esecs.tolist(), per_sec_err.tolist()):
-            bk = bucket_of(sec)
+        for bk, e in zip(ebuckets.tolist(), per_sec_err.tolist()):
             cell_err[bk] = cell_err.get(bk, 0) + e
         per_bucket: dict = {}
         for (bk, it), est in cells.items():
@@ -679,6 +671,8 @@ class FrequencyRollup(SketchRetention):
             )
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
+        if k < 0:
+            raise ValueError(f"k must be >= 0, got {k}")
         c = self._caches  # one attribute read: a matched frame pair
         ksecs, kkeys, kitems, kcnts = c.keyed_kept_cache()
         esecs, ekeys, eerrs = c.keyed_err_cache()
@@ -734,8 +728,11 @@ class FrequencyRollup(SketchRetention):
             kept, err = self._restrict(kept, a, b), self._restrict(err, a, b)
         ts = F.timestamp_seconds(F.col("__sec"))
         if isinstance(granularity, int):
+            # pmod = FLOOR semantics, matching Spark's own window() and
+            # the wheels' bucket_starts on pre-epoch (negative) seconds —
+            # a bare % is truncated and would bucket -3600 under 0
             bucket = F.timestamp_seconds(
-                F.col("__sec") - F.col("__sec") % F.lit(granularity)
+                F.col("__sec") - F.pmod(F.col("__sec"), F.lit(granularity))
             )
         else:
             bucket = F.date_trunc(str(granularity), ts)

@@ -1412,9 +1412,13 @@ def test_grouped_direct_zero_jobs_and_lazy_keyed_mirror(spark, keyed_events):
     )
     try:
         c = r._caches
-        assert c._kkept is None and c._kerr is None  # not built eagerly
-        r.topk_rows_by_key(k=2)  # builds the keyed mirrors
-        assert c._kkept is not None and c._kerr is not None
+        # the build-time warm single-sources the kept view from the keyed
+        # mirror (one collect serves both); the keyed ERR mirror stays
+        # lazy until the first keyed direct ask
+        assert c._kkept is not None and c._kept is not None
+        assert c._kerr is None
+        r.topk_rows_by_key(k=2)  # builds the keyed err mirror
+        assert c._kerr is not None
         sc = spark.sparkContext
         before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
         rows_k = r.topk_rows_by_key(k=2)
@@ -1436,6 +1440,20 @@ def test_topk_rows_by_gates_match_job_path(tight):
         tight.topk_rows_by(1800)  # finer than the hourly buckets
     with pytest.raises(ValueError, match="driver-side truncation"):
         tight.topk_rows_by("millennium")
+    # the gate fires BEFORE any row work — an empty restriction must not
+    # silently return [] for a typo'd level (review r9p7)
+    with pytest.raises(ValueError, match="driver-side truncation"):
+        tight.topk_rows_by(
+            "millennium", start="2030-01-01 00:00:00",
+            end="2030-01-02 00:00:00",
+        )
+    # negative k raises everywhere (the job path's LIMIT would too)
+    for call in (
+        lambda: tight.topk_rows(DAY1, DAY2, k=-1),
+        lambda: tight.topk_rows_by("day", k=-1),
+    ):
+        with pytest.raises(ValueError, match="k must be"):
+            call()
 
 
 def test_grouped_direct_follow_merge(spark, events):
