@@ -38,6 +38,12 @@ Scale: rollup rows ≤ buckets × capacity (+1 err row per bucket); a year of
 hourly buckets at capacity 64 is ~0.5M tiny rows of executor cache. All
 plans are JVM expressions (groupBy / window rank / joins) — no Python on
 any row path.
+
+Time domain: like the wheels (and the reference, whose µWheel time is an
+UNSIGNED integer), the rollup assumes NON-NEGATIVE epoch seconds —
+pre-1970 timestamps are out of contract (the build/merge/compact bucket
+exprs use Spark's truncated ``%``, which floors only for ``sec >= 0``;
+the ask-side grouping uses true floor via ``pmod``/``bucket_starts``).
 """
 
 from __future__ import annotations
@@ -606,6 +612,10 @@ class FrequencyRollup(SketchRetention):
 
         self._require_fresh()
         _check_direct_granularity(granularity)
+        if not isinstance(granularity, int):
+            # bucket_starts keys are lowercase; Spark's date_trunc (the
+            # job path) is case-insensitive — stay parity on "Day"/"WEEK"
+            granularity = str(granularity).lower()
         self._check_granularity(granularity, start)
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
@@ -657,9 +667,11 @@ class FrequencyRollup(SketchRetention):
     def topk_rows_by_key(self, k: int = 10, start=None, end=None) -> list[tuple]:
         """Driver-resident sibling of :meth:`approx_topk_by_key`: the same
         ``(<key>, item, est, upper)`` per-key top-``k`` rows as plain
-        Python tuples with ZERO Spark jobs, from the keyed mirrors
-        (built lazily on first keyed direct ask — unkeyed workloads never
-        pay for them). ``upper`` adds that KEY's summed truncation error
+        Python tuples with ZERO Spark jobs, from the keyed mirrors. On a
+        keyed build the kept mirror is keyed-from-birth (the warm
+        single-sources the unkeyed view from it — one collect serves
+        both); only the keyed ERR mirror builds lazily on the first keyed
+        direct ask. ``upper`` adds that KEY's summed truncation error
         over the range. Ordering matches the job path: key asc (NULL
         first), est desc, item asc."""
         import numpy as np
@@ -722,6 +734,8 @@ class FrequencyRollup(SketchRetention):
         self._check_granularity(granularity, start)
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
+        if k < 0:
+            raise ValueError(f"k must be >= 0, got {k}")
         kept, err = self._df, self._err
         if start is not None:
             a, b = self._range(start, end)  # alignment gate incl. tiers
@@ -789,6 +803,8 @@ class FrequencyRollup(SketchRetention):
             raise ValueError(
                 "rollup was built without partition_by — no key column"
             )
+        if k < 0:
+            raise ValueError(f"k must be >= 0, got {k}")
         kept, err = self._df, self._err
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")

@@ -1403,9 +1403,10 @@ def test_topk_rows_by_key_parity(spark, keyed_events):
 
 
 def test_grouped_direct_zero_jobs_and_lazy_keyed_mirror(spark, keyed_events):
-    """Grouped direct asks launch no jobs once mirrors are built; the
-    KEYED mirrors build lazily on the first keyed direct ask (unkeyed
-    workloads never collect them)."""
+    """Grouped direct asks launch no jobs once mirrors are built; on a
+    keyed build the kept mirror is keyed-from-birth (one collect serves
+    the keyed and unkeyed views) and only the keyed ERR mirror builds
+    lazily on the first keyed direct ask."""
     r = build_frequency_rollup(
         keyed_events, "item", "ts", bucket_seconds=3600, capacity=3,
         partition_by="seg",
@@ -1447,13 +1448,18 @@ def test_topk_rows_by_gates_match_job_path(tight):
             "millennium", start="2030-01-01 00:00:00",
             end="2030-01-02 00:00:00",
         )
-    # negative k raises everywhere (the job path's LIMIT would too)
+    # negative k raises on BOTH paths (r9p8: the grouped job forms used
+    # to silently return empty; now all five entry points agree)
     for call in (
         lambda: tight.topk_rows(DAY1, DAY2, k=-1),
         lambda: tight.topk_rows_by("day", k=-1),
+        lambda: tight.approx_topk_by("day", k=-1),
     ):
         with pytest.raises(ValueError, match="k must be"):
             call()
+    # mixed-case named levels work on both paths (Spark date_trunc is
+    # case-insensitive; bucket_starts keys are lowercase — r9p8)
+    assert tight.topk_rows_by("Day", k=2) == tight.topk_rows_by("day", k=2)
 
 
 def test_grouped_direct_follow_merge(spark, events):
