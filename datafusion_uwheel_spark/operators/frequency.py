@@ -137,16 +137,26 @@ def _reorder_by_schema(value, dt):
     return value
 
 
-def _check_direct_granularity(granularity) -> None:
+def _check_k(k: int) -> None:
+    """Shared non-negative-k gate for every top-k entry point (direct and
+    job forms agree — one helper, no drift; review r9p9)."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+
+
+def _check_direct_granularity(granularity):
     """UP-FRONT gate for the driver-side truncation — a typo'd level must
     raise even over an empty rollup/range, never silently return []
     (review r9p7). Integer widths and the named levels
     :func:`..functions.timestamps.bucket_starts` supports pass; exotic
-    ``date_trunc`` levels stay on the job path (``approx_topk_by``)."""
+    ``date_trunc`` levels stay on the job path (``approx_topk_by``).
+    Returns the NORMALIZED granularity (lowercased name, since
+    ``bucket_starts`` keys are lowercase while Spark's date_trunc is
+    case-insensitive) so validation and normalization cannot drift."""
     from ..functions.timestamps import CALENDAR_GRANULARITIES, GRANULARITIES
 
     if isinstance(granularity, int):
-        return
+        return granularity
     g = str(granularity).lower()
     if g not in GRANULARITIES and g not in CALENDAR_GRANULARITIES:
         raise ValueError(
@@ -155,6 +165,7 @@ def _check_direct_granularity(granularity) -> None:
             "integer width; the job path (approx_topk_by) accepts every "
             "Spark date_trunc level"
         )
+    return g
 
 
 def _object_array(values: list):
@@ -580,8 +591,7 @@ class FrequencyRollup(SketchRetention):
         (Spark's ASC default). O(kept rows in range) per ask, bounded by
         buckets × capacity. Freshness-gated like every other ask."""
         self._require_fresh()
-        if k < 0:
-            raise ValueError(f"k must be >= 0, got {k}")
+        _check_k(k)
         a, b = self._range(start, end)
         c = self._caches  # one attribute read: a matched frame pair
         terr = self._total_err(a, b, c.err_cache())
@@ -611,16 +621,11 @@ class FrequencyRollup(SketchRetention):
         from ..functions.timestamps import bucket_starts
 
         self._require_fresh()
-        _check_direct_granularity(granularity)
-        if not isinstance(granularity, int):
-            # bucket_starts keys are lowercase; Spark's date_trunc (the
-            # job path) is case-insensitive — stay parity on "Day"/"WEEK"
-            granularity = str(granularity).lower()
+        granularity = _check_direct_granularity(granularity)
         self._check_granularity(granularity, start)
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
-        if k < 0:
-            raise ValueError(f"k must be >= 0, got {k}")
+        _check_k(k)
         c = self._caches  # one attribute read: a matched frame pair
         esecs, prefix = c.err_cache()
         ksecs, kitems, kcnts = c.kept_cache()
@@ -683,8 +688,7 @@ class FrequencyRollup(SketchRetention):
             )
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
-        if k < 0:
-            raise ValueError(f"k must be >= 0, got {k}")
+        _check_k(k)
         c = self._caches  # one attribute read: a matched frame pair
         ksecs, kkeys, kitems, kcnts = c.keyed_kept_cache()
         esecs, ekeys, eerrs = c.keyed_err_cache()
@@ -734,8 +738,7 @@ class FrequencyRollup(SketchRetention):
         self._check_granularity(granularity, start)
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
-        if k < 0:
-            raise ValueError(f"k must be >= 0, got {k}")
+        _check_k(k)
         kept, err = self._df, self._err
         if start is not None:
             a, b = self._range(start, end)  # alignment gate incl. tiers
@@ -803,11 +806,10 @@ class FrequencyRollup(SketchRetention):
             raise ValueError(
                 "rollup was built without partition_by — no key column"
             )
-        if k < 0:
-            raise ValueError(f"k must be >= 0, got {k}")
         kept, err = self._df, self._err
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
+        _check_k(k)
         if start is not None:
             a, b = self._range(start, end)
             kept, err = self._restrict(kept, a, b), self._restrict(err, a, b)

@@ -1389,6 +1389,12 @@ def test_topk_rows_by_key_parity(spark, keyed_events):
                 got = r.topk_rows_by_key(k, **kwargs)
                 want = _job_topk_by_key(r, k, **kwargs)
                 assert got == want, (k, kwargs)
+        # negative k raises on BOTH keyed entry points (r9p9: the job
+        # form's gate was untested)
+        with pytest.raises(ValueError, match="k must be"):
+            r.topk_rows_by_key(k=-1)
+        with pytest.raises(ValueError, match="k must be"):
+            r.approx_topk_by_key(k=-1)
         # unkeyed build refuses, mirroring the job path
         fx = build_frequency_rollup(
             keyed_events, "item", "ts", bucket_seconds=3600, capacity=3
@@ -1457,9 +1463,14 @@ def test_topk_rows_by_gates_match_job_path(tight):
     ):
         with pytest.raises(ValueError, match="k must be"):
             call()
-    # mixed-case named levels work on both paths (Spark date_trunc is
-    # case-insensitive; bucket_starts keys are lowercase — r9p8)
-    assert tight.topk_rows_by("Day", k=2) == tight.topk_rows_by("day", k=2)
+    # mixed-case named levels work on BOTH paths (Spark date_trunc is
+    # case-insensitive; bucket_starts keys are lowercase — r9p8/p9):
+    # direct == direct-lower == actual job path with the mixed-case level
+    assert (
+        tight.topk_rows_by("Day", k=2)
+        == tight.topk_rows_by("day", k=2)
+        == _job_topk_by(tight, "Day", k=2)
+    )
 
 
 def test_grouped_direct_follow_merge(spark, events):
