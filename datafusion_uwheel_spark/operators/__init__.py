@@ -1,6 +1,6 @@
 """Operators: wheel-index build/lookup plus LLM-data-pipeline transforms."""
 
-from . import dedup, multimodal, packing, similarity, text
+from . import dedup, model_scoring, multimodal, packing, similarity, text
 from .asof import asof_join
 from .rangejoin import range_join
 from .sessions import session_agg, with_session_id
@@ -19,6 +19,7 @@ __all__ = [
     "build_wheel_index",
     "build_wheel_indices",
     "dedup",
+    "model_scoring",
     "multimodal",
     "packing",
     "similarity",

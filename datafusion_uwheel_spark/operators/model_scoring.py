@@ -1,0 +1,126 @@
+"""Model-based document scoring: the classifier-filtering stage of a
+training-data pipeline (educational-quality / toxicity / language-model
+filters), as an Arrow-batched injection point.
+
+Where :mod:`.text` computes HEURISTIC quality entirely in JVM expressions
+(the fast path — use it whenever the score is expressible as column math),
+this operator exists for OPAQUE models: a classifier that needs Python, a
+tokenizer, or a GPU. The design splits cleanly:
+
+* **The model is injected, never imported** — ``scorer`` is a picklable
+  ``(texts: list[str]) -> list[float]`` callable shipped to the executors
+  (the :mod:`.multimodal` decoder-injection discipline: no ML libraries in
+  this container, so the operator's contract is the PLUMBING — schema,
+  batching, null handling, single-pass shape — exercised by deterministic
+  fake scorers, with the real model a drop-in).
+* **Lazy per-worker model loading**: pass a callable OBJECT whose
+  ``__call__`` loads weights on first use and caches them on ``self`` —
+  pickling ships the lightweight config; each executor pays one load, not
+  one per batch (documented pattern, pinned by a test).
+* **Model batch size is independent of Arrow batch size**: Spark hands
+  ``mapInPandas`` whatever ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  yields (default 10k); models want their own micro-batch (GPU memory).
+  ``batch_size`` re-slices inside the iterator — constant memory per task,
+  no repartition, no shuffle.
+
+Scale: ``mapInPandas`` is a NARROW transformation — scoring 100 TB is one
+scan with zero shuffles, parallel across every input partition; the
+follow-up ``filter``/write pipelines into the same stage. NULL texts skip
+the model entirely (score NULL, preserving SQL semantics). A scorer
+returning the wrong batch length fails loudly with the batch context —
+never a silent row misalignment (scores shifted one row off their
+documents would silently poison a corpus filter).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["score_texts", "filter_by_score"]
+
+
+def score_texts(
+    df: DataFrame,
+    scorer: Callable[[list], list],
+    text_column: str = "text",
+    output_column: str = "score",
+    batch_size: int = 512,
+) -> DataFrame:
+    """Append ``output_column`` (double) = ``scorer(texts)`` over
+    ``text_column``, Arrow-batched via ``mapInPandas`` — one narrow pass,
+    model micro-batches of at most ``batch_size`` non-null texts, NULL
+    texts scored NULL without reaching the model.
+
+    ``scorer`` must be picklable and return exactly one float (or None)
+    per input text — length mismatches raise with context instead of
+    misaligning rows. See the module docstring for the lazy per-worker
+    model-loading pattern.
+    """
+    if scorer is None:
+        raise NotImplementedError(
+            "score_texts needs an injected model: pass scorer="
+            "(texts: list[str]) -> list[float] — a picklable callable "
+            "(e.g. a lazy-loading classifier object). For heuristic "
+            "quality scores use operators.text (JVM expressions, no "
+            "Python on the row path)."
+        )
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if text_column not in df.columns:
+        raise ValueError(f"no column {text_column!r} in {df.columns}")
+    if output_column in df.columns:
+        raise ValueError(
+            f"output column {output_column!r} already exists — pick "
+            "another name"
+        )
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(output_column, T.DoubleType(), True)]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            texts = pdf[text_column]
+            scores = [None] * len(pdf)
+            # model micro-batches over the NON-NULL texts only
+            idx = [i for i, t in enumerate(texts) if t is not None]
+            for lo in range(0, len(idx), batch_size):
+                chunk = idx[lo : lo + batch_size]
+                got = scorer([str(texts.iloc[i]) for i in chunk])
+                if len(got) != len(chunk):
+                    raise ValueError(
+                        f"scorer returned {len(got)} scores for a batch of "
+                        f"{len(chunk)} texts — refusing to misalign rows"
+                    )
+                for i, s in zip(chunk, got):
+                    scores[i] = None if s is None else float(s)
+            yield pdf.assign(**{output_column: scores})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def filter_by_score(
+    df: DataFrame,
+    scorer: Callable[[list], list],
+    threshold: float,
+    text_column: str = "text",
+    output_column: str = "score",
+    keep_score: bool = True,
+    batch_size: int = 512,
+) -> DataFrame:
+    """The classifier-filter pipeline stage: score every document and keep
+    rows with ``score >= threshold`` (NULL scores — NULL texts or a model
+    abstaining with None — are DROPPED, the conservative corpus-filter
+    default). ``keep_score=False`` drops the score column after filtering
+    so downstream schemas stay unchanged. Still one narrow pass — the
+    filter fuses into the scoring scan, no shuffle."""
+    scored = score_texts(
+        df, scorer, text_column=text_column,
+        output_column=output_column, batch_size=batch_size,
+    )
+    kept = scored.filter(F.col(output_column) >= F.lit(float(threshold)))
+    return kept.drop(output_column) if not keep_score else kept

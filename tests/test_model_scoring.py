@@ -1,0 +1,191 @@
+"""Model-scoring injection point (operators/model_scoring.py): the
+classifier-filter pipeline stage. The model itself is injected (no ML
+libraries in this container — the multimodal decoder-injection
+discipline), so the contract under test is the PLUMBING: exact scores vs
+a driver-side mirror, null handling, micro-batch slicing, row-alignment
+failure, lazy per-worker model loading, and the narrow single-pass plan
+shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_uwheel_spark.operators.model_scoring import (
+    filter_by_score,
+    score_texts,
+)
+from datafusion_uwheel_spark.sources import read_parquet
+
+
+def _mk_vowel_scorer():
+    """Deterministic stand-in 'model': vowel fraction in [0, 1]. Built as
+    a CLOSURE so cloudpickle ships it by value — a module-level function
+    in a test file pickles by reference and the executors cannot import
+    the test module."""
+
+    def scorer(texts: list) -> list:
+        out = []
+        for t in texts:
+            n = len(t)
+            out.append(sum(c in "aeiouAEIOU" for c in t) / n if n else 0.0)
+        return out
+
+    return scorer
+
+
+def _ref_score(text: str) -> float:
+    """Driver-side reference mirror of the vowel scorer."""
+    n = len(text)
+    return sum(c in "aeiouAEIOU" for c in text) / n if n else 0.0
+
+
+def _mk_lazy_model():
+    """The documented lazy per-worker loading pattern: pickling ships the
+    config; the 'weights' (here, the vowel set) load on first call and
+    cache on self. Defined in local scope so cloudpickle serializes the
+    CLASS by value (same reason as _mk_vowel_scorer)."""
+
+    class LazyModel:
+        def __init__(self):
+            self._weights = None
+            self.loads = 0
+
+        def __call__(self, texts: list) -> list:
+            if self._weights is None:
+                self._weights = set("aeiouAEIOU")  # the 'model load'
+                self.loads += 1
+            return [
+                (sum(c in self._weights for c in t) / len(t) if t else 0.0)
+                for t in texts
+            ]
+
+    return LazyModel()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small_dir):
+    return read_parquet(spark, f"{sf_small_dir}/documents.parquet")
+
+
+def test_scores_match_driver_mirror(spark, docs):
+    """Exact parity with the same function applied driver-side — the
+    Arrow plumbing must not reorder, drop, or misalign rows."""
+    scored = score_texts(docs, _mk_vowel_scorer()).select("doc_id", "score")
+    got = {r["doc_id"]: r["score"] for r in scored.collect()}
+    want = {
+        r["doc_id"]: _ref_score(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want and len(got) == docs.count()
+
+
+def test_null_texts_score_null_without_model_calls(spark):
+    calls = []
+
+    def recording(texts):
+        calls.append(len(texts))
+        assert all(t is not None for t in texts)
+        return [1.0] * len(texts)
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, text string"
+    )
+    rows = {r["id"]: r["score"] for r in score_texts(df, recording).collect()}
+    assert rows == {1: 1.0, 2: None, 3: 1.0, 4: None}
+
+
+def test_model_micro_batches_respect_batch_size(spark):
+    """The scorer must never see more than batch_size texts per call,
+    regardless of Arrow batch sizing — encode each call's size into its
+    scores so the property survives the executor boundary."""
+
+    def size_scorer(texts):
+        return [float(len(texts))] * len(texts)
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "id long, text string"
+    ).coalesce(1)
+    scores = [
+        r["score"]
+        for r in score_texts(df, size_scorer, batch_size=7).collect()
+    ]
+    assert len(scores) == 100
+    assert all(1.0 <= s <= 7.0 for s in scores)
+    assert max(scores) == 7.0  # 100 texts in one partition: full calls exist
+
+
+def test_misaligned_scorer_output_raises(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string")
+    with pytest.raises(Exception, match="refusing to misalign"):
+        # one extra score per call — wrong for every batch size
+        score_texts(df, lambda ts: [1.0] * (len(ts) + 1)).collect()
+
+
+def test_scorer_none_scores_pass_through_and_validation(spark, docs):
+    """A model abstaining with None yields a NULL score; missing scorer
+    and bad args raise with guidance."""
+    df = spark.createDataFrame([(1, "ab"), (2, "cd")], "id long, text string")
+    rows = score_texts(
+        df, lambda ts: [None] * len(ts)
+    ).select("score").collect()
+    assert [r["score"] for r in rows] == [None, None]
+    with pytest.raises(NotImplementedError, match="injected model"):
+        score_texts(df, None)
+    with pytest.raises(ValueError, match="batch_size"):
+        score_texts(df, _mk_vowel_scorer(), batch_size=0)
+    with pytest.raises(ValueError, match="no column"):
+        score_texts(df, _mk_vowel_scorer(), text_column="nope")
+    with pytest.raises(ValueError, match="already exists"):
+        score_texts(df, _mk_vowel_scorer(), output_column="text")
+
+
+def test_lazy_model_object_loads_and_scores(spark, docs):
+    """The callable-object pattern pickles cleanly and scores identically
+    to the plain function — the per-worker weight cache is executor-side
+    state the driver copy never sees (its loads stays 0)."""
+    model = _mk_lazy_model()
+    got = {
+        r["doc_id"]: r["score"]
+        for r in score_texts(docs, model).select("doc_id", "score").collect()
+    }
+    want = {
+        r["doc_id"]: _ref_score(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want
+    assert model.loads == 0  # driver copy untouched; loading is per-worker
+
+
+def test_filter_by_score_pipeline(spark, docs):
+    """The classifier-filter stage: threshold semantics (NULL drops),
+    schema control, and agreement with a manual score-then-filter."""
+    thr = 0.3
+    kept = filter_by_score(docs, _mk_vowel_scorer(), thr)
+    manual = [
+        r["doc_id"]
+        for r in docs.select("doc_id", "text").collect()
+        if _ref_score(r["text"]) >= thr
+    ]
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(manual)
+    assert "score" in kept.columns
+    assert (kept.agg(F.min("score")).collect()[0][0] or thr) >= thr
+    bare = filter_by_score(docs, _mk_vowel_scorer(), thr, keep_score=False)
+    assert bare.columns == docs.columns
+    # abstentions (None) are dropped, the conservative default
+    df = spark.createDataFrame([(1, "aaa"), (2, "zzz")], "id long, text string")
+    kept2 = filter_by_score(
+        df, lambda ts: [1.0 if "a" in t else None for t in ts], 0.5
+    )
+    assert [r["id"] for r in kept2.collect()] == [1]
+
+
+def test_single_narrow_pass_plan(docs):
+    """Scoring + filtering is ONE narrow stage: no Exchange (shuffle) in
+    the physical plan — the property that makes this a 100 TB-safe
+    pipeline stage (parallel scan, fused filter, nothing wide)."""
+    plan = filter_by_score(
+        docs, _mk_vowel_scorer(), 0.3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1200]
+    assert plan.count("MapInPandas") == 1, plan[:1200]
