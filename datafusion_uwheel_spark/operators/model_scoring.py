@@ -13,10 +13,16 @@ tokenizer, or a GPU. The design splits cleanly:
   this container, so the operator's contract is the PLUMBING — schema,
   batching, null handling, single-pass shape — exercised by deterministic
   fake scorers, with the real model a drop-in).
-* **Lazy per-worker model loading**: pass a callable OBJECT whose
-  ``__call__`` loads weights on first use and caches them on ``self`` —
-  pickling ships the lightweight config; each executor pays one load, not
-  one per batch (documented pattern, pinned by a test).
+* **Lazy model loading, stated precisely**: a callable OBJECT whose
+  ``__call__`` loads weights on first use and caches them on ``self``
+  amortizes the load across every micro-batch of ONE TASK — but a
+  by-value-pickled object is re-deserialized fresh PER TASK, so a
+  multi-GB model still loads once per task, not per worker. For true
+  per-worker caching, put the loader in an importable module and cache
+  in a module-level global (pickle-by-reference; the worker process
+  reuses the module across tasks). Both patterns are documented here
+  because the difference is invisible at test scale and very visible at
+  1000 tasks × multi-GB weights.
 * **Model batch size is independent of Arrow batch size**: Spark hands
   ``mapInPandas`` whatever ``spark.sql.execution.arrow.maxRecordsPerBatch``
   yields (default 10k); models want their own micro-batch (GPU memory).
@@ -26,10 +32,13 @@ tokenizer, or a GPU. The design splits cleanly:
 Scale: ``mapInPandas`` is a NARROW transformation — scoring 100 TB is one
 scan with zero shuffles, parallel across every input partition; the
 follow-up ``filter``/write pipelines into the same stage. NULL texts skip
-the model entirely (score NULL, preserving SQL semantics). A scorer
-returning the wrong batch length fails loudly with the batch context —
-never a silent row misalignment (scores shifted one row off their
-documents would silently poison a corpus filter).
+the model entirely (score NULL, preserving SQL semantics), and a scorer
+returning NaN is normalized to NULL too — under Spark's NaN ordering
+(greater than every double) a NaN score would otherwise pass EVERY
+``score >= threshold`` filter, keeping exactly the documents the model
+choked on. A scorer returning the wrong batch length fails loudly with
+the batch context — never a silent row misalignment (scores shifted one
+row off their documents would silently poison a corpus filter).
 """
 
 from __future__ import annotations
@@ -70,12 +79,24 @@ def score_texts(
         )
     if batch_size <= 0:
         raise ValueError(f"batch_size must be positive, got {batch_size}")
-    if text_column not in df.columns:
+    # Spark resolves column names case-insensitively by default — match
+    # that here (both for finding text_column and for output collisions)
+    lowered = {c.lower(): c for c in df.columns}
+    resolved = lowered.get(text_column.lower())
+    if resolved is None:
         raise ValueError(f"no column {text_column!r} in {df.columns}")
-    if output_column in df.columns:
+    text_column = resolved
+    if output_column.lower() in lowered:
         raise ValueError(
             f"output column {output_column!r} already exists — pick "
             "another name"
+        )
+    if not isinstance(df.schema[text_column].dataType, T.StringType):
+        dtype = df.schema[text_column].dataType.simpleString()
+        raise ValueError(
+            f"{text_column!r} is {dtype}, not string — cast it explicitly"
+            " (a NULL in a non-string column surfaces as NaN in pandas"
+            " and would be scored as the literal text 'nan')"
         )
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -83,21 +104,34 @@ def score_texts(
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
         for pdf in batches:
-            texts = pdf[text_column]
-            scores = [None] * len(pdf)
-            # model micro-batches over the NON-NULL texts only
-            idx = [i for i, t in enumerate(texts) if t is not None]
+            # one materialization per Arrow batch — no per-row .iloc
+            texts = pdf[text_column].tolist()
+            scores = [None] * len(texts)
+            # model micro-batches over the NON-NULL texts only (pd.isna:
+            # Arrow nulls can surface as NaN, which `is not None` misses)
+            idx = [
+                i for i, t in enumerate(texts)
+                if t is not None and not (isinstance(t, float) and pd.isna(t))
+            ]
             for lo in range(0, len(idx), batch_size):
                 chunk = idx[lo : lo + batch_size]
-                got = scorer([str(texts.iloc[i]) for i in chunk])
+                got = scorer([texts[i] for i in chunk])
                 if len(got) != len(chunk):
                     raise ValueError(
                         f"scorer returned {len(got)} scores for a batch of "
                         f"{len(chunk)} texts — refusing to misalign rows"
                     )
-                for i, s in zip(chunk, got):
-                    scores[i] = None if s is None else float(s)
+                for i, sc in zip(chunk, got):
+                    # NaN normalizes to NULL: Spark sorts NaN above every
+                    # double, so a NaN score would pass EVERY >= filter
+                    scores[i] = (
+                        None
+                        if sc is None or (isinstance(sc, float) and sc != sc)
+                        else float(sc)
+                    )
             yield pdf.assign(**{output_column: scores})
 
     return df.mapInPandas(run, schema=out_schema)

@@ -41,9 +41,12 @@ def _ref_score(text: str) -> float:
 
 
 def _mk_lazy_model():
-    """The documented lazy per-worker loading pattern: pickling ships the
-    config; the 'weights' (here, the vowel set) load on first call and
-    cache on self. Defined in local scope so cloudpickle serializes the
+    """The lazy callable-object pattern: pickling ships the config; the
+    'weights' (here, the vowel set) load on first call and cache on self
+    — amortized across the micro-batches of ONE TASK (a by-value pickle
+    re-deserializes per task; true per-worker caching needs a
+    module-level cache in an importable module, per the operator's
+    docstring). Defined in local scope so cloudpickle serializes the
     CLASS by value (same reason as _mk_vowel_scorer)."""
 
     class LazyModel:
@@ -81,18 +84,54 @@ def test_scores_match_driver_mirror(spark, docs):
 
 
 def test_null_texts_score_null_without_model_calls(spark):
-    calls = []
+    """NULL texts never reach the model: encode the model's view into the
+    scores (executor-side closures can't report back through driver
+    lists) — every scored row proves its call saw only non-null texts."""
 
-    def recording(texts):
-        calls.append(len(texts))
-        assert all(t is not None for t in texts)
-        return [1.0] * len(texts)
+    def counting(texts):
+        assert all(t is not None for t in texts)  # executor-side guard
+        return [float(len(texts))] * len(texts)
 
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, text string"
+    ).coalesce(1)
+    rows = {r["id"]: r["score"] for r in score_texts(df, counting).collect()}
+    # the single call saw exactly the TWO non-null texts
+    assert rows == {1: 2.0, 2: None, 3: 2.0, 4: None}
+
+
+def test_nan_scores_normalize_to_null_and_are_dropped(spark):
+    """A model returning NaN (numeric failure) must NOT pass the filter:
+    Spark sorts NaN above every double, so an un-normalized NaN score
+    would survive ANY >= threshold — the broken documents kept."""
+    df = spark.createDataFrame(
+        [(1, "good"), (2, "bad")], "id long, text string"
     )
-    rows = {r["id"]: r["score"] for r in score_texts(df, recording).collect()}
-    assert rows == {1: 1.0, 2: None, 3: 1.0, 4: None}
+    scored = score_texts(
+        df, lambda ts: [1.0 if t == "good" else float("nan") for t in ts]
+    )
+    rows = {r["id"]: r["score"] for r in scored.collect()}
+    assert rows == {1: 1.0, 2: None}
+    kept = filter_by_score(
+        df, lambda ts: [1.0 if t == "good" else float("nan") for t in ts],
+        threshold=0.5,
+    )
+    assert [r["id"] for r in kept.collect()] == [1]
+
+
+def test_non_string_column_rejected_and_case_insensitive_resolution(spark):
+    """Non-string text columns raise (their NULLs surface as pandas NaN
+    and would be scored as the literal 'nan'); column resolution is
+    case-insensitive like Spark's analyzer."""
+    df = spark.createDataFrame([(1, 2.5)], "id long, Text double")
+    with pytest.raises(ValueError, match="not string"):
+        score_texts(df, _mk_vowel_scorer(), text_column="text")
+    sdf = spark.createDataFrame([(1, "aeiou")], "id long, Text string")
+    rows = score_texts(sdf, _mk_vowel_scorer(), text_column="text").collect()
+    assert rows[0]["score"] == 1.0
+    with pytest.raises(ValueError, match="already exists"):
+        score_texts(sdf, _mk_vowel_scorer(), text_column="Text",
+                    output_column="TEXT")
 
 
 def test_model_micro_batches_respect_batch_size(spark):
