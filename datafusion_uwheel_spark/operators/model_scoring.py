@@ -79,14 +79,26 @@ def score_texts(
         )
     if batch_size <= 0:
         raise ValueError(f"batch_size must be positive, got {batch_size}")
-    # Spark resolves column names case-insensitively by default — match
-    # that here (both for finding text_column and for output collisions)
-    lowered = {c.lower(): c for c in df.columns}
-    resolved = lowered.get(text_column.lower())
-    if resolved is None:
-        raise ValueError(f"no column {text_column!r} in {df.columns}")
+    # Column resolution: exact name first; else case-insensitive like
+    # Spark's default analyzer — but AMBIGUOUS case-variants raise (the
+    # engine.py convention; a dict keyed on .lower() would silently pick
+    # one of the colliding columns)
+    if text_column in df.columns:
+        resolved = text_column
+    else:
+        matches = [c for c in df.columns if c.lower() == text_column.lower()]
+        if len(matches) > 1:
+            raise ValueError(
+                f"{text_column!r} is ambiguous under case-insensitive "
+                f"resolution: {matches}"
+            )
+        if not matches:
+            raise ValueError(f"no column {text_column!r} in {df.columns}")
+        resolved = matches[0]
     text_column = resolved
-    if output_column.lower() in lowered:
+    if any(c.lower() == output_column.lower() for c in df.columns):
+        # strict on either case-sensitivity setting: an error beats a
+        # silently shadowed column
         raise ValueError(
             f"output column {output_column!r} already exists — pick "
             "another name"
@@ -110,12 +122,10 @@ def score_texts(
             # one materialization per Arrow batch — no per-row .iloc
             texts = pdf[text_column].tolist()
             scores = [None] * len(texts)
-            # model micro-batches over the NON-NULL texts only (pd.isna:
-            # Arrow nulls can surface as NaN, which `is not None` misses)
-            idx = [
-                i for i, t in enumerate(texts)
-                if t is not None and not (isinstance(t, float) and pd.isna(t))
-            ]
+            # model micro-batches over the NON-NULL texts only — pd.isna
+            # catches every null spelling (None, NaN, pd.NA) in one check;
+            # the column is StringType, so real values are never "missing"
+            idx = [i for i, t in enumerate(texts) if not pd.isna(t)]
             for lo in range(0, len(idx), batch_size):
                 chunk = idx[lo : lo + batch_size]
                 got = scorer([texts[i] for i in chunk])
@@ -125,13 +135,15 @@ def score_texts(
                         f"{len(chunk)} texts — refusing to misalign rows"
                     )
                 for i, sc in zip(chunk, got):
-                    # NaN normalizes to NULL: Spark sorts NaN above every
-                    # double, so a NaN score would pass EVERY >= filter
-                    scores[i] = (
-                        None
-                        if sc is None or (isinstance(sc, float) and sc != sc)
-                        else float(sc)
-                    )
+                    if sc is None:
+                        continue  # abstention -> NULL (pre-filled)
+                    # convert FIRST, then NaN-check: np.float32('nan') is
+                    # not a Python float instance, and an isinstance-gated
+                    # check would let the commonest real model dtype
+                    # reintroduce NaN — which Spark sorts above every
+                    # double, passing EVERY >= threshold filter
+                    v = float(sc)
+                    scores[i] = None if v != v else v
             yield pdf.assign(**{output_column: scores})
 
     return df.mapInPandas(run, schema=out_schema)

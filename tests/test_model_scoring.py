@@ -118,6 +118,21 @@ def test_nan_scores_normalize_to_null_and_are_dropped(spark):
     )
     assert [r["id"] for r in kept.collect()] == [1]
 
+    # np.float32 NaN — the commonest REAL model dtype — must normalize
+    # too (it is not a Python float instance; r9 review)
+    def np32(ts):
+        import numpy as np
+
+        return list(
+            np.asarray(
+                [1.0 if t == "good" else float("nan") for t in ts],
+                dtype=np.float32,
+            )
+        )
+
+    rows32 = {r["id"]: r["score"] for r in score_texts(df, np32).collect()}
+    assert rows32[2] is None and rows32[1] == 1.0
+
 
 def test_non_string_column_rejected_and_case_insensitive_resolution(spark):
     """Non-string text columns raise (their NULLs surface as pandas NaN
@@ -132,6 +147,15 @@ def test_non_string_column_rejected_and_case_insensitive_resolution(spark):
     with pytest.raises(ValueError, match="already exists"):
         score_texts(sdf, _mk_vowel_scorer(), text_column="Text",
                     output_column="TEXT")
+    # case-variant COLLISIONS raise instead of silently picking one
+    # (an exact-name match is not asserted: under the default
+    # caseSensitive=false Spark itself cannot operate on such frames —
+    # the guard exists so the OPERATOR never silently picks a column)
+    amb = spark.createDataFrame(
+        [(1, "a", "b")], "id long, Text string, text string"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        score_texts(amb, _mk_vowel_scorer(), text_column="TEXT")
 
 
 def test_model_micro_batches_respect_batch_size(spark):
