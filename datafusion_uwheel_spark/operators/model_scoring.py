@@ -80,9 +80,10 @@ def score_texts(
     if batch_size <= 0:
         raise ValueError(f"batch_size must be positive, got {batch_size}")
     # Column resolution: exact name first; else case-insensitive like
-    # Spark's default analyzer — but AMBIGUOUS case-variants raise (the
-    # engine.py convention; a dict keyed on .lower() would silently pick
-    # one of the colliding columns)
+    # Spark's default analyzer — but AMBIGUOUS case-variants raise (a
+    # dict keyed on .lower() would silently pick one of the colliding
+    # columns; note rollups.py's older resolvers silently take the first
+    # match — consolidating on one shared resolver is r10 cleanup)
     if text_column in df.columns:
         resolved = text_column
     else:
@@ -137,13 +138,18 @@ def score_texts(
                 for i, sc in zip(chunk, got):
                     if sc is None:
                         continue  # abstention -> NULL (pre-filled)
-                    # convert FIRST, then NaN-check: np.float32('nan') is
-                    # not a Python float instance, and an isinstance-gated
-                    # check would let the commonest real model dtype
-                    # reintroduce NaN — which Spark sorts above every
-                    # double, passing EVERY >= threshold filter
+                    # convert FIRST, then NaN-check (np.float32('nan') is
+                    # not a Python float instance, so an isinstance-gated
+                    # check would miss the commonest real model dtype).
+                    # Spark's pandas->Arrow serializer happens to mask
+                    # NaN to NULL on this path too — this makes the
+                    # NaN-never-passes-the-filter contract EXPLICIT
+                    # rather than an accident of the serializer (Spark
+                    # sorts NaN above every double, so a surviving NaN
+                    # would pass EVERY >= threshold)
                     v = float(sc)
-                    scores[i] = None if v != v else v
+                    if v == v:
+                        scores[i] = v
             yield pdf.assign(**{output_column: scores})
 
     return df.mapInPandas(run, schema=out_schema)

@@ -118,8 +118,11 @@ def test_nan_scores_normalize_to_null_and_are_dropped(spark):
     )
     assert [r["id"] for r in kept.collect()] == [1]
 
-    # np.float32 NaN — the commonest REAL model dtype — must normalize
-    # too (it is not a Python float instance; r9 review)
+    # np.float32 NaN — the commonest REAL model dtype — must land NULL
+    # too. This pins the END-TO-END contract (whichever layer enforces
+    # it: the operator's explicit normalization, or the pandas->Arrow
+    # serializer's NaN masking) — a future output path that stops
+    # masking must still never leak a NaN score
     def np32(ts):
         import numpy as np
 
