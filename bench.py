@@ -78,7 +78,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from datafusion_uwheel_spark import WheelEngine, get_spark
-    from datafusion_uwheel_spark.operators import dedup, similarity
+    from datafusion_uwheel_spark.operators import dedup, model_scoring, similarity
     from datafusion_uwheel_spark.operators import text as text_ops
     from datafusion_uwheel_spark.sources import read_parquet
 
@@ -454,6 +454,21 @@ def main() -> None:
         return int(r["n_pass"])
 
     med("text_gopher_gate", gopher_run)
+
+    # model-scoring injection point (r9): prices the Arrow/mapInPandas
+    # plumbing with a cheap deterministic stand-in scorer — the per-call
+    # model cost is the user's; the row tracks OUR overhead per doc
+    def _bench_scorer():
+        def scorer(texts):
+            return [min(len(t) / 1000.0, 1.0) for t in texts]
+        return scorer
+
+    med(
+        "model_score_filter",
+        lambda: model_scoring.filter_by_score(
+            docs_wide, _bench_scorer(), 0.5, keep_score=False
+        ).count(),
+    )
     med(
         "text_chunk_256",
         lambda: text_ops.chunk_documents(docs_wide, 256, overlap=32)
