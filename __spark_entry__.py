@@ -482,6 +482,21 @@ def freq_topk_by_key(spark, sf_dir):
     return eng.approx_topk_by_key("user_id", k=3, start=A, end=B)
 
 
+def freq_topk_by_day(spark, sf_dir):
+    """Per-period heavy hitters (the LAST r8 surface, seated r10 per the
+    ledger): top event types per day over [A, B) from the truncated-counter
+    rollup's group-by form (operators/frequency.py approx_topk_by — hourly
+    cells monoid-regroup under the coarser day bucket, O(stored buckets)
+    regardless of table size). capacity 8 ≥ the 5 distinct event types, so
+    ``est`` is EXACT and ``upper == est`` — trivially hash-checkable
+    against a DuckDB per-day GROUP BY + rank; the truncated regime's
+    bounds stay pytest-pinned in tests/test_frequency.py."""
+    eng = _engine(spark, sf_dir)
+    if "event_type" not in eng.topk_rollups:
+        eng.build_topk_index("event_type", bucket_seconds=3600, capacity=8)
+    return eng.approx_topk_by("event_type", "day", k=3, start=A, end=B)
+
+
 def uw_point_instant(spark, sf_dir):
     """Point query `ts = literal` answered from the bucket's at-start sliver
     states (the reference refuses time-column equality, expr.rs:351-356).
@@ -945,9 +960,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     mm_media_dedup (r6 out), uw_keyed_count (r4 out),
     #     sim_ann_indexed/sim_ivf_indexed (r3 out, physically identical
     #     plans to the engine-routed rows).
-    #   - r8 surfaces still never hash-checked: approx_topk_by day series
-    #     (exact in the ample-capacity regime — r10 seating candidate; the
-    #     per-key sibling is now hash-checked via freq_topk_by_key).
+    #   - freq_topk_by_day seated r10 (the LAST r8 surface, per-period
+    #     heavy hitters — exact in the ample-capacity regime); its slot
+    #     came from uw_count_col, whose COUNT(col) vcnt surface is
+    #     hash-checked IDENTICALLY every round inside uw_multi_agg's
+    #     n_vals column and route-pinned in
+    #     test_null_int_semantics.test_count_col_routes.
+    #   - uw_dim_groupby's slot has been funded by uw_groupby_minute
+    #     since r4: the minute granularity stays property-pinned in
+    #     test_lookup_properties.py (granularity sweep incl. 'minute')
+    #     and is listed here with the alternating pairs so its coverage
+    #     is on the ledger, not folklore.
     return {
         "uw_count_range": uw_count_range,
         "uw_sum_range": uw_sum_range,
@@ -955,7 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
-        "uw_groupby_week": uw_groupby_week,
+        "uw_groupby_month": uw_groupby_month,  # r10: week<->month swap
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
@@ -972,13 +995,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # uw_between_range (same at-start sliver machinery) and
         # test_hybrid_boundaries.py.
         "uw_topk_sql": uw_topk_sql,
-        "uw_count_col": uw_count_col,
+        # r10: uw_count_col's slot funds freq_topk_by_day (see ledger);
+        # COUNT(col) stays hash-checked via uw_multi_agg.n_vals.
+        "freq_topk_by_day": freq_topk_by_day,
         "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
-        # r9: or_group_by <-> uw_or_ranges alternate (both sides of the
-        # interval-split + monoid-sum path; the grouped form stays
+        # r10: or_group_by <-> uw_or_ranges alternate (both sides of the
+        # interval-split + monoid-sum path; the scalar form stays
         # pytest-pinned vs delegate in test_or_ranges.py).
-        "uw_or_ranges": uw_or_ranges,
+        "or_group_by": or_group_by,
         # r9: uw_point_instant's slot funds the per-key heavy hitters
         # (see ledger); the at-start point path stays covered by the
         # hybrid rows + test_hybrid_boundaries.py.
@@ -1057,15 +1082,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
         # TIMESTAMP — cast so the driver's schema compare agrees.
-        "uw_groupby_week": (
-            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+        "uw_groupby_month": (
+            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
-        "uw_or_ranges": (
-            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
+        "or_group_by": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
+            "count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
             "(ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00') OR "
-            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00')"
+            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00') "
+            "GROUP BY 1 ORDER BY bucket"
         ),
         # window(ts, '6 hours') = epoch-aligned 21600-second buckets;
         # make_timestamp takes epoch µs, so both fields stay naive TIMESTAMP
@@ -1154,9 +1181,17 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'"
         ),
         # DuckDB sum(BIGINT) is HUGEINT — cast back so schemas agree.
-        "uw_count_col": (
-            f"SELECT count(value) AS n_vals FROM events "
-            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        # exact regime (capacity 8 >= 5 event types, err 0 -> upper == est):
+        # the per-day rank mirror of the rollup's deterministic
+        # (est desc, item asc) tie-break.
+        "freq_topk_by_day": (
+            "WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
+            "event_type AS item, count(*) AS est FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' GROUP BY 1, 2), "
+            "r AS (SELECT bucket, item, est, row_number() OVER "
+            "(PARTITION BY bucket ORDER BY est DESC, item) AS rk FROM c) "
+            "SELECT bucket, item, est, est AS upper FROM r WHERE rk <= 3 "
+            "ORDER BY bucket, est DESC, item"
         ),
         "uw_int_sum_range": (
             "SELECT CAST(sum(user_id) AS BIGINT) AS sum_uid, min(user_id) AS min_uid, "

@@ -114,7 +114,10 @@ class DistinctRollup(SketchRetention):
             )
             return int(row["est"] or 0)
 
-        return self._memoized_ask(("distinct", str(start), str(end), key), compute)
+        return self._memoized_ask(
+            ("distinct", self._ask_token(start), self._ask_token(end), key),
+            compute,
+        )
 
     def approx_distinct_by_key(self, start=None, end=None) -> DataFrame:
         """Per-key distinct estimates over an optional ``[start, end)``
@@ -196,7 +199,9 @@ class DistinctRollup(SketchRetention):
             )
             return bytes(row["sk"]) if row["sk"] is not None else None
 
-        return self._memoized_ask(("sketch", str(start), str(end)), compute)
+        return self._memoized_ask(
+            ("sketch", self._ask_token(start), self._ask_token(end)), compute
+        )
 
     def _union_agg_exprs(self):
         """Merge aggregation for :meth:`SketchRetention.compact_before` —

@@ -18,11 +18,12 @@ tokenizer, or a GPU. The design splits cleanly:
   amortizes the load across every micro-batch of ONE TASK — but a
   by-value-pickled object is re-deserialized fresh PER TASK, so a
   multi-GB model still loads once per task, not per worker. For true
-  per-worker caching, put the loader in an importable module and cache
-  in a module-level global (pickle-by-reference; the worker process
-  reuses the module across tasks). Both patterns are documented here
-  because the difference is invisible at test scale and very visible at
-  1000 tasks × multi-GB weights.
+  per-worker caching use :class:`CachedScorer`: its class pickles by
+  REFERENCE to this module, so every task in a reused Python worker
+  shares one ``_WORKER_MODEL_CACHE`` entry and the weights load once per
+  worker PROCESS (tested across the executor boundary in
+  tests/test_model_scoring.py). The difference is invisible at test
+  scale and very visible at 1000 tasks × multi-GB weights.
 * **Model batch size is independent of Arrow batch size**: Spark hands
   ``mapInPandas`` whatever ``spark.sql.execution.arrow.maxRecordsPerBatch``
   yields (default 10k); models want their own micro-batch (GPU memory).
@@ -49,7 +50,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["score_texts", "filter_by_score"]
+from .colresolve import resolve_field
+
+__all__ = ["score_texts", "filter_by_score", "CachedScorer"]
+
+#: Per-worker-process model cache, keyed on :class:`CachedScorer` tokens.
+#: Lives at module level so it belongs to the WORKER's imported module
+#: object — Spark reuses Python worker processes across tasks
+#: (``spark.python.worker.reuse``, default true), so an entry written by
+#: task 1 is a hit for task 40 in the same process. Values are wrapped in
+#: a 1-tuple so a loader legitimately returning None still caches.
+_WORKER_MODEL_CACHE: dict = {}
+
+
+class CachedScorer:
+    """A picklable scorer whose model loads at most ONCE per Python worker
+    process, however many tasks and micro-batches that worker runs.
+
+    ``CachedScorer(token, loader)`` ships ``loader`` (cloudpickled by
+    value, so closures are fine) to every task, but ``__call__`` consults
+    the module-level ``_WORKER_MODEL_CACHE`` first — and this CLASS pickles
+    by reference to an importable module, so every unpickled copy in one
+    worker process sees the same dict. That is the difference from caching
+    on ``self`` (one load per TASK — each task deserializes a fresh
+    instance): here the multi-GB weights load once per WORKER.
+
+    ``token`` must be a stable, hashable identity for the weights (e.g.
+    ``"quality-clf-v3"``): two CachedScorers with the same token SHARE a
+    model; bump the token when the weights change. No lock — Spark Python
+    workers run tasks single-threaded, and the worst concurrent-driver
+    case is a duplicate load, never a torn value (setdefault publishes
+    exactly one)."""
+
+    def __init__(self, token, loader: Callable[[], Callable[[list], list]]):
+        if not isinstance(token, str) or not token:
+            raise ValueError(
+                f"token must be a non-empty string identifying the weights, "
+                f"got {token!r}"
+            )
+        self.token = token
+        self.loader = loader
+
+    def __call__(self, texts: list) -> list:
+        hit = _WORKER_MODEL_CACHE.get(self.token)
+        if hit is None:
+            hit = _WORKER_MODEL_CACHE.setdefault(self.token, (self.loader(),))
+        return hit[0](texts)
 
 
 def score_texts(
@@ -79,24 +125,12 @@ def score_texts(
         )
     if batch_size <= 0:
         raise ValueError(f"batch_size must be positive, got {batch_size}")
-    # Column resolution: exact name first; else case-insensitive like
-    # Spark's default analyzer — but AMBIGUOUS case-variants raise (a
-    # dict keyed on .lower() would silently pick one of the colliding
-    # columns; note rollups.py's older resolvers silently take the first
-    # match — consolidating on one shared resolver is r10 cleanup)
-    if text_column in df.columns:
-        resolved = text_column
-    else:
-        matches = [c for c in df.columns if c.lower() == text_column.lower()]
-        if len(matches) > 1:
-            raise ValueError(
-                f"{text_column!r} is ambiguous under case-insensitive "
-                f"resolution: {matches}"
-            )
-        if not matches:
-            raise ValueError(f"no column {text_column!r} in {df.columns}")
-        resolved = matches[0]
-    text_column = resolved
+    # Shared resolution semantics (colresolve): exact name first;
+    # duplicate exact names raise (legal in Spark after joins, but
+    # pdf[text_column] inside the worker would then return a DataFrame,
+    # failing opaquely on the executor); ambiguous case-variants raise.
+    field = resolve_field(df, text_column)
+    text_column = field.name
     if any(c.lower() == output_column.lower() for c in df.columns):
         # strict on either case-sensitivity setting: an error beats a
         # silently shadowed column
@@ -104,8 +138,10 @@ def score_texts(
             f"output column {output_column!r} already exists — pick "
             "another name"
         )
-    if not isinstance(df.schema[text_column].dataType, T.StringType):
-        dtype = df.schema[text_column].dataType.simpleString()
+    if not isinstance(field.dataType, T.StringType):
+        # type-check the RESOLVED field, not df.schema[name] (which on a
+        # duplicated name silently checks only the first occurrence)
+        dtype = field.dataType.simpleString()
         raise ValueError(
             f"{text_column!r} is {dtype}, not string — cast it explicitly"
             " (a NULL in a non-string column surfaces as NaN in pandas"

@@ -160,7 +160,8 @@ class QuantileRollup(SketchRetention):
             return [row[f"__q{i}"] for i in range(len(qs))]
 
         out = self._memoized_ask(
-            ("quantile", tuple(float(x) for x in qs), str(start), str(end), key),
+            ("quantile", tuple(float(x) for x in qs),
+             self._ask_token(start), self._ask_token(end), key),
             compute,
         )
         return list(out) if isinstance(q, (list, tuple)) else out[0]
@@ -184,7 +185,18 @@ class QuantileRollup(SketchRetention):
             return None if row["__r"] is None else float(row["__r"])
 
         return self._memoized_ask(
-            ("rank", value, str(start), str(end), key), compute
+            (
+                "rank",
+                # normalize the value component the same way compute does
+                # (int for bigint sketches, float otherwise) — a raw key
+                # would alias bool/int asks inconsistently and raise
+                # TypeError on unhashables BEFORE the clearer lit error
+                int(value) if self.suffix == "bigint" else float(value),
+                self._ask_token(start),
+                self._ask_token(end),
+                key,
+            ),
+            compute,
         )
 
     def approx_quantile_by_key(self, q, start=None, end=None) -> DataFrame:

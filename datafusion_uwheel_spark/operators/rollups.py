@@ -46,6 +46,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .colresolve import resolve_field
 from .lookup import (
     INT_MAX_IDENTITY,
     INT_MIN_IDENTITY,
@@ -114,10 +115,10 @@ _FLOAT_SQL = {T.FloatType: "FLOAT", T.DoubleType: "DOUBLE"}
 
 
 def _time_field_type(df: DataFrame, time_column: str):
-    for f_ in df.schema.fields:
-        if f_.name.lower() == time_column.lower():
-            return f_.dataType
-    raise ValueError(f"time column {time_column!r} not found")
+    # shared exact-first/ambiguity-raise resolution (colresolve) — the
+    # r2-r9 silent first-lowercase-match could build a wheel on the wrong
+    # column of a case-colliding parquet schema
+    return resolve_field(df, time_column, "time column").dataType
 
 
 def time_micros_col(df: DataFrame, time_column: str) -> Column:
@@ -165,21 +166,19 @@ def column_sql_type(df: DataFrame, column: str) -> str:
     """SQL type name for an indexable column; raises for types whose routed
     aggregates could not match the delegate path's exact semantics (the
     reference only indexes concrete numeric arrays, ``lib.rs:1130-1158``)."""
-    for f_ in df.schema.fields:
-        if f_.name.lower() == column.lower():
-            dt = type(f_.dataType)
-            if dt in _INT_SQL:
-                return _INT_SQL[dt]
-            if dt in _FLOAT_SQL:
-                return _FLOAT_SQL[dt]
-            raise ValueError(
-                f"cannot build a value wheel on {column!r} of type "
-                f"{f_.dataType.simpleString()}: only integral and floating "
-                "columns are indexable (cast DECIMAL explicitly to DOUBLE or "
-                "BIGINT first — exact routed answers cannot be guaranteed "
-                "otherwise)"
-            )
-    raise ValueError(f"column {column!r} not found")
+    f_ = resolve_field(df, column)
+    dt = type(f_.dataType)
+    if dt in _INT_SQL:
+        return _INT_SQL[dt]
+    if dt in _FLOAT_SQL:
+        return _FLOAT_SQL[dt]
+    raise ValueError(
+        f"cannot build a value wheel on {column!r} of type "
+        f"{f_.dataType.simpleString()}: only integral and floating "
+        "columns are indexable (cast DECIMAL explicitly to DOUBLE or "
+        "BIGINT first — exact routed answers cannot be guaranteed "
+        "otherwise)"
+    )
 
 
 #: Every state alias a rollup can carry and its re-aggregation monoid —
@@ -362,21 +361,19 @@ def build_wheel_indices(
 def key_sql_type(df: DataFrame, column: str) -> str:
     """SQL type of a partition-key column; STRING or integral/float only
     (the constant-relation builder must render the values exactly)."""
-    for f_ in df.schema.fields:
-        if f_.name.lower() == column.lower():
-            dt = type(f_.dataType)
-            if dt is T.StringType:
-                return "STRING"
-            if dt in _INT_SQL:
-                return _INT_SQL[dt]
-            if dt in _FLOAT_SQL:
-                return _FLOAT_SQL[dt]
-            raise ValueError(
-                f"partition key {column!r} of type "
-                f"{f_.dataType.simpleString()} is not supported (STRING, "
-                "integral, or float keys only)"
-            )
-    raise ValueError(f"column {column!r} not found")
+    f_ = resolve_field(df, column, "partition key")
+    dt = type(f_.dataType)
+    if dt is T.StringType:
+        return "STRING"
+    if dt in _INT_SQL:
+        return _INT_SQL[dt]
+    if dt in _FLOAT_SQL:
+        return _FLOAT_SQL[dt]
+    raise ValueError(
+        f"partition key {column!r} of type "
+        f"{f_.dataType.simpleString()} is not supported (STRING, "
+        "integral, or float keys only)"
+    )
 
 
 def build_partitioned_wheel_indices(

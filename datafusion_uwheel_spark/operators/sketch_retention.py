@@ -107,6 +107,18 @@ class SketchRetention:
     #: of the ~100 ms small-job floor — without touching sketch bytes.
     _ASK_MEMO_MAX = 256
 
+    @staticmethod
+    def _ask_token(v) -> tuple:
+        """Type-tagged memo-key component for an ask argument: ``str(v)``
+        alone erases the argument's type, so two asks of different types
+        that stringify identically but resolve differently (int epoch
+        ``100`` vs the string ``'100'`` — `_range_filter` parses strings
+        as timestamps but treats ints as epochs) would alias to one
+        cached answer. The tag keeps them distinct; unhashable arguments
+        still fail later with the clearer coercion error, not at the memo
+        lookup (str() is total)."""
+        return (type(v).__name__, str(v))
+
     def _memoized_ask(self, key: tuple, compute):
         """Return the memoized answer for ``key`` or run ``compute`` and
         remember it. NOT a freshness gate — callers still `_require_fresh`

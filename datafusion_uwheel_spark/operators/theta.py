@@ -126,7 +126,9 @@ class ThetaRollup(SketchRetention):
             )
             return int(row["est"])
 
-        return self._memoized_ask(("distinct", str(start), str(end)), compute)
+        return self._memoized_ask(
+            ("distinct", self._ask_token(start), self._ask_token(end)), compute
+        )
 
     def approx_retained(self, r1, r2) -> int:
         """Estimated distinct values present in BOTH ranges (``r1``/``r2``
@@ -144,7 +146,8 @@ class ThetaRollup(SketchRetention):
             return int(row["est"])
 
         return self._memoized_ask(
-            ("retained", str(r1[0]), str(r1[1]), str(r2[0]), str(r2[1])), compute
+            ("retained", *map(self._ask_token, (r1[0], r1[1], r2[0], r2[1]))),
+            compute,
         )
 
     def approx_new(self, r1, r2) -> int:
@@ -161,7 +164,8 @@ class ThetaRollup(SketchRetention):
             return int(row["est"])
 
         return self._memoized_ask(
-            ("new", str(r1[0]), str(r1[1]), str(r2[0]), str(r2[1])), compute
+            ("new", *map(self._ask_token, (r1[0], r1[1], r2[0], r2[1]))),
+            compute,
         )
 
     def approx_jaccard(self, r1, r2) -> float:
@@ -181,7 +185,8 @@ class ThetaRollup(SketchRetention):
             return float(row["i"] / row["u"]) if row["u"] else 0.0
 
         return self._memoized_ask(
-            ("jaccard", str(r1[0]), str(r1[1]), str(r2[0]), str(r2[1])), compute
+            ("jaccard", *map(self._ask_token, (r1[0], r1[1], r2[0], r2[1]))),
+            compute,
         )
 
     def retained_by_key(self, r1, r2) -> DataFrame:
@@ -274,7 +279,9 @@ class ThetaRollup(SketchRetention):
             )
             return bytes(row["sk"]) if row["sk"] is not None else None
 
-        return self._memoized_ask(("sketch", str(start), str(end)), compute)
+        return self._memoized_ask(
+            ("sketch", self._ask_token(start), self._ask_token(end)), compute
+        )
 
     # -------------------------------------------------------- maintenance
 

@@ -150,3 +150,47 @@ def test_memo_lru_bound(spark, events):
         assert not job_free
     finally:
         r.unpersist()
+
+
+def test_memo_keys_carry_argument_type(spark, events):
+    """r10 ADVICE: str(start) alone erases the ask argument's type — an
+    int epoch and the string of the same digits stringify identically but
+    resolve through DIFFERENT paths (``F.lit(int).cast('timestamp')`` is
+    epoch seconds; the digit STRING casts to NULL → empty range). The
+    type-tagged key must keep them distinct instead of aliasing to one
+    cached answer."""
+    from datetime import timezone
+
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        a = int(BASE.replace(tzinfo=timezone.utc).timestamp())
+        b = a + 6 * 3600
+        n_int = r.approx_distinct(a, b)
+        assert n_int > 0
+        # same digits as strings: the ANSI timestamp cast RAISES on the
+        # bare digit string — an aliased memo key would instead silently
+        # return the cached int-epoch answer, masking the error
+        with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+            r.approx_distinct(str(a), str(b))
+        # and the int ask is still memoized under its own key
+        got, job_free = _no_jobs(spark, lambda: r.approx_distinct(a, b))
+        assert got == n_int and job_free
+    finally:
+        r.unpersist()
+
+
+def test_rank_memo_key_normalizes_value(spark, events):
+    """r10 ADVICE: the rank memo key normalizes the value component the
+    same way the computation does (int for bigint sketches, float
+    otherwise) — a bool ask shares the int key it computes identically
+    to, and an unhashable value fails in the numeric coercion, not with
+    an opaque hash TypeError at the memo lookup."""
+    r = build_quantile_rollup(events, "ts", "v", bucket_seconds=3600)
+    try:
+        first = r.approx_rank(1.0, A, B)
+        got, job_free = _no_jobs(spark, lambda: r.approx_rank(True, A, B))
+        assert got == first and job_free  # True normalizes to 1.0
+        with pytest.raises((TypeError, ValueError)):
+            r.approx_rank([1.0], A, B)
+    finally:
+        r.unpersist()

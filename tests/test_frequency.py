@@ -1229,6 +1229,39 @@ def test_cast_grammar_suffixes_hex_bool_decimal(spark):
         r.unpersist()
 
 
+def test_int_vs_float_promotes_to_double_like_spark(spark):
+    """r10 ADVICE: Spark's bigint<->double comparison promotes BOTH sides
+    to double, so bigint 2**53 + 1 equals double 2**53 (the lossy cast) —
+    while Python's int == float is exact and says False. Probe-pinned
+    (r10): ``9007199254740993L <=> CAST(9007199254740992L AS DOUBLE)`` is
+    TRUE. The mirror must follow the job path, not Python."""
+    from pyspark.sql import functions as F
+
+    two53 = 2**53
+    rows = [(BASE, float(two53))] * 3 + [(BASE, 7.0)] * 2
+    df = spark.createDataFrame(rows, "ts timestamp, item double")
+    r = build_frequency_rollup(df, "item", "ts", bucket_seconds=3600, capacity=8)
+    try:
+        def job_count(ask_lit):
+            a, b = r._range(DAY1, DAY2)
+            return int(
+                r._restrict(r._df, a, b)
+                .filter(F.col("__item").eqNullSafe(ask_lit))
+                .agg(F.coalesce(F.sum("cnt"), F.lit(0)))
+                .collect()[0][0]
+            )
+
+        # the lossy-promotion ask: 2**53 + 1 as a bigint literal
+        assert job_count(F.lit(two53 + 1)) == 3  # Spark's own answer
+        assert r.approx_count(two53 + 1, DAY1, DAY2) == (3, 3)
+        assert r.approx_count(two53, DAY1, DAY2) == (3, 3)
+        # plain int-vs-double still matches (and bool-as-int stays exact)
+        assert r.approx_count(7, DAY1, DAY2) == (2, 2)
+        assert r.approx_count(True, DAY1, DAY2) == (0, 0)
+    finally:
+        r.unpersist()
+
+
 def test_cast_grammar_pass4_edges(spark):
     """r9 pass 4 probe-pinned edges: signed NaN matches, hex overflow is
     a signed Infinity (never a crash), NBSP-prefixed strings are NULL in
@@ -1487,5 +1520,64 @@ def test_grouped_direct_follow_merge(spark, events):
         after = r.topk_rows_by("day", k=2)
         assert after == _job_topk_by(r, "day", k=2)
         assert after != before
+    finally:
+        r.unpersist()
+
+
+def test_keyed_build_caps_key_cardinality(spark):
+    """r10 (verdict #5): the keyed kept mirror is buckets × capacity ×
+    KEYS driver rows — a direct build_frequency_rollup(partition_by=) on
+    an unbounded key domain must raise AT BUILD with the max_keys pointer,
+    never OOM the driver at the first direct ask."""
+    rows = [
+        (BASE + timedelta(minutes=i), f"it{i % 3}", f"user{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, item string, key string")
+    with pytest.raises(ValueError, match="max_keys=16"):
+        build_frequency_rollup(
+            df, "item", "ts", 3600, capacity=4,
+            partition_by="key", max_keys=16,
+        )
+    # a cap that fits (or an explicit None opt-out) builds normally
+    r = build_frequency_rollup(
+        df, "item", "ts", 3600, capacity=4, partition_by="key", max_keys=64,
+    )
+    try:
+        assert r.max_keys == 64
+        assert r.approx_count("it0", DAY1, DAY2)[0] > 0
+    finally:
+        r.unpersist()
+
+
+def test_merge_batch_rechecks_key_cap_and_keeps_prebatch_state(spark, tmp_path):
+    """A stream can GROW the key domain past the build-time cap: the
+    merge re-check must refuse BEFORE publishing, leaving the rollup
+    fresh and answering its pre-batch state — and the cap must survive
+    save/load (a restored stream keeps the same guard)."""
+    rows = [(BASE + timedelta(minutes=i), "a", f"k{i % 4}") for i in range(20)]
+    df = spark.createDataFrame(rows, "ts timestamp, item string, key string")
+    r = build_frequency_rollup(
+        df, "item", "ts", 3600, capacity=4, partition_by="key", max_keys=8,
+    )
+    try:
+        before = r.approx_count("a", DAY1, DAY2)
+        burst = spark.createDataFrame(
+            [(BASE + timedelta(minutes=i), "a", f"new{i}") for i in range(20)],
+            "ts timestamp, item string, key string",
+        )
+        with pytest.raises(ValueError, match="max_keys=8"):
+            r.merge_batch(burst, "ts")
+        assert not r.stale
+        assert r.approx_count("a", DAY1, DAY2) == before  # pre-batch state
+        path = str(tmp_path / "fr_capped")
+        r.save(path)
+        lo = load_frequency_rollup(spark, path)
+        try:
+            assert lo.max_keys == 8
+            with pytest.raises(ValueError, match="max_keys=8"):
+                lo.merge_batch(burst, "ts")
+        finally:
+            lo.unpersist()
     finally:
         r.unpersist()

@@ -161,6 +161,18 @@ def test_non_string_column_rejected_and_case_insensitive_resolution(spark):
         score_texts(amb, _mk_vowel_scorer(), text_column="TEXT")
 
 
+def test_duplicate_exact_name_columns_rejected(spark):
+    """r10 ADVICE: duplicate EXACT names are legal in Spark DataFrames
+    (e.g. after a join) but pdf[text_column] inside the mapInPandas
+    worker would return a two-column DataFrame instead of a Series —
+    an opaque executor-side failure; and df.schema[name] silently
+    type-checks only the first duplicate. Reject up front, driver-side."""
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    dup = df.select("id", "text", "text")
+    with pytest.raises(ValueError, match="appears 2 times"):
+        score_texts(dup, _mk_vowel_scorer())
+
+
 def test_model_micro_batches_respect_batch_size(spark):
     """The scorer must never see more than batch_size texts per call,
     regardless of Arrow batch sizing — encode each call's size into its
@@ -255,3 +267,61 @@ def test_single_narrow_pass_plan(docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1200]
     assert plan.count("MapInPandas") == 1, plan[:1200]
+
+
+def test_cached_scorer_loads_once_per_worker_process(spark):
+    """The shipped per-worker weight cache (CachedScorer, r10): N tasks →
+    at most 1 loader call per worker PROCESS. The loader bumps a counter
+    in the worker's module-global cache and bakes (count, pid) into every
+    score; with 32 single-row-group tasks on local[4], reused workers run
+    several tasks each — so (a) every observed load count must be 1, and
+    (b) the distinct-pid count must be well under the task count, proving
+    the cache survived ACROSS tasks in a process, not merely within one."""
+    from datafusion_uwheel_spark.operators.model_scoring import CachedScorer
+
+    def loader():
+        import os
+
+        import datafusion_uwheel_spark.operators.model_scoring as ms
+
+        n = ms._WORKER_MODEL_CACHE.get("__test_loads", 0) + 1
+        ms._WORKER_MODEL_CACHE["__test_loads"] = n
+        pid = os.getpid()
+        return lambda texts: [float(n * 10_000_000 + pid)] * len(texts)
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(64)], "id long, text string"
+    ).repartition(32)
+    scores = [
+        r["score"]
+        for r in score_texts(df, CachedScorer("test-weights-v1", loader)).collect()
+    ]
+    assert len(scores) == 64
+    loads = {int(s) // 10_000_000 for s in scores}
+    pids = {int(s) % 10_000_000 for s in scores}
+    assert loads == {1}, f"a worker loaded the model more than once: {loads}"
+    assert len(pids) < 32, "no worker process was reused across tasks"
+
+
+def test_cached_scorer_token_validation_and_sharing(spark):
+    from datafusion_uwheel_spark.operators import model_scoring as ms
+
+    with pytest.raises(ValueError, match="token"):
+        ms.CachedScorer("", lambda: None)
+    with pytest.raises(ValueError, match="token"):
+        ms.CachedScorer(123, lambda: None)
+    # driver-side call path: same token shares one model instance, and a
+    # loader returning None still caches (1-tuple wrapping)
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return lambda texts: [0.5] * len(texts)
+
+    a = ms.CachedScorer("tok-shared", loader)
+    b = ms.CachedScorer("tok-shared", loader)
+    try:
+        assert a(["x"]) == [0.5] and b(["y", "z"]) == [0.5, 0.5]
+        assert len(calls) == 1
+    finally:
+        ms._WORKER_MODEL_CACHE.pop("tok-shared", None)
