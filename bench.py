@@ -62,6 +62,22 @@ def time_calls(fn, n: int) -> float:
     return statistics.median(times)
 
 
+def half_medians(times_in_order: list) -> list:
+    """The in-run noise bar (r10): split a row's samples, IN EXECUTION
+    ORDER, into a first and a second pass and return [min, max] of the two
+    pass medians. This is the A/B probe discipline (SURVEY 6) moved inside
+    the bench — three rounds in a row a shipped p50 drifted +20-30%, each
+    time proven environmental by a worktree A/B that burned a session; a
+    reader of BENCH_r{N} can now see "row X ms, spread [lo, hi]" and
+    discount any cross-round delta smaller than the box's own in-run swing
+    without re-measuring anything."""
+    n = len(times_in_order)
+    h1 = sorted(times_in_order[: n // 2]) or [0.0]
+    h2 = sorted(times_in_order[n // 2 :]) or [0.0]
+    m1, m2 = quantile(h1, 0.5), quantile(h2, 0.5)
+    return [round(min(m1, m2), 5), round(max(m1, m2), 5)]
+
+
 def quantile(sorted_times: list[float], q: float) -> float:
     """The q-quantile of an ascending sample (nearest-rank, ceil(q·n)-th
     order statistic). The r3 spelling ``times[int(n*q)]`` returned the
@@ -87,6 +103,22 @@ def main() -> None:
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     queries: dict[str, float] = {}
+    #: per-row [min, max] of two in-run pass medians (half_medians) for the
+    #: headline rows — read alongside queries[row] to separate code deltas
+    #: from box noise without an out-of-band A/B session
+    spreads: dict[str, list] = {}
+
+    def timed_spread(family, fn, n):
+        """time_calls + the noise bar: record the row's overall median
+        AND the two-pass spread (samples kept in execution order)."""
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        queries[family] = statistics.median(times)
+        spreads[family] = half_medians(times)
+        return queries[family]
 
     # ------------------------------------------------ engine + index build
     t0 = time.perf_counter()
@@ -131,14 +163,17 @@ def main() -> None:
             return ask()
         return run
 
-    queries["uw_approx_distinct"] = time_calls(
-        fresh(dr, lambda: dr.approx_distinct(_qa, _qb)), N_PROBE
+    timed_spread(
+        "uw_approx_distinct",
+        fresh(dr, lambda: dr.approx_distinct(_qa, _qb)), N_PROBE,
     )
     queries["uw_approx_distinct_memo"] = time_calls(
         lambda: dr.approx_distinct(_qa, _qb), N_PROBE
     )
-    queries["uw_approx_quantile"] = time_calls(
-        fresh(qr, lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb)), N_PROBE
+    timed_spread(
+        "uw_approx_quantile",
+        fresh(qr, lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb)),
+        N_PROBE,
     )
     queries["uw_approx_quantile_memo"] = time_calls(
         lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb), N_PROBE
@@ -160,8 +195,9 @@ def main() -> None:
     queries["theta_index_build"] = time.perf_counter() - t0
     _r1 = ("2024-01-01 00:00:00", "2024-01-08 00:00:00")
     _r2 = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
-    queries["uw_theta_retained"] = time_calls(
-        fresh(tr, lambda: tr.approx_retained(_r1, _r2)), N_PROBE
+    timed_spread(
+        "uw_theta_retained",
+        fresh(tr, lambda: tr.approx_retained(_r1, _r2)), N_PROBE,
     )
     queries["uw_theta_retained_memo"] = time_calls(
         lambda: tr.approx_retained(_r1, _r2), N_PROBE
@@ -178,8 +214,9 @@ def main() -> None:
     t0 = time.perf_counter()
     fr = eng.build_topk_index("event_type", bucket_seconds=3600, capacity=8)
     queries["freq_index_build"] = time.perf_counter() - t0
-    queries["uw_freq_topk"] = time_calls(
-        lambda: fr.approx_topk(_qa, _qb, k=4).collect(), N_PROBE
+    timed_spread(
+        "uw_freq_topk",
+        lambda: fr.approx_topk(_qa, _qb, k=4).collect(), N_PROBE,
     )
     queries["uw_freq_topk_by_day"] = time_calls(
         lambda: fr.approx_topk_by("day", k=2).count(), N_PROBE
@@ -211,30 +248,26 @@ def main() -> None:
     # grows with the table while the probe stays O(buckets).
     ev_view = read_parquet(spark, f"{SF_DIR}/events.parquet")
     ev_view.createOrReplaceTempView("events_raw")
-    queries["vanilla_count_distinct"] = time_calls(
-        lambda: spark.sql(
+    timed_spread("vanilla_count_distinct", lambda: spark.sql(
             f"SELECT COUNT(DISTINCT user_id) FROM events_raw "
             f"WHERE ts >= '{_qa}' AND ts < '{_qb}'"
         ).collect(),
         N_VANILLA,
     )
-    queries["vanilla_percentile"] = time_calls(
-        lambda: spark.sql(
+    timed_spread("vanilla_percentile", lambda: spark.sql(
             f"SELECT percentile_approx(value, array(0.5, 0.95, 0.99)) "
             f"FROM events_raw WHERE ts >= '{_qa}' AND ts < '{_qb}'"
         ).collect(),
         N_VANILLA,
     )
-    queries["vanilla_topk"] = time_calls(
-        lambda: spark.sql(
+    timed_spread("vanilla_topk", lambda: spark.sql(
             "SELECT event_type, count(*) AS n FROM events_raw "
             f"WHERE ts >= '{_qa}' AND ts < '{_qb}' "
             "GROUP BY 1 ORDER BY n DESC, event_type LIMIT 4"
         ).collect(),
         N_VANILLA,
     )
-    queries["vanilla_retained"] = time_calls(
-        lambda: spark.sql(
+    timed_spread("vanilla_retained", lambda: spark.sql(
             "SELECT count(*) FROM ("
             "SELECT DISTINCT user_id FROM events_raw "
             f"WHERE ts >= '{_r1[0]}' AND ts < '{_r1[1]}' "
@@ -860,6 +893,7 @@ def main() -> None:
             fam_times[family].append(time.perf_counter() - t0)
             assert eng.last_route.rewritten, (family, eng.last_route)
     for family, _, _ in indexed_specs:
+        spreads[family] = half_medians(fam_times[family])
         times = sorted(fam_times[family])
         queries[family] = quantile(times, 0.5)
         queries[f"{family}_p99"] = quantile(times, 0.99)
@@ -867,7 +901,8 @@ def main() -> None:
         log(
             f"{family}: p50 {queries[family]*1e3:.2f} ms, "
             f"p99 {queries[f'{family}_p99']*1e3:.2f} ms, "
-            f"p99.9 {queries[f'{family}_p999']*1e3:.2f} ms"
+            f"p99.9 {queries[f'{family}_p999']*1e3:.2f} ms, "
+            f"spread [{spreads[family][0]*1e3:.2f}, {spreads[family][1]*1e3:.2f}]"
         )
 
     # Repeated-query (dashboard) pattern: the route cache skips parse +
@@ -1119,8 +1154,11 @@ def main() -> None:
         def call():
             spark.sql(sql).collect()
 
-        queries[family] = time_calls(call, N_VANILLA)
-        log(f"{family}: {queries[family]*1e3:.1f} ms median")
+        timed_spread(family, call, N_VANILLA)
+        log(
+            f"{family}: {queries[family]*1e3:.1f} ms median, spread "
+            f"[{spreads[family][0]*1e3:.1f}, {spreads[family][1]*1e3:.1f}]"
+        )
 
     a, b = ranges_sec[0]
     run_vanilla(
@@ -1391,6 +1429,72 @@ def main() -> None:
             pair_counts_sf1.append(n)
             return n
 
+        # ------------------- sketch crossover, second point (r10): the
+        # HLL/KLL/theta probes were the last perf claims resting on design
+        # (O(buckets)) instead of a measured decade — at sf0.1 each FRESH
+        # ask loses to its vanilla scan (the ~110-180 ms small-job floor
+        # dwarfs the bucket merge). Same treatment frequency got in r9:
+        # build the three rollups on the 10x events, price fresh asks vs
+        # the vanilla scans on the same window, and let BENCH_r10 carry
+        # the curve (probe ~flat, scan growing) or the honest negative.
+        t0 = time.perf_counter()
+        dr1 = eng1.build_distinct_index("user_id")
+        qr1 = eng1.build_quantile_index("value")
+        tr1 = eng1.build_theta_index("user_id")
+        queries["sketch_index_builds_sf1"] = time.perf_counter() - t0
+        timed_spread(
+            "uw_approx_distinct_sf1",
+            fresh(dr1, lambda: dr1.approx_distinct(_qa, _qb)), N_PROBE,
+        )
+        timed_spread(
+            "uw_approx_quantile_sf1",
+            fresh(qr1, lambda: qr1.approx_quantile([0.5, 0.95, 0.99], _qa, _qb)),
+            N_PROBE,
+        )
+        timed_spread(
+            "uw_theta_retained_sf1",
+            fresh(tr1, lambda: tr1.approx_retained(_r1, _r2)), N_PROBE,
+        )
+        timed_spread("vanilla_count_distinct_sf1", lambda: spark.sql(
+                f"SELECT COUNT(DISTINCT user_id) FROM events_sf1_raw "
+                f"WHERE ts >= '{_qa}' AND ts < '{_qb}'"
+            ).collect(),
+            N_VANILLA,
+        )
+        timed_spread("vanilla_percentile_sf1", lambda: spark.sql(
+                f"SELECT percentile_approx(value, array(0.5, 0.95, 0.99)) "
+                f"FROM events_sf1_raw WHERE ts >= '{_qa}' AND ts < '{_qb}'"
+            ).collect(),
+            N_VANILLA,
+        )
+        timed_spread("vanilla_retained_sf1", lambda: spark.sql(
+                "SELECT count(*) FROM ("
+                "SELECT DISTINCT user_id FROM events_sf1_raw "
+                f"WHERE ts >= '{_r1[0]}' AND ts < '{_r1[1]}' "
+                "INTERSECT SELECT DISTINCT user_id FROM events_sf1_raw "
+                f"WHERE ts >= '{_r2[0]}' AND ts < '{_r2[1]}')"
+            ).collect(),
+            N_VANILLA,
+        )
+        log(
+            "sketch crossover sf0.1 -> sf1 (fresh probe vs vanilla scan): "
+            f"distinct {queries['uw_approx_distinct']*1e3:.0f}->"
+            f"{queries['uw_approx_distinct_sf1']*1e3:.0f} ms vs "
+            f"{queries['vanilla_count_distinct']*1e3:.0f}->"
+            f"{queries['vanilla_count_distinct_sf1']*1e3:.0f} ms; "
+            f"quantile {queries['uw_approx_quantile']*1e3:.0f}->"
+            f"{queries['uw_approx_quantile_sf1']*1e3:.0f} ms vs "
+            f"{queries['vanilla_percentile']*1e3:.0f}->"
+            f"{queries['vanilla_percentile_sf1']*1e3:.0f} ms; "
+            f"theta {queries['uw_theta_retained']*1e3:.0f}->"
+            f"{queries['uw_theta_retained_sf1']*1e3:.0f} ms vs "
+            f"{queries['vanilla_retained']*1e3:.0f}->"
+            f"{queries['vanilla_retained_sf1']*1e3:.0f} ms "
+            f"(builds {queries['sketch_index_builds_sf1']:.1f}s)"
+        )
+        for r in (dr1, qr1, tr1):
+            r.unpersist()
+
         med("dedup_minhash_lsh_sf1", minhash_sf1_run)
         n_pairs_sf1 = pair_counts_sf1[-1]
         log(
@@ -1490,6 +1594,7 @@ def main() -> None:
             "value": round(total, 3),
             "unit": "sec",
             "queries": {k: round(v, 5) for k, v in queries.items()},
+            "spreads": spreads,
             "speedup_vs_vanilla": speedups,
             "stream_retention_bytes_per_day": retention_bytes,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
