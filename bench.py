@@ -52,14 +52,22 @@ def random_range(rng: random.Random, align_sec: int, min_len: int, max_len: int)
     return a.strftime(fmt), b.strftime(fmt)
 
 
-def time_calls(fn, n: int) -> float:
-    """Median seconds over n calls (call → fully materialized result)."""
+def sample_calls(fn, n: int) -> list:
+    """Seconds per call, IN EXECUTION ORDER (call → fully materialized
+    result) — the one sampler every row statistic derives from."""
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+    return times
+
+
+def time_calls(fn, n: int) -> float:
+    """Median seconds over n calls (nearest-rank, like every quantile in
+    this file — an interpolating median could fall OUTSIDE the
+    half_medians spread published next to it)."""
+    return quantile(sorted(sample_calls(fn, n)), 0.5)
 
 
 def half_medians(times_in_order: list) -> list:
@@ -110,13 +118,11 @@ def main() -> None:
 
     def timed_spread(family, fn, n):
         """time_calls + the noise bar: record the row's overall median
-        AND the two-pass spread (samples kept in execution order)."""
-        times = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            times.append(time.perf_counter() - t0)
-        queries[family] = statistics.median(times)
+        AND the two-pass spread from ONE ordered sample (both
+        nearest-rank, so the row median always lies inside-or-at its own
+        spread)."""
+        times = sample_calls(fn, n)
+        queries[family] = quantile(sorted(times), 0.5)
         spreads[family] = half_medians(times)
         return queries[family]
 

@@ -557,6 +557,7 @@ class WheelEngine:
         bucket_seconds: int = 3600,
         capacity: int = 64,
         partition_by: str | None = None,
+        max_keys: int | None = None,
     ):
         """Build a per-bucket truncated-counter rollup for approximate
         "top ``column`` values in a time range" — the heavy-hitters sketch
@@ -566,13 +567,19 @@ class WheelEngine:
         never a table scan. With ``capacity`` ≥ the per-bucket distinct
         count the answers are exact. ``partition_by=key`` truncates per
         ``(bucket, key)`` for :meth:`approx_topk_by_key` dimensional asks
-        (unkeyed asks still answer with valid bounds)."""
-        from .operators.frequency import build_frequency_rollup
+        (unkeyed asks still answer with valid bounds). Keyed builds cap
+        the key domain at build time (the driver mirror is buckets ×
+        capacity × keys rows); pass ``max_keys=`` to raise the default cap
+        for a genuinely bigger bounded domain — ``None`` keeps the
+        operator default (disable entirely only via
+        ``operators.frequency.build_frequency_rollup(max_keys=None)``)."""
+        from .operators.frequency import _DEFAULT_MAX_KEYS, build_frequency_rollup
 
         r = build_frequency_rollup(
             self.df, column, self.time_column,
             bucket_seconds=bucket_seconds, capacity=capacity,
             partition_by=partition_by,
+            max_keys=_DEFAULT_MAX_KEYS if max_keys is None else max_keys,
         )
         self.topk_rollups[column] = r
         return r

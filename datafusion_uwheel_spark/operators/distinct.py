@@ -115,7 +115,11 @@ class DistinctRollup(SketchRetention):
             return int(row["est"] or 0)
 
         return self._memoized_ask(
-            ("distinct", self._ask_token(start), self._ask_token(end), key),
+            # the key component is type-tagged too: F.lit(key) is
+            # type-sensitive (True vs 1 cast a string key column through
+            # DIFFERENT grammars) while Python's dict hash says True == 1
+            ("distinct", self._ask_token(start), self._ask_token(end),
+             self._ask_token(key)),
             compute,
         )
 

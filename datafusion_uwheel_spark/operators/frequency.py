@@ -1154,7 +1154,11 @@ def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
         meta["bucket_seconds"],
         meta["capacity"],
         key_column=meta.get("key_column"),
-        max_keys=meta.get("max_keys", _DEFAULT_MAX_KEYS),
+        # absent in pre-r10 saves -> None (cap DISABLED): a legacy keyed
+        # rollup whose domain legitimately exceeds the new default must
+        # keep loading and merging; only builds that stated a cap (or got
+        # the r10 default at build) carry it forward (r10 review)
+        max_keys=meta.get("max_keys"),
     )
     r._restore_meta(meta)  # tiers (err cache is tier-free) + stale mark
     if not r.stale:

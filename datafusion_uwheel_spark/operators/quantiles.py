@@ -31,6 +31,8 @@ discipline, SURVEY §2.4); everything else narrows to ``double``.
 
 from __future__ import annotations
 
+import math
+
 import json
 import os
 
@@ -160,8 +162,11 @@ class QuantileRollup(SketchRetention):
             return [row[f"__q{i}"] for i in range(len(qs))]
 
         out = self._memoized_ask(
+            # key is type-tagged like start/end: F.lit(key) is
+            # type-sensitive while Python hashes True == 1 together
             ("quantile", tuple(float(x) for x in qs),
-             self._ask_token(start), self._ask_token(end), key),
+             self._ask_token(start), self._ask_token(end),
+             self._ask_token(key)),
             compute,
         )
         return list(out) if isinstance(q, (list, tuple)) else out[0]
@@ -175,7 +180,13 @@ class QuantileRollup(SketchRetention):
 
         def compute():
             _, _, _, get_r, get_n = _fns(self.suffix)
-            lit = F.lit(int(value) if self.suffix == "bigint" else float(value))
+            # bigint sketches coerce the ask by FLOOR, not int() (which
+            # truncates toward zero): over integer data the fraction
+            # <= -1.5 equals the fraction <= floor(-1.5) = -2, and
+            # int(-1.5) = -1 would wrongly include -1's mass (r10 review)
+            lit = F.lit(
+                math.floor(value) if self.suffix == "bigint" else float(value)
+            )
             row = self._merged_row(
                 start,
                 end,
@@ -188,13 +199,13 @@ class QuantileRollup(SketchRetention):
             (
                 "rank",
                 # normalize the value component the same way compute does
-                # (int for bigint sketches, float otherwise) — a raw key
+                # (floor for bigint sketches, float otherwise) — a raw key
                 # would alias bool/int asks inconsistently and raise
                 # TypeError on unhashables BEFORE the clearer lit error
-                int(value) if self.suffix == "bigint" else float(value),
+                math.floor(value) if self.suffix == "bigint" else float(value),
                 self._ask_token(start),
                 self._ask_token(end),
-                key,
+                self._ask_token(key),
             ),
             compute,
         )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 
 from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
 from datafusion_uwheel_spark.operators.quantiles import build_quantile_rollup
@@ -192,5 +193,45 @@ def test_rank_memo_key_normalizes_value(spark, events):
         assert got == first and job_free  # True normalizes to 1.0
         with pytest.raises((TypeError, ValueError)):
             r.approx_rank([1.0], A, B)
+    finally:
+        r.unpersist()
+
+
+def test_key_component_is_type_tagged(spark, events):
+    """r10 review: F.lit(key) is type-sensitive while Python hashes
+    True == 1 together — on a BIGINT key column Spark REFUSES the boolean
+    comparison outright (DATATYPE_MISMATCH), so an aliased memo key would
+    silently mask that analysis error with the cached int-key answer. The
+    bool ask must surface its own error; the int ask stays memoized."""
+    keyed = events.withColumn("seg", (F.col("uid") % 2).cast("long"))
+    r = build_distinct_rollup(keyed, "ts", "uid", bucket_seconds=3600,
+                              partition_by="seg")
+    try:
+        first = r.approx_distinct(A, B, key=1)
+        _, job_free = _no_jobs(spark, lambda: r.approx_distinct(A, B, key=1))
+        assert job_free  # same-typed repeat hits
+        with pytest.raises(Exception, match="DATATYPE_MISMATCH"):
+            r.approx_distinct(A, B, key=True)
+        got, job_free = _no_jobs(spark, lambda: r.approx_distinct(A, B, key=1))
+        assert got == first and job_free  # int key untouched by the raise
+    finally:
+        r.unpersist()
+
+
+def test_rank_floors_bigint_asks(spark, events):
+    """r10 review: over integer data the fraction <= -1.5 equals the
+    fraction <= floor(-1.5) = -2; int() truncation toward zero would
+    wrongly include -1's mass."""
+    from datetime import timedelta as _td
+
+    neg = spark.createDataFrame(
+        [(BASE + _td(minutes=i), v, 0.0)
+         for i, v in enumerate([-3, -2, -1, 0, 1, 2] * 5)],
+        "ts timestamp, uid bigint, v double",
+    )
+    r = build_quantile_rollup(neg, "ts", "uid", bucket_seconds=3600)
+    try:
+        assert r.approx_rank(-1.5, A, B) == r.approx_rank(-2, A, B)
+        assert r.approx_rank(-1.5, A, B) < r.approx_rank(-1, A, B)
     finally:
         r.unpersist()

@@ -1581,3 +1581,55 @@ def test_merge_batch_rechecks_key_cap_and_keeps_prebatch_state(spark, tmp_path):
             lo.unpersist()
     finally:
         r.unpersist()
+
+
+def test_legacy_saves_load_without_retroactive_key_cap(spark, tmp_path):
+    """r10 review: a pre-r10 save has no max_keys in its meta — loading
+    must NOT impose the new default cap on a rollup whose key domain was
+    legal when built (merge_batch would otherwise brick a previously
+    working streaming-recovery pipeline)."""
+    import json as _json
+    import os as _os
+
+    rows = [(BASE + timedelta(minutes=i), "a", f"k{i % 4}") for i in range(20)]
+    df = spark.createDataFrame(rows, "ts timestamp, item string, key string")
+    r = build_frequency_rollup(
+        df, "item", "ts", 3600, capacity=4, partition_by="key",
+    )
+    path = str(tmp_path / "fr_legacy")
+    r.save(path)
+    r.unpersist()
+    meta_path = _os.path.join(path, "_frequency_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    meta.pop("max_keys")  # simulate a pre-r10 save
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    lo = load_frequency_rollup(spark, path)
+    try:
+        assert lo.max_keys is None  # cap disabled, not defaulted
+        burst = spark.createDataFrame(
+            [(BASE + timedelta(minutes=i), "a", f"new{i}") for i in range(30)],
+            "ts timestamp, item string, key string",
+        )
+        lo.merge_batch(burst, "ts")  # would raise under a retroactive cap
+        assert lo.approx_count("a", DAY1, DAY2)[0] == 50
+    finally:
+        lo.unpersist()
+
+
+def test_engine_build_topk_index_passes_max_keys(spark):
+    """r10 review: the cap's own remediation ('pass max_keys=') must be
+    reachable from the primary engine API, not only the operator."""
+    import os as _os
+
+    from datafusion_uwheel_spark import WheelEngine
+
+    eng = WheelEngine(
+        spark, "events_maxkeys", "/root/testdata/sf0.001/events.parquet",
+        time_column="ts",
+    )
+    with pytest.raises(ValueError, match="max_keys=2"):
+        eng.build_topk_index(
+            "event_type", capacity=4, partition_by="user_id", max_keys=2,
+        )
