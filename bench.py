@@ -16,7 +16,6 @@ from __future__ import annotations
 import json
 import os
 import random
-import statistics
 import sys
 import time
 from datetime import datetime, timedelta, timezone
@@ -317,7 +316,9 @@ def main() -> None:
             t0 = time.perf_counter()
             rows = fn()
             times.append(time.perf_counter() - t0)
-        queries[family] = statistics.median(times)
+        # nearest-rank like every other row statistic in this file: a
+        # published value is always an OBSERVED sample
+        queries[family] = quantile(sorted(times), 0.5)
         log(f"{family}: {queries[family]:.2f}s median of {n} ({rows} rows)")
 
     med("dedup_exact", lambda: dedup.dedup_exact(docs).count())
@@ -1298,7 +1299,7 @@ def main() -> None:
         ret_m.merge_batch(batch)
         merge_times.append(time.perf_counter() - t0)
         day_bytes.append(ret_eng.index_usage_bytes())
-    queries["uw_stream_retention_merge"] = statistics.median(merge_times)
+    queries["uw_stream_retention_merge"] = quantile(sorted(merge_times), 0.5)
     # flat tail: once >1 day is behind the watermark the per-day footprint
     # is the fine window (1 day) + a bounded hourly prefix
     assert day_bytes[-1] <= int(day_bytes[6] * 1.25) + 4096, day_bytes

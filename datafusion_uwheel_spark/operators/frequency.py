@@ -1147,6 +1147,20 @@ def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
         .coalesce(_CACHE_PARTITIONS)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if "max_keys" in meta:
+        # r10+ saves state the cap (possibly an explicit None opt-out)
+        max_keys = meta["max_keys"]
+    elif meta.get("key_column") is None:
+        max_keys = _DEFAULT_MAX_KEYS  # unkeyed: the cap is inert anyway
+    else:
+        # pre-r10 keyed save: no cap existed at build. Re-derive from the
+        # LOADED domain — a small legacy domain keeps the driver-OOM guard
+        # on future merges; a legitimately bigger one loads UNCAPPED
+        # rather than bricking a previously working recovery pipeline
+        # (disabling for everyone would also persist max_keys: null on the
+        # next save, stripping the guard forever — r10 review pass 2)
+        n = kept.select("__key").distinct().count()
+        max_keys = _DEFAULT_MAX_KEYS if n <= _DEFAULT_MAX_KEYS else None
     r = FrequencyRollup(
         kept,
         err,
@@ -1154,11 +1168,7 @@ def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
         meta["bucket_seconds"],
         meta["capacity"],
         key_column=meta.get("key_column"),
-        # absent in pre-r10 saves -> None (cap DISABLED): a legacy keyed
-        # rollup whose domain legitimately exceeds the new default must
-        # keep loading and merging; only builds that stated a cap (or got
-        # the r10 default at build) carry it forward (r10 review)
-        max_keys=meta.get("max_keys"),
+        max_keys=max_keys,
     )
     r._restore_meta(meta)  # tiers (err cache is tier-free) + stale mark
     if not r.stale:

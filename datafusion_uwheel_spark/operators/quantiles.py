@@ -177,20 +177,26 @@ class QuantileRollup(SketchRetention):
         :meth:`approx_quantile`). ``None`` when the range holds no rows.
         Memoized like :meth:`approx_quantile`."""
         self._require_fresh()
+        # ONE normalization feeds both the computation and the memo key.
+        # bigint sketches floor the ask — int() truncates toward zero, so
+        # over integer data rank(-1.5) would wrongly include -1's mass
+        # (the fraction <= -1.5 is the fraction <= floor(-1.5) = -2; r10
+        # review). Numeric STRINGS pass through float() first on BOTH
+        # families (math.floor("5") is a TypeError; the double path has
+        # always accepted digit strings — behavior must not diverge by
+        # sketch family).
+        fv = float(value) if isinstance(value, str) else value
+        norm = math.floor(fv) if self.suffix == "bigint" else float(fv)
 
         def compute():
             _, _, _, get_r, get_n = _fns(self.suffix)
-            # bigint sketches coerce the ask by FLOOR, not int() (which
-            # truncates toward zero): over integer data the fraction
-            # <= -1.5 equals the fraction <= floor(-1.5) = -2, and
-            # int(-1.5) = -1 would wrongly include -1's mass (r10 review)
-            lit = F.lit(
-                math.floor(value) if self.suffix == "bigint" else float(value)
-            )
             row = self._merged_row(
                 start,
                 end,
-                [F.when(get_n("__sk") > 0, get_r("__sk", lit)).alias("__r")],
+                [
+                    F.when(get_n("__sk") > 0, get_r("__sk", F.lit(norm)))
+                    .alias("__r")
+                ],
                 key,
             )
             return None if row["__r"] is None else float(row["__r"])
@@ -198,11 +204,7 @@ class QuantileRollup(SketchRetention):
         return self._memoized_ask(
             (
                 "rank",
-                # normalize the value component the same way compute does
-                # (floor for bigint sketches, float otherwise) — a raw key
-                # would alias bool/int asks inconsistently and raise
-                # TypeError on unhashables BEFORE the clearer lit error
-                math.floor(value) if self.suffix == "bigint" else float(value),
+                norm,
                 self._ask_token(start),
                 self._ask_token(end),
                 self._ask_token(key),

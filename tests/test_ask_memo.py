@@ -233,5 +233,8 @@ def test_rank_floors_bigint_asks(spark, events):
     try:
         assert r.approx_rank(-1.5, A, B) == r.approx_rank(-2, A, B)
         assert r.approx_rank(-1.5, A, B) < r.approx_rank(-1, A, B)
+        # digit-string asks worked via int("5") before the floor fix and
+        # the double family accepts them — behavior must not diverge
+        assert r.approx_rank("1", A, B) == r.approx_rank(1, A, B)
     finally:
         r.unpersist()

@@ -1583,31 +1583,43 @@ def test_merge_batch_rechecks_key_cap_and_keeps_prebatch_state(spark, tmp_path):
         r.unpersist()
 
 
-def test_legacy_saves_load_without_retroactive_key_cap(spark, tmp_path):
-    """r10 review: a pre-r10 save has no max_keys in its meta — loading
-    must NOT impose the new default cap on a rollup whose key domain was
-    legal when built (merge_batch would otherwise brick a previously
-    working streaming-recovery pipeline)."""
+def test_legacy_saves_load_without_retroactive_key_cap(spark, tmp_path, monkeypatch):
+    """r10 review (two passes): a pre-r10 save has no max_keys in its
+    meta. Loading must neither brick a legitimately-large legacy domain
+    with the new default cap (merge_batch would fail a previously working
+    recovery pipeline) NOR strip the driver-OOM guard from a SMALL legacy
+    domain — the cap re-derives from the loaded domain."""
     import json as _json
     import os as _os
 
-    rows = [(BASE + timedelta(minutes=i), "a", f"k{i % 4}") for i in range(20)]
-    df = spark.createDataFrame(rows, "ts timestamp, item string, key string")
-    r = build_frequency_rollup(
-        df, "item", "ts", 3600, capacity=4, partition_by="key",
-    )
-    path = str(tmp_path / "fr_legacy")
-    r.save(path)
-    r.unpersist()
-    meta_path = _os.path.join(path, "_frequency_meta.json")
-    with open(meta_path) as f:
-        meta = _json.load(f)
-    meta.pop("max_keys")  # simulate a pre-r10 save
-    with open(meta_path, "w") as f:
-        _json.dump(meta, f)
-    lo = load_frequency_rollup(spark, path)
+    from datafusion_uwheel_spark.operators import frequency as freq_mod
+
+    def save_as_legacy(n_keys, name):
+        rows = [
+            (BASE + timedelta(minutes=i), "a", f"k{i % n_keys}")
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, item string, key string")
+        r = build_frequency_rollup(
+            df, "item", "ts", 3600, capacity=4, partition_by="key",
+            max_keys=None,
+        )
+        path = str(tmp_path / name)
+        r.save(path)
+        r.unpersist()
+        meta_path = _os.path.join(path, "_frequency_meta.json")
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        meta.pop("max_keys")  # simulate a pre-r10 save
+        with open(meta_path, "w") as f:
+            _json.dump(meta, f)
+        return path
+
+    monkeypatch.setattr(freq_mod, "_DEFAULT_MAX_KEYS", 8)
+    # big legacy domain (> default): loads UNCAPPED, keeps merging
+    lo = load_frequency_rollup(spark, save_as_legacy(12, "fr_legacy_big"))
     try:
-        assert lo.max_keys is None  # cap disabled, not defaulted
+        assert lo.max_keys is None
         burst = spark.createDataFrame(
             [(BASE + timedelta(minutes=i), "a", f"new{i}") for i in range(30)],
             "ts timestamp, item string, key string",
@@ -1616,15 +1628,23 @@ def test_legacy_saves_load_without_retroactive_key_cap(spark, tmp_path):
         assert lo.approx_count("a", DAY1, DAY2)[0] == 50
     finally:
         lo.unpersist()
+    # small legacy domain (<= default): the guard comes back
+    lo = load_frequency_rollup(spark, save_as_legacy(4, "fr_legacy_small"))
+    try:
+        assert lo.max_keys == 8
+        burst = spark.createDataFrame(
+            [(BASE + timedelta(minutes=i), "a", f"new{i}") for i in range(30)],
+            "ts timestamp, item string, key string",
+        )
+        with pytest.raises(ValueError, match="max_keys=8"):
+            lo.merge_batch(burst, "ts")
+    finally:
+        lo.unpersist()
 
 
 def test_engine_build_topk_index_passes_max_keys(spark):
     """r10 review: the cap's own remediation ('pass max_keys=') must be
     reachable from the primary engine API, not only the operator."""
-    import os as _os
-
-    from datafusion_uwheel_spark import WheelEngine
-
     eng = WheelEngine(
         spark, "events_maxkeys", "/root/testdata/sf0.001/events.parquet",
         time_column="ts",
