@@ -168,10 +168,21 @@ def main() -> None:
             return ask()
         return run
 
+    # fresh asks (memo cleared per call). Since r10 these answer DIRECT —
+    # the range's sketch bytes merge in the driver's JVM through ONE py4j
+    # call (sketch_retention.py), zero Spark jobs; the *_jobpath rows pin
+    # what the same ask costs through a Spark job over the cached rollup
+    # (the pre-r10 economics, and the fallback on shim-less sessions).
     timed_spread(
         "uw_approx_distinct",
         fresh(dr, lambda: dr.approx_distinct(_qa, _qb)), N_PROBE,
     )
+    dr._jvm_ops = None
+    timed_spread(
+        "uw_approx_distinct_jobpath",
+        fresh(dr, lambda: dr.approx_distinct(_qa, _qb)), N_PROBE,
+    )
+    del dr._jvm_ops
     queries["uw_approx_distinct_memo"] = time_calls(
         lambda: dr.approx_distinct(_qa, _qb), N_PROBE
     )
@@ -180,14 +191,24 @@ def main() -> None:
         fresh(qr, lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb)),
         N_PROBE,
     )
+    qr._jvm_ops = None
+    timed_spread(
+        "uw_approx_quantile_jobpath",
+        fresh(qr, lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb)),
+        N_PROBE,
+    )
+    del qr._jvm_ops
     queries["uw_approx_quantile_memo"] = time_calls(
         lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb), N_PROBE
     )
     log(
-        f"memo hits: distinct {queries['uw_approx_distinct_memo']*1e6:.0f} µs, "
-        f"quantile {queries['uw_approx_quantile_memo']*1e6:.0f} µs "
-        f"(fresh: {queries['uw_approx_distinct']*1e3:.0f} / "
-        f"{queries['uw_approx_quantile']*1e3:.0f} ms)"
+        f"sketch fresh asks: distinct direct "
+        f"{queries['uw_approx_distinct']*1e3:.2f} ms vs job "
+        f"{queries['uw_approx_distinct_jobpath']*1e3:.0f} ms; quantile "
+        f"direct {queries['uw_approx_quantile']*1e3:.2f} ms vs job "
+        f"{queries['uw_approx_quantile_jobpath']*1e3:.0f} ms; memo hits "
+        f"{queries['uw_approx_distinct_memo']*1e6:.0f} / "
+        f"{queries['uw_approx_quantile_memo']*1e6:.0f} µs"
     )
     queries["uw_approx_quantile_by_day"] = time_calls(
         lambda: qr.approx_quantile_by("day", 0.95).count(), N_PROBE
@@ -204,6 +225,12 @@ def main() -> None:
         "uw_theta_retained",
         fresh(tr, lambda: tr.approx_retained(_r1, _r2)), N_PROBE,
     )
+    tr._jvm_ops = None
+    timed_spread(
+        "uw_theta_retained_jobpath",
+        fresh(tr, lambda: tr.approx_retained(_r1, _r2)), N_PROBE,
+    )
+    del tr._jvm_ops
     queries["uw_theta_retained_memo"] = time_calls(
         lambda: tr.approx_retained(_r1, _r2), N_PROBE
     )
@@ -1462,6 +1489,19 @@ def main() -> None:
             "uw_theta_retained_sf1",
             fresh(tr1, lambda: tr1.approx_retained(_r1, _r2)), N_PROBE,
         )
+        # job-path controls at the decade: the pre-r10 fresh-ask cost,
+        # flat at the small-job floor while the scans grow
+        for _r, _nm, _ask in (
+            (dr1, "uw_approx_distinct_sf1_jobpath",
+             lambda: dr1.approx_distinct(_qa, _qb)),
+            (qr1, "uw_approx_quantile_sf1_jobpath",
+             lambda: qr1.approx_quantile([0.5, 0.95, 0.99], _qa, _qb)),
+            (tr1, "uw_theta_retained_sf1_jobpath",
+             lambda: tr1.approx_retained(_r1, _r2)),
+        ):
+            _r._jvm_ops = None
+            timed_spread(_nm, fresh(_r, _ask), N_PROBE)
+            del _r._jvm_ops
         timed_spread("vanilla_count_distinct_sf1", lambda: spark.sql(
                 f"SELECT COUNT(DISTINCT user_id) FROM events_sf1_raw "
                 f"WHERE ts >= '{_qa}' AND ts < '{_qb}'"
@@ -1484,9 +1524,10 @@ def main() -> None:
             N_VANILLA,
         )
         log(
-            "sketch crossover sf0.1 -> sf1 (fresh probe vs vanilla scan): "
-            f"distinct {queries['uw_approx_distinct']*1e3:.0f}->"
-            f"{queries['uw_approx_distinct_sf1']*1e3:.0f} ms vs "
+            "sketch crossover sf0.1 -> sf1 (fresh DIRECT probe vs vanilla "
+            "scan; *_jobpath rows carry the job-floor curve): "
+            f"distinct {queries['uw_approx_distinct']*1e3:.1f}->"
+            f"{queries['uw_approx_distinct_sf1']*1e3:.1f} ms vs "
             f"{queries['vanilla_count_distinct']*1e3:.0f}->"
             f"{queries['vanilla_count_distinct_sf1']*1e3:.0f} ms; "
             f"quantile {queries['uw_approx_quantile']*1e3:.0f}->"

@@ -107,6 +107,19 @@ class DistinctRollup(SketchRetention):
         self._require_fresh()
 
         def compute() -> int:
+            # direct path (r10): unkeyed asks with job-equivalent bounds
+            # answer from the driver mirror through ONE py4j call into the
+            # same datasketches-java classes hll_union_agg uses — zero
+            # Spark jobs, probe-pinned exact parity (keyed asks and
+            # unresolvable bounds stay on the job path, preserving its
+            # coercions and ANSI cast errors)
+            ops = self._sketch_ops()
+            if ops is not None and key is DistinctRollup._NO_KEY:
+                a = self._epoch_bound(start)
+                b = self._epoch_bound(end)
+                if a is not None and b is not None:
+                    framed, n = self._framed_range("__hll", a, b)
+                    return int(ops.hllEstimate(framed)) if n else 0
             row = (
                 self._restrict(start, end, key)
                 .agg(F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("est"))
@@ -255,6 +268,7 @@ class DistinctRollup(SketchRetention):
         if not self._detach_shared():
             old.unpersist()
         self.invalidate_asks()
+        self._drop_mirror()
 
     def save(self, path: str) -> str:
         """Persist the sketch table as parquet (one distributed write) plus
@@ -331,9 +345,11 @@ def build_distinct_rollup(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rollup.count()  # materialize once; probes never touch the raw table
-    return DistinctRollup(
+    r = DistinctRollup(
         rollup, column, bucket_seconds, lg_k, key_column=partition_by
     )
+    r._warm_mirror("__hll")  # zero-job direct asks from the start (r10)
+    return r
 
 
 def build_distinct_rollups(
@@ -407,4 +423,5 @@ def load_distinct_rollup(spark, path: str) -> DistinctRollup:
         key_column=meta.get("key_column"),
     )
     r._restore_meta(meta)
+    r._warm_mirror("__hll")  # no-op on stale loads / shim-less sessions
     return r

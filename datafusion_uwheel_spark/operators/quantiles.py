@@ -118,6 +118,15 @@ class QuantileRollup(SketchRetention):
             df = df.filter(F.col("__key").eqNullSafe(F.lit(key)))
         return df
 
+    def _jdouble_array(self, vals):
+        """Java ``double[]`` for the one-call JVM quantile extraction —
+        py4j auto-converts lists to ArrayList, not primitive arrays."""
+        sc = self._df.sparkSession.sparkContext
+        arr = sc._gateway.new_array(sc._jvm.double, len(vals))
+        for i, v in enumerate(vals):
+            arr[i] = v
+        return arr
+
     def _merged_row(self, start, end, exprs, key=_NO_KEY):
         _, merge, _, _, _ = _fns(self.suffix)
         sk = self._restrict(start, end, key).agg(
@@ -145,6 +154,25 @@ class QuantileRollup(SketchRetention):
                 raise ValueError(f"rank {x!r} outside [0, 1]")
 
         def compute():
+            # direct path (r10): unkeyed asks with job-equivalent bounds
+            # merge the range's sketches in the DRIVER's JVM (one py4j
+            # call into the same KllDoublesSketch/KllLongsSketch classes
+            # kll_merge_agg uses) — zero Spark jobs; empty range → None
+            # per rank like the job path's occupied gate
+            ops = self._sketch_ops()
+            if ops is not None and key is QuantileRollup._NO_KEY:
+                a = self._epoch_bound(start)
+                b = self._epoch_bound(end)
+                if a is not None and b is not None:
+                    framed, n = self._framed_range("__kll", a, b)
+                    if n == 0:
+                        return [None] * len(qs)
+                    out = (
+                        ops.kllQuantilesLong
+                        if self.suffix == "bigint"
+                        else ops.kllQuantilesDouble
+                    )(framed, self._jdouble_array([float(x) for x in qs]))
+                    return [None] * len(qs) if out is None else list(out)
             _, _, get_q, _, get_n = _fns(self.suffix)
             # Extraction on an EMPTY sketch raises (KLL_INVALID_INPUT_SKETCH_
             # BUFFER) instead of propagating NULL, so gate every extraction on
@@ -189,6 +217,20 @@ class QuantileRollup(SketchRetention):
         norm = math.floor(fv) if self.suffix == "bigint" else float(fv)
 
         def compute():
+            ops = self._sketch_ops()
+            if ops is not None and key is QuantileRollup._NO_KEY:
+                a = self._epoch_bound(start)
+                b = self._epoch_bound(end)
+                if a is not None and b is not None:
+                    framed, n = self._framed_range("__kll", a, b)
+                    if n == 0:
+                        return None
+                    r = (
+                        ops.kllRankLong(framed, int(norm))
+                        if self.suffix == "bigint"
+                        else ops.kllRankDouble(framed, float(norm))
+                    )
+                    return None if r is None else float(r)
             _, _, _, get_r, get_n = _fns(self.suffix)
             row = self._merged_row(
                 start,
@@ -354,6 +396,7 @@ class QuantileRollup(SketchRetention):
         if not self._detach_shared():
             old.unpersist()
         self.invalidate_asks()
+        self._drop_mirror()
 
     def save(self, path: str) -> str:
         """Persist the sketch table as parquet (one distributed write) plus
@@ -440,9 +483,11 @@ def build_quantile_rollup(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rollup.count()  # materialize once; probes never touch the raw table
-    return QuantileRollup(
+    r = QuantileRollup(
         rollup, column, bucket_seconds, k, suffix, key_column=partition_by
     )
+    r._warm_mirror("__kll")  # zero-job direct asks from the start (r10)
+    return r
 
 
 def build_quantile_rollups(
@@ -524,4 +569,5 @@ def load_quantile_rollup(spark, path: str) -> QuantileRollup:
         key_column=meta.get("key_column"),
     )
     r._restore_meta(meta)
+    r._warm_mirror("__kll")  # no-op on stale loads / shim-less sessions
     return r

@@ -94,17 +94,17 @@ class SketchRetention:
     # ------------------------------------------------------------ ask memo
     #: The frequency rollup answers zero-job from a full driver mirror of
     #: its kept rows (exact integers — numpy can re-aggregate them). The
-    #: HLL / KLL / theta rollups CANNOT get that treatment honestly: their
-    #: per-bucket states are JVM DataSketches binaries
-    #: (hll_sketch_agg / kll_sketch_agg / theta_sketch_agg), and merging
-    #: them driver-side would mean reimplementing the DataSketches wire
-    #: formats in Python (datasketches-python is not available here) — a
-    #: correctness hazard for zero semantic gain, so THE MERGES STAY JVM.
-    #: What the driver CAN do is remember answers: every ask is a pure
-    #: function of (rollup state, ask args), so an LRU memo invalidated on
-    #: every mutation (merge_batch / compact_before) gives repeated
-    #: dashboard asks the wheels' memoized-route economics — ~µs instead
-    #: of the ~100 ms small-job floor — without touching sketch bytes.
+    #: HLL / KLL / theta states are JVM DataSketches binaries, and merging
+    #: them in PYTHON would mean reimplementing the DataSketches wire
+    #: formats (datasketches-python is not available here) — a correctness
+    #: hazard for zero semantic gain, so THE MERGES STAY JVM. r9 added the
+    #: first driver-side economics: an LRU memo (every ask is a pure
+    #: function of rollup state + args), ~µs repeats. r10 added the
+    #: second: the merges still run in the JVM, but in the DRIVER's JVM —
+    #: one py4j call hands the range's sketch bytes to the shim's
+    #: UwheelSketchOps (the same bundled datasketches-java classes Spark's
+    #: expressions use), so FRESH asks drop from the ~120-300 ms job floor
+    #: to ~1-5 ms. See the direct-asks section below.
     _ASK_MEMO_MAX = 256
 
     @staticmethod
@@ -152,6 +152,112 @@ class SketchRetention:
         compact_before); stale transitions need no invalidation (the data
         under a stale mark never changed, only its completeness)."""
         self._ask_memo = {}
+
+    # ------------------------------------------------ direct (zero-job) asks
+    #: r10: the frequency family's driver-mirror economics extended to the
+    #: JVM-sketch families WITHOUT touching sketch wire formats in Python
+    #: (the r9 merges-stay-JVM decision stands — they just run in the
+    #: DRIVER's JVM now): the rollup's (sec, sketch_bytes) rows live in a
+    #: lazy driver mirror, a range ask numpy-slices it exactly like the
+    #: job path's _range_filter, and ONE py4j call hands the framed bytes
+    #: to the shim's UwheelSketchOps, which merges them with the SAME
+    #: bundled datasketches-java classes Spark's own expressions use (call
+    #: chains pinned from bytecode — see jvm/UwheelShim.scala). A fresh
+    #: sketch ask then costs ~1-5 ms instead of the ~120-300 ms
+    #: small-job floor. Sessions without the shim jar on the driver
+    #: classpath (e.g. the correctness harness's bare session) fall back
+    #: to the job path transparently — answers are identical (probe r10:
+    #: exact parity on HLL estimate, KLL quantile/rank, theta i/u/d/e).
+
+    def _sketch_ops(self):
+        """The shim's UwheelSketchOps static forwarders, or None when the
+        session lacks the jar — resolved ONCE per rollup (py4j class
+        lookups are lazy; ping() forces resolution so absence surfaces
+        here, never mid-ask)."""
+        ops = getattr(self, "_jvm_ops", _MEMO_MISS)
+        if ops is _MEMO_MISS:
+            try:
+                jops = self._df.sparkSession._jvm.io.uwheel.spark.UwheelSketchOps
+                jops.ping()
+                ops = jops
+            except Exception:
+                ops = None
+            self._jvm_ops = ops
+        return ops
+
+    @staticmethod
+    def _epoch_bound(v):
+        """Driver-side epoch seconds for a range bound, EXACTLY as the job
+        path's ``F.lit(v).cast('timestamp')`` resolves it, or None to force
+        the job path: ints are epoch seconds (probe r10: CAST(100 AS
+        TIMESTAMP) = epoch 100), strings/datetimes go through the engine's
+        literal parser (fractional-second literals floor in BOTH paths —
+        probe r10), unparseable strings return None so the job path keeps
+        RAISING its ANSI cast error, and bools/floats return None (the
+        cast's coercions there aren't worth mirroring)."""
+        if isinstance(v, bool) or isinstance(v, float):
+            return None
+        if isinstance(v, int):
+            return v
+        return SketchRetention._epoch_sec(v)
+
+    def _bytes_mirror(self, col: str):
+        """``(secs int64 ndarray, bufs list[bytes|None])`` of the rollup,
+        sec-sorted — collected ONCE per data version (dropped by mutations
+        via :meth:`_drop_mirror`, NOT by invalidate_asks: the memo prices
+        repeat asks, the mirror is data). Keyed rollups mirror every
+        (sec, key) row; unkeyed asks union across keys exactly like the
+        job path, and keyed asks stay on the job path (no driver-side key
+        comparison — the frequency family's coercion minefield)."""
+        m = getattr(self, "_mirror", None)
+        if m is not None:
+            return m
+        import numpy as np
+
+        rows = self._df.select("__sec", col).collect()
+        rows.sort(key=lambda r: r[0])
+        secs = np.array([r[0] for r in rows], dtype=np.int64)
+        bufs = [None if r[1] is None else bytes(r[1]) for r in rows]
+        self._mirror = (secs, bufs)
+        return self._mirror
+
+    def _drop_mirror(self) -> None:
+        self._mirror = None
+        self._jvm_ops = _MEMO_MISS  # session could differ after load
+
+    def _warm_mirror(self, col: str) -> None:
+        """Eager warm on fresh builds/loads (the r9 zero-job-from-the-
+        start discipline) — but only when the session can actually serve
+        direct asks; stale loads stay lazy (collects they could never
+        serve)."""
+        if not self.stale and self._sketch_ops() is not None:
+            self._bytes_mirror(col)
+
+    def _framed_range(self, col: str, a: int, b: int):
+        """``(framed_blob, n_selected)`` for the sketches intersecting
+        ``[a, b)`` — the selection mirrors ``_range_filter`` exactly
+        (``sec > a - width AND sec < b``, per-row tier-aware width)."""
+        import struct
+
+        import numpy as np
+
+        secs, bufs = self._bytes_mirror(col)
+        sel: list = []
+        if len(secs):
+            w = np.full(len(secs), self.bucket_seconds, dtype=np.int64)
+            # reversed: the FIRST matching tier (ascending ends) must win,
+            # like _width_expr's CASE chain
+            for end, tw in reversed(self.tiers):
+                w[secs < end] = tw
+            mask = (secs > a - w) & (secs < b)
+            sel = [
+                bufs[i] for i in np.nonzero(mask)[0] if bufs[i] is not None
+            ]
+        parts = [struct.pack(">i", len(sel))]
+        for bb in sel:
+            parts.append(struct.pack(">i", len(bb)))
+            parts.append(bb)
+        return b"".join(parts), len(sel)
 
     def _persist_meta(self) -> dict:
         """Ladder + freshness fields every family's ``save()`` meta must
@@ -312,4 +418,5 @@ class SketchRetention:
             old.unpersist()
         self._tiers = [(cutoff, width)]
         self.invalidate_asks()
+        self._drop_mirror()
         return before - after

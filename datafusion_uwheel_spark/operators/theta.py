@@ -81,6 +81,28 @@ class ThetaRollup(SketchRetention):
             F.col("__sec") < b
         )
 
+    def _framed_two(self, start, end):
+        """``(framed, n)`` for one range when the direct path applies
+        (shim present + job-equivalent bounds), else None. Unkeyed asks on
+        keyed rollups union across keys like the job path — the mirror
+        holds every (sec, key) row."""
+        if self._sketch_ops() is None:
+            return None
+        a = self._epoch_bound(start)
+        b = self._epoch_bound(end)
+        if a is None or b is None:
+            return None
+        return self._framed_range("__theta", a, b)
+
+    def _framed_pair(self, r1, r2):
+        f1 = self._framed_two(*r1)
+        if f1 is None:
+            return None
+        f2 = self._framed_two(*r2)
+        if f2 is None:
+            return None
+        return f1, f2
+
     def _two_range_sketches(self, r1, r2, key_grouped: bool):
         """One job: (union over r1, union over r2) per group — the operand
         sketches every set-algebra ask combines."""
@@ -117,6 +139,14 @@ class ThetaRollup(SketchRetention):
         self._require_fresh()
 
         def compute() -> int:
+            # direct path (r10): the range's sketches union in the
+            # DRIVER's JVM (one py4j call into the same datasketches-java
+            # theta classes) — zero Spark jobs, probe-pinned parity; empty
+            # range → 0 like the job path's NULL-coalesce
+            f2 = self._framed_two(start, end)
+            if f2 is not None:
+                framed, n = f2
+                return int(self._sketch_ops().thetaEstimate(framed)) if n else 0
             row = (
                 self._df.filter(self._range_filter(start, end))
                 .select(F.col("__theta").alias("__s1"))
@@ -138,6 +168,16 @@ class ThetaRollup(SketchRetention):
         self._require_fresh()
 
         def compute() -> int:
+            d = self._framed_pair(r1, r2)
+            if d is not None:
+                (fa, _na), (fb, _nb) = d
+                # empty sides need no gate: theta_union_agg over all-NULL
+                # inputs yields an EMPTY SKETCH, not NULL (probe r10 — the
+                # f1|f2 projection keeps the other range's rows with this
+                # side NULL), and intersecting with an empty union is 0 on
+                # both paths; only a zero-ROW agg yields NULL, where the
+                # empty-union algebra gives the same 0
+                return int(self._sketch_ops().thetaIntersectEstimate(fa, fb))
             row = (
                 self._two_range_sketches(r1, r2, key_grouped=False)
                 .select(self._est("theta_intersection(__u1, __u2)").alias("est"))
@@ -156,6 +196,14 @@ class ThetaRollup(SketchRetention):
         self._require_fresh()
 
         def compute() -> int:
+            d = self._framed_pair(r1, r2)
+            if d is not None:
+                (fa, _na), (fb, _nb) = d
+                # aNotB(u2, empty-union) = |u2| — and that IS the job
+                # semantics: an empty r1 still produces an empty SKETCH
+                # operand (probe r10), so "new vs an empty baseline" is
+                # everything in r2 on both paths
+                return int(self._sketch_ops().thetaANotBEstimate(fb, fa))
             row = (
                 self._two_range_sketches(r1, r2, key_grouped=False)
                 .select(self._est("theta_difference(__u2, __u1)").alias("est"))
@@ -174,6 +222,11 @@ class ThetaRollup(SketchRetention):
         self._require_fresh()
 
         def compute() -> float:
+            d = self._framed_pair(r1, r2)
+            if d is not None:
+                (fa, _na), (fb, _nb) = d
+                i, u = self._sketch_ops().thetaJaccardPair(fa, fb)
+                return float(i / u) if u else 0.0  # both-empty → 0.0
             row = (
                 self._two_range_sketches(r1, r2, key_grouped=False)
                 .select(
@@ -329,6 +382,7 @@ class ThetaRollup(SketchRetention):
         self._df = merged
         old.unpersist()
         self.invalidate_asks()
+        self._drop_mirror()
 
     def save(self, path: str) -> str:
         """Persist as parquet + a JSON sidecar pinning the build config;
@@ -383,9 +437,11 @@ def build_theta_rollup(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rollup.count()  # materialize once; probes never touch the raw table
-    return ThetaRollup(
+    r = ThetaRollup(
         rollup, column, bucket_seconds, lg_k, key_column=partition_by
     )
+    r._warm_mirror("__theta")  # zero-job direct asks from the start (r10)
+    return r
 
 
 def load_theta_rollup(spark, path: str) -> ThetaRollup:
@@ -409,4 +465,5 @@ def load_theta_rollup(spark, path: str) -> ThetaRollup:
         key_column=meta["key_column"],
     )
     r._restore_meta(meta)
+    r._warm_mirror("__theta")  # no-op on stale loads / shim-less sessions
     return r

@@ -44,4 +44,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # r10: the shim jar on the DRIVER classpath enables the sketch
+    # families' one-call direct asks (UwheelSketchOps — see
+    # operators/sketch_retention.py). CLASSPATH ONLY: the Catalyst
+    # optimizer-rule extension stays opt-in through jvmshim's builder
+    # confs. Only the first session of a process reads launch confs;
+    # sessions built elsewhere (e.g. the correctness harness's bare
+    # session) simply lack the class and every ask falls back to the job
+    # path. The jar is committed; build_shim_jar recompiles only when the
+    # source is newer (one-time cost on a fresh checkout).
+    if os.environ.get("SPARK_GRAFT_NO_SHIM_JAR") != "1":
+        try:
+            from .jvmshim import build_shim_jar
+
+            builder = builder.config(
+                "spark.driver.extraClassPath", build_shim_jar()
+            )
+        except Exception:
+            pass  # no scalac/jar available — job path still answers
     return builder.getOrCreate()

@@ -1802,3 +1802,138 @@ case class UwheelAggRewrite(session: SparkSession)
       Some(stripViews(session.table(view).queryExecution.analyzed))
     catch { case _: Exception => None }
 }
+
+/** One-call driver-side sketch algebra over FRAMED byte blobs — the
+  * frequency family's driver-mirror economics extended to the three
+  * JVM-sketch families WITHOUT reimplementing any DataSketches wire
+  * format: the bytes collected from the rollup tables are handed straight
+  * to the SAME datasketches-java classes Spark's own expressions use
+  * (call chains pinned from the bundled bytecode — HllSketchEstimate:
+  * heapify→getEstimate→Math.round; HllUnionAgg: wrap→Union(lgK)→update;
+  * KllSketchGetQuantileDouble: wrap→getQuantile (default inclusive
+  * criteria); KllMergeAggBase: newHeapInstance(k)→merge(heapify);
+  * ThetaSketchUtils: Memory.wrap→CompactSketch.wrap; ThetaIntersection:
+  * default buildIntersection→intersect). One py4j round trip per ask: the
+  * Python side numpy-slices its (sec, bytes) mirror to the asked range and
+  * ships ONE length-prefixed blob (frame = [count:int32][len:int32 bytes]*
+  * big-endian), so a fresh sketch ask costs ~1 ms instead of the ~120 ms
+  * small-job floor of a Spark job over the cached rollup.
+  *
+  * Scala object = static forwarders, reachable as
+  * spark._jvm.io.uwheel.spark.UwheelSketchOps on any session whose driver
+  * classpath carries the shim jar; Python falls back to the job path when
+  * the class is absent (driver harnesses with bare sessions).
+  */
+object UwheelSketchOps {
+  import org.apache.datasketches.memory.Memory
+  import org.apache.datasketches.hll.{HllSketch, Union => HllUnion}
+  import org.apache.datasketches.kll.{KllDoublesSketch, KllLongsSketch}
+  import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+
+  /** Liveness probe: py4j resolves classes lazily, so Python calls this
+    * once to decide direct-vs-job (a missing jar raises here, not
+    * mid-ask). */
+  def ping(): Int = 1
+
+  private def frames(framed: Array[Byte]): Array[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(framed) // big-endian by default
+    val n = bb.getInt()
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val a = new Array[Byte](len)
+      bb.get(a)
+      out(i) = a
+      i += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------ HLL
+  /** Union all framed HLL sketches and return the rounded estimate —
+    * exactly hll_sketch_estimate(hll_union_agg(...)): the union adopts the
+    * first sketch's lgConfigK (all buckets of one rollup share it). */
+  def hllEstimate(framed: Array[Byte]): Long = {
+    val fs = frames(framed)
+    if (fs.isEmpty) return 0L
+    val first = HllSketch.wrap(Memory.wrap(fs(0)))
+    val u = new HllUnion(first.getLgConfigK)
+    fs.foreach(b => u.update(HllSketch.wrap(Memory.wrap(b))))
+    Math.round(u.getEstimate)
+  }
+
+  // ------------------------------------------------------------------ KLL
+  private def mergedDoubles(framed: Array[Byte]): KllDoublesSketch = {
+    val fs = frames(framed)
+    val first = KllDoublesSketch.heapify(Memory.wrap(fs(0)))
+    val acc = KllDoublesSketch.newHeapInstance(first.getK)
+    fs.foreach(b => acc.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+    acc
+  }
+
+  private def mergedLongs(framed: Array[Byte]): KllLongsSketch = {
+    val fs = frames(framed)
+    val first = KllLongsSketch.heapify(Memory.wrap(fs(0)))
+    val acc = KllLongsSketch.newHeapInstance(first.getK)
+    fs.foreach(b => acc.merge(KllLongsSketch.heapify(Memory.wrap(b))))
+    acc
+  }
+
+  /** Quantiles at the given ranks, or null when every sketch is empty —
+    * the Python caller maps null to the job path's NULL-per-rank. */
+  def kllQuantilesDouble(framed: Array[Byte], qs: Array[Double]): Array[Double] = {
+    val acc = mergedDoubles(framed)
+    if (acc.isEmpty) null else qs.map(acc.getQuantile(_))
+  }
+
+  def kllRankDouble(framed: Array[Byte], v: Double): java.lang.Double = {
+    val acc = mergedDoubles(framed)
+    if (acc.isEmpty) null else java.lang.Double.valueOf(acc.getRank(v))
+  }
+
+  def kllQuantilesLong(framed: Array[Byte], qs: Array[Double]): Array[Long] = {
+    val acc = mergedLongs(framed)
+    if (acc.isEmpty) null else qs.map(acc.getQuantile(_))
+  }
+
+  def kllRankLong(framed: Array[Byte], v: Long): java.lang.Double = {
+    val acc = mergedLongs(framed)
+    if (acc.isEmpty) null else java.lang.Double.valueOf(acc.getRank(v))
+  }
+
+  // ---------------------------------------------------------------- theta
+  private def unionAll(framed: Array[Byte]): CompactSketch = {
+    val u = SetOperation.builder().buildUnion()
+    frames(framed).foreach(b => u.union(CompactSketch.wrap(Memory.wrap(b))))
+    u.getResult
+  }
+
+  def thetaEstimate(framed: Array[Byte]): Long =
+    Math.round(unionAll(framed).getEstimate)
+
+  /** |A ∩ B| of the two range-unions — approx_retained's shape. */
+  def thetaIntersectEstimate(a: Array[Byte], b: Array[Byte]): Long =
+    Math.round(
+      SetOperation.builder().buildIntersection()
+        .intersect(unionAll(a), unionAll(b)).getEstimate
+    )
+
+  /** |A \ B| (elements of A not in B) — approx_new asks with A = the
+    * LATER range, matching theta_difference(__u2, __u1). */
+  def thetaANotBEstimate(a: Array[Byte], b: Array[Byte]): Long =
+    Math.round(
+      SetOperation.builder().buildANotB()
+        .aNotB(unionAll(a), unionAll(b)).getEstimate
+    )
+
+  /** (|A ∩ B|, |A ∪ B|) in one call — approx_jaccard's two numerators
+    * without a second blob shipment. */
+  def thetaJaccardPair(a: Array[Byte], b: Array[Byte]): Array[Long] = {
+    val ua = unionAll(a)
+    val ub = unionAll(b)
+    val i = SetOperation.builder().buildIntersection().intersect(ua, ub)
+    val u = SetOperation.builder().buildUnion().union(ua, ub)
+    Array(Math.round(i.getEstimate), Math.round(u.getEstimate))
+  }
+}

@@ -136,6 +136,10 @@ def test_memo_respects_stale_gate(spark, events):
 def test_memo_lru_bound(spark, events):
     r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
     try:
+        # pin the JOB path: this test detects memo eviction by whether a
+        # recompute launches a job, and the r10 direct path recomputes
+        # zero-job (its own suite is test_sketch_direct.py)
+        r._jvm_ops = None
         r._ASK_MEMO_MAX = 4
         for h in range(6):
             r.approx_distinct(f"2024-02-01 0{h}:00:00", B)
