@@ -113,13 +113,12 @@ class DistinctRollup(SketchRetention):
             # Spark jobs, probe-pinned exact parity (keyed asks and
             # unresolvable bounds stay on the job path, preserving its
             # coercions and ANSI cast errors)
-            ops = self._sketch_ops()
-            if ops is not None and key is DistinctRollup._NO_KEY:
-                a = self._epoch_bound(start)
-                b = self._epoch_bound(end)
-                if a is not None and b is not None:
-                    framed, n = self._framed_range("__hll", a, b)
-                    return int(ops.hllEstimate(framed)) if n else 0
+            fr = self._direct_frame(
+                "__hll", start, end, key is not DistinctRollup._NO_KEY
+            )
+            if fr is not None:
+                framed, n = fr
+                return int(self._sketch_ops().hllEstimate(framed)) if n else 0
             row = (
                 self._restrict(start, end, key)
                 .agg(F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("est"))

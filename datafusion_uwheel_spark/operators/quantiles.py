@@ -159,20 +159,20 @@ class QuantileRollup(SketchRetention):
             # call into the same KllDoublesSketch/KllLongsSketch classes
             # kll_merge_agg uses) — zero Spark jobs; empty range → None
             # per rank like the job path's occupied gate
-            ops = self._sketch_ops()
-            if ops is not None and key is QuantileRollup._NO_KEY:
-                a = self._epoch_bound(start)
-                b = self._epoch_bound(end)
-                if a is not None and b is not None:
-                    framed, n = self._framed_range("__kll", a, b)
-                    if n == 0:
-                        return [None] * len(qs)
-                    out = (
-                        ops.kllQuantilesLong
-                        if self.suffix == "bigint"
-                        else ops.kllQuantilesDouble
-                    )(framed, self._jdouble_array([float(x) for x in qs]))
-                    return [None] * len(qs) if out is None else list(out)
+            fr = self._direct_frame(
+                "__kll", start, end, key is not QuantileRollup._NO_KEY
+            )
+            if fr is not None:
+                framed, n = fr
+                if n == 0:
+                    return [None] * len(qs)
+                ops = self._sketch_ops()
+                out = (
+                    ops.kllQuantilesLong
+                    if self.suffix == "bigint"
+                    else ops.kllQuantilesDouble
+                )(framed, self._jdouble_array([float(x) for x in qs]))
+                return [None] * len(qs) if out is None else list(out)
             _, _, get_q, _, get_n = _fns(self.suffix)
             # Extraction on an EMPTY sketch raises (KLL_INVALID_INPUT_SKETCH_
             # BUFFER) instead of propagating NULL, so gate every extraction on
@@ -217,20 +217,20 @@ class QuantileRollup(SketchRetention):
         norm = math.floor(fv) if self.suffix == "bigint" else float(fv)
 
         def compute():
-            ops = self._sketch_ops()
-            if ops is not None and key is QuantileRollup._NO_KEY:
-                a = self._epoch_bound(start)
-                b = self._epoch_bound(end)
-                if a is not None and b is not None:
-                    framed, n = self._framed_range("__kll", a, b)
-                    if n == 0:
-                        return None
-                    r = (
-                        ops.kllRankLong(framed, int(norm))
-                        if self.suffix == "bigint"
-                        else ops.kllRankDouble(framed, float(norm))
-                    )
-                    return None if r is None else float(r)
+            fr = self._direct_frame(
+                "__kll", start, end, key is not QuantileRollup._NO_KEY
+            )
+            if fr is not None:
+                framed, n = fr
+                if n == 0:
+                    return None
+                ops = self._sketch_ops()
+                r = (
+                    ops.kllRankLong(framed, int(norm))
+                    if self.suffix == "bigint"
+                    else ops.kllRankDouble(framed, float(norm))
+                )
+                return None if r is None else float(r)
             _, _, _, get_r, get_n = _fns(self.suffix)
             row = self._merged_row(
                 start,

@@ -177,52 +177,115 @@ class SketchRetention:
         ops = getattr(self, "_jvm_ops", _MEMO_MISS)
         if ops is _MEMO_MISS:
             try:
-                jops = self._df.sparkSession._jvm.io.uwheel.spark.UwheelSketchOps
-                jops.ping()
-                ops = jops
+                spark = self._df.sparkSession
+                # the driver literal math assumes the engine's pinned UTC
+                # session (get_spark); a non-UTC session resolves string
+                # bounds differently on the job path, so refuse the
+                # direct path there (review r10p3). Mutating the session
+                # timezone AFTER construction is out of contract
+                # engine-wide (session.py: UTC is correctness-critical).
+                if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+                    ops = None
+                else:
+                    jops = spark._jvm.io.uwheel.spark.UwheelSketchOps
+                    jops.ping()
+                    ops = jops
             except Exception:
                 ops = None
             self._jvm_ops = ops
         return ops
+
+    #: Strings the direct path resolves itself: the classic Spark
+    #: timestamp-literal shapes only. The engine's parse_ts_literal
+    #: (fromisoformat-based) ACCEPTS more — ISO basic '20240201', week
+    #: dates '2024-W05-1', zone-suffixed forms — some of which Spark's
+    #: ANSI cast REJECTS; resolving those directly would silently answer
+    #: bounds the job path raises on (review r10p3, probe-confirmed).
+    #: Everything outside the gate falls back: correct either way, just
+    #: slower.
+    _DIRECT_TS_RE = __import__("re").compile(
+        r"^\s*\d{4}-\d{2}-\d{2}"
+        r"([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?)?\s*$"
+    )
+
+    #: Mirror/ask size caps: above these the job path is the RIGHT plan —
+    #: it keeps the sketch bytes in executor cache and moves one merged
+    #: sketch, while the direct path would copy the range's bytes through
+    #: the single py4j socket and hold them twice (review r10p3). 120k
+    #: buckets ≈ a decade of hourly (or 3 months of minute) buckets.
+    _MIRROR_MAX_ROWS = 120_000
+    _DIRECT_MAX_BYTES = 64 << 20
 
     @staticmethod
     def _epoch_bound(v):
         """Driver-side epoch seconds for a range bound, EXACTLY as the job
         path's ``F.lit(v).cast('timestamp')`` resolves it, or None to force
         the job path: ints are epoch seconds (probe r10: CAST(100 AS
-        TIMESTAMP) = epoch 100), strings/datetimes go through the engine's
-        literal parser (fractional-second literals floor in BOTH paths —
-        probe r10), unparseable strings return None so the job path keeps
-        RAISING its ANSI cast error, and bools/floats return None (the
-        cast's coercions there aren't worth mirroring)."""
+        TIMESTAMP) = epoch 100); datetimes resolve through
+        ``datetime.timestamp()`` — PySpark converts a NAIVE datetime
+        literal through the PYTHON PROCESS's local timezone, which
+        ``.timestamp()`` mirrors exactly (tz-aware values are absolute
+        instants either way, and ``unix_timestamp`` floors the fraction);
+        strings resolve only inside the classic-literal gate
+        (`_DIRECT_TS_RE`) and floor like the cast (probe r10); everything
+        else — bools, floats, dates, exotic ISO forms — returns None so
+        the job path keeps its own coercions and ANSI cast errors."""
+        import datetime as _dt
+        import math
+
         if isinstance(v, bool) or isinstance(v, float):
             return None
         if isinstance(v, int):
             return v
-        return SketchRetention._epoch_sec(v)
+        if isinstance(v, _dt.datetime):
+            return math.floor(v.timestamp())
+        if isinstance(v, str) and SketchRetention._DIRECT_TS_RE.match(v):
+            return SketchRetention._epoch_sec(v)
+        return None
+
+    def _mirror_box(self) -> dict:
+        """The mirror's holder, keyed to the CURRENT frame by identity:
+        a direct ask racing a streaming merge can finish its collect after
+        the mutation swapped ``_df`` — publishing into ``self`` would pin
+        pre-merge answers until the next mutation (review r10p3). Readers
+        publish into THEIR box; any ask after the swap sees a different
+        frame identity and opens a fresh box, so staleness is bounded by
+        the racing ask itself (the memo's at-worst-recompute contract)."""
+        df = self._df
+        box = getattr(self, "_mirror_ref", None)
+        if box is None or box["df"] is not df:
+            box = self._mirror_ref = {"df": df, "m": None}
+        return box
 
     def _bytes_mirror(self, col: str):
         """``(secs int64 ndarray, bufs list[bytes|None])`` of the rollup,
-        sec-sorted — collected ONCE per data version (dropped by mutations
-        via :meth:`_drop_mirror`, NOT by invalidate_asks: the memo prices
-        repeat asks, the mirror is data). Keyed rollups mirror every
-        (sec, key) row; unkeyed asks union across keys exactly like the
-        job path, and keyed asks stay on the job path (no driver-side key
-        comparison — the frequency family's coercion minefield)."""
-        m = getattr(self, "_mirror", None)
+        sec-sorted — collected ONCE per data version (mutations swap the
+        frame, which retires the box; invalidate_asks does NOT drop it:
+        the memo prices repeat asks, the mirror is data). ``False`` when
+        the rollup exceeds `_MIRROR_MAX_ROWS` (the job path is the right
+        plan there). Keyed rollups mirror every (sec, key) row; unkeyed
+        asks union across keys exactly like the job path, and keyed asks
+        stay on the job path (no driver-side key comparison — the
+        frequency family's coercion minefield)."""
+        box = self._mirror_box()
+        m = box["m"]
         if m is not None:
             return m
         import numpy as np
 
-        rows = self._df.select("__sec", col).collect()
+        df = box["df"]
+        if df.count() > self._MIRROR_MAX_ROWS:
+            m = box["m"] = False
+            return m
+        rows = df.select("__sec", col).collect()
         rows.sort(key=lambda r: r[0])
         secs = np.array([r[0] for r in rows], dtype=np.int64)
         bufs = [None if r[1] is None else bytes(r[1]) for r in rows]
-        self._mirror = (secs, bufs)
-        return self._mirror
+        m = box["m"] = (secs, bufs)
+        return m
 
     def _drop_mirror(self) -> None:
-        self._mirror = None
+        self._mirror_ref = None
         self._jvm_ops = _MEMO_MISS  # session could differ after load
 
     def _warm_mirror(self, col: str) -> None:
@@ -233,15 +296,33 @@ class SketchRetention:
         if not self.stale and self._sketch_ops() is not None:
             self._bytes_mirror(col)
 
+    def _direct_frame(self, col: str, start, end, keyed_ask: bool = False):
+        """ONE gate for every family's direct branch (review r10p3 —
+        the guard was drifting across four call sites): ``(framed, n)``
+        when the direct path applies — shim present on a UTC session,
+        unkeyed ask, job-equivalent bounds, mirror and blob inside the
+        size caps — else None (job path)."""
+        if keyed_ask or self._sketch_ops() is None:
+            return None
+        a = self._epoch_bound(start)
+        b = self._epoch_bound(end)
+        if a is None or b is None:
+            return None
+        return self._framed_range(col, a, b)
+
     def _framed_range(self, col: str, a: int, b: int):
         """``(framed_blob, n_selected)`` for the sketches intersecting
         ``[a, b)`` — the selection mirrors ``_range_filter`` exactly
-        (``sec > a - width AND sec < b``, per-row tier-aware width)."""
+        (``sec > a - width AND sec < b``, per-row tier-aware width) — or
+        None when the mirror/blob exceeds the size caps."""
         import struct
 
         import numpy as np
 
-        secs, bufs = self._bytes_mirror(col)
+        m = self._bytes_mirror(col)
+        if m is False:
+            return None
+        secs, bufs = m
         sel: list = []
         if len(secs):
             w = np.full(len(secs), self.bucket_seconds, dtype=np.int64)
@@ -253,6 +334,8 @@ class SketchRetention:
             sel = [
                 bufs[i] for i in np.nonzero(mask)[0] if bufs[i] is not None
             ]
+        if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+            return None
         parts = [struct.pack(">i", len(sel))]
         for bb in sel:
             parts.append(struct.pack(">i", len(bb)))

@@ -83,16 +83,10 @@ class ThetaRollup(SketchRetention):
 
     def _framed_two(self, start, end):
         """``(framed, n)`` for one range when the direct path applies
-        (shim present + job-equivalent bounds), else None. Unkeyed asks on
-        keyed rollups union across keys like the job path — the mirror
-        holds every (sec, key) row."""
-        if self._sketch_ops() is None:
-            return None
-        a = self._epoch_bound(start)
-        b = self._epoch_bound(end)
-        if a is None or b is None:
-            return None
-        return self._framed_range("__theta", a, b)
+        (`SketchRetention._direct_frame` — the shared gate), else None.
+        Unkeyed asks on keyed rollups union across keys like the job path
+        — the mirror holds every (sec, key) row."""
+        return self._direct_frame("__theta", start, end)
 
     def _framed_pair(self, r1, r2):
         f1 = self._framed_two(*r1)

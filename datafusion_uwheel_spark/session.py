@@ -51,8 +51,9 @@ def get_spark(
     # confs. Only the first session of a process reads launch confs;
     # sessions built elsewhere (e.g. the correctness harness's bare
     # session) simply lack the class and every ask falls back to the job
-    # path. The jar is committed; build_shim_jar recompiles only when the
-    # source is newer (one-time cost on a fresh checkout).
+    # path. The jar is a BUILD ARTIFACT (gitignored): build_shim_jar
+    # compiles it from the committed Scala source with the PySpark-bundled
+    # scalac on first use (~40 s once per checkout), then caches by mtime.
     if os.environ.get("SPARK_GRAFT_NO_SHIM_JAR") != "1":
         try:
             from .jvmshim import build_shim_jar
@@ -60,6 +61,15 @@ def get_spark(
             builder = builder.config(
                 "spark.driver.extraClassPath", build_shim_jar()
             )
-        except Exception:
-            pass  # no scalac/jar available — job path still answers
+        except Exception as e:  # no scalac/jar — job path still answers
+            import warnings
+
+            # visible, once: a silent fallback here reads as a ~100x
+            # sketch-ask regression with no trail (review r10p3)
+            warnings.warn(
+                f"uwheel shim jar unavailable ({e!r}) — sketch asks take "
+                "the Spark-job path on this session",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return builder.getOrCreate()

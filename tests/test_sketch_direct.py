@@ -338,3 +338,81 @@ def test_theta_merge_output_format_wraps(spark, events):
         assert direct == r.approx_distinct(A, B)
     finally:
         r.unpersist()
+
+
+def test_exotic_iso_strings_keep_job_path_errors(spark, events):
+    """Review r10p3: parse_ts_literal (fromisoformat-based) accepts ISO
+    basic '20240201' and week dates '2024-W05-1' that Spark's ANSI cast
+    REJECTS — the direct path must refuse to resolve them so the job
+    path's error (or its own parse) stays authoritative."""
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        for bad in ("20240201", "2024-W05-1"):
+            with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+                r.approx_distinct(bad, "2024-03-01")
+    finally:
+        r.unpersist()
+
+
+def test_non_utc_session_tz_disables_direct(spark, events):
+    """Review r10p3: driver literal math assumes the engine's pinned UTC
+    session; under any other timezone the direct path must refuse (job
+    and direct would select different bucket sets for string bounds)."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    assert tz == "UTC"
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+        try:
+            assert r._sketch_ops() is None  # refused, falls back
+        finally:
+            r.unpersist()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_size_caps_fall_back_to_job_path(spark, events, monkeypatch):
+    """Review r10p3: above the mirror/blob caps the JOB path is the right
+    plan (sketch bytes stay in executor cache) — the direct path must
+    yield, not ship hundreds of MB through the py4j socket."""
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        want = r.approx_distinct(A, B)
+        # mirror cap: rollup "too big" → _bytes_mirror returns False
+        monkeypatch.setattr(type(r), "_MIRROR_MAX_ROWS", 2)
+        r._drop_mirror()
+        r.invalidate_asks()
+        got, job_free = _no_jobs(spark, lambda: r.approx_distinct(A, B))
+        assert got == want and not job_free
+        # blob cap: selection bytes over the ceiling → job path
+        monkeypatch.setattr(type(r), "_MIRROR_MAX_ROWS", 120_000)
+        monkeypatch.setattr(type(r), "_DIRECT_MAX_BYTES", 8)
+        r._drop_mirror()
+        r.invalidate_asks()
+        got, job_free = _no_jobs(spark, lambda: r.approx_distinct(A, B))
+        assert got == want and not job_free
+    finally:
+        r.unpersist()
+
+
+def test_stale_mirror_box_cannot_poison_post_merge_asks(spark, events):
+    """Review r10p3 (publish race): a direct ask racing a streaming merge
+    may finish its collect AFTER the mutation swapped the frame. The
+    mirror lives in a box keyed to the frame by IDENTITY, so the racer
+    publishes into ITS box and any post-swap ask opens a fresh one —
+    simulated here by poisoning the pre-merge box after the merge."""
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        stale_box = r._mirror_box()
+        extra = spark.createDataFrame(
+            [(BASE + timedelta(hours=1), 77_000 + i, 0.0) for i in range(200)],
+            "ts timestamp, uid bigint, v double",
+        )
+        r.merge_batch(extra, "ts")
+        stale_box["m"] = ("poison",)  # the racer's late publish
+        after = r.approx_distinct(A, B)  # must open a fresh box
+        _force_job_path(r)
+        r.invalidate_asks()
+        assert after == r.approx_distinct(A, B)
+    finally:
+        r.unpersist()
