@@ -34,6 +34,8 @@ Gates honored after compaction:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -203,7 +205,7 @@ class SketchRetention:
     #: bounds the job path raises on (review r10p3, probe-confirmed).
     #: Everything outside the gate falls back: correct either way, just
     #: slower.
-    _DIRECT_TS_RE = __import__("re").compile(
+    _DIRECT_TS_RE = re.compile(
         r"^\s*\d{4}-\d{2}-\d{2}"
         r"([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?)?\s*$"
     )
@@ -212,8 +214,11 @@ class SketchRetention:
     #: it keeps the sketch bytes in executor cache and moves one merged
     #: sketch, while the direct path would copy the range's bytes through
     #: the single py4j socket and hold them twice (review r10p3). 120k
-    #: buckets ≈ a decade of hourly (or 3 months of minute) buckets.
+    #: buckets ≈ a decade of hourly (or 3 months of minute) buckets; the
+    #: BYTE cap is the real guard (review r10p4: 120k keyed theta rows at
+    #: a raised lg_k could be multi-GB under a rows-only cap).
     _MIRROR_MAX_ROWS = 120_000
+    _MIRROR_MAX_BYTES = 256 << 20
     _DIRECT_MAX_BYTES = 64 << 20
 
     @staticmethod
@@ -231,16 +236,37 @@ class SketchRetention:
         else — bools, floats, dates, exotic ISO forms — returns None so
         the job path keeps its own coercions and ANSI cast errors."""
         import datetime as _dt
-        import math
 
         if isinstance(v, bool) or isinstance(v, float):
             return None
         if isinstance(v, int):
             return v
         if isinstance(v, _dt.datetime):
-            return math.floor(v.timestamp())
+            # mirror PySpark's DatetimeConverter EXACTLY (review r10p4):
+            # naive -> time.mktime(timetuple()) in the PROCESS-local tz,
+            # aware -> calendar.timegm(utctimetuple()). datetime
+            # .timestamp() disagrees for datetime SUBCLASSES (a naive
+            # pd.Timestamp treats itself as UTC) and in DST-ambiguous
+            # local hours; timetuple() is what the converter reads, so
+            # subclasses cannot diverge. unix_timestamp then floors the
+            # microsecond fraction on the job path — timetuple carries
+            # none, matching.
+            if v.tzinfo is None:
+                import time as _time
+
+                return int(_time.mktime(v.timetuple()))
+            import calendar
+
+            return calendar.timegm(v.utctimetuple())
         if isinstance(v, str) and SketchRetention._DIRECT_TS_RE.match(v):
-            return SketchRetention._epoch_sec(v)
+            try:
+                return SketchRetention._epoch_sec(v)
+            except ValueError:
+                # date-SHAPED but invalid ('2024-02-30'): the parser's
+                # date branch raises where its datetime branch returns
+                # None — either way the job path must own the error
+                # (ANSI CAST_INVALID_INPUT), so fall back (review r10p4)
+                return None
         return None
 
     def _mirror_box(self) -> dict:
@@ -274,7 +300,15 @@ class SketchRetention:
         import numpy as np
 
         df = box["df"]
-        if df.count() > self._MIRROR_MAX_ROWS:
+        # ONE combined pre-job prices the mirror before collecting it:
+        # rows AND bytes (the byte cap is the real OOM guard — review
+        # r10p4). Two small jobs per DATA VERSION (this + the collect),
+        # never per ask.
+        sized = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.length(F.col(col))), F.lit(0)).alias("b"),
+        ).collect()[0]
+        if sized["n"] > self._MIRROR_MAX_ROWS or sized["b"] > self._MIRROR_MAX_BYTES:
             m = box["m"] = False
             return m
         rows = df.select("__sec", col).collect()

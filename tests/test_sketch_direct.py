@@ -416,3 +416,61 @@ def test_stale_mirror_box_cannot_poison_post_merge_asks(spark, events):
         assert after == r.approx_distinct(A, B)
     finally:
         r.unpersist()
+
+
+def test_invalid_date_shaped_strings_fall_back_to_job_error(spark, events):
+    """Review r10p4: '2024-02-30' passes the literal-shape gate but the
+    parser's DATE branch raises ValueError — the direct path must swallow
+    that into a fallback so the JOB path owns the error (ANSI cast)."""
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+            r.approx_distinct("2024-02-30", "2024-03-01")
+    finally:
+        r.unpersist()
+
+
+def test_datetime_bounds_mirror_pyspark_converter(spark, events):
+    """Review r10p4: PySpark converts a NAIVE datetime literal via
+    time.mktime(timetuple()) in the PYTHON PROCESS's timezone (and
+    datetime.timestamp() disagrees for subclasses / DST folds). Under a
+    non-UTC process tz, direct and job bounds must still land on the SAME
+    buckets — proven by parity on a shifted window."""
+    import os
+    import time as _t
+
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        _t.tzset()
+        lo = datetime(2024, 1, 31, 20, 0)  # NY-local = 2024-02-01 01:00Z
+        hi = datetime(2024, 2, 1, 1, 0)
+        direct, job_free = _no_jobs(spark, lambda: r.approx_distinct(lo, hi))
+        assert job_free
+        _force_job_path(r)
+        r.invalidate_asks()
+        assert direct == r.approx_distinct(lo, hi) > 0
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _t.tzset()
+        r.unpersist()
+
+
+def test_mirror_byte_cap_falls_back(spark, events, monkeypatch):
+    """Review r10p4: the rows-only cap missed multi-GB large-sketch
+    mirrors — the BYTE cap prices the mirror in one pre-job and yields to
+    the job path when it would not fit."""
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        want = r.approx_distinct(A, B)
+        monkeypatch.setattr(type(r), "_MIRROR_MAX_BYTES", 64)
+        r._drop_mirror()
+        r.invalidate_asks()
+        got, job_free = _no_jobs(spark, lambda: r.approx_distinct(A, B))
+        assert got == want and not job_free
+    finally:
+        r.unpersist()
