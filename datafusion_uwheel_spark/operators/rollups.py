@@ -411,7 +411,14 @@ def build_partitioned_wheel_indices(
             (F.col(time_column) >= F.lit(start)) & (F.col(time_column) < F.lit(end))
         )
     ktype = key_sql_type(df, key_column)
-    g = g.select(time_column, key_column, *columns)
+    # dedupe the projection: partition_by may BE one of the value columns
+    # (or the time column) — selecting it twice creates duplicate exact
+    # names the strict resolver rightly refuses (r10 full-suite catch)
+    sel = [time_column]
+    for c in (key_column, *columns):
+        if c not in sel:
+            sel.append(c)
+    g = g.select(*sel)
     aggs, types = state_agg_exprs(g, time_column, list(columns), states, bucket_seconds)
     sec = time_sec_col(g, time_column)
     if bucket_seconds != 1:
