@@ -1634,6 +1634,29 @@ def main() -> None:
                 f"vanilla_topk_sf10 {queries['vanilla_topk_sf10']*1e3:.0f} ms — "
                 f"probe flat across sf0.1/sf1/sf10 while the scan grows"
             )
+            # third decade for ONE representative direct sketch ask (HLL —
+            # the others share the exact same plumbing): the mirror stays
+            # O(occupied buckets) while the table grows 100x
+            dr10 = eng10.build_distinct_index("user_id")
+            timed_spread(
+                "uw_approx_distinct_sf10",
+                fresh(dr10, lambda: dr10.approx_distinct(_qa, _qb)), N_PROBE,
+            )
+            timed_spread("vanilla_count_distinct_sf10", lambda: spark.sql(
+                    f"SELECT COUNT(DISTINCT user_id) FROM events_sf10_raw "
+                    f"WHERE ts >= '{_qa}' AND ts < '{_qb}'"
+                ).collect(),
+                N_VANILLA,
+            )
+            dr10.unpersist()
+            log(
+                f"uw_approx_distinct_sf10: "
+                f"{queries['uw_approx_distinct_sf10']*1e3:.2f} ms direct vs "
+                f"vanilla {queries['vanilla_count_distinct_sf10']*1e3:.0f} ms "
+                f"— the direct ask flat across THREE decades "
+                f"(sf0.1 {queries['uw_approx_distinct']*1e3:.1f}, "
+                f"sf1 {queries['uw_approx_distinct_sf1']*1e3:.1f} ms)"
+            )
 
     total = sum(queries.values())
     line = json.dumps(
