@@ -30,6 +30,10 @@ from .plans.predicates import canonical_filter_key
 
 __all__ = ["WheelEngine"]
 
+#: keep-the-operator-default sentinel for build_topk_index's max_keys —
+#: None must mean DISABLE the cap, matching the operator layer's meaning
+_KEYS_DEFAULT = object()
+
 #: Per-engine cap for the query-string memos (routed answers, routed rows,
 #: parses). LRU-evicted at the cap: a dashboard cycling >512 distinct query
 #: strings keeps its hot set warm instead of re-deriving everything each
@@ -557,7 +561,7 @@ class WheelEngine:
         bucket_seconds: int = 3600,
         capacity: int = 64,
         partition_by: str | None = None,
-        max_keys: int | None = None,
+        max_keys=_KEYS_DEFAULT,
     ):
         """Build a per-bucket truncated-counter rollup for approximate
         "top ``column`` values in a time range" — the heavy-hitters sketch
@@ -569,17 +573,17 @@ class WheelEngine:
         ``(bucket, key)`` for :meth:`approx_topk_by_key` dimensional asks
         (unkeyed asks still answer with valid bounds). Keyed builds cap
         the key domain at build time (the driver mirror is buckets ×
-        capacity × keys rows); pass ``max_keys=`` to raise the default cap
-        for a genuinely bigger bounded domain — ``None`` keeps the
-        operator default (disable entirely only via
-        ``operators.frequency.build_frequency_rollup(max_keys=None)``)."""
+        capacity × keys rows); ``max_keys=`` raises the default cap for a
+        genuinely bigger bounded domain, and ``max_keys=None`` DISABLES it
+        — the SAME meaning the operator layer gives None (review r10p5:
+        None briefly inverted between the two layers)."""
         from .operators.frequency import _DEFAULT_MAX_KEYS, build_frequency_rollup
 
         r = build_frequency_rollup(
             self.df, column, self.time_column,
             bucket_seconds=bucket_seconds, capacity=capacity,
             partition_by=partition_by,
-            max_keys=_DEFAULT_MAX_KEYS if max_keys is None else max_keys,
+            max_keys=_DEFAULT_MAX_KEYS if max_keys is _KEYS_DEFAULT else max_keys,
         )
         self.topk_rollups[column] = r
         return r

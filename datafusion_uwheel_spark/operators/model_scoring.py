@@ -60,7 +60,13 @@ __all__ = ["score_texts", "filter_by_score", "CachedScorer"]
 #: (``spark.python.worker.reuse``, default true), so an entry written by
 #: task 1 is a hit for task 40 in the same process. Values are wrapped in
 #: a 1-tuple so a loader legitimately returning None still caches.
+#: BOUNDED (insertion-order eviction): the documented pattern bumps the
+#: token on every weights change ('clf-v3' → 'clf-v4'), and an unbounded
+#: dict would pin every superseded multi-GB model in the long-lived worker
+#: until it OOMs (review r10p5). Raise the bound for a pipeline that
+#: genuinely interleaves more resident models.
 _WORKER_MODEL_CACHE: dict = {}
+_WORKER_MODEL_CACHE_MAX = 2
 
 
 class CachedScorer:
@@ -95,6 +101,13 @@ class CachedScorer:
         hit = _WORKER_MODEL_CACHE.get(self.token)
         if hit is None:
             hit = _WORKER_MODEL_CACHE.setdefault(self.token, (self.loader(),))
+            while len(_WORKER_MODEL_CACHE) > _WORKER_MODEL_CACHE_MAX:
+                # oldest-inserted first: superseded token generations
+                # release their weights instead of pinning the worker
+                oldest = next(iter(_WORKER_MODEL_CACHE))
+                if oldest == self.token:
+                    break  # never evict the entry this call just made
+                _WORKER_MODEL_CACHE.pop(oldest, None)
         return hit[0](texts)
 
 

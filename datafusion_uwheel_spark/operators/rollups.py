@@ -334,7 +334,15 @@ def build_wheel_indices(
         g = g.filter((F.col(time_column) >= F.lit(start)) & (F.col(time_column) < F.lit(end)))
 
     # Project early so the scan only reads what the index needs.
-    g = g.select(time_column, *columns)
+    # dedupe the projection (same fix as the partitioned builder): a value
+    # wheel on the time column itself, or a duplicated columns entry,
+    # would select the same name twice — duplicate exact names the strict
+    # resolver rightly refuses
+    sel = [time_column]
+    for c in columns:
+        if c not in sel:
+            sel.append(c)
+    g = g.select(*sel)
 
     aggs, types = state_agg_exprs(g, time_column, columns, states, bucket_seconds)
 

@@ -192,8 +192,24 @@ class SketchRetention:
                     jops = spark._jvm.io.uwheel.spark.UwheelSketchOps
                     jops.ping()
                     ops = jops
-            except Exception:
-                ops = None
+            except Exception as e:
+                # latch None only when the class is DEFINITIVELY absent
+                # (shim-less session); a transient py4j/GC hiccup must not
+                # silently downgrade this rollup to the ~100x slower job
+                # path forever (review r10p5) — warn and re-probe next ask
+                if "does not exist" in str(e):
+                    ops = None
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"direct sketch-ask probe failed transiently "
+                        f"({e!r}) — this ask takes the job path; the next "
+                        "ask re-probes",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    return None  # NOT latched
             self._jvm_ops = ops
         return ops
 

@@ -16,6 +16,32 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark"]
 
 
+def _defaults_conf_value(key: str) -> str | None:
+    """Look up ``key`` in ``spark-defaults.conf`` (SPARK_CONF_DIR, else
+    $SPARK_HOME/conf) — a builder config silently OVERRIDES the file for
+    the same key, so anything the deployment put there must be read and
+    merged, never clobbered (review r10p5: a deployment's JDBC driver jar
+    vanishing from the driver classpath is a nasty environment bug)."""
+    conf_dir = os.environ.get("SPARK_CONF_DIR")
+    if not conf_dir:
+        home = os.environ.get("SPARK_HOME")
+        conf_dir = os.path.join(home, "conf") if home else None
+    if not conf_dir:
+        return None
+    try:
+        with open(os.path.join(conf_dir, "spark-defaults.conf")) as f:
+            for line in f:
+                s = line.strip()
+                if not s or s.startswith("#"):
+                    continue
+                parts = s.split(None, 1)
+                if len(parts) == 2 and parts[0] == key:
+                    return parts[1].strip()
+    except OSError:
+        return None
+    return None
+
+
 def get_spark(
     app_name: str = "datafusion-uwheel-spark",
     master: str | None = None,
@@ -58,8 +84,15 @@ def get_spark(
         try:
             from .jvmshim import build_shim_jar
 
+            jar = build_shim_jar()
+            # APPEND to any deployment-configured driver classpath
+            # (spark-defaults.conf) — a builder value overrides the file
+            # for the same key, so setting the jar alone would silently
+            # drop e.g. a JDBC driver the environment relies on
+            existing = _defaults_conf_value("spark.driver.extraClassPath")
             builder = builder.config(
-                "spark.driver.extraClassPath", build_shim_jar()
+                "spark.driver.extraClassPath",
+                existing + os.pathsep + jar if existing else jar,
             )
         except Exception as e:  # no scalac/jar — job path still answers
             import warnings
