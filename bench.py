@@ -79,8 +79,14 @@ def half_medians(times_in_order: list) -> list:
     discount any cross-round delta smaller than the box's own in-run swing
     without re-measuring anything."""
     n = len(times_in_order)
-    h1 = sorted(times_in_order[: n // 2]) or [0.0]
-    h2 = sorted(times_in_order[n // 2 :]) or [0.0]
+    if n < 2:
+        # A single sample has no in-run spread; substituting 0.0 for the
+        # empty first half would publish a fake [0, x] lower bound that
+        # reads as infinite noise (ADVICE r10). Degenerate spread instead.
+        m = quantile(sorted(times_in_order), 0.5) if n else 0.0
+        return [round(m, 5), round(m, 5)]
+    h1 = sorted(times_in_order[: n // 2])
+    h2 = sorted(times_in_order[n // 2 :])
     m1, m2 = quantile(h1, 0.5), quantile(h2, 0.5)
     return [round(min(m1, m2), 5), round(max(m1, m2), 5)]
 

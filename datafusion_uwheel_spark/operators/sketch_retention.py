@@ -171,6 +171,32 @@ class SketchRetention:
     #: to the job path transparently — answers are identical (probe r10:
     #: exact parity on HLL estimate, KLL quantile/rank, theta i/u/d/e).
 
+    @staticmethod
+    def _shim_absent(spark, _cls: str = "io.uwheel.spark.UwheelSketchOps") -> bool:
+        """Definitive absence probe: ask the JVM itself via
+        ``Class.forName`` and report absent ONLY on a genuine
+        ``ClassNotFoundException`` — inspected by java exception TYPE,
+        never message text. ADVICE r10 flagged the old substring latch
+        ('does not exist' in str(e)); probing this session showed it was
+        in fact DEAD code — on the bundled py4j the absent-class path
+        raises ``TypeError: 'JavaPackage' object is not callable`` (the
+        reflection engine returns SUCCESS_PACKAGE for unknown names), so
+        shim-less sessions never latched and warned on every ask."""
+        try:
+            spark._jvm.java.lang.Class.forName(_cls)
+            return False
+        except Exception as e:
+            jexc = getattr(e, "java_exception", None)
+            if jexc is None:
+                return False
+            try:
+                return jexc.getClass().getName() in (
+                    "java.lang.ClassNotFoundException",
+                    "java.lang.NoClassDefFoundError",
+                )
+            except Exception:
+                return False
+
     def _sketch_ops(self):
         """The shim's UwheelSketchOps static forwarders, or None when the
         session lacks the jar — resolved ONCE per rollup (py4j class
@@ -178,6 +204,7 @@ class SketchRetention:
         here, never mid-ask)."""
         ops = getattr(self, "_jvm_ops", _MEMO_MISS)
         if ops is _MEMO_MISS:
+            spark = None
             try:
                 spark = self._df.sparkSession
                 # the driver literal math assumes the engine's pinned UTC
@@ -193,11 +220,11 @@ class SketchRetention:
                     jops.ping()
                     ops = jops
             except Exception as e:
-                # latch None only when the class is DEFINITIVELY absent
-                # (shim-less session); a transient py4j/GC hiccup must not
-                # silently downgrade this rollup to the ~100x slower job
-                # path forever (review r10p5) — warn and re-probe next ask
-                if "does not exist" in str(e):
+                # latch None only when the JVM DEFINITIVELY reports the
+                # class absent (shim-less session); a transient py4j/GC
+                # hiccup must not silently downgrade this rollup to the
+                # ~100x slower job path forever (review r10p5, ADVICE r10)
+                if spark is not None and self._shim_absent(spark):
                     ops = None
                 else:
                     import warnings
@@ -296,10 +323,14 @@ class SketchRetention:
         df = self._df
         box = getattr(self, "_mirror_ref", None)
         if box is None or box["df"] is not df:
-            box = self._mirror_ref = {"df": df, "m": None}
+            # tiers snapshot alongside the frame (ADVICE r10): a direct
+            # ask racing compact_before must not apply post-compaction
+            # tier widths to the pre-compaction mirror — the box IS the
+            # consistent (frame, tiers) pair, so both reads come from it
+            box = self._mirror_ref = {"df": df, "tiers": list(self.tiers), "m": None}
         return box
 
-    def _bytes_mirror(self, col: str):
+    def _bytes_mirror(self, col: str, box: dict | None = None):
         """``(secs int64 ndarray, bufs list[bytes|None])`` of the rollup,
         sec-sorted — collected ONCE per data version (mutations swap the
         frame, which retires the box; invalidate_asks does NOT drop it:
@@ -309,7 +340,8 @@ class SketchRetention:
         asks union across keys exactly like the job path, and keyed asks
         stay on the job path (no driver-side key comparison — the
         frequency family's coercion minefield)."""
-        box = self._mirror_box()
+        if box is None:
+            box = self._mirror_box()
         m = box["m"]
         if m is not None:
             return m
@@ -364,12 +396,16 @@ class SketchRetention:
         """``(framed_blob, n_selected)`` for the sketches intersecting
         ``[a, b)`` — the selection mirrors ``_range_filter`` exactly
         (``sec > a - width AND sec < b``, per-row tier-aware width) — or
-        None when the mirror/blob exceeds the size caps."""
+        None when the mirror/blob exceeds the size caps. The tiers come
+        from the MIRROR BOX, not ``self`` — the box is the one consistent
+        (frame, tiers) snapshot under a racing compact_before (ADVICE
+        r10)."""
         import struct
 
         import numpy as np
 
-        m = self._bytes_mirror(col)
+        box = self._mirror_box()
+        m = self._bytes_mirror(col, box)
         if m is False:
             return None
         secs, bufs = m
@@ -378,7 +414,7 @@ class SketchRetention:
             w = np.full(len(secs), self.bucket_seconds, dtype=np.int64)
             # reversed: the FIRST matching tier (ascending ends) must win,
             # like _width_expr's CASE chain
-            for end, tw in reversed(self.tiers):
+            for end, tw in reversed(box["tiers"]):
                 w[secs < end] = tw
             mask = (secs > a - w) & (secs < b)
             sel = [

@@ -16,12 +16,45 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark"]
 
 
+def _split_properties_line(s: str) -> tuple[str, str]:
+    """Split one logical line into (key, value) per java.util.Properties:
+    the key ends at the first unescaped ``=``, ``:`` or whitespace;
+    whitespace around the (optional, single) separator is skipped;
+    backslash escapes a following char into the key. ``\\uXXXX`` escapes
+    are not decoded — Spark conf keys/values never use them."""
+    i, n = 0, len(s)
+    key_chars: list[str] = []
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            key_chars.append(s[i + 1])
+            i += 2
+            continue
+        if c in "=:" or c.isspace():
+            break
+        key_chars.append(c)
+        i += 1
+    while i < n and s[i].isspace():
+        i += 1
+    if i < n and s[i] in "=:":
+        i += 1
+        while i < n and s[i].isspace():
+            i += 1
+    return "".join(key_chars), s[i:]
+
+
 def _defaults_conf_value(key: str) -> str | None:
     """Look up ``key`` in ``spark-defaults.conf`` (SPARK_CONF_DIR, else
     $SPARK_HOME/conf) — a builder config silently OVERRIDES the file for
     the same key, so anything the deployment put there must be read and
     merged, never clobbered (review r10p5: a deployment's JDBC driver jar
-    vanishing from the driver classpath is a nasty environment bug)."""
+    vanishing from the driver classpath is a nasty environment bug).
+
+    Spark loads the file via ``java.util.Properties`` — ``key value``,
+    ``key=value`` and ``key:value`` are all legal, as are backslash line
+    continuations (ADVICE r10: the whitespace-only parse silently dropped
+    '='-style deployments, re-introducing the clobber this guard exists
+    to prevent)."""
     conf_dir = os.environ.get("SPARK_CONF_DIR")
     if not conf_dir:
         home = os.environ.get("SPARK_HOME")
@@ -30,15 +63,34 @@ def _defaults_conf_value(key: str) -> str | None:
         return None
     try:
         with open(os.path.join(conf_dir, "spark-defaults.conf")) as f:
-            for line in f:
-                s = line.strip()
-                if not s or s.startswith("#"):
-                    continue
-                parts = s.split(None, 1)
-                if len(parts) == 2 and parts[0] == key:
-                    return parts[1].strip()
+            raw = f.read().splitlines()
     except OSError:
         return None
+    # Fold backslash continuations into logical lines (an odd trailing-
+    # backslash count continues; the next line's leading whitespace drops).
+    logical: list[str] = []
+    buf: str | None = None
+    for line in raw:
+        if buf is None:
+            stripped = line.strip()
+            if not stripped or stripped[0] in "#!":
+                continue
+            cur = stripped
+        else:
+            cur = buf + line.lstrip().rstrip()
+        trailing = len(cur) - len(cur.rstrip("\\"))
+        if trailing % 2 == 1:
+            buf = cur[:-1]
+        else:
+            logical.append(cur)
+            buf = None
+    if buf is not None:
+        logical.append(buf)
+    for s in logical:
+        k, v = _split_properties_line(s)
+        if k == key:
+            v = v.strip()
+            return v or None
     return None
 
 

@@ -1,0 +1,223 @@
+"""Regression tests for the four r10 ADVICE defects (fixed r11).
+
+1. ``session._defaults_conf_value`` must parse Properties-style
+   separators — Spark loads spark-defaults.conf via java.util.Properties,
+   so ``key=value`` / ``key:value`` / backslash continuations are all
+   legal; the whitespace-only parse silently dropped '='-style
+   deployments' classpaths (the exact clobber the helper prevents).
+2. ``SketchRetention._framed_range`` must read tier widths from the
+   mirror BOX (the consistent (frame, tiers) snapshot), not live
+   ``self.tiers`` — a direct ask racing compact_before must not apply
+   post-compaction widths to the pre-compaction mirror.
+3. The shim-probe absent/transient distinction must latch on the JVM's
+   own ClassNotFoundException (Class.forName, inspected by java TYPE),
+   not a py4j message substring — which live probing showed never fires
+   on the bundled py4j (absent classes raise ``TypeError: 'JavaPackage'
+   object is not callable``), so shim-less sessions warned forever.
+4. ``bench.half_medians`` with a single sample must publish the
+   degenerate [m, m] spread, not a fake [0.0, m] lower bound.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from datafusion_uwheel_spark.session import (
+    _defaults_conf_value,
+    _split_properties_line,
+)
+
+
+# ------------------------------------------------- 1. properties parsing
+def test_split_properties_line_forms():
+    assert _split_properties_line("k v") == ("k", "v")
+    assert _split_properties_line("k=v") == ("k", "v")
+    assert _split_properties_line("k:v") == ("k", "v")
+    assert _split_properties_line("k = v") == ("k", "v")
+    assert _split_properties_line("k : v") == ("k", "v")
+    assert _split_properties_line("k\t \tv with spaces") == ("k", "v with spaces")
+    # value may itself contain separators — only the FIRST terminates key
+    assert _split_properties_line("k=a=b:c d") == ("k", "a=b:c d")
+    # backslash escapes the next char into the key
+    assert _split_properties_line(r"a\=b=v") == ("a=b", "v")
+    assert _split_properties_line(r"a\ b : v") == ("a b", "v")
+    # bare key, no value
+    assert _split_properties_line("justkey") == ("justkey", "")
+
+
+@pytest.mark.parametrize(
+    "line",
+    [
+        "spark.driver.extraClassPath /dep/a.jar",
+        "spark.driver.extraClassPath=/dep/a.jar",
+        "spark.driver.extraClassPath:/dep/a.jar",
+        "spark.driver.extraClassPath = /dep/a.jar",
+        "spark.driver.extraClassPath\t/dep/a.jar",
+    ],
+)
+def test_defaults_conf_value_separator_forms(tmp_path, monkeypatch, line):
+    (tmp_path / "spark-defaults.conf").write_text(
+        f"# deployment conf\n!old-style comment\n\n{line}\n"
+        "spark.other.key=zzz\n"
+    )
+    monkeypatch.setenv("SPARK_CONF_DIR", str(tmp_path))
+    assert _defaults_conf_value("spark.driver.extraClassPath") == "/dep/a.jar"
+    assert _defaults_conf_value("spark.other.key") == "zzz"
+    assert _defaults_conf_value("spark.missing.key") is None
+
+
+def test_defaults_conf_value_continuations(tmp_path, monkeypatch):
+    (tmp_path / "spark-defaults.conf").write_text(
+        "spark.driver.extraClassPath=/dep/a.jar:\\\n"
+        "    /dep/b.jar:\\\n"
+        "    /dep/c.jar\n"
+        "spark.after.key value\n"
+    )
+    monkeypatch.setenv("SPARK_CONF_DIR", str(tmp_path))
+    assert (
+        _defaults_conf_value("spark.driver.extraClassPath")
+        == "/dep/a.jar:/dep/b.jar:/dep/c.jar"
+    )
+    # the line AFTER a continuation still parses on its own
+    assert _defaults_conf_value("spark.after.key") == "value"
+
+
+def test_defaults_conf_value_even_trailing_backslashes(tmp_path, monkeypatch):
+    # an ESCAPED backslash at end of line does NOT continue (odd count
+    # continues, even count does not — the Properties rule)
+    (tmp_path / "spark-defaults.conf").write_text(
+        "spark.win.path=C:\\\\dir\\\\\\\\\n" "spark.next key2\n"
+    )
+    monkeypatch.setenv("SPARK_CONF_DIR", str(tmp_path))
+    assert _defaults_conf_value("spark.next") == "key2"
+
+
+def test_defaults_conf_value_missing_file(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_CONF_DIR", str(tmp_path / "nope"))
+    assert _defaults_conf_value("spark.any") is None
+
+
+def test_defaults_conf_value_empty_value_is_none(tmp_path, monkeypatch):
+    (tmp_path / "spark-defaults.conf").write_text("spark.empty=\n")
+    monkeypatch.setenv("SPARK_CONF_DIR", str(tmp_path))
+    assert _defaults_conf_value("spark.empty") is None
+
+
+# --------------------------------------------- 2. mirror-box tiers snapshot
+@pytest.fixture(scope="module")
+def hll_events(spark):
+    base = datetime(2024, 2, 1)
+    rows = [
+        (base + timedelta(hours=h, minutes=m), (h * 7 + m) % 31)
+        for h in range(6)
+        for m in range(0, 60, 5)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, uid bigint")
+
+
+def test_mirror_box_snapshots_tiers(spark, hll_events):
+    from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
+
+    r = build_distinct_rollup(hll_events, "ts", "uid", bucket_seconds=3600)
+    try:
+        box1 = r._mirror_box()
+        assert box1["tiers"] == []
+        # simulate the race: tiers mutate while the frame identity has not
+        # yet swapped (the racing window compact_before opens between its
+        # groupBy and the _df assignment). _framed_range must keep using
+        # the BOX's tiers — widths consistent with the mirrored frame.
+        import calendar
+
+        a = calendar.timegm(datetime(2024, 2, 1).utctimetuple())
+        before = r._framed_range("hll", a, a + 6 * 3600)
+        assert before is not None and before[1] == 6  # six hourly buckets
+        saved = r.tiers
+        r._tiers = [(a + 10 * 3600, 86400)]  # post-compaction widths
+        try:
+            racing = r._framed_range("hll", a + 3600, a + 2 * 3600)
+            # with BOX tiers (hourly), only the one intersecting hourly
+            # bucket is selected; live tiers (day-wide slop) would pull in
+            # earlier buckets too
+            assert racing is not None and racing[1] == 1
+        finally:
+            r._tiers = saved
+        # a real compaction swaps the frame -> new box with the new tiers
+        cutoff = a + 10 * 3600
+        r.compact_before(cutoff, 21600)
+        box2 = r._mirror_box()
+        assert box2 is not box1
+        assert box2["tiers"] == [(cutoff - cutoff % 21600, 21600)]
+    finally:
+        r.unpersist()
+
+
+# ------------------------------------------ 3. shim-probe latch semantics
+def test_shim_absent_probe_by_java_type(spark):
+    from datafusion_uwheel_spark.operators.sketch_retention import SketchRetention
+
+    assert SketchRetention._shim_absent(spark) is False  # jar present
+    assert (
+        SketchRetention._shim_absent(spark, "io.uwheel.spark.NoSuchClassXyz")
+        is True
+    )
+    # a transiently-broken gateway (attribute chain raises a PYTHON error)
+    # must read as not-absent, never latch
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("gateway hiccup")
+
+    class _FakeSpark:
+        _jvm = _Boom()
+
+    assert SketchRetention._shim_absent(_FakeSpark()) is False
+
+
+def test_probe_latches_only_on_definitive_absence(spark, hll_events, monkeypatch):
+    from datafusion_uwheel_spark.operators.sketch_retention import SketchRetention
+    from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
+
+    r = build_distinct_rollup(hll_events, "ts", "uid", bucket_seconds=3600)
+    try:
+        # force the resolution attempt to raise, with absence DEFINITIVE
+        if hasattr(r, "_jvm_ops"):
+            del r._jvm_ops
+        monkeypatch.setattr(
+            spark.conf, "get", lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("probe boom")
+            )
+        )
+        monkeypatch.setattr(
+            SketchRetention, "_shim_absent", staticmethod(lambda s, _c=None: True)
+        )
+        assert r._sketch_ops() is None
+        assert r._jvm_ops is None  # LATCHED — no warning per ask
+        # now absence NOT definitive: transient -> warn, do NOT latch
+        del r._jvm_ops
+        monkeypatch.setattr(
+            SketchRetention, "_shim_absent", staticmethod(lambda s, _c=None: False)
+        )
+        with pytest.warns(RuntimeWarning, match="transiently"):
+            assert r._sketch_ops() is None
+        assert not hasattr(r, "_jvm_ops")  # NOT latched — next ask re-probes
+        monkeypatch.undo()
+        assert r._sketch_ops() is not None  # recovery on the next ask
+    finally:
+        r.unpersist()
+
+
+# --------------------------------------------------- 4. half_medians n<2
+def test_half_medians_degenerate_samples():
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench.half_medians([0.25]) == [0.25, 0.25]
+    assert bench.half_medians([]) == [0.0, 0.0]
+    lo, hi = bench.half_medians([0.1, 0.3, 0.2, 0.4])
+    assert 0.0 < lo <= hi and lo >= 0.1
