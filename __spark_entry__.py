@@ -268,10 +268,18 @@ def uw_keyed_numeric(spark, sf_dir):
     return _round(df, {"sum_value": 3})
 
 
-# NOTE (r4): the former uw_keyed_count row (COUNT(*) + keyed filter + range)
-# was folded out to fund uw_window_tumbling within the 50-row driver cap: its
-# semantics are hash-checked by uw_keyed_numeric's `n` column (count from a
-# keyed wheel over the same range) and pytest-covered in test_engine_fixture.
+def uw_keyed_count(spark, sf_dir):
+    """R9/R11 composite: COUNT(*) + keyed filter + range — the keyed COUNT
+    wheel (reference key scheme ``lib.rs:164-173``). Folded out r4 to fund
+    uw_window_tumbling (semantics hash-checked meanwhile via
+    uw_keyed_numeric's ``n``); re-seated r11 per the rotation ledger — the
+    oldest rotation debt — from uw_sum_range's slot."""
+    eng = _engine(spark, sf_dir)
+    df = eng.sql(
+        "SELECT COUNT(*) AS n FROM events "
+        f"WHERE ts >= '{A}' AND ts < '{B}' AND event_type = 'click'"
+    )
+    return df
 
 
 def uw_keyed_landmark(spark, sf_dir):
@@ -930,12 +938,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION LEDGER (so every retired surface regains the per-round
     # DuckDB hash check at least every other round):
     #   - uw_groupby_week <-> uw_groupby_month alternate each round
-    #     (r9: week IN, month out; r10 swaps back). Both stay
+    #     (r10: month IN; r11 swaps week back in). Both stay
     #     property-tested in test_lookup_properties.py regardless.
-    #   - uw_or_ranges <-> or_group_by alternate (r9: scalar IN, grouped
-    #     out) — both sides of the interval-split + monoid-sum path; the
-    #     bench away side stays pytest-pinned vs delegate in
-    #     test_or_ranges.py.
+    #   - uw_or_ranges <-> or_group_by alternate (r10: grouped IN; r11
+    #     swaps the scalar back in) — both sides of the interval-split +
+    #     monoid-sum path; the away side stays pytest-pinned vs delegate
+    #     in test_or_ranges.py.
     #   - uw_topk_sql seated r9 (the r8 routed top-k SQL shape earns its
     #     DuckDB hash check — exact, total-order gated); its slot came
     #     from uw_le_bound_range, whose <=-bound hybrid path stays covered
@@ -952,12 +960,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     test_engine_fixture.py.
     #   - uw_keyed_numeric re-seated r8 (out since r6); slot from
     #     uw_or_ranges (now back, see above).
+    #   - uw_keyed_count re-seated r11 (out since r4 — the oldest debt);
+    #     slot from uw_sum_range, whose sum_value column is hash-checked
+    #     IDENTICALLY every round inside uw_multi_agg (same range, same
+    #     rounding — the uw_count_col precedent) and whose single_agg
+    #     route kind stays hash-checked via uw_int_sum_range/uw_keyed_sum.
     #   - retired, pytest-pinned, candidates to rotate back in by
-    #     re-retiring a subsumed row: uw_groupby_month (r9 out),
-    #     or_group_by (r9 out), uw_le_bound_range (r9 out),
-    #     uw_point_instant (r9 out), uw_landmark_sum (r8 out),
-    #     dedup_fingerprint (r7 out), dedup_exact_keep (r6 out),
-    #     mm_media_dedup (r6 out), uw_keyed_count (r4 out),
+    #     re-retiring a subsumed row: uw_sum_range (r11 out),
+    #     uw_groupby_month (r11 out), or_group_by (r11 out),
+    #     uw_le_bound_range (r9 out), uw_point_instant (r9 out),
+    #     uw_landmark_sum (r8 out), dedup_fingerprint (r7 out),
+    #     dedup_exact_keep (r6 out), mm_media_dedup (r6 out),
     #     sim_ann_indexed/sim_ivf_indexed (r3 out, physically identical
     #     plans to the engine-routed rows).
     #   - freq_topk_by_day seated r10 (the LAST r8 surface, per-period
@@ -973,12 +986,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     is on the ledger, not folklore.
     return {
         "uw_count_range": uw_count_range,
-        "uw_sum_range": uw_sum_range,
+        # r11: uw_sum_range's slot funds the re-seated uw_keyed_count (the
+        # oldest rotation debt, out since r4); its sum_value column is
+        # hash-checked IDENTICALLY every round inside uw_multi_agg, and the
+        # single_agg route kind stays hash-checked via uw_int_sum_range /
+        # uw_keyed_sum.
+        "uw_keyed_count": uw_keyed_count,
         "uw_stddev_range": uw_stddev_range,
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
-        "uw_groupby_month": uw_groupby_month,  # r10: week<->month swap
+        "uw_groupby_week": uw_groupby_week,  # r11: month<->week swap
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
@@ -1000,10 +1018,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_topk_by_day": freq_topk_by_day,
         "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
-        # r10: or_group_by <-> uw_or_ranges alternate (both sides of the
-        # interval-split + monoid-sum path; the scalar form stays
+        # r11: or_group_by <-> uw_or_ranges alternate (both sides of the
+        # interval-split + monoid-sum path; the grouped form stays
         # pytest-pinned vs delegate in test_or_ranges.py).
-        "or_group_by": or_group_by,
+        "uw_or_ranges": uw_or_ranges,
         # r9: uw_point_instant's slot funds the per-key heavy hitters
         # (see ledger); the at-start point path stays covered by the
         # hybrid rows + test_hybrid_boundaries.py.
@@ -1054,9 +1072,9 @@ def oracle_sql() -> dict[str, str]:
         "uw_count_range": (
             f"SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
         ),
-        "uw_sum_range": (
-            f"SELECT round(sum(value), 3) AS sum_value FROM events "
-            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
+        "uw_keyed_count": (
+            f"SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '{A}' "
+            f"AND ts < TIMESTAMP '{B}' AND event_type = 'click'"
         ),
         "uw_stddev_range": (
             "SELECT round(stddev(value), 6) AS std_value, "
@@ -1082,17 +1100,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
         # TIMESTAMP — cast so the driver's schema compare agrees.
-        "uw_groupby_month": (
-            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+        "uw_groupby_week": (
+            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
-        "or_group_by": (
-            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
-            "count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
+        "uw_or_ranges": (
+            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
             "(ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00') OR "
-            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00') "
-            "GROUP BY 1 ORDER BY bucket"
+            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00')"
         ),
         # window(ts, '6 hours') = epoch-aligned 21600-second buckets;
         # make_timestamp takes epoch µs, so both fields stay naive TIMESTAMP
