@@ -200,6 +200,54 @@ class DistinctRollup(SketchRetention):
             .orderBy("bucket")
         )
 
+    def distinct_rows_by(self, granularity, start=None, end=None) -> list[tuple]:
+        """Driver-resident sibling of :meth:`approx_distinct_by` (r11 —
+        the frequency family's ``topk_rows_by`` model applied to the
+        dashboard-series sketch asks): the same ``(bucket,
+        approx_distinct)`` rows as plain Python tuples (bucket = naive-UTC
+        datetime, matching the job path's collected TIMESTAMPs) with ZERO
+        Spark jobs on a shim session — the whole series merges in ONE
+        py4j call (``UwheelSketchOps.hllEstimateGrouped`` over the framed
+        driver mirror). Buckets whose sketches were all NULL surface with
+        ``None``, mirroring the job path's NULL estimate. Falls back to
+        collecting the job path's DataFrame when the direct gate refuses
+        (exotic date_trunc level, unresolvable bounds, keyed-session
+        quirks, over-cap mirror, shim-less session) — identical rows
+        either way. Memoized until the rollup mutates."""
+        self._require_fresh()
+
+        def compute() -> list[tuple]:
+            # validation must raise identically on BOTH paths
+            self._check_granularity(granularity, start)
+            gc = self._grouped_cells("__hll", granularity, start, end)
+            if gc is None:
+                return [
+                    tuple(r)
+                    for r in self.approx_distinct_by(
+                        granularity, start, end
+                    ).collect()
+                ]
+            cells, framed, counts = gc
+            if not cells:
+                return []
+            ests = self._sketch_ops().hllEstimateGrouped(
+                framed, self._jint_array(counts)
+            )
+            return [
+                (self._bucket_dt(bk), int(e) if c else None)
+                for bk, e, c in zip(cells, ests, counts)
+            ]
+
+        return self._memoized_ask(
+            (
+                "distinct_by",
+                self._ask_token(granularity),
+                self._ask_token(start),
+                self._ask_token(end),
+            ),
+            compute,
+        )
+
     def merged_sketch(self, start, end) -> bytes | None:
         """The merged HLL sketch bytes for ``[start, end)`` — composable
         with sketches from other tables/partitions (union-merge downstream,

@@ -118,14 +118,8 @@ class QuantileRollup(SketchRetention):
             df = df.filter(F.col("__key").eqNullSafe(F.lit(key)))
         return df
 
-    def _jdouble_array(self, vals):
-        """Java ``double[]`` for the one-call JVM quantile extraction —
-        py4j auto-converts lists to ArrayList, not primitive arrays."""
-        sc = self._df.sparkSession.sparkContext
-        arr = sc._gateway.new_array(sc._jvm.double, len(vals))
-        for i, v in enumerate(vals):
-            arr[i] = v
-        return arr
+    # _jdouble_array comes from SketchRetention (shared with the grouped
+    # direct asks since r11)
 
     def _merged_row(self, start, end, exprs, key=_NO_KEY):
         _, merge, _, _, _ = _fns(self.suffix)
@@ -341,6 +335,66 @@ class QuantileRollup(SketchRetention):
                 ],
             )
             .orderBy("bucket")
+        )
+
+    def quantile_rows_by(self, granularity, q, start=None, end=None) -> list[tuple]:
+        """Driver-resident sibling of :meth:`approx_quantile_by` (r11):
+        the same ``(bucket, approx_quantile[_i]...)`` rows as plain Python
+        tuples (bucket = naive-UTC datetime, matching the job path's
+        collected TIMESTAMPs) with ZERO Spark jobs on a shim session —
+        the whole series merges in ONE py4j call
+        (``UwheelSketchOps.kllQuantiles{Double,Long}Grouped``). Buckets
+        whose sketches held no items surface with ``None`` per rank (the
+        job path's ``get_n > 0`` gate). Falls back to collecting the job
+        path's DataFrame when the direct gate refuses — same rows either
+        way, modulo KLL's randomized merge compaction (adjacent data
+        values within the rank bound; a memoized answer pins one).
+        Memoized until the rollup mutates."""
+        self._require_fresh()
+        qs = list(q) if isinstance(q, (list, tuple)) else [q]
+        for x in qs:
+            if not 0.0 <= float(x) <= 1.0:
+                raise ValueError(f"rank {x!r} outside [0, 1]")
+
+        def compute() -> list[tuple]:
+            self._check_granularity(granularity, start)
+            gc = self._grouped_cells("__kll", granularity, start, end)
+            if gc is None:
+                return [
+                    tuple(r)
+                    for r in self.approx_quantile_by(
+                        granularity, q, start, end
+                    ).collect()
+                ]
+            cells, framed, counts = gc
+            if not cells:
+                return []
+            ops = self._sketch_ops()
+            fn = (
+                ops.kllQuantilesLongGrouped
+                if self.suffix == "bigint"
+                else ops.kllQuantilesDoubleGrouped
+            )
+            out = fn(
+                framed,
+                self._jint_array(counts),
+                self._jdouble_array([float(x) for x in qs]),
+            )
+            rows = []
+            for bk, cell in zip(cells, out):
+                vals = [None] * len(qs) if cell is None else list(cell)
+                rows.append((self._bucket_dt(bk), *vals))
+            return rows
+
+        return self._memoized_ask(
+            (
+                "quantile_by",
+                self._ask_token(granularity),
+                tuple(float(x) for x in qs),
+                self._ask_token(start),
+                self._ask_token(end),
+            ),
+            compute,
         )
 
     def _union_agg_exprs(self):

@@ -428,6 +428,122 @@ class SketchRetention:
             parts.append(bb)
         return b"".join(parts), len(sel)
 
+    #: Job-path default bounds for one-sided grouped restrictions — the
+    #: exact literals the families' *_by forms substitute ('1970-01-01' /
+    #: '9999-01-01'), resolved once so the driver math cannot drift.
+    _OPEN_START_SEC = 0
+    _OPEN_END_SEC = 253_370_764_800  # epoch of '9999-01-01'
+
+    def _grouped_cells(self, col, granularity, start, end, keyed_ask=False):
+        """The grouped direct-ask gate (r11 — approx_*_by's economics):
+        ``(bucket_secs, framed_blob, counts)`` when the series can answer
+        from the driver mirror, else None (job path). ``bucket_secs`` are
+        the ascending occupied cells over the (optionally restricted)
+        mirror, bucketed with the SAME driver-side truncation the
+        frequency family pinned (``functions.timestamps.bucket_starts`` —
+        named date_trunc levels + epoch-aligned int widths); ``counts[i]``
+        is cell i's number of non-NULL sketch frames inside
+        ``framed_blob`` (frame layout as in :meth:`_framed_range`), so the
+        JVM's ``*Grouped`` ops merge a whole dashboard series in ONE py4j
+        round trip. Exotic date_trunc levels, unresolvable bounds, keyed
+        asks, shim-less/non-UTC sessions, and over-cap mirrors/blobs all
+        fall back — correct either way, just the ~200 ms job floor.
+        Granularity VALIDATION (`_check_granularity`) is the caller's job:
+        it must raise on both paths, never route-dependently."""
+        import struct
+
+        import numpy as np
+
+        if keyed_ask or self._sketch_ops() is None:
+            return None
+        if not isinstance(granularity, int):
+            from ..functions.timestamps import (
+                CALENDAR_GRANULARITIES,
+                GRANULARITIES,
+            )
+
+            g = str(granularity).lower()
+            if g not in GRANULARITIES and g not in CALENDAR_GRANULARITIES:
+                return None  # exotic date_trunc level: job path owns it
+            granularity = g
+        if start is None and end is None:
+            a = b = None  # the job path applies no filter at all
+        else:
+            a = (
+                self._OPEN_START_SEC
+                if start is None
+                else self._epoch_bound(start)
+            )
+            b = self._OPEN_END_SEC if end is None else self._epoch_bound(end)
+            if a is None or b is None:
+                return None
+        from ..functions.timestamps import bucket_starts
+
+        box = self._mirror_box()
+        m = self._bytes_mirror(col, box)
+        if m is False:
+            return None
+        secs, bufs = m
+        if a is not None and len(secs):
+            w = np.full(len(secs), self.bucket_seconds, dtype=np.int64)
+            for tend, tw in reversed(box["tiers"]):
+                w[secs < tend] = tw
+            mask = (secs > a - w) & (secs < b)
+            idx = np.nonzero(mask)[0]
+        else:
+            idx = np.arange(len(secs))
+        if not len(idx):
+            return [], struct.pack(">i", 0), []
+        kb = bucket_starts(secs[idx], granularity)
+        # secs ascend and every truncation is monotone, so cells arrive as
+        # contiguous runs — one pass, no dict
+        cells: list = []
+        counts: list = []
+        sel: list = []
+        for bk, i in zip(kb.tolist(), idx.tolist()):
+            if not cells or bk != cells[-1]:
+                cells.append(bk)
+                counts.append(0)
+            if bufs[i] is not None:
+                sel.append(bufs[i])
+                counts[-1] += 1
+        if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+            return None
+        parts = [struct.pack(">i", len(sel))]
+        for bb in sel:
+            parts.append(struct.pack(">i", len(bb)))
+            parts.append(bb)
+        return cells, b"".join(parts), counts
+
+    @staticmethod
+    def _bucket_dt(sec: int):
+        """Epoch seconds → the naive-UTC datetime a collected TIMESTAMP
+        bucket equals on the pinned UTC session (the frequency family's
+        probe-pinned conversion)."""
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    def _jint_array(self, vals):
+        """Java ``int[]`` — py4j auto-converts Python lists to ArrayList,
+        not primitive arrays, so the ``*Grouped`` ops need explicit
+        gateway arrays."""
+        sc = self._df.sparkSession.sparkContext
+        arr = sc._gateway.new_array(sc._jvm.int, len(vals))
+        for i, v in enumerate(vals):
+            arr[i] = int(v)
+        return arr
+
+    def _jdouble_array(self, vals):
+        """Java ``double[]`` for rank/quantile argument lists."""
+        sc = self._df.sparkSession.sparkContext
+        arr = sc._gateway.new_array(sc._jvm.double, len(vals))
+        for i, v in enumerate(vals):
+            arr[i] = float(v)
+        return arr
+
     def _persist_meta(self) -> dict:
         """Ladder + freshness fields every family's ``save()`` meta must
         carry: a save/load cycle that dropped the stale mark would turn

@@ -311,6 +311,69 @@ class ThetaRollup(SketchRetention):
             .orderBy("period")
         )
 
+    def retention_rows_by(self, granularity, start=None, end=None) -> list[tuple]:
+        """Driver-resident sibling of :meth:`retention_by` (r11): the same
+        ``(period, n_curr, n_prev, n_retained, retention)`` rows as plain
+        Python tuples (period = naive-UTC datetime, matching the job
+        path's collected TIMESTAMPs) with ZERO Spark jobs on a shim
+        session — per-period unions AND the consecutive intersections all
+        merge in ONE py4j call (``UwheelSketchOps.thetaRetentionGrouped``
+        returns the raw double estimates; the CAST(long) truncation and
+        the job path's NULL/coalesce algebra — first period NULLs, a
+        NULL-sketch period estimating 0, retention NULL when the previous
+        period is missing or empty — are applied here, pinned to
+        :meth:`retention_by`'s expressions). Falls back to collecting the
+        job path's DataFrame when the direct gate refuses. Memoized until
+        the rollup mutates."""
+        self._require_fresh()
+
+        def compute() -> list[tuple]:
+            self._check_granularity(granularity, start)
+            gc = self._grouped_cells("__theta", granularity, start, end)
+            if gc is None:
+                return [
+                    tuple(r)
+                    for r in self.retention_by(granularity, start, end).collect()
+                ]
+            cells, framed, counts = gc
+            if not cells:
+                return []
+            raw = list(
+                self._sketch_ops().thetaRetentionGrouped(
+                    framed, self._jint_array(counts)
+                )
+            )
+            n = len(cells)
+            ests, rets = raw[:n], raw[n:]
+            rows = []
+            for i, bk in enumerate(cells):
+                # _est coalesces a NULL sketch to 0.0, so n_curr is 0 (not
+                # NULL) for an all-NULL period; cast('long') truncates
+                # toward zero exactly like Python int() on a double
+                n_curr = int(ests[i]) if counts[i] else 0
+                if i == 0 or counts[i - 1] == 0:
+                    # lag NULL (first period) or a NULL previous sketch:
+                    # the job path's explicit WHEN(__prev IS NULL) arms
+                    n_prev = n_ret = retention = None
+                else:
+                    n_prev = int(ests[i - 1])
+                    n_ret = int(rets[i]) if counts[i] else 0
+                    retention = (
+                        float(n_ret) / float(n_prev) if n_prev > 0 else None
+                    )
+                rows.append((self._bucket_dt(bk), n_curr, n_prev, n_ret, retention))
+            return rows
+
+        return self._memoized_ask(
+            (
+                "retention_by",
+                self._ask_token(granularity),
+                self._ask_token(start),
+                self._ask_token(end),
+            ),
+            compute,
+        )
+
     def merged_sketch(self, start, end) -> bytes | None:
         """The merged theta sketch bytes for ``[start, end)`` — composable
         with sketches from other tables (cross-dataset audience algebra).

@@ -1850,12 +1850,29 @@ object UwheelSketchOps {
     out
   }
 
-  // ------------------------------------------------------------------ HLL
-  /** Union all framed HLL sketches and return the rounded estimate —
-    * exactly hll_sketch_estimate(hll_union_agg(...)): the union adopts the
-    * first sketch's lgConfigK (all buckets of one rollup share it). */
-  def hllEstimate(framed: Array[Byte]): Long = {
+  /** Split one framed blob into cells: counts(i) frames belong to cell i,
+    * in order — the GROUPED ask shape (r11). The Python side groups its
+    * (sec, bytes) mirror by the asked granularity and ships ONE blob plus
+    * the per-cell frame counts, so a whole dashboard series costs one
+    * py4j round trip instead of a ~200 ms Spark job (or one call per
+    * cell). */
+  private def cellFrames(
+      framed: Array[Byte], counts: Array[Int]
+  ): Array[Array[Array[Byte]]] = {
     val fs = frames(framed)
+    val out = new Array[Array[Array[Byte]]](counts.length)
+    var p = 0
+    var i = 0
+    while (i < counts.length) {
+      out(i) = java.util.Arrays.copyOfRange(fs, p, p + counts(i))
+      p += counts(i)
+      i += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------ HLL
+  private def hllUnionEstimate(fs: Array[Array[Byte]]): Long = {
     if (fs.isEmpty) return 0L
     val first = HllSketch.wrap(Memory.wrap(fs(0)))
     val u = new HllUnion(first.getLgConfigK)
@@ -1863,22 +1880,63 @@ object UwheelSketchOps {
     Math.round(u.getEstimate)
   }
 
+  /** Union all framed HLL sketches and return the rounded estimate —
+    * exactly hll_sketch_estimate(hll_union_agg(...)): the union adopts the
+    * first sketch's lgConfigK (all buckets of one rollup share it). */
+  def hllEstimate(framed: Array[Byte]): Long = hllUnionEstimate(frames(framed))
+
+  /** Per-cell union estimates — approx_distinct_by's series in one call.
+    * Empty cells (a bucket whose sketches were all NULL) return 0 here;
+    * the Python caller maps them to the job path's NULL via its counts. */
+  def hllEstimateGrouped(framed: Array[Byte], counts: Array[Int]): Array[Long] =
+    cellFrames(framed, counts).map(hllUnionEstimate)
+
   // ------------------------------------------------------------------ KLL
-  private def mergedDoubles(framed: Array[Byte]): KllDoublesSketch = {
-    val fs = frames(framed)
+  private def mergeDoubles(fs: Array[Array[Byte]]): KllDoublesSketch = {
     val first = KllDoublesSketch.heapify(Memory.wrap(fs(0)))
     val acc = KllDoublesSketch.newHeapInstance(first.getK)
     fs.foreach(b => acc.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
     acc
   }
 
-  private def mergedLongs(framed: Array[Byte]): KllLongsSketch = {
-    val fs = frames(framed)
+  private def mergeLongs(fs: Array[Array[Byte]]): KllLongsSketch = {
     val first = KllLongsSketch.heapify(Memory.wrap(fs(0)))
     val acc = KllLongsSketch.newHeapInstance(first.getK)
     fs.foreach(b => acc.merge(KllLongsSketch.heapify(Memory.wrap(b))))
     acc
   }
+
+  private def mergedDoubles(framed: Array[Byte]): KllDoublesSketch =
+    mergeDoubles(frames(framed))
+
+  private def mergedLongs(framed: Array[Byte]): KllLongsSketch =
+    mergeLongs(frames(framed))
+
+  /** Per-cell quantiles — approx_quantile_by's series in one call: cell i
+    * returns its quantile per asked rank, or null when the cell holds no
+    * frames / only empty sketches (the job path's get_n(...) > 0 gate →
+    * NULL per rank). */
+  def kllQuantilesDoubleGrouped(
+      framed: Array[Byte], counts: Array[Int], qs: Array[Double]
+  ): Array[Array[Double]] =
+    cellFrames(framed, counts).map { fs =>
+      if (fs.isEmpty) null
+      else {
+        val acc = mergeDoubles(fs)
+        if (acc.isEmpty) null else qs.map(acc.getQuantile(_))
+      }
+    }
+
+  def kllQuantilesLongGrouped(
+      framed: Array[Byte], counts: Array[Int], qs: Array[Double]
+  ): Array[Array[Long]] =
+    cellFrames(framed, counts).map { fs =>
+      if (fs.isEmpty) null
+      else {
+        val acc = mergeLongs(fs)
+        if (acc.isEmpty) null else qs.map(acc.getQuantile(_))
+      }
+    }
 
   /** Quantiles at the given ranks, or null when every sketch is empty —
     * the Python caller maps null to the job path's NULL-per-rank. */
@@ -1935,5 +1993,35 @@ object UwheelSketchOps {
     val i = SetOperation.builder().buildIntersection().intersect(ua, ub)
     val u = SetOperation.builder().buildUnion().union(ua, ub)
     Array(Math.round(i.getEstimate), Math.round(u.getEstimate))
+  }
+
+  /** retention_by's whole series in one call: per-period union estimates
+    * and each period's intersection with the PREVIOUS period, returned as
+    * RAW doubles ``[est_0..est_{n-1}, ret_0..ret_{n-1}]`` (ret_0 is 0 and
+    * unused) — the Python caller applies the job path's exact
+    * NULL/coalesce/CAST(long) semantics using its per-cell counts, so the
+    * truncation matches theta_sketch_estimate(...).cast('long')
+    * bit-for-bit. Empty cells union to the empty sketch (estimate 0). */
+  def thetaRetentionGrouped(
+      framed: Array[Byte], counts: Array[Int]
+  ): Array[Double] = {
+    val unions = cellFrames(framed, counts).map { fs =>
+      val u = SetOperation.builder().buildUnion()
+      fs.foreach(b => u.union(CompactSketch.wrap(Memory.wrap(b))))
+      u.getResult
+    }
+    val n = unions.length
+    val out = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) {
+      out(i) = unions(i).getEstimate
+      out(n + i) =
+        if (i == 0) 0.0
+        else
+          SetOperation.builder().buildIntersection()
+            .intersect(unions(i - 1), unions(i)).getEstimate
+      i += 1
+    }
+    out
   }
 }
