@@ -230,8 +230,12 @@ class DistinctRollup(SketchRetention):
             cells, framed, counts = gc
             if not cells:
                 return []
-            ests = self._sketch_ops().hllEstimateGrouped(
-                framed, self._jint_array(counts)
+            import struct
+
+            # packed int64s back (one bulk transfer — see _grouped_cells)
+            ests = struct.unpack(
+                f">{len(cells)}q",
+                bytes(self._sketch_ops().hllEstimateGrouped(framed)),
             )
             return [
                 (self._bucket_dt(bk), int(e) if c else None)

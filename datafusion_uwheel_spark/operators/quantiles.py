@@ -369,20 +369,31 @@ class QuantileRollup(SketchRetention):
             cells, framed, counts = gc
             if not cells:
                 return []
+            import struct
+
             ops = self._sketch_ops()
             fn = (
                 ops.kllQuantilesLongGrouped
                 if self.suffix == "bigint"
                 else ops.kllQuantilesDoubleGrouped
             )
-            out = fn(
-                framed,
-                self._jint_array(counts),
-                self._jdouble_array([float(x) for x in qs]),
+            blob = bytes(
+                fn(framed, self._jdouble_array([float(x) for x in qs]))
             )
+            # packed per cell: occupancy byte, then (when occupied) one
+            # value per rank — one bulk transfer (see _grouped_cells)
+            m = len(qs)
+            code = "q" if self.suffix == "bigint" else "d"
             rows = []
-            for bk, cell in zip(cells, out):
-                vals = [None] * len(qs) if cell is None else list(cell)
+            off = 0
+            for bk in cells:
+                occ = blob[off]
+                off += 1
+                if occ:
+                    vals = list(struct.unpack_from(f">{m}{code}", blob, off))
+                    off += 8 * m
+                else:
+                    vals = [None] * m
                 rows.append((self._bucket_dt(bk), *vals))
             return rows
 

@@ -443,11 +443,17 @@ class SketchRetention:
         frequency family pinned (``functions.timestamps.bucket_starts`` —
         named date_trunc levels + epoch-aligned int widths); ``counts[i]``
         is cell i's number of non-NULL sketch frames inside
-        ``framed_blob`` (frame layout as in :meth:`_framed_range`), so the
-        JVM's ``*Grouped`` ops merge a whole dashboard series in ONE py4j
-        round trip. Exotic date_trunc levels, unresolvable bounds, keyed
-        asks, shim-less/non-UTC sessions, and over-cap mirrors/blobs all
-        fall back — correct either way, just the ~200 ms job floor.
+        ``framed_blob`` — whose layout embeds them:
+        ``[n_cells:int32][count_i:int32]*n [len:int32 bytes]*`` big-endian,
+        and the ``*Grouped`` results come back as packed byte blobs too,
+        because py4j moves byte[] in one bulk transfer while int[]/long[]
+        arguments and returns pay one gateway round trip PER ELEMENT
+        (~0.3 ms each — measured ~9 ms of pure counts shipping on a
+        29-cell series before this layout). So the JVM merges a whole
+        dashboard series in ONE py4j round trip with two bulk transfers.
+        Exotic date_trunc levels, unresolvable bounds, keyed asks,
+        shim-less/non-UTC sessions, and over-cap mirrors/blobs all fall
+        back — correct either way, just the ~200 ms job floor.
         Granularity VALIDATION (`_check_granularity`) is the caller's job:
         it must raise on both paths, never route-dependently."""
         import struct
@@ -509,7 +515,7 @@ class SketchRetention:
                 counts[-1] += 1
         if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
             return None
-        parts = [struct.pack(">i", len(sel))]
+        parts = [struct.pack(f">i{len(counts)}i", len(counts), *counts)]
         for bb in sel:
             parts.append(struct.pack(">i", len(bb)))
             parts.append(bb)
@@ -526,18 +532,10 @@ class SketchRetention:
             tzinfo=None
         )
 
-    def _jint_array(self, vals):
-        """Java ``int[]`` — py4j auto-converts Python lists to ArrayList,
-        not primitive arrays, so the ``*Grouped`` ops need explicit
-        gateway arrays."""
-        sc = self._df.sparkSession.sparkContext
-        arr = sc._gateway.new_array(sc._jvm.int, len(vals))
-        for i, v in enumerate(vals):
-            arr[i] = int(v)
-        return arr
-
     def _jdouble_array(self, vals):
-        """Java ``double[]`` for rank/quantile argument lists."""
+        """Java ``double[]`` for rank/quantile argument lists (a handful
+        of elements — the per-element gateway sets the grouped blob layout
+        exists to avoid don't matter at this size)."""
         sc = self._df.sparkSession.sparkContext
         arr = sc._gateway.new_array(sc._jvm.double, len(vals))
         for i, v in enumerate(vals):

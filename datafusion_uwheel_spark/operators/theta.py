@@ -338,9 +338,13 @@ class ThetaRollup(SketchRetention):
             cells, framed, counts = gc
             if not cells:
                 return []
+            import struct
+
+            # packed doubles back (one bulk transfer — see _grouped_cells)
             raw = list(
-                self._sketch_ops().thetaRetentionGrouped(
-                    framed, self._jint_array(counts)
+                struct.unpack(
+                    f">{2 * len(cells)}d",
+                    bytes(self._sketch_ops().thetaRetentionGrouped(framed)),
                 )
             )
             n = len(cells)
