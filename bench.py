@@ -189,7 +189,7 @@ def main() -> None:
         fresh(dr, lambda: dr.approx_distinct(_qa, _qb)), N_PROBE,
     )
     del dr._jvm_ops
-    queries["uw_approx_distinct_memo"] = time_calls(
+    timed_spread("uw_approx_distinct_memo", 
         lambda: dr.approx_distinct(_qa, _qb), N_PROBE
     )
     timed_spread(
@@ -204,7 +204,7 @@ def main() -> None:
         N_PROBE,
     )
     del qr._jvm_ops
-    queries["uw_approx_quantile_memo"] = time_calls(
+    timed_spread("uw_approx_quantile_memo", 
         lambda: qr.approx_quantile([0.5, 0.95, 0.99], _qa, _qb), N_PROBE
     )
     log(
@@ -216,8 +216,46 @@ def main() -> None:
         f"{queries['uw_approx_distinct_memo']*1e6:.0f} / "
         f"{queries['uw_approx_quantile_memo']*1e6:.0f} µs"
     )
-    queries["uw_approx_quantile_by_day"] = time_calls(
+    timed_spread("uw_approx_quantile_by_day", 
         lambda: qr.approx_quantile_by("day", 0.95).count(), N_PROBE
+    )
+    # r11: the GROUPED (dashboard-series) forms' direct path — the whole
+    # per-day series answers from the driver mirror in ONE batched py4j
+    # call (UwheelSketchOps.*Grouped); the *_jobpath controls pin the
+    # per-ask Spark-job floor the r10 verdict flagged (~180-400 ms).
+    timed_spread(
+        "uw_distinct_by_day_direct",
+        fresh(dr, lambda: dr.distinct_rows_by("day")), N_PROBE,
+    )
+    dr._jvm_ops = None
+    timed_spread(
+        "uw_distinct_by_day_jobpath",
+        fresh(dr, lambda: dr.distinct_rows_by("day")), N_PROBE,
+    )
+    del dr._jvm_ops
+    timed_spread(
+        "uw_quantile_by_day_direct",
+        fresh(qr, lambda: qr.quantile_rows_by("day", 0.95)), N_PROBE,
+    )
+    qr._jvm_ops = None
+    timed_spread(
+        "uw_quantile_by_day_jobpath",
+        fresh(qr, lambda: qr.quantile_rows_by("day", 0.95)), N_PROBE,
+    )
+    del qr._jvm_ops
+    # deterministic family: direct rows must equal the job-path rows here
+    _gd = dr.distinct_rows_by("day")
+    dr._jvm_ops = None
+    dr.invalidate_asks()
+    assert dr.distinct_rows_by("day") == _gd, "grouped HLL direct != job"
+    del dr._jvm_ops
+    dr.invalidate_asks()
+    log(
+        f"grouped sketch asks (per-day series): distinct direct "
+        f"{queries['uw_distinct_by_day_direct']*1e3:.2f} ms vs job "
+        f"{queries['uw_distinct_by_day_jobpath']*1e3:.0f} ms; quantile "
+        f"direct {queries['uw_quantile_by_day_direct']*1e3:.2f} ms vs job "
+        f"{queries['uw_quantile_by_day_jobpath']*1e3:.0f} ms"
     )
     # Theta set algebra (r5): retention between two weeks from the cached
     # sketch wheel — the vanilla equivalent is TWO distinct scans + an
@@ -237,8 +275,31 @@ def main() -> None:
         fresh(tr, lambda: tr.approx_retained(_r1, _r2)), N_PROBE,
     )
     del tr._jvm_ops
-    queries["uw_theta_retained_memo"] = time_calls(
+    timed_spread("uw_theta_retained_memo", 
         lambda: tr.approx_retained(_r1, _r2), N_PROBE
+    )
+    # r11: the retention SERIES (period-over-period, per week) — unions
+    # AND consecutive intersections in one batched call vs one job per ask
+    timed_spread(
+        "uw_retention_by_week_direct",
+        fresh(tr, lambda: tr.retention_rows_by("week")), N_PROBE,
+    )
+    tr._jvm_ops = None
+    timed_spread(
+        "uw_retention_by_week_jobpath",
+        fresh(tr, lambda: tr.retention_rows_by("week")), N_PROBE,
+    )
+    del tr._jvm_ops
+    _gr = tr.retention_rows_by("week")
+    tr._jvm_ops = None
+    tr.invalidate_asks()
+    assert tr.retention_rows_by("week") == _gr, "grouped theta direct != job"
+    del tr._jvm_ops
+    tr.invalidate_asks()
+    log(
+        f"retention series (per-week): direct "
+        f"{queries['uw_retention_by_week_direct']*1e3:.2f} ms vs job "
+        f"{queries['uw_retention_by_week_jobpath']*1e3:.0f} ms"
     )
     _tn = tr.approx_retained(_r1, _r2)
     assert _tn > 0, "theta retention probe returned 0 on sf data"
@@ -256,17 +317,17 @@ def main() -> None:
         "uw_freq_topk",
         lambda: fr.approx_topk(_qa, _qb, k=4).collect(), N_PROBE,
     )
-    queries["uw_freq_topk_by_day"] = time_calls(
+    timed_spread("uw_freq_topk_by_day", 
         lambda: fr.approx_topk_by("day", k=2).count(), N_PROBE
     )
     # r9: the driver-resident direct path — same (item, est, upper) rows
     # from the numpy kept-rows mirror, ZERO Spark jobs (the wheels'
     # sql_rows economics extended to the sketch probe; kills the ~100 ms
     # small-job floor that made the probe slower than the scan at sf0.1)
-    queries["uw_freq_topk_direct"] = time_calls(
+    timed_spread("uw_freq_topk_direct", 
         lambda: fr.topk_rows(_qa, _qb, k=4), N_PROBE
     )
-    queries["uw_freq_topk_by_day_direct"] = time_calls(
+    timed_spread("uw_freq_topk_by_day_direct", 
         lambda: fr.topk_rows_by("day", k=2), N_PROBE
     )
     _fk = fr.approx_topk(_qa, _qb, k=4).collect()
@@ -350,8 +411,10 @@ def main() -> None:
             rows = fn()
             times.append(time.perf_counter() - t0)
         # nearest-rank like every other row statistic in this file: a
-        # published value is always an OBSERVED sample
+        # published value is always an OBSERVED sample; spread since r11
+        # (dedup_minhash warm medians were a known spread-less noise row)
         queries[family] = quantile(sorted(times), 0.5)
+        spreads[family] = half_medians(times)
         log(f"{family}: {queries[family]:.2f}s median of {n} ({rows} rows)")
 
     med("dedup_exact", lambda: dedup.dedup_exact(docs).count())
@@ -956,6 +1019,7 @@ def main() -> None:
         t0 = time.perf_counter()
         eng.sql(hot_sql).collect()
         hot_times.append(time.perf_counter() - t0)
+    spreads["uw_repeat_cached"] = half_medians(hot_times)
     hot_times.sort()
     queries["uw_repeat_cached"] = quantile(hot_times, 0.5)
     queries["uw_repeat_cached_p999"] = quantile(hot_times, 0.999)
@@ -1093,6 +1157,7 @@ def main() -> None:
         t0 = time.perf_counter()
         hybrid_call()
         h_times.append(time.perf_counter() - t0)
+    spreads["uw_between_hybrid"] = half_medians(h_times)
     h_times.sort()
     queries["uw_between_hybrid"] = h_times[len(h_times) // 2]
     log(f"uw_between_hybrid: p50 {queries['uw_between_hybrid']*1e3:.1f} ms")
@@ -1108,9 +1173,17 @@ def main() -> None:
             eng.sql(sql_of(a, b)).collect()
             assert eng.last_route.kind == expect_kind, eng.last_route
             times.append(time.perf_counter() - t0)
+        # r11: these were exactly the rows whose cross-round deltas kept
+        # reading as regressions with no in-run noise bar (r10 verdict
+        # "what's wrong" #1) — spread from the ORDERED sample, like the
+        # 1000-query families
+        spreads[family] = half_medians(times)
         times.sort()
         queries[family] = times[len(times) // 2]
-        log(f"{family}: p50 {queries[family]*1e3:.2f} ms")
+        log(
+            f"{family}: p50 {queries[family]*1e3:.2f} ms, spread "
+            f"[{spreads[family][0]*1e3:.2f}, {spreads[family][1]*1e3:.2f}]"
+        )
 
     run_family(
         "uw_having_groupby",
@@ -1137,6 +1210,7 @@ def main() -> None:
         ).collect()
         assert eng.last_route.kind == "or_ranges", eng.last_route
         times.append(time.perf_counter() - t0)
+    spreads["uw_or_ranges"] = half_medians(times)
     times.sort()
     queries["uw_or_ranges"] = times[len(times) // 2]
     log(f"uw_or_ranges: p50 {queries['uw_or_ranges']*1e3:.2f} ms")
@@ -1183,7 +1257,7 @@ def main() -> None:
         cat.sql(cte_sql).collect()
         assert cat.last_route.kind == "cte_rewrite", cat.last_route
 
-    queries["uw_cte_join"] = time_calls(cte_call, N_VANILLA)
+    timed_spread("uw_cte_join", cte_call, N_VANILLA)
     log(
         f"uw_cte_join: {queries['uw_cte_join']*1e3:.1f} ms median "
         "(routed CTEs + broadcast join)"
@@ -1293,7 +1367,7 @@ def main() -> None:
         assert eng.last_route.rewritten
         df.collect()
 
-    queries["uw_compacted_range"] = time_calls(compacted_call, N_PROBE)
+    timed_spread("uw_compacted_range", compacted_call, N_PROBE)
     log(f"uw_compacted_range: {queries['uw_compacted_range']*1e3:.1f} ms median")
 
     # Streaming retention steady state (r6): the bounded-on-endless-streams
@@ -1382,21 +1456,42 @@ def main() -> None:
             log(f"sf1 scale data derived in {time.perf_counter() - t0:.1f}s")
         # warm same-shape sf0.1 rebuild first: the session-opening
         # index_build row pays cold-JVM/first-scan overhead, so the honest
-        # scaling ratio is warm-vs-warm
-        t0 = time.perf_counter()
-        eng01 = WheelEngine(
-            spark, "events_sf01_warm", f"{SF_DIR}/events.parquet",
-            time_column="ts", min_max_columns=("value",),
-        )
-        eng01.build_index("value")
-        queries["index_build_warm"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        eng1 = WheelEngine(
-            spark, "events_sf1", ev1_path, time_column="ts",
-            min_max_columns=("value",),
-        )
-        eng1.build_index("value")
-        queries["index_build_sf1"] = time.perf_counter() - t0
+        # scaling ratio is warm-vs-warm. r11: each build row runs TWICE —
+        # the [min, max] of the two samples is its spread; index_build_sf1
+        # / _sf10 were the rows whose 5-25 s / 24-147 s within-round swings
+        # kept being adjudicated by SURVEY prose instead of data (r10
+        # verdict #3), and a one-shot duration has no in-run noise bar.
+        def timed_build(family, build_once, n=2):
+            times = []
+            for i in range(n):
+                t0 = time.perf_counter()
+                out = build_once(i)
+                times.append(time.perf_counter() - t0)
+            queries[family] = quantile(sorted(times), 0.5)
+            spreads[family] = half_medians(times)
+            return out  # the LAST built engine serves the query rows
+
+        def build_warm(i):
+            e = WheelEngine(
+                spark, f"events_sf01_warm_{i}", f"{SF_DIR}/events.parquet",
+                time_column="ts", min_max_columns=("value",),
+            )
+            e.build_index("value")
+            return e
+
+        eng01 = timed_build("index_build_warm", build_warm)
+
+        def build_sf1(i):
+            e = WheelEngine(
+                spark, f"events_sf1_{i}" if i else "events_sf1", ev1_path,
+                time_column="ts", min_max_columns=("value",),
+            )
+            e.build_index("value")
+            return e
+
+        # sample order: the REGISTERED name builds last so the query rows
+        # below hit a fresh-named view; sample 0 is the throwaway
+        eng1 = timed_build("index_build_sf1", lambda i: build_sf1(1 - i))
         log(
             f"index_build_sf1: {queries['index_build_sf1']:.2f}s "
             f"(warm sf0.1 {queries['index_build_warm']:.2f}s -> ratio "
@@ -1411,6 +1506,7 @@ def main() -> None:
             eng1.sql(q).collect()
             stimes.append(time.perf_counter() - t0)
             assert eng1.last_route.kind == "count_range", eng1.last_route
+        spreads["uw_count_sf1"] = half_medians(stimes)
         stimes.sort()
         queries["uw_count_sf1"] = quantile(stimes, 0.5)
         dtimes = []
@@ -1420,6 +1516,7 @@ def main() -> None:
             t0 = time.perf_counter()
             eng1.sql_rows(q)
             dtimes.append(time.perf_counter() - t0)
+        spreads["uw_count_direct_sf1"] = half_medians(dtimes)
         dtimes.sort()
         queries["uw_count_direct_sf1"] = quantile(dtimes, 0.5)
         log(
@@ -1431,15 +1528,15 @@ def main() -> None:
         # vanilla GROUP BY scan grows with the table — at sf0.1 both sit
         # near the local small-job floor; at 10x the scan has left it
         fr1 = eng1.build_topk_index("event_type", bucket_seconds=3600, capacity=8)
-        queries["uw_freq_topk_sf1"] = time_calls(
+        timed_spread("uw_freq_topk_sf1", 
             lambda: fr1.approx_topk(_qa, _qb, k=4).collect(), N_PROBE
         )
-        queries["uw_freq_topk_direct_sf1"] = time_calls(
+        timed_spread("uw_freq_topk_direct_sf1", 
             lambda: fr1.topk_rows(_qa, _qb, k=4), N_PROBE
         )
         ev1_view = read_parquet(spark, ev1_path)
         ev1_view.createOrReplaceTempView("events_sf1_raw")
-        queries["vanilla_topk_sf1"] = time_calls(
+        timed_spread("vanilla_topk_sf1", 
             lambda: spark.sql(
                 "SELECT event_type, count(*) AS n FROM events_sf1_raw "
                 f"WHERE ts >= '{_qa}' AND ts < '{_qb}' "
@@ -1477,11 +1574,20 @@ def main() -> None:
         # build the three rollups on the 10x events, price fresh asks vs
         # the vanilla scans on the same window, and let BENCH_r10 carry
         # the curve (probe ~flat, scan growing) or the honest negative.
-        t0 = time.perf_counter()
-        dr1 = eng1.build_distinct_index("user_id")
-        qr1 = eng1.build_quantile_index("value")
-        tr1 = eng1.build_theta_index("user_id")
-        queries["sketch_index_builds_sf1"] = time.perf_counter() - t0
+        # two samples like every r11 sf build row (the first sample's
+        # rollups are released before the second replaces them)
+        _sk_times = []
+        for _i in range(2):
+            t0 = time.perf_counter()
+            dr1 = eng1.build_distinct_index("user_id")
+            qr1 = eng1.build_quantile_index("value")
+            tr1 = eng1.build_theta_index("user_id")
+            _sk_times.append(time.perf_counter() - t0)
+            if _i == 0:
+                for _r in (dr1, qr1, tr1):
+                    _r.unpersist()
+        queries["sketch_index_builds_sf1"] = quantile(sorted(_sk_times), 0.5)
+        spreads["sketch_index_builds_sf1"] = half_medians(_sk_times)
         timed_spread(
             "uw_approx_distinct_sf1",
             fresh(dr1, lambda: dr1.approx_distinct(_qa, _qb)), N_PROBE,
@@ -1586,14 +1692,22 @@ def main() -> None:
                     u = part if u is None else u.unionByName(part)
                 u.repartition(int(CPUS)).write.mode("overwrite").parquet(ev10_path)
                 log(f"sf10 scale data derived in {time.perf_counter() - t0:.1f}s")
-            t0 = time.perf_counter()
-            eng10 = WheelEngine(
-                spark, "events_sf10", ev10_path, time_column="ts",
-            )
             # count-only states: the flat claim under test is the COUNT
-            # lookup; the lean build keeps the 100x driver mirror ~3x smaller
-            eng10.build_index("value", aggs=("count",))
-            queries["index_build_sf10"] = time.perf_counter() - t0
+            # lookup; the lean build keeps the 100x driver mirror ~3x
+            # smaller. TWO samples (timed_build): this row swung 23.8 s ->
+            # 147/126 s across r9/r10 with identical code — its spread now
+            # ships in-band instead of through a SURVEY watch note.
+            def build_sf10(i):
+                e = WheelEngine(
+                    spark,
+                    "events_sf10" if i else "events_sf10_0",
+                    ev10_path,
+                    time_column="ts",
+                )
+                e.build_index("value", aggs=("count",))
+                return e
+
+            eng10 = timed_build("index_build_sf10", build_sf10)
             dtimes = []
             for a, b in s_ranges:
                 q = (
@@ -1605,6 +1719,7 @@ def main() -> None:
                 eng10.sql_rows(q)
                 dtimes.append(time.perf_counter() - t0)
                 assert eng10.last_route.kind == "count_range", eng10.last_route
+            spreads["uw_count_direct_sf10"] = half_medians(dtimes)
             dtimes.sort()
             queries["uw_count_direct_sf10"] = quantile(dtimes, 0.5)
             log(
@@ -1618,15 +1733,15 @@ def main() -> None:
             fr10 = eng10.build_topk_index(
                 "event_type", bucket_seconds=3600, capacity=8
             )
-            queries["uw_freq_topk_sf10"] = time_calls(
+            timed_spread("uw_freq_topk_sf10", 
                 lambda: fr10.approx_topk(_qa, _qb, k=4).collect(), N_PROBE
             )
-            queries["uw_freq_topk_direct_sf10"] = time_calls(
+            timed_spread("uw_freq_topk_direct_sf10", 
                 lambda: fr10.topk_rows(_qa, _qb, k=4), N_PROBE
             )
             ev10_view = read_parquet(spark, ev10_path)
             ev10_view.createOrReplaceTempView("events_sf10_raw")
-            queries["vanilla_topk_sf10"] = time_calls(
+            timed_spread("vanilla_topk_sf10", 
                 lambda: spark.sql(
                     "SELECT event_type, count(*) AS n FROM events_sf10_raw "
                     f"WHERE ts >= '{_qa}' AND ts < '{_qb}' "
