@@ -100,10 +100,20 @@ class WheelEngine:
         index_granularity: str = "second",
         index_backend: str = "driver",
         time_unit: str | None = None,
+        approx_routing: bool = False,
     ):
         self.spark = spark
         self.name = name
         self.time_column = time_column
+        #: OPT-IN (r11): route plain-SQL ``approx_count_distinct(col)`` /
+        #: ``percentile_approx(col, p)`` over aligned time ranges to the
+        #: column's HLL/KLL rollup (zero-job direct asks). Off by default
+        #: ON PURPOSE: DataSketches estimates differ from Spark's HLL++ /
+        #: ApproximatePercentile values (both within their error bounds),
+        #: so silent routing would change answer values — opting in trades
+        #: routed-equals-delegate equality for scan-free estimates. Can
+        #: also be toggled later: ``engine.approx_routing = True``.
+        self.approx_routing = approx_routing
         from .functions.timestamps import GRANULARITY_SECONDS
 
         if index_granularity not in GRANULARITY_SECONDS:
@@ -975,7 +985,12 @@ class WheelEngine:
         decision, df = self.router.try_rewrite(parsed)
         self.last_route = decision
         if df is not None:
-            _memo_put(self._route_cache, query, (self.index_epoch, decision, df))
+            # approx_agg answers come from the SKETCH rollups, which mutate
+            # through their own handles (merge_batch/compact) without
+            # bumping index_epoch — never memoize them here; the rollup's
+            # ask memo (which those mutations DO invalidate) prices repeats
+            if decision.kind != "approx_agg":
+                _memo_put(self._route_cache, query, (self.index_epoch, decision, df))
             return df
         return self.spark.sql(query)
 
@@ -1032,7 +1047,8 @@ class WheelEngine:
             names, _types, rows = r.captured
             factory = Row(*names)
             out = [factory(*row) for row in rows]
-            _memo_put(self._rows_cache, query, (self.index_epoch, decision, out))
+            if decision.kind != "approx_agg":  # see sql(): rollup-owned state
+                _memo_put(self._rows_cache, query, (self.index_epoch, decision, out))
             return list(out)
         if df is not None:
             # rewritten, but not via a constant relation (scan-pruning

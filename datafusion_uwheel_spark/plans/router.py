@@ -48,7 +48,13 @@ from .predicates import (
     extract_min_max_predicate,
     split_temporal_filter,
 )
-from .sqlparse import AggSpec, ColRef, ParsedQuery, WindowSpec
+from .sqlparse import (
+    APPROX_AGG_FUNCS,
+    AggSpec,
+    ColRef,
+    ParsedQuery,
+    WindowSpec,
+)
 
 if TYPE_CHECKING:  # pragma: no cover
     from ..engine import WheelEngine
@@ -497,6 +503,9 @@ class Router:
                 None,
             )
 
+        if any(a.func in APPROX_AGG_FUNCS for a in q.aggs):
+            return self._try_approx(q, rng, residual)
+
         if not q.aggs:
             return RouteDecision("delegate", detail={"reason": "no aggregates"}), None
 
@@ -854,6 +863,123 @@ class Router:
         )
 
 
+
+    def _try_approx(self, q, rng, residual):
+        """OPT-IN routing of Spark's approximate aggregates to the sketch
+        rollups (r11 — the documented decision the r10 verdict asked for):
+        ``approx_count_distinct(col)`` answers from the column's HLL rollup
+        and ``percentile_approx/approx_percentile(col, p)`` from its KLL
+        rollup, through the zero-job direct ask when the shim is present.
+
+        NEVER fires unless ``engine.approx_routing`` is True: DataSketches
+        estimates legitimately DIFFER from Spark's HLL++ /
+        ApproximatePercentile values (both inside their published error
+        bounds — but silent routing would change answer VALUES, breaking
+        the engine's routed-equals-delegate contract). Opting in trades
+        that equality for O(buckets) scans-free answers; the estimate
+        error bounds are the rollups' own (~1.6% HLL at lg_k=12, ~1.65%
+        KLL rank at k=200).
+
+        Gates (everything else delegates): exactly one approx aggregate,
+        no GROUP BY (the *_rows_by driver forms serve series asks), no
+        residual predicate, a fresh rollup for the column, and bounds
+        aligned to the rollup's bucket grid in force over the range —
+        sketch range filters include partial edge buckets WHOLE (superset
+        semantics), so an unaligned bound would silently over-cover where
+        the wheels' second-aligned grid would not."""
+        e = self.engine
+        if not getattr(e, "approx_routing", False):
+            return (
+                RouteDecision(
+                    "delegate",
+                    detail={"reason": "approx routing is opt-in (engine.approx_routing)"},
+                ),
+                None,
+            )
+        if len(q.aggs) != 1 or q.group_by is not None or q.group_key is not None:
+            return (
+                RouteDecision(
+                    "delegate",
+                    detail={"reason": "approx agg mixed with other shapes"},
+                ),
+                None,
+            )
+        if residual or not q.conjuncts or rng is None or not rng.routable:
+            return (
+                RouteDecision(
+                    "delegate",
+                    detail={"reason": "approx route needs a pure aligned time range"},
+                ),
+                None,
+            )
+        agg = q.aggs[0]
+        rollups = (
+            e.distinct_rollups
+            if agg.func == "approx_count_distinct"
+            else e.quantile_rollups
+        )
+        rollup = rollups.get(agg.arg)
+        if rollup is None:  # Catalyst-style case-insensitive resolution
+            lowered = agg.arg.lower()
+            for col, cand in rollups.items():
+                if col.lower() == lowered:
+                    rollup = cand
+                    break
+        if rollup is None or rollup.stale or rollup.key_column is not None:
+            return (
+                RouteDecision(
+                    "delegate",
+                    detail={"reason": f"no fresh unkeyed rollup for {agg.arg!r}"},
+                ),
+                None,
+            )
+        a, b = rng.start_sec, rng.end_sec
+        width = max(
+            (tw for tend, tw in rollup.tiers if tend > a),
+            default=rollup.bucket_seconds,
+        )
+        if a % width or b % width:
+            return (
+                RouteDecision(
+                    "delegate",
+                    detail={"reason": f"bounds not aligned to {width}s rollup buckets"},
+                ),
+                None,
+            )
+        if agg.func == "approx_count_distinct":
+            value: Any = int(rollup.approx_distinct(a, b))
+            sql_type = "BIGINT"
+        else:
+            p = float(agg.param)
+            if not 0.0 <= p <= 1.0:
+                return (
+                    RouteDecision(
+                        "delegate",
+                        detail={"reason": "percentage outside [0, 1]"},
+                    ),
+                    None,
+                )
+            value = rollup.approx_quantile(p, a, b)
+            # the delegate returns the INPUT column's type (probed 4.1:
+            # percentile_approx(int_col, p) is INT) — match it
+            dtypes = {c.lower(): t for c, t in e.df.dtypes}
+            sql_type = {
+                "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+                "bigint": "BIGINT", "float": "FLOAT",
+            }.get(dtypes.get(agg.arg.lower(), "double"), "DOUBLE")
+        names = [agg.output_name]
+        rows = [(value,)]
+        if q.order_by or q.limit is not None:
+            rows = _order_limit_rows(q, names, rows)
+        df = self._constant_relation(names, [sql_type], rows)
+        return (
+            RouteDecision(
+                "approx_agg",
+                index_key=f"{e.name}.{agg.arg}.{agg.func}",
+                detail={"width": width},
+            ),
+            df,
+        )
 
     def _try_count_distinct(self, q, rng, residual):
         """Exact ``COUNT(DISTINCT key)`` from a key-complete partitioned

@@ -55,7 +55,17 @@ AGG_FUNCS = {
     "variance",
     "var_samp",
     "var_pop",
+    # Approximate aggregates (r11, OPT-IN routing only — see
+    # router._try_approx: estimates from the engine's DataSketches rollups
+    # legitimately DIFFER from Spark's HLL++/ApproximatePercentile, so the
+    # route never fires unless the engine enables it explicitly).
+    "approx_count_distinct",
+    "percentile_approx",
+    "approx_percentile",
 }
+
+#: The approx-aggregate subset — single source for parser and router.
+APPROX_AGG_FUNCS = {"approx_count_distinct", "percentile_approx", "approx_percentile"}
 
 _TOKEN_RE = re.compile(
     r"""
@@ -102,11 +112,15 @@ def _tokenize(sql: str) -> list[Token]:
 @dataclass(frozen=True)
 class AggSpec:
     """``func(arg)`` — ``arg is None`` means ``COUNT(*)``
-    (detection mirrors ``is_count_star_aggregate``, ``lib.rs:883-907``)."""
+    (detection mirrors ``is_count_star_aggregate``, ``lib.rs:883-907``).
+    ``param`` carries a second literal argument where the grammar admits
+    one (the percentage of ``percentile_approx(col, p)``), as the literal
+    TEXT so the delegate-matching default output name renders exactly."""
 
     func: str
     arg: str | None
     alias: str | None
+    param: str | None = None
 
     @property
     def output_name(self) -> str:
@@ -114,6 +128,13 @@ class AggSpec:
             return self.alias
         if self.func == "count_distinct":
             return f"count(DISTINCT {self.arg})"
+        if self.func == "approx_count_distinct":
+            # Spark's default name (probed 4.1): no rsd arg rendered
+            return f"approx_count_distinct({self.arg})"
+        if self.func in ("percentile_approx", "approx_percentile"):
+            # Spark renders the DEFAULT accuracy into the name (probed:
+            # percentile_approx(v, 0.5, 10000))
+            return f"{self.func}({self.arg}, {self.param}, 10000)"
         return f"{self.func}({self.arg if self.arg is not None else '*'})"
 
 
@@ -488,7 +509,7 @@ class _Parser:
             raise ParseError("window select item requires an alias")
         if alias is not None:
             if isinstance(spec, AggSpec):
-                spec = AggSpec(spec.func, spec.arg, alias)
+                spec = AggSpec(spec.func, spec.arg, alias, spec.param)
             elif isinstance(spec, WindowSpec):
                 spec = WindowSpec(
                     spec.column,
@@ -518,6 +539,20 @@ class _Parser:
             # family can't prove delegates
             return AggSpec("count_distinct", arg, None)
         arg = self.ident()
+        if func in ("percentile_approx", "approx_percentile"):
+            # percentile_approx(col, p) — p a plain numeric literal. The
+            # array(...) form and an explicit accuracy argument stay
+            # outside the grammar (ParseError -> delegate): the rollup
+            # cannot honor a caller's accuracy, and silently ignoring it
+            # would misrepresent the estimate.
+            self.expect_punct(",")
+            p = self.next()
+            if p is None or p.kind != "number":
+                raise ParseError("percentile_approx needs a numeric percentage")
+            self.expect_punct(")")
+            return AggSpec(func, arg, None, param=p.value)
+        # approx_count_distinct(col, rsd): the rollup's lg_k is pinned at
+        # build, so a per-query rsd cannot be honored — ParseError/delegate
         self.expect_punct(")")
         return AggSpec(func, arg, None)
 

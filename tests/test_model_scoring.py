@@ -325,3 +325,85 @@ def test_cached_scorer_token_validation_and_sharing(spark):
         assert len(calls) == 1
     finally:
         ms._WORKER_MODEL_CACHE.pop("tok-shared", None)
+
+
+def test_third_generation_evicts_first_and_reloads(monkeypatch):
+    """The r10 cache bound under real contention (r10 verdict #7): a third
+    token generation evicts the oldest-inserted entry, and the evicted
+    loader RELOADS on next use with its own weights — never a stale score
+    from a superseded generation. Driver-side call path: deterministic
+    (same insertion-order dict semantics the worker runs)."""
+    from datafusion_uwheel_spark.operators import model_scoring as ms
+
+    monkeypatch.setattr(ms, "_WORKER_MODEL_CACHE", {})
+    loads = {"v1": 0, "v2": 0, "v3": 0}
+
+    def mk(tok, val):
+        def loader():
+            loads[tok] += 1
+            return lambda texts: [val] * len(texts)
+
+        return ms.CachedScorer(f"gen-{tok}", loader)
+
+    s1, s2, s3 = mk("v1", 1.0), mk("v2", 2.0), mk("v3", 3.0)
+    assert s1(["x"]) == [1.0] and s2(["x"]) == [2.0]
+    assert loads == {"v1": 1, "v2": 1, "v3": 0}
+    assert s3(["x"]) == [3.0]  # third generation: the bound (2) evicts v1
+    assert set(ms._WORKER_MODEL_CACHE) == {"gen-v2", "gen-v3"}
+    # the evicted generation reloads on next use — fresh weights, correct
+    # scores, and the reload in turn evicts the next-oldest (v2)
+    assert s1(["x"]) == [1.0]
+    assert loads == {"v1": 2, "v2": 1, "v3": 1}
+    assert set(ms._WORKER_MODEL_CACHE) == {"gen-v3", "gen-v1"}
+    # a reload of v2 still scores with v2's weights (no cross-token leak)
+    assert s2(["y", "z"]) == [2.0, 2.0]
+    assert loads["v2"] == 2
+
+
+def test_eviction_across_reused_worker_no_stale_scores(spark):
+    """Executor-boundary contention: four sequential stages (v1, v2, v3,
+    then v1 again) through one-task jobs on reused workers. Every stage
+    must score with ITS generation's weights (no stale entry served after
+    eviction), and any worker process that ran v1 both times must show
+    load count 2 — the eviction forced the reload."""
+    from datafusion_uwheel_spark.operators.model_scoring import (
+        CachedScorer,
+        score_texts,
+    )
+
+    def mk(tok, val):
+        def loader():
+            import os
+
+            import datafusion_uwheel_spark.operators.model_scoring as ms
+
+            # side counter OUTSIDE the bounded cache (an in-cache counter
+            # would itself be evicted): per-token loads in this process
+            d = ms.__dict__.setdefault("_test_gen_loads", {})
+            d[tok] = d.get(tok, 0) + 1
+            n, pid = d[tok], os.getpid()
+            return lambda texts: [val + n * 1e4 + pid * 1e8] * len(texts)
+
+        return CachedScorer(f"egen-{tok}", loader)
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "id long, text string"
+    ).repartition(1)
+    seen = []  # (token, val, load_n, pid) per stage
+    for tok, val in [("v1", 1.0), ("v2", 2.0), ("v3", 3.0), ("v1", 1.0)]:
+        scores = {
+            r["score"]
+            for r in score_texts(df, mk(tok, val)).collect()
+        }
+        assert len(scores) == 1  # one worker, one load generation
+        s = scores.pop()
+        pid = int(s // 1e8)
+        n = int((s - pid * 1e8) // 1e4)
+        got_val = s - pid * 1e8 - n * 1e4
+        assert got_val == val, f"stage {tok} scored stale weights: {s}"
+        seen.append((tok, val, n, pid))
+    first_v1, last_v1 = seen[0], seen[3]
+    if first_v1[3] == last_v1[3]:
+        # same worker process ran v1 both times: v3 evicted it in between,
+        # so the second run must be load #2
+        assert last_v1[2] == 2, seen
