@@ -243,8 +243,12 @@ def main() -> None:
         fresh(qr, lambda: qr.quantile_rows_by("day", 0.95)), N_PROBE,
     )
     del qr._jvm_ops
-    # deterministic family: direct rows must equal the job-path rows here
-    _gd = dr.distinct_rows_by("day")
+    # deterministic family: direct rows must equal the job-path rows here.
+    # invalidate FIRST — the memo still holds the jobpath loop's last
+    # answer, so without it _gd would be a memo hit of the JOB rows and
+    # the assert would compare job to job (r11 review: vacuous guard)
+    dr.invalidate_asks()
+    _gd = dr.distinct_rows_by("day")  # genuinely direct
     dr._jvm_ops = None
     dr.invalidate_asks()
     assert dr.distinct_rows_by("day") == _gd, "grouped HLL direct != job"
@@ -290,7 +294,8 @@ def main() -> None:
         fresh(tr, lambda: tr.retention_rows_by("week")), N_PROBE,
     )
     del tr._jvm_ops
-    _gr = tr.retention_rows_by("week")
+    tr.invalidate_asks()  # see the HLL twin: memo holds the JOB rows here
+    _gr = tr.retention_rows_by("week")  # genuinely direct
     tr._jvm_ops = None
     tr.invalidate_asks()
     assert tr.retention_rows_by("week") == _gr, "grouped theta direct != job"

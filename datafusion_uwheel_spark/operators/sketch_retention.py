@@ -172,30 +172,51 @@ class SketchRetention:
     #: exact parity on HLL estimate, KLL quantile/rank, theta i/u/d/e).
 
     @staticmethod
+    def _is_class_not_found(e) -> bool:
+        """Whether a py4j exception wraps a genuine java
+        ClassNotFoundException/NoClassDefFoundError — inspected by java
+        TYPE, never message text (ADVICE r10: the old substring latch was
+        DEAD code on the bundled py4j, where absent classes raise
+        ``TypeError: 'JavaPackage' object is not callable``)."""
+        jexc = getattr(e, "java_exception", None)
+        if jexc is None:
+            return False
+        try:
+            return jexc.getClass().getName() in (
+                "java.lang.ClassNotFoundException",
+                "java.lang.NoClassDefFoundError",
+            )
+        except Exception:
+            return False
+
+    @staticmethod
     def _shim_absent(spark, _cls: str = "io.uwheel.spark.UwheelSketchOps") -> bool:
-        """Definitive absence probe: ask the JVM itself via
-        ``Class.forName`` and report absent ONLY on a genuine
-        ``ClassNotFoundException`` — inspected by java exception TYPE,
-        never message text. ADVICE r10 flagged the old substring latch
-        ('does not exist' in str(e)); probing this session showed it was
-        in fact DEAD code — on the bundled py4j the absent-class path
-        raises ``TypeError: 'JavaPackage' object is not callable`` (the
-        reflection engine returns SUCCESS_PACKAGE for unknown names), so
-        shim-less sessions never latched and warned on every ask."""
+        """Definitive absence probe: ask the JVM itself, and report absent
+        ONLY when BOTH the system classloader (``Class.forName`` — the
+        ``spark.driver.extraClassPath`` route ``get_spark`` uses) and the
+        py4j handler thread's context classloader (the loader py4j's own
+        reflection resolves through — where a ``spark.jars``-delivered
+        jar lives in Spark's MutableURLClassLoader) raise a genuine
+        ClassNotFoundException (r11 review: a system-loader-only probe
+        would misclassify a spark.jars deployment's transient hiccup as
+        definitive absence and latch the permanent job-path downgrade
+        this probe exists to prevent). Any doubt — unreadable loader,
+        non-CNFE error — reads as NOT absent, so the caller warns and
+        re-probes instead of latching."""
         try:
             spark._jvm.java.lang.Class.forName(_cls)
             return False
         except Exception as e:
-            jexc = getattr(e, "java_exception", None)
-            if jexc is None:
+            if not SketchRetention._is_class_not_found(e):
                 return False
-            try:
-                return jexc.getClass().getName() in (
-                    "java.lang.ClassNotFoundException",
-                    "java.lang.NoClassDefFoundError",
-                )
-            except Exception:
-                return False
+        try:
+            cl = spark._jvm.java.lang.Thread.currentThread().getContextClassLoader()
+            if cl is None:
+                return False  # cannot confirm -> not definitive
+            cl.loadClass(_cls)
+            return False
+        except Exception as e:
+            return SketchRetention._is_class_not_found(e)
 
     def _sketch_ops(self):
         """The shim's UwheelSketchOps static forwarders, or None when the
@@ -392,34 +413,41 @@ class SketchRetention:
             return None
         return self._framed_range(col, a, b)
 
-    def _framed_range(self, col: str, a: int, b: int):
-        """``(framed_blob, n_selected)`` for the sketches intersecting
-        ``[a, b)`` — the selection mirrors ``_range_filter`` exactly
-        (``sec > a - width AND sec < b``, per-row tier-aware width) — or
-        None when the mirror/blob exceeds the size caps. The tiers come
+    def _selected_indices(self, box: dict, secs, a: int, b: int):
+        """Mirror-row indices intersecting ``[a, b)`` — the ONE driver-side
+        copy of ``_range_filter``'s selection (``sec > a - width AND
+        sec < b``, per-row tier-aware width; reversed tiers so the FIRST
+        matching tier wins, like ``_width_expr``'s CASE chain). Tiers come
         from the MIRROR BOX, not ``self`` — the box is the one consistent
         (frame, tiers) snapshot under a racing compact_before (ADVICE
-        r10)."""
-        import struct
-
+        r10). Shared by the scalar and grouped framers so the superset
+        semantics cannot drift between them (the r10p3 guard-drift
+        lesson)."""
         import numpy as np
+
+        if not len(secs):
+            return np.empty(0, dtype=np.int64)
+        w = np.full(len(secs), self.bucket_seconds, dtype=np.int64)
+        for end, tw in reversed(box["tiers"]):
+            w[secs < end] = tw
+        return np.nonzero((secs > a - w) & (secs < b))[0]
+
+    def _framed_range(self, col: str, a: int, b: int):
+        """``(framed_blob, n_selected)`` for the sketches intersecting
+        ``[a, b)`` (selection via :meth:`_selected_indices`) — or None
+        when the mirror/blob exceeds the size caps."""
+        import struct
 
         box = self._mirror_box()
         m = self._bytes_mirror(col, box)
         if m is False:
             return None
         secs, bufs = m
-        sel: list = []
-        if len(secs):
-            w = np.full(len(secs), self.bucket_seconds, dtype=np.int64)
-            # reversed: the FIRST matching tier (ascending ends) must win,
-            # like _width_expr's CASE chain
-            for end, tw in reversed(box["tiers"]):
-                w[secs < end] = tw
-            mask = (secs > a - w) & (secs < b)
-            sel = [
-                bufs[i] for i in np.nonzero(mask)[0] if bufs[i] is not None
-            ]
+        sel = [
+            bufs[i]
+            for i in self._selected_indices(box, secs, a, b)
+            if bufs[i] is not None
+        ]
         if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
             return None
         parts = [struct.pack(">i", len(sel))]
@@ -490,12 +518,8 @@ class SketchRetention:
         if m is False:
             return None
         secs, bufs = m
-        if a is not None and len(secs):
-            w = np.full(len(secs), self.bucket_seconds, dtype=np.int64)
-            for tend, tw in reversed(box["tiers"]):
-                w[secs < tend] = tw
-            mask = (secs > a - w) & (secs < b)
-            idx = np.nonzero(mask)[0]
+        if a is not None:
+            idx = self._selected_indices(box, secs, a, b)
         else:
             idx = np.arange(len(secs))
         if not len(idx):
@@ -695,11 +719,23 @@ class SketchRetention:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         after = merged.filter(in_span).count()  # also materializes the cache
+        # Coherent publication for the direct asks (r11 review): _df and
+        # _tiers cannot swap atomically as a pair, so a racing _mirror_box
+        # between the two assignments could pair the NEW frame with the
+        # OLD tier widths (under-covering compacted buckets). Pre-publish
+        # the new (frame, tiers) box FIRST: a racing ask before the _df
+        # swap sees a box/frame identity mismatch and opens a coherent
+        # OLD-pair box (bounded staleness — the memo's at-worst-recompute
+        # contract); any ask after the swap finds this coherent NEW pair.
+        # No _drop_mirror here — the pre-published box IS the new mirror
+        # holder (m=None collects lazily); dropping it would reopen the
+        # torn-pair window.
+        new_tiers = [(cutoff, width)]
+        self._mirror_ref = {"df": merged, "tiers": list(new_tiers), "m": None}
         self._df = merged
+        self._tiers = new_tiers
         detach = getattr(self, "_detach_shared", None)
         if not (detach() if detach is not None else False):
             old.unpersist()
-        self._tiers = [(cutoff, width)]
         self.invalidate_asks()
-        self._drop_mirror()
         return before - after

@@ -959,14 +959,29 @@ class Router:
                     ),
                     None,
                 )
-            value = rollup.approx_quantile(p, a, b)
             # the delegate returns the INPUT column's type (probed 4.1:
-            # percentile_approx(int_col, p) is INT) — match it
+            # percentile_approx(int_col, p) is INT) — match it exactly, and
+            # DELEGATE any type outside the map (r11 review: a DECIMAL
+            # column builds a double-suffix rollup fine, but routing it
+            # would answer DOUBLE where the delegate answers DECIMAL —
+            # breaking the route's own name/type contract)
             dtypes = {c.lower(): t for c, t in e.df.dtypes}
             sql_type = {
                 "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
-                "bigint": "BIGINT", "float": "FLOAT",
-            }.get(dtypes.get(agg.arg.lower(), "double"), "DOUBLE")
+                "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+            }.get(dtypes.get(agg.arg.lower()))
+            if sql_type is None:
+                return (
+                    RouteDecision(
+                        "delegate",
+                        detail={
+                            "reason": f"percentile input type of {agg.arg!r} "
+                            "has no routed equivalent"
+                        },
+                    ),
+                    None,
+                )
+            value = rollup.approx_quantile(p, a, b)
         names = [agg.output_name]
         rows = [(value,)]
         if q.order_by or q.limit is not None:

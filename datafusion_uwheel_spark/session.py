@@ -16,17 +16,49 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark"]
 
 
+_PROP_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "f": "\f"}
+
+
+def _decode_properties(s: str) -> str:
+    """Decode java.util.Properties backslash escapes the way
+    ``Properties.load`` does: ``\\t \\n \\r \\f`` map to control chars,
+    ``\\uXXXX`` decodes, and ANY other escaped char maps to itself (the
+    backslash drops) — so the helper reads the same effective value Spark
+    reads (r11 review: returning raw text made a backslash-bearing
+    classpath differ from the file's Spark-effective value)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "u" and i + 5 < n:
+                try:
+                    out.append(chr(int(s[i + 2 : i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass  # malformed \-u: fall through to drop-backslash
+            out.append(_PROP_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _split_properties_line(s: str) -> tuple[str, str]:
     """Split one logical line into (key, value) per java.util.Properties:
     the key ends at the first unescaped ``=``, ``:`` or whitespace;
     whitespace around the (optional, single) separator is skipped;
-    backslash escapes a following char into the key. ``\\uXXXX`` escapes
-    are not decoded — Spark conf keys/values never use them."""
+    backslash escapes decode in both key and value
+    (:func:`_decode_properties`)."""
     i, n = 0, len(s)
     key_chars: list[str] = []
     while i < n:
         c = s[i]
         if c == "\\" and i + 1 < n:
+            key_chars.append(c)
             key_chars.append(s[i + 1])
             i += 2
             continue
@@ -40,7 +72,7 @@ def _split_properties_line(s: str) -> tuple[str, str]:
         i += 1
         while i < n and s[i].isspace():
             i += 1
-    return "".join(key_chars), s[i:]
+    return _decode_properties("".join(key_chars)), _decode_properties(s[i:])
 
 
 def _defaults_conf_value(key: str) -> str | None:
@@ -86,12 +118,14 @@ def _defaults_conf_value(key: str) -> str | None:
             buf = None
     if buf is not None:
         logical.append(buf)
+    # LAST occurrence wins, like java.util.Properties (r11 review: a
+    # first-match return could preserve a value Spark itself overrides)
+    found: str | None = None
     for s in logical:
         k, v = _split_properties_line(s)
         if k == key:
-            v = v.strip()
-            return v or None
-    return None
+            found = v.strip() or None
+    return found
 
 
 def get_spark(

@@ -117,38 +117,57 @@ def hll_events(spark):
     return spark.createDataFrame(rows, "ts timestamp, uid bigint")
 
 
-def test_mirror_box_snapshots_tiers(spark, hll_events):
+def test_mirror_box_coherent_through_compaction_window(spark, hll_events):
+    """Drive compact_before's ACTUAL publication sequence step by step
+    (r11 review: the first version simulated an interleaving the code
+    never produces). The contract: at EVERY intermediate state a racing
+    _mirror_box yields a coherent (frame, tiers) pair — never the new
+    frame with old tier widths or vice versa."""
+    import calendar
+
+    from pyspark.sql import functions as F
+
     from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
 
     r = build_distinct_rollup(hll_events, "ts", "uid", bucket_seconds=3600)
     try:
-        box1 = r._mirror_box()
-        assert box1["tiers"] == []
-        # simulate the race: tiers mutate while the frame identity has not
-        # yet swapped (the racing window compact_before opens between its
-        # groupBy and the _df assignment). _framed_range must keep using
-        # the BOX's tiers — widths consistent with the mirrored frame.
-        import calendar
-
         a = calendar.timegm(datetime(2024, 2, 1).utctimetuple())
-        before = r._framed_range("hll", a, a + 6 * 3600)
+        before = r._framed_range("__hll", a, a + 6 * 3600)
         assert before is not None and before[1] == 6  # six hourly buckets
-        saved = r.tiers
-        r._tiers = [(a + 10 * 3600, 86400)]  # post-compaction widths
-        try:
-            racing = r._framed_range("hll", a + 3600, a + 2 * 3600)
-            # with BOX tiers (hourly), only the one intersecting hourly
-            # bucket is selected; live tiers (day-wide slop) would pull in
-            # earlier buckets too
-            assert racing is not None and racing[1] == 1
-        finally:
-            r._tiers = saved
-        # a real compaction swaps the frame -> new box with the new tiers
-        cutoff = a + 10 * 3600
-        r.compact_before(cutoff, 21600)
+        old_df = r._df
+        new_tiers = [(a + 12 * 3600, 21600)]
+        new_df = r._df.filter(F.lit(True))  # stands in for the merged frame
+        # --- step 1: compact_before pre-publishes the coherent NEW box
+        r._mirror_ref = {"df": new_df, "tiers": list(new_tiers), "m": None}
+        # a racing ask BEFORE the _df swap: identity mismatch -> it opens a
+        # coherent OLD pair (old frame, old tiers), never a torn one
+        box = r._mirror_box()
+        assert box["df"] is old_df and box["tiers"] == []
+        # --- step 2: the frame swaps while the tiers ATTRIBUTE is still
+        # old — the historical torn window. Re-publish the box (the racing
+        # ask above replaced the pre-published one) and swap the frame:
+        r._mirror_ref = {"df": new_df, "tiers": list(new_tiers), "m": None}
+        r._df = new_df
         box2 = r._mirror_box()
-        assert box2 is not box1
-        assert box2["tiers"] == [(cutoff - cutoff % 21600, 21600)]
+        assert box2["df"] is new_df
+        assert box2["tiers"] == new_tiers  # BOX tiers, not self.tiers
+        assert r.tiers == []  # the attributes really are torn here
+        # _framed_range must use the box's (new) widths: 21600s slop pulls
+        # in ALL 6 hourly rows for an ask starting at a+3600 (the bucket
+        # at a included whole); the old hourly widths would select only 5
+        racing = r._framed_range("__hll", a + 3600, a + 7 * 3600)
+        assert racing is not None and racing[1] == 6
+        # --- restore, then run the REAL compact_before and check it left
+        # a coherent pre-published box behind
+        r._df = old_df
+        r._mirror_ref = None
+        cutoff = a + 12 * 3600
+        r.compact_before(cutoff, 21600)
+        box3 = r._mirror_ref
+        assert box3 is not None and box3["df"] is r._df
+        assert box3["tiers"] == list(r.tiers) == [(cutoff, 21600)]
+        after = r._framed_range("__hll", a, a + 6 * 3600)
+        assert after is not None and after[1] == 1  # one 6h coarse bucket
     finally:
         r.unpersist()
 
