@@ -333,6 +333,21 @@ class SketchRetention:
                 return None
         return None
 
+    @property
+    def _publish_lock(self):
+        """Tiny leaf lock serializing the (frame, tiers) pair: held by
+        :meth:`_mirror_box`'s read-check-create and by compact_before's
+        publication block ONLY — attribute assignments, never Spark work,
+        so contention is nanoseconds. Publication ordering alone cannot
+        make a two-attribute pair coherent (r11 review pass 2: a reader
+        preempted between the ``_df`` and ``tiers`` reads pairs them
+        across a completed compaction no matter which order the writer
+        stores them in). ``__dict__.setdefault`` is atomic under the GIL,
+        so two first-asks cannot mint two different locks."""
+        import threading
+
+        return self.__dict__.setdefault("_publish_lock_obj", threading.Lock())
+
     def _mirror_box(self) -> dict:
         """The mirror's holder, keyed to the CURRENT frame by identity:
         a direct ask racing a streaming merge can finish its collect after
@@ -340,16 +355,24 @@ class SketchRetention:
         pre-merge answers until the next mutation (review r10p3). Readers
         publish into THEIR box; any ask after the swap sees a different
         frame identity and opens a fresh box, so staleness is bounded by
-        the racing ask itself (the memo's at-worst-recompute contract)."""
-        df = self._df
-        box = getattr(self, "_mirror_ref", None)
-        if box is None or box["df"] is not df:
-            # tiers snapshot alongside the frame (ADVICE r10): a direct
-            # ask racing compact_before must not apply post-compaction
-            # tier widths to the pre-compaction mirror — the box IS the
-            # consistent (frame, tiers) pair, so both reads come from it
-            box = self._mirror_ref = {"df": df, "tiers": list(self.tiers), "m": None}
-        return box
+        the racing ask itself (the memo's at-worst-recompute contract).
+
+        The box pairs the frame with a TIERS SNAPSHOT (ADVICE r10), and
+        the pairing happens under :attr:`_publish_lock` so it can never
+        interleave with compact_before's publication — the only mutation
+        that changes both attributes (merge_batch swaps only ``_df``, so
+        its rebuilt box pairs the new frame with unchanged tiers without
+        needing the lock on its own store)."""
+        with self._publish_lock:
+            df = self._df
+            box = getattr(self, "_mirror_ref", None)
+            if box is None or box["df"] is not df:
+                box = self._mirror_ref = {
+                    "df": df,
+                    "tiers": list(self.tiers),
+                    "m": None,
+                }
+            return box
 
     def _bytes_mirror(self, col: str, box: dict | None = None):
         """``(secs int64 ndarray, bufs list[bytes|None])`` of the rollup,
@@ -719,21 +742,32 @@ class SketchRetention:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         after = merged.filter(in_span).count()  # also materializes the cache
-        # Coherent publication for the direct asks (r11 review): _df and
-        # _tiers cannot swap atomically as a pair, so a racing _mirror_box
-        # between the two assignments could pair the NEW frame with the
-        # OLD tier widths (under-covering compacted buckets). Pre-publish
-        # the new (frame, tiers) box FIRST: a racing ask before the _df
-        # swap sees a box/frame identity mismatch and opens a coherent
-        # OLD-pair box (bounded staleness — the memo's at-worst-recompute
-        # contract); any ask after the swap finds this coherent NEW pair.
-        # No _drop_mirror here — the pre-published box IS the new mirror
-        # holder (m=None collects lazily); dropping it would reopen the
-        # torn-pair window.
+        # Atomic (frame, tiers, box) publication under the lock
+        # _mirror_box holds around its read-check-create (r11 review
+        # passes 1-2): ordering tricks cannot make a two-attribute pair
+        # coherent against a reader preempted between the reads, and a
+        # pre-published box can be clobbered by a racing identity-mismatch
+        # rebuild. With both sides serialized, every direct ask observes
+        # either the complete old state or the complete new one. The
+        # published box is the new mirror holder (m=None collects
+        # lazily) — no _drop_mirror, which would discard the pairing.
+        # (The JOB path's _restrict still reads _df and tiers unlocked —
+        # the pre-existing r10 exposure: at most the ONE ask whose filter
+        # build lands inside this with-block can mis-pair them, and its
+        # answer cannot persist — it memoizes into the pre-invalidate
+        # dict, which the invalidate_asks below retires. Closing it fully
+        # would thread a locked snapshot through every family's
+        # _restrict; documented instead, matching the job path's
+        # bounded-staleness contract.)
         new_tiers = [(cutoff, width)]
-        self._mirror_ref = {"df": merged, "tiers": list(new_tiers), "m": None}
-        self._df = merged
-        self._tiers = new_tiers
+        with self._publish_lock:
+            self._df = merged
+            self._tiers = new_tiers
+            self._mirror_ref = {
+                "df": merged,
+                "tiers": list(new_tiers),
+                "m": None,
+            }
         detach = getattr(self, "_detach_shared", None)
         if not (detach() if detach is not None else False):
             old.unpersist()

@@ -117,15 +117,17 @@ def hll_events(spark):
     return spark.createDataFrame(rows, "ts timestamp, uid bigint")
 
 
-def test_mirror_box_coherent_through_compaction_window(spark, hll_events):
-    """Drive compact_before's ACTUAL publication sequence step by step
-    (r11 review: the first version simulated an interleaving the code
-    never produces). The contract: at EVERY intermediate state a racing
-    _mirror_box yields a coherent (frame, tiers) pair — never the new
-    frame with old tier widths or vice versa."""
+def test_compact_publication_locks_out_mirror_box(spark, hll_events):
+    """The (frame, tiers) pair publishes ATOMICALLY: compact_before's
+    publication block and _mirror_box's read-check-create hold the same
+    lock (r11 review pass 2: ordering tricks cannot make a two-attribute
+    pair coherent against a preempted reader). Proven two ways: the
+    publication genuinely blocks while an ask holds the lock, and a
+    concurrent _mirror_box hammer during a real compaction only ever
+    observes the two coherent states."""
     import calendar
-
-    from pyspark.sql import functions as F
+    import threading
+    import time
 
     from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
 
@@ -135,39 +137,54 @@ def test_mirror_box_coherent_through_compaction_window(spark, hll_events):
         before = r._framed_range("__hll", a, a + 6 * 3600)
         assert before is not None and before[1] == 6  # six hourly buckets
         old_df = r._df
-        new_tiers = [(a + 12 * 3600, 21600)]
-        new_df = r._df.filter(F.lit(True))  # stands in for the merged frame
-        # --- step 1: compact_before pre-publishes the coherent NEW box
-        r._mirror_ref = {"df": new_df, "tiers": list(new_tiers), "m": None}
-        # a racing ask BEFORE the _df swap: identity mismatch -> it opens a
-        # coherent OLD pair (old frame, old tiers), never a torn one
-        box = r._mirror_box()
-        assert box["df"] is old_df and box["tiers"] == []
-        # --- step 2: the frame swaps while the tiers ATTRIBUTE is still
-        # old — the historical torn window. Re-publish the box (the racing
-        # ask above replaced the pre-published one) and swap the frame:
-        r._mirror_ref = {"df": new_df, "tiers": list(new_tiers), "m": None}
-        r._df = new_df
-        box2 = r._mirror_box()
-        assert box2["df"] is new_df
-        assert box2["tiers"] == new_tiers  # BOX tiers, not self.tiers
-        assert r.tiers == []  # the attributes really are torn here
-        # _framed_range must use the box's (new) widths: 21600s slop pulls
-        # in ALL 6 hourly rows for an ask starting at a+3600 (the bucket
-        # at a included whole); the old hourly widths would select only 5
-        racing = r._framed_range("__hll", a + 3600, a + 7 * 3600)
-        assert racing is not None and racing[1] == 6
-        # --- restore, then run the REAL compact_before and check it left
-        # a coherent pre-published box behind
-        r._df = old_df
-        r._mirror_ref = None
         cutoff = a + 12 * 3600
-        r.compact_before(cutoff, 21600)
-        box3 = r._mirror_ref
-        assert box3 is not None and box3["df"] is r._df
-        assert box3["tiers"] == list(r.tiers) == [(cutoff, 21600)]
+
+        # --- mutual exclusion: while an ask-side holder owns the lock,
+        # the compaction finishes its Spark work but CANNOT publish
+        r._publish_lock.acquire()
+        t = threading.Thread(target=lambda: r.compact_before(cutoff, 21600))
+        t.start()
+        deadline = time.monotonic() + 8.0
+        while time.monotonic() < deadline and t.is_alive():
+            assert r._df is old_df and r.tiers == []  # unpublished
+            time.sleep(0.05)
+        assert t.is_alive(), "compact published while the lock was held"
+        r._publish_lock.release()
+        t.join(timeout=120)
+        assert not t.is_alive()
+        # complete new state, box coherent with it
+        assert r._df is not old_df and r.tiers == [(cutoff, 21600)]
+        box = r._mirror_box()
+        assert box["df"] is r._df and box["tiers"] == [(cutoff, 21600)]
         after = r._framed_range("__hll", a, a + 6 * 3600)
         assert after is not None and after[1] == 1  # one 6h coarse bucket
+
+        # --- hammer: during a second real compaction, every box a
+        # concurrent reader observes pairs frame and tiers coherently
+        mid_df, mid_tiers = r._df, list(r.tiers)
+        cutoff2 = a + 86400  # aligned; the post-compaction tiers are known
+        violations: list = []
+        stop = threading.Event()
+
+        def hammer():
+            while not stop.is_set():
+                b = r._mirror_box()
+                ok = (b["df"] is mid_df and b["tiers"] == mid_tiers) or (
+                    b["df"] is not mid_df and b["tiers"] == [(cutoff2, 43200)]
+                )
+                if not ok:
+                    violations.append(b["tiers"])
+
+        h = threading.Thread(target=hammer)
+        h.start()
+        try:
+            r.compact_before(cutoff2, 43200)
+        finally:
+            stop.set()
+            h.join(timeout=30)
+        assert not violations, violations
+        box2 = r._mirror_box()
+        assert box2["df"] is r._df and box2["tiers"] == list(r.tiers)
     finally:
         r.unpersist()
 
