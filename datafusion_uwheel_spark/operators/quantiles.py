@@ -425,6 +425,14 @@ class QuantileRollup(SketchRetention):
         is released."""
         from pyspark import StorageLevel
 
+        # writer-writer serialization (r11 review pass 3): a compaction
+        # racing this merge would otherwise publish a merged frame built
+        # from the PRE-merge _df, silently dropping this batch's rows
+        with self._mutate_lock:
+            self._merge_batch_locked(batch_df, time_column, StorageLevel)
+
+    def _merge_batch_locked(self, batch_df, time_column, StorageLevel) -> None:
+
         sketch, merge, _, _, _ = _fns(self.suffix)
         sec = self._bucket_expr(time_sec_col(batch_df, time_column))
         cast = "bigint" if self.suffix == "bigint" else "double"

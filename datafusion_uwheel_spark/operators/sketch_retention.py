@@ -333,6 +333,18 @@ class SketchRetention:
                 return None
         return None
 
+    def _lazy_lock(self, attr: str):
+        """Per-instance lock, minted once: plain ``get`` on the hot path
+        (review pass 3: ``setdefault`` alone constructs-and-discards a
+        Lock on EVERY access), ``setdefault`` — atomic under the GIL — on
+        the first, so two racing first-asks cannot mint two locks."""
+        lock = self.__dict__.get(attr)
+        if lock is None:
+            import threading
+
+            lock = self.__dict__.setdefault(attr, threading.Lock())
+        return lock
+
     @property
     def _publish_lock(self):
         """Tiny leaf lock serializing the (frame, tiers) pair: held by
@@ -342,11 +354,21 @@ class SketchRetention:
         make a two-attribute pair coherent (r11 review pass 2: a reader
         preempted between the ``_df`` and ``tiers`` reads pairs them
         across a completed compaction no matter which order the writer
-        stores them in). ``__dict__.setdefault`` is atomic under the GIL,
-        so two first-asks cannot mint two different locks."""
-        import threading
+        stores them in)."""
+        return self._lazy_lock("_publish_lock_obj")
 
-        return self.__dict__.setdefault("_publish_lock_obj", threading.Lock())
+    @property
+    def _mutate_lock(self):
+        """Writer-writer lock: held for the WHOLE of compact_before and
+        of every family's merge_batch (review pass 3: an operator-thread
+        compaction racing the streaming maintainer's merge_batch would
+        publish a merged frame built from the PRE-merge ``_df``, silently
+        dropping the batch's rows — the one wrong-answer class the
+        stale-never-answers discipline exists to forbid). Mutations are
+        rare and seconds-long; serializing them is the semantics, not a
+        bottleneck. Lock order: _mutate_lock OUTER, _publish_lock inner;
+        readers take only _publish_lock, so no deadlock is possible."""
+        return self._lazy_lock("_mutate_lock_obj")
 
     def _mirror_box(self) -> dict:
         """The mirror's holder, keyed to the CURRENT frame by identity:
@@ -537,6 +559,14 @@ class SketchRetention:
         from ..functions.timestamps import bucket_starts
 
         box = self._mirror_box()
+        # re-validate tiling against THE BOX's tiers (r11 review pass 3):
+        # the caller's up-front _check_granularity read live self.tiers,
+        # and a compaction completing in between would otherwise hand a
+        # fine granularity a coarse mirror — truncating 6h buckets into
+        # hourly cells is a silently wrong distribution, the exact leak
+        # the tiling gate forbids. Raises like the job path would under
+        # the box's state.
+        self._check_granularity(granularity, start, tiers=box["tiers"])
         m = self._bytes_mirror(col, box)
         if m is False:
             return None
@@ -635,19 +665,22 @@ class SketchRetention:
         lit = parse_ts_literal(str(v))
         return None if lit is None else lit.epoch_us // 1_000_000
 
-    def _max_width_over(self, start=None) -> int:
+    def _max_width_over(self, start=None, tiers=None) -> int:
         """Coarsest bucket width intersecting ``[start, ∞)`` — tiers are
         prefix spans, so only tiers ending AFTER the range start constrain
         an ask; a fine-granularity group-by over the uncompacted suffix
         stays answerable after the prefix compacts (the wheels'
-        ``_max_width_in`` discipline)."""
+        ``_max_width_in`` discipline). ``tiers`` overrides ``self.tiers``
+        when the caller holds a coherent snapshot (the mirror box)."""
+        if tiers is None:
+            tiers = self.tiers
         if start is None:
-            return self._max_width()
+            return max((w for _, w in tiers), default=self.bucket_seconds)
         sec = self._epoch_sec(start)
-        if sec is None:
-            return self._max_width()  # unparseable: stay conservative
+        if sec is None:  # unparseable: stay conservative
+            return max((w for _, w in tiers), default=self.bucket_seconds)
         return max(
-            (w for e, w in self.tiers if e > sec), default=self.bucket_seconds
+            (w for e, w in tiers if e > sec), default=self.bucket_seconds
         )
 
     def _width_expr(self) -> Column:
@@ -670,14 +703,18 @@ class SketchRetention:
             out = F.when(sec < F.lit(end), sec - (sec % F.lit(w))).otherwise(out)
         return out
 
-    def _check_granularity(self, granularity, start=None) -> None:
+    def _check_granularity(self, granularity, start=None, tiers=None) -> None:
         """Every stored bucket in the asked range must land whole in one
         output cell: the granularity must be tiled by the coarsest bucket
         width intersecting the range (``start=None`` = the whole table —
         conservative). A compacted span can never leak a wrong
         fine-grained distribution; a restriction to the fine suffix keeps
-        fine group-bys answerable."""
-        maxw = self._max_width_over(start)
+        fine group-bys answerable. ``tiers`` lets the direct path validate
+        against ITS coherent box snapshot (r11 review pass 3: validating
+        against live ``self.tiers`` and answering from the box lets a
+        racing compaction slip a coarse bucket past a fine-granularity
+        check)."""
+        maxw = self._max_width_over(start, tiers)
         if isinstance(granularity, int):
             if granularity <= 0 or granularity % maxw:
                 raise ValueError(
@@ -723,6 +760,10 @@ class SketchRetention:
         persisted sidecar size) on endless streams."""
         from pyspark import StorageLevel
 
+        with self._mutate_lock:
+            return self._compact_before_locked(cutoff_sec, width, StorageLevel)
+
+    def _compact_before_locked(self, cutoff_sec: int, width: int, StorageLevel) -> int:
         self.check_compact(cutoff_sec, width)
         cutoff = cutoff_sec - (cutoff_sec % width)
         if width == self.bucket_seconds and not self.tiers:

@@ -412,6 +412,14 @@ class ThetaRollup(SketchRetention):
         cache is released."""
         from pyspark import StorageLevel
 
+        # writer-writer serialization (r11 review pass 3): a compaction
+        # racing this merge would otherwise publish a merged frame built
+        # from the PRE-merge _df, silently dropping this batch's rows
+        with self._mutate_lock:
+            self._merge_batch_locked(batch_df, time_column, StorageLevel)
+
+    def _merge_batch_locked(self, batch_df, time_column, StorageLevel) -> None:
+
         sec = self._bucket_expr(time_sec_col(batch_df, time_column))
         keys = [sec.alias("__sec")]
         if self.key_column is not None:

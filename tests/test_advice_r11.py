@@ -139,19 +139,49 @@ def test_compact_publication_locks_out_mirror_box(spark, hll_events):
         old_df = r._df
         cutoff = a + 12 * 3600
 
-        # --- mutual exclusion: while an ask-side holder owns the lock,
-        # the compaction finishes its Spark work but CANNOT publish
-        r._publish_lock.acquire()
-        t = threading.Thread(target=lambda: r.compact_before(cutoff, 21600))
+        # --- mutual exclusion, HANDSHAKE-based (r11 review pass 3: a
+        # fixed-sleep poll passes vacuously on a slow box and swallows
+        # worker errors): seed a signalling publish-lock proxy, hold its
+        # inner lock, and wait for the worker to REACH the acquire — only
+        # then assert the publication hasn't happened.
+        class _SignalLock:
+            def __init__(self):
+                self._l = threading.Lock()
+                self.waiting = threading.Event()
+
+            def acquire(self, *a, **k):
+                self.waiting.set()
+                return self._l.acquire(*a, **k)
+
+            def release(self):
+                self._l.release()
+
+            def __enter__(self):
+                self.acquire()
+                return self
+
+            def __exit__(self, *exc):
+                self.release()
+
+        proxy = _SignalLock()
+        r.__dict__["_publish_lock_obj"] = proxy
+        errors: list = []
+
+        def run_compact():
+            try:
+                r.compact_before(cutoff, 21600)
+            except BaseException as e:  # surfaced below, not just stderr
+                errors.append(e)
+
+        proxy._l.acquire()  # ask-side holder (bypasses the signal)
+        t = threading.Thread(target=run_compact)
         t.start()
-        deadline = time.monotonic() + 8.0
-        while time.monotonic() < deadline and t.is_alive():
-            assert r._df is old_df and r.tiers == []  # unpublished
-            time.sleep(0.05)
-        assert t.is_alive(), "compact published while the lock was held"
-        r._publish_lock.release()
+        assert proxy.waiting.wait(timeout=120), "worker never reached the lock"
+        time.sleep(0.05)  # let it actually block on acquire
+        assert r._df is old_df and r.tiers == []  # publication excluded
+        proxy._l.release()
         t.join(timeout=120)
-        assert not t.is_alive()
+        assert not t.is_alive() and not errors, errors
         # complete new state, box coherent with it
         assert r._df is not old_df and r.tiers == [(cutoff, 21600)]
         box = r._mirror_box()
@@ -257,3 +287,55 @@ def test_half_medians_degenerate_samples():
     assert bench.half_medians([]) == [0.0, 0.0]
     lo, hi = bench.half_medians([0.1, 0.3, 0.2, 0.4])
     assert 0.0 < lo <= hi and lo >= 0.1
+
+
+def test_selected_indices_sources_tiers_from_the_box(spark, hll_events):
+    """_selected_indices must read tier widths from the BOX it is handed,
+    never live self.tiers (r11 review pass 3 restored this coverage: with
+    the locked publication, box tiers and self.tiers agree in every other
+    assertion, so a regression to self.tiers would pass the suite)."""
+    import calendar
+
+    from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
+
+    r = build_distinct_rollup(hll_events, "ts", "uid", bucket_seconds=3600)
+    try:
+        a = calendar.timegm(datetime(2024, 2, 1).utctimetuple())
+        secs, _bufs = r._bytes_mirror("__hll")
+        assert r.tiers == []
+        # a box carrying COARSE widths while self.tiers is still fine:
+        # the 21600s slop must pull in ALL 6 hourly rows for an ask
+        # starting at a+3600 (bucket at a included whole)...
+        coarse_box = {"df": r._df, "tiers": [(a + 12 * 3600, 21600)], "m": None}
+        assert len(r._selected_indices(coarse_box, secs, a + 3600, a + 7 * 3600)) == 6
+        # ...while the fine widths select only the 5 in-range buckets
+        fine_box = {"df": r._df, "tiers": [], "m": None}
+        assert len(r._selected_indices(fine_box, secs, a + 3600, a + 7 * 3600)) == 5
+    finally:
+        r.unpersist()
+
+
+def test_grouped_cells_revalidates_against_box_tiers(spark, hll_events):
+    """A compaction landing between the caller's up-front granularity
+    check and the mirror-box snapshot must RAISE, not truncate coarse
+    buckets into fine cells (r11 review pass 3)."""
+    import calendar
+
+    import pytest as _pytest
+
+    from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
+
+    r = build_distinct_rollup(hll_events, "ts", "uid", bucket_seconds=3600)
+    try:
+        a = calendar.timegm(datetime(2024, 2, 1).utctimetuple())
+        r.compact_before(a + 12 * 3600, 21600)
+        # simulate the torn interleaving: the up-front check passed under
+        # the OLD (fine) tiers — call _grouped_cells directly, which must
+        # re-check against the box's (coarse) tiers and raise
+        with _pytest.raises(ValueError, match="not tiled"):
+            r._grouped_cells("__hll", "hour", None, None)
+        # the public ask raises end-to-end too
+        with _pytest.raises(ValueError, match="not tiled"):
+            r.distinct_rows_by("hour")
+    finally:
+        r.unpersist()
