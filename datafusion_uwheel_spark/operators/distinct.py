@@ -276,7 +276,7 @@ class DistinctRollup(SketchRetention):
         HLL union is exact sketch algebra."""
         return [F.hll_union_agg("__hll").alias("__hll")]
 
-    def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
+    def _merge_batch_locked(self, batch_df, time_column, StorageLevel) -> None:
         """Merge a micro-batch of raw rows into the rollup — streaming
         maintenance. HLL sketches are mergeable monoids, so the merged
         rollup is indistinguishable from a fresh batch build over the union
@@ -285,15 +285,6 @@ class DistinctRollup(SketchRetention):
         sketches, and re-merged by bucket with ``hll_union_agg``. Late data
         simply lands in its bucket. The new rollup is materialized before
         the old cache is released."""
-        from pyspark import StorageLevel
-
-        # writer-writer serialization (r11 review pass 3): a compaction
-        # racing this merge would otherwise publish a merged frame built
-        # from the PRE-merge _df, silently dropping this batch's rows
-        with self._mutate_lock:
-            self._merge_batch_locked(batch_df, time_column, StorageLevel)
-
-    def _merge_batch_locked(self, batch_df, time_column, StorageLevel) -> None:
 
         sec = self._bucket_expr(time_sec_col(batch_df, time_column))
         keys = [sec.alias("__sec")]

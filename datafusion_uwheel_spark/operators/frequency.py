@@ -927,7 +927,7 @@ class FrequencyRollup(SketchRetention):
         return est, est + self._total_err(a, b, c.err_cache())
 
     # ------------------------------------------------------------ updates
-    def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
+    def _merge_batch_locked(self, batch_df, time_column, StorageLevel) -> None:
         """Fold a micro-batch in: batch counts sum into the kept rows
         (tier-aware bucketing for late rows landing in a compacted span),
         buckets re-truncate to capacity, and ``err`` grows by each
@@ -935,8 +935,6 @@ class FrequencyRollup(SketchRetention):
         carried a merged lower bound ≤ that rank value, and previously
         absent items were already covered by the old ``err`` — so
         ``[est, upper]`` stays valid with errors adding across merges."""
-        from pyspark import StorageLevel
-
         sec = self._bucket_expr(time_sec_col(batch_df, time_column))
         grp = self._grp()
         gcols = [sec.alias("__sec")]
@@ -984,14 +982,12 @@ class FrequencyRollup(SketchRetention):
         old_err.unpersist()
         self._refresh_caches()
 
-    def compact_before(self, cutoff_sec: int, width: int) -> int:
+    def _compact_before_locked(self, cutoff_sec: int, width: int, StorageLevel) -> int:
         """Tiered retention (see :class:`SketchRetention`): fine buckets
         older than the cutoff regroup under ``width``; counts sum, the
         coarse bucket re-truncates to capacity, and the coarse ``err``
         absorbs the fine errors plus the re-truncation rank — bounds stay
         valid, rows stay bounded. Returns candidate rows reclaimed."""
-        from pyspark import StorageLevel
-
         self.check_compact(cutoff_sec, width)
         cutoff = cutoff_sec - (cutoff_sec % width)
         if width == self.bucket_seconds and not self.tiers:

@@ -414,7 +414,7 @@ class QuantileRollup(SketchRetention):
         _, merge, _, _, _ = _fns(self.suffix)
         return [merge("__kll", F.lit(self.k)).alias("__kll")]
 
-    def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
+    def _merge_batch_locked(self, batch_df, time_column, StorageLevel) -> None:
         """Merge a micro-batch of raw rows into the rollup — streaming
         maintenance. KLL sketches are mergeable monoids, so the merged
         rollup answers as a fresh batch build over the union would (same
@@ -423,15 +423,6 @@ class QuantileRollup(SketchRetention):
         the stored sketches, and re-merged by bucket. Late data simply lands
         in its bucket. The new rollup is materialized before the old cache
         is released."""
-        from pyspark import StorageLevel
-
-        # writer-writer serialization (r11 review pass 3): a compaction
-        # racing this merge would otherwise publish a merged frame built
-        # from the PRE-merge _df, silently dropping this batch's rows
-        with self._mutate_lock:
-            self._merge_batch_locked(batch_df, time_column, StorageLevel)
-
-    def _merge_batch_locked(self, batch_df, time_column, StorageLevel) -> None:
 
         sketch, merge, _, _, _ = _fns(self.suffix)
         sec = self._bucket_expr(time_sec_col(batch_df, time_column))

@@ -650,8 +650,10 @@ class SketchRetention:
                 return w
         return self.bucket_seconds
 
-    def _max_width(self) -> int:
-        return max((w for _, w in self.tiers), default=self.bucket_seconds)
+    def _max_width(self, tiers=None) -> int:
+        if tiers is None:
+            tiers = self.tiers
+        return max((w for _, w in tiers), default=self.bucket_seconds)
 
     @staticmethod
     def _epoch_sec(v) -> int | None:
@@ -675,10 +677,10 @@ class SketchRetention:
         if tiers is None:
             tiers = self.tiers
         if start is None:
-            return max((w for _, w in tiers), default=self.bucket_seconds)
+            return self._max_width(tiers)
         sec = self._epoch_sec(start)
         if sec is None:  # unparseable: stay conservative
-            return max((w for _, w in tiers), default=self.bucket_seconds)
+            return self._max_width(tiers)
         return max(
             (w for e, w in tiers if e > sec), default=self.bucket_seconds
         )
@@ -749,6 +751,20 @@ class SketchRetention:
                 raise ValueError(
                     f"cutoff {cutoff} precedes existing tier end {tend}"
                 )
+
+    def merge_batch(self, batch_df, time_column: str) -> None:
+        """Merge a micro-batch of raw rows into the rollup — streaming
+        maintenance. Serialized against :meth:`compact_before` under
+        ``_mutate_lock`` (r11 review passes 3-4: a compaction racing a
+        merge would publish a frame built from the PRE-merge state,
+        silently dropping the batch's rows — and hoisting the wrapper
+        here makes every family participate, including overrides).
+        Families implement :meth:`_merge_batch_locked`; see each for the
+        family's merge semantics."""
+        from pyspark import StorageLevel
+
+        with self._mutate_lock:
+            self._merge_batch_locked(batch_df, time_column, StorageLevel)
 
     def compact_before(self, cutoff_sec: int, width: int) -> int:
         """Roll buckets older than ``cutoff_sec`` into ``width``-second

@@ -404,21 +404,12 @@ class ThetaRollup(SketchRetention):
         theta union is exact sketch algebra."""
         return [F.expr("theta_union_agg(__theta)").alias("__theta")]
 
-    def merge_batch(self, batch_df: DataFrame, time_column: str) -> None:
+    def _merge_batch_locked(self, batch_df, time_column, StorageLevel) -> None:
         """Merge a micro-batch of raw rows — streaming maintenance. Theta
         unions are mergeable monoids, so the merged rollup is
         indistinguishable from a fresh build over the union; late data
         lands in its bucket. The new rollup is materialized before the old
         cache is released."""
-        from pyspark import StorageLevel
-
-        # writer-writer serialization (r11 review pass 3): a compaction
-        # racing this merge would otherwise publish a merged frame built
-        # from the PRE-merge _df, silently dropping this batch's rows
-        with self._mutate_lock:
-            self._merge_batch_locked(batch_df, time_column, StorageLevel)
-
-    def _merge_batch_locked(self, batch_df, time_column, StorageLevel) -> None:
 
         sec = self._bucket_expr(time_sec_col(batch_df, time_column))
         keys = [sec.alias("__sec")]

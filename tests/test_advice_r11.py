@@ -176,11 +176,15 @@ def test_compact_publication_locks_out_mirror_box(spark, hll_events):
         proxy._l.acquire()  # ask-side holder (bypasses the signal)
         t = threading.Thread(target=run_compact)
         t.start()
-        assert proxy.waiting.wait(timeout=120), "worker never reached the lock"
-        time.sleep(0.05)  # let it actually block on acquire
-        assert r._df is old_df and r.tiers == []  # publication excluded
-        proxy._l.release()
-        t.join(timeout=120)
+        try:
+            assert proxy.waiting.wait(timeout=120), "worker never reached the lock"
+            time.sleep(0.05)  # let it actually block on acquire
+            assert r._df is old_df and r.tiers == []  # publication excluded
+        finally:
+            # an assertion failure must not strand the non-daemon worker
+            # on the held lock (the test would hang instead of reporting)
+            proxy._l.release()
+            t.join(timeout=120)
         assert not t.is_alive() and not errors, errors
         # complete new state, box coherent with it
         assert r._df is not old_df and r.tiers == [(cutoff, 21600)]
