@@ -294,13 +294,19 @@ class _Caches:
     collect, which on a keyed build is buckets × capacity × keys rows."""
 
     __slots__ = (
-        "kept_df", "err_df", "key_column", "_err_lock", "_kept_lock",
-        "_keyed_lock", "_err", "_kept", "_kkept", "_kerr",
+        "kept_df", "err_df", "key_column", "tiers", "_err_lock",
+        "_kept_lock", "_keyed_lock", "_err", "_kept", "_kkept", "_kerr",
     )
 
-    def __init__(self, kept_df, err_df, key_column):
+    def __init__(self, kept_df, err_df, key_column, tiers):
         import threading
 
+        # tiers ride the capture (r11 review pass 5): validating an ask's
+        # alignment/granularity against LIVE self.tiers while answering
+        # from the capture lets a racing compaction pair old widths with
+        # the new frames — a silently empty/wrong answer instead of the
+        # alignment raise
+        self.tiers = list(tiers)
         self.kept_df = kept_df
         self.err_df = err_df
         self.key_column = key_column
@@ -525,7 +531,7 @@ class FrequencyRollup(SketchRetention):
         collect; ``build_frequency_rollup`` and non-stale loads warm both
         halves so probes answer zero-job from the start (only STALE loads
         stay lazy — collects they could never serve)."""
-        self._caches = _Caches(self._df, self._err, self.key_column)
+        self._caches = _Caches(self._df, self._err, self.key_column, self.tiers)
 
     # backwards-compatible alias (pre-r9 name, err-only mirror)
     _refresh_err_cache = _refresh_caches
@@ -561,9 +567,9 @@ class FrequencyRollup(SketchRetention):
             raise ValueError(f"unparseable {name} bound: {v!r}")
         return sec
 
-    def _range(self, start, end) -> tuple[int, int]:
+    def _range(self, start, end, tiers=None) -> tuple[int, int]:
         a, b = self._aligned_sec(start, "start"), self._aligned_sec(end, "end")
-        maxw = self._max_width_over(start)
+        maxw = self._max_width_over(start, tiers)
         if a % maxw or b % maxw:
             raise ValueError(
                 f"bounds must align to the {maxw}s buckets in range "
@@ -590,8 +596,9 @@ class FrequencyRollup(SketchRetention):
         in range held ≤ capacity items (answers are then EXACT). A pure
         driver lookup over the cached prefix sums: zero Spark jobs."""
         self._require_fresh()
-        a, b = self._range(start, end)
-        return self._total_err(a, b)
+        c = self._caches  # one attribute read: a matched snapshot
+        a, b = self._range(start, end, c.tiers)
+        return self._total_err(a, b, c.err_cache())
 
     def approx_topk(self, start, end, k: int = 10) -> DataFrame:
         """Top-``k`` items by estimated count over ``[start, end)`` as
@@ -604,10 +611,11 @@ class FrequencyRollup(SketchRetention):
         pre-r8 broadcast-join shape paid a broadcast-exchange job per
         ask, pushing the probe past the local small-job floor)."""
         self._require_fresh()
-        a, b = self._range(start, end)
-        terr = self._total_err(a, b)
+        c = self._caches  # ONE capture: frames, error sums, and tiers
+        a, b = self._range(start, end, c.tiers)
+        terr = self._total_err(a, b, c.err_cache())
         return (
-            self._restrict(self._df, a, b)
+            self._restrict(c.kept_df, a, b)
             .groupBy(F.col("__item").alias("item"))
             .agg(F.sum("cnt").alias("est"))
             .withColumn("upper", (F.col("est") + F.lit(terr)).cast("long"))
@@ -627,8 +635,8 @@ class FrequencyRollup(SketchRetention):
         buckets × capacity. Freshness-gated like every other ask."""
         self._require_fresh()
         _check_k(k)
-        a, b = self._range(start, end)
-        c = self._caches  # one attribute read: a matched frame pair
+        c = self._caches  # one attribute read: a matched snapshot
+        a, b = self._range(start, end, c.tiers)
         terr = self._total_err(a, b, c.err_cache())
         items, cnts = self._kept_slice(a, b, c.kept_cache())
         agg: dict = {}
@@ -657,15 +665,15 @@ class FrequencyRollup(SketchRetention):
 
         self._require_fresh()
         granularity = _check_direct_granularity(granularity)
-        self._check_granularity(granularity, start)
+        c = self._caches  # one attribute read: a matched snapshot
+        self._check_granularity(granularity, start, tiers=c.tiers)
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
         _check_k(k)
-        c = self._caches  # one attribute read: a matched frame pair
         esecs, prefix = c.err_cache()
         ksecs, kitems, kcnts = c.kept_cache()
         if start is not None:
-            a, b = self._range(start, end)
+            a, b = self._range(start, end, c.tiers)
             lo = int(np.searchsorted(ksecs, a, side="left"))
             hi = int(np.searchsorted(ksecs, b, side="left"))
             ksecs, kitems, kcnts = ksecs[lo:hi], kitems[lo:hi], kcnts[lo:hi]
@@ -724,11 +732,11 @@ class FrequencyRollup(SketchRetention):
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
         _check_k(k)
-        c = self._caches  # one attribute read: a matched frame pair
+        c = self._caches  # one attribute read: a matched snapshot
         ksecs, kkeys, kitems, kcnts = c.keyed_kept_cache()
         esecs, ekeys, eerrs = c.keyed_err_cache()
         if start is not None:
-            a, b = self._range(start, end)
+            a, b = self._range(start, end, c.tiers)
             lo = int(np.searchsorted(ksecs, a, side="left"))
             hi = int(np.searchsorted(ksecs, b, side="left"))
             kkeys, kitems, kcnts = kkeys[lo:hi], kitems[lo:hi], kcnts[lo:hi]
@@ -770,13 +778,14 @@ class FrequencyRollup(SketchRetention):
         error, so every per-period true count lies in ``[est, upper]``.
         Occupied buckets only; one tiny job over the cached rollup."""
         self._require_fresh()
-        self._check_granularity(granularity, start)
+        c = self._caches  # ONE capture: frames and tiers
+        self._check_granularity(granularity, start, tiers=c.tiers)
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
         _check_k(k)
-        kept, err = self._df, self._err
+        kept, err = c.kept_df, c.err_df
         if start is not None:
-            a, b = self._range(start, end)  # alignment gate incl. tiers
+            a, b = self._range(start, end, c.tiers)  # alignment gate incl. tiers
             kept, err = self._restrict(kept, a, b), self._restrict(err, a, b)
         ts = F.timestamp_seconds(F.col("__sec"))
         if isinstance(granularity, int):
@@ -841,12 +850,13 @@ class FrequencyRollup(SketchRetention):
             raise ValueError(
                 "rollup was built without partition_by — no key column"
             )
-        kept, err = self._df, self._err
+        c = self._caches  # ONE capture: frames and tiers
+        kept, err = c.kept_df, c.err_df
         if (start is None) != (end is None):
             raise ValueError("give both bounds or neither")
         _check_k(k)
         if start is not None:
-            a, b = self._range(start, end)
+            a, b = self._range(start, end, c.tiers)
             kept, err = self._restrict(kept, a, b), self._restrict(err, a, b)
         return self._grouped_topk(kept, err, F.col("__key"), self.key_column, k)
 
@@ -858,8 +868,8 @@ class FrequencyRollup(SketchRetention):
         mirrors (kept rows + error prefix sums) — identical values to the
         pre-r9 one-collect form, pinned by the parity pytest."""
         self._require_fresh()
-        a, b = self._range(start, end)
-        c = self._caches  # one attribute read: a matched frame pair
+        c = self._caches  # one attribute read: a matched snapshot
+        a, b = self._range(start, end, c.tiers)
         items, cnts = self._kept_slice(a, b, c.kept_cache())
         item = self._canon_ask(item)
 
@@ -1167,6 +1177,10 @@ def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
         max_keys=max_keys,
     )
     r._restore_meta(meta)  # tiers (err cache is tier-free) + stale mark
+    # the constructor's capture snapshotted pre-restore (empty) tiers and
+    # the capture now carries the alignment/granularity gates' widths
+    # (r11) — re-capture so a tiered load validates like it answered
+    r._refresh_caches()
     if not r.stale:
         # fresh loads keep the zero-job-from-the-start contract; stale
         # loads stay lazy (collects they could never serve)
