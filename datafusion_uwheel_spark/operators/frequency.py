@@ -509,6 +509,15 @@ class FrequencyRollup(SketchRetention):
     def _grp(self) -> list[str]:
         return ["__sec"] + (["__key"] if self.key_column is not None else [])
 
+    def _restore_meta(self, meta: dict) -> None:
+        """Restoring tiers must re-capture (r11 review pass 6): the
+        capture carries the gates' widths, so any restore path that
+        changed ``_tiers`` after construction would otherwise answer
+        tiered frames through empty-tier gates. The invariant lives HERE
+        so future load routes cannot forget it."""
+        super()._restore_meta(meta)
+        self._refresh_caches()
+
     def _refresh_caches(self) -> None:
         """Capture the current frame pair for the driver mirrors — the
         same driver-residency regime as the wheels (the reference's
@@ -611,6 +620,7 @@ class FrequencyRollup(SketchRetention):
         pre-r8 broadcast-join shape paid a broadcast-exchange job per
         ask, pushing the probe past the local small-job floor)."""
         self._require_fresh()
+        _check_k(k)
         c = self._caches  # ONE capture: frames, error sums, and tiers
         a, b = self._range(start, end, c.tiers)
         terr = self._total_err(a, b, c.err_cache())
@@ -1176,11 +1186,7 @@ def load_frequency_rollup(spark, path: str) -> FrequencyRollup:
         key_column=meta.get("key_column"),
         max_keys=max_keys,
     )
-    r._restore_meta(meta)  # tiers (err cache is tier-free) + stale mark
-    # the constructor's capture snapshotted pre-restore (empty) tiers and
-    # the capture now carries the alignment/granularity gates' widths
-    # (r11) — re-capture so a tiered load validates like it answered
-    r._refresh_caches()
+    r._restore_meta(meta)  # tiers + stale mark; re-captures (override)
     if not r.stale:
         # fresh loads keep the zero-job-from-the-start contract; stale
         # loads stay lazy (collects they could never serve)

@@ -1660,24 +1660,26 @@ def test_asks_validate_against_the_captures_tiers(spark, events):
     that rode the published capture, not live self.tiers — a compaction
     racing an ask could otherwise pair old widths with new frames and
     return a silently empty top-k instead of the alignment raise."""
-    from datetime import datetime as _dt
-
     r = build_frequency_rollup(events, "item", "ts", 3600, capacity=64)
-    day2_sec = int(_dt(2024, 2, 2).timestamp())
-    r.compact_before(day2_sec, 86400)
-    assert r._caches.tiers == [(day2_sec, 86400)]
-    # simulate the torn window: live tiers look pre-compaction while the
-    # capture is post-compaction — the gates must follow the CAPTURE
-    saved = r._tiers
-    r._tiers = []
     try:
-        with pytest.raises(ValueError, match="align"):
-            r.topk_rows("2024-02-01 01:00:00", "2024-02-01 05:00:00")
-        with pytest.raises(ValueError, match="align"):
-            r.approx_topk("2024-02-01 01:00:00", "2024-02-01 05:00:00")
-        with pytest.raises(ValueError, match="not tiled"):
-            r.topk_rows_by("hour", k=2)
+        day2_sec = int(datetime(2024, 2, 2).timestamp())
+        r.compact_before(day2_sec, 86400)
+        assert r._caches.tiers == [(day2_sec, 86400)]
+        # simulate the torn window: live tiers look pre-compaction while
+        # the capture is post-compaction — the gates must follow the
+        # CAPTURE
+        saved = r._tiers
+        r._tiers = []
+        try:
+            with pytest.raises(ValueError, match="align"):
+                r.topk_rows("2024-02-01 01:00:00", "2024-02-01 05:00:00")
+            with pytest.raises(ValueError, match="align"):
+                r.approx_topk("2024-02-01 01:00:00", "2024-02-01 05:00:00")
+            with pytest.raises(ValueError, match="not tiled"):
+                r.topk_rows_by("hour", k=2)
+        finally:
+            r._tiers = saved
+        # coherent state: day-aligned asks answer fine
+        assert r.topk_rows("2024-02-01 00:00:00", "2024-02-02 00:00:00", k=2)
     finally:
-        r._tiers = saved
-    # coherent state: day-aligned asks answer fine
-    assert r.topk_rows("2024-02-01 00:00:00", "2024-02-02 00:00:00", k=2)
+        r.unpersist()
