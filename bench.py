@@ -261,6 +261,38 @@ def main() -> None:
         f"direct {queries['uw_quantile_by_day_direct']*1e3:.2f} ms vs job "
         f"{queries['uw_quantile_by_day_jobpath']*1e3:.0f} ms"
     )
+    # r11: KEYED direct asks (same-type gate — string ask on the string
+    # partition key; cross-type coercion stays on the job path). Closes
+    # the last scalar-ask job floor the r10 verdict listed as #6.
+    from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
+
+    drk = build_distinct_rollup(
+        eng.table(), "ts", "user_id", bucket_seconds=3600,
+        partition_by="event_type",
+    )
+    timed_spread(
+        "uw_keyed_distinct_direct",
+        fresh(drk, lambda: drk.approx_distinct(_qa, _qb, key="click")),
+        N_PROBE,
+    )
+    drk._jvm_ops = None
+    timed_spread(
+        "uw_keyed_distinct_jobpath",
+        fresh(drk, lambda: drk.approx_distinct(_qa, _qb, key="click")),
+        N_PROBE,
+    )
+    del drk._jvm_ops
+    drk.invalidate_asks()
+    _kd = drk.approx_distinct(_qa, _qb, key="click")  # genuinely direct
+    drk._jvm_ops = None
+    drk.invalidate_asks()
+    assert drk.approx_distinct(_qa, _qb, key="click") == _kd, "keyed direct != job"
+    del drk._jvm_ops
+    drk.unpersist()
+    log(
+        f"keyed sketch ask: direct {queries['uw_keyed_distinct_direct']*1e3:.2f} ms "
+        f"vs job {queries['uw_keyed_distinct_jobpath']*1e3:.0f} ms"
+    )
     # Theta set algebra (r5): retention between two weeks from the cached
     # sketch wheel — the vanilla equivalent is TWO distinct scans + an
     # intersection shuffle; the probe is one tiny job over the buckets.

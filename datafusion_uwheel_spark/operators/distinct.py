@@ -107,14 +107,18 @@ class DistinctRollup(SketchRetention):
         self._require_fresh()
 
         def compute() -> int:
-            # direct path (r10): unkeyed asks with job-equivalent bounds
-            # answer from the driver mirror through ONE py4j call into the
-            # same datasketches-java classes hll_union_agg uses — zero
-            # Spark jobs, probe-pinned exact parity (keyed asks and
-            # unresolvable bounds stay on the job path, preserving its
-            # coercions and ANSI cast errors)
+            # direct path (r10; keyed since r11): asks with
+            # job-equivalent bounds answer from the driver mirror through
+            # ONE py4j call into the same datasketches-java classes
+            # hll_union_agg uses — zero Spark jobs, probe-pinned exact
+            # parity. Keyed asks ride only under the SAME-TYPE gate
+            # (_key_gate); cross-type coercion, exotic bounds, and the
+            # no-key-column raise stay on the job path
             fr = self._direct_frame(
-                "__hll", start, end, key is not DistinctRollup._NO_KEY
+                "__hll",
+                start,
+                end,
+                SketchRetention._NO_ASK if key is DistinctRollup._NO_KEY else key,
             )
             if fr is not None:
                 framed, n = fr

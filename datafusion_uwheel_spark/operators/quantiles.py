@@ -148,13 +148,17 @@ class QuantileRollup(SketchRetention):
                 raise ValueError(f"rank {x!r} outside [0, 1]")
 
         def compute():
-            # direct path (r10): unkeyed asks with job-equivalent bounds
-            # merge the range's sketches in the DRIVER's JVM (one py4j
-            # call into the same KllDoublesSketch/KllLongsSketch classes
-            # kll_merge_agg uses) — zero Spark jobs; empty range → None
-            # per rank like the job path's occupied gate
+            # direct path (r10; keyed since r11 under the same-type
+            # gate): asks with job-equivalent bounds merge the range's
+            # sketches in the DRIVER's JVM (one py4j call into the same
+            # KllDoublesSketch/KllLongsSketch classes kll_merge_agg uses)
+            # — zero Spark jobs; empty range/partition → None per rank
+            # like the job path's occupied gate
             fr = self._direct_frame(
-                "__kll", start, end, key is not QuantileRollup._NO_KEY
+                "__kll",
+                start,
+                end,
+                SketchRetention._NO_ASK if key is QuantileRollup._NO_KEY else key,
             )
             if fr is not None:
                 framed, n = fr
@@ -212,7 +216,10 @@ class QuantileRollup(SketchRetention):
 
         def compute():
             fr = self._direct_frame(
-                "__kll", start, end, key is not QuantileRollup._NO_KEY
+                "__kll",
+                start,
+                end,
+                SketchRetention._NO_ASK if key is QuantileRollup._NO_KEY else key,
             )
             if fr is not None:
                 framed, n = fr

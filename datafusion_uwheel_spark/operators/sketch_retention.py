@@ -397,15 +397,16 @@ class SketchRetention:
             return box
 
     def _bytes_mirror(self, col: str, box: dict | None = None):
-        """``(secs int64 ndarray, bufs list[bytes|None])`` of the rollup,
-        sec-sorted — collected ONCE per data version (mutations swap the
-        frame, which retires the box; invalidate_asks does NOT drop it:
-        the memo prices repeat asks, the mirror is data). ``False`` when
-        the rollup exceeds `_MIRROR_MAX_ROWS` (the job path is the right
-        plan there). Keyed rollups mirror every (sec, key) row; unkeyed
-        asks union across keys exactly like the job path, and keyed asks
-        stay on the job path (no driver-side key comparison — the
-        frequency family's coercion minefield)."""
+        """``(secs int64 ndarray, bufs list[bytes|None], keys list|None)``
+        of the rollup, sec-sorted — collected ONCE per data version
+        (mutations swap the frame, which retires the box; invalidate_asks
+        does NOT drop it: the memo prices repeat asks, the mirror is
+        data). ``False`` when the rollup exceeds `_MIRROR_MAX_ROWS` (the
+        job path is the right plan there). Keyed rollups mirror every
+        (sec, key, bytes) row; unkeyed asks union across keys exactly
+        like the job path, and keyed asks answer directly ONLY under the
+        same-type gate (:meth:`_key_gate`) — the cross-type coercion
+        grammar stays on the job path (the frequency minefield)."""
         if box is None:
             box = self._mirror_box()
         m = box["m"]
@@ -425,11 +426,14 @@ class SketchRetention:
         if sized["n"] > self._MIRROR_MAX_ROWS or sized["b"] > self._MIRROR_MAX_BYTES:
             m = box["m"] = False
             return m
-        rows = df.select("__sec", col).collect()
+        keyed = self.key_column is not None and "__key" in df.columns
+        cols = ["__sec", col] + (["__key"] if keyed else [])
+        rows = df.select(*cols).collect()
         rows.sort(key=lambda r: r[0])
         secs = np.array([r[0] for r in rows], dtype=np.int64)
         bufs = [None if r[1] is None else bytes(r[1]) for r in rows]
-        m = box["m"] = (secs, bufs)
+        keys = [r[2] for r in rows] if keyed else None
+        m = box["m"] = (secs, bufs, keys)
         return m
 
     def _drop_mirror(self) -> None:
@@ -444,19 +448,52 @@ class SketchRetention:
         if not self.stale and self._sketch_ops() is not None:
             self._bytes_mirror(col)
 
-    def _direct_frame(self, col: str, start, end, keyed_ask: bool = False):
+    #: "no key restriction" sentinel for _direct_frame — None is a real
+    #: (NULL-partition) ask value, so absence needs its own object
+    _NO_ASK = object()
+
+    #: Key-column SQL types whose SAME-TYPE Python equality IS Spark's
+    #: equality — the only keyed asks the direct path serves (r11, the
+    #: r10 verdict's #6). Cross-type asks (int on a string column, bool,
+    #: floats, decimals, dates, structs) involve Spark's coercion grammar
+    #: — the probe-pinned frequency minefield — and stay on the job path.
+    _DIRECT_KEY_TYPES = {"string": str, "bigint": int, "int": int,
+                         "smallint": int, "tinyint": int}
+
+    def _key_gate(self, key) -> bool:
+        """Whether a keyed ask can answer driver-side: NULL asks match the
+        NULL partition identically on any key type; otherwise the ask's
+        Python type must be the key column's exact counterpart (bool is
+        NOT int here — ``F.lit(True)`` casts through a different grammar
+        than ``F.lit(1)``)."""
+        if self.key_column is None:
+            return False  # the job path owns the "no key column" raise
+        if key is None:
+            return True
+        want = self._DIRECT_KEY_TYPES.get(
+            dict(self._df.dtypes).get("__key", ""))
+        if want is None or type(key) is not want:
+            return False
+        if want is int and not -(2**63) <= key < 2**63:
+            return False  # job path owns the out-of-long-range error
+        return True
+
+    def _direct_frame(self, col: str, start, end, key=_NO_ASK):
         """ONE gate for every family's direct branch (review r10p3 —
         the guard was drifting across four call sites): ``(framed, n)``
         when the direct path applies — shim present on a UTC session,
-        unkeyed ask, job-equivalent bounds, mirror and blob inside the
-        size caps — else None (job path)."""
-        if keyed_ask or self._sketch_ops() is None:
+        job-equivalent bounds, a same-type (or NULL, or absent) key
+        restriction, mirror and blob inside the size caps — else None
+        (job path)."""
+        if self._sketch_ops() is None:
+            return None
+        if key is not SketchRetention._NO_ASK and not self._key_gate(key):
             return None
         a = self._epoch_bound(start)
         b = self._epoch_bound(end)
         if a is None or b is None:
             return None
-        return self._framed_range(col, a, b)
+        return self._framed_range(col, a, b, key)
 
     def _selected_indices(self, box: dict, secs, a: int, b: int):
         """Mirror-row indices intersecting ``[a, b)`` — the ONE driver-side
@@ -477,22 +514,30 @@ class SketchRetention:
             w[secs < end] = tw
         return np.nonzero((secs > a - w) & (secs < b))[0]
 
-    def _framed_range(self, col: str, a: int, b: int):
+    def _framed_range(self, col: str, a: int, b: int, key=_NO_ASK):
         """``(framed_blob, n_selected)`` for the sketches intersecting
-        ``[a, b)`` (selection via :meth:`_selected_indices`) — or None
-        when the mirror/blob exceeds the size caps."""
+        ``[a, b)`` (selection via :meth:`_selected_indices`), optionally
+        restricted to one key partition (same-type equality only — the
+        caller's :meth:`_key_gate` vouched; ``key=None`` is the NULL
+        partition, matching ``eqNullSafe``) — or None when the
+        mirror/blob exceeds the size caps."""
         import struct
 
         box = self._mirror_box()
         m = self._bytes_mirror(col, box)
         if m is False:
             return None
-        secs, bufs = m
-        sel = [
-            bufs[i]
-            for i in self._selected_indices(box, secs, a, b)
-            if bufs[i] is not None
-        ]
+        secs, bufs, keys = m
+
+        def keep(i) -> bool:
+            if bufs[i] is None:
+                return False
+            if key is SketchRetention._NO_ASK:
+                return True
+            k = keys[i] if keys is not None else None
+            return k is None if key is None else k == key
+
+        sel = [bufs[i] for i in self._selected_indices(box, secs, a, b) if keep(i)]
         if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
             return None
         parts = [struct.pack(">i", len(sel))]
@@ -570,7 +615,7 @@ class SketchRetention:
         m = self._bytes_mirror(col, box)
         if m is False:
             return None
-        secs, bufs = m
+        secs, bufs, _keys = m
         if a is not None:
             idx = self._selected_indices(box, secs, a, b)
         else:

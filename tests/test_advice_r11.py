@@ -305,7 +305,7 @@ def test_selected_indices_sources_tiers_from_the_box(spark, hll_events):
     r = build_distinct_rollup(hll_events, "ts", "uid", bucket_seconds=3600)
     try:
         a = calendar.timegm(datetime(2024, 2, 1).utctimetuple())
-        secs, _bufs = r._bytes_mirror("__hll")
+        secs, _bufs, _keys = r._bytes_mirror("__hll")
         assert r.tiers == []
         # a box carrying COARSE widths while self.tiers is still fine:
         # the 21600s slop must pull in ALL 6 hourly rows for an ask

@@ -115,7 +115,7 @@ def test_hll_direct_int_epochs_and_ansi_raise(spark, events):
         r.unpersist()
 
 
-def test_hll_keyed_rollup_unkeyed_direct_keyed_job(spark, events):
+def test_hll_keyed_rollup_unkeyed_and_same_type_keyed_direct(spark, events):
     from pyspark.sql import functions as F
 
     keyed = events.withColumn("seg", (F.col("uid") % 3).cast("long"))
@@ -130,11 +130,107 @@ def test_hll_keyed_rollup_unkeyed_direct_keyed_job(spark, events):
         _force_job_path(r)
         r.invalidate_asks()
         assert direct == r.approx_distinct(A, B)
-        # keyed asks stay on the job path (no driver-side key coercion)
+        # r11 (the r10 verdict's #6): SAME-TYPE keyed asks ride the direct
+        # path — int ask on a bigint key, zero jobs, exact job parity
         _reenable(r)
+        for k in (0, 1, 2, 99):
+            r.invalidate_asks()
+            d, job_free = _no_jobs(
+                spark, lambda: r.approx_distinct(A, B, key=k)
+            )
+            assert job_free, k
+            _force_job_path(r)
+            r.invalidate_asks()
+            assert d == r.approx_distinct(A, B, key=k), k
+            _reenable(r)
+        # CROSS-TYPE asks never ride the gate (the coercion grammar is
+        # Spark's): a bool ask is NOT an int ask, an out-of-long int must
+        # keep the job path's own error, unkeyed rollups delegate the
+        # "no key column" raise
+        assert r._key_gate(True) is False
+        assert r._key_gate(2**64) is False
+        assert r._key_gate("1") is False  # string ask on a bigint column
+        # whatever Spark does with the cross-type compare, both paths do
+        # THE SAME thing (the gate only ever delegates)
+        def run(f):
+            try:
+                return ("ok", f())
+            except Exception as e:
+                return ("err", type(e).__name__)
+
         r.invalidate_asks()
-        _, job_free = _no_jobs(spark, lambda: r.approx_distinct(A, B, key=1))
-        assert not job_free
+        direct_out = run(lambda: r.approx_distinct(A, B, key=True))
+        _force_job_path(r)
+        r.invalidate_asks()
+        assert direct_out == run(lambda: r.approx_distinct(A, B, key=True))
+    finally:
+        r.unpersist()
+
+
+def test_keyed_direct_string_keys_nulls_and_cross_type_raise(spark, events):
+    from pyspark.sql import functions as F
+
+    keyed = events.withColumn(
+        "et",
+        F.when(F.col("uid") % 7 == 0, F.lit(None)).otherwise(
+            F.when(F.col("uid") % 2 == 0, F.lit("click")).otherwise(F.lit("view"))
+        ),
+    )
+    r = build_distinct_rollup(
+        keyed, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        # string keys (incl. the NULL partition and a missing key): direct
+        # equals the forced job path, zero jobs
+        for k in ("click", "view", None, "missing"):
+            r.invalidate_asks()
+            d, job_free = _no_jobs(
+                spark, lambda: r.approx_distinct(A, B, key=k)
+            )
+            assert job_free, k
+            _force_job_path(r)
+            r.invalidate_asks()
+            assert d == r.approx_distinct(A, B, key=k), k
+            _reenable(r)
+        # an INT ask on a string key column: eqNullSafe casts the COLUMN
+        # to bigint — the job path's ANSI error must still raise (the
+        # direct path refuses cross-type and delegates; probed r11)
+        r.invalidate_asks()
+        with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+            r.approx_distinct(A, B, key=7)
+    finally:
+        r.unpersist()
+
+
+def test_kll_keyed_direct_parity(spark, events):
+    from pyspark.sql import functions as F
+
+    keyed = events.withColumn("seg", (F.col("uid") % 5).cast("int"))
+    r = build_quantile_rollup(
+        keyed, "ts", "v", bucket_seconds=3600, partition_by="seg"
+    )
+    try:
+        one_hr = ("2024-02-01 02:00:00", "2024-02-01 03:00:00")
+        for k in (0, 3, None, 99):
+            r.invalidate_asks()
+            d, job_free = _no_jobs(
+                spark, lambda: r.approx_quantile(0.5, *one_hr, key=k)
+            )
+            assert job_free, k
+            _force_job_path(r)
+            r.invalidate_asks()
+            # single-bucket cells: no merge randomization — exact parity
+            assert d == r.approx_quantile(0.5, *one_hr, key=k), k
+            _reenable(r)
+        # keyed rank too
+        r.invalidate_asks()
+        d, job_free = _no_jobs(
+            spark, lambda: r.approx_rank(150.0, *one_hr, key=2)
+        )
+        assert job_free
+        _force_job_path(r)
+        r.invalidate_asks()
+        assert d == r.approx_rank(150.0, *one_hr, key=2)
     finally:
         r.unpersist()
 
