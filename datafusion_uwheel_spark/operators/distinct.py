@@ -69,7 +69,11 @@ class DistinctRollup(SketchRetention):
         #: double-count).
         self.key_column = key_column
 
-    _NO_KEY = object()  # sentinel: None is a real (NULL) key value
+    #: sentinel for "no key restriction" (None is a real NULL-key ask) —
+    #: the SAME object as the base gate's _NO_ASK, so the direct branch
+    #: passes keys through verbatim (r11 review: two parallel sentinels
+    #: for one concept forced a translation at every call site)
+    _NO_KEY = SketchRetention._NO_ASK
 
     def _restrict(self, start, end, key=_NO_KEY):
         df = self._df.filter(self._range_filter(start, end))
@@ -114,12 +118,7 @@ class DistinctRollup(SketchRetention):
             # parity. Keyed asks ride only under the SAME-TYPE gate
             # (_key_gate); cross-type coercion, exotic bounds, and the
             # no-key-column raise stay on the job path
-            fr = self._direct_frame(
-                "__hll",
-                start,
-                end,
-                SketchRetention._NO_ASK if key is DistinctRollup._NO_KEY else key,
-            )
+            fr = self._direct_frame("__hll", start, end, key)
             if fr is not None:
                 framed, n = fr
                 return int(self._sketch_ops().hllEstimate(framed)) if n else 0

@@ -106,7 +106,9 @@ class QuantileRollup(SketchRetention):
             F.col("__sec") < b
         )
 
-    _NO_KEY = object()  # sentinel: None is a real (NULL) key value
+    #: sentinel for "no key restriction" — the base gate's _NO_ASK (see
+    #: DistinctRollup._NO_KEY)
+    _NO_KEY = SketchRetention._NO_ASK
 
     def _restrict(self, start, end, key):
         df = self._df.filter(self._range_filter(start, end))
@@ -154,12 +156,7 @@ class QuantileRollup(SketchRetention):
             # KllDoublesSketch/KllLongsSketch classes kll_merge_agg uses)
             # — zero Spark jobs; empty range/partition → None per rank
             # like the job path's occupied gate
-            fr = self._direct_frame(
-                "__kll",
-                start,
-                end,
-                SketchRetention._NO_ASK if key is QuantileRollup._NO_KEY else key,
-            )
+            fr = self._direct_frame("__kll", start, end, key)
             if fr is not None:
                 framed, n = fr
                 if n == 0:
@@ -215,12 +212,7 @@ class QuantileRollup(SketchRetention):
         norm = math.floor(fv) if self.suffix == "bigint" else float(fv)
 
         def compute():
-            fr = self._direct_frame(
-                "__kll",
-                start,
-                end,
-                SketchRetention._NO_ASK if key is QuantileRollup._NO_KEY else key,
-            )
+            fr = self._direct_frame("__kll", start, end, key)
             if fr is not None:
                 framed, n = fr
                 if n == 0:

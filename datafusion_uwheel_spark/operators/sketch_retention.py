@@ -468,10 +468,15 @@ class SketchRetention:
         than ``F.lit(1)``)."""
         if self.key_column is None:
             return False  # the job path owns the "no key column" raise
+        dtype = dict(self._df.dtypes).get("__key")
+        if dtype is None:
+            # key_column set but no __key column (hand-built handle): the
+            # job path owns the missing-column raise — NULL asks included
+            # (r11 review: the None early-return sat before this check)
+            return False
         if key is None:
-            return True
-        want = self._DIRECT_KEY_TYPES.get(
-            dict(self._df.dtypes).get("__key", ""))
+            return True  # eqNullSafe NULL-partition match, type-independent
+        want = self._DIRECT_KEY_TYPES.get(dtype)
         if want is None or type(key) is not want:
             return False
         if want is int and not -(2**63) <= key < 2**63:
