@@ -243,15 +243,26 @@ def main() -> None:
         fresh(qr, lambda: qr.quantile_rows_by("day", 0.95)), N_PROBE,
     )
     del qr._jvm_ops
-    # deterministic family: direct rows must equal the job-path rows here.
-    # invalidate FIRST — the memo still holds the jobpath loop's last
-    # answer, so without it _gd would be a memo hit of the JOB rows and
-    # the assert would compare job to job (r11 review: vacuous guard)
+    # parity guard, BOUND-based for HLL (probe-pinned r11: per-bucket
+    # sketches at real scale stay in coupon mode, where the union's HIP
+    # estimator is UPDATE-ORDER-dependent — six shuffles of one day's 24
+    # sketches gave six estimates in [1318, 1330] around the true ~1330,
+    # and the job's own aggregation order is arbitrary. Direct and job
+    # are both valid estimates within the HLL bound; exact equality is a
+    # small-scale/exact-regime property only, like KLL's randomized
+    # merges). invalidate FIRST — the memo still holds the jobpath
+    # loop's last answer (r11 review: the old assert compared job to job)
     dr.invalidate_asks()
     _gd = dr.distinct_rows_by("day")  # genuinely direct
     dr._jvm_ops = None
     dr.invalidate_asks()
-    assert dr.distinct_rows_by("day") == _gd, "grouped HLL direct != job"
+    _gj = dr.distinct_rows_by("day")
+    assert len(_gd) == len(_gj) and all(
+        a[0] == b[0]
+        and (a[1] is None) == (b[1] is None)
+        and (a[1] is None or abs(a[1] - b[1]) <= max(2, 0.05 * b[1]))
+        for a, b in zip(_gd, _gj)
+    ), "grouped HLL direct outside the estimate bound of the job rows"
     del dr._jvm_ops
     dr.invalidate_asks()
     log(
@@ -286,7 +297,12 @@ def main() -> None:
     _kd = drk.approx_distinct(_qa, _qb, key="click")  # genuinely direct
     drk._jvm_ops = None
     drk.invalidate_asks()
-    assert drk.approx_distinct(_qa, _qb, key="click") == _kd, "keyed direct != job"
+    _kj = drk.approx_distinct(_qa, _qb, key="click")
+    # bound-based like the grouped HLL guard above (coupon-regime HIP
+    # estimates are update-order-dependent on BOTH paths)
+    assert abs(_kd - _kj) <= max(2, 0.05 * _kj), (
+        "keyed direct outside the estimate bound of the job value"
+    )
     del drk._jvm_ops
     drk.unpersist()
     log(

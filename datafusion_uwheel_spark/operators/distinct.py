@@ -114,10 +114,16 @@ class DistinctRollup(SketchRetention):
             # direct path (r10; keyed since r11): asks with
             # job-equivalent bounds answer from the driver mirror through
             # ONE py4j call into the same datasketches-java classes
-            # hll_union_agg uses — zero Spark jobs, probe-pinned exact
-            # parity. Keyed asks ride only under the SAME-TYPE gate
-            # (_key_gate); cross-type coercion, exotic bounds, and the
-            # no-key-column raise stay on the job path
+            # hll_union_agg uses — zero Spark jobs. Parity vs the job
+            # path is EXACT in the coupon-exact regime (small per-bucket
+            # cardinalities); beyond it both paths return valid HLL
+            # estimates that can differ within the bound, because the
+            # union's HIP estimator is UPDATE-ORDER-dependent and the
+            # job's aggregation order is arbitrary (probe-pinned r11: six
+            # update orders of one real day's sketches → six estimates in
+            # [1318, 1330] of a true ~1330). Keyed asks ride only under
+            # the SAME-TYPE gate (_key_gate); cross-type coercion, exotic
+            # bounds, and the no-key-column raise stay on the job path
             fr = self._direct_frame("__hll", start, end, key)
             if fr is not None:
                 framed, n = fr
@@ -212,7 +218,10 @@ class DistinctRollup(SketchRetention):
         Spark jobs on a shim session — the whole series merges in ONE
         py4j call (``UwheelSketchOps.hllEstimateGrouped`` over the framed
         driver mirror). Buckets whose sketches were all NULL surface with
-        ``None``, mirroring the job path's NULL estimate. Falls back to
+        ``None``, mirroring the job path's NULL estimate. Values equal
+        the job path's exactly in the coupon-exact regime; at real
+        cardinalities both are valid estimates within the HLL bound (the
+        HIP estimator is update-order-dependent — see approx_distinct). Falls back to
         collecting the job path's DataFrame when the direct gate refuses
         (exotic date_trunc level, unresolvable bounds, keyed-session
         quirks, over-cap mirror, shim-less session) — identical rows

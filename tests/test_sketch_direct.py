@@ -8,9 +8,13 @@ SAME bundled datasketches-java classes Spark's own expressions use (call
 chains pinned from the bundled bytecode; live probe r10: exact parity on
 HLL estimate, KLL quantile/rank, theta i/u/d/e).
 
-The contract under test: (a) direct answers EQUAL the job path's (exact
-for HLL/theta — deterministic algebra; rank-bounded for multi-bucket KLL,
-whose merge compaction is randomized), (b) warm direct asks launch ZERO
+The contract under test: (a) direct answers EQUAL the job path's —
+exact for theta (k-smallest-hashes algebra, order-free) and for HLL in
+the coupon-exact regime these fixtures stay in (at real cardinalities
+HLL's HIP estimator is update-order-dependent, so direct and job are
+both valid estimates within the bound — probe-pinned r11); rank-bounded
+for multi-bucket KLL, whose merge compaction is randomized — (b) warm
+direct asks launch ZERO
 Spark jobs, (c) sessions without the shim class fall back to the job path
 transparently, (d) mutations drop the mirror so direct answers track the
 new data, and (e) bounds the job path would RAISE on (ANSI cast) still

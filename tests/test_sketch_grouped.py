@@ -7,9 +7,12 @@ driver mirror through ONE batched py4j call
 thetaRetentionGrouped}``), instead of the ~200 ms Spark job per ask.
 
 Contract (the test_sketch_direct.py discipline): (a) rows EQUAL the job
-path's collected DataFrame — exact for HLL/theta (deterministic algebra)
-and for single-bucket KLL cells, rank-bounded for multi-bucket KLL cells
-(randomized merge compaction); (b) warm grouped asks launch ZERO Spark
+path's collected DataFrame — exact for theta (order-free hash-set
+algebra), for HLL in the coupon-exact regime these fixtures stay in
+(beyond it HLL's HIP estimator is update-order-dependent: both paths
+valid within the bound — probe-pinned r11, bench asserts are
+bound-based), and for single-bucket KLL cells; rank-bounded for
+multi-bucket KLL cells (randomized merge compaction); (b) warm grouped asks launch ZERO Spark
 jobs; (c) the gate's refusals (exotic date_trunc level, unresolvable
 bounds, shim-less session) fall back to the job path transparently;
 (d) mutations (merge_batch / compact_before) drop the mirror so grouped
