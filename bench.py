@@ -1132,6 +1132,7 @@ def main() -> None:
             eng.sql_rows(q)
             dtimes.append(time.perf_counter() - t0)
             assert eng.last_route.rewritten, (family, eng.last_route)
+        spreads[family] = half_medians(dtimes)
         dtimes.sort()
         queries[family] = quantile(dtimes, 0.5)
         queries[f"{family}_p99"] = quantile(dtimes, 0.99)
@@ -1159,6 +1160,7 @@ def main() -> None:
             eng.sql_rows(q)
             rtimes.append(time.perf_counter() - t0)
             assert eng.last_route.rewritten, (family, eng.last_route)
+        spreads[family] = half_medians(rtimes)
         rtimes.sort()
         queries[family] = quantile(rtimes, 0.5)
         queries[f"{family}_p99"] = quantile(rtimes, 0.99)
@@ -1184,6 +1186,7 @@ def main() -> None:
         cat.sql_rows(q)
         ctimes.append(time.perf_counter() - t0)
         assert eng.last_route.rewritten, ("uw_catalog_rows_direct", eng.last_route)
+    spreads["uw_catalog_rows_direct"] = half_medians(ctimes)
     ctimes.sort()
     queries["uw_catalog_rows_direct"] = quantile(ctimes, 0.5)
     queries["uw_catalog_rows_direct_p99"] = quantile(ctimes, 0.99)
@@ -1459,6 +1462,7 @@ def main() -> None:
         ret_m.merge_batch(batch)
         merge_times.append(time.perf_counter() - t0)
         day_bytes.append(ret_eng.index_usage_bytes())
+    spreads["uw_stream_retention_merge"] = half_medians(merge_times)
     queries["uw_stream_retention_merge"] = quantile(sorted(merge_times), 0.5)
     # flat tail: once >1 day is behind the watermark the per-day footprint
     # is the fine window (1 day) + a bounded hourly prefix
