@@ -266,9 +266,14 @@ def test_stream_cap_per_key(spark, tmp_path):
     schema = "doc_id long, source string"
 
     def write_batch(rows):
-        spark.createDataFrame(rows, schema).write.mode("append").parquet(
-            str(src)
-        )
+        # ONE part-file per append: a file is atomic to the file-stream
+        # source, so the rows cannot split across micro-batches — under
+        # full-suite load a multi-part append sometimes did, and the
+        # order_by assertion below (which admits the lowest doc_ids of
+        # ONE micro-batch's flood) flaked while the cap itself held
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
 
     # batch 1: hot=8 rows, cold=2
     write_batch([(i, "hot") for i in range(8)] + [(100, "cold"), (101, "cold")])
