@@ -292,6 +292,17 @@ def main() -> None:
         fresh(drk, lambda: drk.approx_distinct(_qa, _qb, key="click")),
         N_PROBE,
     )
+    # the per-key SERIES form too (approx_distinct_by_key's floor — the
+    # last *_by_key shape from the r10 verdict's #1)
+    timed_spread(
+        "uw_distinct_by_key_direct",
+        fresh(drk, lambda: drk.distinct_rows_by_key(_qa, _qb)), N_PROBE,
+    )
+    drk._jvm_ops = None
+    timed_spread(
+        "uw_distinct_by_key_jobpath",
+        fresh(drk, lambda: drk.distinct_rows_by_key(_qa, _qb)), N_PROBE,
+    )
     del drk._jvm_ops
     drk.invalidate_asks()
     _kd = drk.approx_distinct(_qa, _qb, key="click")  # genuinely direct

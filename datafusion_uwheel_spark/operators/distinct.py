@@ -209,6 +209,48 @@ class DistinctRollup(SketchRetention):
             .orderBy("bucket")
         )
 
+    def distinct_rows_by_key(self, start=None, end=None) -> list[tuple]:
+        """Driver-resident sibling of :meth:`approx_distinct_by_key` (r11):
+        the same ``(<key_column>, approx_distinct)`` rows as plain Python
+        tuples, key-ascending with NULL first (the job path's ORDER BY),
+        ZERO Spark jobs on a shim session — one batched py4j call merges
+        every key's sketches. Keys outside the same-type sortable set
+        (string/integral), shim-less sessions, and unresolvable bounds
+        fall back to collecting the job path's DataFrame. Memoized until
+        the rollup mutates. Estimate-regime caveat as
+        :meth:`distinct_rows_by`."""
+        self._require_fresh()
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+
+        def compute() -> list[tuple]:
+            gc = self._keyed_cells("__hll", start, end)
+            if gc is None:
+                return [
+                    tuple(r)
+                    for r in self.approx_distinct_by_key(start, end).collect()
+                ]
+            cells, framed, counts = gc
+            if not cells:
+                return []
+            import struct
+
+            ests = struct.unpack(
+                f">{len(cells)}q",
+                bytes(self._sketch_ops().hllEstimateGrouped(framed)),
+            )
+            return [
+                (k, int(e) if c else None)
+                for k, e, c in zip(cells, ests, counts)
+            ]
+
+        return self._memoized_ask(
+            ("distinct_by_key", self._ask_token(start), self._ask_token(end)),
+            compute,
+        )
+
     def distinct_rows_by(self, granularity, start=None, end=None) -> list[tuple]:
         """Driver-resident sibling of :meth:`approx_distinct_by` (r11 —
         the frequency family's ``topk_rows_by`` model applied to the

@@ -336,6 +336,74 @@ class QuantileRollup(SketchRetention):
             .orderBy("bucket")
         )
 
+    def quantile_rows_by_key(self, q, start=None, end=None) -> list[tuple]:
+        """Driver-resident sibling of :meth:`approx_quantile_by_key` (r11 —
+        the last dashboard-series form still paying the per-ask job floor
+        in the r10 verdict's #1): the same ``(<key_column>,
+        approx_quantile[_i]...)`` rows as plain Python tuples,
+        key-ascending with NULL first (the job path's ORDER BY), ZERO
+        Spark jobs on a shim session — one batched py4j call merges every
+        key's sketches. Keys outside the same-type sortable set
+        (string/integral), shim-less sessions, and unresolvable bounds
+        fall back to collecting the job path's DataFrame; multi-bucket
+        merges carry KLL's randomized-compaction caveat either way.
+        Memoized until the rollup mutates."""
+        self._require_fresh()
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+        qs = list(q) if isinstance(q, (list, tuple)) else [q]
+        for x in qs:
+            if not 0.0 <= float(x) <= 1.0:
+                raise ValueError(f"rank {x!r} outside [0, 1]")
+
+        def compute() -> list[tuple]:
+            gc = self._keyed_cells("__kll", start, end)
+            if gc is None:
+                return [
+                    tuple(r)
+                    for r in self.approx_quantile_by_key(q, start, end).collect()
+                ]
+            cells, framed, counts = gc
+            if not cells:
+                return []
+            import struct
+
+            ops = self._sketch_ops()
+            fn = (
+                ops.kllQuantilesLongGrouped
+                if self.suffix == "bigint"
+                else ops.kllQuantilesDoubleGrouped
+            )
+            blob = bytes(
+                fn(framed, self._jdouble_array([float(x) for x in qs]))
+            )
+            m = len(qs)
+            code = "q" if self.suffix == "bigint" else "d"
+            rows = []
+            off = 0
+            for k in cells:
+                occ = blob[off]
+                off += 1
+                if occ:
+                    vals = list(struct.unpack_from(f">{m}{code}", blob, off))
+                    off += 8 * m
+                else:
+                    vals = [None] * m
+                rows.append((k, *vals))
+            return rows
+
+        return self._memoized_ask(
+            (
+                "quantile_by_key",
+                tuple(float(x) for x in qs),
+                self._ask_token(start),
+                self._ask_token(end),
+            ),
+            compute,
+        )
+
     def quantile_rows_by(self, granularity, q, start=None, end=None) -> list[tuple]:
         """Driver-resident sibling of :meth:`approx_quantile_by` (r11):
         the same ``(bucket, approx_quantile[_i]...)`` rows as plain Python

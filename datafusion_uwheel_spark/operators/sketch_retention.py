@@ -648,6 +648,74 @@ class SketchRetention:
             parts.append(bb)
         return cells, b"".join(parts), counts
 
+    def _keyed_cells(self, col, start, end):
+        """The PER-KEY grouped gate (the ``*_by_key`` dimensional forms):
+        ``(key_values, framed_blob, counts)`` with keys in the job path's
+        ``ORDER BY key`` order (ascending, NULL FIRST — Spark's ASC
+        default), else None. Only key-column types whose collected Python
+        values sort the way Spark sorts them ride (the same
+        `_DIRECT_KEY_TYPES` set the keyed scalar gate uses: one type per
+        column, no cross-type comparator subtleties); everything else —
+        plus shim-less sessions, unresolvable bounds, over-cap mirrors —
+        falls back to the job path. Blob layout and the batched ``*Grouped``
+        JVM ops are exactly :meth:`_grouped_cells`'s."""
+        import struct
+
+        import numpy as np
+
+        if self.key_column is None or self._sketch_ops() is None:
+            return None
+        if self._DIRECT_KEY_TYPES.get(dict(self._df.dtypes).get("__key", "")) is None:
+            return None
+        if start is None and end is None:
+            a = b = None  # the job path applies no filter at all
+        else:
+            a = (
+                self._OPEN_START_SEC
+                if start is None
+                else self._epoch_bound(start)
+            )
+            b = self._OPEN_END_SEC if end is None else self._epoch_bound(end)
+            if a is None or b is None:
+                return None
+        box = self._mirror_box()
+        m = self._bytes_mirror(col, box)
+        if m is False:
+            return None
+        secs, bufs, keys = m
+        if keys is None:
+            return None  # hand-built handle without __key: job path raises
+        if a is not None:
+            idx = self._selected_indices(box, secs, a, b)
+        else:
+            idx = np.arange(len(secs))
+        if not len(idx):
+            return [], struct.pack(">i", 0), []
+        # keys are NOT contiguous in the sec-sorted mirror — one dict pass,
+        # then the job path's ordering: ascending with NULL first
+        frames: dict = {}
+        for i in idx.tolist():
+            frames.setdefault(keys[i], []).append(bufs[i])
+        ordered = sorted(frames, key=lambda k: (k is not None, k))
+        cells: list = []
+        counts: list = []
+        sel: list = []
+        for k in ordered:
+            cells.append(k)
+            n = 0
+            for bb in frames[k]:
+                if bb is not None:
+                    sel.append(bb)
+                    n += 1
+            counts.append(n)
+        if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+            return None
+        parts = [struct.pack(f">i{len(counts)}i", len(counts), *counts)]
+        for bb in sel:
+            parts.append(struct.pack(">i", len(bb)))
+            parts.append(bb)
+        return cells, b"".join(parts), counts
+
     @staticmethod
     def _bucket_dt(sec: int):
         """Epoch seconds → the naive-UTC datetime a collected TIMESTAMP

@@ -345,3 +345,107 @@ def test_theta_grouped_fallback_matches(spark, events):
         assert r.retention_rows_by("day") == direct
     finally:
         r.unpersist()
+
+
+# ------------------------------------------------------------ by_key (r11)
+def test_hll_by_key_parity_and_job_free(spark, events):
+    r = build_distinct_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        for s, e in [(None, None), (A, B), (A, None)]:
+            r.invalidate_asks()
+            direct, job_free = _no_jobs(
+                spark, lambda: r.distinct_rows_by_key(s, e)
+            )
+            assert job_free, (s, e)
+            assert direct == [
+                tuple(x) for x in r.approx_distinct_by_key(s, e).collect()
+            ], (s, e)
+        # forced job path: identical rows through the fallback
+        _force_job_path(r)
+        r.invalidate_asks()
+        assert r.distinct_rows_by_key(A, B) == [
+            tuple(x) for x in r.approx_distinct_by_key(A, B).collect()
+        ]
+        _reenable(r)
+        # unresolvable bound: fallback owns it (and its errors)
+        r.invalidate_asks()
+        with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+            r.distinct_rows_by_key("20240201", "20240202")
+    finally:
+        r.unpersist()
+
+
+def test_hll_by_key_null_keys_first_and_unkeyed_raises(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (BASE + timedelta(hours=h, minutes=m), h * 60 + m)
+        for h in range(3)
+        for m in range(0, 60, 4)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, uid bigint").withColumn(
+        "k", F.when(F.col("uid") % 3 == 0, F.lit(None)).otherwise(F.col("uid") % 3)
+    )
+    r = build_distinct_rollup(ev, "ts", "uid", bucket_seconds=3600, partition_by="k")
+    try:
+        direct, job_free = _no_jobs(spark, lambda: r.distinct_rows_by_key())
+        assert job_free
+        assert direct == [
+            tuple(x) for x in r.approx_distinct_by_key().collect()
+        ]
+        assert direct[0][0] is None  # NULL key first, like the job ORDER BY
+    finally:
+        r.unpersist()
+    r2 = build_distinct_rollup(ev, "ts", "uid", bucket_seconds=3600)
+    try:
+        with pytest.raises(ValueError, match="partition_by"):
+            r2.distinct_rows_by_key()
+    finally:
+        r2.unpersist()
+
+
+def test_kll_by_key_parity(spark, events):
+    r = build_quantile_rollup(
+        events, "ts", "v", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        for q in (0.5, [0.25, 0.9]):
+            # single-hour restriction: one bucket per key — exact, no
+            # merge randomization
+            one_hr = ("2024-02-01 04:00:00", "2024-02-01 05:00:00")
+            r.invalidate_asks()
+            direct, job_free = _no_jobs(
+                spark, lambda: r.quantile_rows_by_key(q, *one_hr)
+            )
+            assert job_free, q
+            assert direct == [
+                tuple(x)
+                for x in r.approx_quantile_by_key(q, *one_hr).collect()
+            ], q
+        with pytest.raises(ValueError, match="outside"):
+            r.quantile_rows_by_key(1.5)
+    finally:
+        r.unpersist()
+
+
+def test_by_key_tracks_mutations(spark, events):
+    r = build_distinct_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        before = r.distinct_rows_by_key()
+        late = spark.createDataFrame(
+            [(BASE + timedelta(hours=1, minutes=1), 9901 + i, "click")
+             for i in range(30)],
+            "ts timestamp, uid bigint, et string",
+        )
+        r.merge_batch(late, "ts")
+        after = r.distinct_rows_by_key()
+        assert after != before
+        assert after == [
+            tuple(x) for x in r.approx_distinct_by_key().collect()
+        ]
+    finally:
+        r.unpersist()
