@@ -292,6 +292,9 @@ def main() -> None:
         fresh(drk, lambda: drk.approx_distinct(_qa, _qb, key="click")),
         N_PROBE,
     )
+    del drk._jvm_ops  # BEFORE the by_key direct row (r11: the first run
+    # of this block timed the 'direct' row with the handle still forced
+    # to None from the jobpath above — 210 ms of job path labeled direct)
     # the per-key SERIES form too (approx_distinct_by_key's floor — the
     # last *_by_key shape from the r10 verdict's #1)
     timed_spread(
