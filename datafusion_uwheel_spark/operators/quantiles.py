@@ -368,8 +368,6 @@ class QuantileRollup(SketchRetention):
             cells, framed, counts = gc
             if not cells:
                 return []
-            import struct
-
             ops = self._sketch_ops()
             fn = (
                 ops.kllQuantilesLongGrouped
@@ -379,20 +377,10 @@ class QuantileRollup(SketchRetention):
             blob = bytes(
                 fn(framed, self._jdouble_array([float(x) for x in qs]))
             )
-            m = len(qs)
-            code = "q" if self.suffix == "bigint" else "d"
-            rows = []
-            off = 0
-            for k in cells:
-                occ = blob[off]
-                off += 1
-                if occ:
-                    vals = list(struct.unpack_from(f">{m}{code}", blob, off))
-                    off += 8 * m
-                else:
-                    vals = [None] * m
-                rows.append((k, *vals))
-            return rows
+            return [
+                (k, *vals)
+                for k, vals in zip(cells, self._unpack_kll_cells(blob, cells, qs))
+            ]
 
         return self._memoized_ask(
             (
@@ -436,8 +424,6 @@ class QuantileRollup(SketchRetention):
             cells, framed, counts = gc
             if not cells:
                 return []
-            import struct
-
             ops = self._sketch_ops()
             fn = (
                 ops.kllQuantilesLongGrouped
@@ -449,20 +435,10 @@ class QuantileRollup(SketchRetention):
             )
             # packed per cell: occupancy byte, then (when occupied) one
             # value per rank — one bulk transfer (see _grouped_cells)
-            m = len(qs)
-            code = "q" if self.suffix == "bigint" else "d"
-            rows = []
-            off = 0
-            for bk in cells:
-                occ = blob[off]
-                off += 1
-                if occ:
-                    vals = list(struct.unpack_from(f">{m}{code}", blob, off))
-                    off += 8 * m
-                else:
-                    vals = [None] * m
-                rows.append((self._bucket_dt(bk), *vals))
-            return rows
+            return [
+                (self._bucket_dt(bk), *vals)
+                for bk, vals in zip(cells, self._unpack_kll_cells(blob, cells, qs))
+            ]
 
         return self._memoized_ask(
             (

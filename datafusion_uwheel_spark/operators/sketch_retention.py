@@ -557,6 +557,33 @@ class SketchRetention:
     _OPEN_START_SEC = 0
     _OPEN_END_SEC = 253_370_764_800  # epoch of '9999-01-01'
 
+    def _resolve_open_bounds(self, start, end):
+        """``(a, b)`` epoch bounds for an optionally-one-sided grouped
+        restriction — ``(None, None)`` when no filter applies at all
+        (matching the job path), ``False`` when a given bound cannot
+        resolve job-equivalently (the caller falls back). ONE copy for
+        the time-grouped and key-grouped gates (r11 review pass 8)."""
+        if start is None and end is None:
+            return None, None
+        a = self._OPEN_START_SEC if start is None else self._epoch_bound(start)
+        b = self._OPEN_END_SEC if end is None else self._epoch_bound(end)
+        if a is None or b is None:
+            return False
+        return a, b
+
+    @staticmethod
+    def _pack_grouped(counts, sel):
+        """The grouped blob: ``[n_cells][count_i]*n [len bytes]*`` —
+        ONE copy of the wire format's write side (three call sites were
+        drifting candidates, the r10p3 lesson)."""
+        import struct
+
+        parts = [struct.pack(f">i{len(counts)}i", len(counts), *counts)]
+        for bb in sel:
+            parts.append(struct.pack(">i", len(bb)))
+            parts.append(bb)
+        return b"".join(parts)
+
     def _grouped_cells(self, col, granularity, start, end, keyed_ask=False):
         """The grouped direct-ask gate (r11 — approx_*_by's economics):
         ``(bucket_secs, framed_blob, counts)`` when the series can answer
@@ -595,17 +622,10 @@ class SketchRetention:
             if g not in GRANULARITIES and g not in CALENDAR_GRANULARITIES:
                 return None  # exotic date_trunc level: job path owns it
             granularity = g
-        if start is None and end is None:
-            a = b = None  # the job path applies no filter at all
-        else:
-            a = (
-                self._OPEN_START_SEC
-                if start is None
-                else self._epoch_bound(start)
-            )
-            b = self._OPEN_END_SEC if end is None else self._epoch_bound(end)
-            if a is None or b is None:
-                return None
+        bounds = self._resolve_open_bounds(start, end)
+        if bounds is False:
+            return None
+        a, b = bounds
         from ..functions.timestamps import bucket_starts
 
         box = self._mirror_box()
@@ -642,11 +662,7 @@ class SketchRetention:
                 counts[-1] += 1
         if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
             return None
-        parts = [struct.pack(f">i{len(counts)}i", len(counts), *counts)]
-        for bb in sel:
-            parts.append(struct.pack(">i", len(bb)))
-            parts.append(bb)
-        return cells, b"".join(parts), counts
+        return cells, self._pack_grouped(counts, sel), counts
 
     def _keyed_cells(self, col, start, end):
         """The PER-KEY grouped gate (the ``*_by_key`` dimensional forms):
@@ -666,25 +682,18 @@ class SketchRetention:
         if self.key_column is None or self._sketch_ops() is None:
             return None
         if self._DIRECT_KEY_TYPES.get(dict(self._df.dtypes).get("__key", "")) is None:
+            return None  # also refuses a hand-built handle without __key
+        bounds = self._resolve_open_bounds(start, end)
+        if bounds is False:
             return None
-        if start is None and end is None:
-            a = b = None  # the job path applies no filter at all
-        else:
-            a = (
-                self._OPEN_START_SEC
-                if start is None
-                else self._epoch_bound(start)
-            )
-            b = self._OPEN_END_SEC if end is None else self._epoch_bound(end)
-            if a is None or b is None:
-                return None
+        a, b = bounds
         box = self._mirror_box()
         m = self._bytes_mirror(col, box)
         if m is False:
             return None
+        # keys cannot be None here: the dtype gate above proved __key is
+        # a column of the same df the mirror box is identity-keyed to
         secs, bufs, keys = m
-        if keys is None:
-            return None  # hand-built handle without __key: job path raises
         if a is not None:
             idx = self._selected_indices(box, secs, a, b)
         else:
@@ -710,11 +719,29 @@ class SketchRetention:
             counts.append(n)
         if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
             return None
-        parts = [struct.pack(f">i{len(counts)}i", len(counts), *counts)]
-        for bb in sel:
-            parts.append(struct.pack(">i", len(bb)))
-            parts.append(bb)
-        return cells, b"".join(parts), counts
+        return cells, self._pack_grouped(counts, sel), counts
+
+    def _unpack_kll_cells(self, blob, cells, qs):
+        """Decode a ``kllQuantiles*Grouped`` result: per cell one
+        occupancy byte, then (when occupied) one big-endian value per
+        rank — ONE copy of the wire format's read side shared by the
+        time-grouped and key-grouped asks (r11 review pass 8). Returns a
+        list of per-cell value lists (``None`` per rank when empty)."""
+        import struct
+
+        m = len(qs)
+        code = "q" if self.suffix == "bigint" else "d"
+        out = []
+        off = 0
+        for _ in cells:
+            occ = blob[off]
+            off += 1
+            if occ:
+                out.append(list(struct.unpack_from(f">{m}{code}", blob, off)))
+                off += 8 * m
+            else:
+                out.append([None] * m)
+        return out
 
     @staticmethod
     def _bucket_dt(sec: int):
