@@ -374,6 +374,40 @@ def main() -> None:
         f"theta_index_build {queries['theta_index_build']:.2f}s, "
         f"retained={_tn}"
     )
+    # r11: the per-key COHORT table (retained_by_key's floor — the last
+    # *_by_key form): both ranges' per-key unions AND intersections in
+    # one batched py4j call vs one Spark job per ask.
+    from datafusion_uwheel_spark.operators.theta import build_theta_rollup
+
+    trk = build_theta_rollup(
+        eng.table(), "ts", "user_id", bucket_seconds=3600,
+        partition_by="event_type",
+    )
+    timed_spread(
+        "uw_retained_by_key_direct",
+        fresh(trk, lambda: trk.retained_rows_by_key(_r1, _r2)), N_PROBE,
+    )
+    trk._jvm_ops = None
+    timed_spread(
+        "uw_retained_by_key_jobpath",
+        fresh(trk, lambda: trk.retained_rows_by_key(_r1, _r2)), N_PROBE,
+    )
+    del trk._jvm_ops
+    trk.invalidate_asks()  # memo holds the JOB rows here
+    _ck = trk.retained_rows_by_key(_r1, _r2)  # genuinely direct
+    trk._jvm_ops = None
+    trk.invalidate_asks()
+    # theta algebra is update-order-free: parity is EXACT, no bound needed
+    assert trk.retained_rows_by_key(_r1, _r2) == _ck, (
+        "keyed theta cohort direct != job rows"
+    )
+    del trk._jvm_ops
+    trk.unpersist()
+    log(
+        f"cohort retention by key: direct "
+        f"{queries['uw_retained_by_key_direct']*1e3:.2f} ms vs job "
+        f"{queries['uw_retained_by_key_jobpath']*1e3:.0f} ms"
+    )
     # Heavy-hitters top-k (r8): "top event types in a week" from the
     # truncated-counter rollup — one tiny job over the cached buckets; the
     # vanilla equivalent scans + full GROUP BY + sort every ask.

@@ -721,6 +721,57 @@ class SketchRetention:
             return None
         return cells, self._pack_grouped(counts, sel), counts
 
+    def _keyed_pair_cells(self, col, r1, r2):
+        """Per-key TWO-range framing (theta's ``retained_by_key`` shape):
+        ``(key_values, framed_r1, framed_r2)`` with keys that have mirror
+        rows in EITHER range — the job path's ``f1|f2`` groupBy — in its
+        ``ORDER BY key`` order (ascending, NULL first), each key's frames
+        split per range against ONE mirror snapshot (a row inside both
+        ranges contributes to both, exactly like the ``WHEN(f1/f2)``
+        projections). Bounds are REQUIRED ``(start, end)`` pairs (the
+        cohort ask has no open form). Gates as :meth:`_keyed_cells`; blob
+        layout as :meth:`_pack_grouped` — a key with only NULL frames on
+        one side frames an empty cell there, which unions to the empty
+        sketch (estimate 0) like the job path's all-NULL union."""
+        if self.key_column is None or self._sketch_ops() is None:
+            return None
+        if self._DIRECT_KEY_TYPES.get(dict(self._df.dtypes).get("__key", "")) is None:
+            return None
+        spans = []
+        for s, e in (r1, r2):
+            a = self._epoch_bound(s)
+            b = self._epoch_bound(e)
+            if a is None or b is None:
+                return None
+            spans.append((a, b))
+        box = self._mirror_box()
+        m = self._bytes_mirror(col, box)
+        if m is False:
+            return None
+        secs, bufs, keys = m  # dtype gate above proved __key exists
+        frames: dict = {}
+        for j, (a, b) in enumerate(spans):
+            for i in self._selected_indices(box, secs, a, b).tolist():
+                frames.setdefault(keys[i], ([], []))[j].append(bufs[i])
+        ordered = sorted(frames, key=lambda k: (k is not None, k))
+        blobs = []
+        total = 0
+        for j in (0, 1):
+            counts: list = []
+            sel: list = []
+            for k in ordered:
+                n = 0
+                for bb in frames[k][j]:
+                    if bb is not None:
+                        sel.append(bb)
+                        n += 1
+                counts.append(n)
+            total += sum(len(x) for x in sel)
+            blobs.append(self._pack_grouped(counts, sel))
+        if total > self._DIRECT_MAX_BYTES:
+            return None
+        return ordered, blobs[0], blobs[1]
+
     def _unpack_kll_cells(self, blob, cells, qs):
         """Decode a ``kllQuantiles*Grouped`` result: per cell one
         occupancy byte, then (when occupied) one big-endian value per

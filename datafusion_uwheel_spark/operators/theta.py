@@ -259,6 +259,60 @@ class ThetaRollup(SketchRetention):
             .orderBy(self.key_column)
         )
 
+    def retained_rows_by_key(self, r1, r2) -> list[tuple]:
+        """Driver-resident sibling of :meth:`retained_by_key` (r11 — the
+        last ``*_by_key`` form without one; the HLL/KLL families got
+        theirs this round): the same ``(<key_column>, n_r1, n_r2,
+        n_retained)`` cohort rows as plain Python tuples, key-ascending
+        with NULL first (the job path's ORDER BY), ZERO Spark jobs on a
+        shim session — BOTH ranges' per-key unions AND every
+        intersection merge in ONE py4j call
+        (``UwheelSketchOps.thetaRetainedGrouped``; raw doubles back, the
+        job path's coalesce/CAST(long) algebra applied here: a key with
+        no rows in one range unions to the EMPTY sketch — estimate 0 —
+        exactly like the WHEN-projection's all-NULL side, probed r10).
+        Keys outside the same-type sortable set, shim-less sessions,
+        unresolvable bounds, and over-cap mirrors fall back to
+        collecting the job path's DataFrame — identical rows (theta's
+        k-smallest-hashes algebra is update-order-free, unlike HLL's
+        HIP estimator). Memoized until the rollup mutates."""
+        self._require_fresh()
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+
+        def compute() -> list[tuple]:
+            gc = self._keyed_pair_cells("__theta", r1, r2)
+            if gc is None:
+                return [
+                    tuple(r) for r in self.retained_by_key(r1, r2).collect()
+                ]
+            cells, fa, fb = gc
+            if not cells:
+                return []
+            import struct
+
+            raw = struct.unpack(
+                f">{3 * len(cells)}d",
+                bytes(self._sketch_ops().thetaRetainedGrouped(fa, fb)),
+            )
+            n = len(cells)
+            # cast('long') truncates toward zero — Python int() on a
+            # double matches (estimates are never negative)
+            return [
+                (k, int(raw[i]), int(raw[n + i]), int(raw[2 * n + i]))
+                for i, k in enumerate(cells)
+            ]
+
+        return self._memoized_ask(
+            (
+                "retained_by_key",
+                *map(self._ask_token, (r1[0], r1[1], r2[0], r2[1])),
+            ),
+            compute,
+        )
+
     def retention_by(self, granularity, start=None, end=None) -> DataFrame:
         """The period-over-period retention SERIES — the dashboard form of
         :meth:`approx_retained`: bucket sketches regrouped into periods (a

@@ -2021,6 +2021,36 @@ object UwheelSketchOps {
     Array(Math.round(i.getEstimate), Math.round(u.getEstimate))
   }
 
+  /** retained_by_key's whole cohort table in one call: the two grouped
+    * blobs carry each key's frames in r1 and r2 (same cells, same order —
+    * the Python caller framed both against one mirror snapshot); returns
+    * 3n RAW doubles packed as bytes ``[est1_0..n-1, est2_0..n-1,
+    * inter_0..n-1]``. A key with no frames on one side unions to the
+    * EMPTY sketch (estimate 0), exactly the job path's WHEN-projection
+    * all-NULL side (theta_union_agg over NULLs is an empty sketch —
+    * probed r10), so the coalesce algebra needs no occupancy bytes. */
+  def thetaRetainedGrouped(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    def unions(framed: Array[Byte]): Array[CompactSketch] =
+      groupedCellFrames(framed).map { fs =>
+        val u = SetOperation.builder().buildUnion()
+        fs.foreach(x => u.union(CompactSketch.wrap(Memory.wrap(x))))
+        u.getResult
+      }
+    val ua = unions(a)
+    val ub = unions(b)
+    val n = ua.length
+    val out = new Array[Double](3 * n)
+    var i = 0
+    while (i < n) {
+      out(i) = ua(i).getEstimate
+      out(n + i) = ub(i).getEstimate
+      out(2 * n + i) = SetOperation.builder().buildIntersection()
+        .intersect(ua(i), ub(i)).getEstimate
+      i += 1
+    }
+    packDoubles(out)
+  }
+
   /** retention_by's whole series in one call: per-period union estimates
     * and each period's intersection with the PREVIOUS period, returned as
     * RAW doubles ``[est_0..est_{n-1}, ret_0..ret_{n-1}]`` packed as bytes

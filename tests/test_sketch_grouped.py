@@ -430,6 +430,109 @@ def test_kll_by_key_parity(spark, events):
         r.unpersist()
 
 
+def test_theta_retained_by_key_parity_and_job_free(spark, events):
+    # the last *_by_key form (r11): cohort retention zero-job — both
+    # ranges' per-key unions AND intersections in one batched call.
+    # Theta algebra is update-order-free, so parity is EXACT.
+    r = build_theta_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    r1 = (A, "2024-02-02 00:00:00")
+    r2 = ("2024-02-02 00:00:00", "2024-02-03 00:00:00")
+    try:
+        for ra, rb in [
+            (r1, r2),
+            (r1, r1),  # identical ranges: retained == each side
+            (r1, ("2030-01-01", "2030-01-02")),  # empty r2 side
+        ]:
+            r.invalidate_asks()
+            direct, job_free = _no_jobs(
+                spark, lambda: r.retained_rows_by_key(ra, rb)
+            )
+            assert job_free, (ra, rb)
+            assert direct == [
+                tuple(x) for x in r.retained_by_key(ra, rb).collect()
+            ], (ra, rb)
+        # empty r2: keys still listed from r1, n_r2/n_retained 0
+        r.invalidate_asks()
+        rows = r.retained_rows_by_key(r1, ("2030-01-01", "2030-01-02"))
+        assert rows and all(x[2] == 0 and x[3] == 0 for x in rows)
+        # memoized repeat: zero-job dict hit
+        again, job_free = _no_jobs(spark, lambda: r.retained_rows_by_key(r1, r2))
+        assert job_free and again == r.retained_rows_by_key(r1, r2)
+        # forced job path: identical rows through the fallback
+        direct = r.retained_rows_by_key(r1, r2)
+        _force_job_path(r)
+        r.invalidate_asks()
+        assert r.retained_rows_by_key(r1, r2) == direct
+        _reenable(r)
+        # a bound the job path raises on must still raise (ANSI cast)
+        r.invalidate_asks()
+        with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+            r.retained_rows_by_key(("20240201", "20240202"), r2)
+    finally:
+        r.unpersist()
+
+
+def test_theta_retained_by_key_null_keys_and_unkeyed_raises(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (BASE + timedelta(hours=h, minutes=m), (h * 7 + m) % 19)
+        for h in range(30)
+        for m in range(0, 60, 4)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, uid bigint").withColumn(
+        "k", F.when(F.col("uid") % 3 == 0, F.lit(None)).otherwise(F.col("uid") % 3)
+    )
+    r = build_theta_rollup(ev, "ts", "uid", bucket_seconds=3600, partition_by="k")
+    r1 = ("2024-02-01 00:00:00", "2024-02-02 00:00:00")
+    r2 = ("2024-02-02 00:00:00", "2024-02-03 00:00:00")
+    try:
+        direct, job_free = _no_jobs(spark, lambda: r.retained_rows_by_key(r1, r2))
+        assert job_free
+        assert direct == [
+            tuple(x) for x in r.retained_by_key(r1, r2).collect()
+        ]
+        assert direct[0][0] is None  # NULL key first, like the job ORDER BY
+        assert any(x[3] > 0 for x in direct)  # cohorts genuinely overlap
+    finally:
+        r.unpersist()
+    r2u = build_theta_rollup(ev, "ts", "uid", bucket_seconds=3600)
+    try:
+        with pytest.raises(ValueError, match="partition_by"):
+            r2u.retained_rows_by_key(r1, r2)
+    finally:
+        r2u.unpersist()
+
+
+def test_theta_retained_by_key_tracks_mutations(spark, events):
+    r = build_theta_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    r1 = (A, "2024-02-02 00:00:00")
+    r2 = ("2024-02-02 00:00:00", "2024-02-03 00:00:00")
+    try:
+        before = r.retained_rows_by_key(r1, r2)
+        # a batch of uids present in BOTH ranges moves every column
+        late = spark.createDataFrame(
+            [
+                (BASE + timedelta(days=d, hours=6, minutes=i), 7000 + i, "click")
+                for d in range(2)
+                for i in range(40)
+            ],
+            "ts timestamp, uid bigint, et string",
+        )
+        r.merge_batch(late, "ts")
+        after = r.retained_rows_by_key(r1, r2)
+        assert after != before
+        assert after == [
+            tuple(x) for x in r.retained_by_key(r1, r2).collect()
+        ]
+    finally:
+        r.unpersist()
+
+
 def test_by_key_tracks_mutations(spark, events):
     r = build_distinct_rollup(
         events, "ts", "uid", bucket_seconds=3600, partition_by="et"
