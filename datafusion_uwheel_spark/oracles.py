@@ -40,6 +40,7 @@ __all__ = [
     "embedding_dup_pairs_sql",
     "ivf_topk_sql",
     "knn_join_sql",
+    "substring_spans_sql",
 ]
 
 _MOD = ROLLING_HASH_MOD
@@ -72,6 +73,57 @@ def shingles_sql(toks_expr: str, n: int = 3) -> str:
         f"list_distinct([{char_hash_sql(gram)} "
         f"for i in range(1, len({toks_expr}) - {n} + 2)])"
     )
+
+
+def substring_spans_sql(
+    table: str = "documents",
+    window: int = 20,
+    min_count: int = 2,
+    cross_doc: bool = False,
+) -> str:
+    """Oracle of :func:`..operators.substring.duplicate_spans` (exact
+    mode, ``keep_first=False``): same tokenizer (:func:`tokens_sql`), same
+    single-space gram join, same ``<= window`` island merge — duplicated
+    fixed-window spans per document."""
+    toks = tokens_sql()
+    having = f"count(*) >= {min_count}"
+    if cross_doc:
+        having += " AND min(doc_id) <> max(doc_id)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM {table}
+),
+grams AS (
+  -- parallel unnests zip positionally (same-length lists); empty range
+  -- (a doc shorter than the window) emits nothing, like posexplode
+  SELECT doc_id,
+         unnest([i - 1 for i in range(1, len(t) - {window} + 2)]) AS pos,
+         unnest([array_to_string(t[i:i+{window - 1}], ' ')
+                 for i in range(1, len(t) - {window} + 2)]) AS g
+  FROM toks
+),
+dup_keys AS (
+  SELECT g FROM grams GROUP BY g HAVING {having}
+),
+dupw AS (
+  SELECT gr.doc_id, gr.pos,
+         CASE WHEN gr.pos - lag(gr.pos)
+              OVER (PARTITION BY gr.doc_id ORDER BY gr.pos) > {window}
+              THEN 1 ELSE 0 END AS brk
+  FROM grams gr JOIN dup_keys USING (g)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dupw
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {window} AS INT) AS span_end,
+       count(*) AS n_windows
+FROM isl
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start"""
 
 
 def fingerprint_sql(table: str = "documents") -> str:
