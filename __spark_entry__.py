@@ -965,6 +965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     IDENTICALLY every round inside uw_multi_agg (same range, same
     #     rounding — the uw_count_col precedent) and whose single_agg
     #     route kind stays hash-checked via uw_int_sum_range/uw_keyed_sum.
+    #   - NEW surfaces awaiting a first seat (oracle already written):
+    #     dedup_substring (operators/substring.py duplicate_spans vs
+    #     oracles.substring_spans_sql — r12 seating candidate; currently
+    #     pytest-pinned three ways incl. DuckDB in
+    #     tests/test_substring_dedup.py).
     #   - retired, pytest-pinned, candidates to rotate back in by
     #     re-retiring a subsumed row: uw_sum_range (r11 out),
     #     uw_groupby_month (r11 out), or_group_by (r11 out),

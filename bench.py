@@ -836,6 +836,32 @@ def main() -> None:
 
     med("text_decontaminate", contam_run)
 
+    # Exact substring-span dedup (r11, the ExactSubstr pass at window
+    # granularity): gram groupBy with map-side combine + a 1-row-per-key
+    # join back + per-doc island merge — hashed keys (the corpus-scale
+    # shuffle shape). The real documents table carries genuinely repeated
+    # passages (the verify drive found 47 spans at window=8), so the
+    # assert guards the whole gram->count->join->island chain.
+    from datafusion_uwheel_spark.operators import substring as subdup
+
+    def substr_run():
+        n = subdup.duplicate_spans(
+            docs_wide.select("doc_id", "text"), window=8, hashed=True
+        ).count()
+        assert n > 0, "no duplicated spans on the documents corpus"
+        return n
+
+    med("dedup_substring_spans", substr_run)
+
+    def substr_mask_run():
+        # the full remove-all-but-one pass: spans + per-doc collect + token
+        # filter rebuild; count of shortened docs proves the mask applied
+        return subdup.mask_duplicate_spans(
+            docs_wide.select("doc_id", "text"), window=8, hashed=True
+        ).filter("length(text_dedup) < length(text)").count()
+
+    med("dedup_substring_mask", substr_mask_run)
+
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]

@@ -101,6 +101,24 @@ def duplicate_spans(
     the :func:`..operators.text.tokens_col` tokenization (whitespace runs
     collapse), not raw character offsets.
     """
+    return _spans_unordered(
+        df, text, id_col, window, min_count, cross_doc, hashed, keep_first
+    ).orderBy(id_col, "span_start")
+
+
+def _spans_unordered(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    window: int,
+    min_count: int,
+    cross_doc: bool,
+    hashed: bool,
+    keep_first: bool,
+) -> DataFrame:
+    """:func:`duplicate_spans` without the final global sort — the mask
+    regroups per document, so ordering there would only add a
+    range-partition exchange the next groupBy throws away."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     if min_count < 2:
@@ -146,7 +164,6 @@ def duplicate_spans(
         .select(
             F.col("__doc").alias(id_col), "span_start", "span_end", "n_windows"
         )
-        .orderBy(id_col, "span_start")
     )
 
 
@@ -171,15 +188,8 @@ def mask_duplicate_spans(
     token filtering is a JVM higher-order ``filter``/``exists`` — no
     Python row path anywhere."""
     out_col = out_col or f"{text}_dedup"
-    spans = duplicate_spans(
-        df,
-        text=text,
-        id_col=id_col,
-        window=window,
-        min_count=min_count,
-        cross_doc=cross_doc,
-        hashed=hashed,
-        keep_first=keep_first,
+    spans = _spans_unordered(
+        df, text, id_col, window, min_count, cross_doc, hashed, keep_first
     )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
