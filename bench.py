@@ -1732,6 +1732,13 @@ def main() -> None:
             "uw_theta_retained_sf1",
             fresh(tr1, lambda: tr1.approx_retained(_r1, _r2)), N_PROBE,
         )
+        # the GROUPED direct path at the decade too (r11): the series ask
+        # merges 10x the per-cell sketch bytes in the same one py4j call —
+        # the flatness claim extends from scalar to grouped
+        timed_spread(
+            "uw_retention_by_week_direct_sf1",
+            fresh(tr1, lambda: tr1.retention_rows_by("week")), N_PROBE,
+        )
         # job-path controls at the decade: the pre-r10 fresh-ask cost,
         # flat at the small-job floor while the scans grow
         for _r, _nm, _ask in (

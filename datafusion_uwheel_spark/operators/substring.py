@@ -99,7 +99,10 @@ def duplicate_spans(
     Returns ``(id_col, span_start, span_end, n_windows)`` — token indices,
     end exclusive, ordered by ``(id_col, span_start)``. Positions index
     the :func:`..operators.text.tokens_col` tokenization (whitespace runs
-    collapse), not raw character offsets.
+    collapse), not raw character offsets. ``id_col`` must be unique per
+    document (the corpus contract every dedup operator here shares) —
+    duplicate ids would interleave two documents' window positions into
+    one island stream.
     """
     return _spans_unordered(
         df, text, id_col, window, min_count, cross_doc, hashed, keep_first

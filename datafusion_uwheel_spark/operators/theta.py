@@ -259,6 +259,94 @@ class ThetaRollup(SketchRetention):
             .orderBy(self.key_column)
         )
 
+    def cohort_by_key(self, r1, r2) -> DataFrame:
+        """The FULL per-key cohort table (requires ``partition_by=``):
+        everything the scalar set algebra answers, per key in one job —
+        ``(<key_column>, n_r1, n_r2, n_retained, n_new, jaccard)`` where
+        ``n_new`` is :meth:`approx_new`'s ``|r2 − r1|`` (acquisition) and
+        ``jaccard`` is :meth:`approx_jaccard`'s ``|∩|/|∪|`` overlap (0.0
+        when both sides are empty, like the scalar). Ordered by key.
+        :meth:`retained_by_key` is the 4-column subset; this adds the
+        difference and union estimates the scalar asks expose but the
+        keyed surface lacked."""
+        self._require_fresh()
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+        i_est = self._est("theta_intersection(__u1, __u2)")
+        u_est = self._est("theta_union(__u1, __u2)")
+        return (
+            self._two_range_sketches(r1, r2, key_grouped=True)
+            .select(
+                F.col("__key").alias(self.key_column),
+                self._est("__u1").cast("long").alias("n_r1"),
+                self._est("__u2").cast("long").alias("n_r2"),
+                i_est.cast("long").alias("n_retained"),
+                self._est("theta_difference(__u2, __u1)")
+                .cast("long")
+                .alias("n_new"),
+                F.when(u_est > 0, i_est / u_est)
+                .otherwise(F.lit(0.0))
+                .alias("jaccard"),
+            )
+            .orderBy(self.key_column)
+        )
+
+    def cohort_rows_by_key(self, r1, r2) -> list[tuple]:
+        """Driver-resident sibling of :meth:`cohort_by_key`: the same six
+        columns as plain Python tuples, key-ascending NULL first, ZERO
+        Spark jobs on a shim session — one batched py4j call
+        (``UwheelSketchOps.thetaCohortGrouped``) returns every key's five
+        raw estimates; the jaccard ratio is computed from the RAW doubles
+        exactly like the job path's expression algebra (the long casts
+        truncate only the count columns). Gates, fallback, memoization
+        and exact parity as :meth:`retained_rows_by_key`."""
+        self._require_fresh()
+        if self.key_column is None:
+            raise ValueError(
+                "rollup was built without partition_by — no key column"
+            )
+
+        def compute() -> list[tuple]:
+            gc = self._keyed_pair_cells("__theta", r1, r2)
+            if gc is None:
+                return [
+                    tuple(r) for r in self.cohort_by_key(r1, r2).collect()
+                ]
+            cells, fa, fb = gc
+            if not cells:
+                return []
+            import struct
+
+            raw = struct.unpack(
+                f">{5 * len(cells)}d",
+                bytes(self._sketch_ops().thetaCohortGrouped(fa, fb)),
+            )
+            n = len(cells)
+            rows = []
+            for i, k in enumerate(cells):
+                inter, union = raw[2 * n + i], raw[4 * n + i]
+                rows.append(
+                    (
+                        k,
+                        int(raw[i]),
+                        int(raw[n + i]),
+                        int(inter),
+                        int(raw[3 * n + i]),
+                        inter / union if union > 0 else 0.0,
+                    )
+                )
+            return rows
+
+        return self._memoized_ask(
+            (
+                "cohort_by_key",
+                *map(self._ask_token, (r1[0], r1[1], r2[0], r2[1])),
+            ),
+            compute,
+        )
+
     def retained_rows_by_key(self, r1, r2) -> list[tuple]:
         """Driver-resident sibling of :meth:`retained_by_key` (r11 — the
         last ``*_by_key`` form without one; the HLL/KLL families got

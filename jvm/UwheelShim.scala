@@ -2029,15 +2029,16 @@ object UwheelSketchOps {
     * EMPTY sketch (estimate 0), exactly the job path's WHEN-projection
     * all-NULL side (theta_union_agg over NULLs is an empty sketch —
     * probed r10), so the coalesce algebra needs no occupancy bytes. */
+  private def groupedUnions(framed: Array[Byte]): Array[CompactSketch] =
+    groupedCellFrames(framed).map { fs =>
+      val u = SetOperation.builder().buildUnion()
+      fs.foreach(x => u.union(CompactSketch.wrap(Memory.wrap(x))))
+      u.getResult
+    }
+
   def thetaRetainedGrouped(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    def unions(framed: Array[Byte]): Array[CompactSketch] =
-      groupedCellFrames(framed).map { fs =>
-        val u = SetOperation.builder().buildUnion()
-        fs.foreach(x => u.union(CompactSketch.wrap(Memory.wrap(x))))
-        u.getResult
-      }
-    val ua = unions(a)
-    val ub = unions(b)
+    val ua = groupedUnions(a)
+    val ub = groupedUnions(b)
     val n = ua.length
     val out = new Array[Double](3 * n)
     var i = 0
@@ -2046,6 +2047,33 @@ object UwheelSketchOps {
       out(n + i) = ub(i).getEstimate
       out(2 * n + i) = SetOperation.builder().buildIntersection()
         .intersect(ua(i), ub(i)).getEstimate
+      i += 1
+    }
+    packDoubles(out)
+  }
+
+  /** The FULL per-cell cohort algebra in one call: 5n RAW doubles
+    * ``[est1, est2, inter, bNotA, union]`` per cell block — cohort_by_key's
+    * (n_r1, n_r2, n_retained, n_new, jaccard) shape, where n_new is
+    * ``|r2 \ r1|`` (aNotB(ub, ua) — new audience in the LATER range,
+    * matching theta_difference(__u2, __u1)) and the caller computes
+    * jaccard = inter/union from the raw doubles like the job path's
+    * expression algebra. */
+  def thetaCohortGrouped(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ua = groupedUnions(a)
+    val ub = groupedUnions(b)
+    val n = ua.length
+    val out = new Array[Double](5 * n)
+    var i = 0
+    while (i < n) {
+      out(i) = ua(i).getEstimate
+      out(n + i) = ub(i).getEstimate
+      out(2 * n + i) = SetOperation.builder().buildIntersection()
+        .intersect(ua(i), ub(i)).getEstimate
+      out(3 * n + i) = SetOperation.builder().buildANotB()
+        .aNotB(ub(i), ua(i)).getEstimate
+      out(4 * n + i) = SetOperation.builder().buildUnion()
+        .union(ua(i), ub(i)).getEstimate
       i += 1
     }
     packDoubles(out)

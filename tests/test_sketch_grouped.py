@@ -506,6 +506,54 @@ def test_theta_retained_by_key_null_keys_and_unkeyed_raises(spark):
         r2u.unpersist()
 
 
+def test_theta_cohort_by_key_parity_and_consistency(spark, events):
+    # the FULL keyed set algebra: retained + new + jaccard per key in one
+    # call — exact parity (order-free theta), internally consistent with
+    # the 4-column retained subset
+    r = build_theta_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    r1 = (A, "2024-02-02 00:00:00")
+    r2 = ("2024-02-02 00:00:00", "2024-02-03 00:00:00")
+    try:
+        direct, job_free = _no_jobs(spark, lambda: r.cohort_rows_by_key(r1, r2))
+        assert job_free
+        assert direct == [tuple(x) for x in r.cohort_by_key(r1, r2).collect()]
+        # the retained columns are the 4-column form verbatim
+        assert [(k, a, b, i) for k, a, b, i, _n, _j in direct] == (
+            r.retained_rows_by_key(r1, r2)
+        )
+        for _k, n1, n2, ret, new, jac in direct:
+            # exact regime on this fixture: new = r2 minus the overlap
+            assert new == n2 - ret
+            assert 0.0 <= jac <= 1.0
+            if ret:
+                assert jac > 0.0
+        # forced job path: identical rows
+        _force_job_path(r)
+        r.invalidate_asks()
+        assert r.cohort_rows_by_key(r1, r2) == direct
+        _reenable(r)
+        # empty r2 side: n_r2/n_retained/n_new 0, jaccard 0.0 per key
+        r.invalidate_asks()
+        rows = r.cohort_rows_by_key(r1, ("2030-01-01", "2030-01-02"))
+        assert rows and all(
+            x[2] == 0 and x[3] == 0 and x[4] == 0 and x[5] == 0.0 for x in rows
+        )
+        assert rows == [
+            tuple(x)
+            for x in r.cohort_by_key(r1, ("2030-01-01", "2030-01-02")).collect()
+        ]
+    finally:
+        r.unpersist()
+    r2u = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        with pytest.raises(ValueError, match="partition_by"):
+            r2u.cohort_rows_by_key(r1, r2)
+    finally:
+        r2u.unpersist()
+
+
 def test_theta_retained_by_key_tracks_mutations(spark, events):
     r = build_theta_rollup(
         events, "ts", "uid", bucket_seconds=3600, partition_by="et"
