@@ -703,6 +703,19 @@ def dedup_simhash(spark, sf_dir):
     return dedup.with_simhash(df).select("doc_id", "simhash")
 
 
+def dedup_substring(spark, sf_dir):
+    """Exact substring-span dedup (the ExactSubstr pass at window=8
+    granularity, seated r11): maximal duplicated token spans per document
+    — gram groupBy with map-side combine, 1-row-per-key join back, per-doc
+    island merge. Exact (unhashed) mode so the DuckDB oracle reproduces
+    the gram keys verbatim; the hashed corpus-scale shuffle shape stays
+    benched (dedup_substring_spans) and pytest-pinned equal."""
+    from datafusion_uwheel_spark.operators import substring as subdup
+
+    df = _view(spark, sf_dir, "documents")
+    return subdup.duplicate_spans(df.select("doc_id", "text"), window=8)
+
+
 def dedup_near_corpus(spark, sf_dir):
     """Streaming NEAR-dup corpus dedup end-to-end (r5 operator, first
     oracle row r6): a two-batch crawl replay. Batch 1 (doc_id % 3 == 0)
@@ -965,11 +978,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     IDENTICALLY every round inside uw_multi_agg (same range, same
     #     rounding — the uw_count_col precedent) and whose single_agg
     #     route kind stays hash-checked via uw_int_sum_range/uw_keyed_sum.
-    #   - NEW surfaces awaiting a first seat (oracle already written):
-    #     dedup_substring (operators/substring.py duplicate_spans vs
-    #     oracles.substring_spans_sql — r12 seating candidate; currently
-    #     pytest-pinned three ways incl. DuckDB in
-    #     tests/test_substring_dedup.py).
+    #   - dedup_substring seated r11 (the ExactSubstr window-span pass,
+    #     oracle written with the operator; stays pytest-pinned three ways
+    #     incl. DuckDB in tests/test_substring_dedup.py). Its slot came
+    #     from sim_ann_lsh, whose bits=4/tables=2 LSH index machinery
+    #     (bucket layout, fold-cosine, exact rerank) stays hash-checked
+    #     EVERY round through sim_knn_join (same index, same rerank) and
+    #     the query-vector probe path through sim_ivf_topk; the external
+    #     query vector x LSH multiprobe residue stays pytest-pinned vs
+    #     numpy brute force in tests/test_ann_index.py and benched as
+    #     sim_ann_lsh/sim_ann_lsh_fallback. First candidate to rotate
+    #     back in r12 (re-retiring dedup_substring or another funded row).
     #   - retired, pytest-pinned, candidates to rotate back in by
     #     re-retiring a subsumed row: uw_sum_range (r11 out),
     #     uw_groupby_month (r11 out), or_group_by (r11 out),
@@ -1048,7 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r02 driver run truncated the registry tail, so keep the entries
         # most at risk of a cut the cheapest ones to lose and re-run.
         "sim_topk_bruteforce": sim_topk_bruteforce,
-        "sim_ann_lsh": sim_ann_lsh,
+        # r11 seat: sim_ann_lsh's slot funds dedup_substring (see ledger).
+        "dedup_substring": dedup_substring,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_dup_pairs_indexed": sim_dup_pairs_indexed,
         # r4: the query-time sim_embedding_dup_pairs row shared byte-identical
@@ -1270,9 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracles.lang_id_sql(),
         "decon_ngram": oracles.contamination_sql(n=3, holdout_mod=7),
         "sim_topk_bruteforce": oracles.cosine_topk_sql(QUERY_VEC, k=TOPK, dim=EMB_DIM),
-        "sim_ann_lsh": oracles.ann_topk_sql(
-            QUERY_VEC, k=TOPK, dim=EMB_DIM, bits=4, tables=2
-        ),
+        "dedup_substring": oracles.substring_spans_sql(window=8),
         "sim_ivf_topk": oracles.ivf_topk_sql(
             QUERY_VEC, k=TOPK, nprobe=2, n_centroids=8, dim=EMB_DIM
         ),
