@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_hashes_col", "with_contamination", "decontaminate"]
+__all__ = [
+    "ngram_hashes_col",
+    "with_contamination",
+    "decontaminate",
+    "with_contamination_bloom",
+    "decontaminate_bloom",
+]
 
 
 def ngram_hashes_col(text: str | Column, n: int) -> Column:
@@ -106,5 +112,150 @@ def decontaminate(
     flagged = with_contamination(
         train, held_out, n=n, text=text, held_out_text=held_out_text,
         id_col=id_col,
+    ).filter("contaminated").select(id_col)
+    return train.join(flagged, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------- bloom path
+def _ensure_bloom_fns(spark) -> bool:
+    """Make ``uw_bloom_agg`` / ``uw_might_contain`` resolvable on this
+    session: already there (extensions-built session), else one py4j
+    registration call into the shim jar (``get_spark`` puts it on the
+    driver classpath). Returns False on a shim-less session — the caller
+    falls back to the exact join with a visible warning."""
+    try:
+        if spark.catalog.functionExists("uw_might_contain"):
+            return True
+        spark._jvm.io.uwheel.spark.UwheelBloom.register(spark._jsparkSession)
+        return bool(spark.catalog.functionExists("uw_might_contain"))
+    except Exception:
+        return False
+
+
+def _bloom_num_bits(spark, items: int, fpp: float) -> tuple[int, int]:
+    """Optimal bloom sizing clamped to the session's Spark caps.
+
+    ``m = -n ln(p) / (ln 2)^2`` (the standard optimum Spark's own
+    ``BloomFilter.optimalNumOfBits`` uses); ``BloomFilterAggregate``
+    analysis-rejects arguments above
+    ``spark.sql.optimizer.runtime.bloomFilter.maxNumItems`` / ``maxNumBits``
+    (defaults 4M / 67108864 ≈ 8 MB), so both are clamped — a clamped
+    filter only raises the false-positive rate, never breaks the
+    no-false-negative contract the exact verify join relies on."""
+    import math
+
+    def conf_int(key: str, default: int) -> int:
+        try:
+            return int(spark.conf.get(key))
+        except Exception:
+            return default
+
+    max_items = conf_int("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4_000_000)
+    max_bits = conf_int("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67_108_864)
+    items = max(1, min(items, max_items))
+    bits = int(math.ceil(-items * math.log(fpp) / (math.log(2.0) ** 2)))
+    return items, max(64, min(bits, max_bits))
+
+
+def with_contamination_bloom(
+    train: DataFrame,
+    held_out: DataFrame,
+    n: int = 13,
+    text: str = "text",
+    held_out_text: str | None = None,
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """:func:`with_contamination` behind a broadcast bloom prefilter —
+    IDENTICAL rows, different physical plan for the 100 TB corpus side.
+
+    The exact operator ships the full distinct held-out gram set through a
+    (usually broadcast) join that every corpus gram must probe. Here the
+    held-out grams aggregate into ONE fixed-size bloom blob
+    (``uw_bloom_agg`` — Spark's own codegen'd ``BloomFilterAggregate``,
+    shim-registered since the public registry omits it), the corpus gram
+    stream filters on ``uw_might_contain(blob, gram)`` — a literal in the
+    plan, no join, no shuffle, one lazy deserialize per task — and only
+    the tiny surviving fraction (true sharers + ~``fpp`` of the corpus
+    grams) pays the exact verify join that removes the false positives.
+    No false negatives (bloom contract), so prefilter+verify ≡ exact:
+    same ``n_shared_ngrams`` / ``contaminated`` values row-for-row.
+
+    ``expected_items`` skips the sizing count of distinct held-out grams;
+    sizing is clamped to the session's bloom caps (see
+    :func:`_bloom_num_bits`) — at the default ~8 MB bits cap a 4M-gram
+    eval suite keeps ``fpp``; far larger suites degrade fpp gracefully.
+    On a shim-less session (no jar on the driver classpath) this falls
+    back to the exact join with a ``RuntimeWarning`` — same answer,
+    no prefilter."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    spark = train.sparkSession
+    if not _ensure_bloom_fns(spark):
+        import warnings
+
+        warnings.warn(
+            "uw_bloom_agg unavailable (shim jar not on the driver "
+            "classpath) — decontamination runs the exact join instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return with_contamination(
+            train, held_out, n=n, text=text,
+            held_out_text=held_out_text, id_col=id_col,
+        )
+    ho_text = held_out_text or text
+    ho_grams = (
+        held_out.select(F.explode(ngram_hashes_col(ho_text, n)).alias("__gram"))
+        .distinct()
+    )
+    items = expected_items if expected_items is not None else ho_grams.count()
+    blob = None
+    if items > 0:
+        items, bits = _bloom_num_bits(spark, items, fpp)
+        blob = ho_grams.agg(
+            F.expr(f"uw_bloom_agg(__gram, {items}L, {bits}L)").alias("bf")
+        ).head()["bf"]
+    if blob is None:  # empty held-out set: nothing can be contaminated
+        return (
+            train.withColumn("n_shared_ngrams", F.lit(0).cast("long"))
+            .withColumn("contaminated", F.lit(False))
+        )
+    train_grams = train.select(
+        F.col(id_col), F.explode(ngram_hashes_col(text, n)).alias("__gram")
+    )
+    survivors = train_grams.filter(
+        F.call_function("uw_might_contain", F.lit(bytes(blob)), F.col("__gram"))
+    )
+    shared = (
+        survivors.join(ho_grams, on="__gram")  # exact verify: kills FPs
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        train.join(shared, on=id_col, how="left")
+        .withColumn("n_shared_ngrams", F.coalesce("n_shared_ngrams", F.lit(0)))
+        .withColumn("contaminated", F.col("n_shared_ngrams") > 0)
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    held_out: DataFrame,
+    n: int = 13,
+    text: str = "text",
+    held_out_text: str | None = None,
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """:func:`decontaminate` through the bloom prefilter — identical
+    surviving rows (the prefilter+verify composition is exact)."""
+    flagged = with_contamination_bloom(
+        train, held_out, n=n, text=text, held_out_text=held_out_text,
+        id_col=id_col, fpp=fpp, expected_items=expected_items,
     ).filter("contaminated").select(id_col)
     return train.join(flagged, on=id_col, how="left_anti")

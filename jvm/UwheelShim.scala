@@ -98,8 +98,76 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 class UwheelExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => UwheelAggRewrite(session))
+    UwheelBloom.inject(ext)
+  }
+}
+
+/** SQL-callable bloom-filter functions (r11): Spark ships
+  * `BloomFilterAggregate` / `BloomFilterMightContain` for its own
+  * runtime row-level filters but does NOT register them in the public
+  * FunctionRegistry — `injectFunction` exposes the same codegen'd
+  * expressions to any session built with the shim extensions:
+  *
+  *   uw_bloom_agg(x[, est_items[, num_bits]])  -> binary blob (one row)
+  *   uw_might_contain(blob, x)                 -> boolean
+  *
+  * Non-BIGINT inputs are wrapped in `xxhash64(x)` on BOTH sides, so a
+  * blob built over strings tests strings consistently; BIGINT inputs
+  * (e.g. already-xxhash64'd n-gram keys) pass through untouched — the
+  * layout then matches what `BloomFilter.putLong` would produce.
+  * `est_items`/`num_bits` must be foldable positive BIGINTs within the
+  * session's `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+  * `.maxNumBits` caps (Spark's own analysis check — raise the confs for
+  * bigger filters). False positives only: a `might_contain` TRUE needs a
+  * downstream exact check, FALSE is definitive. */
+object UwheelBloom {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def hashed(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case _        => new XxHash64(Seq(e))
+  }
+
+  private val aggBuilder: Seq[Expression] => Expression = {
+    case Seq(c)              => new BloomFilterAggregate(hashed(c))
+    case Seq(c, items)       => new BloomFilterAggregate(hashed(c), items)
+    case Seq(c, items, bits) => new BloomFilterAggregate(hashed(c), items, bits)
+    case children =>
+      throw new IllegalArgumentException(
+        s"uw_bloom_agg takes 1-3 arguments, got ${children.length}")
+  }
+
+  private val containBuilder: Seq[Expression] => Expression = {
+    case Seq(blob, v) => BloomFilterMightContain(blob, hashed(v))
+    case children =>
+      throw new IllegalArgumentException(
+        s"uw_might_contain takes 2 arguments, got ${children.length}")
+  }
+
+  def inject(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("uw_bloom_agg"),
+      new ExpressionInfo("io.uwheel.spark.UwheelBloom", "uw_bloom_agg"),
+      aggBuilder
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("uw_might_contain"),
+      new ExpressionInfo("io.uwheel.spark.UwheelBloom", "uw_might_contain"),
+      containBuilder
+    ))
+  }
+
+  /** Runtime registration for sessions built WITHOUT the extensions conf
+    * (e.g. plain `get_spark`, which only puts this jar on the driver
+    * classpath): one py4j call registers both functions as session temp
+    * functions. Idempotent — createOrReplace semantics. */
+  def register(session: org.apache.spark.sql.classic.SparkSession): Unit = {
+    val reg = session.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("uw_bloom_agg", aggBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("uw_might_contain", containBuilder, "scala_udf")
+  }
 }
 
 case class UwheelAggRewrite(session: SparkSession)
