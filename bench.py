@@ -836,6 +836,31 @@ def main() -> None:
 
     med("text_decontaminate", contam_run)
 
+    # Bloom-prefiltered variant (r11): held-out grams collapse into one
+    # fixed-size blob, the corpus gram stream filters on a codegen'd
+    # uw_might_contain literal (no join on the big side), exact verify
+    # join only on survivors — identical answer, which the assert pins
+    # against the exact row's count above.
+    _exact_contam = contam_run()  # outside the timed row
+
+    def contam_bloom_run():
+        row = (
+            contamination.with_contamination_bloom(
+                docs_wide.select("doc_id", "text"), held_seed, n=13
+            )
+            .agg(
+                F.sum(F.col("contaminated").cast("long")).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        assert row["c"] == _exact_contam, (
+            f"bloom path diverged from exact: {row['c']} != {_exact_contam}"
+        )
+        return row["c"]
+
+    med("text_decontaminate_bloom", contam_bloom_run)
+
     # Exact substring-span dedup (r11, the ExactSubstr pass at window
     # granularity): gram groupBy with map-side combine + a 1-row-per-key
     # join back + per-doc island merge — hashed keys (the corpus-scale
@@ -867,6 +892,29 @@ def main() -> None:
         for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
     ]
     dim = len(qvec)
+
+    # SemDeDup (r11): cluster-pruned semantic dedup — trained spherical-
+    # k-means centroids (one seeded-sample job, timed separately), then
+    # the within-cluster self-join + greedy earlier-neighbor rule. The
+    # per-cluster quadratic is the design point: cost is governed by k,
+    # never all-pairs across the corpus.
+    from datafusion_uwheel_spark.operators import semantic_dedup as semdd
+
+    t0 = time.perf_counter()
+    _sd_cents = similarity.train_ivf_centroids(emb, dim, k=16, seed=42)
+    queries["semdedup_train"] = time.perf_counter() - t0
+    log(f"semdedup_train: {queries['semdedup_train']:.2f}s (k=16 spherical k-means)")
+
+    def semdedup_run():
+        # threshold matches the corpus's similarity structure (synthetic
+        # embeddings cluster loosely — 0.4 is where dup pairs live, see
+        # EMB_DUP_T): the assert proves the pass actually drops rows
+        kept = semdd.semdedup(emb, _sd_cents, threshold=0.4).count()
+        total = emb.count()
+        assert 0 < kept < total, (kept, total)
+        return kept
+
+    med("dedup_semantic", semdedup_run)
     # Median of repeated probes (matches the indexed-probe measurement below
     # so indexed-vs-brute is apples to apples).
     queries["sim_topk_bruteforce"] = time_calls(

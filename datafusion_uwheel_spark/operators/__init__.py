@@ -1,6 +1,14 @@
 """Operators: wheel-index build/lookup plus LLM-data-pipeline transforms."""
 
-from . import dedup, model_scoring, multimodal, packing, similarity, text
+from . import (
+    dedup,
+    model_scoring,
+    multimodal,
+    packing,
+    semantic_dedup,
+    similarity,
+    text,
+)
 from .asof import asof_join
 from .rangejoin import range_join
 from .sessions import session_agg, with_session_id
@@ -22,6 +30,7 @@ __all__ = [
     "model_scoring",
     "multimodal",
     "packing",
+    "semantic_dedup",
     "similarity",
     "text",
 ]

@@ -1,0 +1,175 @@
+"""SemDeDup-style semantic deduplication: cluster-pruned embedding dedup.
+
+The published recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"): assign every
+embedding to a k-means cluster, compute pairwise cosine similarity ONLY
+within each cluster, and drop every item that has a sufficiently-similar
+item "before" it in a fixed per-cluster order — keeping, per duplicate
+set, the example with the LOWEST cosine similarity to its centroid (the
+most cluster-atypical representative, which the paper found best for
+downstream quality). The all-pairs matrix the paper builds per cluster
+becomes a within-cluster self-join here; nothing is ever all-pairs across
+the corpus.
+
+Beyond the reference (a query-acceleration engine with no embedding
+operators). Spark-first design:
+
+* cluster assignment is the SAME spherical-k-means expression the IVF
+  index uses (:func:`..operators.similarity.with_ivf_cells` semantics:
+  first-argmax of exact-fold dots) — SemDeDup on a corpus that already
+  has an IVF index reuses its cells for free;
+* the only shuffle is the self-join keyed on ``cell`` (AQE skew-split
+  applies); per-cluster cost is quadratic in CLUSTER size, so scale is
+  governed by k — the paper uses k ≈ N/1000; ``max_cell_rows`` makes the
+  bound explicit (refuse at plan time, don't OOM at runtime);
+* the greedy "drop if any earlier neighbor ≥ τ" rule compares against ALL
+  earlier items (the paper's upper-triangle matrix rule, embarrassingly
+  parallel), not just surviving ones — no sequential driver loop;
+* thresholds compare the ROUNDED cosine (`round_digits`) so the DuckDB
+  oracle (:func:`...oracles.semdedup_sql`) reproduces pair membership
+  bit-for-bit.
+
+Ordering contract: items in a cluster are ordered by
+``(round(csim), id)`` ascending for ``keep="low_centroid_sim"`` (the
+paper's policy — the lowest-centroid-similarity member of every duplicate
+set survives), or plain ``id`` for ``keep="min_id"``; ``csim`` is the
+cosine to the ASSIGNED centroid. Zero/NULL vectors have NULL cosine to
+everything, are never part of a pair, and are always kept.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine_pair_col, dot_col, norm_sq_col
+
+__all__ = [
+    "with_semantic_cells",
+    "semantic_dup_pairs",
+    "semdedup",
+]
+
+_KEEPS = ("low_centroid_sim", "min_id")
+
+
+def _centroid_norms(centroids: Sequence[Sequence[float]]) -> list[float]:
+    """Left-fold L2 norms of the centroid constants — the same sequential
+    order the oracle's explicit ``+`` chain uses, so the scalar literal is
+    bit-identical across engines."""
+    out = []
+    for c in centroids:
+        nsq = 0.0
+        for x in c:
+            nsq = nsq + float(x) * float(x)
+        out.append(nsq**0.5)
+    return out
+
+
+def with_semantic_cells(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cell`` (1-based first-argmax-dot centroid, the IVF
+    assignment spec) and ``csim`` (cosine to the assigned centroid; NULL
+    for zero/NULL vectors)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    darr = F.array(*[dot_col(vec_col, c) for c in centroids])
+    cnorms = F.array(*[F.lit(n) for n in _centroid_norms(centroids)])
+    cell = F.array_position(darr, F.array_max(darr))
+    vnorm = F.sqrt(norm_sq_col(vec_col))
+    denom = vnorm * F.element_at(cnorms, cell.cast("int"))
+    csim = F.when(
+        denom.isNull() | (denom == 0.0), F.lit(None).cast("double")
+    ).otherwise(F.element_at(darr, cell.cast("int")) / denom)
+    return df.withColumn("cell", cell).withColumn("csim", csim)
+
+
+def _order_key(keep: str, prefix: str, round_digits: int) -> Column:
+    """Total per-cluster order. csim rounds so the oracle's DOUBLE chain
+    can't disagree at the last ulp; NULL csim (zero vector) sorts as -2 —
+    it can never pair anyway, the key just has to be total."""
+    if keep == "low_centroid_sim":
+        return F.struct(
+            F.coalesce(F.round(F.col(f"{prefix}.csim"), round_digits), F.lit(-2.0)).alias("k1"),
+            F.col(f"{prefix}.__sid").alias("k2"),
+        )
+    return F.struct(F.col(f"{prefix}.__sid").alias("k1"))
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "low_centroid_sim",
+    round_digits: int = 6,
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs ``(id_keep, id_drop, cell,
+    sim)``: ``id_keep`` precedes ``id_drop`` in the cluster's keep order
+    and ``round(cos, round_digits) >= threshold``. The drop side of the
+    SemDeDup rule is exactly ``DISTINCT id_drop`` of this frame.
+
+    ``max_cell_rows`` (optional, one extra tiny aggregate job) refuses
+    oversized clusters at plan time: the join's per-cluster cost is
+    quadratic, and the fix — retrain with larger k — beats an executor
+    OOM at 100 TB.
+    """
+    if keep not in _KEEPS:
+        raise ValueError(f"keep must be one of {_KEEPS}, got {keep!r}")
+    if not (-1.0 <= threshold <= 1.0):
+        raise ValueError(f"threshold must be within [-1, 1], got {threshold}")
+    assigned = with_semantic_cells(df, centroids, vec_col).select(
+        F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v"), "cell", "csim"
+    )
+    if max_cell_rows is not None:
+        top = (
+            assigned.groupBy("cell").count().agg(F.max("count").alias("m")).head()
+        )
+        if top and top["m"] is not None and top["m"] > max_cell_rows:
+            raise ValueError(
+                f"largest cluster has {top['m']} rows > max_cell_rows="
+                f"{max_cell_rows}; retrain with more centroids (the paper "
+                "uses k ~ N/1000) or raise the cap"
+            )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    ka = _order_key(keep, "a", round_digits)
+    kb = _order_key(keep, "b", round_digits)
+    sim = F.round(cosine_pair_col(F.col("a.__v"), F.col("b.__v")), round_digits)
+    return (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell"), ka < kb], how="inner")
+        .select(
+            F.col("a.__sid").alias("id_keep"),
+            F.col("b.__sid").alias("id_drop"),
+            F.col("a.cell").alias("cell"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "low_centroid_sim",
+    round_digits: int = 6,
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """Drop every row with an earlier-ordered within-cluster neighbor at
+    ``sim >= threshold`` — the SemDeDup pass. Original columns unchanged;
+    an anti-join against the drop set, so survivors keep their data
+    row-for-row."""
+    drops = semantic_dup_pairs(
+        df, centroids, threshold, vec_col, id_col, keep, round_digits,
+        max_cell_rows,
+    ).select(F.col("id_drop").alias(id_col)).distinct()
+    return df.join(drops, on=id_col, how="left_anti")

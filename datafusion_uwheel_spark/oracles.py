@@ -755,6 +755,92 @@ FROM pairs
 WHERE {sim} >= {threshold!r}"""
 
 
+def _semdedup_keyed_cte(
+    centroids: list[list[float]],
+    dim: int,
+    table: str,
+    id_sql: str,
+    round_digits: int,
+    keep: str,
+) -> str:
+    """Shared CTE prefix of the SemDeDup oracles: cell assignment (same
+    first-argmax-dot spec as the IVF oracle), cosine to the assigned
+    centroid, and the per-cluster keep-order key."""
+    ds = ", ".join(_dot_chain("embedding", [float(w) for w in c], dim) for c in centroids)
+    nsq = _norm_sq_chain("embedding", dim)
+    # left-fold centroid norms -> bit-identical literals vs the Spark side
+    cns = []
+    for c in centroids:
+        s = 0.0
+        for x in c:
+            s = s + float(x) * float(x)
+        cns.append(f"CAST('{s ** 0.5!r}' AS DOUBLE)")
+    cnorms = f"[{', '.join(cns)}]"
+    if keep == "low_centroid_sim":
+        key = f"(COALESCE(round(csim, {round_digits}), -2.0), id)"
+    else:
+        key = "(id)"
+    return f"""
+WITH d AS (
+  SELECT {id_sql} AS id, embedding, [{ds}] AS darr, {nsq} AS nsq FROM {table}
+), asg AS (
+  SELECT id, embedding, nsq,
+         list_indexof(darr, list_max(darr)) AS cell,
+         darr[list_indexof(darr, list_max(darr))] AS cdot
+  FROM d
+), keyed AS (
+  SELECT id, embedding, cell,
+         CASE WHEN sqrt(nsq) * {cnorms}[cell] = 0 THEN NULL
+              ELSE cdot / (sqrt(nsq) * {cnorms}[cell]) END AS csim
+  FROM asg
+), ordered AS (
+  SELECT id, embedding, cell, csim, {key} AS k FROM keyed
+), pairs AS (
+  SELECT a.id AS id_keep, b.id AS id_drop, a.cell AS cell,
+         round(({_dot_chain('a.embedding', None, dim, right='b.embedding')})
+               / (sqrt({_norm_sq_chain('a.embedding', dim)})
+                  * sqrt({_norm_sq_chain('b.embedding', dim)})),
+               {round_digits}) AS sim
+  FROM ordered a JOIN ordered b ON a.cell = b.cell AND a.k < b.k
+)"""
+
+
+def semdedup_pairs_sql(
+    centroids: list[list[float]],
+    threshold: float,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_sql: str = "vec_id",
+    keep: str = "low_centroid_sim",
+    round_digits: int = 6,
+) -> str:
+    """Oracle of :func:`..operators.semantic_dedup.semantic_dup_pairs`:
+    same centroid constants, same first-max cell assignment, same rounded
+    keep-order key and rounded pair cosine."""
+    cte = _semdedup_keyed_cte(centroids, dim, table, id_sql, round_digits, keep)
+    return f"""{cte}
+SELECT id_keep, id_drop, cell, sim FROM pairs WHERE sim >= {threshold!r}"""
+
+
+def semdedup_sql(
+    centroids: list[list[float]],
+    threshold: float,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_sql: str = "vec_id",
+    keep: str = "low_centroid_sim",
+    round_digits: int = 6,
+    select: str = "*",
+) -> str:
+    """Oracle of :func:`..operators.semantic_dedup.semdedup`: the rows
+    surviving the drop set (``DISTINCT id_drop`` of the pairs frame)."""
+    cte = _semdedup_keyed_cte(centroids, dim, table, id_sql, round_digits, keep)
+    return f"""{cte}
+SELECT {select} FROM {table}
+WHERE {id_sql} NOT IN (
+  SELECT DISTINCT id_drop FROM pairs WHERE sim >= {threshold!r})"""
+
+
 def contamination_sql(
     n: int = 3, holdout_mod: int = 7, table: str = "documents"
 ) -> str:
