@@ -905,16 +905,21 @@ def main() -> None:
     queries["semdedup_train"] = time.perf_counter() - t0
     log(f"semdedup_train: {queries['semdedup_train']:.2f}s (k=16 spherical k-means)")
 
-    def semdedup_run():
+    def semdedup_run(kernel=True):
         # threshold matches the corpus's similarity structure (synthetic
         # embeddings cluster loosely — 0.4 is where dup pairs live, see
         # EMB_DUP_T): the assert proves the pass actually drops rows
-        kept = semdd.semdedup(emb, _sd_cents, threshold=0.4).count()
+        kept = semdd.semdedup(
+            emb, _sd_cents, threshold=0.4, use_pandas_udf=kernel
+        ).count()
         total = emb.count()
         assert 0 < kept < total, (kept, total)
         return kept
 
     med("dedup_semantic", semdedup_run)
+    # expression-path control (the oracle-mirrored spec): same answer,
+    # prices the per-cluster numpy matrix vs the fold self-join
+    med("dedup_semantic_expr", lambda: semdedup_run(kernel=False))
     # Median of repeated probes (matches the indexed-probe measurement below
     # so indexed-vs-brute is apples to apples).
     queries["sim_topk_bruteforce"] = time_calls(

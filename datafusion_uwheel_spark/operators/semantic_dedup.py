@@ -44,13 +44,23 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine_pair_col, dot_col, norm_sq_col
+from .similarity import _vec_matrix, cosine_pair_col, dot_col, norm_sq_col
 
 __all__ = [
     "with_semantic_cells",
     "semantic_dup_pairs",
     "semdedup",
 ]
+
+
+def _round_halfup(x: float, nd: int) -> float:
+    """Spark's ``F.round`` on DOUBLE: Scala ``BigDecimal(double)`` goes
+    through the shortest decimal repr (``Double.toString``), exactly what
+    Python ``repr(float)`` produces — so Decimal-on-repr HALF_UP matches
+    the expression path bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP))
 
 _KEEPS = ("low_centroid_sim", "min_id")
 
@@ -101,6 +111,79 @@ def _order_key(keep: str, prefix: str, round_digits: int) -> Column:
     return F.struct(F.col(f"{prefix}.__sid").alias("k1"))
 
 
+def _pairs_kernel(
+    assigned: DataFrame,
+    dim: int,
+    threshold: float,
+    keep: str,
+    round_digits: int,
+    id_type: str,
+) -> DataFrame:
+    """The paper's per-cluster similarity matrix as ONE Arrow-batched
+    ``applyInPandas`` over ``groupBy(cell)``: pair dots accumulate as
+    ``dim`` sequential outer-product adds — per pair the IEEE op sequence
+    is the identical left fold the expression path / SQL oracle use, so
+    signs, thresholds and orderings can never diverge. Rounding goes
+    through :func:`_round_halfup` only for the candidates inside half an
+    ulp-of-round of the threshold's reach (margin pre-filter), keeping the
+    Decimal work off the quadratic path.
+
+    Memory: one cluster materializes in one task — ``c²`` float64s for
+    the matrix; ``max_cell_rows`` ≲ 20k keeps that under ~3 GB."""
+    import numpy as np
+    import pandas as pd
+
+    margin = threshold - (0.5 * 10.0 ** (-round_digits)) - 1e-12
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"id_keep": [], "id_drop": [], "cell": [], "sim": []}
+        )
+        if len(pdf) < 2 or pd.isna(pdf["cell"].iloc[0]):
+            return empty
+        if keep == "low_centroid_sim":
+            k1 = np.asarray(
+                [
+                    -2.0 if pd.isna(c) else _round_halfup(c, round_digits)
+                    for c in pdf["csim"]
+                ],
+                dtype=np.float64,
+            )
+            order = np.lexsort((pdf["__sid"].to_numpy(), k1))
+        else:
+            order = np.argsort(pdf["__sid"].to_numpy(), kind="stable")
+        p = pdf.iloc[order]
+        X, ok = _vec_matrix(p["__v"], dim)
+        ids = p["__sid"].to_numpy()
+        c = len(p)
+        acc = np.zeros((c, c), dtype=np.float64)
+        nsq = np.zeros(c, dtype=np.float64)
+        for d in range(dim):
+            col = X[:, d]
+            acc = acc + np.outer(col, col)
+            nsq = nsq + col * col
+        norms = np.sqrt(nsq)
+        denom = np.outer(norms, norms)
+        valid = np.outer(ok, ok) & (denom > 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(valid, acc / np.where(denom == 0.0, 1.0, denom), -2.0)
+        cand = np.triu(sims >= margin, k=1) & valid
+        ii, jj = np.nonzero(cand)
+        rows = []
+        for i, j in zip(ii, jj):
+            s = _round_halfup(sims[i, j], round_digits)
+            if s >= threshold:
+                rows.append((ids[i], ids[j], p["cell"].iloc[0], s))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_keep", "id_drop", "cell", "sim"])
+
+    schema = (
+        f"id_keep {id_type}, id_drop {id_type}, cell bigint, sim double"
+    )
+    return assigned.groupBy("cell").applyInPandas(fn, schema)
+
+
 def semantic_dup_pairs(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],
@@ -110,16 +193,25 @@ def semantic_dup_pairs(
     keep: str = "low_centroid_sim",
     round_digits: int = 6,
     max_cell_rows: int | None = None,
+    use_pandas_udf: bool = True,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs ``(id_keep, id_drop, cell,
     sim)``: ``id_keep`` precedes ``id_drop`` in the cluster's keep order
     and ``round(cos, round_digits) >= threshold``. The drop side of the
     SemDeDup rule is exactly ``DISTINCT id_drop`` of this frame.
 
+    ``use_pandas_udf=True`` (default) computes each cluster's similarity
+    matrix in one Arrow-batched numpy kernel (the paper's actual per-
+    cluster computation; exact-fold order, pinned equal to the expression
+    path by pytest); ``False`` is the expression self-join — the
+    oracle-mirrored spec (:func:`...oracles.semdedup_pairs_sql`). Both
+    shuffle once, keyed on ``cell``.
+
     ``max_cell_rows`` (optional, one extra tiny aggregate job) refuses
-    oversized clusters at plan time: the join's per-cluster cost is
-    quadratic, and the fix — retrain with larger k — beats an executor
-    OOM at 100 TB.
+    oversized clusters at plan time: per-cluster cost is quadratic — and
+    on the kernel path one cluster is one task's memory — so the fix,
+    retraining with larger k (the paper uses k ~ N/1000), beats an
+    executor OOM at 100 TB.
     """
     if keep not in _KEEPS:
         raise ValueError(f"keep must be one of {_KEEPS}, got {keep!r}")
@@ -138,6 +230,12 @@ def semantic_dup_pairs(
                 f"{max_cell_rows}; retrain with more centroids (the paper "
                 "uses k ~ N/1000) or raise the cap"
             )
+    if use_pandas_udf:
+        dim = len(centroids[0])
+        id_type = df.schema[id_col].dataType.simpleString()
+        return _pairs_kernel(
+            assigned, dim, threshold, keep, round_digits, id_type
+        )
     a, b = assigned.alias("a"), assigned.alias("b")
     ka = _order_key(keep, "a", round_digits)
     kb = _order_key(keep, "b", round_digits)
@@ -163,6 +261,7 @@ def semdedup(
     keep: str = "low_centroid_sim",
     round_digits: int = 6,
     max_cell_rows: int | None = None,
+    use_pandas_udf: bool = True,
 ) -> DataFrame:
     """Drop every row with an earlier-ordered within-cluster neighbor at
     ``sim >= threshold`` — the SemDeDup pass. Original columns unchanged;
@@ -170,6 +269,6 @@ def semdedup(
     row-for-row."""
     drops = semantic_dup_pairs(
         df, centroids, threshold, vec_col, id_col, keep, round_digits,
-        max_cell_rows,
+        max_cell_rows, use_pandas_udf,
     ).select(F.col("id_drop").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")

@@ -98,21 +98,25 @@ def synth(spark):
     return df, sorted(stored)
 
 
-def test_pairs_match_python_oracle(spark, synth):
+@pytest.mark.parametrize("kernel", [True, False], ids=["kernel", "expr"])
+def test_pairs_match_python_oracle(spark, synth, kernel):
     df, rows = synth
     exp_pairs, _, _ = _bf_rule(rows, CENTS, T)
     got = sorted(
         (r["id_keep"], r["id_drop"], r["cell"], r["sim"])
-        for r in semantic_dup_pairs(df, CENTS, threshold=T).collect()
+        for r in semantic_dup_pairs(
+            df, CENTS, threshold=T, use_pandas_udf=kernel
+        ).collect()
     )
     assert got == sorted(exp_pairs)
     assert len(got) >= 3  # the seeded bundles guarantee a non-trivial test
 
 
-def test_semdedup_keeps_exactly_the_unflagged(spark, synth):
+@pytest.mark.parametrize("kernel", [True, False], ids=["kernel", "expr"])
+def test_semdedup_keeps_exactly_the_unflagged(spark, synth, kernel):
     df, rows = synth
     _, _, exp_kept = _bf_rule(rows, CENTS, T)
-    out = semdedup(df, CENTS, threshold=T)
+    out = semdedup(df, CENTS, threshold=T, use_pandas_udf=kernel)
     assert sorted(r["vec_id"] for r in out.collect()) == sorted(exp_kept)
     assert out.columns == df.columns
 
@@ -157,10 +161,6 @@ def test_duckdb_oracle_parity_real_table(spark, sf_small_dir):
     dim = len(emb.select("embedding").head()[0])
     cents = ivf_centroids(dim, 8, seed=42)
     t = 0.98
-    got = sorted(
-        (r["id_keep"], r["id_drop"], r["cell"], r["sim"])
-        for r in semantic_dup_pairs(emb, cents, threshold=t).collect()
-    )
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf_small_dir}/embeddings.parquet'"
@@ -170,7 +170,14 @@ def test_duckdb_oracle_parity_real_table(spark, sf_small_dir):
             semdedup_pairs_sql(cents, t, dim=dim)
         ).fetchall()
     )
-    assert got == exp
+    for kernel in (False, True):  # both paths equal the SQL oracle
+        got = sorted(
+            (r["id_keep"], r["id_drop"], r["cell"], r["sim"])
+            for r in semantic_dup_pairs(
+                emb, cents, threshold=t, use_pandas_udf=kernel
+            ).collect()
+        )
+        assert got == exp, f"kernel={kernel}"
     kept = sorted(
         r["vec_id"] for r in semdedup(emb, cents, threshold=t).collect()
     )
@@ -183,13 +190,22 @@ def test_duckdb_oracle_parity_real_table(spark, sf_small_dir):
 
 
 def test_no_cartesian_and_no_python_in_plan(spark, synth):
+    """Expression path (the oracle-mirrored spec): pure JVM, no cartesian.
+    Kernel path: exactly one grouped-map Pandas stage over the cell
+    shuffle — Python is the point there, but never a cartesian."""
     df, _ = synth
     phys = (
-        semantic_dup_pairs(df, CENTS, threshold=T)
+        semantic_dup_pairs(df, CENTS, threshold=T, use_pandas_udf=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    kphys = (
+        semantic_dup_pairs(df, CENTS, threshold=T, use_pandas_udf=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in kphys
+    assert "CartesianProduct" not in kphys and "Join" not in kphys
 
 
 def test_max_cell_rows_guard(spark, synth):
