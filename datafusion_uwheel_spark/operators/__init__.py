@@ -1,6 +1,8 @@
 """Operators: wheel-index build/lookup plus LLM-data-pipeline transforms."""
 
 from . import (
+    bloomfilter,
+    bloomjoin,
     dedup,
     model_scoring,
     multimodal,
@@ -9,6 +11,7 @@ from . import (
     similarity,
     text,
 )
+from .bloomjoin import bloom_anti_join, bloom_semi_join
 from .asof import asof_join
 from .rangejoin import range_join
 from .sessions import session_agg, with_session_id
@@ -29,6 +32,10 @@ __all__ = [
     "dedup",
     "model_scoring",
     "multimodal",
+    "bloom_anti_join",
+    "bloom_semi_join",
+    "bloomfilter",
+    "bloomjoin",
     "packing",
     "semantic_dedup",
     "similarity",

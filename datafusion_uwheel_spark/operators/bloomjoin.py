@@ -1,0 +1,136 @@
+"""Bloom-prefiltered semi/anti joins: membership against a key set too
+big to broadcast, without shuffling the big side.
+
+The 100 TB shape these exist for: ``left`` is the corpus (billions of
+rows), ``right`` holds the reference keys (e.g. previously-ingested doc
+digests, banned URLs, an earlier snapshot's fingerprints). A plain
+``left_semi``/``left_anti`` join either broadcasts ``right``'s distinct
+keys (8+ GB at a billion keys — OOM) or shuffles EVERY left row on the
+key. Here ``right`` collapses into one size-capped bloom blob (MBs — see
+:func:`.bloomfilter.bloom_num_bits`), the left scan filters on a
+codegen'd ``uw_might_contain`` literal, and only the surviving fraction
+(true members + ~``fpp`` of the rest) pays the exact join that removes
+the bloom's false positives. No false negatives, so the composition
+EQUALS the plain join row-for-row:
+
+* ``bloom_semi_join``: survivors ``⋈ semi`` right — one scan of left,
+  join/shuffle volume ~``fpp``-fractional.
+* ``bloom_anti_join``: rows failing the probe are DEFINITIVELY absent
+  from right and pass through join-free; only probe-positive rows run
+  the exact anti join. The union's two branches each scan ``left`` —
+  two cheap columnar scans traded for a 100× smaller shuffle, the right
+  trade at corpus scale (persist ``left`` upstream if scans dominate).
+
+Shim-less sessions (no jar on the driver classpath) fall back to the
+plain exact join with a ``RuntimeWarning`` — same rows, no prefilter.
+Like every dedup operator here, rows whose key is NULL never match
+(SQL join semantics): semi drops them, anti keeps them, on both paths.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bloomfilter import build_bloom, ensure_bloom_fns, might_contain
+
+__all__ = ["bloom_semi_join", "bloom_anti_join"]
+
+
+def _resolve_on(on: str | tuple[str, str] | list[str]) -> tuple[str, str]:
+    if isinstance(on, str):
+        return on, on
+    if len(on) == 2:
+        return str(on[0]), str(on[1])
+    raise ValueError(
+        f"on must be a column name or a (left_col, right_col) pair, got {on!r}"
+    )
+
+
+def _exact(left: DataFrame, right: DataFrame, lcol: str, rcol: str, how: str) -> DataFrame:
+    keys = right.select(F.col(rcol).alias("__bj_key")).distinct()
+    return left.join(
+        keys, on=F.col(lcol) == F.col("__bj_key"), how=how
+    )
+
+
+def _check_same_type(left: DataFrame, right: DataFrame, lcol: str, rcol: str) -> None:
+    """The bloom hashes each side by its OWN type (BIGINT raw, everything
+    else through xxhash64) while an exact join would coerce — a type
+    mismatch could produce false NEGATIVES, which no verify join can
+    repair. Refuse instead: cast one side explicitly."""
+    lt = left.schema[lcol].dataType
+    rt = right.schema[rcol].dataType
+    if lt != rt:
+        raise ValueError(
+            f"bloom join key types must match exactly (left {lcol}: "
+            f"{lt.simpleString()}, right {rcol}: {rt.simpleString()}) — "
+            "cast one side; a mismatched hash domain would silently drop "
+            "true matches"
+        )
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | tuple[str, str],
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Rows of ``left`` whose key exists in ``right`` — ``left_semi``
+    semantics, bloom-prefiltered. ``on`` is one shared column name or a
+    ``(left_col, right_col)`` pair."""
+    lcol, rcol = _resolve_on(on)
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    _check_same_type(left, right, lcol, rcol)
+    if not ensure_bloom_fns(left.sparkSession):
+        warnings.warn(
+            "uw_bloom_agg unavailable (shim jar not on the driver "
+            "classpath) — bloom_semi_join runs the exact join instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return _exact(left, right, lcol, rcol, "left_semi")
+    blob = build_bloom(right, rcol, fpp=fpp, expected_items=expected_items)
+    if blob is None:  # empty/all-NULL right: nothing matches
+        return left.limit(0)
+    survivors = left.filter(might_contain(blob, lcol))
+    return _exact(survivors, right, lcol, rcol, "left_semi")
+
+
+def bloom_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | tuple[str, str],
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Rows of ``left`` whose key does NOT exist in ``right`` —
+    ``left_anti`` semantics, bloom-prefiltered. A FALSE probe is
+    definitive absence (kept join-free); TRUE probes run the exact anti
+    join. NULL keys probe NULL → kept through the definitive branch, the
+    same rows a plain anti join keeps."""
+    lcol, rcol = _resolve_on(on)
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    _check_same_type(left, right, lcol, rcol)
+    if not ensure_bloom_fns(left.sparkSession):
+        warnings.warn(
+            "uw_bloom_agg unavailable (shim jar not on the driver "
+            "classpath) — bloom_anti_join runs the exact join instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return _exact(left, right, lcol, rcol, "left_anti")
+    blob = build_bloom(right, rcol, fpp=fpp, expected_items=expected_items)
+    if blob is None:
+        return left
+    mc = might_contain(blob, lcol)
+    definitive = left.filter(~F.coalesce(mc, F.lit(False)))
+    maybe = left.filter(F.coalesce(mc, F.lit(False)))
+    return definitive.unionByName(
+        _exact(maybe, right, lcol, rcol, "left_anti")
+    )

@@ -117,44 +117,10 @@ def decontaminate(
 
 
 # --------------------------------------------------------------- bloom path
-def _ensure_bloom_fns(spark) -> bool:
-    """Make ``uw_bloom_agg`` / ``uw_might_contain`` resolvable on this
-    session: already there (extensions-built session), else one py4j
-    registration call into the shim jar (``get_spark`` puts it on the
-    driver classpath). Returns False on a shim-less session — the caller
-    falls back to the exact join with a visible warning."""
-    try:
-        if spark.catalog.functionExists("uw_might_contain"):
-            return True
-        spark._jvm.io.uwheel.spark.UwheelBloom.register(spark._jsparkSession)
-        return bool(spark.catalog.functionExists("uw_might_contain"))
-    except Exception:
-        return False
-
-
-def _bloom_num_bits(spark, items: int, fpp: float) -> tuple[int, int]:
-    """Optimal bloom sizing clamped to the session's Spark caps.
-
-    ``m = -n ln(p) / (ln 2)^2`` (the standard optimum Spark's own
-    ``BloomFilter.optimalNumOfBits`` uses); ``BloomFilterAggregate``
-    analysis-rejects arguments above
-    ``spark.sql.optimizer.runtime.bloomFilter.maxNumItems`` / ``maxNumBits``
-    (defaults 4M / 67108864 ≈ 8 MB), so both are clamped — a clamped
-    filter only raises the false-positive rate, never breaks the
-    no-false-negative contract the exact verify join relies on."""
-    import math
-
-    def conf_int(key: str, default: int) -> int:
-        try:
-            return int(spark.conf.get(key))
-        except Exception:
-            return default
-
-    max_items = conf_int("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4_000_000)
-    max_bits = conf_int("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67_108_864)
-    items = max(1, min(items, max_items))
-    bits = int(math.ceil(-items * math.log(fpp) / (math.log(2.0) ** 2)))
-    return items, max(64, min(bits, max_bits))
+# session wiring and sizing live in .bloomfilter (shared with .bloomjoin);
+# module-level names so tests can monkeypatch the shim probe here
+from .bloomfilter import bloom_num_bits as _bloom_num_bits  # noqa: E402
+from .bloomfilter import ensure_bloom_fns as _ensure_bloom_fns  # noqa: E402
 
 
 def with_contamination_bloom(
