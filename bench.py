@@ -900,10 +900,15 @@ def main() -> None:
     # never all-pairs across the corpus.
     from datafusion_uwheel_spark.operators import semantic_dedup as semdd
 
-    t0 = time.perf_counter()
-    _sd_cents = similarity.train_ivf_centroids(emb, dim, k=16, seed=42)
-    queries["semdedup_train"] = time.perf_counter() - t0
+    _sd_times = []
+    for _ in range(2):  # two-sample spread, the one-shot-build discipline
+        t0 = time.perf_counter()
+        _sd_cents = similarity.train_ivf_centroids(emb, dim, k=16, seed=42)
+        _sd_times.append(time.perf_counter() - t0)
+    queries["semdedup_train"] = quantile(sorted(_sd_times), 0.5)
+    spreads["semdedup_train"] = half_medians(_sd_times)
     log(f"semdedup_train: {queries['semdedup_train']:.2f}s (k=16 spherical k-means)")
+    _sd_total = emb.count()  # assert baseline, outside the timed rows
 
     def semdedup_run(kernel=True):
         # threshold matches the corpus's similarity structure (synthetic
@@ -912,8 +917,7 @@ def main() -> None:
         kept = semdd.semdedup(
             emb, _sd_cents, threshold=0.4, use_pandas_udf=kernel
         ).count()
-        total = emb.count()
-        assert 0 < kept < total, (kept, total)
+        assert 0 < kept < _sd_total, (kept, _sd_total)
         return kept
 
     med("dedup_semantic", semdedup_run)

@@ -111,8 +111,12 @@ def bloom_anti_join(
     """Rows of ``left`` whose key does NOT exist in ``right`` —
     ``left_anti`` semantics, bloom-prefiltered. A FALSE probe is
     definitive absence (kept join-free); TRUE probes run the exact anti
-    join. NULL keys probe NULL → kept through the definitive branch, the
-    same rows a plain anti join keeps."""
+    join, which also owns NULL handling: a BIGINT NULL probes NULL (→
+    the definitive branch via the coalesce), but a non-BIGINT NULL hashes
+    through ``xxhash64(NULL)`` = the seed — if ``right`` contains a NULL
+    key the probe comes back TRUE and the row rides the exact branch,
+    where the equi-join's NULL-never-matches keeps it. Either way the
+    result rows equal the plain anti join; only the branch differs."""
     lcol, rcol = _resolve_on(on)
     if not (0.0 < fpp < 1.0):
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")

@@ -117,10 +117,12 @@ def decontaminate(
 
 
 # --------------------------------------------------------------- bloom path
-# session wiring and sizing live in .bloomfilter (shared with .bloomjoin);
-# module-level names so tests can monkeypatch the shim probe here
-from .bloomfilter import bloom_num_bits as _bloom_num_bits  # noqa: E402
+# session wiring, sizing, build and probe live in .bloomfilter (shared
+# with .bloomjoin); module-level names so tests can monkeypatch the shim
+# probe here
+from .bloomfilter import build_bloom as _build_bloom  # noqa: E402
 from .bloomfilter import ensure_bloom_fns as _ensure_bloom_fns  # noqa: E402
+from .bloomfilter import might_contain as _might_contain  # noqa: E402
 
 
 def with_contamination_bloom(
@@ -148,17 +150,23 @@ def with_contamination_bloom(
     No false negatives (bloom contract), so prefilter+verify ≡ exact:
     same ``n_shared_ngrams`` / ``contaminated`` values row-for-row.
 
-    ``expected_items`` skips the sizing count of distinct held-out grams;
-    sizing is clamped to the session's bloom caps (see
-    :func:`_bloom_num_bits`) — at the default ~8 MB bits cap a 4M-gram
-    eval suite keeps ``fpp``; far larger suites degrade fpp gracefully.
-    On a shim-less session (no jar on the driver classpath) this falls
-    back to the exact join with a ``RuntimeWarning`` — same answer,
-    no prefilter."""
+    ``expected_items`` (> 0) skips the sizing pass; without it the item
+    estimate is the TOTAL per-doc-distinct gram count — one scan of the
+    (small) held-out side with NO explode shuffle, and an overestimate of
+    the distinct-gram NDV, which only improves fpp until the bits cap
+    clamps (see :func:`.bloomfilter.bloom_num_bits`; at the default ~8 MB
+    cap a 4M-gram eval suite keeps ``fpp``, far larger suites degrade fpp
+    gracefully). On a shim-less session (no jar on the driver classpath)
+    this falls back to the exact join with a ``RuntimeWarning`` — same
+    answer, no prefilter."""
     if n <= 0:
         raise ValueError("n must be positive")
     if not (0.0 < fpp < 1.0):
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if expected_items is not None and expected_items <= 0:
+        # a 0 here would silently size-for-nothing while the held-out set
+        # is real — refuse instead of reporting every doc clean
+        raise ValueError(f"expected_items must be positive, got {expected_items}")
     spark = train.sparkSession
     if not _ensure_bloom_fns(spark):
         import warnings
@@ -178,13 +186,18 @@ def with_contamination_bloom(
         held_out.select(F.explode(ngram_hashes_col(ho_text, n)).alias("__gram"))
         .distinct()
     )
-    items = expected_items if expected_items is not None else ho_grams.count()
-    blob = None
-    if items > 0:
-        items, bits = _bloom_num_bits(spark, items, fpp)
-        blob = ho_grams.agg(
-            F.expr(f"uw_bloom_agg(__gram, {items}L, {bits}L)").alias("bf")
-        ).head()["bf"]
+    items = expected_items
+    if items is None:
+        items = held_out.agg(
+            F.coalesce(
+                F.sum(F.size(ngram_hashes_col(ho_text, n))), F.lit(0)
+            ).alias("n")
+        ).head()["n"]
+    blob = (
+        _build_bloom(ho_grams, "__gram", fpp=fpp, expected_items=max(int(items), 1))
+        if items > 0
+        else None
+    )
     if blob is None:  # empty held-out set: nothing can be contaminated
         return (
             train.withColumn("n_shared_ngrams", F.lit(0).cast("long"))
@@ -193,9 +206,7 @@ def with_contamination_bloom(
     train_grams = train.select(
         F.col(id_col), F.explode(ngram_hashes_col(text, n)).alias("__gram")
     )
-    survivors = train_grams.filter(
-        F.call_function("uw_might_contain", F.lit(bytes(blob)), F.col("__gram"))
-    )
+    survivors = train_grams.filter(_might_contain(blob, "__gram"))
     shared = (
         survivors.join(ho_grams, on="__gram")  # exact verify: kills FPs
         .groupBy(id_col)

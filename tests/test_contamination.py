@@ -207,3 +207,7 @@ def test_bloom_rejects_bad_args(spark, corpora):
         contamination.with_contamination_bloom(docs, held, fpp=0.0)
     with pytest.raises(ValueError):
         contamination.with_contamination_bloom(docs, held, fpp=1.0)
+    # a 0 NDV estimate with a real held-out set must refuse, not silently
+    # size-for-nothing and report every doc clean
+    with pytest.raises(ValueError):
+        contamination.with_contamination_bloom(docs, held, expected_items=0)
