@@ -75,9 +75,23 @@ def main() -> None:
     )
     n1 = kept.count()
 
-    # 2. Exact dedup (digest keep-lowest), then near-dup CLUSTERS from
-    # MinHash/LSH pairs — transitive keep-one, not pairwise dropping.
+    # 2. Exact dedup (digest keep-lowest), then exact substring-span
+    # masking (r11) BEFORE fuzzy dedup: strip repeated passages at window
+    # granularity, keeping one copy corpus-wide (the ExactSubstr
+    # remove-all-but-one discipline) — document COUNT is unchanged, text
+    # shrinks where a passage repeated, and boilerplate stops making
+    # distinct documents look like near-duplicates to MinHash.
+    from datafusion_uwheel_spark.operators import substring as subdup
+
     exact = dedup.dedup_exact(kept)
+    masked = subdup.mask_duplicate_spans(
+        exact, window=8, hashed=True, keep_first=True
+    )
+    n_masked = masked.filter(F.length("text_dedup") < F.length("text")).count()
+    exact = masked.withColumn("text", F.col("text_dedup")).drop("text_dedup")
+
+    # then near-dup CLUSTERS from MinHash/LSH pairs — transitive
+    # keep-one, not pairwise dropping.
     pairs = dedup.lsh_candidate_pairs(
         dedup.with_minhash_signature(exact), min_est_jaccard=0.5
     )
@@ -102,6 +116,25 @@ def main() -> None:
     )
     n3 = final.count()
 
+    # 3b. SemDeDup (r11): cluster-pruned SEMANTIC dedup on the surviving
+    # embeddings — trained spherical-k-means cells, within-cluster pairs
+    # only, keep the lowest-centroid-similarity representative. Catches
+    # same-topic redundancy the 0.995 near-dup pass is too strict for.
+    from datafusion_uwheel_spark.operators import semantic_dedup as semdd
+    from datafusion_uwheel_spark.operators.similarity import train_ivf_centroids
+
+    surviving_emb = emb.join(
+        final.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    cents = train_ivf_centroids(surviving_emb, 64, k=16, seed=42)
+    sem_drops = (
+        semdd.semantic_dup_pairs(surviving_emb, cents, threshold=0.4)
+        .select(F.col("id_drop").alias("doc_id"))
+        .distinct()
+    )
+    final = final.join(sem_drops, "doc_id", "left_anti")
+    n3b = final.count()
+
     # 4. Decontaminate against a (synthetic) held-out eval set: verbatim
     # snippets of surviving corpus docs stand in for leaked benchmark
     # text — the 13-gram guard must drop their source documents.
@@ -116,7 +149,12 @@ def main() -> None:
     # accounting, the monitoring engine's two rollup scans, packing,
     # blending) re-reads it, and without the checkpoint each would replay
     # the whole dedup/ANN/decontamination DAG from scratch.
-    final = contamination.decontaminate(final, held_out, n=13).localCheckpoint()
+    # r11: the BLOOM path — the eval grams collapse into one broadcast
+    # blob, the corpus gram stream filters join-free, only survivors pay
+    # the exact verify join; identical rows to the exact operator.
+    final = contamination.decontaminate_bloom(
+        final, held_out, n=13
+    ).localCheckpoint()
     n4 = final.count()
 
     # 5. Token accounting for the cleaned corpus.
@@ -178,8 +216,8 @@ def main() -> None:
     dt = time.perf_counter() - t0
     print(
         f"pipeline: {n_raw} crawled -> ingest-dedup {n0} -> quality {n1} -> "
-        f"text-dedup {n2} -> embed-dedup {n3} -> decontaminated {n4}; "
-        f"{stats['tokens']} tokens"
+        f"text-dedup {n2} (substring-masked {n_masked}) -> embed-dedup {n3} "
+        f"-> semdedup {n3b} -> decontaminated {n4}; {stats['tokens']} tokens"
     )
     print(
         f"packed into {n_seq} x 2048-token sequences ({util:.0%} utilization); "
@@ -190,7 +228,7 @@ def main() -> None:
         + ", ".join(f"{r['item']}={r['est']}" for r in top_sources)
     )
     print(f"total {dt:.1f}s at {SF_DIR}")
-    assert n_raw >= n0 >= n1 >= n2 >= n3 > n4 > 0  # seeded snippets must drop docs
+    assert n_raw >= n0 >= n1 >= n2 >= n3 >= n3b > n4 > 0  # snippets must drop docs
     assert util > 0.5
     print("OK training pipeline")
 
