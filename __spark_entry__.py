@@ -978,6 +978,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     IDENTICALLY every round inside uw_multi_agg (same range, same
     #     rounding — the uw_count_col precedent) and whose single_agg
     #     route kind stays hash-checked via uw_int_sum_range/uw_keyed_sum.
+    #   - NEW surfaces awaiting a first seat (oracles already written):
+    #     semdedup pairs/kept (operators/semantic_dedup.py vs
+    #     oracles.semdedup_pairs_sql/semdedup_sql — r12 seating candidate;
+    #     pytest-pinned both paths incl. DuckDB in
+    #     tests/test_semantic_dedup.py). The bloom join/decontamination
+    #     family needs no seat of its own: its contract is row-equality
+    #     with the exact operators already hash-checked here
+    #     (decon_ngram) and with Spark's own joins (pytest).
     #   - dedup_substring seated r11 (the ExactSubstr window-span pass,
     #     oracle written with the operator; stays pytest-pinned three ways
     #     incl. DuckDB in tests/test_substring_dedup.py). Its slot came

@@ -670,6 +670,43 @@ class AnnIndex:
         :func:`..similarity.embedding_dup_pairs` with matching parameters."""
         return _ann_dup_pairs(self, threshold, round_digits)
 
+    def semdedup_pairs(
+        self,
+        threshold: float,
+        keep: str = "low_centroid_sim",
+        round_digits: int = 6,
+        max_cell_rows: int | None = None,
+        use_pandas_udf: bool = True,
+    ) -> DataFrame:
+        """SemDeDup pair frame from the stored IVF layout: the manifest's
+        centroids (TRAINED ones persist there — this is how a
+        pinned-centroid index donates its quantizer to semantic dedup)
+        and the materialized ``cell`` partition column feed
+        :func:`..semantic_dedup.semantic_dup_pairs` assignment-free.
+        Quantized indexes are refused — their stored vectors are lossy
+        and SemDeDup cosines must be exact; rebuild full-precision or run
+        the operator on the source table."""
+        from .semantic_dedup import semantic_dup_pairs
+
+        m = self.m
+        if self.kind != "ivf":
+            raise ValueError("semdedup_pairs requires an IVF index")
+        if m.get("quantize"):
+            raise ValueError(
+                "semdedup_pairs needs exact cosines; this index stores "
+                "int8 codes — rebuild full-precision or run "
+                "semantic_dup_pairs on the source table"
+            )
+        cents = m.get("centroids") or ivf_centroids(
+            m["dim"], m["n_centroids"], m["seed"]
+        )
+        src = self._df.select(m["id_col"], m["vec_col"], "cell")
+        return semantic_dup_pairs(
+            src, cents, threshold, vec_col=m["vec_col"], id_col=m["id_col"],
+            keep=keep, round_digits=round_digits, max_cell_rows=max_cell_rows,
+            use_pandas_udf=use_pandas_udf, assigned_cell_col="cell",
+        )
+
 
 def _ann_dup_pairs(
     idx: "AnnIndex",

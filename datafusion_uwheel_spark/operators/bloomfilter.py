@@ -70,7 +70,11 @@ def build_bloom(
     fpp: float = 0.01,
     expected_items: int | None = None,
 ) -> bytes | None:
-    """Aggregate ``col`` into one bloom blob (None when ``df`` is empty).
+    """Aggregate ``col`` into one bloom blob — None when nothing reaches
+    the aggregate (empty frame, or all-NULL BIGINT values, which pass raw
+    and are skipped). Non-BIGINT NULLs hash through ``xxhash64(NULL)`` =
+    the seed first, so an all-NULL string side builds a real one-entry
+    bloom; callers' exact verify joins keep results correct either way.
 
     ``expected_items`` skips the sizing pass; without it the NDV estimate
     comes from one ``approx_count_distinct`` aggregate — a single scan of
@@ -78,6 +82,12 @@ def build_bloom(
     is worth using."""
     c = F.col(col) if isinstance(col, str) else col
     spark = df.sparkSession
+    if not ensure_bloom_fns(spark):
+        raise RuntimeError(
+            "uw_bloom_agg unavailable — the shim jar is not on this "
+            "session's driver classpath (get_spark puts it there); "
+            "higher-level callers fall back to exact joins instead"
+        )
     items = expected_items
     if items is None:
         items = df.agg(F.approx_count_distinct(c).alias("n")).head()["n"] or 0

@@ -95,7 +95,7 @@ def bloom_semi_join(
         )
         return _exact(left, right, lcol, rcol, "left_semi")
     blob = build_bloom(right, rcol, fpp=fpp, expected_items=expected_items)
-    if blob is None:  # empty/all-NULL right: nothing matches
+    if blob is None:  # empty (or all-NULL BIGINT) right: nothing matches
         return left.limit(0)
     survivors = left.filter(might_contain(blob, lcol))
     return _exact(survivors, right, lcol, rcol, "left_semi")

@@ -82,15 +82,25 @@ def with_semantic_cells(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],
     vec_col: str = "embedding",
+    assigned_cell_col: str | None = None,
 ) -> DataFrame:
     """Append ``cell`` (1-based first-argmax-dot centroid, the IVF
     assignment spec) and ``csim`` (cosine to the assigned centroid; NULL
-    for zero/NULL vectors)."""
+    for zero/NULL vectors).
+
+    ``assigned_cell_col`` trusts an existing assignment (e.g. the stored
+    ``cell`` partition column of a materialized IVF index built from the
+    SAME centroids) instead of recomputing the argmax — ``csim`` still
+    derives from the centroid constants, so the result is identical to
+    the recomputed path whenever the stored assignment is."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
     darr = F.array(*[dot_col(vec_col, c) for c in centroids])
     cnorms = F.array(*[F.lit(n) for n in _centroid_norms(centroids)])
-    cell = F.array_position(darr, F.array_max(darr))
+    if assigned_cell_col is None:
+        cell = F.array_position(darr, F.array_max(darr))
+    else:
+        cell = F.col(assigned_cell_col).cast("long")
     vnorm = F.sqrt(norm_sq_col(vec_col))
     denom = vnorm * F.element_at(cnorms, cell.cast("int"))
     csim = F.when(
@@ -194,11 +204,14 @@ def semantic_dup_pairs(
     round_digits: int = 6,
     max_cell_rows: int | None = None,
     use_pandas_udf: bool = True,
+    assigned_cell_col: str | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs ``(id_keep, id_drop, cell,
     sim)``: ``id_keep`` precedes ``id_drop`` in the cluster's keep order
     and ``round(cos, round_digits) >= threshold``. The drop side of the
     SemDeDup rule is exactly ``DISTINCT id_drop`` of this frame.
+    ``assigned_cell_col`` trusts a precomputed assignment (see
+    :func:`with_semantic_cells`).
 
     ``use_pandas_udf=True`` (default) computes each cluster's similarity
     matrix in one Arrow-batched numpy kernel (the paper's actual per-
@@ -217,7 +230,9 @@ def semantic_dup_pairs(
         raise ValueError(f"keep must be one of {_KEEPS}, got {keep!r}")
     if not (-1.0 <= threshold <= 1.0):
         raise ValueError(f"threshold must be within [-1, 1], got {threshold}")
-    assigned = with_semantic_cells(df, centroids, vec_col).select(
+    assigned = with_semantic_cells(
+        df, centroids, vec_col, assigned_cell_col=assigned_cell_col
+    ).select(
         F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v"), "cell", "csim"
     )
     if max_cell_rows is not None:

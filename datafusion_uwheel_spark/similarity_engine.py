@@ -33,12 +33,14 @@ import tempfile
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.ann_index import AnnIndex, build_ann_index, load_ann_index
 from .operators.similarity import (
     ann_topk,
     cosine_topk,
     embedding_dup_pairs,
+    ivf_centroids,
     ivf_topk,
     train_ivf_centroids,
 )
@@ -380,6 +382,82 @@ class SimilarityEngine:
 
         pairs = self.dup_pairs(threshold, bits=bits, tables=tables, seed=seed)
         return _cc(pairs, max_iter=max_iter)
+
+    def semdedup_pairs(
+        self,
+        threshold: float,
+        n_centroids: int = 8,
+        seed: int = 42,
+        keep: str = "low_centroid_sim",
+        round_digits: int = 6,
+        max_cell_rows: int | None = None,
+        use_pandas_udf: bool = True,
+    ) -> DataFrame:
+        """SemDeDup pair frame (:func:`.operators.semantic_dedup.
+        semantic_dup_pairs`), route-or-delegate under the registry's
+        seeded-parity contract: a fresh registered IVF index with matching
+        ``(n_centroids, seed)`` donates its stored ``cell`` partition
+        column (the registry only ever holds seeded full-precision
+        indexes, so stored cells ARE ``with_ivf_cells`` of the seeded
+        centroids and appends were assigned with the pinned manifest
+        parameters); otherwise the query-time operator assigns cells over
+        the engine's source — identical pairs either way. For TRAINED
+        (pinned-centroid) indexes probe the handle:
+        :meth:`..operators.ann_index.AnnIndex.semdedup_pairs` uses the
+        manifest centroids directly."""
+        from .operators import semantic_dedup as _sd
+
+        cents = ivf_centroids(self.dim, n_centroids, seed)
+        idx = self.indexes.get(_ivf_key(n_centroids, seed))
+        if idx is not None and self._fresh(idx):
+            self.last_route = SimRoute(
+                "indexed", {"kind": "ivf", "path": idx.path}
+            )
+            src = idx._df.select(
+                F.col(idx.m["id_col"]).alias(self.id_col),
+                F.col(idx.m["vec_col"]).alias(self.vec_col),
+                "cell",
+            )
+            return _sd.semantic_dup_pairs(
+                src, cents, threshold, vec_col=self.vec_col,
+                id_col=self.id_col, keep=keep, round_digits=round_digits,
+                max_cell_rows=max_cell_rows, use_pandas_udf=use_pandas_udf,
+                assigned_cell_col="cell",
+            )
+        self.last_route = (
+            self._stale_route("ivf", idx)
+            if idx is not None
+            else SimRoute("query_time", {"kind": "ivf"})
+        )
+        return _sd.semantic_dup_pairs(
+            self.df, cents, threshold, vec_col=self.vec_col,
+            id_col=self.id_col, keep=keep, round_digits=round_digits,
+            max_cell_rows=max_cell_rows, use_pandas_udf=use_pandas_udf,
+        )
+
+    def semdedup(
+        self,
+        threshold: float,
+        n_centroids: int = 8,
+        seed: int = 42,
+        keep: str = "low_centroid_sim",
+        round_digits: int = 6,
+        max_cell_rows: int | None = None,
+        use_pandas_udf: bool = True,
+    ) -> DataFrame:
+        """Rows of the engine's SOURCE table surviving the SemDeDup pass —
+        an anti-join against :meth:`semdedup_pairs`' drop set, so both
+        routes return source rows row-for-row."""
+        drops = (
+            self.semdedup_pairs(
+                threshold, n_centroids=n_centroids, seed=seed, keep=keep,
+                round_digits=round_digits, max_cell_rows=max_cell_rows,
+                use_pandas_udf=use_pandas_udf,
+            )
+            .select(F.col("id_drop").alias(self.id_col))
+            .distinct()
+        )
+        return self.df.join(drops, on=self.id_col, how="left_anti")
 
     def append(self, delta: DataFrame) -> int:
         """Incremental maintenance: append a delta of new vectors into every

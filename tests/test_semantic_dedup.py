@@ -216,6 +216,91 @@ def test_max_cell_rows_guard(spark, synth):
     assert semantic_dup_pairs(df, CENTS, threshold=T, max_cell_rows=10_000).count() >= 0
 
 
+# ----------------------------------------------- engine + handle routing
+@pytest.fixture(scope="module")
+def sim_engine(spark, sf_small_dir, tmp_path_factory):
+    from datafusion_uwheel_spark import SimilarityEngine
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    eng = SimilarityEngine(
+        spark, "embeddings", emb, dim=64,
+        index_root=str(tmp_path_factory.mktemp("semdd_idx")),
+    )
+    return eng, emb
+
+
+def _pairs_set(df):
+    return sorted(
+        (r["id_keep"], r["id_drop"], r["cell"], r["sim"]) for r in df.collect()
+    )
+
+
+def test_engine_routes_query_time_then_indexed(spark, sim_engine):
+    eng, emb = sim_engine
+    t = 0.4
+    before = _pairs_set(eng.semdedup_pairs(t))
+    assert eng.last_route.kind == "query_time"
+    eng.build_index(kind="ivf", n_centroids=8)
+    after = _pairs_set(eng.semdedup_pairs(t))
+    assert eng.last_route.kind == "indexed"
+    assert after == before  # stored cells ARE the seeded assignment
+    assert len(after) > 0
+    kept = eng.semdedup(t)
+    assert eng.last_route.kind == "indexed"
+    dropped = {p[1] for p in after}
+    assert sorted(r["vec_id"] for r in kept.collect()) == sorted(
+        r["vec_id"] for r in emb.collect() if r["vec_id"] not in dropped
+    )
+    assert kept.columns == emb.columns
+
+
+def test_trained_handle_uses_manifest_centroids(spark, sim_engine):
+    from datafusion_uwheel_spark.operators.semantic_dedup import (
+        semantic_dup_pairs as _op,
+    )
+
+    eng, emb = sim_engine
+    idx = eng.build_index(kind="ivf", n_centroids=8, train=True)
+    assert idx.m["centroids"]  # trained quantizer pinned in the manifest
+    got = _pairs_set(idx.semdedup_pairs(0.4))
+    exp = _pairs_set(_op(emb, idx.m["centroids"], 0.4))
+    assert got == exp and len(got) > 0
+
+
+def test_quantized_handle_refused(spark, sim_engine):
+    eng, _ = sim_engine
+    idx = eng.build_index(kind="ivf", n_centroids=8, quantize="int8")
+    with pytest.raises(ValueError, match="exact cosines"):
+        idx.semdedup_pairs(0.4)
+
+
+def test_lsh_handle_refused(spark, sim_engine):
+    eng, _ = sim_engine
+    idx = eng.build_index(kind="lsh", bits=4, tables=2)
+    with pytest.raises(ValueError, match="IVF"):
+        idx.semdedup_pairs(0.4)
+
+
+def test_stale_index_falls_back(spark, sf_small_dir, tmp_path_factory):
+    from datafusion_uwheel_spark import SimilarityEngine
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    eng = SimilarityEngine(
+        spark, "embeddings", emb, dim=64,
+        index_root=str(tmp_path_factory.mktemp("semdd_stale")),
+        max_delta_fraction=0.0,
+    )
+    eng.build_index(kind="ivf", n_centroids=8)
+    fresh = _pairs_set(eng.semdedup_pairs(0.4))
+    assert eng.last_route.kind == "indexed"
+    eng.append(emb.limit(0).unionByName(emb.limit(3)))  # any delta trips 0.0
+    stale = _pairs_set(eng.semdedup_pairs(0.4))
+    assert eng.last_route.kind == "query_time"
+    assert eng.last_route.detail.get("reason") == "stale"
+    # fallback runs over the UNCHANGED source df -> identical pairs
+    assert stale == fresh
+
+
 def test_arg_validation(spark, synth):
     df, _ = synth
     with pytest.raises(ValueError):
