@@ -982,7 +982,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     semdedup pairs/kept (operators/semantic_dedup.py vs
     #     oracles.semdedup_pairs_sql/semdedup_sql — r12 seating candidate;
     #     pytest-pinned both paths incl. DuckDB in
-    #     tests/test_semantic_dedup.py). The bloom join/decontamination
+    #     tests/test_semantic_dedup.py); fuzzy decontamination
+    #     (contamination.with_contamination_fuzzy vs
+    #     oracles.fuzzy_decon_sql, held-out derived in-SQL via the
+    #     decon_ngram holdout_mod pattern — pytest-pinned DuckDB-exact in
+    #     tests/test_lsh_join.py). The bloom join/decontamination
     #     family needs no seat of its own: its contract is row-equality
     #     with the exact operators already hash-checked here
     #     (decon_ngram) and with Spark's own joins (pytest).

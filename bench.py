@@ -861,6 +861,25 @@ def main() -> None:
 
     med("text_decontaminate_bloom", contam_bloom_run)
 
+    # Fuzzy (MinHash) decontamination (r11): the NON-verbatim leak guard —
+    # truncated snippets of a third of the held-out sources, so the exact
+    # 13-gram guard's verbatim matches and the fuzzy estimator's band
+    # joins both do real work; the assert pins that every snippet's
+    # source doc is flagged (its own truncation is a guaranteed near-dup).
+    def contam_fuzzy_run():
+        held_fz = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id", F.substring("text", 1, 400).alias("text")
+        )
+        out = contamination.with_contamination_fuzzy(
+            docs_wide.select("doc_id", "text"), held_fz, min_est_jaccard=0.5
+        )
+        n = out.filter("contaminated").count()
+        out._uw_release()
+        assert n > 0, "truncated held-out snippets were not fuzzy-flagged"
+        return n
+
+    med("text_decontaminate_fuzzy", contam_fuzzy_run)
+
     # Exact substring-span dedup (r11, the ExactSubstr pass at window
     # granularity): gram groupBy with map-side combine + a 1-row-per-key
     # join back + per-doc island merge — hashed keys (the corpus-scale

@@ -35,6 +35,8 @@ __all__ = [
     "decontaminate",
     "with_contamination_bloom",
     "decontaminate_bloom",
+    "with_contamination_fuzzy",
+    "decontaminate_fuzzy",
 ]
 
 
@@ -234,5 +236,98 @@ def decontaminate_bloom(
     flagged = with_contamination_bloom(
         train, held_out, n=n, text=text, held_out_text=held_out_text,
         id_col=id_col, fpp=fpp, expected_items=expected_items,
+    ).filter("contaminated").select(id_col)
+    return train.join(flagged, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------- fuzzy path
+def with_contamination_fuzzy(
+    train: DataFrame,
+    held_out: DataFrame,
+    min_est_jaccard: float = 0.5,
+    n: int = 3,
+    k: int | None = None,
+    bands: int | None = None,
+    text: str = "text",
+    held_out_text: str | None = None,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag training documents whose
+    MinHash-estimated shingle Jaccard against ANY held-out document
+    reaches ``min_est_jaccard``. The exact n-gram guard
+    (:func:`with_contamination`) only sees VERBATIM leaks — a benchmark
+    passage that was lightly paraphrased, truncated, or re-wrapped slips
+    through it; the fuzzy guard catches what survives editing, the same
+    reason corpus dedup runs MinHash next to exact digests.
+
+    Pure cross-table LSH (:func:`.dedup.lsh_join`): both sides sign once,
+    band keys bucket-join (the only shuffle), over-cap buckets drop per
+    side. Appends ``max_est_jaccard`` (NULL → 0.0 for unmatched or
+    shingle-less docs) and ``contaminated``. Thresholds compare the
+    MinHash ESTIMATOR — the same quantity the within-corpus near-dup
+    pass gates on, with the same k-permutation resolution."""
+    from .dedup import MINHASH_BANDS, MINHASH_NUM_PERM, release_signatures
+    from .dedup import lsh_join as _lsh_join
+    from .dedup import with_minhash_signature as _sign
+
+    k = MINHASH_NUM_PERM if k is None else k
+    bands = MINHASH_BANDS if bands is None else bands
+    if not (0.0 < min_est_jaccard <= 1.0):
+        raise ValueError(
+            f"min_est_jaccard must be in (0, 1], got {min_est_jaccard}"
+        )
+    ho_text = held_out_text or text
+    # the held-out side needs SOME id for banding; output never uses it
+    ho = held_out.select(
+        F.monotonically_increasing_id().alias("__ho_id"),
+        F.col(ho_text).alias("__ho_text"),
+    )
+    pairs = _lsh_join(
+        _sign(train.select(F.col(id_col), F.col(text)), text=text, n=n, k=k),
+        _sign(ho, text="__ho_text", n=n, k=k),
+        left_id=id_col,
+        right_id="__ho_id",
+        k=k,
+        bands=bands,
+        min_est_jaccard=min_est_jaccard,
+        max_bucket_size=max_bucket_size,
+    )
+    worst = pairs.groupBy("id_left").agg(
+        F.max("est_jaccard").alias("max_est_jaccard")
+    )
+    out = (
+        train.join(
+            worst.select(F.col("id_left").alias(id_col), "max_est_jaccard"),
+            on=id_col,
+            how="left",
+        )
+        .withColumn(
+            "max_est_jaccard", F.coalesce("max_est_jaccard", F.lit(0.0))
+        )
+        .withColumn("contaminated", F.col("max_est_jaccard") >= min_est_jaccard)
+    )
+    out._uw_release = lambda: release_signatures(pairs)
+    return out
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    held_out: DataFrame,
+    min_est_jaccard: float = 0.5,
+    n: int = 3,
+    k: int | None = None,
+    bands: int | None = None,
+    text: str = "text",
+    held_out_text: str | None = None,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Drop training documents the fuzzy guard flags (the enforcement form
+    of :func:`with_contamination_fuzzy`) — original columns unchanged."""
+    flagged = with_contamination_fuzzy(
+        train, held_out, min_est_jaccard, n=n, k=k, bands=bands, text=text,
+        held_out_text=held_out_text, id_col=id_col,
+        max_bucket_size=max_bucket_size,
     ).filter("contaminated").select(id_col)
     return train.join(flagged, on=id_col, how="left_anti")

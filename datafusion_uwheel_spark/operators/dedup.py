@@ -45,6 +45,7 @@ __all__ = [
     "with_minhash_signature",
     "band_rows",
     "lsh_candidate_pairs",
+    "lsh_join",
     "release_signatures",
     "with_simhash",
     "simhash_udf",
@@ -511,8 +512,97 @@ def lsh_candidate_pairs(
     return out
 
 
+def lsh_join(
+    left_with_sig: DataFrame,
+    right_with_sig: DataFrame,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    k: int = MINHASH_NUM_PERM,
+    bands: int = MINHASH_BANDS,
+    min_est_jaccard: float | None = None,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Cross-table LSH near-duplicate join: ``(id_left, id_right,
+    est_jaccard)`` for document pairs ACROSS two signature frames (both
+    from :func:`with_minhash_signature` with the SAME n/k/seed — band keys
+    only collide when the hash family matches) that agree on all rows of
+    at least one band. The cross-corpus sibling of
+    :func:`lsh_candidate_pairs`: snapshot diffing, train-vs-eval fuzzy
+    decontamination, aligning a re-crawl against an existing corpus.
+
+    Same machinery, same guarantees: the only shuffle is the band-bucket
+    equi-join; the exactly-once claim keeps a multi-band pair in its
+    FIRST agreeing band (no distinct over the candidate set); the
+    ``max_bucket_size`` valve drops over-cap buckets PER SIDE (the hot
+    bucket's join cost is |left bucket| x |right bucket|). Both inputs are
+    persisted (signatures are k longs/doc); call
+    :func:`release_signatures` on the result after the final action."""
+    from pyspark import StorageLevel
+
+    r = k // bands
+    if k % bands:
+        raise ValueError(f"bands ({bands}) must divide k ({k})")
+    left_with_sig = left_with_sig.persist(StorageLevel.MEMORY_AND_DISK)
+    right_with_sig = right_with_sig.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def banded(df, id_col):
+        rows = band_rows(df, id_col, k=k, bands=bands)
+        if max_bucket_size is not None:
+            hot = (
+                rows.groupBy("__band", "__key")
+                .agg(F.count(F.lit(1)).alias("__bc"))
+                .filter(F.col("__bc") > max_bucket_size)
+            )
+            rows = rows.join(
+                F.broadcast(hot.select("__band", "__key")),
+                on=["__band", "__key"],
+                how="anti",
+            )
+        return rows
+
+    a = banded(left_with_sig, left_id).select(
+        F.col("__id").alias("id_left"),
+        F.col("signature").alias("__sig_a"),
+        "__band",
+        "__key",
+    )
+    b = banded(right_with_sig, right_id).select(
+        F.col("__id").alias("id_right"),
+        F.col("signature").alias("__sig_b"),
+        "__band",
+        "__key",
+    )
+    claimed_first = F.forall(
+        F.sequence(F.lit(0), F.col("__band") - 1),
+        lambda j: F.slice(F.col("__sig_a"), j * r + 1, r)
+        != F.slice(F.col("__sig_b"), j * r + 1, r),
+    )
+    pairs = (
+        a.join(b, on=["__band", "__key"])
+        .filter(F.when(F.col("__band") > 0, claimed_first).otherwise(F.lit(True)))
+        .select("id_left", "id_right", "__sig_a", "__sig_b")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("__sig_a"), F.col("__sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    out = pairs.withColumn("est_jaccard", est).select(
+        "id_left", "id_right", "est_jaccard"
+    )
+    if min_est_jaccard is not None:
+        out = out.filter(F.col("est_jaccard") >= min_est_jaccard)
+    out._uw_persisted_signatures = (left_with_sig, right_with_sig)
+    return out
+
+
 def release_signatures(pairs_df: DataFrame) -> bool:
-    """Unpersist the signature frame cached by :func:`lsh_candidate_pairs`.
+    """Unpersist the signature frame(s) cached by
+    :func:`lsh_candidate_pairs` / :func:`lsh_join`.
 
     Call after the final action on the returned pairs frame (long-lived
     sessions / benchmarks); returns whether anything was released. Safe to
@@ -521,7 +611,8 @@ def release_signatures(pairs_df: DataFrame) -> bool:
     sig = getattr(pairs_df, "_uw_persisted_signatures", None)
     if sig is None:
         return False
-    sig.unpersist()
+    for frame in sig if isinstance(sig, tuple) else (sig,):
+        frame.unpersist()
     pairs_df._uw_persisted_signatures = None
     return True
 

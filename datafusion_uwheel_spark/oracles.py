@@ -351,6 +351,98 @@ WHERE CAST(len(list_filter(range(1, {k + 1}), i -> sa[i] = sb[i])) AS DOUBLE)
         / CAST({k} AS DOUBLE) >= {min_est_jaccard!r}"""
 
 
+def lsh_join_sql(
+    min_est_jaccard: float,
+    left_sql: str,
+    right_sql: str,
+    n: int = 3,
+    k: int = MINHASH_NUM_PERM,
+    bands: int = MINHASH_BANDS,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> str:
+    """Oracle of :func:`..operators.dedup.lsh_join`: cross-table MinHash
+    banding with the same seeded hash family, per-side bucket caps, and
+    DISTINCT pairs (the Spark side's first-band claim keeps each pair
+    once; the estimator is band-independent, so DISTINCT matches).
+    ``left_sql`` / ``right_sql`` are full SELECTs producing ``(id,
+    text)``."""
+    a_params, b_params = minhash_params(k, seed)
+    r = k // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MOD}))"
+        for a, b in zip(a_params, b_params)
+    )
+    toks = tokens_sql("text")
+
+    def side(tag: str, src: str) -> str:
+        cap = ""
+        band_src = f"bands_{tag}"
+        if max_bucket_size is not None:
+            cap = f""", bcnt_{tag} AS (
+  SELECT b, key, count(*) AS c FROM bands_{tag} GROUP BY b, key
+), bf_{tag} AS (
+  SELECT bands_{tag}.* FROM bands_{tag} JOIN bcnt_{tag} USING (b, key)
+  WHERE bcnt_{tag}.c <= {max_bucket_size}
+)"""
+            band_src = f"bf_{tag}"
+        return (
+            f"""sh_{tag} AS (
+  SELECT id, {shingles_sql(toks, n)} AS hs FROM ({src})
+), sig_{tag} AS (
+  SELECT id, [{sig_terms}] AS s FROM sh_{tag} WHERE len(hs) > 0
+), bands_{tag} AS (
+  SELECT id, s, b, array_to_string(s[b*{r}+1 : b*{r}+{r}], '-') AS key
+  FROM sig_{tag}, (SELECT unnest(range(0, {bands})) AS b)
+){cap}""",
+            band_src,
+        )
+
+    lcte, lsrc = side("l", left_sql)
+    rcte, rsrc = side("r", right_sql)
+    return f"""
+WITH {lcte}, {rcte}, pairs AS (
+  SELECT DISTINCT a.id AS id_left, b2.id AS id_right, a.s AS sa, b2.s AS sb
+  FROM {lsrc} a JOIN {rsrc} b2 ON a.b = b2.b AND a.key = b2.key
+)
+SELECT id_left, id_right,
+       CAST(len(list_filter(range(1, {k + 1}), i -> sa[i] = sb[i])) AS DOUBLE)
+         / CAST({k} AS DOUBLE) AS est_jaccard
+FROM pairs
+WHERE CAST(len(list_filter(range(1, {k + 1}), i -> sa[i] = sb[i])) AS DOUBLE)
+        / CAST({k} AS DOUBLE) >= {min_est_jaccard!r}"""
+
+
+def fuzzy_decon_sql(
+    min_est_jaccard: float = 0.5,
+    table: str = "documents",
+    holdout_mod: int = 7,
+    snippet_chars: int = 400,
+    n: int = 3,
+    k: int = MINHASH_NUM_PERM,
+    bands: int = MINHASH_BANDS,
+    seed: int = 42,
+) -> str:
+    """Oracle of the fuzzy-decontamination registry shape: held-out =
+    ``substr(text, 1, snippet_chars)`` of every ``doc_id % holdout_mod ==
+    0`` document (the decon_ngram derivation pattern — truncation makes
+    the leak NON-verbatim, exactly what the fuzzy guard exists for);
+    output = the flagged docs' ``(doc_id, max_est_jaccard)`` rounded."""
+    left = f"SELECT doc_id AS id, text FROM {table}"
+    right = (
+        f"SELECT doc_id AS id, substr(text, 1, {snippet_chars}) AS text "
+        f"FROM {table} WHERE doc_id % {holdout_mod} = 0"
+    )
+    inner = lsh_join_sql(
+        min_est_jaccard, left, right, n=n, k=k, bands=bands, seed=seed
+    )
+    return f"""
+SELECT id_left AS doc_id, round(max(est_jaccard), 6) AS max_est_jaccard
+FROM ({inner})
+GROUP BY id_left
+ORDER BY doc_id"""
+
+
 def near_corpus_sql(
     table: str = "documents",
     n: int = 3,
