@@ -862,10 +862,11 @@ def main() -> None:
     med("text_decontaminate_bloom", contam_bloom_run)
 
     # Fuzzy (MinHash) decontamination (r11): the NON-verbatim leak guard —
-    # truncated snippets of a third of the held-out sources, so the exact
-    # 13-gram guard's verbatim matches and the fuzzy estimator's band
-    # joins both do real work; the assert pins that every snippet's
-    # source doc is flagged (its own truncation is a guaranteed near-dup).
+    # truncated snippets of one-seventh of the docs as the held-out set
+    # (truncation makes the leak non-verbatim by construction). The assert
+    # pins a floor: at least half of the snippet SOURCES must come back
+    # flagged (their own truncations are guaranteed near-dups; the
+    # shortfall budget covers shingle-less/short docs).
     def contam_fuzzy_run():
         held_fz = docs.filter(F.col("doc_id") % 7 == 0).select(
             "doc_id", F.substring("text", 1, 400).alias("text")
@@ -873,9 +874,10 @@ def main() -> None:
         out = contamination.with_contamination_fuzzy(
             docs_wide.select("doc_id", "text"), held_fz, min_est_jaccard=0.5
         )
+        n_src = out.filter("contaminated AND doc_id % 7 = 0").count()
         n = out.filter("contaminated").count()
         out._uw_release()
-        assert n > 0, "truncated held-out snippets were not fuzzy-flagged"
+        assert n_src >= held_fz.count() // 2, (n_src, held_fz.count())
         return n
 
     med("text_decontaminate_fuzzy", contam_fuzzy_run)

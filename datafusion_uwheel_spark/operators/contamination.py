@@ -324,10 +324,16 @@ def decontaminate_fuzzy(
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Drop training documents the fuzzy guard flags (the enforcement form
-    of :func:`with_contamination_fuzzy`) — original columns unchanged."""
-    flagged = with_contamination_fuzzy(
+    of :func:`with_contamination_fuzzy`) — original columns unchanged. The
+    signature-cache release hook rides through to the returned frame:
+    call ``out._uw_release()`` after the final action in long-lived
+    sessions."""
+    annotated = with_contamination_fuzzy(
         train, held_out, min_est_jaccard, n=n, k=k, bands=bands, text=text,
         held_out_text=held_out_text, id_col=id_col,
         max_bucket_size=max_bucket_size,
-    ).filter("contaminated").select(id_col)
-    return train.join(flagged, on=id_col, how="left_anti")
+    )
+    flagged = annotated.filter("contaminated").select(id_col)
+    out = train.join(flagged, on=id_col, how="left_anti")
+    out._uw_release = annotated._uw_release
+    return out

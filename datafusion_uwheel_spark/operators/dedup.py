@@ -430,9 +430,12 @@ def lsh_candidate_pairs(
     the self-join quadratic in that bucket on a single shuffle partition.
     Buckets larger than the cap are dropped before pairing (a bounded,
     documented recall loss: members of an over-cap bucket can still pair
-    through their other ``bands − 1`` buckets; truly identical docs are
-    exact dedup's job). ``log_dropped=True`` runs one extra count job and
-    logs how many buckets the cap removed. ``None`` disables the cap.
+    through their other ``bands − 1`` buckets — the first-band claim knows
+    which buckets were dropped, so such pairs survive; truly identical
+    docs are exact dedup's job). With a cap set, the hot-bucket census
+    runs EAGERLY at call time (one small job, which also warms the
+    signature cache); ``log_dropped=True`` logs what it removed. ``None``
+    disables the cap and keeps construction fully lazy.
 
     The signature column is **persisted** before the self-join: Catalyst
     inlines projection chains, so without materialization the full
@@ -451,49 +454,24 @@ def lsh_candidate_pairs(
     r = k // bands
     df_with_sig = df_with_sig.persist(StorageLevel.MEMORY_AND_DISK)
     bandrows = band_rows(df_with_sig, id_col, k=k, bands=bands)
-    if max_bucket_size is not None:
-        hot = (
-            bandrows.groupBy("__band", "__key")
-            .agg(F.count(F.lit(1)).alias("__bc"))
-            .filter(F.col("__bc") > max_bucket_size)
-        )
-        if log_dropped:
-            import sys
-
-            n_hot = hot.count()
-            if n_hot:
-                print(
-                    f"lsh_candidate_pairs: dropped {n_hot} bucket(s) over "
-                    f"max_bucket_size={max_bucket_size}",
-                    file=sys.stderr,
-                )
-        bandrows = bandrows.join(
-            F.broadcast(hot.select("__band", "__key")), on=["__band", "__key"], how="anti"
-        )
+    bandrows, hot_pairs, use_claim = _apply_bucket_cap(
+        bandrows, max_bucket_size, log_dropped, "lsh_candidate_pairs"
+    )
     a = bandrows.select(
         F.col("__id").alias("id_a"), F.col("signature").alias("__sig_a"), "__band", "__key"
     )
     b = bandrows.select(
         F.col("__id").alias("id_b"), F.col("signature").alias("__sig_b"), "__band", "__key"
     )
-    # Exactly-once pair claim (same trick as the ANN index's stored-bucket
-    # self-join): a pair agreeing in several bands is kept only in the FIRST
-    # such band — for the matched band, require some earlier band's
-    # signature slices to DIFFER. Replaces a dropDuplicates over the whole
-    # candidate set, whose shuffle is the largest in this operator at scale
-    # (candidates >> documents). Both signature arrays are already on the
-    # row; the per-pair check folds over at most ``bands − 1`` small slices.
-    claimed_first = F.forall(
-        F.sequence(F.lit(0), F.col("__band") - 1),
-        lambda j: F.slice(F.col("__sig_a"), j * r + 1, r)
-        != F.slice(F.col("__sig_b"), j * r + 1, r),
-    )
-    pairs = (
-        a.join(b, on=["__band", "__key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.when(F.col("__band") > 0, claimed_first).otherwise(F.lit(True)))
-        .select("id_a", "id_b", "__sig_a", "__sig_b")
-    )
+    joined = a.join(b, on=["__band", "__key"]).filter(F.col("id_a") < F.col("id_b"))
+    if use_claim:
+        pairs = joined.filter(
+            _first_band_claim(r, bands, hot_pairs)
+        ).select("id_a", "id_b", "__sig_a", "__sig_b")
+    else:  # degenerate hot-bucket census: fall back to the explicit dedup
+        pairs = joined.select(
+            "id_a", "id_b", "__sig_a", "__sig_b"
+        ).dropDuplicates(["id_a", "id_b"])
     est = (
         F.size(
             F.filter(
@@ -510,6 +488,99 @@ def lsh_candidate_pairs(
     # signature frame rides along on the result object.
     out._uw_persisted_signatures = df_with_sig
     return out
+
+
+#: above this many over-cap buckets the literal hot-key claim would bloat
+#: the plan — the pairing falls back to an explicit dropDuplicates instead
+#: (correct, heavier shuffle; a corpus with 20k+ degenerate buckets has a
+#: boilerplate problem the caller should fix upstream).
+_HOT_CLAIM_LITERAL_CAP = 20_000
+
+
+def _apply_bucket_cap(bandrows, max_bucket_size, log_dropped, opname):
+    """Enforce the skew valve and surface what it dropped.
+
+    Returns ``(filtered_rows, hot (band, key) list, use_claim)``. The hot
+    set is collected EAGERLY (one small job at operator-construction time,
+    which also warms the persisted signature cache): the first-band
+    exactly-once claim must know which earlier buckets were dropped — a
+    pair whose earlier agreeing band sat in an over-cap bucket was never
+    produced there, so the claim may not disqualify it (r11 review: the
+    blind slices-differ claim silently LOST such pairs, diverging from
+    the SQL oracles and from the documented 'members of an over-cap
+    bucket still pair through their other bands' recall promise)."""
+    if max_bucket_size is None:
+        return bandrows, [], True
+    hot = (
+        bandrows.groupBy("__band", "__key")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") > max_bucket_size)
+        .select("__band", "__key")
+    )
+    hot_rows = hot.collect()
+    if log_dropped and hot_rows:
+        import sys
+
+        print(
+            f"{opname}: dropped {len(hot_rows)} bucket(s) over "
+            f"max_bucket_size={max_bucket_size}",
+            file=sys.stderr,
+        )
+    if not hot_rows:
+        return bandrows, [], True
+    filtered = bandrows.join(
+        F.broadcast(hot), on=["__band", "__key"], how="anti"
+    )
+    if len(hot_rows) > _HOT_CLAIM_LITERAL_CAP:
+        return filtered, [], False
+    return filtered, [(r["__band"], r["__key"]) for r in hot_rows], True
+
+
+def _first_band_claim(r, bands, hot_pairs, sig_a="__sig_a", sig_b="__sig_b"):
+    """Exactly-once pair claim (same trick as the ANN index's stored-bucket
+    self-join): a pair agreeing in several bands is kept only in the FIRST
+    band where it was actually PRODUCED — earlier bands must either have
+    differing signature slices, or have sat in an over-cap bucket (equal
+    slices ⇒ same key ⇒ the hot drop removed both/either side's row there,
+    so no pair was emitted). Replaces a dropDuplicates over the whole
+    candidate set, whose shuffle is the largest in this operator at scale
+    (candidates >> documents); the per-pair check folds over at most
+    ``bands − 1`` small slices plus a literal hot-key membership probe."""
+    hotarr = None
+    if hot_pairs:
+        by_band: dict[int, list[str]] = {}
+        for bnd, key in hot_pairs:
+            by_band.setdefault(bnd, []).append(key)
+        hotarr = F.array(
+            *[
+                F.array(*[F.lit(x) for x in by_band[bnd]])
+                if by_band.get(bnd)
+                else F.array().cast("array<string>")
+                for bnd in range(bands)
+            ]
+        )
+
+    def earlier_not_produced(j):
+        differ = F.slice(F.col(sig_a), j * r + 1, r) != F.slice(
+            F.col(sig_b), j * r + 1, r
+        )
+        if hotarr is None:
+            return differ
+        key = F.concat_ws(
+            "-",
+            F.transform(
+                F.slice(F.col(sig_a), j * r + 1, r), lambda v: v.cast("string")
+            ),
+        )
+        return differ | F.coalesce(
+            F.array_contains(F.element_at(hotarr, (j + 1).cast("int")), key),
+            F.lit(False),
+        )
+
+    return F.when(
+        F.col("__band") > 0,
+        F.forall(F.sequence(F.lit(0), F.col("__band") - 1), earlier_not_produced),
+    ).otherwise(F.lit(True))
 
 
 def lsh_join(
@@ -545,43 +616,40 @@ def lsh_join(
     left_with_sig = left_with_sig.persist(StorageLevel.MEMORY_AND_DISK)
     right_with_sig = right_with_sig.persist(StorageLevel.MEMORY_AND_DISK)
 
-    def banded(df, id_col):
-        rows = band_rows(df, id_col, k=k, bands=bands)
-        if max_bucket_size is not None:
-            hot = (
-                rows.groupBy("__band", "__key")
-                .agg(F.count(F.lit(1)).alias("__bc"))
-                .filter(F.col("__bc") > max_bucket_size)
-            )
-            rows = rows.join(
-                F.broadcast(hot.select("__band", "__key")),
-                on=["__band", "__key"],
-                how="anti",
-            )
-        return rows
-
-    a = banded(left_with_sig, left_id).select(
+    lrows, lhot, luse = _apply_bucket_cap(
+        band_rows(left_with_sig, left_id, k=k, bands=bands),
+        max_bucket_size, False, "lsh_join",
+    )
+    rrows, rhot, ruse = _apply_bucket_cap(
+        band_rows(right_with_sig, right_id, k=k, bands=bands),
+        max_bucket_size, False, "lsh_join",
+    )
+    # a pair is produced at band j only when NEITHER side's row was hot
+    # there, so the claim probes the UNION of the two sides' hot keys
+    # (equal slices ⇒ same key ⇒ either side's drop suppressed the pair)
+    hot_pairs = sorted(set(lhot) | set(rhot))
+    use_claim = luse and ruse and len(hot_pairs) <= _HOT_CLAIM_LITERAL_CAP
+    a = lrows.select(
         F.col("__id").alias("id_left"),
         F.col("signature").alias("__sig_a"),
         "__band",
         "__key",
     )
-    b = banded(right_with_sig, right_id).select(
+    b = rrows.select(
         F.col("__id").alias("id_right"),
         F.col("signature").alias("__sig_b"),
         "__band",
         "__key",
     )
-    claimed_first = F.forall(
-        F.sequence(F.lit(0), F.col("__band") - 1),
-        lambda j: F.slice(F.col("__sig_a"), j * r + 1, r)
-        != F.slice(F.col("__sig_b"), j * r + 1, r),
-    )
-    pairs = (
-        a.join(b, on=["__band", "__key"])
-        .filter(F.when(F.col("__band") > 0, claimed_first).otherwise(F.lit(True)))
-        .select("id_left", "id_right", "__sig_a", "__sig_b")
-    )
+    joined = a.join(b, on=["__band", "__key"])
+    if use_claim:
+        pairs = joined.filter(
+            _first_band_claim(r, bands, hot_pairs)
+        ).select("id_left", "id_right", "__sig_a", "__sig_b")
+    else:
+        pairs = joined.select(
+            "id_left", "id_right", "__sig_a", "__sig_b"
+        ).dropDuplicates(["id_left", "id_right"])
     est = (
         F.size(
             F.filter(

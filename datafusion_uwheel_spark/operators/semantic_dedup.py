@@ -95,17 +95,26 @@ def with_semantic_cells(
     the recomputed path whenever the stored assignment is."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
-    darr = F.array(*[dot_col(vec_col, c) for c in centroids])
     cnorms = F.array(*[F.lit(n) for n in _centroid_norms(centroids)])
     if assigned_cell_col is None:
+        darr = F.array(*[dot_col(vec_col, c) for c in centroids])
         cell = F.array_position(darr, F.array_max(darr))
+        cdot = F.element_at(darr, cell.cast("int"))
     else:
+        # assignment-free for real: evaluate ONE centroid's dot per row —
+        # a CASE chain on the stored cell (CreateArray elements behind a
+        # non-literal element_at can't be pruned, so the array form would
+        # silently pay the full k x dim assignment cost this path claims
+        # to skip; r11 review)
         cell = F.col(assigned_cell_col).cast("long")
+        cdot = F.lit(None).cast("double")
+        for i, c in enumerate(centroids):
+            cdot = F.when(cell == i + 1, dot_col(vec_col, c)).otherwise(cdot)
     vnorm = F.sqrt(norm_sq_col(vec_col))
     denom = vnorm * F.element_at(cnorms, cell.cast("int"))
     csim = F.when(
         denom.isNull() | (denom == 0.0), F.lit(None).cast("double")
-    ).otherwise(F.element_at(darr, cell.cast("int")) / denom)
+    ).otherwise(cdot / denom)
     return df.withColumn("cell", cell).withColumn("csim", csim)
 
 

@@ -87,7 +87,11 @@ def main() -> None:
     masked = subdup.mask_duplicate_spans(
         exact, window=8, hashed=True, keep_first=True
     )
-    n_masked = masked.filter(F.length("text_dedup") < F.length("text")).count()
+    # count docs that lost TOKENS (the mask rebuilds text whitespace-
+    # normalized, so a raw length compare would also count every doc that
+    # merely had a double space)
+    ntok = lambda c: F.size(F.split(F.trim(c), r"\s+"))  # noqa: E731
+    n_masked = masked.filter(ntok("text_dedup") < ntok("text")).count()
     exact = masked.withColumn("text", F.col("text_dedup")).drop("text_dedup")
 
     # then near-dup CLUSTERS from MinHash/LSH pairs — transitive

@@ -140,6 +140,51 @@ def test_fuzzy_unmatched_docs_zero_and_schema(spark):
     assert rows == {1: (0.0, False), 2: (0.0, False)}
 
 
+def test_lsh_join_low_cap_parity(spark, sf_small_dir):
+    """Cross-table twin of the cap-claim regression: with a tight per-side
+    cap, pairs whose earlier agreeing band was dropped must still arrive
+    through later bands, matching the oracle exactly."""
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    pairs = dedup.lsh_join(
+        _sig(left), _sig(right), min_est_jaccard=T, max_bucket_size=2
+    )
+    got = sorted(
+        (r["id_left"], r["id_right"], round(r["est_jaccard"], 9))
+        for r in pairs.collect()
+    )
+    dedup.release_signatures(pairs)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small_dir}/documents.parquet'"
+    )
+    exp = sorted(
+        (a, b, round(e, 9))
+        for a, b, e in con.execute(
+            lsh_join_sql(
+                T,
+                "SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0",
+                "SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1",
+                max_bucket_size=2,
+            )
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_decontaminate_fuzzy_release_hook(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = contamination.decontaminate_fuzzy(df, df, min_est_jaccard=0.99)
+    out.collect()
+    assert out._uw_release() is True
+
+
 def test_release_hook_and_validation(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta")],

@@ -61,6 +61,46 @@ def test_lsh_bucket_cap_drops_degenerate_bucket(boilerplate_df):
     assert len(pairs) < 1000
 
 
+def test_lsh_cap_parity_with_oracle_across_caps(spark, sf_small_dir):
+    """r11 regression: the first-band claim must not disqualify a pair
+    whose earlier agreeing band sat in an over-cap (dropped) bucket — at
+    cap=2 on the real corpus the blind claim silently lost pairs the
+    DuckDB oracle (and the documented recall promise) kept."""
+    import duckdb
+
+    from datafusion_uwheel_spark.oracles import minhash_lsh_sql
+
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small_dir}/documents.parquet'"
+    )
+    sizes = {}
+    for cap in (2, 3, 1000):
+        sig = dedup.with_minhash_signature(docs)
+        pairs = dedup.lsh_candidate_pairs(
+            sig, min_est_jaccard=0.5, max_bucket_size=cap
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+            for r in pairs.collect()
+        )
+        dedup.release_signatures(pairs)
+        exp = sorted(
+            (a, b, round(e, 9))
+            for a, b, e in con.execute(
+                minhash_lsh_sql(0.5, max_bucket_size=cap)
+            ).fetchall()
+        )
+        assert got == exp, f"cap={cap}"
+        sizes[cap] = len(got)
+    # the tight cap actually dropped buckets (the regression's trigger)
+    # yet pairs survive through later bands
+    assert 0 < sizes[2] < sizes[1000]
+
+
 def test_lsh_cap_disabled_restores_full_pairing(spark):
     df = spark.createDataFrame(
         [(i, "identical text body for every single document here") for i in range(20)],
