@@ -703,6 +703,25 @@ def dedup_simhash(spark, sf_dir):
     return dedup.with_simhash(df).select("doc_id", "simhash")
 
 
+SEMDD_T = 0.4  # the corpus's similarity structure (EMB_DUP_T); 19 pairs at sf0.01
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup pair frame (seated r11, the operator's landing round):
+    seeded spherical-k-means cells, within-cluster cosine pairs, the
+    greedy keep-lowest-centroid-similarity order — DEFAULT Arrow-kernel
+    path, pinned bit-equal to the expression spec and the SQL oracle
+    (operators/semantic_dedup.py; oracle semdedup_pairs_sql)."""
+    from datafusion_uwheel_spark.operators.semantic_dedup import (
+        semantic_dup_pairs,
+    )
+
+    df = _view(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs(
+        df, similarity.ivf_centroids(EMB_DIM, 8, 42), threshold=SEMDD_T
+    )
+
+
 def dedup_substring(spark, sf_dir):
     """Exact substring-span dedup (the ExactSubstr pass at window=8
     granularity, seated r11): maximal duplicated token spans per document
@@ -978,11 +997,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     IDENTICALLY every round inside uw_multi_agg (same range, same
     #     rounding — the uw_count_col precedent) and whose single_agg
     #     route kind stays hash-checked via uw_int_sum_range/uw_keyed_sum.
+    #   - dedup_semantic seated r11 (SemDeDup pairs, the operator's
+    #     landing round — kernel path, DuckDB-exact at t=0.4/19 rows at
+    #     sf0.01); its slot came from dedup_simhash, whose fingerprint
+    #     column's DuckDB hash check moved VERBATIM into pytest
+    #     (test_llm_ops.test_simhash_matches_duckdb_real_table — full
+    #     corpus vs simhash_sql, exact) next to the kernel/expression
+    #     parity pin. First alternation candidate with dedup_semantic.
     #   - NEW surfaces awaiting a first seat (oracles already written):
-    #     semdedup pairs/kept (operators/semantic_dedup.py vs
-    #     oracles.semdedup_pairs_sql/semdedup_sql — r12 seating candidate;
-    #     pytest-pinned both paths incl. DuckDB in
-    #     tests/test_semantic_dedup.py); fuzzy decontamination
+    #     semdedup KEPT form (oracles.semdedup_sql); fuzzy decontamination
     #     (contamination.with_contamination_fuzzy vs
     #     oracles.fuzzy_decon_sql, held-out derived in-SQL via the
     #     decon_ngram holdout_mod pattern — pytest-pinned DuckDB-exact in
@@ -1092,7 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: dedup_fingerprint's slot funds or_group_by (see ledger).
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
+        # r11 seat: dedup_simhash's slot funds dedup_semantic (see ledger).
+        "dedup_semantic": dedup_semantic,
         "dedup_near_corpus": dedup_near_corpus,
         "mm_media_stats": mm_media_stats,
         "mm_features": mm_features,
@@ -1286,7 +1310,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard_pairs": oracles.jaccard_pairs_sql(JACCARD_T),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(LSH_MIN_EST),
-        "dedup_simhash": oracles.simhash_sql(),
+        "dedup_semantic": oracles.semdedup_pairs_sql(
+            similarity.ivf_centroids(EMB_DIM, 8, 42), SEMDD_T, dim=EMB_DIM
+        ),
         "dedup_near_corpus": oracles.near_corpus_sql(),
         # documents' UTF-8 bytes are the media payload on both engines:
         # Spark encode(text,'UTF-8') ≡ DuckDB encode(text); md5(VARCHAR)

@@ -125,6 +125,27 @@ def test_simhash_near_dup_low_hamming(docs):
     assert sh[5] == 0  # empty text → all bit-votes negative
 
 
+def test_simhash_matches_duckdb_real_table(spark, sf_small_dir):
+    """Funding for the r11 registry rotation (dedup_simhash out for
+    dedup_semantic): the retired row's DuckDB hash check moves here — the
+    full corpus fingerprint column vs oracles.simhash_sql, exact."""
+    import duckdb
+
+    from datafusion_uwheel_spark.oracles import simhash_sql
+
+    real = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["simhash"])
+        for r in dedup.with_simhash(real).select("doc_id", "simhash").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small_dir}/documents.parquet'"
+    )
+    exp = sorted(tuple(r) for r in con.execute(simhash_sql()).fetchall())
+    assert got == exp and len(got) > 0
+
+
 def test_simhash_udf_matches_expression_path(docs):
     a = {r[0]: r[1] for r in dedup.with_simhash(docs).select("doc_id", "simhash").collect()}
     b = {
