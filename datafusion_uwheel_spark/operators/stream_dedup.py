@@ -14,6 +14,9 @@ surface at all) — two pieces:
 * :class:`NearCorpusDedup` — the fuzzy form: MinHash/LSH band state
   instead of digests, so re-crawls that differ by a footer or a rewrite
   still drop; optional estimator verification against stored signatures.
+* :class:`SemanticCorpusDedup` — the embedding form: IVF-celled vector
+  state + the SemDeDup rule, so same-MEANING redundancy with no token
+  overlap drops too (the quantizer pinned in a state manifest).
 * :func:`dedup_within_stream` — the bounded-lateness form for unbounded
   ``readStream`` pipelines: Spark's own watermarked state
   (``dropDuplicatesWithinWatermark``), for when "seen before" only needs
@@ -53,6 +56,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "CorpusDedup",
     "NearCorpusDedup",
+    "SemanticCorpusDedup",
     "PendingState",
     "dedup_within_stream",
 ]
@@ -539,3 +543,219 @@ class NearCorpusDedup:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
+
+
+class SemanticCorpusDedup:
+    """Ingestion-time SEMANTIC dedup: drop arriving documents whose
+    EMBEDDING is a SemDeDup-style duplicate — cosine ≥ ``threshold``
+    within the same spherical-k-means cell — of anything ever kept, run
+    the SemDeDup pass within the batch itself, then record the survivors.
+    The embedding-space sibling of :class:`NearCorpusDedup`: MinHash
+    catches edited re-crawls of the SAME text; this catches same-MEANING
+    redundancy no token overlap reveals.
+
+    State is one row per kept vector ``(owner, embedding float32, cell)``
+    laid out in ``cell=`` partition dirs — the IVF layout, so a batch
+    joins only the cells its own vectors assign into (partition-pruned
+    read; per-batch cost scales with the batch and the touched cells'
+    occupancy, never the corpus). The quantizer is pinned in a state-dir
+    manifest at construction: a reopened state REFUSES mismatched
+    centroids (mixed quantizers would silently partition the space two
+    ways and miss duplicates across the seam).
+
+    Ordering is stream-arrival SemDeDup: corpus members are always
+    "earlier" than the batch (a batch row similar to ANY kept vector
+    drops), and within the batch the operator's keep order applies
+    (:func:`..semantic_dedup.semantic_dup_pairs` — the greedy
+    all-earlier-items matrix rule, kernel path). Zero/NULL vectors have
+    NULL cosine to everything: they pass through unfiltered and are never
+    recorded, like NULL text in the exact form. Replays are at-least-once
+    safe: a re-filtered batch matches its own recorded vectors at cosine
+    1.0 ≥ threshold and emits nothing new. Two-phase like the siblings —
+    :meth:`prepare_batch` + :meth:`commit` (via :meth:`attach`), or
+    :meth:`filter_batch` for direct batch use.
+    """
+
+    _VECS_SCHEMA = "owner long, embedding array<float>, cell long"
+    _MANIFEST = "_semantic_manifest.json"
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        centroids,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        threshold: float = 0.95,
+        keep: str = "low_centroid_sim",
+        round_digits: int = 6,
+    ):
+        import json
+
+        from .semantic_dedup import _KEEPS
+
+        if not centroids:
+            raise ValueError("centroids must be non-empty")
+        if not (0.0 < threshold <= 1.0):
+            raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        if keep not in _KEEPS:
+            raise ValueError(f"keep must be one of {_KEEPS}, got {keep!r}")
+        self.spark = spark
+        self.state_dir = state_dir
+        self.centroids = [[float(x) for x in c] for c in centroids]
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.keep = keep
+        self.round_digits = round_digits
+        os.makedirs(state_dir, exist_ok=True)
+        mpath = os.path.join(state_dir, self._MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                recorded = json.load(f)["centroids"]
+            if recorded != self.centroids:
+                raise ValueError(
+                    "state at this dir was recorded with DIFFERENT "
+                    "centroids — a mixed quantizer partitions the space "
+                    "two ways and misses duplicates across the seam; "
+                    "open with the original centroids or start a new "
+                    "state dir"
+                )
+        else:
+            with open(mpath, "w") as f:
+                json.dump({"centroids": self.centroids}, f)
+
+    def _vectors(self) -> DataFrame | None:
+        p = os.path.join(self.state_dir, "vectors")
+        if not os.path.isdir(p):
+            return None
+        try:
+            return self.spark.read.schema(self._VECS_SCHEMA).parquet(p)
+        except Exception:
+            return None
+
+    def seen_count(self) -> int:
+        s = self._vectors()
+        return 0 if s is None else s.count()
+
+    def prepare_batch(
+        self, batch_df: DataFrame
+    ) -> tuple[DataFrame, PendingState]:
+        """Phase 1: survivors of ``batch_df`` — no kept corpus vector at
+        cosine ≥ threshold in their cell, no earlier batch row either —
+        plus the pending vector append, NOT yet recorded."""
+        from .semantic_dedup import (
+            semantic_dup_pairs,
+            with_semantic_cells,
+        )
+        from .similarity import cosine_pair_col
+
+        assigned = with_semantic_cells(
+            batch_df.select(self.id_col, self.vec_col),
+            self.centroids,
+            self.vec_col,
+        )
+        eligible = assigned.filter(F.col("csim").isNotNull())
+        drops = None
+        state = self._vectors()
+        if state is not None:
+            touched = [
+                r["cell"]
+                for r in eligible.select("cell").distinct().collect()
+            ]
+            if touched:
+                pruned = state.filter(F.col("cell").isin(touched))
+                sim = F.round(
+                    cosine_pair_col(F.col(self.vec_col), F.col("__corpus_v")),
+                    self.round_digits,
+                )
+                drops = (
+                    eligible.join(
+                        pruned.select(
+                            F.col("cell"),
+                            F.col("embedding").alias("__corpus_v"),
+                        ),
+                        on="cell",
+                    )
+                    .filter(sim >= self.threshold)
+                    .select(self.id_col)
+                    .distinct()
+                )
+        batch_drops = semantic_dup_pairs(
+            eligible.select(self.id_col, self.vec_col, "cell"),
+            self.centroids,
+            self.threshold,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            keep=self.keep,
+            round_digits=self.round_digits,
+            assigned_cell_col="cell",
+        ).select(F.col("id_drop").alias(self.id_col)).distinct()
+        drops = batch_drops if drops is None else drops.unionByName(batch_drops).distinct()
+        # localCheckpoint CUTS the lineage before the state append (the
+        # corpus join reads the state files a commit would invalidate)
+        drops = drops.localCheckpoint(eager=True)
+        new_vecs = (
+            eligible.join(drops, on=self.id_col, how="left_anti")
+            .select(
+                F.col(self.id_col).cast("long").alias("owner"),
+                F.col(self.vec_col).cast("array<float>").alias("embedding"),
+                "cell",
+            )
+            .localCheckpoint(eager=True)
+        )
+        pending = PendingState(
+            [(new_vecs, "cell", os.path.join(self.state_dir, "vectors"))]
+        )
+        survivors = batch_df.join(drops, on=self.id_col, how="left_anti")
+        return survivors, pending
+
+    def commit(self, pending: PendingState) -> None:
+        """Phase 2: record the prepared vectors. Idempotent per token."""
+        pending._commit()
+
+    def filter_batch(self, batch_df: DataFrame) -> DataFrame:
+        """prepare + immediate commit — direct batch use (same caveat as
+        :meth:`CorpusDedup.filter_batch`: inside ``foreachBatch`` prefer
+        :meth:`attach`)."""
+        survivors, pending = self.prepare_batch(batch_df)
+        self.commit(pending)
+        return survivors
+
+    def compact(self) -> None:
+        """Fold per-batch appended files and drop replay double-records —
+        the same bounded small-files discipline as the siblings."""
+        s = self._vectors()
+        if s is None:
+            return
+        folded = s.dropDuplicates(["owner"]).repartition("cell")
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            folded.write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(self.state_dir, "vectors")
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    def attach(self, stream_df: DataFrame, sink, **start_kwargs):
+        """Drive from Structured Streaming: survivors to ``sink``, state
+        committed only AFTER the sink returns (at-least-once, re-emitted
+        never lost). Returns the started ``StreamingQuery``."""
+
+        def _each(batch_df: DataFrame, batch_id: int) -> None:
+            survivors, pending = self.prepare_batch(batch_df)
+            sink(survivors, batch_id)
+            self.commit(pending)
+
+        return (
+            stream_df.writeStream.foreachBatch(_each)
+            .options(**start_kwargs.pop("options", {}))
+            .start(**start_kwargs)
+        )

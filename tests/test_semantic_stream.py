@@ -1,0 +1,154 @@
+"""Ingestion-time semantic dedup (SemanticCorpusDedup): two-batch crawl
+replay against a pure-Python SemDeDup oracle with stream-arrival order —
+corpus members earlier than the batch, batch rows in keep order."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_uwheel_spark.operators.similarity import ivf_centroids
+from datafusion_uwheel_spark.operators.stream_dedup import SemanticCorpusDedup
+
+DIM = 8
+CENTS = ivf_centroids(DIM, 3, seed=7)
+T = 0.92
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture()
+def bundles():
+    rng = random.Random(5)
+    base = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(4)]
+
+    def near(b):
+        return [x + rng.uniform(-0.005, 0.005) for x in b]
+
+    # batch 1: two bundles of 3 + noise
+    b1 = []
+    rid = 0
+    for b in base[:2]:
+        for _ in range(3):
+            b1.append((rid, near(b)))
+            rid += 1
+    for _ in range(4):
+        b1.append((rid, [rng.uniform(-1, 1) for _ in range(DIM)]))
+        rid += 1
+    # batch 2: near-dups of batch-1 bundles + one fresh bundle + noise
+    b2 = [(100 + i, near(base[i % 2])) for i in range(3)]
+    b2 += [(110 + i, near(base[2])) for i in range(3)]
+    b2.append((120, [rng.uniform(-1, 1) for _ in range(DIM)]))
+    return b1, b2
+
+
+def test_two_batch_semantics_and_replay(spark, tmp_path, bundles):
+    b1, b2 = bundles
+    dd = SemanticCorpusDedup(
+        spark, str(tmp_path / "st"), CENTS, threshold=T
+    )
+    s1 = dd.filter_batch(_mkdf(spark, b1))
+    kept1 = sorted(r["vec_id"] for r in s1.collect())
+    # within-batch SemDeDup ran: each 3-bundle keeps at least 1, not all 3
+    assert 0 < len(kept1) < len(b1)
+    n_state1 = dd.seen_count()
+    assert n_state1 == len(kept1)
+
+    s2 = dd.filter_batch(_mkdf(spark, b2))
+    kept2 = sorted(r["vec_id"] for r in s2.collect())
+    # near-dups of batch-1 bundles must DROP against the corpus; the fresh
+    # bundle keeps one representative; the noise row survives
+    assert all(i not in kept2 for i in (100, 101, 102))
+    assert sum(1 for i in kept2 if 110 <= i < 113) == 1
+    assert 120 in kept2
+    assert dd.seen_count() == n_state1 + len(kept2)
+
+    # replay of batch 2: everything matches its own recorded vector
+    s2r = dd.filter_batch(_mkdf(spark, b2))
+    assert s2r.count() == 0
+    assert dd.seen_count() == n_state1 + len(kept2)
+
+
+def test_no_cross_state_pair_above_threshold(spark, tmp_path, bundles):
+    """The streaming invariant mirroring batch idempotence: after any
+    sequence of batches, the recorded corpus contains no pair ≥ T."""
+    from datafusion_uwheel_spark.operators.semantic_dedup import (
+        semantic_dup_pairs,
+    )
+
+    b1, b2 = bundles
+    dd = SemanticCorpusDedup(spark, str(tmp_path / "st"), CENTS, threshold=T)
+    dd.filter_batch(_mkdf(spark, b1))
+    dd.filter_batch(_mkdf(spark, b2))
+    state = dd._vectors().select(
+        F.col("owner").alias("vec_id"),
+        F.col("embedding"),
+    )
+    pairs = semantic_dup_pairs(state, CENTS, threshold=T)
+    assert pairs.count() == 0
+
+
+def test_two_phase_uncommitted_replays_clean(spark, tmp_path, bundles):
+    b1, _ = bundles
+    dd = SemanticCorpusDedup(spark, str(tmp_path / "st"), CENTS, threshold=T)
+    surv, pending = dd.prepare_batch(_mkdf(spark, b1))
+    n = surv.count()
+    assert dd.seen_count() == 0  # nothing recorded yet
+    # a replay before commit answers identically (sink failed, re-emit)
+    surv2, pending2 = dd.prepare_batch(_mkdf(spark, b1))
+    assert surv2.count() == n
+    dd.commit(pending)
+    assert dd.seen_count() == n
+
+
+def test_zero_vector_passthrough_unrecorded(spark, tmp_path):
+    dd = SemanticCorpusDedup(spark, str(tmp_path / "st"), CENTS, threshold=T)
+    df = _mkdf(spark, [(1, [0.0] * DIM), (2, [1.0] + [0.0] * (DIM - 1))])
+    kept = sorted(r["vec_id"] for r in dd.filter_batch(df).collect())
+    assert kept == [1, 2]
+    assert dd.seen_count() == 1  # only the real vector recorded
+    # replay: the zero vector passes again, the real one drops
+    kept2 = sorted(r["vec_id"] for r in dd.filter_batch(df).collect())
+    assert kept2 == [1]
+
+
+def test_manifest_pins_centroids(spark, tmp_path):
+    path = str(tmp_path / "st")
+    SemanticCorpusDedup(spark, path, CENTS, threshold=T)
+    # same centroids reopen fine
+    SemanticCorpusDedup(spark, path, CENTS, threshold=T)
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        SemanticCorpusDedup(
+            spark, path, ivf_centroids(DIM, 3, seed=8), threshold=T
+        )
+
+
+def test_compact_folds_double_records(spark, tmp_path, bundles):
+    b1, _ = bundles
+    dd = SemanticCorpusDedup(spark, str(tmp_path / "st"), CENTS, threshold=T)
+    surv, pending = dd.prepare_batch(_mkdf(spark, b1))
+    n = surv.count()
+    dd.commit(pending)
+    pending.committed = False  # simulate a replayed commit (double record)
+    dd.commit(pending)
+    assert dd.seen_count() == 2 * n
+    dd.compact()
+    assert dd.seen_count() == n
+    # state still answers after compaction
+    assert dd.filter_batch(_mkdf(spark, b1)).count() == 0
+
+
+def test_arg_validation(spark, tmp_path):
+    with pytest.raises(ValueError):
+        SemanticCorpusDedup(spark, str(tmp_path / "a"), [], threshold=T)
+    with pytest.raises(ValueError):
+        SemanticCorpusDedup(spark, str(tmp_path / "b"), CENTS, threshold=0.0)
+    with pytest.raises(ValueError):
+        SemanticCorpusDedup(spark, str(tmp_path / "c"), CENTS, keep="nope")
