@@ -945,6 +945,40 @@ def main() -> None:
     # expression-path control (the oracle-mirrored spec): same answer,
     # prices the per-cluster numpy matrix vs the fold self-join
     med("dedup_semantic_expr", lambda: semdedup_run(kernel=False))
+
+    def semantic_stream_run():
+        # ingestion-time SEMANTIC dedup (r11): batch 1 seeds the IVF-celled
+        # vector state (within-batch SemDeDup included), batch 2 re-crawls
+        # the same embeddings under new ids — every row must drop against
+        # the recorded corpus (cell-pruned join + per-cell state append)
+        import shutil
+        import tempfile
+
+        from datafusion_uwheel_spark.operators.stream_dedup import (
+            SemanticCorpusDedup,
+        )
+
+        d = tempfile.mkdtemp(prefix="bench_sem_stream_")
+        try:
+            sd = SemanticCorpusDedup(
+                spark, f"{d}/vectors", _sd_cents, threshold=0.4
+            )
+            survivors, pending = sd.prepare_batch(emb)
+            n1 = survivors.count()
+            sd.commit(pending)
+            batch = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+            survivors, pending = sd.prepare_batch(batch)
+            n = survivors.count()
+            sd.commit(pending)
+            assert 0 < n1 < _sd_total and n == 0, (n1, n)
+            return n1
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # two samples: the row prices TWO full batch passes (~30 s each run at
+    # sf0.1) and the [min, max] spread needs no more; n1 equals the batch
+    # dedup_semantic row's kept count — cross-form consistency for free
+    med("dedup_semantic_stream", semantic_stream_run, n=2)
     # Median of repeated probes (matches the indexed-probe measurement below
     # so indexed-vs-brute is apples to apples).
     queries["sim_topk_bruteforce"] = time_calls(
