@@ -931,6 +931,8 @@ def main() -> None:
     log(f"semdedup_train: {queries['semdedup_train']:.2f}s (k=16 spherical k-means)")
     _sd_total = emb.count()  # assert baseline, outside the timed rows
 
+    _sd_kept = {}  # batch-row kept count, pinned against the stream row
+
     def semdedup_run(kernel=True):
         # threshold matches the corpus's similarity structure (synthetic
         # embeddings cluster loosely — 0.4 is where dup pairs live, see
@@ -939,6 +941,7 @@ def main() -> None:
             emb, _sd_cents, threshold=0.4, use_pandas_udf=kernel
         ).count()
         assert 0 < kept < _sd_total, (kept, _sd_total)
+        _sd_kept["n"] = kept
         return kept
 
     med("dedup_semantic", semdedup_run)
@@ -970,7 +973,10 @@ def main() -> None:
             survivors, pending = sd.prepare_batch(batch)
             n = survivors.count()
             sd.commit(pending)
-            assert 0 < n1 < _sd_total and n == 0, (n1, n)
+            # batch/stream consistency PINNED: seeding an empty state is
+            # exactly the batch SemDeDup pass (same centroids, threshold,
+            # keep order), so the kept counts must be equal
+            assert n1 == _sd_kept["n"] and n == 0, (n1, _sd_kept, n)
             return n1
         finally:
             shutil.rmtree(d, ignore_errors=True)

@@ -64,6 +64,37 @@ __all__ = [
 _STATE_SCHEMA = "digest string, bucket int"
 
 
+def _attach_foreach(dedup, stream_df: DataFrame, sink, **start_kwargs):
+    """The shared ``attach`` contract (one copy for all three corpus-dedup
+    forms): each micro-batch is prepared, the survivors handed to
+    ``sink(survivors_df, batch_id)``, and the state committed only AFTER
+    the sink returns — a failing sink replays the batch with its
+    documents still unseen (at-least-once: re-emitted, never lost)."""
+
+    def _each(batch_df: DataFrame, batch_id: int) -> None:
+        survivors, pending = dedup.prepare_batch(batch_df)
+        sink(survivors, batch_id)
+        dedup.commit(pending)
+
+    return (
+        stream_df.writeStream.foreachBatch(_each)
+        .options(**start_kwargs.pop("options", {}))
+        .start(**start_kwargs)
+    )
+
+
+def _overwrite_partitions(spark, df: DataFrame, col: str, path: str) -> None:
+    """Per-partition dynamic overwrite with conf save/restore — the shared
+    compact() write (readers of the OLD state see a full set throughout;
+    only the rewritten partition dirs swap)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.repartition(col).write.mode("overwrite").partitionBy(col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 class PendingState:
     """State writes computed by ``prepare_batch`` but not yet recorded —
     hand to ``commit`` after the survivors are durably written. The frames
@@ -202,41 +233,17 @@ class CorpusDedup:
         s = self._state()
         if s is None:
             return
-        folded = s.dropDuplicates(["digest"]).repartition("bucket")
-        prev = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        _overwrite_partitions(
+            self.spark, s.dropDuplicates(["digest"]), "bucket", self.state_dir
         )
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            folded.write.mode("overwrite").partitionBy("bucket").parquet(
-                self.state_dir
-            )
-        finally:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
 
     # ---------------------------------------------------------- streaming
 
     def attach(self, stream_df: DataFrame, sink, **start_kwargs):
-        """Drive the dedup from a stream: every micro-batch is filtered,
-        the survivors handed to ``sink(survivors_df, batch_id)``, and the
-        state committed only AFTER the sink returns — a failing sink
-        replays the batch with its documents still unseen (at-least-once:
-        re-emitted, never lost). Returns the started ``StreamingQuery``."""
-
-        def _each(batch_df: DataFrame, batch_id: int) -> None:
-            survivors, pending = self.prepare_batch(batch_df)
-            sink(survivors, batch_id)
-            self.commit(pending)
-
-        return (
-            stream_df.writeStream.foreachBatch(_each)
-            .options(**start_kwargs.pop("options", {}))
-            .start(**start_kwargs)
-        )
+        """Drive the dedup from a stream (:func:`_attach_foreach` — the
+        shared two-phase contract). Returns the started
+        ``StreamingQuery``."""
+        return _attach_foreach(self, stream_df, sink, **start_kwargs)
 
 
 def dedup_within_stream(
@@ -499,49 +506,28 @@ class NearCorpusDedup:
 
     def attach(self, stream_df: DataFrame, sink, **start_kwargs):
         """Drive the near-dedup from a stream — same contract as
-        :meth:`CorpusDedup.attach`: each micro-batch is filtered, the
-        survivors handed to ``sink(survivors_df, batch_id)``, and the band
-        state committed only after the sink returns."""
-
-        def _each(batch_df: DataFrame, batch_id: int) -> None:
-            survivors, pending = self.prepare_batch(batch_df)
-            sink(survivors, batch_id)
-            self.commit(pending)
-
-        return (
-            stream_df.writeStream.foreachBatch(_each)
-            .options(**start_kwargs.pop("options", {}))
-            .start(**start_kwargs)
-        )
+        :meth:`CorpusDedup.attach` (:func:`_attach_foreach`)."""
+        return _attach_foreach(self, stream_df, sink, **start_kwargs)
 
     def compact(self) -> None:
         """Fold per-batch appended files and drop replay double-records in
         BOTH state tables (bands, and signatures when verifying) — the same
         bounded small-files discipline as :meth:`CorpusDedup.compact`."""
-        prev = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            bands = self._read_state("bands", self._BANDS_SCHEMA)
-            if bands is not None:
-                folded = bands.dropDuplicates(
-                    ["owner", "band", "key"]
-                ).repartition("hb")
-                folded.write.mode("overwrite").partitionBy("hb").parquet(
-                    os.path.join(self.state_dir, "bands")
-                )
-            sigs = self._read_state("sigs", self._SIGS_SCHEMA)
-            if sigs is not None:
-                folded = sigs.dropDuplicates(["owner"]).repartition("sb")
-                folded.write.mode("overwrite").partitionBy("sb").parquet(
-                    os.path.join(self.state_dir, "sigs")
-                )
-        finally:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
+        bands = self._read_state("bands", self._BANDS_SCHEMA)
+        if bands is not None:
+            _overwrite_partitions(
+                self.spark,
+                bands.dropDuplicates(["owner", "band", "key"]),
+                "hb",
+                os.path.join(self.state_dir, "bands"),
+            )
+        sigs = self._read_state("sigs", self._SIGS_SCHEMA)
+        if sigs is not None:
+            _overwrite_partitions(
+                self.spark,
+                sigs.dropDuplicates(["owner"]),
+                "sb",
+                os.path.join(self.state_dir, "sigs"),
             )
 
 
@@ -573,7 +559,9 @@ class SemanticCorpusDedup:
     safe: a re-filtered batch matches its own recorded vectors at cosine
     1.0 ≥ threshold and emits nothing new. Two-phase like the siblings —
     :meth:`prepare_batch` + :meth:`commit` (via :meth:`attach`), or
-    :meth:`filter_batch` for direct batch use.
+    :meth:`filter_batch` for direct batch use. ``id_col`` must be
+    integral (the state's ``owner`` column is BIGINT; a silent string
+    cast would record NULL owners), enforced per batch.
     """
 
     _VECS_SCHEMA = "owner long, embedding array<float>, cell long"
@@ -644,18 +632,35 @@ class SemanticCorpusDedup:
         """Phase 1: survivors of ``batch_df`` — no kept corpus vector at
         cosine ≥ threshold in their cell, no earlier batch row either —
         plus the pending vector append, NOT yet recorded."""
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
         from .semantic_dedup import (
             semantic_dup_pairs,
             with_semantic_cells,
         )
         from .similarity import cosine_pair_col
 
+        id_type = batch_df.schema[self.id_col].dataType
+        if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"id_col {self.id_col!r} must be integral, got "
+                f"{id_type.simpleString()} — the state's owner column is "
+                "BIGINT and a silent cast would record NULL owners"
+            )
         assigned = with_semantic_cells(
             batch_df.select(self.id_col, self.vec_col),
             self.centroids,
             self.vec_col,
         )
-        eligible = assigned.filter(F.col("csim").isNotNull())
+        # persisted for the four consumers below (touched-cells collect,
+        # corpus join, within-batch pairs, the new_vecs projection) — the
+        # k x dim assignment fold is the priciest per-row expression here,
+        # same reason NearCorpusDedup persists its signature frame
+        from pyspark import StorageLevel
+
+        eligible = assigned.filter(F.col("csim").isNotNull()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         drops = None
         state = self._vectors()
         if state is not None:
@@ -704,6 +709,7 @@ class SemanticCorpusDedup:
             )
             .localCheckpoint(eager=True)
         )
+        eligible.unpersist()  # both checkpoints materialized — cache done
         pending = PendingState(
             [(new_vecs, "cell", os.path.join(self.state_dir, "vectors"))]
         )
@@ -724,38 +730,22 @@ class SemanticCorpusDedup:
 
     def compact(self) -> None:
         """Fold per-batch appended files and drop replay double-records —
-        the same bounded small-files discipline as the siblings."""
+        the same bounded small-files discipline as the siblings. The fold
+        key is the FULL row: a legitimately re-kept id (same page, updated
+        embedding below the threshold) owns several distinct vectors, and
+        each must survive — only byte-identical replay double-records
+        collapse."""
         s = self._vectors()
         if s is None:
             return
-        folded = s.dropDuplicates(["owner"]).repartition("cell")
-        prev = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        _overwrite_partitions(
+            self.spark,
+            s.dropDuplicates(),
+            "cell",
+            os.path.join(self.state_dir, "vectors"),
         )
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            folded.write.mode("overwrite").partitionBy("cell").parquet(
-                os.path.join(self.state_dir, "vectors")
-            )
-        finally:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
 
     def attach(self, stream_df: DataFrame, sink, **start_kwargs):
-        """Drive from Structured Streaming: survivors to ``sink``, state
-        committed only AFTER the sink returns (at-least-once, re-emitted
-        never lost). Returns the started ``StreamingQuery``."""
-
-        def _each(batch_df: DataFrame, batch_id: int) -> None:
-            survivors, pending = self.prepare_batch(batch_df)
-            sink(survivors, batch_id)
-            self.commit(pending)
-
-        return (
-            stream_df.writeStream.foreachBatch(_each)
-            .options(**start_kwargs.pop("options", {}))
-            .start(**start_kwargs)
-        )
+        """Drive from Structured Streaming — same contract as
+        :meth:`CorpusDedup.attach` (:func:`_attach_foreach`)."""
+        return _attach_foreach(self, stream_df, sink, **start_kwargs)

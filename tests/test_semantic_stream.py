@@ -145,6 +145,36 @@ def test_compact_folds_double_records(spark, tmp_path, bundles):
     assert dd.filter_batch(_mkdf(spark, b1)).count() == 0
 
 
+def test_string_id_refused(spark, tmp_path):
+    """r11 review: a silent cast('long') on string ids records NULL
+    owners — refuse instead."""
+    dd = SemanticCorpusDedup(spark, str(tmp_path / "st"), CENTS, threshold=T)
+    df = spark.createDataFrame(
+        [("a", [1.0] * DIM)], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        dd.prepare_batch(df)
+
+
+def test_compact_keeps_rekept_ids_distinct_vectors(spark, tmp_path):
+    """r11 review: a legitimately re-kept id (updated page, dissimilar new
+    embedding) owns TWO state vectors; compact must keep both — only
+    byte-identical replay double-records fold."""
+    rng = random.Random(9)
+    v1 = [rng.uniform(-1, 1) for _ in range(DIM)]
+    v2 = [-x for x in v1]  # cosine -1: definitely below threshold
+    dd = SemanticCorpusDedup(spark, str(tmp_path / "st"), CENTS, threshold=T)
+    assert dd.filter_batch(_mkdf(spark, [(42, v1)])).count() == 1
+    assert dd.filter_batch(_mkdf(spark, [(42, v2)])).count() == 1
+    assert dd.seen_count() == 2  # same owner, two vectors
+    dd.compact()
+    assert dd.seen_count() == 2  # both survive the fold
+    # near-dups of EACH vector still drop post-compact
+    near1 = [x + 0.001 for x in v1]
+    near2 = [x + 0.001 for x in v2]
+    assert dd.filter_batch(_mkdf(spark, [(50, near1), (51, near2)])).count() == 0
+
+
 def test_arg_validation(spark, tmp_path):
     with pytest.raises(ValueError):
         SemanticCorpusDedup(spark, str(tmp_path / "a"), [], threshold=T)
