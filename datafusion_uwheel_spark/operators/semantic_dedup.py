@@ -78,11 +78,78 @@ def _centroid_norms(centroids: Sequence[Sequence[float]]) -> list[float]:
     return out
 
 
+#: Above this many centroids the RECOMPUTED assignment switches from
+#: Catalyst expressions to the Arrow-batched numpy kernel: both
+#: expression forms are O(k) in PLAN size (k dot-folds, or a k-deep CASE
+#: chain on the assigned-cell path), so at the paper's k ~ N/1000 for a
+#: large corpus (tens of thousands of cells) analysis/codegen time blows
+#: up long before execution. The kernel replays the identical sequential
+#: component folds in numpy (same IEEE order — see :func:`_cells_kernel`),
+#: so the switch is a physical choice, not a semantics change.
+MAX_EXPR_CENTROIDS = 64
+
+
+def _cells_kernel(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-batched (cell, csim) assignment for large k: per centroid the
+    dot accumulates as ``dim`` sequential column adds (``acc = acc +
+    X[:, j] * c[j]`` — the identical left-fold IEEE sequence
+    :func:`..similarity.dot_col` codegens), first-argmax picks the cell
+    (numpy ``argmax`` = Spark ``array_position(darr, array_max(darr))``
+    on ties), and csim divides by the same left-fold norms — pinned equal
+    to the expression path by pytest."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(centroids[0])
+    C = [[float(x) for x in c] for c in centroids]
+    cn = _centroid_norms(centroids)
+
+    def fn(vs):
+        import pandas as pd
+
+        X, ok = _vec_matrix(vs, dim)
+        n = len(vs)
+        D = np.empty((n, len(C)), dtype=np.float64)
+        for ci, c in enumerate(C):
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                acc = acc + X[:, j] * np.float64(c[j])
+            D[:, ci] = acc
+        cell0 = np.argmax(D, axis=1)
+        cdot = D[np.arange(n), cell0]
+        nsq = np.zeros(n, dtype=np.float64)
+        for j in range(dim):
+            nsq = nsq + X[:, j] * X[:, j]
+        denom = np.sqrt(nsq) * np.asarray([cn[i] for i in cell0])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            csim = np.where(denom == 0.0, np.nan, cdot / denom)
+        cells = pd.array(
+            np.where(ok, cell0 + 1, 0), dtype="Int64"
+        )
+        cells[~ok] = pd.NA
+        sims = pd.Series(csim, dtype="float64").where(ok & (denom != 0.0))
+        return pd.DataFrame({"cell": cells, "csim": sims})
+
+    udf = pandas_udf(fn, "struct<cell: bigint, csim: double>")
+    tmp = "__uw_cc"
+    out = df.withColumn(tmp, udf(F.col(vec_col).cast("array<double>")))
+    return (
+        out.withColumn("cell", F.col(f"{tmp}.cell"))
+        .withColumn("csim", F.col(f"{tmp}.csim"))
+        .drop(tmp)
+    )
+
+
 def with_semantic_cells(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],
     vec_col: str = "embedding",
     assigned_cell_col: str | None = None,
+    max_expr_centroids: int = MAX_EXPR_CENTROIDS,
 ) -> DataFrame:
     """Append ``cell`` (1-based first-argmax-dot centroid, the IVF
     assignment spec) and ``csim`` (cosine to the assigned centroid; NULL
@@ -92,9 +159,19 @@ def with_semantic_cells(
     ``cell`` partition column of a materialized IVF index built from the
     SAME centroids) instead of recomputing the argmax — ``csim`` still
     derives from the centroid constants, so the result is identical to
-    the recomputed path whenever the stored assignment is."""
+    the recomputed path whenever the stored assignment is.
+
+    ``max_expr_centroids``: plan-size guard. Recomputed assignment with
+    ``k <= max_expr_centroids`` builds k codegen'd dot-folds (fastest at
+    small k, oracle-mirrored); above it the Arrow kernel
+    (:func:`_cells_kernel`, bit-equal folds) takes over so plan
+    analysis stays O(1) in k. The assigned-cell path's CASE chain is
+    likewise O(k) in plan size — for huge k prefer joining csim from a
+    precomputed frame or passing the recompute path."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    if assigned_cell_col is None and len(centroids) > max_expr_centroids:
+        return _cells_kernel(df, centroids, vec_col)
     cnorms = F.array(*[F.lit(n) for n in _centroid_norms(centroids)])
     if assigned_cell_col is None:
         darr = F.array(*[dot_col(vec_col, c) for c in centroids])

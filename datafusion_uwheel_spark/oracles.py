@@ -889,10 +889,12 @@ WITH d AS (
   SELECT id, embedding, cell, csim, {key} AS k FROM keyed
 ), pairs AS (
   SELECT a.id AS id_keep, b.id AS id_drop, a.cell AS cell,
-         round(({_dot_chain('a.embedding', None, dim, right='b.embedding')})
-               / (sqrt({_norm_sq_chain('a.embedding', dim)})
-                  * sqrt({_norm_sq_chain('b.embedding', dim)})),
-               {round_digits}) AS sim
+         CASE WHEN sqrt({_norm_sq_chain('a.embedding', dim)})
+                   * sqrt({_norm_sq_chain('b.embedding', dim)}) = 0 THEN NULL
+              ELSE round(({_dot_chain('a.embedding', None, dim, right='b.embedding')})
+                         / (sqrt({_norm_sq_chain('a.embedding', dim)})
+                            * sqrt({_norm_sq_chain('b.embedding', dim)})),
+                         {round_digits}) END AS sim
   FROM ordered a JOIN ordered b ON a.cell = b.cell AND a.k < b.k
 )"""
 
