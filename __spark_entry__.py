@@ -722,6 +722,21 @@ def dedup_semantic(spark, sf_dir):
     )
 
 
+def dedup_semantic_kept(spark, sf_dir):
+    """SemDeDup KEPT form (seated r12 — the enforcement form users
+    actually run): survivors of the drop set, i.e. every row with no
+    earlier-ordered within-cluster neighbor at rounded cosine >= t.
+    Same centroids/threshold/keep order as the r11 pairs row — the
+    oracle (oracles.semdedup_sql) embeds the IDENTICAL pairs CTE, so the
+    pair machinery stays hash-checked through this row."""
+    from datafusion_uwheel_spark.operators.semantic_dedup import semdedup
+
+    df = _view(spark, sf_dir, "embeddings")
+    return semdedup(
+        df, similarity.ivf_centroids(EMB_DIM, 8, 42), threshold=SEMDD_T
+    ).select("vec_id")
+
+
 def dedup_substring(spark, sf_dir):
     """Exact substring-span dedup (the ExactSubstr pass at window=8
     granularity, seated r11): maximal duplicated token spans per document
@@ -795,6 +810,35 @@ def decon_ngram(spark, sf_dir):
     return (
         with_contamination(train, held_out, n=3)
         .select("doc_id", "n_shared_ngrams", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def decon_fuzzy(spark, sf_dir):
+    """Fuzzy (MinHash/LSH) decontamination (r11 operator, seated r12):
+    held-out = the first 400 chars of every 7th document — a TRUNCATED
+    leak the exact 13-gram guard would still flag here, but the point is
+    the estimator surface: each flagged training doc reports the max
+    MinHash-estimated Jaccard against any held-out snippet. Cross-table
+    banded LSH join only (operators/contamination.py:244 →
+    dedup.lsh_join); oracle replays the seeded hash family, per-side
+    bucket caps and DISTINCT pair claim in DuckDB
+    (oracles.fuzzy_decon_sql — pytest-pinned since r11 in
+    tests/test_lsh_join.py)."""
+    from datafusion_uwheel_spark.operators.contamination import (
+        with_contamination_fuzzy,
+    )
+
+    docs = _view(spark, sf_dir, "documents").select("doc_id", "text")
+    held = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.substring("text", 1, 400).alias("text")
+    )
+    return (
+        with_contamination_fuzzy(docs, held, min_est_jaccard=0.5)
+        .filter("contaminated")
+        .select(
+            "doc_id", F.round("max_est_jaccard", 6).alias("max_est_jaccard")
+        )
         .orderBy("doc_id")
     )
 
@@ -970,12 +1014,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION LEDGER (so every retired surface regains the per-round
     # DuckDB hash check at least every other round):
     #   - uw_groupby_week <-> uw_groupby_month alternate each round
-    #     (r10: month IN; r11 swaps week back in). Both stay
+    #     (r11: week IN; r12 swaps month back in). Both stay
     #     property-tested in test_lookup_properties.py regardless.
-    #   - uw_or_ranges <-> or_group_by alternate (r10: grouped IN; r11
-    #     swaps the scalar back in) — both sides of the interval-split +
-    #     monoid-sum path; the away side stays pytest-pinned vs delegate
-    #     in test_or_ranges.py.
+    #   - uw_or_ranges <-> or_group_by alternate (r11: scalar IN; r12
+    #     swaps the grouped form back in) — both sides of the
+    #     interval-split + monoid-sum path; the away side stays
+    #     pytest-pinned vs delegate in test_or_ranges.py.
     #   - uw_topk_sql seated r9 (the r8 routed top-k SQL shape earns its
     #     DuckDB hash check — exact, total-order gated); its slot came
     #     from uw_le_bound_range, whose <=-bound hybrid path stays covered
@@ -997,38 +1041,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     IDENTICALLY every round inside uw_multi_agg (same range, same
     #     rounding — the uw_count_col precedent) and whose single_agg
     #     route kind stays hash-checked via uw_int_sum_range/uw_keyed_sum.
-    #   - dedup_semantic seated r11 (SemDeDup pairs, the operator's
-    #     landing round — kernel path, DuckDB-exact at t=0.4/19 rows at
-    #     sf0.01); its slot came from dedup_simhash, whose fingerprint
-    #     column's DuckDB hash check moved VERBATIM into pytest
-    #     (test_llm_ops.test_simhash_matches_duckdb_real_table — full
-    #     corpus vs simhash_sql, exact) next to the kernel/expression
-    #     parity pin. First alternation candidate with dedup_semantic.
-    #   - NEW surfaces awaiting a first seat (oracles already written):
-    #     semdedup KEPT form (oracles.semdedup_sql); fuzzy decontamination
-    #     (contamination.with_contamination_fuzzy vs
-    #     oracles.fuzzy_decon_sql, held-out derived in-SQL via the
-    #     decon_ngram holdout_mod pattern — pytest-pinned DuckDB-exact in
-    #     tests/test_lsh_join.py). The bloom join/decontamination
-    #     family needs no seat of its own: its contract is row-equality
-    #     with the exact operators already hash-checked here
-    #     (decon_ngram) and with Spark's own joins (pytest).
-    #   - dedup_substring seated r11 (the ExactSubstr window-span pass,
-    #     oracle written with the operator; stays pytest-pinned three ways
-    #     incl. DuckDB in tests/test_substring_dedup.py). Its slot came
-    #     from sim_ann_lsh, whose bits=4/tables=2 LSH index machinery
-    #     (bucket layout, fold-cosine, exact rerank) stays hash-checked
-    #     EVERY round through sim_knn_join (same index, same rerank) and
-    #     the query-vector probe path through sim_ivf_topk; the external
-    #     query vector x LSH multiprobe residue stays pytest-pinned vs
-    #     numpy brute force in tests/test_ann_index.py and benched as
-    #     sim_ann_lsh/sim_ann_lsh_fallback. First candidate to rotate
-    #     back in r12 (re-retiring dedup_substring or another funded row).
+    #   - dedup_simhash re-seated r12 per the alternation named when
+    #     dedup_semantic took its slot in r11: the PAIRS form rotates out
+    #     (its pairs CTE is embedded IDENTICALLY — same centroids,
+    #     threshold, keep order — inside the newly-seated KEPT form's
+    #     oracle, and the kernel≡expression≡DuckDB pin stays in
+    #     tests/test_semantic_dedup.py), simhash's fingerprint column
+    #     regains the per-round hash check (its away coverage was the
+    #     verbatim pytest move, test_llm_ops.test_simhash_matches_
+    #     duckdb_real_table).
+    #   - dedup_semantic_kept seated r12 (the r11 verdict's #1: the
+    #     enforcement form users actually run, oracle semdedup_sql).
+    #     Slot funded by mm_frames, whose frame-sampling DuckDB check
+    #     moved VERBATIM into pytest (test_multimodal.
+    #     test_frames_match_duckdb_real_table) next to the existing
+    #     real-PNG and batch-shape pins; the mapInPandas iterator
+    #     contract stays hash-checked every round through mm_features.
+    #   - decon_fuzzy seated r12 (the r11 verdict's #1: fuzzy MinHash
+    #     decontamination, oracle fuzzy_decon_sql — pytest-pinned
+    #     DuckDB-exact since r11 in tests/test_lsh_join.py). Slot funded
+    #     by sim_topk_bruteforce, whose exact fold-cosine kernel is the
+    #     SAME expression the rerank inside sim_ivf_topk / sim_knn_join
+    #     hash-checks every round; the full-scan baseline's DuckDB check
+    #     moved VERBATIM into pytest (test_similarity_engine.
+    #     test_cosine_topk_matches_duckdb_real_table) next to the numpy
+    #     pin. The bloom join/decontamination family still needs no seat
+    #     of its own: its contract is row-equality with the exact
+    #     operators already hash-checked here (decon_ngram) and with
+    #     Spark's own joins (pytest).
+    #   - dedup_fingerprint re-seated r12 (r7 out — the oldest
+    #     non-reseated LLM row, the r11 verdict's #5). Slot funded by
+    #     text_lang_id, whose per-rule n-gram vote surface moved its
+    #     DuckDB check VERBATIM into pytest (test_text_ops.
+    #     test_lang_id_matches_duckdb_real_table); token_stats + quality
+    #     keep the codegen'd text-expression family hash-checked every
+    #     round, and fingerprint itself is the text family's rolling-hash
+    #     surface, so the family keeps three seated rows.
+    #   - sim_ann_lsh re-seated r12 (named first rotation candidate when
+    #     dedup_substring took its slot in r11): the external-query-vector
+    #     LSH multiprobe regains the per-round hash check. Its slot comes
+    #     from re-retiring dedup_substring, whose window-span pass stays
+    #     pytest-pinned three ways incl. DuckDB in
+    #     tests/test_substring_dedup.py (oracle substring_spans_sql,
+    #     written with the operator and hash-checked in its landing
+    #     round).
     #   - retired, pytest-pinned, candidates to rotate back in by
     #     re-retiring a subsumed row: uw_sum_range (r11 out),
-    #     uw_groupby_month (r11 out), or_group_by (r11 out),
-    #     uw_le_bound_range (r9 out), uw_point_instant (r9 out),
-    #     uw_landmark_sum (r8 out), dedup_fingerprint (r7 out),
+    #     uw_groupby_week (r12 out), uw_or_ranges (r12 out),
+    #     dedup_semantic pairs form (r12 out), dedup_substring (r12 out),
+    #     sim_topk_bruteforce (r12 out), mm_frames (r12 out),
+    #     text_lang_id (r12 out), uw_le_bound_range (r9 out),
+    #     uw_point_instant (r9 out), uw_landmark_sum (r8 out),
     #     dedup_exact_keep (r6 out), mm_media_dedup (r6 out),
     #     sim_ann_indexed/sim_ivf_indexed (r3 out, physically identical
     #     plans to the engine-routed rows).
@@ -1055,7 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
-        "uw_groupby_week": uw_groupby_week,  # r11: month<->week swap
+        "uw_groupby_month": uw_groupby_month,  # r12: week<->month swap
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
@@ -1077,10 +1140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_topk_by_day": freq_topk_by_day,
         "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
-        # r11: or_group_by <-> uw_or_ranges alternate (both sides of the
-        # interval-split + monoid-sum path; the grouped form stays
+        # r12: uw_or_ranges <-> or_group_by alternate (both sides of the
+        # interval-split + monoid-sum path; the scalar form stays
         # pytest-pinned vs delegate in test_or_ranges.py).
-        "uw_or_ranges": uw_or_ranges,
+        "or_group_by": or_group_by,
         # r9: uw_point_instant's slot funds the per-key heavy hitters
         # (see ledger); the at-start point path stays covered by the
         # hybrid rows + test_hybrid_boundaries.py.
@@ -1101,9 +1164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup entries) run BEFORE the cheap single-pass mm/text rows: the
         # r02 driver run truncated the registry tail, so keep the entries
         # most at risk of a cut the cheapest ones to lose and re-run.
-        "sim_topk_bruteforce": sim_topk_bruteforce,
-        # r11 seat: sim_ann_lsh's slot funds dedup_substring (see ledger).
-        "dedup_substring": dedup_substring,
+        # r12: sim_topk_bruteforce's slot funds decon_fuzzy (see ledger);
+        # the exact fold-cosine kernel stays hash-checked through
+        # sim_ivf_topk/sim_knn_join's rerank and pytest vs DuckDB + numpy.
+        "decon_fuzzy": decon_fuzzy,
+        # r12: sim_ann_lsh back in (named first rotation candidate when it
+        # funded dedup_substring's r11 landing seat; see ledger).
+        "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_dup_pairs_indexed": sim_dup_pairs_indexed,
         # r4: the query-time sim_embedding_dup_pairs row shared byte-identical
@@ -1112,18 +1179,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in test_similarity_engine.test_dup_pairs_route_and_parity).
         "sim_knn_join": sim_knn_join,
         "dedup_exact_groups": dedup_exact_groups,
-        # r7: dedup_fingerprint's slot funds or_group_by (see ledger).
+        # r12: dedup_fingerprint back in (r7 out, the oldest non-reseated
+        # LLM row); text_lang_id funds it (see ledger).
+        "dedup_fingerprint": dedup_fingerprint,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
-        # r11 seat: dedup_simhash's slot funds dedup_semantic (see ledger).
-        "dedup_semantic": dedup_semantic,
+        # r12: the r11 alternation executes — simhash back in, the pairs
+        # form's machinery rides inside dedup_semantic_kept's oracle.
+        "dedup_simhash": dedup_simhash,
+        # r12 seat: mm_frames' slot funds the SemDeDup KEPT form.
+        "dedup_semantic_kept": dedup_semantic_kept,
         "dedup_near_corpus": dedup_near_corpus,
         "mm_media_stats": mm_media_stats,
         "mm_features": mm_features,
-        "mm_frames": mm_frames,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
         "decon_ngram": decon_ngram,
     }
 
@@ -1161,15 +1231,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
         # TIMESTAMP — cast so the driver's schema compare agrees.
-        "uw_groupby_week": (
-            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+        "uw_groupby_month": (
+            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
-        "uw_or_ranges": (
-            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
+        "or_group_by": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
+            "count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
             "(ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00') OR "
-            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00')"
+            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00') "
+            "GROUP BY 1 ORDER BY bucket"
         ),
         # window(ts, '6 hours') = epoch-aligned 21600-second buckets;
         # make_timestamp takes epoch µs, so both fields stay naive TIMESTAMP
@@ -1308,10 +1380,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id "
             "FROM documents GROUP BY md5(text)"
         ),
+        "dedup_fingerprint": oracles.fingerprint_sql(),
         "dedup_jaccard_pairs": oracles.jaccard_pairs_sql(JACCARD_T),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(LSH_MIN_EST),
-        "dedup_semantic": oracles.semdedup_pairs_sql(
-            similarity.ivf_centroids(EMB_DIM, 8, 42), SEMDD_T, dim=EMB_DIM
+        "dedup_simhash": oracles.simhash_sql(),
+        "dedup_semantic_kept": oracles.semdedup_sql(
+            similarity.ivf_centroids(EMB_DIM, 8, 42),
+            SEMDD_T,
+            dim=EMB_DIM,
+            select="vec_id",
         ),
         "dedup_near_corpus": oracles.near_corpus_sql(),
         # documents' UTF-8 bytes are the media payload on both engines:
@@ -1322,13 +1399,13 @@ def oracle_sql() -> dict[str, str]:
             "md5(text) AS digest FROM documents"
         ),
         "mm_features": oracles.media_features_sql(dim=16),
-        "mm_frames": oracles.media_frames_sql(),
         "text_token_stats": oracles.token_stats_sql(),
         "text_quality": oracles.quality_sql(),
-        "text_lang_id": oracles.lang_id_sql(),
         "decon_ngram": oracles.contamination_sql(n=3, holdout_mod=7),
-        "sim_topk_bruteforce": oracles.cosine_topk_sql(QUERY_VEC, k=TOPK, dim=EMB_DIM),
-        "dedup_substring": oracles.substring_spans_sql(window=8),
+        "decon_fuzzy": oracles.fuzzy_decon_sql(0.5),
+        "sim_ann_lsh": oracles.ann_topk_sql(
+            QUERY_VEC, k=TOPK, dim=EMB_DIM, bits=4, tables=2
+        ),
         "sim_ivf_topk": oracles.ivf_topk_sql(
             QUERY_VEC, k=TOPK, nprobe=2, n_centroids=8, dim=EMB_DIM
         ),

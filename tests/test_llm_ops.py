@@ -590,3 +590,29 @@ def test_normalized_text_shapes(spark):
         for r in text_ops.with_normalized_text(df, lowercase=True).collect()
     }
     assert low[4] == "mixed case"
+
+
+def test_lang_id_matches_duckdb_real_table(spark, sf_small_dir):
+    """Funding for the r12 registry rotation (text_lang_id out for
+    dedup_fingerprint): the retired row's DuckDB hash check moves here
+    verbatim — the full per-language n-gram vote columns + argmax
+    prediction vs oracles.lang_id_sql, exact."""
+    import duckdb
+
+    from datafusion_uwheel_spark.oracles import lang_id_sql
+
+    real = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in text_ops.with_lang_id(real)
+        .select(
+            "doc_id", "votes_en", "votes_de", "votes_fr", "votes_es", "lang_pred"
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small_dir}/documents.parquet'"
+    )
+    exp = sorted(tuple(r) for r in con.execute(lang_id_sql()).fetchall())
+    assert got == exp and len(got) > 0

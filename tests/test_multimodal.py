@@ -253,3 +253,52 @@ def test_decoder_default_paths_unchanged(spark):
     h = hashlib.sha256(b"payload" + (0).to_bytes(4, "big")).digest()
     want = [b / 255.0 for b in h][:8]
     assert [round(v, 6) for v in got] == [round(v, 6) for v in want]
+
+
+def test_frames_match_duckdb_real_table(spark, sf_small_dir):
+    """Funding for the r12 registry rotation (mm_frames out for
+    dedup_semantic_kept): the retired row's DuckDB hash check moves here
+    verbatim — duration-driven frame explosion with position-keyed fake
+    payloads over the real documents table vs oracles.media_frames_sql.
+    duration_ms = doc_id % 3 + 1 at every_ms=1 keeps the BLOB round trip
+    UTF-8-safe, exactly the retired registry row's shape."""
+    import duckdb
+
+    from datafusion_uwheel_spark.oracles import media_frames_sql
+
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet")
+    video = docs.select(
+        F.col("doc_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("doc_id") % 3 + 1).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = mm.sample_frames(video, every_ms=1, id_col="doc_id")
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], r["ts_ms"], r["f_sum"])
+        for r in frames.select(
+            "doc_id",
+            "frame_idx",
+            "ts_ms",
+            F.round(
+                F.aggregate(
+                    F.col("frame").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("f_sum"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_small_dir}/documents.parquet'"
+    )
+    exp = sorted(tuple(r) for r in con.execute(media_frames_sql()).fetchall())
+    assert got == exp and len(got) > 0

@@ -273,3 +273,32 @@ def test_engine_knn_join_exact_is_ground_truth(engine, emb):
     assert engine.last_route.kind == "exact"
     for r in exact:
         assert r["query_id"] == r["vec_id"] and r["sim"] == 1.0
+
+
+def test_cosine_topk_matches_duckdb_real_table(spark, sf_small_dir):
+    """Funding for the r12 registry rotation (sim_topk_bruteforce out for
+    decon_fuzzy): the retired row's DuckDB hash check moves here verbatim —
+    exact fold-cosine top-k over the real embeddings table vs
+    oracles.cosine_topk_sql, same seeded query vector as the registry row.
+    The fold kernel itself stays hash-checked every round through
+    sim_ivf_topk / sim_knn_join's exact rerank."""
+    import duckdb
+
+    from datafusion_uwheel_spark.oracles import cosine_topk_sql
+
+    rng = random.Random(123)
+    qvec = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+    emb = read_parquet(spark, f"{sf_small_dir}/embeddings.parquet")
+    got = sorted(
+        (r["vec_id"], r["sim"])
+        for r in similarity.cosine_topk(emb, qvec, k=10).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_small_dir}/embeddings.parquet'"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(cosine_topk_sql(qvec, k=10, dim=64)).fetchall()
+    )
+    assert got == exp and len(got) == 10
