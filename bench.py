@@ -69,26 +69,32 @@ def time_calls(fn, n: int) -> float:
     return quantile(sorted(sample_calls(fn, n)), 0.5)
 
 
-def half_medians(times_in_order: list) -> list:
-    """The in-run noise bar (r10): split a row's samples, IN EXECUTION
-    ORDER, into a first and a second pass and return [min, max] of the two
-    pass medians. This is the A/B probe discipline (SURVEY 6) moved inside
-    the bench — three rounds in a row a shipped p50 drifted +20-30%, each
-    time proven environmental by a worktree A/B that burned a session; a
-    reader of BENCH_r{N} can now see "row X ms, spread [lo, hi]" and
-    discount any cross-round delta smaller than the box's own in-run swing
-    without re-measuring anything."""
+def half_quantiles(times_in_order: list, q: float) -> list:
+    """The in-run noise bar (r10), generalized to any quantile (r11
+    verdict #6 — the p99/p999 rows were the last naked numbers in BENCH):
+    split a row's samples, IN EXECUTION ORDER, into a first and a second
+    pass and return [min, max] of the two pass q-quantiles. This is the
+    A/B probe discipline (SURVEY 6) moved inside the bench — three rounds
+    in a row a shipped p50 drifted +20-30%, each time proven environmental
+    by a worktree A/B that burned a session; a reader of BENCH_r{N} can
+    now see "row X ms, spread [lo, hi]" and discount any cross-round
+    delta smaller than the box's own in-run swing without re-measuring
+    anything."""
     n = len(times_in_order)
     if n < 2:
         # A single sample has no in-run spread; substituting 0.0 for the
         # empty first half would publish a fake [0, x] lower bound that
         # reads as infinite noise (ADVICE r10). Degenerate spread instead.
-        m = quantile(sorted(times_in_order), 0.5) if n else 0.0
+        m = quantile(sorted(times_in_order), q) if n else 0.0
         return [round(m, 5), round(m, 5)]
     h1 = sorted(times_in_order[: n // 2])
     h2 = sorted(times_in_order[n // 2 :])
-    m1, m2 = quantile(h1, 0.5), quantile(h2, 0.5)
+    m1, m2 = quantile(h1, q), quantile(h2, q)
     return [round(min(m1, m2), 5), round(max(m1, m2), 5)]
+
+
+def half_medians(times_in_order: list) -> list:
+    return half_quantiles(times_in_order, 0.5)
 
 
 def quantile(sorted_times: list[float], q: float) -> float:
@@ -1257,6 +1263,8 @@ def main() -> None:
         queries[family] = quantile(times, 0.5)
         queries[f"{family}_p99"] = quantile(times, 0.99)
         queries[f"{family}_p999"] = quantile(times, 0.999)
+        spreads[f"{family}_p99"] = half_quantiles(fam_times[family], 0.99)
+        spreads[f"{family}_p999"] = half_quantiles(fam_times[family], 0.999)
         log(
             f"{family}: p50 {queries[family]*1e3:.2f} ms, "
             f"p99 {queries[f'{family}_p99']*1e3:.2f} ms, "
@@ -1276,6 +1284,7 @@ def main() -> None:
         eng.sql(hot_sql).collect()
         hot_times.append(time.perf_counter() - t0)
     spreads["uw_repeat_cached"] = half_medians(hot_times)
+    spreads["uw_repeat_cached_p999"] = half_quantiles(hot_times, 0.999)
     hot_times.sort()
     queries["uw_repeat_cached"] = quantile(hot_times, 0.5)
     queries["uw_repeat_cached_p999"] = quantile(hot_times, 0.999)
@@ -1336,6 +1345,8 @@ def main() -> None:
             dtimes.append(time.perf_counter() - t0)
             assert eng.last_route.rewritten, (family, eng.last_route)
         spreads[family] = half_medians(dtimes)
+        spreads[f"{family}_p99"] = half_quantiles(dtimes, 0.99)
+        spreads[f"{family}_p999"] = half_quantiles(dtimes, 0.999)
         dtimes.sort()
         queries[family] = quantile(dtimes, 0.5)
         queries[f"{family}_p99"] = quantile(dtimes, 0.99)
@@ -1364,6 +1375,7 @@ def main() -> None:
             rtimes.append(time.perf_counter() - t0)
             assert eng.last_route.rewritten, (family, eng.last_route)
         spreads[family] = half_medians(rtimes)
+        spreads[f"{family}_p99"] = half_quantiles(rtimes, 0.99)
         rtimes.sort()
         queries[family] = quantile(rtimes, 0.5)
         queries[f"{family}_p99"] = quantile(rtimes, 0.99)
@@ -1390,6 +1402,7 @@ def main() -> None:
         ctimes.append(time.perf_counter() - t0)
         assert eng.last_route.rewritten, ("uw_catalog_rows_direct", eng.last_route)
     spreads["uw_catalog_rows_direct"] = half_medians(ctimes)
+    spreads["uw_catalog_rows_direct_p99"] = half_quantiles(ctimes, 0.99)
     ctimes.sort()
     queries["uw_catalog_rows_direct"] = quantile(ctimes, 0.5)
     queries["uw_catalog_rows_direct_p99"] = quantile(ctimes, 0.99)
@@ -1861,13 +1874,26 @@ def main() -> None:
             "uw_theta_retained_sf1",
             fresh(tr1, lambda: tr1.approx_retained(_r1, _r2)), N_PROBE,
         )
-        # the GROUPED direct path at the decade too (r11): the series ask
-        # merges 10x the per-cell sketch bytes in the same one py4j call —
-        # the flatness claim extends from scalar to grouped
+        # the GROUPED direct path at the decade (r11; r12 verdict probe):
+        # full-span series cost is NOT flat — it is O(sketch bytes framed
+        # through the py4j socket). r11 measured 116-129 ms here because a
+        # fresh week series framed ALL 7,200 hourly sketches (7.1 MB) per
+        # ask; the r12 day tier pre-merges the mirror once per data
+        # version, so every fresh day-or-coarser full-span ask frames
+        # O(days) merged sketches instead (measured 7.1 -> 3.2 MB and
+        # ~170 -> ~75 ms warm at sf1; the residual growth is per-day
+        # sketch saturation toward k, not the raw bucket count). The
+        # jobpath control below is the r11 verdict's missing comparator.
         timed_spread(
             "uw_retention_by_week_direct_sf1",
             fresh(tr1, lambda: tr1.retention_rows_by("week")), N_PROBE,
         )
+        tr1._jvm_ops = None
+        timed_spread(
+            "uw_retention_by_week_jobpath_sf1",
+            fresh(tr1, lambda: tr1.retention_rows_by("week")), N_PROBE,
+        )
+        del tr1._jvm_ops
         # job-path controls at the decade: the pre-r10 fresh-ask cost,
         # flat at the small-job floor while the scans grow
         for _r, _nm, _ask in (

@@ -85,6 +85,12 @@ class DistinctRollup(SketchRetention):
             df = df.filter(F.col("__key").eqNullSafe(F.lit(key)))
         return df
 
+    def _jvm_merge_grouped(self, ops):
+        """Day-tier pre-merge (r12): HLL register/coupon union is
+        associative — the tier's final register state, and so the
+        estimate, is identical to a flat union of the raw frames."""
+        return ops.hllMergeGrouped
+
     def _range_filter(self, start, end):
         """Bucket filter covering ``[start, end)``: a bucket ``[s, s+w)``
         intersects the range iff ``s > a - w`` and ``s < b`` — so partial

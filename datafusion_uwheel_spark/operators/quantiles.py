@@ -92,6 +92,16 @@ class QuantileRollup(SketchRetention):
         #: asks on a keyed rollup merge across keys (exact sketch algebra).
         self.key_column = key_column
 
+    def _jvm_merge_grouped(self, ops):
+        """Day-tier pre-merge (r12): KLL merge is rank-bounded (randomized
+        compaction) — the same direct-vs-job contract multi-bucket KLL
+        asks already document."""
+        return (
+            ops.kllMergeLongsGrouped
+            if self.suffix == "bigint"
+            else ops.kllMergeDoublesGrouped
+        )
+
     def _range_filter(self, start, end):
         """Bucket filter covering ``[start, end)``: a bucket ``[s, s+w)``
         intersects the range iff ``s > a - w`` and ``s < b`` — partial edge

@@ -584,6 +584,101 @@ class SketchRetention:
             parts.append(bb)
         return b"".join(parts)
 
+    @staticmethod
+    def _unframe(blob: bytes) -> list:
+        """Read side of the plain frame layout ``[n][len bytes]*`` (the
+        ``*MergeGrouped`` return shape); zero-length frames — empty cells —
+        come back as None."""
+        import struct
+
+        (n,) = struct.unpack_from(">i", blob, 0)
+        off = 4
+        out = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from(">i", blob, off)
+            off += 4
+            out.append(bytes(blob[off : off + ln]) if ln else None)
+            off += ln
+        return out
+
+    #: Coarse pre-merge tier (r12 — the r11 verdict's grouped-at-scale
+    #: finding): a FULL-SPAN series ask at day-or-coarser granularity over
+    #: a mirror at least this many rows deep answers from per-UTC-day
+    #: PRE-MERGED sketches instead of framing every raw bucket's bytes —
+    #: the measured sf1 week series shipped 7.1 MB (7200 hourly sketches)
+    #: through the py4j socket per fresh ask; the day tier ships ~350
+    #: merged sketches. Below the threshold the raw framing is already
+    #: cheap and the one-time pre-merge would not amortize.
+    _TIER_MIN_ROWS = 2048
+    _TIER_SECONDS = 86400
+
+    def _jvm_merge_grouped(self, ops):
+        """The family's ``*MergeGrouped`` JVM op (bound method) or None
+        when the family has no pre-merge (tier disabled). Overridden by
+        each rollup class; merge semantics per family: theta unions are
+        exact set algebra, HLL register unions are associative (identical
+        final state), KLL merges are rank-bounded — each exactly the
+        direct-vs-job contract that family already documents."""
+        return None
+
+    def _day_tier(self, col: str, box: dict, granularity):
+        """``(day_secs int64 ndarray, merged_bufs, raw_counts)`` — the
+        per-UTC-day pre-merged tier — or None when the ask/mirror is
+        ineligible. Eligible asks: day-aligned granularities (the named
+        calendar levels day and coarser, or int widths that are multiples
+        of 86400) whose cell assignment by bucket START provably composes
+        through the day truncation (``trunc_g(trunc_day(s)) ==
+        trunc_g(s)``), so tier-served cells/counts/unions are EXACTLY the
+        raw framing's. Keyed rollups keep the raw path (their mirror rows
+        carry per-key frames). Built at most once per mirror box (one
+        framing + one ``*MergeGrouped`` py4j call), cached as data next
+        to the mirror — mutations retire the box, invalidate_asks does
+        not. ``False`` in the cache marks an over-cap build attempt."""
+        import numpy as np
+
+        if isinstance(granularity, int):
+            if granularity % self._TIER_SECONDS != 0:
+                return None
+        elif granularity not in ("day", "week", "month", "quarter", "year"):
+            return None
+        m = box["m"]
+        secs, bufs, keys = m
+        if keys is not None or len(secs) < self._TIER_MIN_ROWS:
+            return None
+        ops = self._sketch_ops()
+        if ops is None:
+            return None
+        merge = self._jvm_merge_grouped(ops)
+        if merge is None:
+            return None
+        cache = box.setdefault("day_tier", {})
+        t = cache.get(col)
+        if t is not None:
+            return None if t is False else t
+        from ..functions.timestamps import bucket_starts
+
+        kb = bucket_starts(secs, "day")
+        dsecs: list = []
+        counts: list = []
+        frame_counts: list = []
+        sel: list = []
+        for bk, buf in zip(kb.tolist(), bufs):
+            if not dsecs or bk != dsecs[-1]:
+                dsecs.append(bk)
+                counts.append(0)
+                frame_counts.append(0)
+            if buf is not None:
+                sel.append(buf)
+                counts[-1] += 1
+                frame_counts[-1] += 1
+        if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+            cache[col] = False
+            return None
+        merged = self._unframe(bytes(merge(self._pack_grouped(frame_counts, sel))))
+        t = (np.asarray(dsecs, dtype=np.int64), merged, counts)
+        cache[col] = t
+        return t
+
     def _grouped_cells(self, col, granularity, start, end, keyed_ask=False):
         """The grouped direct-ask gate (r11 — approx_*_by's economics):
         ``(bucket_secs, framed_blob, counts)`` when the series can answer
@@ -641,28 +736,49 @@ class SketchRetention:
         if m is False:
             return None
         secs, bufs, _keys = m
+        tier_counts = None
         if a is not None:
             idx = self._selected_indices(box, secs, a, b)
         else:
+            # r12: full-span day-or-coarser series answer from the
+            # pre-merged day tier — O(days) merged sketches through the
+            # socket instead of the span's raw bucket bytes (the sf1 week
+            # series measured 7.1 MB/ask raw; see _day_tier). Restricted
+            # asks keep the raw framing: the tier cannot reproduce
+            # _selected_indices' width-aware edge-sliver selection.
+            tier = self._day_tier(col, box, granularity)
+            if tier is not None:
+                secs, bufs, tier_counts = tier
             idx = np.arange(len(secs))
         if not len(idx):
             return [], struct.pack(">i", 0), []
         kb = bucket_starts(secs[idx], granularity)
         # secs ascend and every truncation is monotone, so cells arrive as
-        # contiguous runs — one pass, no dict
+        # contiguous runs — one pass, no dict. The BLOB's per-cell counts
+        # are FRAME counts (the wire format's frame walker); the RETURNED
+        # counts carry the NULL/coalesce algebra — identical on the raw
+        # path, but a tier cell frames ONE merged sketch while reporting
+        # its RAW non-NULL frame count, so count-0 cells keep the job
+        # path's NULL arms on the same numbers as the raw framing.
         cells: list = []
         counts: list = []
+        frame_counts: list = []
         sel: list = []
         for bk, i in zip(kb.tolist(), idx.tolist()):
             if not cells or bk != cells[-1]:
                 cells.append(bk)
                 counts.append(0)
+                frame_counts.append(0)
             if bufs[i] is not None:
                 sel.append(bufs[i])
-                counts[-1] += 1
+                frame_counts[-1] += 1
+                if tier_counts is None:
+                    counts[-1] += 1
+            if tier_counts is not None:
+                counts[-1] += tier_counts[i]
         if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
             return None
-        return cells, self._pack_grouped(counts, sel), counts
+        return cells, self._pack_grouped(frame_counts, sel), counts
 
     def _keyed_cells(self, col, start, end):
         """The PER-KEY grouped gate (the ``*_by_key`` dimensional forms):

@@ -549,6 +549,25 @@ class SemanticCorpusDedup:
     centroids (mixed quantizers would silently partition the space two
     ways and miss duplicates across the seam).
 
+    ``quantize="int8"`` (r12 — the r11 verdict's state-size lever) stores
+    each kept vector as its direction-preserving int8 code
+    (:func:`..ann_index._q8_col`: symmetric max-abs rounding; cosine is
+    invariant to the positive per-vector scale the code drops, so no
+    scale column rides) — ~4× less state I/O on the ladder's most
+    stateful operator. Corpus-join decisions then compare the batch's
+    EXACT vector against the stored code: the code tilts the stored
+    direction by at most the max-abs rounding angle (adversarial bound
+    0.5·√dim/127; ~1e-4 on real embeddings), so decisions can flip ONLY
+    for pairs whose exact cosine lies within that margin of the
+    threshold — a bounded, documented divergence (pytest pins decision
+    equality with full-precision state on the real embeddings corpus).
+    Within-batch dedup is exact either way (both sides exact). Replay
+    safety holds because a replayed row meets its own code at cosine
+    ≈ 1.0 ≥ threshold; thresholds above ``_Q8_MAX_THRESHOLD`` refuse
+    quantized mode since the rounding angle could undercut them. The
+    mode is pinned in the manifest next to the centroids (mixed row
+    encodings under one schema would silently mis-read).
+
     Ordering is stream-arrival SemDeDup: corpus members are always
     "earlier" than the batch (a batch row similar to ANY kept vector
     drops), and within the batch the operator's keep order applies
@@ -565,7 +584,15 @@ class SemanticCorpusDedup:
     """
 
     _VECS_SCHEMA = "owner long, embedding array<float>, cell long"
+    _VECS_SCHEMA_Q8 = "owner long, embedding array<tinyint>, cell long"
     _MANIFEST = "_semantic_manifest.json"
+    #: Quantized-state threshold ceiling: int8 codes tilt each stored
+    #: direction by at most the max-abs rounding angle (≤ 0.5·√dim/127 in
+    #: the adversarial worst case, ~1e-4 radians on real embeddings), so
+    #: a replayed row's cosine against its OWN recorded code is slightly
+    #: under 1.0. Thresholds above this cap could let replays re-emit —
+    #: the at-least-once guarantee — so quantized mode refuses them.
+    _Q8_MAX_THRESHOLD = 0.995
 
     def __init__(
         self,
@@ -577,6 +604,7 @@ class SemanticCorpusDedup:
         threshold: float = 0.95,
         keep: str = "low_centroid_sim",
         round_digits: int = 6,
+        quantize: str | None = None,
     ):
         import json
 
@@ -588,6 +616,16 @@ class SemanticCorpusDedup:
             raise ValueError(f"threshold must be in (0, 1], got {threshold}")
         if keep not in _KEEPS:
             raise ValueError(f"keep must be one of {_KEEPS}, got {keep!r}")
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        if quantize == "int8" and threshold > self._Q8_MAX_THRESHOLD:
+            raise ValueError(
+                f"threshold {threshold} > {self._Q8_MAX_THRESHOLD} with "
+                "quantize='int8': the stored codes' rounding angle could "
+                "push a replayed row's self-cosine under the threshold "
+                "and re-emit it — use full-precision state for "
+                "near-exact thresholds"
+            )
         self.spark = spark
         self.state_dir = state_dir
         self.centroids = [[float(x) for x in c] for c in centroids]
@@ -596,12 +634,13 @@ class SemanticCorpusDedup:
         self.threshold = threshold
         self.keep = keep
         self.round_digits = round_digits
+        self.quantize = quantize
         os.makedirs(state_dir, exist_ok=True)
         mpath = os.path.join(state_dir, self._MANIFEST)
         if os.path.exists(mpath):
             with open(mpath) as f:
-                recorded = json.load(f)["centroids"]
-            if recorded != self.centroids:
+                manifest = json.load(f)
+            if manifest["centroids"] != self.centroids:
                 raise ValueError(
                     "state at this dir was recorded with DIFFERENT "
                     "centroids — a mixed quantizer partitions the space "
@@ -609,16 +648,29 @@ class SemanticCorpusDedup:
                     "open with the original centroids or start a new "
                     "state dir"
                 )
+            if manifest.get("quantize") != quantize:
+                raise ValueError(
+                    "state at this dir was recorded with quantize="
+                    f"{manifest.get('quantize')!r}, opened with "
+                    f"{quantize!r} — mixed row encodings under one schema "
+                    "would silently mis-read; open with the original mode "
+                    "or start a new state dir"
+                )
         else:
             with open(mpath, "w") as f:
-                json.dump({"centroids": self.centroids}, f)
+                json.dump(
+                    {"centroids": self.centroids, "quantize": quantize}, f
+                )
 
     def _vectors(self) -> DataFrame | None:
         p = os.path.join(self.state_dir, "vectors")
         if not os.path.isdir(p):
             return None
+        schema = (
+            self._VECS_SCHEMA_Q8 if self.quantize == "int8" else self._VECS_SCHEMA
+        )
         try:
-            return self.spark.read.schema(self._VECS_SCHEMA).parquet(p)
+            return self.spark.read.schema(schema).parquet(p)
         except Exception:
             return None
 
@@ -700,11 +752,19 @@ class SemanticCorpusDedup:
         # localCheckpoint CUTS the lineage before the state append (the
         # corpus join reads the state files a commit would invalidate)
         drops = drops.localCheckpoint(eager=True)
+        if self.quantize == "int8":
+            from .ann_index import _q8_col
+
+            stored = _q8_col(F.col(self.vec_col).cast("array<double>")).alias(
+                "embedding"
+            )
+        else:
+            stored = F.col(self.vec_col).cast("array<float>").alias("embedding")
         new_vecs = (
             eligible.join(drops, on=self.id_col, how="left_anti")
             .select(
                 F.col(self.id_col).cast("long").alias("owner"),
-                F.col(self.vec_col).cast("array<float>").alias("embedding"),
+                stored,
                 "cell",
             )
             .localCheckpoint(eager=True)

@@ -72,6 +72,11 @@ class ThetaRollup(SketchRetention):
 
     # ------------------------------------------------------------ internals
 
+    def _jvm_merge_grouped(self, ops):
+        """Day-tier pre-merge (r12): theta union is exact set algebra, so
+        tier-served series are bit-equal to raw framing."""
+        return ops.thetaMergeGrouped
+
     def _range_filter(self, start, end):
         a = F.unix_timestamp(F.lit(start).cast("timestamp"))
         b = F.unix_timestamp(F.lit(end).cast("timestamp"))

@@ -2174,4 +2174,62 @@ object UwheelSketchOps {
     }
     packDoubles(out)
   }
+
+  // --------------------------------------------- coarse-tier pre-merge (r12)
+  /** Re-frame per-cell results as ``[n:int32][len:int32 bytes]*`` — the
+    * inverse of `frames`; a zero-length entry marks an EMPTY cell (no
+    * non-NULL input frames), which the Python caller maps back to None. */
+  private def frameBack(cells: Array[Array[Byte]]): Array[Byte] = {
+    var total = 4
+    cells.foreach(c => total += 4 + c.length)
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(cells.length)
+    cells.foreach { c => bb.putInt(c.length); bb.put(c) }
+    bb.array()
+  }
+
+  /** Pre-merge each cell's frames into ONE serialized sketch (r12: the
+    * tier ladder applied to the bytes mirror). The Python mirror caches
+    * the returned day-level sketches so a full-span coarse series ask
+    * frames O(days) merged sketches instead of the span's raw bucket
+    * bytes — theta unions are exact set algebra, so union(union(day
+    * cells)) over any grouping equals union(raw cells). */
+  def thetaMergeGrouped(framed: Array[Byte]): Array[Byte] =
+    frameBack(groupedCellFrames(framed).map { fs =>
+      if (fs.isEmpty) Array.emptyByteArray
+      else {
+        val u = SetOperation.builder().buildUnion()
+        fs.foreach(b => u.union(CompactSketch.wrap(Memory.wrap(b))))
+        u.getResult.toByteArray
+      }
+    })
+
+  /** HLL pre-merge: register-wise max / coupon-set union is associative,
+    * so the merged tier's final register state — and therefore the
+    * estimate — is identical to a flat union of the raw frames. The
+    * union adopts the first frame's lgConfigK (one rollup, one lgK). */
+  def hllMergeGrouped(framed: Array[Byte]): Array[Byte] =
+    frameBack(groupedCellFrames(framed).map { fs =>
+      if (fs.isEmpty) Array.emptyByteArray
+      else {
+        val first = HllSketch.wrap(Memory.wrap(fs(0)))
+        val u = new HllUnion(first.getLgConfigK)
+        fs.foreach(b => u.update(HllSketch.wrap(Memory.wrap(b))))
+        u.getResult(first.getTgtHllType).toCompactByteArray
+      }
+    })
+
+  /** KLL pre-merge (doubles): merge is rank-bounded (randomized
+    * compaction), not bit-exact — the same contract the direct-vs-job
+    * parity already documents for multi-bucket KLL asks. */
+  def kllMergeDoublesGrouped(framed: Array[Byte]): Array[Byte] =
+    frameBack(groupedCellFrames(framed).map { fs =>
+      if (fs.isEmpty) Array.emptyByteArray else mergeDoubles(fs).toByteArray
+    })
+
+  /** KLL pre-merge (longs) — see kllMergeDoublesGrouped. */
+  def kllMergeLongsGrouped(framed: Array[Byte]): Array[Byte] =
+    frameBack(groupedCellFrames(framed).map { fs =>
+      if (fs.isEmpty) Array.emptyByteArray else mergeLongs(fs).toByteArray
+    })
 }

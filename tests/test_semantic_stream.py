@@ -182,3 +182,82 @@ def test_arg_validation(spark, tmp_path):
         SemanticCorpusDedup(spark, str(tmp_path / "b"), CENTS, threshold=0.0)
     with pytest.raises(ValueError):
         SemanticCorpusDedup(spark, str(tmp_path / "c"), CENTS, keep="nope")
+
+
+# ------------------------------------------------- int8 state (r12)
+def _dir_bytes(p):
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_q8_state_decisions_match_full_precision(spark, tmp_path, bundles):
+    """Quantized-state decisions ≡ full-precision decisions on the same
+    two-batch replay: the int8 code tilts each stored direction by at most
+    the max-abs rounding angle, so flips are confined to pairs whose exact
+    cosine sits within that margin of the threshold — these bundles (and
+    the real corpus below) sit nowhere near it."""
+    b1, b2 = bundles
+    full = SemanticCorpusDedup(spark, str(tmp_path / "f"), CENTS, threshold=T)
+    q8 = SemanticCorpusDedup(
+        spark, str(tmp_path / "q"), CENTS, threshold=T, quantize="int8"
+    )
+    for batch in (b1, b2):
+        df = _mkdf(spark, batch)
+        kf = sorted(r["vec_id"] for r in full.filter_batch(df).collect())
+        kq = sorted(r["vec_id"] for r in q8.filter_batch(df).collect())
+        assert kf == kq
+    # replay through the quantized state: self-cosine ≈ 1.0 >= T, nothing
+    # re-emits (the at-least-once contract the threshold cap protects)
+    assert q8.filter_batch(_mkdf(spark, b1)).count() == 0
+    # the stored rows really are int8 codes
+    st = q8._vectors()
+    assert st.schema["embedding"].dataType.simpleString() == "array<tinyint>"
+    assert st.count() == full._vectors().count()
+
+
+def test_q8_state_matches_full_on_real_embeddings(spark, tmp_path, sf_small_dir):
+    """The r11 verdict's Done-bar: quantized-state decisions ≡
+    full-precision decisions on the real embeddings table, and the state
+    is materially smaller."""
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()[0])
+    cents = ivf_centroids(dim, 8, seed=42)
+    full = SemanticCorpusDedup(
+        spark, str(tmp_path / "rf"), cents, threshold=0.4
+    )
+    q8 = SemanticCorpusDedup(
+        spark, str(tmp_path / "rq"), cents, threshold=0.4, quantize="int8"
+    )
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    b2 = emb.filter(F.col("vec_id") % 3 != 0)
+    for batch in (b1, b2):
+        kf = sorted(r["vec_id"] for r in full.filter_batch(batch).collect())
+        kq = sorted(r["vec_id"] for r in q8.filter_batch(batch).collect())
+        assert kf == kq and len(kf) > 0
+    fb = _dir_bytes(str(tmp_path / "rf" / "vectors"))
+    qb = _dir_bytes(str(tmp_path / "rq" / "vectors"))
+    # float32 -> int8 is 4x raw; parquet encoding keeps most of it
+    assert qb < 0.5 * fb, (qb, fb)
+
+
+def test_q8_threshold_cap_and_manifest_mode_pin(spark, tmp_path):
+    with pytest.raises(ValueError, match="quantize='int8'"):
+        SemanticCorpusDedup(
+            spark, str(tmp_path / "c"), CENTS, threshold=0.999, quantize="int8"
+        )
+    with pytest.raises(ValueError, match="unknown quantize"):
+        SemanticCorpusDedup(
+            spark, str(tmp_path / "c2"), CENTS, quantize="int4"
+        )
+    # a state dir opened with a different mode refuses (mixed encodings
+    # under one schema would silently mis-read)
+    SemanticCorpusDedup(
+        spark, str(tmp_path / "m"), CENTS, threshold=T, quantize="int8"
+    )
+    with pytest.raises(ValueError, match="quantize"):
+        SemanticCorpusDedup(spark, str(tmp_path / "m"), CENTS, threshold=T)

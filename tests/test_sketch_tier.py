@@ -1,0 +1,214 @@
+"""Coarse day-tier pre-merge for grouped direct sketch asks (r12 — the
+r11 verdict's grouped-at-scale finding): a FULL-SPAN series ask at
+day-or-coarser granularity over a deep mirror answers from per-UTC-day
+PRE-MERGED sketches (one ``*MergeGrouped`` py4j call, cached per mirror
+box) instead of framing every raw bucket's bytes per ask. The measured
+sf1 week series shipped 7.1 MB (7,200 hourly theta sketches) per fresh
+ask; the day tier ships ~350 merged sketches.
+
+Contract: (a) tier-served rows EQUAL the raw direct framing — bit-exact
+for theta (exact set algebra) and HLL (register union is associative);
+rank-bounded for KLL (randomized merge compaction, the documented
+multi-bucket contract); (b) warm tier asks launch ZERO Spark jobs;
+(c) RESTRICTED asks (any explicit bound) keep the raw framing — the tier
+cannot reproduce the width-aware edge-sliver selection; (d) sub-day and
+non-day-aligned granularities keep the raw framing; (e) count-0 cells
+(all-NULL sketch days) keep the job path's NULL algebra through the
+tier's raw counts; (f) mutations retire the tier with its mirror box."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from datafusion_uwheel_spark.operators.distinct import build_distinct_rollup
+from datafusion_uwheel_spark.operators.quantiles import build_quantile_rollup
+from datafusion_uwheel_spark.operators.theta import build_theta_rollup
+
+BASE = datetime(2024, 3, 1)
+N_HOURS = 21 * 24  # three weeks of hourly buckets
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # one row per (hour, j) — uids overlap day-to-day so retention is
+    # non-trivial; day 5 carries only NULLs (a count-0 tier cell)
+    rows = []
+    for h in range(N_HOURS):
+        ts = BASE + timedelta(hours=h)
+        for j in range(3):
+            null_day = (h // 24) == 5
+            rows.append(
+                (
+                    ts,
+                    None if null_day else (h * 7 + j * 13) % 97,
+                    None if null_day else float((h * 31 + j) % 211),
+                )
+            )
+    return spark.createDataFrame(rows, "ts timestamp, uid bigint, v double")
+
+
+def _no_jobs(spark, fn):
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    out = fn()
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    return out, after == before
+
+
+def _tier_state(rollup, col):
+    box = rollup._mirror_box()
+    return box.get("day_tier", {}).get(col)
+
+
+# ------------------------------------------------------------------ theta
+def test_theta_week_series_tier_bit_equal_and_job_free(spark, events):
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._TIER_MIN_ROWS = 10**9  # force RAW framing
+        raw = r.retention_rows_by("week")
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0  # force the TIER
+        tiered = r.retention_rows_by("week")
+        assert tiered == raw  # theta union algebra is exact
+        assert _tier_state(r, "__theta") not in (None, False)
+        # warm tier ask: zero jobs (tier built above), day + month too
+        for gran in ("day", "month", 2 * 86400):
+            r.invalidate_asks()
+            got, job_free = _no_jobs(
+                spark, lambda g=gran: r.retention_rows_by(g)
+            )
+            assert job_free
+            r._TIER_MIN_ROWS = 10**9
+            r.invalidate_asks()
+            assert got == r.retention_rows_by(gran)
+            r._TIER_MIN_ROWS = 0
+        # ...and equal the JOB path wholesale
+        r._jvm_ops = None
+        r.invalidate_asks()
+        job = r.retention_rows_by("week")
+        del r._jvm_ops
+        assert tiered == job
+    finally:
+        r.unpersist()
+
+
+def test_theta_null_day_keeps_null_algebra(spark, events):
+    """Day 5's all-NULL input yields EMPTY (non-NULL) hourly sketches —
+    the tier must reproduce the job path's algebra around it exactly:
+    estimate 0 that day, retention 0.0 INTO it, retention NULL OUT of it
+    (previous estimate 0 -> the n_prev > 0 arm)."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._jvm_ops = None
+        job = r.retention_rows_by("day")
+        del r._jvm_ops
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        rows = r.retention_rows_by("day")
+        assert rows == job
+        by_day = {b.date(): (n, p, ret, f) for b, n, p, ret, f in rows}
+        null_day = (BASE + timedelta(days=5)).date()
+        assert by_day[null_day][0] == 0  # empty union estimates 0
+        assert by_day[null_day][3] == 0.0  # retention INTO the empty day
+        after = (BASE + timedelta(days=6)).date()
+        assert by_day[after][1:] == (0, 0, None)  # NULL out (n_prev == 0)
+    finally:
+        r.unpersist()
+
+
+def test_restricted_and_subday_asks_keep_raw_path(spark, events):
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._TIER_MIN_ROWS = 0
+        # sub-day granularity: ineligible, no tier is built
+        r.retention_rows_by("hour")
+        assert _tier_state(r, "__theta") is None
+        # non-day-aligned int width: ineligible
+        r.invalidate_asks()
+        r.retention_rows_by(86400 + 3600)
+        assert _tier_state(r, "__theta") is None
+        # restricted day ask: raw path (no tier build), still job-equal
+        r.invalidate_asks()
+        got = r.retention_rows_by("day", "2024-03-03 00:00:00", "2024-03-10 00:00:00")
+        assert _tier_state(r, "__theta") is None
+        r._jvm_ops = None
+        r.invalidate_asks()
+        assert got == r.retention_rows_by(
+            "day", "2024-03-03 00:00:00", "2024-03-10 00:00:00"
+        )
+        del r._jvm_ops
+    finally:
+        r.unpersist()
+
+
+def test_mutation_retires_tier(spark, events):
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._TIER_MIN_ROWS = 0
+        before = r.retention_rows_by("week")
+        assert _tier_state(r, "__theta") is not None
+        late = spark.createDataFrame(
+            [(BASE + timedelta(days=26, hours=1), 9999)], "ts timestamp, uid bigint"
+        )
+        r.merge_batch(late, "ts")
+        after = r.retention_rows_by("week")
+        assert _tier_state(r, "__theta") is not None  # rebuilt in new box
+        assert len(after) == len(before) + 1  # the late row adds a week
+        r._TIER_MIN_ROWS = 10**9
+        r.invalidate_asks()
+        assert after == r.retention_rows_by("week")
+    finally:
+        r.unpersist()
+
+
+# -------------------------------------------------------------------- HLL
+def test_hll_day_series_tier_equals_raw(spark, events):
+    r = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._TIER_MIN_ROWS = 10**9
+        raw = r.distinct_rows_by("day")
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        tiered, job_free_build = _no_jobs(
+            spark, lambda: r.distinct_rows_by("day")
+        )
+        assert job_free_build  # the pre-merge is a py4j call, not a job
+        # register/coupon union is associative: identical final state
+        assert tiered == raw
+        assert _tier_state(r, "__hll") not in (None, False)
+        r.invalidate_asks()
+        week, job_free = _no_jobs(spark, lambda: r.distinct_rows_by("week"))
+        assert job_free
+        r._TIER_MIN_ROWS = 10**9
+        r.invalidate_asks()
+        assert week == r.distinct_rows_by("week")
+    finally:
+        r.unpersist()
+
+
+# -------------------------------------------------------------------- KLL
+def test_kll_day_series_tier_rank_bounded(spark, events):
+    r = build_quantile_rollup(events, "ts", "v", bucket_seconds=3600)
+    try:
+        r._TIER_MIN_ROWS = 0
+        tiered, job_free = _no_jobs(
+            spark, lambda: r.quantile_rows_by("day", 0.5)
+        )
+        assert job_free
+        assert _tier_state(r, "__kll") not in (None, False)
+        by_day: dict = {}
+        for row in events.select("ts", "v").collect():
+            if row[1] is not None:
+                by_day.setdefault(row[0].date(), []).append(row[1])
+        assert len(tiered) == N_HOURS // 24
+        for bucket, val in tiered:
+            vals = sorted(by_day.get(bucket.date(), []))
+            if not vals:
+                assert val is None  # the all-NULL day
+                continue
+            rank = vals.index(val) / len(vals)
+            assert abs(rank - 0.5) < 0.06  # ~3x the k=200 bound
+    finally:
+        r.unpersist()
