@@ -955,7 +955,18 @@ def main() -> None:
     # prices the per-cluster numpy matrix vs the fold self-join
     med("dedup_semantic_expr", lambda: semdedup_run(kernel=False))
 
-    def semantic_stream_run():
+    def _dir_bytes(p):
+        import os as _os
+
+        total = 0
+        for root, _dirs, files in _os.walk(p):
+            for f in files:
+                total += _os.path.getsize(_os.path.join(root, f))
+        return total
+
+    _sem_state_bytes = {}
+
+    def semantic_stream_run(quantize=None):
         # ingestion-time SEMANTIC dedup (r11): batch 1 seeds the IVF-celled
         # vector state (within-batch SemDeDup included), batch 2 re-crawls
         # the same embeddings under new ids — every row must drop against
@@ -970,7 +981,8 @@ def main() -> None:
         d = tempfile.mkdtemp(prefix="bench_sem_stream_")
         try:
             sd = SemanticCorpusDedup(
-                spark, f"{d}/vectors", _sd_cents, threshold=0.4
+                spark, f"{d}/vectors", _sd_cents, threshold=0.4,
+                quantize=quantize,
             )
             survivors, pending = sd.prepare_batch(emb)
             n1 = survivors.count()
@@ -994,6 +1006,9 @@ def main() -> None:
             assert n1 == _sd_kept["n"] and n == n_pass, (
                 n1, _sd_kept, n, n_pass,
             )
+            _sem_state_bytes[quantize or "float32"] = _dir_bytes(
+                f"{d}/vectors/vectors"
+            )
             return n1
         finally:
             shutil.rmtree(d, ignore_errors=True)
@@ -1002,6 +1017,26 @@ def main() -> None:
     # sf0.1) and the [min, max] spread needs no more; n1 equals the batch
     # dedup_semantic row's kept count — cross-form consistency for free
     med("dedup_semantic_stream", semantic_stream_run, n=2)
+    # int8-state variant (r12): SAME kept counts pinned by the asserts
+    # inside the run (decision parity on this corpus), state ~4x smaller —
+    # the verdict's state-size lever, measured not claimed
+    med(
+        "dedup_semantic_stream_q8",
+        lambda: semantic_stream_run(quantize="int8"),
+        n=2,
+    )
+    queries["sem_stream_state_bytes"] = _sem_state_bytes.get("float32", 0)
+    queries["sem_stream_state_bytes_q8"] = _sem_state_bytes.get("int8", 0)
+    if _sem_state_bytes.get("float32"):
+        log(
+            f"semantic stream state: float32 "
+            f"{_sem_state_bytes['float32']/1e6:.2f} MB -> int8 "
+            f"{_sem_state_bytes['int8']/1e6:.2f} MB "
+            f"({_sem_state_bytes['float32']/max(1,_sem_state_bytes['int8']):.1f}x)"
+        )
+        assert _sem_state_bytes["int8"] < 0.6 * _sem_state_bytes["float32"], (
+            _sem_state_bytes
+        )
     # Median of repeated probes (matches the indexed-probe measurement below
     # so indexed-vs-brute is apples to apples).
     queries["sim_topk_bruteforce"] = time_calls(

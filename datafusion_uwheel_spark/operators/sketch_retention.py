@@ -672,12 +672,53 @@ class SketchRetention:
                 counts[-1] += 1
                 frame_counts[-1] += 1
         if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
-            cache[col] = False
-            return None
+            # too many raw bytes for ONE socket copy, even once — build
+            # the tier with ONE tiny Spark job instead (day-grouped union
+            # agg over the cached rollup; output is days × sketch, well
+            # under every cap). The job path is the right plan for moving
+            # this much sketch state ANYWAY (bytes stay executor-side);
+            # paying it once per data version buys every later full-span
+            # series ask the O(days) framing. Covers the 64-256 MB band
+            # between _DIRECT_MAX_BYTES and the mirror cap where every
+            # fresh series ask used to fall back to a per-ask job.
+            t = self._day_tier_via_job(col, box)
+            cache[col] = False if t is None else t
+            return t
         merged = self._unframe(bytes(merge(self._pack_grouped(frame_counts, sel))))
         t = (np.asarray(dsecs, dtype=np.int64), merged, counts)
         cache[col] = t
         return t
+
+    def _day_tier_via_job(self, col: str, box: dict):
+        """The day tier built by ONE Spark job (day-grouped
+        ``_union_agg_exprs`` + non-NULL frame count over the cached
+        rollup) — same cells, same union algebra as the socket build,
+        with all-NULL days surfacing as empty sketches + count 0 (the
+        probed union-over-NULLs semantics), which the ask-time counts
+        map to the job path's NULL arms identically."""
+        import numpy as np
+
+        rows = (
+            box["df"]
+            .groupBy(
+                # floor division, not %: Spark's % follows the dividend's
+                # sign, which would mis-bucket pre-epoch seconds vs
+                # bucket_starts' floored arithmetic
+                (
+                    F.floor(F.col("__sec") / self._TIER_SECONDS)
+                    * self._TIER_SECONDS
+                ).cast("long").alias("__sec")
+            )
+            .agg(*self._union_agg_exprs(), F.count(F.col(col)).alias("__n"))
+            .collect()
+        )
+        if not rows:
+            return None
+        rows.sort(key=lambda r: r[0])
+        dsecs = np.asarray([r[0] for r in rows], dtype=np.int64)
+        bufs = [None if r[1] is None else bytes(r[1]) for r in rows]
+        counts = [int(r[2]) for r in rows]
+        return dsecs, bufs, counts
 
     def _grouped_cells(self, col, granularity, start, end, keyed_ask=False):
         """The grouped direct-ask gate (r11 — approx_*_by's economics):

@@ -212,3 +212,36 @@ def test_kll_day_series_tier_rank_bounded(spark, events):
             assert abs(rank - 0.5) < 0.06  # ~3x the k=200 bound
     finally:
         r.unpersist()
+
+
+def test_job_built_tier_over_socket_cap(spark, events):
+    """When the raw pre-merge framing exceeds _DIRECT_MAX_BYTES, the tier
+    builds via ONE Spark job (day-grouped union agg) instead of refusing —
+    same cells, same answers; later full-span asks are zero-job."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._jvm_ops = None
+        job = r.retention_rows_by("week")
+        del r._jvm_ops
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        # force the socket cap UNDER the raw framing but ABOVE the ~21
+        # day-merged sketches the tier frames per ask
+        raw_bytes = sum(
+            len(b) for b in r._bytes_mirror("__theta")[1] if b is not None
+        )
+        r._DIRECT_MAX_BYTES = raw_bytes // 2
+        tiered = r.retention_rows_by("week")
+        assert tiered == job
+        t = _tier_state(r, "__theta")
+        assert t not in (None, False) and len(t[0]) == N_HOURS // 24
+        # warm asks answer zero-job from the job-built tier
+        r.invalidate_asks()
+        got, job_free = _no_jobs(spark, lambda: r.retention_rows_by("day"))
+        assert job_free
+        r._jvm_ops = None
+        r.invalidate_asks()
+        assert got == r.retention_rows_by("day")
+        del r._jvm_ops
+    finally:
+        r.unpersist()
