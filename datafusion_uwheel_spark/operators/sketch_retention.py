@@ -621,6 +621,22 @@ class SketchRetention:
         direct-vs-job contract that family already documents."""
         return None
 
+    def _tier_serves_range(self, box: dict, a: int, b: int) -> bool:
+        """Whether a RESTRICTED ask may slice the day tier instead of the
+        width-aware raw selection (r12): requires day-aligned bounds AND
+        every bucket width in play (base + compaction tiers) dividing a
+        day. Then bucket starts are day-interior (no bucket crosses a day
+        boundary), no bucket start can fall strictly inside ``(a - w,
+        a)``, and ``_selected_indices``' superset rule ``sec > a - w AND
+        sec < b`` reduces EXACTLY to ``sec ∈ [a, b)`` — which whole-day
+        slicing reproduces. Any non-dividing width (a 7h grid, a weekly
+        compaction tier) or unaligned bound keeps the raw framing."""
+        d = self._TIER_SECONDS
+        if a % d or b % d:
+            return False
+        widths = [self.bucket_seconds] + [w for _end, w in box["tiers"]]
+        return all(w > 0 and d % w == 0 for w in widths)
+
     def _day_tier(self, col: str, box: dict, granularity):
         """``(day_secs int64 ndarray, merged_bufs, raw_counts)`` — the
         per-UTC-day pre-merged tier — or None when the ask/mirror is
@@ -778,19 +794,27 @@ class SketchRetention:
             return None
         secs, bufs, _keys = m
         tier_counts = None
-        if a is not None:
+        if a is not None and not self._tier_serves_range(box, a, b):
             idx = self._selected_indices(box, secs, a, b)
         else:
-            # r12: full-span day-or-coarser series answer from the
-            # pre-merged day tier — O(days) merged sketches through the
-            # socket instead of the span's raw bucket bytes (the sf1 week
-            # series measured 7.1 MB/ask raw; see _day_tier). Restricted
-            # asks keep the raw framing: the tier cannot reproduce
-            # _selected_indices' width-aware edge-sliver selection.
+            # r12: day-or-coarser series answer from the pre-merged day
+            # tier — O(days) merged sketches through the socket instead
+            # of the span's raw bucket bytes (the sf1 week series
+            # measured 7.1 MB/ask raw; see _day_tier). Serves the FULL
+            # span always, and RESTRICTED ranges exactly when
+            # _tier_serves_range proves the width-aware edge-sliver
+            # selection degenerates to whole-day slicing (day-aligned
+            # bounds + every bucket width dividing a day); anything else
+            # keeps the raw framing.
             tier = self._day_tier(col, box, granularity)
             if tier is not None:
                 secs, bufs, tier_counts = tier
-            idx = np.arange(len(secs))
+            if a is not None and tier is not None:
+                idx = np.nonzero((secs >= a) & (secs < b))[0]
+            elif a is not None:
+                idx = self._selected_indices(box, secs, a, b)
+            else:
+                idx = np.arange(len(secs))
         if not len(idx):
             return [], struct.pack(">i", 0), []
         kb = bucket_starts(secs[idx], granularity)

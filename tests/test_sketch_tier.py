@@ -10,8 +10,10 @@ Contract: (a) tier-served rows EQUAL the raw direct framing — bit-exact
 for theta (exact set algebra) and HLL (register union is associative);
 rank-bounded for KLL (randomized merge compaction, the documented
 multi-bucket contract); (b) warm tier asks launch ZERO Spark jobs;
-(c) RESTRICTED asks (any explicit bound) keep the raw framing — the tier
-cannot reproduce the width-aware edge-sliver selection; (d) sub-day and
+(c) RESTRICTED asks ride the tier exactly when day-aligned bounds meet
+bucket widths that divide a day (then the width-aware edge-sliver
+selection provably degenerates to whole-day slicing); unaligned bounds or
+non-dividing widths keep the raw framing; (d) sub-day and
 non-day-aligned granularities keep the raw framing; (e) count-0 cells
 (all-NULL sketch days) keep the job path's NULL algebra through the
 tier's raw counts; (f) mutations retire the tier with its mirror box."""
@@ -118,7 +120,7 @@ def test_theta_null_day_keeps_null_algebra(spark, events):
         r.unpersist()
 
 
-def test_restricted_and_subday_asks_keep_raw_path(spark, events):
+def test_restricted_and_subday_asks_tier_gating(spark, events):
     r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
     try:
         r._TIER_MIN_ROWS = 0
@@ -129,14 +131,73 @@ def test_restricted_and_subday_asks_keep_raw_path(spark, events):
         r.invalidate_asks()
         r.retention_rows_by(86400 + 3600)
         assert _tier_state(r, "__theta") is None
-        # restricted day ask: raw path (no tier build), still job-equal
+        # UNALIGNED restricted bound: raw framing (the width-aware sliver
+        # rule is not whole-day slicing there), no tier built, job-equal
         r.invalidate_asks()
-        got = r.retention_rows_by("day", "2024-03-03 00:00:00", "2024-03-10 00:00:00")
+        got = r.retention_rows_by(
+            "day", "2024-03-03 06:00:00", "2024-03-10 00:00:00"
+        )
         assert _tier_state(r, "__theta") is None
         r._jvm_ops = None
         r.invalidate_asks()
         assert got == r.retention_rows_by(
-            "day", "2024-03-03 00:00:00", "2024-03-10 00:00:00"
+            "day", "2024-03-03 06:00:00", "2024-03-10 00:00:00"
+        )
+        del r._jvm_ops
+        r.invalidate_asks()
+        # DAY-ALIGNED restricted ask (r12): tier-served — hour buckets
+        # divide a day, so edge slivers degenerate to whole-day slicing;
+        # one-sided and two-sided forms both equal the job path
+        for s, e in [
+            ("2024-03-03 00:00:00", "2024-03-10 00:00:00"),
+            (None, "2024-03-10 00:00:00"),
+            ("2024-03-03 00:00:00", None),
+        ]:
+            r.invalidate_asks()
+            got = r.retention_rows_by("week", s, e)
+            assert _tier_state(r, "__theta") not in (None, False)
+            r._jvm_ops = None
+            r.invalidate_asks()
+            assert got == r.retention_rows_by("week", s, e), (s, e)
+            del r._jvm_ops
+    finally:
+        r.unpersist()
+
+
+def test_day_aligned_restriction_vs_raw_on_compacted_tiers(spark, events):
+    """Compaction to a 6h grid (divides a day) keeps the tier eligible;
+    compaction to a 2-day grid must force the raw framing back (a 2-day
+    bucket crosses ask-day boundaries)."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._TIER_MIN_ROWS = 0
+        c1 = int((BASE + timedelta(days=7)).timestamp())
+        r.compact_before(c1, 6 * 3600)
+        got = r.retention_rows_by(
+            "day", "2024-03-02 00:00:00", "2024-03-12 00:00:00"
+        )
+        assert _tier_state(r, "__theta") not in (None, False)
+        r._jvm_ops = None
+        r.invalidate_asks()
+        assert got == r.retention_rows_by(
+            "day", "2024-03-02 00:00:00", "2024-03-12 00:00:00"
+        )
+        del r._jvm_ops
+        r.invalidate_asks()
+        # ladder cutoffs are non-decreasing: floor(BASE+8d) on the
+        # epoch 2-day grid lands exactly on the 6h tier's end
+        c2 = int((BASE + timedelta(days=8)).timestamp())
+        r.compact_before(c2, 2 * 86400)
+        # 2-day width does not divide a day: restricted asks must refuse
+        # the tier (full-span asks still may — assignment-by-start holds)
+        got = r.retention_rows_by(
+            2 * 86400, "2024-03-01 00:00:00", "2024-03-13 00:00:00"
+        )
+        assert _tier_state(r, "__theta") is None
+        r._jvm_ops = None
+        r.invalidate_asks()
+        assert got == r.retention_rows_by(
+            2 * 86400, "2024-03-01 00:00:00", "2024-03-13 00:00:00"
         )
         del r._jvm_ops
     finally:
