@@ -1025,8 +1025,8 @@ def main() -> None:
         lambda: semantic_stream_run(quantize="int8"),
         n=2,
     )
-    queries["sem_stream_state_bytes"] = _sem_state_bytes.get("float32", 0)
-    queries["sem_stream_state_bytes_q8"] = _sem_state_bytes.get("int8", 0)
+    # bytes ride a TOP-LEVEL field like stream_retention_bytes_per_day —
+    # queries{} holds seconds only (bench_total sums it)
     if _sem_state_bytes.get("float32"):
         log(
             f"semantic stream state: float32 "
@@ -2117,6 +2117,7 @@ def main() -> None:
             "spreads": spreads,
             "speedup_vs_vanilla": speedups,
             "stream_retention_bytes_per_day": retention_bytes,
+            "sem_stream_state_bytes": _sem_state_bytes,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )
