@@ -2098,6 +2098,51 @@ def main() -> None:
                 N_VANILLA,
             )
             dr10.unpersist()
+            # grouped theta at the THIRD decade (r12): ~84k hourly buckets
+            # put the raw full-span framing (~84 MB) past the socket cap,
+            # so the day tier builds via its ONE-JOB fallback; the
+            # realistic dashboard shape — a day-aligned quarter, by week —
+            # then frames ~13 merged week cells of day sketches per fresh
+            # ask, zero-job, vs the per-ask job floor on the control
+            t0 = time.perf_counter()
+            tr10 = eng10.build_theta_index("user_id")
+            queries["theta_index_build_sf10"] = time.perf_counter() - t0
+            _q10a, _q10b = "2024-01-01 00:00:00", "2024-04-01 00:00:00"
+            timed_spread(
+                "uw_retention_q_by_week_direct_sf10",
+                fresh(
+                    tr10,
+                    lambda: tr10.retention_rows_by("week", _q10a, _q10b),
+                ),
+                N_PROBE,
+            )
+            tr10._jvm_ops = None
+            timed_spread(
+                "uw_retention_q_by_week_jobpath_sf10",
+                fresh(
+                    tr10,
+                    lambda: tr10.retention_rows_by("week", _q10a, _q10b),
+                ),
+                N_PROBE,
+            )
+            del tr10._jvm_ops
+            # the honest full-span third point: the series frames ~3,500
+            # day sketches — cost is O(days) BY DESIGN (the r12 tier's
+            # documented growth law), recorded so the curve stays measured
+            timed_spread(
+                "uw_retention_by_week_direct_sf10",
+                fresh(tr10, lambda: tr10.retention_rows_by("week")),
+                max(3, N_PROBE // 3),
+            )
+            log(
+                f"uw_retention_q_by_week_sf10: direct "
+                f"{queries['uw_retention_q_by_week_direct_sf10']*1e3:.1f} ms "
+                f"vs job {queries['uw_retention_q_by_week_jobpath_sf10']*1e3:.0f} ms; "
+                f"full-span {queries['uw_retention_by_week_direct_sf10']*1e3:.0f} ms "
+                f"(O(days) by design; theta build "
+                f"{queries['theta_index_build_sf10']:.0f}s)"
+            )
+            tr10.unpersist()
             log(
                 f"uw_approx_distinct_sf10: "
                 f"{queries['uw_approx_distinct_sf10']*1e3:.2f} ms direct vs "
