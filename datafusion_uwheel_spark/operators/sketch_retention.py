@@ -845,6 +845,114 @@ class SketchRetention:
             return None
         return cells, self._pack_grouped(frame_counts, sel), counts
 
+    def _keyed_day_tier(self, col: str, box: dict):
+        """The (key, UTC-day) pre-merged tier for the KEYED grouped gates
+        (r12): ``{key: (day_secs, merged_bufs, raw_counts)}`` — the day
+        tier's economics applied to the ``*_by_key`` forms, whose mirrors
+        are keys × buckets deep (the heaviest framing surface). Same
+        build-once-per-box, same socket-cap one-job fallback, same
+        eligibility proof as :meth:`_day_tier` (callers gate ranges with
+        :meth:`_tier_serves_range`; key grouping is orthogonal to the
+        day slicing). ``None`` when ineligible."""
+        m = box["m"]
+        secs, bufs, keys = m
+        if keys is None or len(secs) < self._TIER_MIN_ROWS:
+            return None
+        ops = self._sketch_ops()
+        if ops is None:
+            return None
+        merge = self._jvm_merge_grouped(ops)
+        if merge is None:
+            return None
+        cache = box.setdefault("day_key_tier", {})
+        t = cache.get(col)
+        if t is not None:
+            return None if t is False else t
+        from ..functions.timestamps import bucket_starts
+
+        kb = bucket_starts(secs, "day")
+        idxs = sorted(
+            range(len(secs)),
+            key=lambda i: ((keys[i] is not None, keys[i]), kb[i]),
+        )
+        cells: list = []
+        fcounts: list = []
+        rcounts: list = []
+        sel: list = []
+        for i in idxs:
+            kk = (keys[i], int(kb[i]))
+            if not cells or cells[-1] != kk:
+                cells.append(kk)
+                fcounts.append(0)
+                rcounts.append(0)
+            if bufs[i] is not None:
+                sel.append(bufs[i])
+                fcounts[-1] += 1
+                rcounts[-1] += 1
+        if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+            t = self._keyed_day_tier_via_job(col, box)
+            cache[col] = False if t is None else t
+            return t
+        merged = self._unframe(
+            bytes(merge(self._pack_grouped(fcounts, sel)))
+        )
+        out: dict = {}
+        for (k, d), buf, c in zip(cells, merged, rcounts):
+            slot = out.setdefault(k, ([], [], []))
+            slot[0].append(d)
+            slot[1].append(buf)
+            slot[2].append(c)
+        cache[col] = out
+        return out
+
+    def _keyed_day_tier_via_job(self, col: str, box: dict):
+        """(key, day) tier by ONE Spark job — see :meth:`_day_tier_via_job`
+        for the bucketing/NULL semantics; output is keys × days rows."""
+        rows = (
+            box["df"]
+            .groupBy(
+                F.col("__key"),
+                (
+                    F.floor(F.col("__sec") / self._TIER_SECONDS)
+                    * self._TIER_SECONDS
+                ).cast("long").alias("__sec"),
+            )
+            .agg(*self._union_agg_exprs(), F.count(F.col(col)).alias("__n"))
+            .collect()
+        )
+        if not rows:
+            return None
+        rows.sort(key=lambda r: ((r[0] is not None, r[0]), r[1]))
+        out: dict = {}
+        for r in rows:
+            slot = out.setdefault(r[0], ([], [], []))
+            slot[0].append(int(r[1]))
+            slot[1].append(None if r[2] is None else bytes(r[2]))
+            slot[2].append(int(r[3]))
+        return out
+
+    @staticmethod
+    def _tier_key_frames(tier: dict, a, b):
+        """Slice a keyed day tier to ``[a, b)`` (``a=None`` = full span):
+        ``{key: (bufs_in_range, raw_count_in_range)}`` with keys that
+        have NO days in range omitted — exactly the raw selection's
+        key-presence rule."""
+        out: dict = {}
+        for k, (dsecs, bufs, counts) in tier.items():
+            fr: list = []
+            n = 0
+            present = False
+            for d, buf, c in zip(dsecs, bufs, counts):
+                if a is not None and not (a <= d < b):
+                    continue
+                present = True
+                n += c
+                if buf is not None:
+                    fr.append(buf)
+            if present:
+                out[k] = (fr, n)
+        return out
+
     def _keyed_cells(self, col, start, end):
         """The PER-KEY grouped gate (the ``*_by_key`` dimensional forms):
         ``(key_values, framed_blob, counts)`` with keys in the job path's
@@ -875,6 +983,22 @@ class SketchRetention:
         # keys cannot be None here: the dtype gate above proved __key is
         # a column of the same df the mirror box is identity-keyed to
         secs, bufs, keys = m
+        # r12: the (key, day) tier serves full spans and provably-safe
+        # day-aligned ranges (see _tier_serves_range) — O(keys × days)
+        # merged frames instead of keys × raw buckets
+        if a is None or self._tier_serves_range(box, a, b):
+            tier = self._keyed_day_tier(col, box)
+            if tier is not None:
+                per_key = self._tier_key_frames(tier, a, b)
+                if not per_key:
+                    return [], struct.pack(">i", 0), []
+                ordered = sorted(per_key, key=lambda k: (k is not None, k))
+                counts = [per_key[k][1] for k in ordered]
+                fcounts = [len(per_key[k][0]) for k in ordered]
+                sel = [bb for k in ordered for bb in per_key[k][0]]
+                if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+                    return None
+                return ordered, self._pack_grouped(fcounts, sel), counts
         if a is not None:
             idx = self._selected_indices(box, secs, a, b)
         else:
@@ -930,6 +1054,32 @@ class SketchRetention:
         if m is False:
             return None
         secs, bufs, keys = m  # dtype gate above proved __key exists
+        # r12: both ranges provably day-sliceable -> the (key, day) tier
+        # frames O(keys × days-in-range) merged sketches per side
+        if all(self._tier_serves_range(box, a, b) for a, b in spans):
+            tier = self._keyed_day_tier(col, box)
+            if tier is not None:
+                sides = [
+                    self._tier_key_frames(tier, a, b) for a, b in spans
+                ]
+                merged_keys = set(sides[0]) | set(sides[1])
+                ordered = sorted(
+                    merged_keys, key=lambda k: (k is not None, k)
+                )
+                blobs = []
+                total = 0
+                for side in sides:
+                    fcounts: list = []
+                    sel: list = []
+                    for k in ordered:
+                        fr = side.get(k, ([], 0))[0]
+                        sel.extend(fr)
+                        fcounts.append(len(fr))
+                    total += sum(len(x) for x in sel)
+                    blobs.append(self._pack_grouped(fcounts, sel))
+                if total > self._DIRECT_MAX_BYTES:
+                    return None
+                return ordered, blobs[0], blobs[1]
         frames: dict = {}
         for j, (a, b) in enumerate(spans):
             for i in self._selected_indices(box, secs, a, b).tolist():

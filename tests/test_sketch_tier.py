@@ -46,9 +46,12 @@ def events(spark):
                     ts,
                     None if null_day else (h * 7 + j * 13) % 97,
                     None if null_day else float((h * 31 + j) % 211),
+                    "click" if (h + j) % 3 else "view",
                 )
             )
-    return spark.createDataFrame(rows, "ts timestamp, uid bigint, v double")
+    return spark.createDataFrame(
+        rows, "ts timestamp, uid bigint, v double, et string"
+    )
 
 
 def _no_jobs(spark, fn):
@@ -304,5 +307,116 @@ def test_job_built_tier_over_socket_cap(spark, events):
         r.invalidate_asks()
         assert got == r.retention_rows_by("day")
         del r._jvm_ops
+    finally:
+        r.unpersist()
+
+
+# ------------------------------------------------------- keyed tier (r12)
+def _key_tier_state(rollup, col):
+    box = rollup._mirror_box()
+    return box.get("day_key_tier", {}).get(col)
+
+
+def test_keyed_day_tier_distinct_by_key(spark, events):
+    """The (key, day) tier serves the *_by_key forms: full span and
+    day-aligned ranges equal the raw framing and the job path exactly
+    (HLL register unions are associative); unaligned bounds keep raw."""
+    r = build_distinct_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        cases = [
+            (None, None),
+            ("2024-03-04 00:00:00", "2024-03-18 00:00:00"),
+        ]
+        for s, e in cases:
+            r._TIER_MIN_ROWS = 10**9
+            r.invalidate_asks()
+            raw = r.distinct_rows_by_key(s, e)
+            r._jvm_ops = None
+            r.invalidate_asks()
+            job = [
+                tuple(x) for x in r.approx_distinct_by_key(s, e).collect()
+            ]
+            del r._jvm_ops
+            r._TIER_MIN_ROWS = 0
+            r.invalidate_asks()
+            tiered, job_free = _no_jobs(
+                spark, lambda s=s, e=e: r.distinct_rows_by_key(s, e)
+            )
+            assert _key_tier_state(r, "__hll") not in (None, False)
+            assert tiered == raw == job, (s, e)
+        # unaligned bound: raw framing, no divergence
+        r.invalidate_asks()
+        got = r.distinct_rows_by_key("2024-03-04 06:00:00", None)
+        r._TIER_MIN_ROWS = 10**9
+        r.invalidate_asks()
+        assert got == r.distinct_rows_by_key("2024-03-04 06:00:00", None)
+    finally:
+        r.unpersist()
+
+
+def test_keyed_day_tier_theta_cohort(spark, events):
+    """retained_rows_by_key / cohort_rows_by_key through the (key, day)
+    tier: day-aligned range pairs equal the raw framing and the job path
+    exactly (theta algebra); a key with rows in only one range stays in
+    the output with the empty-side semantics."""
+    r = build_theta_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        r1 = ("2024-03-04 00:00:00", "2024-03-11 00:00:00")
+        r2 = ("2024-03-11 00:00:00", "2024-03-18 00:00:00")
+        r._TIER_MIN_ROWS = 10**9
+        raw = r.retained_rows_by_key(r1, r2)
+        raw_cohort = r.cohort_rows_by_key(r1, r2)
+        r._jvm_ops = None
+        r.invalidate_asks()
+        job = r.retained_rows_by_key(r1, r2)
+        del r._jvm_ops
+        r._TIER_MIN_ROWS = 0
+        r.invalidate_asks()
+        tiered, job_free = _no_jobs(
+            spark, lambda: r.retained_rows_by_key(r1, r2)
+        )
+        assert _key_tier_state(r, "__theta") not in (None, False)
+        assert tiered == raw == job
+        r.invalidate_asks()
+        assert r.cohort_rows_by_key(r1, r2) == raw_cohort
+        # warm asks zero-job once the tier exists
+        r.invalidate_asks()
+        got, jf = _no_jobs(spark, lambda: r.retained_rows_by_key(r1, r2))
+        assert jf and got == raw
+        # unaligned pair: raw framing (tier refused), still equal
+        ru = ("2024-03-04 06:00:00", "2024-03-11 00:00:00")
+        r.invalidate_asks()
+        got = r.retained_rows_by_key(ru, r2)
+        r._TIER_MIN_ROWS = 10**9
+        r.invalidate_asks()
+        assert got == r.retained_rows_by_key(ru, r2)
+    finally:
+        r.unpersist()
+
+
+def test_keyed_day_tier_job_built_over_cap(spark, events):
+    r = build_distinct_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        r._TIER_MIN_ROWS = 0
+        raw_bytes = sum(
+            len(b) for b in r._bytes_mirror("__hll")[1] if b is not None
+        )
+        r._DIRECT_MAX_BYTES = raw_bytes // 2
+        r._jvm_ops = None
+        job = [tuple(x) for x in r.approx_distinct_by_key(None, None).collect()]
+        del r._jvm_ops
+        r.invalidate_asks()
+        tiered = r.distinct_rows_by_key(None, None)
+        assert _key_tier_state(r, "__hll") not in (None, False)
+        assert tiered == job
+        r.invalidate_asks()
+        got, jf = _no_jobs(spark, lambda: r.distinct_rows_by_key(None, None))
+        assert jf and got == job
     finally:
         r.unpersist()
