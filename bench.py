@@ -1012,6 +1012,17 @@ def main() -> None:
             return n1
         finally:
             shutil.rmtree(d, ignore_errors=True)
+            # each run leaves two eager localCheckpoints per batch pinned
+            # until Python GC drops the frame refs — across the four
+            # samples (float32 + q8, two each) the accumulated blocks
+            # degraded later samples 2-4x in-session (r12: [17, 32] s then
+            # [69, 91] s, while a fresh session ran the SAME q8 code at
+            # 20 s). Collect promptly so each sample prices the operator,
+            # not its predecessors' leftovers.
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     # two samples: the row prices TWO full batch passes (~30 s each run at
     # sf0.1) and the [min, max] spread needs no more; n1 equals the batch
