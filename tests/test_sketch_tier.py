@@ -420,3 +420,41 @@ def test_keyed_day_tier_job_built_over_cap(spark, events):
         assert jf and got == job
     finally:
         r.unpersist()
+
+
+def test_keyed_day_tier_quantile_by_key_rank_bounded(spark, events):
+    """quantile_rows_by_key through the (key, day) tier: per-key medians
+    stay rank-bounded against the per-key truth (KLL merges are
+    randomized), NULL-only keys surface NULL, and the day-aligned range
+    matches the raw framing's key set exactly."""
+    r = build_quantile_rollup(
+        events, "ts", "v", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        s, e = "2024-03-04 00:00:00", "2024-03-18 00:00:00"
+        r._TIER_MIN_ROWS = 0
+        tiered, _ = _no_jobs(
+            spark, lambda: r.quantile_rows_by_key(0.5, s, e)
+        )
+        assert _key_tier_state(r, "__kll") not in (None, False)
+        r._TIER_MIN_ROWS = 10**9
+        r.invalidate_asks()
+        raw = r.quantile_rows_by_key(0.5, s, e)
+        assert [k for k, _ in tiered] == [k for k, _ in raw]
+        import datetime
+
+        lo = datetime.datetime(2024, 3, 4)
+        hi = datetime.datetime(2024, 3, 18)
+        by_key: dict = {}
+        for row in events.collect():
+            if lo <= row["ts"] < hi and row["v"] is not None:
+                by_key.setdefault(row["et"], []).append(row["v"])
+        for k, val in tiered:
+            vals = sorted(by_key.get(k, []))
+            if not vals:
+                assert val is None
+                continue
+            rank = vals.index(val) / len(vals)
+            assert abs(rank - 0.5) < 0.06, (k, val)
+    finally:
+        r.unpersist()
