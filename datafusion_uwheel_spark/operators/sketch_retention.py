@@ -657,10 +657,6 @@ class SketchRetention:
                 return None
         elif granularity not in ("day", "week", "month", "quarter", "year"):
             return None
-        m = box["m"]
-        secs, bufs, keys = m
-        if keys is not None or len(secs) < self._TIER_MIN_ROWS:
-            return None
         ops = self._sketch_ops()
         if ops is None:
             return None
@@ -671,6 +667,18 @@ class SketchRetention:
         t = cache.get(col)
         if t is not None:
             return None if t is False else t
+        m = box["m"]
+        if m is False:
+            # no raw mirror to pre-merge driver-side (over-cap rollup) —
+            # the tier exists ONLY via the job build, size-guarded there
+            if self.key_column is not None:
+                return None
+            t = self._day_tier_via_job(col, box)
+            cache[col] = False if t is None else t
+            return t
+        secs, bufs, keys = m
+        if keys is not None or len(secs) < self._TIER_MIN_ROWS:
+            return None
         from ..functions.timestamps import bucket_starts
 
         kb = bucket_starts(secs, "day")
@@ -730,10 +738,18 @@ class SketchRetention:
         )
         if not rows:
             return None
+        # the tier must itself fit the driver caps (an over-cap MIRROR may
+        # route here with no raw-size prior at all): a decade of days is
+        # ~3.7k rows, far under _MIRROR_MAX_ROWS — but a second-granular
+        # rollup with multi-year span and saturated sketches could not be
+        if len(rows) > self._MIRROR_MAX_ROWS:
+            return None
         rows.sort(key=lambda r: r[0])
         dsecs = np.asarray([r[0] for r in rows], dtype=np.int64)
         bufs = [None if r[1] is None else bytes(r[1]) for r in rows]
         counts = [int(r[2]) for r in rows]
+        if sum(len(x) for x in bufs if x is not None) > self._MIRROR_MAX_BYTES:
+            return None
         return dsecs, bufs, counts
 
     def _grouped_cells(self, col, granularity, start, end, keyed_ask=False):
@@ -790,31 +806,43 @@ class SketchRetention:
         # the box's state.
         self._check_granularity(granularity, start, tiers=box["tiers"])
         m = self._bytes_mirror(col, box)
-        if m is False:
-            return None
-        secs, bufs, _keys = m
         tier_counts = None
-        if a is not None and not self._tier_serves_range(box, a, b):
+        tier_eligible = a is None or self._tier_serves_range(box, a, b)
+        if m is False:
+            # over-cap mirror (the 100 TB shape: too many raw buckets to
+            # hold driver-side at all) — a tier-eligible series can STILL
+            # answer direct from the job-built day tier (r12): days are
+            # 24-3600x fewer than raw buckets, so the tier fits where the
+            # mirror cannot. Anything the tier can't prove stays on the
+            # job path.
+            tier = (
+                self._day_tier(col, box, granularity)
+                if tier_eligible
+                else None
+            )
+            if tier is None:
+                return None
+            secs, bufs, tier_counts = tier
+        else:
+            secs, bufs, _keys = m
+            if tier_eligible:
+                # r12: day-or-coarser series answer from the pre-merged
+                # day tier — O(days) merged sketches through the socket
+                # instead of the span's raw bucket bytes (the sf1 week
+                # series measured 7.1 MB/ask raw; see _day_tier). Serves
+                # the FULL span always, and RESTRICTED ranges exactly
+                # when _tier_serves_range proves the width-aware
+                # edge-sliver selection degenerates to whole-day slicing;
+                # anything else keeps the raw framing.
+                tier = self._day_tier(col, box, granularity)
+                if tier is not None:
+                    secs, bufs, tier_counts = tier
+        if tier_counts is not None and a is not None:
+            idx = np.nonzero((secs >= a) & (secs < b))[0]
+        elif a is not None:
             idx = self._selected_indices(box, secs, a, b)
         else:
-            # r12: day-or-coarser series answer from the pre-merged day
-            # tier — O(days) merged sketches through the socket instead
-            # of the span's raw bucket bytes (the sf1 week series
-            # measured 7.1 MB/ask raw; see _day_tier). Serves the FULL
-            # span always, and RESTRICTED ranges exactly when
-            # _tier_serves_range proves the width-aware edge-sliver
-            # selection degenerates to whole-day slicing (day-aligned
-            # bounds + every bucket width dividing a day); anything else
-            # keeps the raw framing.
-            tier = self._day_tier(col, box, granularity)
-            if tier is not None:
-                secs, bufs, tier_counts = tier
-            if a is not None and tier is not None:
-                idx = np.nonzero((secs >= a) & (secs < b))[0]
-            elif a is not None:
-                idx = self._selected_indices(box, secs, a, b)
-            else:
-                idx = np.arange(len(secs))
+            idx = np.arange(len(secs))
         if not len(idx):
             return [], struct.pack(">i", 0), []
         kb = bucket_starts(secs[idx], granularity)
@@ -854,10 +882,6 @@ class SketchRetention:
         eligibility proof as :meth:`_day_tier` (callers gate ranges with
         :meth:`_tier_serves_range`; key grouping is orthogonal to the
         day slicing). ``None`` when ineligible."""
-        m = box["m"]
-        secs, bufs, keys = m
-        if keys is None or len(secs) < self._TIER_MIN_ROWS:
-            return None
         ops = self._sketch_ops()
         if ops is None:
             return None
@@ -868,6 +892,16 @@ class SketchRetention:
         t = cache.get(col)
         if t is not None:
             return None if t is False else t
+        m = box["m"]
+        if m is False:
+            # over-cap keyed mirror: the (key, day) tier may still fit —
+            # job build only, size-guarded there (r12)
+            t = self._keyed_day_tier_via_job(col, box)
+            cache[col] = False if t is None else t
+            return t
+        secs, bufs, keys = m
+        if keys is None or len(secs) < self._TIER_MIN_ROWS:
+            return None
         from ..functions.timestamps import bucket_starts
 
         kb = bucket_starts(secs, "day")
@@ -921,6 +955,13 @@ class SketchRetention:
             .collect()
         )
         if not rows:
+            return None
+        if len(rows) > self._MIRROR_MAX_ROWS:
+            return None
+        if (
+            sum(len(r[2]) for r in rows if r[2] is not None)
+            > self._MIRROR_MAX_BYTES
+        ):
             return None
         rows.sort(key=lambda r: ((r[0] is not None, r[0]), r[1]))
         out: dict = {}
@@ -978,14 +1019,10 @@ class SketchRetention:
         a, b = bounds
         box = self._mirror_box()
         m = self._bytes_mirror(col, box)
-        if m is False:
-            return None
-        # keys cannot be None here: the dtype gate above proved __key is
-        # a column of the same df the mirror box is identity-keyed to
-        secs, bufs, keys = m
         # r12: the (key, day) tier serves full spans and provably-safe
         # day-aligned ranges (see _tier_serves_range) — O(keys × days)
-        # merged frames instead of keys × raw buckets
+        # merged frames instead of keys × raw buckets; for an OVER-CAP
+        # mirror (m is False) the job-built tier is the only direct path
         if a is None or self._tier_serves_range(box, a, b):
             tier = self._keyed_day_tier(col, box)
             if tier is not None:
@@ -999,6 +1036,11 @@ class SketchRetention:
                 if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
                     return None
                 return ordered, self._pack_grouped(fcounts, sel), counts
+        if m is False:
+            return None
+        # keys cannot be None here: the dtype gate above proved __key is
+        # a column of the same df the mirror box is identity-keyed to
+        secs, bufs, keys = m
         if a is not None:
             idx = self._selected_indices(box, secs, a, b)
         else:
@@ -1051,11 +1093,10 @@ class SketchRetention:
             spans.append((a, b))
         box = self._mirror_box()
         m = self._bytes_mirror(col, box)
-        if m is False:
-            return None
-        secs, bufs, keys = m  # dtype gate above proved __key exists
         # r12: both ranges provably day-sliceable -> the (key, day) tier
-        # frames O(keys × days-in-range) merged sketches per side
+        # frames O(keys × days-in-range) merged sketches per side; for an
+        # over-cap mirror (m is False) the job-built tier is the only
+        # direct path
         if all(self._tier_serves_range(box, a, b) for a, b in spans):
             tier = self._keyed_day_tier(col, box)
             if tier is not None:
@@ -1080,6 +1121,9 @@ class SketchRetention:
                 if total > self._DIRECT_MAX_BYTES:
                     return None
                 return ordered, blobs[0], blobs[1]
+        if m is False:
+            return None
+        secs, bufs, keys = m  # dtype gate above proved __key exists
         frames: dict = {}
         for j, (a, b) in enumerate(spans):
             for i in self._selected_indices(box, secs, a, b).tolist():

@@ -458,3 +458,66 @@ def test_keyed_day_tier_quantile_by_key_rank_bounded(spark, events):
             assert abs(rank - 0.5) < 0.06, (k, val)
     finally:
         r.unpersist()
+
+
+def test_over_cap_mirror_served_by_job_tier(spark, events):
+    """When the RAW mirror itself refuses (the 100 TB shape: too many
+    buckets for the driver), tier-eligible series still answer direct
+    from the job-built day tier — days are 24x+ fewer than raw buckets.
+    Non-eligible asks (sub-day, unaligned restriction) stay on the job
+    path, identical answers."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._jvm_ops = None
+        job_week = r.retention_rows_by("week")
+        job_hour = r.retention_rows_by("hour")
+        del r._jvm_ops
+        r.invalidate_asks()
+        # cap between the tier's 21 day rows and the mirror's 504 raw
+        # rows: the mirror refuses, the job-built tier fits
+        r._MIRROR_MAX_ROWS = 30
+        r._drop_mirror()
+        assert r._bytes_mirror("__theta") is False
+        tiered = r.retention_rows_by("week")
+        assert tiered == job_week
+        assert _tier_state(r, "__theta") not in (None, False)
+        # warm: zero-job from the cached job-built tier
+        r.invalidate_asks()
+        got, jf = _no_jobs(spark, lambda: r.retention_rows_by("week"))
+        assert jf and got == job_week
+        # sub-day granularity cannot tier: transparent job path
+        r.invalidate_asks()
+        assert r.retention_rows_by("hour") == job_hour
+    finally:
+        r.unpersist()
+
+
+def test_over_cap_keyed_mirror_served_by_job_tier(spark, events):
+    r = build_distinct_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        r._jvm_ops = None
+        job = [tuple(x) for x in r.approx_distinct_by_key(None, None).collect()]
+        del r._jvm_ops
+        r.invalidate_asks()
+        # between the keyed tier's ~42 (day, key) rows and the keyed
+        # mirror's ~1000 raw rows
+        r._MIRROR_MAX_ROWS = 100
+        r._drop_mirror()
+        assert r._bytes_mirror("__hll") is False
+        tiered = r.distinct_rows_by_key(None, None)
+        assert tiered == job
+        assert _key_tier_state(r, "__hll") not in (None, False)
+        r.invalidate_asks()
+        got, jf = _no_jobs(spark, lambda: r.distinct_rows_by_key(None, None))
+        assert jf and got == job
+        # unaligned restriction on the over-cap mirror: job path, equal
+        r.invalidate_asks()
+        got = r.distinct_rows_by_key("2024-03-04 06:00:00", None)
+        r._jvm_ops = None
+        r.invalidate_asks()
+        assert got == r.distinct_rows_by_key("2024-03-04 06:00:00", None)
+        del r._jvm_ops
+    finally:
+        r.unpersist()
