@@ -530,6 +530,37 @@ class SketchRetention:
 
         box = self._mirror_box()
         m = self._bytes_mirror(col, box)
+        # r12: day-aligned SCALAR ranges frame the tier's day merges too —
+        # the same whole-day-slicing proof as the series forms, and on an
+        # over-cap mirror the job-built tier is the only direct path. The
+        # returned n is the RAW non-NULL frame count in range, so the
+        # callers' empty-range semantics (0 / NULL-per-rank) are decided
+        # on the same numbers as the raw framing.
+        if self._tier_serves_range(box, a, b):
+            sel = None
+            if key is SketchRetention._NO_ASK and self.key_column is None:
+                tier = self._day_tier(col, box)
+                if tier is not None:
+                    dsecs, dbufs, dcounts = tier
+                    sel, n = [], 0
+                    for d, buf, c in zip(dsecs.tolist(), dbufs, dcounts):
+                        if a <= d < b:
+                            n += c
+                            if buf is not None:
+                                sel.append(buf)
+            elif key is not SketchRetention._NO_ASK and self.key_column is not None:
+                ktier = self._keyed_day_tier(col, box)
+                if ktier is not None:
+                    fr = self._tier_key_frames(ktier, a, b).get(key)
+                    sel, n = ([], 0) if fr is None else (list(fr[0]), fr[1])
+            if sel is not None:
+                if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+                    return None
+                parts = [struct.pack(">i", len(sel))]
+                for bb in sel:
+                    parts.append(struct.pack(">i", len(bb)))
+                    parts.append(bb)
+                return b"".join(parts), n
         if m is False:
             return None
         secs, bufs, keys = m
@@ -637,26 +668,29 @@ class SketchRetention:
         widths = [self.bucket_seconds] + [w for _end, w in box["tiers"]]
         return all(w > 0 and d % w == 0 for w in widths)
 
-    def _day_tier(self, col: str, box: dict, granularity):
+    def _tier_granularity_ok(self, granularity) -> bool:
+        """Day-composable ask granularities: the named calendar levels day
+        and coarser, or int widths that are multiples of 86400 — cell
+        assignment by bucket START provably composes through the day
+        truncation (``trunc_g(trunc_day(s)) == trunc_g(s)``)."""
+        if isinstance(granularity, int):
+            return granularity % self._TIER_SECONDS == 0
+        return granularity in ("day", "week", "month", "quarter", "year")
+
+    def _day_tier(self, col: str, box: dict):
         """``(day_secs int64 ndarray, merged_bufs, raw_counts)`` — the
-        per-UTC-day pre-merged tier — or None when the ask/mirror is
-        ineligible. Eligible asks: day-aligned granularities (the named
-        calendar levels day and coarser, or int widths that are multiples
-        of 86400) whose cell assignment by bucket START provably composes
-        through the day truncation (``trunc_g(trunc_day(s)) ==
-        trunc_g(s)``), so tier-served cells/counts/unions are EXACTLY the
-        raw framing's. Keyed rollups keep the raw path (their mirror rows
-        carry per-key frames). Built at most once per mirror box (one
-        framing + one ``*MergeGrouped`` py4j call), cached as data next
-        to the mirror — mutations retire the box, invalidate_asks does
-        not. ``False`` in the cache marks an over-cap build attempt."""
+        per-UTC-day pre-merged tier — or None when the mirror is
+        ineligible (callers gate ask eligibility with
+        :meth:`_tier_granularity_ok` / :meth:`_tier_serves_range`), so
+        tier-served cells/counts/unions are EXACTLY the raw framing's.
+        Keyed rollups keep the raw path (their mirror rows carry per-key
+        frames). Built at most once per mirror box (one framing + one
+        ``*MergeGrouped`` py4j call, or ONE Spark job past the caps),
+        cached as data next to the mirror — mutations retire the box,
+        invalidate_asks does not. ``False`` in the cache marks an
+        over-cap build attempt."""
         import numpy as np
 
-        if isinstance(granularity, int):
-            if granularity % self._TIER_SECONDS != 0:
-                return None
-        elif granularity not in ("day", "week", "month", "quarter", "year"):
-            return None
         ops = self._sketch_ops()
         if ops is None:
             return None
@@ -807,7 +841,9 @@ class SketchRetention:
         self._check_granularity(granularity, start, tiers=box["tiers"])
         m = self._bytes_mirror(col, box)
         tier_counts = None
-        tier_eligible = a is None or self._tier_serves_range(box, a, b)
+        tier_eligible = self._tier_granularity_ok(granularity) and (
+            a is None or self._tier_serves_range(box, a, b)
+        )
         if m is False:
             # over-cap mirror (the 100 TB shape: too many raw buckets to
             # hold driver-side at all) — a tier-eligible series can STILL
@@ -816,7 +852,7 @@ class SketchRetention:
             # mirror cannot. Anything the tier can't prove stays on the
             # job path.
             tier = (
-                self._day_tier(col, box, granularity)
+                self._day_tier(col, box)
                 if tier_eligible
                 else None
             )
@@ -834,7 +870,7 @@ class SketchRetention:
                 # when _tier_serves_range proves the width-aware
                 # edge-sliver selection degenerates to whole-day slicing;
                 # anything else keeps the raw framing.
-                tier = self._day_tier(col, box, granularity)
+                tier = self._day_tier(col, box)
                 if tier is not None:
                     secs, bufs, tier_counts = tier
         if tier_counts is not None and a is not None:

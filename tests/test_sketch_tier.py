@@ -521,3 +521,73 @@ def test_over_cap_keyed_mirror_served_by_job_tier(spark, events):
         del r._jvm_ops
     finally:
         r.unpersist()
+
+
+def test_scalar_asks_ride_the_tier(spark, events):
+    """Day-aligned SCALAR range asks frame the tier's day merges under
+    the same slicing proof — exact for theta/HLL vs the raw framing and
+    the job path, including on an over-cap mirror, with raw counts
+    deciding the empty-range semantics."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        A, B = "2024-03-04 00:00:00", "2024-03-18 00:00:00"
+        r._jvm_ops = None
+        job = r.approx_distinct(A, B)
+        del r._jvm_ops
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 10**9
+        raw = r.approx_distinct(A, B)
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        tiered, jf = _no_jobs(spark, lambda: r.approx_distinct(A, B))
+        assert tiered == raw == job
+        assert _tier_state(r, "__theta") not in (None, False)
+        # the all-NULL-day span: n == 0 through tier counts
+        r.invalidate_asks()
+        n0 = r.approx_distinct("2024-03-06 00:00:00", "2024-03-07 00:00:00")
+        assert n0 == 0
+        # over-cap mirror: scalar day-aligned asks stay zero-job direct
+        r._MIRROR_MAX_ROWS = 30
+        r._drop_mirror()
+        r.invalidate_asks()
+        assert r._bytes_mirror("__theta") is False
+        got = r.approx_distinct(A, B)
+        assert got == job
+        r.invalidate_asks()
+        got, jf = _no_jobs(spark, lambda: r.approx_distinct(A, B))
+        assert jf and got == job
+        # unaligned bounds on the over-cap mirror: transparent job path
+        r.invalidate_asks()
+        r._jvm_ops = None
+        want = r.approx_distinct("2024-03-04 06:00:00", B)
+        del r._jvm_ops
+        r.invalidate_asks()
+        assert r.approx_distinct("2024-03-04 06:00:00", B) == want
+    finally:
+        r.unpersist()
+
+
+def test_keyed_scalar_asks_ride_the_keyed_tier(spark, events):
+    r = build_distinct_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        A, B = "2024-03-04 00:00:00", "2024-03-18 00:00:00"
+        r._jvm_ops = None
+        job = r.approx_distinct(A, B, key="click")
+        del r._jvm_ops
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 10**9
+        raw = r.approx_distinct(A, B, key="click")
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        tiered, _ = _no_jobs(
+            spark, lambda: r.approx_distinct(A, B, key="click")
+        )
+        assert tiered == raw == job
+        assert _key_tier_state(r, "__hll") not in (None, False)
+        # absent key: 0 like the job path's empty aggregate
+        r.invalidate_asks()
+        assert r.approx_distinct(A, B, key="no-such-key") == 0
+    finally:
+        r.unpersist()
