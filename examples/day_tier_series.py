@@ -1,0 +1,105 @@
+"""The r12 day-tier ladder, end to end: a dashboard's series and scalar
+asks answered zero-job from per-UTC-day PRE-MERGED sketches — at every
+mirror regime, including the one where the raw mirror cannot exist.
+
+Three demos over the driver testdata's events table (hourly theta/HLL
+rollups on ``user_id``):
+
+1. SERIES — ``retention_rows_by("week")`` full-span and day-aligned
+   restricted: tier-served answers must equal the forced-raw framing and
+   the forced job path row-for-row (theta set algebra is exact).
+2. SCALAR — ``approx_distinct(a, b)`` with day-aligned bounds rides the
+   same tier; unaligned bounds transparently keep the raw/job paths.
+3. OVER-CAP — with the mirror caps forced below the rollup's size (the
+   100 TB regime: too many raw buckets for driver residency), the tier
+   builds via ONE Spark job and every later eligible ask is zero-job.
+
+Run: ``python examples/day_tier_series.py`` (env ``SPARK_GRAFT_SF_DIR``
+to point at a larger SF).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def njobs(spark) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+
+
+def main() -> None:
+    from datafusion_uwheel_spark import WheelEngine, get_spark
+
+    spark = get_spark("day-tier-demo", master="local[8]", shuffle_partitions=8)
+    eng = WheelEngine(
+        spark, "events", f"{SF_DIR}/events.parquet", time_column="ts"
+    )
+    tr = eng.build_theta_index("user_id")
+    dr = eng.build_distinct_index("user_id")
+    A, B = "2024-01-08 00:00:00", "2024-01-22 00:00:00"
+
+    # ---- 1. series: tier == raw == job ---------------------------------
+    tr._TIER_MIN_ROWS = 0  # the demo corpus is small; force the tier on
+    t0 = time.perf_counter()
+    j0 = njobs(spark)
+    tiered = tr.retention_rows_by("week", A, B)
+    dt_tier = time.perf_counter() - t0
+    jobs_tier = njobs(spark) - j0 - 1  # minus the one-time tier build
+    tr._TIER_MIN_ROWS = 10**9
+    tr.invalidate_asks()
+    raw = tr.retention_rows_by("week", A, B)
+    tr._jvm_ops = None
+    tr.invalidate_asks()
+    t0 = time.perf_counter()
+    job = tr.retention_rows_by("week", A, B)
+    dt_job = time.perf_counter() - t0
+    del tr._jvm_ops
+    assert tiered == raw == job, "tier-served series must be exact"
+    print(
+        f"series by week [{A[:10]}..{B[:10]}]: {len(tiered)} rows — "
+        f"tier {dt_tier*1e3:.1f} ms vs job path {dt_job*1e3:.0f} ms"
+    )
+
+    # ---- 2. scalar: day-aligned rides the tier, unaligned stays raw ----
+    tr._TIER_MIN_ROWS = 0
+    tr.invalidate_asks()
+    j0 = njobs(spark)
+    n_aligned = tr.approx_distinct(A, B)
+    assert njobs(spark) == j0, "warm tier scalar ask must be zero-job"
+    n_unaligned = tr.approx_distinct("2024-01-08 06:00:00", B)
+    print(
+        f"scalar approx_distinct: aligned {n_aligned} (zero-job via tier), "
+        f"unaligned {n_unaligned} (raw framing, still direct)"
+    )
+
+    # ---- 3. over-cap mirror: the job-built tier is the direct path -----
+    dr._jvm_ops = None
+    want = [tuple(r) for r in (dr.approx_distinct_by("day", A, B).collect())]
+    del dr._jvm_ops
+    dr.invalidate_asks()
+    # force "mirror cannot exist" (the 100 TB regime): a cap between the
+    # tier's ~28 day rows and the raw mirror's ~672 hourly rows
+    dr._MIRROR_MAX_ROWS = 100
+    dr._drop_mirror()
+    assert dr._bytes_mirror("__hll") is False
+    got = dr.distinct_rows_by("day", A, B)
+    assert got == want, "over-cap tier answers must equal the job path"
+    dr.invalidate_asks()
+    j0 = njobs(spark)
+    got2 = dr.distinct_rows_by("day", A, B)
+    assert njobs(spark) == j0 and got2 == want
+    print(
+        f"over-cap mirror: {len(got)} day cells served zero-job from the "
+        "job-built tier (== job path row-for-row)"
+    )
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
