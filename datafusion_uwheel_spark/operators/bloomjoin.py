@@ -139,19 +139,34 @@ def bloom_anti_join(
             RuntimeWarning,
             stacklevel=2,
         )
-        return _exact(left, right, lcol, rcol, "left_anti")
+        out = _exact(left, right, lcol, rcol, "left_anti")
+        if persist_left:
+            # the documented release-hook contract must hold on EVERY
+            # return path the caller can hit (r12 review): a no-op hook
+            # here, so `out._uw_release()` never AttributeErrors after a
+            # fallback the caller only saw as a warning
+            out._uw_release = lambda: None
+        return out
     blob = build_bloom(right, rcol, fpp=fpp, expected_items=expected_items)
     if blob is None:
+        if persist_left:
+            left._uw_release = lambda: None
         return left
     mc = might_contain(blob, lcol)
     if persist_left:
         from pyspark import StorageLevel
 
+        # a collision-proof probe column: left may legitimately carry a
+        # column named __bj_mc (r12 review) — withColumn would silently
+        # REPLACE and later drop the user's data
+        probe_col = "__bj_mc"
+        while probe_col in left.columns:
+            probe_col += "_"
         probed = left.withColumn(
-            "__bj_mc", F.coalesce(mc, F.lit(False))
+            probe_col, F.coalesce(mc, F.lit(False))
         ).persist(storage_level or StorageLevel.MEMORY_AND_DISK)
-        definitive = probed.filter(~F.col("__bj_mc")).drop("__bj_mc")
-        maybe = probed.filter(F.col("__bj_mc")).drop("__bj_mc")
+        definitive = probed.filter(~F.col(probe_col)).drop(probe_col)
+        maybe = probed.filter(F.col(probe_col)).drop(probe_col)
         out = definitive.unionByName(
             _exact(maybe, right, lcol, rcol, "left_anti")
         )

@@ -87,8 +87,14 @@ class DistinctRollup(SketchRetention):
 
     def _jvm_merge_grouped(self, ops):
         """Day-tier pre-merge (r12): HLL register/coupon union is
-        associative — the tier's final register state, and so the
-        estimate, is identical to a flat union of the raw frames."""
+        associative, so the tier's final REGISTER STATE is identical to a
+        flat union of the raw frames — and the estimate is exact-equal in
+        the coupon regime. Beyond it the estimate can differ within the
+        published bound, because estimator SELECTION is path-dependent
+        (a day merge that promotes coupons to HLL mode makes the ask-time
+        union composite where the flat union could stay HIP) — the SAME
+        documented direct-vs-job contract (r11 probe: six update orders
+        of one real day's sketches → six estimates in [1318, 1330])."""
         return ops.hllMergeGrouped
 
     def _range_filter(self, start, end):

@@ -109,9 +109,15 @@ def _cells_kernel(
     cn = _centroid_norms(centroids)
 
     def fn(vs):
+        import numpy as _np
         import pandas as pd
 
         X, ok = _vec_matrix(vs, dim)
+        # NULL elements arrive as NaN through the Arrow boundary with the
+        # row still marked valid; the expression path folds them to a
+        # NULL dot -> cell NULL, so mask them here too (r12 review — the
+        # k > MAX_EXPR_CENTROIDS switch must not change cell assignments)
+        ok = ok & ~_np.isnan(X).any(axis=1)
         n = len(vs)
         D = np.empty((n, len(C)), dtype=np.float64)
         for ci, c in enumerate(C):

@@ -159,15 +159,20 @@ def _seq_dots(X, planes):
 
 def _vec_matrix(series, dim):
     """Arrow batch of vectors → (n, dim) float64 matrix + validity mask.
-    Rows that are NULL or not exactly ``dim`` wide are masked out — the
-    expression path folds them to NULL dots (→ bucket 0 / cell NULL)."""
+    Rows that are NULL, not exactly ``dim`` wide, or carrying a NULL
+    ELEMENT are masked out — the expression path folds each of these to
+    NULL dots (→ bucket 0 / cell NULL / no pair), and numpy would
+    otherwise silently convert a None element to NaN with the row still
+    marked valid, assigning it a real cell the expression path never
+    would (r12 review). Genuine NaN float values stay as-is (both paths
+    propagate them through the folds)."""
     import numpy as np
 
     n = len(series)
     X = np.zeros((n, dim), dtype=np.float64)
     ok = np.zeros(n, dtype=bool)
     for i, v in enumerate(series):
-        if v is not None and len(v) == dim:
+        if v is not None and len(v) == dim and not any(x is None for x in v):
             X[i] = np.asarray(v, dtype=np.float64)
             ok[i] = True
     return X, ok

@@ -551,8 +551,18 @@ class SketchRetention:
             elif key is not SketchRetention._NO_ASK and self.key_column is not None:
                 ktier = self._keyed_day_tier(col, box)
                 if ktier is not None:
-                    fr = self._tier_key_frames(ktier, a, b).get(key)
-                    sel, n = ([], 0) if fr is None else (list(fr[0]), fr[1])
+                    # slice ONLY the asked key (r12 review: building the
+                    # full per-key dict per ask is O(keys × days) driver
+                    # CPU on a sub-ms path)
+                    slot = ktier.get(key)
+                    sel, n = [], 0
+                    if slot is not None:
+                        for d, buf, c in zip(*slot):
+                            if a is not None and not (a <= d < b):
+                                continue
+                            n += c
+                            if buf is not None:
+                                sel.append(buf)
             if sel is not None:
                 if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
                     return None
@@ -747,43 +757,61 @@ class SketchRetention:
         cache[col] = t
         return t
 
-    def _day_tier_via_job(self, col: str, box: dict):
-        """The day tier built by ONE Spark job (day-grouped
-        ``_union_agg_exprs`` + non-NULL frame count over the cached
-        rollup) — same cells, same union algebra as the socket build,
-        with all-NULL days surfacing as empty sketches + count 0 (the
-        probed union-over-NULLs semantics), which the ask-time counts
-        map to the job path's NULL arms identically."""
-        import numpy as np
-
+    def _tier_job_rows(self, col: str, box: dict, keyed: bool):
+        """ONE shared job-build core for BOTH tiers (r12 review: the
+        caps/fallback guards must not live in two drifting copies):
+        pre-SIZED before collecting (the ``_bytes_mirror`` discipline —
+        a post-collect row guard would materialize an unbounded keys ×
+        days result on the driver before it could refuse), then the
+        day-grouped ``_union_agg_exprs`` + non-NULL frame count, row- and
+        byte-capped. Returns sorted collected rows (``[key,] day_sec,
+        sketch, n``) or None. All-NULL cells surface as empty sketches +
+        count 0 (the probed union-over-NULLs semantics), which the
+        ask-time counts map to the job path's NULL arms identically."""
+        # floor division, not %: Spark's % follows the dividend's sign,
+        # which would mis-bucket pre-epoch seconds vs bucket_starts'
+        # floored arithmetic
+        day = (
+            F.floor(F.col("__sec") / self._TIER_SECONDS) * self._TIER_SECONDS
+        ).cast("long")
+        # struct-wrapped when keyed so NULL-key rows still count (bare
+        # multi-arg countDistinct drops any row with a NULL argument)
+        sized_expr = (
+            F.countDistinct(F.struct(F.col("__key"), day))
+            if keyed
+            else F.countDistinct(day)
+        )
+        sized = box["df"].agg(sized_expr.alias("n")).collect()[0]
+        if sized["n"] > self._MIRROR_MAX_ROWS:
+            return None
+        gcols = ([F.col("__key")] if keyed else []) + [day.alias("__sec")]
         rows = (
             box["df"]
-            .groupBy(
-                # floor division, not %: Spark's % follows the dividend's
-                # sign, which would mis-bucket pre-epoch seconds vs
-                # bucket_starts' floored arithmetic
-                (
-                    F.floor(F.col("__sec") / self._TIER_SECONDS)
-                    * self._TIER_SECONDS
-                ).cast("long").alias("__sec")
-            )
+            .groupBy(*gcols)
             .agg(*self._union_agg_exprs(), F.count(F.col(col)).alias("__n"))
             .collect()
         )
-        if not rows:
+        if not rows or len(rows) > self._MIRROR_MAX_ROWS:
             return None
-        # the tier must itself fit the driver caps (an over-cap MIRROR may
-        # route here with no raw-size prior at all): a decade of days is
-        # ~3.7k rows, far under _MIRROR_MAX_ROWS — but a second-granular
-        # rollup with multi-year span and saturated sketches could not be
-        if len(rows) > self._MIRROR_MAX_ROWS:
+        bidx = 2 if keyed else 1
+        if (
+            sum(len(r[bidx]) for r in rows if r[bidx] is not None)
+            > self._MIRROR_MAX_BYTES
+        ):
+            return None
+        return rows
+
+    def _day_tier_via_job(self, col: str, box: dict):
+        """The day tier by ONE Spark job — see :meth:`_tier_job_rows`."""
+        import numpy as np
+
+        rows = self._tier_job_rows(col, box, keyed=False)
+        if rows is None:
             return None
         rows.sort(key=lambda r: r[0])
         dsecs = np.asarray([r[0] for r in rows], dtype=np.int64)
         bufs = [None if r[1] is None else bytes(r[1]) for r in rows]
         counts = [int(r[2]) for r in rows]
-        if sum(len(x) for x in bufs if x is not None) > self._MIRROR_MAX_BYTES:
-            return None
         return dsecs, bufs, counts
 
     def _grouped_cells(self, col, granularity, start, end, keyed_ask=False):
@@ -976,28 +1004,12 @@ class SketchRetention:
         return out
 
     def _keyed_day_tier_via_job(self, col: str, box: dict):
-        """(key, day) tier by ONE Spark job — see :meth:`_day_tier_via_job`
-        for the bucketing/NULL semantics; output is keys × days rows."""
-        rows = (
-            box["df"]
-            .groupBy(
-                F.col("__key"),
-                (
-                    F.floor(F.col("__sec") / self._TIER_SECONDS)
-                    * self._TIER_SECONDS
-                ).cast("long").alias("__sec"),
-            )
-            .agg(*self._union_agg_exprs(), F.count(F.col(col)).alias("__n"))
-            .collect()
-        )
-        if not rows:
-            return None
-        if len(rows) > self._MIRROR_MAX_ROWS:
-            return None
-        if (
-            sum(len(r[2]) for r in rows if r[2] is not None)
-            > self._MIRROR_MAX_BYTES
-        ):
+        """(key, day) tier by ONE Spark job — the shared
+        :meth:`_tier_job_rows` core (keys × days can be unbounded under a
+        high-cardinality ``partition_by``, hence the pre-collect sizing
+        there), regrouped per key."""
+        rows = self._tier_job_rows(col, box, keyed=True)
+        if rows is None:
             return None
         rows.sort(key=lambda r: ((r[0] is not None, r[0]), r[1]))
         out: dict = {}

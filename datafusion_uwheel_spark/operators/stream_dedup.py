@@ -590,9 +590,22 @@ class SemanticCorpusDedup:
     #: direction by at most the max-abs rounding angle (≤ 0.5·√dim/127 in
     #: the adversarial worst case, ~1e-4 radians on real embeddings), so
     #: a replayed row's cosine against its OWN recorded code is slightly
-    #: under 1.0. Thresholds above this cap could let replays re-emit —
-    #: the at-least-once guarantee — so quantized mode refuses them.
+    #: under 1.0. Thresholds above the cap could let replays re-emit —
+    #: the at-least-once guarantee — so quantized mode refuses them. The
+    #: cap is DIM-DEPENDENT (r12 review: a flat 0.995 stops guaranteeing
+    #: replay safety past dim ≈ 650 — at dim 1024 the worst-case tilt is
+    #: 0.126 rad, self-cosine ≥ cos ≈ 0.992): the effective ceiling is
+    #: ``min(0.995, cos(0.5·√dim/127) − 1e-6)``.
     _Q8_MAX_THRESHOLD = 0.995
+
+    @classmethod
+    def _q8_threshold_cap(cls, dim: int) -> float:
+        import math
+
+        return min(
+            cls._Q8_MAX_THRESHOLD,
+            math.cos(0.5 * math.sqrt(dim) / 127.0) - 1e-6,
+        )
 
     def __init__(
         self,
@@ -618,14 +631,17 @@ class SemanticCorpusDedup:
             raise ValueError(f"keep must be one of {_KEEPS}, got {keep!r}")
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
-        if quantize == "int8" and threshold > self._Q8_MAX_THRESHOLD:
-            raise ValueError(
-                f"threshold {threshold} > {self._Q8_MAX_THRESHOLD} with "
-                "quantize='int8': the stored codes' rounding angle could "
-                "push a replayed row's self-cosine under the threshold "
-                "and re-emit it — use full-precision state for "
-                "near-exact thresholds"
-            )
+        if quantize == "int8":
+            cap = self._q8_threshold_cap(len(centroids[0]))
+            if threshold > cap:
+                raise ValueError(
+                    f"threshold {threshold} > {cap:.6f} with "
+                    f"quantize='int8' at dim {len(centroids[0])}: the "
+                    "stored codes' worst-case rounding angle "
+                    "(0.5*sqrt(dim)/127) could push a replayed row's "
+                    "self-cosine under the threshold and re-emit it — "
+                    "use full-precision state for near-exact thresholds"
+                )
         self.spark = spark
         self.state_dir = state_dir
         self.centroids = [[float(x) for x in c] for c in centroids]

@@ -2205,8 +2205,11 @@ object UwheelSketchOps {
     })
 
   /** HLL pre-merge: register-wise max / coupon-set union is associative,
-    * so the merged tier's final register state — and therefore the
-    * estimate — is identical to a flat union of the raw frames. The
+    * so the merged tier's final register state is identical to a flat
+    * union of the raw frames; the ESTIMATE is exact-equal only in the
+    * coupon regime — estimator selection (HIP vs composite) is
+    * path-dependent once a day merge promotes to HLL mode, the same
+    * bound-based contract the direct-vs-job parity documents. The
     * union adopts the first frame's lgConfigK (one rollup, one lgK). */
   def hllMergeGrouped(framed: Array[Byte]): Array[Byte] =
     frameBack(groupedCellFrames(framed).map { fs =>

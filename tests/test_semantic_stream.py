@@ -261,3 +261,26 @@ def test_q8_threshold_cap_and_manifest_mode_pin(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="quantize"):
         SemanticCorpusDedup(spark, str(tmp_path / "m"), CENTS, threshold=T)
+
+
+def test_q8_threshold_cap_scales_with_dim(spark, tmp_path):
+    """The r12 review finding: the flat 0.995 ceiling stops guaranteeing
+    replay safety past dim ~ 650 — the effective cap is
+    min(0.995, cos(0.5·sqrt(dim)/127) - 1e-6), so a dim-1024 state must
+    refuse thresholds a dim-8 state accepts."""
+    import math
+
+    big = ivf_centroids(1024, 2, seed=3)
+    cap_big = SemanticCorpusDedup._q8_threshold_cap(1024)
+    assert cap_big == min(0.995, math.cos(0.5 * math.sqrt(1024) / 127) - 1e-6)
+    assert cap_big < 0.995
+    with pytest.raises(ValueError, match="quantize='int8'"):
+        SemanticCorpusDedup(
+            spark, str(tmp_path / "big"), big, threshold=0.994,
+            quantize="int8",
+        )
+    # the same threshold is fine at dim 8 (cap there is the flat 0.995)
+    SemanticCorpusDedup(
+        spark, str(tmp_path / "small"), CENTS, threshold=0.994,
+        quantize="int8",
+    )

@@ -7,9 +7,12 @@ sf1 week series shipped 7.1 MB (7,200 hourly theta sketches) per fresh
 ask; the day tier ships ~350 merged sketches.
 
 Contract: (a) tier-served rows EQUAL the raw direct framing — bit-exact
-for theta (exact set algebra) and HLL (register union is associative);
-rank-bounded for KLL (randomized merge compaction, the documented
-multi-bucket contract); (b) warm tier asks launch ZERO Spark jobs;
+for theta (exact set algebra); for HLL the REGISTER STATE is identical
+(union associativity) and the estimate exact-equal in the coupon regime
+these fixtures stay in (beyond it, estimator selection is path-dependent
+— the same documented bound-based direct-vs-job contract); rank-bounded
+for KLL (randomized merge compaction, the documented multi-bucket
+contract); (b) warm tier asks launch ZERO Spark jobs;
 (c) RESTRICTED asks ride the tier exactly when day-aligned bounds meet
 bucket widths that divide a day (then the width-aware edge-sliver
 selection provably degenerates to whole-day slicing); unaligned bounds or
@@ -239,7 +242,9 @@ def test_hll_day_series_tier_equals_raw(spark, events):
             spark, lambda: r.distinct_rows_by("day")
         )
         assert job_free_build  # the pre-merge is a py4j call, not a job
-        # register/coupon union is associative: identical final state
+        # identical register state; estimate EXACT-equal because this
+        # fixture stays in the coupon regime (~97 distinct/day) — at
+        # promoted cardinalities the contract is the documented bound
         assert tiered == raw
         assert _tier_state(r, "__hll") not in (None, False)
         r.invalidate_asks()
