@@ -2036,17 +2036,53 @@ def main() -> None:
             # smaller. TWO samples (timed_build): this row swung 23.8 s ->
             # 147/126 s across r9/r10 with identical code — its spread now
             # ships in-band instead of through a SURVEY watch note.
+            # r13 (verdict #2): the one-number build row cleared the
+            # cross-round spread-union rule twice on unchanged code — split
+            # it into phases so a swing names its owner: ctor (parquet
+            # registration + the count-wheel build), the aggregate build's
+            # Spark scan+rollup+Arrow collect, and the driver numpy mirror
+            # construction. Phase rows are [min, max] spreads like the
+            # parent row.
+            from datafusion_uwheel_spark.operators.rollups import (
+                LAST_BUILD_PHASES,
+            )
+
+            phases: dict = {"ctor": [], "scan": [], "mirror": []}
+
             def build_sf10(i):
+                t0 = time.perf_counter()
                 e = WheelEngine(
                     spark,
                     "events_sf10" if i else "events_sf10_0",
                     ev10_path,
                     time_column="ts",
                 )
+                phases["ctor"].append(time.perf_counter() - t0)
                 e.build_index("value", aggs=("count",))
+                phases["scan"].append(
+                    LAST_BUILD_PHASES["scan_rollup_collect_s"]
+                )
+                phases["mirror"].append(
+                    LAST_BUILD_PHASES["mirror_construct_s"]
+                )
                 return e
 
             eng10 = timed_build("index_build_sf10", build_sf10)
+            for ph, key in (
+                ("ctor", "index_build_sf10_ctor"),
+                ("scan", "index_build_sf10_scan_rollup"),
+                ("mirror", "index_build_sf10_mirror"),
+            ):
+                spreads[key] = [
+                    round(min(phases[ph]), 5), round(max(phases[ph]), 5)
+                ]
+                queries[key] = quantile(sorted(phases[ph]), 0.5)
+            log(
+                "index_build_sf10 phases (per-sample): ctor "
+                f"{phases['ctor']}, agg scan+rollup+collect "
+                f"{phases['scan']}, mirror {phases['mirror']} "
+                f"({LAST_BUILD_PHASES.get('rollup_rows')} rollup rows)"
+            )
             dtimes = []
             for a, b in s_ranges:
                 q = (
@@ -2137,21 +2173,33 @@ def main() -> None:
                 N_PROBE,
             )
             del tr10._jvm_ops
-            # the honest full-span third point: the series frames ~3,500
-            # day sketches — cost is O(days) BY DESIGN (the r12 tier's
-            # documented growth law), recorded so the curve stays measured
+            # the honest full-span third point, r13: the week RUNG now
+            # serves it — ~500 pre-merged week sketches framed per fresh
+            # ask instead of r12's ~3,500 days (670-714 ms, which had
+            # drifted past its own job floor) — plus the MISSING full-span
+            # jobpath control the r12 verdict asked for, so direct-vs-job
+            # is measured at the same span
             timed_spread(
                 "uw_retention_by_week_direct_sf10",
                 fresh(tr10, lambda: tr10.retention_rows_by("week")),
                 max(3, N_PROBE // 3),
             )
+            tr10._jvm_ops = None
+            timed_spread(
+                "uw_retention_by_week_jobpath_sf10",
+                fresh(tr10, lambda: tr10.retention_rows_by("week")),
+                max(3, N_PROBE // 3),
+            )
+            del tr10._jvm_ops
             log(
                 f"uw_retention_q_by_week_sf10: direct "
                 f"{queries['uw_retention_q_by_week_direct_sf10']*1e3:.1f} ms "
                 f"vs job {queries['uw_retention_q_by_week_jobpath_sf10']*1e3:.0f} ms; "
-                f"full-span {queries['uw_retention_by_week_direct_sf10']*1e3:.0f} ms "
-                f"(O(days) by design; theta build "
-                f"{queries['theta_index_build_sf10']:.0f}s)"
+                f"full-span direct "
+                f"{queries['uw_retention_by_week_direct_sf10']*1e3:.0f} ms "
+                f"(week rung) vs its own jobpath "
+                f"{queries['uw_retention_by_week_jobpath_sf10']*1e3:.0f} ms; "
+                f"theta build {queries['theta_index_build_sf10']:.0f}s"
             )
             tr10.unpersist()
             log(

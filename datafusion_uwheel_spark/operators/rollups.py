@@ -63,6 +63,11 @@ __all__ = [
     "physical_states_for",
 ]
 
+#: Per-phase wall-clock of the most recent driver-backend
+#: :func:`build_wheel_indices` call (diagnostics for bench.py — see the
+#: update site in that function). Never read by query paths.
+LAST_BUILD_PHASES: dict = {}
+
 #: Physical per-bucket states a value wheel can carry.
 PHYSICAL_STATES = ("sum", "min", "max", "sumsq")
 
@@ -359,11 +364,25 @@ def build_wheel_indices(
             complete=time_range is None, bucket_seconds=bucket_seconds,
             states=states,
         )
+    import time as _time
+
+    t0 = _time.perf_counter()
     tbl = rolled.toArrow()
-    return _indices_from_rollup(
+    t1 = _time.perf_counter()
+    out = _indices_from_rollup(
         tbl, table, columns, types, filter_key, complete=time_range is None,
         bucket_seconds=bucket_seconds, states=states,
     )
+    # Diagnostics only (r12 verdict #2: the index_build_sf10 row cleared
+    # the cross-round spread-union rule on unchanged code — per-phase
+    # timings let the bench show WHERE a swing lives instead of
+    # adjudicating the one-number row by prose): phase 1 is the Spark
+    # scan + bucket rollup + Arrow collect (one action), phase 2 the
+    # driver-side numpy mirror construction.
+    LAST_BUILD_PHASES["scan_rollup_collect_s"] = t1 - t0
+    LAST_BUILD_PHASES["mirror_construct_s"] = _time.perf_counter() - t1
+    LAST_BUILD_PHASES["rollup_rows"] = tbl.num_rows
+    return out
 
 
 def key_sql_type(df: DataFrame, column: str) -> str:

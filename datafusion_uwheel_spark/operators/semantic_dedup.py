@@ -109,15 +109,14 @@ def _cells_kernel(
     cn = _centroid_norms(centroids)
 
     def fn(vs):
-        import numpy as _np
         import pandas as pd
 
+        # _vec_matrix masks NULL/NaN-element rows (Arrow conflates the
+        # two in float64 ndarrays) and zero-fills them; the expression
+        # path NULLs the same rows (the isnan guard in
+        # with_semantic_cells), so the k > MAX_EXPR_CENTROIDS switch
+        # can't change cell assignments (r12 review + r12 ADVICE)
         X, ok = _vec_matrix(vs, dim)
-        # NULL elements arrive as NaN through the Arrow boundary with the
-        # row still marked valid; the expression path folds them to a
-        # NULL dot -> cell NULL, so mask them here too (r12 review — the
-        # k > MAX_EXPR_CENTROIDS switch must not change cell assignments)
-        ok = ok & ~_np.isnan(X).any(axis=1)
         n = len(vs)
         D = np.empty((n, len(C)), dtype=np.float64)
         for ci, c in enumerate(C):
@@ -182,6 +181,17 @@ def with_semantic_cells(
     if assigned_cell_col is None:
         darr = F.array(*[dot_col(vec_col, c) for c in centroids])
         cell = F.array_position(darr, F.array_max(darr))
+        # NaN-carrying vectors are invalid inputs: NULL their cell so the
+        # two physical paths agree across the k > max_expr_centroids
+        # boundary (r12 ADVICE). Unguarded, NaN dots ride Spark's
+        # NaN-is-largest ordering through array_max/array_position to a
+        # REAL cell, while the Arrow kernel cannot even see the
+        # difference (NULL elements land as NaN in float64 batches) and
+        # masks the row. NULL elements already fold to NULL dots -> cell
+        # NULL on their own; `exists` returning NULL (no NaN, some NULL
+        # results) falls through to that same propagation.
+        bad = F.exists(F.col(vec_col).cast("array<double>"), F.isnan)
+        cell = F.when(bad, F.lit(None).cast("long")).otherwise(cell)
         cdot = F.element_at(darr, cell.cast("int"))
     else:
         # assignment-free for real: evaluate ONE centroid's dot per row —

@@ -159,22 +159,36 @@ def _seq_dots(X, planes):
 
 def _vec_matrix(series, dim):
     """Arrow batch of vectors → (n, dim) float64 matrix + validity mask.
-    Rows that are NULL, not exactly ``dim`` wide, or carrying a NULL
-    ELEMENT are masked out — the expression path folds each of these to
-    NULL dots (→ bucket 0 / cell NULL / no pair), and numpy would
-    otherwise silently convert a None element to NaN with the row still
-    marked valid, assigning it a real cell the expression path never
-    would (r12 review). Genuine NaN float values stay as-is (both paths
-    propagate them through the folds)."""
+    Rows that are NULL, not exactly ``dim`` wide, or carrying a NULL or
+    NaN ELEMENT are masked out. Arrow delivers ``array<double>`` NULL
+    elements as NaN inside float64 ndarrays — a per-element ``is None``
+    scan never fires for pandas_udf callers (r12 ADVICE) — so the mask
+    is a row-wise ``isnan`` over the landed matrix, which conflates NULL
+    elements with genuine NaN floats by construction. That conflation is
+    the contract: the expression path folds NULL elements to NULL dots
+    and propagates NaN dots through every ``> 0.0`` / ``>= threshold``
+    comparison as false, and BOTH land at bucket 0 / no pair — masking
+    here makes the kernels reach the same outcomes explicitly instead of
+    by NaN-propagation coincidence. (Cell ASSIGNMENT is the one surface
+    where expression NaN semantics differ; ``with_semantic_cells``
+    normalizes its expression path to NULL NaN-carrying vectors so the
+    two paths agree — see semantic_dedup.py.) Masked rows stay all-zero
+    so downstream folds can't resurrect NaN."""
     import numpy as np
 
     n = len(series)
     X = np.zeros((n, dim), dtype=np.float64)
     ok = np.zeros(n, dtype=bool)
     for i, v in enumerate(series):
-        if v is not None and len(v) == dim and not any(x is None for x in v):
+        if v is not None and len(v) == dim:
+            # None list elements convert to NaN under an explicit float64
+            # dtype, unifying list-input callers with the Arrow path
             X[i] = np.asarray(v, dtype=np.float64)
             ok[i] = True
+    bad = np.isnan(X).any(axis=1)
+    if bad.any():
+        ok &= ~bad
+        X[bad] = 0.0
     return X, ok
 
 

@@ -284,6 +284,10 @@ class SketchRetention:
     _MIRROR_MAX_ROWS = 120_000
     _MIRROR_MAX_BYTES = 256 << 20
     _DIRECT_MAX_BYTES = 64 << 20
+    #: r13: tier/rung-served SERIES asks that would still frame more than
+    #: this many bytes fall back to the one-job path instead — see the
+    #: escape hatch in :meth:`_grouped_cells`.
+    _TIER_JOB_ESCAPE_BYTES = 32 << 20
 
     @staticmethod
     def _epoch_bound(v):
@@ -761,13 +765,19 @@ class SketchRetention:
         """ONE shared job-build core for BOTH tiers (r12 review: the
         caps/fallback guards must not live in two drifting copies):
         pre-SIZED before collecting (the ``_bytes_mirror`` discipline —
-        a post-collect row guard would materialize an unbounded keys ×
-        days result on the driver before it could refuse), then the
-        day-grouped ``_union_agg_exprs`` + non-NULL frame count, row- and
-        byte-capped. Returns sorted collected rows (``[key,] day_sec,
-        sketch, n``) or None. All-NULL cells surface as empty sketches +
-        count 0 (the probed union-over-NULLs semantics), which the
-        ask-time counts map to the job path's NULL arms identically."""
+        a post-collect guard would materialize an unbounded keys × days
+        result on the driver before it could refuse) — rows first via a
+        cheap countDistinct fast-refuse, then, over the PERSISTED
+        day-grouped ``_union_agg_exprs`` + non-NULL frame count, BOTH
+        caps from one tiny size aggregate BEFORE the row collect (r12
+        ADVICE: day-merged theta/KLL sketches can be orders of magnitude
+        larger than their count — up to 120k of them must never land on
+        the driver before the byte cap can speak; the persist makes the
+        union agg run once, exactly like caching the grouped frame).
+        Returns sorted collected rows (``[key,] day_sec, sketch, n``) or
+        None. All-NULL cells surface as empty sketches + count 0 (the
+        probed union-over-NULLs semantics), which the ask-time counts
+        map to the job path's NULL arms identically."""
         # floor division, not %: Spark's % follows the dividend's sign,
         # which would mis-bucket pre-epoch seconds vs bucket_starts'
         # floored arithmetic
@@ -785,21 +795,116 @@ class SketchRetention:
         if sized["n"] > self._MIRROR_MAX_ROWS:
             return None
         gcols = ([F.col("__key")] if keyed else []) + [day.alias("__sec")]
-        rows = (
+        g = (
             box["df"]
             .groupBy(*gcols)
             .agg(*self._union_agg_exprs(), F.count(F.col(col)).alias("__n"))
-            .collect()
+            .persist()
         )
-        if not rows or len(rows) > self._MIRROR_MAX_ROWS:
+        try:
+            scol = g.columns[2 if keyed else 1]
+            gsized = g.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.length(F.col(scol))), F.lit(0)).alias("b"),
+            ).collect()[0]
+            if (
+                gsized["n"] == 0
+                or gsized["n"] > self._MIRROR_MAX_ROWS
+                or gsized["b"] > self._MIRROR_MAX_BYTES
+            ):
+                return None
+            return g.collect()
+        finally:
+            g.unpersist()
+
+    #: Coarse-rung ladder floor (r13 — the r12 verdict's full-span
+    #: finding): a day tier at least this many days deep gets a second
+    #: pre-merged rung AT THE ASK GRANULARITY for coarser-than-day series
+    #: (week/month/quarter/year, or int multiples of a day), so a
+    #: full-span week ask frames O(weeks) merged sketches instead of
+    #: O(days) — the sf10 full-span series framed ~3,500 day sketches at
+    #: 670 ms, past its own ~300 ms one-job floor; the week rung frames
+    #: ~500. Below the floor the day framing is already cheap and the
+    #: extra merge call would not amortize.
+    _RUNG_MIN_DAYS = 180
+
+    def _rung_serves_bounds(self, granularity, a: int, b: int) -> bool:
+        """Whether ``[a, b)`` lands exactly on rung-cell boundaries —
+        both bounds are fixed points of the granularity's truncation, so
+        every rung cell is wholly inside or wholly outside the range and
+        rung slicing reproduces the day tier's whole-day slicing (which
+        :meth:`_tier_serves_range` already proved equals the raw
+        selection). Unaligned bounds keep the day tier: its edge cells
+        group partially into the ask's first/last bucket, which a
+        pre-merged rung cell could not represent."""
+        import numpy as np
+
+        from ..functions.timestamps import bucket_starts
+
+        kb = bucket_starts(np.asarray([a, b], dtype=np.int64), granularity)
+        return int(kb[0]) == a and int(kb[1]) == b
+
+    def _coarse_rung(self, col: str, box: dict, granularity):
+        """``(rung_secs int64 ndarray, merged_bufs, raw_counts)`` — the
+        per-(col, granularity) pre-merged rung ABOVE the day tier — or
+        None when ineligible (day-or-finer ask, shallow tier, no merge
+        op, over-cap bytes). Built from the day tier's driver-resident
+        bytes with ONE ``*MergeGrouped`` py4j call per (col, granularity)
+        per box (mutations retire the box with the tier), so the ladder
+        is day → ask-granularity with no extra Spark jobs. Exactness
+        inherits each family's tier contract verbatim — the rung is one
+        more level of the same union monoid (theta set algebra and HLL
+        register unions are associative, so rung == day tier == raw
+        framing bit-for-bit; KLL stays rank-bounded, merge-tree depth
+        does not change its worst-case bound). Counts are the summed raw
+        non-NULL frame counts of the member days, so count-0 cells keep
+        the job path's NULL arms on the same numbers as the day tier."""
+        import numpy as np
+
+        if isinstance(granularity, int):
+            if granularity <= self._TIER_SECONDS:
+                return None
+        elif granularity == "day":
             return None
-        bidx = 2 if keyed else 1
-        if (
-            sum(len(r[bidx]) for r in rows if r[bidx] is not None)
-            > self._MIRROR_MAX_BYTES
-        ):
+        ops = self._sketch_ops()
+        if ops is None:
             return None
-        return rows
+        merge = self._jvm_merge_grouped(ops)
+        if merge is None:
+            return None
+        cache = box.setdefault("rung", {})
+        ckey = (col, granularity)
+        t = cache.get(ckey)
+        if t is not None:
+            return None if t is False else t
+        day = self._day_tier(col, box)
+        if day is None or len(day[0]) < self._RUNG_MIN_DAYS:
+            cache[ckey] = False
+            return None
+        from ..functions.timestamps import bucket_starts
+
+        dsecs, dbufs, dcounts = day
+        kb = bucket_starts(dsecs, granularity)
+        rsecs: list = []
+        fcounts: list = []
+        rcounts: list = []
+        sel: list = []
+        for bk, buf, c in zip(kb.tolist(), dbufs, dcounts):
+            if not rsecs or bk != rsecs[-1]:
+                rsecs.append(bk)
+                fcounts.append(0)
+                rcounts.append(0)
+            rcounts[-1] += c
+            if buf is not None:
+                sel.append(buf)
+                fcounts[-1] += 1
+        if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+            cache[ckey] = False
+            return None
+        merged = self._unframe(bytes(merge(self._pack_grouped(fcounts, sel))))
+        t = (np.asarray(rsecs, dtype=np.int64), merged, rcounts)
+        cache[ckey] = t
+        return t
 
     def _day_tier_via_job(self, col: str, box: dict):
         """The day tier by ONE Spark job — see :meth:`_tier_job_rows`."""
@@ -901,6 +1006,17 @@ class SketchRetention:
                 tier = self._day_tier(col, box)
                 if tier is not None:
                     secs, bufs, tier_counts = tier
+        if tier_counts is not None and (
+            a is None or self._rung_serves_bounds(granularity, a, b)
+        ):
+            # r13: coarser-than-day series climb one more rung — sketches
+            # pre-merged AT the ask granularity — when the day tier is
+            # deep enough that O(days) framing stops being cheap (the
+            # full-span sf10 week series: ~3,500 day frames, 670 ms,
+            # past its own ~300 ms one-job floor; the rung frames ~500)
+            rung = self._coarse_rung(col, box, granularity)
+            if rung is not None:
+                secs, bufs, tier_counts = rung
         if tier_counts is not None and a is not None:
             idx = np.nonzero((secs >= a) & (secs < b))[0]
         elif a is not None:
@@ -933,7 +1049,21 @@ class SketchRetention:
                     counts[-1] += 1
             if tier_counts is not None:
                 counts[-1] += tier_counts[i]
-        if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+        total = sum(len(x) for x in sel)
+        if total > self._DIRECT_MAX_BYTES:
+            return None
+        if tier_counts is not None and total > self._TIER_JOB_ESCAPE_BYTES:
+            # r13 jobpath escape hatch (the r12 verdict's "direct must not
+            # cost more than its own job floor"): past this many framed
+            # bytes the driver packing + socket copy + JVM merge loses to
+            # the ONE-job executor-side merge (measured at sf10: the
+            # ~64 MB full-span day framing took 670 ms vs the ~300 ms job
+            # floor — ~10 ms/MB framing slope). Tier answers equal the job
+            # path by each family's documented contract, so this is a
+            # physical routing choice, not a semantics change. Applies
+            # only to tier/rung-served asks: raw framings keep the
+            # existing _DIRECT_MAX_BYTES-only rule (their job alternative
+            # re-aggregates the raw rollup, a different trade).
             return None
         return cells, self._pack_grouped(frame_counts, sel), counts
 

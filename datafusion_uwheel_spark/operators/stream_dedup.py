@@ -593,18 +593,23 @@ class SemanticCorpusDedup:
     #: under 1.0. Thresholds above the cap could let replays re-emit —
     #: the at-least-once guarantee — so quantized mode refuses them. The
     #: cap is DIM-DEPENDENT (r12 review: a flat 0.995 stops guaranteeing
-    #: replay safety past dim ≈ 650 — at dim 1024 the worst-case tilt is
-    #: 0.126 rad, self-cosine ≥ cos ≈ 0.992): the effective ceiling is
-    #: ``min(0.995, cos(0.5·√dim/127) − 1e-6)``.
+    #: replay safety past dim ≈ 650): ``s = 0.5·√dim/127`` bounds
+    #: **sin(tilt)**, not the tilt angle itself — the rounding error
+    #: vector has norm ≤ s·‖v‖ so ``sin ≤ s`` — hence the guaranteed
+    #: worst-case self-cosine is ``cos(arcsin(s)) = √(1 − s²)``, which
+    #: sits ~s⁴/6 BELOW ``cos(s)`` (≈4e-5 at dim 1024, swamping a 1e-6
+    #: margin past dim ≈ 160 — r12 ADVICE). Effective ceiling:
+    #: ``min(0.995, √(1 − s²) − 1e-6)``.
     _Q8_MAX_THRESHOLD = 0.995
 
     @classmethod
     def _q8_threshold_cap(cls, dim: int) -> float:
         import math
 
+        s = min(0.5 * math.sqrt(dim) / 127.0, 1.0)
         return min(
             cls._Q8_MAX_THRESHOLD,
-            math.cos(0.5 * math.sqrt(dim) / 127.0) - 1e-6,
+            math.sqrt(1.0 - s * s) - 1e-6,
         )
 
     def __init__(

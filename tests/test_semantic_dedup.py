@@ -198,6 +198,38 @@ def test_large_k_assignment_kernel_bit_equal(spark, synth):
     assert semdedup(df, big, threshold=0.9).count() > 0
 
 
+def test_nan_and_null_element_vectors_null_on_both_paths(spark):
+    """r12 ADVICE: unguarded, a NaN element rides Spark's NaN-is-largest
+    ordering through array_max/array_position to a REAL cell on the
+    expression path, while the Arrow kernel (which cannot distinguish a
+    NULL element from NaN in a float64 batch) masks the row — crossing
+    the k > max_expr_centroids boundary would silently change cell/csim.
+    The contract is now: NaN-carrying, NULL-element, NULL, and
+    wrong-width vectors all get (cell NULL, csim NULL) on BOTH paths."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # valid
+        (1, [float("nan"), 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # NaN elem
+        (2, [None, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # NULL elem
+        (3, None),  # NULL vector
+        (4, [0.0] * DIM),  # zero vector: real cell, NULL csim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for k_cap in (1_000, 0):  # expression path, then kernel path
+        got = {
+            r["vec_id"]: (r["cell"], r["csim"])
+            for r in with_semantic_cells(
+                df, CENTS, max_expr_centroids=k_cap
+            ).collect()
+        }
+        assert got[0][0] is not None and got[0][1] is not None, k_cap
+        for rid in (1, 2, 3):
+            assert got[rid] == (None, None), (k_cap, rid, got[rid])
+        assert got[4][0] is not None and got[4][1] is None, k_cap
+    # and the invalid rows never pair (they pass through semdedup kept)
+    kept = {r["vec_id"] for r in semdedup(df, CENTS, threshold=0.5).collect()}
+    assert {1, 2, 3, 4} <= kept
+
+
 def test_duckdb_oracle_parity_real_table(spark, sf_small_dir):
     emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").head()[0])

@@ -265,15 +265,25 @@ def test_q8_threshold_cap_and_manifest_mode_pin(spark, tmp_path):
 
 def test_q8_threshold_cap_scales_with_dim(spark, tmp_path):
     """The r12 review finding: the flat 0.995 ceiling stops guaranteeing
-    replay safety past dim ~ 650 — the effective cap is
-    min(0.995, cos(0.5·sqrt(dim)/127) - 1e-6), so a dim-1024 state must
-    refuse thresholds a dim-8 state accepts."""
+    replay safety past dim ~ 650; the r12 ADVICE geometry fix: s =
+    0.5·sqrt(dim)/127 bounds sin(tilt), so the guaranteed worst-case
+    self-cosine is cos(arcsin(s)) = sqrt(1 - s^2), ~s^4/6 below cos(s)
+    (4e-5 at dim 1024 — more than the 1e-6 margin). The effective cap is
+    min(0.995, sqrt(1 - s^2) - 1e-6): strictly below the old cos(s) form
+    for dim > 0, and a dim-1024 state must refuse thresholds a dim-8
+    state accepts."""
     import math
 
     big = ivf_centroids(1024, 2, seed=3)
+    s = 0.5 * math.sqrt(1024) / 127
     cap_big = SemanticCorpusDedup._q8_threshold_cap(1024)
-    assert cap_big == min(0.995, math.cos(0.5 * math.sqrt(1024) / 127) - 1e-6)
+    assert cap_big == min(0.995, math.sqrt(1 - s * s) - 1e-6)
+    # the geometry fix: sqrt(1-s^2) <= cos(s) always, and the gap at
+    # dim 1024 (~4e-5) exceeds the 1e-6 margin the old form relied on
+    assert cap_big < math.cos(s) - 1e-6
     assert cap_big < 0.995
+    # degenerate guard: s clamps at 1.0 (dim >= 64516) -> cap stays finite
+    assert SemanticCorpusDedup._q8_threshold_cap(70000) == -1e-6
     with pytest.raises(ValueError, match="quantize='int8'"):
         SemanticCorpusDedup(
             spark, str(tmp_path / "big"), big, threshold=0.994,

@@ -596,3 +596,207 @@ def test_keyed_scalar_asks_ride_the_keyed_tier(spark, events):
         assert r.approx_distinct(A, B, key="no-such-key") == 0
     finally:
         r.unpersist()
+
+
+# ------------------------------------------------- coarse rung (r13)
+def _rung_state(rollup, col, gran):
+    box = rollup._mirror_box()
+    return box.get("rung", {}).get((col, gran))
+
+
+def test_theta_week_rung_bit_equal_and_job_free(spark, events):
+    """r13 (the r12 verdict's full-span finding): a coarser-than-day
+    series over a deep day tier climbs one more pre-merged rung AT the
+    ask granularity — O(weeks) frames instead of O(days) — and the
+    answers stay bit-equal to the raw framing AND the job path (theta
+    union algebra is exact and associative, so one more merge level
+    cannot move a bit)."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        # RAW oracles first: the tier/rung caches never see these asks
+        # (building after would serve the cached tier regardless of the
+        # floor knobs — caches are per-box data, not per-ask)
+        r._TIER_MIN_ROWS = 10**9
+        raw = {g: r.retention_rows_by(g) for g in ("week", "month", 7 * 86400)}
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        r._RUNG_MIN_DAYS = 0
+        rung = r.retention_rows_by("week")
+        assert rung == raw["week"]
+        t = _rung_state(r, "__theta", "week")
+        assert t not in (None, False)
+        assert len(t[0]) < N_HOURS // 24  # strictly fewer cells than days
+        # warm rung ask: zero jobs (day tier + rung built above)
+        r.invalidate_asks()
+        got, job_free = _no_jobs(spark, lambda: r.retention_rows_by("week"))
+        assert job_free and got == raw["week"]
+        # month + a 7-day int width climb their own rungs, equal to raw
+        for gran in ("month", 7 * 86400):
+            r.invalidate_asks()
+            rung_g, jf = _no_jobs(
+                spark, lambda g=gran: r.retention_rows_by(g)
+            )
+            assert _rung_state(r, "__theta", gran) not in (None, False)
+            assert rung_g == raw[gran]
+        # ...and the job path agrees wholesale
+        r._jvm_ops = None
+        r.invalidate_asks()
+        job = r.retention_rows_by("week")
+        del r._jvm_ops
+        assert rung == job
+    finally:
+        r.unpersist()
+
+
+def test_rung_bounds_gating(spark, events):
+    """Restricted asks ride the rung ONLY when both bounds are fixed
+    points of the ask granularity's truncation (whole rung cells);
+    day-aligned-but-not-week-aligned bounds keep the DAY tier (whose
+    edge cells group partially into the ask's first/last bucket) — and
+    both equal the raw framing."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        # 2024-03-04 / 2024-03-18 are Mondays: week-aligned
+        A, B = "2024-03-04 00:00:00", "2024-03-18 00:00:00"
+        r._TIER_MIN_ROWS = 10**9  # raw oracle BEFORE any tier caches
+        raw_aligned = r.retention_rows_by("week", A, B)
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        r._RUNG_MIN_DAYS = 0
+        aligned = r.retention_rows_by("week", A, B)
+        assert _rung_state(r, "__theta", "week") not in (None, False)
+        assert aligned == raw_aligned
+        # day-aligned but NOT week-aligned: rung must NOT serve (2024-03-05
+        # is a Tuesday) — the day tier does, and still equals raw
+        r2 = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+        try:
+            A2, B2 = "2024-03-05 00:00:00", "2024-03-19 00:00:00"
+            r2._TIER_MIN_ROWS = 10**9
+            raw_unaligned = r2.retention_rows_by("week", A2, B2)
+            r2.invalidate_asks()
+            r2._TIER_MIN_ROWS = 0
+            r2._RUNG_MIN_DAYS = 0
+            unaligned = r2.retention_rows_by("week", A2, B2)
+            assert _rung_state(r2, "__theta", "week") is None  # never built
+            assert _tier_state(r2, "__theta") not in (None, False)
+            assert unaligned == raw_unaligned
+        finally:
+            r2.unpersist()
+    finally:
+        r.unpersist()
+
+
+def test_rung_floor_keeps_day_tier(spark, events):
+    """Below _RUNG_MIN_DAYS (default 180 — this fixture has 21 days) the
+    ladder stops at the day tier: no rung is cached, answers unchanged."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._TIER_MIN_ROWS = 10**9
+        raw = r.retention_rows_by("week")
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        assert r.retention_rows_by("week") == raw
+        assert _rung_state(r, "__theta", "week") is False  # tried, too shallow
+        assert _tier_state(r, "__theta") not in (None, False)
+    finally:
+        r.unpersist()
+
+
+def test_hll_and_kll_rungs(spark, events):
+    """The rung is family-generic: HLL register unions are associative
+    (week rung == raw framing exactly in this coupon-regime fixture);
+    KLL stays rank-bounded — the documented multi-bucket contract."""
+    d = build_distinct_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        d._TIER_MIN_ROWS = 10**9
+        raw = d.distinct_rows_by("week")
+        d.invalidate_asks()
+        d._TIER_MIN_ROWS = 0
+        d._RUNG_MIN_DAYS = 0
+        assert d.distinct_rows_by("week") == raw
+        assert _rung_state(d, "__hll", "week") not in (None, False)
+    finally:
+        d.unpersist()
+    q = build_quantile_rollup(events, "ts", "v", bucket_seconds=3600)
+    try:
+        q._TIER_MIN_ROWS = 0
+        q._RUNG_MIN_DAYS = 0
+        rows = q.quantile_rows_by("week", 0.5)
+        assert _rung_state(q, "__kll", "week") not in (None, False)
+        by_week: dict = {}
+        for bucket, val in rows:
+            by_week[bucket] = val
+        vals_by_week: dict = {}
+        for row in events.select("ts", "v").collect():
+            if row[1] is not None:
+                wk = (row[0].date() - timedelta(days=row[0].weekday()))
+                vals_by_week.setdefault(wk, []).append(row[1])
+        assert len(rows) == len(vals_by_week)
+        for bucket, val in rows:
+            vals = sorted(vals_by_week[bucket.date()])
+            rank = vals.index(val) / len(vals)
+            assert abs(rank - 0.5) < 0.06
+    finally:
+        q.unpersist()
+
+
+def test_rung_over_cap_mirror_and_mutation_retire(spark, events):
+    """The rung composes with the job-built day tier (over-cap mirror)
+    and dies with the mirror box on mutation, like the tier."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._TIER_MIN_ROWS = 0
+        r._RUNG_MIN_DAYS = 0
+        r._jvm_ops = None
+        job = r.retention_rows_by("week")
+        del r._jvm_ops
+        r.invalidate_asks()
+        # cap between the tier's 21 day rows and the mirror's 504 raw
+        # rows: the mirror refuses, the job-built day tier + rung serve
+        r._MIRROR_MAX_ROWS = 30
+        r._drop_mirror()
+        assert r._bytes_mirror("__theta") is False
+        got = r.retention_rows_by("week")
+        assert got == job
+        assert _rung_state(r, "__theta", "week") not in (None, False)
+        # mutation retires the box — and the rung with it
+        r._MIRROR_MAX_ROWS = 120_000
+        late = spark.createDataFrame(
+            [(BASE + timedelta(days=40), 9999)], "ts timestamp, uid bigint"
+        )
+        r.merge_batch(late, "ts")
+        assert _rung_state(r, "__theta", "week") is None
+        r._TIER_MIN_ROWS = 10**9
+        r.invalidate_asks()
+        raw2 = r.retention_rows_by("week")
+        r._TIER_MIN_ROWS = 0
+        r.invalidate_asks()
+        assert r.retention_rows_by("week") == raw2
+    finally:
+        r.unpersist()
+
+
+def test_tier_job_escape_hatch(spark, events):
+    """r13: past _TIER_JOB_ESCAPE_BYTES of framed tier bytes a series
+    ask routes to the ONE-job path instead of driver framing (the r12
+    verdict's rule — direct must not cost more than its own job floor).
+    Same answers either way: the escape is a physical routing choice."""
+    r = build_theta_rollup(events, "ts", "uid", bucket_seconds=3600)
+    try:
+        r._jvm_ops = None
+        job = r.retention_rows_by("day")
+        del r._jvm_ops
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        r._TIER_JOB_ESCAPE_BYTES = 0
+        got, job_free = _no_jobs(spark, lambda: r.retention_rows_by("day"))
+        assert got == job
+        assert not job_free  # escaped to the job path past the threshold
+        assert _tier_state(r, "__theta") not in (None, False)  # tier built
+        # raising the threshold restores zero-job direct service
+        r._TIER_JOB_ESCAPE_BYTES = 32 << 20
+        r.invalidate_asks()
+        got2, job_free2 = _no_jobs(spark, lambda: r.retention_rows_by("day"))
+        assert job_free2 and got2 == job
+    finally:
+        r.unpersist()
