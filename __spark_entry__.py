@@ -676,10 +676,14 @@ def dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dup_groups(df)
 
 
-# NOTE (r6): the former dedup_exact_keep row (keep-lowest survivors) was
-# folded out to fund uw_between_range: it is mechanically the keeper_id
-# column of dedup_exact_groups, and dedup_exact() stays pytest-pinned in
-# tests/test_llm_ops.py.
+def dedup_exact_keep(spark, sf_dir):
+    """Keep-lowest exact-dedup survivors (RE-SEATED r13 — out since r6,
+    the oldest rotation debt named by the r12 verdict #4; mechanically
+    the keeper_id column of dedup_exact_groups, but the enforcement form
+    users actually run). Slot funded by sim_dup_pairs_indexed — see the
+    ledger."""
+    df = _view(spark, sf_dir, "documents")
+    return dedup.dedup_exact(df).select("doc_id")
 
 
 def dedup_fingerprint(spark, sf_dir):
@@ -786,6 +790,32 @@ def text_quality(spark, sf_dir):
     )
 
 
+def text_pii_scrub(spark, sf_dir):
+    """PII scrub + counts (SEATED r13 — verdict #3's first half: the
+    oracle ``oracles.pii_scrub_sql`` was written with the operator and
+    pytest-pinned DuckDB-exact since landing, incl. on the real table,
+    but never held a registry seat). Identical RE2∩Java patterns on both
+    engines; replacements applied email → phone → ipv4; counts taken
+    from the original text. Slot funded by text_quality — see the
+    ledger."""
+    df = _view(spark, sf_dir, "documents")
+    return text_ops.with_pii_scrub(df).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "text_scrubbed"
+    )
+
+
+def text_repetition(spark, sf_dir):
+    """Repetition stats (SEATED r13 — verdict #3's second half): dup
+    token/line ratios + top-token ratio (the Gopher repetition signals),
+    same whitespace tokenizer as token_stats; the ratio divisions are
+    single IEEE ops on both engines so the check is exact, no rounding.
+    Slot funded by dedup_jaccard_pairs — see the ledger."""
+    df = _view(spark, sf_dir, "documents")
+    return text_ops.with_repetition_stats(df).select(
+        "doc_id", "dup_token_ratio", "dup_line_ratio", "top_token_ratio"
+    )
+
+
 def text_lang_id(spark, sf_dir):
     df = _view(spark, sf_dir, "documents")
     return text_ops.with_lang_id(df).select(
@@ -862,11 +892,17 @@ def mm_media_stats(spark, sf_dir):
     )
 
 
-# NOTE (r6): the former mm_media_dedup row (digest group-by over the binary
-# payload) was folded out to fund dedup_near_corpus: its digest column is
-# hash-checked by mm_media_stats and the group-by shape by
-# dedup_exact_groups; the operator stays pytest-pinned in
-# tests/test_multimodal.py.
+def mm_media_dedup(spark, sf_dir):
+    """Digest-based exact media dedup groups (binary payload identity) —
+    RE-SEATED r13 (out since r6, the other oldest rotation debt named by
+    the r12 verdict #4). Slot funded by freq_topk_by_day — see the
+    ledger."""
+    from datafusion_uwheel_spark.operators import multimodal
+
+    stats = multimodal.with_media_stats(_media_df(spark, sf_dir))
+    return stats.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id")
+    )
 
 
 def mm_features(spark, sf_dir):
@@ -1085,14 +1121,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     tests/test_substring_dedup.py (oracle substring_spans_sql,
     #     written with the operator and hash-checked in its landing
     #     round).
+    #   - r13 rotations (verdict #3 + #4 — seat the two written-but-
+    #     never-seated oracles, pay down the three oldest debts):
+    #     text_pii_scrub SEATED (slot: text_quality — quality's DuckDB
+    #     check moved VERBATIM to test_llm_ops.
+    #     test_quality_matches_duckdb_real_table; the codegen'd text
+    #     family keeps three seats); text_repetition SEATED (slot:
+    #     dedup_jaccard_pairs — exact-Jaccard check moved VERBATIM to
+    #     test_llm_ops.test_jaccard_pairs_match_duckdb_real_table; the
+    #     est-Jaccard band surface stays hash-checked via
+    #     dedup_minhash_lsh + decon_fuzzy); uw_landmark_sum RE-SEATED, r8
+    #     out (slot: uw_between_range — its n/sum_value columns are
+    #     hash-checked identically inside uw_between_groupby, scalar form
+    #     pytest-pinned in test_hybrid_boundaries.py); dedup_exact_keep
+    #     RE-SEATED, r6 out (slot: sim_dup_pairs_indexed — indexed ≡
+    #     query-time pytest-pinned, pairs DuckDB check moved VERBATIM to
+    #     test_similarity_engine.test_dup_pairs_match_duckdb_real_table);
+    #     mm_media_dedup RE-SEATED, r6 out (slot: freq_topk_by_day —
+    #     by-day DuckDB check moved VERBATIM to test_frequency.
+    #     test_topk_by_day_matches_duckdb_real_table; probe machinery
+    #     stays hash-checked via freq_topk + freq_topk_by_key).
     #   - retired, pytest-pinned, candidates to rotate back in by
-    #     re-retiring a subsumed row: uw_sum_range (r11 out),
+    #     re-retiring a subsumed row: uw_between_range (r13 out),
+    #     freq_topk_by_day (r13 out), sim_dup_pairs_indexed (r13 out),
+    #     dedup_jaccard_pairs (r13 out), text_quality (r13 out),
+    #     uw_sum_range (r11 out),
     #     uw_groupby_week (r12 out), uw_or_ranges (r12 out),
     #     dedup_semantic pairs form (r12 out), dedup_substring (r12 out),
     #     sim_topk_bruteforce (r12 out), mm_frames (r12 out),
     #     text_lang_id (r12 out), uw_le_bound_range (r9 out),
-    #     uw_point_instant (r9 out), uw_landmark_sum (r8 out),
-    #     dedup_exact_keep (r6 out), mm_media_dedup (r6 out),
+    #     uw_point_instant (r9 out),
     #     sim_ann_indexed/sim_ivf_indexed (r3 out, physically identical
     #     plans to the engine-routed rows).
     #   - freq_topk_by_day seated r10 (the LAST r8 surface, per-period
@@ -1129,15 +1187,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_keyed_groupby": uw_keyed_groupby,
         "uw_keyed_landmark": uw_keyed_landmark,
         "uw_between_groupby": uw_between_groupby,
-        "uw_between_range": uw_between_range,
+        # r13: uw_between_range's slot funds the re-seated uw_landmark_sum
+        # (r8 out — verdict #4's third-oldest debt): the scalar hybrid's
+        # n/sum_value columns are hash-checked IDENTICALLY every round
+        # inside uw_between_groupby (same at-start sliver machinery, same
+        # BETWEEN bounds, just grouped), and the scalar form stays
+        # pytest-pinned vs the delegate in test_hybrid_boundaries.py.
+        "uw_landmark_sum": uw_landmark_sum,
         # r9: uw_le_bound_range's slot funds the routed top-k SQL
         # shape (see ledger); the <=-bound hybrid path stays covered by
         # uw_between_range (same at-start sliver machinery) and
         # test_hybrid_boundaries.py.
         "uw_topk_sql": uw_topk_sql,
-        # r10: uw_count_col's slot funds freq_topk_by_day (see ledger);
-        # COUNT(col) stays hash-checked via uw_multi_agg.n_vals.
-        "freq_topk_by_day": freq_topk_by_day,
+        # r13: freq_topk_by_day's slot funds the re-seated mm_media_dedup
+        # (r6 out — verdict #4): the per-period regroup's probe machinery
+        # stays hash-checked via freq_topk (scalar) + freq_topk_by_key
+        # (keyed) every round, and the by-day DuckDB check moved VERBATIM
+        # into pytest (test_frequency.test_topk_by_day_matches_duckdb_
+        # real_table).
+        "mm_media_dedup": mm_media_dedup,
         "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
         # r12: uw_or_ranges <-> or_group_by alternate (both sides of the
@@ -1172,17 +1240,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # funded dedup_substring's r11 landing seat; see ledger).
         "sim_ann_lsh": sim_ann_lsh,
         "sim_ivf_topk": sim_ivf_topk,
-        "sim_dup_pairs_indexed": sim_dup_pairs_indexed,
+        # r13: sim_dup_pairs_indexed's slot funds the re-seated
+        # dedup_exact_keep (r6 out — verdict #4): the indexed-vs-query-time
+        # pair identity stays pytest-pinned (test_similarity_engine.
+        # test_dup_pairs_route_and_parity), and the pairs surface's DuckDB
+        # check moved VERBATIM into pytest (test_similarity_engine.
+        # test_dup_pairs_match_duckdb_real_table); the embedding pair
+        # machinery also rides inside dedup_semantic_kept's oracle CTE
+        # every round.
         # r4: the query-time sim_embedding_dup_pairs row shared byte-identical
-        # oracle SQL with sim_dup_pairs_indexed; its slot now funds the batch
-        # kNN join (the fallback path stays pytest-pinned to the indexed one
-        # in test_similarity_engine.test_dup_pairs_route_and_parity).
+        # oracle SQL with sim_dup_pairs_indexed; its slot funded the batch
+        # kNN join.
         "sim_knn_join": sim_knn_join,
         "dedup_exact_groups": dedup_exact_groups,
+        "dedup_exact_keep": dedup_exact_keep,
         # r12: dedup_fingerprint back in (r7 out, the oldest non-reseated
         # LLM row); text_lang_id funds it (see ledger).
         "dedup_fingerprint": dedup_fingerprint,
-        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        # r13: dedup_jaccard_pairs' slot funds the seated text_repetition
+        # (verdict #3): the exact shingle-Jaccard fold's DuckDB check
+        # moved VERBATIM into pytest (test_llm_ops.
+        # test_jaccard_pairs_match_duckdb_real_table) next to the numpy
+        # pin, and the est-Jaccard band surface stays hash-checked via
+        # dedup_minhash_lsh + decon_fuzzy every round.
         "dedup_minhash_lsh": dedup_minhash_lsh,
         # r12: the r11 alternation executes — simhash back in, the pairs
         # form's machinery rides inside dedup_semantic_kept's oracle.
@@ -1193,7 +1273,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_stats": mm_media_stats,
         "mm_features": mm_features,
         "text_token_stats": text_token_stats,
-        "text_quality": text_quality,
+        # r13: text_quality's slot funds the seated text_pii_scrub
+        # (verdict #3 — the text-family rotation the verdict itself
+        # named): quality's DuckDB check moved VERBATIM into pytest
+        # (test_llm_ops.test_quality_matches_duckdb_real_table), and the
+        # codegen'd text-expression family keeps token_stats + the two
+        # new rows seated.
+        "text_pii_scrub": text_pii_scrub,
+        "text_repetition": text_repetition,
         "decon_ngram": decon_ngram,
     }
 
@@ -1291,9 +1378,8 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE ts BETWEEN TIMESTAMP '{A}' AND TIMESTAMP '{B_INCL}' "
             "GROUP BY 1 ORDER BY bucket"
         ),
-        "uw_between_range": (
-            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
-            f"WHERE ts BETWEEN TIMESTAMP '{A}' AND TIMESTAMP '{B_INCL}'"
+        "uw_landmark_sum": (
+            "SELECT round(sum(value), 3) AS sum_value FROM events"
         ),
         # total order (n DESC then key) makes the LIMIT deterministic —
         # the same gate the router enforces before answering the shape.
@@ -1333,15 +1419,6 @@ def oracle_sql() -> dict[str, str]:
         # exact regime (capacity 8 >= 5 event types, err 0 -> upper == est):
         # the per-day rank mirror of the rollup's deterministic
         # (est desc, item asc) tie-break.
-        "freq_topk_by_day": (
-            "WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
-            "event_type AS item, count(*) AS est FROM events "
-            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' GROUP BY 1, 2), "
-            "r AS (SELECT bucket, item, est, row_number() OVER "
-            "(PARTITION BY bucket ORDER BY est DESC, item) AS rk FROM c) "
-            "SELECT bucket, item, est, est AS upper FROM r WHERE rk <= 3 "
-            "ORDER BY bucket, est DESC, item"
-        ),
         "uw_int_sum_range": (
             "SELECT CAST(sum(user_id) AS BIGINT) AS sum_uid, min(user_id) AS min_uid, "
             "max(user_id) AS max_uid FROM events "
@@ -1380,8 +1457,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id "
             "FROM documents GROUP BY md5(text)"
         ),
+        "dedup_exact_keep": (
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+        ),
         "dedup_fingerprint": oracles.fingerprint_sql(),
-        "dedup_jaccard_pairs": oracles.jaccard_pairs_sql(JACCARD_T),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(LSH_MIN_EST),
         "dedup_simhash": oracles.simhash_sql(),
         "dedup_semantic_kept": oracles.semdedup_sql(
@@ -1398,9 +1478,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, "
             "md5(text) AS digest FROM documents"
         ),
+        "mm_media_dedup": (
+            "SELECT md5(text) AS digest, count(*) AS n_copies, "
+            "min(doc_id) AS keeper_id FROM documents GROUP BY 1"
+        ),
         "mm_features": oracles.media_features_sql(dim=16),
         "text_token_stats": oracles.token_stats_sql(),
-        "text_quality": oracles.quality_sql(),
+        "text_pii_scrub": oracles.pii_scrub_sql(),
+        "text_repetition": oracles.repetition_sql(),
         "decon_ngram": oracles.contamination_sql(n=3, holdout_mod=7),
         "decon_fuzzy": oracles.fuzzy_decon_sql(0.5),
         "sim_ann_lsh": oracles.ann_topk_sql(
@@ -1408,9 +1493,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_ivf_topk": oracles.ivf_topk_sql(
             QUERY_VEC, k=TOPK, nprobe=2, n_centroids=8, dim=EMB_DIM
-        ),
-        "sim_dup_pairs_indexed": oracles.embedding_dup_pairs_sql(
-            EMB_DUP_T, dim=EMB_DIM, bits=8, tables=2
         ),
         "sim_knn_join": oracles.knn_join_sql(
             f"id < {KNN_QUERY_MAX_ID}", k=KNN_K, dim=EMB_DIM, bits=4, tables=2

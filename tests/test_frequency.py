@@ -1683,3 +1683,51 @@ def test_asks_validate_against_the_captures_tiers(spark, events):
         assert r.topk_rows("2024-02-01 00:00:00", "2024-02-02 00:00:00", k=2)
     finally:
         r.unpersist()
+
+
+def test_topk_by_day_matches_duckdb_real_table(spark, sf_medium_dir):
+    """Funding for the r13 registry rotation (freq_topk_by_day out for
+    mm_media_dedup): the retired row's DuckDB hash check moves here
+    verbatim — top event types per day over the registry window from the
+    hourly truncated-counter rollup (capacity 8 >= the 5 distinct types,
+    so est is EXACT and upper == est) vs the per-day GROUP BY + rank SQL,
+    at the driver's comparison scale (sf0.01). The probe machinery stays
+    hash-checked every round via freq_topk (scalar) + freq_topk_by_key
+    (keyed)."""
+    import duckdb
+
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    A, B = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+    ev = read_parquet(spark, f"{sf_medium_dir}/events.parquet")
+    r = build_frequency_rollup(
+        ev, "event_type", "ts", bucket_seconds=3600, capacity=8
+    )
+    try:
+        got = sorted(
+            map(
+                tuple,
+                r.approx_topk_by("day", k=3, start=A, end=B).collect(),
+            )
+        )
+    finally:
+        r.unpersist()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_medium_dir}/events.parquet'"
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                "WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
+                "event_type AS item, count(*) AS est FROM events "
+                f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' GROUP BY 1, 2), "
+                "r AS (SELECT bucket, item, est, row_number() OVER "
+                "(PARTITION BY bucket ORDER BY est DESC, item) AS rk FROM c) "
+                "SELECT bucket, item, est, est AS upper FROM r WHERE rk <= 3 "
+                "ORDER BY bucket, est DESC, item"
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0

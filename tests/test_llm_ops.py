@@ -616,3 +616,71 @@ def test_lang_id_matches_duckdb_real_table(spark, sf_small_dir):
     )
     exp = sorted(tuple(r) for r in con.execute(lang_id_sql()).fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_quality_matches_duckdb_real_table(spark, sf_medium_dir):
+    """Funding for the r13 registry rotation (text_quality out for
+    text_pii_scrub): the retired row's DuckDB hash check moves here
+    verbatim — the quality ratios + composite score vs
+    oracles.quality_sql, exact, at the driver's comparison scale
+    (sf0.01). The codegen'd text-expression family stays seated via
+    token_stats / pii_scrub / repetition."""
+    import duckdb
+
+    from datafusion_uwheel_spark import oracles
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    docs_real = read_parquet(spark, f"{sf_medium_dir}/documents.parquet")
+    got = sorted(
+        map(
+            tuple,
+            text_ops.with_quality(docs_real)
+            .select(
+                "doc_id",
+                "alpha_ratio",
+                "digit_ratio",
+                "stopword_ratio",
+                "quality_score",
+            )
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_medium_dir}/documents.parquet'"
+    )
+    exp = sorted(map(tuple, con.execute(oracles.quality_sql()).fetchall()))
+    assert got == exp and len(got) > 0
+
+
+def test_jaccard_pairs_match_duckdb_real_table(spark, sf_medium_dir):
+    """Funding for the r13 registry rotation (dedup_jaccard_pairs out for
+    text_repetition): the retired row's DuckDB hash check moves here
+    verbatim — exact shingle-Jaccard pairs at the registry threshold
+    (0.35) vs oracles.jaccard_pairs_sql, exact, at the driver's
+    comparison scale. The est-Jaccard band surface stays hash-checked
+    every round via dedup_minhash_lsh + decon_fuzzy."""
+    import duckdb
+
+    from datafusion_uwheel_spark import oracles
+    from datafusion_uwheel_spark.sources import read_parquet
+
+    docs_real = read_parquet(spark, f"{sf_medium_dir}/documents.parquet")
+    got = sorted(
+        map(
+            tuple,
+            dedup.jaccard_pairs(docs_real, threshold=0.35)
+            .select("id_a", "id_b", "jaccard")
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_medium_dir}/documents.parquet'"
+    )
+    exp = sorted(
+        map(tuple, con.execute(oracles.jaccard_pairs_sql(0.35)).fetchall())
+    )
+    assert got == exp and len(got) > 0

@@ -302,3 +302,42 @@ def test_cosine_topk_matches_duckdb_real_table(spark, sf_small_dir):
         for r in con.execute(cosine_topk_sql(qvec, k=10, dim=64)).fetchall()
     )
     assert got == exp and len(got) == 10
+
+
+def test_dup_pairs_match_duckdb_real_table(engine, emb, sf_medium_dir, spark):
+    """Funding for the r13 registry rotation (sim_dup_pairs_indexed out
+    for dedup_exact_keep): the retired row's DuckDB hash check moves here
+    verbatim — the bits=8 LSH near-dup pairs at the registry threshold
+    (0.4) vs oracles.embedding_dup_pairs_sql, exact, at the driver's
+    comparison scale (sf0.01). The route taken here is query-time; the
+    indexed route returns the identical pair set, pinned by
+    test_dup_pairs_route_and_parity above."""
+    import duckdb
+
+    from datafusion_uwheel_spark import SimilarityEngine
+    from datafusion_uwheel_spark.oracles import embedding_dup_pairs_sql
+
+    emb_real = read_parquet(spark, f"{sf_medium_dir}/embeddings.parquet")
+    eng = SimilarityEngine(spark, "embeddings_r13", emb_real, dim=DIM)
+    got = sorted(
+        map(
+            tuple,
+            eng.dup_pairs(0.4, bits=8, tables=2)
+            .select("id_a", "id_b", "sim")
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_medium_dir}/embeddings.parquet'"
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                embedding_dup_pairs_sql(0.4, dim=DIM, bits=8, tables=2)
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
