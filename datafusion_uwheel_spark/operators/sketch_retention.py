@@ -568,7 +568,12 @@ class SketchRetention:
                             if buf is not None:
                                 sel.append(buf)
             if sel is not None:
-                if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+                total = sum(len(x) for x in sel)
+                if total > self._DIRECT_MAX_BYTES:
+                    return None
+                if total > self._TIER_JOB_ESCAPE_BYTES:
+                    # r13 escape hatch (see _grouped_cells): tier-served
+                    # scalars past this much framing take the one job too
                     return None
                 parts = [struct.pack(">i", len(sel))]
                 for bb in sel:
@@ -878,7 +883,12 @@ class SketchRetention:
         if t is not None:
             return None if t is False else t
         day = self._day_tier(col, box)
-        if day is None or len(day[0]) < self._RUNG_MIN_DAYS:
+        if day is None:
+            # no False cache: the day tier own-caches, and its refusal
+            # may be knob-dependent (tests flip _TIER_MIN_ROWS) — only
+            # intrinsic conditions below pin False
+            return None
+        if len(day[0]) < self._RUNG_MIN_DAYS:
             cache[ckey] = False
             return None
         from ..functions.timestamps import bucket_starts
@@ -1133,6 +1143,55 @@ class SketchRetention:
         cache[col] = out
         return out
 
+    def _keyed_total_rung(self, col: str, box: dict):
+        """``{key: (merged_buf | None, raw_count)}`` — each key's
+        FULL-SPAN pre-merge above the (key, day) tier (r13, the keyed
+        sibling of :meth:`_coarse_rung`): a full-span ``*_by_key`` ask
+        frames O(keys) merged sketches instead of O(keys × days), the
+        heaviest remaining framing surface (keys × days can reach the
+        caps long before keys alone do). Built from the keyed tier's
+        driver-resident bytes with ONE ``*MergeGrouped`` call per col
+        per box; exactness inherits the keyed tier contract (one more
+        union-monoid level). Keys whose frames are all NULL keep an
+        empty merge (None buf) + count 0 — the job path's NULL algebra.
+        Range-restricted asks never use it (a total can't be sliced);
+        they keep the (key, day) tier."""
+        ops = self._sketch_ops()
+        if ops is None:
+            return None
+        merge = self._jvm_merge_grouped(ops)
+        if merge is None:
+            return None
+        cache = box.setdefault("key_total_rung", {})
+        t = cache.get(col)
+        if t is not None:
+            return None if t is False else t
+        tier = self._keyed_day_tier(col, box)
+        if tier is None:
+            # no False cache — see _coarse_rung: the keyed tier
+            # own-caches and its refusal may be knob-dependent
+            return None
+        if sum(len(v[0]) for v in tier.values()) < self._RUNG_MIN_DAYS:
+            cache[col] = False
+            return None
+        ordered = sorted(tier, key=lambda k: (k is not None, k))
+        fcounts: list = []
+        counts: list = []
+        sel: list = []
+        for k in ordered:
+            _dsecs, bufs, cts = tier[k]
+            fr = [b for b in bufs if b is not None]
+            sel.extend(fr)
+            fcounts.append(len(fr))
+            counts.append(sum(cts))
+        if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+            cache[col] = False
+            return None
+        merged = self._unframe(bytes(merge(self._pack_grouped(fcounts, sel))))
+        t = {k: (buf, c) for k, buf, c in zip(ordered, merged, counts)}
+        cache[col] = t
+        return t
+
     def _keyed_day_tier_via_job(self, col: str, box: dict):
         """(key, day) tier by ONE Spark job — the shared
         :meth:`_tier_job_rows` core (keys × days can be unbounded under a
@@ -1202,6 +1261,21 @@ class SketchRetention:
         # merged frames instead of keys × raw buckets; for an OVER-CAP
         # mirror (m is False) the job-built tier is the only direct path
         if a is None or self._tier_serves_range(box, a, b):
+            if a is None:
+                # r13: full-span asks climb to the key-total rung —
+                # O(keys) frames instead of O(keys × days)
+                rung = self._keyed_total_rung(col, box)
+                if rung is not None:
+                    ordered = sorted(rung, key=lambda k: (k is not None, k))
+                    counts = [rung[k][1] for k in ordered]
+                    fcounts = [
+                        0 if rung[k][0] is None else 1 for k in ordered
+                    ]
+                    sel = [
+                        rung[k][0] for k in ordered if rung[k][0] is not None
+                    ]
+                    if sum(len(x) for x in sel) <= self._DIRECT_MAX_BYTES:
+                        return ordered, self._pack_grouped(fcounts, sel), counts
             tier = self._keyed_day_tier(col, box)
             if tier is not None:
                 per_key = self._tier_key_frames(tier, a, b)
@@ -1211,7 +1285,12 @@ class SketchRetention:
                 counts = [per_key[k][1] for k in ordered]
                 fcounts = [len(per_key[k][0]) for k in ordered]
                 sel = [bb for k in ordered for bb in per_key[k][0]]
-                if sum(len(x) for x in sel) > self._DIRECT_MAX_BYTES:
+                total = sum(len(x) for x in sel)
+                if total > self._DIRECT_MAX_BYTES:
+                    return None
+                if total > self._TIER_JOB_ESCAPE_BYTES:
+                    # r13 escape hatch (see _grouped_cells): past this
+                    # much framing the one-job merge is cheaper
                     return None
                 return ordered, self._pack_grouped(fcounts, sel), counts
         if m is False:
@@ -1297,6 +1376,9 @@ class SketchRetention:
                     total += sum(len(x) for x in sel)
                     blobs.append(self._pack_grouped(fcounts, sel))
                 if total > self._DIRECT_MAX_BYTES:
+                    return None
+                if total > self._TIER_JOB_ESCAPE_BYTES:
+                    # r13 escape hatch (see _grouped_cells)
                     return None
                 return ordered, blobs[0], blobs[1]
         if m is False:

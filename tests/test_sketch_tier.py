@@ -800,3 +800,72 @@ def test_tier_job_escape_hatch(spark, events):
         assert job_free2 and got2 == job
     finally:
         r.unpersist()
+
+
+def test_keyed_total_rung_full_span(spark, events):
+    """r13: full-span *_by_key asks climb to the key-total rung —
+    O(keys) merged frames instead of O(keys × days) — and stay equal to
+    the raw framing and the job path (HLL register unions associative;
+    one more union-monoid level cannot move the state). Restricted asks
+    never touch it (a total can't be sliced): they keep the (key, day)
+    tier."""
+    r = build_distinct_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        r._TIER_MIN_ROWS = 10**9  # raw oracle BEFORE any tier caches
+        raw = r.distinct_rows_by_key(None, None)
+        r._jvm_ops = None
+        r.invalidate_asks()
+        job = [tuple(x) for x in r.approx_distinct_by_key(None, None).collect()]
+        del r._jvm_ops
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        r._RUNG_MIN_DAYS = 0
+        rung = r.distinct_rows_by_key(None, None)
+        box = r._mirror_box()
+        t = box.get("key_total_rung", {}).get("__hll")
+        assert t not in (None, False)
+        assert rung == raw == job
+        # O(keys): exactly one merged frame (or None) per key
+        assert set(t) == {k for k, _ in raw}
+        # warm full-span ask: zero jobs
+        r.invalidate_asks()
+        got, jf = _no_jobs(spark, lambda: r.distinct_rows_by_key(None, None))
+        assert jf and got == raw
+        # restricted ask keeps the (key, day) tier, still equal
+        A, B = "2024-03-04 00:00:00", "2024-03-18 00:00:00"
+        r.invalidate_asks()
+        got_r = r.distinct_rows_by_key(A, B)
+        r._jvm_ops = None
+        r.invalidate_asks()
+        assert got_r == r.distinct_rows_by_key(A, B)
+        del r._jvm_ops
+    finally:
+        r.unpersist()
+
+
+def test_keyed_tier_escape_hatch(spark, events):
+    """r13: keyed tier framings past _TIER_JOB_ESCAPE_BYTES route to the
+    one-job path (same rule as the series escape), answers equal. The
+    key-total rung still serves full spans O(keys) below the cap."""
+    r = build_distinct_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        A, B = "2024-03-04 00:00:00", "2024-03-18 00:00:00"
+        r._jvm_ops = None
+        job = r.distinct_rows_by_key(A, B)
+        del r._jvm_ops
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        r._TIER_JOB_ESCAPE_BYTES = 0
+        got, job_free = _no_jobs(spark, lambda: r.distinct_rows_by_key(A, B))
+        assert got == job
+        assert not job_free  # escaped: the (key, day) framing costs jobs
+        r._TIER_JOB_ESCAPE_BYTES = 32 << 20
+        r.invalidate_asks()
+        got2, jf2 = _no_jobs(spark, lambda: r.distinct_rows_by_key(A, B))
+        assert jf2 and got2 == job
+    finally:
+        r.unpersist()
