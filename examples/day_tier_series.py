@@ -109,6 +109,33 @@ def main() -> None:
         f"over-cap mirror: {len(got)} day cells served zero-job from the "
         "job-built tier (job-path parity at the HLL bound)"
     )
+
+    # ---- 4. r13 rungs: week-level pre-merge + key-total pre-merge ------
+    # the coarse rung frames O(weeks) instead of O(days) on a full-span
+    # week series; the key-total rung frames O(keys) on full-span keyed
+    # asks — both one more level of the same union monoid, so answers are
+    # unchanged (theta exact; HLL register-equal).
+    tr._TIER_MIN_ROWS = 0
+    tr._RUNG_MIN_DAYS = 0  # demo corpus is shallow; force the rung on
+    tr._mirror_box().setdefault("rung", {}).clear()
+    tr.invalidate_asks()
+    rung = tr.retention_rows_by("week")  # builds the rung once
+    tr.invalidate_asks()
+    j0 = njobs(spark)
+    rung = tr.retention_rows_by("week")
+    assert njobs(spark) == j0, "warm rung ask must be zero-job"
+    t = tr._mirror_box()["rung"][("__theta", "week")]
+    # the same ask framed from the DAY tier (rung disabled + cache
+    # cleared) must give the identical rows — one more merge level of an
+    # exact set algebra cannot move a bit
+    tr._mirror_box()["rung"].clear()
+    tr._RUNG_MIN_DAYS = 10**9
+    tr.invalidate_asks()
+    assert rung == tr.retention_rows_by("week"), "rung must equal day tier"
+    print(
+        f"week rung: {len(t[0])} pre-merged week cells serve the "
+        f"full-span series (vs per-day framing)"
+    )
     print("OK")
 
 
