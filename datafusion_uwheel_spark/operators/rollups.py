@@ -367,7 +367,14 @@ def build_wheel_indices(
     import time as _time
 
     t0 = _time.perf_counter()
-    tbl = rolled.toArrow()
+    # Sort executor-side (r13): the mirror needs sec-ascending arrays, and
+    # a distributed sort of the rollup rides the same job for ~nothing,
+    # while the driver-side argsort + per-state fancy-index copies it
+    # replaces were the build's dominant (and box-noise-amplifying) phase
+    # at the third decade — 9.8M bucket rows measured 112-118 s of driver
+    # numpy vs 3.4-5.9 s of Spark. At 100 TB the sort is the only part of
+    # this that scales with executors anyway.
+    tbl = rolled.orderBy("__sec").toArrow()
     t1 = _time.perf_counter()
     out = _indices_from_rollup(
         tbl, table, columns, types, filter_key, complete=time_range is None,
@@ -610,14 +617,28 @@ def _indices_from_rollup(
         return out
 
     secs_raw = np.asarray(tbl.column("__sec"))
-    order = np.argsort(secs_raw)
-    secs = secs_raw.astype(np.int64, copy=False)[order]
-    cnt = _filled(tbl, "__cnt", 0, np.int64)[order]
+    # r13: the main build path ships the rollup PRE-SORTED (executor-side
+    # orderBy — see build_wheel_indices); the monotone check is one cheap
+    # vectorized pass, and when it holds the driver skips the argsort AND
+    # every per-state fancy-index copy — the phase that dominated the
+    # third-decade build (and amplified box noise). Unsorted inputs (the
+    # partitioned builder's per-key slices, the sec-regroup) keep the
+    # argsort path.
+    if len(secs_raw) > 1 and not bool(np.all(secs_raw[1:] > secs_raw[:-1])):
+        order = np.argsort(secs_raw)
+    else:
+        order = None
+
+    def _ord(arr):
+        return arr if order is None else arr[order]
+
+    secs = _ord(secs_raw.astype(np.int64, copy=False))
+    cnt = _ord(_filled(tbl, "__cnt", 0, np.int64))
     min_ts_us = int(pc.min(tbl.column("__tmin")).as_py())
     max_ts_us = int(pc.max(tbl.column("__tmax")).as_py())
     # At-start slivers are sparse: keep only buckets whose start instant
     # holds rows (ns-precision data typically has none at all).
-    atcnt = _filled(tbl, "__atcnt", 0, np.int64)[order]
+    atcnt = _ord(_filled(tbl, "__atcnt", 0, np.int64))
     at_mask = atcnt > 0
     at_secs = secs[at_mask]
     at_cnt = atcnt[at_mask]
@@ -632,7 +653,10 @@ def _indices_from_rollup(
     }
 
     def _at(arr):
-        return arr[order][at_mask] if arr is not None else None
+        return _ord(arr)[at_mask] if arr is not None else None
+
+    def _ord_opt(arr):
+        return _ord(arr) if arr is not None else None
 
     for c in columns:
         arrs = rollup_arrays(tbl, c, types[c], states)
@@ -643,11 +667,11 @@ def _indices_from_rollup(
             filter_key,
             secs,
             cnt,
-            sum_=arrs["sum"][order] if arrs["sum"] is not None else None,
-            min_=arrs["min"][order] if arrs["min"] is not None else None,
-            max_=arrs["max"][order] if arrs["max"] is not None else None,
-            sumsq_=arrs["sumsq"][order] if arrs["sumsq"] is not None else None,
-            vcnt_=arrs["vcnt"][order],
+            sum_=_ord_opt(arrs["sum"]),
+            min_=_ord_opt(arrs["min"]),
+            max_=_ord_opt(arrs["max"]),
+            sumsq_=_ord_opt(arrs["sumsq"]),
+            vcnt_=_ord(arrs["vcnt"]),
             value_sql_type=types[c],
             min_ts_us=min_ts_us,
             max_ts_us=max_ts_us,
