@@ -1180,7 +1180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
-        # r8: uw_landmark_sum's slot funds freq_topk (see ledger).
+        # r8: uw_landmark_sum's slot funded freq_topk; r13 re-seats
+        # uw_landmark_sum on uw_between_range's slot, so both now hold
+        # seats (see ledger).
         "freq_topk": freq_topk,
         "uw_keyed_sum": uw_keyed_sum,
         "uw_keyed_numeric": uw_keyed_numeric,

@@ -1957,6 +1957,9 @@ def main() -> None:
         # ~170 -> ~75 ms warm at sf1; the residual growth is per-day
         # sketch saturation toward k, not the raw bucket count). The
         # jobpath control below is the r11 verdict's missing comparator.
+        # r13: the 350-day sf1 tier clears _RUNG_MIN_DAYS, so this
+        # full-span week ask now frames ~50 WEEK-rung sketches
+        # (measured 53-58 -> ~20 ms) — O(ask cells), the ladder's top.
         timed_spread(
             "uw_retention_by_week_direct_sf1",
             fresh(tr1, lambda: tr1.retention_rows_by("week")), N_PROBE,
