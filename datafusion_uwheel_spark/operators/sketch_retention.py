@@ -1171,7 +1171,14 @@ class SketchRetention:
             # no False cache — see _coarse_rung: the keyed tier
             # own-caches and its refusal may be knob-dependent
             return None
-        if sum(len(v[0]) for v in tier.values()) < self._RUNG_MIN_DAYS:
+        # floor on per-key day DEPTH (r14; r13 summed (key, day) cells,
+        # so 200 keys × 1 day crossed a "180-day" floor though the merge
+        # gains nothing over the tier framing): the rung's win is the
+        # days-1 unions it pre-pays per key, so gate on the deepest key
+        if (
+            not tier
+            or max(len(v[0]) for v in tier.values()) < self._RUNG_MIN_DAYS
+        ):
             cache[col] = False
             return None
         ordered = sorted(tier, key=lambda k: (k is not None, k))
@@ -1274,8 +1281,18 @@ class SketchRetention:
                     sel = [
                         rung[k][0] for k in ordered if rung[k][0] is not None
                     ]
-                    if sum(len(x) for x in sel) <= self._DIRECT_MAX_BYTES:
+                    # r14: the escape hatch applies here like every other
+                    # tier/rung surface (r13 gated only on
+                    # _DIRECT_MAX_BYTES, leaving a 32-64 MB band — large-k
+                    # sketches × thousands of keys — where O(keys) framing
+                    # still loses to the ~300 ms one-job floor at the
+                    # measured ~10 ms/MB framing slope)
+                    if (
+                        sum(len(x) for x in sel)
+                        <= self._TIER_JOB_ESCAPE_BYTES
+                    ):
                         return ordered, self._pack_grouped(fcounts, sel), counts
+                    return None
             tier = self._keyed_day_tier(col, box)
             if tier is not None:
                 per_key = self._tier_key_frames(tier, a, b)

@@ -869,3 +869,75 @@ def test_keyed_tier_escape_hatch(spark, events):
         assert jf2 and got2 == job
     finally:
         r.unpersist()
+
+
+def test_keyed_total_rung_escape_hatch(spark, events):
+    """r14 (the r13 verdict's #2): the FULL-SPAN key-total rung framing
+    obeys _TIER_JOB_ESCAPE_BYTES like every other tier/rung surface —
+    r13 gated it only on _DIRECT_MAX_BYTES, leaving a 32-64 MB band
+    (large-k sketches × thousands of keys) where O(keys) framing still
+    loses to the one-job floor. Past the threshold the ask job-routes
+    with EQUAL answers; restoring it restores zero-job rung service."""
+    r = build_distinct_rollup(
+        events, "ts", "uid", bucket_seconds=3600, partition_by="et"
+    )
+    try:
+        r._jvm_ops = None
+        job = r.distinct_rows_by_key(None, None)
+        del r._jvm_ops
+        r.invalidate_asks()
+        r._TIER_MIN_ROWS = 0
+        r._RUNG_MIN_DAYS = 0
+        r._TIER_JOB_ESCAPE_BYTES = 0
+        got, job_free = _no_jobs(
+            spark, lambda: r.distinct_rows_by_key(None, None)
+        )
+        assert got == job
+        assert not job_free  # escaped: past the cap, the one-job merge wins
+        # the rung itself was still built (the escape is ask-side routing)
+        assert r._mirror_box().get("key_total_rung", {}).get("__hll") not in (
+            None,
+            False,
+        )
+        r._TIER_JOB_ESCAPE_BYTES = 32 << 20
+        r.invalidate_asks()
+        got2, jf2 = _no_jobs(
+            spark, lambda: r.distinct_rows_by_key(None, None)
+        )
+        assert jf2 and got2 == job
+    finally:
+        r.unpersist()
+
+
+def test_keyed_rung_floor_counts_depth_not_cells(spark):
+    """r14 (the r13 verdict's #2, second half): the key-total rung floor
+    gates on per-key day DEPTH, not total (key, day) cells — 200 keys ×
+    2 days each (400 cells, depth 2) must NOT build a rung at a floor of
+    3 (r13's sum-of-cells rule would have sailed past a 180 floor), and
+    MUST build at a floor of 2. Answers identical either way: the floor
+    is an economics heuristic, never semantics."""
+    rows = []
+    for k in range(200):
+        for d in range(2):
+            ts = BASE + timedelta(days=d, minutes=k)
+            rows.append((ts, (k * 17 + d) % 997, f"k{k:03d}"))
+    wide = spark.createDataFrame(rows, "ts timestamp, uid bigint, k string")
+    r = build_distinct_rollup(
+        wide, "ts", "uid", bucket_seconds=3600, partition_by="k"
+    )
+    try:
+        r._TIER_MIN_ROWS = 0
+        r._RUNG_MIN_DAYS = 3  # deepest key has 2 days -> refuse
+        base = r.distinct_rows_by_key(None, None)
+        assert r._mirror_box().get("key_total_rung", {}).get("__hll") is False
+        r.invalidate_asks()
+        r._drop_mirror()
+        r._RUNG_MIN_DAYS = 2  # deepest key meets the floor -> build
+        got = r.distinct_rows_by_key(None, None)
+        assert r._mirror_box().get("key_total_rung", {}).get("__hll") not in (
+            None,
+            False,
+        )
+        assert got == base
+    finally:
+        r.unpersist()
