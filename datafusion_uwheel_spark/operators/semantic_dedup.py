@@ -179,20 +179,54 @@ def with_semantic_cells(
         return _cells_kernel(df, centroids, vec_col)
     cnorms = F.array(*[F.lit(n) for n in _centroid_norms(centroids)])
     if assigned_cell_col is None:
+        # The k dot-folds are STAGED as a real column and cell/csim read
+        # it by reference (r14, the r13 drift's code-correlated share):
+        # HOF folds (aggregate/zip_with) fall outside whole-stage
+        # codegen, so common-subexpression elimination never applies to
+        # them — the single-projection form re-evaluated the whole k x
+        # dim fold array once for cell, again for cdot, and again for
+        # csim's denominator (measured 2.0 s vs 0.65 s on the real
+        # embeddings table at k=16). Catalyst's CollapseProject keeps
+        # the stages apart precisely because merging would duplicate
+        # non-cheap expressions.
+        tmp = "__uw_sd_darr"
+        while tmp in df.columns:
+            tmp += "_"
         darr = F.array(*[dot_col(vec_col, c) for c in centroids])
-        cell = F.array_position(darr, F.array_max(darr))
+        staged = df.withColumn(tmp, darr)
+        dc = F.col(tmp)
+        cell = F.array_position(dc, F.array_max(dc))
         # NaN-carrying vectors are invalid inputs: NULL their cell so the
         # two physical paths agree across the k > max_expr_centroids
         # boundary (r12 ADVICE). Unguarded, NaN dots ride Spark's
         # NaN-is-largest ordering through array_max/array_position to a
         # REAL cell, while the Arrow kernel cannot even see the
         # difference (NULL elements land as NaN in float64 batches) and
-        # masks the row. NULL elements already fold to NULL dots -> cell
-        # NULL on their own; `exists` returning NULL (no NaN, some NULL
-        # results) falls through to that same propagation.
-        bad = F.exists(F.col(vec_col).cast("array<double>"), F.isnan)
-        cell = F.when(bad, F.lit(None).cast("long")).otherwise(cell)
-        cdot = F.element_at(darr, cell.cast("int"))
+        # masks the row. The detector is isnan(array_max(vec)), not
+        # exists(vec, isnan): NaN-is-largest surfaces any NaN ELEMENT in
+        # array_max (a codegen'd builtin) where `exists` runs an
+        # interpreted per-element lambda — measured 13% vs 9% over the
+        # unguarded assignment at 200k x dim-64 (r14; the r13 drift's
+        # code-correlated share). Truth tables agree row-for-row: NULL
+        # elements are skipped by array_max exactly as isnan(NULL) never
+        # fired under exists (both land false/NULL -> the `otherwise`
+        # branch, where NULL dots already propagate cell NULL), and an
+        # all-NULL or NULL vector gives array_max NULL -> isnan false ->
+        # same otherwise branch. Inf-element vectors stay UNmasked on
+        # both forms (inf is not NaN), keeping the kernel's
+        # first-NaN-dot argmax parity on that edge.
+        bad = F.isnan(F.array_max(F.col(vec_col).cast("array<double>")))
+        staged = staged.withColumn(
+            "cell", F.when(bad, F.lit(None).cast("long")).otherwise(cell)
+        )
+        cellc = F.col("cell")
+        cdot = F.element_at(dc, cellc.cast("int"))
+        vnorm = F.sqrt(norm_sq_col(vec_col))
+        denom = vnorm * F.element_at(cnorms, cellc.cast("int"))
+        csim = F.when(
+            denom.isNull() | (denom == 0.0), F.lit(None).cast("double")
+        ).otherwise(cdot / denom)
+        return staged.withColumn("csim", csim).drop(tmp)
     else:
         # assignment-free for real: evaluate ONE centroid's dot per row —
         # a CASE chain on the stored cell (CreateArray elements behind a

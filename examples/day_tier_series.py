@@ -136,6 +136,40 @@ def main() -> None:
         f"week rung: {len(t[0])} pre-merged week cells serve the "
         f"full-span series (vs per-day framing)"
     )
+
+    # ---- 5. key-total rung + its escape hatch (r13/r14) ----------------
+    # full-span *_by_key asks frame O(keys) pre-merged totals; past
+    # _TIER_JOB_ESCAPE_BYTES of framing the ask job-routes with EQUAL
+    # answers (r14 closed the gap: the keyed rung obeys the same escape
+    # as every other tier/rung surface).
+    dk = eng.build_distinct_index(
+        "user_id", partition_by="event_type"
+    )
+    dk._jvm_ops = None
+    want_k = dk.distinct_rows_by_key(None, None)
+    del dk._jvm_ops
+    dk.invalidate_asks()
+    dk._TIER_MIN_ROWS = 0
+    dk._RUNG_MIN_DAYS = 0  # demo corpus is shallow; force the rung on
+    got_k = dk.distinct_rows_by_key(None, None)  # builds the rung once
+    rung_state = dk._mirror_box()["key_total_rung"]["__hll"]
+    assert rung_state not in (None, False)
+    assert got_k == want_k, "key-total rung must equal the job path"
+    dk.invalidate_asks()
+    j0 = njobs(spark)
+    assert dk.distinct_rows_by_key(None, None) == want_k
+    assert njobs(spark) == j0, "warm keyed rung ask must be zero-job"
+    dk._TIER_JOB_ESCAPE_BYTES = 0  # force the escape: framing too big
+    dk.invalidate_asks()
+    j0 = njobs(spark)
+    assert dk.distinct_rows_by_key(None, None) == want_k
+    assert njobs(spark) > j0, "escaped ask must take the one-job path"
+    dk._TIER_JOB_ESCAPE_BYTES = 32 << 20
+    print(
+        f"key-total rung: {len(rung_state)} per-key totals serve the "
+        "full-span keyed series zero-job; past the escape threshold the "
+        "one-job merge answers identically"
+    )
     print("OK")
 
 

@@ -769,3 +769,38 @@ def test_spark_backend_hopping_windows_route(spark, sf_small_dir):
                     assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), (sql, g, w)
                 else:
                     assert x == y, (sql, g, w)
+
+
+def test_compacted_range_matches_duckdb_real_table(spark, sf_medium_dir):
+    """Funding for the r14 registry rotation (uw_compacted_range out for
+    the re-seated uw_le_bound_range, r9 debt): the retired row's DuckDB
+    hash check moves here verbatim — the hour-compacted private engine's
+    range answer vs the plain DuckDB scan at the driver's comparison
+    scale (sf0.01). Monoid roll-ups must stay bit-for-bit the plain
+    answer; the n/sum_value columns remain hash-checked identically
+    every round inside uw_multi_agg."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    got = [
+        tuple(r)
+        for r in entry.uw_compacted_range(spark, sf_medium_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{sf_medium_dir}/events.parquet'"
+    )
+    exp = [
+        tuple(r)
+        for r in con.execute(
+            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value "
+            "FROM events "
+            f"WHERE ts >= TIMESTAMP '{entry.A}' AND ts < TIMESTAMP '{entry.B}'"
+        ).fetchall()
+    ]
+    assert got == exp and len(got) == 1
