@@ -1141,29 +1141,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     by-day DuckDB check moved VERBATIM to test_frequency.
     #     test_topk_by_day_matches_duckdb_real_table; probe machinery
     #     stays hash-checked via freq_topk + freq_topk_by_key).
-    #   - r14 rotations (verdict #3 — pay down the two r9 debts, resume
-    #     the two lapsed alternations): uw_le_bound_range RE-SEATED, r9
-    #     out (slot: uw_compacted_range — its n/sum_value columns are
-    #     hash-checked identically inside uw_multi_agg, monoid roll-ups
-    #     bit-for-bit the plain answer; DuckDB check moved VERBATIM to
-    #     test_retention.test_compacted_range_matches_duckdb_real_table);
-    #     uw_point_instant RE-SEATED, r9 out (slot: tpch_q6 — the
-    #     plainest delegate, surface amply hash-checked via tpch_q1 +
-    #     tpch_q3 + the delegate rows; DuckDB check moved VERBATIM to
-    #     test_entry_contract.test_tpch_q6_matches_duckdb_real_table);
-    #     uw_groupby_month -> uw_groupby_week and or_group_by ->
-    #     uw_or_ranges (both alternations lapsed in r13 — month and the
-    #     grouped OR form held their seats two rounds).
     #   - retired, pytest-pinned, candidates to rotate back in by
-    #     re-retiring a subsumed row: uw_compacted_range (r14 out),
-    #     tpch_q6 (r14 out), uw_groupby_month (r14 out),
-    #     or_group_by (r14 out), uw_between_range (r13 out),
+    #     re-retiring a subsumed row: uw_between_range (r13 out),
     #     freq_topk_by_day (r13 out), sim_dup_pairs_indexed (r13 out),
     #     dedup_jaccard_pairs (r13 out), text_quality (r13 out),
     #     uw_sum_range (r11 out),
+    #     uw_groupby_week (r12 out), uw_or_ranges (r12 out),
     #     dedup_semantic pairs form (r12 out), dedup_substring (r12 out),
     #     sim_topk_bruteforce (r12 out), mm_frames (r12 out),
-    #     text_lang_id (r12 out),
+    #     text_lang_id (r12 out), uw_le_bound_range (r9 out),
+    #     uw_point_instant (r9 out),
     #     sim_ann_indexed/sim_ivf_indexed (r3 out, physically identical
     #     plans to the engine-routed rows).
     #   - freq_topk_by_day seated r10 (the LAST r8 surface, per-period
@@ -1189,7 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_multi_agg": uw_multi_agg,
         "uw_groupby_hour": uw_groupby_hour,
         "uw_dim_groupby": uw_dim_groupby,
-        "uw_groupby_week": uw_groupby_week,  # r14: month<->week swap resumes
+        "uw_groupby_month": uw_groupby_month,  # r12: week<->month swap
         "uw_window_tumbling": uw_window_tumbling,
         "uw_having_groupby": uw_having_groupby,
         "uw_groupby_landmark": uw_groupby_landmark,
@@ -1209,9 +1196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BETWEEN bounds, just grouped), and the scalar form stays
         # pytest-pinned vs the delegate in test_hybrid_boundaries.py.
         "uw_landmark_sum": uw_landmark_sum,
-        # r9: seated on uw_le_bound_range's then-slot (see ledger);
-        # r14 re-seats uw_le_bound_range on uw_compacted_range's slot,
-        # so both now hold seats.
+        # r9: uw_le_bound_range's slot funds the routed top-k SQL
+        # shape (see ledger); the <=-bound hybrid path stays covered by
+        # uw_between_range (same at-start sliver machinery) and
+        # test_hybrid_boundaries.py.
         "uw_topk_sql": uw_topk_sql,
         # r13: freq_topk_by_day's slot funds the re-seated mm_media_dedup
         # (r6 out — verdict #4): the per-period regroup's probe machinery
@@ -1220,24 +1208,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into pytest (test_frequency.test_topk_by_day_matches_duckdb_
         # real_table).
         "mm_media_dedup": mm_media_dedup,
-        # r14: uw_compacted_range's slot funds the re-seated
-        # uw_le_bound_range (r9 out — the oldest non-subsumed debt): the
-        # compacted engine's n/sum_value columns are hash-checked
-        # IDENTICALLY every round inside uw_multi_agg (same range, same
-        # rounding — monoid roll-ups are bit-for-bit the plain answer),
-        # the compaction machinery stays pytest-pinned in
-        # test_retention.py, and the retired row's DuckDB check moved
-        # VERBATIM to test_retention.test_compacted_range_matches_
-        # duckdb_real_table.
-        "uw_le_bound_range": uw_le_bound_range,
+        "uw_compacted_range": uw_compacted_range,
         "uw_int_sum_range": uw_int_sum_range,
-        # r14: uw_or_ranges <-> or_group_by alternate back (the r12/r13
-        # lapse repaid; the grouped form stays pytest-pinned vs delegate
-        # in test_or_ranges.py).
-        "uw_or_ranges": uw_or_ranges,
-        # r9: seated on uw_point_instant's then-slot (see ledger); r14
-        # re-seats uw_point_instant on tpch_q6's slot, so both now hold
-        # seats.
+        # r12: uw_or_ranges <-> or_group_by alternate (both sides of the
+        # interval-split + monoid-sum path; the scalar form stays
+        # pytest-pinned vs delegate in test_or_ranges.py).
+        "or_group_by": or_group_by,
+        # r9: uw_point_instant's slot funds the per-key heavy hitters
+        # (see ledger); the at-start point path stays covered by the
+        # hybrid rows + test_hybrid_boundaries.py.
         "freq_topk_by_key": freq_topk_by_key,
         "uw_date_key": uw_date_key,
         "uw_prune_count": uw_prune_count,
@@ -1245,14 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uw_unaligned_delegate": uw_unaligned_delegate,
         "tpch_q1": tpch_q1,
         "tpch_q3": tpch_q3,
-        # r14: tpch_q6's slot funds the re-seated uw_point_instant (r9
-        # out — with uw_le_bound_range the oldest non-subsumed debt): q6
-        # is the plainest delegate (filter + global agg), a surface amply
-        # hash-checked via tpch_q1 (grouped multi-agg scan) + tpch_q3
-        # (3-way join) + the delegate rows; its DuckDB check moved
-        # VERBATIM to test_entry_contract.test_tpch_q6_matches_duckdb_
-        # real_table.
-        "uw_point_instant": uw_point_instant,
+        "tpch_q6": tpch_q6,
         "rel_window": rel_window,
         "rel_setop": rel_setop,
         # r4: rel_subquery's slot funds the routed-CTE join row — its scalar
@@ -1348,15 +1320,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # DuckDB date_trunc('day'|'week') returns DATE; Spark returns
         # TIMESTAMP — cast so the driver's schema compare agrees.
-        "uw_groupby_week": (
-            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
+        "uw_groupby_month": (
+            "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events "
             f"WHERE ts >= TIMESTAMP '{WEEK_A}' AND ts < TIMESTAMP '{WEEK_B}' GROUP BY 1"
         ),
-        "uw_or_ranges": (
-            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
+        "or_group_by": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
+            "count(*) AS n, round(sum(value), 3) AS sum_value FROM events WHERE "
             "(ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00') OR "
-            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00')"
+            "(ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00') "
+            "GROUP BY 1 ORDER BY bucket"
         ),
         # window(ts, '6 hours') = epoch-aligned 21600-second buckets;
         # make_timestamp takes epoch µs, so both fields stay naive TIMESTAMP
@@ -1416,9 +1390,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}' "
             "GROUP BY event_type ORDER BY n DESC, k LIMIT 3"
         ),
-        "uw_le_bound_range": (
-            "SELECT count(*) AS n, round(avg(value), 6) AS avg_value FROM events "
-            f"WHERE ts > TIMESTAMP '{GT_A}' AND ts <= TIMESTAMP '{B_INCL}'"
+        # the compacted engine answers from hour tiers; the truth is the
+        # plain scan — monoid roll-ups must be bit-for-bit identical
+        "uw_compacted_range": (
+            "SELECT count(*) AS n, round(sum(value), 3) AS sum_value FROM events "
+            f"WHERE ts >= TIMESTAMP '{A}' AND ts < TIMESTAMP '{B}'"
         ),
         "uw_keyed_numeric": (
             "SELECT round(sum(value), 3) AS sum_value, count(*) AS n FROM events "
@@ -1463,10 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q1": _TPCH_Q1,
         "tpch_q3": _TPCH_Q3,
-        "uw_point_instant": (
-            "SELECT count(*) AS n, COALESCE(sum(value), -1.0) AS sum_value FROM events "
-            f"WHERE ts = TIMESTAMP '{GT_A}'"
-        ),
+        "tpch_q6": _TPCH_Q6,
         "rel_window": _SQL_WINDOW,
         "rel_setop": _SQL_SETOP,
         "uw_cte_join": (
