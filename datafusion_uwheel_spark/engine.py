@@ -174,6 +174,16 @@ class WheelEngine:
             self.df = self.df.withColumn(time_column, _F.expr(conv[time_unit]))
         self.df.createOrReplaceTempView(name)
 
+        #: r14 (guide §1.2 — the distributed algorithm first): when True the
+        #: base COUNT wheel's table scan has been DEFERRED. Every
+        #: ``build_index``/``build_indexes`` pass computes the identical
+        #: unfiltered count rollup anyway (``indices[None]``), so the
+        #: standard ctor-then-build sequence used to pay the same full scan
+        #: twice; the first unfiltered build now seeds the base wheel for
+        #: free and any reader that arrives earlier materializes it through
+        #: :meth:`_ensure_base` (identical wheel, identical answers — just
+        #: built at first use instead of construction).
+        self._base_pending = False
         if load_indexes is not None:
             # Build-once path: restore persisted rollups (driver-side parquet
             # read, no Spark job — the 100 TB restart story, see
@@ -184,16 +194,17 @@ class WheelEngine:
             self.count_wheels = dict(wheels["count"])
             self.min_max_wheels = dict(wheels["min_max"])
             self.agg_wheels = dict(wheels["agg"])
-        else:
+        elif min_max_columns:
             # Pruning wheels only ever serve min_max_range — build just those
             # two states (~3× smaller than a full wheel; the reference's
             # F64MinMaxAggregator wheels are likewise min/max-only,
-            # lib.rs:967-1017).
+            # lib.rs:967-1017). The count wheel rides the same single pass,
+            # so there is nothing to defer here.
             indices = build_wheel_indices(
                 self.df, name, time_column, list(min_max_columns),
                 time_range=time_range, bucket_seconds=self.bucket_seconds,
                 backend=index_backend,
-                states=("min", "max") if min_max_columns else (),
+                states=("min", "max"),
             )
             #: filter_key → COUNT wheel (unfiltered under ``*_AGG``; keyed
             #: wheels are added by :meth:`build_index`).
@@ -206,6 +217,13 @@ class WheelEngine:
             }
             #: (column, filter_key) → aggregate wheel (sum/avg/min/max states).
             self.agg_wheels: dict[tuple[str, str], WheelIndex] = {}
+        else:
+            # No pruning wheels requested: the ctor's only product would be
+            # the base COUNT wheel — defer its scan (see _base_pending).
+            self.count_wheels = {}
+            self.min_max_wheels = {}
+            self.agg_wheels = {}
+            self._base_pending = True
         #: column → cached HLL sketch rollup (:meth:`build_distinct_index`);
         #: initialized here so :meth:`approx_distinct` raises the documented
         #: KeyError (not AttributeError) when no rollup was ever built.
@@ -309,6 +327,22 @@ class WheelEngine:
                             self.agg_wheels.setdefault((c, w.filter_key), w)
 
     # -------------------------------------------------------------- builds
+    def _ensure_base(self) -> None:
+        """Materialize the deferred base COUNT wheel (see ``_base_pending``
+        in ``__init__``). No-op once built or seeded; the wheel is
+        bit-identical to the one the ctor used to build eagerly (same
+        rollup expressions over the same source)."""
+        if not self._base_pending:
+            return
+        self._base_pending = False
+        indices = build_wheel_indices(
+            self.df, self.name, self.time_column, [],
+            time_range=self._time_range, bucket_seconds=self.bucket_seconds,
+            backend=self.index_backend, states=(),
+        )
+        self.count_wheels.setdefault(STAR_AGGREGATION_ALIAS, indices[None])
+        self.index_epoch += 1
+
     def build_index(
         self,
         column: str,
@@ -350,6 +384,10 @@ class WheelEngine:
             backend=self.index_backend,
             states=physical_states_for(aggs),
         )
+        if filter is None and time_range is None and self._base_pending:
+            # this unfiltered pass's count rollup IS the deferred base
+            # wheel — seed it for free (see _base_pending in __init__)
+            self._base_pending = False
         # A keyed/filtered wheel is answerable over the whole *base table*
         # span, not just the span of rows matching the filter: a sub-range
         # with zero matching rows is a correct (empty) aggregate, not an
@@ -358,7 +396,8 @@ class WheelEngine:
         # full-span keyed queries; we deliberately widen. When the build was
         # time_range-restricted, keep the wheel's own (restricted) bounds.
         if time_range is None and self._time_range is None:
-            base = self.count_wheels[STAR_AGGREGATION_ALIAS]
+            self._ensure_base()
+            base = self.count_wheels.get(STAR_AGGREGATION_ALIAS, indices[None])
             if not base.empty:
                 for w in indices.values():
                     if not w.empty:
@@ -440,6 +479,8 @@ class WheelEngine:
         # setdefault: an explicitly built STAR wheel (exact float add
         # order) keeps precedence over the derived one.
         self.count_wheels.setdefault(STAR_AGGREGATION_ALIAS, star[None])
+        # the derived star count wheel covers the deferred base's contract
+        self._base_pending = False
         for c in columns:
             self.agg_wheels.setdefault((c, STAR_AGGREGATION_ALIAS), star[c])
         self.index_epoch += 1
@@ -480,8 +521,12 @@ class WheelEngine:
             backend=self.index_backend,
             states=physical_states_for(aggs),
         )
+        if filter is None and time_range is None and self._base_pending:
+            # see build_index: the unfiltered pass seeds the deferred base
+            self._base_pending = False
         if time_range is None and self._time_range is None:
-            base = self.count_wheels[STAR_AGGREGATION_ALIAS]
+            self._ensure_base()
+            base = self.count_wheels.get(STAR_AGGREGATION_ALIAS, indices[None])
             if not base.empty:
                 for w in indices.values():
                     if not w.empty:
@@ -793,6 +838,7 @@ class WheelEngine:
         from .functions.timestamps import parse_ts_literal
 
         ps = self.partition_sets[key_column.lower()]
+        self._ensure_base()
         star = self.count_wheels[STAR_AGGREGATION_ALIAS]
 
         def to_sec(x, default):
@@ -1092,6 +1138,7 @@ class WheelEngine:
 
         from .operators.persistence import save_wheels
 
+        self._ensure_base()
         # Partitioned-family wheels double-register in count/agg for keyed
         # reuse — save them once, under the partition group only.
         part: dict = {}
@@ -1248,6 +1295,7 @@ class WheelEngine:
         return reclaimed
 
     def _all_wheels(self):
+        self._ensure_base()
         yield from self.count_wheels.values()
         yield from self.min_max_wheels.values()
         yield from self.agg_wheels.values()
@@ -1261,6 +1309,7 @@ class WheelEngine:
     def index_usage_bytes(self) -> int:
         """Total driver-side index footprint (reference
         ``index_usage_bytes``, ``lib.rs:143-146``; ``wheels.rs:53-75``)."""
+        self._ensure_base()
         seen: set[int] = set()
         total = 0
         for w in (
@@ -1276,6 +1325,7 @@ class WheelEngine:
     def list_indexes(self) -> list[dict]:
         """Metadata for every wheel: identity, span, size — the analogue of
         iterating ``BuiltInWheels`` (``wheels.rs:19-76``)."""
+        self._ensure_base()
         out = []
         seen: set[int] = set()
         for kind, group in (
@@ -1330,6 +1380,7 @@ class WheelEngine:
         return dropped is not None
 
     def index_keys(self) -> list[str]:
+        self._ensure_base()
         return sorted(
             {w.key for w in self.count_wheels.values()}
             | {w.key for w in self.min_max_wheels.values()}

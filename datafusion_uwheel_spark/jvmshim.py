@@ -287,6 +287,7 @@ def register_count_rollup(
     from .operators.lookup import STAR_AGGREGATION_ALIAS
 
     _pin_storage_prefs(engine, storage_dir, max_local_rows)
+    engine._ensure_base()
     w = engine.count_wheels[STAR_AGGREGATION_ALIAS]
     name = f"__uwheel_rollup_{engine.name}"
     table = pa.table(

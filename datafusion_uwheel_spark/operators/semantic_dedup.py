@@ -155,6 +155,7 @@ def with_semantic_cells(
     vec_col: str = "embedding",
     assigned_cell_col: str | None = None,
     max_expr_centroids: int = MAX_EXPR_CENTROIDS,
+    prefer_kernel: bool = False,
 ) -> DataFrame:
     """Append ``cell`` (1-based first-argmax-dot centroid, the IVF
     assignment spec) and ``csim`` (cosine to the assigned centroid; NULL
@@ -167,15 +168,29 @@ def with_semantic_cells(
     the recomputed path whenever the stored assignment is.
 
     ``max_expr_centroids``: plan-size guard. Recomputed assignment with
-    ``k <= max_expr_centroids`` builds k codegen'd dot-folds (fastest at
-    small k, oracle-mirrored); above it the Arrow kernel
+    ``k <= max_expr_centroids`` builds k codegen'd dot-folds (the
+    oracle-mirrored spec); above it the Arrow kernel
     (:func:`_cells_kernel`, bit-equal folds) takes over so plan
     analysis stays O(1) in k. The assigned-cell path's CASE chain is
     likewise O(k) in plan size — for huge k prefer joining csim from a
-    precomputed frame or passing the recompute path."""
+    precomputed frame or passing the recompute path.
+
+    ``prefer_kernel=True`` routes the RECOMPUTED assignment through the
+    Arrow kernel at ANY k (r14 — measured on the real embeddings table
+    at k=16 × dim-64: expression 1.57 s vs kernel 0.34 s per pass, and
+    Catalyst ANALYSIS of the k × dim fold tree alone costs ~1 s per
+    fresh plan, paid again by every downstream action on the lineage —
+    HOF folds are interpreted AND their literal trees are O(k·dim) plan
+    nodes). Bit-equal by construction (:func:`_cells_kernel` replays the
+    identical sequential IEEE folds; pinned by pytest at the
+    MAX_EXPR_CENTROIDS boundary and at small k), so callers that batch
+    through Arrow anyway (the kernel pairs path, the streaming corpus
+    dedup) default to it; the expression form stays the spec path."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
-    if assigned_cell_col is None and len(centroids) > max_expr_centroids:
+    if assigned_cell_col is None and (
+        prefer_kernel or len(centroids) > max_expr_centroids
+    ):
         return _cells_kernel(df, centroids, vec_col)
     cnorms = F.array(*[F.lit(n) for n in _centroid_norms(centroids)])
     if assigned_cell_col is None:
@@ -330,6 +345,85 @@ def _pairs_kernel(
     return assigned.groupBy("cell").applyInPandas(fn, schema)
 
 
+def corpus_drop_ids(
+    batch: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    round_digits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+) -> DataFrame:
+    """ids of ``batch`` rows whose rounded cosine against ANY ``corpus``
+    vector in the SAME ``cell`` reaches ``threshold`` — the streaming
+    corpus-join drop rule as ONE cogrouped Arrow kernel (r14).
+
+    Bit-equal to the expression form it replaces (``join on cell`` +
+    ``F.round(cosine_pair_col(v, corpus_v), nd) >= t``): pair dots and
+    norms accumulate as ``dim`` sequential column ops — the identical
+    left-fold IEEE sequence :func:`..similarity.cosine_pair_col`
+    evaluates per pair — and rounding goes through :func:`_round_halfup`
+    (pinned ≡ ``F.round`` on DOUBLE) only for candidates inside the
+    margin pre-filter, the :func:`_pairs_kernel` discipline. The
+    expression form paid an interpreted per-element lambda for every
+    (pair × dim) — measured ~5 s per 2k-row batch against a ~2k-vector
+    corpus at dim 64 — plus ~1 s of Catalyst analysis for the HOF plan
+    per action. NULL/zero/NaN vectors on either side never pair
+    (``_vec_matrix`` mask ≡ NULL-cosine propagation). Both sides shuffle
+    once, keyed on cell — the same exchange shape as the join, so the
+    100 TB partition-pruned story is unchanged. Corpus vectors may be
+    int8 codes (quantized state): they land in float64 exactly like the
+    expression path's ``array<tinyint> → array<double>`` cast."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = batch.schema[id_col].dataType.simpleString()
+    margin = threshold - (0.5 * 10.0 ** (-round_digits)) - 1e-12
+    b = batch.select(
+        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv"), "cell"
+    )
+    c = corpus.select(F.col(corpus_vec_col).alias("__cv"), "cell")
+
+    def fn(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"__id": pd.Series([], dtype="object")})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        B, okb = _vec_matrix(left["__bv"], dim)
+        C, okc = _vec_matrix(right["__cv"], dim)
+        nb_, nc_ = len(left), len(right)
+        acc = np.zeros((nb_, nc_), dtype=np.float64)
+        bsq = np.zeros(nb_, dtype=np.float64)
+        csq = np.zeros(nc_, dtype=np.float64)
+        for d in range(dim):
+            bcol, ccol = B[:, d], C[:, d]
+            acc = acc + np.outer(bcol, ccol)
+            bsq = bsq + bcol * bcol
+            csq = csq + ccol * ccol
+        denom = np.outer(np.sqrt(bsq), np.sqrt(csq))
+        valid = np.outer(okb, okc) & (denom > 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(valid, acc / np.where(denom == 0.0, 1.0, denom), -2.0)
+        cand = (sims >= margin) & valid
+        hit_rows = np.nonzero(cand.any(axis=1))[0]
+        ids = []
+        for i in hit_rows:
+            for j in np.nonzero(cand[i])[0]:
+                if _round_halfup(sims[i, j], round_digits) >= threshold:
+                    ids.append(left["__bid"].iloc[i])
+                    break
+        if not ids:
+            return empty
+        return pd.DataFrame({"__id": ids})
+
+    return (
+        b.groupBy("cell")
+        .cogroup(c.groupBy("cell"))
+        .applyInPandas(fn, f"__id {id_type}")
+        .select(F.col("__id").alias(id_col))
+    )
+
+
 def semantic_dup_pairs(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],
@@ -341,13 +435,19 @@ def semantic_dup_pairs(
     max_cell_rows: int | None = None,
     use_pandas_udf: bool = True,
     assigned_cell_col: str | None = None,
+    csim_col: str | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs ``(id_keep, id_drop, cell,
     sim)``: ``id_keep`` precedes ``id_drop`` in the cluster's keep order
     and ``round(cos, round_digits) >= threshold``. The drop side of the
     SemDeDup rule is exactly ``DISTINCT id_drop`` of this frame.
     ``assigned_cell_col`` trusts a precomputed assignment (see
-    :func:`with_semantic_cells`).
+    :func:`with_semantic_cells`); ``csim_col`` (requires
+    ``assigned_cell_col``) additionally trusts a precomputed
+    centroid-cosine column, skipping the O(k)-plan CASE chain entirely —
+    for callers that already ran :func:`with_semantic_cells` on the same
+    centroids (the streaming corpus dedup), the recomputation is pure
+    duplicated analysis + execution cost (r14).
 
     ``use_pandas_udf=True`` (default) computes each cluster's similarity
     matrix in one Arrow-batched numpy kernel (the paper's actual per-
@@ -366,11 +466,24 @@ def semantic_dup_pairs(
         raise ValueError(f"keep must be one of {_KEEPS}, got {keep!r}")
     if not (-1.0 <= threshold <= 1.0):
         raise ValueError(f"threshold must be within [-1, 1], got {threshold}")
-    assigned = with_semantic_cells(
-        df, centroids, vec_col, assigned_cell_col=assigned_cell_col
-    ).select(
-        F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v"), "cell", "csim"
-    )
+    if csim_col is not None:
+        if assigned_cell_col is None:
+            raise ValueError("csim_col requires assigned_cell_col")
+        assigned = df.select(
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).alias("__v"),
+            F.col(assigned_cell_col).cast("long").alias("cell"),
+            F.col(csim_col).alias("csim"),
+        )
+    else:
+        # the kernel pairs path batches through Arrow anyway — take the
+        # kernel assignment with it (bit-equal; see with_semantic_cells)
+        assigned = with_semantic_cells(
+            df, centroids, vec_col, assigned_cell_col=assigned_cell_col,
+            prefer_kernel=use_pandas_udf,
+        ).select(
+            F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v"), "cell", "csim"
+        )
     if max_cell_rows is not None:
         top = (
             assigned.groupBy("cell").count().agg(F.max("count").alias("m")).head()

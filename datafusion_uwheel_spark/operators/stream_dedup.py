@@ -708,10 +708,10 @@ class SemanticCorpusDedup:
         from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
         from .semantic_dedup import (
+            corpus_drop_ids,
             semantic_dup_pairs,
             with_semantic_cells,
         )
-        from .similarity import cosine_pair_col
 
         id_type = batch_df.schema[self.id_col].dataType
         if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
@@ -720,21 +720,26 @@ class SemanticCorpusDedup:
                 f"{id_type.simpleString()} — the state's owner column is "
                 "BIGINT and a silent cast would record NULL owners"
             )
+        # kernel assignment (bit-equal to the expression folds): every
+        # consumer below batches through Arrow anyway, and the k x dim
+        # expression tree costs ~1 s of Catalyst ANALYSIS per fresh plan
+        # on top of its interpreted HOF execution (r14, guide §4)
         assigned = with_semantic_cells(
             batch_df.select(self.id_col, self.vec_col),
             self.centroids,
             self.vec_col,
+            prefer_kernel=True,
         )
-        # persisted for the four consumers below (touched-cells collect,
-        # corpus join, within-batch pairs, the new_vecs projection) — the
-        # k x dim assignment fold is the priciest per-row expression here,
-        # same reason NearCorpusDedup persists its signature frame
+        # persisted for the consumers below (touched-cells collect, corpus
+        # kernel, within-batch pairs, the decided projection) — the
+        # assignment is the priciest per-row step here, same reason
+        # NearCorpusDedup persists its signature frame
         from pyspark import StorageLevel
 
         eligible = assigned.filter(F.col("csim").isNotNull()).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        drops = None
+        corpus_drops = None
         state = self._vectors()
         if state is not None:
             touched = [
@@ -742,25 +747,25 @@ class SemanticCorpusDedup:
                 for r in eligible.select("cell").distinct().collect()
             ]
             if touched:
+                # literal cell list keeps the state read partition-pruned
+                # (only the touched cell= dirs are listed/scanned); the
+                # pair cosines run in ONE cogrouped Arrow kernel instead
+                # of the interpreted per-pair HOF fold (r14, guide §4 —
+                # was ~5 s per 2k-row batch at sf0.1; bit-equal, see
+                # corpus_drop_ids)
                 pruned = state.filter(F.col("cell").isin(touched))
-                sim = F.round(
-                    cosine_pair_col(F.col(self.vec_col), F.col("__corpus_v")),
-                    self.round_digits,
-                )
-                drops = (
-                    eligible.join(
-                        pruned.select(
-                            F.col("cell"),
-                            F.col("embedding").alias("__corpus_v"),
-                        ),
-                        on="cell",
-                    )
-                    .filter(sim >= self.threshold)
-                    .select(self.id_col)
-                    .distinct()
+                corpus_drops = corpus_drop_ids(
+                    eligible,
+                    pruned,
+                    len(self.centroids[0]),
+                    self.threshold,
+                    round_digits=self.round_digits,
+                    id_col=self.id_col,
+                    vec_col=self.vec_col,
+                    corpus_vec_col="embedding",
                 )
         batch_drops = semantic_dup_pairs(
-            eligible.select(self.id_col, self.vec_col, "cell"),
+            eligible.select(self.id_col, self.vec_col, "cell", "csim"),
             self.centroids,
             self.threshold,
             vec_col=self.vec_col,
@@ -768,11 +773,13 @@ class SemanticCorpusDedup:
             keep=self.keep,
             round_digits=self.round_digits,
             assigned_cell_col="cell",
-        ).select(F.col("id_drop").alias(self.id_col)).distinct()
-        drops = batch_drops if drops is None else drops.unionByName(batch_drops).distinct()
-        # localCheckpoint CUTS the lineage before the state append (the
-        # corpus join reads the state files a commit would invalidate)
-        drops = drops.localCheckpoint(eager=True)
+            csim_col="csim",
+        ).select(F.col("id_drop").alias(self.id_col))
+        all_drops = (
+            batch_drops
+            if corpus_drops is None
+            else corpus_drops.unionByName(batch_drops)
+        ).distinct()
         if self.quantize == "int8":
             from .ann_index import _q8_col
 
@@ -781,20 +788,36 @@ class SemanticCorpusDedup:
             )
         else:
             stored = F.col(self.vec_col).cast("array<float>").alias("embedding")
-        new_vecs = (
-            eligible.join(drops, on=self.id_col, how="left_anti")
+        # ONE eager checkpoint decides the whole batch (r14 — was two:
+        # drops then new_vecs, a Spark job each): it CUTS the state-file
+        # lineage before the append a commit would invalidate AND
+        # materializes the kept rows before the persist is released; the
+        # drop-id set and the pending vectors are both slices of it
+        decided = (
+            eligible.join(
+                all_drops.withColumn("__drop", F.lit(True)),
+                on=self.id_col,
+                how="left",
+            )
             .select(
                 F.col(self.id_col).cast("long").alias("owner"),
                 stored,
                 "cell",
+                "__drop",
             )
             .localCheckpoint(eager=True)
         )
-        eligible.unpersist()  # both checkpoints materialized — cache done
+        eligible.unpersist()
+        new_vecs = decided.filter(F.col("__drop").isNull()).select(
+            "owner", "embedding", "cell"
+        )
+        drop_ids = decided.filter(F.col("__drop")).select(
+            F.col("owner").cast(id_type).alias(self.id_col)
+        )
         pending = PendingState(
             [(new_vecs, "cell", os.path.join(self.state_dir, "vectors"))]
         )
-        survivors = batch_df.join(drops, on=self.id_col, how="left_anti")
+        survivors = batch_df.join(drop_ids, on=self.id_col, how="left_anti")
         return survivors, pending
 
     def commit(self, pending: PendingState) -> None:

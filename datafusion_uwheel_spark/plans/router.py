@@ -330,6 +330,71 @@ def _combine_core_boundary(agg: AggSpec, core: dict, brow: dict):
 _VALUES_MAX_ROWS = 32
 
 
+#: SQL type → UwheelLocalRelation blob code (jvm/UwheelShim.scala).
+_LOCALREL_CODES = {
+    "BIGINT": 0, "INT": 1, "SMALLINT": 2, "TINYINT": 3,
+    "DOUBLE": 4, "FLOAT": 5, "TIMESTAMP": 6, "STRING": 7,
+}
+
+
+def _shim_constant_df(spark, names, sql_types, rows):
+    """Routed-answer fast path (r14): build the constant LocalRelation in
+    ONE py4j call through the shim's ``UwheelLocalRelation`` instead of
+    parsing a ``VALUES`` statement (~4-5 ms of JVM parse+analysis per
+    fresh routed answer) or running the Arrow ``createDataFrame`` job.
+    Rows ride as one byte blob (py4j bulk transfer). Returns ``None`` on
+    shim-less or non-UTC sessions (the VALUES/Arrow paths remain) —
+    answers, schema and nullability are identical either way (the Scala
+    side mirrors the VALUES fold's nullability; pytest pins parity)."""
+    ok = getattr(spark, "_uw_localrel_ok", None)
+    if ok is None:
+        try:
+            spark._jvm.io.uwheel.spark.UwheelLocalRelation.ping()
+            ok = spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        except Exception:
+            ok = False
+        spark._uw_localrel_ok = ok
+    if not ok:
+        return None
+    codes = []
+    for t in sql_types:
+        c = _LOCALREL_CODES.get(t)
+        if c is None:
+            return None
+        codes.append(c)
+    import calendar
+    import struct
+
+    buf = bytearray(struct.pack(">ii", len(rows), len(names)))
+    buf += bytes(codes)
+    for row in rows:
+        for v, c in zip(row, codes):
+            if v is None:
+                buf.append(1)
+                continue
+            buf.append(0)
+            if c <= 3:
+                buf += struct.pack(">q", int(v))
+            elif c <= 5:
+                buf += struct.pack(">d", float(v))
+            elif c == 6:
+                # naive datetime in the (UTC-pinned) session zone → µs
+                us = calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+                buf += struct.pack(">q", us)
+            else:
+                b = str(v).encode("utf-8")
+                buf += struct.pack(">i", len(b)) + b
+    try:
+        jdf = spark._jvm.io.uwheel.spark.UwheelLocalRelation.build(
+            spark._jsparkSession, "\x1f".join(names), bytes(buf)
+        )
+    except Exception:
+        return None
+    from pyspark.sql import DataFrame as _PyDataFrame
+
+    return _PyDataFrame(jdf, spark)
+
+
 def _sql_literal(value: Any, sql_type: str) -> str:
     """Render one constant as a Spark SQL literal of an exact type.
 
@@ -419,6 +484,9 @@ class Router:
         e = self.engine
         if q.table.lower() != e.name.lower():
             return RouteDecision("delegate", detail={"reason": "unknown table"}), None
+        # a ctor-deferred base wheel materializes at the first route (r14;
+        # no-op on engines that already built or seeded it)
+        e._ensure_base()
 
         # LIMIT on a grouped result is deterministic iff the ORDER BY
         # columns CONTAIN the rows' unique key — the time bucket, the
@@ -640,6 +708,9 @@ class Router:
             self.captured = (names, sql_types, rows)
             return None
         spark = self.engine.spark
+        fast = _shim_constant_df(spark, names, sql_types, rows)
+        if fast is not None:
+            return fast
         if len(rows) > _VALUES_MAX_ROWS:
             # Arrow path: a pyarrow Table converts columnarly (one Arrow
             # batch) instead of row-by-row through py4j — measured ~4× faster

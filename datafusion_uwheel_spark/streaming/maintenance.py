@@ -83,6 +83,11 @@ class StreamingWheelMaintainer:
         so queries beyond their built span delegate instead of answering from
         stale state (a complete wheel claims the whole timeline)."""
         e = self.engine
+        # a ctor-deferred base wheel must exist before the merge: a pending
+        # wheel materialized AFTER this batch would be built from the
+        # parquet source alone and silently claim completeness over rows it
+        # never saw (r14)
+        e._ensure_base()
         if e.time_column not in batch_df.columns:
             # A stream without the TIME column can maintain nothing at all
             # — stale-mark the whole engine (wheels incomplete, sketches

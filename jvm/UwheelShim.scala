@@ -2236,3 +2236,99 @@ object UwheelSketchOps {
       if (fs.isEmpty) Array.emptyByteArray else mergeLongs(fs).toByteArray
     })
 }
+
+/** Routed-answer fast path (r14, guide §1.2 per-task work): materialize the
+  * constant LocalRelation a routed query answers with in ONE py4j call,
+  * replacing the `spark.sql("SELECT * FROM VALUES ...")` round trip whose
+  * ~4-5 ms parse+analysis dominated every FRESH routed DataFrame answer.
+  * The rows ride py4j as a single byte[] blob (bulk transfer — the
+  * UwheelSketchOps discipline: per-element list arguments pay one gateway
+  * round trip each).
+  *
+  * Blob layout (big-endian): [nrows:int32][ncols:int32], then one type
+  * code byte per column (0 BIGINT, 1 INT, 2 SMALLINT, 3 TINYINT,
+  * 4 DOUBLE, 5 FLOAT, 6 TIMESTAMP µs, 7 STRING), then cells row-major:
+  * [isnull:int8] followed (when non-null) by int64 for codes 0-3 and 6,
+  * float64 for 4-5, [len:int32][utf8 bytes] for 7. Column names arrive
+  * in one string, separated by U+001F.
+  *
+  * `createDataFrame(java.util.List[Row], schema)` builds a LocalRelation
+  * directly (no RDD, no job) — the same zero-job constant-plan property
+  * the VALUES form folded to. Schema nullability mirrors the VALUES fold:
+  * a column is nullable iff it carries a NULL or is DOUBLE/FLOAT (whose
+  * VALUES literals are string CASTs, hence nullable), and every column is
+  * nullable when there are no rows (the `WHERE FALSE` shape).
+  */
+object UwheelLocalRelation {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  /** Liveness probe — see UwheelSketchOps.ping. */
+  def ping(): Int = 1
+
+  def build(
+      session: org.apache.spark.sql.classic.SparkSession,
+      namesJoined: String,
+      blob: Array[Byte]): org.apache.spark.sql.classic.DataFrame = {
+    val names: Array[String] =
+      if (namesJoined.isEmpty) Array.empty[String]
+      else namesJoined.split('')
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val nrows = bb.getInt()
+    val ncols = bb.getInt()
+    require(ncols == names.length, s"ncols $ncols != names ${names.length}")
+    val codes = Array.fill(ncols)(bb.get())
+    val types: Array[DataType] = codes.map {
+      case 0 => LongType
+      case 1 => IntegerType
+      case 2 => ShortType
+      case 3 => ByteType
+      case 4 => DoubleType
+      case 5 => FloatType
+      case 6 => TimestampType
+      case 7 => StringType
+      case c => throw new IllegalArgumentException(s"bad type code $c")
+    }
+    val hasNull = Array.fill(ncols)(false)
+    val rows = new java.util.ArrayList[Row](nrows)
+    var r = 0
+    while (r < nrows) {
+      val cells = new Array[Any](ncols)
+      var c = 0
+      while (c < ncols) {
+        if (bb.get() != 0) { hasNull(c) = true; cells(c) = null }
+        else
+          cells(c) = codes(c) match {
+            case 0 => bb.getLong()
+            case 1 => bb.getLong().toInt
+            case 2 => bb.getLong().toShort
+            case 3 => bb.getLong().toByte
+            case 4 => bb.getDouble()
+            case 5 => bb.getDouble().toFloat
+            case 6 =>
+              val us = bb.getLong()
+              java.time.Instant.ofEpochSecond(
+                java.lang.Math.floorDiv(us, 1000000L),
+                java.lang.Math.floorMod(us, 1000000L) * 1000L)
+            case 7 =>
+              val len = bb.getInt()
+              val a = new Array[Byte](len)
+              bb.get(a)
+              new String(a, java.nio.charset.StandardCharsets.UTF_8)
+          }
+        c += 1
+      }
+      rows.add(Row.fromSeq(cells.toIndexedSeq))
+      r += 1
+    }
+    val fields = names.zipWithIndex.map { case (n, i) =>
+      // VALUES-fold parity: float/double literals render as string CASTs
+      // there (nullable Cast), so those columns are always nullable
+      val nn =
+        if (nrows == 0) true
+        else hasNull(i) || codes(i) == 4 || codes(i) == 5
+      StructField(n, types(i), nullable = nn)
+    }
+    session.createDataFrame(rows, StructType(fields))
+  }
+}

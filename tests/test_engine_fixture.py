@@ -442,6 +442,9 @@ def test_minute_granularity_engine(spark, sf_small_dir):
     from datafusion_uwheel_spark.operators.lookup import STAR_AGGREGATION_ALIAS
 
     coarse_w = eng.count_wheels[STAR_AGGREGATION_ALIAS]
+    # the ctor defers the base wheel until a build/reader (r14); this
+    # white-box peek must materialize it first
+    fine._ensure_base()
     fine_w = fine.count_wheels[STAR_AGGREGATION_ALIAS]
     assert coarse_w.bucket_seconds == 60
     assert coarse_w.secs.size < fine_w.secs.size  # fewer, coarser buckets
