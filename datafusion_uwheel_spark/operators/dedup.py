@@ -828,15 +828,28 @@ def dup_clusters(
     ).distinct()
     # partition once on the join key; reused (no exchange) every round
     edges = edges.repartition("dst").localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
-        .repartition("id")
+    # Round 1 collapsed into ONE aggregation (r14, guide §2.4): with every
+    # vertex initially labelled by itself, the first propagation is just
+    # min(own id, min neighbour id) per vertex — no label frame to join
+    # yet. This replaces the label-init distinct AND the first
+    # join+groupBy round (two shuffles, one checkpoint) with a single
+    # groupBy over the edge list; the resulting labels/frontier state is
+    # exactly what the general round produces from self-labels.
+    round1 = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__nbr")).alias("cluster_id"),
+            (F.col("__nbr") < F.col("src")).alias("__changed"),
+        )
         .localCheckpoint(eager=True)
     )
-    frontier = labels  # round 1: every vertex offers its label
-    for _ in range(max_iter):
+    frontier = round1.filter("__changed").drop("__changed")
+    labels = round1.drop("__changed")
+    for _ in range(max_iter - 1):
+        if frontier.limit(1).count() == 0:
+            return labels
         nbr_min = (
             edges.join(frontier, edges["dst"] == frontier["id"])
             .groupBy("src")
@@ -855,8 +868,8 @@ def dup_clusters(
         )
         frontier = updated.filter("__changed").drop("__changed")
         labels = updated.drop("__changed")
-        if frontier.limit(1).count() == 0:
-            return labels
+    if frontier.limit(1).count() == 0:
+        return labels
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iter} rounds — a pair graph "
         "with that diameter is pathological for near-dup data; raise "

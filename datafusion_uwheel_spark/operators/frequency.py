@@ -818,8 +818,14 @@ class FrequencyRollup(SketchRetention):
         partition key can be NULL and a plain USING join would drop that
         group's slack (an upper bound too small, a wrong answer); for
         ``__sec``-derived buckets null-safety is merely a no-op."""
+        # ONE exchange for agg + window (r14, guide §2.4): hash-partition
+        # by the GROUP alone — that clustering satisfies the (group, item)
+        # aggregation (subset partitioning) AND the rank window's
+        # partitionBy, so neither inserts its own exchange (the aggregate
+        # is alias-aware, carrying the partitioning onto ``out_name``).
         cells = (
-            kept.groupBy(group_expr.alias(out_name), F.col("__item").alias("item"))
+            kept.repartition(group_expr)
+            .groupBy(group_expr.alias(out_name), F.col("__item").alias("item"))
             .agg(F.sum("cnt").alias("est"))
         )
         grp_err = err.groupBy(group_expr.alias("__eg")).agg(
@@ -832,7 +838,10 @@ class FrequencyRollup(SketchRetention):
             cells.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .join(
-                grp_err,
+                # one row per group (keys bounded by the build's max_keys;
+                # buckets by the rollup span) — broadcast beats exchanging
+                # the ranked side by the join key (r14, guide §3.1)
+                F.broadcast(grp_err),
                 on=F.col(out_name).eqNullSafe(F.col("__eg")),
                 how="left",
             )
