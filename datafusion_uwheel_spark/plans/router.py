@@ -349,8 +349,15 @@ def _shim_constant_df(spark, names, sql_types, rows):
     ok = getattr(spark, "_uw_localrel_ok", None)
     if ok is None:
         try:
-            spark._jvm.io.uwheel.spark.UwheelLocalRelation.ping()
+            # cache the CLASS handle: a py4j `_jvm.a.b.C` chain pays one
+            # reflection round trip per package level on EVERY access
+            # (~1.6 ms each on this box) — resolved once, the JavaClass
+            # object calls straight through
+            cls = spark._jvm.io.uwheel.spark.UwheelLocalRelation
+            cls.ping()
             ok = spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            if ok:
+                spark._uw_localrel_cls = cls
         except Exception:
             ok = False
         spark._uw_localrel_ok = ok
@@ -385,7 +392,7 @@ def _shim_constant_df(spark, names, sql_types, rows):
                 b = str(v).encode("utf-8")
                 buf += struct.pack(">i", len(b)) + b
     try:
-        jdf = spark._jvm.io.uwheel.spark.UwheelLocalRelation.build(
+        jdf = spark._uw_localrel_cls.build(
             spark._jsparkSession, "\x1f".join(names), bytes(buf)
         )
     except Exception:
