@@ -220,6 +220,13 @@ class WheelEngine:
         else:
             # No pruning wheels requested: the ctor's only product would be
             # the base COUNT wheel — defer its scan (see _base_pending).
+            # The time-column TYPE refusal must NOT defer with it: an
+            # un-normalized BIGINT time column is a construction error
+            # (pre-existing contract — never silently mis-bucket), and the
+            # check is schema-only, no job.
+            from .operators.rollups import time_sec_col
+
+            time_sec_col(self.df, time_column)
             self.count_wheels = {}
             self.min_max_wheels = {}
             self.agg_wheels = {}

@@ -293,8 +293,20 @@ def with_contamination_fuzzy(
         min_est_jaccard=min_est_jaccard,
         max_bucket_size=max_bucket_size,
     )
-    worst = pairs.groupBy("id_left").agg(
-        F.max("est_jaccard").alias("max_est_jaccard")
+    # Persist the per-doc verdict, not just the signatures: the verdict
+    # frame is one tiny row per FLAGGED doc, while re-deriving it pays the
+    # band-explode + bucket join + groupBy again. Callers routinely run
+    # several actions on the annotated frame (flagged count, per-source
+    # count, the enforcement anti-join) — with only the signature persist,
+    # every one of those replayed the join (measured: the bench row's
+    # second count was a full join replay). Lazy persist: no extra job at
+    # construction; the first action materializes it.
+    from pyspark import StorageLevel
+
+    worst = (
+        pairs.groupBy("id_left")
+        .agg(F.max("est_jaccard").alias("max_est_jaccard"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     out = (
         train.join(
@@ -307,7 +319,12 @@ def with_contamination_fuzzy(
         )
         .withColumn("contaminated", F.col("max_est_jaccard") >= min_est_jaccard)
     )
-    out._uw_release = lambda: release_signatures(pairs)
+
+    def _release():
+        worst.unpersist()
+        return release_signatures(pairs)
+
+    out._uw_release = _release
     return out
 
 

@@ -178,12 +178,21 @@ class CorpusDedup:
         One shuffle on the digest (in-batch keep-lowest), one anti-join
         against ONLY the state buckets this batch touches (partition-pruned
         scan); the commit is one per-bucket parquet append."""
+        from pyspark import StorageLevel
+
         digests = self._digests(batch_df).filter(F.col("digest").isNotNull())
-        # in-batch: lowest id per digest
+        # in-batch: lowest id per digest. Persisted across this method's
+        # two actions: the touched-buckets collect below and the eager
+        # checkpoint each replayed the md5-over-text digest pass + groupBy
+        # otherwise — the priciest per-row step here, and the digest frame
+        # is one narrow row per distinct digest (the same reason the LSH
+        # forms persist their signature frames).
         keep = (
             digests.groupBy("digest", "bucket")
             .agg(F.min(self.id_col).alias(self.id_col))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        filtered = keep
         state = self._state()
         if state is not None:
             touched = [
@@ -192,12 +201,13 @@ class CorpusDedup:
             ]
             if touched:
                 pruned = state.filter(F.col("bucket").isin(touched))
-                keep = keep.join(pruned, on="digest", how="left_anti")
+                filtered = keep.join(pruned, on="digest", how="left_anti")
         # localCheckpoint CUTS the lineage before the state append: the
         # append's refreshByPath invalidates any cached plan that still
         # reads the state files (the anti-join), and a recompute after the
         # append would see this batch's own digests and emit nothing.
-        new = keep.localCheckpoint(eager=True)
+        new = filtered.localCheckpoint(eager=True)
+        keep.unpersist()
         pending = PendingState(
             [(new.select("digest", "bucket"), "bucket", self.state_dir)]
         )
