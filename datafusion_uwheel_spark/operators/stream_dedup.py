@@ -178,21 +178,20 @@ class CorpusDedup:
         One shuffle on the digest (in-batch keep-lowest), one anti-join
         against ONLY the state buckets this batch touches (partition-pruned
         scan); the commit is one per-bucket parquet append."""
-        from pyspark import StorageLevel
-
         digests = self._digests(batch_df).filter(F.col("digest").isNotNull())
-        # in-batch: lowest id per digest. Persisted across this method's
-        # two actions: the touched-buckets collect below and the eager
-        # checkpoint each replayed the md5-over-text digest pass + groupBy
-        # otherwise — the priciest per-row step here, and the digest frame
-        # is one narrow row per distinct digest (the same reason the LSH
-        # forms persist their signature frames).
+        # in-batch: lowest id per digest. NOT persisted (r14, measured):
+        # the touched-buckets collect below re-derives the digest pass, but
+        # caching the groupBy output tripled the row (2.4 -> 7.9 s at
+        # sf0.1) — the cache build runs the aggregation without AQE
+        # partition coalescing and the eager checkpoint then materializes
+        # through it a second time, while the saved work (codegen'd md5 +
+        # one partial agg) is cheap. The LSH forms persist their signature
+        # frames because the Arrow signature kernel IS the dominant cost
+        # there; digests are not.
         keep = (
             digests.groupBy("digest", "bucket")
             .agg(F.min(self.id_col).alias(self.id_col))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        filtered = keep
         state = self._state()
         if state is not None:
             touched = [
@@ -201,13 +200,12 @@ class CorpusDedup:
             ]
             if touched:
                 pruned = state.filter(F.col("bucket").isin(touched))
-                filtered = keep.join(pruned, on="digest", how="left_anti")
+                keep = keep.join(pruned, on="digest", how="left_anti")
         # localCheckpoint CUTS the lineage before the state append: the
         # append's refreshByPath invalidates any cached plan that still
         # reads the state files (the anti-join), and a recompute after the
         # append would see this batch's own digests and emit nothing.
-        new = filtered.localCheckpoint(eager=True)
-        keep.unpersist()
+        new = keep.localCheckpoint(eager=True)
         pending = PendingState(
             [(new.select("digest", "bucket"), "bucket", self.state_dir)]
         )
