@@ -128,16 +128,20 @@ def build_ann_index(
         # shuffle: one scan stage, like IVF.
         group = max(1, (1 << bits) // _MAX_DIRS_PER_TABLE)
         all_buckets = [F.col(f"bucket_{j}").alias(f"b{j}") for j in range(tables)]
-        stacked = None
-        for t in range(tables):
-            part = bucketed.select(
-                *cols,
-                *all_buckets,
-                F.lit(t).alias("t"),
-                F.col(f"bucket_{t}").alias("bucket"),
-                (F.col(f"bucket_{t}") / group).cast("long").alias("bg"),
-            )
-            stacked = part if stacked is None else stacked.unionByName(part)
+        # One scan, not ``tables`` (r14, guide §1.2/§2.4): the former
+        # per-table union re-evaluated the whole source scan + hyperplane
+        # projections once per branch (Catalyst does not share common
+        # subplans across union arms) — at scale that is ``tables`` full
+        # passes over the table for identical rows. ``posexplode`` over the
+        # bucket array emits the same (t, bucket) replica rows from a
+        # single pass; ``pos`` IS the table id.
+        stacked = bucketed.select(
+            *cols,
+            *all_buckets,
+            F.posexplode(
+                F.array(*[F.col(f"bucket_{t}") for t in range(tables)])
+            ).alias("t", "bucket"),
+        ).withColumn("bg", (F.col("bucket") / group).cast("long"))
         # Directory-count valve: partitioning on the raw bucket id makes
         # tables × 2^bits directories — at bits=8 that is hundreds of dirs
         # whose per-file open/commit overhead dominates small builds and
@@ -247,16 +251,18 @@ class AnnIndex:
             all_buckets = [
                 F.col(f"bucket_{j}").alias(f"b{j}") for j in range(m["tables"])
             ]
-            stacked = None
-            for t in range(m["tables"]):
-                part = bucketed.select(
-                    *cols,
-                    *all_buckets,
-                    F.lit(t).alias("t"),
-                    F.col(f"bucket_{t}").alias("bucket"),
-                    (F.col(f"bucket_{t}") / group).cast("long").alias("bg"),
-                )
-                stacked = part if stacked is None else stacked.unionByName(part)
+            # one scan, not tables (r14) — same posexplode shape as the
+            # build; the former per-table union re-ran the delta scan and
+            # hyperplane projections once per table
+            stacked = bucketed.select(
+                *cols,
+                *all_buckets,
+                F.posexplode(
+                    F.array(
+                        *[F.col(f"bucket_{t}") for t in range(m["tables"])]
+                    )
+                ).alias("t", "bucket"),
+            ).withColumn("bg", (F.col("bucket") / group).cast("long"))
             stacked.repartition("t", "bg").write.mode("append").partitionBy(
                 "t", "bg"
             ).parquet(self.path)
@@ -583,17 +589,15 @@ class AnnIndex:
                 F.col(q_vec).alias("__qv"),
                 lsh_buckets_udf(m["dim"], q_vec, m["bits"], tables, m["seed"]).alias("__qb"),
             )
-            probes = None
-            for t in range(tables):
-                p = qb.select(
-                    "__qid", "__qv",
-                    F.lit(t).alias("t"),
-                    F.element_at("__qb", t + 1).alias("bucket"),
-                    *[F.element_at("__qb", j + 1).alias(f"__qb{j}") for j in range(t)],
-                )
-                probes = p if probes is None else probes.unionByName(
-                    p, allowMissingColumns=True
-                )
+            # one evaluation of the query-bucket kernel, not tables (r14):
+            # the former per-table union re-ran the qb plan (scan + Arrow
+            # kernel) once per arm — posexplode emits the same (t, bucket)
+            # probe rows from a single pass, and the full __qb array rides
+            # along for the claim below
+            probes = qb.select(
+                "__qid", "__qv", "__qb",
+                F.posexplode("__qb").alias("t", "bucket"),
+            )
             join_cols = ["t", "bucket"]
             if "bg" in df.columns:
                 probes = probes.withColumn(
@@ -603,11 +607,13 @@ class AnnIndex:
             cand = probes.join(df, on=join_cols)
             # Exactly-once claim: a (query, row) pair sharing buckets in
             # several tables is kept only in the first (same discipline as
-            # candidates()/dup_pairs — no dedup shuffle).
+            # candidates()/dup_pairs — no dedup shuffle). Earlier tables
+            # (j < t) must have DIFFERING buckets; j >= t passes by
+            # construction (was the NULL __qb{j} padding pre-r14).
             once = None
             for j in range(tables - 1):
-                clause = F.col(f"__qb{j}").isNull() | (
-                    F.col(f"b{j}") != F.col(f"__qb{j}")
+                clause = (F.lit(j) >= F.col("t")) | (
+                    F.col(f"b{j}") != F.element_at("__qb", j + 1)
                 )
                 once = clause if once is None else (once & clause)
             if once is not None:
