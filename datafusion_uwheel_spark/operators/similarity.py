@@ -500,24 +500,45 @@ def embedding_dup_pairs(
     # buckets so the join branches would not recompute the interpreted
     # tables×bits×dim fold; the Arrow kernel made recomputation cheaper
     # than the extra shuffle's task overhead, so it is gone.)
-    bucketed = with_lsh_buckets(df.repartition(parts), dim, vec_col, bits, tables, seed).select(
+    # One banded frame via posexplode, not a per-table union (r14): each
+    # union arm re-evaluated the bucket-kernel plan (Catalyst shares no
+    # common subplans across arms), so the kernel ran 2×tables times and a
+    # dropDuplicates shuffle deduped multi-table pairs afterwards. The
+    # (t, bucket) self-join evaluates the kernel once per join side, and
+    # the first-table claim (keep a pair only in the FIRST table whose
+    # buckets agree — the lsh_candidate_pairs discipline) replaces the
+    # distinct over the candidate set, the operator's largest shuffle.
+    banded = with_lsh_buckets(
+        df.repartition(parts), dim, vec_col, bits, tables, seed
+    ).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        *[F.col(f"bucket_{t}") for t in range(tables)],
+        F.array(*[F.col(f"bucket_{t}") for t in range(tables)]).alias("__bs"),
+    ).select(
+        "__id", "__v", "__bs", F.posexplode("__bs").alias("__t", "__b")
     )
-    pairs = None
-    for t in range(tables):
-        a = bucketed.select(
-            F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
-            F.col(f"bucket_{t}").alias("__b"),
-        )
-        b = bucketed.select(
-            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
-            F.col(f"bucket_{t}").alias("__b"),
-        )
-        p = a.join(b, on="__b").filter(F.col("id_a") < F.col("id_b")).drop("__b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    a = banded.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__bs").alias("__bsa"), "__t", "__b",
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__bs").alias("__bsb"), "__t", "__b",
+    )
+    claim = F.when(
+        F.col("__t") > 0,
+        F.forall(
+            F.sequence(F.lit(0), F.col("__t") - 1),
+            lambda j: F.element_at("__bsa", (j + 1).cast("int"))
+            != F.element_at("__bsb", (j + 1).cast("int")),
+        ),
+    ).otherwise(F.lit(True))
+    pairs = (
+        a.join(b, on=["__t", "__b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(claim)
+        .drop("__t", "__b", "__bsa", "__bsb")
+    )
     sim = cosine_pair_col("__va", "__vb")
     if round_digits is not None:
         sim = F.round(sim, round_digits)
