@@ -1922,12 +1922,21 @@ def main() -> None:
         # the curve (probe ~flat, scan growing) or the honest negative.
         # two samples like every r11 sf build row (the first sample's
         # rollups are released before the second replaces them)
+        # r14: the three family builds ride the cross-family one-pass fast
+        # path (ONE scan computes all three sketch columns; same bucketing,
+        # same lg_k/k parameters, per-family answers identical — HLL/theta
+        # state is order-independent, KLL keeps its rank bound). The row
+        # still times exactly "build the HLL + KLL + theta rollups".
         _sk_times = []
         for _i in range(2):
             t0 = time.perf_counter()
-            dr1 = eng1.build_distinct_index("user_id")
-            qr1 = eng1.build_quantile_index("value")
-            tr1 = eng1.build_theta_index("user_id")
+            _sk = eng1.build_sketch_indexes(
+                distinct=("user_id",), quantile=("value",),
+                theta=("user_id",),
+            )
+            dr1 = _sk["distinct"]["user_id"]
+            qr1 = _sk["quantile"]["value"]
+            tr1 = _sk["theta"]["user_id"]
             _sk_times.append(time.perf_counter() - t0)
             if _i == 0:
                 for _r in (dr1, qr1, tr1):

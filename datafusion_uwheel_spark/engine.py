@@ -972,6 +972,40 @@ class WheelEngine:
         self.quantile_rollups.update(rollups)
         return rollups
 
+    def build_sketch_indexes(
+        self,
+        distinct: tuple[str, ...] | list[str] = (),
+        quantile: tuple[str, ...] | list[str] = (),
+        theta: tuple[str, ...] | list[str] = (),
+        bucket_seconds: int = 3600,
+        lg_k: int = 12,
+        k: int = 200,
+        partition_by: str | None = None,
+    ):
+        """Every requested sketch FAMILY's rollups in ONE table scan — the
+        multi-column one-pass discipline of :meth:`build_indexes` applied
+        across the HLL / KLL / theta families (their builds aggregate over
+        the identical bucket key, so one pass computes them all; at scale
+        the scan is the whole build cost). Registers each handle exactly
+        like the per-family builders (:meth:`approx_distinct`,
+        :meth:`approx_quantile`, :meth:`approx_retained` asks all work);
+        answers match standalone builds (HLL/theta state is
+        order-independent; KLL carries its usual rank-error bound).
+        Returns ``{"distinct": {...}, "quantile": {...}, "theta": {...}}``.
+        """
+        from .operators.multibuild import build_sketch_rollups
+
+        out = build_sketch_rollups(
+            self.df, self.time_column,
+            distinct=distinct, quantile=quantile, theta=theta,
+            bucket_seconds=bucket_seconds, lg_k=lg_k, k=k,
+            partition_by=partition_by,
+        )
+        self.distinct_rollups.update(out["distinct"])
+        self.quantile_rollups.update(out["quantile"])
+        self.theta_rollups.update(out["theta"])
+        return out
+
     def approx_quantile(self, column: str, q, start, end, **kw):
         """Estimated ``q``-quantile(s) of ``column`` over ``[start, end)``
         from the rollup built by :meth:`build_quantile_index` (KeyError if

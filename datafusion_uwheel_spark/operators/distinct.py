@@ -405,19 +405,6 @@ class DistinctRollup(SketchRetention):
             )
         return path
 
-    def _detach_shared(self) -> bool:
-        """Drop this handle's claim on a one-pass shared parent frame,
-        releasing it when the LAST sibling detaches. Returns whether the
-        handle was sharing (its own ``_df`` is an unpersisted view)."""
-        shared = getattr(self, "_shared", None)
-        if shared is None:
-            return False
-        self._shared = None
-        shared["refs"] -= 1
-        if shared["refs"] == 0:
-            shared["df"].unpersist()
-        return True
-
     def unpersist(self) -> None:
         # release the storage that actually holds the sketches: the shared
         # one-pass parent (refcounted across sibling handles) or this

@@ -155,6 +155,23 @@ class SketchRetention:
         under a stale mark never changed, only its completeness)."""
         self._ask_memo = {}
 
+    # --------------------------------------------- shared one-pass storage
+    def _detach_shared(self) -> bool:
+        """Drop this handle's claim on a one-pass shared parent frame
+        (multi-column and cross-family builds), releasing the parent cache
+        when the LAST sibling detaches. Returns whether the handle was
+        sharing (its own ``_df`` is an unpersisted view). Mutation paths
+        call this instead of ``unpersist`` on the frame being replaced —
+        the handle then owns a private persisted frame."""
+        shared = getattr(self, "_shared", None)
+        if shared is None:
+            return False
+        self._shared = None
+        shared["refs"] -= 1
+        if shared["refs"] == 0:
+            shared["df"].unpersist()
+        return True
+
     # ------------------------------------------------ direct (zero-job) asks
     #: r10: the frequency family's driver-mirror economics extended to the
     #: JVM-sketch families WITHOUT touching sketch wire formats in Python

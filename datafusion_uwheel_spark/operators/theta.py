@@ -587,7 +587,12 @@ class ThetaRollup(SketchRetention):
         merged.count()
         old = self._df
         self._df = merged
-        old.unpersist()
+        # A handle from a one-pass cross-family build shared the parent
+        # cache; it now owns a private persisted frame, so drop the claim
+        # (the parent is released when the last sibling detaches). Handles
+        # with a private frame release exactly the frame being replaced.
+        if not self._detach_shared():
+            old.unpersist()
         self.invalidate_asks()
         self._drop_mirror()
 
@@ -609,7 +614,11 @@ class ThetaRollup(SketchRetention):
         return path
 
     def unpersist(self) -> None:
-        self._df.unpersist()
+        # release the storage that actually holds the sketches: the shared
+        # one-pass parent (refcounted across sibling handles) or this
+        # handle's private frame
+        if not self._detach_shared():
+            self._df.unpersist()
 
 
 def build_theta_rollup(
