@@ -410,7 +410,20 @@ class WheelEngine:
                     if not w.empty:
                         w.min_ts_us = min(w.min_ts_us, base.min_ts_us)
                         w.max_ts_us = max(w.max_ts_us, base.max_ts_us)
-        self.count_wheels.setdefault(fk, indices[None])
+        # A time_range-restricted unfiltered build must NOT become the
+        # deferred STAR base: its count wheel is span-restricted
+        # (complete=False) while the base contract is the full table. In
+        # the eager-ctor era the setdefault below no-op'd against the
+        # already-built base and the restricted count wheel was discarded;
+        # with the base deferred it would install, and _ensure_base's own
+        # setdefault could never replace it — full-span COUNTs would
+        # delegate forever and span-defaulted asks silently narrow.
+        if not (
+            time_range is not None
+            and fk == STAR_AGGREGATION_ALIAS
+            and self._base_pending
+        ):
+            self.count_wheels.setdefault(fk, indices[None])
         wheel = indices[column]
         self.agg_wheels[(column, fk)] = wheel
         self.index_epoch += 1
@@ -539,7 +552,14 @@ class WheelEngine:
                     if not w.empty:
                         w.min_ts_us = min(w.min_ts_us, base.min_ts_us)
                         w.max_ts_us = max(w.max_ts_us, base.max_ts_us)
-        self.count_wheels.setdefault(fk, indices[None])
+        # see build_index: a restricted unfiltered build must not seed the
+        # deferred STAR base with its span-restricted count wheel
+        if not (
+            time_range is not None
+            and fk == STAR_AGGREGATION_ALIAS
+            and self._base_pending
+        ):
+            self.count_wheels.setdefault(fk, indices[None])
         keys = []
         for c in columns:
             self.agg_wheels[(c, fk)] = indices[c]

@@ -64,6 +64,14 @@ def build_sketch_rollups(
     distinct, quantile, theta = tuple(distinct), tuple(quantile), tuple(theta)
     if not (distinct or quantile or theta):
         raise ValueError("at least one family's columns must be non-empty")
+    for fam_name, cols in (
+        ("distinct", distinct), ("quantile", quantile), ("theta", theta)
+    ):
+        if len({c.lower() for c in cols}) != len(cols):
+            # fail here, not as a refcount leak: the handles dict is keyed
+            # by column, so a duplicate would orphan one claim on the
+            # shared cache and the parquet cache could never be released
+            raise ValueError(f"duplicate columns in {fam_name}={cols!r}")
     sec = time_sec_col(df, time_column)
     if bucket_seconds != 1:
         sec = sec - (sec % bucket_seconds)

@@ -2270,6 +2270,16 @@ object UwheelLocalRelation {
       session: org.apache.spark.sql.classic.SparkSession,
       namesJoined: String,
       blob: Array[Byte]): org.apache.spark.sql.classic.DataFrame = {
+    // The caller packs TIMESTAMP cells as UTC microseconds, which is only
+    // the session's rendering when the session zone is UTC. The Python
+    // side checks once and memoizes per session; this per-call guard
+    // (free — it rides the same py4j call) closes the memo-staleness
+    // window where the zone is changed MID-session: the throw makes the
+    // caller fall back to the VALUES path, which renders literals in the
+    // live session zone.
+    require(
+      session.sessionState.conf.sessionLocalTimeZone == "UTC",
+      "UwheelLocalRelation requires spark.sql.session.timeZone=UTC")
     val names: Array[String] =
       if (namesJoined.isEmpty) Array.empty[String]
       else namesJoined.split('')

@@ -127,6 +127,59 @@ def test_introspection_and_persistence_materialize(spark, sf_small_dir, tmp_path
     assert STAR_AGGREGATION_ALIAS in eng3.count_wheels
 
 
+def test_restricted_first_build_does_not_clobber_deferred_base(
+    spark, sf_small_dir
+):
+    """A time_range-restricted unfiltered build on a deferred-base engine
+    must NOT install its span-restricted count wheel as the STAR base (in
+    the eager-ctor era the base already existed and the setdefault was a
+    no-op); full-span COUNTs must still answer from the true full base."""
+    eng = WheelEngine(
+        spark, "lzb_events9", f"{sf_small_dir}/events.parquet", time_column="ts"
+    )
+    eng.build_index(
+        "value",
+        time_range=("2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+    )
+    # the restricted build neither seeds nor occupies the base slot
+    assert eng._base_pending
+    assert STAR_AGGREGATION_ALIAS not in eng.count_wheels
+    rows = eng.sql_rows(
+        "SELECT COUNT(*) AS n FROM lzb_events9 "
+        "WHERE ts >= '2024-01-01 00:00:00' AND ts < '2024-02-01 00:00:00'"
+    )
+    # the lazily materialized base is COMPLETE: the wide ask routes and
+    # matches the raw table
+    assert eng.last_route.kind == "count_range"
+    assert not eng._base_pending
+    base = eng.count_wheels[STAR_AGGREGATION_ALIAS]
+    assert base.complete
+    want = (
+        spark.read.parquet(f"{sf_small_dir}/events.parquet")
+        .filter("ts >= '2024-01-01 00:00:00' AND ts < '2024-02-01 00:00:00'")
+        .count()
+    )
+    assert rows[0][0] == want
+
+
+def test_restricted_build_after_seed_keeps_full_base(spark, sf_small_dir):
+    """Inverse order: once the base is seeded by an unrestricted build, a
+    later restricted build must leave it untouched (the pre-r14 setdefault
+    semantics)."""
+    eng = WheelEngine(
+        spark, "lzb_events10", f"{sf_small_dir}/events.parquet",
+        time_column="ts",
+    )
+    eng.build_index("value")
+    base = eng.count_wheels[STAR_AGGREGATION_ALIAS]
+    eng.build_index(
+        "value",
+        time_range=("2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+    )
+    assert eng.count_wheels[STAR_AGGREGATION_ALIAS] is base
+    assert base.complete
+
+
 def test_streaming_merge_materializes_before_merge(spark, sf_small_dir):
     from datafusion_uwheel_spark.streaming.maintenance import (
         StreamingWheelMaintainer,

@@ -97,3 +97,26 @@ def test_routed_answers_identical_with_and_without_fastpath(spark, sf_small_dir)
                 assert fast_schema == ref.schema
     finally:
         spark._uw_localrel_ok = had
+
+
+def test_mid_session_timezone_change_disables_fastpath(spark):
+    """The per-session memo caches the UTC check once; the Scala build's
+    own per-call guard (it rides the same py4j call) must refuse when the
+    zone is changed MID-session — the caller then falls back to the
+    VALUES path, which renders in the live session zone."""
+    fast = R._shim_constant_df(spark, ["n"], ["BIGINT"], [(1,)])
+    if fast is None:
+        pytest.skip("shim jar not on this session")
+    assert spark._uw_localrel_ok is True  # memo is warm and positive
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert R._shim_constant_df(
+            spark, ["t"], ["TIMESTAMP"],
+            [(dt.datetime(2024, 1, 5, 0, 0, 0),)],
+        ) is None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    # back on UTC the fast path serves again without re-probing
+    again = R._shim_constant_df(spark, ["n"], ["BIGINT"], [(2,)])
+    assert again is not None and again.collect()[0][0] == 2

@@ -127,6 +127,18 @@ def test_empty_request_raises(events):
         build_sketch_rollups(events, "ts")
 
 
+def test_duplicate_columns_raise(events):
+    """A duplicate column would orphan one refcount claim on the shared
+    cache (the handles dict is keyed by column) — refuse up front, like
+    WheelEngine.build_indexes."""
+    with pytest.raises(ValueError, match="duplicate"):
+        build_sketch_rollups(events, "ts", distinct=("user_id", "user_id"))
+    with pytest.raises(ValueError, match="duplicate"):
+        build_sketch_rollups(
+            events, "ts", quantile=("value", "VALUE"), theta=("user_id",)
+        )
+
+
 def test_keyed_build_matches_standalone_keyed(events):
     out = build_sketch_rollups(
         events, "ts", distinct=("user_id",), partition_by="event_type",
