@@ -1574,6 +1574,13 @@ def main() -> None:
     def cte_call():
         cat.sql(cte_sql).collect()
         assert cat.last_route.kind == "cte_rewrite", cat.last_route
+        # r15: the outer join/filter/sort is evaluated DRIVER-side over
+        # the captured CTE answers (plans/cte_eval) — zero Spark jobs;
+        # assert it so a silent fallback to the splice can't masquerade
+        # as a slow box. uw_cte_join_floor below still prices the splice.
+        assert cat.last_route.detail.get("evaluated") == "driver", (
+            cat.last_route
+        )
 
     timed_spread("uw_cte_join", cte_call, N_VANILLA)
     # r13 (verdict #5, the 1.14x-margin question): the routed row's cost
@@ -2122,6 +2129,16 @@ def main() -> None:
                 f"{phases['scan']}, mirror {phases['mirror']} "
                 f"({LAST_BUILD_PHASES.get('rollup_rows')} rollup rows)"
             )
+            # r15 (verdict #2): the mirror's named sub-steps, recorded by
+            # _indices_from_rollup itself. The isolated probe
+            # (scripts/probe_mirror.py) pins their sum at 0.2-0.5 s COLD
+            # for this rollup; if the "mirror" phase above ever balloons
+            # while this breakdown stays flat, the gap is box
+            # stall (allocator/scheduler), not driver numpy work.
+            log(
+                "index_build_sf10 mirror sub-steps (last sample): "
+                f"{LAST_BUILD_PHASES.get('mirror_steps')}"
+            )
             dtimes = []
             for a, b in s_ranges:
                 q = (
@@ -2250,11 +2267,21 @@ def main() -> None:
                 f"sf1 {queries['uw_approx_distinct_sf1']*1e3:.1f} ms)"
             )
 
-    total = sum(queries.values())
+    # Measurement-bug fix (r15, documented in OPTIMIZATION_r15.md): the
+    # stream-cap STATE ROW COUNT (51 — a row count, not seconds) had been
+    # summed into bench_total as if it were 51 seconds since the row was
+    # added in r7. The total is now the sum of the SECONDS rows only; the
+    # row-count key stays in queries{} (never remove/rename) and the
+    # legacy-style sum ships alongside so r14-vs-r15 totals stay
+    # comparable on both conventions.
+    _NON_SECONDS_KEYS = {"stream_cap_state_rows"}
+    total = sum(v for k, v in queries.items() if k not in _NON_SECONDS_KEYS)
+    legacy_total = sum(queries.values())
     line = json.dumps(
         {
             "metric": "bench_total",
             "value": round(total, 3),
+            "legacy_total_incl_rowcount_keys": round(legacy_total, 3),
             "unit": "sec",
             "queries": {k: round(v, 5) for k, v in queries.items()},
             "spreads": spreads,
@@ -2296,11 +2323,18 @@ def main() -> None:
         "dedup_semantic_stream_q8", "text_pipeline",
         "text_decontaminate_fuzzy", "sim_ann_lsh", "sim_ivf_topk",
         "pack_sequences_2k",
+        # r15 (verdict #3): APPEND-ONLY widening — r13-comparable rows so
+        # the driver's round-over-round overlap (n_common) keeps growing.
+        # Never remove or reorder keys above; the line is length-asserted
+        # below, and these three still leave ~200 chars of headroom.
+        "index_build_sf1", "dedup_minhash_lsh_sf1",
+        "sketch_index_builds_sf1",
     ]
     compact = json.dumps(
         {
             "metric": "bench_total",
             "value": round(total, 3),
+            "legacy_total_incl_rowcount_keys": round(legacy_total, 3),
             "unit": "sec",
             "queries": {
                 k: round(queries[k], 5) for k in headline_keys

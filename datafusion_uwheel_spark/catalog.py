@@ -33,6 +33,13 @@ class WheelCatalog:
         self.engines: dict[str, WheelEngine] = {}
         self.sim_engines: dict[str, object] = {}
         self.last_route: RouteDecision | None = None
+        #: Captured ``(names, sql_types, rows)`` of the most recent
+        #: driver-evaluated CTE outer query (``None`` when the last WITH
+        #: spliced) — lets ``sql_rows`` skip the LocalRelation build.
+        self._last_cte_eval: tuple | None = None
+        #: query text → splice snapshot (parts/views/rewritten + the
+        #: owning engines' epochs); see ``_route_ctes``.
+        self._cte_splice_memo: dict[str, dict] = {}
         #: query text → ParsedQuery | ParseError: the catalog's dispatch
         #: parse, memoized like the engines' (it survives index mutations —
         #: parses depend on text alone) so the direct path pays one
@@ -128,7 +135,16 @@ class WheelCatalog:
         try:
             parsed = self._parse(query)
         except ParseError as err:
-            routed = self._route_ctes(query)
+            routed = self._route_ctes(query, _want_df=False)
+            ev = self._last_cte_eval
+            if ev is not None:
+                # driver-evaluated outer query: identical rows to the
+                # LocalRelation collect, zero JVM round trips (r15)
+                from pyspark.sql import Row
+
+                names, _types, rows = ev
+                factory = Row(*names)
+                return [factory(*r) for r in rows]
             if routed is not None:
                 return routed.collect()
             self.last_route = RouteDecision("delegate", detail={"reason": str(err)})
@@ -143,44 +159,113 @@ class WheelCatalog:
         self.last_route = eng.last_route
         return out
 
-    def _route_ctes(self, query: str) -> DataFrame | None:
+    def _route_ctes(self, query: str, _want_df: bool = True) -> DataFrame | None:
         """Wheel-answer the routable CTEs of a ``WITH`` query; ``None`` if
         the query isn't a splittable WITH or no CTE routed (caller then
-        delegates the original text untouched)."""
+        delegates the original text untouched).
+
+        When EVERY CTE routes, the outer query is additionally tried
+        against the driver-side evaluator (:mod:`.plans.cte_eval`, r15):
+        the captured answers are tiny driver-resident row lists, so a
+        recognized join/filter/order shape is computed in pure Python and
+        returned as one constant LocalRelation — zero Spark jobs — instead
+        of paying the splice's three tiny jobs (scalar subquery, broadcast
+        build, final collect; measured at ~1 s of fixed scheduling cost on
+        a contended box for a 24-row answer). Unrecognized shapes splice
+        exactly as before. ``detail['sql']`` always carries the spliced
+        text (with live temp views) so floor probes can still price the
+        splice; ``detail['evaluated']`` says which path answered."""
         global _CTE_VIEW_SEQ
         try:
             ctes, main = split_with_ctes(query)
         except ParseError:
             return None
-        parts: list[str] = []
-        routed: dict[str, str] = {}
-        delegated: list[str] = []
-        for name, body in ctes:
-            eng = None
-            try:
-                eng = self.engines.get(parse_select(body).table.lower())
-            except ParseError:
-                pass
-            if eng is not None:
-                df = eng.sql(body)
-                if eng.last_route is not None and eng.last_route.rewritten:
-                    _CTE_VIEW_SEQ += 1
-                    view = f"__uw_cte_{_CTE_VIEW_SEQ}"
-                    df.createOrReplaceTempView(view)
-                    # Swap only the body: the CTE keeps its name, so the
-                    # main query text never needs identifier rewriting.
-                    parts.append(f"{name} AS (SELECT * FROM {view})")
-                    routed[name] = eng.last_route.kind
-                    continue
-            delegated.append(name)
-            parts.append(f"{name} AS ({body})")
-        if not routed:
-            return None
-        rewritten = "WITH " + ", ".join(parts) + " " + main
-        self.last_route = RouteDecision(
-            "cte_rewrite",
-            detail={"routed": routed, "delegated": delegated, "sql": rewritten},
-        )
+        self._last_cte_eval = None
+        # Splice memo (r15): the view registration + body routing for a
+        # given query text is invariant while the owning engines and
+        # their index epochs are — repeated dashboard text skips the
+        # per-call temp-view py4j round trips. Answers are NOT memoized
+        # here: routed_answer re-validates its own epoch per call.
+        memo = self._cte_splice_memo.get(query)
+        if memo is not None and all(
+            self.engines.get(t) is e and (e is None or e.index_epoch == ep)
+            for t, e, ep in memo["engines"]
+        ):
+            parts = memo["parts"]
+            routed = memo["routed"]
+            delegated = memo["delegated"]
+            routed_bodies = memo["routed_bodies"]
+            rewritten = memo["rewritten"]
+        else:
+            parts = []
+            routed = {}
+            delegated = []
+            routed_bodies = []  # (cte_name, body, engine)
+            engines_snapshot = []
+            for name, body in ctes:
+                eng = None
+                table = None
+                try:
+                    table = parse_select(body).table.lower()
+                    eng = self.engines.get(table)
+                except ParseError:
+                    pass
+                if eng is not None:
+                    df = eng.sql(body)
+                    if eng.last_route is not None and eng.last_route.rewritten:
+                        _CTE_VIEW_SEQ += 1
+                        view = f"__uw_cte_{_CTE_VIEW_SEQ}"
+                        df.createOrReplaceTempView(view)
+                        # Swap only the body: the CTE keeps its name, so the
+                        # main query text never needs identifier rewriting.
+                        parts.append(f"{name} AS (SELECT * FROM {view})")
+                        routed[name] = eng.last_route.kind
+                        routed_bodies.append((name, body, eng))
+                        engines_snapshot.append((table, eng, eng.index_epoch))
+                        continue
+                delegated.append(name)
+                parts.append(f"{name} AS ({body})")
+                if table is not None:
+                    # pin the absence too: registering an engine for this
+                    # table later must retire the memoized delegated splice
+                    engines_snapshot.append((table, None, None))
+            if not routed:
+                return None
+            rewritten = "WITH " + ", ".join(parts) + " " + main
+            self._cte_splice_memo[query] = {
+                "engines": engines_snapshot,
+                "parts": parts,
+                "routed": routed,
+                "delegated": delegated,
+                "routed_bodies": routed_bodies,
+                "rewritten": rewritten,
+            }
+            if len(self._cte_splice_memo) > 64:  # bounded, FIFO-ish
+                self._cte_splice_memo.pop(next(iter(self._cte_splice_memo)))
+        routed_data: dict[str, tuple] = {}
+        for name, body, eng in routed_bodies:
+            ans = eng.routed_answer(body)
+            if ans is not None:
+                routed_data[name] = ans
+        detail = {"routed": routed, "delegated": delegated, "sql": rewritten}
+        if len(routed_data) == len(ctes):
+            from .plans.cte_eval import evaluate_outer, parse_outer
+            from .plans.router import constant_df
+
+            spec = parse_outer(main)
+            ev = (
+                evaluate_outer(spec, routed_data) if spec is not None else None
+            )
+            if ev is not None:
+                names, types, rows = ev
+                detail["evaluated"] = "driver"
+                self.last_route = RouteDecision("cte_rewrite", detail=detail)
+                self._last_cte_eval = ev
+                if not _want_df:  # sql_rows: the caller hands rows back
+                    return None  # without building the LocalRelation
+                return constant_df(self.spark, names, types, rows)
+        detail["evaluated"] = "splice"
+        self.last_route = RouteDecision("cte_rewrite", detail=detail)
         return self.spark.sql(rewritten)
 
     def index_usage_bytes(self) -> int:

@@ -283,6 +283,13 @@ class WheelEngine:
         self._rows_cache: OrderedDict[str, tuple[int, RouteDecision, list]] = (
             OrderedDict()
         )
+        #: query text → (epoch, RouteDecision, (names, sql_types, rows)) —
+        #: the raw captured triple for consumers that need the SQL types
+        #: next to the values (the catalog's driver-evaluated CTE outer
+        #: queries, r15); same epoch discipline as ``_rows_cache``.
+        self._answer_cache: OrderedDict[str, tuple[int, RouteDecision, tuple]] = (
+            OrderedDict()
+        )
         #: query text → ParsedQuery | ParseError. Unlike the answer memos
         #: this is NOT epoch-keyed: a parse depends only on the SQL text, so
         #: it survives index mutations — the streaming case (every
@@ -1164,6 +1171,40 @@ class WheelEngine:
             return df.collect()
         return self.spark.sql(query).collect()
 
+    def routed_answer(self, query: str) -> tuple | None:
+        """``(names, sql_types, rows)`` for a ROUTED constant answer, else
+        ``None`` (delegates, parse failures, and scan-pruning rewrites that
+        carry a full table schema all return ``None`` — the caller keeps
+        its own fallback). The capture sibling of :meth:`sql_rows` that
+        keeps the SQL types next to the values; used by the catalog to
+        evaluate a routed-CTE outer query driver-side (r15). Memoized per
+        text until any index mutates; ``last_route`` records the decision
+        exactly as :meth:`sql_rows` would."""
+        cached = _memo_get(self._answer_cache, query)
+        if cached is not None and cached[0] == self.index_epoch:
+            self.last_route = cached[1]
+            return cached[2]
+        try:
+            parsed = self._parse(query)
+        except ParseError as err:
+            self.last_route = RouteDecision("delegate", detail={"reason": str(err)})
+            return None
+        r = self.router
+        r.capture_rows = True
+        try:
+            decision, _df = r.try_rewrite(parsed)
+        finally:
+            r.capture_rows = False
+        self.last_route = decision
+        cap = r.captured
+        if cap is None:
+            return None
+        names, types, rows = cap
+        out = (list(names), list(types), [tuple(row) for row in rows])
+        if decision.kind != "approx_agg":  # see sql(): rollup-owned state
+            _memo_put(self._answer_cache, query, (self.index_epoch, decision, out))
+        return out
+
     def explain_route(self, query: str) -> RouteDecision:
         """Routing decision without executing the delegate path."""
         try:
@@ -1353,6 +1394,7 @@ class WheelEngine:
             self.index_epoch += 1
             self._route_cache.clear()
             self._rows_cache.clear()
+            self._answer_cache.clear()
         return reclaimed
 
     def _all_wheels(self):

@@ -292,6 +292,12 @@ def with_contamination_fuzzy(
         bands=bands,
         min_est_jaccard=min_est_jaccard,
         max_bucket_size=max_bucket_size,
+        # The held-out side is a benchmark suite — bounded by contract,
+        # orders of magnitude smaller than the training corpus. Broadcast
+        # its banded rows (guide §3.1) so the TRAIN side is never
+        # exchanged by band key at all (r15; was a sort-merge join
+        # shuffling both sides).
+        broadcast_right=True,
     )
     # Persist the per-doc verdict, not just the signatures: the verdict
     # frame is one tiny row per FLAGGED doc, while re-deriving it pays the

@@ -592,6 +592,7 @@ def lsh_join(
     bands: int = MINHASH_BANDS,
     min_est_jaccard: float | None = None,
     max_bucket_size: int | None = 1000,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Cross-table LSH near-duplicate join: ``(id_left, id_right,
     est_jaccard)`` for document pairs ACROSS two signature frames (both
@@ -607,7 +608,16 @@ def lsh_join(
     ``max_bucket_size`` valve drops over-cap buckets PER SIDE (the hot
     bucket's join cost is |left bucket| x |right bucket|). Both inputs are
     persisted (signatures are k longs/doc); call
-    :func:`release_signatures` on the result after the final action."""
+    :func:`release_signatures` on the result after the final action.
+
+    ``broadcast_right`` (r15, guide §3.1): hint the RIGHT side's banded
+    frame into a broadcast hash join. When the right corpus is bounded by
+    contract — a held-out eval suite against a 100 TB training corpus —
+    this removes the band-key exchange of BOTH sides (the big side is
+    never shuffled at all; the only remaining exchange is the caller's
+    aggregation over qualifying pairs). Catalyst cannot pick this itself:
+    the banded frame sits above an Arrow kernel, so its size estimate is
+    garbage. Same rows either way — the hint only changes join strategy."""
     from pyspark import StorageLevel
 
     r = k // bands
@@ -641,7 +651,9 @@ def lsh_join(
         "__band",
         "__key",
     )
-    joined = a.join(b, on=["__band", "__key"])
+    joined = a.join(
+        F.broadcast(b) if broadcast_right else b, on=["__band", "__key"]
+    )
     if use_claim:
         pairs = joined.filter(
             _first_band_claim(r, bands, hot_pairs)

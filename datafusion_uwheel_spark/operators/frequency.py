@@ -309,6 +309,12 @@ class _Caches:
         self.tiers = list(tiers)
         self.kept_df = kept_df
         self.err_df = err_df
+        # Lineage flag consumed by _grouped_topk's skew guard: these two
+        # frames (and their _restrict slices) are TRUNCATED rollups — at
+        # most ``capacity`` kept rows (+1 err row) per (bucket, key) — so
+        # repartitioning by group alone is skew-safe (r15 verdict #7).
+        kept_df._uw_rollup_bounded = True
+        err_df._uw_rollup_bounded = True
         self.key_column = key_column
         # one lock PER HALF: an err-only reader (total_err) must never
         # block behind the much bigger kept-rows Arrow collect
@@ -587,7 +593,10 @@ class FrequencyRollup(SketchRetention):
         return a, b
 
     def _restrict(self, df: DataFrame, a: int, b: int) -> DataFrame:
-        return df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
+        out = df.filter((F.col("__sec") >= a) & (F.col("__sec") < b))
+        if getattr(df, "_uw_rollup_bounded", False):
+            out._uw_rollup_bounded = True  # a slice of a bounded rollup
+        return out
 
     def _total_err(self, a: int, b: int, err_cache=None) -> int:
         import numpy as np
@@ -823,6 +832,23 @@ class FrequencyRollup(SketchRetention):
         # aggregation (subset partitioning) AND the rank window's
         # partitionBy, so neither inserts its own exchange (the aggregate
         # is alias-aware, carrying the partitioning onto ``out_name``).
+        #
+        # Skew guard (r15 verdict #7): repartitioning by the group alone
+        # concentrates each group on ONE partition, which is safe ONLY
+        # because the inputs are truncated rollups (≤ capacity kept rows
+        # per (bucket, key), one err row each) — never raw data. The
+        # bound lives two modules away (_truncate), so assert the lineage
+        # flag here: a future caller feeding an unbounded frame must fail
+        # loudly, not create a silent single-partition hot spot.
+        if not (
+            getattr(kept, "_uw_rollup_bounded", False)
+            and getattr(err, "_uw_rollup_bounded", False)
+        ):
+            raise AssertionError(
+                "_grouped_topk requires capacity-truncated rollup frames "
+                "(rows ≤ capacity × buckets × keys); got an unbounded "
+                "input — repartition(group) would be a skew hazard"
+            )
         cells = (
             kept.repartition(group_expr)
             .groupBy(group_expr.alias(out_name), F.col("__item").alias("item"))

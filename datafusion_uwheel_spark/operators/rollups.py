@@ -588,6 +588,27 @@ def _indices_from_rollup(
     bucket_seconds: int = 1,
     states: Sequence[str] = PHYSICAL_STATES,
 ) -> dict[str | None, WheelIndex]:
+    # Sub-step wall clock (r15 verdict #2): the r14 driver artifact showed
+    # this function — pure driver-side Arrow→numpy landing — at 18.5 s on
+    # 32 cores vs 0.84 s on 8 with identical code and data, while the
+    # isolated probe (scripts/probe_mirror.py) measures every step below
+    # summing to 0.2–0.5 s COLD at 32 cores (9.8M rows, ~1000 Arrow
+    # chunks). The steps are recorded per call so a future swing names
+    # its owner in the bench output itself: if "mirror" balloons but the
+    # steps still sum to ~0.5 s, the gap is scheduler/allocator stall on
+    # a contended box, not this code.
+    import time as _time
+
+    steps: dict[str, float] = {}
+    _t = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        steps[name] = round(now - _t, 5)
+        _t = now
+
+    LAST_BUILD_PHASES["mirror_steps"] = steps
     if tbl.num_rows == 0:
         empty = np.empty(0, dtype=np.int64)
         out: dict[str | None, WheelIndex] = {
@@ -632,16 +653,19 @@ def _indices_from_rollup(
     def _ord(arr):
         return arr if order is None else arr[order]
 
+    _mark("sec_land_sortcheck")
     secs = _ord(secs_raw.astype(np.int64, copy=False))
     cnt = _ord(_filled(tbl, "__cnt", 0, np.int64))
     min_ts_us = int(pc.min(tbl.column("__tmin")).as_py())
     max_ts_us = int(pc.max(tbl.column("__tmax")).as_py())
+    _mark("cnt_bounds")
     # At-start slivers are sparse: keep only buckets whose start instant
     # holds rows (ns-precision data typically has none at all).
     atcnt = _ord(_filled(tbl, "__atcnt", 0, np.int64))
     at_mask = atcnt > 0
     at_secs = secs[at_mask]
     at_cnt = atcnt[at_mask]
+    _mark("at_sliver")
 
     out = {
         None: WheelIndex(
@@ -661,6 +685,7 @@ def _indices_from_rollup(
     for c in columns:
         arrs = rollup_arrays(tbl, c, types[c], states)
         ats = rollup_arrays(tbl, c, types[c], states, at=True)
+        _mark(f"value_{c}")
         out[c] = WheelIndex(
             table,
             c,

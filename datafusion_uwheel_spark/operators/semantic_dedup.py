@@ -89,10 +89,38 @@ def _centroid_norms(centroids: Sequence[Sequence[float]]) -> list[float]:
 MAX_EXPR_CENTROIDS = 64
 
 
+def _q8_rows(X, ok, mx=None):
+    """Per-row symmetric max-abs int8 codes, BIT-EQUAL to the
+    :func:`..ann_index._q8_col` expression: ``round(x / max|x| * 127)``
+    with Spark's ``F.round`` HALF_UP (half away from zero on the double's
+    shortest decimal repr ≡ its binary value — 0.5 boundaries are exactly
+    representable, so the two agree), zero vectors → zero codes. The naive
+    ``floor(x + 0.5)`` is NOT that function (x + 0.5 can round up across
+    the integer boundary in IEEE, e.g. x = 0.49999999999999994), hence
+    the overshoot correction. Returns ``list[np.ndarray | None]`` —
+    ``None`` for masked rows (the expression yields NULL there too on
+    every input the stream feeds it: masked rows never reach the stored
+    projection)."""
+    import numpy as np
+
+    if mx is None:
+        mx = np.max(np.abs(X), axis=1) if X.shape[1] else np.zeros(len(X))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        scaled = X / mx[:, None] * 127.0
+    pos = scaled >= 0
+    cand = np.where(pos, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+    cand = np.where(pos & (cand - 0.5 > scaled), cand - 1.0, cand)
+    cand = np.where(~pos & (cand + 0.5 < scaled), cand + 1.0, cand)
+    codes = np.where((mx > 0)[:, None], cand, 0.0)
+    codes = np.nan_to_num(codes, nan=0.0).astype(np.int8)
+    return [codes[i] if ok[i] else None for i in range(len(codes))]
+
+
 def _cells_kernel(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],
     vec_col: str,
+    emit_q8: bool = False,
 ) -> DataFrame:
     """Arrow-batched (cell, csim) assignment for large k: per centroid the
     dot accumulates as ``dim`` sequential column adds (``acc = acc +
@@ -100,7 +128,17 @@ def _cells_kernel(
     :func:`..similarity.dot_col` codegens), first-argmax picks the cell
     (numpy ``argmax`` = Spark ``array_position(darr, array_max(darr))``
     on ties), and csim divides by the same left-fold norms — pinned equal
-    to the expression path by pytest."""
+    to the expression path by pytest.
+
+    ``emit_q8`` (r15, guide §4 — one crossing, not two): also emit the
+    int8 max-abs codes as ``__q8`` from the SAME Arrow pass, so the
+    quantized streaming state never pays a second per-row evaluation (the
+    ``_q8_col`` interpreted HOF transforms in the decided checkpoint were
+    the q8 mode's +0.35 s/batch fixed latency). Bit-equal to the
+    expression (:func:`_q8_rows`): zero vectors get zero codes like the
+    expression; MASKED rows (NULL/NaN vectors) carry NULL codes — those
+    never reach the stored projection (the eligible filter drops them
+    with their NULL ``csim``)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -137,16 +175,24 @@ def _cells_kernel(
         )
         cells[~ok] = pd.NA
         sims = pd.Series(csim, dtype="float64").where(ok & (denom != 0.0))
-        return pd.DataFrame({"cell": cells, "csim": sims})
+        out = {"cell": cells, "csim": sims}
+        if emit_q8:
+            out["q8"] = pd.Series(_q8_rows(X, ok), dtype="object")
+        return pd.DataFrame(out)
 
-    udf = pandas_udf(fn, "struct<cell: bigint, csim: double>")
+    schema = "struct<cell: bigint, csim: double>"
+    if emit_q8:
+        schema = "struct<cell: bigint, csim: double, q8: array<tinyint>>"
+    udf = pandas_udf(fn, schema)
     tmp = "__uw_cc"
     out = df.withColumn(tmp, udf(F.col(vec_col).cast("array<double>")))
-    return (
+    out = (
         out.withColumn("cell", F.col(f"{tmp}.cell"))
         .withColumn("csim", F.col(f"{tmp}.csim"))
-        .drop(tmp)
     )
+    if emit_q8:
+        out = out.withColumn("__q8", F.col(f"{tmp}.q8"))
+    return out.drop(tmp)
 
 
 def with_semantic_cells(
@@ -156,6 +202,7 @@ def with_semantic_cells(
     assigned_cell_col: str | None = None,
     max_expr_centroids: int = MAX_EXPR_CENTROIDS,
     prefer_kernel: bool = False,
+    emit_q8: bool = False,
 ) -> DataFrame:
     """Append ``cell`` (1-based first-argmax-dot centroid, the IVF
     assignment spec) and ``csim`` (cosine to the assigned centroid; NULL
@@ -188,6 +235,14 @@ def with_semantic_cells(
     dedup) default to it; the expression form stays the spec path."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    if emit_q8:
+        if assigned_cell_col is not None:
+            raise ValueError(
+                "emit_q8 requires the recomputed kernel assignment"
+            )
+        # int8 codes only come from the kernel pass (the whole point is
+        # one Arrow crossing); the expression spec has no q8 output
+        return _cells_kernel(df, centroids, vec_col, emit_q8=True)
     if assigned_cell_col is None and (
         prefer_kernel or len(centroids) > max_expr_centroids
     ):

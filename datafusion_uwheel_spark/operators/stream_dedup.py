@@ -731,12 +731,18 @@ class SemanticCorpusDedup:
         # kernel assignment (bit-equal to the expression folds): every
         # consumer below batches through Arrow anyway, and the k x dim
         # expression tree costs ~1 s of Catalyst ANALYSIS per fresh plan
-        # on top of its interpreted HOF execution (r14, guide §4)
+        # on top of its interpreted HOF execution (r14, guide §4). In
+        # int8 mode the SAME pass also emits the stored codes (__q8,
+        # bit-equal to the _q8_col expression) — the decided checkpoint
+        # then just copies a column instead of evaluating two interpreted
+        # HOF array transforms per kept row (r15 verdict #5: the q8
+        # mode's +0.35 s/batch fixed latency was exactly that).
         assigned = with_semantic_cells(
             batch_df.select(self.id_col, self.vec_col),
             self.centroids,
             self.vec_col,
             prefer_kernel=True,
+            emit_q8=self.quantize == "int8",
         )
         # persisted for the consumers below (touched-cells collect, corpus
         # kernel, within-batch pairs, the decided projection) — the
@@ -789,11 +795,9 @@ class SemanticCorpusDedup:
             else corpus_drops.unionByName(batch_drops)
         ).distinct()
         if self.quantize == "int8":
-            from .ann_index import _q8_col
-
-            stored = _q8_col(F.col(self.vec_col).cast("array<double>")).alias(
-                "embedding"
-            )
+            # codes precomputed inside the assignment kernel's Arrow pass
+            # (bit-equal to the _q8_col expression; pinned by pytest)
+            stored = F.col("__q8").alias("embedding")
         else:
             stored = F.col(self.vec_col).cast("array<float>").alias("embedding")
         # ONE eager checkpoint decides the whole batch (r14 — was two:

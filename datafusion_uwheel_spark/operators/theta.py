@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .rollups import time_sec_col
-from .sketch_retention import SketchRetention
+from .sketch_retention import _FIXED_GRAN_SECS, SketchRetention
 
 __all__ = ["ThetaRollup", "build_theta_rollup", "load_theta_rollup"]
 
@@ -52,6 +52,12 @@ class ThetaRollup(SketchRetention):
     Range asks use second-aligned bounds like every wheel lookup; buckets
     partially covered at the edges are included whole (superset semantics
     — estimates never undercount against unaligned bounds)."""
+
+    #: Periods per lag partition in :meth:`retention_by` — the in-partition
+    #: window sorts at most this many rows per task (r15: replaces the
+    #: global single-partition lag; 8192 periods × ≤32 KB sketch ≈ 256 MB
+    #: worst-case per task at the default lg_k, far less on sparse data).
+    _LAG_PARTITION_PERIODS = 8192
 
     def __init__(
         self,
@@ -436,11 +442,55 @@ class ThetaRollup(SketchRetention):
         periods = df.groupBy(bucket.alias("period")).agg(
             F.expr("theta_union_agg(__theta)").alias("__s")
         )
-        w = Window.orderBy("period")
+        # The previous-occupied-period lag, WITHOUT a global single-
+        # partition window (r15 verdict #6: `Window.orderBy` with no
+        # partitionBy moves EVERY period onto one task — fine for a
+        # dashboard's handful of weeks, a scaling cliff for a fine-grained
+        # multi-year series). Coarse-partition + boundary stitch instead:
+        # each partition spans `_LAG_PARTITION_PERIODS` periods (bounded
+        # by construction), the in-partition lag runs distributed, and
+        # each partition's FIRST period takes its predecessor from a
+        # lagged one-row-per-partition boundary frame (broadcast — it is
+        # n_periods / 8192 rows). `lag` semantics are replicated exactly:
+        # "first in partition" is row_number()==1, NOT lag-is-NULL — a
+        # predecessor with a NULL sketch must still yield NULL, as the
+        # global lag did.
+        gran_w = (
+            granularity
+            if isinstance(granularity, int)
+            else _FIXED_GRAN_SECS.get(str(granularity).lower(), 86400)
+        )
+        pw = gran_w * self._LAG_PARTITION_PERIODS
+        part = F.floor(F.col("period").cast("long") / F.lit(pw)).alias("__part")
+        periods = periods.select("period", "__s", part)
+        w_in = Window.partitionBy("__part").orderBy("period")
+        lasts = periods.groupBy("__part").agg(
+            F.max(F.struct("period", "__s")).alias("__last")
+        )
+        # one row per occupied partition (n_periods / 8192 — bounded), so
+        # a single-partition lag is the right plan HERE; the partition key
+        # is pmod(__part, 1) ≡ 0 because a foldable lit(0) is optimized
+        # away and WindowExec would then (correctly, for an unbounded
+        # input) warn about a global window — this input is not unbounded.
+        w_b = Window.partitionBy(F.pmod(F.col("__part"), F.lit(1))).orderBy(
+            "__part"
+        )
+        boundary = lasts.select(
+            "__part",
+            F.lag(F.col("__last.__s")).over(w_b).alias("__bprev"),
+        )
         n_prev = self._est("__prev").cast("long")
         n_ret = self._est("theta_intersection(__s, __prev)").cast("long")
         return (
-            periods.withColumn("__prev", F.lag("__s").over(w))
+            periods.withColumn("__rn", F.row_number().over(w_in))
+            .withColumn("__ilag", F.lag("__s").over(w_in))
+            .join(F.broadcast(boundary), on="__part", how="left")
+            .withColumn(
+                "__prev",
+                F.when(F.col("__rn") == 1, F.col("__bprev")).otherwise(
+                    F.col("__ilag")
+                ),
+            )
             .select(
                 "period",
                 self._est("__s").cast("long").alias("n_curr"),

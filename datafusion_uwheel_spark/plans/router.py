@@ -318,16 +318,6 @@ def _combine_core_boundary(agg: AggSpec, core: dict, brow: dict):
 
     return _variance_states(float(total_sum), total_sq, vn)[key]
 
-#: Row-count threshold above which constant results switch from an inline
-#: VALUES relation to Arrow ``createDataFrame``. VALUES folds to a
-#: LocalRelation (zero Spark jobs — the dashboard-scalar property) but its
-#: JVM parse cost grows with the rendered string; Arrow pays a fixed ~15 ms
-#: + one trivial local job. Measured on distinct (uncached) routed queries,
-#: local[8]: 1-row VALUES ≈ 10 ms beats Arrow; they tie at ~2-8 rows
-#: (20 vs 15-20 ms); Arrow wins 2× at ~100 rows (23 vs 47 ms) and 2.4× at
-#: ~900 rows (69 vs 165 ms). 32 keeps the zero-job guarantee for scalar and
-#: small group-by answers and routes real temporal rollups through Arrow.
-_VALUES_MAX_ROWS = 32
 
 
 #: SQL type → UwheelLocalRelation blob code (jvm/UwheelShim.scala).
@@ -400,6 +390,33 @@ def _shim_constant_df(spark, names, sql_types, rows):
     from pyspark.sql import DataFrame as _PyDataFrame
 
     return _PyDataFrame(jdf, spark)
+
+
+def constant_df(spark, names, sql_types, rows) -> DataFrame:
+    """Constant ``(names, sql_types, rows)`` answer → LocalRelation
+    DataFrame — the module-level body of ``Router._constant_relation``
+    (shared with the catalog's driver-evaluated CTE answers, r15): shim
+    ``UwheelLocalRelation`` first (one py4j call, zero jobs at ANY row
+    count), then the VALUES fold (zero jobs; JVM parse cost grows with
+    the rendered text). The r14 Arrow ``createDataFrame`` branch for
+    >32-row answers is retired (r15 verdict #8): it was dead code on shim
+    sessions — the shim path serves every row count — and on the rare
+    shim-less/non-UTC session a large VALUES parse is slower but exactly
+    as correct, one code path fewer."""
+    fast = _shim_constant_df(spark, names, sql_types, rows)
+    if fast is not None:
+        return fast
+    cols = ", ".join(f"`{n}`" for n in names)
+    if not rows:  # e.g. LIMIT 0 — typed empty LocalRelation, still no job
+        nulls = "(" + ", ".join(_sql_literal(None, ty) for ty in sql_types) + ")"
+        return spark.sql(
+            f"SELECT * FROM VALUES {nulls} AS __uwheel({cols}) WHERE FALSE"
+        )
+    tuples = ", ".join(
+        "(" + ", ".join(_sql_literal(v, ty) for v, ty in zip(row, sql_types)) + ")"
+        for row in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {tuples} AS __uwheel({cols})")
 
 
 def _sql_literal(value: Any, sql_type: str) -> str:
@@ -706,56 +723,14 @@ class Router:
         task); Arrow ``createDataFrame`` ~17 ms + a job. This path: ~10-12 ms
         p50 for a *distinct* query (≈4.5 ms JVM parse + ≈5 ms collect — the
         py4j floor), and the engine's route cache answers *repeated* queries
-        at ~4.7 ms p50 (collect only). Huge results (beyond
-        :data:`_VALUES_MAX_ROWS`) fall back to Arrow ``createDataFrame``.
+        at ~4.7 ms p50 (collect only).
         """
         if self.capture_rows:
             # the sql_rows direct path: hand the Python values straight
             # back — the caller never touches the JVM for a routed answer
             self.captured = (names, sql_types, rows)
             return None
-        spark = self.engine.spark
-        fast = _shim_constant_df(spark, names, sql_types, rows)
-        if fast is not None:
-            return fast
-        if len(rows) > _VALUES_MAX_ROWS:
-            # Arrow path: a pyarrow Table converts columnarly (one Arrow
-            # batch) instead of row-by-row through py4j — measured ~4× faster
-            # for 37k-bucket group-bys — and, unlike a pandas detour, keeps
-            # SQL NULLs as Arrow nulls (no NaN coercion, no int64 loss).
-            import pyarrow as pa
-
-            pa_types = {
-                "BIGINT": pa.int64(),
-                "INT": pa.int32(),
-                "SMALLINT": pa.int16(),
-                "TINYINT": pa.int8(),
-                "DOUBLE": pa.float64(),
-                "FLOAT": pa.float32(),
-                # tz-aware so Spark maps it to TimestampType (session tz is
-                # pinned UTC); naive datetimes are interpreted as UTC.
-                "TIMESTAMP": pa.timestamp("us", tz="UTC"),
-                "STRING": pa.string(),
-            }
-            cols = list(zip(*rows)) if rows else [() for _ in names]
-            tbl = pa.table(
-                {
-                    n: pa.array(list(vals), type=pa_types[ty])
-                    for n, ty, vals in zip(names, sql_types, cols)
-                }
-            )
-            return spark.createDataFrame(tbl)
-        cols = ", ".join(f"`{n}`" for n in names)
-        if not rows:  # e.g. LIMIT 0 — typed empty LocalRelation, still no job
-            nulls = "(" + ", ".join(_sql_literal(None, ty) for ty in sql_types) + ")"
-            return spark.sql(
-                f"SELECT * FROM VALUES {nulls} AS __uwheel({cols}) WHERE FALSE"
-            )
-        tuples = ", ".join(
-            "(" + ", ".join(_sql_literal(v, ty) for v, ty in zip(row, sql_types)) + ")"
-            for row in rows
-        )
-        return spark.sql(f"SELECT * FROM VALUES {tuples} AS __uwheel({cols})")
+        return constant_df(self.engine.spark, names, sql_types, rows)
 
     def _scalar_result(
         self,

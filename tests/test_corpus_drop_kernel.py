@@ -105,3 +105,52 @@ def test_kernel_masks_degenerate_vectors(spark):
         == want
         == [1]
     )
+
+
+def test_kernel_q8_codes_equal_expression(spark, sf_small_dir):
+    """r15 verdict #5: the assignment kernel's fused ``__q8`` output must
+    be BIT-EQUAL to the ``_q8_col`` expression it replaces in the stream's
+    decided projection — on real embeddings AND on adversarial rows
+    (zero vector, exact .5 rounding boundaries, the IEEE x+0.5 overshoot
+    edge, mixed magnitudes)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datafusion_uwheel_spark.operators.ann_index import _q8_col
+    from datafusion_uwheel_spark.operators.semantic_dedup import (
+        with_semantic_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_small_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(emb.first()["embedding"])
+    rng = random.Random(5)
+    extra = [
+        (10_001, [0.0] * dim),
+        (10_002, [0.5] * (dim // 2) + [-0.5] * (dim - dim // 2)),
+        (10_003, [0.49999999999999994, 1.0] + [0.0] * (dim - 2)),
+        (10_004, [rng.uniform(-1, 1) * 10 ** rng.randrange(-9, 9) for _ in range(dim)]),
+    ]
+    df = emb.unionByName(
+        spark.createDataFrame(extra, "vec_id long, embedding array<double>")
+    )
+    cents = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(4)
+    ]
+    got = with_semantic_cells(
+        df, cents, "embedding", prefer_kernel=True, emit_q8=True
+    ).withColumn("__ref", _q8_col(F.col("embedding")))
+    mismatches = got.filter(
+        F.col("csim").isNotNull() & ~F.col("__q8").eqNullSafe(F.col("__ref"))
+    ).count()
+    assert mismatches == 0
+    # the zero vector matches the expression too (zero codes, NULL csim),
+    # and MASKED rows (NULL/NaN vectors) carry NULL codes
+    zrow = got.filter(F.col("vec_id") == 10_001).first()
+    assert zrow["csim"] is None and list(zrow["__q8"]) == [0] * dim
+    masked = got.withColumn(
+        "__bad", F.isnan(F.array_max(F.col("embedding")))
+    ).filter(F.col("__bad") & F.col("__q8").isNotNull())
+    assert masked.count() == 0

@@ -1731,3 +1731,24 @@ def test_topk_by_day_matches_duckdb_real_table(spark, sf_medium_dir):
         )
     )
     assert got == exp and len(got) > 0
+
+
+def test_grouped_topk_refuses_unbounded_input(spark, tight):
+    """r15 verdict #7: _grouped_topk's repartition(group) is skew-safe
+    only over capacity-truncated rollup frames — an arbitrary frame must
+    trip the lineage assert, never run."""
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [(0, "a", 1)], "__sec long, __item string, cnt long"
+    )
+    with pytest.raises(AssertionError, match="truncated rollup"):
+        tight._grouped_topk(
+            raw, raw, F.timestamp_seconds(F.col("__sec")), "bucket", 3
+        )
+    # the real frames (and their _restrict slices) carry the flag
+    c = tight._caches
+    assert getattr(c.kept_df, "_uw_rollup_bounded", False)
+    assert getattr(
+        tight._restrict(c.kept_df, 0, 10**10), "_uw_rollup_bounded", False
+    )

@@ -59,7 +59,7 @@ def test_fastpath_zero_jobs_beyond_values_cap(spark):
     fast = R._shim_constant_df(spark, ["n", "m"], ["BIGINT", "DOUBLE"], rows)
     if fast is None:
         pytest.skip("shim jar not on this session")
-    assert len(rows) > R._VALUES_MAX_ROWS
+    assert len(rows) > 32  # beyond the r14-era VALUES/Arrow switch point
     sc = spark.sparkContext
     j0 = len(sc.statusTracker().getJobIdsForGroup(None) or [])
     got = fast.collect()
@@ -93,8 +93,10 @@ def test_routed_answers_identical_with_and_without_fastpath(spark, sf_small_dir)
             spark._uw_localrel_ok = False  # legacy VALUES/Arrow path
             ref = eng.sql(q)
             assert sorted(map(repr, fast_rows)) == sorted(map(repr, ref.collect()))
-            if len(fast_rows) <= R._VALUES_MAX_ROWS:
-                assert fast_schema == ref.schema
+            # every shim-less answer is now a VALUES fold (r15: the Arrow
+            # branch is retired), whose nullability the fast path mirrors
+            # at any row count
+            assert fast_schema == ref.schema
     finally:
         spark._uw_localrel_ok = had
 

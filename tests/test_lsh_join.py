@@ -218,3 +218,56 @@ def test_decontaminate_fuzzy_drops_flagged(spark, sf_small_dir):
     }
     everyone = {r["doc_id"] for r in docs.collect()}
     assert kept == everyone - flagged and flagged
+
+
+def test_fuzzy_decon_broadcasts_the_heldout_side(spark, sf_small_dir):
+    """r15 verdict #4: the banded bucket join must BROADCAST the bounded
+    held-out side — the training side is then never exchanged by band key
+    (at 100 TB that exchange was the operator's dominant shuffle) — and
+    the broadcast hint must not change a single verdict."""
+    docs = spark.read.parquet(f"{sf_small_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    held = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.substring("text", 1, 300).alias("text")
+    )
+    out = contamination.with_contamination_fuzzy(docs, held, 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # no sort-merge band join anywhere in the pairs pipeline
+    assert "SortMergeJoin [__band" not in plan, plan
+    got = {
+        (r["doc_id"], r["contaminated"], round(r["max_est_jaccard"], 9))
+        for r in out.collect()
+    }
+    out._uw_release()
+    # same verdicts without the hint (the r14 shape)
+    from datafusion_uwheel_spark.operators.dedup import (
+        lsh_join,
+        with_minhash_signature,
+    )
+
+    ho = held.select(
+        F.monotonically_increasing_id().alias("__ho_id"),
+        F.col("text").alias("__ho_text"),
+    )
+    pairs = lsh_join(
+        with_minhash_signature(docs.select("doc_id", "text"), text="text", n=3),
+        with_minhash_signature(ho, text="__ho_text", n=3),
+        left_id="doc_id",
+        right_id="__ho_id",
+        min_est_jaccard=0.5,
+        broadcast_right=False,
+    )
+    worst = pairs.groupBy("id_left").agg(
+        F.max("est_jaccard").alias("m")
+    )
+    ref = {
+        (r["doc_id"], r["m"] is not None and r["m"] >= 0.5,
+         round(r["m"] if r["m"] is not None else 0.0, 9))
+        for r in docs.join(
+            worst.select(F.col("id_left").alias("doc_id"), "m"),
+            on="doc_id", how="left",
+        ).collect()
+    }
+    assert got == ref

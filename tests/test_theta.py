@@ -296,3 +296,34 @@ def test_theta_algebra_matches_exact_sets(random_rollup, d1, l1, d2, l2):
     union = len(s1 | s2)
     want_j = (len(s1 & s2) / union) if union else 0.0
     assert r.approx_jaccard(r1, r2) == pytest.approx(want_j)
+
+
+def test_retention_series_no_global_window(spark, cohort):
+    """r15 verdict #6: the previous-occupied-period lag must not plan a
+    single-partition global window (the r14 `Window.orderBy` with no
+    partitionBy) — the lag runs inside bounded coarse partitions with a
+    boundary stitch, and the stitched series is row-identical to the
+    direct path at every granularity, partition boundaries included."""
+    r = build_theta_rollup(cohort, "ts", "user_id", bucket_seconds=3600)
+    try:
+        df = r.retention_by("week")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        # granularity = one bucket → every period its own row; with the
+        # stitch, periods crossing the 8192-period partition boundary
+        # still see their true predecessor
+        fine = [tuple(x) for x in r.retention_by(3600).collect()]
+        assert [tuple(x) for x in r.retention_rows_by(3600)] == fine
+        # the boundary stitch takes the LAST period of the previous
+        # partition: force a tiny partition width so several boundaries
+        # exist in even this cohort
+        old = type(r)._LAG_PARTITION_PERIODS
+        try:
+            type(r)._LAG_PARTITION_PERIODS = 2
+            r.invalidate_asks()
+            stitched = [tuple(x) for x in r.retention_by(3600).collect()]
+        finally:
+            type(r)._LAG_PARTITION_PERIODS = old
+        assert stitched == fine
+    finally:
+        r.unpersist()
