@@ -99,7 +99,7 @@ def build_sketch_rollups(
         .coalesce(_CACHE_PARTITIONS)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    combined.count()  # ONE materializing scan for every family
+    n_rows = combined.count()  # ONE materializing scan for every family
     holder = {
         "df": combined,
         "refs": len(distinct) + len(quantile) + len(theta),
@@ -127,6 +127,7 @@ def build_sketch_rollups(
             *base_cols, F.col(f"__theta{i}").alias("__theta")
         )
         h = ThetaRollup(view, c, bucket_seconds, lg_k, key_column=partition_by)
+        h._rollup_rows = n_rows  # retention_by's bounded-lag proof (r15)
         h._shared = holder
         h._warm_mirror("__theta")
         out["theta"][c] = h

@@ -75,6 +75,14 @@ class ThetaRollup(SketchRetention):
         #: asks union across keys (theta union is exact sketch algebra and
         #: idempotent, so shared values never double-count).
         self.key_column = key_column
+        #: Driver-known UPPER bound on the rollup's row count (r15): the
+        #: build/load/merge paths already run a materializing ``count()``,
+        #: whose value was discarded — recorded, it lets
+        #: :meth:`retention_by` prove its period count small and skip the
+        #: boundary-stitch machinery (periods ≤ rollup rows, always).
+        #: ``None`` = unknown; compaction only shrinks rows, so a recorded
+        #: bound survives it.
+        self._rollup_rows: int | None = None
 
     # ------------------------------------------------------------ internals
 
@@ -412,6 +420,79 @@ class ThetaRollup(SketchRetention):
             compute,
         )
 
+    def _lag_period_bound(self, gran_w: int) -> int | None:
+        """Driver-side UPPER bound on :meth:`retention_by`'s period count,
+        or ``None`` when nothing proves one. Never launches a job. Two
+        sources, both conservative:
+
+        - the recorded rollup row count (:attr:`_rollup_rows`) — every
+          period holds at least one rollup row;
+        - the rollup's sec span / the granularity's width, when the driver
+          mirror for the CURRENT frame is already collected (calendar
+          granularities use their day-aligned floor width, so the span
+          bound over-counts weeks 7x, months 28x — still an upper bound).
+        """
+        bound = self._rollup_rows
+        box = getattr(self, "_mirror_ref", None)
+        if box is not None and box.get("df") is self._df:
+            m = box.get("m")
+            if m not in (None, False):
+                secs = m[0]
+                if len(secs):
+                    span = int(
+                        (int(secs[-1]) - int(secs[0])) // max(1, gran_w)
+                    ) + 3
+                    bound = span if bound is None else min(bound, span)
+        return bound
+
+    def _stitched_lag(self, periods: DataFrame, pw: int) -> DataFrame:
+        """The previous-occupied-period lag WITHOUT a global single-
+        partition window (r15 verdict #6): coarse-partition + boundary
+        stitch. Each partition spans `_LAG_PARTITION_PERIODS` periods
+        (bounded by construction), the in-partition lag runs distributed,
+        and each partition's FIRST period takes its predecessor from a
+        lagged one-row-per-partition boundary frame (broadcast — it is
+        n_periods / 8192 rows). ``lag`` semantics are replicated exactly:
+        "first in partition" is row_number()==1, NOT lag-is-NULL — a
+        predecessor with a NULL sketch must still yield NULL, as a global
+        lag would. Used only when no driver-side proof bounds the period
+        count (:meth:`_lag_period_bound`); it pays a second evaluation of
+        the `periods` aggregation for the boundary frame."""
+        from pyspark.sql import Window
+
+        part = F.floor(F.col("period").cast("long") / F.lit(pw)).alias(
+            "__part"
+        )
+        periods = periods.select("period", "__s", part)
+        w_in = Window.partitionBy("__part").orderBy("period")
+        lasts = periods.groupBy("__part").agg(
+            F.max(F.struct("period", "__s")).alias("__last")
+        )
+        # one row per occupied partition (n_periods / 8192 — bounded), so
+        # a single-partition lag is the right plan HERE; the partition key
+        # is pmod(__part, 1) ≡ 0 because a foldable lit(0) is optimized
+        # away and WindowExec would then (correctly, for an unbounded
+        # input) warn about a global window — this input is not unbounded.
+        w_b = Window.partitionBy(F.pmod(F.col("__part"), F.lit(1))).orderBy(
+            "__part"
+        )
+        boundary = lasts.select(
+            "__part",
+            F.lag(F.col("__last.__s")).over(w_b).alias("__bprev"),
+        )
+        return (
+            periods.withColumn("__rn", F.row_number().over(w_in))
+            .withColumn("__ilag", F.lag("__s").over(w_in))
+            .join(F.broadcast(boundary), on="__part", how="left")
+            .withColumn(
+                "__prev",
+                F.when(F.col("__rn") == 1, F.col("__bprev")).otherwise(
+                    F.col("__ilag")
+                ),
+            )
+            .drop("__rn", "__ilag", "__bprev", "__part")
+        )
+
     def retention_by(self, granularity, start=None, end=None) -> DataFrame:
         """The period-over-period retention SERIES — the dashboard form of
         :meth:`approx_retained`: bucket sketches regrouped into periods (a
@@ -443,54 +524,45 @@ class ThetaRollup(SketchRetention):
             F.expr("theta_union_agg(__theta)").alias("__s")
         )
         # The previous-occupied-period lag, WITHOUT a global single-
-        # partition window (r15 verdict #6: `Window.orderBy` with no
-        # partitionBy moves EVERY period onto one task — fine for a
-        # dashboard's handful of weeks, a scaling cliff for a fine-grained
-        # multi-year series). Coarse-partition + boundary stitch instead:
-        # each partition spans `_LAG_PARTITION_PERIODS` periods (bounded
-        # by construction), the in-partition lag runs distributed, and
-        # each partition's FIRST period takes its predecessor from a
-        # lagged one-row-per-partition boundary frame (broadcast — it is
-        # n_periods / 8192 rows). `lag` semantics are replicated exactly:
-        # "first in partition" is row_number()==1, NOT lag-is-NULL — a
-        # predecessor with a NULL sketch must still yield NULL, as the
-        # global lag did.
+        # partition window over an unbounded input (r15 verdict #6).
+        # Plan choice is driver-side and free: when a proof bounds the
+        # period count within ONE lag partition (`_lag_period_bound` —
+        # rollup row count or mirror sec span), a single bounded window;
+        # otherwise the coarse-partition boundary stitch
+        # (`_stitched_lag`), which scales but re-evaluates `periods` for
+        # its boundary frame.
         gran_w = (
             granularity
             if isinstance(granularity, int)
             else _FIXED_GRAN_SECS.get(str(granularity).lower(), 86400)
         )
         pw = gran_w * self._LAG_PARTITION_PERIODS
-        part = F.floor(F.col("period").cast("long") / F.lit(pw)).alias("__part")
-        periods = periods.select("period", "__s", part)
-        w_in = Window.partitionBy("__part").orderBy("period")
-        lasts = periods.groupBy("__part").agg(
-            F.max(F.struct("period", "__s")).alias("__last")
-        )
-        # one row per occupied partition (n_periods / 8192 — bounded), so
-        # a single-partition lag is the right plan HERE; the partition key
-        # is pmod(__part, 1) ≡ 0 because a foldable lit(0) is optimized
-        # away and WindowExec would then (correctly, for an unbounded
-        # input) warn about a global window — this input is not unbounded.
-        w_b = Window.partitionBy(F.pmod(F.col("__part"), F.lit(1))).orderBy(
-            "__part"
-        )
-        boundary = lasts.select(
-            "__part",
-            F.lag(F.col("__last.__s")).over(w_b).alias("__bprev"),
-        )
+        bound = self._lag_period_bound(gran_w)
+        if bound is not None and bound <= self._LAG_PARTITION_PERIODS:
+            # The period count is PROVABLY within one lag partition, so the
+            # stitch's extra plan (a second evaluation of the `periods`
+            # aggregation for the boundary frame + a broadcast join —
+            # probe: scripts/probe_theta_lag.py, +60% at sf10/weekly) buys
+            # nothing: one in-partition lag over a bounded input. The
+            # partition key is a NON-FOLDABLE constant (pmod(floor,1) ≡ 0)
+            # so WindowExec does not raise its global-window warning — the
+            # warning exists for unbounded inputs, and this one is bounded
+            # by the proof above, not by hope.
+            self._last_lag_path = "bounded"
+            w = Window.partitionBy(
+                F.pmod(
+                    F.floor(F.col("period").cast("long") / F.lit(pw)),
+                    F.lit(1),
+                )
+            ).orderBy("period")
+            lagged = periods.withColumn("__prev", F.lag("__s").over(w))
+        else:
+            self._last_lag_path = "stitch"
+            lagged = self._stitched_lag(periods, pw)
         n_prev = self._est("__prev").cast("long")
         n_ret = self._est("theta_intersection(__s, __prev)").cast("long")
         return (
-            periods.withColumn("__rn", F.row_number().over(w_in))
-            .withColumn("__ilag", F.lag("__s").over(w_in))
-            .join(F.broadcast(boundary), on="__part", how="left")
-            .withColumn(
-                "__prev",
-                F.when(F.col("__rn") == 1, F.col("__bprev")).otherwise(
-                    F.col("__ilag")
-                ),
-            )
+            lagged
             .select(
                 "period",
                 self._est("__s").cast("long").alias("n_curr"),
@@ -634,9 +706,10 @@ class ThetaRollup(SketchRetention):
             .coalesce(_CACHE_PARTITIONS)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        merged.count()
+        n_rows = merged.count()
         old = self._df
         self._df = merged
+        self._rollup_rows = n_rows  # retention_by's bounded-lag proof (r15)
         # A handle from a one-pass cross-family build shared the parent
         # cache; it now owns a private persisted frame, so drop the claim
         # (the parent is released when the last sibling detaches). Handles
@@ -702,10 +775,11 @@ def build_theta_rollup(
         .coalesce(_CACHE_PARTITIONS)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rollup.count()  # materialize once; probes never touch the raw table
+    n_rows = rollup.count()  # materialize once; probes never touch the raw table
     r = ThetaRollup(
         rollup, column, bucket_seconds, lg_k, key_column=partition_by
     )
+    r._rollup_rows = n_rows  # retention_by's bounded-lag proof (r15)
     r._warm_mirror("__theta")  # zero-job direct asks from the start (r10)
     return r
 
@@ -722,7 +796,7 @@ def load_theta_rollup(spark, path: str) -> ThetaRollup:
         .coalesce(_CACHE_PARTITIONS)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    df.count()
+    n_rows = df.count()
     r = ThetaRollup(
         df,
         meta["column"],
@@ -730,6 +804,7 @@ def load_theta_rollup(spark, path: str) -> ThetaRollup:
         meta["lg_k"],
         key_column=meta["key_column"],
     )
+    r._rollup_rows = n_rows  # retention_by's bounded-lag proof (r15)
     r._restore_meta(meta)
     r._warm_mirror("__theta")  # no-op on stale loads / shim-less sessions
     return r

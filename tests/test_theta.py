@@ -327,3 +327,38 @@ def test_retention_series_no_global_window(spark, cohort):
         assert stitched == fine
     finally:
         r.unpersist()
+
+
+def test_retention_lag_plan_choice(spark, cohort):
+    """r15: retention_by picks its lag plan from a DRIVER-SIDE period-count
+    proof. A fresh build records the materializing count, so the bounded
+    single-window plan fires (no boundary re-aggregation, no broadcast
+    join, no SinglePartition in the plan); with the proof erased (no
+    recorded rows, no collected mirror) the stitch is the fallback — and
+    both produce identical rows."""
+    r = build_theta_rollup(cohort, "ts", "user_id", bucket_seconds=3600)
+    try:
+        assert r._rollup_rows is not None  # the build's count is recorded
+        df = r.retention_by("week")
+        bounded = [tuple(x) for x in df.collect()]
+        assert r._last_lag_path == "bounded"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan  # no stitch machinery
+
+        # erase every proof: unknown row count, retired mirror
+        r._rollup_rows = None
+        r._drop_mirror()
+        r.invalidate_asks()
+        stitched = [tuple(x) for x in r.retention_by("week").collect()]
+        assert r._last_lag_path == "stitch"
+        assert stitched == bounded
+
+        # the mirror span alone (once re-collected) restores the proof
+        r._warm_mirror("__theta")
+        if r._mirror_ref.get("m") not in (None, False):
+            again = [tuple(x) for x in r.retention_by("week").collect()]
+            assert r._last_lag_path == "bounded"
+            assert again == bounded
+    finally:
+        r.unpersist()
