@@ -60,10 +60,15 @@ def pack_sequences(
     shards`` and packing sorts by (tokens desc, id) — reruns produce the
     same assignment, so resumed pipelines agree.
 
-    Scale: one shuffle (the groupBy on shard), then per-shard best-fit
-    packing (O(docs·log bins) via a sorted open-capacity list) in a single
-    Arrow batch; memory per task is the shard's (id, tokens) pairs only —
-    size ``shards`` so docs/shard stays in the low millions."""
+    Scale: one shuffle (hash repartition on the shard), then per-shard
+    best-fit packing (O(docs·log bins) via a sorted open-capacity list)
+    inside ONE ``mapInArrow`` pass per task — a task packs every shard it
+    received from a single Arrow table, so per-shard Python/pandas
+    group-dispatch overhead (the old ``applyInPandas``: one pandas frame
+    per shard, dominant when shards outnumber cores) is gone while the
+    assignment stays identical. Memory per task is its shards' (id,
+    tokens) pairs only — size ``shards`` so docs/shard stays in the low
+    millions."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     spark = df.sparkSession
@@ -72,55 +77,72 @@ def pack_sequences(
 
     id_type = dict(df.dtypes)[id_col]
 
-    def pack(pdf):
+    def _bfd(toks, shard_base, assign):
+        """Best-fit-decreasing over ONE shard's token counts (descending,
+        id-tiebroken order). Open bins are (remaining_capacity, bin_id)
+        pairs kept sorted by capacity: best-fit probes with bisect
+        (O(log B)), and a bin is CLOSED (dropped) once its capacity falls
+        below the smallest doc still to place — descending order makes
+        that the shard's global min, so closed bins never linger and the
+        worst case (every doc > max_tokens/2 opening its own bin) stays
+        O(D log B), not O(D·B). Oversize singletons and full bins are
+        never inserted, so a zero-token doc can't ride along in an
+        oversize sequence."""
         from bisect import bisect_left, insort
 
-        import numpy as np
-        import pandas as pd
-
-        toks = pdf[tokens_col].to_numpy()
-        order = np.lexsort((pdf[id_col].to_numpy(), -toks))  # BFD: big first
-        toks = toks[order]
-        shard = int(pdf["__shard"].iloc[0]) * _SHARD_STRIDE
-        # Open bins as (remaining_capacity, bin_id) pairs kept sorted by
-        # capacity: best-fit probes with bisect (O(log B)), and a bin is
-        # CLOSED (dropped) once its capacity falls below the smallest doc
-        # still to place — descending order makes that the shard's global
-        # min, so closed bins never linger and the worst case (every doc
-        # > max_tokens/2 opening its own bin) stays O(D log B), not O(D·B).
-        # Oversize singletons and full bins are never inserted, so a
-        # zero-token doc can't ride along in an oversize sequence.
         open_bins: list[tuple[int, int]] = []
         n_bins = 0
-        assign = np.empty(len(toks), dtype="int64")
-        oversize = toks > max_tokens
         min_tok = max(int(toks[-1]), 1) if len(toks) else 1
         for i, t in enumerate(toks):
             t = int(t)
             if t > max_tokens:
-                assign[i] = shard + n_bins
+                assign[i] = shard_base + n_bins
                 n_bins += 1  # closed oversize singleton
                 continue
             j = bisect_left(open_bins, (t, -1))
             if j < len(open_bins):  # tightest bin that still fits (best-fit)
                 cap, b = open_bins.pop(j)
                 cap -= t
-                assign[i] = shard + b
+                assign[i] = shard_base + b
             else:
                 cap, b = max_tokens - t, n_bins
-                assign[i] = shard + b
+                assign[i] = shard_base + b
                 n_bins += 1
             if cap >= min_tok:
                 insort(open_bins, (cap, b))
-        out = pd.DataFrame(
-            {
-                id_col: pdf[id_col].to_numpy()[order],
-                tokens_col: toks,
-                "seq_id": assign,
-                "oversize": oversize,
-            }
+
+    def pack_partition(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        if tbl.num_rows == 0:
+            return
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        toks = tbl.column(tokens_col).to_numpy(zero_copy_only=False)
+        shard = tbl.column("__shard").to_numpy(zero_copy_only=False)
+        # one global (shard asc, tokens desc, id asc) sort, then each
+        # shard is a contiguous slice already in BFD order
+        order = np.lexsort((ids, -toks, shard))
+        ids, toks, shard = ids[order], toks[order], shard[order]
+        assign = np.empty(len(toks), dtype="int64")
+        starts = np.flatnonzero(np.r_[True, shard[1:] != shard[:-1]])
+        bounds = np.r_[starts, len(shard)]
+        for k in range(len(starts)):
+            a, b = int(bounds[k]), int(bounds[k + 1])
+            _bfd(toks[a:b], int(shard[a]) * _SHARD_STRIDE, assign[a:b])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=tbl.schema.field(id_col).type),
+                pa.array(toks, type=pa.int64()),
+                pa.array(assign, type=pa.int64()),
+                pa.array(toks > max_tokens, type=pa.bool_()),
+            ],
+            names=[id_col, tokens_col, "seq_id", "oversize"],
         )
-        return out
 
     schema = (
         f"{id_col} {id_type}, {tokens_col} long, seq_id long, oversize boolean"
@@ -131,8 +153,8 @@ def pack_sequences(
             F.col(tokens_col).cast("long").alias(tokens_col),
             (F.abs(F.xxhash64(F.col(id_col))) % F.lit(shards)).alias("__shard"),
         )
-        .groupBy("__shard")
-        .applyInPandas(pack, schema=schema)
+        .repartition(F.col("__shard"))
+        .mapInArrow(pack_partition, schema=schema)
     )
 
 

@@ -267,3 +267,31 @@ def test_sample_per_key_exact_sizes_and_determinism(spark, sf_small_dir):
     }
     for s, n in sizes.items():
         assert n == min(7, orig[s])
+
+
+def test_packing_single_arrow_pass_per_task(spark, docs_tokens):
+    """r15: packing runs as ONE mapInArrow pass per task over the shard
+    repartition — no per-shard pandas group dispatch (the old
+    applyInPandas paid one pandas frame per shard, dominant with more
+    shards than cores). String ids must survive the Arrow landing too."""
+    packed = packing.pack_sequences(docs_tokens, MAX)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+
+    # string-id corpus: same invariants through the typed Arrow output
+    sdocs = docs_tokens.select(
+        F.concat(F.lit("d-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "n_tokens",
+    )
+    out = packing.pack_sequences(sdocs, MAX)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert out.count() == sdocs.count()
+    worst = (
+        out.filter(~F.col("oversize"))
+        .groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .agg(F.max("t"))
+        .collect()[0][0]
+    )
+    assert worst <= MAX
