@@ -797,6 +797,67 @@ def with_simhash(
     return df.withColumn("simhash", sim)
 
 
+def _pinned_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that actually pins the partitioning.
+
+    Under AQE (r15 find, pinned by ``tests/test_dup_clusters.py``), the
+    checkpoint's ``LogicalRDD`` is captured from an
+    ``AdaptiveSparkPlanExec`` whose output partitioning is not yet final —
+    it lands as unknown, so every downstream consumer keyed on the
+    checkpoint's layout re-shuffles it (the dup_clusters loop paid a full
+    edge-list exchange per round while documenting the opposite).
+    Disabling AQE for just the checkpoint capture makes the
+    ``LogicalRDD`` carry the real hash partitioning; downstream queries
+    (still AQE-planned) then satisfy their clustering requirements
+    exchange-free."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        # fresh Dataset: a query execution materialized BEFORE this window
+        # (e.g. by an explain) would still be adaptive — select("*") forces
+        # a new plan that reads the conf now
+        return df.select("*").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _symmetric_edges(pairs: DataFrame, left: str, right: str) -> DataFrame:
+    """The deduplicated symmetric edge list of a pair frame, partitioned by
+    ``dst`` — the pre-checkpoint input of :func:`dup_clusters`.
+
+    Two r15 shuffle/pass removals (guide §2.4), pinned by
+    ``tests/test_dup_clusters.py``:
+
+    - Symmetrize with ONE pass over the pair plan: the earlier union
+      spelling put the whole upstream pairs subplan (the LSH band-join,
+      the most expensive input here) into BOTH arms — Catalyst shares no
+      subplans across union arms, so it executed twice per action.
+      ``explode()`` emits both directions from a single execution.
+    - ONE exchange for dedup + layout: hash-partition by the loop's join
+      key FIRST, then drop duplicates — hashpartitioning on ``dst``
+      co-locates equal (src, dst) rows, so Catalyst satisfies the
+      (src, dst) aggregate's clustering requirement without a second
+      exchange. The previous ``distinct().repartition("dst")`` shuffled
+      the full edge list twice (once by (src, dst), once by dst).
+    """
+    edges = pairs.select(
+        F.col(left).alias("src"), F.col(right).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    edges = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
+    return edges.repartition("dst").dropDuplicates()
+
+
 def dup_clusters(
     pairs: DataFrame,
     left: str = "id_a",
@@ -832,14 +893,7 @@ def dup_clusters(
     edge list. Vertices are only the ids that appear in ≥1 pair
     (singletons need no cluster).
     """
-    edges = pairs.select(
-        F.col(left).alias("src"), F.col(right).alias("dst")
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    # partition once on the join key; reused (no exchange) every round
-    edges = edges.repartition("dst").localCheckpoint(eager=True)
+    edges = _pinned_checkpoint(_symmetric_edges(pairs, left, right))
     # Round 1 collapsed into ONE aggregation (r14, guide §2.4): with every
     # vertex initially labelled by itself, the first propagation is just
     # min(own id, min neighbour id) per vertex — no label frame to join
@@ -847,15 +901,20 @@ def dup_clusters(
     # join+groupBy round (two shuffles, one checkpoint) with a single
     # groupBy over the edge list; the resulting labels/frontier state is
     # exactly what the general round produces from self-labels.
-    round1 = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("__nbr"))
+    # Grouped by ``dst`` (r15, §2.4): the edge list is SYMMETRIC by
+    # construction, so min-over-neighbours per vertex reads identically
+    # from either endpoint — and the checkpoint is already partitioned by
+    # dst, so this grouping needs NO exchange (and its output labels land
+    # partitioned by id = dst, exactly what the per-round frontier joins
+    # below want). groupBy("src") paid a full-edge-list shuffle here.
+    round1 = _pinned_checkpoint(
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("__nbr"))
         .select(
-            F.col("src").alias("id"),
-            F.least(F.col("src"), F.col("__nbr")).alias("cluster_id"),
-            (F.col("__nbr") < F.col("src")).alias("__changed"),
+            F.col("dst").alias("id"),
+            F.least(F.col("dst"), F.col("__nbr")).alias("cluster_id"),
+            (F.col("__nbr") < F.col("dst")).alias("__changed"),
         )
-        .localCheckpoint(eager=True)
     )
     frontier = round1.filter("__changed").drop("__changed")
     labels = round1.drop("__changed")
@@ -867,7 +926,7 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("__nbr"))
         )
-        updated = (
+        updated = _pinned_checkpoint(
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 "id",
@@ -876,7 +935,6 @@ def dup_clusters(
                 ),
                 (F.col("__nbr") < F.col("cluster_id")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
         )
         frontier = updated.filter("__changed").drop("__changed")
         labels = updated.drop("__changed")

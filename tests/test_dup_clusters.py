@@ -109,3 +109,51 @@ def test_max_iter_guard(spark):
     # and converges when allowed to run
     got = clusters_of(dedup.dup_clusters(chain, max_iter=40))
     assert set(got.values()) == {0}
+
+
+def test_symmetric_edges_plan_shape(spark):
+    """r15 regression pin: the edge list is built in ONE pass over the pair
+    plan (no Union — the upstream pairs subplan must not execute twice)
+    with ONE exchange (repartition-by-dst, reused by the dedup aggregate),
+    and round 1's min-label aggregation adds NO exchange on top of the
+    checkpointed layout."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (5, 6), (7, 7)],
+        "id_a long, id_b long",
+    )
+    edges = dedup._symmetric_edges(pairs, "id_a", "id_b")
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+    # duplicate, reversed and self pairs collapse to one symmetric edge set
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2), (5, 6), (6, 5), (7, 7)}
+
+    # the round-1 aggregation over the pinned checkpoint layout is
+    # exchange-free (the r15 groupBy("dst") claim). A plain
+    # localCheckpoint would NOT give this: under AQE the captured
+    # LogicalRDD loses the hash partitioning — _pinned_checkpoint exists
+    # exactly to keep it.
+    ck = dedup._pinned_checkpoint(edges)
+    round1 = ck.groupBy("dst").agg(F.min("src").alias("__nbr"))
+    r1_plan = round1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in r1_plan, r1_plan
+
+    # and the per-round frontier join consumes the edge checkpoint without
+    # re-exchanging it (the loop's 'partitioned once, reused every round'
+    # claim, broken under AQE before the pinned capture)
+    frontier = dedup._pinned_checkpoint(
+        ck.groupBy("dst")
+        .agg(F.min("src").alias("cluster_id"))
+        .select(F.col("dst").alias("id"), "cluster_id")
+    )
+    joined = ck.join(frontier, ck["dst"] == frontier["id"])
+    j_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in j_plan, j_plan
+
+    # and the full clustering still matches the oracle on this graph
+    got_labels = clusters_of(dedup.dup_clusters(pairs))
+    assert got_labels == union_find(
+        [(1, 2), (2, 3), (5, 6), (7, 7)]
+    )
