@@ -626,14 +626,50 @@ def lsh_join(
     left_with_sig = left_with_sig.persist(StorageLevel.MEMORY_AND_DISK)
     right_with_sig = right_with_sig.persist(StorageLevel.MEMORY_AND_DISK)
 
-    lrows, lhot, luse = _apply_bucket_cap(
-        band_rows(left_with_sig, left_id, k=k, bands=bands),
-        max_bucket_size, False, "lsh_join",
-    )
-    rrows, rhot, ruse = _apply_bucket_cap(
-        band_rows(right_with_sig, right_id, k=k, bands=bands),
-        max_bucket_size, False, "lsh_join",
-    )
+    lrows = band_rows(left_with_sig, left_id, k=k, bands=bands)
+    rrows = band_rows(right_with_sig, right_id, k=k, bands=bands)
+    # ONE census job for BOTH sides (r15, guide §1.2/§2.6): the hot-bucket
+    # census is an eager driver decision, and running it per side paid two
+    # job launches (each forcing its side's signature computation). A
+    # side-tagged union counts both sides' buckets in one job — identical
+    # hot sets per side, and both signature persists warm in the same
+    # pass. Sides that trip the cap are filtered with a LITERAL hot-key
+    # frame (the collected rows), so downstream actions never re-execute
+    # the census aggregation inside a broadcast build.
+    lhot: list = []
+    rhot: list = []
+    luse = ruse = True
+    if max_bucket_size is not None:
+        spark = left_with_sig.sparkSession
+        census = (
+            lrows.select(F.lit("l").alias("__side"), "__band", "__key")
+            .unionByName(
+                rrows.select(F.lit("r").alias("__side"), "__band", "__key")
+            )
+            .groupBy("__side", "__band", "__key")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .filter(F.col("__bc") > max_bucket_size)
+            .select("__side", "__band", "__key")
+            .collect()
+        )
+        lhot = [(r["__band"], r["__key"]) for r in census if r["__side"] == "l"]
+        rhot = [(r["__band"], r["__key"]) for r in census if r["__side"] == "r"]
+
+        def _filtered(rows, hot):
+            if not hot:
+                return rows, True
+            hot_df = spark.createDataFrame(hot, "__band int, __key string")
+            out = rows.join(
+                F.broadcast(hot_df), on=["__band", "__key"], how="anti"
+            )
+            return out, len(hot) <= _HOT_CLAIM_LITERAL_CAP
+
+        lrows, luse = _filtered(lrows, lhot)
+        rrows, ruse = _filtered(rrows, rhot)
+        if not luse:
+            lhot = []
+        if not ruse:
+            rhot = []
     # a pair is produced at band j only when NEITHER side's row was hot
     # there, so the claim probes the UNION of the two sides' hot keys
     # (equal slices ⇒ same key ⇒ either side's drop suppressed the pair)
