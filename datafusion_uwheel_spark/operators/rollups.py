@@ -660,11 +660,22 @@ def _indices_from_rollup(
     max_ts_us = int(pc.max(tbl.column("__tmax")).as_py())
     _mark("cnt_bounds")
     # At-start slivers are sparse: keep only buckets whose start instant
-    # holds rows (ns-precision data typically has none at all).
-    atcnt = _ord(_filled(tbl, "__atcnt", 0, np.int64))
-    at_mask = atcnt > 0
-    at_secs = secs[at_mask]
-    at_cnt = atcnt[at_mask]
+    # holds rows (ns-precision data typically has none at all). When the
+    # whole column is zero — the common case, checked Arrow-side without
+    # landing it — skip the numpy conversion, the mask pass, AND every
+    # per-column __at* land below (r15: the mirror's cost is driver
+    # memory traffic, and each skipped column is a full-length copy that
+    # can stall 20x under allocator pressure; scripts/probe_mirror.py).
+    at_max = pc.max(tbl.column("__atcnt")).as_py()
+    if not at_max:
+        at_mask = None
+        at_secs = np.empty(0, dtype=np.int64)
+        at_cnt = np.empty(0, dtype=np.int64)
+    else:
+        atcnt = _ord(_filled(tbl, "__atcnt", 0, np.int64))
+        at_mask = atcnt > 0
+        at_secs = secs[at_mask]
+        at_cnt = atcnt[at_mask]
     _mark("at_sliver")
 
     out = {
@@ -684,7 +695,23 @@ def _indices_from_rollup(
 
     for c in columns:
         arrs = rollup_arrays(tbl, c, types[c], states)
-        ats = rollup_arrays(tbl, c, types[c], states, at=True)
+        if at_mask is None:
+            # all-zero at-sliver: empty at-arrays without landing the
+            # __at* columns (each a full-length driver copy)
+            vdtype = np.int64 if types[c] in _INT_SQL.values() else np.float64
+            _e_i = np.empty(0, dtype=np.int64)
+            _e_v = np.empty(0, dtype=vdtype)
+            ats = {
+                "vcnt": _e_i,
+                "sum": _e_v if "sum" in states else None,
+                "min": _e_v if "min" in states else None,
+                "max": _e_v if "max" in states else None,
+                "sumsq": np.empty(0) if "sumsq" in states else None,
+            }
+            _sliver = lambda arr: arr  # noqa: E731 — already empty
+        else:
+            ats = rollup_arrays(tbl, c, types[c], states, at=True)
+            _sliver = _at
         _mark(f"value_{c}")
         out[c] = WheelIndex(
             table,
@@ -704,11 +731,11 @@ def _indices_from_rollup(
             bucket_seconds=bucket_seconds,
             at_secs_=at_secs.copy(),
             at_cnt_=at_cnt.copy(),
-            at_vcnt_=_at(ats["vcnt"]),
-            at_sum_=_at(ats["sum"]),
-            at_min_=_at(ats["min"]),
-            at_max_=_at(ats["max"]),
-            at_sumsq_=_at(ats["sumsq"]),
+            at_vcnt_=_sliver(ats["vcnt"]),
+            at_sum_=_sliver(ats["sum"]),
+            at_min_=_sliver(ats["min"]),
+            at_max_=_sliver(ats["max"]),
+            at_sumsq_=_sliver(ats["sumsq"]),
         )
     return out
 

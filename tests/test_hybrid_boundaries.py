@@ -501,3 +501,55 @@ def test_grouped_hybrid_empty_core_count_still_routes(subset_gb_engine):
     want = subset_gb_engine.spark.sql(sql).collect()
     assert routed.collect() == want
     assert want[0]["n"] == 2
+
+
+def test_empty_at_sliver_skips_landing_but_answers_match(spark):
+    """r15 regression pin: a rollup whose at-start sliver is entirely empty
+    (no row exactly on a bucket-start instant) must land EMPTY at-arrays
+    (the skip path — the __at* columns are never converted to numpy) and
+    still answer inclusive/strict boundary queries exactly; data WITH
+    on-boundary rows must keep the populated-sliver path byte-for-byte."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("v", T.DoubleType(), False),
+        ]
+    )
+    # every ts offset off the second boundary -> at-sliver empty everywhere
+    off_rows = [
+        (datetime(2024, 5, 10, 0, 0, s, 250000), float(s)) for s in range(2, 9)
+    ]
+    e_off = WheelEngine(
+        spark, "atskip_off", spark.createDataFrame(off_rows, schema),
+        time_column="ts",
+    )
+    e_off.build_index("v")
+    from datafusion_uwheel_spark.plans.router import STAR_AGGREGATION_ALIAS
+
+    w = e_off.count_wheels[STAR_AGGREGATION_ALIAS]
+    assert w.at_secs_.size == 0 and w.at_cnt_.size == 0
+    vw = e_off.agg_wheels[("v", STAR_AGGREGATION_ALIAS)]
+    assert vw.at_secs_.size == 0 and vw.at_vcnt_.size == 0
+
+    # on-boundary rows -> populated sliver, same construction path answers
+    on_rows = off_rows + [(datetime(2024, 5, 10, 0, 0, 5), 50.0)]
+    e_on = WheelEngine(
+        spark, "atskip_on", spark.createDataFrame(on_rows, schema),
+        time_column="ts",
+    )
+    e_on.build_index("v")
+    w_on = e_on.count_wheels[STAR_AGGREGATION_ALIAS]
+    assert w_on.at_secs_.size == 1 and int(w_on.at_cnt_[0]) == 1
+
+    for eng, name in ((e_off, "atskip_off"), (e_on, "atskip_on")):
+        for q in (
+            f"SELECT SUM(v) AS s FROM {name} WHERE ts > '2024-05-10 00:00:03' AND ts <= '2024-05-10 00:00:07'",
+            f"SELECT COUNT(*) AS c FROM {name} WHERE ts BETWEEN '2024-05-10 00:00:02' AND '2024-05-10 00:00:05'",
+        ):
+            got = [tuple(r) for r in eng.sql(q).collect()]
+            want = [tuple(r) for r in spark.sql(q).collect()]
+            assert got == want, (name, q, got, want)
